@@ -4,13 +4,16 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Query naming: one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the web-scale training-data operators). Entries without
+an ``oracle_sql`` counterpart are genuinely non-SQL-expressible (cell
+encodings, LSH structures, closed-form rasters) and carry pytest oracles
+instead (tests/ — brute-force / property checks).
 """
 
 from __future__ import annotations
@@ -18,27 +21,425 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from geospatial_learn_ray.functions.geometry import ring_props, wkb_to_ring
+from geospatial_learn_ray.sources.pages import pages_sql, read_pages
+from geospatial_learn_ray.sources.polygons import polygon_table
+from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles
+from geospatial_learn_ray.stages import agg, dedup, joins, knn, raster, scorer, textstages
+from geospatial_learn_ray.stages.cellindex import geocode_and_cells
+from geospatial_learn_ray.stages.pip_join import pip_join
+from geospatial_learn_ray.stages.textstages import extract_stage
+from geospatial_learn_ray.pipelines.flagship import CELL_COL, flagship_dataset
+
+EVENTS_LO, EVENTS_HI = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (spatial join + tile agg) on sf0.001."""
+    heads = flagship_dataset("/root/testdata/sf0.001")
+    return heads["tile_agg"]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_extract_text(sf_dir: str):
+    return extract_stage(read_pages(sf_dir), keep_cols=("url",))
+
+
+def _q_url_dedup(sf_dir: str):
+    ds = read_pages(sf_dir, with_dups=True, columns=["url", "warc_ts", "lang"])
+    return dedup.dedup_keep_latest(ds, key="url", ts_col="warc_ts")
+
+
+def _q_zonal_stats_lineitem(sf_dir: str):
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return agg.grouped_stats(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                             stats=("count", "sum", "mean", "min", "max", "std"), round_to=4)
+
+
+def _q_zonal_frac_orders(sf_dir: str):
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return agg.value_counts(ds, ["o_orderpriority"], "o_orderstatus")
+
+
+def _q_date_filter_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    lo = pa.scalar(pd.Timestamp(EVENTS_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(EVENTS_HI), pa.timestamp("us"))
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["ts"], lo), pc.less(b["ts"], hi))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_topk_users_by_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", sort=False).size().rename("n").reset_index()
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def _q_distinct_langs(sf_dir: str):
+    return pd.DataFrame({"lang": sorted(_rp(sf_dir, "documents", ["lang"]).unique("lang"))})
+
+
+def _q_classify_lineitem(sf_dir: str):
+    model_path = scorer.train_linear_model("/tmp/glr_models/linear.json")
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return scorer.score_stage(ds, model_path, keep_cols=["l_orderkey", "l_linenumber"])
+
+
+def _q_rmse_lineitem(sf_dir: str):
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        disc = b["l_extendedprice"] * (1 - b["l_discount"])
+        return pd.DataFrame({"a": disc, "b": disc * (1 + b["l_tax"])})
+
+    val = agg.rmse(ds.map_batches(derive, batch_format="pandas"), "a", "b", round_to=4)
+    return pd.DataFrame({"rmse": [val]})
+
+
+def _q_token_counts(sf_dir: str):
+    return textstages.token_count_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_quality_scores(sf_dir: str):
+    return textstages.quality_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_exact_text_dedup(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.dedup_exact_content(ds, "text", "doc_id").select_columns(["doc_id"])
+
+
+def _q_join_orders_customer(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = pa.concat_tables(
+        [b for b in _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
+    )
+    out = joins.broadcast_join(orders, customer, "o_custkey", "c_custkey", how="inner")
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def _q_revenue_by_segment(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pa.concat_tables(
+        [b for b in _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
+    )
+    joined = joins.broadcast_join(orders, customer, "o_custkey", "c_custkey", how="inner")
+    return agg.grouped_stats(joined, "c_mktsegment", "o_totalprice", stats=("count", "sum"), round_to=2)
+
+
+def _q_topk_parts(sf_dir: str):
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+LARGE_ORDER = 300000.0
+
+
+def _large_orders(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    filtered = ds.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], LARGE_ORDER)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return pa.concat_tables(list(filtered.iter_batches(batch_format="pyarrow")))
+
+
+def _q_anti_join_customers(sf_dir: str):
+    customer = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.broadcast_join(customer, _large_orders(sf_dir), "c_custkey", "o_custkey", how="anti")
+
+
+def _q_semi_join_customers(sf_dir: str):
+    customer = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.broadcast_join(customer, _large_orders(sf_dir), "c_custkey", "o_custkey", how="semi")
+
+
+def _q_window_events(sf_dir: str):
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hour"] = b["ts"].dt.floor("h")
+        return b[["event_type", "hour", "value"]]
+
+    windowed = ds.map_batches(add_window, batch_format="pandas")
+    # sum (not mean): the 4-decimal event values make sums exactly
+    # representable after ROUND(4) on both engines; tiny-group means hit
+    # decimal half-boundaries where ulp direction differs across engines
+    return agg.grouped_stats(windowed, ["event_type", "hour"], "value", stats=("count", "sum"), round_to=4)
+
+
+def _ann_queries(sf_dir: str):
+    tbl = pa.concat_tables(
+        [b for b in _rp(sf_dir, "embeddings").iter_batches(batch_format="pyarrow") ]
+    )
+    mask = (tbl["vec_id"].to_numpy() % 50) == 0
+    q = tbl.filter(pa.array(mask))
+    Q = np.stack([np.asarray(v, np.float64) for v in q["embedding"].to_pylist()])
+    return Q, q["vec_id"].to_numpy()
+
+
+def _q_ann_cosine_topk(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    out = knn.ann_bruteforce_topk(_rp(sf_dir, "embeddings"), Q, qids, k=10)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+# ---- rows-only (non-SQL-expressible; pytest oracles in tests/) ------------
+
+def _q_geocode_cells(sf_dir: str):
+    pages = read_pages(sf_dir, columns=["url"])
+    located = geocode_and_cells(pages, hex_res=(5, 7, 9))
+
+    def round_coords(b: pa.Table) -> pa.Table:
+        b = b.set_column(b.schema.get_field_index("lon"), "lon", pc.round(b["lon"], 6))
+        return b.set_column(b.schema.get_field_index("lat"), "lat", pc.round(b["lat"], 6))
+
+    return located.map_batches(round_coords, batch_format="pyarrow")
+
+
+def _q_pip_join(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+    return pip_join(located, polygon_table(), carry_cols=["url"], mode="inner")
+
+
+def _q_pip_anti(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+    return pip_join(located, polygon_table(), carry_cols=["url"], mode="anti")
+
+
+def _q_tile_agg(sf_dir: str):
+    return flagship_dataset(sf_dir)["tile_agg"]
+
+
+def _q_knn_pages(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(5,))
+    return knn.knn_per_cell(located.select_columns(["url", "lon", "lat"]), k=5, res=5, id_col="url")
+
+
+def _q_ann_ivf(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    emb = _rp(sf_dir, "embeddings")
+    C = knn.ivf_build_centroids(emb, n_centroids=16)
+    return knn.ivf_topk(emb, Q, qids, C, k=10, nprobe=4)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_dedup_pairs(ds, max_hamming=3)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from geospatial_learn_ray.sources.embeddings import with_planted_dups
+
+    planted = with_planted_dups(_rp(sf_dir, "embeddings"))
+    return dedup.embedding_dedup_pairs(planted, threshold=0.95)
+
+
+def _q_lang_id(sf_dir: str):
+    return textstages.lang_id_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    return textstages.fingerprint_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_ndvi_tiles(sf_dir: str):
+    return raster.ndvi_stage(read_tiles(tile_px=32))
+
+
+def _q_mask_tiles(sf_dir: str):
+    return raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.5).select_columns(
+        ["tile_x", "tile_y", "masked_count"]
+    )
+
+
+def _q_raster_points(sf_dir: str):
+    return raster.raster2points(read_tiles(tile_px=32), stride=8)
+
+
+def _q_zonal_tile_stats(sf_dir: str):
+    return raster.zonal_tile_stats(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
+
+
+def _q_shape_props(sf_dir: str):
+    tbl = polygon_table()
+    rows = []
+    for fid, wkb in zip(tbl["feature_id"].to_pylist(), tbl["geometry"].to_pylist()):
+        p = ring_props(wkb_to_ring(wkb))
+        p = {k: round(v, 6) for k, v in p.items()}
+        rows.append({"feature_id": fid, **p})
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # pages / text (SQL-checked)
+        "extract_text": _q_extract_text,
+        "url_dedup_keep_latest": _q_url_dedup,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "exact_text_dedup": _q_exact_text_dedup,
+        # relational operators (SQL-checked)
+        "zonal_stats_lineitem": _q_zonal_stats_lineitem,
+        "zonal_frac_orders": _q_zonal_frac_orders,
+        "date_filter_events": _q_date_filter_events,
+        "topk_users_by_events": _q_topk_users_by_events,
+        "distinct_langs": _q_distinct_langs,
+        "classify_lineitem": _q_classify_lineitem,
+        "rmse_lineitem": _q_rmse_lineitem,
+        "join_orders_customer": _q_join_orders_customer,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "topk_parts": _q_topk_parts,
+        "anti_join_customers": _q_anti_join_customers,
+        "semi_join_customers": _q_semi_join_customers,
+        "window_events": _q_window_events,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
+        "geocode_cells": _q_geocode_cells,
+        "pip_join_rows": _q_pip_join,
+        "pip_anti_rows": _q_pip_anti,
+        "tile_agg_cells": _q_tile_agg,
+        "knn_pages": _q_knn_pages,
+        # training-data ops (pytest oracles)
+        "ann_ivf_topk": _q_ann_ivf,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_dedup_pairs": _q_embedding_dedup,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        # raster / tiles (closed-form pytest oracles)
+        "ndvi_tiles": _q_ndvi_tiles,
+        "mask_tiles": _q_mask_tiles,
+        "raster_points": _q_raster_points,
+        "zonal_tile_stats": _q_zonal_tile_stats,
+        "shape_props": _q_shape_props,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB, views pre-registered on the same parquet tables)
+# --------------------------------------------------------------------------
+
+_QUALITY_WS = "GREATEST(len(regexp_extract_all(text, '\\S+')), 1)"
+_QUALITY_PUNCT = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+_QUALITY_STOP = (
+    "("
+    + " + ".join(f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))
+    + ")"
+)
+
+_SCORER_SQL = scorer.sql_for_scorer("lineitem", "l_orderkey, l_linenumber")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": f"WITH {pages_sql()} SELECT url, text FROM pages",
+        "url_dedup_keep_latest": (
+            f"WITH {pages_sql(with_dups=True)} "
+            "SELECT url, warc_ts, lang FROM ("
+            "  SELECT url, warc_ts, lang, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
+            ") WHERE rn = 1"
+        ),
+        "token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS bpe_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio, "
+            f"  GREATEST(length(text) - ({_QUALITY_WS} - 1), 0)::DOUBLE / {_QUALITY_WS} AS mean_tok_len "
+            "  FROM documents) "
+            "SELECT doc_id, n_chars, ROUND(punct_ratio, 4) AS punct_ratio, ROUND(stop_ratio, 4) AS stop_ratio, "
+            "ROUND(mean_tok_len, 4) AS mean_tok_len, "
+            "ROUND(0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "      + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) AS quality FROM t"
+        ),
+        "exact_text_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "zonal_stats_lineitem": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS count, "
+            "ROUND(SUM(l_quantity), 4) AS sum_l_quantity, ROUND(AVG(l_quantity), 4) AS mean_l_quantity, "
+            "ROUND(MIN(l_quantity), 4) AS min_l_quantity, ROUND(MAX(l_quantity), 4) AS max_l_quantity, "
+            "ROUND(STDDEV_SAMP(l_quantity), 4) AS std_l_quantity "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "zonal_frac_orders": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*)::BIGINT AS n, "
+            "ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority), 6) AS frac "
+            "FROM orders GROUP BY o_orderpriority, o_orderstatus"
+        ),
+        "date_filter_events": (
+            "SELECT event_id, ts, event_type, value FROM events "
+            f"WHERE ts >= TIMESTAMP '{EVENTS_LO}' AND ts < TIMESTAMP '{EVENTS_HI}'"
+        ),
+        "topk_users_by_events": (
+            "SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id ASC LIMIT 10"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "classify_lineitem": _SCORER_SQL,
+        "rmse_lineitem": (
+            "SELECT ROUND(SQRT(SUM(POW(l_extendedprice * (1 - l_discount) "
+            "- l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)) / COUNT(*)), 4) AS rmse FROM lineitem"
+        ),
+        "join_orders_customer": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "revenue_by_segment": (
+            "SELECT c_mktsegment, COUNT(*)::BIGINT AS count, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "topk_parts": (
+            "SELECT p_partkey, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10"
+        ),
+        "anti_join_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            f"(SELECT o_custkey FROM orders WHERE o_totalprice > {LARGE_ORDER})"
+        ),
+        "semi_join_customers": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            f"(SELECT o_custkey FROM orders WHERE o_totalprice > {LARGE_ORDER})"
+        ),
+        "window_events": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS count, "
+            "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, "
+            "        e.vec_id ASC) AS rank "
+            "      FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, neighbor_id, rank FROM s WHERE rank <= 10"
+        ),
+    }

@@ -1,0 +1,107 @@
+"""The flagship spatial-join + tiling pipeline (north_star).
+
+    pages (url, warc_ts, html, text, lang)
+      → dedup keep-latest per url                       (hash shuffle: url)
+      → extract text from html (byte-identity contract) (actor pool)
+      → geocode + H3/S2 cell encode                     (stateless, zero-copy)
+      → STRtree-role broadcast point-in-polygon join    (map-side, no shuffle)
+      → cell-keyed tile aggregation (salt-mitigated)    (hash shuffle: cell)
+      → Parquet checkpoints + per-partition lineage manifests (resumable)
+
+Resume granularity: ``shard = fnv1a64(url) % NUM_SHARDS`` is assigned AT
+THE SOURCE and carried through every url-keyed stage, so a resumed run
+skips the *compute* (dedup/extract/geocode/join) for finished shards, not
+just the write — the dedup groupby key (url) is shard-aligned by
+construction. The cell-keyed aggregation re-keys rows across shards, so
+its checkpoint shards by ``cell % NUM_SHARDS`` downstream of the agg.
+
+The wide ``html`` column is projected away immediately after extraction so
+shuffles move narrow rows (SURVEY.md §7 "Wide binary rows").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_pages
+from ..sources.polygons import polygon_table
+from ..stages.agg import grouped_stats
+from ..stages.cellindex import geocode_and_cells
+from ..stages.dedup import dedup_keep_latest
+from ..stages.pip_join import pip_join
+from ..stages.textstages import extract_stage
+from ..state.manifest import assign_shard, fingerprint_of, read_stage, run_resumable_stage
+
+NUM_SHARDS = 16
+CELL_COL = "cell_h3_r7"
+HEX_RES = (5, 7, 9)
+
+
+def located_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1) -> ray.data.Dataset:
+    """pages → dedup → extract → geocode/cells → narrow located rows
+    (url, lang, n_chars, cell columns, lon, lat, shard). Lazy."""
+    pages = assign_shard(read_pages(sf_dir, with_dups=with_dups, repeat=repeat), "url", NUM_SHARDS)
+    return _locate(pages)
+
+
+def _locate(pages: ray.data.Dataset) -> ray.data.Dataset:
+    deduped = dedup_keep_latest(pages, key="url", ts_col="warc_ts")
+    extracted = extract_stage(deduped, keep_cols=("url", "lang", "shard"))
+    located = geocode_and_cells(extracted, hex_res=HEX_RES)
+
+    def add_len(b: pa.Table) -> pa.Table:
+        return b.append_column("n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+
+    return located.map_batches(add_len, batch_format="pyarrow").drop_columns(["text"])
+
+
+def flagship_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1) -> dict[str, ray.data.Dataset]:
+    """Lazy heads without checkpointing (used by bench / entry smoke)."""
+    located = located_dataset(sf_dir, with_dups, repeat=repeat)
+    join_rows = pip_join(located, polygon_table(), carry_cols=["url", CELL_COL, "shard"], mode="inner")
+    tile_agg = grouped_stats(located, CELL_COL, "n_chars", stats=("count", "mean", "min", "max"), round_to=6)
+    return {"located": located, "join_rows": join_rows, "tile_agg": tile_agg}
+
+
+def run_flagship(sf_dir: str, out_dir: str, with_dups: bool = True) -> dict[str, int]:
+    """Execute with resumable checkpoints + lineage manifests."""
+    fp = fingerprint_of("flagship-v1", sf_dir, str(with_dups))
+
+    # stage 1: located rows — expensive front half, url-sharded at source,
+    # resume skips dedup/extract/geocode for finished shards entirely.
+    pages = assign_shard(read_pages(sf_dir, with_dups=with_dups), "url", NUM_SHARDS)
+    located = run_resumable_stage(pages, _locate, out_dir, "located", fp, NUM_SHARDS)
+
+    # stage 2: PiP join rows (map-side, url-sharded, input = stage-1 parquet)
+    join_rows = run_resumable_stage(
+        located,
+        lambda ds: pip_join(ds, polygon_table(), carry_cols=["url", CELL_COL, "shard"], mode="inner"),
+        out_dir,
+        "join_rows",
+        fp,
+        NUM_SHARDS,
+    )
+
+    # stage 3: cell-keyed tile aggregation — re-keys across url shards, so
+    # the checkpoint shards by cell afterwards (all-or-nothing compute).
+    def agg_fn(ds: ray.data.Dataset) -> ray.data.Dataset:
+        agg = grouped_stats(ds, CELL_COL, "n_chars", stats=("count", "mean", "min", "max"), round_to=6)
+
+        def cell_shard(b: pa.Table) -> pa.Table:
+            shard = (b[CELL_COL].to_numpy() % np.uint64(NUM_SHARDS)).astype(np.int32)
+            return b.append_column("shard", pa.array(shard))
+
+        return agg.map_batches(cell_shard, batch_format="pyarrow")
+
+    tile_agg = run_resumable_stage(
+        located.drop_columns(["shard"]), agg_fn, out_dir, "tile_agg", fp, NUM_SHARDS,
+        input_sharded=False,
+    )
+    return {
+        "located": located.count(),
+        "join_rows": join_rows.count(),
+        "tile_agg": tile_agg.count(),
+    }

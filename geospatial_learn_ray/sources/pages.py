@@ -1,0 +1,97 @@
+"""The pages table — Common-Crawl-style web pages (BASELINE.json input_hint):
+
+    (url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)
+
+Derived deterministically from ``documents.parquet`` (FIXTURES.md §1) in a
+vectorized ``map_batches`` so the same rows appear at any scale factor, on
+any worker, on any retry:
+
+    url     = f"https://site-{doc_id % 1000}.example/{source}/{doc_id}"
+    warc_ts = 2024-01-01T00:00:00 + doc_id * 37 seconds
+    html    = b"<html><head><title>d{doc_id}</title></head>"
+              b"<body><p>{text}</p></body></html>"
+    text    = documents.text (the byte-identity golden for extraction)
+    lang    = documents.lang
+
+Duplicate fixture (for keep-latest dedup): every url with doc_id % 50 == 0
+appears twice, the duplicate with warc_ts + 1 hour (keep-latest must win).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+EPOCH = pd.Timestamp("2024-01-01T00:00:00")
+
+
+def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1) -> pa.Table:
+    if repeat > 1:
+        # bench-scale expansion: R deterministic replicas per document with
+        # distinct urls (suffix ``?r=k``) — text/lang identical, ts offset by
+        # k ms. Correctness queries always use repeat=1.
+        batch = pa.concat_tables([batch] * repeat)
+        rep = np.repeat(np.arange(repeat), len(batch) // repeat)
+    doc_id = batch["doc_id"].to_numpy()
+    text = batch["text"].to_pandas()
+    lang = batch["lang"]
+    source = batch["source"].to_pandas()
+    url = ("https://site-" + pd.Series(doc_id % 1000).astype(str) + ".example/" + source.reset_index(drop=True) + "/" + pd.Series(doc_id).astype(str))
+    ts = EPOCH.value // 1000 + doc_id * 37_000_000  # microseconds
+    if repeat > 1:
+        url = url + "?r=" + pd.Series(rep).astype(str)
+        ts = ts + rep * 1000
+    html = ("<html><head><title>d" + pd.Series(doc_id).astype(str) + "</title></head><body><p>" + text.reset_index(drop=True) + "</p></body></html>")
+    out = pa.table(
+        {
+            "url": pa.array(url, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array([h.encode("utf-8") for h in html], pa.binary()),
+            "text": batch["text"],
+            "lang": lang,
+        }
+    )
+    if with_dups:
+        dup_mask = doc_id % 50 == 0
+        if dup_mask.any():
+            dup = out.filter(pa.array(dup_mask))
+            bumped = pa.array(ts[dup_mask] + 3_600_000_000, pa.timestamp("us"))
+            dup = dup.set_column(1, "warc_ts", bumped)
+            out = pa.concat_tables([out, dup])
+    return out
+
+
+def read_pages(sf_dir: str, with_dups: bool = False, columns: list[str] | None = None,
+               repeat: int = 1) -> ray.data.Dataset:
+    """documents.parquet → streaming pages Dataset. ``columns`` prunes the
+    *output* projection; the read itself always needs doc_id/text/lang/source
+    (the whole narrow base table). ``repeat`` is the bench-scale replica
+    factor (distinct urls per replica; default 1 for correctness runs)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    if repeat > 1:
+        ds = ds.repartition(max(8, repeat // 4))
+    ds = ds.map_batches(lambda b: _docs_to_pages(b, with_dups, repeat), batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def pages_sql(with_dups: bool = False, cols: str = "url, warc_ts, text, lang") -> str:
+    """DuckDB CTE producing the identical pages table from the ``documents``
+    view (used by oracle_sql entries so pages-based queries get STRONG
+    value-hash checks). ``html`` is intentionally not restated in SQL."""
+    base = (
+        "SELECT 'https://site-' || (doc_id % 1000) || '.example/' || source || '/' || doc_id AS url, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 37000000) AS warc_ts, "
+        "text, lang FROM documents"
+    )
+    if with_dups:
+        dup = (
+            "SELECT 'https://site-' || (doc_id % 1000) || '.example/' || source || '/' || doc_id AS url, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(doc_id * 37000000 + 3600000000) AS warc_ts, "
+            "text, lang FROM documents WHERE doc_id % 50 = 0"
+        )
+        return f"pages AS ({base} UNION ALL {dup})"
+    return f"pages AS ({base})"

@@ -1,0 +1,287 @@
+"""Grouped aggregation engine — zonal_stats / tile aggregation, Ray-first.
+
+Reference semantics: ``shape.zonal_stats`` stat dispatch (shape.py:1023-1068
+mean/min/max/median/std/sum/count/var/skew/kurt/mode), ``zonal_stats_all``
+(shape.py:1323), ``zonal_frac`` grouped value-counts (shape.py:1092),
+``temporal_comp``/``stat_comp`` depth stats (raster.py:2287,2410), RMSE
+(learning.py:1828).
+
+Scale design (SURVEY.md §4 "skew"):
+
+- **Partial pre-aggregation (combiner).** Every decomposable stat is
+  computed from per-batch moment partials (n, Σx, Σx², min, max) emitted by
+  a vectorized ``map_batches`` groupby — the all-to-all shuffle then moves
+  one row per (key, input-block), not one per input row. A Zipf-hot cell
+  contributes ≤ #blocks partial rows instead of millions of raw rows.
+- **Salting.** For the explicit two-level variant the partial key is
+  ``(key, salt)`` with ``salt = hash(url) % S`` on detected hot keys, then
+  a second tiny ``groupby(key)`` combines the salted partials. Hot keys are
+  detected by a cheap sampled count pre-pass (``detect_hot_keys``).
+- **Holistic stats** (exact median/mode/percentile) need raw values in one
+  place → ``groupby.map_groups``; mode is decomposed into two groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..functions.hashing import fnv1a64, splitmix64
+from ..functions.rounding import round_half_away
+
+DECOMPOSABLE = ("count", "sum", "mean", "min", "max", "std", "var")
+
+NUM_PARTS = 64  # coarse reducer buckets for high-cardinality keys
+
+
+def _add_part(b: pd.DataFrame, keys: list[str], num_parts: int = NUM_PARTS) -> pd.DataFrame:
+    """Deterministic reducer-bucket column from the group key columns.
+
+    Ray's built-in ``groupby().aggregate()`` reduces one Python iteration
+    per distinct key — pathological at 10⁵+ cells. The engine instead
+    shuffles on a COARSE ``_part`` (64 buckets) and combines each bucket
+    with one vectorized pandas groupby (same trick as stages/dedup.py)."""
+    h = np.zeros(len(b), np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for k in keys:
+            col = b[k]
+            if pd.api.types.is_integer_dtype(col) or pd.api.types.is_unsigned_integer_dtype(col):
+                hk = splitmix64(col.to_numpy().astype(np.uint64, copy=False))
+            elif pd.api.types.is_datetime64_any_dtype(col):
+                hk = splitmix64(col.to_numpy("datetime64[us]").view(np.int64).astype(np.uint64))
+            else:
+                hk = fnv1a64(col.astype(str).to_numpy())
+            h = splitmix64(h ^ hk)
+    finally:
+        np.seterr(**old)
+    b = b.copy()
+    b["_part"] = (h % np.uint64(num_parts)).astype(np.int32)
+    return b
+
+
+def _partial_moments(keys: list[str], value_col: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys + [value_col]].copy()
+        b["_v2"] = b[value_col].astype(np.float64) ** 2
+        g = b.groupby(keys, sort=False, observed=True)
+        out = g.agg(
+            n=(value_col, "count"),
+            s=(value_col, "sum"),
+            mn=(value_col, "min"),
+            mx=(value_col, "max"),
+            s2=("_v2", "sum"),
+        )
+        return out.reset_index()
+
+    return fn
+
+
+def grouped_stats(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    stats: tuple[str, ...] = ("count", "sum", "mean", "min", "max", "std"),
+    round_to: int | None = None,
+) -> ray.data.Dataset:
+    """Decomposable grouped stats with per-batch partial pre-aggregation.
+
+    Output columns: keys + ``{stat}_{value_col}`` (count → ``count``).
+    ``std``/``var`` are the sample (ddof=1) definitions, matching SQL
+    STDDEV/VARIANCE; ``round_to`` rounds float outputs so the DuckDB oracle
+    hash matches bit-for-bit after identical rounding.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    unknown = set(stats) - set(DECOMPOSABLE)
+    if unknown:
+        raise ValueError(f"non-decomposable stats {unknown}; use grouped_holistic")
+    partials = ds.map_batches(_partial_moments(keys, value_col), batch_format="pandas")
+    parted = partials.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
+
+    def combine_and_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(keys, sort=False, observed=True).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        ).reset_index()
+        n = c["n"].astype(np.float64)
+        out = c[keys].copy()
+        var = ((c["s2"] - c["s"] ** 2 / n) / (n - 1)).clip(lower=0.0)
+        vals = {
+            "count": c["n"].astype(np.int64),
+            "sum": c["s"],
+            "mean": c["s"] / n,
+            "min": c["mn"],
+            "max": c["mx"],
+            "std": np.sqrt(var),
+            "var": var,
+        }
+        for st in stats:
+            name = "count" if st == "count" else f"{st}_{value_col}"
+            col = vals[st]
+            if round_to is not None and st != "count":
+                col = round_half_away(col, round_to)
+            out[name] = col
+        return out
+
+    return parted.groupby("_part").map_groups(combine_and_finalize, batch_format="pandas")
+
+
+def grouped_holistic(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    stats: tuple[str, ...] = ("median",),
+    percentile: float = 95.0,
+    round_to: int | None = None,
+) -> ray.data.Dataset:
+    """Exact holistic stats (median / percentile / skew / kurt / mode): raw
+    rows hash-shuffle on a coarse ``_part`` bucket of the key; within each
+    bucket one vectorized per-batch pandas groupby computes every group's
+    stat (numpy loops only inside pandas C kernels, never per group in
+    Python). At 100 TB this is the stage to replace with a mergeable sketch
+    (KLL) per SURVEY.md §2.5; exact is kept because conformance demands
+    identical values."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, observed=True)[value_col]
+        out = gb.size().rename("_n").reset_index()[keys]
+        for st in stats:
+            if st == "median":
+                col = gb.median().to_numpy()
+            elif st == "percentile":
+                col = gb.quantile(percentile / 100.0).to_numpy()
+            elif st == "mode":
+                col = gb.apply(lambda v: float(v.mode().iloc[0])).to_numpy()
+            elif st == "skew":  # population (ddof=0) central-moment skewness
+                m = gb.transform("mean")
+                sd = gb.transform("std", ddof=0)
+                z = ((g[value_col] - m) / sd.where(sd > 0, np.inf)) ** 3
+                col = z.groupby([g[k] for k in keys], observed=True, sort=False).mean().to_numpy()
+            elif st == "kurt":  # population excess kurtosis
+                m = gb.transform("mean")
+                sd = gb.transform("std", ddof=0)
+                z = ((g[value_col] - m) / sd.where(sd > 0, np.inf)) ** 4
+                col = z.groupby([g[k] for k in keys], observed=True, sort=False).mean().to_numpy() - 3.0
+            else:
+                raise ValueError(st)
+            out[f"{st}_{value_col}"] = round_half_away(col, round_to) if round_to is not None else col
+        return out
+
+    parted = ds.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
+    return parted.groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
+def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) -> ray.data.Dataset:
+    """zonal_frac analogue (shape.py:1092): per-key distinct-value counts +
+    fraction of the key's rows. Two groupbys, both over pre-combined
+    partials — no raw-row skew."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    both = keys + [value_col]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(both, sort=False, observed=True).size().rename("n").reset_index()
+
+    # _part derives from the KEY columns only, so every (key, value) partial
+    # of one key lands in the same bucket → fractions computable in-bucket
+    parted = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda b: _add_part(b, keys), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(both, sort=False, observed=True)["n"].sum().reset_index()
+        totals = c.groupby(keys, sort=False, observed=True)["n"].transform("sum")
+        c["frac"] = round_half_away(c["n"] / totals, 6)
+        return c
+
+    return parted.groupby("_part").map_groups(combine, batch_format="pandas")
+
+
+def detect_hot_keys(ds: ray.data.Dataset, key: str, sample_frac: float = 0.05, top_k: int = 32, seed: int = 7) -> list:
+    """Cheap sampled count pre-pass → the top-k candidate hot keys (the
+    measured, not assumed, salt set — SURVEY.md §7 'What's hard')."""
+    sample = ds.select_columns([key]).random_sample(sample_frac, seed=seed)
+    counts = sample.groupby(key).count().sort("count()", descending=True).limit(top_k)
+    df = counts.to_pandas()
+    cnt_col = [c for c in df.columns if c != key][0]
+    med = max(float(df[cnt_col].median()), 1.0)
+    return df[df[cnt_col] > 4 * med][key].tolist()
+
+
+def salted_grouped_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    salt_from: str,
+    hot_keys: list,
+    num_salts: int = 16,
+    stats: tuple[str, ...] = ("count", "mean"),
+    round_to: int | None = None,
+) -> ray.data.Dataset:
+    """Explicit two-level salted aggregation: hot keys get
+    ``salt = fnv1a64(salt_from) % num_salts`` so their partial rows spread
+    over ``num_salts`` reducers; level 2 recombines moments per key."""
+    from ..functions.hashing import fnv1a64
+
+    hot = set(hot_keys)
+
+    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        salt = (fnv1a64(b[salt_from].to_numpy()) % np.uint64(num_salts)).astype(np.int64)
+        b["_salt"] = np.where(b[key].isin(hot), salt, 0)
+        return b
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    # level 1: shuffle keyed on (key, salt) buckets — a hot key's partials
+    # spread across num_salts reducers instead of one
+    lvl1 = salted.map_batches(_partial_moments([key, "_salt"], value_col), batch_format="pandas")
+    l1p = lvl1.map_batches(lambda b: _add_part(b, [key, "_salt"]), batch_format="pandas")
+
+    def combine_salted(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([key, "_salt"], sort=False, observed=True)
+            .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        )
+
+    lvl2 = l1p.groupby("_part").map_groups(combine_salted, batch_format="pandas")
+    # level 2: tiny recombine per key (≤ num_salts rows per key)
+    l2p = lvl2.map_batches(lambda b: _add_part(b, [key]), batch_format="pandas")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(key, sort=False, observed=True).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        ).reset_index()
+        n = c["n"].astype(np.float64)
+        out = c[[key]].copy()
+        var = ((c["s2"] - c["s"] ** 2 / n) / (n - 1)).clip(lower=0.0)
+        vals = {
+            "count": c["n"].astype(np.int64),
+            "sum": c["s"],
+            "mean": c["s"] / n,
+            "min": c["mn"],
+            "max": c["mx"],
+            "std": np.sqrt(var),
+            "var": var,
+        }
+        for st in stats:
+            name = "count" if st == "count" else f"{st}_{value_col}"
+            col = vals[st]
+            if round_to is not None and st != "count":
+                col = round_half_away(col, round_to)
+            out[name] = col
+        return out
+
+    return l2p.groupby("_part").map_groups(finalize, batch_format="pandas")
+
+
+def rmse(ds: ray.data.Dataset, col_a: str, col_b: str, round_to: int = 4) -> float:
+    """Global RMSE of two columns (learning.rmse_vector_lyr, learning.py:1828)
+    as a partial+final aggregate — one tiny driver-side combine."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b[col_a].to_numpy(np.float64) - b[col_b].to_numpy(np.float64)) ** 2
+        return pd.DataFrame({"n": [len(d)], "s": [float(d.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return round_half_away(float(np.sqrt(parts["s"].sum() / parts["n"].sum())), round_to)

