@@ -288,6 +288,114 @@ def _q_zonal_tile_stats(sf_dir: str):
     return raster.zonal_tile_stats(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
 
 
+def _q_zonal_median_lineitem(sf_dir: str):
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return agg.grouped_holistic(
+        ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+        stats=("median", "percentile"), percentile=95.0, round_to=4,
+    )
+
+
+def _q_rgb_indices_tiles(sf_dir: str):
+    return raster.rgb_indices_stage(read_tiles(tile_px=32))
+
+
+def _q_combine_scene_tiles(sf_dir: str):
+    a = raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.8).drop_columns(["masked_count"])
+    b = read_tiles(tile_px=32)
+    out = raster.combine_scene(a, b, fill_class=0.0)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
+        return pd.DataFrame(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             "mean_value": np.round(vals.mean(axis=1), 6)}
+        )
+
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def _q_apply_lut_tiles(sf_dir: str):
+    lut = {i: (0 if i < 10 else 1 if i < 20 else 2) for i in range(40)}
+    return raster.apply_lut_stage(read_tiles(tile_px=32), lut)
+
+
+def _q_temporal_mean_tiles(sf_dir: str):
+    e0 = read_tiles(tile_px=32)
+    e1 = raster.mask_stage(read_tiles(tile_px=32), rule=">", threshold=1.5, outval=1.5).drop_columns(["masked_count"])
+    out = raster.temporal_comp([e0, e1], stat="mean")
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
+        return pd.DataFrame(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"], "n_epochs": batch["n_epochs"],
+             "mean_value": np.round(vals.mean(axis=1), 6)}
+        )
+
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def _q_hist_match_tiles(sf_dir: str):
+    ds = read_tiles(tile_px=32)
+    lut = raster.hist_ecdf_lut(ds, bins=128)
+    out = raster.apply_ecdf(read_tiles(tile_px=32), lut)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
+        return pd.DataFrame(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             "mean_ecdf": np.round(vals.mean(axis=1), 6)}
+        )
+
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def _q_hex_meshgrid(sf_dir: str):
+    from geospatial_learn_ray.functions import geo
+    from geospatial_learn_ray.functions.geometry import ring_to_wkb, ring_props
+
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(5,))
+    cells = sorted(set(located.select_columns(["cell_h3_r5"]).to_pandas()["cell_h3_r5"]))
+    arr = np.array(cells, np.uint64)
+    rings = geo.hex_cell_to_boundary(arr)
+    rows = []
+    for c, ring in zip(cells, rings):
+        p = ring_props(ring)
+        rows.append({"cell_h3_r5": int(c), "wkb_len": len(ring_to_wkb(ring)), "area": round(p["area"], 6)})
+    return pd.DataFrame(rows)
+
+
+def _q_buffer_polygons(sf_dir: str):
+    from geospatial_learn_ray.functions.geometry import buffer_ring, ring_props, wkb_to_ring
+
+    tbl = polygon_table()
+    rows = []
+    for fid, wkb in zip(tbl["feature_id"].to_pylist(), tbl["geometry"].to_pylist()):
+        ring = wkb_to_ring(wkb)
+        buf = buffer_ring(ring, 1.0)
+        rows.append(
+            {"feature_id": fid, "area": round(ring_props(ring)["area"], 6),
+             "buffered_area": round(ring_props(buf)["area"], 6)}
+        )
+    return pd.DataFrame(rows)
+
+
+def _q_geom_pixel_bbox(sf_dir: str):
+    return raster.geom2pixelbbox(polygon_table(), GRID_X, GRID_Y, tile_px=32)
+
+
+def _q_train_test_split(sf_dir: str):
+    from geospatial_learn_ray.stages.sampling import train_test_split_by_key
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def key_str(b: pa.Table) -> pa.Table:
+        return b.append_column("key", pc.cast(b["doc_id"], pa.string()))
+
+    split = train_test_split_by_key(ds.map_batches(key_str, batch_format="pyarrow"), "key", test_frac=0.25)
+    return split.select_columns(["doc_id", "split"])
+
+
 def _q_shape_props(sf_dir: str):
     tbl = polygon_table()
     rows = []
@@ -321,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join_customers,
         "window_events": _q_window_events,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "zonal_median_lineitem": _q_zonal_median_lineitem,
         # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
         "geocode_cells": _q_geocode_cells,
         "pip_join_rows": _q_pip_join,
@@ -340,6 +449,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_points": _q_raster_points,
         "zonal_tile_stats": _q_zonal_tile_stats,
         "shape_props": _q_shape_props,
+        "rgb_indices_tiles": _q_rgb_indices_tiles,
+        "combine_scene_tiles": _q_combine_scene_tiles,
+        "apply_lut_tiles": _q_apply_lut_tiles,
+        "temporal_mean_tiles": _q_temporal_mean_tiles,
+        "hist_match_tiles": _q_hist_match_tiles,
+        # geometry / tiling extras (pytest oracles)
+        "hex_meshgrid": _q_hex_meshgrid,
+        "buffer_polygons": _q_buffer_polygons,
+        "geom_pixel_bbox": _q_geom_pixel_bbox,
+        "train_test_split": _q_train_test_split,
     }
 
 
@@ -432,6 +551,12 @@ def oracle_sql() -> dict[str, str]:
         "window_events": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS count, "
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "zonal_median_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_l_quantity, "
+            "ROUND(quantile_cont(l_quantity, 0.95), 4) AS percentile_l_quantity "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), "

@@ -174,6 +174,23 @@ def hex_k_ring(cell: np.ndarray, k: int = 1) -> np.ndarray:
     return _hex_pack(qq, rr, res0)
 
 
+def hex_cell_to_boundary(cell: np.ndarray) -> np.ndarray:
+    """cell ids [n] → hex vertex rings [n, 7, 2] (lon, lat; closed).
+
+    The meshgrid op (shape.meshgrid, shape.py:2412) generates grid-cell
+    polygons over an extent; ours emits the exact hexagon boundary of each
+    cell — pointy-top vertices at angles 30°+k·60° around the center."""
+    q, r, res = hex_unpack(cell)
+    size = _HEX_BASE_EDGE / (2.0 ** res.astype(np.float64))
+    cx = size * _SQRT3 * (q + r / 2.0)
+    cy = size * 1.5 * r
+    ang = np.radians(30.0 + 60.0 * np.arange(6))
+    vx = cx[:, None] + size[:, None] * np.cos(ang)[None, :]
+    vy = cy[:, None] + size[:, None] * np.sin(ang)[None, :]
+    ring = np.stack([vx, vy], axis=-1)
+    return np.concatenate([ring, ring[:, :1, :]], axis=1)
+
+
 def hex_cell_to_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     """Approximate parent: re-encode the child center at the coarser
     resolution (same containment contract as H3's aperture-7 rounding)."""

@@ -29,6 +29,14 @@ from ..functions.geometry import PolygonIndex
 from ..sources.tiles import tile_bounds, tile_pixels
 
 
+def _add_tile_part(b: pa.Table, num_parts: int = 64) -> pa.Table:
+    """Coarse reducer bucket of the tile key — one vectorized map_groups
+    call per bucket instead of one Python call per tile (see stages/agg.py
+    _add_part for why Ray's per-key reduce is avoided)."""
+    part = ((b["tile_x"].to_numpy().astype(np.int64) * 31 + b["tile_y"].to_numpy()) % num_parts).astype(np.int32)
+    return b.append_column("_part", pa.array(part))
+
+
 def _pix(batch: pa.Table) -> np.ndarray:
     """tiles batch → [n_tiles, npix] float32 matrix (zero-copy list flatten)."""
     col = batch["band_values"]
@@ -98,18 +106,21 @@ def temporal_comp(ds_epochs: list[ray.data.Dataset], stat: str = "mean") -> ray.
     stacked = tagged[0]
     for t in tagged[1:]:
         stacked = stacked.union(t)
+    stacked = stacked.map_batches(_add_tile_part, batch_format="pyarrow")
 
     fn = {"mean": np.nanmean, "median": np.nanmedian, "max": np.nanmax, "min": np.nanmin, "std": np.nanstd}[stat]
 
-    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
-        stack = np.stack([np.asarray(v, np.float64) for v in g["band_values"]])
-        out = fn(stack, axis=0).astype(np.float32)
-        return pd.DataFrame(
-            {"tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],
-             "band_values": [out], "n_epochs": [len(g)]}
-        )
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"tile_x": [], "tile_y": [], "band_values": [], "n_epochs": []}
+        for (tx, ty), tile_g in g.groupby(["tile_x", "tile_y"], sort=False):
+            stack = np.stack([np.asarray(v, np.float64) for v in tile_g["band_values"]])
+            rows["tile_x"].append(tx)
+            rows["tile_y"].append(ty)
+            rows["band_values"].append(fn(stack, axis=0).astype(np.float32))
+            rows["n_epochs"].append(len(tile_g))
+        return pd.DataFrame(rows)
 
-    return stacked.groupby(["tile_x", "tile_y"]).map_groups(per_tile, batch_format="pandas")
+    return stacked.groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
 def raster2points(ds: ray.data.Dataset, stride: int = 16, nodata: float | None = None) -> ray.data.Dataset:
@@ -140,6 +151,115 @@ def raster2points(ds: ray.data.Dataset, stride: int = 16, nodata: float | None =
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rgb_indices_stage(ds: ray.data.Dataset, round_to: int = 6) -> ray.data.Dataset:
+    """rgb_ind / zonal_rgb_idx analogue (raster.py:1355; shape.py:1354-1410):
+    three deterministic derived "bands" (R=band, G=1.2·band+0.1,
+    B=0.8·band+0.3) → chromaticity + ExG/ExR/CIVE/GLI indices → per-tile
+    means. Vectorized per batch, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = _pix(batch).astype(np.float64)
+        g = 1.2 * r + 0.1
+        b = 0.8 * r + 0.3
+        tot = np.where(r + g + b == 0, 1.0, r + g + b)
+        rr, gg, bb = r / tot, g / tot, b / tot
+        idx = {
+            "exg": 2 * gg - rr - bb,
+            "exr": 1.4 * rr - gg,
+            "cive": 0.441 * rr - 0.811 * gg + 0.385 * bb + 18.78745,
+            "gli": (2 * gg - rr - bb) / np.where(2 * gg + rr + bb == 0, 1.0, 2 * gg + rr + bb),
+        }
+        cols = {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"]}
+        for name, v in idx.items():
+            cols[f"{name}_mean"] = pa.array(np.round(v.mean(axis=1), round_to))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def combine_scene(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, fill_class: float = 0.0) -> ray.data.Dataset:
+    """combine_scene analogue (raster.py:1466): zip two classification
+    rasters on the tile key; where A == fill_class take B, else keep A.
+    Tile-key groupby zip (the Ray form of aligned-window iteration)."""
+    a = ds_a.map_batches(
+        lambda b: b.select(["tile_x", "tile_y", "band_values"]).append_column("src", pa.array(np.zeros(len(b), np.int32))),
+        batch_format="pyarrow",
+    )
+    b = ds_b.map_batches(
+        lambda t: t.select(["tile_x", "tile_y", "band_values"]).append_column("src", pa.array(np.ones(len(t), np.int32))),
+        batch_format="pyarrow",
+    )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"tile_x": [], "tile_y": [], "band_values": []}
+        for (tx, ty), tile_g in g.groupby(["tile_x", "tile_y"], sort=False):
+            tile_g = tile_g.sort_values("src")
+            va = np.asarray(tile_g["band_values"].iloc[0], np.float32)
+            vb = np.asarray(tile_g["band_values"].iloc[-1], np.float32)
+            rows["tile_x"].append(tx)
+            rows["tile_y"].append(ty)
+            rows["band_values"].append(np.where(va == fill_class, vb, va))
+        return pd.DataFrame(rows)
+
+    parted = a.union(b).map_batches(_add_tile_part, batch_format="pyarrow")
+    return parted.groupby("_part").map_groups(merge_part, batch_format="pandas")
+
+
+def apply_lut_stage(ds: ray.data.Dataset, lut: dict[int, int], quant: float = 10.0) -> ray.data.Dataset:
+    """utilities.apply_lut analogue (utilities.py:1451): quantize pixel →
+    integer label, remap through a broadcast LUT (small dict → dense numpy
+    array once per actor), per-tile counts of each output label."""
+    max_key = max(lut) + 1
+    dense = np.arange(max_key, dtype=np.int64)
+    for k, v in lut.items():
+        dense[k] = v
+    ref = ray.put(dense)
+
+    class Apply:
+        def __init__(self, r):
+            self.dense = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = _pix(batch).astype(np.float64)
+            labels = np.clip((px * quant).astype(np.int64), 0, len(self.dense) - 1)
+            mapped = self.dense[labels]
+            return pa.table(
+                {
+                    "tile_x": batch["tile_x"],
+                    "tile_y": batch["tile_y"],
+                    "n_label0": pa.array((mapped == 0).sum(axis=1).astype(np.int64)),
+                    "n_label1": pa.array((mapped == 1).sum(axis=1).astype(np.int64)),
+                    "n_other": pa.array((mapped > 1).sum(axis=1).astype(np.int64)),
+                }
+            )
+
+    return ds.map_batches(Apply, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+
+
+def geom2pixelbbox(polygons: pa.Table, grid_x: int, grid_y: int, tile_px: int) -> pd.DataFrame:
+    """shape.geom2pixelbbox analogue (shape.py:725): polygon WKB → pixel
+    bbox under the raster's georeferencing (coordinate→pixel arithmetic,
+    shape.py:2589-2590). Driver-side (small polygon table)."""
+    from ..functions.geometry import wkb_to_ring
+    from ..sources.tiles import X0, X1, Y0, Y1
+
+    px_w = (X1 - X0) / (grid_x * tile_px)
+    px_h = (Y1 - Y0) / (grid_y * tile_px)
+    rows = []
+    for fid, wkb in zip(polygons["feature_id"].to_pylist(), polygons["geometry"].to_pylist()):
+        ring = wkb_to_ring(wkb)
+        rows.append(
+            {
+                "feature_id": fid,
+                "px_min": int((ring[:, 0].min() - X0) / px_w),
+                "px_max": int((ring[:, 0].max() - X0) / px_w),
+                "py_min": int((ring[:, 1].min() - Y0) / px_h),
+                "py_max": int((ring[:, 1].max() - Y0) / px_h),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def hist_ecdf_lut(ds: ray.data.Dataset, bins: int = 256, lo: float = -2.5, hi: float = 2.5) -> np.ndarray:
