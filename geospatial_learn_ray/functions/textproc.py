@@ -44,9 +44,36 @@ def extract_text(html_bytes: bytes) -> str:
 
 
 def extract_text_batch(html_col) -> list[str]:
-    """Per-row loop over an Arrow binary column; the regex work inside each
-    row is C-level. (HTML parsing is irreducibly per-document.)"""
+    """Per-row loop over an Arrow binary column (reference path — the
+    vectorized ``extract_text_series`` must match it byte-for-byte; the
+    golden/pytest suites assert that)."""
     return [extract_text(v) for v in html_col.to_pylist()]
+
+
+_TAG_RE_S = re.compile(r"<[^>]+>")
+_BODY_RE_S = re.compile(r"<body[^>]*>(.*?)</body>", re.S | re.I)
+_WS_RE_S = re.compile(r"[ \t\r\n]+")
+# fused tag-strip + whitespace-collapse: a run of tags/whitespace ≡ (tags →
+# " ") then ([ \t\r\n]+ → " ") — one C pass instead of two
+_TAGWS_RE_S = re.compile(r"(?:<[^>]+>|[ \t\r\n])+")
+
+
+def extract_text_series(html_col) -> pd.Series:
+    """Vectorized extraction — same semantics as ``extract_text`` but via
+    pandas C string kernels: decode(utf-8, replace) → first <body> scope
+    (rows without body keep the whole document) → strip tags → collapse
+    whitespace → entity-unescape only rows containing '&' (Python on the
+    rare subset). ASCII regex delimiters make decode-then-regex equivalent
+    to the scalar bytes-then-decode path; tests assert byte identity."""
+    s = pd.Series(html_col.to_pandas() if hasattr(html_col, "to_pandas") else html_col)
+    s = s.str.decode("utf-8", errors="replace")
+    body = s.str.extract(_BODY_RE_S, expand=False)
+    s = body.fillna(s)
+    s = s.str.replace(_TAGWS_RE_S, " ", regex=True).str.strip()
+    has_ent = s.str.contains("&", regex=False)
+    if has_ent.any():
+        s.loc[has_ent] = s.loc[has_ent].map(_htmlmod.unescape)
+    return s
 
 
 # --- tokenization / counting ------------------------------------------------

@@ -40,27 +40,44 @@ CELL_COL = "cell_h3_r7"
 HEX_RES = (5, 7, 9)
 
 
-def located_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1) -> ray.data.Dataset:
+def located_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1,
+                    pages: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """pages → dedup → extract → geocode/cells → narrow located rows
-    (url, lang, n_chars, cell columns, lon, lat, shard). Lazy."""
-    pages = assign_shard(read_pages(sf_dir, with_dups=with_dups, repeat=repeat), "url", NUM_SHARDS)
+    (url, lang, n_chars, cell columns, lon, lat, shard). Lazy.
+
+    ``pages`` overrides the synthetic derivation with a real pages Dataset
+    (e.g. ``ray.data.read_parquet`` of a materialized pages table — the
+    100 TB-shaped input; bench.py uses this so the timed pipeline starts
+    at the storage read, like production, not at synthetic generation)."""
+    if pages is None:
+        pages = read_pages(sf_dir, with_dups=with_dups, repeat=repeat)
+    pages = assign_shard(pages, "url", NUM_SHARDS)
     return _locate(pages)
 
 
 def _locate(pages: ray.data.Dataset) -> ray.data.Dataset:
-    deduped = dedup_keep_latest(pages, key="url", ts_col="warc_ts")
-    extracted = extract_stage(deduped, keep_cols=("url", "lang", "shard"))
-    located = geocode_and_cells(extracted, hex_res=HEX_RES)
+    # Extract BEFORE the dedup shuffle: the heavy per-byte work runs on the
+    # balanced storage-read blocks (the groupby's range partitions on the
+    # coarse bucket key are lumpy → stragglers if compute is fused after
+    # them), and the wide ``html`` column is projected away before ANY
+    # shuffle — the dedup exchange moves (url, ts, text-length) rows only.
+    # Keep-latest keeps the latest row's text; duplicate replicas of a url
+    # carry identical html so extract-first changes no output.
+    extracted = extract_stage(pages, keep_cols=("url", "warc_ts", "lang", "shard"))
 
     def add_len(b: pa.Table) -> pa.Table:
-        return b.append_column("n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+        b = b.append_column("n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+        return b.drop_columns(["text"])
 
-    return located.map_batches(add_len, batch_format="pyarrow").drop_columns(["text"])
+    narrow = extracted.map_batches(add_len, batch_format="pyarrow")
+    deduped = dedup_keep_latest(narrow, key="url", ts_col="warc_ts").drop_columns(["warc_ts"])
+    return geocode_and_cells(deduped, hex_res=HEX_RES)
 
 
-def flagship_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1) -> dict[str, ray.data.Dataset]:
+def flagship_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1,
+                     pages: ray.data.Dataset | None = None) -> dict[str, ray.data.Dataset]:
     """Lazy heads without checkpointing (used by bench / entry smoke)."""
-    located = located_dataset(sf_dir, with_dups, repeat=repeat)
+    located = located_dataset(sf_dir, with_dups, repeat=repeat, pages=pages)
     join_rows = pip_join(located, polygon_table(), carry_cols=["url", CELL_COL, "shard"], mode="inner")
     tile_agg = grouped_stats(located, CELL_COL, "n_chars", stats=("count", "mean", "min", "max"), round_to=6)
     return {"located": located, "join_rows": join_rows, "tile_agg": tile_agg}

@@ -24,16 +24,18 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..functions import _bs
+
 EPOCH = pd.Timestamp("2024-01-01T00:00:00")
 
 
-def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1) -> pa.Table:
+def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1, rep_offset: int = 0) -> pa.Table:
     if repeat > 1:
         # bench-scale expansion: R deterministic replicas per document with
         # distinct urls (suffix ``?r=k``) — text/lang identical, ts offset by
         # k ms. Correctness queries always use repeat=1.
         batch = pa.concat_tables([batch] * repeat)
-        rep = np.repeat(np.arange(repeat), len(batch) // repeat)
+        rep = np.repeat(np.arange(rep_offset, rep_offset + repeat), len(batch) // repeat)
     doc_id = batch["doc_id"].to_numpy()
     text = batch["text"].to_pandas()
     lang = batch["lang"]
@@ -48,7 +50,7 @@ def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1) -> pa.Tabl
         {
             "url": pa.array(url, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array([h.encode("utf-8") for h in html], pa.binary()),
+            "html": pa.array(html.str.encode("utf-8"), pa.binary()),
             "text": batch["text"],
             "lang": lang,
         }
@@ -71,8 +73,37 @@ def read_pages(sf_dir: str, with_dups: bool = False, columns: list[str] | None =
     factor (distinct urls per replica; default 1 for correctness runs)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     if repeat > 1:
-        ds = ds.repartition(max(8, repeat // 4))
-    ds = ds.map_batches(lambda b: _docs_to_pages(b, with_dups, repeat), batch_format="pyarrow")
+        # spread the (expanded) generation work across ~2 blocks per core so
+        # no stage is parallelism-capped by the tiny base table's block count
+        import os
+
+        import ray as _ray
+
+        blocks = os.environ.get("GRAFT_GEN_BLOCKS")
+        if blocks:
+            n_blocks = int(blocks)
+        else:
+            # ~1 block per core: enough parallelism without the B² shuffle
+            # fragments of the downstream sort (measured: 64+ blocks is 3-5x
+            # slower than 32 on this pipeline at 32 cpus)
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            n_blocks = max(16, cpus)
+        ds = ds.repartition(n_blocks)
+    if repeat > 1:
+        # generator UDF: emit the R replicas in chunks of ≤64 so one input
+        # block never materializes a replica×rows monolith in the UDF
+        chunk = min(repeat, 64)
+
+        def expand(b: pa.Table):
+            off = 0
+            while off < repeat:
+                step = min(chunk, repeat - off)
+                yield _docs_to_pages(b, with_dups, step, rep_offset=off)
+                off += step
+
+        ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=_bs())
+    else:
+        ds = ds.map_batches(lambda b: _docs_to_pages(b, with_dups, repeat), batch_format="pyarrow", batch_size=_bs())
     if columns:
         ds = ds.select_columns(columns)
     return ds

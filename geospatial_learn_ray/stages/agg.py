@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from ..functions import _bs
 from ..functions.hashing import fnv1a64, splitmix64
 from ..functions.rounding import round_half_away
 
@@ -96,7 +97,7 @@ def grouped_stats(
     unknown = set(stats) - set(DECOMPOSABLE)
     if unknown:
         raise ValueError(f"non-decomposable stats {unknown}; use grouped_holistic")
-    partials = ds.map_batches(_partial_moments(keys, value_col), batch_format="pandas")
+    partials = ds.map_batches(_partial_moments(keys, value_col), batch_format="pandas", batch_size=_bs())
     parted = partials.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
 
     def combine_and_finalize(g: pd.DataFrame) -> pd.DataFrame:

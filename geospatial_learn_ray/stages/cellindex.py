@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions import geo
+from ..functions import _bs, geo
 
 HEX_RES_RANGE = (5, 9)  # north_star: H3 res 5-9
 S2_LEVEL = 12           # north_star: S2 cells (level 12 fixture)
@@ -40,4 +40,4 @@ def geocode_and_cells(ds: ray.data.Dataset, hex_res=(5, 6, 7, 8, 9), s2_level: i
     def fn(batch: pa.Table) -> pa.Table:
         return add_cells(add_geocode(batch, skew=skew), hex_res, s2_level)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=_bs())

@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions import textproc
+from ..functions import _bs, textproc
 from ..functions.hashing import fnv1a64, hash_family, splitmix64
 
 
@@ -27,28 +27,54 @@ def _local_keep_latest(b: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
     return order.drop_duplicates(key, keep="first")
 
 
+def _arrow_keep_latest(b: pa.Table, key: str, ts_col: str) -> pa.Table:
+    """First-row-per-key after (key asc, ts desc) sort — pure Arrow kernels.
+
+    Stays Arrow on purpose: the pages rows carry the wide ``html`` binary
+    payload, and a pandas round-trip would materialize every payload as a
+    Python bytes object (measured: dominates the whole dedup stage). Only
+    the narrow key/ts columns are ever touched; the payload moves via
+    ``take``/``filter`` (zero-copy offsets)."""
+    if len(b) == 0:
+        return b
+    idx = pa.compute.sort_indices(
+        b.select([key, ts_col]),
+        sort_keys=[(key, "ascending"), (ts_col, "descending")],
+    )
+    s = b.take(idx)
+    k = s[key].combine_chunks()
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks() if k.num_chunks != 1 else k.chunk(0)
+    neq = pa.compute.not_equal(k.slice(1), k.slice(0, len(k) - 1))
+    mask = pa.concat_arrays([pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq])
+    return s.filter(mask)
+
+
 def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts_col: str = "warc_ts",
                       num_buckets: int = 64) -> ray.data.Dataset:
     """Exact key dedup keeping the max-timestamp row per key.
 
-    Scalable shape: (1) per-batch *local* dedup (vectorized drop_duplicates
-    — collapses dup bursts before the shuffle), (2) hash-partition on
-    ``bucket = fnv1a64(key) % num_buckets`` — a COARSE group so map_groups
-    runs one vectorized pandas call per bucket, never one per key.
-    Ties on ts broken deterministically by the stable local sort order.
+    Scalable shape: (1) per-batch *local* dedup (collapses dup bursts
+    before the shuffle), (2) hash-partition on ``bucket = fnv1a64(key) %
+    num_buckets`` — a COARSE group so map_groups runs one vectorized call
+    per bucket, never one per key. All steps are Arrow-native so the wide
+    payload columns never convert to Python objects. Equal-(key, ts) ties
+    resolve by Arrow sort order (duplicate fixture rows differ in ts).
     """
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column("_bkt", pa.array((fnv1a64(b[key]) % np.uint64(num_buckets)).astype(np.int32)))
 
-    def local(b: pd.DataFrame) -> pd.DataFrame:
-        return _local_keep_latest(b, key, ts_col)
+    def local(b: pa.Table) -> pa.Table:
+        return _arrow_keep_latest(b, key, ts_col)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return _local_keep_latest(g, key, ts_col).drop(columns=["_bkt"])
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return _arrow_keep_latest(g, key, ts_col).drop_columns(["_bkt"])
 
-    pre = ds.map_batches(add_bucket, batch_format="pyarrow").map_batches(local, batch_format="pandas")
-    return pre.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    pre = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=_bs()).map_batches(
+        local, batch_format="pyarrow", batch_size=_bs()
+    )
+    return pre.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def dedup_exact_content(ds: ray.data.Dataset, content_col: str = "text", id_col: str = "doc_id",

@@ -59,11 +59,16 @@ def pip_join(
     polygons: pa.Table,
     carry_cols: list[str],
     mode: str = "inner",
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """points ⋈ polygons broadcast join. ``polygons`` is ray.put once here;
-    each actor ray.gets it a single time in ``__init__``."""
+    each actor ray.gets it a single time in ``__init__``. Pool sizing
+    defaults to (cpus//8, cpus//2) — a floor of warm actors so the stage
+    overlaps its upstream instead of ramping from one actor."""
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 8), max(4, cpus // 2))
     ref = ray.put(polygons)
     return ds.map_batches(
         PiPJoiner,

@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions import textproc
+from ..functions import _bs, textproc
 from ..functions.rounding import round_half_away
 
 
@@ -23,23 +23,30 @@ class TextExtractor:
         self.keep_cols = list(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = textproc.extract_text_batch(batch["html"])
+        texts = textproc.extract_text_series(batch["html"])
         out = batch.select(self.keep_cols)
         return out.append_column("text", pa.array(texts, pa.string()))
 
 
-def extract_stage(ds: ray.data.Dataset, keep_cols=("url",), concurrency=(1, 8), batch_size: int = 2048) -> ray.data.Dataset:
+def extract_stage(ds: ray.data.Dataset, keep_cols=("url",), batch_size: int | None = None) -> ray.data.Dataset:
     """pages(html) → (keep_cols, text). Drops the wide ``html`` binary column
     immediately after extraction so downstream shuffles move narrow rows
-    (SURVEY.md §7 'Wide binary rows')."""
-    return ds.map_batches(
-        TextExtractor,
-        fn_constructor_args=(tuple(keep_cols),),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    (SURVEY.md §7 'Wide binary rows').
+
+    STATELESS task pool, not an actor pool: the only "state" is
+    module-level compiled regexes, which every worker process has after
+    import — a task pool elastically uses all cores immediately, while a
+    (1, N) actor pool ramps up slowly and serializes the hot stage. Actor
+    pools are reserved for genuinely loaded state (model artifacts, polygon
+    indexes — see stages/scorer.py, stages/pip_join.py)."""
+    cols = list(keep_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = textproc.extract_text_series(batch["html"])
+        out = batch.select(cols)
+        return out.append_column("text", pa.array(texts, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size or _bs())
 
 
 def token_count_stage(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:

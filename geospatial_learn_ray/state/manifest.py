@@ -33,6 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..functions import _bs
 from ..functions.hashing import fnv1a64
 
 MANIFEST_DIR = "_manifest"
@@ -48,7 +49,7 @@ def assign_shard(ds: ray.data.Dataset, key_col: str, num_shards: int, shard_col:
         shard = (fnv1a64(key) % np.uint64(num_shards)).astype(np.int32)
         return batch.append_column(shard_col, pa.array(shard))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=_bs())
 
 
 def _stage_dir(out_dir: str, stage: str) -> str:

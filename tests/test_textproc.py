@@ -24,6 +24,25 @@ def test_extract_text_no_body():
     assert textproc.extract_text(b"plain <i>x</i> text") == "plain x text"
 
 
+def test_extract_text_series_matches_scalar():
+    cases = [
+        b"<html><head><title>d1</title></head><body><p>plain text</p></body></html>",
+        b"<html><body><p>a &amp; b &lt;tag&gt;</p></body></html>",
+        b"no body at all <i>italic</i> here",
+        b"<body class='x'><div>nested <b>bold</b>\n\tnewlines</div></body>",
+        b"<body><p>unicode \xc3\xa9\xc3\xa8</p></body>",
+        b"<body><p>bad utf8 \xff\xfe</p></body>",
+        b"<BODY><P>upper case</P></BODY>",
+        b"",
+        b"<body></body>",
+        b"<body><p>multi</p><p>paragraph</p></body>",
+    ]
+    import pyarrow as pa
+
+    vec = textproc.extract_text_series(pa.array(cases, pa.binary())).tolist()
+    assert vec == [textproc.extract_text(c) for c in cases]
+
+
 def test_token_counts():
     t = pd.Series(["one two three", "a,b c!", ""])
     out = textproc.token_counts(t)
