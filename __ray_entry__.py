@@ -396,6 +396,63 @@ def _q_train_test_split(sf_dir: str):
     return split.select_columns(["doc_id", "split"])
 
 
+def _q_rasterize_fraction(sf_dir: str):
+    return raster.rasterize_fraction(read_tiles(tile_px=32, with_pixels=False), polygon_table())
+
+
+def _q_point_raster_lookup(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+    return raster.point_raster_lookup(located, GRID_X, GRID_Y, tile_px=32, carry_cols=["url"])
+
+
+def _q_clip_tiles(sf_dir: str):
+    return raster.clip_tiles(read_tiles(tile_px=32, with_pixels=False), -20.0, -20.0, 40.0, 30.0)
+
+
+def _q_fill_nodata_tiles(sf_dir: str):
+    masked = raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.3).drop_columns(["masked_count"])
+    out = raster.fill_nodata_stage(masked, nodata=0.0)
+    return out.select_columns(["tile_x", "tile_y", "filled_count"])
+
+
+def _q_polygonize_tiles(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.polygonize_tiles(small, quant=2.0)
+
+
+def _q_reproject_points(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+    return raster.reproject_points(located, carry_cols=["url"])
+
+
+def _q_wkb_to_geojson(sf_dir: str):
+    from geospatial_learn_ray.functions.geometry import ring_to_geojson, wkb_to_ring
+
+    tbl = polygon_table()
+    return pd.DataFrame(
+        {
+            "feature_id": tbl["feature_id"].to_pylist(),
+            "geojson": [ring_to_geojson(wkb_to_ring(w)) for w in tbl["geometry"].to_pylist()],
+        }
+    )
+
+
+def _q_media_decode(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    return multimodal.decode_stage(media)
+
+
+def _q_media_frame_sample(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    return multimodal.frame_sample_stage(media, every_kth=4)
+
+
 def _q_shape_props(sf_dir: str):
     tbl = polygon_table()
     rows = []
@@ -459,6 +516,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_polygons": _q_buffer_polygons,
         "geom_pixel_bbox": _q_geom_pixel_bbox,
         "train_test_split": _q_train_test_split,
+        "wkb_to_geojson": _q_wkb_to_geojson,
+        # raster↔vector + warp family (pytest closed-form oracles)
+        "rasterize_fraction": _q_rasterize_fraction,
+        "point_raster_lookup": _q_point_raster_lookup,
+        "clip_tiles": _q_clip_tiles,
+        "fill_nodata_tiles": _q_fill_nodata_tiles,
+        "polygonize_tiles": _q_polygonize_tiles,
+        "reproject_points": _q_reproject_points,
+        # multimodal plumbing (stubbed codecs, real Ray-side layout)
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 

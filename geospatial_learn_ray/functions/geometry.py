@@ -142,6 +142,16 @@ class PolygonIndex:
         return np.concatenate(out_pt), np.concatenate(out_ft)
 
 
+def ring_to_geojson(ring: np.ndarray, precision: int = 6) -> str:
+    """WKB-ring → GeoJSON Polygon string (shape.shp2gj analogue,
+    shape.py:54 / poly2dictlist shape.py:104). Deterministic float
+    formatting via fixed precision."""
+    import json
+
+    coords = [[round(float(x), precision), round(float(y), precision)] for x, y in ring]
+    return json.dumps({"type": "Polygon", "coordinates": [coords]}, separators=(",", ":"))
+
+
 # --- per-polygon geometry properties (shape.shape_props analogue) ----------
 
 

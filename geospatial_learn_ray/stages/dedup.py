@@ -51,7 +51,7 @@ def _arrow_keep_latest(b: pa.Table, key: str, ts_col: str) -> pa.Table:
 
 
 def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts_col: str = "warc_ts",
-                      num_buckets: int = 64) -> ray.data.Dataset:
+                      num_buckets: int = 1024) -> ray.data.Dataset:
     """Exact key dedup keeping the max-timestamp row per key.
 
     Scalable shape: (1) per-batch *local* dedup (collapses dup bursts

@@ -299,6 +299,212 @@ def apply_ecdf(ds: ray.data.Dataset, lut: np.ndarray, lo: float = -2.5, hi: floa
     return ds.map_batches(Apply, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
 
 
+def rasterize_fraction(ds: ray.data.Dataset, polygons: pa.Table, samples_per_side: int = 8) -> ray.data.Dataset:
+    """raster.rasterize analogue (raster.py:1773): burn the polygon layer
+    into the tile grid — per tile, the fraction of sample pixel centers
+    covered by ≥1 polygon. Broadcast polygon index (STRtree role), exact
+    PiP on the sample lattice, vectorized per batch."""
+    from ..sources.tiles import tile_bounds
+
+    ref = ray.put(polygons)
+
+    class Burn:
+        def __init__(self, r):
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.index = PolygonIndex.from_wkb(t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy().astype(np.int64)
+            ty = batch["tile_y"].to_numpy().astype(np.int64)
+            minx, miny, maxx, maxy = tile_bounds(tx, ty)
+            s = samples_per_side
+            frac = np.arange(s) / s + 0.5 / s
+            gx = minx[:, None, None] + (maxx - minx)[:, None, None] * frac[None, :, None]
+            gy = miny[:, None, None] + (maxy - miny)[:, None, None] * frac[None, None, :]
+            px = np.broadcast_to(gx, (len(tx), s, s)).ravel()
+            py = np.broadcast_to(gy, (len(tx), s, s)).ravel()
+            pt_idx, _ = self.index.query(px, py)
+            covered = np.zeros(len(tx) * s * s, bool)
+            covered[np.unique(pt_idx)] = True
+            cov_frac = covered.reshape(len(tx), s * s).mean(axis=1)
+            return pa.table(
+                {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                 "coverage": pa.array(np.round(cov_frac, 6))}
+            )
+
+    return ds.map_batches(Burn, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8))
+
+
+def point_raster_lookup(points: ray.data.Dataset, grid_x: int, grid_y: int, tile_px: int,
+                        carry_cols: list[str]) -> ray.data.Dataset:
+    """zonal_point analogue (shape.py:2525): point → pixel value lookup via
+    coordinate→pixel arithmetic (shape.py:2589-2590) — no shuffle, each
+    batch computes its own tile/pixel indices and regenerates the window
+    closed-form (the windowed-read actor role on the synthetic raster)."""
+    from ..sources.tiles import X0, X1, Y0, Y1, tile_pixels
+
+    tile_w = (X1 - X0) / grid_x
+    tile_h = (Y1 - Y0) / grid_y
+
+    class Lookup:
+        def __init__(self):
+            self.cache: dict[tuple[int, int], np.ndarray] = {}  # open-raster window cache
+
+        def window(self, txy: tuple[int, int]) -> np.ndarray:
+            if txy not in self.cache:
+                self.cache[txy] = tile_pixels(txy[0], txy[1], tile_px)
+            return self.cache[txy]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch["lon"].to_numpy()
+            lat = batch["lat"].to_numpy()
+            tx = np.clip(((lon - X0) / tile_w).astype(np.int64), 0, grid_x - 1)
+            ty = np.clip(((lat - Y0) / tile_h).astype(np.int64), 0, grid_y - 1)
+            px = np.clip(((lon - (X0 + tx * tile_w)) / tile_w * tile_px).astype(np.int64), 0, tile_px - 1)
+            py = np.clip(((lat - (Y0 + ty * tile_h)) / tile_h * tile_px).astype(np.int64), 0, tile_px - 1)
+            vals = np.empty(len(lon), np.float32)
+            for key in set(zip(tx.tolist(), ty.tolist())):
+                m = (tx == key[0]) & (ty == key[1])
+                vals[m] = self.window(key)[py[m], px[m]]
+            out = batch.select(carry_cols)
+            return out.append_column("value", pa.array(np.round(vals.astype(np.float64), 6)))
+
+    return points.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
+def clip_tiles(ds: ray.data.Dataset, minx: float, miny: float, maxx: float, maxy: float) -> ray.data.Dataset:
+    """clip_raster analogue (raster.py:1932): bbox predicate on tile bounds
+    — the pruning filter that at 100 TB becomes a parquet row-group /
+    partition pushdown on tile key ranges."""
+    from ..sources.tiles import tile_bounds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        bx0, by0, bx1, by1 = tile_bounds(tx, ty)
+        keep = (bx1 > minx) & (bx0 < maxx) & (by1 > miny) & (by0 < maxy)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fill_nodata_stage(ds: ray.data.Dataset, nodata: float = 0.0, iterations: int = 2) -> ray.data.Dataset:
+    """fill_nodata analogue (raster.py:2051): per-tile neighbor-mean
+    interpolation of nodata pixels (iterative 4-neighbor mean). Halo
+    exchange across tile borders is documented as the scale path
+    (k-ring-style neighbor duplication, cf. stages/knn.py); borders here
+    fill from in-tile neighbors only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        side = int(np.sqrt(npx))
+        out = []
+        filled_counts = np.zeros(n, np.int64)
+        for i in range(n):
+            img = px[i].reshape(side, side).copy()
+            hole = img == nodata
+            filled_counts[i] = int(hole.sum())
+            for _ in range(iterations):
+                if not hole.any():
+                    break
+                pad = np.pad(np.where(hole, np.nan, img), 1, constant_values=np.nan)
+                with np.errstate(invalid="ignore"):
+                    neigh = np.nanmean(
+                        np.stack([pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]]), axis=0
+                    )
+                fillable = hole & ~np.isnan(neigh)
+                img[fillable] = neigh[fillable]
+                hole &= ~fillable
+            out.append(img.astype(np.float32).ravel())
+        return pa.table(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             "band_values": pa.array(out, pa.list_(pa.float32())),
+             "filled_count": pa.array(filled_counts)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Dataset:
+    """raster.polygonize analogue (raster.py:1526): connected regions of
+    equal (quantized) value per tile → one row per region (label, pixel
+    count, pixel bbox). Two-pass union-find per tile (pure numpy scan);
+    cross-tile region merge is the documented scale extension (groupby on
+    border signatures), not needed for the per-tile region inventory."""
+
+    def label_regions(img: np.ndarray) -> np.ndarray:
+        side = img.shape[0]
+        labels = np.arange(side * side).reshape(side, side)
+        # iterative min-label propagation over 4-neighbors within same value
+        for _ in range(side):
+            prev = labels.copy()
+            for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+                nb = np.roll(labels, shift, axis=axis)
+                same = np.roll(img, shift, axis=axis) == img
+                if shift == 1:
+                    if axis == 0:
+                        same[0, :] = False
+                    else:
+                        same[:, 0] = False
+                else:
+                    if axis == 0:
+                        same[-1, :] = False
+                    else:
+                        same[:, -1] = False
+                labels = np.where(same, np.minimum(labels, nb), labels)
+            if np.array_equal(labels, prev):
+                break
+        return labels
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        side = int(np.sqrt(npx))
+        rows = {"tile_x": [], "tile_y": [], "region_value": [], "pixel_count": [],
+                "row_min": [], "row_max": [], "col_min": [], "col_max": []}
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        for i in range(n):
+            img = np.floor(px[i].reshape(side, side) * quant)
+            labels = label_regions(img)
+            flat = labels.ravel()
+            uniq, inv, counts = np.unique(flat, return_inverse=True, return_counts=True)
+            rr, cc = np.divmod(np.arange(side * side), side)
+            for j, lab in enumerate(uniq):
+                m = inv == j
+                rows["tile_x"].append(tx[i])
+                rows["tile_y"].append(ty[i])
+                rows["region_value"].append(float(img.ravel()[m][0] / quant))
+                rows["pixel_count"].append(int(counts[j]))
+                rows["row_min"].append(int(rr[m].min()))
+                rows["row_max"].append(int(rr[m].max()))
+                rows["col_min"].append(int(cc[m].min()))
+                rows["col_max"].append(int(cc[m].max()))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:
+    """batchwarp analogue (raster.py:2591): vectorized equirectangular →
+    Web-Mercator (EPSG:3857) reprojection of point rows — the coordinate
+    transform kernel a warp applies per pixel, expressed per row."""
+    R = 6378137.0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = np.clip(batch["lat"].to_numpy(), -85.05112878, 85.05112878)
+        x = np.radians(lon) * R
+        y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * R
+        out = batch.select(carry_cols)
+        return out.append_column("merc_x", pa.array(np.round(x, 3))).append_column(
+            "merc_y", pa.array(np.round(y, 3))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class WindowReader:
     """Windowed-read actor — the Ray analogue of holding one open GDAL
     dataset per worker and reading 256² windows on demand

@@ -1,0 +1,109 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from geospatial_learn_ray.sources.polygons import polygon_rings, polygon_table
+from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, X0, X1, Y0, Y1, read_tiles, tile_pixels
+from geospatial_learn_ray.stages import multimodal, raster
+
+SF_SMALL = "/root/testdata/sf0.001"
+TPX = 16
+
+
+def test_rasterize_fraction_covers_grid():
+    out = raster.rasterize_fraction(read_tiles(tile_px=TPX, with_pixels=False), polygon_table()).to_pandas()
+    assert len(out) == GRID_X * GRID_Y
+    # polygons cover ~81% of the extent (10% shrink each side) minus L-cuts
+    assert 0.5 < out.coverage.mean() < 0.95
+    assert out.coverage.min() >= 0.0 and out.coverage.max() <= 1.0
+
+
+def test_point_raster_lookup_closed_form():
+    pts = pd.DataFrame({"pid": [0, 1], "lon": [-179.9, 0.1], "lat": [-79.9, 0.1]})
+    out = raster.point_raster_lookup(
+        ray.data.from_pandas(pts), GRID_X, GRID_Y, tile_px=TPX, carry_cols=["pid"]
+    ).to_pandas().sort_values("pid")
+    tile_w = (X1 - X0) / GRID_X
+    tile_h = (Y1 - Y0) / GRID_Y
+    for _, r in pts.iterrows():
+        tx = int((r.lon - X0) / tile_w)
+        ty = int((r.lat - Y0) / tile_h)
+        px = int((r.lon - (X0 + tx * tile_w)) / tile_w * TPX)
+        py = int((r.lat - (Y0 + ty * tile_h)) / tile_h * TPX)
+        exp = tile_pixels(tx, ty, TPX)[py, px]
+        got = out[out.pid == r.pid].value.iloc[0]
+        assert abs(got - exp) < 1e-5
+
+
+def test_clip_tiles_bbox():
+    out = raster.clip_tiles(read_tiles(tile_px=TPX, with_pixels=False), -20, -20, 40, 30).to_pandas()
+    assert 0 < len(out) < GRID_X * GRID_Y
+    from geospatial_learn_ray.sources.tiles import tile_bounds
+
+    bx0, by0, bx1, by1 = tile_bounds(out.tile_x.to_numpy().astype(np.int64), out.tile_y.to_numpy().astype(np.int64))
+    assert (bx1 > -20).all() and (bx0 < 40).all() and (by1 > -20).all() and (by0 < 30).all()
+
+
+def test_fill_nodata_fills_holes():
+    masked = raster.mask_stage(read_tiles(tile_px=TPX), rule="<", threshold=0.3).drop_columns(["masked_count"])
+    out = raster.fill_nodata_stage(masked, nodata=0.0, iterations=4).to_pandas()
+    row = out.iloc[0]
+    vals = np.asarray(row.band_values)
+    if row.filled_count > 0:
+        # most holes filled with positive neighbor means
+        assert (vals == 0).sum() <= row.filled_count
+
+
+def test_polygonize_regions_partition_tile():
+    ds = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
+    out = raster.polygonize_tiles(ds, quant=2.0).to_pandas()
+    # regions of one tile partition its 64 pixels
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        assert g.pixel_count.sum() == 64
+        assert (g.row_max >= g.row_min).all() and (g.col_max >= g.col_min).all()
+
+
+def test_reproject_points_known_values():
+    pts = pd.DataFrame({"pid": [0, 1], "lon": [0.0, 90.0], "lat": [0.0, 45.0]})
+    out = raster.reproject_points(ray.data.from_pandas(pts), carry_cols=["pid"]).to_pandas().sort_values("pid")
+    assert abs(out.merc_x.iloc[0]) < 1e-6 and abs(out.merc_y.iloc[0]) < 1e-6
+    assert abs(out.merc_x.iloc[1] - np.radians(90) * 6378137.0) < 0.01
+    assert abs(out.merc_y.iloc[1] - np.log(np.tan(np.pi / 4 + np.radians(45) / 2)) * 6378137.0) < 0.01
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def _media_ds():
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    return ray.data.from_arrow(multimodal.media_table(docs)), docs
+
+
+def test_media_decode_fake_codec():
+    ds, docs = _media_ds()
+    out = multimodal.decode_stage(ds).to_pandas()
+    assert len(out) == len(docs)
+    assert "media" not in out.columns  # wide binary dropped after decode
+    d = docs.to_pandas().set_index("doc_id")
+    for _, r in out.head(20).iterrows():
+        assert r.width == r.media_id % 64 + 16
+        assert r.height == r.media_id % 48 + 16
+        assert r.channels == 3
+        payload = d.loc[r.media_id, "text"].encode("utf-8")[:256]
+        assert r.payload_bytes == len(payload)
+        assert abs(r.mean_byte - round(float(np.frombuffer(payload, np.uint8).mean()), 4)) < 1e-9
+
+
+def test_media_decode_real_codec_is_explicit_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.MediaDecoder(codec="real")
+
+
+def test_media_frame_sample():
+    ds, docs = _media_ds()
+    out = multimodal.frame_sample_stage(ds, every_kth=4).to_pandas()
+    assert (out.frame_idx % 4 == 0).all()
+    assert out.media_id.nunique() == len(docs)
