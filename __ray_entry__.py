@@ -288,6 +288,57 @@ def _q_zonal_tile_stats(sf_dir: str):
     return raster.zonal_tile_stats(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
 
 
+def _q_sessionize_events(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import sessionize
+
+    return sessionize(_rp(sf_dir, "events", ["user_id", "ts"]))
+
+
+def _q_asof_join_events(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import asof_join
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    left = ds.map_batches(lambda b: b[b.event_type == "view"].drop(columns=["event_type"]), batch_format="pandas")
+    right = ds.map_batches(lambda b: b[b.event_type == "purchase"].drop(columns=["event_type"]), batch_format="pandas")
+    out = asof_join(left, right)
+    return out.select_columns(["event_id", "user_id", "ts", "asof_value"])
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    customer = pa.concat_tables(
+        list(_rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    nation = pa.concat_tables(
+        list(_rp(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = joins.broadcast_join(orders, dim, "o_custkey", "c_custkey", how="inner")
+    return agg.grouped_stats(joined, "n_name", "o_totalprice", stats=("count", "sum"), round_to=2)
+
+
+def _q_parts_above_avg(sf_dir: str):
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(b)], "s": [float(b.p_retailprice.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    avg = parts.s.sum() / parts.n.sum()
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater(b["p_retailprice"], avg)), batch_format="pyarrow"
+    )
+
+
+def _q_zonal_stats_multi(sf_dir: str):
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return agg.grouped_stats_multi(
+        ds, "l_returnflag",
+        {"l_quantity": ("count", "mean", "std"), "l_extendedprice": ("sum", "mean", "max")},
+        round_to=4,
+    )
+
+
 def _q_zonal_median_lineitem(sf_dir: str):
     ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
     return agg.grouped_holistic(
@@ -487,6 +538,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": _q_window_events,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "zonal_median_lineitem": _q_zonal_median_lineitem,
+        "sessionize_events": _q_sessionize_events,
+        "asof_join_events": _q_asof_join_events,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "parts_above_avg": _q_parts_above_avg,
+        "zonal_stats_multi": _q_zonal_stats_multi,
         # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
         "geocode_cells": _q_geocode_cells,
         "pip_join_rows": _q_pip_join,
@@ -625,6 +681,37 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_l_quantity, "
             "ROUND(quantile_cont(l_quantity, 0.95), 4) AS percentile_l_quantity "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "sessionize_events": (
+            "WITH s AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+            "  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "t AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+            "SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end FROM t GROUP BY user_id, session_id"
+        ),
+        "asof_join_events": (
+            "SELECT e.event_id, e.user_id, e.ts, "
+            "(SELECT r.value FROM events r WHERE r.user_id = e.user_id AND r.event_type = 'purchase' "
+            " AND r.ts <= e.ts ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value "
+            "FROM events e WHERE e.event_type = 'view'"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, COUNT(*)::BIGINT AS count, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "parts_above_avg": (
+            "SELECT p_partkey, p_retailprice FROM part "
+            "WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)"
+        ),
+        "zonal_stats_multi": (
+            "SELECT l_returnflag, COUNT(l_quantity)::BIGINT AS count_l_quantity, "
+            "ROUND(AVG(l_quantity), 4) AS mean_l_quantity, ROUND(STDDEV_SAMP(l_quantity), 4) AS std_l_quantity, "
+            "ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice, ROUND(AVG(l_extendedprice), 4) AS mean_l_extendedprice, "
+            "ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), "

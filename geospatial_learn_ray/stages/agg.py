@@ -127,6 +127,64 @@ def grouped_stats(
     return parted.groupby("_part").map_groups(combine_and_finalize, batch_format="pandas")
 
 
+def grouped_stats_multi(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    value_stats: dict[str, tuple[str, ...]],
+    round_to: int | None = None,
+) -> ray.data.Dataset:
+    """zonal_stats_all analogue (shape.py:1323): ALL stats × ALL value
+    columns in ONE grouped pass (the reference loops whole-raster passes per
+    stat×band; here one partial-moment emission covers every column)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = list(value_stats)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys + cols].copy()
+        aggs: dict[str, tuple[str, str]] = {}
+        for c in cols:
+            b[f"_{c}_v2"] = b[c].astype(np.float64) ** 2
+            aggs[f"{c}__n"] = (c, "count")
+            aggs[f"{c}__s"] = (c, "sum")
+            aggs[f"{c}__mn"] = (c, "min")
+            aggs[f"{c}__mx"] = (c, "max")
+            aggs[f"{c}__s2"] = (f"_{c}_v2", "sum")
+        return b.groupby(keys, sort=False, observed=True).agg(**aggs).reset_index()
+
+    parted = ds.map_batches(partial, batch_format="pandas", batch_size=_bs()).map_batches(
+        lambda b: _add_part(b, keys), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        aggs = {}
+        for c in cols:
+            for suf, how in (("n", "sum"), ("s", "sum"), ("s2", "sum"), ("mn", "min"), ("mx", "max")):
+                aggs[f"{c}__{suf}"] = (f"{c}__{suf}", how)
+        cg = g.groupby(keys, sort=False, observed=True).agg(**aggs).reset_index()
+        out = cg[keys].copy()
+        for c, stats in value_stats.items():
+            n = cg[f"{c}__n"].astype(np.float64)
+            var = ((cg[f"{c}__s2"] - cg[f"{c}__s"] ** 2 / n) / (n - 1)).clip(lower=0.0)
+            vals = {
+                "count": cg[f"{c}__n"].astype(np.int64),
+                "sum": cg[f"{c}__s"],
+                "mean": cg[f"{c}__s"] / n,
+                "min": cg[f"{c}__mn"],
+                "max": cg[f"{c}__mx"],
+                "std": np.sqrt(var),
+                "var": var,
+            }
+            for st in stats:
+                name = f"count_{c}" if st == "count" else f"{st}_{c}"
+                col = vals[st]
+                if round_to is not None and st != "count":
+                    col = round_half_away(col, round_to)
+                out[name] = col
+        return out
+
+    return parted.groupby("_part").map_groups(combine, batch_format="pandas")
+
+
 def grouped_holistic(
     ds: ray.data.Dataset,
     keys: list[str] | str,

@@ -1,0 +1,108 @@
+"""Streaming-shaped operators over the ordered events log.
+
+Ray Data has no event-time windows (SURVEY.md §2.9); stream semantics are
+expressed as hash-partition-by-key + in-partition time ordering, exactly
+as the guide's "treat the input as an ordered, partitioned log" pattern:
+
+- ``sessionize`` — session windows (gap-based), the classic streaming
+  windowing op, computed per key-bucket with one vectorized pandas pass;
+- ``asof_join`` — for each left row, the most recent right row (same key,
+  right.ts ≤ left.ts), via ``pd.merge_asof`` inside key-hash buckets —
+  SURVEY.md §2.4's "as-of maps to sort + merge map_groups".
+
+Ordering contract: (key, ts) pairs are unique in the events fixture; ties
+on ts would resolve by the documented sort order (ts, then id desc for the
+right side — matching the SQL oracle's ORDER BY ts DESC, id DESC LIMIT 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..functions.hashing import splitmix64
+
+
+def _bucket_by_key(ds: ray.data.Dataset, key: str, num_buckets: int = 64) -> ray.data.Dataset:
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (splitmix64(b[key].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Gap-based session windows per key → one row per session
+    (key, session_id 1-based, n_events, session_start, session_end)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        new_key = g[key].ne(g[key].shift())
+        gap_break = (g[ts_col] - g[ts_col].shift()) > gap
+        new_session = (new_key | gap_break).astype(np.int64)
+        # cumsum restarts per key: global cumsum minus each key's offset
+        csum = new_session.cumsum()
+        key_base = csum.where(new_key).ffill() - 1
+        g = g.assign(session_id=(csum - key_base).astype(np.int64))
+        out = (
+            g.groupby([key, "session_id"], sort=False)
+            .agg(n_events=(ts_col, "count"), session_start=(ts_col, "min"), session_end=(ts_col, "max"))
+            .reset_index()
+        )
+        return out
+
+    return _bucket_by_key(ds, key, num_buckets).groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    right_id_col: str = "event_id",
+    out_col: str = "asof_value",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """As-of join: per left row, the most recent right value at or before
+    its timestamp for the same key (NULL if none). Both sides bucket on the
+    key hash (co-partitioned), union with a side tag, and each bucket runs
+    one ``pd.merge_asof`` — no global sort."""
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_side"] = np.int32(side)
+            return b
+
+        return fn
+
+    lt = _bucket_by_key(left.map_batches(tag(0), batch_format="pandas"), key, num_buckets)
+    rt = _bucket_by_key(right.map_batches(tag(1), batch_format="pandas"), key, num_buckets)
+    both = lt.union(rt)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_side", "_bkt"])
+        rg = g[g["_side"] == 1].drop(columns=["_side", "_bkt"])
+        lg = lg.sort_values(ts_col, kind="mergesort")
+        # ties on right ts resolve to max right_id (merge_asof takes the
+        # last row in sort order) — matches the oracle's ORDER BY ... DESC
+        rg = rg.sort_values([ts_col, right_id_col], kind="mergesort")
+        merged = pd.merge_asof(
+            lg,
+            rg[[key, ts_col, value_col]].rename(columns={value_col: out_col}),
+            on=ts_col,
+            by=key,
+            direction="backward",
+        )
+        return merged
+
+    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")

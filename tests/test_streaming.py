@@ -1,0 +1,62 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from geospatial_learn_ray.stages.agg import grouped_stats_multi
+from geospatial_learn_ray.stages.streaming import asof_join, sessionize
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_sessionize_hand_case():
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": [t0, t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=50),
+                   t0 + pd.Timedelta(minutes=55), t0, t0 + pd.Timedelta(hours=2)],
+        }
+    )
+    out = sessionize(ray.data.from_pandas(df)).to_pandas().sort_values(["user_id", "session_id"])
+    u1 = out[out.user_id == 1]
+    assert u1.session_id.tolist() == [1, 2]
+    assert u1.n_events.tolist() == [2, 2]
+    u2 = out[out.user_id == 2]
+    assert u2.session_id.tolist() == [1, 2]
+    assert u2.n_events.tolist() == [1, 1]
+
+
+def test_sessionize_events_total_rows_conserved():
+    ds = ray.data.read_parquet(f"{SF_SMALL}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(ds).to_pandas()
+    assert out.n_events.sum() == 1000
+    assert (out.session_end >= out.session_start).all()
+
+
+def test_asof_join_hand_case():
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"event_id": [10, 11, 12], "user_id": [1, 1, 2],
+                         "ts": [t0 + pd.Timedelta(minutes=m) for m in (5, 20, 5)], "value": [0.0, 0.0, 0.0]})
+    right = pd.DataFrame({"event_id": [1, 2, 3], "user_id": [1, 1, 2],
+                          "ts": [t0, t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=30)],
+                          "value": [100.0, 200.0, 300.0]})
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right)).to_pandas().sort_values("event_id")
+    assert out.asof_value.tolist()[:2] == [100.0, 200.0]
+    assert np.isnan(out.asof_value.tolist()[2])  # right event for user 2 is later
+
+
+def test_grouped_stats_multi_matches_pandas():
+    ds = ray.data.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    out = grouped_stats_multi(
+        ds, "l_returnflag", {"l_quantity": ("mean", "std"), "l_extendedprice": ("sum", "max")}
+    ).to_pandas().set_index("l_returnflag").sort_index()
+    pdf = pq.read_table(f"{SF_SMALL}/lineitem.parquet").to_pandas()
+    exp = pdf.groupby("l_returnflag").agg(
+        mean_q=("l_quantity", "mean"), std_q=("l_quantity", "std"),
+        sum_e=("l_extendedprice", "sum"), max_e=("l_extendedprice", "max"),
+    ).sort_index()
+    assert np.allclose(out["mean_l_quantity"], exp["mean_q"])
+    assert np.allclose(out["std_l_quantity"], exp["std_q"])
+    assert np.allclose(out["sum_l_extendedprice"], exp["sum_e"])
+    assert np.allclose(out["max_l_extendedprice"], exp["max_e"])
