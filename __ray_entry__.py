@@ -488,6 +488,20 @@ def _q_wkb_to_geojson(sf_dir: str):
     )
 
 
+def _q_texture_stats(sf_dir: str):
+    return raster.texture_stats(read_tiles(tile_px=32), polygon_table(), levels=8)
+
+
+def _q_slope_tiles(sf_dir: str):
+    return raster.slope_stage(read_tiles(tile_px=32, with_pixels=False), tile_px=32)
+
+
+def _q_polygonize_merged(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    regions = raster.polygonize_tiles(small, quant=2.0)
+    return raster.polygonize_merge_count(regions, side=16)
+
+
 def _q_media_decode(sf_dir: str):
     from geospatial_learn_ray.stages import multimodal
 
@@ -579,7 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_tiles": _q_clip_tiles,
         "fill_nodata_tiles": _q_fill_nodata_tiles,
         "polygonize_tiles": _q_polygonize_tiles,
+        "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
+        "texture_stats": _q_texture_stats,
+        "slope_tiles": _q_slope_tiles,
         # multimodal plumbing (stubbed codecs, real Ray-side layout)
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,

@@ -26,6 +26,7 @@ import ray
 import ray.data
 
 from ..functions.geometry import PolygonIndex
+from ..functions.rounding import round_half_away
 from ..sources.tiles import tile_bounds, tile_pixels
 
 
@@ -484,6 +485,159 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
+                  lo: float = -2.5, hi: float = 2.5, round_to: int = 6) -> ray.data.Dataset:
+    """shape.texture_stats analogue (shape.py:1566, graycomatrix
+    shape.py:1697-1711): GLCM texture per polygon — contrast / homogeneity /
+    energy / entropy of the horizontal co-occurrence matrix over the
+    polygon's tile pixels (tile→feature via center PiP, like zonal stats).
+
+    Vectorized: one batched ``np.bincount`` builds ALL tiles' GLCMs at once
+    (pair codes offset by tile index); per-feature combine sums raw GLCM
+    counts (decomposable!) then derives the props from the summed matrix —
+    exactly the masked-region GLCM the reference computes, at tile
+    granularity."""
+    from ..sources.tiles import tile_bounds
+
+    ref = ray.put(polygons)
+    L = levels
+
+    class TileGLCM:
+        def __init__(self, r):
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.index = PolygonIndex.from_wkb(t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy().astype(np.int64)
+            ty = batch["tile_y"].to_numpy().astype(np.int64)
+            minx, miny, maxx, maxy = tile_bounds(tx, ty)
+            cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+            tidx, fids = self.index.query(cx, cy)
+            if len(tidx) == 0:
+                return pa.table({"feature_id": pa.array([], pa.int64()),
+                                 "glcm": pa.array([], pa.list_(pa.int64()))})
+            px = _pix(batch).astype(np.float64)[tidx]
+            n, npx = px.shape
+            side = int(np.sqrt(npx))
+            q = np.clip(((px - lo) / (hi - lo) * L).astype(np.int64), 0, L - 1).reshape(n, side, side)
+            a = q[:, :, :-1].reshape(n, -1)
+            b = q[:, :, 1:].reshape(n, -1)
+            # symmetric pairs, coded per tile, one global bincount
+            code = np.arange(n)[:, None] * (L * L)
+            flat = np.concatenate([(code + a * L + b).ravel(), (code + b * L + a).ravel()])
+            counts = np.bincount(flat, minlength=n * L * L).reshape(n, L * L)
+            return pa.table({"feature_id": pa.array(fids), "glcm": pa.array(list(counts), pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(TileGLCM, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8))
+
+    def add_partcol(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b["feature_id"].to_numpy(np.int64) % 64).astype(np.int32)
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"feature_id": [], "contrast": [], "homogeneity": [], "energy": [], "entropy": []}
+        i_idx, j_idx = np.divmod(np.arange(L * L), L)
+        for fid, fg in g.groupby("feature_id", sort=False):
+            m = np.sum(np.stack(fg["glcm"].to_numpy()), axis=0).astype(np.float64)
+            p = m / m.sum()
+            contrast = float(((i_idx - j_idx) ** 2 * p).sum())
+            homog = float((p / (1.0 + np.abs(i_idx - j_idx))).sum())
+            energy = float((p**2).sum())
+            nz = p[p > 0]
+            entropy = float(-(nz * np.log2(nz)).sum())
+            rows["feature_id"].append(fid)
+            rows["contrast"].append(round_half_away(contrast, round_to))
+            rows["homogeneity"].append(round_half_away(homog, round_to))
+            rows["energy"].append(round_half_away(energy, round_to))
+            rows["entropy"].append(round_half_away(entropy, round_to))
+        return pd.DataFrame(rows)
+
+    return partials.map_batches(add_partcol, batch_format="pandas").groupby("_part").map_groups(
+        combine, batch_format="pandas"
+    )
+
+
+def slope_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.data.Dataset:
+    """batch_gdaldem slope analogue (raster.py:554) — a FOCAL op needing a
+    1-pixel halo. The closed-form synthetic raster lets each task
+    regenerate its neighbor columns exactly (`tile_pixels` of adjacent
+    tiles); on a real raster this is the k-ring halo duplication pattern
+    (replicate border pixels to neighbor tiles pre-shuffle, cf.
+    stages/knn.py). Output: per-tile mean gradient magnitude, exact across
+    tile borders."""
+    from ..sources.tiles import GRID_X, GRID_Y, tile_pixels
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        out = np.empty(len(tx), np.float64)
+        for i in range(len(tx)):
+            img = tile_pixels(int(tx[i]), int(ty[i]), tile_px).astype(np.float64)
+            # halo: regenerate the adjacent tiles' border rows/cols
+            left = tile_pixels(int(tx[i]) - 1, int(ty[i]), tile_px)[:, -1] if tx[i] > 0 else img[:, 0]
+            right = tile_pixels(int(tx[i]) + 1, int(ty[i]), tile_px)[:, 0] if tx[i] < GRID_X - 1 else img[:, -1]
+            up = tile_pixels(int(tx[i]), int(ty[i]) - 1, tile_px)[-1, :] if ty[i] > 0 else img[0, :]
+            down = tile_pixels(int(tx[i]), int(ty[i]) + 1, tile_px)[0, :] if ty[i] < GRID_Y - 1 else img[-1, :]
+            padded = np.pad(img, 1, mode="edge")
+            padded[1:-1, 0] = left
+            padded[1:-1, -1] = right
+            padded[0, 1:-1] = up
+            padded[-1, 1:-1] = down
+            gx = (padded[1:-1, 2:] - padded[1:-1, :-2]) / 2.0
+            gy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) / 2.0
+            out[i] = np.hypot(gx, gy).mean()
+        return pa.table(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             "mean_slope": pa.array(round_half_away(out, round_to))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def polygonize_merge_count(regions: ray.data.Dataset, side: int) -> pd.DataFrame:
+    """Cross-tile region merge for polygonize (the deferred gap): regions
+    whose bboxes touch a shared tile border with the same quantized value
+    are unioned (driver-side union-find over the small region-adjacency
+    graph — the inventory of regions is tiny relative to pixels; at larger
+    scale this becomes iterative min-label propagation via groupby).
+    Returns (global_region_id, pixel_count) totals."""
+    df = regions.to_pandas()
+    df = df.reset_index(drop=True)
+    parent = np.arange(len(df))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # horizontal adjacency: region touches its tile's right edge and a
+    # same-valued region touches the next tile's left edge with row overlap
+    right = df[df.col_max == side - 1]
+    left = df[df.col_min == 0]
+    r2 = right.reset_index().rename(columns={"index": "ridx"})
+    l2 = left.reset_index().rename(columns={"index": "lidx"})
+    m = r2.merge(l2, on=["tile_y", "region_value"], suffixes=("_a", "_b"))
+    m = m[(m.tile_x_b == m.tile_x_a + 1) & (m.row_min_a <= m.row_max_b) & (m.row_max_a >= m.row_min_b)]
+    for a, b in zip(m.ridx, m.lidx):
+        union(int(a), int(b))
+    # vertical adjacency
+    top = df[df.row_max == side - 1].reset_index().rename(columns={"index": "tidx"})
+    bot = df[df.row_min == 0].reset_index().rename(columns={"index": "bidx"})
+    mv = top.merge(bot, on=["tile_x", "region_value"], suffixes=("_a", "_b"))
+    mv = mv[(mv.tile_y_b == mv.tile_y_a + 1) & (mv.col_min_a <= mv.col_max_b) & (mv.col_max_a >= mv.col_min_b)]
+    for a, b in zip(mv.tidx, mv.bidx):
+        union(int(a), int(b))
+    roots = np.array([find(i) for i in range(len(df))])
+    return df.assign(global_region=roots).groupby("global_region")["pixel_count"].sum().reset_index()
 
 
 def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:
