@@ -28,7 +28,7 @@ import ray.data
 
 from ..sources.pages import read_pages
 from ..sources.polygons import polygon_table
-from ..stages.agg import grouped_stats
+from ..stages.agg import grouped_stats, salted_grouped_stats
 from ..stages.cellindex import geocode_and_cells
 from ..stages.dedup import dedup_keep_latest
 from ..stages.pip_join import pip_join
@@ -83,6 +83,27 @@ def flagship_dataset(sf_dir: str, with_dups: bool = True, repeat: int = 1,
     return {"located": located, "join_rows": join_rows, "tile_agg": tile_agg}
 
 
+def detect_hot_cells(sf_dir: str, res: int = 7, sample_frac: float = 0.05,
+                     top_k: int = 16, factor: float = 4.0, seed: int = 7) -> list[int]:
+    """Measured (not assumed) hot-cell set for salt-based skew mitigation
+    (SURVEY.md §7): a CHEAP pre-pass — urls only, no extraction — samples
+    the geocoded cell distribution and returns cells whose sampled count
+    exceeds ``factor``× the top-k median. The Zipfian hot-city cells of the
+    skew fixture (~30% of rows in a handful of cells) light up here."""
+    import pandas as pd
+
+    sample = read_pages(sf_dir, columns=["url"]).random_sample(sample_frac, seed=seed)
+    cells = geocode_and_cells(sample, hex_res=(res,)).select_columns([f"cell_h3_r{res}"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return b.value_counts().rename("n").reset_index()
+
+    counts = cells.map_batches(count, batch_format="pandas").to_pandas()
+    counts = counts.groupby(f"cell_h3_r{res}")["n"].sum().sort_values(ascending=False).head(top_k)
+    med = max(float(counts.median()), 1.0)
+    return [int(c) for c, n in counts.items() if n > factor * med]
+
+
 def run_flagship(sf_dir: str, out_dir: str, with_dups: bool = True) -> dict[str, int]:
     """Execute with resumable checkpoints + lineage manifests."""
     fp = fingerprint_of("flagship-v1", sf_dir, str(with_dups))
@@ -104,8 +125,15 @@ def run_flagship(sf_dir: str, out_dir: str, with_dups: bool = True) -> dict[str,
 
     # stage 3: cell-keyed tile aggregation — re-keys across url shards, so
     # the checkpoint shards by cell afterwards (all-or-nothing compute).
+    # Skew mitigation is EXPLICIT here (north_star): hot cells measured by a
+    # cheap sampled pre-pass, their rows salted across num_salts reducers.
+    hot_cells = detect_hot_cells(sf_dir)
+
     def agg_fn(ds: ray.data.Dataset) -> ray.data.Dataset:
-        agg = grouped_stats(ds, CELL_COL, "n_chars", stats=("count", "mean", "min", "max"), round_to=6)
+        agg = salted_grouped_stats(
+            ds, CELL_COL, "n_chars", salt_from="url", hot_keys=hot_cells,
+            num_salts=16, stats=("count", "mean", "min", "max"), round_to=6,
+        )
 
         def cell_shard(b: pa.Table) -> pa.Table:
             shard = (b[CELL_COL].to_numpy() % np.uint64(NUM_SHARDS)).astype(np.int32)

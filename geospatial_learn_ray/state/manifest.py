@@ -128,17 +128,21 @@ def checkpoint_stage(
 
 
 def read_stage(out_dir: str, stage: str) -> ray.data.Dataset:
-    """Read a checkpointed stage back (hive dirs; shard column re-derived
-    from the explicit in-row column, hive key ignored)."""
+    """Read a checkpointed stage back. The hive ``shard=K`` path segments
+    restore the shard column via partitioning inference; ``_manifest``
+    JSONs are excluded by the extension filter."""
     stage_dir = _stage_dir(out_dir, stage)
-    files = []
-    for d in sorted(os.listdir(stage_dir)):
-        sub = os.path.join(stage_dir, d)
-        if d.startswith("shard=") and os.path.isdir(sub):
-            files.extend(
-                os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
-            )
-    return ray.data.read_parquet(files)
+    try:
+        return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
+    except TypeError:  # older Ray without file_extensions
+        files = []
+        for d in sorted(os.listdir(stage_dir)):
+            sub = os.path.join(stage_dir, d)
+            if d.startswith("shard=") and os.path.isdir(sub):
+                files.extend(
+                    os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+                )
+        return ray.data.read_parquet(files)
 
 
 def run_resumable_stage(

@@ -62,6 +62,32 @@ def test_cells_recomputable_from_coords():
     assert np.array_equal(located[CELL_COL].to_numpy(np.uint64), again)
 
 
+def test_detect_hot_cells_finds_skew_fixture():
+    from geospatial_learn_ray.pipelines.flagship import detect_hot_cells
+
+    hot = detect_hot_cells(SF_SMALL, sample_frac=0.5)
+    assert 1 <= len(hot) <= 8  # the 5 hot-city cells (some may share a cell)
+    # hot cells really are the big ones: check against the full distribution
+    located = flagship_dataset(SF_SMALL, with_dups=False)["located"].to_pandas()
+    counts = located[CELL_COL].value_counts()
+    top5 = {int(np.uint64(c)) for c in counts.head(5).index}
+    assert set(hot) <= top5
+
+
+def test_salted_flagship_agg_equals_unsalted(tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    run_flagship(SF_SMALL, out_dir)
+    import glob
+
+    files = glob.glob(os.path.join(out_dir, "tile_agg", "shard=*", "*.parquet"))
+    salted = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    unsalted = flagship_dataset(SF_SMALL, with_dups=True)["tile_agg"].to_pandas()
+    # raw file reads skip the hive shard column; drop it only if present
+    a = salted.drop(columns=["shard"], errors="ignore").sort_values(CELL_COL).reset_index(drop=True)
+    b = unsalted.sort_values(CELL_COL).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
 def test_run_flagship_resumable(tmp_path):
     out_dir = str(tmp_path / "ckpt")
     counts1 = run_flagship(SF_SMALL, out_dir)
