@@ -262,6 +262,20 @@ def _q_embedding_dedup(sf_dir: str):
     return dedup.embedding_dedup_pairs(planted, threshold=0.95)
 
 
+def _q_dedup_components(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+def _q_hll_distinct_urls(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import hll_distinct
+
+    pages = read_pages(sf_dir, with_dups=True, columns=["url"])
+    est = hll_distinct(pages, "url", precision=12)
+    return pd.DataFrame({"approx_distinct_urls": [round(est, 1)]})
+
+
 def _q_lang_id(sf_dir: str):
     return textstages.lang_id_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -568,6 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dedup_pairs": _q_embedding_dedup,
+        "dedup_components": _q_dedup_components,
+        "hll_distinct_urls": _q_hll_distinct_urls,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         # raster / tiles (closed-form pytest oracles)

