@@ -719,8 +719,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH s AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
             "  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-            "t AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
-            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+            "t AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
             "SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end FROM t GROUP BY user_id, session_id"
         ),

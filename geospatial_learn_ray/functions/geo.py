@@ -247,14 +247,18 @@ def _s2_face_uv(x, y, z):
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
     major = np.choose(face, [x, y, z])
     face = np.where(major < 0, face + 3, face).astype(np.int64)  # negative axis → face+3
-    # canonical face→(u,v) numerators and denominator (s2coords.h ValidFaceXYZtoUV)
+    # canonical face→(u,v) numerators and denominator (s2coords.h
+    # ValidFaceXYZtoUV). The denominator is the SIGNED major component on
+    # every face — on faces 3-5 the major axis is negative, so dividing by
+    # the negated value would sign-flip u and v on half the sphere
+    # (round-trip property test: test_geo.test_s2_face_uv_roundtrip).
     uvd = {
         0: (y, z, x),
         1: (-x, z, y),
         2: (-x, -y, z),
-        3: (z, y, -x),
-        4: (z, -x, -y),
-        5: (-y, -x, -z),
+        3: (z, y, x),
+        4: (z, -x, y),
+        5: (-y, -x, z),
     }
     u = np.empty_like(x)
     v = np.empty_like(x)
@@ -264,6 +268,29 @@ def _s2_face_uv(x, y, z):
             u[m] = un[m] / d[m]
             v[m] = vn[m] / d[m]
     return face, u, v
+
+
+def _s2_face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Inverse of ``_s2_face_uv`` (canonical FaceUVtoXYZ table, s2coords.h):
+    face 0:(1,u,v) 1:(-u,1,v) 2:(-u,-v,1) 3:(-1,-v,-u) 4:(v,-1,-u) 5:(v,u,-1).
+    Returns unnormalized (x, y, z); used by the round-trip property test."""
+    one = np.ones_like(u)
+    tbl = {
+        0: (one, u, v),
+        1: (-u, one, v),
+        2: (-u, -v, one),
+        3: (-one, -v, -u),
+        4: (v, -one, -u),
+        5: (v, u, -one),
+    }
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, (xf, yf, zf) in tbl.items():
+        m = face == f
+        if m.any():
+            x[m], y[m], z[m] = xf[m], yf[m], zf[m]
+    return x, y, z
 
 
 def _s2_st(u: np.ndarray) -> np.ndarray:

@@ -81,9 +81,15 @@ def checkpoint_stage(
     stage: str,
     fingerprint: str,
     shard_col: str = "shard",
+    covered_shards: list[int] | None = None,
 ) -> None:
     """Write ``ds`` as a resumable checkpoint: tmp-dir write → per-shard
-    rename → manifest-last. ``ds`` must carry ``shard_col``."""
+    rename → manifest-last. ``ds`` must carry ``shard_col``.
+
+    ``covered_shards``: every shard this run is responsible for. A covered
+    shard that produced zero rows gets (a) any stale ``shard=K`` data dir
+    from a previous fingerprint DELETED (its rows must not leak into the
+    resumed result) and (b) a rows=0 manifest so it stops recomputing."""
     stage_dir = _stage_dir(out_dir, stage)
     mdir = os.path.join(stage_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
@@ -111,6 +117,12 @@ def checkpoint_stage(
                 n += pq.read_metadata(os.path.join(dst, f)).num_rows
         rows_by_shard[shard] = n
     shutil.rmtree(tmp, ignore_errors=True)
+    for shard in covered_shards or ():
+        if shard not in rows_by_shard:
+            stale = os.path.join(stage_dir, f"{shard_col}={shard}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+            rows_by_shard[shard] = 0
     for shard, n in rows_by_shard.items():
         rec = {
             "stage": stage,
@@ -169,7 +181,8 @@ def run_resumable_stage(
     missing = [s for s in range(num_shards) if s not in done]
     if missing and not input_sharded:
         out = build_fn(input_ds)
-        checkpoint_stage(out, out_dir, stage, fingerprint, shard_col=shard_col)
+        checkpoint_stage(out, out_dir, stage, fingerprint, shard_col=shard_col,
+                         covered_shards=list(range(num_shards)))
         return read_stage(out_dir, stage)
     if missing:
         if done:
@@ -181,7 +194,10 @@ def run_resumable_stage(
         else:
             filtered = input_ds
         out = build_fn(filtered)
-        checkpoint_stage(out, out_dir, stage, fingerprint, shard_col=shard_col)
+        # every not-done shard is in ``missing``, so covering it here both
+        # purges fingerprint-stale dirs and manifests zero-row shards
+        checkpoint_stage(out, out_dir, stage, fingerprint, shard_col=shard_col,
+                         covered_shards=missing)
     return read_stage(out_dir, stage)
 
 

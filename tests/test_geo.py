@@ -39,6 +39,32 @@ def test_s2_locality():
     assert base[0] != far[0]
 
 
+def test_s2_face_uv_roundtrip():
+    # ValidFaceXYZtoUV and FaceUVtoXYZ are inverse maps (published tables,
+    # s2coords.h). A sign error on any face — e.g. dividing by the negated
+    # major component on faces 3-5 — breaks this on half the sphere.
+    lat, lon = _grid(4000, seed=7)
+    x, y, z = geo._s2_xyz(lat, lon)
+    face, u, v = geo._s2_face_uv(x, y, z)
+    assert set(np.unique(face).tolist()) == {0, 1, 2, 3, 4, 5}
+    xr, yr, zr = geo._s2_face_uv_to_xyz(face, u, v)
+    norm = np.sqrt(xr * xr + yr * yr + zr * zr)
+    np.testing.assert_allclose(xr / norm, x, atol=1e-12)
+    np.testing.assert_allclose(yr / norm, y, atol=1e-12)
+    np.testing.assert_allclose(zr / norm, z, atol=1e-12)
+
+
+def test_s2_negative_face_locality():
+    # near-identical points on each negative-major face share the level-10
+    # cell (catches u/v sign flips that scatter them across the face)
+    # off-boundary base points (lat=0 / lon at a face center sit exactly on
+    # an st=0.5 cell edge where any perturbation legitimately crosses)
+    for lat0, lon0 in [(10.3, 179.2), (-7.6, -88.3), (-83.4, 10.7)]:
+        base = geo.s2_latlng_to_cell(np.array([lat0]), np.array([lon0]), 10)
+        near = geo.s2_latlng_to_cell(np.array([lat0 + 1e-4]), np.array([lon0 + 1e-4]), 10)
+        assert base[0] == near[0]
+
+
 def test_s2_all_faces_hit():
     lats = np.array([0.0, 0.0, 89.0, 0.0, 0.0, -89.0])
     lons = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])

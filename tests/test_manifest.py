@@ -1,0 +1,74 @@
+"""Unit tests for the resumable-checkpoint layer (state/manifest.py),
+including the stale-shard purge: after a fingerprint change, a shard that
+previously had rows but now produces zero must not leak its old parquet
+rows into the resumed result, and must get a rows=0 manifest so it stops
+recomputing.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from geospatial_learn_ray.state.manifest import (
+    assign_shard,
+    completed_shards,
+    read_stage,
+    run_resumable_stage,
+)
+
+NUM_SHARDS = 4
+
+
+def _input(drop_shard: int | None = None) -> ray.data.Dataset:
+    df = pd.DataFrame({"key": [f"k{i}" for i in range(200)], "v": range(200)})
+    ds = assign_shard(ray.data.from_pandas(df), "key", NUM_SHARDS)
+    if drop_shard is not None:
+        ds = ds.map_batches(
+            lambda b: b.filter(pa.compute.not_equal(b["shard"], drop_shard)),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def test_stale_shard_purged_on_fingerprint_change(tmp_path):
+    out = str(tmp_path / "ckpt")
+    ident = lambda ds: ds
+
+    run_resumable_stage(_input(), ident, out, "s", "fpA", NUM_SHARDS)
+    assert completed_shards(out, "s", "fpA") == set(range(NUM_SHARDS))
+    n_full = read_stage(out, "s").count()
+    assert n_full == 200
+
+    # new fingerprint, input now empty for shard 2 → its old rows must go
+    got = run_resumable_stage(_input(drop_shard=2), ident, out, "s", "fpB", NUM_SHARDS)
+    keys = set(got.to_pandas()["key"])
+    exp = set(_input(drop_shard=2).to_pandas()["key"])
+    assert keys == exp  # no stale shard-2 rows leaked
+    assert not os.path.isdir(os.path.join(out, "s", "shard=2"))
+
+    # shard 2 has a rows=0 manifest under the new fingerprint
+    m = json.load(open(os.path.join(out, "s", "_manifest", "shard-2.json")))
+    assert m["rows"] == 0 and m["fingerprint"] == "fpB"
+    assert completed_shards(out, "s", "fpB") == set(range(NUM_SHARDS))
+
+    # rerun with the same fingerprint: nothing recomputes (mtimes stable)
+    mdir = os.path.join(out, "s", "_manifest")
+    mtimes = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    run_resumable_stage(_input(drop_shard=2), ident, out, "s", "fpB", NUM_SHARDS)
+    assert {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)} == mtimes
+
+
+def test_unsharded_stage_purges_stale_dirs(tmp_path):
+    out = str(tmp_path / "ckpt")
+    ident = lambda ds: ds
+    run_resumable_stage(_input(), ident, out, "g", "fpA", NUM_SHARDS, input_sharded=False)
+    assert read_stage(out, "g").count() == 200
+    # fingerprint change + shard 1 now empty → full recompute, dir purged
+    got = run_resumable_stage(
+        _input(drop_shard=1), ident, out, "g", "fpB", NUM_SHARDS, input_sharded=False
+    )
+    assert not os.path.isdir(os.path.join(out, "g", "shard=1"))
+    assert set(got.to_pandas()["key"]) == set(_input(drop_shard=1).to_pandas()["key"])
