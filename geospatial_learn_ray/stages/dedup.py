@@ -233,9 +233,13 @@ def minhash_candidates(
     Word 3-gram shingles by default: on same-vocabulary corpora (web
     boilerplate / the synthetic word-soup fixture) char shingles collide
     almost everywhere and candidate pairs explode quadratically. Buckets
-    larger than ``max_bucket`` are dropped AND COUNTED in an emitted
-    ``_overflow`` row (no silent caps): a band value shared by hundreds of
-    docs carries no near-dup signal, only O(g²) cost."""
+    larger than ``max_bucket`` are dropped AND COUNTED in emitted overflow
+    rows (no silent caps): each skipped bucket yields one sentinel row with
+    ``id_a = -1``, ``id_b`` = the bucket's band_hash (as int64) and
+    ``est_jaccard = -<bucket size>``; downstream threshold filters
+    (``est_jaccard >= t``) drop them automatically, while auditors can
+    ``filter(id_a == -1)`` to see exactly what was capped. A band value
+    shared by hundreds of docs carries no near-dup signal, only O(g²) cost."""
     rows_per_band = num_perm // bands
 
     def sigs(b: pa.Table) -> pa.Table:
@@ -268,10 +272,14 @@ def minhash_candidates(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        n_skipped = 0
         for _, grp in _collision_groups(g, ["band_id", "band_hash"]):
             if len(grp) > max_bucket:
-                n_skipped += 1
+                # overflow sentinel: visible to callers, auto-dropped by any
+                # est_jaccard >= t filter. id_b is the band hash (int64 view)
+                # so distinct skipped buckets survive pair-dedup as rows.
+                bh = np.array([grp["band_hash"].iloc[0]], np.uint64).view(np.int64)[0]
+                out.append(pd.DataFrame({"id_a": [np.int64(-1)], "id_b": [bh],
+                                         "est_jaccard": [-float(len(grp))]}))
                 continue
             grp = grp.sort_values(id_col)
             ids = grp[id_col].to_numpy()
@@ -279,8 +287,6 @@ def minhash_candidates(
             ia, ib = np.triu_indices(len(ids), k=1)
             est = (sig[ia] == sig[ib]).mean(axis=1)
             out.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est}))
-        if n_skipped:
-            print(f"[minhash-lsh] skipped {n_skipped} oversized bucket(s) (> {max_bucket} docs)")
         if not out:
             return _pair_frame(extra={"est_jaccard": np.float64})
         return pd.concat(out, ignore_index=True)

@@ -437,8 +437,12 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
     def label_regions(img: np.ndarray) -> np.ndarray:
         side = img.shape[0]
         labels = np.arange(side * side).reshape(side, side)
-        # iterative min-label propagation over 4-neighbors within same value
-        for _ in range(side):
+        # min-label propagation over 4-neighbors within same value, with
+        # pointer jumping (labels <- labels[labels], the hook-and-contract
+        # step) so a serpentine region of path length L converges in
+        # O(log L) rounds, not O(L); loop runs to convergence with a
+        # side*side safety cap (a region path can exceed `side`).
+        for _ in range(side * side):
             prev = labels.copy()
             for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
                 nb = np.roll(labels, shift, axis=axis)
@@ -454,6 +458,10 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
                     else:
                         same[:, -1] = False
                 labels = np.where(same, np.minimum(labels, nb), labels)
+            flat = labels.ravel()
+            for _ in range(2):  # pointer-jump: label -> label of its label
+                flat = np.minimum(flat, flat[flat])
+            labels = flat.reshape(side, side)
             if np.array_equal(labels, prev):
                 break
         return labels
@@ -466,23 +474,32 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
                 "row_min": [], "row_max": [], "col_min": [], "col_max": []}
         tx = batch["tile_x"].to_numpy()
         ty = batch["tile_y"].to_numpy()
+        rr, cc = np.divmod(np.arange(side * side), side)
         for i in range(n):
             img = np.floor(px[i].reshape(side, side) * quant)
             labels = label_regions(img)
             flat = labels.ravel()
-            uniq, inv, counts = np.unique(flat, return_inverse=True, return_counts=True)
-            rr, cc = np.divmod(np.arange(side * side), side)
-            for j, lab in enumerate(uniq):
-                m = inv == j
-                rows["tile_x"].append(tx[i])
-                rows["tile_y"].append(ty[i])
-                rows["region_value"].append(float(img.ravel()[m][0] / quant))
-                rows["pixel_count"].append(int(counts[j]))
-                rows["row_min"].append(int(rr[m].min()))
-                rows["row_max"].append(int(rr[m].max()))
-                rows["col_min"].append(int(cc[m].min()))
-                rows["col_max"].append(int(cc[m].max()))
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
+            # vectorized per-region stats: sort pixels by region, then one
+            # reduceat per stat over contiguous runs (no per-region scans)
+            order = np.argsort(flat, kind="stable")
+            sorted_lab = flat[order]
+            starts = np.flatnonzero(np.r_[True, sorted_lab[1:] != sorted_lab[:-1]])
+            counts = np.diff(np.r_[starts, len(sorted_lab)])
+            first_px = order[starts]
+            rows["tile_x"].append(np.full(len(starts), tx[i], np.int64))
+            rows["tile_y"].append(np.full(len(starts), ty[i], np.int64))
+            rows["region_value"].append(img.ravel()[first_px] / quant)
+            rows["pixel_count"].append(counts.astype(np.int64))
+            rows["row_min"].append(np.minimum.reduceat(rr[order], starts))
+            rows["row_max"].append(np.maximum.reduceat(rr[order], starts))
+            rows["col_min"].append(np.minimum.reduceat(cc[order], starts))
+            rows["col_max"].append(np.maximum.reduceat(cc[order], starts))
+        if n == 0:
+            return pa.table(
+                {k: pa.array([], pa.float64() if k == "region_value" else pa.int64())
+                 for k in rows}
+            )
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

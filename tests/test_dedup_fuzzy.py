@@ -64,3 +64,16 @@ def test_exact_dups_have_zero_distance_everywhere():
     pairs = dedup.simhash_dedup_pairs(ds, max_hamming=0).to_pandas()
     exact = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b) if b == a + 1000}
     assert len(exact) == 50  # identical text ⇒ identical simhash, always found
+
+
+def test_minhash_overflow_buckets_emit_sentinel_rows():
+    # 300 identical docs: every LSH band collides in one bucket of size 300
+    # (> max_bucket=256) -> bucket skipped, but accounted via sentinel rows
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": ["same text in every doc here"] * 300})
+    cands = dedup.minhash_candidates(ray.data.from_pandas(df)).to_pandas()
+    sent = cands[cands.id_a == -1]
+    assert len(sent) > 0, "oversized buckets must emit overflow sentinel rows"
+    assert (sent.est_jaccard == -300.0).all()  # carries the bucket size
+    # threshold filter drops the sentinels automatically
+    kept = dedup.minhash_dedup_pairs(ray.data.from_pandas(df), threshold=0.5).to_pandas()
+    assert len(kept) == 0 or (kept["id_a"] >= 0).all()

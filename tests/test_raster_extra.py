@@ -107,3 +107,27 @@ def test_media_frame_sample():
     out = multimodal.frame_sample_stage(ds, every_kth=4).to_pandas()
     assert (out.frame_idx % 4 == 0).all()
     assert out.media_id.nunique() == len(docs)
+
+
+def test_polygonize_serpentine_region_is_one_region():
+    # a same-value serpentine path of length ~side^2/2 (> side) must stay ONE
+    # region: the min-label propagation needs pointer jumping / convergence
+    # looping, not a `side`-iteration cap
+    side = 16
+    img = np.zeros((side, side), np.float64)
+    # serpentine: rows 0,2,4,... full of value 5, connected alternately at
+    # right/left edges via the odd rows' end cells
+    for r in range(0, side, 2):
+        img[r, :] = 5.0
+    for r in range(1, side, 2):
+        img[r, -1 if (r // 2) % 2 == 0 else 0] = 5.0
+    tbl = pa.table({
+        "tile_x": pa.array([0], pa.int32()),
+        "tile_y": pa.array([0], pa.int32()),
+        "band_values": pa.array([img.ravel().astype(np.float32)], pa.list_(pa.float32())),
+    })
+    out = raster.polygonize_tiles(ray.data.from_arrow(tbl), quant=1.0).to_pandas()
+    snake = out[out.region_value == 5.0]
+    assert len(snake) == 1, f"serpentine region split into {len(snake)} parts"
+    assert snake.pixel_count.iloc[0] == (img == 5.0).sum()
+    assert out.pixel_count.sum() == side * side
