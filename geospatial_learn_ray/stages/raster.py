@@ -470,8 +470,8 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
         px = _pix(batch).astype(np.float64)
         n, npx = px.shape
         side = int(np.sqrt(npx))
-        rows = {"tile_x": [], "tile_y": [], "region_value": [], "pixel_count": [],
-                "row_min": [], "row_max": [], "col_min": [], "col_max": []}
+        rows = {"tile_x": [], "tile_y": [], "region_label": [], "region_value": [],
+                "pixel_count": [], "row_min": [], "row_max": [], "col_min": [], "col_max": []}
         tx = batch["tile_x"].to_numpy()
         ty = batch["tile_y"].to_numpy()
         rr, cc = np.divmod(np.arange(side * side), side)
@@ -488,6 +488,7 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
             first_px = order[starts]
             rows["tile_x"].append(np.full(len(starts), tx[i], np.int64))
             rows["tile_y"].append(np.full(len(starts), ty[i], np.int64))
+            rows["region_label"].append(sorted_lab[starts].astype(np.int64))
             rows["region_value"].append(img.ravel()[first_px] / quant)
             rows["pixel_count"].append(counts.astype(np.int64))
             rows["row_min"].append(np.minimum.reduceat(rr[order], starts))
@@ -614,47 +615,118 @@ def slope_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.da
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def polygonize_merge_count(regions: ray.data.Dataset, side: int) -> pd.DataFrame:
-    """Cross-tile region merge for polygonize (the deferred gap): regions
-    whose bboxes touch a shared tile border with the same quantized value
-    are unioned (driver-side union-find over the small region-adjacency
-    graph — the inventory of regions is tiny relative to pixels; at larger
-    scale this becomes iterative min-label propagation via groupby).
-    Returns (global_region_id, pixel_count) totals."""
-    df = regions.to_pandas()
-    df = df.reset_index(drop=True)
-    parent = np.arange(len(df))
+def _region_node_ids(tx: np.ndarray, ty: np.ndarray, label: np.ndarray, side: int) -> np.ndarray:
+    """Globally-unique int64 region node ids: (tile packed) * side² + the
+    per-tile region label (min pixel flat index, unique within a tile)."""
+    return (tx.astype(np.int64) * (1 << 21) + ty.astype(np.int64)) * (side * side) + label.astype(np.int64)
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+def polygonize_merge_count(regions: ray.data.Dataset, side: int,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """Cross-tile region merge for polygonize (reference: cross-tile
+    `raster.polygonize` semantics, raster.py:1526) — fully distributed:
 
-    # horizontal adjacency: region touches its tile's right edge and a
-    # same-valued region touches the next tile's left edge with row overlap
-    right = df[df.col_max == side - 1]
-    left = df[df.col_min == 0]
-    r2 = right.reset_index().rename(columns={"index": "ridx"})
-    l2 = left.reset_index().rename(columns={"index": "lidx"})
-    m = r2.merge(l2, on=["tile_y", "region_value"], suffixes=("_a", "_b"))
-    m = m[(m.tile_x_b == m.tile_x_a + 1) & (m.row_min_a <= m.row_max_b) & (m.row_max_a >= m.row_min_b)]
-    for a, b in zip(m.ridx, m.lidx):
-        union(int(a), int(b))
-    # vertical adjacency
-    top = df[df.row_max == side - 1].reset_index().rename(columns={"index": "tidx"})
-    bot = df[df.row_min == 0].reset_index().rename(columns={"index": "bidx"})
-    mv = top.merge(bot, on=["tile_x", "region_value"], suffixes=("_a", "_b"))
-    mv = mv[(mv.tile_y_b == mv.tile_y_a + 1) & (mv.col_min_a <= mv.col_max_b) & (mv.col_max_a >= mv.col_min_b)]
-    for a, b in zip(mv.tidx, mv.bidx):
-        union(int(a), int(b))
-    roots = np.array([find(i) for i in range(len(df))])
-    return df.assign(global_region=roots).groupby("global_region")["pixel_count"].sum().reset_index()
+    1. border-adjacency pairs: each region touching a tile border emits a
+       narrow border-segment row keyed by the shared-border identity;
+       a bucketed groupby joins the two sides with ONE vectorized merge
+       per bucket (same-value + row/col-interval overlap ⇒ adjacency);
+    2. components: ``dedup.connected_components`` (bucketed min-label
+       propagation with pointer jumping — no driver materialization);
+    3. totals: labels ⋈ region pixel counts (bucketed hash join; regions
+       without a cross-tile neighbor keep their own node id), then a
+       coarse-bucket sum per global region.
+
+    Returns a Dataset of (global_region:int64, pixel_count:int64)."""
+    from ..functions.hashing import splitmix64
+    from .dedup import connected_components
+
+    def border_rows(b: pd.DataFrame) -> pd.DataFrame:
+        tx = b["tile_x"].to_numpy(np.int64)
+        ty = b["tile_y"].to_numpy(np.int64)
+        node = _region_node_ids(tx, ty, b["region_label"].to_numpy(np.int64), side)
+        val = b["region_value"].to_numpy(np.float64)
+        rmin = b["row_min"].to_numpy(np.int64)
+        rmax = b["row_max"].to_numpy(np.int64)
+        cmin = b["col_min"].to_numpy(np.int64)
+        cmax = b["col_max"].to_numpy(np.int64)
+        frames = []
+        # vertical border line between (tx,ty) and (tx+1,ty): key (tx+1,ty,0)
+        for mask, bx, by, orient, flag, lo, hi in (
+            (cmax == side - 1, tx + 1, ty, 0, 0, rmin, rmax),   # right edge, A side
+            (cmin == 0, tx, ty, 0, 1, rmin, rmax),              # left edge, B side
+            (rmax == side - 1, tx, ty + 1, 1, 0, cmin, cmax),   # top edge (row grows up)
+            (rmin == 0, tx, ty, 1, 1, cmin, cmax),              # bottom edge
+        ):
+            if mask.any():
+                frames.append(pd.DataFrame({
+                    "bx": bx[mask], "by": by[mask], "orient": orient, "flag": flag,
+                    "region_value": val[mask], "node": node[mask],
+                    "lo": lo[mask], "hi": hi[mask],
+                }))
+        if not frames:
+            return pd.DataFrame({k: pd.Series([], dtype=np.int64) for k in
+                                 ("bx", "by", "orient", "flag", "node", "lo", "hi")}).assign(
+                region_value=pd.Series([], dtype=np.float64))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_border(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = (b["bx"].to_numpy(np.int64) * 131071 + b["by"].to_numpy(np.int64) * 2 + b["orient"].to_numpy(np.int64))
+        b["_bkt"] = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["flag"] == 0]
+        bb = g[g["flag"] == 1]
+        m = a.merge(bb, on=["bx", "by", "orient", "region_value"], suffixes=("_a", "_b"))
+        m = m[(m["lo_a"] <= m["hi_b"]) & (m["hi_a"] >= m["lo_b"])]
+        return pd.DataFrame({"id_a": m["node_a"].to_numpy(np.int64), "id_b": m["node_b"].to_numpy(np.int64)})
+
+    pairs = (
+        regions.map_batches(border_rows, batch_format="pandas")
+        .map_batches(bucket_border, batch_format="pandas")
+        .groupby("_bkt").map_groups(pairs_per_bucket, batch_format="pandas")
+    )
+    comp = connected_components(pairs, num_buckets=num_buckets)
+
+    def region_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        node = _region_node_ids(b["tile_x"].to_numpy(np.int64), b["tile_y"].to_numpy(np.int64),
+                                b["region_label"].to_numpy(np.int64), side)
+        return pd.DataFrame({"k": node, "v": b["pixel_count"].to_numpy(np.int64), "t": np.int8(0)})
+
+    def comp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["node"].to_numpy(np.int64),
+                             "v": b["component_id"].to_numpy(np.int64), "t": np.int8(1)})
+
+    def bucket_k(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (splitmix64(b["k"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def attach_component(g: pd.DataFrame) -> pd.DataFrame:
+        reg = g[g["t"] == 0]
+        lab = g[g["t"] == 1]
+        m = reg.merge(lab[["k", "v"]].rename(columns={"v": "component"}), on="k", how="left")
+        comp_id = m["component"].fillna(m["k"]).astype(np.int64)  # singletons keep own id
+        # pre-aggregate within the bucket before the component shuffle
+        out = pd.DataFrame({"global_region": comp_id, "pixel_count": m["v"].to_numpy(np.int64)})
+        return out.groupby("global_region", sort=False)["pixel_count"].sum().reset_index()
+
+    def bucket_region(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (splitmix64(b["global_region"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def sum_per_region(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("global_region", sort=False)["pixel_count"].sum().reset_index()
+
+    tagged = regions.map_batches(region_nodes, batch_format="pandas").union(
+        comp.map_batches(comp_rows, batch_format="pandas")
+    ).map_batches(bucket_k, batch_format="pandas")
+    partial = tagged.groupby("_bkt").map_groups(attach_component, batch_format="pandas")
+    return partial.map_batches(bucket_region, batch_format="pandas").groupby("_bkt").map_groups(
+        sum_per_region, batch_format="pandas"
+    )
 
 
 def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:

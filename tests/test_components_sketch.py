@@ -46,6 +46,19 @@ def test_connected_components_long_chain():
     assert set(out.component_id) == {0}  # one chain, min label 0 reaches the end
 
 
+def test_connected_components_distributed_path():
+    # driver_threshold=0 forces the bucketed-join propagation loop (no
+    # driver union-find, no label-table broadcast); chain needs multiple
+    # rounds and exercises the pointer-jump convergence
+    n = 8
+    chain = pd.DataFrame({"id_a": list(range(n)), "id_b": list(range(1, n + 1))})
+    extra = pd.DataFrame({"id_a": [100, 200], "id_b": [101, 201]})
+    pairs = pd.concat([chain, extra], ignore_index=True)
+    out = connected_components(ray.data.from_pandas(pairs), driver_threshold=0).to_pandas()
+    got = dict(zip(out.node, out.component_id))
+    assert got == _union_find_oracle(pairs)
+
+
 def test_hll_distinct_accuracy():
     pages = read_pages(SF_SMALL, with_dups=True, columns=["url"])
     est = hll_distinct(pages, "url", precision=12)

@@ -56,6 +56,46 @@ def test_polygonize_merge_conserves_pixels():
     small = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
     regions = raster.polygonize_tiles(small, quant=2.0)
     rdf = regions.to_pandas()
-    merged = raster.polygonize_merge_count(regions, side=8)
+    merged = raster.polygonize_merge_count(regions, side=8).to_pandas()
     assert merged.pixel_count.sum() == rdf.pixel_count.sum()
     assert len(merged) <= len(rdf)  # merging can only reduce region count
+    assert len(merged) < len(rdf)  # the clip window does contain cross-tile regions
+
+
+def test_polygonize_merge_matches_driver_union_find():
+    # oracle: the round-1 driver-side union-find, restated locally
+    small = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
+    regions = raster.polygonize_tiles(small, quant=2.0)
+    df = regions.to_pandas().reset_index(drop=True)
+    side = 8
+    parent = np.arange(len(df))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    r2 = df[df.col_max == side - 1].reset_index().rename(columns={"index": "ridx"})
+    l2 = df[df.col_min == 0].reset_index().rename(columns={"index": "lidx"})
+    m = r2.merge(l2, on=["tile_y", "region_value"], suffixes=("_a", "_b"))
+    m = m[(m.tile_x_b == m.tile_x_a + 1) & (m.row_min_a <= m.row_max_b) & (m.row_max_a >= m.row_min_b)]
+    for a, b in zip(m.ridx, m.lidx):
+        union(int(a), int(b))
+    top = df[df.row_max == side - 1].reset_index().rename(columns={"index": "tidx"})
+    bot = df[df.row_min == 0].reset_index().rename(columns={"index": "bidx"})
+    mv = top.merge(bot, on=["tile_x", "region_value"], suffixes=("_a", "_b"))
+    mv = mv[(mv.tile_y_b == mv.tile_y_a + 1) & (mv.col_min_a <= mv.col_max_b) & (mv.col_max_a >= mv.col_min_b)]
+    for a, b in zip(mv.tidx, mv.bidx):
+        union(int(a), int(b))
+    roots = np.array([find(i) for i in range(len(df))])
+    oracle = df.assign(g=roots).groupby("g")["pixel_count"].sum()
+
+    merged = raster.polygonize_merge_count(regions, side=side).to_pandas()
+    # same multiset of merged-region sizes (ids differ: node ids vs row idx)
+    assert sorted(merged.pixel_count) == sorted(oracle)
