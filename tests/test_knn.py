@@ -86,3 +86,28 @@ def test_embedding_dedup_finds_all_planted_pairs():
     got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
     assert got == expected  # full recall on planted near-dups, no false pairs
     assert (pairs.cosine >= 0.999).all()
+
+
+def test_knn_hot_cell_salting_identical_output():
+    # force the measured-salt branch (threshold far below the hot-cluster
+    # size) — output must be IDENTICAL to the unsalted computation: salting
+    # only changes the task decomposition, never candidates or ordering
+    df = _points(600)
+    # pile 200 extra points into one spot -> one provably hot cell
+    hot = pd.DataFrame({
+        "pid": np.arange(600, 800),
+        "lon": 10.0 + np.linspace(0, 0.005, 200),
+        "lat": 10.0 + np.linspace(0, 0.004, 200),
+    })
+    df = pd.concat([df, hot], ignore_index=True)
+    from geospatial_learn_ray.stages.knn import detect_hot_cells_knn
+    hot_map = detect_hot_cells_knn(ray.data.from_pandas(df), res=5, threshold=50)
+    assert len(hot_map) >= 1 and max(hot_map.values()) > 1  # split branch taken
+    a = knn.knn_per_cell(ray.data.from_pandas(df), k=5, res=5, id_col="pid",
+                         hot_threshold=50).to_pandas()
+    b = knn.knn_per_cell(ray.data.from_pandas(df), k=5, res=5, id_col="pid",
+                         hot_threshold=10**9).to_pandas()
+    key = ["pid", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
