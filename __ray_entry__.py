@@ -532,6 +532,78 @@ def _q_media_frame_sample(sf_dir: str):
     return multimodal.frame_sample_stage(media, every_kth=4)
 
 
+# ---- training surface (learning.create_model / RF_oob_opt /
+# regression_results / prob_pixel_bloc analogues; stages/train.py) --------
+
+RIDGE_LAMBDAS = [0.0, 1.0, 100.0, 10000.0]
+
+# proba artifact: EXACT decimal literals restated verbatim in the oracle SQL
+# (z = (linear score - threshold)/100 — never 0, so pred has no > ties)
+PROBA_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+PROBA_WEIGHTS = (0.0002, 0.0001, -0.05, 0.03)
+PROBA_INTERCEPT = -5.3075000500000005e0
+
+
+def _q_train_linear(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    return train.fit_linear_closed_form_1d(ds, "l_quantity", "l_extendedprice")
+
+
+def _q_regression_metrics(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    w = train.fit_linear_closed_form_1d(ds, "l_quantity", "l_extendedprice")
+    slope, intercept = float(w.slope.iloc[0]), float(w.intercept.iloc[0])
+
+    def predict(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"y": b["l_extendedprice"].to_numpy(np.float64),
+                             "pred": intercept + slope * b["l_quantity"].to_numpy(np.float64)})
+
+    return train.regression_metrics(ds.map_batches(predict, batch_format="pandas"),
+                                    "y", "pred", round_to=2)
+
+
+def _q_ridge_param_scan(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    return train.fit_ridge_grid(
+        ds, ["l_quantity"], "l_extendedprice", lambdas=RIDGE_LAMBDAS,
+        split_key="l_orderkey", val_mod=5, split_mode="mod",
+        round_to=6, mse_round_to=2,
+    )
+
+
+def _q_classify_proba(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    path = train.save_model("/tmp/glr_models/proba_linear.json",
+                            list(PROBA_FEATURES),
+                            np.array([PROBA_INTERCEPT, *PROBA_WEIGHTS]))
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", *PROBA_FEATURES])
+    return train.predict_proba_stage(ds, path, keep_cols=["l_orderkey", "l_linenumber"])
+
+
+def _q_logistic_weights(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_tax"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"y": (b["l_returnflag"] == "R").astype(np.int64),
+                             "x1": b["l_discount"].to_numpy(np.float64) * 10.0,
+                             "x2": b["l_tax"].to_numpy(np.float64) * 10.0})
+
+    w = train.fit_logistic(ds.map_batches(prep, batch_format="pandas"),
+                           ["x1", "x2"], "y", iters=10, lr=0.5)
+    return pd.DataFrame({"w0": [round(float(w[0]), 4)], "w1": [round(float(w[1]), 4)],
+                         "w2": [round(float(w[2]), 4)]})
+
+
 def _q_shape_props(sf_dir: str):
     tbl = polygon_table()
     rows = []
@@ -571,6 +643,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "parts_above_avg": _q_parts_above_avg,
         "zonal_stats_multi": _q_zonal_stats_multi,
+        # training surface (SQL-checked: closed forms restated in DuckDB)
+        "train_linear_lineitem": _q_train_linear,
+        "regression_metrics_lineitem": _q_regression_metrics,
+        "ridge_param_scan": _q_ridge_param_scan,
+        "classify_proba_lineitem": _q_classify_proba,
+        "logistic_weights_lineitem": _q_logistic_weights,
         # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
         "geocode_cells": _q_geocode_cells,
         "pip_join_rows": _q_pip_join,
@@ -745,6 +823,48 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice, ROUND(AVG(l_extendedprice), 4) AS mean_l_extendedprice, "
             "ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "train_linear_lineitem": (
+            "WITH s AS (SELECT COUNT(*)::DOUBLE n, SUM(l_quantity) sx, SUM(l_extendedprice) sy, "
+            "SUM(l_quantity*l_quantity) sxx, SUM(l_quantity*l_extendedprice) sxy FROM lineitem) "
+            "SELECT ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope, "
+            "ROUND((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6) AS intercept FROM s"
+        ),
+        "regression_metrics_lineitem": (
+            "WITH s AS (SELECT COUNT(*)::DOUBLE n, SUM(l_quantity) sx, SUM(l_extendedprice) sy, "
+            "  SUM(l_quantity*l_quantity) sxx, SUM(l_quantity*l_extendedprice) sxy FROM lineitem), "
+            "w AS (SELECT ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope, "
+            "  ROUND((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6) AS intercept FROM s), "
+            "p AS (SELECT l_extendedprice AS y, intercept + slope*l_quantity AS pred FROM lineitem, w), "
+            "m AS (SELECT COUNT(*)::DOUBLE n, SUM(y) sy, SUM(y*y) syy, "
+            "  SUM(ABS(y - pred)) sae, SUM((y - pred)*(y - pred)) sse FROM p) "
+            "SELECT ROUND(1 - sse/(syy - sy*sy/n), 2) AS r2, ROUND(sae/n, 2) AS mae, "
+            "ROUND(sse/n, 2) AS mse, ROUND(SQRT(sse/n), 2) AS rmse FROM m"
+        ),
+        "ridge_param_scan": (
+            "WITH tr AS (SELECT COUNT(*)::DOUBLE n, SUM(l_quantity) sx, SUM(l_extendedprice) sy, "
+            "  SUM(l_quantity*l_quantity) sxx, SUM(l_quantity*l_extendedprice) sxy "
+            "  FROM lineitem WHERE l_orderkey % 5 <> 0), "
+            "va AS (SELECT COUNT(*)::DOUBLE n, SUM(l_quantity) sx, SUM(l_extendedprice) sy, "
+            "  SUM(l_quantity*l_quantity) sxx, SUM(l_quantity*l_extendedprice) sxy, "
+            "  SUM(l_extendedprice*l_extendedprice) syy FROM lineitem WHERE l_orderkey % 5 = 0), "
+            f"grid(lam) AS (VALUES {', '.join(f'(CAST({v!r} AS DOUBLE))' for v in RIDGE_LAMBDAS)}), "
+            "w AS (SELECT lam, "
+            "  (tr.sy*(tr.sxx + lam) - tr.sx*tr.sxy)/(tr.n*(tr.sxx + lam) - tr.sx*tr.sx) AS w0u, "
+            "  (tr.n*tr.sxy - tr.sx*tr.sy)/(tr.n*(tr.sxx + lam) - tr.sx*tr.sx) AS w1u "
+            "  FROM grid, tr) "
+            "SELECT lam, "
+            "ROUND((va.syy - 2*(w0u*va.sy + w1u*va.sxy) "
+            "  + (w0u*w0u*va.n + 2*w0u*w1u*va.sx + w1u*w1u*va.sxx))/va.n, 2) AS val_mse, "
+            "ROUND(w0u, 6) AS w0, ROUND(w1u, 6) AS w1 FROM w, va"
+        ),
+        "classify_proba_lineitem": (
+            "WITH z AS (SELECT l_orderkey, l_linenumber, "
+            f"  0.0002*l_quantity + 0.0001*l_extendedprice + -0.05*l_discount + 0.03*l_tax "
+            f"  + {PROBA_INTERCEPT!r} AS zz FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, ROUND(1/(1 + EXP(-zz)), 6) AS proba_1, "
+            "ROUND(1 - 1/(1 + EXP(-zz)), 6) AS proba_0, "
+            "CASE WHEN 1/(1 + EXP(-zz)) > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), "

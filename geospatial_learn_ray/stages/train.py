@@ -1,0 +1,256 @@
+"""Model TRAINING surface — the reference's center of gravity, Ray-first.
+
+Reference analogues (no sklearn wheel in this sandbox, so the estimators
+are deterministic pure-numpy, trained from distributed sufficient
+statistics — the same moment-partial machinery as stages/agg.py):
+
+- ``fit_linear``        → learning.create_model (learning.py:465): least
+  squares / ridge via normal equations. ONE ``map_batches`` pass computes
+  the (d+1)² Gram partials; the driver solves a tiny d×d system.
+- ``fit_ridge_grid``    → RF_oob_opt / create_model_optuna param scans
+  (learning.py:896, learning.py:79): a λ grid evaluated from the SAME
+  single-pass sufficient statistics — train stats and held-out validation
+  stats are both accumulated in that one pass, and every λ's validation
+  MSE falls out algebraically (mse = (Syy − 2wᵀb + wᵀAw)/n). A 100-point
+  grid costs one data pass + 100 tiny solves, not 100 passes.
+- ``regression_metrics``→ learning.regression_results (learning.py:866):
+  r², MAE, MSE, RMSE from error partials.
+- ``fit_logistic``      → the classification half of create_model:
+  deterministic full-batch gradient descent; each iteration is one
+  gradient-partial pass. Emits per-class probabilities via
+  ``predict_proba_stage`` (prob_pixel_bloc, learning.py:1401).
+
+Determinism: all estimators are closed-form or fixed-iteration with fixed
+seeds/learning rates, so retries and resumes reproduce byte-identical
+artifacts; the d=1 closed form is restated in SQL by the driver oracle
+(slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)) for STRONG value-hash checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..functions.hashing import splitmix64
+from ..functions.rounding import round_half_away
+
+
+def _design_partials(features: list[str], target: str, split_key: str | None = None,
+                     val_mod: int = 5, split_mode: str = "hash"):
+    """Per-batch partial sufficient statistics of the design matrix
+    [1, X]: A = ΣzᵀZ, b = Zᵀy, syy = Σy², n — flattened to one row per
+    batch (and per train/val split when ``split_key`` is given).
+    ``split_mode="hash"`` (default) finalizes the key with splitmix64;
+    ``"mod"`` uses the raw key modulo (SQL-restatable for oracles)."""
+    d = len(features) + 1
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        X = b[features].to_numpy(np.float64)
+        y = b[target].to_numpy(np.float64)
+        Z = np.concatenate([np.ones((len(X), 1)), X], axis=1)
+        if split_key is None:
+            splits = np.zeros(len(X), np.int8)
+        else:
+            kv = b[split_key].to_numpy().astype(np.uint64)
+            kh = splitmix64(kv) if split_mode == "hash" else kv
+            splits = (kh % np.uint64(val_mod) == 0).astype(np.int8)  # 1 = val
+        rows = []
+        for s in np.unique(splits):
+            m = splits == s
+            Zm, ym = Z[m], y[m]
+            A = Zm.T @ Zm
+            bb = Zm.T @ ym
+            rows.append({"split": int(s), "n": int(m.sum()), "syy": float(ym @ ym),
+                         **{f"a{i}_{j}": A[i, j] for i in range(d) for j in range(i, d)},
+                         **{f"b{i}": bb[i] for i in range(d)}})
+        return pd.DataFrame(rows)
+
+    return fn, d
+
+
+def _collect_stats(ds: ray.data.Dataset, features: list[str], target: str,
+                   split_key: str | None = None, val_mod: int = 5,
+                   split_mode: str = "hash"):
+    """→ {split: (A, b, n, syy)} from one streaming pass (driver sees only
+    one tiny row per (batch, split))."""
+    fn, d = _design_partials(features, target, split_key, val_mod, split_mode)
+    parts = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    out = {}
+    for s, g in parts.groupby("split"):
+        A = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                A[i, j] = A[j, i] = g[f"a{i}_{j}"].sum()
+        b = np.array([g[f"b{i}"].sum() for i in range(d)])
+        out[int(s)] = (A, b, int(g["n"].sum()), float(g["syy"].sum()))
+    return out
+
+
+def _solve(A: np.ndarray, b: np.ndarray, ridge: float = 0.0) -> np.ndarray:
+    if ridge > 0.0:
+        R = np.eye(len(A)) * ridge
+        R[0, 0] = 0.0  # never penalize the intercept
+        A = A + R
+    return np.linalg.solve(A, b)
+
+
+def fit_linear(ds: ray.data.Dataset, features: list[str], target: str,
+               ridge: float = 0.0) -> np.ndarray:
+    """Least-squares / ridge weights [intercept, w1..wd] — one pass."""
+    stats = _collect_stats(ds, features, target)
+    A, b, _, _ = stats[0]
+    return _solve(A, b, ridge)
+
+
+def fit_linear_closed_form_1d(ds: ray.data.Dataset, x_col: str, y_col: str,
+                              round_to: int = 6) -> pd.DataFrame:
+    """d=1 least squares via the explicit closed form the SQL oracle
+    restates: slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²). Returns one row
+    (slope, intercept) rounded half-away (oracle-compared)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        return pd.DataFrame({"n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+                             "sxx": [(x * x).sum()], "sxy": [(x * y).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n, sx, sy = p["n"].sum(), p["sx"].sum(), p["sy"].sum()
+    sxx, sxy = p["sxx"].sum(), p["sxy"].sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({"slope": [round_half_away(float(slope), round_to)],
+                         "intercept": [round_half_away(float(intercept), round_to)]})
+
+
+def fit_ridge_grid(ds: ray.data.Dataset, features: list[str], target: str,
+                   lambdas: list[float], split_key: str, val_mod: int = 5,
+                   round_to: int = 6, mse_round_to: int | None = None,
+                   split_mode: str = "hash") -> pd.DataFrame:
+    """Param scan (RF_oob_opt analogue): hash-held-out validation MSE for
+    every λ from ONE data pass. Rows (lam, val_mse, w0..wd), best first is
+    the caller's `.iloc[argmin]`."""
+    stats = _collect_stats(ds, features, target, split_key=split_key, val_mod=val_mod,
+                           split_mode=split_mode)
+    if mse_round_to is None:
+        mse_round_to = round_to
+    A_tr, b_tr, _, _ = stats[0]
+    A_va, b_va, n_va, syy_va = stats[1]
+    rows = []
+    for lam in lambdas:
+        w = _solve(A_tr, b_tr, lam)
+        mse = (syy_va - 2.0 * (w @ b_va) + w @ A_va @ w) / n_va
+        rows.append({"lam": lam, "val_mse": round_half_away(float(mse), mse_round_to),
+                     **{f"w{i}": round_half_away(float(w[i]), round_to) for i in range(len(w))}})
+    return pd.DataFrame(rows)
+
+
+def regression_metrics(ds: ray.data.Dataset, y_col: str, pred_col: str,
+                       round_to: int = 6) -> pd.DataFrame:
+    """learning.regression_results (learning.py:866): r² / MAE / MSE / RMSE
+    from streaming error partials (one pass, tiny driver combine)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = b[y_col].to_numpy(np.float64)
+        e = y - b[pred_col].to_numpy(np.float64)
+        return pd.DataFrame({"n": [len(y)], "sy": [y.sum()], "syy": [(y * y).sum()],
+                             "sae": [np.abs(e).sum()], "sse": [(e * e).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = p["n"].sum()
+    sy, syy = p["sy"].sum(), p["syy"].sum()
+    sae, sse = p["sae"].sum(), p["sse"].sum()
+    sst = syy - sy * sy / n
+    return pd.DataFrame({
+        "r2": [round_half_away(float(1.0 - sse / sst), round_to)],
+        "mae": [round_half_away(float(sae / n), round_to)],
+        "mse": [round_half_away(float(sse / n), round_to)],
+        "rmse": [round_half_away(float(np.sqrt(sse / n)), round_to)],
+    })
+
+
+def fit_logistic(ds: ray.data.Dataset, features: list[str], label: str,
+                 iters: int = 25, lr: float = 0.5) -> np.ndarray:
+    """Deterministic full-batch logistic regression: fixed iteration count,
+    fixed step, zero init — each iteration is ONE gradient-partial pass
+    (the distributed-sufficient-statistics shape; no driver-side rows).
+    Features should be roughly unit-scale (caller normalizes)."""
+    d = len(features) + 1
+    w = np.zeros(d)
+    for _ in range(iters):
+        w_now = w.copy()
+
+        def grad_partial(b: pd.DataFrame, w_=w_now) -> pd.DataFrame:
+            X = b[features].to_numpy(np.float64)
+            y = b[label].to_numpy(np.float64)
+            Z = np.concatenate([np.ones((len(X), 1)), X], axis=1)
+            p = 1.0 / (1.0 + np.exp(-(Z @ w_)))
+            g = Z.T @ (p - y)
+            return pd.DataFrame({"n": [len(X)], **{f"g{i}": [g[i]] for i in range(len(w_))}})
+
+        parts = ds.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        n = parts["n"].sum()
+        g = np.array([parts[f"g{i}"].sum() for i in range(d)]) / n
+        w = w - lr * g
+    return w
+
+
+def save_model(path: str, features: list[str], weights: np.ndarray,
+               kind: str = "linear") -> str:
+    """Persist the trained artifact (learning.py:678 joblib.dump → JSON)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"kind": kind, "features": list(features),
+                   "intercept": float(weights[0]),
+                   "weights": [float(v) for v in weights[1:]]}, f)
+    return path
+
+
+class ProbaScorer:
+    """prob_pixel_bloc analogue (learning.py:1401, one-class select at
+    1522-1526): per-class probability columns from a linear/logistic
+    artifact, loaded once per actor. proba_1 = σ(w·x + b), proba_0 = 1−p;
+    ``one_class`` selects a single class column like the reference."""
+
+    def __init__(self, model_path: str, round_to: int = 6, one_class: int | None = None):
+        with open(model_path) as f:
+            m = json.load(f)
+        self.features = m["features"]
+        self.w = np.asarray(m["weights"], np.float64)
+        self.b = float(m["intercept"])
+        self.round_to = round_to
+        self.one_class = one_class
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = batch[self.features].to_numpy(np.float64)
+        z = X @ self.w + self.b
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        batch = batch.copy()
+        if self.one_class is None or self.one_class == 1:
+            batch["proba_1"] = round_half_away(p1, self.round_to)
+        if self.one_class is None or self.one_class == 0:
+            batch["proba_0"] = round_half_away(1.0 - p1, self.round_to)
+        batch["pred"] = (p1 > 0.5).astype(np.int32)
+        return batch
+
+
+def predict_proba_stage(ds: ray.data.Dataset, model_path: str, keep_cols: list[str],
+                        concurrency=(1, 8), batch_size: int = 65536,
+                        one_class: int | None = None) -> ray.data.Dataset:
+    out = ds.map_batches(
+        ProbaScorer, fn_constructor_args=(model_path,),
+        fn_constructor_kwargs={"one_class": one_class},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+    if one_class is None:
+        cols = keep_cols + ["proba_1", "proba_0", "pred"]
+    elif one_class == 1:
+        cols = keep_cols + ["proba_1", "pred"]
+    else:
+        cols = keep_cols + ["proba_0", "pred"]
+    return out.select_columns(cols)

@@ -1,0 +1,85 @@
+import numpy as np
+import pandas as pd
+import ray.data
+
+from geospatial_learn_ray.stages import train
+
+
+def _lin_df(n=4000, noise=0.0, seed=3):
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(-1, 3, n)
+    y = 1.0 + 2.0 * x1 - 3.0 * x2 + (rng.normal(0, noise, n) if noise else 0.0)
+    return pd.DataFrame({"key": np.arange(n), "x1": x1, "x2": x2, "y": y})
+
+
+def test_fit_linear_recovers_exact_weights():
+    df = _lin_df()
+    w = train.fit_linear(ray.data.from_pandas(df), ["x1", "x2"], "y")
+    assert np.allclose(w, [1.0, 2.0, -3.0], atol=1e-9)
+
+
+def test_fit_linear_closed_form_1d_matches_polyfit():
+    df = _lin_df(noise=0.5)[["key", "x1", "y"]]
+    out = train.fit_linear_closed_form_1d(ray.data.from_pandas(df), "x1", "y")
+    slope, intercept = np.polyfit(df.x1, df.y, 1)
+    assert abs(out.slope.iloc[0] - slope) < 1e-5
+    assert abs(out.intercept.iloc[0] - intercept) < 1e-5
+
+
+def test_ridge_grid_prefers_zero_on_noiseless_data():
+    df = _lin_df()
+    grid = train.fit_ridge_grid(
+        ray.data.from_pandas(df), ["x1", "x2"], "y",
+        lambdas=[0.0, 1.0, 10.0, 100.0], split_key="key",
+    )
+    assert grid.val_mse.iloc[0] == grid.val_mse.min()  # lam=0 is exact
+    assert grid.val_mse.is_monotonic_increasing  # shrinkage only hurts here
+    assert abs(grid.w1.iloc[0] - 2.0) < 1e-5 and abs(grid.w2.iloc[0] + 3.0) < 1e-5
+
+
+def test_regression_metrics_perfect_and_known():
+    df = _lin_df()
+    df["pred"] = df["y"]
+    m = train.regression_metrics(ray.data.from_pandas(df), "y", "pred")
+    assert m.r2.iloc[0] == 1.0 and m.mae.iloc[0] == 0.0 and m.mse.iloc[0] == 0.0
+    df["pred2"] = df["y"] + 1.0  # constant offset: mae=mse=1
+    m2 = train.regression_metrics(ray.data.from_pandas(df), "y", "pred2")
+    assert abs(m2.mae.iloc[0] - 1.0) < 1e-9 and abs(m2.mse.iloc[0] - 1.0) < 1e-9
+
+
+def test_fit_logistic_separates():
+    rng = np.random.default_rng(11)
+    n = 3000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = (0.5 + 1.5 * x1 - 2.0 * x2 > 0).astype(np.int64)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    w = train.fit_logistic(ray.data.from_pandas(df), ["x1", "x2"], "y", iters=40, lr=1.0)
+    z = w[0] + w[1] * x1 + w[2] * x2
+    acc = ((z > 0).astype(np.int64) == y).mean()
+    assert acc > 0.95
+    # direction matches the generating weights
+    assert w[1] > 0 and w[2] < 0
+
+
+def test_proba_scorer_sigmoid_and_complement(tmp_path):
+    df = _lin_df(500)
+    path = train.save_model(str(tmp_path / "m.json"), ["x1", "x2"], np.array([0.5, 1.0, -1.0]))
+    out = train.predict_proba_stage(
+        ray.data.from_pandas(df), path, keep_cols=["key", "x1", "x2"]
+    ).to_pandas().sort_values("key").reset_index(drop=True)
+    z = 0.5 + df.x1.to_numpy() - df.x2.to_numpy()
+    p1 = 1.0 / (1.0 + np.exp(-z))
+    assert np.allclose(out.proba_1, np.round(p1, 6), atol=1e-6)
+    assert np.allclose(out.proba_1 + out.proba_0, 1.0, atol=2e-6)
+    assert (out.pred == (p1 > 0.5).astype(np.int32)).all()
+
+
+def test_one_class_proba_selects_column(tmp_path):
+    df = _lin_df(100)
+    path = train.save_model(str(tmp_path / "m.json"), ["x1"], np.array([0.0, 1.0]))
+    out = train.predict_proba_stage(
+        ray.data.from_pandas(df), path, keep_cols=["key"], one_class=1
+    ).to_pandas()
+    assert list(out.columns) == ["key", "proba_1", "pred"]
