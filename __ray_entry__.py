@@ -28,9 +28,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from geospatial_learn_ray.functions.geometry import ring_props, wkb_to_ring
+from geospatial_learn_ray.functions.rounding import round_half_away
 from geospatial_learn_ray.sources.pages import pages_sql, read_pages
 from geospatial_learn_ray.sources.polygons import polygon_table
-from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles
+from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles, tiles_sql
 from geospatial_learn_ray.stages import agg, dedup, joins, knn, raster, scorer, textstages
 from geospatial_learn_ray.stages.cellindex import geocode_and_cells
 from geospatial_learn_ray.stages.pip_join import pip_join
@@ -374,7 +375,7 @@ def _q_combine_scene_tiles(sf_dir: str):
         vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
         return pd.DataFrame(
             {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-             "mean_value": np.round(vals.mean(axis=1), 6)}
+             "mean_value": round_half_away(vals.mean(axis=1), 6)}
         )
 
     return out.map_batches(summarize, batch_format="pandas")
@@ -394,7 +395,7 @@ def _q_temporal_mean_tiles(sf_dir: str):
         vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
         return pd.DataFrame(
             {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"], "n_epochs": batch["n_epochs"],
-             "mean_value": np.round(vals.mean(axis=1), 6)}
+             "mean_value": round_half_away(vals.mean(axis=1), 6)}
         )
 
     return out.map_batches(summarize, batch_format="pandas")
@@ -409,7 +410,7 @@ def _q_hist_match_tiles(sf_dir: str):
         vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
         return pd.DataFrame(
             {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-             "mean_ecdf": np.round(vals.mean(axis=1), 6)}
+             "mean_ecdf": round_half_away(vals.mean(axis=1), 6)}
         )
 
     return out.map_batches(summarize, batch_format="pandas")
@@ -471,7 +472,20 @@ def _q_point_raster_lookup(sf_dir: str):
 
 
 def _q_clip_tiles(sf_dir: str):
-    return raster.clip_tiles(read_tiles(tile_px=32, with_pixels=False), -20.0, -20.0, 40.0, 30.0)
+    clipped = raster.clip_tiles(read_tiles(tile_px=32, with_pixels=False), -20.0, -20.0, 40.0, 30.0)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        w = b["window"].combine_chunks() if isinstance(b["window"], pa.ChunkedArray) else b["window"]
+        return pa.table(
+            {
+                "tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                "col_off": w.field("col_off"), "row_off": w.field("row_off"),
+                "width": w.field("width"), "height": w.field("height"),
+                "crs": b["crs"],
+            }
+        )
+
+    return clipped.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_fill_nodata_tiles(sf_dir: str):
@@ -865,6 +879,107 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, ROUND(1/(1 + EXP(-zz)), 6) AS proba_1, "
             "ROUND(1 - 1/(1 + EXP(-zz)), 6) AS proba_0, "
             "CASE WHEN 1/(1 + EXP(-zz)) > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
+        ),
+        # ---- tile family: the closed-form raster restated in SQL ----------
+        # (tiles_sql regenerates every pixel bit-exactly; per-tile sums of
+        # float32 pixels in float64 are exact, so AVG/COUNT match numpy)
+        "mask_tiles": (
+            f"WITH {tiles_sql(32)} "
+            "SELECT tile_x, tile_y, COUNT(*) FILTER (WHERE vd < 0.5) AS masked_count "
+            "FROM rast GROUP BY tile_x, tile_y"
+        ),
+        "fill_nodata_tiles": (
+            # filled_count is the pre-fill hole count: pixels masked (<0.3)
+            # to the nodata value 0.0 (v==0 implies v<0.3, so one predicate)
+            f"WITH {tiles_sql(32)} "
+            "SELECT tile_x, tile_y, COUNT(*) FILTER (WHERE vd < 0.3) AS filled_count "
+            "FROM rast GROUP BY tile_x, tile_y"
+        ),
+        "clip_tiles": (
+            "WITH g AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
+            f"  -180.0 + x.range * {360.0 / GRID_X!r} AS bx0, -80.0 + y.range * {160.0 / GRID_Y!r} AS by0 "
+            f"  FROM range(0,{GRID_X}) x, range(0,{GRID_Y}) y) "
+            "SELECT tile_x, tile_y, CAST(tile_x*32 AS BIGINT) AS col_off, CAST(tile_y*32 AS BIGINT) AS row_off, "
+            "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height, 'EPSG:4326' AS crs FROM g "
+            f"WHERE bx0 + {360.0 / GRID_X!r} > -20.0 AND bx0 < 40.0 "
+            f"AND by0 + {160.0 / GRID_Y!r} > -20.0 AND by0 < 30.0"
+        ),
+        "raster_points": (
+            f"WITH {tiles_sql(32)} "
+            "SELECT tile_x, tile_y, CAST(py AS INTEGER) AS row, CAST(px AS INTEGER) AS col, "
+            "v AS value FROM rast WHERE py % 8 = 0 AND px % 8 = 0"
+        ),
+        "ndvi_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "nd AS (SELECT tile_x, tile_y, "
+            "  ((1.5*vd + 0.25) - vd) / (CASE WHEN (1.5*vd + 0.25) + vd = 0 THEN 1.0 "
+            "    ELSE (1.5*vd + 0.25) + vd END) AS x FROM rast) "
+            "SELECT tile_x, tile_y, ROUND(AVG(x), 6) AS ndvi_mean, "
+            "ROUND(MIN(x), 6) AS ndvi_min, ROUND(MAX(x), 6) AS ndvi_max "
+            "FROM nd GROUP BY tile_x, tile_y"
+        ),
+        "apply_lut_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "l AS (SELECT tile_x, tile_y, "
+            "  LEAST(GREATEST(CAST(TRUNC(vd * 10.0) AS BIGINT), 0), 39) AS lab FROM rast) "
+            "SELECT tile_x, tile_y, COUNT(*) FILTER (WHERE lab < 10) AS n_label0, "
+            "COUNT(*) FILTER (WHERE lab >= 10 AND lab < 20) AS n_label1, "
+            "COUNT(*) FILTER (WHERE lab >= 20) AS n_other "
+            "FROM l GROUP BY tile_x, tile_y"
+        ),
+        "combine_scene_tiles": (
+            # A = mask(v<0.8 → 0); combined = where(A==0, B, A) with B the
+            # original raster — algebraically the identity on v (v<0.8 ⇒ A=0
+            # ⇒ take B=v; v≥0.8 ⇒ A=v), so the oracle is the plain tile mean
+            f"WITH {tiles_sql(32)} "
+            "SELECT tile_x, tile_y, ROUND(AVG(vd), 6) AS mean_value "
+            "FROM rast GROUP BY tile_x, tile_y"
+        ),
+        "temporal_mean_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "t AS (SELECT tile_x, tile_y, CAST(CAST((vd + CASE WHEN vd > 1.5 THEN 1.5 ELSE vd END)/2 "
+            "  AS FLOAT) AS DOUBLE) AS tm FROM rast) "
+            "SELECT tile_x, tile_y, CAST(2 AS BIGINT) AS n_epochs, ROUND(AVG(tm), 6) AS mean_value "
+            "FROM t GROUP BY tile_x, tile_y"
+        ),
+        "rgb_indices_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "c AS (SELECT tile_x, tile_y, vd AS r, 1.2*vd + 0.1 AS g, 0.8*vd + 0.3 AS b FROM rast), "
+            "t AS (SELECT tile_x, tile_y, r/tot AS rr, g/tot AS gg, b/tot AS bb FROM "
+            "  (SELECT *, CASE WHEN r + g + b = 0 THEN 1.0 ELSE r + g + b END AS tot FROM c)), "
+            "i AS (SELECT tile_x, tile_y, 2*gg - rr - bb AS exg, 1.4*rr - gg AS exr, "
+            "  0.441*rr - 0.811*gg + 0.385*bb + 18.78745 AS cive, "
+            "  (2*gg - rr - bb) / (CASE WHEN 2*gg + rr + bb = 0 THEN 1.0 ELSE 2*gg + rr + bb END) AS gli "
+            "  FROM t) "
+            "SELECT tile_x, tile_y, ROUND(AVG(exg), 6) AS exg_mean, ROUND(AVG(exr), 6) AS exr_mean, "
+            "ROUND(AVG(cive), 6) AS cive_mean, ROUND(AVG(gli), 6) AS gli_mean "
+            "FROM i GROUP BY tile_x, tile_y"
+        ),
+        "slope_tiles": (
+            # focal gradient on the GLOBAL pixel grid: LEAD/LAG along rows and
+            # columns are exactly the engine's cross-tile halo; COALESCE(.., vd)
+            # is the edge-clamp at the raster border
+            f"WITH {tiles_sql(32)}, "
+            "g AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, vd FROM rast), "
+            "h AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vr, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vl FROM g), "
+            "v2 AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vu, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vb FROM h), "
+            "s AS (SELECT tile_x, tile_y, SQRT(((vr - vl)/2.0)*((vr - vl)/2.0) "
+            "  + ((vu - vb)/2.0)*((vu - vb)/2.0)) AS sl FROM v2) "
+            "SELECT tile_x, tile_y, ROUND(AVG(sl), 6) AS mean_slope FROM s GROUP BY tile_x, tile_y"
+        ),
+        "hist_match_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "hist AS (SELECT LEAST(GREATEST(CAST(TRUNC((vd - -2.5)/5.0*128) AS BIGINT), 0), 127) AS bin, "
+            "  COUNT(*)::DOUBLE AS n FROM rast GROUP BY 1), "
+            "bins AS (SELECT r.range AS bin FROM range(0,128) r), "
+            "filled AS (SELECT b.bin, COALESCE(h.n, 0.0) AS n FROM bins b LEFT JOIN hist h ON b.bin = h.bin), "
+            "lut AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) "
+            "  / (SELECT SUM(n) FROM filled) AS FLOAT) AS e FROM filled), "
+            "app AS (SELECT r.tile_x, r.tile_y, CAST(l.e AS DOUBLE) AS ed FROM rast r JOIN lut l "
+            "  ON l.bin = LEAST(GREATEST(CAST(TRUNC((r.vd - -2.5)/5.0*128) AS BIGINT), 0), 127)) "
+            "SELECT tile_x, tile_y, ROUND(AVG(ed), 6) AS mean_ecdf FROM app GROUP BY tile_x, tile_y"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), "

@@ -67,3 +67,35 @@ def read_tiles(tile_px: int = 64, grid_x: int = GRID_X, grid_y: int = GRID_Y, wi
         return pa.table(cols)
 
     return ray.data.range(n).map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+def tiles_sql(tile_px: int = 32, grid_x: int = GRID_X, grid_y: int = GRID_Y) -> str:
+    """DuckDB CTE chain regenerating the closed-form raster pixel-exactly —
+    the oracle-side twin of ``tile_pixels`` (used by oracle_sql tile
+    queries so tile operators get STRONG value-hash checks).
+
+    Exactness argument: ``sin(tile_x*0.1)`` / ``cos(tile_y*0.1)`` are
+    inlined as numpy-computed float64 literals (shortest round-trip repr →
+    DuckDB parses the identical bits), the grid term is exact integer
+    arithmetic divided by 97.0, and the final ``CAST(... AS FLOAT)`` is the
+    same IEEE round-to-nearest as ``astype(float32)``. Per-tile sums of
+    ≤ tile_px² float32 values in float64 are exact (24+log2(npx) ≤ 53
+    mantissa bits), so downstream AVG/SUM match numpy bit-for-bit.
+
+    Exposes CTEs: ``rast(tile_x, tile_y, py, px, v, vd)`` where ``v`` is
+    the float32 pixel and ``vd`` its float64 widening; py is the row index
+    (first axis of the pixel block), px the column.
+    """
+    sx = ", ".join(f"({tx}, {float(np.sin(tx * 0.1))!r})" for tx in range(grid_x))
+    sy = ", ".join(f"({ty}, {float(np.cos(ty * 0.1))!r})" for ty in range(grid_y))
+    return (
+        f"_tsx(tile_x, sv) AS (VALUES {sx}), "
+        f"_tsy(tile_y, cv) AS (VALUES {sy}), "
+        f"_tpix AS (SELECT r.range AS py, c.range AS px, "
+        f"  ((r.range*31 + c.range) % 97)/97.0 AS g "
+        f"  FROM range(0,{tile_px}) r, range(0,{tile_px}) c), "
+        f"rast AS (SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y, "
+        f"  py, px, CAST(sv + cv + g AS FLOAT) AS v, "
+        f"  CAST(CAST(sv + cv + g AS FLOAT) AS DOUBLE) AS vd "
+        f"  FROM _tsx CROSS JOIN _tsy CROSS JOIN _tpix)"
+    )

@@ -59,9 +59,9 @@ def ndvi_stage(ds: ray.data.Dataset, round_to: int = 6) -> ray.data.Dataset:
             {
                 "tile_x": batch["tile_x"],
                 "tile_y": batch["tile_y"],
-                "ndvi_mean": pa.array(np.round(ndvi.mean(axis=1), round_to)),
-                "ndvi_min": pa.array(np.round(ndvi.min(axis=1), round_to)),
-                "ndvi_max": pa.array(np.round(ndvi.max(axis=1), round_to)),
+                "ndvi_mean": pa.array(round_half_away(ndvi.mean(axis=1), round_to)),
+                "ndvi_min": pa.array(round_half_away(ndvi.min(axis=1), round_to)),
+                "ndvi_max": pa.array(round_half_away(ndvi.max(axis=1), round_to)),
             }
         )
 
@@ -174,7 +174,7 @@ def rgb_indices_stage(ds: ray.data.Dataset, round_to: int = 6) -> ray.data.Datas
         }
         cols = {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"]}
         for name, v in idx.items():
-            cols[f"{name}_mean"] = pa.array(np.round(v.mean(axis=1), round_to))
+            cols[f"{name}_mean"] = pa.array(round_half_away(v.mean(axis=1), round_to))
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -330,7 +330,7 @@ def rasterize_fraction(ds: ray.data.Dataset, polygons: pa.Table, samples_per_sid
             cov_frac = covered.reshape(len(tx), s * s).mean(axis=1)
             return pa.table(
                 {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-                 "coverage": pa.array(np.round(cov_frac, 6))}
+                 "coverage": pa.array(round_half_away(cov_frac, 6))}
             )
 
     return ds.map_batches(Burn, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8))
@@ -368,7 +368,7 @@ def point_raster_lookup(points: ray.data.Dataset, grid_x: int, grid_y: int, tile
                 m = (tx == key[0]) & (ty == key[1])
                 vals[m] = self.window(key)[py[m], px[m]]
             out = batch.select(carry_cols)
-            return out.append_column("value", pa.array(np.round(vals.astype(np.float64), 6)))
+            return out.append_column("value", pa.array(round_half_away(vals.astype(np.float64), 6)))
 
     return points.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
@@ -606,7 +606,9 @@ def slope_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.da
             padded[-1, 1:-1] = down
             gx = (padded[1:-1, 2:] - padded[1:-1, :-2]) / 2.0
             gy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) / 2.0
-            out[i] = np.hypot(gx, gy).mean()
+            # sqrt(gx²+gy²), not np.hypot: hypot's overflow-safe path rounds
+            # differently from the SQL oracle's SQRT; plain IEEE ops match bit-for-bit
+            out[i] = np.sqrt(gx * gx + gy * gy).mean()
         return pa.table(
             {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
              "mean_slope": pa.array(round_half_away(out, round_to))}
@@ -815,9 +817,9 @@ def zonal_tile_stats(ds: ray.data.Dataset, polygons: pa.Table, grid_x: int, grid
             {
                 "feature_id": b["feature_id"],
                 "pixel_count": b["n"].astype(np.int64),
-                "mean_value": (b["s"] / b["n"]).round(round_to),
-                "min_value": b["mn"].round(round_to),
-                "max_value": b["mx"].round(round_to),
+                "mean_value": round_half_away((b["s"] / b["n"]).to_numpy(), round_to),
+                "min_value": round_half_away(b["mn"].to_numpy(), round_to),
+                "max_value": round_half_away(b["mx"].to_numpy(), round_to),
             }
         )
 

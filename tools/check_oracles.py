@@ -44,27 +44,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+STRICT = False  # --strict: driver fidelity — exact values AND exact dtypes
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if len(a) != len(b):
         return f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    if STRICT:
+        for c in sorted(a.columns):
+            if str(a[c].dtype) != str(b[c].dtype):
+                return f"dtype {c}: engine {a[c].dtype} vs oracle {b[c].dtype}"
     a, b = canon(a), canon(b)
+    atol = 0.0 if STRICT else 1e-9
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
-            ok = np.allclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+            ok = np.allclose(av, bv, rtol=0, atol=atol, equal_nan=True)
         else:
             ok = (av == bv).all()
         if not ok:
-            bad = np.nonzero(~(av == bv) if not pd.api.types.is_float_dtype(a[c]) else ~np.isclose(av, bv, rtol=0, atol=1e-9))[0][:5]
+            bad = np.nonzero(~(av == bv) if not pd.api.types.is_float_dtype(a[c]) else ~np.isclose(av, bv, rtol=0, atol=atol))[0][:5]
             return f"column {c} mismatch at rows {bad.tolist()}: {av[bad][:3]} vs {bv[bad][:3]}"
     return None
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
