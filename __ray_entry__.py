@@ -30,7 +30,7 @@ import ray.data
 from geospatial_learn_ray.functions.geometry import ring_props, wkb_to_ring
 from geospatial_learn_ray.functions.rounding import round_half_away
 from geospatial_learn_ray.sources.pages import pages_sql, read_pages
-from geospatial_learn_ray.sources.polygons import polygon_table
+from geospatial_learn_ray.sources.polygons import pip_sql, polygon_table, polygons_sql
 from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles, tiles_sql
 from geospatial_learn_ray.stages import agg, dedup, joins, knn, raster, scorer, textstages
 from geospatial_learn_ray.stages.cellindex import geocode_and_cells
@@ -725,6 +725,20 @@ _QUALITY_STOP = (
 
 _SCORER_SQL = scorer.sql_for_scorer("lineitem", "l_orderkey, l_linenumber")
 
+# tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
+_TILE_GRID_SQL = (
+    "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
+    "  -180.0 + x.range*5.625 AS tbx0, -80.0 + y.range*5.0 AS tby0, "
+    "  -180.0 + x.range*5.625 + 5.625 AS tbx1, -80.0 + y.range*5.0 + 5.0 AS tby1 "
+    f"  FROM range(0,{GRID_X}) x, range(0,{GRID_Y}) y)"
+)
+
+# tile center → containing feature (the zonal/texture tile→feature map)
+_TILE_FEATURE_SQL = (
+    "tcent AS (SELECT tile_x, tile_y, (tbx0 + tbx1)/2.0 AS cx, (tby0 + tby1)/2.0 AS cy FROM tgrid), "
+    f"tfeat AS (SELECT t.tile_x, t.tile_y, p.feature_id FROM tcent t JOIN polys p ON {pip_sql('t.cx', 't.cy')})"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -879,6 +893,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, ROUND(1/(1 + EXP(-zz)), 6) AS proba_1, "
             "ROUND(1 - 1/(1 + EXP(-zz)), 6) AS proba_0, "
             "CASE WHEN 1/(1 + EXP(-zz)) > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
+        ),
+        # ---- polygon family: closed-form layer + exact PiP in SQL ---------
+        "geom_pixel_bbox": (
+            f"WITH {polygons_sql()} "
+            "SELECT feature_id, "
+            "CAST(TRUNC((pminx - -180.0)/0.17578125) AS BIGINT) AS px_min, "
+            "CAST(TRUNC((pmaxx - -180.0)/0.17578125) AS BIGINT) AS px_max, "
+            "CAST(TRUNC((pminy - -80.0)/0.15625) AS BIGINT) AS py_min, "
+            "CAST(TRUNC((pmaxy - -80.0)/0.15625) AS BIGINT) AS py_max "
+            "FROM polys"
+        ),
+        "zonal_tile_stats": (
+            f"WITH {tiles_sql(32)}, {polygons_sql()}, {_TILE_GRID_SQL}, {_TILE_FEATURE_SQL}, "
+            "ts AS (SELECT tile_x, tile_y, SUM(vd) AS s, MIN(vd) AS mn, MAX(vd) AS mx "
+            "  FROM rast GROUP BY tile_x, tile_y), "
+            "a AS (SELECT f.feature_id, COUNT(*) AS nt, SUM(ts.s) AS s, MIN(ts.mn) AS mn, MAX(ts.mx) AS mx "
+            "  FROM tfeat f JOIN ts USING (tile_x, tile_y) GROUP BY f.feature_id) "
+            "SELECT feature_id, CAST(nt*1024 AS BIGINT) AS pixel_count, "
+            "ROUND(s / CAST(nt*1024 AS DOUBLE), 6) AS mean_value, "
+            "ROUND(mn, 6) AS min_value, ROUND(mx, 6) AS max_value FROM a"
+        ),
+        "rasterize_fraction": (
+            f"WITH {polygons_sql()}, {_TILE_GRID_SQL}, "
+            "sp AS (SELECT f.range AS k, f.range/8.0 + 0.0625 AS frac FROM range(0,8) f), "
+            "pts AS (SELECT tile_x, tile_y, fx.k AS kx, fy.k AS ky, "
+            "  tbx0 + (tbx1 - tbx0)*fx.frac AS sx, tby0 + (tby1 - tby0)*fy.frac AS sy "
+            "  FROM tgrid, sp fx, sp fy), "
+            "hits AS (SELECT DISTINCT tile_x, tile_y, kx, ky FROM pts "
+            f"  JOIN polys p ON {pip_sql('pts.sx', 'pts.sy')}), "
+            "cov AS (SELECT tile_x, tile_y, COUNT(*) AS c FROM hits GROUP BY tile_x, tile_y) "
+            "SELECT g.tile_x, g.tile_y, ROUND(COALESCE(c.c, 0)/64.0, 6) AS coverage "
+            "FROM tgrid g LEFT JOIN cov c USING (tile_x, tile_y)"
+        ),
+        "texture_stats": (
+            f"WITH {tiles_sql(32)}, {polygons_sql()}, {_TILE_GRID_SQL}, {_TILE_FEATURE_SQL}, "
+            "qt AS (SELECT tile_x, tile_y, py, px, "
+            "  LEAST(GREATEST(CAST(TRUNC((vd - -2.5)/5.0*8) AS BIGINT), 0), 7) AS q FROM rast), "
+            "pr AS (SELECT a.tile_x, a.tile_y, a.q AS qa, b.q AS qb FROM qt a JOIN qt b "
+            "  ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y AND a.py = b.py AND b.px = a.px + 1), "
+            "sym AS (SELECT tile_x, tile_y, qa, qb FROM pr "
+            "  UNION ALL SELECT tile_x, tile_y, qb AS qa, qa AS qb FROM pr), "
+            "fm AS (SELECT f.feature_id, s.qa, s.qb, COUNT(*) AS m FROM tfeat f "
+            "  JOIN sym s USING (tile_x, tile_y) GROUP BY 1, 2, 3), "
+            "tot AS (SELECT feature_id, CAST(SUM(m) AS DOUBLE) AS t FROM fm GROUP BY 1), "
+            "pp AS (SELECT fm.feature_id, qa, qb, CAST(m AS DOUBLE)/t AS p FROM fm JOIN tot USING (feature_id)) "
+            "SELECT feature_id, ROUND(SUM((qa - qb)*(qa - qb)*p), 6) AS contrast, "
+            "ROUND(SUM(p/(1 + ABS(qa - qb))), 6) AS homogeneity, "
+            "ROUND(SUM(p*p), 6) AS energy, "
+            "ROUND(SUM(-p*LOG2(p)) FILTER (WHERE p > 0), 6) AS entropy "
+            "FROM pp GROUP BY feature_id"
         ),
         # ---- tile family: the closed-form raster restated in SQL ----------
         # (tiles_sql regenerates every pixel bit-exactly; per-tile sums of

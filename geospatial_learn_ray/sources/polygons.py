@@ -38,6 +38,35 @@ def polygon_rings() -> tuple[np.ndarray, list[np.ndarray], list[str]]:
     return np.array(ids, np.int64), rings, names
 
 
+def polygons_sql() -> str:
+    """DuckDB CTE regenerating the polygon layer's closed form (the oracle
+    twin of ``polygon_rings``): per feature the exact f64 bbox and the
+    L-shape flag. Exposes ``polys(feature_id, pminx, pminy, pmaxx, pmaxy,
+    is_l, pmx, pmy)`` — expression order matches ``polygon_rings`` so every
+    coordinate is bit-identical."""
+    return (
+        "_pg AS (SELECT gy.range*20 + gx.range AS feature_id, "
+        "  -180.0 + gx.range*18.0 + 0.05*18.0 AS pminx, "
+        "  -180.0 + (gx.range+1)*18.0 - 0.05*18.0 AS pmaxx, "
+        "  -80.0 + gy.range*16.0 + 0.05*16.0 AS pminy, "
+        "  -80.0 + (gy.range+1)*16.0 - 0.05*16.0 AS pmaxy "
+        "  FROM range(0,20) gx, range(0,10) gy), "
+        "polys AS (SELECT *, feature_id % 7 = 0 AS is_l, "
+        "  (pminx+pmaxx)/2.0 AS pmx, (pminy+pmaxy)/2.0 AS pmy FROM _pg)"
+    )
+
+
+def pip_sql(px: str, py: str) -> str:
+    """SQL predicate: point (px, py) inside the ``polys`` row — the exact
+    half-open semantics of the crossing-number test on these axis-parallel
+    rings (box: [pminx,pmaxx)×[pminy,pmaxy); L-shape additionally excludes
+    the upper-right quadrant [pmx,pmaxx)×[pmy,pmaxy))."""
+    return (
+        f"({px} >= pminx AND {py} >= pminy AND {py} < pmaxy AND "
+        f"(CASE WHEN is_l AND {py} >= pmy THEN {px} < pmx ELSE {px} < pmaxx END))"
+    )
+
+
 def polygon_table() -> pa.Table:
     """WKB polygon table (feature_id:int64, name:string, geometry:binary)."""
     ids, rings, names = polygon_rings()
