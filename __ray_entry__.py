@@ -214,8 +214,12 @@ def _q_geocode_cells(sf_dir: str):
     located = geocode_and_cells(pages, hex_res=(5, 7, 9))
 
     def round_coords(b: pa.Table) -> pa.Table:
-        b = b.set_column(b.schema.get_field_index("lon"), "lon", pc.round(b["lon"], 6))
-        return b.set_column(b.schema.get_field_index("lat"), "lat", pc.round(b["lat"], 6))
+        # round_half_away (not pc.round): pyarrow's decimal rounding returns
+        # different ulps than SQL ROUND for the same input
+        b = b.set_column(b.schema.get_field_index("lon"), "lon",
+                         pa.array(round_half_away(b["lon"].to_numpy(), 6)))
+        return b.set_column(b.schema.get_field_index("lat"), "lat",
+                            pa.array(round_half_away(b["lat"].to_numpy(), 6)))
 
     return located.map_batches(round_coords, batch_format="pyarrow")
 
@@ -427,8 +431,11 @@ def _q_hex_meshgrid(sf_dir: str):
     rows = []
     for c, ring in zip(cells, rings):
         p = ring_props(ring)
-        rows.append({"cell_h3_r5": int(c), "wkb_len": len(ring_to_wkb(ring)), "area": round(p["area"], 6)})
-    return pd.DataFrame(rows)
+        rows.append({"cell_h3_r5": int(c), "wkb_len": len(ring_to_wkb(ring)),
+                     "area": round_half_away(p["area"], 6)})
+    out = pd.DataFrame(rows)
+    out["cell_h3_r5"] = out["cell_h3_r5"].astype(np.uint64)
+    return out
 
 
 def _q_buffer_polygons(sf_dir: str):
@@ -725,6 +732,80 @@ _QUALITY_STOP = (
 
 _SCORER_SQL = scorer.sql_for_scorer("lineitem", "l_orderkey, l_linenumber")
 
+# ---- hash/geocode/cell SQL restatements (functions/sqlgen.py) -------------
+from geospatial_learn_ray.functions import geo as _geo
+from geospatial_learn_ray.functions import sqlgen as _sg
+from geospatial_learn_ray.functions.hashing import splitmix64 as _smx
+
+
+def _located_sql(hex_res: tuple[int, ...] = (), s2: bool = False,
+                 base: str = "SELECT url FROM pages") -> str:
+    """Subquery producing (url, lon, lat[, cell cols]) — the SQL twin of
+    geocode_and_cells. Embed under WITH pages AS (...) [, s2lut AS (...)]."""
+    steps = _sg.geocode_steps()
+    for r in hex_res:
+        steps += _sg.hex_cell_steps(r, f"cell_h3_r{r}")
+    if s2:
+        steps += _sg.s2_cell_steps(12, "cell_s2_l12")
+    return _sg.chain(base, steps)
+
+
+def _hex_meshgrid_sql() -> str:
+    """Distinct r5 cells → hexagon boundary shoelace area, restating
+    geo.hex_cell_to_boundary + ring_props with engine-identical literals
+    (cos/sin computed through the same numpy array path)."""
+    s3 = float(np.sqrt(3.0))
+    ang = np.radians(30.0 + 60.0 * np.arange(6))
+    c, s = np.cos(ang), np.sin(ang)
+    steps: list[tuple[str, str]] = [
+        ("_ch", "CAST(cell_h3_r5 AS HUGEINT)"),
+        ("_q", f"CAST((_ch // {1 << 27}) % {1 << 27} - {1 << 26} AS BIGINT)"),
+        ("_r", f"CAST(_ch % {1 << 27} - {1 << 26} AS BIGINT)"),
+        ("_cx", f"0.3125 * {s3!r} * (_q + _r/2.0)"),
+        ("_cy", "0.3125 * 1.5 * _r"),
+    ]
+    for k in range(6):
+        steps.append((f"_vx{k}", f"_cx + 0.3125 * {float(c[k])!r}"))
+        steps.append((f"_vy{k}", f"_cy + 0.3125 * {float(s[k])!r}"))
+    for k in range(6):
+        j = (k + 1) % 6
+        steps.append((f"_cr{k}", f"_vx{k}*_vy{j} - _vx{j}*_vy{k}"))
+    steps.append(("_ar", "ABS(0.5 * (((((_cr0 + _cr1) + _cr2) + _cr3) + _cr4) + _cr5))"))
+    base = f"SELECT DISTINCT cell_h3_r5 FROM ({_located_sql((5,))})"
+    return (
+        f"SELECT cell_h3_r5, CAST(125 AS BIGINT) AS wkb_len, ROUND(_ar, 6) AS area "
+        f"FROM ({_sg.chain(base, steps)})"
+    )
+
+
+def _knn_pages_sql() -> str:
+    """Per-cell kNN with ring-1 spill restated relationally: candidates =
+    points whose home cell is within axial hex distance 1 (the exact
+    candidate set of stages/knn.py replicate+group), ordered by
+    (planar_dist2, neighbor id)."""
+    deg = float(np.radians(1.0))
+    guard = float(_geo._hex_edge(5) * np.sqrt(3.0) / 2.0)
+    offs = ", ".join(f"({int(dq)},{int(dr)})" for dq, dr in _geo.hex_ring_offsets(1))
+    loc = _located_sql((5,))
+    return (
+        f"WITH {pages_sql()}, "
+        f"pts AS (SELECT url, lon, lat, _q_r5 AS q, _r_r5 AS r FROM ({loc})), "
+        f"ring(dq, dr) AS (VALUES {offs}), "
+        "cand AS (SELECT a.url AS u, b.url AS v, a.lon AS alon, a.lat AS alat, "
+        "  b.lon AS blon, b.lat AS blat FROM pts a JOIN ring ON TRUE JOIN pts b "
+        "  ON b.q - a.q = ring.dq AND b.r - a.r = ring.dr AND b.url <> a.url), "
+        "d AS (SELECT u, v, "
+        f"  ((alon - blon) * COS((alat + blat)/2.0 * {deg!r})) * ((alon - blon) * COS((alat + blat)/2.0 * {deg!r})) "
+        "  + (alat - blat)*(alat - blat) AS d2 FROM cand), "
+        "r1 AS (SELECT u, v, d2, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d2, v) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY u) AS cnt FROM d), "
+        "kth AS (SELECT u, MAX(CASE WHEN rn = 5 THEN SQRT(d2) END) AS kd FROM r1 GROUP BY u) "
+        "SELECT r1.u AS url, r1.v AS neighbor_id, ROUND(SQRT(d2), 8) AS dist, "
+        "CAST(rn AS BIGINT) AS rank, "
+        f"(cnt >= 5 AND COALESCE(kth.kd <= {guard!r}, FALSE)) AS exact "
+        "FROM r1 JOIN kth ON r1.u = kth.u WHERE rn <= 5"
+    )
+
 # tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
 _TILE_GRID_SQL = (
     "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
@@ -894,6 +975,70 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(1 - 1/(1 + EXP(-zz)), 6) AS proba_0, "
             "CASE WHEN 1/(1 + EXP(-zz)) > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
         ),
+        # ---- hash / geocode / cell family (functions/sqlgen.py) -----------
+        "train_test_split": (
+            "SELECT doc_id, CASE WHEN _h % 10000 < 2500 THEN 'test' ELSE 'train' END AS split FROM ("
+            + _sg.chain(
+                "SELECT doc_id, CAST(doc_id AS VARCHAR) AS _k FROM documents",
+                [
+                    ("_fh", _sg.fnv1a64_expr("_k")),
+                    ("_fx", _sg.u64_xor("_fh", str(int(_smx(np.array([1], np.uint64))[0])))),
+                    *_sg.splitmix64_steps("_fx", "_h", "h"),
+                ],
+            )
+            + ")"
+        ),
+        "geocode_cells": (
+            f"WITH {pages_sql()}, {_sg.s2_lookup_sql()} "
+            "SELECT url, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat, "
+            "cell_h3_r5, cell_h3_r7, cell_h3_r9, cell_s2_l12 "
+            f"FROM ({_located_sql((5, 7, 9), s2=True)})"
+        ),
+        "reproject_points": (
+            f"WITH {pages_sql()} "
+            "SELECT url, "
+            f"ROUND(lon * {float(np.radians(1.0))!r} * 6378137.0, 3) AS merc_x, "
+            f"ROUND(LN(TAN({float(np.pi / 4.0)!r} + "
+            f"  LEAST(GREATEST(lat, -85.05112878), 85.05112878) * {float(np.radians(1.0))!r} / 2.0)) "
+            "  * 6378137.0, 3) AS merc_y "
+            f"FROM ({_located_sql()})"
+        ),
+        "point_raster_lookup": (
+            f"WITH {pages_sql()}, {tiles_sql(32)}, "
+            f"pt AS (SELECT url, lon, lat FROM ({_located_sql()})), "
+            "px0 AS (SELECT url, lon, lat, "
+            "  LEAST(GREATEST(CAST(TRUNC((lon - -180.0)/5.625) AS BIGINT), 0), 63) AS tx, "
+            "  LEAST(GREATEST(CAST(TRUNC((lat - -80.0)/5.0) AS BIGINT), 0), 31) AS ty FROM pt), "
+            "px1 AS (SELECT url, tx, ty, "
+            "  LEAST(GREATEST(CAST(TRUNC((lon - (-180.0 + tx*5.625)) / 5.625 * 32) AS BIGINT), 0), 31) AS ppx, "
+            "  LEAST(GREATEST(CAST(TRUNC((lat - (-80.0 + ty*5.0)) / 5.0 * 32) AS BIGINT), 0), 31) AS ppy FROM px0) "
+            "SELECT p.url, ROUND(r.vd, 6) AS value FROM px1 p JOIN rast r "
+            "ON r.tile_x = p.tx AND r.tile_y = p.ty AND r.px = p.ppx AND r.py = p.ppy"
+        ),
+        "hex_meshgrid": f"WITH {pages_sql()} {_hex_meshgrid_sql()}",
+        "pip_join_rows": (
+            f"WITH {pages_sql()}, {polygons_sql()} "
+            f"SELECT url, feature_id FROM ({_located_sql()}) loc JOIN polys p ON {pip_sql('loc.lon', 'loc.lat')}"
+        ),
+        "pip_anti_rows": (
+            f"WITH {pages_sql()}, {polygons_sql()} "
+            f"SELECT url FROM ({_located_sql()}) loc WHERE NOT EXISTS "
+            f"(SELECT 1 FROM polys WHERE {pip_sql('loc.lon', 'loc.lat')})"
+        ),
+        "tile_agg_cells": (
+            f"WITH {pages_sql(with_dups=True)}, "
+            "dd AS (SELECT url, length(text)::BIGINT AS n_chars FROM ("
+            "  SELECT url, text, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
+            ") WHERE rn = 1), "
+            f"loc AS (SELECT url, n_chars, cell_h3_r7 FROM "
+            f"  ({_located_sql((7,), base='SELECT url, n_chars FROM dd')})) "
+            'SELECT cell_h3_r7, COUNT(*) AS "count", '
+            "ROUND(AVG(n_chars), 6) AS mean_n_chars, "
+            "ROUND(CAST(MIN(n_chars) AS DOUBLE), 6) AS min_n_chars, "
+            "ROUND(CAST(MAX(n_chars) AS DOUBLE), 6) AS max_n_chars "
+            "FROM loc GROUP BY cell_h3_r7"
+        ),
+        "knn_pages": _knn_pages_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -31,6 +31,7 @@ import ray
 import ray.data
 
 from ..functions import geo
+from ..functions.rounding import round_half_away
 
 
 def planar_dist2(lon0, lat0, lon1, lat1):
@@ -207,7 +208,7 @@ def knn_per_cell(
                 {
                     id_col: np.repeat(ids_c[hi], kk),
                     "neighbor_id": ids_c[idx.ravel()],
-                    "dist": np.round(flat_dist, 8),
+                    "dist": round_half_away(flat_dist, 8),
                     "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(hi)),
                     "exact": np.repeat(exact, kk),
                 }

@@ -743,8 +743,8 @@ def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Da
         x = np.radians(lon) * R
         y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * R
         out = batch.select(carry_cols)
-        return out.append_column("merc_x", pa.array(np.round(x, 3))).append_column(
-            "merc_y", pa.array(np.round(y, 3))
+        return out.append_column("merc_x", pa.array(round_half_away(x, 3))).append_column(
+            "merc_y", pa.array(round_half_away(y, 3))
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
