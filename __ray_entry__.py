@@ -531,6 +531,22 @@ def _q_slope_tiles(sf_dir: str):
     return raster.slope_stage(read_tiles(tile_px=32, with_pixels=False), tile_px=32)
 
 
+def _q_aspect_tiles(sf_dir: str):
+    return raster.gdaldem_stage(read_tiles(tile_px=32, with_pixels=False), 32, prop="aspect")
+
+
+def _q_hillshade_tiles(sf_dir: str):
+    return raster.gdaldem_stage(read_tiles(tile_px=32, with_pixels=False), 32, prop="hillshade")
+
+
+def _q_quegan_tiles(sf_dir: str):
+    return raster.quegan_stage(read_tiles(tile_px=32, with_pixels=False), 32)
+
+
+def _q_temp_match(sf_dir: str):
+    return raster.temp_match(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
+
+
 def _q_polygonize_merged(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
     regions = raster.polygonize_tiles(small, quant=2.0)
@@ -712,6 +728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_points": _q_reproject_points,
         "texture_stats": _q_texture_stats,
         "slope_tiles": _q_slope_tiles,
+        "aspect_tiles": _q_aspect_tiles,
+        "hillshade_tiles": _q_hillshade_tiles,
+        "quegan_tiles": _q_quegan_tiles,
+        "temp_match_peaks": _q_temp_match,
         # multimodal plumbing (stubbed codecs, real Ray-side layout)
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
@@ -1082,12 +1102,88 @@ def oracle_sql() -> dict[str, str]:
             "fm AS (SELECT f.feature_id, s.qa, s.qb, COUNT(*) AS m FROM tfeat f "
             "  JOIN sym s USING (tile_x, tile_y) GROUP BY 1, 2, 3), "
             "tot AS (SELECT feature_id, CAST(SUM(m) AS DOUBLE) AS t FROM fm GROUP BY 1), "
-            "pp AS (SELECT fm.feature_id, qa, qb, CAST(m AS DOUBLE)/t AS p FROM fm JOIN tot USING (feature_id)) "
-            "SELECT feature_id, ROUND(SUM((qa - qb)*(qa - qb)*p), 6) AS contrast, "
+            "pp AS (SELECT fm.feature_id, qa, qb, CAST(m AS DOUBLE)/t AS p FROM fm JOIN tot USING (feature_id)), "
+            "mus AS (SELECT feature_id, SUM(qa*p) AS mi, SUM(qb*p) AS mj FROM pp GROUP BY 1), "
+            "v AS (SELECT pp.feature_id, SUM((qa - mi)*(qa - mi)*p) AS vi, SUM((qb - mj)*(qb - mj)*p) AS vj, "
+            "  SUM((qa - mi)*(qb - mj)*p) AS cv FROM pp JOIN mus USING (feature_id) GROUP BY 1) "
+            "SELECT pp.feature_id, ROUND(SUM((qa - qb)*(qa - qb)*p), 6) AS contrast, "
+            "ROUND(SUM(ABS(qa - qb)*p), 6) AS dissimilarity, "
             "ROUND(SUM(p/(1 + ABS(qa - qb))), 6) AS homogeneity, "
             "ROUND(SUM(p*p), 6) AS energy, "
+            "ROUND(ANY_VALUE(CASE WHEN SQRT(vi*vj) > 0 THEN cv/SQRT(vi*vj) ELSE 1.0 END), 6) AS correlation, "
             "ROUND(SUM(-p*LOG2(p)) FILTER (WHERE p > 0), 6) AS entropy "
-            "FROM pp GROUP BY feature_id"
+            "FROM pp JOIN v USING (feature_id) GROUP BY pp.feature_id"
+        ),
+        "aspect_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "g AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, vd FROM rast), "
+            "h AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vr, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vl FROM g), "
+            "v2 AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vu, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vb FROM h), "
+            "a AS (SELECT tile_x, tile_y, "
+            f"  (ATAN2((vu - vb)/2.0, -((vr - vl)/2.0)) * {float(np.degrees(1.0))!r} + 360.0) % 360.0 AS asp "
+            "  FROM v2) "
+            "SELECT tile_x, tile_y, ROUND(AVG(asp), 6) AS mean_aspect FROM a GROUP BY tile_x, tile_y"
+        ),
+        "hillshade_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "g AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, vd FROM rast), "
+            "h AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vr, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gy ORDER BY gx), vd) AS vl FROM g), "
+            "v2 AS (SELECT *, COALESCE(LEAD(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vu, "
+            "  COALESCE(LAG(vd) OVER (PARTITION BY gx ORDER BY gy), vd) AS vb FROM h), "
+            "d AS (SELECT tile_x, tile_y, (vr - vl)/2.0 AS dgx, (vu - vb)/2.0 AS dgy FROM v2), "
+            "s AS (SELECT tile_x, tile_y, "
+            f"  GREATEST(255.0 * ({float(np.sin(raster._HS_ALT))!r} * COS(ATAN(SQRT(dgx*dgx + dgy*dgy))) "
+            f"  + {float(np.cos(raster._HS_ALT))!r} * SIN(ATAN(SQRT(dgx*dgx + dgy*dgy))) "
+            f"  * COS({raster._HS_AZ!r} - ATAN2(dgy, -dgx))), 0.0) AS hs FROM d) "
+            "SELECT tile_x, tile_y, ROUND(AVG(hs), 6) AS mean_hillshade FROM s GROUP BY tile_x, tile_y"
+        ),
+        "quegan_tiles": (
+            # 3×3 box means via separable LAG/LEAD row+column sums (COALESCE
+            # = the border clamp); e0 sums float32-exact values so grouping
+            # order is immaterial, e1's ulps vanish under ROUND(6)
+            f"WITH {tiles_sql(32)}, "
+            "gp AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, vd, "
+            "  1.5*vd + 0.25 AS w1 FROM rast), "
+            "h AS (SELECT *, "
+            "  COALESCE(LAG(vd) OVER wx, vd) + vd + COALESCE(LEAD(vd) OVER wx, vd) AS rs0, "
+            "  COALESCE(LAG(w1) OVER wx, w1) + w1 + COALESCE(LEAD(w1) OVER wx, w1) AS rs1 "
+            "  FROM gp WINDOW wx AS (PARTITION BY gy ORDER BY gx)), "
+            "v2 AS (SELECT *, "
+            "  (COALESCE(LAG(rs0) OVER wy, rs0) + rs0 + COALESCE(LEAD(rs0) OVER wy, rs0))/9.0 AS e0, "
+            "  (COALESCE(LAG(rs1) OVER wy, rs1) + rs1 + COALESCE(LEAD(rs1) OVER wy, rs1))/9.0 AS e1 "
+            "  FROM h WINDOW wy AS (PARTITION BY gx ORDER BY gy)), "
+            "r AS (SELECT tile_x, tile_y, e0, "
+            "  CASE WHEN e0 = 0 THEN 1.0 ELSE vd/e0 END AS r0, "
+            "  CASE WHEN e1 = 0 THEN 1.0 ELSE (1.5*vd + 0.25)/e1 END AS r1 FROM v2) "
+            "SELECT tile_x, tile_y, ROUND(AVG(e0 * ((r0 + r1)/2.0)), 6) AS mean_filtered "
+            "FROM r GROUP BY tile_x, tile_y"
+        ),
+        "temp_match_peaks": (
+            f"WITH {tiles_sql(32)}, {polygons_sql()}, {_TILE_GRID_SQL}, {_TILE_FEATURE_SQL}, "
+            "tmm AS (SELECT tile_x, tile_y, SUM(vd)/1024.0 AS m FROM rast GROUP BY 1, 2), "
+            "fb AS (SELECT feature_id, MIN(tile_x) AS tx0, MIN(tile_y) AS ty0, "
+            "  MAX(tile_x) AS tx1, MAX(tile_y) AS ty1 FROM tfeat GROUP BY 1), "
+            "cells AS (SELECT t.feature_id, t.tile_x - f.tx0 AS dx, t.tile_y - f.ty0 AS dy, m.m AS tv "
+            "  FROM tfeat t JOIN fb f USING (feature_id) "
+            "  JOIN tmm m ON m.tile_x = t.tile_x AND m.tile_y = t.tile_y), "
+            "tstat AS (SELECT feature_id, SUM(tv) AS st, SUM(tv*tv) AS stt, COUNT(*) AS n FROM cells GROUP BY 1), "
+            f"pos AS (SELECT f.feature_id, x.range AS px0, y.range AS py0 FROM fb f, "
+            f"  range(0,{GRID_X}) x, range(0,{GRID_Y}) y "
+            f"  WHERE x.range + (f.tx1 - f.tx0) < {GRID_X} AND y.range + (f.ty1 - f.ty0) < {GRID_Y}), "
+            "w AS (SELECT p.feature_id, p.px0, p.py0, SUM(m.m) AS sw, SUM(m.m*m.m) AS sww, "
+            "  SUM(m.m*c.tv) AS swt FROM pos p JOIN cells c USING (feature_id) "
+            "  JOIN tmm m ON m.tile_x = p.px0 + c.dx AND m.tile_y = p.py0 + c.dy GROUP BY 1, 2, 3), "
+            "corr AS (SELECT w.feature_id, px0, py0, "
+            "  CASE WHEN (sww - sw*sw/n)*(stt - st*st/n) > 0 "
+            "    THEN (swt - sw*st/n)/SQRT((sww - sw*sw/n)*(stt - st*st/n)) ELSE 0.0 END AS corr "
+            "  FROM w JOIN tstat USING (feature_id)), "
+            "rk AS (SELECT feature_id, px0, py0, corr, "
+            "  ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY corr DESC, py0, px0) AS rn FROM corr) "
+            "SELECT feature_id, CAST(px0 AS BIGINT) AS peak_tile_x, CAST(py0 AS BIGINT) AS peak_tile_y, "
+            "ROUND(corr, 6) AS peak_corr FROM rk WHERE rn = 1"
         ),
         # ---- tile family: the closed-form raster restated in SQL ----------
         # (tiles_sql regenerates every pixel bit-exactly; per-tile sums of
@@ -1156,12 +1252,23 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT tile_x, tile_y, vd AS r, 1.2*vd + 0.1 AS g, 0.8*vd + 0.3 AS b FROM rast), "
             "t AS (SELECT tile_x, tile_y, r/tot AS rr, g/tot AS gg, b/tot AS bb FROM "
             "  (SELECT *, CASE WHEN r + g + b = 0 THEN 1.0 ELSE r + g + b END AS tot FROM c)), "
-            "i AS (SELECT tile_x, tile_y, 2*gg - rr - bb AS exg, 1.4*rr - gg AS exr, "
-            "  0.441*rr - 0.811*gg + 0.385*bb + 18.78745 AS cive, "
-            "  (2*gg - rr - bb) / (CASE WHEN 2*gg + rr + bb = 0 THEN 1.0 ELSE 2*gg + rr + bb END) AS gli "
-            "  FROM t) "
+            "i0 AS (SELECT tile_x, tile_y, rr, gg, bb, 2*gg - rr - bb AS exg, 1.4*rr - gg AS exr FROM t), "
+            "i AS (SELECT tile_x, tile_y, LEAST(GREATEST(exg, -1e6), 1e6) AS exg, LEAST(GREATEST(exr, -1e6), 1e6) AS exr, LEAST(GREATEST(exg - exr, -1e6), 1e6) AS exgr, "
+            "  LEAST(GREATEST(0.441*rr - 0.811*gg + 0.385*bb + 18.78745, -1e6), 1e6) AS cive, "
+            "  LEAST(GREATEST((gg - rr) / (CASE WHEN gg + rr = 0 THEN 1.0 ELSE gg + rr END), -1e6), 1e6) AS ndi, "
+            "  LEAST(GREATEST(((gg*gg - bb)*rr) / (CASE WHEN (gg*gg + bb)*rr = 0 THEN 1.0 ELSE (gg*gg + bb)*rr END), -1e6), 1e6) AS rgbvi, "
+            "  LEAST(GREATEST((gg - rr) / (CASE WHEN gg + rr = 0 THEN 1.0 ELSE gg + rr END) - bb, -1e6), 1e6) AS vari, "
+            "  LEAST(GREATEST(1.0 / (CASE WHEN gg*rr = 0 THEN 1.0 ELSE gg*rr END), -1e6), 1e6) AS ari, "
+            "  LEAST(GREATEST(rr / (CASE WHEN gg = 0 THEN 1.0 ELSE gg END), -1e6), 1e6) AS rgbi, "
+            "  LEAST(GREATEST((2*gg - rr - bb) / (CASE WHEN 2*gg + rr + bb = 0 THEN 1.0 ELSE 2*gg + rr + bb END), -1e6), 1e6) AS gli, "
+            "  LEAST(GREATEST((gg - 0.39)*(rr - 0.61)*bb, -1e6), 1e6) AS tgl "
+            "  FROM i0) "
             "SELECT tile_x, tile_y, ROUND(AVG(exg), 6) AS exg_mean, ROUND(AVG(exr), 6) AS exr_mean, "
-            "ROUND(AVG(cive), 6) AS cive_mean, ROUND(AVG(gli), 6) AS gli_mean "
+            "ROUND(AVG(exgr), 6) AS exgr_mean, ROUND(AVG(cive), 6) AS cive_mean, "
+            "ROUND(AVG(ndi), 6) AS ndi_mean, ROUND(AVG(rgbvi), 6) AS rgbvi_mean, "
+            "ROUND(AVG(vari), 6) AS vari_mean, ROUND(AVG(ari), 6) AS ari_mean, "
+            "ROUND(AVG(rgbi), 6) AS rgbi_mean, ROUND(AVG(gli), 6) AS gli_mean, "
+            "ROUND(AVG(tgl), 6) AS tgl_mean "
             "FROM i GROUP BY tile_x, tile_y"
         ),
         "slope_tiles": (

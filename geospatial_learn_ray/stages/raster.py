@@ -166,14 +166,33 @@ def rgb_indices_stage(ds: ray.data.Dataset, round_to: int = 6) -> ray.data.Datas
         b = 0.8 * r + 0.3
         tot = np.where(r + g + b == 0, 1.0, r + g + b)
         rr, gg, bb = r / tot, g / tot, b / tot
+
+        def _safe(x):
+            return np.where(x == 0, 1.0, x)
+
+        # full _set_rgb_ind family (shape.py:1388-1410) on the chromaticity
+        # bands: ExG/ExR/ExGR/CIVE/NDI/RGBVI/VARI/ARI/RGBI/GLI/TGL
+        exg = 2 * gg - rr - bb
+        exr = 1.4 * rr - gg
         idx = {
-            "exg": 2 * gg - rr - bb,
-            "exr": 1.4 * rr - gg,
+            "exg": exg,
+            "exr": exr,
+            "exgr": exg - exr,
             "cive": 0.441 * rr - 0.811 * gg + 0.385 * bb + 18.78745,
-            "gli": (2 * gg - rr - bb) / np.where(2 * gg + rr + bb == 0, 1.0, 2 * gg + rr + bb),
+            "ndi": (gg - rr) / _safe(gg + rr),
+            "rgbvi": ((gg * gg - bb) * rr) / _safe((gg * gg + bb) * rr),
+            "vari": (gg - rr) / _safe(gg + rr) - bb,
+            "ari": 1.0 / _safe(gg * rr),
+            "rgbi": rr / _safe(gg),
+            "gli": (2 * gg - rr - bb) / _safe(2 * gg + rr + bb),
+            "tgl": (gg - 0.39) * (rr - 0.61) * bb,
         }
         cols = {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"]}
         for name, v in idx.items():
+            # robustness clamp: near-zero chromaticity denominators blow
+            # ratio indices to ~1e12, where 6-decimal rounding is no longer
+            # representable (x·1e6 > 2^53) — clip keeps the stat meaningful
+            v = np.clip(v, -1e6, 1e6)
             cols[f"{name}_mean"] = pa.array(round_half_away(v.mean(axis=1), round_to))
         return pa.table(cols)
 
@@ -556,20 +575,32 @@ def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
         return b
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        rows = {"feature_id": [], "contrast": [], "homogeneity": [], "energy": [], "entropy": []}
+        # full graycoprops set (shape.py:1697-1711): contrast, dissimilarity,
+        # homogeneity, energy, correlation + entropy
+        rows = {"feature_id": [], "contrast": [], "dissimilarity": [], "homogeneity": [],
+                "energy": [], "correlation": [], "entropy": []}
         i_idx, j_idx = np.divmod(np.arange(L * L), L)
         for fid, fg in g.groupby("feature_id", sort=False):
             m = np.sum(np.stack(fg["glcm"].to_numpy()), axis=0).astype(np.float64)
             p = m / m.sum()
             contrast = float(((i_idx - j_idx) ** 2 * p).sum())
+            dissim = float((np.abs(i_idx - j_idx) * p).sum())
             homog = float((p / (1.0 + np.abs(i_idx - j_idx))).sum())
             energy = float((p**2).sum())
+            mu_i = float((i_idx * p).sum())
+            mu_j = float((j_idx * p).sum())
+            var_i = float(((i_idx - mu_i) ** 2 * p).sum())
+            var_j = float(((j_idx - mu_j) ** 2 * p).sum())
+            denom = np.sqrt(var_i * var_j)
+            corr = float(((i_idx - mu_i) * (j_idx - mu_j) * p).sum() / denom) if denom > 0 else 1.0
             nz = p[p > 0]
             entropy = float(-(nz * np.log2(nz)).sum())
             rows["feature_id"].append(fid)
             rows["contrast"].append(round_half_away(contrast, round_to))
+            rows["dissimilarity"].append(round_half_away(dissim, round_to))
             rows["homogeneity"].append(round_half_away(homog, round_to))
             rows["energy"].append(round_half_away(energy, round_to))
+            rows["correlation"].append(round_half_away(corr, round_to))
             rows["entropy"].append(round_half_away(entropy, round_to))
         return pd.DataFrame(rows)
 
@@ -578,43 +609,176 @@ def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
     )
 
 
-def slope_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.data.Dataset:
-    """batch_gdaldem slope analogue (raster.py:554) — a FOCAL op needing a
-    1-pixel halo. The closed-form synthetic raster lets each task
-    regenerate its neighbor columns exactly (`tile_pixels` of adjacent
-    tiles); on a real raster this is the k-ring halo duplication pattern
-    (replicate border pixels to neighbor tiles pre-shuffle, cf.
-    stages/knn.py). Output: per-tile mean gradient magnitude, exact across
-    tile borders."""
-    from ..sources.tiles import GRID_X, GRID_Y, tile_pixels
+def global_patch(tx: int, ty: int, tile_px: int, pad: int) -> np.ndarray:
+    """(tile_px+2·pad)² float64 window around tile (tx, ty) regenerated from
+    the global closed form with coordinate CLAMP at the raster border — the
+    halo a focal op needs, including diagonal-neighbor corners. On a real
+    raster this is the k-ring border-duplication exchange (cf. stages/knn.py);
+    here every worker regenerates its halo exactly.
+
+    Bit-parity note: sin/cos are evaluated per-scalar exactly as
+    ``tile_pixels`` does, so interior values equal the stored raster and the
+    SQL oracle's inlined literals."""
+    from ..sources.tiles import GRID_X, GRID_Y
+
+    rows = np.clip(np.arange(ty * tile_px - pad, (ty + 1) * tile_px + pad), 0, GRID_Y * tile_px - 1)
+    cols = np.clip(np.arange(tx * tile_px - pad, (tx + 1) * tile_px + pad), 0, GRID_X * tile_px - 1)
+    tr, wr = np.divmod(rows, tile_px)
+    tc, wc = np.divmod(cols, tile_px)
+    sin_c = np.array([np.sin(int(t) * 0.1) for t in tc])
+    cos_r = np.array([np.cos(int(t) * 0.1) for t in tr])
+    base = sin_c[None, :] + cos_r[:, None]
+    grid = ((wr[:, None] * 31 + wc[None, :]) % 97) / 97.0
+    return (base + grid).astype(np.float32).astype(np.float64)
+
+
+# gdal hillshade defaults: azimuth 315°, altitude 45°, z-factor 1
+_HS_AZ = float(np.radians(315.0))
+_HS_ALT = float(np.radians(45.0))
+
+
+def gdaldem_stage(ds: ray.data.Dataset, tile_px: int, prop: str = "slope",
+                  round_to: int = 6) -> ray.data.Dataset:
+    """batch_gdaldem analogue (raster.py:554, prop dispatch at 566:
+    slope / aspect / hillshade) — focal ops with a 1-pixel halo
+    (global_patch). Per-tile mean of the per-pixel derivative product:
+
+    - slope:     sqrt(gx² + gy²) (central differences)
+    - aspect:    degrees(atan2(gy, -gx)) mod 360
+    - hillshade: 255·(sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az − a)),
+      clipped at 0, with s = atan(slope), a = aspect in radians
+      (the published GDAL hillshade formula, defaults az=315° alt=45°).
+    """
+    if prop not in ("slope", "aspect", "hillshade"):
+        raise ValueError(prop)
+    colname = {"slope": "mean_slope", "aspect": "mean_aspect", "hillshade": "mean_hillshade"}[prop]
+    deg = float(np.degrees(1.0))
 
     def fn(batch: pa.Table) -> pa.Table:
         tx = batch["tile_x"].to_numpy().astype(np.int64)
         ty = batch["tile_y"].to_numpy().astype(np.int64)
         out = np.empty(len(tx), np.float64)
         for i in range(len(tx)):
-            img = tile_pixels(int(tx[i]), int(ty[i]), tile_px).astype(np.float64)
-            # halo: regenerate the adjacent tiles' border rows/cols
-            left = tile_pixels(int(tx[i]) - 1, int(ty[i]), tile_px)[:, -1] if tx[i] > 0 else img[:, 0]
-            right = tile_pixels(int(tx[i]) + 1, int(ty[i]), tile_px)[:, 0] if tx[i] < GRID_X - 1 else img[:, -1]
-            up = tile_pixels(int(tx[i]), int(ty[i]) - 1, tile_px)[-1, :] if ty[i] > 0 else img[0, :]
-            down = tile_pixels(int(tx[i]), int(ty[i]) + 1, tile_px)[0, :] if ty[i] < GRID_Y - 1 else img[-1, :]
-            padded = np.pad(img, 1, mode="edge")
-            padded[1:-1, 0] = left
-            padded[1:-1, -1] = right
-            padded[0, 1:-1] = up
-            padded[-1, 1:-1] = down
+            padded = global_patch(int(tx[i]), int(ty[i]), tile_px, 1)
             gx = (padded[1:-1, 2:] - padded[1:-1, :-2]) / 2.0
             gy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) / 2.0
-            # sqrt(gx²+gy²), not np.hypot: hypot's overflow-safe path rounds
-            # differently from the SQL oracle's SQRT; plain IEEE ops match bit-for-bit
-            out[i] = np.sqrt(gx * gx + gy * gy).mean()
+            if prop == "slope":
+                # sqrt(gx²+gy²), not np.hypot: hypot's overflow-safe path
+                # rounds differently from the SQL oracle's SQRT
+                out[i] = np.sqrt(gx * gx + gy * gy).mean()
+            elif prop == "aspect":
+                asp = np.mod(np.arctan2(gy, -gx) * deg + 360.0, 360.0)
+                out[i] = asp.mean()
+            else:
+                s = np.arctan(np.sqrt(gx * gx + gy * gy))
+                a = np.arctan2(gy, -gx)
+                hs = 255.0 * (np.sin(_HS_ALT) * np.cos(s)
+                              + np.cos(_HS_ALT) * np.sin(s) * np.cos(_HS_AZ - a))
+                out[i] = np.maximum(hs, 0.0).mean()
         return pa.table(
             {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-             "mean_slope": pa.array(round_half_away(out, round_to))}
+             colname: pa.array(round_half_away(out, round_to))}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def slope_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.data.Dataset:
+    """batch_gdaldem slope (see gdaldem_stage)."""
+    return gdaldem_stage(ds, tile_px, prop="slope", round_to=round_to)
+
+
+def quegan_stage(ds: ray.data.Dataset, tile_px: int, round_to: int = 6) -> ray.data.Dataset:
+    """Quegan multi-temporal SAR filter analogue (raster.py:2219
+    multi_temp_filter): per epoch a local spatial mean E_k (3×3 box, halo
+    via global_patch), ratio r_k = I_k/E_k, cross-epoch mean ratio ρ, and
+    filtered output E_k·ρ. Epoch 2 is the deterministic derived band
+    1.5·I + 0.25 (the engine's stand-in for a second acquisition, cf.
+    ndvi_stage). Output: per-tile mean of the filtered epoch-1 image."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        out = np.empty(len(tx), np.float64)
+        for i in range(len(tx)):
+            w0 = global_patch(int(tx[i]), int(ty[i]), tile_px, 1)
+            w1 = 1.5 * w0 + 0.25
+            means = []
+            ratios = []
+            for w in (w0, w1):
+                s = np.zeros((tile_px, tile_px))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        s = s + w[1 + dy : 1 + dy + tile_px, 1 + dx : 1 + dx + tile_px]
+                e = s / 9.0
+                c = w[1:-1, 1:-1]
+                means.append(e)
+                ratios.append(np.where(e == 0, 1.0, c / np.where(e == 0, 1.0, e)))
+            rho = (ratios[0] + ratios[1]) / 2.0
+            out[i] = (means[0] * rho).mean()
+        return pa.table(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             "mean_filtered": pa.array(round_half_away(out, round_to))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temp_match(ds: ray.data.Dataset, polygons: pa.Table, grid_x: int, grid_y: int,
+               round_to: int = 6) -> pd.DataFrame:
+    """temp_match analogue (utilities.py:1110): each polygon's masked raster
+    patch becomes a template, matched by zero-normalized cross-correlation
+    against the whole raster; the reference returns full correlation maps,
+    here reduced to the per-feature correlation PEAK.
+
+    Distributed shape: the heavy pass is a per-tile mean aggregation over
+    the tiles Dataset (the "gray image" at tile granularity — exact, sums
+    of float32 in float64); the ZNCC of the tiny per-feature templates
+    (≤4×4 tiles) over the 64×32 mean image is a driver-side finish, like
+    the hist_match LUT combine. Pixel-granularity matching would use the
+    same pattern with global_patch halos."""
+    from ..sources.tiles import tile_bounds
+
+    # pass 1 (distributed): per-tile means — exact (float32 sums in float64)
+    def tile_mean(b: pa.Table) -> pa.Table:
+        px = _pix(b).astype(np.float64)
+        return pa.table({"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                         "m": pa.array(px.mean(axis=1))})
+
+    tm = ds.map_batches(tile_mean, batch_format="pyarrow").to_pandas()
+    M = np.full((grid_y, grid_x), np.nan)
+    M[tm["tile_y"].to_numpy(), tm["tile_x"].to_numpy()] = tm["m"].to_numpy()
+
+    # tile centers → feature membership (same map as zonal_tile_stats)
+    txg, tyg = np.meshgrid(np.arange(grid_x), np.arange(grid_y), indexing="ij")
+    minx, miny, maxx, maxy = tile_bounds(txg.ravel().astype(np.int64), tyg.ravel().astype(np.int64))
+    cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+    index = PolygonIndex.from_wkb(polygons["feature_id"].to_numpy(), polygons["geometry"].to_pylist())
+    pt_idx, fids = index.query(cx, cy)
+    rows = []
+    for fid in np.unique(fids):
+        sel = pt_idx[fids == fid]
+        ftx, fty = txg.ravel()[sel], tyg.ravel()[sel]
+        tx0, ty0 = int(ftx.min()), int(fty.min())
+        dx, dy = ftx - tx0, fty - ty0
+        th, tw = int(dy.max()) + 1, int(dx.max()) + 1
+        tvals = M[fty, ftx]
+        n = len(tvals)
+        st, stt = tvals.sum(), (tvals * tvals).sum()
+        # all positions at once: (npos, ncells) gather, expanded ZNCC sums
+        pys, pxs = np.meshgrid(np.arange(grid_y - th + 1), np.arange(grid_x - tw + 1), indexing="ij")
+        pys, pxs = pys.ravel(), pxs.ravel()
+        W = M[pys[:, None] + dy[None, :], pxs[:, None] + dx[None, :]]
+        sw = W.sum(axis=1)
+        sww = (W * W).sum(axis=1)
+        swt = (W * tvals[None, :]).sum(axis=1)
+        num = swt - sw * st / n
+        den2 = (sww - sw * sw / n) * (stt - st * st / n)
+        corr = np.where(den2 > 0, num / np.sqrt(np.where(den2 > 0, den2, 1.0)), 0.0)
+        k = int(np.argmax(corr))  # first occurrence = smallest (py, px)
+        rows.append({"feature_id": int(fid), "peak_tile_x": int(pxs[k]), "peak_tile_y": int(pys[k]),
+                     "peak_corr": round_half_away(float(corr[k]), round_to)})
+    return pd.DataFrame(rows)
 
 
 def _region_node_ids(tx: np.ndarray, ty: np.ndarray, label: np.ndarray, side: int) -> np.ndarray:

@@ -99,3 +99,75 @@ def test_polygonize_merge_matches_driver_union_find():
     merged = raster.polygonize_merge_count(regions, side=side).to_pandas()
     # same multiset of merged-region sizes (ids differ: node ids vs row idx)
     assert sorted(merged.pixel_count) == sorted(oracle)
+
+
+def test_gdaldem_aspect_hillshade_ranges():
+    asp = raster.gdaldem_stage(read_tiles(tile_px=TPX, with_pixels=False), TPX, prop="aspect").to_pandas()
+    hs = raster.gdaldem_stage(read_tiles(tile_px=TPX, with_pixels=False), TPX, prop="hillshade").to_pandas()
+    assert len(asp) == GRID_X * GRID_Y and len(hs) == GRID_X * GRID_Y
+    assert (asp.mean_aspect >= 0).all() and (asp.mean_aspect < 360).all()
+    assert (hs.mean_hillshade >= 0).all() and (hs.mean_hillshade <= 255).all()
+
+
+def test_gdaldem_hillshade_flat_surface():
+    # closed-form check of the hillshade kernel: zero gradient ⇒
+    # hs = 255·sin(altitude) everywhere
+    exp = 255.0 * np.sin(raster._HS_ALT)
+    s = np.arctan(0.0)
+    a = np.arctan2(0.0, -0.0)
+    hs = 255.0 * (np.sin(raster._HS_ALT) * np.cos(s) + np.cos(raster._HS_ALT) * np.sin(s) * np.cos(raster._HS_AZ - a))
+    assert abs(hs - exp) < 1e-12
+
+
+def test_quegan_constant_image_is_identity():
+    # on a locally constant image E == I, every ratio is 1, output == input —
+    # kernel identity check mirroring the Quegan formulation
+    w = np.full((TPX + 2, TPX + 2), 7.0)
+    s = np.zeros((TPX, TPX))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = s + w[1 + dy : 1 + dy + TPX, 1 + dx : 1 + dx + TPX]
+    e = s / 9.0
+    assert np.allclose(e, 7.0)
+    r0 = np.where(e == 0, 1.0, w[1:-1, 1:-1] / e)
+    assert np.allclose(e * r0, 7.0)
+
+
+def test_quegan_stage_runs_and_is_deterministic():
+    a = raster.quegan_stage(read_tiles(tile_px=TPX, with_pixels=False), TPX).to_pandas()
+    b = raster.quegan_stage(read_tiles(tile_px=TPX, with_pixels=False), TPX).to_pandas()
+    assert len(a) == GRID_X * GRID_Y
+    key = ["tile_x", "tile_y"]
+    assert a.sort_values(key).reset_index(drop=True).equals(b.sort_values(key).reset_index(drop=True))
+
+
+def test_global_patch_matches_tile_pixels_interior():
+    p = raster.global_patch(5, 7, TPX, 1)
+    assert np.array_equal(p[1:-1, 1:-1], tile_pixels(5, 7, TPX).astype(np.float64))
+    # halo columns come from the neighbor tiles
+    assert np.array_equal(p[1:-1, 0], tile_pixels(4, 7, TPX)[:, -1].astype(np.float64))
+    assert np.array_equal(p[0, 1:-1], tile_pixels(5, 6, TPX)[-1, :].astype(np.float64))
+
+
+def test_temp_match_self_peak():
+    # every polygon's template must peak (corr == 1) at its own location
+    out = raster.temp_match(read_tiles(tile_px=TPX), polygon_table(), GRID_X, GRID_Y)
+    assert len(out) == 200
+    assert (out.peak_corr > 0.999999).all()
+    # the peak position is the feature's own tile bbox origin: zone-0 starts at tile 0,0
+    z0 = out[out.feature_id == 0].iloc[0]
+    assert z0.peak_tile_x == 0 and z0.peak_tile_y == 0
+
+
+def test_rgb_indices_full_family_present():
+    out = raster.rgb_indices_stage(read_tiles(tile_px=TPX)).to_pandas()
+    for c in ("exg", "exr", "exgr", "cive", "ndi", "rgbvi", "vari", "ari", "rgbi", "gli", "tgl"):
+        assert f"{c}_mean" in out.columns
+    assert (out.exgr_mean - (out.exg_mean - out.exr_mean)).abs().max() < 1e-4
+
+
+def test_texture_correlation_bounds():
+    out = raster.texture_stats(read_tiles(tile_px=TPX), polygon_table(), levels=8).to_pandas()
+    assert "dissimilarity" in out.columns and "correlation" in out.columns
+    assert (out.dissimilarity >= 0).all()
+    assert (out.correlation >= -1.000001).all() and (out.correlation <= 1.000001).all()
