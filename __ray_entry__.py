@@ -549,8 +549,14 @@ def _q_temp_match(sf_dir: str):
 
 def _q_polygonize_merged(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    regions = raster.polygonize_tiles(small, quant=2.0)
-    return raster.polygonize_merge_count(regions, side=16)
+    rings = raster.polygonize_rings(small, quant=2.0)
+    return raster.polygonize_merge_geometry(rings, side=16)
+
+
+def _q_polygonize_rings(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    out = raster.polygonize_rings(small, quant=2.0)
+    return out.drop_columns(["edges"])
 
 
 def _q_media_decode(sf_dir: str):
@@ -724,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_tiles": _q_clip_tiles,
         "fill_nodata_tiles": _q_fill_nodata_tiles,
         "polygonize_tiles": _q_polygonize_tiles,
+        "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
         "texture_stats": _q_texture_stats,

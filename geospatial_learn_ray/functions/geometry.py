@@ -37,6 +37,19 @@ def ring_to_wkb(ring: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def rings_to_wkb(rings: list[np.ndarray]) -> bytes:
+    """Multiple closed (m, 2) rings → one little-endian WKB POLYGON (first
+    ring outer, rest interior) — the polygonize geometry output format."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
+
+
 def wkb_to_ring(wkb: bytes) -> np.ndarray:
     """WKB POLYGON (single outer ring) → (m, 2) float64 closed ring."""
     byte_order, gtype, nrings = struct.unpack_from("<BII", wkb, 0)

@@ -446,44 +446,43 @@ def fill_nodata_stage(ds: ray.data.Dataset, nodata: float = 0.0, iterations: int
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _label_regions(img: np.ndarray) -> np.ndarray:
+    """Min-label propagation over 4-neighbors within same value, with
+    pointer jumping (labels <- labels[labels], the hook-and-contract step)
+    so a serpentine region of path length L converges in O(log L) rounds,
+    not O(L); loop runs to convergence with a side*side safety cap."""
+    side = img.shape[0]
+    labels = np.arange(side * side).reshape(side, side)
+    for _ in range(side * side):
+        prev = labels.copy()
+        for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+            nb = np.roll(labels, shift, axis=axis)
+            same = np.roll(img, shift, axis=axis) == img
+            if shift == 1:
+                if axis == 0:
+                    same[0, :] = False
+                else:
+                    same[:, 0] = False
+            else:
+                if axis == 0:
+                    same[-1, :] = False
+                else:
+                    same[:, -1] = False
+            labels = np.where(same, np.minimum(labels, nb), labels)
+        flat = labels.ravel()
+        for _ in range(2):  # pointer-jump: label -> label of its label
+            flat = np.minimum(flat, flat[flat])
+        labels = flat.reshape(side, side)
+        if np.array_equal(labels, prev):
+            break
+    return labels
+
+
 def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Dataset:
     """raster.polygonize analogue (raster.py:1526): connected regions of
     equal (quantized) value per tile → one row per region (label, pixel
-    count, pixel bbox). Two-pass union-find per tile (pure numpy scan);
-    cross-tile region merge is the documented scale extension (groupby on
-    border signatures), not needed for the per-tile region inventory."""
-
-    def label_regions(img: np.ndarray) -> np.ndarray:
-        side = img.shape[0]
-        labels = np.arange(side * side).reshape(side, side)
-        # min-label propagation over 4-neighbors within same value, with
-        # pointer jumping (labels <- labels[labels], the hook-and-contract
-        # step) so a serpentine region of path length L converges in
-        # O(log L) rounds, not O(L); loop runs to convergence with a
-        # side*side safety cap (a region path can exceed `side`).
-        for _ in range(side * side):
-            prev = labels.copy()
-            for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
-                nb = np.roll(labels, shift, axis=axis)
-                same = np.roll(img, shift, axis=axis) == img
-                if shift == 1:
-                    if axis == 0:
-                        same[0, :] = False
-                    else:
-                        same[:, 0] = False
-                else:
-                    if axis == 0:
-                        same[-1, :] = False
-                    else:
-                        same[:, -1] = False
-                labels = np.where(same, np.minimum(labels, nb), labels)
-            flat = labels.ravel()
-            for _ in range(2):  # pointer-jump: label -> label of its label
-                flat = np.minimum(flat, flat[flat])
-            labels = flat.reshape(side, side)
-            if np.array_equal(labels, prev):
-                break
-        return labels
+    count, pixel bbox). Geometry output is polygonize_rings; cross-tile
+    merges are polygonize_merge_count / polygonize_merge_geometry."""
 
     def fn(batch: pa.Table) -> pa.Table:
         px = _pix(batch).astype(np.float64)
@@ -496,7 +495,7 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
         rr, cc = np.divmod(np.arange(side * side), side)
         for i in range(n):
             img = np.floor(px[i].reshape(side, side) * quant)
-            labels = label_regions(img)
+            labels = _label_regions(img)
             flat = labels.ravel()
             # vectorized per-region stats: sort pixels by region, then one
             # reduceat per stat over contiguous runs (no per-region scans)
@@ -787,24 +786,13 @@ def _region_node_ids(tx: np.ndarray, ty: np.ndarray, label: np.ndarray, side: in
     return (tx.astype(np.int64) * (1 << 21) + ty.astype(np.int64)) * (side * side) + label.astype(np.int64)
 
 
-def polygonize_merge_count(regions: ray.data.Dataset, side: int,
-                           num_buckets: int = 64) -> ray.data.Dataset:
-    """Cross-tile region merge for polygonize (reference: cross-tile
-    `raster.polygonize` semantics, raster.py:1526) — fully distributed:
-
-    1. border-adjacency pairs: each region touching a tile border emits a
-       narrow border-segment row keyed by the shared-border identity;
-       a bucketed groupby joins the two sides with ONE vectorized merge
-       per bucket (same-value + row/col-interval overlap ⇒ adjacency);
-    2. components: ``dedup.connected_components`` (bucketed min-label
-       propagation with pointer jumping — no driver materialization);
-    3. totals: labels ⋈ region pixel counts (bucketed hash join; regions
-       without a cross-tile neighbor keep their own node id), then a
-       coarse-bucket sum per global region.
-
-    Returns a Dataset of (global_region:int64, pixel_count:int64)."""
+def _border_pairs(regions: ray.data.Dataset, side: int, num_buckets: int) -> ray.data.Dataset:
+    """Cross-tile adjacency pairs for region rows carrying (tile key, label,
+    value, pixel bbox): regions touching a tile border emit narrow border-
+    segment rows keyed by the shared-border identity; a bucketed groupby
+    joins the two sides with one vectorized merge per bucket (same-value +
+    interval overlap ⇒ adjacency). Shared by the count and geometry merges."""
     from ..functions.hashing import splitmix64
-    from .dedup import connected_components
 
     def border_rows(b: pd.DataFrame) -> pd.DataFrame:
         tx = b["tile_x"].to_numpy(np.int64)
@@ -816,11 +804,10 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
         cmin = b["col_min"].to_numpy(np.int64)
         cmax = b["col_max"].to_numpy(np.int64)
         frames = []
-        # vertical border line between (tx,ty) and (tx+1,ty): key (tx+1,ty,0)
         for mask, bx, by, orient, flag, lo, hi in (
             (cmax == side - 1, tx + 1, ty, 0, 0, rmin, rmax),   # right edge, A side
             (cmin == 0, tx, ty, 0, 1, rmin, rmax),              # left edge, B side
-            (rmax == side - 1, tx, ty + 1, 1, 0, cmin, cmax),   # top edge (row grows up)
+            (rmax == side - 1, tx, ty + 1, 1, 0, cmin, cmax),   # top edge
             (rmin == 0, tx, ty, 1, 1, cmin, cmax),              # bottom edge
         ):
             if mask.any():
@@ -848,11 +835,38 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
         m = m[(m["lo_a"] <= m["hi_b"]) & (m["hi_a"] >= m["lo_b"])]
         return pd.DataFrame({"id_a": m["node_a"].to_numpy(np.int64), "id_b": m["node_b"].to_numpy(np.int64)})
 
-    pairs = (
-        regions.map_batches(border_rows, batch_format="pandas")
+    narrow = regions.map_batches(
+        lambda b: b[["tile_x", "tile_y", "region_label", "region_value",
+                     "row_min", "row_max", "col_min", "col_max"]],
+        batch_format="pandas",
+    )
+    return (
+        narrow.map_batches(border_rows, batch_format="pandas")
         .map_batches(bucket_border, batch_format="pandas")
         .groupby("_bkt").map_groups(pairs_per_bucket, batch_format="pandas")
     )
+
+
+def polygonize_merge_count(regions: ray.data.Dataset, side: int,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """Cross-tile region merge for polygonize (reference: cross-tile
+    `raster.polygonize` semantics, raster.py:1526) — fully distributed:
+
+    1. border-adjacency pairs: each region touching a tile border emits a
+       narrow border-segment row keyed by the shared-border identity;
+       a bucketed groupby joins the two sides with ONE vectorized merge
+       per bucket (same-value + row/col-interval overlap ⇒ adjacency);
+    2. components: ``dedup.connected_components`` (bucketed min-label
+       propagation with pointer jumping — no driver materialization);
+    3. totals: labels ⋈ region pixel counts (bucketed hash join; regions
+       without a cross-tile neighbor keep their own node id), then a
+       coarse-bucket sum per global region.
+
+    Returns a Dataset of (global_region:int64, pixel_count:int64)."""
+    from ..functions.hashing import splitmix64
+    from .dedup import connected_components
+
+    pairs = _border_pairs(regions, side, num_buckets)
     comp = connected_components(pairs, num_buckets=num_buckets)
 
     def region_nodes(b: pd.DataFrame) -> pd.DataFrame:
@@ -892,6 +906,167 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
     partial = tagged.groupby("_bkt").map_groups(attach_component, batch_format="pandas")
     return partial.map_batches(bucket_region, batch_format="pandas").groupby("_bkt").map_groups(
         sum_per_region, batch_format="pandas"
+    )
+
+
+def _loops_to_wkb(loops: list[np.ndarray], side: int, grid_x: int, grid_y: int) -> bytes:
+    """Pixel-corner loops → georeferenced WKB POLYGON: outer ring = largest
+    |signed area| loop first, remaining loops as interior rings."""
+    from ..functions.geometry import rings_to_wkb
+    from ..functions.tracing import loop_signed_area
+    from ..sources.tiles import X0, X1, Y0, Y1
+
+    px_w = (X1 - X0) / (grid_x * side)
+    px_h = (Y1 - Y0) / (grid_y * side)
+    order = np.argsort([-abs(loop_signed_area(lp)) for lp in loops], kind="stable")
+    geo = []
+    for i in order:
+        lp = loops[i].astype(np.float64)
+        geo.append(np.column_stack([X0 + lp[:, 0] * px_w, Y0 + lp[:, 1] * px_h]))
+    return rings_to_wkb(geo)
+
+
+def polygonize_rings(ds: ray.data.Dataset, quant: float = 4.0,
+                     grid_x: int | None = None, grid_y: int | None = None) -> ray.data.Dataset:
+    """polygonize with GEOMETRY output (raster.polygonize, raster.py:1526 —
+    gdal.Polygonize emits exact pixel-edge polygons): per tile region, the
+    directed boundary-edge multiset is traced into closed loops
+    (functions/tracing.py) and serialized as a georeferenced WKB POLYGON
+    (outer ring + holes). Rows also carry the inventory columns and the raw
+    integer edge multiset, so ``polygonize_merge_geometry`` can dissolve
+    shared tile borders by exact edge cancellation downstream.
+
+    Invariant (Green's theorem, tested): the sum of signed loop areas of a
+    region's boundary equals its pixel count."""
+    from ..functions import tracing
+    from ..sources.tiles import GRID_X, GRID_Y
+
+    gx_n = grid_x if grid_x is not None else GRID_X
+    gy_n = grid_y if grid_y is not None else GRID_Y
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        side = int(np.sqrt(npx))
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        rr, cc = np.divmod(np.arange(side * side), side)
+        rows: dict[str, list] = {k: [] for k in (
+            "tile_x", "tile_y", "region_label", "region_value", "pixel_count",
+            "row_min", "row_max", "col_min", "col_max", "n_loops", "area_px",
+            "geometry", "edges")}
+        for i in range(n):
+            img = np.floor(px[i].reshape(side, side) * quant)
+            flat = _label_regions(img).ravel()
+            order = np.argsort(flat, kind="stable")
+            sorted_lab = flat[order]
+            starts = np.flatnonzero(np.r_[True, sorted_lab[1:] != sorted_lab[:-1]])
+            bounds = np.r_[starts, len(sorted_lab)]
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                cells = order[s0:s1]
+                gr = rr[cells] + int(ty[i]) * side
+                gc = cc[cells] + int(tx[i]) * side
+                edges = tracing.region_edges(gr, gc)
+                loops = tracing.chain_loops(edges)
+                area = sum(tracing.loop_signed_area(lp) for lp in loops)
+                rows["tile_x"].append(int(tx[i]))
+                rows["tile_y"].append(int(ty[i]))
+                rows["region_label"].append(int(sorted_lab[s0]))
+                rows["region_value"].append(float(img.ravel()[cells[0]] / quant))
+                rows["pixel_count"].append(int(s1 - s0))
+                rows["row_min"].append(int(rr[cells].min()))
+                rows["row_max"].append(int(rr[cells].max()))
+                rows["col_min"].append(int(cc[cells].min()))
+                rows["col_max"].append(int(cc[cells].max()))
+                rows["n_loops"].append(len(loops))
+                rows["area_px"].append(float(area))
+                rows["geometry"].append(_loops_to_wkb(loops, side, gx_n, gy_n))
+                rows["edges"].append(edges.astype(np.int32).tobytes())
+        return pa.table(
+            {
+                **{k: pa.array(rows[k], pa.int64()) for k in
+                   ("tile_x", "tile_y", "region_label", "pixel_count",
+                    "row_min", "row_max", "col_min", "col_max", "n_loops")},
+                "region_value": pa.array(rows["region_value"], pa.float64()),
+                "area_px": pa.array(rows["area_px"], pa.float64()),
+                "geometry": pa.array(rows["geometry"], pa.binary()),
+                "edges": pa.array(rows["edges"], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def polygonize_merge_geometry(rings: ray.data.Dataset, side: int,
+                              num_buckets: int = 64,
+                              grid_x: int | None = None, grid_y: int | None = None) -> ray.data.Dataset:
+    """Cross-tile polygonize with dissolved GEOMETRY (the other half of
+    raster.polygonize semantics): same distributed component machinery as
+    polygonize_merge_count, but each merged region concatenates its member
+    edge multisets, cancels the opposite-direction pairs on shared tile
+    borders exactly (integer corners), and re-chains the remainder into the
+    union's boundary loops → one WKB POLYGON per global region."""
+    from ..functions import tracing
+    from ..functions.hashing import splitmix64
+    from ..sources.tiles import GRID_X, GRID_Y
+    from .dedup import connected_components
+
+    gx_n = grid_x if grid_x is not None else GRID_X
+    gy_n = grid_y if grid_y is not None else GRID_Y
+    pairs = _border_pairs(rings, side, num_buckets)
+    comp = connected_components(pairs, num_buckets=num_buckets)
+
+    def region_rows(b: pd.DataFrame) -> pd.DataFrame:
+        node = _region_node_ids(b["tile_x"].to_numpy(np.int64), b["tile_y"].to_numpy(np.int64),
+                                b["region_label"].to_numpy(np.int64), side)
+        return pd.DataFrame({"k": node, "pc": b["pixel_count"].to_numpy(np.int64),
+                             "edges": b["edges"], "t": np.int8(0)})
+
+    def comp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["node"].to_numpy(np.int64),
+                             "pc": b["component_id"].to_numpy(np.int64),
+                             "edges": b"", "t": np.int8(1)})
+
+    def bucket_k(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (splitmix64(b["k"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def attach_component(g: pd.DataFrame) -> pd.DataFrame:
+        reg = g[g["t"] == 0]
+        lab = g[g["t"] == 1][["k", "pc"]].rename(columns={"pc": "component"})
+        m = reg.merge(lab, on="k", how="left")
+        comp_id = m["component"].fillna(m["k"]).astype(np.int64)
+        return pd.DataFrame({"global_region": comp_id, "pc": m["pc"].to_numpy(np.int64),
+                             "edges": m["edges"]})
+
+    def bucket_region(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (splitmix64(b["global_region"].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"global_region": [], "pixel_count": [], "n_loops": [], "area_px": [], "geometry": []}
+        for gr_id, fg in g.groupby("global_region", sort=False):
+            blobs = [e for e in fg["edges"] if len(e)]
+            edges = (np.concatenate([np.frombuffer(e, np.int32).reshape(-1, 4) for e in blobs])
+                     .astype(np.int64) if blobs else np.zeros((0, 4), np.int64))
+            edges = tracing.cancel_opposite(edges)
+            loops = tracing.chain_loops(edges)
+            area = sum(tracing.loop_signed_area(lp) for lp in loops)
+            rows["global_region"].append(int(gr_id))
+            rows["pixel_count"].append(int(fg["pc"].sum()))
+            rows["n_loops"].append(len(loops))
+            rows["area_px"].append(float(area))
+            rows["geometry"].append(_loops_to_wkb(loops, side, gx_n, gy_n) if loops else b"")
+        return pd.DataFrame(rows)
+
+    tagged = rings.map_batches(region_rows, batch_format="pandas").union(
+        comp.map_batches(comp_rows, batch_format="pandas")
+    ).map_batches(bucket_k, batch_format="pandas")
+    merged = tagged.groupby("_bkt").map_groups(attach_component, batch_format="pandas")
+    return merged.map_batches(bucket_region, batch_format="pandas").groupby("_bkt").map_groups(
+        assemble, batch_format="pandas"
     )
 
 

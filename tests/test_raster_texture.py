@@ -171,3 +171,46 @@ def test_texture_correlation_bounds():
     assert "dissimilarity" in out.columns and "correlation" in out.columns
     assert (out.dissimilarity >= 0).all()
     assert (out.correlation >= -1.000001).all() and (out.correlation <= 1.000001).all()
+
+
+def test_polygonize_rings_green_invariant():
+    # Green's theorem: sum of signed loop areas == pixel count, per region
+    small = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
+    out = raster.polygonize_rings(small, quant=2.0).to_pandas()
+    assert len(out) > 0
+    assert (out.area_px == out.pixel_count).all()
+    # rings are valid closed WKB polygons
+    from geospatial_learn_ray.functions.geometry import wkb_to_ring
+    for wkb in out.geometry.head(50):
+        ring = wkb_to_ring(wkb)
+        assert (ring[0] == ring[-1]).all() and len(ring) >= 5
+
+
+def test_polygonize_merge_geometry_conserves_and_dissolves():
+    small = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
+    rings = raster.polygonize_rings(small, quant=2.0)
+    rdf = rings.to_pandas()
+    merged = raster.polygonize_merge_geometry(rings, side=8).to_pandas()
+    # pixel conservation (matches the count-merge invariant)
+    assert merged.pixel_count.sum() == rdf.pixel_count.sum()
+    # Green invariant survives the cross-tile edge cancellation
+    assert (merged.area_px == merged.pixel_count).all()
+    # dissolving merged at least one cross-tile region (fewer rows than input)
+    assert len(merged) < len(rdf)
+    # merged geometry parses and the outer ring is closed
+    from geospatial_learn_ray.functions.geometry import wkb_to_ring
+    big = merged.sort_values("pixel_count").iloc[-1]
+    ring = wkb_to_ring(big.geometry)
+    assert (ring[0] == ring[-1]).all()
+
+
+def test_polygonize_merge_geometry_matches_count_totals():
+    small = raster.clip_tiles(read_tiles(tile_px=8), -180, -80, -150, -60)
+    rings = raster.polygonize_rings(small, quant=2.0)
+    regions = raster.polygonize_tiles(small, quant=2.0)
+    a = raster.polygonize_merge_geometry(rings, side=8).to_pandas()
+    b = raster.polygonize_merge_count(regions, side=8).to_pandas()
+    am = a.sort_values("global_region").reset_index(drop=True)
+    bm = b.sort_values("global_region").reset_index(drop=True)
+    assert am.global_region.tolist() == bm.global_region.tolist()
+    assert am.pixel_count.tolist() == bm.pixel_count.tolist()
