@@ -250,6 +250,17 @@ def _q_ann_ivf(sf_dir: str):
     return knn.ivf_topk(emb, Q, qids, C, k=10, nprobe=4)
 
 
+def _q_ann_ivf_store(sf_dir: str):
+    import hashlib
+
+    Q, qids = _ann_queries(sf_dir)
+    emb = _rp(sf_dir, "embeddings")
+    C = knn.ivf_build_centroids(emb, n_centroids=16)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    store = knn.ivf_build_store(_rp(sf_dir, "embeddings"), C, f"/tmp/glr_ivf_store_{tag}")
+    return knn.ivf_topk_store(store, Q, qids, C, k=10, nprobe=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_dedup_pairs(ds, threshold=0.5)
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pages": _q_knn_pages,
         # training-data ops (pytest oracles)
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_store_topk": _q_ann_ivf_store,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_dedup_pairs": _q_embedding_dedup,

@@ -111,3 +111,26 @@ def test_knn_hot_cell_salting_identical_output():
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_store_matches_in_memory_ivf(tmp_path):
+    # the partitioned store prunes I/O but must return IDENTICAL results to
+    # the in-memory IVF (same assignment, same probe lists, exact cosine)
+    ids, X = _emb_matrix()
+    qidx = np.arange(0, len(ids), 37)
+    C = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
+    store = knn.ivf_build_store(_emb_ds(), C, str(tmp_path / "store"))
+    a = knn.ivf_topk_store(store, X[qidx], ids[qidx], C, k=10, nprobe=4)
+    b = knn.ivf_topk(_emb_ds(), X[qidx], ids[qidx], C, k=10, nprobe=4)
+    key = ["query_id", "rank"]
+    am = a.sort_values(key).reset_index(drop=True)
+    bm = b.sort_values(key).reset_index(drop=True)
+    assert am[["query_id", "neighbor_id", "rank"]].equals(bm[["query_id", "neighbor_id", "rank"]])
+    assert np.allclose(am.cosine, bm.cosine)
+    # the store actually prunes: probed partitions < all partitions
+    import os
+    parts = [d for d in os.listdir(store) if d.startswith("cent_part=")]
+    assert len(parts) == 8
+    # rebuild is a no-op (marker hit)
+    again = knn.ivf_build_store(_emb_ds(), C, str(tmp_path / "store"))
+    assert again == store
