@@ -336,9 +336,11 @@ def ivf_topk_store(store_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         g["rank"] = np.arange(1, len(g) + 1)
         final.append(g)
     if not final:
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
-    out = pd.concat(final, ignore_index=True)
-    out["cosine"] = out["cosine"].round(6)
+        out = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
+    else:
+        out = pd.concat(final, ignore_index=True)
+        out["cosine"] = out["cosine"].round(6)
+    out.attrs["probed_fraction"] = probed_bytes / max(total_bytes, 1)
     return out
 
 def ann_bruteforce_topk(

@@ -134,3 +134,13 @@ def test_ivf_store_matches_in_memory_ivf(tmp_path):
     # rebuild is a no-op (marker hit)
     again = knn.ivf_build_store(_emb_ds(), C, str(tmp_path / "store"))
     assert again == store
+
+
+def test_ivf_store_prunes_io_for_single_query(tmp_path):
+    ids, X = _emb_matrix()
+    C = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
+    store = knn.ivf_build_store(_emb_ds(), C, str(tmp_path / "store"))
+    out = knn.ivf_topk_store(store, X[[3]], ids[[3]], C, k=10, nprobe=2)
+    assert len(out) == 10
+    # one query, nprobe=2 of 8 centroids: well under half the bytes read
+    assert out.attrs["probed_fraction"] <= 0.5
