@@ -43,6 +43,15 @@ def run_benchmarks() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE", "").lower() == "hash":
+        # hash-shuffle exchange (stages/exchange.py picks repartition(keys=)
+        # instead of the sort-based groupby for every bucket exchange)
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        agg_n = os.environ.get("GRAFT_HASH_AGGREGATORS")
+        if agg_n:
+            ctx.max_hash_shuffle_aggregators = int(agg_n)
 
     import ray.data as rd
 

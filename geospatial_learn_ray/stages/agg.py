@@ -30,6 +30,7 @@ import ray.data
 from ..functions import _bs
 from ..functions.hashing import fnv1a64, splitmix64
 from ..functions.rounding import round_half_away
+from .exchange import bucket_exchange
 
 DECOMPOSABLE = ("count", "sum", "mean", "min", "max", "std", "var")
 
@@ -124,7 +125,7 @@ def grouped_stats(
             out[name] = col
         return out
 
-    return parted.groupby("_part").map_groups(combine_and_finalize, batch_format="pandas")
+    return bucket_exchange(parted, combine_and_finalize)
 
 
 def grouped_stats_multi(
@@ -182,7 +183,7 @@ def grouped_stats_multi(
                 out[name] = col
         return out
 
-    return parted.groupby("_part").map_groups(combine, batch_format="pandas")
+    return bucket_exchange(parted, combine)
 
 
 def grouped_holistic(
@@ -228,7 +229,7 @@ def grouped_holistic(
         return out
 
     parted = ds.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
-    return parted.groupby("_part").map_groups(per_part, batch_format="pandas")
+    return bucket_exchange(parted, per_part)
 
 
 def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) -> ray.data.Dataset:
@@ -253,7 +254,7 @@ def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) ->
         c["frac"] = round_half_away(c["n"] / totals, 6)
         return c
 
-    return parted.groupby("_part").map_groups(combine, batch_format="pandas")
+    return bucket_exchange(parted, combine)
 
 
 def detect_hot_keys(ds: ray.data.Dataset, key: str, sample_frac: float = 0.05, top_k: int = 32, seed: int = 7) -> list:
@@ -303,7 +304,7 @@ def salted_grouped_stats(
             .reset_index()
         )
 
-    lvl2 = l1p.groupby("_part").map_groups(combine_salted, batch_format="pandas")
+    lvl2 = bucket_exchange(l1p, combine_salted)
     # level 2: tiny recombine per key (≤ num_salts rows per key)
     l2p = lvl2.map_batches(lambda b: _add_part(b, [key]), batch_format="pandas")
 
@@ -331,7 +332,7 @@ def salted_grouped_stats(
             out[name] = col
         return out
 
-    return l2p.groupby("_part").map_groups(finalize, batch_format="pandas")
+    return bucket_exchange(l2p, finalize)
 
 
 def rmse(ds: ray.data.Dataset, col_a: str, col_b: str, round_to: int = 4) -> float:

@@ -18,6 +18,7 @@ import ray.data
 
 from ..functions import _bs, textproc
 from ..functions.hashing import fnv1a64, hash_family, splitmix64
+from .exchange import bucket_exchange
 
 
 # --- exact -----------------------------------------------------------------
@@ -74,7 +75,7 @@ def dedup_keep_latest(ds: ray.data.Dataset, key: str = "url", ts_col: str = "war
     pre = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=_bs()).map_batches(
         local, batch_format="pyarrow", batch_size=_bs()
     )
-    return pre.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
+    return bucket_exchange(pre, per_bucket, key="_bkt", batch_format="pyarrow")
 
 
 def dedup_exact_content(ds: ray.data.Dataset, content_col: str = "text", id_col: str = "doc_id",
@@ -93,9 +94,7 @@ def dedup_exact_content(ds: ray.data.Dataset, content_col: str = "text", id_col:
         out = g.sort_values(id_col, kind="mergesort").drop_duplicates(content_col, keep="first")
         return out.drop(columns=["_h", "_bkt"])
 
-    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("_bkt").map_groups(
-        first_per_content, batch_format="pandas"
-    )
+    return bucket_exchange(ds.map_batches(add_hash, batch_format="pyarrow"), first_per_content, key="_bkt")
 
 
 # --- shared pair machinery -------------------------------------------------
@@ -121,9 +120,7 @@ def _dedup_pairs(pairs: ray.data.Dataset, value_col: str, keep: str = "max",
         g = g.sort_values(["id_a", "id_b", value_col], ascending=[True, True, keep == "min"], kind="mergesort")
         return g.drop_duplicates(["id_a", "id_b"], keep="first").drop(columns=["_bkt"])
 
-    return pairs.map_batches(add_bkt, batch_format="pandas").groupby("_bkt").map_groups(
-        per_bucket, batch_format="pandas"
-    )
+    return bucket_exchange(pairs.map_batches(add_bkt, batch_format="pandas"), per_bucket, key="_bkt")
 
 
 def _collision_groups(g: pd.DataFrame, keys: list[str]):
@@ -166,7 +163,7 @@ def _bucketed_hash_join(probe: ray.data.Dataset, labels: ray.data.Dataset,
     u = probe.map_batches(tag_probe, batch_format="pandas").union(
         labels.map_batches(tag_labels, batch_format="pandas")
     ).map_batches(bucket_k, batch_format="pandas")
-    return u.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return bucket_exchange(u, per_bucket, key="_bkt")
 
 
 def _driver_union_find(df: pd.DataFrame) -> pd.DataFrame:
@@ -238,12 +235,11 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 20,
         # (k=label, v=node): joined against labels it yields label(label(node))
         return pd.DataFrame({"k": b["label"].to_numpy(np.int64), "v": b["node"].to_numpy(np.int64)})
 
-    labels = (
+    labels = bucket_exchange(
         pairs.map_batches(seed, batch_format="pandas")
-        .map_batches(bucket_node, batch_format="pandas")
-        .groupby("_bkt").map_groups(min_per_node, batch_format="pandas")
-        .materialize()
-    )
+        .map_batches(bucket_node, batch_format="pandas"),
+        min_per_node, key="_bkt",
+    ).materialize()
     edges = pairs.map_batches(edges_both, batch_format="pandas").materialize()
     prev_sum = labels.sum("label")
 
@@ -253,12 +249,10 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 20,
         # label-of-label (pointer jump) — both emit (node, label) candidates
         probe = edges.union(labels.map_batches(labels_as_probe, batch_format="pandas"))
         cand = _bucketed_hash_join(probe, labels, num_buckets)
-        labels = (
-            cand.union(labels)
-            .map_batches(bucket_node, batch_format="pandas")
-            .groupby("_bkt").map_groups(min_per_node, batch_format="pandas")
-            .materialize()
-        )
+        labels = bucket_exchange(
+            cand.union(labels).map_batches(bucket_node, batch_format="pandas"),
+            min_per_node, key="_bkt",
+        ).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:  # labels only decrease ⇒ equal sum = converged
             break
@@ -359,7 +353,7 @@ def minhash_candidates(
             return _pair_frame(extra={"est_jaccard": np.float64})
         return pd.concat(out, ignore_index=True)
 
-    pairs = exploded.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucket_exchange(exploded, bucket_pairs, key="_bkt")
     pairs = _dedup_pairs(pairs, "est_jaccard", keep="max").materialize()
 
     # second pass: recompute signatures for candidate ids only, then score
@@ -410,6 +404,9 @@ def minhash_candidates(
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
+            # all-NaN placeholder columns can arrive null-typed (object)
+            # from the hash-shuffle exchange — normalize before scoring
+            b["est_jaccard"] = b["est_jaccard"].astype(np.float64)
             real = b["id_a"].to_numpy(np.int64) >= 0
             if real.any():
                 A = self.S[self._rows(b.loc[real, "id_a"].to_numpy(np.int64))]
@@ -503,7 +500,7 @@ def simhash_dedup_pairs(
             return _pair_frame(extra={"hamming": np.int64})
         return pd.concat(out, ignore_index=True)
 
-    pairs = exploded.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucket_exchange(exploded, bucket_pairs, key="_bkt")
     return _dedup_pairs(pairs, "hamming", keep="min")
 
 
@@ -556,5 +553,5 @@ def embedding_dedup_pairs(
             return _pair_frame(extra={"cosine": np.float64})
         return pd.concat(out, ignore_index=True)
 
-    pairs = bucketed.groupby("_bkt").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucket_exchange(bucketed, bucket_pairs, key="_bkt")
     return _dedup_pairs(pairs, "cosine", keep="max")

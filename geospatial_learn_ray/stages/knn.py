@@ -32,6 +32,7 @@ import ray.data
 
 from ..functions import geo
 from ..functions.rounding import round_half_away
+from .exchange import bucket_exchange
 
 
 def planar_dist2(lon0, lat0, lon1, lat1):
@@ -72,13 +73,12 @@ def detect_hot_cells_knn(ds: ray.data.Dataset, res: int, threshold: int) -> dict
         c = g.groupby("cell", sort=False)["n"].sum().reset_index()
         return c[c["n"] > threshold]
 
-    hot = (
+    hot = bucket_exchange(
         ds.select_columns(["lon", "lat"])
         .map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pandas")
-        .groupby("_part").map_groups(combine, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(add_part, batch_format="pandas"),
+        combine,
+    ).to_pandas()
     if len(hot) == 0:
         return {}
     salts = np.minimum(np.ceil(hot["n"].to_numpy() / threshold), 64).astype(np.int64)
@@ -223,7 +223,7 @@ def knn_per_cell(
             return _empty(g[id_col].dtype)
         return pd.concat(out_rows, ignore_index=True)
 
-    return replicated.groupby("_part").map_groups(part_knn, batch_format="pandas")
+    return bucket_exchange(replicated, part_knn)
 
 
 # --- embedding similarity search ------------------------------------------

@@ -27,6 +27,7 @@ import ray.data
 
 from ..functions.geometry import PolygonIndex
 from ..functions.rounding import round_half_away
+from .exchange import bucket_exchange
 from ..sources.tiles import tile_bounds, tile_pixels
 
 
@@ -121,7 +122,7 @@ def temporal_comp(ds_epochs: list[ray.data.Dataset], stat: str = "mean") -> ray.
             rows["n_epochs"].append(len(tile_g))
         return pd.DataFrame(rows)
 
-    return stacked.groupby("_part").map_groups(per_part, batch_format="pandas")
+    return bucket_exchange(stacked, per_part)
 
 
 def raster2points(ds: ray.data.Dataset, stride: int = 16, nodata: float | None = None) -> ray.data.Dataset:
@@ -224,7 +225,7 @@ def combine_scene(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, fill_class: fl
         return pd.DataFrame(rows)
 
     parted = a.union(b).map_batches(_add_tile_part, batch_format="pyarrow")
-    return parted.groupby("_part").map_groups(merge_part, batch_format="pandas")
+    return bucket_exchange(parted, merge_part)
 
 
 def apply_lut_stage(ds: ray.data.Dataset, lut: dict[int, int], quant: float = 10.0) -> ray.data.Dataset:
@@ -603,9 +604,7 @@ def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
             rows["entropy"].append(round_half_away(entropy, round_to))
         return pd.DataFrame(rows)
 
-    return partials.map_batches(add_partcol, batch_format="pandas").groupby("_part").map_groups(
-        combine, batch_format="pandas"
-    )
+    return bucket_exchange(partials.map_batches(add_partcol, batch_format="pandas"), combine)
 
 
 def global_patch(tx: int, ty: int, tile_px: int, pad: int) -> np.ndarray:
@@ -840,10 +839,10 @@ def _border_pairs(regions: ray.data.Dataset, side: int, num_buckets: int) -> ray
                      "row_min", "row_max", "col_min", "col_max"]],
         batch_format="pandas",
     )
-    return (
+    return bucket_exchange(
         narrow.map_batches(border_rows, batch_format="pandas")
-        .map_batches(bucket_border, batch_format="pandas")
-        .groupby("_bkt").map_groups(pairs_per_bucket, batch_format="pandas")
+        .map_batches(bucket_border, batch_format="pandas"),
+        pairs_per_bucket, key="_bkt",
     )
 
 
@@ -903,10 +902,9 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
     tagged = regions.map_batches(region_nodes, batch_format="pandas").union(
         comp.map_batches(comp_rows, batch_format="pandas")
     ).map_batches(bucket_k, batch_format="pandas")
-    partial = tagged.groupby("_bkt").map_groups(attach_component, batch_format="pandas")
-    return partial.map_batches(bucket_region, batch_format="pandas").groupby("_bkt").map_groups(
-        sum_per_region, batch_format="pandas"
-    )
+    partial = bucket_exchange(tagged, attach_component, key="_bkt")
+    return bucket_exchange(partial.map_batches(bucket_region, batch_format="pandas"),
+                           sum_per_region, key="_bkt")
 
 
 def _loops_to_wkb(loops: list[np.ndarray], side: int, grid_x: int, grid_y: int) -> bytes:
@@ -1064,10 +1062,9 @@ def polygonize_merge_geometry(rings: ray.data.Dataset, side: int,
     tagged = rings.map_batches(region_rows, batch_format="pandas").union(
         comp.map_batches(comp_rows, batch_format="pandas")
     ).map_batches(bucket_k, batch_format="pandas")
-    merged = tagged.groupby("_bkt").map_groups(attach_component, batch_format="pandas")
-    return merged.map_batches(bucket_region, batch_format="pandas").groupby("_bkt").map_groups(
-        assemble, batch_format="pandas"
-    )
+    merged = bucket_exchange(tagged, attach_component, key="_bkt")
+    return bucket_exchange(merged.map_batches(bucket_region, batch_format="pandas"),
+                           assemble, key="_bkt")
 
 
 def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:

@@ -22,6 +22,7 @@ import pandas as pd
 import ray.data
 
 from ..functions.hashing import splitmix64
+from .exchange import bucket_exchange
 
 
 def _bucket_by_key(ds: ray.data.Dataset, key: str, num_buckets: int = 64) -> ray.data.Dataset:
@@ -59,7 +60,7 @@ def sessionize(
         )
         return out
 
-    return _bucket_by_key(ds, key, num_buckets).groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return bucket_exchange(_bucket_by_key(ds, key, num_buckets), per_bucket, key="_bkt")
 
 
 def asof_join(
@@ -105,4 +106,4 @@ def asof_join(
         )
         return merged
 
-    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return bucket_exchange(both, per_bucket, key="_bkt")
