@@ -642,6 +642,26 @@ def _q_classify_proba(sf_dir: str):
     return train.predict_proba_stage(ds, path, keep_cols=["l_orderkey", "l_linenumber"])
 
 
+def _q_rf_oob_scan(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_tax", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "y": (b["l_returnflag"] == "R").astype(np.int64),
+            "x0": b["l_discount"].to_numpy(np.float64),
+            "x1": b["l_tax"].to_numpy(np.float64),
+            "x2": b["l_quantity"].to_numpy(np.float64),
+            "k": b["l_orderkey"].to_numpy(np.int64) * 8 + b["l_linenumber"].to_numpy(np.int64),
+        })
+
+    return train.fit_bagged_stumps_oob(ds.map_batches(prep, batch_format="pandas"),
+                                       ["x0", "x1", "x2"], "y", "k",
+                                       max_stumps=32, step=4)
+
+
 def _q_logistic_weights(sf_dir: str):
     from geospatial_learn_ray.stages import train
 
@@ -703,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_param_scan": _q_ridge_param_scan,
         "classify_proba_lineitem": _q_classify_proba,
         "logistic_weights_lineitem": _q_logistic_weights,
+        "rf_oob_scan": _q_rf_oob_scan,
         # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
         "geocode_cells": _q_geocode_cells,
         "pip_join_rows": _q_pip_join,

@@ -35,8 +35,14 @@ def _pages_parquet_dir() -> str:
 
 
 def run_benchmarks() -> dict:
+    import pyarrow as _pa
     import ray
 
+    # cap the driver-side Arrow thread pool to the claimed CPU budget —
+    # without this (and the taskset pin in --scaling) a "num_cpus=8" session
+    # borrows all physical cores for parquet/compute kernels and the scaling
+    # measurement stops meaning anything
+    _pa.set_cpu_count(NUM_CPUS)
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -135,17 +141,22 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # compute-dominated configuration: the 4N/N criterion measures how
         # throughput scales when work dominates fixed pipeline latency, as
-        # it does at 100 TB — so the scaling run streams 10x more pages
+        # it does at 100 TB — so the scaling run streams 10x more pages.
+        # taskset pins the whole process tree to ncpu physical cores: an
+        # honest N-core-node stand-in (ray num_cpus only limits task SLOTS;
+        # numpy/Arrow kernels would otherwise borrow every core on the box)
+        import shutil
+
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_PAGE_REPEAT=os.environ.get("GRAFT_SCALING_REPEAT", "1000"),
             GRAFT_BENCH_HEADLINE="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     # median of 3 interleaved legs per level: this sandbox VM sees heavy

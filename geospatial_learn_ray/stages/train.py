@@ -199,6 +199,133 @@ def fit_logistic(ds: ray.data.Dataset, features: list[str], label: str,
     return w
 
 
+def fit_bagged_stumps_oob(ds: ray.data.Dataset, features: list[str], label: str,
+                          key_col: str, max_stumps: int = 32, step: int = 4,
+                          bins: int = 32, seed: int = 11,
+                          round_to: int = 6) -> pd.DataFrame:
+    """RF_oob_opt analogue (learning.py:896): an ensemble-size scan scored
+    by OUT-OF-BAG error — the reference sweeps n_estimators with warm-start
+    RandomForest OOB; here the ensemble is deterministic bagged decision
+    STUMPS so everything distributes as two streaming passes:
+
+    - bootstrap membership is HASH-derived per (row key, stump): row i is
+      in stump b's bag iff splitmix64(key_i ^ seed_b) % 1000 < 632 (the
+      63.2% unique-row mass of a true bootstrap) — stable on any worker,
+      any retry, any partitioning (no RNG state);
+    - pass 1: per-batch (stump, feature-bin, class) histogram partials over
+      in-bag rows (features round-robin across stumps); the driver combines
+      the tiny histogram and picks each stump's best split by gini +
+      majority leaf classes;
+    - pass 2: per-batch OOB votes — signed cumulative majority across the
+      first m stumps for every scan point m, emitting only per-batch error
+      counts.
+
+    Returns rows (n_estimators, oob_error) for m = step, 2·step, …,
+    max_stumps (oob_error rounded; the min row is the 'best estimator')."""
+    F = len(features)
+    B = max_stumps
+    seeds = splitmix64(np.arange(1, B + 1, dtype=np.uint64) * np.uint64(seed))
+
+    # pass 0: global per-feature min/max for binning (one tiny pass)
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        X = b[features].to_numpy(np.float64)
+        return pd.DataFrame({"f": np.arange(F), "mn": X.min(axis=0), "mx": X.max(axis=0)})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas().groupby("f").agg(
+        mn=("mn", "min"), mx=("mx", "max"))
+    lo = mm["mn"].to_numpy()
+    hi = mm["mx"].to_numpy()
+    width = np.where(hi > lo, hi - lo, 1.0)
+
+    def _bags(keys: np.ndarray) -> np.ndarray:
+        """[n, B] bool in-bag matrix from the hash rule."""
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(keys[:, None].astype(np.uint64) ^ seeds[None, :])
+        finally:
+            np.seterr(**old)
+        return (h % np.uint64(1000)) < np.uint64(632)
+
+    # pass 1: histogram partials — one flat bincount per (batch, stump)
+    # builds ALL features' (bin, class) histograms at once; each stump then
+    # picks its best (feature, threshold) by gini over its own bag, so bag
+    # diversity (not feature starvation) differentiates the ensemble
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = b[features].to_numpy(np.float64)
+        y = (b[label].to_numpy(np.int64) > 0).astype(np.int64)
+        keys = b[key_col].to_numpy().astype(np.uint64)
+        bag = _bags(keys)
+        binned = np.clip(((X - lo) / width * bins).astype(np.int64), 0, bins - 1)
+        fidx = np.arange(F)[None, :]
+        rows = []
+        for s in range(B):
+            m = bag[:, s]
+            if not m.any():
+                continue
+            code = ((fidx * bins + binned[m]) * 2 + y[m, None]).ravel()
+            cnt = np.bincount(code, minlength=F * bins * 2)
+            rows.append({"stump": s, **{f"c{i}": int(v) for i, v in enumerate(cnt)}})
+        return pd.DataFrame(rows)
+
+    hp = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hist = np.zeros((B, F, bins, 2), np.int64)
+    for s, g in hp.groupby("stump"):
+        flat = np.array([g[f"c{i}"].sum() for i in range(F * bins * 2)], np.int64)
+        hist[int(s)] = flat.reshape(F, bins, 2)
+
+    # driver: per stump pick the gini-minimizing (feature, threshold) + leaves
+    feat_of = np.zeros(B, np.int64)
+    thr_bin = np.zeros(B, np.int64)
+    left_cls = np.zeros(B, np.int64)
+    right_cls = np.zeros(B, np.int64)
+    for s in range(B):
+        best = (np.inf, 0, 0, 0, 0)
+        for f in range(F):
+            h = hist[s, f].astype(np.float64)
+            cl = np.cumsum(h, axis=0)          # [bins, 2] counts with bin <= t
+            tot = h.sum(axis=0)
+            nl = cl.sum(axis=1)
+            nr = tot.sum() - nl
+            pl1 = np.divide(cl[:, 1], nl, out=np.zeros(bins), where=nl > 0)
+            cr1 = tot[1] - cl[:, 1]
+            pr1 = np.divide(cr1, nr, out=np.zeros(bins), where=nr > 0)
+            gini = nl * 2 * pl1 * (1 - pl1) + nr * 2 * pr1 * (1 - pr1)
+            gini[nl == 0] = np.inf
+            gini[nr == 0] = np.inf
+            if np.isfinite(gini).any():
+                t = int(np.argmin(gini))
+                if gini[t] < best[0]:
+                    best = (float(gini[t]), f, t, int(pl1[t] > 0.5), int(pr1[t] > 0.5))
+        _, feat_of[s], thr_bin[s], left_cls[s], right_cls[s] = best
+
+    grid = np.arange(step, max_stumps + 1, step)
+
+    # pass 2: OOB signed cumulative majority per row, per-batch error counts
+    def oob_partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = b[features].to_numpy(np.float64)
+        y = (b[label].to_numpy(np.int64) > 0).astype(np.int64)
+        keys = b[key_col].to_numpy().astype(np.uint64)
+        oob = ~_bags(keys)
+        binned = np.clip(((X - lo) / width * bins).astype(np.int64), 0, bins - 1)
+        pred = np.where(binned[:, feat_of] <= thr_bin[None, :],
+                        left_cls[None, :], right_cls[None, :])  # [n, B]
+        votes = np.where(oob, np.where(pred == 1, 1, -1), 0)
+        cum = np.cumsum(votes, axis=1)[:, grid - 1]              # [n, |grid|]
+        has_vote = np.cumsum(oob.astype(np.int64), axis=1)[:, grid - 1] > 0
+        guess = (cum > 0).astype(np.int64)                        # tie → class 0
+        err = (guess != y[:, None]) & has_vote
+        return pd.DataFrame({"m": grid, "err": err.sum(axis=0), "n": has_vote.sum(axis=0)})
+
+    op = ds.map_batches(oob_partial, batch_format="pandas").to_pandas().groupby("m").agg(
+        err=("err", "sum"), n=("n", "sum")).reset_index()
+    op = op.sort_values("m")
+    return pd.DataFrame({
+        "n_estimators": op["m"].to_numpy(np.int64),
+        "oob_error": round_half_away(op["err"].to_numpy(np.float64)
+                                     / np.maximum(op["n"].to_numpy(np.float64), 1.0), round_to),
+    })
+
+
 def save_model(path: str, features: list[str], weights: np.ndarray,
                kind: str = "linear") -> str:
     """Persist the trained artifact (learning.py:678 joblib.dump → JSON)."""

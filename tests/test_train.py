@@ -83,3 +83,44 @@ def test_one_class_proba_selects_column(tmp_path):
         ray.data.from_pandas(df), path, keep_cols=["key"], one_class=1
     ).to_pandas()
     assert list(out.columns) == ["key", "proba_1", "pred"]
+
+
+def test_bagged_stumps_oob_learns_separable_rule():
+    # y = 1[x0 > 0]: a single stump on x0 separates perfectly, so the OOB
+    # error must collapse to ~0 as the ensemble grows
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages import train
+
+    n = 4000
+    k = np.arange(n, dtype=np.int64)
+    x0 = ((k * 2654435761) % 1000) / 500.0 - 1.0  # deterministic, mixed sign
+    x1 = ((k * 40503) % 997) / 997.0              # noise feature
+    y = (x0 > 0).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": k, "x0": x0, "x1": x1, "y": y}))
+    out = train.fit_bagged_stumps_oob(ds, ["x0", "x1"], "y", "k", max_stumps=16, step=4)
+    assert list(out.n_estimators) == [4, 8, 12, 16]
+    assert out.oob_error.iloc[-1] < 0.05
+    # deterministic
+    again = train.fit_bagged_stumps_oob(ds, ["x0", "x1"], "y", "k", max_stumps=16, step=4)
+    assert out.equals(again)
+
+
+def test_bagged_stumps_oob_curve_monotonic_tendency():
+    # on the real lineitem-style mix the error at the largest ensemble must
+    # not exceed the smallest-ensemble error (OOB variance shrinks)
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages import train
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    x0 = rng.normal(0, 1, n)
+    y = ((x0 + rng.normal(0, 0.5, n)) > 0).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": np.arange(n), "x0": x0, "y": y}))
+    out = train.fit_bagged_stumps_oob(ds, ["x0"], "y", "k", max_stumps=24, step=8)
+    assert out.oob_error.iloc[-1] <= out.oob_error.iloc[0] + 0.02
