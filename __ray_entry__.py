@@ -266,6 +266,17 @@ def _q_minhash_pairs(sf_dir: str):
     return dedup.minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def _q_jaccard_verified(sf_dir: str):
+    docs_tbl = pa.concat_tables(
+        list(_rp(sf_dir, "documents", ["doc_id", "text"]).iter_batches(batch_format="pyarrow"))
+    )
+    pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    out = dedup.verify_jaccard_exact(pairs, ray.put(docs_tbl), threshold=0.5)
+    return out.map_batches(
+        lambda b: b[["id_a", "id_b", "jaccard"]], batch_format="pandas"
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash_dedup_pairs(ds, max_hamming=3)
@@ -735,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_store_topk": _q_ann_ivf_store,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "jaccard_verified_pairs": _q_jaccard_verified,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "dedup_components": _q_dedup_components,
         "hll_distinct_urls": _q_hll_distinct_urls,

@@ -81,17 +81,46 @@ class MediaDecoder:
         return w, h, c, mean_byte, len(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self._decode_one(b) for b in batch["media"].to_pylist()]
-        w, h, c, mean_byte, nbytes = map(np.array, zip(*vals)) if vals else ([],) * 5
+        # vectorized header parse + payload stats straight off the Arrow
+        # value buffer — no per-row Python objects (the loop _decode_one
+        # documents the per-row semantics; this is its batch twin)
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset : col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[col.offset : col.offset + len(col) + 1]
+        data = np.frombuffer(col.buffers()[2], np.uint8) if col.buffers()[2] is not None else np.zeros(0, np.uint8)
+        starts = offsets[:-1].astype(np.int64)
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        n = len(starts)
+        magic = np.frombuffer(MAGIC, np.uint8)
+        sidx = np.minimum(starts[:, None] + np.arange(4)[None, :], max(len(data) - 1, 0))
+        ok = (lens >= 9) & (data[sidx] == magic[None, :]).all(axis=1)
+
+        def byte_at(k: int) -> np.ndarray:
+            return data[np.minimum(starts + k, max(len(data) - 1, 0))].astype(np.int64)
+
+        w = np.where(ok, byte_at(4) | (byte_at(5) << 8), 0)
+        h = np.where(ok, byte_at(6) | (byte_at(7) << 8), 0)
+        c = np.where(ok, byte_at(8), 0)
+        csum = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+        p0 = np.minimum(starts + 9, offsets[1:])
+        psum = csum[offsets[1:]] - csum[p0]
+        plen = (offsets[1:] - p0).astype(np.int64)
+        mean_byte = np.where(
+            ok, np.where(plen > 0, psum / np.maximum(plen, 1), 0.0), np.nan
+        )
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
-                "width": pa.array(np.asarray(w, np.int32)),
-                "height": pa.array(np.asarray(h, np.int32)),
-                "channels": pa.array(np.asarray(c, np.int32)),
-                "mean_byte": pa.array(np.round(np.asarray(mean_byte, np.float64), 4)),
-                "payload_bytes": pa.array(np.asarray(nbytes, np.int64)),
+                "width": pa.array(w.astype(np.int32)),
+                "height": pa.array(h.astype(np.int32)),
+                "channels": pa.array(c.astype(np.int32)),
+                "mean_byte": pa.array(np.round(mean_byte, 4)),
+                "payload_bytes": pa.array(np.where(ok, plen, 0).astype(np.int64)),
             }
         )
 

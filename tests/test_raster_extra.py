@@ -131,3 +131,27 @@ def test_polygonize_serpentine_region_is_one_region():
     assert len(snake) == 1, f"serpentine region split into {len(snake)} parts"
     assert snake.pixel_count.iloc[0] == (img == 5.0).sum()
     assert out.pixel_count.sum() == side * side
+
+
+def test_media_decode_vectorized_matches_per_row():
+    # the Arrow-buffer decode must equal the documented per-row semantics
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    tbl = multimodal.media_table(docs)
+    dec = multimodal.MediaDecoder("fake")
+    out = dec(tbl).to_pandas()
+    for i in [0, 7, 123, 499]:
+        buf = tbl["media"][i].as_py()
+        w, h, c, mb, nb = multimodal.MediaDecoder._decode_one(buf)
+        row = out.iloc[i]
+        assert (row.width, row.height, row.channels, row.payload_bytes) == (w, h, c, nb)
+        assert abs(row.mean_byte - round(mb, 4)) < 1e-9
+    # corrupt row → zeroed metadata, NaN mean
+    import pyarrow as pa
+    bad = pa.table({"media_id": pa.array([1], pa.int64()),
+                    "media_type": pa.array(["image/glrm"]),
+                    "media": pa.array([b"JUNK"], pa.binary())})
+    bo = dec(bad).to_pandas().iloc[0]
+    assert bo.width == 0 and bo.payload_bytes == 0 and np.isnan(bo.mean_byte)
