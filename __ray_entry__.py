@@ -689,14 +689,93 @@ def _q_logistic_weights(sf_dir: str):
                          "w2": [round(float(w[2]), 4)]})
 
 
+def _wkb_to_geojson_sql() -> str:
+    """GeoJSON strings assembled in SQL: DuckDB's double→VARCHAR cast is the
+    same shortest-round-trip formatting as Python's repr (probed), so the
+    concatenated string matches json.dumps byte-for-byte."""
+    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"),
+           ("pminx", "pmaxy"), ("pminx", "pminy")]
+    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"), ("pmx", "pmy"),
+           ("pmx", "pmaxy"), ("pminx", "pmaxy"), ("pminx", "pminy")]
+
+    def js(verts) -> str:
+        pts = " || '],[' || ".join(
+            f"CAST(ROUND({x}, 6) AS VARCHAR) || ',' || CAST(ROUND({y}, 6) AS VARCHAR)"
+            for x, y in verts
+        )
+        return f"('{{\"type\":\"Polygon\",\"coordinates\":[[[' || {pts} || ']]]}}')"
+
+    return (
+        f"WITH {polygons_sql()} "
+        f"SELECT feature_id, CASE WHEN is_l THEN {js(lsh)} ELSE {js(box)} END AS geojson FROM polys"
+    )
+
+
 def _q_shape_props(sf_dir: str):
     tbl = polygon_table()
     rows = []
     for fid, wkb in zip(tbl["feature_id"].to_pylist(), tbl["geometry"].to_pylist()):
         p = ring_props(wkb_to_ring(wkb))
-        p = {k: round(v, 6) for k, v in p.items()}
+        p = {k: round_half_away(v, 6) for k, v in p.items()}
         rows.append({"feature_id": fid, **p})
     return pd.DataFrame(rows)
+
+
+def _shape_props_sql() -> str:
+    """ring_props (shoelace / perimeter / centroid / extent / hull solidity)
+    restated per closed-form shape: sequential-sum expressions in the exact
+    vertex orders the engine uses (ring order for area/centroid/perimeter;
+    Andrew-hull order — box = same 4 corners, L = 5-vertex pentagon — for
+    the solidity denominator)."""
+    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"), ("pminx", "pmaxy")]
+    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
+           ("pmx", "pmy"), ("pmx", "pmaxy"), ("pminx", "pmaxy")]
+    hull_l = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
+              ("pmx", "pmaxy"), ("pminx", "pmaxy")]
+
+    def seq(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    def shoelace(v):
+        n = len(v)
+        return seq([f"({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]})" for k in range(n)])
+
+    def perim(v):
+        n = len(v)
+        return seq([f"(ABS({v[(k + 1) % n][0]} - {v[k][0]}) + ABS({v[(k + 1) % n][1]} - {v[k][1]}))"
+                    for k in range(n)])
+
+    def cxs(v):
+        n = len(v)
+        return seq([f"(({v[k][0]} + {v[(k + 1) % n][0]})*({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]}))"
+                    for k in range(n)])
+
+    def cys(v):
+        n = len(v)
+        return seq([f"(({v[k][1]} + {v[(k + 1) % n][1]})*({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]}))"
+                    for k in range(n)])
+
+    def pick(fn_box: str, fn_l: str) -> str:
+        return f"CASE WHEN is_l THEN {fn_l} ELSE {fn_box} END"
+
+    signed = pick(f"(0.5*{shoelace(box)})", f"(0.5*{shoelace(lsh)})")
+    hull_area = pick(f"(0.5*ABS({shoelace(box)}))", f"(0.5*ABS({shoelace(hull_l)}))")
+    return (
+        f"WITH {polygons_sql()}, "
+        f"p AS (SELECT feature_id, is_l, {signed} AS sg, "
+        f"  {pick(perim(box), perim(lsh))} AS per, "
+        f"  {pick(cxs(box), cxs(lsh))} AS cxs, {pick(cys(box), cys(lsh))} AS cys, "
+        f"  {hull_area} AS ha, pmaxx - pminx AS w, pmaxy - pminy AS h FROM polys) "
+        "SELECT feature_id, ROUND(ABS(sg), 6) AS area, ROUND(per, 6) AS perimeter, "
+        "ROUND(cxs/(6.0*sg), 6) AS centroid_x, ROUND(cys/(6.0*sg), 6) AS centroid_y, "
+        "ROUND(w, 6) AS bbox_w, ROUND(h, 6) AS bbox_h, "
+        "ROUND(CASE WHEN w*h > 0 THEN ABS(sg)/(w*h) ELSE 0.0 END, 6) AS extent, "
+        "ROUND(CASE WHEN ha > 0 THEN ABS(sg)/ha ELSE 0.0 END, 6) AS solidity "
+        "FROM p"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1047,6 +1126,8 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(1 - 1/(1 + EXP(-zz)), 6) AS proba_0, "
             "CASE WHEN 1/(1 + EXP(-zz)) > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
         ),
+        "shape_props": _shape_props_sql(),
+        "wkb_to_geojson": _wkb_to_geojson_sql(),
         # ---- hash / geocode / cell family (functions/sqlgen.py) -----------
         "train_test_split": (
             "SELECT doc_id, CASE WHEN _h % 10000 < 2500 THEN 'test' ELSE 'train' END AS split FROM ("

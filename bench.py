@@ -73,7 +73,11 @@ def run_benchmarks() -> dict:
     # synthetic generator); re-used by both --scaling processes
     pages_dir = _pages_parquet_dir()
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
-        read_pages(SF_DIR, with_dups=True, repeat=REPEAT).write_parquet(pages_dir)
+        # FIXED 64-file layout, independent of this session's cpu count:
+        # the --scaling legs share this dir, and a dir written by the 8-cpu
+        # leg would cap the 32-cpu leg's read/map parallelism at 16 blocks
+        # (measured: that alone costs ~0.15 of scaling efficiency)
+        read_pages(SF_DIR, with_dups=True, repeat=REPEAT).repartition(64).write_parquet(pages_dir)
     pages_ds = rd.read_parquet(pages_dir)
     n_pages = pages_ds.count()  # also warms the page cache (untimed)
 

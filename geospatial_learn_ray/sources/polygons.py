@@ -44,12 +44,16 @@ def polygons_sql() -> str:
     L-shape flag. Exposes ``polys(feature_id, pminx, pminy, pmaxx, pmaxy,
     is_l, pmx, pmy)`` — expression order matches ``polygon_rings`` so every
     coordinate is bit-identical."""
+    # every literal CAST to DOUBLE: bare 18.0 literals parse as DECIMAL in
+    # DuckDB, and decimal arithmetic diverges from the engine's float64
+    # (it agreed only up to nearest-double coincidence, and leaks trailing
+    # zeros through VARCHAR casts)
     return (
         "_pg AS (SELECT gy.range*20 + gx.range AS feature_id, "
-        "  -180.0 + gx.range*18.0 + 0.05*18.0 AS pminx, "
-        "  -180.0 + (gx.range+1)*18.0 - 0.05*18.0 AS pmaxx, "
-        "  -80.0 + gy.range*16.0 + 0.05*16.0 AS pminy, "
-        "  -80.0 + (gy.range+1)*16.0 - 0.05*16.0 AS pmaxy "
+        "  CAST(-180.0 AS DOUBLE) + gx.range*CAST(18.0 AS DOUBLE) + CAST(0.05 AS DOUBLE)*CAST(18.0 AS DOUBLE) AS pminx, "
+        "  CAST(-180.0 AS DOUBLE) + (gx.range+1)*CAST(18.0 AS DOUBLE) - CAST(0.05 AS DOUBLE)*CAST(18.0 AS DOUBLE) AS pmaxx, "
+        "  CAST(-80.0 AS DOUBLE) + gy.range*CAST(16.0 AS DOUBLE) + CAST(0.05 AS DOUBLE)*CAST(16.0 AS DOUBLE) AS pminy, "
+        "  CAST(-80.0 AS DOUBLE) + (gy.range+1)*CAST(16.0 AS DOUBLE) - CAST(0.05 AS DOUBLE)*CAST(16.0 AS DOUBLE) AS pmaxy "
         "  FROM range(0,20) gx, range(0,10) gy), "
         "polys AS (SELECT *, feature_id % 7 = 0 AS is_l, "
         "  (pminx+pmaxx)/2.0 AS pmx, (pminy+pmaxy)/2.0 AS pmy FROM _pg)"

@@ -86,8 +86,11 @@ def tiles_sql(tile_px: int = 32, grid_x: int = GRID_X, grid_y: int = GRID_Y) -> 
     the float32 pixel and ``vd`` its float64 widening; py is the row index
     (first axis of the pixel block), px the column.
     """
-    sx = ", ".join(f"({tx}, {float(np.sin(tx * 0.1))!r})" for tx in range(grid_x))
-    sy = ", ".join(f"({ty}, {float(np.cos(ty * 0.1))!r})" for ty in range(grid_y))
+    # CAST AS DOUBLE: bare decimal literals parse as DECIMAL in DuckDB and
+    # decimal-exact addition can differ from the engine's float64 adds in
+    # near-tie ulps
+    sx = ", ".join(f"({tx}, CAST({float(np.sin(tx * 0.1))!r} AS DOUBLE))" for tx in range(grid_x))
+    sy = ", ".join(f"({ty}, CAST({float(np.cos(ty * 0.1))!r} AS DOUBLE))" for ty in range(grid_y))
     return (
         f"_tsx(tile_x, sv) AS (VALUES {sx}), "
         f"_tsy(tile_y, cv) AS (VALUES {sy}), "
