@@ -10,10 +10,17 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Query naming: one entry per implemented operator/pipeline from
-SURVEY.md §2 (+ the web-scale training-data operators). Entries without
-an ``oracle_sql`` counterpart are genuinely non-SQL-expressible (cell
-encodings, LSH structures, closed-form rasters) and carry pytest oracles
-instead (tests/ — brute-force / property checks).
+SURVEY.md §2 (+ the web-scale training-data operators). 60 of 78 entries
+carry STRONG SQL oracles — including the closed-form rasters/polygons
+(functions inlined as numpy-computed literals), the FNV/splitmix hash
+pipeline, hex/S2 cell encodings and the HLL sketch (functions/sqlgen.py).
+The 18 rows-only entries are each justified: LSH banding structures
+(minhash/simhash/embedding pairs, their component assembly and verified
+pairs), iterative estimators (logistic, bagged stumps, IVF k-means),
+convex-hull buffering, connected-component labeling (polygonize family),
+RE2's missing lookaround (lang_id), winnowing's sliding-window state
+(doc_fingerprints), and the stubbed media codecs — all carry pytest
+oracles (brute force / property / planted-fixture checks) instead.
 """
 
 from __future__ import annotations
@@ -300,7 +307,7 @@ def _q_hll_distinct_urls(sf_dir: str):
 
     pages = read_pages(sf_dir, with_dups=True, columns=["url"])
     est = hll_distinct(pages, "url", precision=12)
-    return pd.DataFrame({"approx_distinct_urls": [round(est, 1)]})
+    return pd.DataFrame({"approx_distinct_urls": [round_half_away(est, 1)]})
 
 
 def _q_lang_id(sf_dir: str):
@@ -1192,6 +1199,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM loc GROUP BY cell_h3_r7"
         ),
         "knn_pages": _knn_pages_sql(),
+        "hll_distinct_urls": (
+            # the sketch itself is deterministic: splitmix64(fnv1a64(url))
+            # registers, scatter-max, the published bias-corrected estimate
+            f"WITH {pages_sql(with_dups=True)}, "
+            "hx AS ("
+            + _sg.chain("SELECT url FROM pages",
+                        [("_fh", _sg.fnv1a64_expr("url")), *_sg.splitmix64_steps("_fh", "_h", "h")])
+            + "), "
+            "r AS (SELECT CAST(_h // 4503599627370496 AS BIGINT) AS idx, "
+            "  LEAST(64 - CAST(FLOOR(LOG2(CAST((_h % 4503599627370496) * 4096 + 4095 AS DOUBLE))) AS BIGINT), 53) AS rank "
+            "  FROM hx), "
+            "regs AS (SELECT idx, MAX(rank) AS reg FROM r GROUP BY idx), "
+            "f AS (SELECT g.range AS idx, COALESCE(regs.reg, 0) AS reg FROM range(0, 4096) g "
+            "  LEFT JOIN regs ON g.range = regs.idx), "
+            "s AS (SELECT SUM(POWER(CAST(2.0 AS DOUBLE), -reg)) AS ss, "
+            "  COUNT(*) FILTER (WHERE reg = 0) AS zeros FROM f), "
+            "e AS (SELECT CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/4096) "
+            "  * 4096 * 4096 / ss AS est, zeros FROM s) "
+            "SELECT ROUND(CASE WHEN est <= 2.5*4096 AND zeros > 0 "
+            "  THEN 4096 * LN(CAST(4096 AS DOUBLE)/zeros) ELSE est END, 1) AS approx_distinct_urls FROM e"
+        ),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "
