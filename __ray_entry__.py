@@ -10,17 +10,19 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Query naming: one entry per implemented operator/pipeline from
-SURVEY.md §2 (+ the web-scale training-data operators). 60 of 78 entries
+SURVEY.md §2 (+ the web-scale training-data operators). 61 of 78 entries
 carry STRONG SQL oracles — including the closed-form rasters/polygons
 (functions inlined as numpy-computed literals), the FNV/splitmix hash
-pipeline, hex/S2 cell encodings and the HLL sketch (functions/sqlgen.py).
-The 18 rows-only entries are each justified: LSH banding structures
-(minhash/simhash/embedding pairs, their component assembly and verified
-pairs), iterative estimators (logistic, bagged stumps, IVF k-means),
-convex-hull buffering, connected-component labeling (polygonize family),
-RE2's missing lookaround (lang_id), winnowing's sliding-window state
-(doc_fingerprints), and the stubbed media codecs — all carry pytest
-oracles (brute force / property / planted-fixture checks) instead.
+pipeline, hex/S2 cell encodings, the HLL sketch (functions/sqlgen.py)
+and the language-ID heuristic (token/substring marker counts restated
+with list_filter + replace-length arithmetic). The 17 rows-only entries
+are each justified: LSH banding structures (minhash/simhash/embedding
+pairs, their component assembly and verified pairs), iterative
+estimators (logistic, bagged stumps, IVF k-means), convex-hull
+buffering, connected-component labeling (polygonize family),
+winnowing's sliding-window state (doc_fingerprints), and the stubbed
+media codecs — all carry pytest oracles (brute force / property /
+planted-fixture checks) instead.
 """
 
 from __future__ import annotations
@@ -964,6 +966,37 @@ def _knn_pages_sql() -> str:
         "FROM r1 JOIN kth ON r1.u = kth.u WHERE rn <= 5"
     )
 
+def _lang_id_sql() -> str:
+    """SQL twin of functions/textproc.lang_id: per-code function-word hit
+    counts (multi-char markers = whitespace-token equality, single-char CJK
+    markers = substring occurrences), argmax with lexicographic tie-break,
+    zero hits → 'und'. Built from the same _LANG_MARKERS dict so the two
+    sides cannot drift."""
+    from geospatial_learn_ray.functions.textproc import _LANG_MARKERS
+
+    codes = sorted(_LANG_MARKERS)
+    score_cols = []
+    for code in codes:
+        words = _LANG_MARKERS[code]
+        parts = []
+        multi = [w for w in words if len(w) > 1]
+        if multi:
+            inlist = ", ".join(f"'{w}'" for w in multi)
+            parts.append(
+                f"len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({inlist})))"
+            )
+        for w in words:
+            if len(w) == 1:
+                parts.append(f"(length(text) - length(replace(text, '{w}', '')))")
+        score_cols.append(f"({' + '.join(parts)}) AS s_{code}")
+    m = "GREATEST(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN s_{c} = {m} THEN '{c}'" for c in codes)
+    return (
+        f"WITH sc AS (SELECT doc_id, {', '.join(score_cols)} FROM documents) "
+        f"SELECT doc_id, CASE WHEN {m} = 0 THEN 'und' {case} END AS lang_pred FROM sc"
+    )
+
+
 # tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
 _TILE_GRID_SQL = (
     "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
@@ -1220,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(CASE WHEN est <= 2.5*4096 AND zeros > 0 "
             "  THEN 4096 * LN(CAST(4096 AS DOUBLE)/zeros) ELSE est END, 1) AS approx_distinct_urls FROM e"
         ),
+        "lang_id": _lang_id_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

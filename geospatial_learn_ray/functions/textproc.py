@@ -134,11 +134,24 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_id(texts: pd.Series) -> pd.Series:
     """Deterministic language guess: argmax of function-word hit counts
-    (ties → lexicographically smallest code; no markers → 'und')."""
+    (ties → lexicographically smallest code; no markers → 'und').
+
+    Counting semantics (chosen to be expressible both here and in ANSI
+    SQL so the driver can value-hash-check the operator): multi-char
+    markers count whitespace-delimited token matches; single-char (CJK)
+    markers count substring occurrences (CJK text has no spaces)."""
+    texts = texts.reset_index(drop=True)
+    ex = texts.str.split().explode().dropna()
+    rows = ex.index.to_numpy(np.int64)
     scores = {}
     for code, words in _LANG_MARKERS.items():
-        scores[code] = sum(texts.str.count(rf"(?<![\w]){re.escape(w)}(?![\w])") for w in words)
-    mat = pd.DataFrame(scores)
+        multi = [w for w in words if len(w) > 1]
+        s = np.bincount(rows[ex.isin(multi).to_numpy()], minlength=len(texts)).astype(np.int64)
+        for w in words:
+            if len(w) == 1:
+                s = s + texts.str.count(re.escape(w)).fillna(0).to_numpy(np.int64)
+        scores[code] = s
+    mat = pd.DataFrame(scores).reindex(sorted(scores), axis=1)
     best = mat.idxmax(axis=1)
     best[mat.max(axis=1) == 0] = "und"
     return best.rename("lang_pred")
