@@ -139,22 +139,27 @@ def checkpoint_stage(
         os.replace(tmp_path, path)
 
 
-def read_stage(out_dir: str, stage: str) -> ray.data.Dataset:
+def read_stage(out_dir: str, stage: str, shard_col: str = "shard") -> ray.data.Dataset:
     """Read a checkpointed stage back. The hive ``shard=K`` path segments
-    restore the shard column via partitioning inference; ``_manifest``
-    JSONs are excluded by the extension filter."""
+    restore the shard column; ``_manifest`` JSONs are excluded by the
+    extension filter. The partition column is typed explicitly and cast
+    back to the int32 that ``assign_shard`` produces — hive inference
+    alone yields *string*, which broke the typed shard filter on the
+    heal path of ``run_resumable_stage``."""
+    from ray.data.datasource.partitioning import Partitioning
+
     stage_dir = _stage_dir(out_dir, stage)
-    try:
-        return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
-    except TypeError:  # older Ray without file_extensions
-        files = []
-        for d in sorted(os.listdir(stage_dir)):
-            sub = os.path.join(stage_dir, d)
-            if d.startswith("shard=") and os.path.isdir(sub):
-                files.extend(
-                    os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
-                )
-        return ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(
+        stage_dir,
+        file_extensions=["parquet"],
+        partitioning=Partitioning("hive", field_types={shard_col: int}),
+    )
+
+    def _retype(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(shard_col)
+        return b.set_column(i, shard_col, pa.compute.cast(b[shard_col], pa.int32()))
+
+    return ds.map_batches(_retype, batch_format="pyarrow", zero_copy_batch=True, batch_size=_bs())
 
 
 def run_resumable_stage(
@@ -186,9 +191,12 @@ def run_resumable_stage(
         return read_stage(out_dir, stage)
     if missing:
         if done:
-            keep = set(missing)
+            keep = sorted(set(missing))
             filtered = input_ds.map_batches(
-                lambda b: b.filter(pa.compute.is_in(b[shard_col], value_set=pa.array(sorted(keep), pa.int32()))),
+                # value_set follows the column's actual type so the filter
+                # survives any upstream retyping of the shard column
+                lambda b: b.filter(pa.compute.is_in(
+                    b[shard_col], value_set=pa.array(keep, pa.int32()).cast(b[shard_col].type))),
                 batch_format="pyarrow",
             )
         else:

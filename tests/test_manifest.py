@@ -61,6 +61,33 @@ def test_stale_shard_purged_on_fingerprint_change(tmp_path):
     assert {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)} == mtimes
 
 
+def test_heal_with_read_stage_input(tmp_path):
+    """Regression: stage B's input is read_stage(A) — the hive-restored
+    shard column must come back typed int32 so B's heal-path shard filter
+    (is_in over the missing set) works. Before the fix, hive inference
+    yielded a *string* shard column and healing crashed with
+    ArrowTypeError string-vs-int32; fresh runs and no-op resumes never
+    exercise the filter, which is how the suite missed it."""
+    out = str(tmp_path / "ckpt")
+    ident = lambda ds: ds
+    run_resumable_stage(_input(), ident, out, "a", "fpA", NUM_SHARDS)
+    a = read_stage(out, "a")
+    assert dict(zip(a.schema().names, a.schema().types))["shard"] == pa.int32()
+    run_resumable_stage(a, ident, out, "b", "fpA", NUM_SHARDS)
+
+    # damage one of B's manifests → only that shard recomputes, via the
+    # typed filter over A's read-back shard column
+    victim = os.path.join(out, "b", "_manifest", "shard-1.json")
+    open(victim, "w").close()
+    mdir = os.path.join(out, "b", "_manifest")
+    before = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    got = run_resumable_stage(read_stage(out, "a"), ident, out, "b", "fpA", NUM_SHARDS)
+    after = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    changed = {f for f in after if after[f] != before.get(f)}
+    assert changed == {"shard-1.json"}
+    assert set(got.to_pandas()["key"]) == set(_input().to_pandas()["key"])
+
+
 def test_unsharded_stage_purges_stale_dirs(tmp_path):
     out = str(tmp_path / "ckpt")
     ident = lambda ds: ds
