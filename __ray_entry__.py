@@ -997,6 +997,37 @@ def _lang_id_sql() -> str:
     )
 
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """SQL twin of stages/dedup.simhash_dedup_pairs: 64-bit SimHash per doc
+    (FNV-1a token hashes in HUGEINT mod 2^64 via functions/sqlgen, ±1 per
+    bit summed over token OCCURRENCES, sign-packed), 4×16-bit pigeonhole
+    bands, pairs sharing any band with popcount(xor) ≤ max_hamming. The
+    banded self-join reproduces the engine's LSH candidate structure
+    exactly — a pair missed by every band is absent on BOTH sides even if
+    its hamming is ≤ the cap."""
+    fnv = _sg.fnv1a64_expr("t")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(64)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN COALESCE(b{b}, 0) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
+        for b in range(64)
+    )
+    band_eq = " OR ".join(
+        f"(a.sim // {1 << (16 * k)}) % 65536 = (b.sim // {1 << (16 * k)}) % 65536" for k in range(4)
+    )
+    ham = f"bit_count(xor({_sg.u64_to_i64('a.sim')}, {_sg.u64_to_i64('b.sim')}))"
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t FROM documents), "
+        f"th AS (SELECT doc_id, {fnv} AS h FROM tok), "
+        f"acc AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
+        f"sims AS (SELECT d.doc_id, ({sim}) AS sim FROM documents d LEFT JOIN acc ON d.doc_id = acc.doc_id) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS BIGINT) AS hamming "
+        f"FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_eq}) "
+        f"WHERE {ham} <= {max_hamming}"
+    )
+
+
 # tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
 _TILE_GRID_SQL = (
     "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
@@ -1254,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 4096 * LN(CAST(4096 AS DOUBLE)/zeros) ELSE est END, 1) AS approx_distinct_urls FROM e"
         ),
         "lang_id": _lang_id_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -162,14 +162,29 @@ def lang_id(texts: pd.Series) -> pd.Series:
 def winnow_fingerprints(texts, window: int = 8, guarantee: int = 16) -> tuple[np.ndarray, np.ndarray]:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD'03): rolling k-gram hashes, minimum per sliding window of
-    ``guarantee`` positions; per-doc fingerprint = xor-fold of the selected
-    minima. Returns (fingerprint uint64 [n], n_selected int64 [n])."""
+    ``guarantee`` positions (full windows only — the paper's scheme), a
+    window's min selected when it differs from the previous window's;
+    per-doc fingerprint = xor-fold of splitmix64 of the selected minima.
+    Returns (fingerprint uint64 [n], n_selected int64 [n]).
+
+    Window placement depends only on each row's OWN length: a row with
+    ``Li = len - window + 1`` k-gram positions contributes windows at
+    columns ``0 .. Li-guarantee``; a shorter row (``0 < Li < guarantee``)
+    contributes a single whole-row window, honoring the paper's
+    at-least-one-match guarantee. (The previous version derived both the
+    window width and the trailing-window set from the BATCH max length, so
+    re-batching the same rows could change their fingerprints.)"""
     H, valid = rolling_hashes(texts, window=window)
     n, L = H.shape
     if L == 0:
         return np.full(n, 0, np.uint64), np.zeros(n, np.int64)
+    Li = valid.sum(axis=1).astype(np.int64)
+    w = guarantee
     Hm = np.where(valid, H, np.uint64(0xFFFFFFFFFFFFFFFF))
-    w = min(guarantee, L)
+    if L < w:  # pad so a width-w sliding view exists; sentinels never win a min
+        Hm = np.concatenate(
+            [Hm, np.full((n, w - L), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)], axis=1
+        )
     sw = np.lib.stride_tricks.sliding_window_view(Hm, w, axis=1)
     mins = sw.min(axis=2)
     fp = np.zeros(n, np.uint64)
@@ -179,7 +194,8 @@ def winnow_fingerprints(texts, window: int = 8, guarantee: int = 16) -> tuple[np
         for col in range(mins.shape[1]):
             m = mins[:, col]
             fresh = (col == 0) | (m != mins[:, col - 1])
-            usable = fresh & (m != np.uint64(0xFFFFFFFFFFFFFFFF))
+            in_row = (col <= Li - w) | ((col == 0) & (Li > 0))
+            usable = fresh & in_row
             fp = np.where(usable, fp ^ splitmix64(m), fp)
             cnt += usable
     finally:

@@ -114,6 +114,21 @@ def test_winnow_fingerprints_deterministic_and_sensitive():
     assert (cnt > 0).all()
 
 
+def test_winnow_fingerprints_batch_invariant():
+    """A row's fingerprint must not depend on what else is in the batch —
+    window placement derives from the row's own length, not the batch max."""
+    short = "short doc content here padded to pass the kgram bar"
+    long = short + " " + "x" * 400
+    alone = textproc.winnow_fingerprints(pa.array([short]))
+    together = textproc.winnow_fingerprints(pa.array([short, long]))
+    assert alone[0][0] == together[0][0]
+    assert alone[1][0] == together[1][0]
+    # sub-guarantee row: single whole-row window → exactly one selection
+    tiny = "0123456789"  # 3 k-gram positions < guarantee
+    fp, cnt = textproc.winnow_fingerprints(pa.array([tiny, long]))
+    assert cnt[0] == 1 and fp[0] != 0
+
+
 def test_jaccard_shingles_identity_and_disjoint():
     assert textproc.jaccard_shingles("abcdefgh", "abcdefgh") == 1.0
     assert textproc.jaccard_shingles("aaaaaaa", "bbbbbbb") == 0.0
