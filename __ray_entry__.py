@@ -694,8 +694,9 @@ def _q_logistic_weights(sf_dir: str):
 
     w = train.fit_logistic(ds.map_batches(prep, batch_format="pandas"),
                            ["x1", "x2"], "y", iters=10, lr=0.5)
-    return pd.DataFrame({"w0": [round(float(w[0]), 4)], "w1": [round(float(w[1]), 4)],
-                         "w2": [round(float(w[2]), 4)]})
+    return pd.DataFrame({"w0": [round_half_away(float(w[0]), 4)],
+                         "w1": [round_half_away(float(w[1]), 4)],
+                         "w2": [round_half_away(float(w[2]), 4)]})
 
 
 def _wkb_to_geojson_sql() -> str:
@@ -1028,6 +1029,167 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _minhash_ctes(threshold: float = 0.5, max_bucket: int = 256) -> str:
+    """CTE fragment ending in ``mh_pairs`` (id_a < id_b, est_jaccard ≥
+    threshold) — the SQL twin of stages/dedup.minhash_candidates +
+    minhash_dedup_pairs (OPH MinHash, Li-Owen-Zhang NIPS'12):
+
+    - word tokens by whitespace split; FNV-1a per token (pure-ASCII text,
+      so ascii() == the hashed byte); 3-gram shingle hash = the same
+      polynomial combine as word_shingle_hashes (textproc.py:230) with
+      base powers mod 2^64 via u64_mul_const (no HUGEINT overflow);
+    - splitmix64 → bucket = top 6 bits → per-bucket MIN = the one-pass
+      OPH signature; empty buckets densified by cyclic backward fill
+      (arg_min over (j - bucket) mod 64 — provably equal to the engine's
+      iterative np.roll fill);
+    - band hash per 4 components = the engine's chained
+      splitmix64(bh ^ v_r) fold; LSH candidates share any (band, hash)
+      with bucket size ≤ max_bucket (the engine's overflow cap — capped
+      buckets emit sentinel rows the ≥ threshold filter drops on BOTH
+      sides); est_jaccard = equal-component fraction (m/64 is dyadic,
+      so DOUBLE equality is exact).
+
+    The token-hash CTE indexes tokens through a separate ``tk`` projection
+    because fnv1a64_expr's list lambda variable is named ``i`` — inlining
+    ``tl[i]`` into it would capture the lambda's ``i``, not the position."""
+    B = 1099511628211
+    B2 = pow(B, 2, _sg.M64)
+    fnv = _sg.fnv1a64_expr("t")
+    steps = [("x0", "v0"), *_sg.splitmix64_steps("x0", "b0", "mh0")]
+    for r in (1, 2, 3):
+        steps.append((f"x{r}", _sg.u64_xor(f"b{r - 1}", f"v{r}")))
+        steps += _sg.splitmix64_steps(f"x{r}", f"b{r}" if r < 3 else "band_hash", f"mh{r}")
+    band_chain = _sg.chain("SELECT doc_id, band, v0, v1, v2, v3 FROM bpivot", steps)
+    sm_h = _sg.chain("SELECT doc_id, hsh FROM sh", _sg.splitmix64_steps("hsh", "hp", "shg"))
+    return (
+        "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents), "
+        "tpos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts AS tl FROM tok), "
+        "tk AS (SELECT doc_id, i, tl[i] AS t FROM tpos), "
+        f"th AS (SELECT doc_id, i, {fnv} AS h FROM tk), "
+        "t3 AS (SELECT doc_id, h AS h0, LEAD(h, 1) OVER w AS h1, LEAD(h, 2) OVER w AS h2 "
+        "  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+        f"sh AS (SELECT doc_id, ({_sg.u64_mul_const('h0', B2)} + {_sg.u64_mul_const('h1', B)} + h2) % {_sg.M64} AS hsh "
+        "  FROM t3 WHERE h2 IS NOT NULL), "
+        f"shp AS ({sm_h}), "
+        f"mins AS (SELECT doc_id, {_sg.u64_shr('hp', 58)} AS bucket, MIN(hp) AS mh FROM shp GROUP BY doc_id, bucket), "
+        "mgrid AS (SELECT d.doc_id, g.range AS j FROM documents d, range(0, 64) g), "
+        "dsig AS (SELECT mgrid.doc_id, mgrid.j, arg_min(mins.mh, (mgrid.j - mins.bucket + 64) % 64) AS v "
+        "  FROM mgrid JOIN mins ON mins.doc_id = mgrid.doc_id GROUP BY mgrid.doc_id, mgrid.j), "
+        "bpivot AS (SELECT doc_id, j // 4 AS band, "
+        "  MAX(CASE WHEN j % 4 = 0 THEN v END) AS v0, MAX(CASE WHEN j % 4 = 1 THEN v END) AS v1, "
+        "  MAX(CASE WHEN j % 4 = 2 THEN v END) AS v2, MAX(CASE WHEN j % 4 = 3 THEN v END) AS v3 "
+        "  FROM dsig GROUP BY doc_id, j // 4), "
+        f"bands AS (SELECT doc_id, band, band_hash FROM ({band_chain})), "
+        "bsz AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS sz FROM bands), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "  FROM bsz a JOIN bsz b ON a.band = b.band AND a.band_hash = b.band_hash "
+        f"  AND a.doc_id < b.doc_id WHERE a.sz <= {max_bucket}), "
+        "mh_pairs AS (SELECT c.id_a, c.id_b, "
+        "  SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard "
+        "  FROM cand c JOIN dsig sa ON sa.doc_id = c.id_a "
+        "  JOIN dsig sb ON sb.doc_id = c.id_b AND sb.j = sa.j "
+        f"  GROUP BY c.id_a, c.id_b HAVING est_jaccard >= {threshold!r})"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
+
+
+def _jaccard_verified_sql(threshold: float = 0.5) -> str:
+    """Exact word-3-shingle Jaccard over the MinHash candidate pairs (SQL
+    twin of dedup.verify_jaccard_exact): DISTINCT shingle strings joined
+    with a space (tokens cannot contain whitespace, so the join is
+    injective), |A∩B| via equi-join, ROUND half-away matches the engine's
+    round_half_away."""
+    return (
+        f"WITH {_minhash_ctes(threshold)}, "
+        "sh3s AS (SELECT DISTINCT doc_id, tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2] AS s3 "
+        "  FROM tpos WHERE i + 2 <= len(tl)), "
+        "shc AS (SELECT doc_id, COUNT(*) AS n3 FROM sh3s GROUP BY doc_id), "
+        "inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni FROM mh_pairs p "
+        "  JOIN sh3s a ON a.doc_id = p.id_a JOIN sh3s b ON b.doc_id = p.id_b AND b.s3 = a.s3 "
+        "  GROUP BY p.id_a, p.id_b), "
+        "jac AS (SELECT p.id_a, p.id_b, "
+        "  ROUND(COALESCE(ni, 0)::DOUBLE / (ca.n3 + cb.n3 - COALESCE(ni, 0)), 6) AS jaccard "
+        "  FROM mh_pairs p JOIN shc ca ON ca.doc_id = p.id_a JOIN shc cb ON cb.doc_id = p.id_b "
+        "  LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b) "
+        f"SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold!r}"
+    )
+
+
+def _dedup_components_sql() -> str:
+    """Connected components over the MinHash near-dup pairs as a recursive
+    transitive closure (node reaches anc), component_id = MIN reachable
+    node — provably what min-root union-find emits (dedup.py:169: every
+    union parents max(root) under min(root), so the final root is the
+    component's global min id)."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes()}, "
+        "cnodes AS (SELECT id_a AS node FROM mh_pairs UNION SELECT id_b FROM mh_pairs), "
+        "cedges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs), "
+        "reach AS (SELECT node, node AS anc FROM cnodes "
+        "  UNION SELECT r.node, e.v AS anc FROM reach r JOIN cedges e ON e.u = r.anc) "
+        "SELECT node, MIN(anc) AS component_id FROM reach GROUP BY node"
+    )
+
+
+def _logistic_weights_sql(iters: int = 10, lr: float = 0.5) -> str:
+    """SQL twin of stages/train.fit_logistic: the fixed-iteration full-batch
+    gradient descent unrolled as chained scalar CTEs (w_{k+1} from one SUM
+    pass over the data with w_k cross-joined in). Engine partials sum in a
+    different order than SQL SUM, but GD with a 0.5 step is contractive —
+    the ulp drift over 10 iterations is ~1e-12, far inside ROUND(4)."""
+    data = ("SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y, "
+            "l_discount * 10.0 AS x1, l_tax * 10.0 AS x2 FROM lineitem")
+    ctes = [f"d AS ({data})",
+            "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c)"]
+    for k in range(iters):
+        p = "1.0/(1.0 + EXP(-(a + b*x1 + c*x2)))"
+        ctes.append(f"g{k} AS (SELECT SUM({p} - y) AS ga, SUM(({p} - y)*x1) AS gb, "
+                    f"SUM(({p} - y)*x2) AS gc, COUNT(*)::DOUBLE AS n FROM d, it{k})")
+        ctes.append(f"it{k + 1} AS (SELECT a - {lr}*ga/n AS a, b - {lr}*gb/n AS b, "
+                    f"c - {lr}*gc/n AS c FROM g{k}, it{k})")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT ROUND(a, 4) AS w0, ROUND(b, 4) AS w1, ROUND(c, 4) AS w2 FROM it{iters}")
+
+
+def _doc_fingerprints_sql() -> str:
+    """SQL twin of textproc.winnow_fingerprints (Schleimer et al. SIGMOD'03,
+    window=8, guarantee=16): polynomial rolling hash of every 8-byte k-gram
+    as a dot product with precomputed base powers mod 2^64 (HUGEINT — sum of
+    8 terms < 2^75, no overflow), sliding 16-window MIN as a window frame,
+    a window selected when its min differs from the previous window's (full
+    windows only, plus the single whole-row window for sub-guarantee rows),
+    fingerprint = bit_xor of splitmix64 of the selected minima. Exact
+    because the engine's winnowing is batch-invariant (window placement
+    depends only on the row's own length) and the text is pure ASCII, so
+    ascii(char) == the hashed byte."""
+    base = 1099511628211  # FNV prime, hashing.py:109
+    P = [pow(base, 7 - k, _sg.M64) for k in range(8)]
+    terms = " + ".join(f"CAST(cs[p + {k + 1}] AS HUGEINT) * {P[k]}" for k in range(8))
+    sm = _sg.chain("SELECT doc_id, c, m FROM sel", _sg.splitmix64_steps("m", "sm", "fp"))
+    return (
+        "WITH codes AS (SELECT doc_id, "
+        "  list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs, "
+        "  length(text) - 7 AS li FROM documents), "
+        "pos AS (SELECT doc_id, cs, li, unnest(range(0, GREATEST(li, 0))) AS p FROM codes), "
+        f"h AS (SELECT doc_id, li, p, ({terms}) % {_sg.M64} AS hv FROM pos), "
+        "w AS (SELECT doc_id, li, p AS c, "
+        "  MIN(hv) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m "
+        "  FROM h), "
+        "w2 AS (SELECT *, LAG(m) OVER (PARTITION BY doc_id ORDER BY c) AS mprev FROM w), "
+        "sel AS (SELECT doc_id, c, m FROM w2 "
+        "  WHERE (c <= li - 16 OR (c = 0 AND li > 0)) AND (c = 0 OR m <> mprev)), "
+        f"f AS (SELECT doc_id, bit_xor({_sg.u64_to_i64('sm')}) AS fpi, COUNT(*) AS cnt "
+        f"  FROM ({sm}) GROUP BY doc_id) "
+        f"SELECT d.doc_id, CAST({_sg.i64_to_u64('COALESCE(f.fpi, 0)')} AS UBIGINT) AS fingerprint, "
+        "COALESCE(f.cnt, 0)::BIGINT AS n_fingerprints "
+        "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
+    )
+
+
 # tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
 _TILE_GRID_SQL = (
     "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
@@ -1286,6 +1448,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "doc_fingerprints": _doc_fingerprints_sql(),
+        "logistic_weights_lineitem": _logistic_weights_sql(),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "jaccard_verified_pairs": _jaccard_verified_sql(),
+        "dedup_components": _dedup_components_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

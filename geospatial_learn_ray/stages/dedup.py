@@ -18,6 +18,7 @@ import ray.data
 
 from ..functions import _bs, textproc
 from ..functions.hashing import fnv1a64, hash_family, splitmix64
+from ..functions.rounding import round_half_away
 from .exchange import bucket_exchange
 
 
@@ -450,7 +451,7 @@ def verify_jaccard_exact(
                 for a, bb in zip(b["id_a"], b["id_b"])
             ]
             b = b.copy()
-            b["jaccard"] = np.round(jac, 6)
+            b["jaccard"] = round_half_away(np.asarray(jac, np.float64), 6)
             return b[b["jaccard"] >= threshold]
 
     return pairs.map_batches(
@@ -548,7 +549,7 @@ def embedding_dedup_pairs(
             cos = sims[ia, ib]
             keep = cos >= threshold
             if keep.any():
-                out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": np.round(cos[keep], 6)}))
+                out.append(pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": round_half_away(cos[keep], 6)}))
         if not out:
             return _pair_frame(extra={"cosine": np.float64})
         return pd.concat(out, ignore_index=True)
