@@ -1029,6 +1029,78 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _rf_oob_sql(max_stumps=32, step=4, bins=32, seed=11):
+    """SQL twin of stages/train.fit_bagged_stumps_oob (RF_oob_opt analogue,
+    learning.py:896): the hash-derived bootstrap (splitmix64(key ^ seed_s)
+    % 1000 < 632, seeds inlined), global min/max binning with numpy's
+    truncation semantics (TRUNC before CAST), exact integer (stump, feature,
+    bin, class) histograms, the driver's gini scan as a dense threshold
+    grid (gini computed with the identical float64 op order, ties broken
+    ORDER BY gini, f, t = numpy first-argmin), and the OOB signed
+    cumulative-majority vote as a window SUM. ``bag`` is MATERIALIZED:
+    DuckDB inlines CTEs, and the 1.9M-row splitmix chain is referenced by
+    both passes."""
+    B = max_stumps
+    seeds = _smx(np.arange(1, B + 1, dtype=np.uint64) * np.uint64(seed))
+    seed_rows = ", ".join(f"({s}, CAST({int(seeds[s])} AS HUGEINT))" for s in range(B))
+    grid = list(range(step, max_stumps + 1, step))
+    bag_chain = _sg.chain(
+        "SELECT rid, rid_k, y, b0, b1, b2, s, seed FROM binned, stumps",
+        _sg.splitmix64_steps(_sg.u64_xor("CAST(rid_k AS HUGEINT)", "seed"), "bh", "bag"),
+    )
+    def bin_expr(f):
+        w = f"(CASE WHEN hi{f} > lo{f} THEN hi{f} - lo{f} ELSE 1.0 END)"
+        return (f"LEAST(GREATEST(CAST(TRUNC((x{f} - lo{f}) / {w} * {bins}) AS BIGINT), 0), {bins - 1})")
+    gini = ("CAST(nl AS DOUBLE) * 2 * pl1 * (1 - pl1) + CAST(nr AS DOUBLE) * 2 * pr1 * (1 - pr1)")
+    return (
+        "WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y, "
+        "  l_discount::DOUBLE AS x0, l_tax::DOUBLE AS x1, l_quantity::DOUBLE AS x2, "
+        "  l_orderkey * 8 + l_linenumber AS rid_k, ROW_NUMBER() OVER () AS rid FROM lineitem), "
+        "mm AS (SELECT MIN(x0) lo0, MAX(x0) hi0, MIN(x1) lo1, MAX(x1) hi1, "
+        "  MIN(x2) lo2, MAX(x2) hi2 FROM d), "
+        "binned AS (SELECT rid, rid_k, y, "
+        f"  {bin_expr(0)} AS b0, {bin_expr(1)} AS b1, {bin_expr(2)} AS b2 FROM d, mm), "
+        f"stumps(s, seed) AS (VALUES {seed_rows}), "
+        f"bag AS MATERIALIZED (SELECT rid, y, b0, b1, b2, s, (bh % 1000) < 632 AS inbag FROM ({bag_chain})), "
+        "hist AS (SELECT s, f.range AS f, CASE f.range WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS b, "
+        "  y, COUNT(*) AS c FROM bag, range(0, 3) f WHERE inbag GROUP BY 1, 2, 3, 4), "
+        "tots AS (SELECT s, f, SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS t0, "
+        "  SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS t1 FROM hist GROUP BY s, f), "
+        f"thr AS (SELECT s, f, g.range AS t FROM tots, range(0, {bins}) g), "
+        "cum AS (SELECT thr.s, thr.f, thr.t, "
+        "  COALESCE(SUM(CASE WHEN hist.y = 0 THEN hist.c END), 0) AS cl0, "
+        "  COALESCE(SUM(CASE WHEN hist.y = 1 THEN hist.c END), 0) AS cl1 "
+        "  FROM thr LEFT JOIN hist ON hist.s = thr.s AND hist.f = thr.f AND hist.b <= thr.t "
+        "  GROUP BY thr.s, thr.f, thr.t), "
+        "gin0 AS (SELECT cum.s, cum.f, cum.t, cl0 + cl1 AS nl, (t0 + t1) - (cl0 + cl1) AS nr, "
+        "  cl1, t1 - cl1 AS cr1 FROM cum JOIN tots ON tots.s = cum.s AND tots.f = cum.f), "
+        "gin AS (SELECT s, f, t, "
+        "  CASE WHEN nl > 0 THEN CAST(cl1 AS DOUBLE) / CAST(nl AS DOUBLE) ELSE 0.0 END AS pl1, "
+        "  CASE WHEN nr > 0 THEN CAST(cr1 AS DOUBLE) / CAST(nr AS DOUBLE) ELSE 0.0 END AS pr1, "
+        "  nl, nr FROM gin0 WHERE nl > 0 AND nr > 0), "
+        f"scored AS (SELECT s, f, t, pl1, pr1, {gini} AS gini FROM gin), "
+        "pick AS (SELECT s, f, t, CASE WHEN pl1 > 0.5 THEN 1 ELSE 0 END AS lc, "
+        "  CASE WHEN pr1 > 0.5 THEN 1 ELSE 0 END AS rc, "
+        "  ROW_NUMBER() OVER (PARTITION BY s ORDER BY gini, f, t) AS rn FROM scored), "
+        "model AS (SELECT s, f, t, lc, rc FROM pick WHERE rn = 1), "
+        "votes AS (SELECT bag.rid, bag.y, bag.s, "
+        "  CASE WHEN NOT inbag THEN (CASE WHEN (CASE WHEN "
+        "    (CASE model.f WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) <= model.t "
+        "    THEN model.lc ELSE model.rc END) = 1 THEN 1 ELSE -1 END) ELSE 0 END AS v, "
+        "  CASE WHEN NOT inbag THEN 1 ELSE 0 END AS hv "
+        "  FROM bag JOIN model ON model.s = bag.s), "
+        "cumv AS (SELECT rid, y, s, SUM(v) OVER w AS cum, SUM(hv) OVER w AS nv FROM votes "
+        "  WINDOW w AS (PARTITION BY rid ORDER BY s ROWS UNBOUNDED PRECEDING)), "
+        f"atm AS (SELECT s + 1 AS m, y, cum, nv FROM cumv WHERE s + 1 IN ({', '.join(map(str, grid))})), "
+        "agg AS (SELECT m, SUM(CASE WHEN (CASE WHEN cum > 0 THEN 1 ELSE 0 END) <> y AND nv > 0 "
+        "  THEN 1 ELSE 0 END) AS err, SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS n FROM atm GROUP BY m) "
+        "SELECT m::BIGINT AS n_estimators, "
+        "ROUND(CAST(err AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0), 6) AS oob_error "
+        "FROM agg ORDER BY m"
+    )
+
+
+
 def _minhash_ctes(threshold: float = 0.5, max_bucket: int = 256) -> str:
     """CTE fragment ending in ``mh_pairs`` (id_a < id_b, est_jaccard ≥
     threshold) — the SQL twin of stages/dedup.minhash_candidates +
@@ -1089,6 +1161,56 @@ def _minhash_ctes(threshold: float = 0.5, max_bucket: int = 256) -> str:
         "  FROM cand c JOIN dsig sa ON sa.doc_id = c.id_a "
         "  JOIN dsig sb ON sb.doc_id = c.id_b AND sb.j = sa.j "
         f"  GROUP BY c.id_a, c.id_b HAVING est_jaccard >= {threshold!r})"
+    )
+
+
+def _embedding_pairs_sql(threshold: float = 0.95, num_planes: int = 16,
+                         num_tables: int = 8, seed: int = 11, dim: int = 64) -> str:
+    """SQL twin of dedup.embedding_dedup_pairs over the planted-dup layer
+    (sources/embeddings.with_planted_dups): the seeded hyperplane matrix is
+    inlined as 8192 literal doubles (a VALUES table — deterministic given
+    the published seed, exactly like the S2 Hilbert lookup join); planted
+    perturbation restated with the splitmix64 chain ((h/2^64 - 0.5)*0.01,
+    float32 round-trip is IEEE-identical in DuckDB); sign keys from
+    UNNORMALIZED dots (sign(x·p) == sign(x̂·p), so the oracle dodges norm
+    ulp sensitivity entirely); exact cosine per candidate as
+    dot/(|a||b|) — ulp-different from the engine's normalized matmul but
+    far inside ROUND(6) given the fixture's ~0.9999 planted / ~0 random
+    cosine separation."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes))
+    rows = ", ".join(
+        f"({t}, {j + 1}, {p}, {planes[t, j, p]!r})"
+        for t in range(num_tables) for j in range(dim) for p in range(num_planes)
+    )
+    noise_chain = _sg.chain(
+        "SELECT vec_id, j, e FROM plj",
+        _sg.splitmix64_steps(f"CAST(vec_id * {dim} + j AS HUGEINT)", "nh", "pl"),
+    )
+    return (
+        "WITH planes(t, j, p, w) AS (VALUES " + rows + "), "
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        f"plj AS (SELECT vec_id, unnest(range(0, {dim})) AS j, e FROM base WHERE vec_id % 10 = 0), "
+        f"pln AS (SELECT vec_id, j, CAST(e[j + 1] * (1.0 + (CAST(nh AS DOUBLE) / {float(2.0**64)!r} - 0.5) * 0.01) AS FLOAT) AS pv "
+        f"  FROM ({noise_chain})), "
+        "planted AS (SELECT vec_id + 1000000 AS vec_id, list(CAST(pv AS DOUBLE) ORDER BY j) AS e "
+        "  FROM pln GROUP BY vec_id), "
+        "allv AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted), "
+        f"elems AS (SELECT vec_id, unnest(range(1, {dim} + 1)) AS j, e FROM allv), "
+        "ex AS (SELECT vec_id, j, e[j] AS x FROM elems), "
+        "ss AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id), "
+        "dots AS (SELECT ex.vec_id, planes.t, planes.p, SUM(ex.x * planes.w) AS d "
+        "  FROM ex JOIN planes ON planes.j = ex.j GROUP BY ex.vec_id, planes.t, planes.p), "
+        "keys AS (SELECT vec_id, t, SUM(CASE WHEN d > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS key "
+        "  FROM dots GROUP BY vec_id, t), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id), "
+        "pairdot AS (SELECT c.id_a, c.id_b, SUM(xa.x * xb.x) AS d FROM cand c "
+        "  JOIN ex xa ON xa.vec_id = c.id_a JOIN ex xb ON xb.vec_id = c.id_b AND xb.j = xa.j "
+        "  GROUP BY c.id_a, c.id_b), "
+        "cosv AS (SELECT p.id_a, p.id_b, p.d / (sa.nrm * sb.nrm) AS cosr FROM pairdot p "
+        "  JOIN ss sa ON sa.vec_id = p.id_a JOIN ss sb ON sb.vec_id = p.id_b) "
+        f"SELECT id_a, id_b, ROUND(cosr, 6) AS cosine FROM cosv WHERE cosr >= {threshold!r}"
     )
 
 
@@ -1453,6 +1575,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified_pairs": _jaccard_verified_sql(),
         "dedup_components": _dedup_components_sql(),
+        "embedding_dedup_pairs": _embedding_pairs_sql(),
+        "rf_oob_scan": _rf_oob_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

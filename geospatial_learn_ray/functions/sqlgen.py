@@ -3,11 +3,13 @@ cell-index closed forms — used ONLY by ``oracle_sql`` so the hash-derived
 query family (train/test split, geocoding, hex cells, S2 cells) gets
 STRONG driver value-hash checks instead of rows-only ones.
 
-All 64-bit arithmetic runs in HUGEINT mod 2**64; xor drops to BIGINT
-(bit-identical two's-complement view). Multiplies by 64-bit constants are
-split (hi<<32 + lo) so no intermediate exceeds HUGEINT range. The numpy
-twins are functions/hashing.py and functions/geo.py — every expression
-here mirrors that code's operation order bit-for-bit.
+All 64-bit arithmetic runs in HUGEINT mod 2**64 via NATIVE HUGEINT bit
+ops (``& (2^64-1)`` for the wrap, ``xor``, ``>>`` — measured ~20× faster
+than ``% 2^64``, which DuckDB executes as int128 division; the mask form
+made the bag-hash oracle in rf_oob_scan viable). Multiplies by 64-bit
+constants are split (hi<<32 + lo) so no intermediate exceeds HUGEINT
+range. The numpy twins are functions/hashing.py and functions/geo.py —
+every expression here mirrors that code's operation order bit-for-bit.
 """
 
 from __future__ import annotations
@@ -34,19 +36,21 @@ def i64_to_u64(x: str) -> str:
 
 
 def u64_xor(a: str, b: str) -> str:
-    return i64_to_u64(f"xor({u64_to_i64(a)}, {u64_to_i64(b)})")
+    """xor of two HUGEINT values in [0,2^64) — HUGEINT-native (result
+    stays in [0,2^64); no BIGINT round-trip needed)."""
+    return f"xor(CAST(({a}) AS HUGEINT), CAST(({b}) AS HUGEINT))"
 
 
 def u64_shr(x: str, k: int) -> str:
-    return f"(({x}) // {1 << k})"
+    return f"(({x}) >> {k})"
 
 
 def u64_mul_const(x: str, c: int) -> str:
     """(x * c) mod 2^64 without HUGEINT overflow (c a 64-bit constant)."""
     hi, lo = c >> 32, c & (M32 - 1)
     if hi == 0:
-        return f"((({x}) * {lo}) % {M64})"
-    return f"(((({x}) * {lo}) % {M64} + (((({x}) % {M32}) * {hi}) % {M32}) * {M32}) % {M64})"
+        return f"((({x}) * {lo}) & {M64 - 1})"
+    return f"((((({x}) * {lo}) & {M64 - 1}) + ((((({x}) & {M32 - 1}) * {hi}) & {M32 - 1}) << 32)) & {M64 - 1})"
 
 
 def chain(base_sql: str, steps: list[tuple[str, str]]) -> str:
@@ -65,7 +69,7 @@ def splitmix64_steps(col: str, out: str, tag: str) -> list[tuple[str, str]]:
     b = f"_sm_b_{tag}"
     c = f"_sm_c_{tag}"
     return [
-        (a, f"(({col}) + {SM_ADD}) % {M64}"),
+        (a, f"((CAST(({col}) AS HUGEINT) + {SM_ADD}) & {M64 - 1})"),
         (b, u64_mul_const(u64_xor(a, u64_shr(a, 30)), SM_M1)),
         (c, u64_mul_const(u64_xor(b, u64_shr(b, 27)), SM_M2)),
         (out, u64_xor(c, u64_shr(c, 31))),
@@ -81,7 +85,7 @@ def fnv1a64_expr(strexpr: str) -> str:
         f"i -> CAST(ascii(({strexpr})[i]) AS HUGEINT))"
     )
     # one FNV step: xor the low byte, then * prime mod 2^64
-    hx = f"(h - h % 256 + {i64_to_u64('xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT))')})"
+    hx = "(h - (h & 255) + xor(h & 255, c))"
     step = u64_mul_const(hx, FNV_PRIME)
     return (
         f"list_reduce(list_prepend(CAST({FNV_OFFSET} AS HUGEINT), {codes}), "
