@@ -478,8 +478,8 @@ def _q_buffer_polygons(sf_dir: str):
         ring = wkb_to_ring(wkb)
         buf = buffer_ring(ring, 1.0)
         rows.append(
-            {"feature_id": fid, "area": round(ring_props(ring)["area"], 6),
-             "buffered_area": round(ring_props(buf)["area"], 6)}
+            {"feature_id": fid, "area": round_half_away(ring_props(ring)["area"], 6),
+             "buffered_area": round_half_away(ring_props(buf)["area"], 6)}
         )
     return pd.DataFrame(rows)
 
@@ -1101,6 +1101,120 @@ def _rf_oob_sql(max_stumps=32, step=4, bins=32, seed=11):
 
 
 
+def _media_decode_sql() -> str:
+    """SQL twin of multimodal.media_table + MediaDecoder (fake GLRM codec):
+    dims are closed-form in doc_id, the payload is the first 256 UTF-8
+    bytes of text (pure ASCII → ascii() == the byte), mean_byte is the
+    payload byte mean (engine rounds half-away, matching SQL ROUND)."""
+    return (
+        "WITH pay AS (SELECT doc_id, LEAST(length(text), 256) AS n, "
+        "  list_aggregate(list_transform(range(1, LEAST(length(text), 256) + 1), "
+        "    i -> ascii(text[i])), 'sum') AS s FROM documents) "
+        "SELECT doc_id AS media_id, 'image/glrm' AS media_type, "
+        "CAST(doc_id % 64 + 16 AS INTEGER) AS width, "
+        "CAST(doc_id % 48 + 16 AS INTEGER) AS height, "
+        "CAST(3 AS INTEGER) AS channels, "
+        "ROUND(CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END, 4) AS mean_byte, "
+        "CAST(n AS BIGINT) AS payload_bytes FROM pay"
+    )
+
+
+def _media_frame_sample_sql(every_kth: int = 4) -> str:
+    """SQL twin of multimodal.FrameSampler: n_frames = max(payload//32, 1),
+    frame indices 0, k, 2k, … < n_frames."""
+    return (
+        "WITH nf AS (SELECT doc_id, GREATEST(LEAST(length(text), 256) // 32, 1) AS n FROM documents) "
+        f"SELECT doc_id AS media_id, CAST(unnest(range(0, n, {every_kth})) AS INTEGER) AS frame_idx FROM nf"
+    )
+
+
+def _buffer_polygons_sql(dist=1.0, quad_segs=8):
+    """SQL twin of _q_buffer_polygons (functions/geometry.buffer_ring): the
+    buffered ring is the Minkowski sum hull P ⊕ Q with Q the regular
+    32-gon of arc offsets, so its vertices are exactly {v + u_k : the
+    32-gon vertex normal cone [θk−5.625°, θk+5.625°] overlaps v's normal
+    cone in P}. Cone assignment is static per shape (box: 4 axis cones;
+    L hull pentagon: the diagonal normal θd = atan2(8.1, 7.2) splits the
+    first quadrant, with u_4 shared by BOTH diagonal vertices — verified
+    against the engine's hull, 37 L / 36 box vertices). Areas are ordered
+    shoelace expressions; ROUND(6) absorbs summation-order ulps."""
+    n_arc = 4 * quad_segs
+    ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
+    cs = [(float(np.cos(a)), float(np.sin(a))) for a in ang]
+    # diagonal edge normal angle for the L hull (constant across features)
+    w = 18.0 * 0.9
+    h = 16.0 * 0.9
+    theta_d = np.degrees(np.arctan2(w / 2.0, h / 2.0))
+    kd = int(np.floor(theta_d / (360.0 / n_arc)))  # last k inside [0, theta_d]
+
+    def cone_pts(cones):
+        """cones: list of (vx, vy, k_list) in CCW order -> ordered point exprs."""
+        pts = []
+        for vx, vy, ks in cones:
+            for k in ks:
+                c, s = cs[k]
+                pts.append((f"({vx} + {dist * c!r})", f"({vy} + {dist * s!r})"))
+        return pts
+
+    def seq(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    def shoelace(v):
+        n = len(v)
+        return seq([f"({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]})" for k in range(n)])
+
+    half = 360.0 / n_arc / 2.0  # 32-gon vertex normal-cone half-width
+
+    def ks_in(a, b):
+        """arc indices whose 32-gon normal cone [th-half, th+half] overlaps
+        the P-vertex cone [a, b] (degrees, a < b, not wrapping)."""
+        out = []
+        for k in range(n_arc):
+            for th in (k * 360.0 / n_arc, k * 360.0 / n_arc - 360.0, k * 360.0 / n_arc + 360.0):
+                if th + half > a and th - half < b:
+                    out.append(k)
+                    break
+        return out
+
+    def order_for(cones):
+        """(vx, vy, a, b) CCW cones -> ordered (vx, vy, ks) with each cone's
+        ks sorted by angle position within [a, b] (wrap-adjusted)."""
+        res = []
+        for vx, vy, a, b in cones:
+            ks = ks_in(a, b)
+            ks = sorted(ks, key=lambda k: ((k * 360.0 / n_arc) - a + half) % 360.0)
+            res.append((vx, vy, ks))
+        return res
+
+    td = float(theta_d)
+    box_pts = cone_pts(order_for([
+        ("pmaxx", "pmaxy", 0.0, 90.0),
+        ("pminx", "pmaxy", 90.0, 180.0),
+        ("pminx", "pminy", 180.0, 270.0),
+        ("pmaxx", "pminy", 270.0, 360.0),
+    ]))
+    l_pts = cone_pts(order_for([
+        ("pmaxx", "pmy", 0.0, td),
+        ("pmx", "pmaxy", td, 90.0),
+        ("pminx", "pmaxy", 90.0, 180.0),
+        ("pminx", "pminy", 180.0, 270.0),
+        ("pmaxx", "pminy", 270.0, 360.0),
+    ]))
+    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"), ("pminx", "pmaxy")]
+    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
+           ("pmx", "pmy"), ("pmx", "pmaxy"), ("pminx", "pmaxy")]
+    area = f"ABS(CASE WHEN is_l THEN (0.5*{shoelace(lsh)}) ELSE (0.5*{shoelace(box)}) END)"
+    barea = (f"ABS(CASE WHEN is_l THEN (0.5*{shoelace(l_pts)}) ELSE (0.5*{shoelace(box_pts)}) END)")
+    return (
+        f"WITH {polygons_sql()} "
+        f"SELECT feature_id, ROUND({area}, 6) AS area, ROUND({barea}, 6) AS buffered_area FROM polys"
+    )
+
+
+
 def _minhash_ctes(threshold: float = 0.5, max_bucket: int = 256) -> str:
     """CTE fragment ending in ``mh_pairs`` (id_a < id_b, est_jaccard ≥
     threshold) — the SQL twin of stages/dedup.minhash_candidates +
@@ -1577,6 +1691,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_sql(),
         "embedding_dedup_pairs": _embedding_pairs_sql(),
         "rf_oob_scan": _rf_oob_sql(),
+        "buffer_polygons": _buffer_polygons_sql(),
+        "media_decode": _media_decode_sql(),
+        "media_frame_sample": _media_frame_sample_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import fnv1a64
+from ..functions.rounding import round_half_away
 
 MAGIC = b"GLRM"
 
@@ -119,7 +120,7 @@ class MediaDecoder:
                 "width": pa.array(w.astype(np.int32)),
                 "height": pa.array(h.astype(np.int32)),
                 "channels": pa.array(c.astype(np.int32)),
-                "mean_byte": pa.array(np.round(mean_byte, 4)),
+                "mean_byte": pa.array(round_half_away(mean_byte, 4)),
                 "payload_bytes": pa.array(np.where(ok, plen, 0).astype(np.int64)),
             }
         )
