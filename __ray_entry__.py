@@ -1101,6 +1101,68 @@ def _rf_oob_sql(max_stumps=32, step=4, bins=32, seed=11):
 
 
 
+def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
+    """SQL twin of knn.ivf_build_centroids + ivf_topk (and ivf_topk_store —
+    the store route reads the same vectors from the partitioned layout, so
+    one oracle serves both): id-hash sample (splitmix64 chains, seeds
+    inlined), init = the n_centroids smallest init-hash sample vectors,
+    the 5 k-means-lite iterations unrolled as CTE blocks (argmax assign
+    with first-max tie order, AVG means renormalized, empty clusters keep
+    the previous centroid), nprobe centroid probing, and exact cosine
+    top-k over probed lists via list_cosine_similarity. Engine cosines
+    round half-away; float ulp drift across the 5 iterations is orders of
+    magnitude below the assignment margins on this fixture."""
+    seed_a = int(_smx(np.array([seed], np.uint64))[0])
+    seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
+    hs = _sg.chain(
+        "SELECT vec_id, e FROM base",
+        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
+         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
+    )
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"hs AS ({hs})",
+        f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
+        "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
+        "se AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, 65)) AS j, s.e AS el, s.ir FROM samp s)",
+        "sx AS MATERIALIZED (SELECT se.vec_id, se.j, se.el[se.j] / sn.nrm AS x, se.ir FROM se JOIN sn ON sn.vec_id = se.vec_id)",
+        f"c0 AS (SELECT ir - 1 AS c, j, x AS v FROM sx WHERE ir <= {n_centroids})",
+    ]
+    for t in range(1, iters + 1):
+        p = f"c{t-1}"
+        ctes += [
+            f"d{t} AS (SELECT sx.vec_id, cc.c, SUM(sx.x * cc.v) AS dot FROM sx JOIN {p} cc ON cc.j = sx.j GROUP BY 1, 2)",
+            f"a{t} AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM d{t}) WHERE rn = 1)",
+            f"m{t} AS (SELECT a.c, sx.j, AVG(sx.x) AS mv FROM a{t} a JOIN sx ON sx.vec_id = a.vec_id GROUP BY 1, 2)",
+            f"nz{t} AS (SELECT c, SQRT(SUM(mv * mv)) AS nn FROM m{t} GROUP BY c)",
+            f"c{t} AS (SELECT p.c, p.j, CASE WHEN n2.nn IS NOT NULL THEN m.mv / n2.nn ELSE p.v END AS v "
+            f"  FROM {p} p LEFT JOIN m{t} m ON m.c = p.c AND m.j = p.j LEFT JOIN nz{t} n2 ON n2.c = p.c)",
+        ]
+    C = f"c{iters}"
+    ctes += [
+        f"cf AS MATERIALIZED (SELECT * FROM {C})",
+        "qs AS (SELECT vec_id AS qid, e FROM base WHERE vec_id % 50 = 0)",
+        "qn AS (SELECT qid, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM qs)",
+        "qx AS (SELECT q.qid, unnest(range(1, 65)) AS j, q.e AS el FROM qs q)",
+        "qe AS (SELECT qx.qid, qx.j, qx.el[qx.j] / qn.nrm AS x FROM qx JOIN qn ON qn.qid = qx.qid)",
+        "pd AS (SELECT qe.qid, cf.c, SUM(qe.x * cf.v) AS dot FROM qe JOIN cf ON cf.j = qe.j GROUP BY 1, 2)",
+        f"pr AS (SELECT qid, c FROM (SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, c ASC) AS rn FROM pd) WHERE rn <= {nprobe})",
+        "ax AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
+        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
+        "ae AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
+        "ad AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM ae JOIN cf ON cf.j = ae.j GROUP BY 1, 2)",
+        "aa AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM ad) WHERE rn = 1)",
+        "cand AS (SELECT pr.qid, aa.vec_id FROM pr JOIN aa ON aa.c = pr.c)",
+        "cosv AS (SELECT cand.qid, cand.vec_id, "
+        "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) AS cosr "
+        "  FROM cand JOIN embeddings q ON q.vec_id = cand.qid JOIN embeddings x ON x.vec_id = cand.vec_id)",
+        "rk AS (SELECT qid, vec_id, cosr, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, vec_id ASC) AS rnk FROM cosv)",
+    ]
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
+
+
+
 def _media_decode_sql() -> str:
     """SQL twin of multimodal.media_table + MediaDecoder (fake GLRM codec):
     dims are closed-form in doc_id, the payload is the first 256 UTF-8
@@ -1692,6 +1754,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_pairs": _embedding_pairs_sql(),
         "rf_oob_scan": _rf_oob_sql(),
         "buffer_polygons": _buffer_polygons_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------

@@ -31,6 +31,7 @@ import ray
 import ray.data
 
 from ..functions import geo
+from ..functions.hashing import splitmix64
 from ..functions.rounding import round_half_away
 from .exchange import bucket_exchange
 
@@ -246,6 +247,19 @@ def ivf_build_store(ds: ray.data.Dataset, centroids: np.ndarray, store_dir: str,
         with open(marker) as f:
             if json.load(f).get("fp") == fp:
                 return store_dir
+    # fingerprint missing or STALE: clear any prior layout first — a
+    # hive write into a dir with old cent_part=K files would MERGE the
+    # two stores and duplicate every vector (same failure class as the
+    # manifest stale-shard bug, ADVICE r1)
+    if os.path.isdir(store_dir):
+        import shutil
+
+        for d in os.listdir(store_dir):
+            p = os.path.join(store_dir, d)
+            if d.startswith("cent_part="):
+                shutil.rmtree(p)
+            elif d == "_DONE":
+                os.remove(p)
     cref = ray.put(centroids)
 
     class Assign:
@@ -339,7 +353,7 @@ def ivf_topk_store(store_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         out = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
     else:
         out = pd.concat(final, ignore_index=True)
-        out["cosine"] = out["cosine"].round(6)
+        out["cosine"] = round_half_away(out["cosine"].to_numpy(np.float64), 6)
     out.attrs["probed_fraction"] = probed_bytes / max(total_bytes, 1)
     return out
 
@@ -382,20 +396,44 @@ def ann_bruteforce_topk(
         g["rank"] = np.arange(1, len(g) + 1)
         final.append(g)
     out = pd.concat(final, ignore_index=True)
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(np.float64), 6)
     return out
 
 
 def ivf_build_centroids(ds: ray.data.Dataset, n_centroids: int = 16, vec_col: str = "embedding",
-                        sample_frac: float = 0.2, iters: int = 5, seed: int = 3, dim: int = 64) -> np.ndarray:
-    """Deterministic k-means-lite on a driver-side sample (the scale path
-    trains on a bounded sample regardless of data size)."""
-    sample = np.stack(
-        ds.select_columns([vec_col]).random_sample(sample_frac, seed=seed).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+                        id_col: str = "vec_id", sample_permille: int = 200,
+                        iters: int = 5, seed: int = 3, dim: int = 64) -> np.ndarray:
+    """Deterministic k-means-lite on an ID-HASH sample (the scale path
+    trains on a bounded sample regardless of data size).
+
+    Sample membership is splitmix64(vec_id ^ sm(seed)) % 1000 <
+    sample_permille and the init centroids are the ``n_centroids`` sample
+    vectors with the smallest independent init hash — NOT
+    ``ds.random_sample`` + driver RNG, which depended on Ray's block
+    structure: the same pipeline at a different parallelism produced
+    different centroids (a reproducibility bug at cluster scale) and was
+    unrestatable in the SQL oracle. Sample rows are canonicalized in
+    vec_id order so the per-cluster means are bit-stable too."""
+    seed_a = np.uint64(splitmix64(np.array([seed], np.uint64))[0])
+    seed_b = np.uint64(splitmix64(np.array([seed + 1], np.uint64))[0])
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy().astype(np.uint64)
+        h = splitmix64(ids ^ seed_a)
+        m = (h % np.uint64(1000)) < np.uint64(sample_permille)
+        sub = b[m]
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             vec_col: list(sub[vec_col].to_numpy()),
+                             "_ih": splitmix64(ids[m] ^ seed_b)})
+
+    tbl = (ds.select_columns([id_col, vec_col])
+             .map_batches(pick, batch_format="pandas")
+             .to_pandas()
+             .sort_values(id_col, kind="mergesort"))
+    sample = np.stack(tbl[vec_col].to_numpy()).astype(np.float64)
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(min=1e-12)
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    init = np.argsort(tbl["_ih"].to_numpy(), kind="stable")[:n_centroids]
+    C = sample[init].copy()
     for _ in range(iters):
         assign = (sample @ C.T).argmax(axis=1)
         for c in range(n_centroids):
@@ -451,5 +489,5 @@ def ivf_topk(
     if not final:
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
     out = pd.concat(final, ignore_index=True)
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(np.float64), 6)
     return out

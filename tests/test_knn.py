@@ -136,6 +136,23 @@ def test_ivf_store_matches_in_memory_ivf(tmp_path):
     assert again == store
 
 
+def test_ivf_store_stale_rebuild_replaces_old_layout(tmp_path):
+    # changed centroids => stale fingerprint => the old cent_part dirs must
+    # be CLEARED before the hive write, or the two stores merge and every
+    # vector appears twice (the duplicate-neighbor bug found by the oracle)
+    import pyarrow.parquet as pq
+
+    ids, X = _emb_matrix()
+    C1 = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
+    store = knn.ivf_build_store(_emb_ds(), C1, str(tmp_path / "store"))
+    C2 = knn.ivf_build_centroids(_emb_ds(), n_centroids=4)
+    knn.ivf_build_store(_emb_ds(), C2, str(tmp_path / "store"))
+    got = pq.read_table(store).num_rows
+    assert got == len(ids)  # no merged duplicates, no leftover partitions
+    out = knn.ivf_topk_store(store, X[[3]], ids[[3]], C2, k=10, nprobe=4)
+    assert not out.duplicated(["query_id", "neighbor_id"]).any()
+
+
 def test_ivf_store_prunes_io_for_single_query(tmp_path):
     ids, X = _emb_matrix()
     C = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
