@@ -1163,6 +1163,56 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
 
 
 
+def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
+    """SQL twin of raster.polygonize_tiles over the clipped 16x16-tile
+    closed-form raster: per-tile connected-component labeling as UNROLLED
+    min-label rounds (neighbor-min + two pointer jumps per round, every
+    round MATERIALIZED - DuckDB inlines CTEs and each round references the
+    previous twice, which explodes 4^t without it). The fixpoint is the
+    per-region min pixel index - the engine's label - independent of
+    schedule; this raster converges at 16 rounds (measured; the raster is
+    closed-form, so the count is a constant of the fixture), 20 gives
+    margin. region_value = floor(v*quant)/quant is dyadic-exact."""
+    ctes = [
+        tiles_sql(side),
+        f"rc AS MATERIALIZED (SELECT tile_x, tile_y, py * {side} + px AS idx, "
+        f"  FLOOR(vd * {quant!r}) AS q FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        "edg AS MATERIALIZED ("
+        "  SELECT a.tile_x, a.tile_y, a.idx AS u, b.idx AS v FROM rc a JOIN rc b "
+        f"    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.q = a.q AND ("
+        f"      (b.idx = a.idx + 1 AND a.idx % {side} < {side - 1}) OR "
+        f"      (b.idx = a.idx - 1 AND a.idx % {side} > 0) OR "
+        f"      b.idx = a.idx + {side} OR b.idx = a.idx - {side}))",
+        "l0 AS (SELECT tile_x, tile_y, idx, idx AS lab FROM rc)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"l{t-1}"
+        ctes += [
+            f"n{t} AS MATERIALIZED (SELECT l.tile_x, l.tile_y, l.idx, "
+            f"  LEAST(MIN(l.lab), COALESCE(MIN(ln.lab), MIN(l.lab))) AS lab "
+            f"  FROM {p} l LEFT JOIN edg e ON e.tile_x = l.tile_x AND e.tile_y = l.tile_y AND e.u = l.idx "
+            f"  LEFT JOIN {p} ln ON ln.tile_x = l.tile_x AND ln.tile_y = l.tile_y AND ln.idx = e.v "
+            f"  GROUP BY l.tile_x, l.tile_y, l.idx)",
+            f"j{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.idx, LEAST(a.lab, b.lab) AS lab FROM n{t} a "
+            f"  JOIN n{t} b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.idx = a.lab)",
+            f"l{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.idx, LEAST(a.lab, b.lab) AS lab FROM j{t} a "
+            f"  JOIN j{t} b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.idx = a.lab)",
+        ]
+    ctes += [
+        f"fin AS (SELECT l.tile_x, l.tile_y, l.idx, l.lab, rc.q FROM l{rounds} l "
+        "  JOIN rc ON rc.tile_x = l.tile_x AND rc.tile_y = l.tile_y AND rc.idx = l.idx)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, lab AS region_label, "
+        f"ANY_VALUE(q) / {quant!r} AS region_value, COUNT(*) AS pixel_count, "
+        f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
+        f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
+        "FROM fin GROUP BY tile_x, tile_y, lab"
+    )
+
+
+
 def _media_decode_sql() -> str:
     """SQL twin of multimodal.media_table + MediaDecoder (fake GLRM codec):
     dims are closed-form in doc_id, the payload is the first 256 UTF-8
@@ -1755,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "rf_oob_scan": _rf_oob_sql(),
         "buffer_polygons": _buffer_polygons_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "polygonize_tiles": _polygonize_tiles_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
