@@ -355,70 +355,52 @@ def minhash_candidates(
         return pd.concat(out, ignore_index=True)
 
     pairs = bucket_exchange(exploded, bucket_pairs, key="_bkt")
-    pairs = _dedup_pairs(pairs, "est_jaccard", keep="max").materialize()
+    pairs = _dedup_pairs(pairs, "est_jaccard", keep="max")
 
-    # second pass: recompute signatures for candidate ids only, then score
-    id_tbl = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    if len(id_tbl):
-        real = id_tbl["id_a"].to_numpy(np.int64) >= 0  # drop overflow sentinels
-        cand_ids = np.unique(np.concatenate([
-            id_tbl.loc[real, "id_a"].to_numpy(np.int64),
-            id_tbl.loc[real, "id_b"].to_numpy(np.int64),
-        ]))
-    else:
-        cand_ids = np.array([], np.int64)
+    # second pass: recompute signatures for candidate ids only, then score.
+    # The candidate pair set is LSH's whole point: tiny relative to the
+    # corpus (bounded by banding + the bucket cap) — so it comes to the
+    # driver ONCE (same bound the previous .materialize() already paid) and
+    # scoring is a vectorized driver step instead of an extra Ray stage +
+    # actor pool (measured: the two (1,N) actor pools and the materialize
+    # barrier dominated wall time at bench scale, ~10 s of pure ramp-up
+    # for <1 s of signature compute)
+    pair_tbl = pairs.to_pandas()
+    if len(pair_tbl) == 0:
+        return ray.data.from_pandas(pair_tbl)
+    pair_tbl["est_jaccard"] = pair_tbl["est_jaccard"].astype(np.float64)
+    real = pair_tbl["id_a"].to_numpy(np.int64) >= 0  # drop overflow sentinels
+    cand_ids = np.unique(np.concatenate([
+        pair_tbl.loc[real, "id_a"].to_numpy(np.int64),
+        pair_tbl.loc[real, "id_b"].to_numpy(np.int64),
+    ]))
     if len(cand_ids) == 0:
-        return pairs
+        return ray.data.from_pandas(pair_tbl)
     ids_ref = ray.put(cand_ids)
 
-    class CandSigs:
-        def __init__(self, r):
-            self.cand = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def cand_sigs(b: pa.Table, ref=ids_ref) -> pa.Table:
+        # stateless task pool (CLAUDE.md: actor pools only for loaded
+        # state); the broadcast id set is one shared-memory ray.get
+        cand = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.isin(b[id_col].to_numpy(), cand)
+        if not m.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.uint64()))})
+        sub = b.filter(pa.array(m))
+        sig = textproc.minhash_signatures(
+            sub[text_col], num_perm=num_perm, shingle_k=shingle_k, shingle=shingle
+        )
+        return pa.table({id_col: sub[id_col], "sig": pa.array(list(sig), pa.list_(pa.uint64()))})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = np.isin(b[id_col].to_numpy(), self.cand)
-            if not m.any():
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "sig": pa.array([], pa.list_(pa.uint64()))})
-            sub = b.filter(pa.array(m))
-            sig = textproc.minhash_signatures(
-                sub[text_col], num_perm=num_perm, shingle_k=shingle_k, shingle=shingle
-            )
-            return pa.table({id_col: sub[id_col], "sig": pa.array(list(sig), pa.list_(pa.uint64()))})
-
-    sig_tbl = ds.map_batches(
-        CandSigs, fn_constructor_args=(ids_ref,), batch_format="pyarrow",
-        concurrency=(1, 8), num_cpus=1,
-    ).to_pandas()
+    sig_tbl = ds.map_batches(cand_sigs, batch_format="pyarrow").to_pandas()
     sig_mat = np.stack(sig_tbl["sig"].to_numpy()) if len(sig_tbl) else np.zeros((0, num_perm), np.uint64)
-    sig_ref = ray.put((sig_tbl[id_col].to_numpy(np.int64), sig_mat))
-
-    class Score:
-        def __init__(self, r):
-            ids, S = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            order = np.argsort(ids)
-            self.ids = ids[order]
-            self.S = S[order]
-
-        def _rows(self, x: np.ndarray) -> np.ndarray:
-            return np.searchsorted(self.ids, x)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            # all-NaN placeholder columns can arrive null-typed (object)
-            # from the hash-shuffle exchange — normalize before scoring
-            b["est_jaccard"] = b["est_jaccard"].astype(np.float64)
-            real = b["id_a"].to_numpy(np.int64) >= 0
-            if real.any():
-                A = self.S[self._rows(b.loc[real, "id_a"].to_numpy(np.int64))]
-                B = self.S[self._rows(b.loc[real, "id_b"].to_numpy(np.int64))]
-                b.loc[real, "est_jaccard"] = (A == B).mean(axis=1)
-            return b
-
-    return pairs.map_batches(
-        Score, fn_constructor_args=(sig_ref,), batch_format="pandas",
-        concurrency=(1, 4), num_cpus=1,
-    )
+    sig_ids = sig_tbl[id_col].to_numpy(np.int64)
+    order = np.argsort(sig_ids)
+    sig_ids, sig_mat = sig_ids[order], sig_mat[order]
+    A = sig_mat[np.searchsorted(sig_ids, pair_tbl.loc[real, "id_a"].to_numpy(np.int64))]
+    B = sig_mat[np.searchsorted(sig_ids, pair_tbl.loc[real, "id_b"].to_numpy(np.int64))]
+    pair_tbl.loc[real, "est_jaccard"] = (A == B).mean(axis=1)
+    return ray.data.from_pandas(pair_tbl)
 
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.7, **kw) -> ray.data.Dataset:
