@@ -125,7 +125,7 @@ def grouped_stats(
             out[name] = col
         return out
 
-    return bucket_exchange(parted, combine_and_finalize)
+    return bucket_exchange(parted, combine_and_finalize, small_partials=True)
 
 
 def grouped_stats_multi(
@@ -229,7 +229,7 @@ def grouped_holistic(
         return out
 
     parted = ds.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
-    return bucket_exchange(parted, per_part)
+    return bucket_exchange(parted, per_part, small_partials=True)
 
 
 def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) -> ray.data.Dataset:
@@ -254,7 +254,7 @@ def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) ->
         c["frac"] = round_half_away(c["n"] / totals, 6)
         return c
 
-    return bucket_exchange(parted, combine)
+    return bucket_exchange(parted, combine, small_partials=True)
 
 
 def detect_hot_keys(ds: ray.data.Dataset, key: str, sample_frac: float = 0.05, top_k: int = 32, seed: int = 7) -> list:
@@ -304,7 +304,7 @@ def salted_grouped_stats(
             .reset_index()
         )
 
-    lvl2 = bucket_exchange(l1p, combine_salted)
+    lvl2 = bucket_exchange(l1p, combine_salted, small_partials=True)
     # level 2: tiny recombine per key (≤ num_salts rows per key)
     l2p = lvl2.map_batches(lambda b: _add_part(b, [key]), batch_format="pandas")
 
@@ -332,7 +332,7 @@ def salted_grouped_stats(
             out[name] = col
         return out
 
-    return bucket_exchange(l2p, finalize)
+    return bucket_exchange(l2p, finalize, small_partials=True)
 
 
 def rmse(ds: ray.data.Dataset, col_a: str, col_b: str, round_to: int = 4) -> float:

@@ -32,20 +32,27 @@ def use_hash_shuffle() -> bool:
 
 
 def bucket_exchange(parted: ray.data.Dataset, fn: Callable, key: str = "_part",
-                    batch_format: str = "pandas", num_blocks: int | None = None) -> ray.data.Dataset:
+                    batch_format: str = "pandas", num_blocks: int | None = None,
+                    small_partials: bool = False) -> ray.data.Dataset:
     """Exchange on the precomputed ``key`` bucket column + one vectorized
-    ``fn`` call per co-located block (see module docstring)."""
+    ``fn`` call per co-located block (see module docstring).
+
+    ``small_partials=True`` declares the exchanged rows combiner-
+    pre-aggregated (≤ #keys × #blocks small rows, NOT O(dataset)): the
+    sort path then coalesces to cpus*2 blocks before the range sort —
+    sort fragment count scales with in_blocks × out_blocks, and a
+    256-block partial side moved 65k fragments for 18 MB of data
+    (measured: 8.5 s of Sort → 0.9 s coalesced; tile agg 5.1 s → 2.1 s).
+    Leave it False for exchanges that move O(dataset) rows (url dedup,
+    kNN replicate, holistic values): coalescing those serializes
+    ~100 MB block merges and cost the 8-cpu flagship leg 1.6× (measured
+    64.3 k → 38 k docs/s)."""
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         num_blocks = max(8, min(64, cpus * 2))
     if use_hash_shuffle():
         rep = parted.repartition(num_blocks, keys=[key])
         return rep.map_batches(fn, batch_size=None, batch_format=batch_format)
-    # coalesce before the range sort: sort fragment count scales with
-    # in_blocks × out_blocks, and a 256-block partial side makes the sort
-    # move 65k fragments for megabytes of data (measured: 8.5 s of Sort on
-    # an 18 MB exchange → 0.9 s after coalescing to cpus*2 blocks). The
-    # partial side of every exchange here is combiner-pre-aggregated or
-    # narrow by design, so the coalesce is cheap; num_blocks stays ≥ cpus
-    # so downstream map_groups parallelism is unchanged.
-    return parted.repartition(num_blocks).groupby(key).map_groups(fn, batch_format=batch_format)
+    if small_partials:
+        parted = parted.repartition(num_blocks)
+    return parted.groupby(key).map_groups(fn, batch_format=batch_format)

@@ -79,6 +79,7 @@ def detect_hot_cells_knn(ds: ray.data.Dataset, res: int, threshold: int) -> dict
         .map_batches(partial, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pandas"),
         combine,
+        small_partials=True,
     ).to_pandas()
     if len(hot) == 0:
         return {}

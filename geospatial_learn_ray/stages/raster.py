@@ -604,7 +604,7 @@ def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
             rows["entropy"].append(round_half_away(entropy, round_to))
         return pd.DataFrame(rows)
 
-    return bucket_exchange(partials.map_batches(add_partcol, batch_format="pandas"), combine)
+    return bucket_exchange(partials.map_batches(add_partcol, batch_format="pandas"), combine, small_partials=True)
 
 
 def global_patch(tx: int, ty: int, tile_px: int, pad: int) -> np.ndarray:
