@@ -453,20 +453,21 @@ def _q_hist_match_tiles(sf_dir: str):
 
 def _q_hex_meshgrid(sf_dir: str):
     from geospatial_learn_ray.functions import geo
-    from geospatial_learn_ray.functions.geometry import ring_to_wkb, ring_props
 
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(5,))
-    cells = sorted(set(located.select_columns(["cell_h3_r5"]).to_pandas()["cell_h3_r5"]))
-    arr = np.array(cells, np.uint64)
-    rings = geo.hex_cell_to_boundary(arr)
-    rows = []
-    for c, ring in zip(cells, rings):
-        p = ring_props(ring)
-        rows.append({"cell_h3_r5": int(c), "wkb_len": len(ring_to_wkb(ring)),
-                     "area": round_half_away(p["area"], 6)})
-    out = pd.DataFrame(rows)
-    out["cell_h3_r5"] = out["cell_h3_r5"].astype(np.uint64)
-    return out
+    # distributed distinct; the cell inventory itself is small by construction
+    cells = np.array(sorted(located.unique("cell_h3_r5")), np.uint64)
+    rings = geo.hex_cell_to_boundary(cells)  # (n, 7, 2) closed rings
+    x, y = rings[:, :-1, 0], rings[:, :-1, 1]
+    xs, ys = np.roll(x, -1, axis=1), np.roll(y, -1, axis=1)
+    area = np.abs(0.5 * (x * ys - xs * y).sum(axis=1))  # vectorized shoelace
+    # WKB POLYGON layout: header 9 + ring count 4 + npts * 16 bytes
+    wkb_len = np.full(len(cells), 9 + 4 + rings.shape[1] * 16, np.int64)
+    return pd.DataFrame({
+        "cell_h3_r5": cells,
+        "wkb_len": wkb_len,
+        "area": round_half_away(area, 6),
+    })
 
 
 def _q_buffer_polygons(sf_dir: str):
@@ -556,6 +557,10 @@ def _q_wkb_to_geojson(sf_dir: str):
 
 def _q_texture_stats(sf_dir: str):
     return raster.texture_stats(read_tiles(tile_px=32), polygon_table(), levels=8)
+
+
+def _q_otsu_zone_thresh(sf_dir: str):
+    return raster.otsu_zone_stage(read_tiles(tile_px=32), polygon_table(), bins=64)
 
 
 def _q_slope_tiles(sf_dir: str):
@@ -868,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
         "texture_stats": _q_texture_stats,
+        "otsu_zone_thresh": _q_otsu_zone_thresh,
         "slope_tiles": _q_slope_tiles,
         "aspect_tiles": _q_aspect_tiles,
         "hillshade_tiles": _q_hillshade_tiles,
@@ -1863,6 +1869,37 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(ANY_VALUE(CASE WHEN SQRT(vi*vj) > 0 THEN cv/SQRT(vi*vj) ELSE 1.0 END), 6) AS correlation, "
             "ROUND(SUM(-p*LOG2(p)) FILTER (WHERE p > 0), 6) AS entropy "
             "FROM pp JOIN v USING (feature_id) GROUP BY pp.feature_id"
+        ),
+        "otsu_zone_thresh": (
+            # per-zone Otsu: between-class variance (s0*N - w0*S)^2/(w0*(N-w0))
+            # — every product exact (< 2^53), so the float64 score and its
+            # argmax (ties → smallest bin, NULLS LAST = engine's -inf) match
+            # the engine bit-for-bit
+            f"WITH {tiles_sql(32)}, {polygons_sql()}, {_TILE_GRID_SQL}, {_TILE_FEATURE_SQL}, "
+            "qt AS (SELECT f.feature_id, "
+            "  LEAST(GREATEST(CAST(TRUNC((r.vd - CAST(-2.0 AS DOUBLE))/CAST(5.0 AS DOUBLE)*64) AS BIGINT), 0), 63) AS q "
+            "  FROM rast r JOIN tfeat f USING (tile_x, tile_y)), "
+            "hist AS (SELECT feature_id, q, COUNT(*) AS c FROM qt GROUP BY 1, 2), "
+            "feats AS (SELECT DISTINCT feature_id FROM tfeat), "
+            "allbins AS (SELECT f.feature_id, CAST(b.range AS BIGINT) AS q FROM feats f, range(0,64) b), "
+            "h2 AS (SELECT a.feature_id, a.q, COALESCE(h.c, 0) AS c "
+            "  FROM allbins a LEFT JOIN hist h ON a.feature_id = h.feature_id AND a.q = h.q), "
+            "cum AS (SELECT feature_id, q, "
+            "  CAST(SUM(c) OVER w AS BIGINT) AS w0, CAST(SUM(q*c) OVER w AS BIGINT) AS s0, "
+            "  CAST(SUM(c) OVER (PARTITION BY feature_id) AS BIGINT) AS n, "
+            "  CAST(SUM(q*c) OVER (PARTITION BY feature_id) AS BIGINT) AS s "
+            "  FROM h2 WINDOW w AS (PARTITION BY feature_id ORDER BY q ROWS UNBOUNDED PRECEDING)), "
+            "sc AS (SELECT feature_id, q, w0, n, "
+            "  CASE WHEN w0 > 0 AND w0 < n THEN "
+            "    CAST(s0*n - w0*s AS DOUBLE)*CAST(s0*n - w0*s AS DOUBLE)/CAST(w0*(n - w0) AS DOUBLE) "
+            "  END AS score FROM cum), "
+            "pick AS (SELECT feature_id, q, w0, n, "
+            "  ROW_NUMBER() OVER (PARTITION BY feature_id ORDER BY score DESC NULLS LAST, q ASC) AS rn FROM sc) "
+            "SELECT feature_id, q AS thresh_bin, "
+            "ROUND(CAST(-2.0 AS DOUBLE) + (q + 1)*CAST(0.078125 AS DOUBLE), 6) AS thresh_value, "
+            "n AS n_pix, n - w0 AS fg_count, "
+            "ROUND(CAST(n - w0 AS DOUBLE)/CAST(n AS DOUBLE), 6) AS fg_frac "
+            "FROM pick WHERE rn = 1"
         ),
         "aspect_tiles": (
             f"WITH {tiles_sql(32)}, "

@@ -1160,3 +1160,90 @@ def zonal_tile_stats(ds: ray.data.Dataset, polygons: pa.Table, grid_x: int, grid
         )
 
     return combined.map_batches(finalize, batch_format="pandas")
+
+
+def otsu_zone_stage(ds: ray.data.Dataset, polygons: pa.Table, bins: int = 64,
+                    lo: float = -2.0, hi: float = 3.0, round_to: int = 6) -> ray.data.Dataset:
+    """shape.thresh_seg analogue (shape.py:2246, threshold_otsu at 2368):
+    per-polygon-zone Otsu foreground/background threshold over the zone's
+    tile pixels (tile→feature via center PiP, as zonal/texture stats).
+
+    Partials are per-(feature, batch) histograms — decomposable, so the
+    exchange moves ``bins`` counts per (feature, block), never pixels. The
+    combine derives the Otsu argmax from the summed histogram with exact
+    integer arithmetic: between-class variance at cut t is
+    ``(s0*N - w0*S)^2 / (w0*(N-w0))`` with every product < 2^53, so the
+    float64 score (and the argmax, ties broken to the smallest bin) is
+    bit-reproducible — the SQL oracle computes the identical expression.
+
+    The reference's remove_small_holes / remove_small_objects morphology
+    composes downstream with polygonize_tiles / _label_regions; it is not
+    folded in here.
+    """
+    ref = ray.put(polygons)
+    B = int(bins)
+    span = hi - lo
+
+    class TileZoneHist:
+        def __init__(self, r):
+            t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.index = PolygonIndex.from_wkb(t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy().astype(np.int64)
+            ty = batch["tile_y"].to_numpy().astype(np.int64)
+            minx, miny, maxx, maxy = tile_bounds(tx, ty)
+            cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+            tidx, fids = self.index.query(cx, cy)
+            if len(tidx) == 0:
+                return pa.table({"feature_id": pa.array([], pa.int64()),
+                                 "hist": pa.array([], pa.list_(pa.int64()))})
+            px = _pix(batch).astype(np.float64)[tidx]
+            n = px.shape[0]
+            q = np.clip(((px - lo) / span * B).astype(np.int64), 0, B - 1)
+            code = np.arange(n)[:, None] * B + q
+            counts = np.bincount(code.ravel(), minlength=n * B).reshape(n, B)
+            # pre-sum per feature inside the batch (combiner): one row per fid
+            order = np.argsort(fids, kind="stable")
+            sfids = np.asarray(fids)[order]
+            starts = np.flatnonzero(np.r_[True, sfids[1:] != sfids[:-1]])
+            summed = np.add.reduceat(counts[order], starts, axis=0)
+            return pa.table({"feature_id": pa.array(sfids[starts].astype(np.int64)),
+                             "hist": pa.array(list(summed), pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(TileZoneHist, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8))
+
+    def add_partcol(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b["feature_id"].to_numpy(np.int64) % 64).astype(np.int32)
+        return b
+
+    idx = np.arange(B, dtype=np.int64)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"feature_id": [], "thresh_bin": [], "thresh_value": [],
+                "n_pix": [], "fg_count": [], "fg_frac": []}
+        for fid, fg_ in g.groupby("feature_id", sort=False):
+            c = np.sum(np.stack(fg_["hist"].to_numpy()), axis=0).astype(np.int64)
+            N = int(c.sum())
+            S = int((idx * c).sum())
+            w0 = np.cumsum(c)
+            s0 = np.cumsum(idx * c)
+            valid = (w0 > 0) & (w0 < N)
+            num = (s0 * N - w0 * S).astype(np.float64)
+            den = np.where(valid, w0 * (N - w0), 1).astype(np.float64)
+            score = np.where(valid, num * num / den, -np.inf)
+            t = int(np.argmax(score))
+            fg = int(N - w0[t])
+            rows["feature_id"].append(int(fid))
+            rows["thresh_bin"].append(t)
+            rows["thresh_value"].append(round_half_away(lo + (t + 1) * (span / B), round_to))
+            rows["n_pix"].append(N)
+            rows["fg_count"].append(fg)
+            rows["fg_frac"].append(round_half_away(fg / N, round_to))
+        out = pd.DataFrame(rows)
+        for col in ("feature_id", "thresh_bin", "n_pix", "fg_count"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return bucket_exchange(partials.map_batches(add_partcol, batch_format="pandas"), combine, small_partials=True)

@@ -1,0 +1,74 @@
+import numpy as np
+
+from geospatial_learn_ray.functions.geometry import PolygonIndex
+from geospatial_learn_ray.functions.rounding import round_half_away
+from geospatial_learn_ray.sources.polygons import polygon_table
+from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles, tile_bounds, tile_pixels
+from geospatial_learn_ray.stages import raster
+
+TPX = 16
+BINS = 64
+LO, HI = -2.0, 3.0
+
+
+def _otsu_naive(counts: np.ndarray) -> tuple[int, int]:
+    """Reference Otsu by per-threshold loop (exact integer score)."""
+    B = len(counts)
+    N = int(counts.sum())
+    S = int((np.arange(B) * counts).sum())
+    best_t, best_score = 0, -np.inf
+    w0 = s0 = 0
+    for t in range(B):
+        w0 += int(counts[t])
+        s0 += t * int(counts[t])
+        if w0 == 0 or w0 == N:
+            continue
+        num = float(s0 * N - w0 * S)
+        score = num * num / float(w0 * (N - w0))
+        if score > best_score:
+            best_t, best_score = t, score
+    return best_t, N - int(counts[: best_t + 1].sum())
+
+
+def test_otsu_zone_matches_bruteforce():
+    out = (
+        raster.otsu_zone_stage(read_tiles(tile_px=TPX), polygon_table(), bins=BINS, lo=LO, hi=HI)
+        .to_pandas()
+        .sort_values("feature_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 200
+
+    t = polygon_table()
+    index = PolygonIndex.from_wkb(t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+    hists: dict[int, np.ndarray] = {}
+    for ty in range(GRID_Y):
+        for tx in range(GRID_X):
+            minx, miny, maxx, maxy = tile_bounds(np.array([tx]), np.array([ty]))
+            _, fids = index.query((minx + maxx) / 2, (miny + maxy) / 2)
+            if len(fids) == 0:
+                continue
+            px = tile_pixels(tx, ty, TPX).astype(np.float64).ravel()
+            q = np.clip(((px - LO) / (HI - LO) * BINS).astype(np.int64), 0, BINS - 1)
+            h = np.bincount(q, minlength=BINS)
+            for f in fids:
+                hists[int(f)] = hists.get(int(f), np.zeros(BINS, np.int64)) + h
+
+    for _, row in out.iterrows():
+        c = hists[int(row.feature_id)]
+        t_exp, fg_exp = _otsu_naive(c)
+        assert int(row.thresh_bin) == t_exp
+        assert int(row.n_pix) == int(c.sum())
+        assert int(row.fg_count) == fg_exp
+        assert row.fg_frac == round_half_away(fg_exp / c.sum(), 6)
+        assert abs(row.thresh_value - (LO + (t_exp + 1) * (HI - LO) / BINS)) < 1e-9
+
+
+def test_otsu_separates_planted_bimodal():
+    # two well-separated modes: the cut must land strictly between them
+    counts = np.zeros(BINS, np.int64)
+    counts[3] = 10
+    counts[50] = 10
+    t, fg = _otsu_naive(counts)
+    assert 3 <= t < 50
+    assert fg == 10
