@@ -563,6 +563,14 @@ def _q_otsu_zone_thresh(sf_dir: str):
     return raster.otsu_zone_stage(read_tiles(tile_px=32), polygon_table(), bins=64)
 
 
+def _q_niblack_tiles(sf_dir: str):
+    return raster.local_thresh_stage(read_tiles(tile_px=32, with_pixels=False), 32, algo="niblack")
+
+
+def _q_sauvola_tiles(sf_dir: str):
+    return raster.local_thresh_stage(read_tiles(tile_px=32, with_pixels=False), 32, algo="sauvola")
+
+
 def _q_slope_tiles(sf_dir: str):
     return raster.slope_stage(read_tiles(tile_px=32, with_pixels=False), tile_px=32)
 
@@ -874,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_points": _q_reproject_points,
         "texture_stats": _q_texture_stats,
         "otsu_zone_thresh": _q_otsu_zone_thresh,
+        "niblack_thresh_tiles": _q_niblack_tiles,
+        "sauvola_thresh_tiles": _q_sauvola_tiles,
         "slope_tiles": _q_slope_tiles,
         "aspect_tiles": _q_aspect_tiles,
         "hillshade_tiles": _q_hillshade_tiles,
@@ -1900,6 +1910,43 @@ def oracle_sql() -> dict[str, str]:
             "n AS n_pix, n - w0 AS fg_count, "
             "ROUND(CAST(n - w0 AS DOUBLE)/CAST(n AS DOUBLE), 6) AS fg_frac "
             "FROM pick WHERE rn = 1"
+        ),
+        "niblack_thresh_tiles": (
+            # local threshold over the quantized mosaic: separable integer
+            # box sums (two ROWS BETWEEN passes = the engine's masked box,
+            # windows shrink at the raster border), thresholds derived from
+            # exact ints → bit-identical; AVG's ulps vanish under ROUND(6)
+            f"WITH {tiles_sql(32)}, "
+            "gp AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, "
+            "  LEAST(GREATEST(CAST(TRUNC((vd - CAST(-2.0 AS DOUBLE))/CAST(5.0 AS DOUBLE)*64) AS BIGINT), 0), 63) AS q "
+            "  FROM rast), "
+            "h AS (SELECT *, SUM(q) OVER wx AS rv, SUM(q*q) OVER wx AS rq, COUNT(*) OVER wx AS rc "
+            "  FROM gp WINDOW wx AS (PARTITION BY gy ORDER BY gx ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+            "v2 AS (SELECT *, CAST(SUM(rv) OVER wy AS BIGINT) AS sv, CAST(SUM(rq) OVER wy AS BIGINT) AS sq2, "
+            "  CAST(SUM(rc) OVER wy AS BIGINT) AS cnt "
+            "  FROM h WINDOW wy AS (PARTITION BY gx ORDER BY gy ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+            "t AS (SELECT tile_x, tile_y, q, CAST(sv AS DOUBLE)/CAST(cnt AS DOUBLE) AS m, "
+            "  SQRT(CAST(sq2*cnt - sv*sv AS DOUBLE))/CAST(cnt AS DOUBLE) AS s FROM v2), "
+            "th AS (SELECT tile_x, tile_y, q, m + CAST(-0.2 AS DOUBLE)*s AS t FROM t) "
+            "SELECT tile_x, tile_y, CAST(COUNT(*) FILTER (WHERE q > t) AS BIGINT) AS fg_count_niblack, "
+            "ROUND(AVG(t), 6) AS mean_thresh FROM th GROUP BY tile_x, tile_y"
+        ),
+        "sauvola_thresh_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "gp AS (SELECT tile_x, tile_y, tile_x*32 + px AS gx, tile_y*32 + py AS gy, "
+            "  LEAST(GREATEST(CAST(TRUNC((vd - CAST(-2.0 AS DOUBLE))/CAST(5.0 AS DOUBLE)*64) AS BIGINT), 0), 63) AS q "
+            "  FROM rast), "
+            "h AS (SELECT *, SUM(q) OVER wx AS rv, SUM(q*q) OVER wx AS rq, COUNT(*) OVER wx AS rc "
+            "  FROM gp WINDOW wx AS (PARTITION BY gy ORDER BY gx ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+            "v2 AS (SELECT *, CAST(SUM(rv) OVER wy AS BIGINT) AS sv, CAST(SUM(rq) OVER wy AS BIGINT) AS sq2, "
+            "  CAST(SUM(rc) OVER wy AS BIGINT) AS cnt "
+            "  FROM h WINDOW wy AS (PARTITION BY gx ORDER BY gy ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+            "t AS (SELECT tile_x, tile_y, q, CAST(sv AS DOUBLE)/CAST(cnt AS DOUBLE) AS m, "
+            "  SQRT(CAST(sq2*cnt - sv*sv AS DOUBLE))/CAST(cnt AS DOUBLE) AS s FROM v2), "
+            "th AS (SELECT tile_x, tile_y, q, "
+            "  m*(1 + CAST(0.2 AS DOUBLE)*(s/CAST(32.0 AS DOUBLE) - 1)) AS t FROM t) "
+            "SELECT tile_x, tile_y, CAST(COUNT(*) FILTER (WHERE q > t) AS BIGINT) AS fg_count_sauvola, "
+            "ROUND(AVG(t), 6) AS mean_thresh FROM th GROUP BY tile_x, tile_y"
         ),
         "aspect_tiles": (
             f"WITH {tiles_sql(32)}, "

@@ -1247,3 +1247,93 @@ def otsu_zone_stage(ds: ray.data.Dataset, polygons: pa.Table, bins: int = 64,
         return out
 
     return bucket_exchange(partials.map_batches(add_partcol, batch_format="pandas"), combine, small_partials=True)
+
+
+def _patch_mask_q(tx: int, ty: int, tile_px: int, pad: int, levels: int,
+                  lo: float, span: float) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized (tile_px+2·pad)² patch around tile (tx, ty) with a validity
+    mask: entries outside the raster are 0/False (NOT clamped — local
+    threshold windows shrink at the border, matching SQL ROWS BETWEEN)."""
+    from ..sources.tiles import GRID_X, GRID_Y
+
+    rows = np.arange(ty * tile_px - pad, (ty + 1) * tile_px + pad)
+    cols = np.arange(tx * tile_px - pad, (tx + 1) * tile_px + pad)
+    rmask = (rows >= 0) & (rows < GRID_Y * tile_px)
+    cmask = (cols >= 0) & (cols < GRID_X * tile_px)
+    rc = np.clip(rows, 0, GRID_Y * tile_px - 1)
+    cc = np.clip(cols, 0, GRID_X * tile_px - 1)
+    tr, wr = np.divmod(rc, tile_px)
+    tc, wc = np.divmod(cc, tile_px)
+    sin_c = np.array([np.sin(int(t) * 0.1) for t in tc])
+    cos_r = np.array([np.cos(int(t) * 0.1) for t in tr])
+    base = sin_c[None, :] + cos_r[:, None]
+    grid = ((wr[:, None] * 31 + wc[None, :]) % 97) / 97.0
+    vals = (base + grid).astype(np.float32).astype(np.float64)
+    q = np.clip((vals - lo) / span * levels, 0, None).astype(np.int64)
+    np.clip(q, 0, levels - 1, out=q)
+    mask = rmask[:, None] & cmask[None, :]
+    q[~mask] = 0
+    return q, mask.astype(np.int64)
+
+
+def _box2d(a: np.ndarray, w: int) -> np.ndarray:
+    """Exact integer w×w box sum; input padded by w//2, output inner size."""
+    c = np.zeros((a.shape[0] + 1, a.shape[1] + 1), np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=c[1:, 1:])
+    return c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
+
+
+def local_thresh_stage(ds: ray.data.Dataset, tile_px: int, algo: str = "niblack",
+                       window: int = 5, k: float | None = None, levels: int = 64,
+                       lo: float = -2.0, hi: float = 3.0, round_to: int = 6) -> ray.data.Dataset:
+    """shape.thresh_seg local-threshold variants (shape.py:2267 algo
+    dispatch: threshold_niblack / threshold_sauvola at 2370-2372): per-pixel
+    adaptive threshold over a w×w neighborhood of the QUANTIZED image
+    (integer levels — box sums of q and q² stay exact integers, so the
+    engine and the SQL oracle derive bit-identical m, s and thresholds).
+
+    - niblack: T = m + k·s                      (k default −0.2)
+    - sauvola: T = m·(1 + k·(s/R − 1)), R = levels/2   (k default 0.2)
+
+    Windows SHRINK at the raster border (mask-weighted counts), the exact
+    semantics of two separable SQL ``ROWS BETWEEN p PRECEDING AND p
+    FOLLOWING`` passes — unlike gdaldem_stage's clamped halo. Output: one
+    row per tile with the foreground pixel count (q > T) and mean threshold.
+    """
+    if algo == "niblack":
+        kk = -0.2 if k is None else k
+    elif algo == "sauvola":
+        kk = 0.2 if k is None else k
+    else:
+        raise ValueError(algo)
+    R = levels / 2.0
+    pad = window // 2
+    span = hi - lo
+    colname = f"fg_count_{algo}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        fg = np.empty(len(tx), np.int64)
+        mt = np.empty(len(tx), np.float64)
+        for i in range(len(tx)):
+            q, m = _patch_mask_q(int(tx[i]), int(ty[i]), tile_px, pad, levels, lo, span)
+            sv = _box2d(q, window)
+            sq = _box2d(q * q, window)
+            cnt = _box2d(m, window)
+            mean = sv.astype(np.float64) / cnt.astype(np.float64)
+            s = np.sqrt((sq * cnt - sv * sv).astype(np.float64)) / cnt.astype(np.float64)
+            if algo == "niblack":
+                T = mean + kk * s
+            else:
+                T = mean * (1.0 + kk * (s / R - 1.0))
+            center = q[pad:q.shape[0] - pad, pad:q.shape[1] - pad] if pad else q
+            fg[i] = int((center > T).sum())
+            mt[i] = T.mean()
+        return pa.table(
+            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+             colname: pa.array(fg),
+             "mean_thresh": pa.array(round_half_away(mt, round_to))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

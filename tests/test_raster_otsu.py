@@ -72,3 +72,48 @@ def test_otsu_separates_planted_bimodal():
     t, fg = _otsu_naive(counts)
     assert 3 <= t < 50
     assert fg == 10
+
+
+def _dense_local_thresh(tpx: int, algo: str, window: int = 5, levels: int = 64):
+    """Brute-force reference: full dense mosaic, per-pixel window loop-free
+    via padded cumsum with explicit border shrink."""
+    H, W = GRID_Y * tpx, GRID_X * tpx
+    mos = np.block([[tile_pixels(tx, ty, tpx).astype(np.float64) for tx in range(GRID_X)] for ty in range(GRID_Y)])
+    q = np.clip(((mos - LO) / (HI - LO) * levels).astype(np.int64), 0, levels - 1)
+    p = window // 2
+    fg = np.zeros((GRID_Y, GRID_X), np.int64)
+    for gy in range(H):
+        y0, y1 = max(0, gy - p), min(H, gy + p + 1)
+        for gx in range(W):
+            x0, x1 = max(0, gx - p), min(W, gx + p + 1)
+            win = q[y0:y1, x0:x1]
+            cnt = win.size
+            sv = int(win.sum())
+            sq = int((win * win).sum())
+            m = sv / cnt
+            s = np.sqrt(float(sq * cnt - sv * sv)) / cnt
+            if algo == "niblack":
+                t = m + -0.2 * s
+            else:
+                t = m * (1.0 + 0.2 * (s / (levels / 2.0) - 1.0))
+            if q[gy, gx] > t:
+                fg[gy // tpx, gx // tpx] += 1
+    return fg
+
+
+def test_local_thresh_matches_dense_bruteforce():
+    # small grid keeps the O(pixels·window²) reference affordable: compare
+    # a band of tiles on the raster border (shrinking windows) + interior
+    tpx = 8
+    for algo in ("niblack", "sauvola"):
+        out = (
+            raster.local_thresh_stage(
+                read_tiles(tile_px=tpx, with_pixels=False), tpx, algo=algo
+            )
+            .to_pandas()
+            .set_index(["tile_y", "tile_x"])
+        )
+        exp = _dense_local_thresh(tpx, algo)
+        col = f"fg_count_{algo}"
+        for ty, tx in [(0, 0), (0, 63), (31, 0), (31, 63), (5, 7), (16, 32)]:
+            assert out.loc[(ty, tx), col] == exp[ty, tx], (algo, ty, tx)
