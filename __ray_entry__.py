@@ -538,6 +538,11 @@ def _q_polygonize_tiles(sf_dir: str):
     return raster.polygonize_tiles(small, quant=2.0)
 
 
+def _q_ragmerge(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ragmerge_count(small, side=16, quant=2.0, thresh=0.4, grid_x=16, grid_y=16)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -877,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_tiles": _q_clip_tiles,
         "fill_nodata_tiles": _q_fill_nodata_tiles,
         "polygonize_tiles": _q_polygonize_tiles,
+        "ragmerge_regions": _q_ragmerge,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
@@ -1179,20 +1185,20 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
 
 
 
-def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
-    """SQL twin of raster.polygonize_tiles over the clipped 16x16-tile
-    closed-form raster: per-tile connected-component labeling as UNROLLED
-    min-label rounds (neighbor-min + two pointer jumps per round, every
-    round MATERIALIZED - DuckDB inlines CTEs and each round references the
-    previous twice, which explodes 4^t without it). The fixpoint is the
-    per-region min pixel index - the engine's label - independent of
-    schedule; this raster converges at 16 rounds (measured; the raster is
-    closed-form, so the count is a constant of the fixture), 20 gives
-    margin. region_value = floor(v*quant)/quant is dyadic-exact."""
+def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
+    """Per-tile connected-component labeling of the clipped closed-form
+    raster as UNROLLED min-label rounds (neighbor-min + two pointer jumps
+    per round, every round MATERIALIZED - DuckDB inlines CTEs and each
+    round references the previous twice, which explodes 4^t without it).
+    The fixpoint is the per-region min pixel index - the engine's label -
+    independent of schedule; this raster converges at 16 rounds (measured;
+    the raster is closed-form, so the count is a constant of the fixture),
+    20 gives margin. Ends with ``fin(tile_x, tile_y, idx, lab, q, vd)``.
+    Shared by the polygonize and ragmerge oracles."""
     ctes = [
         tiles_sql(side),
         f"rc AS MATERIALIZED (SELECT tile_x, tile_y, py * {side} + px AS idx, "
-        f"  FLOOR(vd * {quant!r}) AS q FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        f"  FLOOR(vd * {quant!r}) AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
         "edg AS MATERIALIZED ("
         "  SELECT a.tile_x, a.tile_y, a.idx AS u, b.idx AS v FROM rc a JOIN rc b "
         f"    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.q = a.q AND ("
@@ -1215,9 +1221,16 @@ def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
             f"  JOIN j{t} b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.idx = a.lab)",
         ]
     ctes += [
-        f"fin AS (SELECT l.tile_x, l.tile_y, l.idx, l.lab, rc.q FROM l{rounds} l "
+        f"fin AS (SELECT l.tile_x, l.tile_y, l.idx, l.lab, rc.q, rc.vd FROM l{rounds} l "
         "  JOIN rc ON rc.tile_x = l.tile_x AND rc.tile_y = l.tile_y AND rc.idx = l.idx)",
     ]
+    return ctes
+
+
+def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
+    """SQL twin of raster.polygonize_tiles (see _ccl_ctes).
+    region_value = floor(v*quant)/quant is dyadic-exact."""
+    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
     return (
         "WITH " + ", ".join(ctes) + " "
         "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, lab AS region_label, "
@@ -1225,6 +1238,46 @@ def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
         f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
         f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
         "FROM fin GROUP BY tile_x, tile_y, lab"
+    )
+
+
+def _ragmerge_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15,
+                  thresh=0.4, wscale=64):
+    """SQL twin of raster.ragmerge_count (cut_threshold RAG merge): per-tile
+    CCL labels (_ccl_ctes) → global node ids → 4-neighbor boundary pairs
+    over the GLOBAL pixel grid (within + cross tile in one join) with
+    integer weights floor(|Δv|·wscale + 0.5) → mean-weight threshold →
+    connected components as a recursive transitive closure with MIN
+    reachable node (= the engine's min-root union-find, see
+    _dedup_components_sql) → per-component pixel/region totals; singleton
+    regions keep their own node id."""
+    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
+    s2 = side * side
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + ", "
+        f"gp AS MATERIALIZED (SELECT tile_x*{side} + idx % {side} AS gx, "
+        f"  tile_y*{side} + idx // {side} AS gy, "
+        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node, vd FROM fin), "
+        "pr AS (SELECT LEAST(a.node, b.node) AS u, GREATEST(a.node, b.node) AS v, "
+        f"  FLOOR(ABS(a.vd - b.vd)*{wscale} + 0.5) AS w "
+        "  FROM gp a JOIN gp b ON b.gx = a.gx + 1 AND b.gy = a.gy WHERE a.node <> b.node "
+        "  UNION ALL "
+        "  SELECT LEAST(a.node, b.node), GREATEST(a.node, b.node), "
+        f"  FLOOR(ABS(a.vd - b.vd)*{wscale} + 0.5) "
+        "  FROM gp a JOIN gp b ON b.gx = a.gx AND b.gy = a.gy + 1 WHERE a.node <> b.node), "
+        "e AS MATERIALIZED (SELECT u, v FROM pr GROUP BY u, v "
+        f"  HAVING SUM(w)/COUNT(*) < CAST({thresh!r} AS DOUBLE)*{wscale}), "
+        "cn AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
+        "ce AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+        "reach AS (SELECT node, node AS anc FROM cn "
+        "  UNION SELECT r.node, c.v AS anc FROM reach r JOIN ce c ON c.u = r.anc), "
+        "comp AS (SELECT node, MIN(anc) AS cid FROM reach GROUP BY node), "
+        f"regn AS (SELECT (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node, "
+        "  COUNT(*) AS pc FROM fin GROUP BY 1) "
+        "SELECT COALESCE(c.cid, r.node) AS global_region, "
+        "CAST(SUM(r.pc) AS BIGINT) AS pixel_count, "
+        "CAST(COUNT(*) AS BIGINT) AS n_regions "
+        "FROM regn r LEFT JOIN comp c USING (node) GROUP BY 1"
     )
 
 
@@ -1822,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_polygons": _buffer_polygons_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "polygonize_tiles": _polygonize_tiles_sql(),
+        "ragmerge_regions": _ragmerge_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

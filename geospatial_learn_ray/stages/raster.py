@@ -862,11 +862,22 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
        coarse-bucket sum per global region.
 
     Returns a Dataset of (global_region:int64, pixel_count:int64)."""
-    from ..functions.hashing import splitmix64
     from .dedup import connected_components
 
     pairs = _border_pairs(regions, side, num_buckets)
     comp = connected_components(pairs, num_buckets=num_buckets)
+    return _aggregate_components(regions, comp, side, num_buckets, with_nreg=False)
+
+
+def _aggregate_components(regions: ray.data.Dataset, comp: ray.data.Dataset, side: int,
+                          num_buckets: int, with_nreg: bool) -> ray.data.Dataset:
+    """Shared merge-totals step: component labels ⋈ region pixel counts
+    (bucketed hash join on the node id; regions without an edge keep their
+    own node id), pre-aggregated per bucket, then a coarse-bucket sum per
+    global region. ``with_nreg`` adds the merged-region member count."""
+    from ..functions.hashing import splitmix64
+
+    aggs = {"pixel_count": "sum", "n_regions": "sum"} if with_nreg else {"pixel_count": "sum"}
 
     def region_nodes(b: pd.DataFrame) -> pd.DataFrame:
         node = _region_node_ids(b["tile_x"].to_numpy(np.int64), b["tile_y"].to_numpy(np.int64),
@@ -889,7 +900,9 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
         comp_id = m["component"].fillna(m["k"]).astype(np.int64)  # singletons keep own id
         # pre-aggregate within the bucket before the component shuffle
         out = pd.DataFrame({"global_region": comp_id, "pixel_count": m["v"].to_numpy(np.int64)})
-        return out.groupby("global_region", sort=False)["pixel_count"].sum().reset_index()
+        if with_nreg:
+            out["n_regions"] = np.int64(1)
+        return out.groupby("global_region", sort=False).agg(aggs).reset_index()
 
     def bucket_region(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -897,7 +910,7 @@ def polygonize_merge_count(regions: ray.data.Dataset, side: int,
         return b
 
     def sum_per_region(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("global_region", sort=False)["pixel_count"].sum().reset_index()
+        return g.groupby("global_region", sort=False).agg(aggs).reset_index()
 
     tagged = regions.map_batches(region_nodes, batch_format="pandas").union(
         comp.map_batches(comp_rows, batch_format="pandas")
@@ -1337,3 +1350,86 @@ def local_thresh_stage(ds: ray.data.Dataset, tile_px: int, algo: str = "niblack"
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ragmerge_count(ds: ray.data.Dataset, side: int, quant: float = 2.0, thresh: float = 0.4,
+                   wscale: float = 64.0, num_buckets: int = 64, grid_x: int | None = None,
+                   grid_y: int | None = None) -> ray.data.Dataset:
+    """utilities.ragmerge analogue (utilities.py:842: rag_boundary +
+    merge_hierarchical), restated as skimage ``graph.cut_threshold``
+    semantics (the flat-threshold RAG cut — deterministic and
+    order-independent, where hierarchical merge is inherently sequential):
+
+    1. regions = per-tile CCL labels of the quantized image (the
+       polygonize segmentation);
+    2. boundary weight between adjacent regions = MEAN of
+       ``floor(|v_a − v_b|·wscale + 0.5)`` over their shared 4-neighbor
+       boundary pixel pairs — the raw-value gradient (the reference's
+       sobel edge map role), quantized to 1/wscale steps so per-pair sums
+       stay exact integers and the SQL oracle bit-matches;
+    3. edges with mean weight < thresh·wscale merge via the distributed
+       ``dedup.connected_components`` (same-value cross-tile pairs have
+       weight 0, so split-at-tile-border regions always re-merge).
+
+    Each (region_a, region_b) boundary lies along exactly one tile (or one
+    tile border, computed by the left/top tile regenerating + labeling its
+    neighbor from the closed form — on a real raster this is a 1-tile halo
+    read, cf. global_patch), so pair weights are FINAL after the map pass:
+    the threshold filter runs map-side and only surviving (id_a, id_b)
+    edges enter the exchange. Output: (global_region, pixel_count,
+    n_regions) per merged region.
+    """
+    from .dedup import connected_components
+    from ..sources.tiles import GRID_X, GRID_Y
+
+    gx_lim = GRID_X if grid_x is None else grid_x
+    gy_lim = GRID_Y if grid_y is None else grid_y
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        assert npx == side * side
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        ua, va = [], []
+
+        def emit(node_a, node_b, val_a, val_b):
+            diff = node_a != node_b
+            if not diff.any():
+                return
+            u = np.minimum(node_a[diff], node_b[diff])
+            v = np.maximum(node_a[diff], node_b[diff])
+            w = np.floor(np.abs(val_a[diff] - val_b[diff]) * wscale + 0.5).astype(np.int64)
+            order = np.lexsort((v, u))
+            u, v, w = u[order], v[order], w[order]
+            new = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+            starts = np.flatnonzero(new)
+            sw = np.add.reduceat(w, starts)
+            cnt = np.diff(np.r_[starts, len(w)])
+            keep = sw / cnt < thresh * wscale
+            ua.append(u[starts][keep])
+            va.append(v[starts][keep])
+
+        for i in range(n):
+            vals = px[i].reshape(side, side)
+            img = np.floor(vals * quant)
+            labels = _label_regions(img)
+            node = _region_node_ids(tx[i : i + 1], ty[i : i + 1], np.int64(0), side)[0] + labels
+            emit(node[:, :-1].ravel(), node[:, 1:].ravel(), vals[:, :-1].ravel(), vals[:, 1:].ravel())
+            emit(node[:-1, :].ravel(), node[1:, :].ravel(), vals[:-1, :].ravel(), vals[1:, :].ravel())
+            if tx[i] + 1 < gx_lim:
+                vals_r = tile_pixels(int(tx[i]) + 1, int(ty[i]), side).astype(np.float64)
+                node_r = _region_node_ids(tx[i : i + 1] + 1, ty[i : i + 1], np.int64(0), side)[0] + _label_regions(np.floor(vals_r * quant))
+                emit(node[:, -1], node_r[:, 0], vals[:, -1], vals_r[:, 0])
+            if ty[i] + 1 < gy_lim:
+                vals_b = tile_pixels(int(tx[i]), int(ty[i]) + 1, side).astype(np.float64)
+                node_b = _region_node_ids(tx[i : i + 1], ty[i : i + 1] + 1, np.int64(0), side)[0] + _label_regions(np.floor(vals_b * quant))
+                emit(node[-1, :], node_b[0, :], vals[-1, :], vals_b[0, :])
+        if not ua:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(ua)), "id_b": pa.array(np.concatenate(va))})
+
+    regions = polygonize_tiles(ds, quant=quant)
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow")
+    comp = connected_components(pairs, num_buckets=num_buckets)
+    return _aggregate_components(regions, comp, side, num_buckets, with_nreg=True)

@@ -1,0 +1,86 @@
+import numpy as np
+
+from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+from geospatial_learn_ray.stages import raster
+from geospatial_learn_ray.stages.raster import _label_regions, _region_node_ids
+
+SIDE, GX, GY = 16, 16, 16
+QUANT, THRESH, WSCALE = 2.0, 0.4, 64.0
+
+
+def _bruteforce_ragmerge():
+    """Driver-side reference: dense mosaic labels, all 4-neighbor boundary
+    pairs, mean-weight filter, plain union-find with min-root semantics."""
+    labels = {}
+    vals = {}
+    counts = {}
+    for ty in range(GY):
+        for tx in range(GX):
+            v = tile_pixels(tx, ty, SIDE).astype(np.float64)
+            lab = _label_regions(np.floor(v * QUANT))
+            node = _region_node_ids(np.array([tx]), np.array([ty]), np.int64(0), SIDE)[0] + lab
+            labels[(tx, ty)] = node
+            vals[(tx, ty)] = v
+            for nd, c in zip(*np.unique(node, return_counts=True)):
+                counts[int(nd)] = int(c)
+    pairs: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def add(na, nb, va, vb):
+        d = na != nb
+        w = np.floor(np.abs(va[d] - vb[d]) * WSCALE + 0.5).astype(np.int64)
+        for u, vv, ww in zip(na[d].ravel(), nb[d].ravel(), w.ravel()):
+            k = (int(min(u, vv)), int(max(u, vv)))
+            s, c = pairs.get(k, (0, 0))
+            pairs[k] = (s + int(ww), c + 1)
+
+    for (tx, ty), node in labels.items():
+        v = vals[(tx, ty)]
+        add(node[:, :-1], node[:, 1:], v[:, :-1], v[:, 1:])
+        add(node[:-1, :], node[1:, :], v[:-1, :], v[1:, :])
+        if (tx + 1, ty) in labels:
+            add(node[:, -1], labels[(tx + 1, ty)][:, 0], v[:, -1], vals[(tx + 1, ty)][:, 0])
+        if (tx, ty + 1) in labels:
+            add(node[-1, :], labels[(tx, ty + 1)][0, :], v[-1, :], vals[(tx, ty + 1)][0, :])
+
+    parent: dict[int, int] = {n: n for n in counts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (u, v), (s, c) in pairs.items():
+        if s / c < THRESH * WSCALE:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo
+    agg: dict[int, list[int]] = {}
+    for n, c in counts.items():
+        r = find(n)
+        pc, nr = agg.get(r, (0, 0))
+        agg[r] = (pc + c, nr + 1)
+    return agg
+
+
+def test_ragmerge_matches_bruteforce_unionfind():
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = (
+        raster.ragmerge_count(small, side=SIDE, quant=QUANT, thresh=THRESH, grid_x=GX, grid_y=GY)
+        .to_pandas()
+        .sort_values("global_region")
+        .reset_index(drop=True)
+    )
+    exp = _bruteforce_ragmerge()
+    assert len(out) == len(exp)
+    for _, row in out.iterrows():
+        pc, nr = exp[int(row.global_region)]
+        assert int(row.pixel_count) == pc
+        assert int(row.n_regions) == nr
+    # merging conserves pixels and regions
+    assert out.pixel_count.sum() == GX * GY * SIDE * SIDE
+    # the threshold is discriminating: real merging happened, but not into
+    # one blob
+    assert out.n_regions.max() > 1
+    assert len(out) > 10
