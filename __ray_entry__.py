@@ -543,6 +543,11 @@ def _q_ragmerge(sf_dir: str):
     return raster.ragmerge_count(small, side=16, quant=2.0, thresh=0.4, grid_x=16, grid_y=16)
 
 
+def _q_ransac_lines(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ransac_lines_stage(small, side=16, edge_thresh=0.1)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -883,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_nodata_tiles": _q_fill_nodata_tiles,
         "polygonize_tiles": _q_polygonize_tiles,
         "ragmerge_regions": _q_ragmerge,
+        "ransac_lines_tiles": _q_ransac_lines,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
@@ -1238,6 +1244,56 @@ def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
         f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
         f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
         "FROM fin GROUP BY tile_x, tile_y, lab"
+    )
+
+
+def _ransac_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, trials=64):
+    """SQL twin of raster.ransac_lines_stage: clamped central-difference
+    gradient edges, splitmix64 2-point draws per (tile, trial) over the
+    ascending edge index list (sqlgen HUGEINT mask arithmetic — identical
+    bits to the numpy splitmix64), and the exact-integer inlier test
+    cross² ≤ residual²·norm² on pixel coordinates; best trial by inlier
+    count with ties to the smallest trial."""
+    sm = _sg.chain(
+        "SELECT * FROM tk",
+        _sg.splitmix64_steps("seed1", "sm1", "ra") + _sg.splitmix64_steps("seed2", "sm2", "rb"),
+    )
+    return (
+        f"WITH {tiles_sql(side)}, "
+        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
+        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "g1 AS (SELECT *, (COALESCE(LEAD(vd) OVER wx, vd) - COALESCE(LAG(vd) OVER wx, vd))/2.0 AS gx "
+        "  FROM rcl WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px)), "
+        "g2 AS (SELECT *, (COALESCE(LEAD(vd) OVER wy, vd) - COALESCE(LAG(vd) OVER wy, vd))/2.0 AS gy "
+        "  FROM g1 WINDOW wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)), "
+        f"ed AS MATERIALIZED (SELECT tile_x, tile_y, py*{side} + px AS idx, px AS x, py AS y, "
+        f"  ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY py*{side} + px) - 1 AS rn "
+        f"  FROM g2 WHERE gx*gx + gy*gy > CAST({edge_thresh!r} AS DOUBLE)), "
+        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
+        "tk AS (SELECT tile_x, tile_y, n, CAST(t.range AS BIGINT) AS k, "
+        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{2 * trials} + 2*k AS seed1, "
+        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{2 * trials} + 2*k + 1 AS seed2 "
+        f"  FROM cnt, range(0, {trials}) t WHERE n >= 2), "
+        f"dr AS (SELECT tile_x, tile_y, n, k, CAST(sm1 % n AS BIGINT) AS i1r, "
+        f"  CAST(sm2 % (n - 1) AS BIGINT) AS i2r FROM ({sm})), "
+        "dr2 AS (SELECT *, i1r AS i1, i2r + CASE WHEN i2r >= i1r THEN 1 ELSE 0 END AS i2 FROM dr), "
+        "sup AS (SELECT d.tile_x, d.tile_y, d.k, a.idx AS ia, a.x AS x1, a.y AS y1, "
+        "  b.idx AS ib, b.x AS x2, b.y AS y2 "
+        "  FROM dr2 d JOIN ed a ON a.tile_x = d.tile_x AND a.tile_y = d.tile_y AND a.rn = d.i1 "
+        "  JOIN ed b ON b.tile_x = d.tile_x AND b.tile_y = d.tile_y AND b.rn = d.i2), "
+        "il AS (SELECT s.tile_x, s.tile_y, s.k, ANY_VALUE(s.ia) AS ia, ANY_VALUE(s.ib) AS ib, "
+        "  COUNT(*) FILTER (WHERE "
+        "    ((s.x2 - s.x1)*(e.y - s.y1) - (s.y2 - s.y1)*(e.x - s.x1)) "
+        "    * ((s.x2 - s.x1)*(e.y - s.y1) - (s.y2 - s.y1)*(e.x - s.x1)) "
+        "    <= CAST(1.0 AS DOUBLE)*((s.x2 - s.x1)*(s.x2 - s.x1) + (s.y2 - s.y1)*(s.y2 - s.y1))) AS c "
+        "  FROM sup s JOIN ed e ON e.tile_x = s.tile_x AND e.tile_y = s.tile_y GROUP BY 1, 2, 3), "
+        "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY c DESC, k ASC) AS rr FROM il), "
+        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl), "
+        "cnt2 AS (SELECT b.tile_x, b.tile_y, COALESCE(c.n, 0) AS n FROM base b LEFT JOIN cnt c USING (tile_x, tile_y)) "
+        "SELECT c2.tile_x, c2.tile_y, c2.n AS n_edge, "
+        "COALESCE(p.k, -1) AS best_trial, COALESCE(p.ia, -1) AS support_a, "
+        "COALESCE(p.ib, -1) AS support_b, COALESCE(p.c, 0) AS inliers "
+        "FROM cnt2 c2 LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
     )
 
 
@@ -1876,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(),
         "polygonize_tiles": _polygonize_tiles_sql(),
         "ragmerge_regions": _ragmerge_sql(),
+        "ransac_lines_tiles": _ransac_lines_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

@@ -1433,3 +1433,77 @@ def ragmerge_count(ds: ray.data.Dataset, side: int, quant: float = 2.0, thresh: 
     pairs = ds.map_batches(pairs_fn, batch_format="pyarrow")
     comp = connected_components(pairs, num_buckets=num_buckets)
     return _aggregate_components(regions, comp, side, num_buckets, with_nreg=True)
+
+
+def ransac_lines_stage(ds: ray.data.Dataset, side: int, edge_thresh: float = 0.25,
+                       trials: int = 64, residual: float = 1.0) -> ray.data.Dataset:
+    """utilities.ransac_lines analogue (utilities.py:1559, _do_ransac at
+    1504-1533): per-tile robust line fit on edge pixels.
+
+    - canny edge mask → closed-form stand-in: squared gradient magnitude of
+      within-tile clamped central differences > ``edge_thresh``;
+    - RANSAC's random 2-point draws → DETERMINISTIC splitmix64 draws keyed
+      by (tile, trial) over the ascending edge-point index list
+      (data-dependent RNG is not oracle-able and varies with Ray block
+      structure — the id-hash sampling pattern, cf. ivf_build_centroids);
+    - inlier test: perpendicular distance ≤ residual, evaluated as the
+      EXACT integer comparison cross² ≤ residual²·norm² on pixel coords;
+    - best model: max inlier count, ties to the smallest trial index.
+
+    Output per tile: edge count, best trial, its two support-point flat
+    pixel indices, and the inlier count — all integers (strict oracle).
+    """
+    from ..functions.hashing import splitmix64
+
+    r2 = residual * residual
+    T = trials
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        cols = {"n_edge": np.empty(n_tiles, np.int64), "best_trial": np.empty(n_tiles, np.int64),
+                "support_a": np.empty(n_tiles, np.int64), "support_b": np.empty(n_tiles, np.int64),
+                "inliers": np.empty(n_tiles, np.int64)}
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            gx = np.empty_like(v)
+            gx[:, 1:-1] = (v[:, 2:] - v[:, :-2]) / 2.0
+            gx[:, 0] = (v[:, 1] - v[:, 0]) / 2.0
+            gx[:, -1] = (v[:, -1] - v[:, -2]) / 2.0
+            gy = np.empty_like(v)
+            gy[1:-1, :] = (v[2:, :] - v[:-2, :]) / 2.0
+            gy[0, :] = (v[1, :] - v[0, :]) / 2.0
+            gy[-1, :] = (v[-1, :] - v[-2, :]) / 2.0
+            idx = np.flatnonzero((gx * gx + gy * gy > edge_thresh).ravel())
+            n = len(idx)
+            if n < 2:
+                cols["n_edge"][i] = n
+                cols["best_trial"][i] = -1
+                cols["support_a"][i] = -1
+                cols["support_b"][i] = -1
+                cols["inliers"][i] = 0
+                continue
+            ys, xs = np.divmod(idx, side)
+            key = np.uint64((tx[i] * (1 << 21) + ty[i]) * 2 * T)
+            k2 = np.arange(T, dtype=np.uint64) * np.uint64(2)
+            h1 = (splitmix64(key + k2) % np.uint64(n)).astype(np.int64)
+            h2r = (splitmix64(key + k2 + np.uint64(1)) % np.uint64(n - 1)).astype(np.int64)
+            h2 = h2r + (h2r >= h1)
+            x1, y1 = xs[h1], ys[h1]
+            dx = xs[h2] - x1
+            dy = ys[h2] - y1
+            norm2 = dx * dx + dy * dy
+            cross = dx[:, None] * (ys[None, :] - y1[:, None]) - dy[:, None] * (xs[None, :] - x1[:, None])
+            inl = (cross * cross <= r2 * norm2[:, None]).sum(axis=1)
+            best = int(np.argmax(inl))
+            cols["n_edge"][i] = n
+            cols["best_trial"][i] = best
+            cols["support_a"][i] = idx[h1[best]]
+            cols["support_b"][i] = idx[h2[best]]
+            cols["inliers"][i] = inl[best]
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         **{k: pa.array(a) for k, a in cols.items()}})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -84,3 +84,51 @@ def test_ragmerge_matches_bruteforce_unionfind():
     # one blob
     assert out.n_regions.max() > 1
     assert len(out) > 10
+
+
+def test_ransac_lines_matches_bruteforce():
+    from geospatial_learn_ray.functions.hashing import splitmix64
+
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = (
+        raster.ransac_lines_stage(small, side=SIDE, edge_thresh=0.1)
+        .to_pandas()
+        .set_index(["tile_y", "tile_x"])
+    )
+    assert len(out) == 256
+    T = 64
+    for tx, ty in [(0, 0), (7, 3), (15, 15)]:
+        v = tile_pixels(tx, ty, SIDE).astype(np.float64)
+        gx = np.empty_like(v)
+        gx[:, 1:-1] = (v[:, 2:] - v[:, :-2]) / 2.0
+        gx[:, 0] = (v[:, 1] - v[:, 0]) / 2.0
+        gx[:, -1] = (v[:, -1] - v[:, -2]) / 2.0
+        gy = np.empty_like(v)
+        gy[1:-1, :] = (v[2:, :] - v[:-2, :]) / 2.0
+        gy[0, :] = (v[1, :] - v[0, :]) / 2.0
+        gy[-1, :] = (v[-1, :] - v[-2, :]) / 2.0
+        idx = np.flatnonzero((gx * gx + gy * gy > 0.1).ravel())
+        n = len(idx)
+        ys, xs = np.divmod(idx, SIDE)
+        best = (-1, -1, -1, -1)  # (count, -k never mind) track max with first-k tie
+        for k in range(T):
+            s1 = splitmix64(np.array([(tx * (1 << 21) + ty) * 2 * T + 2 * k], np.uint64))[0]
+            s2 = splitmix64(np.array([(tx * (1 << 21) + ty) * 2 * T + 2 * k + 1], np.uint64))[0]
+            i1 = int(s1 % np.uint64(n))  # NB: uint64 % python-int degrades to float64
+            i2 = int(s2 % np.uint64(n - 1))
+            if i2 >= i1:
+                i2 += 1
+            x1, y1, x2, y2 = xs[i1], ys[i1], xs[i2], ys[i2]
+            dx, dy = x2 - x1, y2 - y1
+            cross = dx * (ys - y1) - dy * (xs - x1)
+            c = int((cross * cross <= dx * dx + dy * dy).sum())
+            if c > best[0]:
+                best = (c, k, int(idx[i1]), int(idx[i2]))
+        row = out.loc[(ty, tx)]
+        assert int(row.n_edge) == n
+        assert int(row.inliers) == best[0]
+        assert int(row.best_trial) == best[1]
+        assert int(row.support_a) == best[2]
+        assert int(row.support_b) == best[3]
+        # both support points lie on the line: always inliers
+        assert best[0] >= 2
