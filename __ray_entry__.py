@@ -548,6 +548,11 @@ def _q_ransac_lines(sf_dir: str):
     return raster.ransac_lines_stage(small, side=16, edge_thresh=0.1)
 
 
+def _q_hough_lines(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.hough_lines_stage(small, side=16, edge_thresh=0.1)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -889,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_tiles": _q_polygonize_tiles,
         "ragmerge_regions": _q_ragmerge,
         "ransac_lines_tiles": _q_ransac_lines,
+        "hough_lines_tiles": _q_hough_lines,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
@@ -1247,6 +1253,53 @@ def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
     )
 
 
+def _edge_ctes(side: int, tx_max: int, ty_max: int, edge_thresh: float) -> str:
+    """Shared gradient-edge CTEs for the ransac/hough oracles: clamped
+    within-tile central differences (COALESCE = the engine's edge copy),
+    edge mask gx²+gy² > thresh, points numbered ascending by flat pixel
+    index. Ends with ``ed(tile_x, tile_y, idx, x, y, rn)``."""
+    return (
+        f"{tiles_sql(side)}, "
+        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
+        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "g1 AS (SELECT *, (COALESCE(LEAD(vd) OVER wx, vd) - COALESCE(LAG(vd) OVER wx, vd))/2.0 AS gx "
+        "  FROM rcl WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px)), "
+        "g2 AS (SELECT *, (COALESCE(LEAD(vd) OVER wy, vd) - COALESCE(LAG(vd) OVER wy, vd))/2.0 AS gy "
+        "  FROM g1 WINDOW wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)), "
+        f"ed AS MATERIALIZED (SELECT tile_x, tile_y, py*{side} + px AS idx, px AS x, py AS y, "
+        f"  ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY py*{side} + px) - 1 AS rn "
+        f"  FROM g2 WHERE gx*gx + gy*gy > CAST({edge_thresh!r} AS DOUBLE))"
+    )
+
+
+def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12):
+    """SQL twin of raster.hough_lines_stage: (orientation, rho) accumulator
+    over the shared edge points; cos/sin inlined as the numpy-computed
+    float64 literals so rho = FLOOR(x·c + y·s + 0.5) bins bit-identically;
+    peak by votes DESC, theta ASC, rho ASC."""
+    ang = np.pi * np.arange(n_orient) / n_orient
+    th = ", ".join(
+        f"({j}, CAST({float(np.cos(a))!r} AS DOUBLE), CAST({float(np.sin(a))!r} AS DOUBLE))"
+        for j, a in enumerate(ang)
+    )
+    return (
+        f"WITH {_edge_ctes(side, tx_max, ty_max, edge_thresh)}, "
+        f"th(j, c, s) AS (VALUES {th}), "
+        "acc AS (SELECT e.tile_x, e.tile_y, th.j, "
+        "  CAST(FLOOR(e.x*th.c + e.y*th.s + 0.5) AS BIGINT) AS rho, COUNT(*) AS votes "
+        "  FROM ed e, th GROUP BY 1, 2, 3, 4), "
+        "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y "
+        "  ORDER BY votes DESC, j ASC, rho ASC) AS rr FROM acc), "
+        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
+        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl) "
+        "SELECT b.tile_x, b.tile_y, COALESCE(c.n, 0) AS n_edge, "
+        "COALESCE(p.j, -1) AS peak_theta, COALESCE(p.rho, 0) AS peak_rho, "
+        "COALESCE(p.votes, 0) AS votes "
+        "FROM base b LEFT JOIN cnt c USING (tile_x, tile_y) "
+        "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
+    )
+
+
 def _ransac_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, trials=64):
     """SQL twin of raster.ransac_lines_stage: clamped central-difference
     gradient edges, splitmix64 2-point draws per (tile, trial) over the
@@ -1259,16 +1312,7 @@ def _ransac_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, trials=64)
         _sg.splitmix64_steps("seed1", "sm1", "ra") + _sg.splitmix64_steps("seed2", "sm2", "rb"),
     )
     return (
-        f"WITH {tiles_sql(side)}, "
-        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
-        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
-        "g1 AS (SELECT *, (COALESCE(LEAD(vd) OVER wx, vd) - COALESCE(LAG(vd) OVER wx, vd))/2.0 AS gx "
-        "  FROM rcl WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px)), "
-        "g2 AS (SELECT *, (COALESCE(LEAD(vd) OVER wy, vd) - COALESCE(LAG(vd) OVER wy, vd))/2.0 AS gy "
-        "  FROM g1 WINDOW wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)), "
-        f"ed AS MATERIALIZED (SELECT tile_x, tile_y, py*{side} + px AS idx, px AS x, py AS y, "
-        f"  ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY py*{side} + px) - 1 AS rn "
-        f"  FROM g2 WHERE gx*gx + gy*gy > CAST({edge_thresh!r} AS DOUBLE)), "
+        f"WITH {_edge_ctes(side, tx_max, ty_max, edge_thresh)}, "
         "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
         "tk AS (SELECT tile_x, tile_y, n, CAST(t.range AS BIGINT) AS k, "
         f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{2 * trials} + 2*k AS seed1, "
@@ -1933,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_tiles": _polygonize_tiles_sql(),
         "ragmerge_regions": _ragmerge_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),
+        "hough_lines_tiles": _hough_lines_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

@@ -1507,3 +1507,55 @@ def ransac_lines_stage(ds: ray.data.Dataset, side: int, edge_thresh: float = 0.2
                          **{k: pa.array(a) for k, a in cols.items()}})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hough_lines_stage(ds: ray.data.Dataset, side: int, edge_thresh: float = 0.1,
+                      n_orient: int = 12) -> ray.data.Dataset:
+    """utilities.houghseg analogue (utilities.py:112, Robb et al. 2020
+    field-plot segmentation): per-tile Hough line peak over the
+    gradient-magnitude edge mask (the canny stand-in shared with
+    ransac_lines_stage). Accumulator over (orientation, rho) bins:
+    rho = floor(x·cosθ + y·sinθ + 0.5) with θ_j = jπ/n_orient — cos/sin
+    evaluated once in numpy and inlined as literals in the SQL oracle, so
+    the bin codes are bit-identical. Peak = max votes, ties broken by
+    (θ asc, rho asc). Output per tile: edge count, peak orientation bin,
+    peak rho bin, votes — all integers (strict oracle)."""
+    ang = np.pi * np.arange(n_orient) / n_orient
+    cosv, sinv = np.cos(ang), np.sin(ang)
+    rmax = int(np.ceil(side * np.sqrt(2.0))) + 1
+    width = 2 * rmax + 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        out = {"n_edge": np.empty(n_tiles, np.int64), "peak_theta": np.empty(n_tiles, np.int64),
+               "peak_rho": np.empty(n_tiles, np.int64), "votes": np.empty(n_tiles, np.int64)}
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            gx = np.empty_like(v)
+            gx[:, 1:-1] = (v[:, 2:] - v[:, :-2]) / 2.0
+            gx[:, 0] = (v[:, 1] - v[:, 0]) / 2.0
+            gx[:, -1] = (v[:, -1] - v[:, -2]) / 2.0
+            gy = np.empty_like(v)
+            gy[1:-1, :] = (v[2:, :] - v[:-2, :]) / 2.0
+            gy[0, :] = (v[1, :] - v[0, :]) / 2.0
+            gy[-1, :] = (v[-1, :] - v[-2, :]) / 2.0
+            idx = np.flatnonzero((gx * gx + gy * gy > edge_thresh).ravel())
+            out["n_edge"][i] = len(idx)
+            if len(idx) == 0:
+                out["peak_theta"][i] = -1
+                out["peak_rho"][i] = 0
+                out["votes"][i] = 0
+                continue
+            ys, xs = np.divmod(idx, side)
+            rho = np.floor(xs[None, :] * cosv[:, None] + ys[None, :] * sinv[:, None] + 0.5).astype(np.int64)
+            code = np.arange(n_orient)[:, None] * width + (rho + rmax)
+            votes = np.bincount(code.ravel(), minlength=n_orient * width)
+            best = int(np.argmax(votes))  # first max = smallest (theta, rho)
+            out["peak_theta"][i] = best // width
+            out["peak_rho"][i] = best % width - rmax
+            out["votes"][i] = votes[best]
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         **{k: pa.array(a) for k, a in out.items()}})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -132,3 +132,38 @@ def test_ransac_lines_matches_bruteforce():
         assert int(row.support_b) == best[3]
         # both support points lie on the line: always inliers
         assert best[0] >= 2
+
+
+def test_hough_lines_matches_bruteforce():
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = (
+        raster.hough_lines_stage(small, side=SIDE, edge_thresh=0.1)
+        .to_pandas()
+        .set_index(["tile_y", "tile_x"])
+    )
+    assert len(out) == 256
+    n_orient = 12
+    ang = np.pi * np.arange(n_orient) / n_orient
+    for tx, ty in [(0, 0), (9, 12), (15, 15)]:
+        v = tile_pixels(tx, ty, SIDE).astype(np.float64)
+        gx = np.empty_like(v)
+        gx[:, 1:-1] = (v[:, 2:] - v[:, :-2]) / 2.0
+        gx[:, 0] = (v[:, 1] - v[:, 0]) / 2.0
+        gx[:, -1] = (v[:, -1] - v[:, -2]) / 2.0
+        gy = np.empty_like(v)
+        gy[1:-1, :] = (v[2:, :] - v[:-2, :]) / 2.0
+        gy[0, :] = (v[1, :] - v[0, :]) / 2.0
+        gy[-1, :] = (v[-1, :] - v[-2, :]) / 2.0
+        idx = np.flatnonzero((gx * gx + gy * gy > 0.1).ravel())
+        ys, xs = np.divmod(idx, SIDE)
+        votes: dict[tuple[int, int], int] = {}
+        for j in range(n_orient):
+            for x, y in zip(xs, ys):
+                r = int(np.floor(x * np.cos(ang[j]) + y * np.sin(ang[j]) + 0.5))
+                votes[(j, r)] = votes.get((j, r), 0) + 1
+        (bj, br), bv = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = out.loc[(ty, tx)]
+        assert int(row.n_edge) == len(idx)
+        assert (int(row.peak_theta), int(row.peak_rho), int(row.votes)) == (bj, br, bv)
+        # a line peak concentrates many collinear edge pixels
+        assert bv >= max(3, len(idx) // SIDE)
