@@ -553,6 +553,11 @@ def _q_hough_lines(sf_dir: str):
     return raster.hough_lines_stage(small, side=16, edge_thresh=0.1)
 
 
+def _q_ms_acwe(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ms_acwe_stage(small, side=16, iterations=5)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -895,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ragmerge_regions": _q_ragmerge,
         "ransac_lines_tiles": _q_ransac_lines,
         "hough_lines_tiles": _q_hough_lines,
+        "ms_acwe_tiles": _q_ms_acwe,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
@@ -1297,6 +1303,57 @@ def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12
         "COALESCE(p.votes, 0) AS votes "
         "FROM base b LEFT JOIN cnt c USING (tile_x, tile_y) "
         "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
+    )
+
+
+def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5):
+    """SQL twin of raster.ms_acwe_stage (morphological ACWE): the fixed
+    iteration count unrolls as MATERIALIZED CTE blocks — per iteration a
+    means CTE (exact f32-valued sums → bit-identical c1/c2), a level-set
+    update, and two morphological passes (3×3 cross SE = LEAST/GREATEST of
+    the two separable ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING windows,
+    which shrink at tile borders exactly like the engine's clamped
+    slices)."""
+    R2 = (2 * side // 3) ** 2
+    ctes = [
+        tiles_sql(side),
+        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
+        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
+        f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+    ]
+    wspec = (
+        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
+        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+    )
+    for t in range(1, iterations + 1):
+        p = f"s{t - 1}"
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT tile_x, tile_y, "
+            "CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END AS c1, "
+            "CASE WHEN SUM(1.0 - u) > 0 THEN SUM(vd*(1.0 - u))/SUM(1.0 - u) ELSE 0.0 END AS c2 "
+            f"FROM {p} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, "
+            "CASE WHEN (s.vd - m.c1)*(s.vd - m.c1) < (s.vd - m.c2)*(s.vd - m.c2) THEN 1.0 ELSE 0.0 END AS u "
+            f"FROM {p} s JOIN m{t} m USING (tile_x, tile_y))"
+        )
+        op1, op2 = ("MIN", "MAX") if t % 2 == 1 else ("MAX", "MIN")
+        comb1 = "LEAST" if op1 == "MIN" else "GREATEST"
+        comb2 = "LEAST" if op2 == "MIN" else "GREATEST"
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
+            f"{comb1}({op1}(u) OVER wx, {op1}(u) OVER wy) AS u FROM u{t} {wspec})"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
+            f"{comb2}({op2}(u) OVER wx, {op2}(u) OVER wy) AS u FROM a{t} {wspec})"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
+        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
+        f"FROM s{iterations} GROUP BY 1, 2"
     )
 
 
@@ -1978,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "ragmerge_regions": _ragmerge_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),
         "hough_lines_tiles": _hough_lines_sql(),
+        "ms_acwe_tiles": _ms_acwe_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

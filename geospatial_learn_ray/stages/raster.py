@@ -1559,3 +1559,78 @@ def hough_lines_stage(ds: ray.data.Dataset, side: int, edge_thresh: float = 0.1,
                          **{k: pa.array(a) for k, a in out.items()}})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cross_min(u: np.ndarray) -> np.ndarray:
+    """3×3 cross-SE erosion with shrinking borders: min over the available
+    {center, left, right, up, down} = min(row-min3, col-min3)."""
+    r = u.copy()
+    r[:, 1:] = np.minimum(r[:, 1:], u[:, :-1])
+    r[:, :-1] = np.minimum(r[:, :-1], u[:, 1:])
+    c = u.copy()
+    c[1:, :] = np.minimum(c[1:, :], u[:-1, :])
+    c[:-1, :] = np.minimum(c[:-1, :], u[1:, :])
+    return np.minimum(r, c)
+
+
+def _cross_max(u: np.ndarray) -> np.ndarray:
+    r = u.copy()
+    r[:, 1:] = np.maximum(r[:, 1:], u[:, :-1])
+    r[:, :-1] = np.maximum(r[:, :-1], u[:, 1:])
+    c = u.copy()
+    c[1:, :] = np.maximum(c[1:, :], u[:-1, :])
+    c[:-1, :] = np.maximum(c[:-1, :], u[1:, :])
+    return np.maximum(r, c)
+
+
+def ms_acwe_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
+                  round_to: int = 6) -> ray.data.Dataset:
+    """shape.ms_snake analogue (shape.py:2016: morphsnakes ACWE over a
+    polygon init) as its deterministic pipeline form — fixed-iteration
+    morphological Chan-Vese (ACWE, Márquez-Neila et al., PAMI 2014):
+
+    - circle init: (2x − (side−1))² + (2y − (side−1))² ≤ (2·side/3)²
+      (exact integer test);
+    - per iteration: region means c1/c2 (empty side → 0.0), level-set
+      update u = [(v − c1)² < (v − c2)²], then ONE morphological
+      smoothing pass — opening (dilate∘erode) on odd iterations, closing
+      on even, with a 3×3 cross SE evaluated as min/max of the separable
+      3-windows, shrinking at tile borders.
+
+    Every mean is an exact-sum ratio and every mask update compares
+    identical float64 expressions, so the unrolled SQL oracle
+    bit-matches. The reference's GUI-driven per-polygon deformation loop
+    (do_ac / snake) stays out of scope; this is the batch ACWE core.
+    Output per tile: final foreground count + rounded inside mean."""
+    R2 = (2 * side // 3) ** 2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        ys, xs = np.divmod(np.arange(side * side), side)
+        circ = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side)
+        fg = np.empty(n_tiles, np.int64)
+        mean_in = np.empty(n_tiles, np.float64)
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            S = v.sum()
+            npx_t = side * side
+            u = circ.astype(np.float64)
+            for t in range(1, iterations + 1):
+                n1 = u.sum()
+                s1 = (v * u).sum()
+                c1 = s1 / n1 if n1 > 0 else 0.0
+                c2 = (S - s1) / (npx_t - n1) if n1 < npx_t else 0.0
+                u = ((v - c1) * (v - c1) < (v - c2) * (v - c2)).astype(np.float64)
+                if t % 2 == 1:
+                    u = _cross_max(_cross_min(u))
+                else:
+                    u = _cross_min(_cross_max(u))
+            n1 = u.sum()
+            s1 = (v * u).sum()
+            fg[i] = int(n1)
+            mean_in[i] = round_half_away(s1 / n1 if n1 > 0 else 0.0, round_to)
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         "fg_count": pa.array(fg), "mean_in": pa.array(mean_in)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

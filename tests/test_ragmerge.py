@@ -167,3 +167,69 @@ def test_hough_lines_matches_bruteforce():
         assert (int(row.peak_theta), int(row.peak_rho), int(row.votes)) == (bj, br, bv)
         # a line peak concentrates many collinear edge pixels
         assert bv >= max(3, len(idx) // SIDE)
+
+
+def _acwe_reference(v: np.ndarray, iterations: int = 5):
+    """Independent per-pixel loop reference for the morphological ACWE."""
+    side = v.shape[0]
+    R2 = (2 * side // 3) ** 2
+    u = np.zeros_like(v)
+    for y in range(side):
+        for x in range(side):
+            if (2 * x - (side - 1)) ** 2 + (2 * y - (side - 1)) ** 2 <= R2:
+                u[y, x] = 1.0
+
+    def morph(m, op):
+        out = np.empty_like(m)
+        for y in range(side):
+            for x in range(side):
+                vals = [m[y, x]]
+                if x > 0:
+                    vals.append(m[y, x - 1])
+                if x < side - 1:
+                    vals.append(m[y, x + 1])
+                if y > 0:
+                    vals.append(m[y - 1, x])
+                if y < side - 1:
+                    vals.append(m[y + 1, x])
+                out[y, x] = op(vals)
+        return out
+
+    S = v.sum()
+    npx = side * side
+    for t in range(1, iterations + 1):
+        n1 = u.sum()
+        s1 = (v * u).sum()
+        c1 = s1 / n1 if n1 > 0 else 0.0
+        c2 = (S - s1) / (npx - n1) if n1 < npx else 0.0
+        u = ((v - c1) ** 2 < (v - c2) ** 2).astype(np.float64)
+        if t % 2 == 1:
+            u = morph(morph(u, min), max)
+        else:
+            u = morph(morph(u, max), min)
+    return u
+
+
+def test_ms_acwe_matches_reference_and_segments_blob():
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = (
+        raster.ms_acwe_stage(small, side=SIDE, iterations=5)
+        .to_pandas()
+        .set_index(["tile_y", "tile_x"])
+    )
+    assert len(out) == 256
+    for tx, ty in [(0, 0), (8, 8), (15, 3)]:
+        v = tile_pixels(tx, ty, SIDE).astype(np.float64)
+        u = _acwe_reference(v)
+        row = out.loc[(ty, tx)]
+        assert int(row.fg_count) == int(u.sum())
+        # masks are non-degenerate on this fixture
+        assert 0 < int(row.fg_count) < SIDE * SIDE
+
+    # planted bimodal blob: ACWE converges onto the bright square
+    v = np.zeros((SIDE, SIDE))
+    v[4:12, 4:12] = 1.0
+    u = _acwe_reference(v)
+    inner = u[5:11, 5:11]
+    assert inner.min() == 1.0  # blob interior is foreground
+    assert u[0, 0] == 0.0 and u[-1, -1] == 0.0
