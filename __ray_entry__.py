@@ -558,6 +558,12 @@ def _q_ms_acwe(sf_dir: str):
     return raster.ms_acwe_stage(small, side=16, iterations=5)
 
 
+def _q_do_ac(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ms_acwe_stage(small, side=16, iterations=5, lambda1=1.0, lambda2=2.0,
+                                init="threshold", init_thresh=0.5)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -901,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ransac_lines_tiles": _q_ransac_lines,
         "hough_lines_tiles": _q_hough_lines,
         "ms_acwe_tiles": _q_ms_acwe,
+        "do_ac_tiles": _q_do_ac,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
@@ -1306,7 +1313,8 @@ def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12
     )
 
 
-def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5):
+def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5,
+                 lambda1=1.0, lambda2=1.0, init="circle", init_thresh=0.5):
     """SQL twin of raster.ms_acwe_stage (morphological ACWE): the fixed
     iteration count unrolls as MATERIALIZED CTE blocks — per iteration a
     means CTE (exact f32-valued sums → bit-identical c1/c2), a level-set
@@ -1315,10 +1323,17 @@ def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5):
     which shrink at tile borders exactly like the engine's clamped
     slices)."""
     R2 = (2 * side // 3) ** 2
+    if init == "circle":
+        init_expr = (f"(2*px - {side - 1})*(2*px - {side - 1}) "
+                     f"+ (2*py - {side - 1})*(2*py - {side - 1}) <= {R2}")
+    elif init == "checkerboard":
+        init_expr = "(px // 4 + py // 4) % 2 = 1"
+    else:
+        init_expr = f"vd < CAST({init_thresh!r} AS DOUBLE)"
     ctes = [
         tiles_sql(side),
         f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
-        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
+        f"  CASE WHEN {init_expr} "
         f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
     ]
     wspec = (
@@ -1335,7 +1350,8 @@ def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5):
         )
         ctes.append(
             f"u{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, "
-            "CASE WHEN (s.vd - m.c1)*(s.vd - m.c1) < (s.vd - m.c2)*(s.vd - m.c2) THEN 1.0 ELSE 0.0 END AS u "
+            f"CASE WHEN CAST({lambda1!r} AS DOUBLE)*((s.vd - m.c1)*(s.vd - m.c1)) "
+            f"< CAST({lambda2!r} AS DOUBLE)*((s.vd - m.c2)*(s.vd - m.c2)) THEN 1.0 ELSE 0.0 END AS u "
             f"FROM {p} s JOIN m{t} m USING (tile_x, tile_y))"
         )
         op1, op2 = ("MIN", "MAX") if t % 2 == 1 else ("MAX", "MIN")
@@ -2036,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "ransac_lines_tiles": _ransac_lines_sql(),
         "hough_lines_tiles": _hough_lines_sql(),
         "ms_acwe_tiles": _ms_acwe_sql(),
+        "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

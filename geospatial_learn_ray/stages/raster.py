@@ -1584,44 +1584,55 @@ def _cross_max(u: np.ndarray) -> np.ndarray:
 
 
 def ms_acwe_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
-                  round_to: int = 6) -> ray.data.Dataset:
+                  round_to: int = 6, lambda1: float = 1.0, lambda2: float = 1.0,
+                  init: str = "circle", init_thresh: float = 0.5) -> ray.data.Dataset:
     """shape.ms_snake analogue (shape.py:2016: morphsnakes ACWE over a
-    polygon init) as its deterministic pipeline form — fixed-iteration
+    polygon init) and utilities.do_ac's morphological_chan_vese core
+    (utilities.py:296/378: threshold or checkerboard init + λ1/λ2
+    weights), as one deterministic pipeline form — fixed-iteration
     morphological Chan-Vese (ACWE, Márquez-Neila et al., PAMI 2014):
 
-    - circle init: (2x − (side−1))² + (2y − (side−1))² ≤ (2·side/3)²
-      (exact integer test);
+    - init: ``circle`` (2x − (side−1))² + (2y − (side−1))² ≤ (2·side/3)²
+      (exact integer test), ``threshold`` v < init_thresh (do_ac's
+      ``img < thresh``), or ``checkerboard`` (x//4 + y//4) % 2
+      (checkerboard_level_set);
     - per iteration: region means c1/c2 (empty side → 0.0), level-set
-      update u = [(v − c1)² < (v − c2)²], then ONE morphological
+      update u = [λ1·(v − c1)² < λ2·(v − c2)²], then ONE morphological
       smoothing pass — opening (dilate∘erode) on odd iterations, closing
       on even, with a 3×3 cross SE evaluated as min/max of the separable
       3-windows, shrinking at tile borders.
 
     Every mean is an exact-sum ratio and every mask update compares
     identical float64 expressions, so the unrolled SQL oracle
-    bit-matches. The reference's GUI-driven per-polygon deformation loop
-    (do_ac / snake) stays out of scope; this is the batch ACWE core.
-    Output per tile: final foreground count + rounded inside mean."""
+    bit-matches. The reference's GUI-driven per-polygon refinement loops
+    (ms_toposnakes / shape.snake) stay out of scope; this is the batch
+    ACWE core. Output per tile: final foreground count + rounded inside
+    mean."""
     R2 = (2 * side // 3) ** 2
 
     def fn(batch: pa.Table) -> pa.Table:
         px = _pix(batch).astype(np.float64)
         n_tiles = px.shape[0]
         ys, xs = np.divmod(np.arange(side * side), side)
-        circ = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side)
+        if init == "circle":
+            init_m = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side)
+        elif init == "checkerboard":
+            init_m = ((xs // 4 + ys // 4) % 2 == 1).reshape(side, side)
+        elif init != "threshold":
+            raise ValueError(init)
         fg = np.empty(n_tiles, np.int64)
         mean_in = np.empty(n_tiles, np.float64)
         for i in range(n_tiles):
             v = px[i].reshape(side, side)
             S = v.sum()
             npx_t = side * side
-            u = circ.astype(np.float64)
+            u = (v < init_thresh).astype(np.float64) if init == "threshold" else init_m.astype(np.float64)
             for t in range(1, iterations + 1):
                 n1 = u.sum()
                 s1 = (v * u).sum()
                 c1 = s1 / n1 if n1 > 0 else 0.0
                 c2 = (S - s1) / (npx_t - n1) if n1 < npx_t else 0.0
-                u = ((v - c1) * (v - c1) < (v - c2) * (v - c2)).astype(np.float64)
+                u = (lambda1 * ((v - c1) * (v - c1)) < lambda2 * ((v - c2) * (v - c2))).astype(np.float64)
                 if t % 2 == 1:
                     u = _cross_max(_cross_min(u))
                 else:
