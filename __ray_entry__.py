@@ -629,6 +629,32 @@ def _q_polygonize_rings(sf_dir: str):
     return out.drop_columns(["edges"])
 
 
+def _q_polygonize_edges(sf_dir: str):
+    """STRICT companion to the rows-only WKB queries: the per-region
+    DIRECTED boundary-edge multiset in global pixel-corner coordinates —
+    the exact geometric content of the rings, minus the (non-SQL) vertex
+    ordering. Order-insensitive compare makes it a value-hash check."""
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    rings = raster.polygonize_rings(small, quant=2.0)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in b.iterrows():
+            e = np.frombuffer(row["edges"], np.int32).reshape(-1, 4).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "tile_x": np.full(len(e), row.tile_x, np.int64),
+                "tile_y": np.full(len(e), row.tile_y, np.int64),
+                "region_label": np.full(len(e), row.region_label, np.int64),
+                "x0": e[:, 0], "y0": e[:, 1], "x1": e[:, 2], "y1": e[:, 3],
+            }))
+        if not frames:
+            return pd.DataFrame({k: pd.Series([], dtype=np.int64) for k in
+                                 ("tile_x", "tile_y", "region_label", "x0", "y0", "x1", "y1")})
+        return pd.concat(frames, ignore_index=True)
+
+    return rings.map_batches(explode, batch_format="pandas")
+
+
 def _q_media_decode(sf_dir: str):
     from geospatial_learn_ray.stages import multimodal
 
@@ -909,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ms_acwe_tiles": _q_ms_acwe,
         "do_ac_tiles": _q_do_ac,
         "polygonize_rings": _q_polygonize_rings,
+        "polygonize_edges": _q_polygonize_edges,
         "polygonize_merged": _q_polygonize_merged,
         "reproject_points": _q_reproject_points,
         "texture_stats": _q_texture_stats,
@@ -1310,6 +1337,34 @@ def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12
         "COALESCE(p.votes, 0) AS votes "
         "FROM base b LEFT JOIN cnt c USING (tile_x, tile_y) "
         "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
+    )
+
+
+def _polygonize_edges_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
+    """SQL twin of _q_polygonize_edges: per-tile CCL labels (_ccl_ctes) →
+    one directed edge per exposed cell side (region-on-left orientation,
+    functions/tracing.py:27-31), neighbor-absent via LEFT JOIN within the
+    tile; coordinates are global pixel corners."""
+    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
+    dirs = [
+        ("n.px = c.px AND n.py = c.py - 1", "c.gx", "c.gy", "c.gx + 1", "c.gy"),          # top
+        ("n.px = c.px + 1 AND n.py = c.py", "c.gx + 1", "c.gy", "c.gx + 1", "c.gy + 1"),  # right
+        ("n.px = c.px AND n.py = c.py + 1", "c.gx + 1", "c.gy + 1", "c.gx", "c.gy + 1"),  # bottom
+        ("n.px = c.px - 1 AND n.py = c.py", "c.gx", "c.gy + 1", "c.gx", "c.gy"),          # left
+    ]
+    parts = []
+    for cond, x0, y0, x1, y1 in dirs:
+        parts.append(
+            "SELECT c.tile_x, c.tile_y, c.lab AS region_label, "
+            f"{x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1 FROM cel c "
+            f"LEFT JOIN cel n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+            f"AND {cond} AND n.lab = c.lab WHERE n.lab IS NULL"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"cel AS MATERIALIZED (SELECT tile_x, tile_y, lab, idx % {side} AS px, idx // {side} AS py, "
+        f"  tile_x*{side} + idx % {side} AS gx, tile_y*{side} + idx // {side} AS gy FROM fin) "
+        + " UNION ALL ".join(parts)
     )
 
 
@@ -2049,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql(),
         "polygonize_tiles": _polygonize_tiles_sql(),
         "ragmerge_regions": _ragmerge_sql(),
+        "polygonize_edges": _polygonize_edges_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),
         "hough_lines_tiles": _hough_lines_sql(),
         "ms_acwe_tiles": _ms_acwe_sql(),
