@@ -139,6 +139,20 @@ def run_benchmarks() -> dict:
     }
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the hypervisor-steal meter
+    that lets a scaling leg be annotated objectively instead of guessed at
+    ('quiet host'). Returns (0, 0) when unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def run_scaling() -> dict:
     import statistics
 
@@ -176,11 +190,15 @@ def run_scaling() -> dict:
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     tp = {lo: [], hi: []}
     sec = {lo: [], hi: []}
+    steal = {lo: [], hi: []}
     for _ in range(trials):
         for n in (lo, hi):
+            s0, t0 = _steal_ticks()
             r = one(n)
+            s1, t1 = _steal_ticks()
             tp[n].append(r["queries"]["docs_per_sec"])
             sec[n].append(r["value"])
+            steal[n].append(round((s1 - s0) / max(t1 - t0, 1), 4))
     tp_lo = statistics.median(tp[lo])
     tp_hi = statistics.median(tp[hi])
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -192,6 +210,8 @@ def run_scaling() -> dict:
         f"sec_{hi}": statistics.median(sec[hi]),
         f"all_docs_per_sec_{lo}": tp[lo],
         f"all_docs_per_sec_{hi}": tp[hi],
+        f"steal_frac_{lo}": steal[lo],
+        f"steal_frac_{hi}": steal[hi],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }
