@@ -135,6 +135,10 @@ def _q_quality_scores(sf_dir: str):
     return textstages.quality_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_repetition_scores(sf_dir: str):
+    return textstages.repetition_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_exact_text_dedup(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.dedup_exact_content(ds, "text", "doc_id").select_columns(["doc_id"])
@@ -860,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_keep_latest": _q_url_dedup,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
         "exact_text_dedup": _q_exact_text_dedup,
         # relational operators (SQL-checked)
         "zonal_stats_lineitem": _q_zonal_stats_lineitem,
@@ -1858,6 +1863,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, warc_ts, lang FROM ("
             "  SELECT url, warc_ts, lang, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
             ") WHERE rn = 1"
+        ),
+        "repetition_scores": (
+            # Gopher dup/top n-gram fractions: explode token positions,
+            # 1-based list indexing builds the n-gram keys; every fraction
+            # is a ratio of exact integers
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "p2 AS (SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 1, 0))) AS p FROM toks), "
+            "bi AS (SELECT doc_id, t[p+1] || ' ' || t[p+2] AS g FROM p2), "
+            "bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2), "
+            "b2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS dis, MAX(c) AS mx FROM bc GROUP BY 1), "
+            "p3 AS (SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 2, 0))) AS p FROM toks), "
+            "tri AS (SELECT doc_id, t[p+1] || ' ' || t[p+2] || ' ' || t[p+3] AS g FROM p3), "
+            "tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2), "
+            "t3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS dis, MAX(c) AS mx FROM tc GROUP BY 1) "
+            "SELECT d.doc_id, len(tk.t)::BIGINT AS n_tokens, "
+            "ROUND(CASE WHEN b2.tot > 0 THEN CAST(b2.tot - b2.dis AS DOUBLE)/CAST(b2.tot AS DOUBLE) ELSE 0.0 END, 6) AS dup_2gram_frac, "
+            "ROUND(CASE WHEN b2.tot > 0 THEN CAST(b2.mx AS DOUBLE)/CAST(b2.tot AS DOUBLE) ELSE 0.0 END, 6) AS top_2gram_frac, "
+            "ROUND(CASE WHEN t3.tot > 0 THEN CAST(t3.tot - t3.dis AS DOUBLE)/CAST(t3.tot AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_frac, "
+            "ROUND(CASE WHEN t3.tot > 0 THEN CAST(t3.mx AS DOUBLE)/CAST(t3.tot AS DOUBLE) ELSE 0.0 END, 6) AS top_3gram_frac "
+            "FROM documents d JOIN toks tk USING (doc_id) "
+            "LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"
         ),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "

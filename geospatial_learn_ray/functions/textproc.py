@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 
+from . import rounding
 from .hashing import fnv1a64, rolling_hashes, splitmix64
 
 # --- HTML → text extraction -------------------------------------------------
@@ -319,3 +320,42 @@ def jaccard_word_shingles(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def repetition_scores(texts: pd.Series) -> pd.DataFrame:
+    """Within-document repetition metrics (the Gopher quality-filter family,
+    Rae et al. 2021 §A1.1: duplicate / top n-gram fractions) — the standard
+    web-corpus signals for boilerplate and degenerate generation:
+
+    - dup_{n}gram_frac = (total n-grams − distinct n-grams) / total
+    - top_{n}gram_frac = occurrences of the most frequent n-gram / total
+
+    for n = 2, 3 over whitespace tokens (same tokenization as
+    token_counts' ``\\S+``). Fully vectorized: one exploded token frame,
+    shifted concatenation for the n-gram keys, one groupby per n. Every
+    fraction is a ratio of exact integers, so the DuckDB oracle restates it
+    bit-identically."""
+    s = texts.str.split()
+    ex = s.explode()
+    doc = pd.Series(ex.index, index=np.arange(len(ex)))
+    tok = pd.Series(ex.values, index=np.arange(len(ex)))
+    n_tokens = s.str.len().fillna(0).astype("int64")
+    out = pd.DataFrame({"n_tokens": n_tokens})
+    for n in (2, 3):
+        gram = tok.copy()
+        ok = pd.Series(True, index=tok.index)
+        for k in range(1, n):
+            gram = gram + " " + tok.shift(-k)
+            ok &= doc.shift(-k) == doc
+        frame = pd.DataFrame({"doc": doc[ok], "gram": gram[ok]})
+        cnt = frame.groupby(["doc", "gram"], sort=False).size()
+        per = cnt.groupby(level=0).agg(["sum", "count", "max"])
+        tot = per["sum"].reindex(n_tokens.index).fillna(0).astype("int64")
+        dis = per["count"].reindex(n_tokens.index).fillna(0).astype("int64")
+        mx = per["max"].reindex(n_tokens.index).fillna(0).astype("int64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup = np.where(tot > 0, (tot - dis) / tot.astype(np.float64), 0.0)
+            top = np.where(tot > 0, mx / tot.astype(np.float64), 0.0)
+        out[f"dup_{n}gram_frac"] = rounding.round_half_away(dup, 6)
+        out[f"top_{n}gram_frac"] = rounding.round_half_away(top, 6)
+    return out

@@ -84,3 +84,13 @@ def fingerprint_stage(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.
         return pa.table({id_col: b[id_col], "fingerprint": pa.array(fp), "n_fingerprints": pa.array(cnt)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+def repetition_stage(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Gopher repetition quality filters (Rae et al. 2021 §A1.1) per doc —
+    see functions/textproc.repetition_scores."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = textproc.repetition_scores(b["text"])
+        out.insert(0, id_col, b[id_col].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

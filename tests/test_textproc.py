@@ -132,3 +132,21 @@ def test_winnow_fingerprints_batch_invariant():
 def test_jaccard_shingles_identity_and_disjoint():
     assert textproc.jaccard_shingles("abcdefgh", "abcdefgh") == 1.0
     assert textproc.jaccard_shingles("aaaaaaa", "bbbbbbb") == 0.0
+
+
+def test_repetition_scores_known_values():
+    import pandas as pd
+
+    from geospatial_learn_ray.functions.textproc import repetition_scores
+
+    out = repetition_scores(pd.Series(["a b a b a", "x y z", "", "w w w w"]))
+    assert list(out.n_tokens) == [5, 3, 0, 4]
+    # "a b a b a": bigrams ab,ba,ab,ba -> dup 2/4, top 2/4; trigrams aba,bab,aba -> dup 1/3, top 2/3
+    assert out.dup_2gram_frac[0] == 0.5 and out.top_2gram_frac[0] == 0.5
+    assert abs(out.dup_3gram_frac[0] - 1 / 3) < 1e-6 and abs(out.top_3gram_frac[0] - 2 / 3) < 1e-6
+    # all-distinct text: dup fractions 0
+    assert out.dup_2gram_frac[1] == 0.0 and out.dup_3gram_frac[1] == 0.0
+    # empty text: all zeros
+    assert (out.iloc[2, 1:] == 0.0).all()
+    # degenerate repetition: top fraction 1
+    assert out.top_2gram_frac[3] == 1.0 and out.dup_2gram_frac[3] == round(2 / 3, 6)
