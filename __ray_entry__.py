@@ -139,6 +139,10 @@ def _q_repetition_scores(sf_dir: str):
     return textstages.repetition_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_decontaminate(sf_dir: str):
+    return textstages.decontaminate_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_exact_text_dedup(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.dedup_exact_content(ds, "text", "doc_id").select_columns(["doc_id"])
@@ -865,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
+        "decontaminate_docs": _q_decontaminate,
         "exact_text_dedup": _q_exact_text_dedup,
         # relational operators (SQL-checked)
         "zonal_stats_lineitem": _q_zonal_stats_lineitem,
@@ -1863,6 +1868,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, warc_ts, lang FROM ("
             "  SELECT url, warc_ts, lang, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
             ") WHERE rn = 1"
+        ),
+        "decontaminate_docs": (
+            # GPT-3-style 8-gram eval-overlap check; DuckDB list slice
+            # t[a:b] is 1-based inclusive → 8 tokens per gram
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 7, 0))) AS p FROM toks), "
+            "gr AS (SELECT doc_id, array_to_string(t[p+1:p+8], ' ') AS g8 FROM pos), "
+            "ev AS (SELECT DISTINCT g8 FROM gr WHERE doc_id % 100 = 0), "
+            "tg AS (SELECT DISTINCT doc_id, g8 FROM gr WHERE doc_id % 100 <> 0), "
+            "c AS (SELECT tg.doc_id, COUNT(*) AS nc FROM tg JOIN ev USING (g8) GROUP BY 1), "
+            "ngr AS (SELECT doc_id, COUNT(*) AS ng FROM tg GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(ngr.ng, 0)::BIGINT AS n_grams, "
+            "COALESCE(c.nc, 0)::BIGINT AS n_contaminated, "
+            "(CASE WHEN COALESCE(c.nc, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated "
+            "FROM documents d LEFT JOIN ngr USING (doc_id) LEFT JOIN c USING (doc_id) "
+            "WHERE d.doc_id % 100 <> 0"
         ),
         "repetition_scores": (
             # Gopher dup/top n-gram fractions: explode token positions,

@@ -359,3 +359,19 @@ def repetition_scores(texts: pd.Series) -> pd.DataFrame:
         out[f"dup_{n}gram_frac"] = rounding.round_half_away(dup, 6)
         out[f"top_{n}gram_frac"] = rounding.round_half_away(top, 6)
     return out
+
+
+def word_ngrams_frame(texts: pd.Series, n: int) -> pd.DataFrame:
+    """All word n-grams per row (whitespace tokens, ``\\S+``-equivalent) as
+    a (row, gram) frame — one exploded token series + n−1 shifted
+    concatenations, no per-doc loops."""
+    s = texts.str.split()
+    ex = s.explode()
+    doc = pd.Series(ex.index, index=np.arange(len(ex)))
+    tok = pd.Series(ex.values, index=np.arange(len(ex)))
+    gram = tok.copy()
+    ok = tok.notna()
+    for k in range(1, n):
+        gram = gram + " " + tok.shift(-k)
+        ok &= doc.shift(-k) == doc
+    return pd.DataFrame({"row": doc[ok].to_numpy(), "gram": gram[ok].to_numpy()})

@@ -94,3 +94,50 @@ def repetition_stage(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+def decontaminate_stage(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        eval_mod: int = 100, n: int = 8) -> ray.data.Dataset:
+    """Benchmark decontamination (the GPT-3 appx-C / Gopher n-gram overlap
+    check): flag training documents sharing any word ``n``-gram with the
+    held-out eval split (here the deterministic ``doc_id % eval_mod == 0``
+    slice — id-hash style, reproducible at any cluster size).
+
+    The eval side is SMALL by construction, so its distinct-gram set is
+    collected once and broadcast via ``ray.put`` (the map-side broadcast
+    join pattern — no shuffle); training batches probe it with a
+    vectorized ``Series.isin``. Output per training doc: distinct n-gram
+    count, overlapping-gram count, contaminated flag (ints)."""
+    import ray as _ray
+
+    eval_ds = ds.filter(lambda r: r[id_col] % eval_mod == 0)
+
+    def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
+        f = textproc.word_ngrams_frame(b["text"].reset_index(drop=True), n)
+        return pd.DataFrame({"gram": f["gram"].drop_duplicates()})
+
+    ev = set()
+    for batch in eval_ds.map_batches(eval_grams, batch_format="pandas").iter_batches(batch_format="pandas"):
+        ev.update(batch["gram"])
+    ref = _ray.put(frozenset(ev))
+
+    class Probe:
+        def __init__(self, r):
+            self.ev = _ray.get(r) if isinstance(r, _ray.ObjectRef) else r
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            train = b[b[id_col] % eval_mod != 0].reset_index(drop=True)
+            f = textproc.word_ngrams_frame(train["text"], n).drop_duplicates()
+            hit = f["gram"].isin(self.ev)
+            ng = f.groupby("row").size()
+            nc = f[hit].groupby("row").size()
+            idx = np.arange(len(train))
+            ngv = ng.reindex(idx).fillna(0).astype(np.int64)
+            ncv = nc.reindex(idx).fillna(0).astype(np.int64)
+            return pd.DataFrame({
+                id_col: train[id_col].to_numpy(),
+                "n_grams": ngv.to_numpy(),
+                "n_contaminated": ncv.to_numpy(),
+                "contaminated": (ncv > 0).astype(np.int64).to_numpy(),
+            })
+
+    return ds.map_batches(Probe, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8))

@@ -150,3 +150,26 @@ def test_repetition_scores_known_values():
     assert (out.iloc[2, 1:] == 0.0).all()
     # degenerate repetition: top fraction 1
     assert out.top_2gram_frac[3] == 1.0 and out.dup_2gram_frac[3] == round(2 / 3, 6)
+
+
+def test_decontaminate_stage_flags_planted_overlap():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import decontaminate_stage
+
+    eval_text = "one two three four five six seven eight nine ten"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],  # doc 0 is the eval split (doc_id % 100 == 0)
+        "text": [
+            eval_text,
+            "x " + eval_text + " y",              # contains an eval 8-gram
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = decontaminate_stage(ds).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_contaminated"] >= 3
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_contaminated"] == 0
+    assert out.loc[2, "n_grams"] == 3  # 10 tokens -> 3 distinct 8-grams
