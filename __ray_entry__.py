@@ -143,6 +143,19 @@ def _q_decontaminate(sf_dir: str):
     return textstages.decontaminate_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_pack_sequences(sf_dir: str):
+    from geospatial_learn_ray.stages import scan
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": b["text"].str.count(r"\S+").astype("int64").to_numpy(),
+        })
+
+    counted = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(tokens, batch_format="pandas")
+    return scan.pack_sequences(counted, budget=2048)
+
+
 def _q_exact_text_dedup(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.dedup_exact_content(ds, "text", "doc_id").select_columns(["doc_id"])
@@ -870,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "decontaminate_docs": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "exact_text_dedup": _q_exact_text_dedup,
         # relational operators (SQL-checked)
         "zonal_stats_lineitem": _q_zonal_stats_lineitem,
@@ -1868,6 +1882,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, warc_ts, lang FROM ("
             "  SELECT url, warc_ts, lang, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
             ") WHERE rn = 1"
+        ),
+        "pack_sequences": (
+            # concat-and-chunk packing: exclusive prefix over doc_id order
+            "WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents), "
+            "p AS (SELECT doc_id, n_tokens, "
+            "  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prefix "
+            "  FROM t) "
+            "SELECT doc_id, n_tokens, prefix, prefix // 2048 AS seq_id, prefix % 2048 AS offset_in_seq FROM p"
         ),
         "decontaminate_docs": (
             # GPT-3-style 8-gram eval-overlap check; DuckDB list slice

@@ -1,0 +1,90 @@
+"""Distributed prefix-scan primitives.
+
+Ray Data has no scan operator; the classic two-level decomposition is
+range buckets → per-bucket partial sums (small) → driver exclusive scan
+over the K bucket totals (K rows, not O(dataset)) → broadcast offsets →
+per-bucket vectorized cumsum. The driver step touches K values only, so
+the pattern holds at any dataset size (K scales with cluster width, not
+row count).
+
+Used by ``pack_sequences`` — the training-data sequence-packing operator
+(GPT-style concat-and-chunk: every document gets the sequence index and
+intra-sequence offset its tokens land at when the corpus is concatenated
+in doc_id order and split into fixed token budgets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .exchange import bucket_exchange
+
+
+def _bucket_width(ds: ray.data.Dataset, key: str, num_ranges: int) -> int:
+    hi = int(ds.max(key))
+    return max(1, (hi + num_ranges) // num_ranges)
+
+
+def exclusive_prefix_sum(ds: ray.data.Dataset, key: str, val: str,
+                         num_ranges: int = 64) -> ray.data.Dataset:
+    """Add ``prefix`` = sum of ``val`` over all rows with a smaller ``key``
+    (exclusive running total in global ``key`` order; keys must be unique).
+
+    Two passes: per-batch partial sums per contiguous key range (tiny ×
+    #blocks rows → driver scan over K totals → broadcast), then one
+    vectorized per-range cumsum behind a bucket exchange."""
+    width = _bucket_width(ds, key, num_ranges)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b[key].to_numpy(np.int64) // width)
+        return pd.DataFrame({"r": r, "s": b[val].to_numpy(np.int64)}).groupby("r", sort=False).sum().reset_index()
+
+    totals = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("r")
+        .sum("s")
+        .to_pandas()
+        .sort_values("r")
+    )
+    # driver-side exclusive scan over K range totals (K ≈ cluster width)
+    offsets = dict(zip(totals["r"], np.cumsum(totals["sum(s)"].to_numpy(np.int64)) - totals["sum(s)"].to_numpy(np.int64)))
+    ref = ray.put(offsets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_rng"] = (b[key].to_numpy(np.int64) // width).astype(np.int32)
+        return b
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out_frames = []
+        for r, fr in g.groupby("_rng", sort=False):
+            fr = fr.sort_values(key)
+            v = fr[val].to_numpy(np.int64)
+            fr = fr.drop(columns=["_rng"]).copy()
+            fr["prefix"] = np.cumsum(v) - v + np.int64(off[int(r)])
+            out_frames.append(fr)
+        return pd.concat(out_frames, ignore_index=True)
+
+    return bucket_exchange(ds.map_batches(add_bucket, batch_format="pandas"), per_range, key="_rng")
+
+
+def pack_sequences(ds: ray.data.Dataset, budget: int, key: str = "doc_id",
+                   val: str = "n_tokens", num_ranges: int = 64) -> ray.data.Dataset:
+    """Sequence packing for training corpora: concatenate documents in
+    ``key`` order and split into fixed ``budget``-token sequences. Each doc
+    gets ``seq_id`` = prefix // budget and ``offset_in_seq`` = prefix %
+    budget (docs may straddle sequence boundaries — the standard
+    concat-and-chunk semantics)."""
+    pref = exclusive_prefix_sum(ds, key, val, num_ranges)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["prefix"].to_numpy(np.int64)
+        b = b.copy()
+        b["seq_id"] = p // budget
+        b["offset_in_seq"] = p % budget
+        return b
+
+    return pref.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,32 @@
+import numpy as np
+import pandas as pd
+import ray
+
+from geospatial_learn_ray.stages import scan
+
+
+def test_exclusive_prefix_sum_matches_driver_cumsum():
+    rng = np.random.default_rng(7)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)  # keys arrive unordered
+    vals = rng.integers(0, 300, n).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ids, "v": vals})).repartition(13)
+    out = scan.exclusive_prefix_sum(ds, "k", "v", num_ranges=16).to_pandas().sort_values("k")
+    order = np.argsort(ids)
+    exp = np.cumsum(vals[order]) - vals[order]
+    assert np.array_equal(out["prefix"].to_numpy(), exp)
+
+
+def test_pack_sequences_budget_semantics():
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "n_tokens": np.full(10, 700, np.int64)})
+    out = (
+        scan.pack_sequences(ray.data.from_pandas(df), budget=1000, num_ranges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc i starts at 700*i; seq boundaries every 1000 tokens
+    assert list(out.prefix) == [700 * i for i in range(10)]
+    assert list(out.seq_id) == [700 * i // 1000 for i in range(10)]
+    assert list(out.offset_in_seq) == [700 * i % 1000 for i in range(10)]
