@@ -143,6 +143,14 @@ def _q_decontaminate(sf_dir: str):
     return textstages.decontaminate_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_MIX_RATES = {"en": 1.0, "es": 0.75, "de": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+def _q_stratified_sample(sf_dir: str):
+    return textstages.stratified_sample_stage(
+        _rp(sf_dir, "documents", ["doc_id", "lang"]), _MIX_RATES)
+
+
 def _q_pack_sequences(sf_dir: str):
     from geospatial_learn_ray.stages import scan
 
@@ -884,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "decontaminate_docs": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
         "exact_text_dedup": _q_exact_text_dedup,
         # relational operators (SQL-checked)
         "zonal_stats_lineitem": _q_zonal_stats_lineitem,
@@ -1882,6 +1891,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, warc_ts, lang FROM ("
             "  SELECT url, warc_ts, lang, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn FROM pages"
             ") WHERE rn = 1"
+        ),
+        "stratified_sample": (
+            # id-hash stratified sampling: splitmix64(doc_id) % 1e6 under a
+            # per-stratum integer threshold (the data-mixing weights)
+            "SELECT doc_id, lang FROM ("
+            + _sg.chain("SELECT doc_id, lang FROM documents",
+                        _sg.splitmix64_steps("doc_id", "smv", "mix"))
+            + ") WHERE CAST(smv % 1000000 AS BIGINT) < CASE lang "
+            + " ".join(f"WHEN '{k}' THEN {int(round(r * 1_000_000))}" for k, r in _MIX_RATES.items())
+            + " ELSE 1000000 END"
         ),
         "pack_sequences": (
             # concat-and-chunk packing: exclusive prefix over doc_id order

@@ -141,3 +141,24 @@ def decontaminate_stage(ds: ray.data.Dataset, id_col: str = "doc_id",
             })
 
     return ds.map_batches(Probe, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8))
+
+def stratified_sample_stage(ds: ray.data.Dataset, rates: dict[str, float],
+                            stratum_col: str = "lang", id_col: str = "doc_id",
+                            default_rate: float = 1.0, denom: int = 1_000_000) -> ray.data.Dataset:
+    """Deterministic stratified sampling (training-data mixing weights):
+    keep a row iff splitmix64(id) % denom < rate[stratum]·denom — the
+    id-hash draw is reproducible at any cluster size / block structure
+    (unlike seeded RNG, CLAUDE.md) and restates exactly in SQL. Integer
+    thresholds are fixed once per stratum, so there are no float-compare
+    edges."""
+    from ..functions.hashing import splitmix64
+
+    thr = {k: int(round(r * denom)) for k, r in rates.items()}
+    dthr = int(round(default_rate * denom))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        draw = splitmix64(b[id_col].to_numpy().astype(np.uint64)) % np.uint64(denom)
+        cut = b[stratum_col].map(thr).fillna(dthr).astype(np.int64).to_numpy()
+        return b[draw.astype(np.int64) < cut]
+
+    return ds.map_batches(fn, batch_format="pandas")

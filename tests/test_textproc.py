@@ -173,3 +173,22 @@ def test_decontaminate_stage_flags_planted_overlap():
     assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_contaminated"] >= 3
     assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_contaminated"] == 0
     assert out.loc[2, "n_grams"] == 3  # 10 tokens -> 3 distinct 8-grams
+
+
+def test_stratified_sample_rates_and_determinism():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import stratified_sample_stage
+
+    n = 20000
+    df = pd.DataFrame({"doc_id": range(n), "lang": ["en", "de", "zh", "fr"] * (n // 4)})
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.1, "fr": 0.0}
+    out = stratified_sample_stage(ray.data.from_pandas(df), rates).to_pandas()
+    got = out.groupby("lang").size()
+    assert got.get("en", 0) == n // 4          # rate 1.0 keeps everything
+    assert "fr" not in got.index               # rate 0.0 keeps nothing
+    assert abs(got["de"] / (n // 4) - 0.5) < 0.03
+    assert abs(got["zh"] / (n // 4) - 0.1) < 0.02
+    again = stratified_sample_stage(ray.data.from_pandas(df).repartition(7), rates).to_pandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)  # block-structure invariant
