@@ -593,6 +593,11 @@ def _q_do_ac(sf_dir: str):
                                 init="threshold", init_thresh=0.5)
 
 
+def _q_ms_gac(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ms_gac_stage(small, side=16, iterations=5)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -967,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hough_lines_tiles": _q_hough_lines,
         "ms_acwe_tiles": _q_ms_acwe,
         "do_ac_tiles": _q_do_ac,
+        "ms_gac_tiles": _q_ms_gac,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_edges": _q_polygonize_edges,
         "polygonize_merged": _q_polygonize_merged,
@@ -1457,6 +1463,79 @@ def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5,
         "WITH " + ", ".join(ctes) + " "
         f"SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
         "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
+        f"FROM s{iterations} GROUP BY 1, 2"
+    )
+
+
+def _ms_gac_sql(side=16, tx_max=15, ty_max=15, iterations=5, alpha=8.0,
+                theta=0.3, balloon=1):
+    """SQL twin of raster.ms_gac_stage: the stopping function, its
+    gradient, and the balloon mask are computed once with the clamped
+    central-difference windows; each iteration unrolls as balloon →
+    gradient-of-u → attachment → two morph passes, every CTE
+    MATERIALIZED. All comparisons are of identical float64 expressions."""
+    thr = theta / abs(balloon) if balloon != 0 else float("inf")
+    R2 = (2 * side // 3) ** 2
+    cd = "(COALESCE(LEAD({c}) OVER {w}, {c}) - COALESCE(LAG({c}) OVER {w}, {c}))/2.0"
+    wdef = (
+        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px), "
+        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)"
+    )
+    mdef = (
+        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
+        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+    )
+    ctes = [
+        tiles_sql(side),
+        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
+        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        "gv AS MATERIALIZED (SELECT *, "
+        f"  {cd.format(c='vd', w='wx')} AS vx, {cd.format(c='vd', w='wy')} AS vy "
+        f"  FROM rcl {wdef})",
+        f"gg AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
+        f"  1.0/SQRT(1.0 + CAST({alpha!r} AS DOUBLE)*(vx*vx + vy*vy)) AS g FROM gv)",
+        "gd AS MATERIALIZED (SELECT *, "
+        f"  {cd.format(c='g', w='wx')} AS dgx, {cd.format(c='g', w='wy')} AS dgy "
+        f"  FROM gg {wdef})",
+        "s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, g, dgx, dgy, "
+        f"  g > CAST({thr!r} AS DOUBLE) AS bm, "
+        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
+        "  THEN 1.0 ELSE 0.0 END AS u FROM gd)",
+    ]
+    aux = ("GREATEST(MAX(u) OVER wx, MAX(u) OVER wy)" if balloon > 0
+           else "LEAST(MIN(u) OVER wx, MIN(u) OVER wy)" if balloon < 0 else "u")
+    carry = "tile_x, tile_y, py, px, g, dgx, dgy, bm"
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT {carry}, "
+            f"CASE WHEN bm THEN {aux} ELSE u END AS u FROM s{t - 1} {mdef})"
+        )
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT *, "
+            f"{cd.format(c='u', w='wx')} AS dux, {cd.format(c='u', w='wy')} AS duy "
+            f"FROM b{t} {wdef})"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT {carry}, "
+            "CASE WHEN dux*dgx + duy*dgy > 0 THEN 1.0 "
+            "WHEN dux*dgx + duy*dgy < 0 THEN 0.0 ELSE u END AS u "
+            f"FROM d{t})"
+        )
+        op1, op2 = ("MIN", "MAX") if t % 2 == 1 else ("MAX", "MIN")
+        comb1 = "LEAST" if op1 == "MIN" else "GREATEST"
+        comb2 = "LEAST" if op2 == "MIN" else "GREATEST"
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT {carry}, "
+            f"{comb1}({op1}(u) OVER wx, {op1}(u) OVER wy) AS u FROM a{t} {mdef})"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT {carry}, "
+            f"{comb2}({op2}(u) OVER wx, {op2}(u) OVER wy) AS u FROM e{t} {mdef})"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
+        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(g*u)/SUM(u) ELSE 0.0 END, 6) AS mean_g_in "
         f"FROM s{iterations} GROUP BY 1, 2"
     )
 
@@ -2197,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "hough_lines_tiles": _hough_lines_sql(),
         "ms_acwe_tiles": _ms_acwe_sql(),
         "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
+        "ms_gac_tiles": _ms_gac_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

@@ -1645,3 +1645,76 @@ def ms_acwe_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
                          "fg_count": pa.array(fg), "mean_in": pa.array(mean_in)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ms_gac_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
+                 alpha: float = 8.0, theta: float = 0.3, balloon: int = 1,
+                 round_to: int = 6) -> ray.data.Dataset:
+    """ms_snake's ``algo="GAC"`` path (shape.py:2016/2070: morphsnakes
+    geodesic active contours, Márquez-Neila et al. PAMI 2014) as its
+    deterministic per-tile pipeline form:
+
+    - stopping function g = 1/sqrt(1 + alpha·|∇v|²) from the shared
+      clamped central differences (the inverse-gradient edge map; sigma=0
+      — no gaussian wheel in this environment, documented deviation);
+    - circle init (the ACWE one);
+    - per iteration: balloon (cross-SE dilation for balloon>0, erosion
+      for <0, applied where g > theta/|balloon|), image attachment
+      u ← 1 where ∇u·∇g > 0 / 0 where < 0 (central diffs of u and g,
+      same clamp), then the alternating opening/closing smoothing pass
+      shared with ms_acwe_stage.
+
+    Every comparison is between identical float64 expressions, so the
+    unrolled SQL oracle bit-matches. Output: final foreground count +
+    rounded mean stopping-function value inside the contour."""
+    R2 = (2 * side // 3) ** 2
+    thr = theta / abs(balloon) if balloon != 0 else np.inf
+
+    def grad(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        gx = np.empty_like(a)
+        gx[:, 1:-1] = (a[:, 2:] - a[:, :-2]) / 2.0
+        gx[:, 0] = (a[:, 1] - a[:, 0]) / 2.0
+        gx[:, -1] = (a[:, -1] - a[:, -2]) / 2.0
+        gy = np.empty_like(a)
+        gy[1:-1, :] = (a[2:, :] - a[:-2, :]) / 2.0
+        gy[0, :] = (a[1, :] - a[0, :]) / 2.0
+        gy[-1, :] = (a[-1, :] - a[-2, :]) / 2.0
+        return gx, gy
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        ys, xs = np.divmod(np.arange(side * side), side)
+        circ = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side)
+        fg = np.empty(n_tiles, np.int64)
+        mean_g = np.empty(n_tiles, np.float64)
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            vx, vy = grad(v)
+            g = 1.0 / np.sqrt(1.0 + alpha * (vx * vx + vy * vy))
+            dgx, dgy = grad(g)
+            bmask = g > thr
+            u = circ.astype(np.float64)
+            for t in range(1, iterations + 1):
+                if balloon > 0:
+                    aux = _cross_max(u)
+                elif balloon < 0:
+                    aux = _cross_min(u)
+                else:
+                    aux = u
+                u = np.where(bmask, aux, u)
+                dux, duy = grad(u)
+                dot = dux * dgx + duy * dgy
+                u = np.where(dot > 0, 1.0, np.where(dot < 0, 0.0, u))
+                if t % 2 == 1:
+                    u = _cross_max(_cross_min(u))
+                else:
+                    u = _cross_min(_cross_max(u))
+            n1 = u.sum()
+            s1 = (g * u).sum()
+            fg[i] = int(n1)
+            mean_g[i] = round_half_away(s1 / n1 if n1 > 0 else 0.0, round_to)
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         "fg_count": pa.array(fg), "mean_g_in": pa.array(mean_g)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

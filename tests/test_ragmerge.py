@@ -233,3 +233,20 @@ def test_ms_acwe_matches_reference_and_segments_blob():
     inner = u[5:11, 5:11]
     assert inner.min() == 1.0  # blob interior is foreground
     assert u[0, 0] == 0.0 and u[-1, -1] == 0.0
+
+
+def test_ms_gac_nondegenerate_and_deterministic():
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = raster.ms_gac_stage(small, side=SIDE, iterations=5).to_pandas()
+    assert len(out) == 256
+    # the contour neither vanishes nor floods any tile
+    assert (out.fg_count > 0).all() and (out.fg_count < SIDE * SIDE).all()
+    # g is a stopping function in (0, 1]
+    assert (out.mean_g_in > 0).all() and (out.mean_g_in <= 1.0).all()
+    again = raster.ms_gac_stage(small, side=SIDE, iterations=5).to_pandas()
+    a = out.sort_values(["tile_y", "tile_x"]).reset_index(drop=True)
+    b = again.sort_values(["tile_y", "tile_x"]).reset_index(drop=True)
+    assert a.equals(b)
+    # balloon direction matters: a shrinking contour keeps fewer pixels
+    shrink = raster.ms_gac_stage(small, side=SIDE, iterations=5, balloon=-1).to_pandas()
+    assert shrink.fg_count.sum() < out.fg_count.sum()
