@@ -598,6 +598,11 @@ def _q_ms_gac(sf_dir: str):
     return raster.ms_gac_stage(small, side=16, iterations=5)
 
 
+def _q_multiband_gif(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.multiband_gif_stage(small, side=16)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -672,19 +677,18 @@ def _q_polygonize_edges(sf_dir: str):
     rings = raster.polygonize_rings(small, quant=2.0)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in b.iterrows():
-            e = np.frombuffer(row["edges"], np.int32).reshape(-1, 4).astype(np.int64)
-            frames.append(pd.DataFrame({
-                "tile_x": np.full(len(e), row.tile_x, np.int64),
-                "tile_y": np.full(len(e), row.tile_y, np.int64),
-                "region_label": np.full(len(e), row.region_label, np.int64),
-                "x0": e[:, 0], "y0": e[:, 1], "x1": e[:, 2], "y1": e[:, 3],
-            }))
-        if not frames:
+        if len(b) == 0:
             return pd.DataFrame({k: pd.Series([], dtype=np.int64) for k in
                                  ("tile_x", "tile_y", "region_label", "x0", "y0", "x1", "y1")})
-        return pd.concat(frames, ignore_index=True)
+        bufs = b["edges"].to_list()
+        counts = np.fromiter((len(buf) // 16 for buf in bufs), np.int64, len(bufs))
+        e = np.frombuffer(b"".join(bufs), np.int32).reshape(-1, 4).astype(np.int64)
+        return pd.DataFrame({
+            "tile_x": np.repeat(b["tile_x"].to_numpy(np.int64), counts),
+            "tile_y": np.repeat(b["tile_y"].to_numpy(np.int64), counts),
+            "region_label": np.repeat(b["region_label"].to_numpy(np.int64), counts),
+            "x0": e[:, 0], "y0": e[:, 1], "x1": e[:, 2], "y1": e[:, 3],
+        })
 
     return rings.map_batches(explode, batch_format="pandas")
 
@@ -973,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ms_acwe_tiles": _q_ms_acwe,
         "do_ac_tiles": _q_do_ac,
         "ms_gac_tiles": _q_ms_gac,
+        # binary GIF output: rows-only like the WKB queries (LZW streams
+        # aren't SQL-expressible); round-trip-tested in pytest
+        "multiband_gif_tiles": _q_multiband_gif,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_edges": _q_polygonize_edges,
         "polygonize_merged": _q_polygonize_merged,

@@ -1718,3 +1718,36 @@ def ms_gac_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
                          "fg_count": pa.array(fg), "mean_g_in": pa.array(mean_g)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def multiband_gif_stage(ds: ray.data.Dataset, side: int, lo: float = -2.0,
+                        hi: float = 3.0, delay_cs: int = 20) -> ray.data.Dataset:
+    """multiband2gif analogue (raster.py:2665: bands → animated gif via
+    imageio). Bands per tile are the engine's derived epochs (base,
+    1.5·v + 0.25 — the quegan second acquisition — and 0.5·v − 0.1),
+    quantized to 8-bit over [lo, hi] and encoded as an animated GIF89a by
+    the in-repo pure-python LZW writer (functions/gifenc.py; round-trip
+    tested — no codec wheel exists in this sandbox). Binary output →
+    rows-only oracle, like the WKB queries."""
+    from ..functions.gifenc import encode_gif
+
+    span = hi - lo
+
+    def q8(v: np.ndarray) -> np.ndarray:
+        return np.clip((v - lo) / span * 256.0, 0, 255).astype(np.uint8)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        gifs, lens = [], []
+        for i in range(px.shape[0]):
+            v = px[i].reshape(side, side)
+            frames = [q8(v), q8(1.5 * v + 0.25), q8(0.5 * v - 0.1)]
+            g = encode_gif(frames, delay_cs=delay_cs)
+            gifs.append(g)
+            lens.append(len(g))
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         "gif": pa.array(gifs, pa.binary()),
+                         "gif_len": pa.array(np.array(lens, np.int64)),
+                         "n_frames": pa.array(np.full(len(gifs), 3, np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)

@@ -250,3 +250,19 @@ def test_ms_gac_nondegenerate_and_deterministic():
     # balloon direction matters: a shrinking contour keeps fewer pixels
     shrink = raster.ms_gac_stage(small, side=SIDE, iterations=5, balloon=-1).to_pandas()
     assert shrink.fg_count.sum() < out.fg_count.sum()
+
+
+def test_multiband_gif_roundtrip_bit_exact():
+    from geospatial_learn_ray.functions.gifenc import decode_gif_frames
+
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -175.0, -75.0)
+    out = raster.multiband_gif_stage(small, side=SIDE).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    frames = decode_gif_frames(bytes(row.gif))
+    assert len(frames) == int(row.n_frames) == 3
+    v = tile_pixels(int(row.tile_x), int(row.tile_y), SIDE).astype(np.float64)
+    for got, band in zip(frames, (v, 1.5 * v + 0.25, 0.5 * v - 0.1)):
+        exp = np.clip((band - -2.0) / 5.0 * 256.0, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, exp)
+    assert int(row.gif_len) == len(bytes(row.gif))
