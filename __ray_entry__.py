@@ -603,6 +603,11 @@ def _q_multiband_gif(sf_dir: str):
     return raster.multiband_gif_stage(small, side=16)
 
 
+def _q_snake(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.snake_stage(small, side=16)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -980,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # binary GIF output: rows-only like the WKB queries (LZW streams
         # aren't SQL-expressible); round-trip-tested in pytest
         "multiband_gif_tiles": _q_multiband_gif,
+        "snake_contours": _q_snake,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_edges": _q_polygonize_edges,
         "polygonize_merged": _q_polygonize_merged,
@@ -1544,6 +1550,92 @@ def _ms_gac_sql(side=16, tx_max=15, ty_max=15, iterations=5, alpha=8.0,
         "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
         "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(g*u)/SUM(u) ELSE 0.0 END, 6) AS mean_g_in "
         f"FROM s{iterations} GROUP BY 1, 2"
+    )
+
+
+def _snake_sql(side=16, tx_max=15, ty_max=15, n_points=40, iterations=5,
+               alpha=0.1, beta=0.01, kappa=1.0, dt=0.5):
+    """SQL twin of raster.snake_stage: initial contour coordinates inlined
+    as the numpy-computed literals, neighbor indices precomputed in the
+    point VALUES table, per-iteration CTEs joining ring neighbors (4) and
+    the gradient grid's bilinear corners (4) — every arithmetic expression
+    matches the engine's operation order character-for-character, and the
+    output is per point (no cross-point reductions), so values are
+    bit-identical."""
+    ang = 2.0 * np.pi * np.arange(n_points) / n_points
+    c0 = (side - 1) / 2.0
+    r0 = side / 3.0
+    xs = c0 + r0 * np.cos(ang)
+    ys = c0 + r0 * np.sin(ang)
+    pv = ", ".join(
+        f"({i}, CAST({float(xs[i])!r} AS DOUBLE), CAST({float(ys[i])!r} AS DOUBLE), "
+        f"{(i - 1) % n_points}, {(i + 1) % n_points}, {(i - 2) % n_points}, {(i + 2) % n_points})"
+        for i in range(n_points)
+    )
+    cd = "(COALESCE(LEAD({c}) OVER {w}, {c}) - COALESCE(LAG({c}) OVER {w}, {c}))/2.0"
+    wdef = (
+        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px), "
+        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)"
+    )
+    A, B, K, DT = (f"CAST({v!r} AS DOUBLE)" for v in (alpha, beta, kappa, dt))
+    hi = f"CAST({float(side - 1)!r} AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    bil = ("((1.0 - ty{c}) * ((1.0 - tx{c}) * g00.g{c} + tx{c} * g01.g{c}) "
+           "+ ty{c} * ((1.0 - tx{c}) * g10.g{c} + tx{c} * g11.g{c}))")
+    ctes = [
+        tiles_sql(side),
+        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
+        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        "grid AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
+        f"  {cd.format(c='vd', w='wx')} AS gx, {cd.format(c='vd', w='wy')} AS gy "
+        f"  FROM rcl {wdef})",
+        f"pv(i, x0i, y0i, im1, ip1, im2, ip2) AS (VALUES {pv})",
+        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl)",
+        "p0 AS MATERIALIZED (SELECT b.tile_x, b.tile_y, pv.i, pv.im1, pv.ip1, pv.im2, pv.ip2, "
+        "  pv.x0i AS x, pv.y0i AS y FROM base b CROSS JOIN pv)",
+    ]
+    for t in range(1, iterations + 1):
+        p = f"p{t - 1}"
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.i, a.im1, a.ip1, a.im2, a.ip2, "
+            "a.x, a.y, m1.x AS xm1, p1.x AS xp1, m2.x AS xm2, p2.x AS xp2, "
+            "m1.y AS ym1, p1.y AS yp1, m2.y AS ym2, p2.y AS yp2, "
+            f"LEAST(CAST(FLOOR(a.x) AS BIGINT), {side - 2}) AS xf, "
+            f"LEAST(CAST(FLOOR(a.y) AS BIGINT), {side - 2}) AS yf "
+            f"FROM {p} a "
+            f"JOIN {p} m1 ON m1.tile_x = a.tile_x AND m1.tile_y = a.tile_y AND m1.i = a.im1 "
+            f"JOIN {p} p1 ON p1.tile_x = a.tile_x AND p1.tile_y = a.tile_y AND p1.i = a.ip1 "
+            f"JOIN {p} m2 ON m2.tile_x = a.tile_x AND m2.tile_y = a.tile_y AND m2.i = a.im2 "
+            f"JOIN {p} p2 ON p2.tile_x = a.tile_x AND p2.tile_y = a.tile_y AND p2.i = a.ip2)"
+        )
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT c.*, c.x - c.xf AS txc, c.y - c.yf AS tyc, "
+            "g00.gx AS g00x, g01.gx AS g01x, g10.gx AS g10x, g11.gx AS g11x, "
+            "g00.gy AS g00y, g01.gy AS g01y, g10.gy AS g10y, g11.gy AS g11y "
+            f"FROM c{t} c "
+            "JOIN grid g00 ON g00.tile_x = c.tile_x AND g00.tile_y = c.tile_y AND g00.py = c.yf AND g00.px = c.xf "
+            "JOIN grid g01 ON g01.tile_x = c.tile_x AND g01.tile_y = c.tile_y AND g01.py = c.yf AND g01.px = c.xf + 1 "
+            "JOIN grid g10 ON g10.tile_x = c.tile_x AND g10.tile_y = c.tile_y AND g10.py = c.yf + 1 AND g10.px = c.xf "
+            "JOIN grid g11 ON g11.tile_x = c.tile_x AND g11.tile_y = c.tile_y AND g11.py = c.yf + 1 AND g11.px = c.xf + 1)"
+        )
+        fxe = ("((1.0 - tyc) * ((1.0 - txc) * g00x + txc * g01x) "
+               "+ tyc * ((1.0 - txc) * g10x + txc * g11x))")
+        fye = ("((1.0 - tyc) * ((1.0 - txc) * g00y + txc * g01y) "
+               "+ tyc * ((1.0 - txc) * g10y + txc * g11y))")
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT tile_x, tile_y, i, im1, ip1, im2, ip2, "
+            f"LEAST(GREATEST(x + {DT} * ({A} * (xm1 - 2.0 * x + xp1) "
+            f"- {B} * (xm2 - 4.0 * xm1 + 6.0 * x - 4.0 * xp1 + xp2) "
+            f"+ {K} * {fxe}), {zero}), {hi}) AS x, "
+            f"LEAST(GREATEST(y + {DT} * ({A} * (ym1 - 2.0 * y + yp1) "
+            f"- {B} * (ym2 - 4.0 * ym1 + 6.0 * y - 4.0 * yp1 + yp2) "
+            f"+ {K} * {fye}), {zero}), {hi}) AS y "
+            f"FROM f{t})"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, CAST(i AS BIGINT) AS point_id, "
+        f"ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM p{iterations}"
     )
 
 
@@ -2284,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         "ms_acwe_tiles": _ms_acwe_sql(),
         "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
         "ms_gac_tiles": _ms_gac_sql(),
+        "snake_contours": _snake_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

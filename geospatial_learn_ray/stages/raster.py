@@ -1751,3 +1751,84 @@ def multiband_gif_stage(ds: ray.data.Dataset, side: int, lo: float = -2.0,
                          "n_frames": pa.array(np.full(len(gifs), 3, np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def snake_stage(ds: ray.data.Dataset, side: int, n_points: int = 40,
+                iterations: int = 5, alpha: float = 0.1, beta: float = 0.01,
+                kappa: float = 1.0, dt: float = 0.5, round_to: int = 6) -> ray.data.Dataset:
+    """shape.snake analogue (shape.py:1734: skimage active_contour — the
+    Kass et al. 1988 snake deforming a polygon on raster values), as its
+    deterministic batch form: an EXPLICIT-Euler snake (the implicit
+    pentadiagonal solve would need a dense matvec whose summation order
+    can't be replicated in SQL; the explicit form keeps every update a
+    fixed-order scalar expression, so the oracle is bit-exact):
+
+    - init: circle of n points around the tile center, radius side/3
+      (cos/sin literals shared with the oracle);
+    - per iteration, per point: elasticity α·(p₋₁ − 2p + p₊₁), rigidity
+      β·(p₋₂ − 4p₋₁ + 6p − 4p₊₁ + p₊₂) (closed-ring indices), image force
+      κ·∇v bilinear-interpolated at the point from the clamped
+      central-difference gradient grids, Euler step dt, coordinates
+      clamped to the tile;
+    - output: one row PER CONTROL POINT (tile, point_id, x, y rounded) —
+      no cross-point reductions, so engine and SQL values are the same
+      float64 expression chains end to end."""
+
+    def grad2(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        gx = np.empty_like(a)
+        gx[:, 1:-1] = (a[:, 2:] - a[:, :-2]) / 2.0
+        gx[:, 0] = (a[:, 1] - a[:, 0]) / 2.0
+        gx[:, -1] = (a[:, -1] - a[:, -2]) / 2.0
+        gy = np.empty_like(a)
+        gy[1:-1, :] = (a[2:, :] - a[:-2, :]) / 2.0
+        gy[0, :] = (a[1, :] - a[0, :]) / 2.0
+        gy[-1, :] = (a[-1, :] - a[-2, :]) / 2.0
+        return gx, gy
+
+    ang = 2.0 * np.pi * np.arange(n_points) / n_points
+    cosv, sinv = np.cos(ang), np.sin(ang)
+    c0 = (side - 1) / 2.0
+    r0 = side / 3.0
+
+    def bilin(g: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        x0 = np.minimum(np.floor(x), side - 2).astype(np.int64)
+        y0 = np.minimum(np.floor(y), side - 2).astype(np.int64)
+        tx = x - x0
+        ty = y - y0
+        return ((1.0 - ty) * ((1.0 - tx) * g[y0, x0] + tx * g[y0, x0 + 1])
+                + ty * ((1.0 - tx) * g[y0 + 1, x0] + tx * g[y0 + 1, x0 + 1]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        txc = batch["tile_x"].to_numpy()
+        tyc = batch["tile_y"].to_numpy()
+        cols = {"tile_x": [], "tile_y": [], "point_id": [], "x": [], "y": []}
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            gx, gy = grad2(v)
+            x = c0 + r0 * cosv
+            y = c0 + r0 * sinv
+            for _ in range(iterations):
+                xm1, xp1 = np.roll(x, 1), np.roll(x, -1)
+                xm2, xp2 = np.roll(x, 2), np.roll(x, -2)
+                ym1, yp1 = np.roll(y, 1), np.roll(y, -1)
+                ym2, yp2 = np.roll(y, 2), np.roll(y, -2)
+                fx = bilin(gx, x, y)
+                fy = bilin(gy, x, y)
+                nx = x + dt * (alpha * (xm1 - 2.0 * x + xp1)
+                               - beta * (xm2 - 4.0 * xm1 + 6.0 * x - 4.0 * xp1 + xp2)
+                               + kappa * fx)
+                ny = y + dt * (alpha * (ym1 - 2.0 * y + yp1)
+                               - beta * (ym2 - 4.0 * ym1 + 6.0 * y - 4.0 * yp1 + yp2)
+                               + kappa * fy)
+                x = np.minimum(np.maximum(nx, 0.0), float(side - 1))
+                y = np.minimum(np.maximum(ny, 0.0), float(side - 1))
+            cols["tile_x"].append(np.full(n_points, txc[i], np.int64))
+            cols["tile_y"].append(np.full(n_points, tyc[i], np.int64))
+            cols["point_id"].append(np.arange(n_points, dtype=np.int64))
+            cols["x"].append(round_half_away(x, round_to))
+            cols["y"].append(round_half_away(y, round_to))
+        return pa.table({k: pa.array(np.concatenate(vv)) for k, vv in cols.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

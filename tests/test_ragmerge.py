@@ -2,6 +2,7 @@ import numpy as np
 
 from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
 from geospatial_learn_ray.stages import raster
+from geospatial_learn_ray.functions.rounding import round_half_away
 from geospatial_learn_ray.stages.raster import _label_regions, _region_node_ids
 
 SIDE, GX, GY = 16, 16, 16
@@ -266,3 +267,58 @@ def test_multiband_gif_roundtrip_bit_exact():
         exp = np.clip((band - -2.0) / 5.0 * 256.0, 0, 255).astype(np.uint8)
         assert np.array_equal(got, exp)
     assert int(row.gif_len) == len(bytes(row.gif))
+
+
+def test_snake_matches_scalar_reference():
+    side, n, iters = SIDE, 40, 5
+    alpha, beta, kappa, dt = 0.1, 0.01, 1.0, 0.5
+    small = raster.clip_tiles(read_tiles(tile_px=side), -180.0, -80.0, -90.0, 0.0)
+    out = (
+        raster.snake_stage(small, side=side)
+        .to_pandas()
+        .set_index(["tile_y", "tile_x", "point_id"])
+        .sort_index()
+    )
+    assert len(out) == 256 * n
+
+    def grad(a):
+        gx = np.empty_like(a)
+        gx[:, 1:-1] = (a[:, 2:] - a[:, :-2]) / 2.0
+        gx[:, 0] = (a[:, 1] - a[:, 0]) / 2.0
+        gx[:, -1] = (a[:, -1] - a[:, -2]) / 2.0
+        gy = np.empty_like(a)
+        gy[1:-1, :] = (a[2:, :] - a[:-2, :]) / 2.0
+        gy[0, :] = (a[1, :] - a[0, :]) / 2.0
+        gy[-1, :] = (a[-1, :] - a[-2, :]) / 2.0
+        return gx, gy
+
+    for tx, ty in [(2, 3), (14, 9)]:
+        v = tile_pixels(tx, ty, side).astype(np.float64)
+        gx, gy = grad(v)
+        c0, r0 = (side - 1) / 2.0, side / 3.0
+        x = [c0 + r0 * np.cos(2.0 * np.pi * i / n) for i in range(n)]
+        y = [c0 + r0 * np.sin(2.0 * np.pi * i / n) for i in range(n)]
+        for _ in range(iters):
+            nx, ny = [], []
+            for i in range(n):
+                xf = min(int(np.floor(x[i])), side - 2)
+                yf = min(int(np.floor(y[i])), side - 2)
+                txf, tyf = x[i] - xf, y[i] - yf
+                fx = ((1.0 - tyf) * ((1.0 - txf) * gx[yf, xf] + txf * gx[yf, xf + 1])
+                      + tyf * ((1.0 - txf) * gx[yf + 1, xf] + txf * gx[yf + 1, xf + 1]))
+                fy = ((1.0 - tyf) * ((1.0 - txf) * gy[yf, xf] + txf * gy[yf, xf + 1])
+                      + tyf * ((1.0 - txf) * gy[yf + 1, xf] + txf * gy[yf + 1, xf + 1]))
+                d2x = x[(i - 1) % n] - 2.0 * x[i] + x[(i + 1) % n]
+                d4x = x[(i - 2) % n] - 4.0 * x[(i - 1) % n] + 6.0 * x[i] - 4.0 * x[(i + 1) % n] + x[(i + 2) % n]
+                d2y = y[(i - 1) % n] - 2.0 * y[i] + y[(i + 1) % n]
+                d4y = y[(i - 2) % n] - 4.0 * y[(i - 1) % n] + 6.0 * y[i] - 4.0 * y[(i + 1) % n] + y[(i + 2) % n]
+                nx.append(min(max(x[i] + dt * (alpha * d2x - beta * d4x + kappa * fx), 0.0), float(side - 1)))
+                ny.append(min(max(y[i] + dt * (alpha * d2y - beta * d4y + kappa * fy), 0.0), float(side - 1)))
+            x, y = nx, ny
+        moved = 0.0
+        for i in range(n):
+            row = out.loc[(ty, tx, i)]
+            assert row.x == round_half_away(x[i], 6), (tx, ty, i)
+            assert row.y == round_half_away(y[i], 6), (tx, ty, i)
+            moved += abs(x[i] - (c0 + r0 * np.cos(2.0 * np.pi * i / n)))
+        assert moved > 0.1  # the contour actually deformed
