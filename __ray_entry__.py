@@ -608,6 +608,11 @@ def _q_snake(sf_dir: str):
     return raster.snake_stage(small, side=16)
 
 
+def _q_ms_toposnakes(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.ms_toposnakes_stage(small, side=16, iterations=5)
+
+
 def _q_reproject_points(sf_dir: str):
     located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
     return raster.reproject_points(located, carry_cols=["url"])
@@ -986,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aren't SQL-expressible); round-trip-tested in pytest
         "multiband_gif_tiles": _q_multiband_gif,
         "snake_contours": _q_snake,
+        "ms_toposnakes_tiles": _q_ms_toposnakes,
         "polygonize_rings": _q_polygonize_rings,
         "polygonize_edges": _q_polygonize_edges,
         "polygonize_merged": _q_polygonize_merged,
@@ -1550,6 +1556,63 @@ def _ms_gac_sql(side=16, tx_max=15, ty_max=15, iterations=5, alpha=8.0,
         "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
         "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(g*u)/SUM(u) ELSE 0.0 END, 6) AS mean_g_in "
         f"FROM s{iterations} GROUP BY 1, 2"
+    )
+
+
+def _ms_toposnakes_sql(side=16, tx_max=15, ty_max=15, iterations=5):
+    """SQL twin of raster.ms_toposnakes_stage: the 256-entry simple-point
+    LUT inlines as a VALUES table; each of the 4 checkerboard subphases is
+    one CTE with 8 LEFT JOINs building the neighborhood code (out-of-tile
+    → 0) and a LUT join gating the flip; means per iteration are the exact
+    f32-valued sums."""
+    from geospatial_learn_ray.stages.raster import _SP_OFFS, _simple_point_lut
+
+    lut = _simple_point_lut()
+    lut_rows = ", ".join(f"({c}, {int(lut[c])})" for c in range(256))
+    R2 = (2 * side // 3) ** 2
+    ctes = [
+        tiles_sql(side),
+        f"lut(code, simple) AS (VALUES {lut_rows})",
+        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
+        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
+        f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+    ]
+    nbj = " ".join(
+        f"LEFT JOIN {{p}} n{k} ON n{k}.tile_x = c.tile_x AND n{k}.tile_y = c.tile_y "
+        f"AND n{k}.py = c.py + {dy} AND n{k}.px = c.px + {dx}"
+        for k, (dy, dx) in enumerate(_SP_OFFS)
+    )
+    code_expr = " + ".join(f"CAST(COALESCE(n{k}.u, 0.0) AS BIGINT)*{1 << k}" for k in range(8))
+    prev = "s0"
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT tile_x, tile_y, "
+            "CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END AS c1, "
+            "CASE WHEN SUM(1.0 - u) > 0 THEN SUM(vd*(1.0 - u))/SUM(1.0 - u) ELSE 0.0 END AS c2 "
+            f"FROM {prev} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, s.u, "
+            "CASE WHEN (s.vd - m.c1)*(s.vd - m.c1) < (s.vd - m.c2)*(s.vd - m.c2) THEN 1.0 ELSE 0.0 END AS tgt "
+            f"FROM {prev} s JOIN m{t} m USING (tile_x, tile_y))"
+        )
+        prev_ph = f"t{t}"
+        for ph, (phy, phx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            name = f"q{t}{'abcd'[ph]}"
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.py, a.px, a.vd, a.tgt, "
+                f"CASE WHEN a.py % 2 = {phy} AND a.px % 2 = {phx} AND a.u <> a.tgt AND l.simple = 1 "
+                "THEN a.tgt ELSE a.u END AS u FROM ("
+                f"SELECT c.*, {code_expr} AS code FROM {prev_ph} c {nbj.format(p=prev_ph)}"
+                ") a JOIN lut l ON l.code = a.code)"
+            )
+            prev_ph = name
+        prev = prev_ph
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
+        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
+        f"FROM {prev} GROUP BY 1, 2"
     )
 
 
@@ -2377,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
         "ms_gac_tiles": _ms_gac_sql(),
         "snake_contours": _snake_sql(),
+        "ms_toposnakes_tiles": _ms_toposnakes_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),

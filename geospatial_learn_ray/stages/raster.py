@@ -1832,3 +1832,119 @@ def snake_stage(ds: ray.data.Dataset, side: int, n_points: int = 40,
         return pa.table({k: pa.array(np.concatenate(vv)) for k, vv in cols.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _simple_point_lut() -> np.ndarray:
+    """256-entry lookup: neighborhood config (8 bits, offsets row-major
+    around the center) → is the center a SIMPLE point (its flip preserves
+    both object and background topology, (8,4)-connectivity: T8(object)=1
+    and T4(background)=1, Bertrand's characterization). Brute-force over
+    the 3×3 graph — computed once, inlined in the SQL oracle."""
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    lut = np.zeros(256, np.int64)
+    for cfg in range(256):
+        nb = {offs[k]: (cfg >> k) & 1 for k in range(8)}
+        obj = [o for o, b in nb.items() if b]
+        bg4 = [o for o in ((-1, 0), (0, -1), (0, 1), (1, 0)) if not nb[o]]
+        # T8: 8-connected components of object neighbors
+        seen: set = set()
+        t8 = 0
+        for o in obj:
+            if o in seen:
+                continue
+            t8 += 1
+            stack = [o]
+            while stack:
+                c = stack.pop()
+                if c in seen:
+                    continue
+                seen.add(c)
+                for d in obj:
+                    if d not in seen and abs(d[0] - c[0]) <= 1 and abs(d[1] - c[1]) <= 1:
+                        stack.append(d)
+        # T4: 4-connected components (within the 8-neighborhood) of
+        # background pixels, counting only components 4-adjacent to center
+        bg = [o for o, b in nb.items() if not b]
+        seen4: set = set()
+        t4 = 0
+        for o in bg4:
+            if o in seen4:
+                continue
+            t4 += 1
+            stack = [o]
+            while stack:
+                c = stack.pop()
+                if c in seen4:
+                    continue
+                seen4.add(c)
+                for d in bg:
+                    if d not in seen4 and abs(d[0] - c[0]) + abs(d[1] - c[1]) == 1:
+                        stack.append(d)
+        lut[cfg] = 1 if (t8 == 1 and t4 == 1) else 0
+    return lut
+
+
+_SP_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
+                        round_to: int = 6) -> ray.data.Dataset:
+    """utilities.ms_toposnakes analogue (utilities.py:397: morphsnakes with
+    a topology-preservation constraint): a topology-preserving ACWE.
+
+    Per iteration the Chan-Vese target T = [(v−c1)² < (v−c2)²] is applied
+    through FOUR checkerboard subfields ((py%2, px%2) phases): within a
+    subfield no two pixels are 8-adjacent's... (they are not 4-adjacent and
+    share no 3×3 neighborhood edge effects on each other's simplicity), so
+    flipping every pixel that (a) disagrees with the target and (b) is a
+    SIMPLE point of the current mask preserves the mask's topology — the
+    subfield/P-simple-point technique of homotopic thinning (Bertrand).
+    With the genus-0 circle init, the final mask provably remains one
+    component with no holes (pytest-verified via flood fill).
+
+    The simple-point test is a 256-entry neighborhood LUT (inlined as a
+    VALUES table in the SQL oracle); out-of-tile neighbors read as
+    background. Output: per-tile foreground count + rounded inside mean."""
+    R2 = (2 * side // 3) ** 2
+    lut = _simple_point_lut()
+
+    def nb_code(u: np.ndarray) -> np.ndarray:
+        p = np.zeros((side + 2, side + 2), np.int64)
+        p[1:-1, 1:-1] = u.astype(np.int64)
+        code = np.zeros((side, side), np.int64)
+        for k, (dy, dx) in enumerate(_SP_OFFS):
+            code |= p[1 + dy : side + 1 + dy, 1 + dx : side + 1 + dx] << k
+        return code
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        ys, xs = np.divmod(np.arange(side * side), side)
+        circ = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side)
+        ry = (np.arange(side)[:, None] % 2) * np.ones((1, side), np.int64)
+        rx = np.ones((side, 1), np.int64) * (np.arange(side)[None, :] % 2)
+        fg = np.empty(n_tiles, np.int64)
+        mean_in = np.empty(n_tiles, np.float64)
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            S = v.sum()
+            npx_t = side * side
+            u = circ.astype(np.float64)
+            for _ in range(iterations):
+                n1 = u.sum()
+                s1 = (v * u).sum()
+                c1 = s1 / n1 if n1 > 0 else 0.0
+                c2 = (S - s1) / (npx_t - n1) if n1 < npx_t else 0.0
+                target = ((v - c1) * (v - c1) < (v - c2) * (v - c2)).astype(np.float64)
+                for phy, phx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    simple = lut[nb_code(u)] == 1
+                    flip = (u != target) & simple & (ry == phy) & (rx == phx)
+                    u = np.where(flip, target, u)
+            n1 = u.sum()
+            s1 = (v * u).sum()
+            fg[i] = int(n1)
+            mean_in[i] = round_half_away(s1 / n1 if n1 > 0 else 0.0, round_to)
+        return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+                         "fg_count": pa.array(fg), "mean_in": pa.array(mean_in)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -322,3 +322,78 @@ def test_snake_matches_scalar_reference():
             assert row.y == round_half_away(y[i], 6), (tx, ty, i)
             moved += abs(x[i] - (c0 + r0 * np.cos(2.0 * np.pi * i / n)))
         assert moved > 0.1  # the contour actually deformed
+
+
+def _topo_reference_mask(tx, ty, side=SIDE, iterations=5):
+    from geospatial_learn_ray.stages.raster import _SP_OFFS, _simple_point_lut
+
+    lut = _simple_point_lut()
+    v = tile_pixels(tx, ty, side).astype(np.float64)
+    S, npx = v.sum(), side * side
+    ys, xs = np.divmod(np.arange(side * side), side)
+    R2 = (2 * side // 3) ** 2
+    u = ((2 * xs - (side - 1)) ** 2 + (2 * ys - (side - 1)) ** 2 <= R2).reshape(side, side).astype(float)
+
+    def code(u):
+        p = np.zeros((side + 2, side + 2), np.int64)
+        p[1:-1, 1:-1] = u.astype(np.int64)
+        c = np.zeros((side, side), np.int64)
+        for k, (dy, dx) in enumerate(_SP_OFFS):
+            c |= p[1 + dy : side + 1 + dy, 1 + dx : side + 1 + dx] << k
+        return c
+
+    ry = np.arange(side)[:, None] % 2
+    rx = np.arange(side)[None, :] % 2
+    for _ in range(iterations):
+        n1, s1 = u.sum(), (v * u).sum()
+        c1 = s1 / n1 if n1 > 0 else 0.0
+        c2 = (S - s1) / (npx - n1) if n1 < npx else 0.0
+        tgt = ((v - c1) ** 2 < (v - c2) ** 2).astype(float)
+        for phy, phx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            flip = (u != tgt) & (lut[code(u)] == 1) & (ry == phy) & (rx == phx)
+            u = np.where(flip, tgt, u)
+    return u
+
+
+def _components(mask, conn8):
+    """Number of connected components of True cells (flood fill)."""
+    seen = np.zeros_like(mask, bool)
+    n = 0
+    H, W = mask.shape
+    nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)] if conn8 else [(-1, 0), (0, -1), (0, 1), (1, 0)]
+    for y in range(H):
+        for x in range(W):
+            if mask[y, x] and not seen[y, x]:
+                n += 1
+                stack = [(y, x)]
+                while stack:
+                    cy, cx = stack.pop()
+                    if seen[cy, cx]:
+                        continue
+                    seen[cy, cx] = True
+                    for dy, dx in nbrs:
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < H and 0 <= nx < W and mask[ny, nx] and not seen[ny, nx]:
+                            stack.append((ny, nx))
+    return n
+
+
+def test_ms_toposnakes_preserves_topology():
+    small = raster.clip_tiles(read_tiles(tile_px=SIDE), -180.0, -80.0, -90.0, 0.0)
+    out = raster.ms_toposnakes_stage(small, side=SIDE, iterations=5).to_pandas().set_index(["tile_y", "tile_x"])
+    assert len(out) == 256
+    for tx, ty in [(0, 0), (7, 11), (15, 15)]:
+        u = _topo_reference_mask(tx, ty)
+        row = out.loc[(ty, tx)]
+        assert int(row.fg_count) == int(u.sum())
+        # genus-0 invariant: one 8-connected object component...
+        assert _components(u > 0.5, conn8=True) == 1
+        # ...and no holes: with the exterior padding frame (the LUT's
+        # out-of-tile-is-background convention), the background is one
+        # 4-connected component — any hole would be a second one
+        padded = np.zeros((SIDE + 2, SIDE + 2))
+        padded[1:-1, 1:-1] = u
+        assert _components(padded < 0.5, conn8=False) == 1
+        # the constraint binds: the unconstrained ACWE target has different
+        # foreground than the topology-preserving result
+        assert int(u.sum()) != 80  # it moved off the init circle
