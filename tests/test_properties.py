@@ -101,3 +101,83 @@ def test_geocode_pure_function_of_url(urls):
         for j, v in enumerate(urls):
             if u == v:
                 assert lon1[i] == lon1[j] and lat1[i] == lat1[j]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=5000))
+def test_lzw_roundtrip_any_bytes(data):
+    from geospatial_learn_ray.functions.gifenc import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60), min_size=1, max_size=8))
+def test_repetition_scores_match_naive(texts):
+    import pandas as pd
+
+    from geospatial_learn_ray.functions.textproc import repetition_scores
+
+    out = repetition_scores(pd.Series(texts))
+    for row, t in enumerate(texts):
+        toks = t.split()
+        assert out.n_tokens[row] == len(toks)
+        for n, col_d, col_t in ((2, "dup_2gram_frac", "top_2gram_frac"),
+                                (3, "dup_3gram_frac", "top_3gram_frac")):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                assert out[col_d][row] == 0.0 and out[col_t][row] == 0.0
+                continue
+            tot, dis = len(grams), len(set(grams))
+            mx = max(grams.count(g) for g in set(grams))
+            assert abs(out[col_d][row] - (tot - dis) / tot) < 1e-6
+            assert abs(out[col_t][row] - mx / tot) < 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=64))
+def test_simple_point_lut_flip_preserves_euler_locally(vals, seed):
+    # the LUT's defining property, checked directly: flipping a simple
+    # center in a random 3x3 patch never changes the number of object
+    # components or background components of the padded patch
+    import numpy as np
+
+    from geospatial_learn_ray.stages.raster import _SP_OFFS, _simple_point_lut
+
+    lut = _simple_point_lut()
+    rng = np.random.default_rng(seed)
+    cfg = int(rng.integers(0, 256))
+    for center in (0, 1):
+        patch = np.zeros((5, 5), np.int64)
+        patch[2, 2] = center
+        for k, (dy, dx) in enumerate(_SP_OFFS):
+            patch[2 + dy, 2 + dx] = (cfg >> k) & 1
+        if lut[cfg] != 1:
+            continue
+
+        def comps(m, conn8):
+            seen = np.zeros_like(m, bool)
+            cnt = 0
+            nb = ([(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+                  if conn8 else [(-1, 0), (0, -1), (0, 1), (1, 0)])
+            for y in range(5):
+                for x in range(5):
+                    if m[y, x] and not seen[y, x]:
+                        cnt += 1
+                        stack = [(y, x)]
+                        while stack:
+                            cy, cx = stack.pop()
+                            if seen[cy, cx]:
+                                continue
+                            seen[cy, cx] = True
+                            for dy, dx in nb:
+                                ny, nx = cy + dy, cx + dx
+                                if 0 <= ny < 5 and 0 <= nx < 5 and m[ny, nx] and not seen[ny, nx]:
+                                    stack.append((ny, nx))
+            return cnt
+
+        flipped = patch.copy()
+        flipped[2, 2] = 1 - center
+        assert comps(patch == 1, True) == comps(flipped == 1, True)
+        assert comps(patch == 0, False) == comps(flipped == 0, False)
