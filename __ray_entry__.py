@@ -411,9 +411,18 @@ def _q_parts_above_avg(sf_dir: str):
 
 def _q_zonal_stats_multi(sf_dir: str):
     ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    # price carried as exact integer cents: float sums of l_extendedprice
+    # are order-dependent at scale (ulp drift vs DuckDB SUM order measured
+    # at sf0.1); integer sums are exact in any order at any sf
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["l_price_cents"] = round_half_away(b["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return b.drop(columns=["l_extendedprice"])
+
     return agg.grouped_stats_multi(
-        ds, "l_returnflag",
-        {"l_quantity": ("count", "mean", "std"), "l_extendedprice": ("sum", "mean", "max")},
+        ds.map_batches(cents, batch_format="pandas"), "l_returnflag",
+        {"l_quantity": ("count", "mean", "std"), "l_price_cents": ("sum", "mean", "max")},
         round_to=4,
     )
 
@@ -2285,11 +2294,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)"
         ),
         "zonal_stats_multi": (
+            # price as exact integer cents (see _q_zonal_stats_multi): the
+            # half-away rounding of x*100 is tie-free (stored cents land
+            # within 1e-9 of integers) and the int sums are order-exact
+            "WITH c AS (SELECT l_returnflag, l_quantity, "
+            "  CAST(FLOOR(ABS(l_extendedprice*100.0) + 0.5)*SIGN(l_extendedprice) AS BIGINT) AS l_price_cents "
+            "  FROM lineitem) "
             "SELECT l_returnflag, COUNT(l_quantity)::BIGINT AS count_l_quantity, "
             "ROUND(AVG(l_quantity), 4) AS mean_l_quantity, ROUND(STDDEV_SAMP(l_quantity), 4) AS std_l_quantity, "
-            "ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice, ROUND(AVG(l_extendedprice), 4) AS mean_l_extendedprice, "
-            "ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice "
-            "FROM lineitem GROUP BY l_returnflag"
+            "ROUND(CAST(SUM(l_price_cents) AS DOUBLE), 4) AS sum_l_price_cents, "
+            "ROUND(CAST(SUM(l_price_cents) AS DOUBLE)/COUNT(l_price_cents), 4) AS mean_l_price_cents, "
+            "ROUND(CAST(MAX(l_price_cents) AS DOUBLE), 4) AS max_l_price_cents "
+            "FROM c GROUP BY l_returnflag"
         ),
         "train_linear_lineitem": (
             "WITH s AS (SELECT COUNT(*)::DOUBLE n, SUM(l_quantity) sx, SUM(l_extendedprice) sy, "
