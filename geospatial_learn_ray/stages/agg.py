@@ -229,7 +229,10 @@ def grouped_holistic(
         return out
 
     parted = ds.map_batches(lambda b: _add_part(b, keys), batch_format="pandas")
-    return bucket_exchange(parted, per_part, small_partials=True)
+    # small_partials stays False: this exchange moves O(dataset) RAW value
+    # rows (holistic stats can't pre-aggregate) — coalescing them serializes
+    # ~100 MB block merges (exchange.py contract; ADVICE round 2).
+    return bucket_exchange(parted, per_part)
 
 
 def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) -> ray.data.Dataset:

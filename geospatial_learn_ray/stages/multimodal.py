@@ -151,18 +151,20 @@ class FrameSampler:
         self.k = every_kth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        nbytes = np.array([len(b) - 9 for b in batch["media"].to_pylist()], np.int64)
+        # payload lengths straight off the Arrow buffers (no per-row pylist)
+        nbytes = pa.compute.binary_length(batch["media"]).to_numpy().astype(np.int64) - 9
         n_frames = np.maximum(nbytes // 32, 1)
         ids = batch["media_id"].to_numpy()
-        out_id, out_frame = [], []
-        for i in range(len(ids)):
-            frames = np.arange(0, n_frames[i], self.k)
-            out_id.append(np.full(len(frames), ids[i]))
-            out_frame.append(frames)
+        # frames per row at stride k, then offsets/repeat/cumsum expansion
+        # (same idiom as MediaDecoder.__call__)
+        counts = (n_frames + self.k - 1) // self.k
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total = int(counts.sum())
+        flat = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
         return pa.table(
             {
-                "media_id": pa.array(np.concatenate(out_id) if out_id else np.array([], np.int64)),
-                "frame_idx": pa.array(np.concatenate(out_frame).astype(np.int32) if out_frame else np.array([], np.int32)),
+                "media_id": pa.array(np.repeat(ids, counts)),
+                "frame_idx": pa.array((flat * self.k).astype(np.int32)),
             }
         )
 

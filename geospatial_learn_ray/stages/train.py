@@ -138,6 +138,12 @@ def fit_ridge_grid(ds: ray.data.Dataset, features: list[str], target: str,
                            split_mode=split_mode)
     if mse_round_to is None:
         mse_round_to = round_to
+    if 0 not in stats or 1 not in stats or stats[1][2] == 0:
+        raise ValueError(
+            f"empty train/validation split for split_key={split_key!r} "
+            f"val_mod={val_mod}: got splits {sorted(stats)} "
+            "(input too small, or every key falls on one side of the mod)"
+        )
     A_tr, b_tr, _, _ = stats[0]
     A_va, b_va, n_va, syy_va = stats[1]
     rows = []
