@@ -911,7 +911,66 @@ def _shape_props_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the graft driver checks only the FIRST 50 entries in
+    # dict order. Rounds 1-2 driver-checked the text/relational/training/
+    # dedup block (all 50 passed rows+schema+hash, CORRECTNESS_r02.json);
+    # round 3 rotates the raster/segmentation/multimodal block to the
+    # front so every query gets a driver CORRECTNESS row at least once
+    # (VERDICT r2 "Next round" #1). The previously-checked block keeps its
+    # local stand-in (tools/check_oracles.py) + pytest evidence.
     return {
+        # raster / tiles (closed-form pytest oracles)
+        "ndvi_tiles": _q_ndvi_tiles,
+        "mask_tiles": _q_mask_tiles,
+        "raster_points": _q_raster_points,
+        "zonal_tile_stats": _q_zonal_tile_stats,
+        "shape_props": _q_shape_props,
+        "rgb_indices_tiles": _q_rgb_indices_tiles,
+        "combine_scene_tiles": _q_combine_scene_tiles,
+        "apply_lut_tiles": _q_apply_lut_tiles,
+        "temporal_mean_tiles": _q_temporal_mean_tiles,
+        "hist_match_tiles": _q_hist_match_tiles,
+        # geometry / tiling extras (pytest oracles)
+        "hex_meshgrid": _q_hex_meshgrid,
+        "buffer_polygons": _q_buffer_polygons,
+        "geom_pixel_bbox": _q_geom_pixel_bbox,
+        "train_test_split": _q_train_test_split,
+        "wkb_to_geojson": _q_wkb_to_geojson,
+        # raster↔vector + warp family (pytest closed-form oracles)
+        "rasterize_fraction": _q_rasterize_fraction,
+        "point_raster_lookup": _q_point_raster_lookup,
+        "clip_tiles": _q_clip_tiles,
+        "fill_nodata_tiles": _q_fill_nodata_tiles,
+        "polygonize_tiles": _q_polygonize_tiles,
+        "ragmerge_regions": _q_ragmerge,
+        "ransac_lines_tiles": _q_ransac_lines,
+        "hough_lines_tiles": _q_hough_lines,
+        "ms_acwe_tiles": _q_ms_acwe,
+        "do_ac_tiles": _q_do_ac,
+        "ms_gac_tiles": _q_ms_gac,
+        # binary GIF output: rows-only like the WKB queries (LZW streams
+        # aren't SQL-expressible); round-trip-tested in pytest
+        "multiband_gif_tiles": _q_multiband_gif,
+        "snake_contours": _q_snake,
+        "ms_toposnakes_tiles": _q_ms_toposnakes,
+        "polygonize_rings": _q_polygonize_rings,
+        "polygonize_edges": _q_polygonize_edges,
+        "polygonize_merged": _q_polygonize_merged,
+        "reproject_points": _q_reproject_points,
+        "texture_stats": _q_texture_stats,
+        "otsu_zone_thresh": _q_otsu_zone_thresh,
+        "niblack_thresh_tiles": _q_niblack_tiles,
+        "sauvola_thresh_tiles": _q_sauvola_tiles,
+        "slope_tiles": _q_slope_tiles,
+        "aspect_tiles": _q_aspect_tiles,
+        "hillshade_tiles": _q_hillshade_tiles,
+        "quegan_tiles": _q_quegan_tiles,
+        "temp_match_peaks": _q_temp_match,
+        # multimodal plumbing (stubbed codecs, real Ray-side layout)
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frame_sample,
+        # ---- entries below were driver-checked in rounds 1-2 (50/50 all
+        # ---- three checks green, CORRECTNESS_r02.json) ----
         # pages / text (SQL-checked)
         "extract_text": _q_extract_text,
         "url_dedup_keep_latest": _q_url_dedup,
@@ -967,56 +1026,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_urls": _q_hll_distinct_urls,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
-        # raster / tiles (closed-form pytest oracles)
-        "ndvi_tiles": _q_ndvi_tiles,
-        "mask_tiles": _q_mask_tiles,
-        "raster_points": _q_raster_points,
-        "zonal_tile_stats": _q_zonal_tile_stats,
-        "shape_props": _q_shape_props,
-        "rgb_indices_tiles": _q_rgb_indices_tiles,
-        "combine_scene_tiles": _q_combine_scene_tiles,
-        "apply_lut_tiles": _q_apply_lut_tiles,
-        "temporal_mean_tiles": _q_temporal_mean_tiles,
-        "hist_match_tiles": _q_hist_match_tiles,
-        # geometry / tiling extras (pytest oracles)
-        "hex_meshgrid": _q_hex_meshgrid,
-        "buffer_polygons": _q_buffer_polygons,
-        "geom_pixel_bbox": _q_geom_pixel_bbox,
-        "train_test_split": _q_train_test_split,
-        "wkb_to_geojson": _q_wkb_to_geojson,
-        # raster↔vector + warp family (pytest closed-form oracles)
-        "rasterize_fraction": _q_rasterize_fraction,
-        "point_raster_lookup": _q_point_raster_lookup,
-        "clip_tiles": _q_clip_tiles,
-        "fill_nodata_tiles": _q_fill_nodata_tiles,
-        "polygonize_tiles": _q_polygonize_tiles,
-        "ragmerge_regions": _q_ragmerge,
-        "ransac_lines_tiles": _q_ransac_lines,
-        "hough_lines_tiles": _q_hough_lines,
-        "ms_acwe_tiles": _q_ms_acwe,
-        "do_ac_tiles": _q_do_ac,
-        "ms_gac_tiles": _q_ms_gac,
-        # binary GIF output: rows-only like the WKB queries (LZW streams
-        # aren't SQL-expressible); round-trip-tested in pytest
-        "multiband_gif_tiles": _q_multiband_gif,
-        "snake_contours": _q_snake,
-        "ms_toposnakes_tiles": _q_ms_toposnakes,
-        "polygonize_rings": _q_polygonize_rings,
-        "polygonize_edges": _q_polygonize_edges,
-        "polygonize_merged": _q_polygonize_merged,
-        "reproject_points": _q_reproject_points,
-        "texture_stats": _q_texture_stats,
-        "otsu_zone_thresh": _q_otsu_zone_thresh,
-        "niblack_thresh_tiles": _q_niblack_tiles,
-        "sauvola_thresh_tiles": _q_sauvola_tiles,
-        "slope_tiles": _q_slope_tiles,
-        "aspect_tiles": _q_aspect_tiles,
-        "hillshade_tiles": _q_hillshade_tiles,
-        "quegan_tiles": _q_quegan_tiles,
-        "temp_match_peaks": _q_temp_match,
-        # multimodal plumbing (stubbed codecs, real Ray-side layout)
-        "media_decode": _q_media_decode,
-        "media_frame_sample": _q_media_frame_sample,
     }
 
 
