@@ -305,11 +305,10 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_jaccard_verified(sf_dir: str):
-    docs_tbl = pa.concat_tables(
-        list(_rp(sf_dir, "documents", ["doc_id", "text"]).iter_batches(batch_format="pyarrow"))
-    )
     pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
-    out = dedup.verify_jaccard_exact(pairs, ray.put(docs_tbl), threshold=0.5)
+    out = dedup.verify_jaccard_exact(
+        pairs, _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
     return out.map_batches(
         lambda b: b[["id_a", "id_b", "jaccard"]], batch_format="pandas"
     )
@@ -574,6 +573,11 @@ def _q_fill_nodata_tiles(sf_dir: str):
 def _q_polygonize_tiles(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
     return raster.polygonize_tiles(small, quant=2.0)
+
+
+def _q_remove_small_objects(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.remove_small_objects_stage(small, quant=2.0, tbin=1, min_size=6)
 
 
 def _q_ragmerge(sf_dir: str):
@@ -969,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codecs, real Ray-side layout)
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frame_sample,
+        # round-3 additions (never driver-checked -> keep in the first 50)
+        "remove_small_objects": _q_remove_small_objects,
         # ---- entries below were driver-checked in rounds 1-2 (50/50 all
         # ---- three checks green, CORRECTNESS_r02.json) ----
         # pages / text (SQL-checked)
@@ -1313,7 +1319,7 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
 
 
 
-def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
+def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None):
     """Per-tile connected-component labeling of the clipped closed-form
     raster as UNROLLED min-label rounds (neighbor-min + two pointer jumps
     per round, every round MATERIALIZED - DuckDB inlines CTEs and each
@@ -1323,10 +1329,12 @@ def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
     the raster is closed-form, so the count is a constant of the fixture),
     20 gives margin. Ends with ``fin(tile_x, tile_y, idx, lab, q, vd)``.
     Shared by the polygonize and ragmerge oracles."""
+    if qexpr is None:
+        qexpr = f"FLOOR(vd * {quant!r})"
     ctes = [
         tiles_sql(side),
         f"rc AS MATERIALIZED (SELECT tile_x, tile_y, py * {side} + px AS idx, "
-        f"  FLOOR(vd * {quant!r}) AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        f"  {qexpr} AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
         "edg AS MATERIALIZED ("
         "  SELECT a.tile_x, a.tile_y, a.idx AS u, b.idx AS v FROM rc a JOIN rc b "
         f"    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.q = a.q AND ("
@@ -1366,6 +1374,26 @@ def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
         f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
         f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
         "FROM fin GROUP BY tile_x, tile_y, lab"
+    )
+
+
+def _remove_small_objects_sql(quant=2.0, tbin=1, min_size=6, side=16,
+                              rounds=20, tx_max=15, ty_max=15):
+    """SQL twin of raster.remove_small_objects_stage: the same CCL rounds
+    over the BINARY foreground mask (q = 1 iff floor(v*quant) >= tbin, an
+    exact integer compare), keep foreground regions with area >=
+    min_size."""
+    ctes = _ccl_ctes(
+        quant, side, rounds, tx_max, ty_max,
+        qexpr=f"CASE WHEN FLOOR(vd * {quant!r}) >= {tbin} THEN 1 ELSE 0 END",
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, lab AS region_label, "
+        "COUNT(*) AS pixel_count, "
+        f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
+        f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
+        f"FROM fin WHERE q = 1 GROUP BY tile_x, tile_y, lab HAVING COUNT(*) >= {min_size}"
     )
 
 
@@ -2457,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "buffer_polygons": _buffer_polygons_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "polygonize_tiles": _polygonize_tiles_sql(),
+        "remove_small_objects": _remove_small_objects_sql(),
         "ragmerge_regions": _ragmerge_sql(),
         "polygonize_edges": _polygonize_edges_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),

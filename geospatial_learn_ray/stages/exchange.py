@@ -52,7 +52,44 @@ def bucket_exchange(parted: ray.data.Dataset, fn: Callable, key: str = "_part",
         num_blocks = max(8, min(64, cpus * 2))
     if use_hash_shuffle():
         rep = parted.repartition(num_blocks, keys=[key])
+        # ADVICE r2: repartition(keys=) only guarantees one-block-per-bucket
+        # while each partition stays under the shuffle target block size; a
+        # split bucket silently breaks drop_duplicates/min-combine fns. The
+        # hash path is opt-in (GRAFT_SHUFFLE=hash), so VERIFY the invariant
+        # (a tiny distinct-buckets-per-block aggregation, ≤ buckets×blocks
+        # rows) and fall back to the always-correct sort path on violation.
+        # GRAFT_SHUFFLE_VERIFY=0 skips the check (and its materialize).
+        import os
+
+        if os.environ.get("GRAFT_SHUFFLE_VERIFY", "1") != "0":
+            rep = rep.materialize()
+            if not _hash_buckets_intact(rep, key):
+                # fail LOUD, not wrong: a groupby fallback here would run
+                # under the hash-shuffle context and spawn the default
+                # aggregator fleet (measured 65-140 s / deadlock-prone on
+                # small sessions) — the sort plan is one env var away
+                raise ValueError(
+                    f"hash-shuffle split a '{key}' bucket across blocks "
+                    "(a partition exceeded the shuffle target block size); "
+                    "results would be silently wrong. Re-run with "
+                    "GRAFT_SHUFFLE=sort, or raise the bucket count / "
+                    "DataContext.target_max_block_size."
+                )
         return rep.map_batches(fn, batch_size=None, batch_format=batch_format)
     if small_partials:
         parted = parted.repartition(num_blocks)
     return parted.groupby(key).map_groups(fn, batch_format=batch_format)
+
+
+def _hash_buckets_intact(rep: ray.data.Dataset, key: str) -> bool:
+    """True iff every distinct ``key`` bucket value appears in exactly one
+    block of ``rep`` — the invariant every exchange combiner relies on.
+    Cost: one distinct per block (vectorized) + a ≤ buckets×blocks driver
+    pull of single-int rows."""
+    import pyarrow as pa
+
+    def block_buckets(b: pa.Table) -> pa.Table:
+        return pa.table({key: pa.compute.unique(b[key])})
+
+    tbl = rep.map_batches(block_buckets, batch_size=None, batch_format="pyarrow").to_pandas()
+    return not tbl[key].duplicated().any()

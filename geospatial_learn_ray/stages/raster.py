@@ -524,6 +524,54 @@ def polygonize_tiles(ds: ray.data.Dataset, quant: float = 4.0) -> ray.data.Datas
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def remove_small_objects_stage(ds: ray.data.Dataset, quant: float = 2.0,
+                               tbin: int = 1, min_size: int = 6) -> ray.data.Dataset:
+    """shape.thresh_seg's remove_small_objects morphology (shape.py:2270-
+    2280, skimage.morphology.remove_small_objects with default
+    connectivity=1 = 4-neighbors): threshold the quantized tile to a binary
+    foreground mask (``floor(v*quant) >= tbin`` — exact integer compare),
+    label 4-connected foreground components, drop components with area <
+    ``min_size``. Emits the SURVIVING foreground-region inventory per tile
+    (label, area, pixel bbox) — the cleaned mask's content, row-hashable
+    against the CCL SQL oracle; composes upstream of polygonize /
+    rasterize exactly where the reference calls it."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        side = int(np.sqrt(npx)) if n else 0
+        rows = {"tile_x": [], "tile_y": [], "region_label": [], "pixel_count": [],
+                "row_min": [], "row_max": [], "col_min": [], "col_max": []}
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        rr, cc = np.divmod(np.arange(npx), side if side else 1)
+        for i in range(n):
+            mask = (np.floor(px[i].reshape(side, side) * quant) >= tbin)
+            labels = _label_regions(mask.astype(np.int64))
+            flat = labels.ravel()
+            fg = mask.ravel()
+            order = np.argsort(flat, kind="stable")
+            sorted_lab = flat[order]
+            starts = np.flatnonzero(np.r_[True, sorted_lab[1:] != sorted_lab[:-1]])
+            counts = np.diff(np.r_[starts, len(sorted_lab)])
+            keep = fg[order[starts]] & (counts >= min_size)
+            if not keep.any():
+                continue
+            rows["tile_x"].append(np.full(keep.sum(), tx[i], np.int64))
+            rows["tile_y"].append(np.full(keep.sum(), ty[i], np.int64))
+            rows["region_label"].append(sorted_lab[starts[keep]].astype(np.int64))
+            rows["pixel_count"].append(counts[keep].astype(np.int64))
+            rows["row_min"].append(np.minimum.reduceat(rr[order], starts)[keep])
+            rows["row_max"].append(np.maximum.reduceat(rr[order], starts)[keep])
+            rows["col_min"].append(np.minimum.reduceat(cc[order], starts)[keep])
+            rows["col_max"].append(np.maximum.reduceat(cc[order], starts)[keep])
+        if not rows["tile_x"]:
+            return pa.table({k: pa.array([], pa.int64()) for k in rows})
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def texture_stats(ds: ray.data.Dataset, polygons: pa.Table, levels: int = 8,
                   lo: float = -2.5, hi: float = 2.5, round_to: int = 6) -> ray.data.Dataset:
     """shape.texture_stats analogue (shape.py:1566, graycomatrix
@@ -1189,9 +1237,9 @@ def otsu_zone_stage(ds: ray.data.Dataset, polygons: pa.Table, bins: int = 64,
     float64 score (and the argmax, ties broken to the smallest bin) is
     bit-reproducible — the SQL oracle computes the identical expression.
 
-    The reference's remove_small_holes / remove_small_objects morphology
-    composes downstream with polygonize_tiles / _label_regions; it is not
-    folded in here.
+    The reference's remove_small_objects morphology is
+    ``remove_small_objects_stage`` (this module), composing on the binary
+    mask exactly where shape.py:2270-2280 applies it.
     """
     ref = ray.put(polygons)
     B = int(bins)

@@ -117,3 +117,51 @@ def test_local_thresh_matches_dense_bruteforce():
         col = f"fg_count_{algo}"
         for ty, tx in [(0, 0), (0, 63), (31, 0), (31, 63), (5, 7), (16, 32)]:
             assert out.loc[(ty, tx), col] == exp[ty, tx], (algo, ty, tx)
+
+
+def test_remove_small_objects_matches_dense_flood_fill():
+    # dense reference: BFS 4-connected labeling of the binary mask per tile,
+    # drop components with area < min_size (skimage remove_small_objects
+    # semantics, connectivity=1)
+    from collections import deque
+
+    quant, tbin, min_size, tpx = 2.0, 1, 6, 16
+    out = (
+        raster.remove_small_objects_stage(
+            raster.clip_tiles(read_tiles(tile_px=tpx), -180.0, -80.0, -90.0, 0.0),
+            quant=quant, tbin=tbin, min_size=min_size,
+        )
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y", "region_label"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0 and (out.pixel_count >= min_size).all()
+    for (tx, ty), g in list(out.groupby(["tile_x", "tile_y"]))[:12]:
+        mask = np.floor(tile_pixels(tx, ty, tpx) * quant) >= tbin
+        seen = np.zeros_like(mask, bool)
+        comps = []
+        for r in range(tpx):
+            for c in range(tpx):
+                if not mask[r, c] or seen[r, c]:
+                    continue
+                q = deque([(r, c)])
+                seen[r, c] = True
+                px = []
+                while q:
+                    rr, cc = q.popleft()
+                    px.append((rr, cc))
+                    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        nr, nc = rr + dr, cc + dc
+                        if 0 <= nr < tpx and 0 <= nc < tpx and mask[nr, nc] and not seen[nr, nc]:
+                            seen[nr, nc] = True
+                            q.append((nr, nc))
+                if len(px) >= min_size:
+                    comps.append(px)
+        # compare as multisets of (area, bbox) — labels are representation
+        exp = sorted(
+            (len(px), min(p[0] for p in px), max(p[0] for p in px),
+             min(p[1] for p in px), max(p[1] for p in px))
+            for px in comps
+        )
+        got = sorted(zip(g.pixel_count, g.row_min, g.row_max, g.col_min, g.col_max))
+        assert got == exp, (tx, ty)
