@@ -1147,6 +1147,68 @@ def reproject_points(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Da
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_UTM_A = 6378137.0
+_UTM_F = 1.0 / 298.257223563
+_UTM_N = _UTM_F / (2.0 - _UTM_F)
+_UTM_K0 = 0.9996
+_UTM_AA = _UTM_A / (1.0 + _UTM_N) * (1.0 + _UTM_N ** 2 / 4.0 + _UTM_N ** 4 / 64.0)
+_UTM_A1 = _UTM_N / 2.0 - 2.0 * _UTM_N ** 2 / 3.0 + 5.0 * _UTM_N ** 3 / 16.0
+_UTM_A2 = 13.0 * _UTM_N ** 2 / 48.0 - 3.0 * _UTM_N ** 3 / 5.0
+_UTM_A3 = 61.0 * _UTM_N ** 3 / 240.0
+_UTM_C1 = 2.0 * np.sqrt(_UTM_N) / (1.0 + _UTM_N)
+
+
+def utm_forward(lon: np.ndarray, lat: np.ndarray):
+    """WGS84 → UTM forward transform (Karney 2011 "Transverse Mercator
+    with an accuracy of a few nanometers", the order-3 Krüger series —
+    sub-mm over a UTM zone). Zone from longitude, southern-hemisphere
+    false northing. sinh/cosh/atanh/asinh are spelled as exp/ln
+    compositions so the SQL oracle evaluates the IDENTICAL float chain
+    (CLAUDE.md: restate the expression, don't trust two libms to agree).
+    """
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    zone = np.clip(np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1, 1, 60)
+    lon0 = zone * 6.0 - 183.0
+    la = lat * np.radians(1.0)
+    lp = (lon - lon0) * np.radians(1.0)
+    s = np.sin(la)
+    ath = 0.5 * np.log((1.0 + s) / (1.0 - s)) - _UTM_C1 * 0.5 * np.log(
+        (1.0 + _UTM_C1 * s) / (1.0 - _UTM_C1 * s))
+    t = (np.exp(ath) - np.exp(-ath)) / 2.0
+    xi_p = np.arctan2(t, np.cos(lp))
+    w = np.sin(lp) / np.sqrt(1.0 + t * t)
+    eta_p = np.log(w + np.sqrt(w * w + 1.0))
+    xi = xi_p
+    eta = eta_p
+    for j, aj in ((1, _UTM_A1), (2, _UTM_A2), (3, _UTM_A3)):
+        e2j = np.exp(2.0 * j * eta_p)
+        ch = (e2j + 1.0 / e2j) / 2.0
+        sh = (e2j - 1.0 / e2j) / 2.0
+        xi = xi + aj * np.sin(2.0 * j * xi_p) * ch
+        eta = eta + aj * np.cos(2.0 * j * xi_p) * sh
+    e = 500000.0 + _UTM_K0 * _UTM_AA * eta
+    nn = _UTM_K0 * _UTM_AA * xi + np.where(lat < 0.0, 10000000.0, 0.0)
+    return zone, e, nn
+
+
+def reproject_points_utm(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:
+    """batchwarp general-CRS analogue (raster.py:2591 / _quickwarp 2634):
+    the reference's dominant target CRS is UTM (Sentinel/Landsat scenes);
+    this is the per-point forward kernel a warp applies per pixel. Full
+    float64 output; see ``utm_forward`` for the series and the oracle-
+    parity float chain."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        zone, e, nn = utm_forward(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        out = batch.select(carry_cols)
+        return (out.append_column("utm_zone", pa.array(zone))
+                   .append_column("utm_e", pa.array(e))
+                   .append_column("utm_n", pa.array(nn)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class WindowReader:
     """Windowed-read actor — the Ray analogue of holding one open GDAL
     dataset per worker and reading 256² windows on demand

@@ -155,3 +155,36 @@ def test_media_decode_vectorized_matches_per_row():
                     "media": pa.array([b"JUNK"], pa.binary())})
     bo = dec(bad).to_pandas().iloc[0]
     assert bo.width == 0 and bo.payload_bytes == 0 and np.isnan(bo.mean_byte)
+
+
+def test_utm_forward_properties():
+    # independent validation of the Krüger series against the DEFINING
+    # properties of the transverse Mercator projection (WGS84):
+    from geospatial_learn_ray.stages.raster import utm_forward
+
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    e2 = f * (2 - f)
+    # 1) central meridian: E = 500000 exactly; N = k0 * meridian arc
+    #    (arc by independent numerical integration of the radius M)
+    for lat in (12.0, 40.0, 71.5):
+        zone, E, N = utm_forward(np.array([-75.0]), np.array([lat]))
+        assert zone[0] == 18 and abs(E[0] - 500000.0) < 1e-6
+        phi = np.linspace(0, np.radians(lat), 1_000_001)
+        M = a * (1 - e2) / np.power(1 - e2 * np.sin(phi) ** 2, 1.5)
+        assert abs(N[0] - k0 * np.trapz(M, phi)) < 5e-4  # trapz error level
+    # 2) equator: N = 0 exactly for any longitude offset
+    _, E, N = utm_forward(np.array([-74.0, -76.3]), np.array([0.0, 0.0]))
+    assert np.all(np.abs(N) < 1e-9)
+    # 3) E symmetry about the central meridian, N equal
+    _, Ep, Np = utm_forward(np.array([-73.0]), np.array([50.0]))
+    _, Em, Nm = utm_forward(np.array([-77.0]), np.array([50.0]))
+    assert abs((Ep[0] - 500000.0) + (Em[0] - 500000.0)) < 1e-6
+    assert abs(Np[0] - Nm[0]) < 1e-6
+    # 4) point scale on the central meridian = k0 (finite difference)
+    _, _, N1 = utm_forward(np.array([-75.0]), np.array([40.0]))
+    _, _, N2 = utm_forward(np.array([-75.0]), np.array([40.0001]))
+    Mphi = a * (1 - e2) / (1 - e2 * np.sin(np.radians(40.0)) ** 2) ** 1.5
+    assert abs((N2[0] - N1[0]) / (np.radians(0.0001) * Mphi) - k0) < 1e-6
+    # 5) southern hemisphere false northing; zone selection
+    zone, E, N = utm_forward(np.array([147.325]), np.array([-42.880]))  # Hobart
+    assert zone[0] == 55 and N[0] < 10000000.0 and N[0] > 5000000.0
