@@ -1071,1162 +1071,44 @@ _QUALITY_STOP = (
 _SCORER_SQL = scorer.sql_for_scorer("lineitem", "l_orderkey, l_linenumber")
 
 # ---- hash/geocode/cell SQL restatements (functions/sqlgen.py) -------------
-from geospatial_learn_ray.functions import geo as _geo
+# --------------------------------------------------------------------------
+# oracle-SQL builders live in functions/oraclesql.py (VERDICT r2 next #10:
+# keep this contract file a thin registry); imported under their original
+# names so oracle_sql() below reads unchanged.
+# --------------------------------------------------------------------------
 from geospatial_learn_ray.functions import sqlgen as _sg
 from geospatial_learn_ray.functions.hashing import splitmix64 as _smx
-
-
-def _located_sql(hex_res: tuple[int, ...] = (), s2: bool = False,
-                 base: str = "SELECT url FROM pages") -> str:
-    """Subquery producing (url, lon, lat[, cell cols]) — the SQL twin of
-    geocode_and_cells. Embed under WITH pages AS (...) [, s2lut AS (...)]."""
-    steps = _sg.geocode_steps()
-    for r in hex_res:
-        steps += _sg.hex_cell_steps(r, f"cell_h3_r{r}")
-    if s2:
-        steps += _sg.s2_cell_steps(12, "cell_s2_l12")
-    return _sg.chain(base, steps)
-
-
-def _hex_meshgrid_sql() -> str:
-    """Distinct r5 cells → hexagon boundary shoelace area, restating
-    geo.hex_cell_to_boundary + ring_props with engine-identical literals
-    (cos/sin computed through the same numpy array path)."""
-    s3 = float(np.sqrt(3.0))
-    ang = np.radians(30.0 + 60.0 * np.arange(6))
-    c, s = np.cos(ang), np.sin(ang)
-    steps: list[tuple[str, str]] = [
-        ("_ch", "CAST(cell_h3_r5 AS HUGEINT)"),
-        ("_q", f"CAST((_ch // {1 << 27}) % {1 << 27} - {1 << 26} AS BIGINT)"),
-        ("_r", f"CAST(_ch % {1 << 27} - {1 << 26} AS BIGINT)"),
-        ("_cx", f"0.3125 * {s3!r} * (_q + _r/2.0)"),
-        ("_cy", "0.3125 * 1.5 * _r"),
-    ]
-    for k in range(6):
-        steps.append((f"_vx{k}", f"_cx + 0.3125 * {float(c[k])!r}"))
-        steps.append((f"_vy{k}", f"_cy + 0.3125 * {float(s[k])!r}"))
-    for k in range(6):
-        j = (k + 1) % 6
-        steps.append((f"_cr{k}", f"_vx{k}*_vy{j} - _vx{j}*_vy{k}"))
-    steps.append(("_ar", "ABS(0.5 * (((((_cr0 + _cr1) + _cr2) + _cr3) + _cr4) + _cr5))"))
-    base = f"SELECT DISTINCT cell_h3_r5 FROM ({_located_sql((5,))})"
-    return (
-        f"SELECT cell_h3_r5, CAST(125 AS BIGINT) AS wkb_len, ROUND(_ar, 6) AS area "
-        f"FROM ({_sg.chain(base, steps)})"
-    )
-
-
-def _knn_pages_sql() -> str:
-    """Per-cell kNN with ring-1 spill restated relationally: candidates =
-    points whose home cell is within axial hex distance 1 (the exact
-    candidate set of stages/knn.py replicate+group), ordered by
-    (planar_dist2, neighbor id)."""
-    deg = float(np.radians(1.0))
-    guard = float(_geo._hex_edge(5) * np.sqrt(3.0) / 2.0)
-    offs = ", ".join(f"({int(dq)},{int(dr)})" for dq, dr in _geo.hex_ring_offsets(1))
-    loc = _located_sql((5,))
-    return (
-        f"WITH {pages_sql()}, "
-        f"pts AS (SELECT url, lon, lat, _q_r5 AS q, _r_r5 AS r FROM ({loc})), "
-        f"ring(dq, dr) AS (VALUES {offs}), "
-        "cand AS (SELECT a.url AS u, b.url AS v, a.lon AS alon, a.lat AS alat, "
-        "  b.lon AS blon, b.lat AS blat FROM pts a JOIN ring ON TRUE JOIN pts b "
-        "  ON b.q - a.q = ring.dq AND b.r - a.r = ring.dr AND b.url <> a.url), "
-        "d AS (SELECT u, v, "
-        f"  ((alon - blon) * COS((alat + blat)/2.0 * {deg!r})) * ((alon - blon) * COS((alat + blat)/2.0 * {deg!r})) "
-        "  + (alat - blat)*(alat - blat) AS d2 FROM cand), "
-        "r1 AS (SELECT u, v, d2, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d2, v) AS rn, "
-        "  COUNT(*) OVER (PARTITION BY u) AS cnt FROM d), "
-        "kth AS (SELECT u, MAX(CASE WHEN rn = 5 THEN SQRT(d2) END) AS kd FROM r1 GROUP BY u) "
-        "SELECT r1.u AS url, r1.v AS neighbor_id, ROUND(SQRT(d2), 8) AS dist, "
-        "CAST(rn AS BIGINT) AS rank, "
-        f"(cnt >= 5 AND COALESCE(kth.kd <= {guard!r}, FALSE)) AS exact "
-        "FROM r1 JOIN kth ON r1.u = kth.u WHERE rn <= 5"
-    )
-
-def _lang_id_sql() -> str:
-    """SQL twin of functions/textproc.lang_id: per-code function-word hit
-    counts (multi-char markers = whitespace-token equality, single-char CJK
-    markers = substring occurrences), argmax with lexicographic tie-break,
-    zero hits → 'und'. Built from the same _LANG_MARKERS dict so the two
-    sides cannot drift."""
-    from geospatial_learn_ray.functions.textproc import _LANG_MARKERS
-
-    codes = sorted(_LANG_MARKERS)
-    score_cols = []
-    for code in codes:
-        words = _LANG_MARKERS[code]
-        parts = []
-        multi = [w for w in words if len(w) > 1]
-        if multi:
-            inlist = ", ".join(f"'{w}'" for w in multi)
-            parts.append(
-                f"len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ({inlist})))"
-            )
-        for w in words:
-            if len(w) == 1:
-                parts.append(f"(length(text) - length(replace(text, '{w}', '')))")
-        score_cols.append(f"({' + '.join(parts)}) AS s_{code}")
-    m = "GREATEST(" + ", ".join(f"s_{c}" for c in codes) + ")"
-    case = " ".join(f"WHEN s_{c} = {m} THEN '{c}'" for c in codes)
-    return (
-        f"WITH sc AS (SELECT doc_id, {', '.join(score_cols)} FROM documents) "
-        f"SELECT doc_id, CASE WHEN {m} = 0 THEN 'und' {case} END AS lang_pred FROM sc"
-    )
-
-
-def _simhash_pairs_sql(max_hamming: int = 3) -> str:
-    """SQL twin of stages/dedup.simhash_dedup_pairs: 64-bit SimHash per doc
-    (FNV-1a token hashes in HUGEINT mod 2^64 via functions/sqlgen, ±1 per
-    bit summed over token OCCURRENCES, sign-packed), 4×16-bit pigeonhole
-    bands, pairs sharing any band with popcount(xor) ≤ max_hamming. The
-    banded self-join reproduces the engine's LSH candidate structure
-    exactly — a pair missed by every band is absent on BOTH sides even if
-    its hamming is ≤ the cap."""
-    fnv = _sg.fnv1a64_expr("t")
-    bit_sums = ", ".join(
-        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(64)
-    )
-    sim = " + ".join(
-        f"(CASE WHEN COALESCE(b{b}, 0) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
-        for b in range(64)
-    )
-    band_eq = " OR ".join(
-        f"(a.sim // {1 << (16 * k)}) % 65536 = (b.sim // {1 << (16 * k)}) % 65536" for k in range(4)
-    )
-    ham = f"bit_count(xor({_sg.u64_to_i64('a.sim')}, {_sg.u64_to_i64('b.sim')}))"
-    return (
-        "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t FROM documents), "
-        f"th AS (SELECT doc_id, {fnv} AS h FROM tok), "
-        f"acc AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
-        f"sims AS (SELECT d.doc_id, ({sim}) AS sim FROM documents d LEFT JOIN acc ON d.doc_id = acc.doc_id) "
-        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS BIGINT) AS hamming "
-        f"FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_eq}) "
-        f"WHERE {ham} <= {max_hamming}"
-    )
-
-
-def _rf_oob_sql(max_stumps=32, step=4, bins=32, seed=11):
-    """SQL twin of stages/train.fit_bagged_stumps_oob (RF_oob_opt analogue,
-    learning.py:896): the hash-derived bootstrap (splitmix64(key ^ seed_s)
-    % 1000 < 632, seeds inlined), global min/max binning with numpy's
-    truncation semantics (TRUNC before CAST), exact integer (stump, feature,
-    bin, class) histograms, the driver's gini scan as a dense threshold
-    grid (gini computed with the identical float64 op order, ties broken
-    ORDER BY gini, f, t = numpy first-argmin), and the OOB signed
-    cumulative-majority vote as a window SUM. ``bag`` is MATERIALIZED:
-    DuckDB inlines CTEs, and the 1.9M-row splitmix chain is referenced by
-    both passes."""
-    B = max_stumps
-    seeds = _smx(np.arange(1, B + 1, dtype=np.uint64) * np.uint64(seed))
-    seed_rows = ", ".join(f"({s}, CAST({int(seeds[s])} AS HUGEINT))" for s in range(B))
-    grid = list(range(step, max_stumps + 1, step))
-    bag_chain = _sg.chain(
-        "SELECT rid, rid_k, y, b0, b1, b2, s, seed FROM binned, stumps",
-        _sg.splitmix64_steps(_sg.u64_xor("CAST(rid_k AS HUGEINT)", "seed"), "bh", "bag"),
-    )
-    def bin_expr(f):
-        w = f"(CASE WHEN hi{f} > lo{f} THEN hi{f} - lo{f} ELSE 1.0 END)"
-        return (f"LEAST(GREATEST(CAST(TRUNC((x{f} - lo{f}) / {w} * {bins}) AS BIGINT), 0), {bins - 1})")
-    gini = ("CAST(nl AS DOUBLE) * 2 * pl1 * (1 - pl1) + CAST(nr AS DOUBLE) * 2 * pr1 * (1 - pr1)")
-    return (
-        "WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y, "
-        "  l_discount::DOUBLE AS x0, l_tax::DOUBLE AS x1, l_quantity::DOUBLE AS x2, "
-        "  l_orderkey * 8 + l_linenumber AS rid_k, ROW_NUMBER() OVER () AS rid FROM lineitem), "
-        "mm AS (SELECT MIN(x0) lo0, MAX(x0) hi0, MIN(x1) lo1, MAX(x1) hi1, "
-        "  MIN(x2) lo2, MAX(x2) hi2 FROM d), "
-        "binned AS (SELECT rid, rid_k, y, "
-        f"  {bin_expr(0)} AS b0, {bin_expr(1)} AS b1, {bin_expr(2)} AS b2 FROM d, mm), "
-        f"stumps(s, seed) AS (VALUES {seed_rows}), "
-        f"bag AS MATERIALIZED (SELECT rid, y, b0, b1, b2, s, (bh % 1000) < 632 AS inbag FROM ({bag_chain})), "
-        "hist AS (SELECT s, f.range AS f, CASE f.range WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END AS b, "
-        "  y, COUNT(*) AS c FROM bag, range(0, 3) f WHERE inbag GROUP BY 1, 2, 3, 4), "
-        "tots AS (SELECT s, f, SUM(CASE WHEN y = 0 THEN c ELSE 0 END) AS t0, "
-        "  SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS t1 FROM hist GROUP BY s, f), "
-        f"thr AS (SELECT s, f, g.range AS t FROM tots, range(0, {bins}) g), "
-        "cum AS (SELECT thr.s, thr.f, thr.t, "
-        "  COALESCE(SUM(CASE WHEN hist.y = 0 THEN hist.c END), 0) AS cl0, "
-        "  COALESCE(SUM(CASE WHEN hist.y = 1 THEN hist.c END), 0) AS cl1 "
-        "  FROM thr LEFT JOIN hist ON hist.s = thr.s AND hist.f = thr.f AND hist.b <= thr.t "
-        "  GROUP BY thr.s, thr.f, thr.t), "
-        "gin0 AS (SELECT cum.s, cum.f, cum.t, cl0 + cl1 AS nl, (t0 + t1) - (cl0 + cl1) AS nr, "
-        "  cl1, t1 - cl1 AS cr1 FROM cum JOIN tots ON tots.s = cum.s AND tots.f = cum.f), "
-        "gin AS (SELECT s, f, t, "
-        "  CASE WHEN nl > 0 THEN CAST(cl1 AS DOUBLE) / CAST(nl AS DOUBLE) ELSE 0.0 END AS pl1, "
-        "  CASE WHEN nr > 0 THEN CAST(cr1 AS DOUBLE) / CAST(nr AS DOUBLE) ELSE 0.0 END AS pr1, "
-        "  nl, nr FROM gin0 WHERE nl > 0 AND nr > 0), "
-        f"scored AS (SELECT s, f, t, pl1, pr1, {gini} AS gini FROM gin), "
-        "pick AS (SELECT s, f, t, CASE WHEN pl1 > 0.5 THEN 1 ELSE 0 END AS lc, "
-        "  CASE WHEN pr1 > 0.5 THEN 1 ELSE 0 END AS rc, "
-        "  ROW_NUMBER() OVER (PARTITION BY s ORDER BY gini, f, t) AS rn FROM scored), "
-        "model AS (SELECT s, f, t, lc, rc FROM pick WHERE rn = 1), "
-        "votes AS (SELECT bag.rid, bag.y, bag.s, "
-        "  CASE WHEN NOT inbag THEN (CASE WHEN (CASE WHEN "
-        "    (CASE model.f WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) <= model.t "
-        "    THEN model.lc ELSE model.rc END) = 1 THEN 1 ELSE -1 END) ELSE 0 END AS v, "
-        "  CASE WHEN NOT inbag THEN 1 ELSE 0 END AS hv "
-        "  FROM bag JOIN model ON model.s = bag.s), "
-        "cumv AS (SELECT rid, y, s, SUM(v) OVER w AS cum, SUM(hv) OVER w AS nv FROM votes "
-        "  WINDOW w AS (PARTITION BY rid ORDER BY s ROWS UNBOUNDED PRECEDING)), "
-        f"atm AS (SELECT s + 1 AS m, y, cum, nv FROM cumv WHERE s + 1 IN ({', '.join(map(str, grid))})), "
-        "agg AS (SELECT m, SUM(CASE WHEN (CASE WHEN cum > 0 THEN 1 ELSE 0 END) <> y AND nv > 0 "
-        "  THEN 1 ELSE 0 END) AS err, SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS n FROM atm GROUP BY m) "
-        "SELECT m::BIGINT AS n_estimators, "
-        "ROUND(CAST(err AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0), 6) AS oob_error "
-        "FROM agg ORDER BY m"
-    )
-
-
-
-def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
-    """SQL twin of knn.ivf_build_centroids + ivf_topk (and ivf_topk_store —
-    the store route reads the same vectors from the partitioned layout, so
-    one oracle serves both): id-hash sample (splitmix64 chains, seeds
-    inlined), init = the n_centroids smallest init-hash sample vectors,
-    the 5 k-means-lite iterations unrolled as CTE blocks (argmax assign
-    with first-max tie order, AVG means renormalized, empty clusters keep
-    the previous centroid), nprobe centroid probing, and exact cosine
-    top-k over probed lists via list_cosine_similarity. Engine cosines
-    round half-away; float ulp drift across the 5 iterations is orders of
-    magnitude below the assignment margins on this fixture."""
-    seed_a = int(_smx(np.array([seed], np.uint64))[0])
-    seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
-    hs = _sg.chain(
-        "SELECT vec_id, e FROM base",
-        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
-         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
-    )
-    ctes = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"hs AS ({hs})",
-        f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
-        "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
-        "se AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, 65)) AS j, s.e AS el, s.ir FROM samp s)",
-        "sx AS MATERIALIZED (SELECT se.vec_id, se.j, se.el[se.j] / sn.nrm AS x, se.ir FROM se JOIN sn ON sn.vec_id = se.vec_id)",
-        f"c0 AS (SELECT ir - 1 AS c, j, x AS v FROM sx WHERE ir <= {n_centroids})",
-    ]
-    for t in range(1, iters + 1):
-        p = f"c{t-1}"
-        ctes += [
-            f"d{t} AS (SELECT sx.vec_id, cc.c, SUM(sx.x * cc.v) AS dot FROM sx JOIN {p} cc ON cc.j = sx.j GROUP BY 1, 2)",
-            f"a{t} AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM d{t}) WHERE rn = 1)",
-            f"m{t} AS (SELECT a.c, sx.j, AVG(sx.x) AS mv FROM a{t} a JOIN sx ON sx.vec_id = a.vec_id GROUP BY 1, 2)",
-            f"nz{t} AS (SELECT c, SQRT(SUM(mv * mv)) AS nn FROM m{t} GROUP BY c)",
-            f"c{t} AS (SELECT p.c, p.j, CASE WHEN n2.nn IS NOT NULL THEN m.mv / n2.nn ELSE p.v END AS v "
-            f"  FROM {p} p LEFT JOIN m{t} m ON m.c = p.c AND m.j = p.j LEFT JOIN nz{t} n2 ON n2.c = p.c)",
-        ]
-    C = f"c{iters}"
-    ctes += [
-        f"cf AS MATERIALIZED (SELECT * FROM {C})",
-        "qs AS (SELECT vec_id AS qid, e FROM base WHERE vec_id % 50 = 0)",
-        "qn AS (SELECT qid, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM qs)",
-        "qx AS (SELECT q.qid, unnest(range(1, 65)) AS j, q.e AS el FROM qs q)",
-        "qe AS (SELECT qx.qid, qx.j, qx.el[qx.j] / qn.nrm AS x FROM qx JOIN qn ON qn.qid = qx.qid)",
-        "pd AS (SELECT qe.qid, cf.c, SUM(qe.x * cf.v) AS dot FROM qe JOIN cf ON cf.j = qe.j GROUP BY 1, 2)",
-        f"pr AS (SELECT qid, c FROM (SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, c ASC) AS rn FROM pd) WHERE rn <= {nprobe})",
-        "ax AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
-        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
-        "ae AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
-        "ad AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM ae JOIN cf ON cf.j = ae.j GROUP BY 1, 2)",
-        "aa AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM ad) WHERE rn = 1)",
-        "cand AS (SELECT pr.qid, aa.vec_id FROM pr JOIN aa ON aa.c = pr.c)",
-        "cosv AS (SELECT cand.qid, cand.vec_id, "
-        "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) AS cosr "
-        "  FROM cand JOIN embeddings q ON q.vec_id = cand.qid JOIN embeddings x ON x.vec_id = cand.vec_id)",
-        "rk AS (SELECT qid, vec_id, cosr, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosr DESC, vec_id ASC) AS rnk FROM cosv)",
-    ]
-    return ("WITH " + ", ".join(ctes)
-            + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
-
-
-
-def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None):
-    """Per-tile connected-component labeling of the clipped closed-form
-    raster as UNROLLED min-label rounds (neighbor-min + two pointer jumps
-    per round, every round MATERIALIZED - DuckDB inlines CTEs and each
-    round references the previous twice, which explodes 4^t without it).
-    The fixpoint is the per-region min pixel index - the engine's label -
-    independent of schedule; this raster converges at 16 rounds (measured;
-    the raster is closed-form, so the count is a constant of the fixture),
-    20 gives margin. Ends with ``fin(tile_x, tile_y, idx, lab, q, vd)``.
-    Shared by the polygonize and ragmerge oracles."""
-    if qexpr is None:
-        qexpr = f"FLOOR(vd * {quant!r})"
-    ctes = [
-        tiles_sql(side),
-        f"rc AS MATERIALIZED (SELECT tile_x, tile_y, py * {side} + px AS idx, "
-        f"  {qexpr} AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
-        "edg AS MATERIALIZED ("
-        "  SELECT a.tile_x, a.tile_y, a.idx AS u, b.idx AS v FROM rc a JOIN rc b "
-        f"    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.q = a.q AND ("
-        f"      (b.idx = a.idx + 1 AND a.idx % {side} < {side - 1}) OR "
-        f"      (b.idx = a.idx - 1 AND a.idx % {side} > 0) OR "
-        f"      b.idx = a.idx + {side} OR b.idx = a.idx - {side}))",
-        "l0 AS (SELECT tile_x, tile_y, idx, idx AS lab FROM rc)",
-    ]
-    for t in range(1, rounds + 1):
-        p = f"l{t-1}"
-        ctes += [
-            f"n{t} AS MATERIALIZED (SELECT l.tile_x, l.tile_y, l.idx, "
-            f"  LEAST(MIN(l.lab), COALESCE(MIN(ln.lab), MIN(l.lab))) AS lab "
-            f"  FROM {p} l LEFT JOIN edg e ON e.tile_x = l.tile_x AND e.tile_y = l.tile_y AND e.u = l.idx "
-            f"  LEFT JOIN {p} ln ON ln.tile_x = l.tile_x AND ln.tile_y = l.tile_y AND ln.idx = e.v "
-            f"  GROUP BY l.tile_x, l.tile_y, l.idx)",
-            f"j{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.idx, LEAST(a.lab, b.lab) AS lab FROM n{t} a "
-            f"  JOIN n{t} b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.idx = a.lab)",
-            f"l{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.idx, LEAST(a.lab, b.lab) AS lab FROM j{t} a "
-            f"  JOIN j{t} b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.idx = a.lab)",
-        ]
-    ctes += [
-        f"fin AS (SELECT l.tile_x, l.tile_y, l.idx, l.lab, rc.q, rc.vd FROM l{rounds} l "
-        "  JOIN rc ON rc.tile_x = l.tile_x AND rc.tile_y = l.tile_y AND rc.idx = l.idx)",
-    ]
-    return ctes
-
-
-def _polygonize_tiles_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
-    """SQL twin of raster.polygonize_tiles (see _ccl_ctes).
-    region_value = floor(v*quant)/quant is dyadic-exact."""
-    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, lab AS region_label, "
-        f"ANY_VALUE(q) / {quant!r} AS region_value, COUNT(*) AS pixel_count, "
-        f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
-        f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
-        "FROM fin GROUP BY tile_x, tile_y, lab"
-    )
-
-
-def _utm_sql() -> str:
-    """SQL twin of raster.reproject_points_utm (Karney order-3 Krüger
-    series): the IDENTICAL float chain — sinh/cosh/atanh/asinh as the same
-    exp/ln compositions, series constants inlined as numpy-computed f64
-    literals, multiplication order matching the engine's left-to-right
-    evaluation — then the same f32 snap + decimeter half-away round."""
-    R = repr(float(np.radians(1.0)))
-    C1 = repr(raster._UTM_C1)
-    C1H = repr(raster._UTM_C1 * 0.5)
-    A1, A2, A3 = repr(raster._UTM_A1), repr(raster._UTM_A2), repr(raster._UTM_A3)
-    K0AA = repr(raster._UTM_K0 * raster._UTM_AA)
-    return (
-        f"WITH {pages_sql()}, "
-        f"u0 AS (SELECT url, lon, lat FROM ({_located_sql()})), "
-        "u1 AS (SELECT url, lon, lat, "
-        "  LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1, 1), 60) AS zone FROM u0), "
-        f"u2 AS (SELECT *, lat * {R} AS la, (lon - (zone * 6.0 - 183.0)) * {R} AS lp FROM u1), "
-        "u3 AS (SELECT *, SIN(la) AS s FROM u2), "
-        f"u4 AS (SELECT *, 0.5 * LN((1.0 + s) / (1.0 - s)) - {C1H} * LN((1.0 + {C1} * s) / (1.0 - {C1} * s)) AS ath FROM u3), "
-        "u5 AS (SELECT *, (EXP(ath) - EXP(-ath)) / 2.0 AS t FROM u4), "
-        "u6 AS (SELECT *, ATAN2(t, COS(lp)) AS xip, SIN(lp) / SQRT(1.0 + t * t) AS w FROM u5), "
-        "u7 AS (SELECT *, LN(w + SQRT(w * w + 1.0)) AS etap FROM u6), "
-        "u8 AS (SELECT *, EXP(2.0 * etap) AS g2, EXP(4.0 * etap) AS g4, EXP(6.0 * etap) AS g6 FROM u7), "
-        "u9 AS (SELECT *, "
-        f"  xip + {A1} * SIN(2.0 * xip) * ((g2 + 1.0 / g2) / 2.0) "
-        f"      + {A2} * SIN(4.0 * xip) * ((g4 + 1.0 / g4) / 2.0) "
-        f"      + {A3} * SIN(6.0 * xip) * ((g6 + 1.0 / g6) / 2.0) AS xi, "
-        f"  etap + {A1} * COS(2.0 * xip) * ((g2 - 1.0 / g2) / 2.0) "
-        f"       + {A2} * COS(4.0 * xip) * ((g4 - 1.0 / g4) / 2.0) "
-        f"       + {A3} * COS(6.0 * xip) * ((g6 - 1.0 / g6) / 2.0) AS eta FROM u8) "
-        "SELECT url, zone AS utm_zone, "
-        f"ROUND(CAST(CAST(500000.0 + {K0AA} * eta AS REAL) AS DOUBLE), 1) AS utm_e, "
-        f"ROUND(CAST(CAST({K0AA} * xi + CASE WHEN lat < 0.0 THEN 10000000.0 ELSE 0.0 END "
-        "  AS REAL) AS DOUBLE), 1) AS utm_n FROM u9"
-    )
-
-
-def _remove_small_objects_sql(quant=2.0, tbin=1, min_size=6, side=16,
-                              rounds=20, tx_max=15, ty_max=15):
-    """SQL twin of raster.remove_small_objects_stage: the same CCL rounds
-    over the BINARY foreground mask (q = 1 iff floor(v*quant) >= tbin, an
-    exact integer compare), keep foreground regions with area >=
-    min_size."""
-    ctes = _ccl_ctes(
-        quant, side, rounds, tx_max, ty_max,
-        qexpr=f"CASE WHEN FLOOR(vd * {quant!r}) >= {tbin} THEN 1 ELSE 0 END",
-    )
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, lab AS region_label, "
-        "COUNT(*) AS pixel_count, "
-        f"MIN(idx // {side}) AS row_min, MAX(idx // {side}) AS row_max, "
-        f"MIN(idx % {side}) AS col_min, MAX(idx % {side}) AS col_max "
-        f"FROM fin WHERE q = 1 GROUP BY tile_x, tile_y, lab HAVING COUNT(*) >= {min_size}"
-    )
-
-
-def _edge_ctes(side: int, tx_max: int, ty_max: int, edge_thresh: float) -> str:
-    """Shared gradient-edge CTEs for the ransac/hough oracles: clamped
-    within-tile central differences (COALESCE = the engine's edge copy),
-    edge mask gx²+gy² > thresh, points numbered ascending by flat pixel
-    index. Ends with ``ed(tile_x, tile_y, idx, x, y, rn)``."""
-    return (
-        f"{tiles_sql(side)}, "
-        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
-        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
-        "g1 AS (SELECT *, (COALESCE(LEAD(vd) OVER wx, vd) - COALESCE(LAG(vd) OVER wx, vd))/2.0 AS gx "
-        "  FROM rcl WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px)), "
-        "g2 AS (SELECT *, (COALESCE(LEAD(vd) OVER wy, vd) - COALESCE(LAG(vd) OVER wy, vd))/2.0 AS gy "
-        "  FROM g1 WINDOW wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)), "
-        f"ed AS MATERIALIZED (SELECT tile_x, tile_y, py*{side} + px AS idx, px AS x, py AS y, "
-        f"  ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY py*{side} + px) - 1 AS rn "
-        f"  FROM g2 WHERE gx*gx + gy*gy > CAST({edge_thresh!r} AS DOUBLE))"
-    )
-
-
-def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12):
-    """SQL twin of raster.hough_lines_stage: (orientation, rho) accumulator
-    over the shared edge points; cos/sin inlined as the numpy-computed
-    float64 literals so rho = FLOOR(x·c + y·s + 0.5) bins bit-identically;
-    peak by votes DESC, theta ASC, rho ASC."""
-    ang = np.pi * np.arange(n_orient) / n_orient
-    th = ", ".join(
-        f"({j}, CAST({float(np.cos(a))!r} AS DOUBLE), CAST({float(np.sin(a))!r} AS DOUBLE))"
-        for j, a in enumerate(ang)
-    )
-    return (
-        f"WITH {_edge_ctes(side, tx_max, ty_max, edge_thresh)}, "
-        f"th(j, c, s) AS (VALUES {th}), "
-        "acc AS (SELECT e.tile_x, e.tile_y, th.j, "
-        "  CAST(FLOOR(e.x*th.c + e.y*th.s + 0.5) AS BIGINT) AS rho, COUNT(*) AS votes "
-        "  FROM ed e, th GROUP BY 1, 2, 3, 4), "
-        "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y "
-        "  ORDER BY votes DESC, j ASC, rho ASC) AS rr FROM acc), "
-        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
-        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl) "
-        "SELECT b.tile_x, b.tile_y, COALESCE(c.n, 0) AS n_edge, "
-        "COALESCE(p.j, -1) AS peak_theta, COALESCE(p.rho, 0) AS peak_rho, "
-        "COALESCE(p.votes, 0) AS votes "
-        "FROM base b LEFT JOIN cnt c USING (tile_x, tile_y) "
-        "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
-    )
-
-
-def _polygonize_edges_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
-    """SQL twin of _q_polygonize_edges: per-tile CCL labels (_ccl_ctes) →
-    one directed edge per exposed cell side (region-on-left orientation,
-    functions/tracing.py:27-31), neighbor-absent via LEFT JOIN within the
-    tile; coordinates are global pixel corners."""
-    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
-    dirs = [
-        ("n.px = c.px AND n.py = c.py - 1", "c.gx", "c.gy", "c.gx + 1", "c.gy"),          # top
-        ("n.px = c.px + 1 AND n.py = c.py", "c.gx + 1", "c.gy", "c.gx + 1", "c.gy + 1"),  # right
-        ("n.px = c.px AND n.py = c.py + 1", "c.gx + 1", "c.gy + 1", "c.gx", "c.gy + 1"),  # bottom
-        ("n.px = c.px - 1 AND n.py = c.py", "c.gx", "c.gy + 1", "c.gx", "c.gy"),          # left
-    ]
-    parts = []
-    for cond, x0, y0, x1, y1 in dirs:
-        parts.append(
-            "SELECT c.tile_x, c.tile_y, c.lab AS region_label, "
-            f"{x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1 FROM cel c "
-            f"LEFT JOIN cel n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
-            f"AND {cond} AND n.lab = c.lab WHERE n.lab IS NULL"
-        )
-    return (
-        "WITH " + ", ".join(ctes) + ", "
-        f"cel AS MATERIALIZED (SELECT tile_x, tile_y, lab, idx % {side} AS px, idx // {side} AS py, "
-        f"  tile_x*{side} + idx % {side} AS gx, tile_y*{side} + idx // {side} AS gy FROM fin) "
-        + " UNION ALL ".join(parts)
-    )
-
-
-def _ms_acwe_sql(side=16, tx_max=15, ty_max=15, iterations=5,
-                 lambda1=1.0, lambda2=1.0, init="circle", init_thresh=0.5):
-    """SQL twin of raster.ms_acwe_stage (morphological ACWE): the fixed
-    iteration count unrolls as MATERIALIZED CTE blocks — per iteration a
-    means CTE (exact f32-valued sums → bit-identical c1/c2), a level-set
-    update, and two morphological passes (3×3 cross SE = LEAST/GREATEST of
-    the two separable ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING windows,
-    which shrink at tile borders exactly like the engine's clamped
-    slices)."""
-    R2 = (2 * side // 3) ** 2
-    if init == "circle":
-        init_expr = (f"(2*px - {side - 1})*(2*px - {side - 1}) "
-                     f"+ (2*py - {side - 1})*(2*py - {side - 1}) <= {R2}")
-    elif init == "checkerboard":
-        init_expr = "(px // 4 + py // 4) % 2 = 1"
-    else:
-        init_expr = f"vd < CAST({init_thresh!r} AS DOUBLE)"
-    ctes = [
-        tiles_sql(side),
-        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
-        f"  CASE WHEN {init_expr} "
-        f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
-    ]
-    wspec = (
-        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
-        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
-    )
-    for t in range(1, iterations + 1):
-        p = f"s{t - 1}"
-        ctes.append(
-            f"m{t} AS MATERIALIZED (SELECT tile_x, tile_y, "
-            "CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END AS c1, "
-            "CASE WHEN SUM(1.0 - u) > 0 THEN SUM(vd*(1.0 - u))/SUM(1.0 - u) ELSE 0.0 END AS c2 "
-            f"FROM {p} GROUP BY 1, 2)"
-        )
-        ctes.append(
-            f"u{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, "
-            f"CASE WHEN CAST({lambda1!r} AS DOUBLE)*((s.vd - m.c1)*(s.vd - m.c1)) "
-            f"< CAST({lambda2!r} AS DOUBLE)*((s.vd - m.c2)*(s.vd - m.c2)) THEN 1.0 ELSE 0.0 END AS u "
-            f"FROM {p} s JOIN m{t} m USING (tile_x, tile_y))"
-        )
-        op1, op2 = ("MIN", "MAX") if t % 2 == 1 else ("MAX", "MIN")
-        comb1 = "LEAST" if op1 == "MIN" else "GREATEST"
-        comb2 = "LEAST" if op2 == "MIN" else "GREATEST"
-        ctes.append(
-            f"a{t} AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
-            f"{comb1}({op1}(u) OVER wx, {op1}(u) OVER wy) AS u FROM u{t} {wspec})"
-        )
-        ctes.append(
-            f"s{t} AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
-            f"{comb2}({op2}(u) OVER wx, {op2}(u) OVER wy) AS u FROM a{t} {wspec})"
-        )
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        f"SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
-        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
-        f"FROM s{iterations} GROUP BY 1, 2"
-    )
-
-
-def _ms_gac_sql(side=16, tx_max=15, ty_max=15, iterations=5, alpha=8.0,
-                theta=0.3, balloon=1):
-    """SQL twin of raster.ms_gac_stage: the stopping function, its
-    gradient, and the balloon mask are computed once with the clamped
-    central-difference windows; each iteration unrolls as balloon →
-    gradient-of-u → attachment → two morph passes, every CTE
-    MATERIALIZED. All comparisons are of identical float64 expressions."""
-    thr = theta / abs(balloon) if balloon != 0 else float("inf")
-    R2 = (2 * side // 3) ** 2
-    cd = "(COALESCE(LEAD({c}) OVER {w}, {c}) - COALESCE(LAG({c}) OVER {w}, {c}))/2.0"
-    wdef = (
-        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px), "
-        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)"
-    )
-    mdef = (
-        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
-        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
-    )
-    ctes = [
-        tiles_sql(side),
-        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
-        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
-        "gv AS MATERIALIZED (SELECT *, "
-        f"  {cd.format(c='vd', w='wx')} AS vx, {cd.format(c='vd', w='wy')} AS vy "
-        f"  FROM rcl {wdef})",
-        f"gg AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
-        f"  1.0/SQRT(1.0 + CAST({alpha!r} AS DOUBLE)*(vx*vx + vy*vy)) AS g FROM gv)",
-        "gd AS MATERIALIZED (SELECT *, "
-        f"  {cd.format(c='g', w='wx')} AS dgx, {cd.format(c='g', w='wy')} AS dgy "
-        f"  FROM gg {wdef})",
-        "s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, g, dgx, dgy, "
-        f"  g > CAST({thr!r} AS DOUBLE) AS bm, "
-        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
-        "  THEN 1.0 ELSE 0.0 END AS u FROM gd)",
-    ]
-    aux = ("GREATEST(MAX(u) OVER wx, MAX(u) OVER wy)" if balloon > 0
-           else "LEAST(MIN(u) OVER wx, MIN(u) OVER wy)" if balloon < 0 else "u")
-    carry = "tile_x, tile_y, py, px, g, dgx, dgy, bm"
-    for t in range(1, iterations + 1):
-        ctes.append(
-            f"b{t} AS MATERIALIZED (SELECT {carry}, "
-            f"CASE WHEN bm THEN {aux} ELSE u END AS u FROM s{t - 1} {mdef})"
-        )
-        ctes.append(
-            f"d{t} AS MATERIALIZED (SELECT *, "
-            f"{cd.format(c='u', w='wx')} AS dux, {cd.format(c='u', w='wy')} AS duy "
-            f"FROM b{t} {wdef})"
-        )
-        ctes.append(
-            f"a{t} AS MATERIALIZED (SELECT {carry}, "
-            "CASE WHEN dux*dgx + duy*dgy > 0 THEN 1.0 "
-            "WHEN dux*dgx + duy*dgy < 0 THEN 0.0 ELSE u END AS u "
-            f"FROM d{t})"
-        )
-        op1, op2 = ("MIN", "MAX") if t % 2 == 1 else ("MAX", "MIN")
-        comb1 = "LEAST" if op1 == "MIN" else "GREATEST"
-        comb2 = "LEAST" if op2 == "MIN" else "GREATEST"
-        ctes.append(
-            f"e{t} AS MATERIALIZED (SELECT {carry}, "
-            f"{comb1}({op1}(u) OVER wx, {op1}(u) OVER wy) AS u FROM a{t} {mdef})"
-        )
-        ctes.append(
-            f"s{t} AS MATERIALIZED (SELECT {carry}, "
-            f"{comb2}({op2}(u) OVER wx, {op2}(u) OVER wy) AS u FROM e{t} {mdef})"
-        )
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
-        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(g*u)/SUM(u) ELSE 0.0 END, 6) AS mean_g_in "
-        f"FROM s{iterations} GROUP BY 1, 2"
-    )
-
-
-def _ms_toposnakes_sql(side=16, tx_max=15, ty_max=15, iterations=5):
-    """SQL twin of raster.ms_toposnakes_stage: the 256-entry simple-point
-    LUT inlines as a VALUES table; each of the 4 checkerboard subphases is
-    one CTE with 8 LEFT JOINs building the neighborhood code (out-of-tile
-    → 0) and a LUT join gating the flip; means per iteration are the exact
-    f32-valued sums."""
-    from geospatial_learn_ray.stages.raster import _SP_OFFS, _simple_point_lut
-
-    lut = _simple_point_lut()
-    lut_rows = ", ".join(f"({c}, {int(lut[c])})" for c in range(256))
-    R2 = (2 * side // 3) ** 2
-    ctes = [
-        tiles_sql(side),
-        f"lut(code, simple) AS (VALUES {lut_rows})",
-        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
-        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
-        f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
-    ]
-    nbj = " ".join(
-        f"LEFT JOIN {{p}} n{k} ON n{k}.tile_x = c.tile_x AND n{k}.tile_y = c.tile_y "
-        f"AND n{k}.py = c.py + {dy} AND n{k}.px = c.px + {dx}"
-        for k, (dy, dx) in enumerate(_SP_OFFS)
-    )
-    code_expr = " + ".join(f"CAST(COALESCE(n{k}.u, 0.0) AS BIGINT)*{1 << k}" for k in range(8))
-    prev = "s0"
-    for t in range(1, iterations + 1):
-        ctes.append(
-            f"m{t} AS MATERIALIZED (SELECT tile_x, tile_y, "
-            "CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END AS c1, "
-            "CASE WHEN SUM(1.0 - u) > 0 THEN SUM(vd*(1.0 - u))/SUM(1.0 - u) ELSE 0.0 END AS c2 "
-            f"FROM {prev} GROUP BY 1, 2)"
-        )
-        ctes.append(
-            f"t{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, s.u, "
-            "CASE WHEN (s.vd - m.c1)*(s.vd - m.c1) < (s.vd - m.c2)*(s.vd - m.c2) THEN 1.0 ELSE 0.0 END AS tgt "
-            f"FROM {prev} s JOIN m{t} m USING (tile_x, tile_y))"
-        )
-        prev_ph = f"t{t}"
-        for ph, (phy, phx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            name = f"q{t}{'abcd'[ph]}"
-            ctes.append(
-                f"{name} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.py, a.px, a.vd, a.tgt, "
-                f"CASE WHEN a.py % 2 = {phy} AND a.px % 2 = {phx} AND a.u <> a.tgt AND l.simple = 1 "
-                "THEN a.tgt ELSE a.u END AS u FROM ("
-                f"SELECT c.*, {code_expr} AS code FROM {prev_ph} c {nbj.format(p=prev_ph)}"
-                ") a JOIN lut l ON l.code = a.code)"
-            )
-            prev_ph = name
-        prev = prev_ph
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
-        "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
-        f"FROM {prev} GROUP BY 1, 2"
-    )
-
-
-def _snake_sql(side=16, tx_max=15, ty_max=15, n_points=40, iterations=5,
-               alpha=0.1, beta=0.01, kappa=1.0, dt=0.5):
-    """SQL twin of raster.snake_stage: initial contour coordinates inlined
-    as the numpy-computed literals, neighbor indices precomputed in the
-    point VALUES table, per-iteration CTEs joining ring neighbors (4) and
-    the gradient grid's bilinear corners (4) — every arithmetic expression
-    matches the engine's operation order character-for-character, and the
-    output is per point (no cross-point reductions), so values are
-    bit-identical."""
-    ang = 2.0 * np.pi * np.arange(n_points) / n_points
-    c0 = (side - 1) / 2.0
-    r0 = side / 3.0
-    xs = c0 + r0 * np.cos(ang)
-    ys = c0 + r0 * np.sin(ang)
-    pv = ", ".join(
-        f"({i}, CAST({float(xs[i])!r} AS DOUBLE), CAST({float(ys[i])!r} AS DOUBLE), "
-        f"{(i - 1) % n_points}, {(i + 1) % n_points}, {(i - 2) % n_points}, {(i + 2) % n_points})"
-        for i in range(n_points)
-    )
-    cd = "(COALESCE(LEAD({c}) OVER {w}, {c}) - COALESCE(LAG({c}) OVER {w}, {c}))/2.0"
-    wdef = (
-        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px), "
-        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py)"
-    )
-    A, B, K, DT = (f"CAST({v!r} AS DOUBLE)" for v in (alpha, beta, kappa, dt))
-    hi = f"CAST({float(side - 1)!r} AS DOUBLE)"
-    zero = "CAST(0.0 AS DOUBLE)"
-    bil = ("((1.0 - ty{c}) * ((1.0 - tx{c}) * g00.g{c} + tx{c} * g01.g{c}) "
-           "+ ty{c} * ((1.0 - tx{c}) * g10.g{c} + tx{c} * g11.g{c}))")
-    ctes = [
-        tiles_sql(side),
-        f"rcl AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd FROM rast "
-        f"  WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
-        "grid AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
-        f"  {cd.format(c='vd', w='wx')} AS gx, {cd.format(c='vd', w='wy')} AS gy "
-        f"  FROM rcl {wdef})",
-        f"pv(i, x0i, y0i, im1, ip1, im2, ip2) AS (VALUES {pv})",
-        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl)",
-        "p0 AS MATERIALIZED (SELECT b.tile_x, b.tile_y, pv.i, pv.im1, pv.ip1, pv.im2, pv.ip2, "
-        "  pv.x0i AS x, pv.y0i AS y FROM base b CROSS JOIN pv)",
-    ]
-    for t in range(1, iterations + 1):
-        p = f"p{t - 1}"
-        ctes.append(
-            f"c{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.i, a.im1, a.ip1, a.im2, a.ip2, "
-            "a.x, a.y, m1.x AS xm1, p1.x AS xp1, m2.x AS xm2, p2.x AS xp2, "
-            "m1.y AS ym1, p1.y AS yp1, m2.y AS ym2, p2.y AS yp2, "
-            f"LEAST(CAST(FLOOR(a.x) AS BIGINT), {side - 2}) AS xf, "
-            f"LEAST(CAST(FLOOR(a.y) AS BIGINT), {side - 2}) AS yf "
-            f"FROM {p} a "
-            f"JOIN {p} m1 ON m1.tile_x = a.tile_x AND m1.tile_y = a.tile_y AND m1.i = a.im1 "
-            f"JOIN {p} p1 ON p1.tile_x = a.tile_x AND p1.tile_y = a.tile_y AND p1.i = a.ip1 "
-            f"JOIN {p} m2 ON m2.tile_x = a.tile_x AND m2.tile_y = a.tile_y AND m2.i = a.im2 "
-            f"JOIN {p} p2 ON p2.tile_x = a.tile_x AND p2.tile_y = a.tile_y AND p2.i = a.ip2)"
-        )
-        ctes.append(
-            f"f{t} AS MATERIALIZED (SELECT c.*, c.x - c.xf AS txc, c.y - c.yf AS tyc, "
-            "g00.gx AS g00x, g01.gx AS g01x, g10.gx AS g10x, g11.gx AS g11x, "
-            "g00.gy AS g00y, g01.gy AS g01y, g10.gy AS g10y, g11.gy AS g11y "
-            f"FROM c{t} c "
-            "JOIN grid g00 ON g00.tile_x = c.tile_x AND g00.tile_y = c.tile_y AND g00.py = c.yf AND g00.px = c.xf "
-            "JOIN grid g01 ON g01.tile_x = c.tile_x AND g01.tile_y = c.tile_y AND g01.py = c.yf AND g01.px = c.xf + 1 "
-            "JOIN grid g10 ON g10.tile_x = c.tile_x AND g10.tile_y = c.tile_y AND g10.py = c.yf + 1 AND g10.px = c.xf "
-            "JOIN grid g11 ON g11.tile_x = c.tile_x AND g11.tile_y = c.tile_y AND g11.py = c.yf + 1 AND g11.px = c.xf + 1)"
-        )
-        fxe = ("((1.0 - tyc) * ((1.0 - txc) * g00x + txc * g01x) "
-               "+ tyc * ((1.0 - txc) * g10x + txc * g11x))")
-        fye = ("((1.0 - tyc) * ((1.0 - txc) * g00y + txc * g01y) "
-               "+ tyc * ((1.0 - txc) * g10y + txc * g11y))")
-        ctes.append(
-            f"p{t} AS MATERIALIZED (SELECT tile_x, tile_y, i, im1, ip1, im2, ip2, "
-            f"LEAST(GREATEST(x + {DT} * ({A} * (xm1 - 2.0 * x + xp1) "
-            f"- {B} * (xm2 - 4.0 * xm1 + 6.0 * x - 4.0 * xp1 + xp2) "
-            f"+ {K} * {fxe}), {zero}), {hi}) AS x, "
-            f"LEAST(GREATEST(y + {DT} * ({A} * (ym1 - 2.0 * y + yp1) "
-            f"- {B} * (ym2 - 4.0 * ym1 + 6.0 * y - 4.0 * yp1 + yp2) "
-            f"+ {K} * {fye}), {zero}), {hi}) AS y "
-            f"FROM f{t})"
-        )
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT tile_x::BIGINT AS tile_x, tile_y::BIGINT AS tile_y, CAST(i AS BIGINT) AS point_id, "
-        f"ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM p{iterations}"
-    )
-
-
-def _ransac_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, trials=64):
-    """SQL twin of raster.ransac_lines_stage: clamped central-difference
-    gradient edges, splitmix64 2-point draws per (tile, trial) over the
-    ascending edge index list (sqlgen HUGEINT mask arithmetic — identical
-    bits to the numpy splitmix64), and the exact-integer inlier test
-    cross² ≤ residual²·norm² on pixel coordinates; best trial by inlier
-    count with ties to the smallest trial."""
-    sm = _sg.chain(
-        "SELECT * FROM tk",
-        _sg.splitmix64_steps("seed1", "sm1", "ra") + _sg.splitmix64_steps("seed2", "sm2", "rb"),
-    )
-    return (
-        f"WITH {_edge_ctes(side, tx_max, ty_max, edge_thresh)}, "
-        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
-        "tk AS (SELECT tile_x, tile_y, n, CAST(t.range AS BIGINT) AS k, "
-        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{2 * trials} + 2*k AS seed1, "
-        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{2 * trials} + 2*k + 1 AS seed2 "
-        f"  FROM cnt, range(0, {trials}) t WHERE n >= 2), "
-        f"dr AS (SELECT tile_x, tile_y, n, k, CAST(sm1 % n AS BIGINT) AS i1r, "
-        f"  CAST(sm2 % (n - 1) AS BIGINT) AS i2r FROM ({sm})), "
-        "dr2 AS (SELECT *, i1r AS i1, i2r + CASE WHEN i2r >= i1r THEN 1 ELSE 0 END AS i2 FROM dr), "
-        "sup AS (SELECT d.tile_x, d.tile_y, d.k, a.idx AS ia, a.x AS x1, a.y AS y1, "
-        "  b.idx AS ib, b.x AS x2, b.y AS y2 "
-        "  FROM dr2 d JOIN ed a ON a.tile_x = d.tile_x AND a.tile_y = d.tile_y AND a.rn = d.i1 "
-        "  JOIN ed b ON b.tile_x = d.tile_x AND b.tile_y = d.tile_y AND b.rn = d.i2), "
-        "il AS (SELECT s.tile_x, s.tile_y, s.k, ANY_VALUE(s.ia) AS ia, ANY_VALUE(s.ib) AS ib, "
-        "  COUNT(*) FILTER (WHERE "
-        "    ((s.x2 - s.x1)*(e.y - s.y1) - (s.y2 - s.y1)*(e.x - s.x1)) "
-        "    * ((s.x2 - s.x1)*(e.y - s.y1) - (s.y2 - s.y1)*(e.x - s.x1)) "
-        "    <= CAST(1.0 AS DOUBLE)*((s.x2 - s.x1)*(s.x2 - s.x1) + (s.y2 - s.y1)*(s.y2 - s.y1))) AS c "
-        "  FROM sup s JOIN ed e ON e.tile_x = s.tile_x AND e.tile_y = s.tile_y GROUP BY 1, 2, 3), "
-        "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y ORDER BY c DESC, k ASC) AS rr FROM il), "
-        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl), "
-        "cnt2 AS (SELECT b.tile_x, b.tile_y, COALESCE(c.n, 0) AS n FROM base b LEFT JOIN cnt c USING (tile_x, tile_y)) "
-        "SELECT c2.tile_x, c2.tile_y, c2.n AS n_edge, "
-        "COALESCE(p.k, -1) AS best_trial, COALESCE(p.ia, -1) AS support_a, "
-        "COALESCE(p.ib, -1) AS support_b, COALESCE(p.c, 0) AS inliers "
-        "FROM cnt2 c2 LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
-    )
-
-
-def _ragmerge_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15,
-                  thresh=0.4, wscale=64):
-    """SQL twin of raster.ragmerge_count (cut_threshold RAG merge): per-tile
-    CCL labels (_ccl_ctes) → global node ids → 4-neighbor boundary pairs
-    over the GLOBAL pixel grid (within + cross tile in one join) with
-    integer weights floor(|Δv|·wscale + 0.5) → mean-weight threshold →
-    connected components as a recursive transitive closure with MIN
-    reachable node (= the engine's min-root union-find, see
-    _dedup_components_sql) → per-component pixel/region totals; singleton
-    regions keep their own node id."""
-    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
-    s2 = side * side
-    return (
-        "WITH RECURSIVE " + ", ".join(ctes) + ", "
-        f"gp AS MATERIALIZED (SELECT tile_x*{side} + idx % {side} AS gx, "
-        f"  tile_y*{side} + idx // {side} AS gy, "
-        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node, vd FROM fin), "
-        "pr AS (SELECT LEAST(a.node, b.node) AS u, GREATEST(a.node, b.node) AS v, "
-        f"  FLOOR(ABS(a.vd - b.vd)*{wscale} + 0.5) AS w "
-        "  FROM gp a JOIN gp b ON b.gx = a.gx + 1 AND b.gy = a.gy WHERE a.node <> b.node "
-        "  UNION ALL "
-        "  SELECT LEAST(a.node, b.node), GREATEST(a.node, b.node), "
-        f"  FLOOR(ABS(a.vd - b.vd)*{wscale} + 0.5) "
-        "  FROM gp a JOIN gp b ON b.gx = a.gx AND b.gy = a.gy + 1 WHERE a.node <> b.node), "
-        "e AS MATERIALIZED (SELECT u, v FROM pr GROUP BY u, v "
-        f"  HAVING SUM(w)/COUNT(*) < CAST({thresh!r} AS DOUBLE)*{wscale}), "
-        "cn AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
-        "ce AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
-        "reach AS (SELECT node, node AS anc FROM cn "
-        "  UNION SELECT r.node, c.v AS anc FROM reach r JOIN ce c ON c.u = r.anc), "
-        "comp AS (SELECT node, MIN(anc) AS cid FROM reach GROUP BY node), "
-        f"regn AS (SELECT (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node, "
-        "  COUNT(*) AS pc FROM fin GROUP BY 1) "
-        "SELECT COALESCE(c.cid, r.node) AS global_region, "
-        "CAST(SUM(r.pc) AS BIGINT) AS pixel_count, "
-        "CAST(COUNT(*) AS BIGINT) AS n_regions "
-        "FROM regn r LEFT JOIN comp c USING (node) GROUP BY 1"
-    )
-
-
-
-def _media_decode_sql() -> str:
-    """SQL twin of multimodal.media_table + MediaDecoder (fake GLRM codec):
-    dims are closed-form in doc_id, the payload is the first 256 UTF-8
-    bytes of text (pure ASCII → ascii() == the byte), mean_byte is the
-    payload byte mean (engine rounds half-away, matching SQL ROUND)."""
-    return (
-        "WITH pay AS (SELECT doc_id, LEAST(length(text), 256) AS n, "
-        "  list_aggregate(list_transform(range(1, LEAST(length(text), 256) + 1), "
-        "    i -> ascii(text[i])), 'sum') AS s FROM documents) "
-        "SELECT doc_id AS media_id, 'image/glrm' AS media_type, "
-        "CAST(doc_id % 64 + 16 AS INTEGER) AS width, "
-        "CAST(doc_id % 48 + 16 AS INTEGER) AS height, "
-        "CAST(3 AS INTEGER) AS channels, "
-        "ROUND(CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END, 4) AS mean_byte, "
-        "CAST(n AS BIGINT) AS payload_bytes FROM pay"
-    )
-
-
-def _media_frame_sample_sql(every_kth: int = 4) -> str:
-    """SQL twin of multimodal.FrameSampler: n_frames = max(payload//32, 1),
-    frame indices 0, k, 2k, … < n_frames."""
-    return (
-        "WITH nf AS (SELECT doc_id, GREATEST(LEAST(length(text), 256) // 32, 1) AS n FROM documents) "
-        f"SELECT doc_id AS media_id, CAST(unnest(range(0, n, {every_kth})) AS INTEGER) AS frame_idx FROM nf"
-    )
-
-
-def _buffer_polygons_sql(dist=1.0, quad_segs=8):
-    """SQL twin of _q_buffer_polygons (functions/geometry.buffer_ring): the
-    buffered ring is the Minkowski sum hull P ⊕ Q with Q the regular
-    32-gon of arc offsets, so its vertices are exactly {v + u_k : the
-    32-gon vertex normal cone [θk−5.625°, θk+5.625°] overlaps v's normal
-    cone in P}. Cone assignment is static per shape (box: 4 axis cones;
-    L hull pentagon: the diagonal normal θd = atan2(8.1, 7.2) splits the
-    first quadrant, with u_4 shared by BOTH diagonal vertices — verified
-    against the engine's hull, 37 L / 36 box vertices). Areas are ordered
-    shoelace expressions; ROUND(6) absorbs summation-order ulps."""
-    n_arc = 4 * quad_segs
-    ang = np.linspace(0.0, 2.0 * np.pi, n_arc, endpoint=False)
-    cs = [(float(np.cos(a)), float(np.sin(a))) for a in ang]
-    # diagonal edge normal angle for the L hull (constant across features)
-    w = 18.0 * 0.9
-    h = 16.0 * 0.9
-    theta_d = np.degrees(np.arctan2(w / 2.0, h / 2.0))
-    kd = int(np.floor(theta_d / (360.0 / n_arc)))  # last k inside [0, theta_d]
-
-    def cone_pts(cones):
-        """cones: list of (vx, vy, k_list) in CCW order -> ordered point exprs."""
-        pts = []
-        for vx, vy, ks in cones:
-            for k in ks:
-                c, s = cs[k]
-                pts.append((f"({vx} + {dist * c!r})", f"({vy} + {dist * s!r})"))
-        return pts
-
-    def seq(terms):
-        out = terms[0]
-        for t in terms[1:]:
-            out = f"({out} + {t})"
-        return out
-
-    def shoelace(v):
-        n = len(v)
-        return seq([f"({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]})" for k in range(n)])
-
-    half = 360.0 / n_arc / 2.0  # 32-gon vertex normal-cone half-width
-
-    def ks_in(a, b):
-        """arc indices whose 32-gon normal cone [th-half, th+half] overlaps
-        the P-vertex cone [a, b] (degrees, a < b, not wrapping)."""
-        out = []
-        for k in range(n_arc):
-            for th in (k * 360.0 / n_arc, k * 360.0 / n_arc - 360.0, k * 360.0 / n_arc + 360.0):
-                if th + half > a and th - half < b:
-                    out.append(k)
-                    break
-        return out
-
-    def order_for(cones):
-        """(vx, vy, a, b) CCW cones -> ordered (vx, vy, ks) with each cone's
-        ks sorted by angle position within [a, b] (wrap-adjusted)."""
-        res = []
-        for vx, vy, a, b in cones:
-            ks = ks_in(a, b)
-            ks = sorted(ks, key=lambda k: ((k * 360.0 / n_arc) - a + half) % 360.0)
-            res.append((vx, vy, ks))
-        return res
-
-    td = float(theta_d)
-    box_pts = cone_pts(order_for([
-        ("pmaxx", "pmaxy", 0.0, 90.0),
-        ("pminx", "pmaxy", 90.0, 180.0),
-        ("pminx", "pminy", 180.0, 270.0),
-        ("pmaxx", "pminy", 270.0, 360.0),
-    ]))
-    l_pts = cone_pts(order_for([
-        ("pmaxx", "pmy", 0.0, td),
-        ("pmx", "pmaxy", td, 90.0),
-        ("pminx", "pmaxy", 90.0, 180.0),
-        ("pminx", "pminy", 180.0, 270.0),
-        ("pmaxx", "pminy", 270.0, 360.0),
-    ]))
-    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"), ("pminx", "pmaxy")]
-    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
-           ("pmx", "pmy"), ("pmx", "pmaxy"), ("pminx", "pmaxy")]
-    area = f"ABS(CASE WHEN is_l THEN (0.5*{shoelace(lsh)}) ELSE (0.5*{shoelace(box)}) END)"
-    barea = (f"ABS(CASE WHEN is_l THEN (0.5*{shoelace(l_pts)}) ELSE (0.5*{shoelace(box_pts)}) END)")
-    return (
-        f"WITH {polygons_sql()} "
-        f"SELECT feature_id, ROUND({area}, 6) AS area, ROUND({barea}, 6) AS buffered_area FROM polys"
-    )
-
-
-
-def _minhash_ctes(threshold: float = 0.5, max_bucket: int = 256) -> str:
-    """CTE fragment ending in ``mh_pairs`` (id_a < id_b, est_jaccard ≥
-    threshold) — the SQL twin of stages/dedup.minhash_candidates +
-    minhash_dedup_pairs (OPH MinHash, Li-Owen-Zhang NIPS'12):
-
-    - word tokens by whitespace split; FNV-1a per token (pure-ASCII text,
-      so ascii() == the hashed byte); 3-gram shingle hash = the same
-      polynomial combine as word_shingle_hashes (textproc.py:230) with
-      base powers mod 2^64 via u64_mul_const (no HUGEINT overflow);
-    - splitmix64 → bucket = top 6 bits → per-bucket MIN = the one-pass
-      OPH signature; empty buckets densified by cyclic backward fill
-      (arg_min over (j - bucket) mod 64 — provably equal to the engine's
-      iterative np.roll fill);
-    - band hash per 4 components = the engine's chained
-      splitmix64(bh ^ v_r) fold; LSH candidates share any (band, hash)
-      with bucket size ≤ max_bucket (the engine's overflow cap — capped
-      buckets emit sentinel rows the ≥ threshold filter drops on BOTH
-      sides); est_jaccard = equal-component fraction (m/64 is dyadic,
-      so DOUBLE equality is exact).
-
-    The token-hash CTE indexes tokens through a separate ``tk`` projection
-    because fnv1a64_expr's list lambda variable is named ``i`` — inlining
-    ``tl[i]`` into it would capture the lambda's ``i``, not the position."""
-    B = 1099511628211
-    B2 = pow(B, 2, _sg.M64)
-    fnv = _sg.fnv1a64_expr("t")
-    steps = [("x0", "v0"), *_sg.splitmix64_steps("x0", "b0", "mh0")]
-    for r in (1, 2, 3):
-        steps.append((f"x{r}", _sg.u64_xor(f"b{r - 1}", f"v{r}")))
-        steps += _sg.splitmix64_steps(f"x{r}", f"b{r}" if r < 3 else "band_hash", f"mh{r}")
-    band_chain = _sg.chain("SELECT doc_id, band, v0, v1, v2, v3 FROM bpivot", steps)
-    sm_h = _sg.chain("SELECT doc_id, hsh FROM sh", _sg.splitmix64_steps("hsh", "hp", "shg"))
-    return (
-        "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents), "
-        "tpos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts AS tl FROM tok), "
-        "tk AS (SELECT doc_id, i, tl[i] AS t FROM tpos), "
-        f"th AS (SELECT doc_id, i, {fnv} AS h FROM tk), "
-        "t3 AS (SELECT doc_id, h AS h0, LEAD(h, 1) OVER w AS h1, LEAD(h, 2) OVER w AS h2 "
-        "  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
-        f"sh AS (SELECT doc_id, ({_sg.u64_mul_const('h0', B2)} + {_sg.u64_mul_const('h1', B)} + h2) % {_sg.M64} AS hsh "
-        "  FROM t3 WHERE h2 IS NOT NULL), "
-        f"shp AS ({sm_h}), "
-        f"mins AS (SELECT doc_id, {_sg.u64_shr('hp', 58)} AS bucket, MIN(hp) AS mh FROM shp GROUP BY doc_id, bucket), "
-        "mgrid AS (SELECT d.doc_id, g.range AS j FROM documents d, range(0, 64) g), "
-        "dsig AS (SELECT mgrid.doc_id, mgrid.j, arg_min(mins.mh, (mgrid.j - mins.bucket + 64) % 64) AS v "
-        "  FROM mgrid JOIN mins ON mins.doc_id = mgrid.doc_id GROUP BY mgrid.doc_id, mgrid.j), "
-        "bpivot AS (SELECT doc_id, j // 4 AS band, "
-        "  MAX(CASE WHEN j % 4 = 0 THEN v END) AS v0, MAX(CASE WHEN j % 4 = 1 THEN v END) AS v1, "
-        "  MAX(CASE WHEN j % 4 = 2 THEN v END) AS v2, MAX(CASE WHEN j % 4 = 3 THEN v END) AS v3 "
-        "  FROM dsig GROUP BY doc_id, j // 4), "
-        f"bands AS (SELECT doc_id, band, band_hash FROM ({band_chain})), "
-        "bsz AS (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS sz FROM bands), "
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "  FROM bsz a JOIN bsz b ON a.band = b.band AND a.band_hash = b.band_hash "
-        f"  AND a.doc_id < b.doc_id WHERE a.sz <= {max_bucket}), "
-        "mh_pairs AS (SELECT c.id_a, c.id_b, "
-        "  SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard "
-        "  FROM cand c JOIN dsig sa ON sa.doc_id = c.id_a "
-        "  JOIN dsig sb ON sb.doc_id = c.id_b AND sb.j = sa.j "
-        f"  GROUP BY c.id_a, c.id_b HAVING est_jaccard >= {threshold!r})"
-    )
-
-
-def _embedding_pairs_sql(threshold: float = 0.95, num_planes: int = 16,
-                         num_tables: int = 8, seed: int = 11, dim: int = 64) -> str:
-    """SQL twin of dedup.embedding_dedup_pairs over the planted-dup layer
-    (sources/embeddings.with_planted_dups): the seeded hyperplane matrix is
-    inlined as 8192 literal doubles (a VALUES table — deterministic given
-    the published seed, exactly like the S2 Hilbert lookup join); planted
-    perturbation restated with the splitmix64 chain ((h/2^64 - 0.5)*0.01,
-    float32 round-trip is IEEE-identical in DuckDB); sign keys from
-    UNNORMALIZED dots (sign(x·p) == sign(x̂·p), so the oracle dodges norm
-    ulp sensitivity entirely); exact cosine per candidate as
-    dot/(|a||b|) — ulp-different from the engine's normalized matmul but
-    far inside ROUND(6) given the fixture's ~0.9999 planted / ~0 random
-    cosine separation."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, dim, num_planes))
-    rows = ", ".join(
-        f"({t}, {j + 1}, {p}, {planes[t, j, p]!r})"
-        for t in range(num_tables) for j in range(dim) for p in range(num_planes)
-    )
-    noise_chain = _sg.chain(
-        "SELECT vec_id, j, e FROM plj",
-        _sg.splitmix64_steps(f"CAST(vec_id * {dim} + j AS HUGEINT)", "nh", "pl"),
-    )
-    return (
-        "WITH planes(t, j, p, w) AS (VALUES " + rows + "), "
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
-        f"plj AS (SELECT vec_id, unnest(range(0, {dim})) AS j, e FROM base WHERE vec_id % 10 = 0), "
-        f"pln AS (SELECT vec_id, j, CAST(e[j + 1] * (1.0 + (CAST(nh AS DOUBLE) / {float(2.0**64)!r} - 0.5) * 0.01) AS FLOAT) AS pv "
-        f"  FROM ({noise_chain})), "
-        "planted AS (SELECT vec_id + 1000000 AS vec_id, list(CAST(pv AS DOUBLE) ORDER BY j) AS e "
-        "  FROM pln GROUP BY vec_id), "
-        "allv AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted), "
-        f"elems AS (SELECT vec_id, unnest(range(1, {dim} + 1)) AS j, e FROM allv), "
-        "ex AS (SELECT vec_id, j, e[j] AS x FROM elems), "
-        "ss AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id), "
-        "dots AS (SELECT ex.vec_id, planes.t, planes.p, SUM(ex.x * planes.w) AS d "
-        "  FROM ex JOIN planes ON planes.j = ex.j GROUP BY ex.vec_id, planes.t, planes.p), "
-        "keys AS (SELECT vec_id, t, SUM(CASE WHEN d > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS key "
-        "  FROM dots GROUP BY vec_id, t), "
-        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
-        "  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id), "
-        "pairdot AS (SELECT c.id_a, c.id_b, SUM(xa.x * xb.x) AS d FROM cand c "
-        "  JOIN ex xa ON xa.vec_id = c.id_a JOIN ex xb ON xb.vec_id = c.id_b AND xb.j = xa.j "
-        "  GROUP BY c.id_a, c.id_b), "
-        "cosv AS (SELECT p.id_a, p.id_b, p.d / (sa.nrm * sb.nrm) AS cosr FROM pairdot p "
-        "  JOIN ss sa ON sa.vec_id = p.id_a JOIN ss sb ON sb.vec_id = p.id_b) "
-        f"SELECT id_a, id_b, ROUND(cosr, 6) AS cosine FROM cosv WHERE cosr >= {threshold!r}"
-    )
-
-
-def _minhash_pairs_sql() -> str:
-    return f"WITH {_minhash_ctes()} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
-
-
-def _jaccard_verified_sql(threshold: float = 0.5) -> str:
-    """Exact word-3-shingle Jaccard over the MinHash candidate pairs (SQL
-    twin of dedup.verify_jaccard_exact): DISTINCT shingle strings joined
-    with a space (tokens cannot contain whitespace, so the join is
-    injective), |A∩B| via equi-join, ROUND half-away matches the engine's
-    round_half_away."""
-    return (
-        f"WITH {_minhash_ctes(threshold)}, "
-        "sh3s AS (SELECT DISTINCT doc_id, tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2] AS s3 "
-        "  FROM tpos WHERE i + 2 <= len(tl)), "
-        "shc AS (SELECT doc_id, COUNT(*) AS n3 FROM sh3s GROUP BY doc_id), "
-        "inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni FROM mh_pairs p "
-        "  JOIN sh3s a ON a.doc_id = p.id_a JOIN sh3s b ON b.doc_id = p.id_b AND b.s3 = a.s3 "
-        "  GROUP BY p.id_a, p.id_b), "
-        "jac AS (SELECT p.id_a, p.id_b, "
-        "  ROUND(COALESCE(ni, 0)::DOUBLE / (ca.n3 + cb.n3 - COALESCE(ni, 0)), 6) AS jaccard "
-        "  FROM mh_pairs p JOIN shc ca ON ca.doc_id = p.id_a JOIN shc cb ON cb.doc_id = p.id_b "
-        "  LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b) "
-        f"SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold!r}"
-    )
-
-
-def _dedup_components_sql() -> str:
-    """Connected components over the MinHash near-dup pairs as a recursive
-    transitive closure (node reaches anc), component_id = MIN reachable
-    node — provably what min-root union-find emits (dedup.py:169: every
-    union parents max(root) under min(root), so the final root is the
-    component's global min id)."""
-    return (
-        f"WITH RECURSIVE {_minhash_ctes()}, "
-        "cnodes AS (SELECT id_a AS node FROM mh_pairs UNION SELECT id_b FROM mh_pairs), "
-        "cedges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs "
-        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs), "
-        "reach AS (SELECT node, node AS anc FROM cnodes "
-        "  UNION SELECT r.node, e.v AS anc FROM reach r JOIN cedges e ON e.u = r.anc) "
-        "SELECT node, MIN(anc) AS component_id FROM reach GROUP BY node"
-    )
-
-
-def _logistic_weights_sql(iters: int = 10, lr: float = 0.5) -> str:
-    """SQL twin of stages/train.fit_logistic: the fixed-iteration full-batch
-    gradient descent unrolled as chained scalar CTEs (w_{k+1} from one SUM
-    pass over the data with w_k cross-joined in). Engine partials sum in a
-    different order than SQL SUM, but GD with a 0.5 step is contractive —
-    the ulp drift over 10 iterations is ~1e-12, far inside ROUND(4)."""
-    data = ("SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y, "
-            "l_discount * 10.0 AS x1, l_tax * 10.0 AS x2 FROM lineitem")
-    ctes = [f"d AS ({data})",
-            "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c)"]
-    for k in range(iters):
-        p = "1.0/(1.0 + EXP(-(a + b*x1 + c*x2)))"
-        ctes.append(f"g{k} AS (SELECT SUM({p} - y) AS ga, SUM(({p} - y)*x1) AS gb, "
-                    f"SUM(({p} - y)*x2) AS gc, COUNT(*)::DOUBLE AS n FROM d, it{k})")
-        ctes.append(f"it{k + 1} AS (SELECT a - {lr}*ga/n AS a, b - {lr}*gb/n AS b, "
-                    f"c - {lr}*gc/n AS c FROM g{k}, it{k})")
-    return ("WITH " + ", ".join(ctes)
-            + f" SELECT ROUND(a, 4) AS w0, ROUND(b, 4) AS w1, ROUND(c, 4) AS w2 FROM it{iters}")
-
-
-def _doc_fingerprints_sql() -> str:
-    """SQL twin of textproc.winnow_fingerprints (Schleimer et al. SIGMOD'03,
-    window=8, guarantee=16): polynomial rolling hash of every 8-byte k-gram
-    as a dot product with precomputed base powers mod 2^64 (HUGEINT — sum of
-    8 terms < 2^75, no overflow), sliding 16-window MIN as a window frame,
-    a window selected when its min differs from the previous window's (full
-    windows only, plus the single whole-row window for sub-guarantee rows),
-    fingerprint = bit_xor of splitmix64 of the selected minima. Exact
-    because the engine's winnowing is batch-invariant (window placement
-    depends only on the row's own length) and the text is pure ASCII, so
-    ascii(char) == the hashed byte."""
-    base = 1099511628211  # FNV prime, hashing.py:109
-    P = [pow(base, 7 - k, _sg.M64) for k in range(8)]
-    terms = " + ".join(f"CAST(cs[p + {k + 1}] AS HUGEINT) * {P[k]}" for k in range(8))
-    sm = _sg.chain("SELECT doc_id, c, m FROM sel", _sg.splitmix64_steps("m", "sm", "fp"))
-    return (
-        "WITH codes AS (SELECT doc_id, "
-        "  list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs, "
-        "  length(text) - 7 AS li FROM documents), "
-        "pos AS (SELECT doc_id, cs, li, unnest(range(0, GREATEST(li, 0))) AS p FROM codes), "
-        f"h AS (SELECT doc_id, li, p, ({terms}) % {_sg.M64} AS hv FROM pos), "
-        "w AS (SELECT doc_id, li, p AS c, "
-        "  MIN(hv) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m "
-        "  FROM h), "
-        "w2 AS (SELECT *, LAG(m) OVER (PARTITION BY doc_id ORDER BY c) AS mprev FROM w), "
-        "sel AS (SELECT doc_id, c, m FROM w2 "
-        "  WHERE (c <= li - 16 OR (c = 0 AND li > 0)) AND (c = 0 OR m <> mprev)), "
-        f"f AS (SELECT doc_id, bit_xor({_sg.u64_to_i64('sm')}) AS fpi, COUNT(*) AS cnt "
-        f"  FROM ({sm}) GROUP BY doc_id) "
-        f"SELECT d.doc_id, CAST({_sg.i64_to_u64('COALESCE(f.fpi, 0)')} AS UBIGINT) AS fingerprint, "
-        "COALESCE(f.cnt, 0)::BIGINT AS n_fingerprints "
-        "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
-    )
-
-
-# tile grid with exact f64 bounds (tile_bounds restated; w=5.625, h=5.0 dyadic)
-_TILE_GRID_SQL = (
-    "tgrid AS (SELECT CAST(x.range AS INTEGER) AS tile_x, CAST(y.range AS INTEGER) AS tile_y, "
-    "  -180.0 + x.range*5.625 AS tbx0, -80.0 + y.range*5.0 AS tby0, "
-    "  -180.0 + x.range*5.625 + 5.625 AS tbx1, -80.0 + y.range*5.0 + 5.0 AS tby1 "
-    f"  FROM range(0,{GRID_X}) x, range(0,{GRID_Y}) y)"
+from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
+    _TILE_FEATURE_SQL,
+    _TILE_GRID_SQL,
+    _ann_ivf_sql,
+    _buffer_polygons_sql,
+    _dedup_components_sql,
+    _doc_fingerprints_sql,
+    _embedding_pairs_sql,
+    _hex_meshgrid_sql,
+    _hough_lines_sql,
+    _jaccard_verified_sql,
+    _knn_pages_sql,
+    _lang_id_sql,
+    _located_sql,
+    _logistic_weights_sql,
+    _media_decode_sql,
+    _media_frame_sample_sql,
+    _minhash_pairs_sql,
+    _ms_acwe_sql,
+    _ms_gac_sql,
+    _ms_toposnakes_sql,
+    _polygonize_edges_sql,
+    _polygonize_tiles_sql,
+    _ragmerge_sql,
+    _ransac_lines_sql,
+    _remove_small_objects_sql,
+    _rf_oob_sql,
+    _simhash_pairs_sql,
+    _snake_sql,
+    _utm_sql,
 )
-
-# tile center → containing feature (the zonal/texture tile→feature map)
-_TILE_FEATURE_SQL = (
-    "tcent AS (SELECT tile_x, tile_y, (tbx0 + tbx1)/2.0 AS cx, (tby0 + tby1)/2.0 AS cy FROM tgrid), "
-    f"tfeat AS (SELECT t.tile_x, t.tile_y, p.feature_id FROM tcent t JOIN polys p ON {pip_sql('t.cx', 't.cy')})"
-)
-
 
 def oracle_sql() -> dict[str, str]:
     return {
