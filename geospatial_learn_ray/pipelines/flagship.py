@@ -92,14 +92,33 @@ def detect_hot_cells(sf_dir: str, res: int = 7, sample_frac: float = 0.05,
     skew fixture (~30% of rows in a handful of cells) light up here."""
     import pandas as pd
 
+    from geospatial_learn_ray.stages.exchange import bucket_exchange
+
     sample = read_pages(sf_dir, columns=["url"]).random_sample(sample_frac, seed=seed)
-    cells = geocode_and_cells(sample, hex_res=(res,)).select_columns([f"cell_h3_r{res}"])
+    col = f"cell_h3_r{res}"
+    cells = geocode_and_cells(sample, hex_res=(res,)).select_columns([col])
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
         return b.value_counts().rename("n").reset_index()
 
-    counts = cells.map_batches(count, batch_format="pandas").to_pandas()
-    counts = counts.groupby(f"cell_h3_r{res}")["n"].sum().sort_values(ascending=False).head(top_k)
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b[col].to_numpy().astype(np.uint64) % np.uint64(64)).astype(np.int32)
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket total + local top-k: the global top-k is a subset of
+        # the per-bucket top-ks, so the driver pull is <= 64*top_k rows
+        # (the old path pulled every per-BLOCK partial - O(#blocks*cells))
+        c = g.groupby(col, sort=False)["n"].sum().reset_index()
+        return c.sort_values("n", ascending=False, kind="mergesort").head(top_k)
+
+    counts = bucket_exchange(
+        cells.map_batches(count, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas"),
+        combine, small_partials=True,
+    ).to_pandas()
+    counts = counts.set_index(col)["n"].sort_values(ascending=False).head(top_k)
     med = max(float(counts.median()), 1.0)
     return [int(c) for c, n in counts.items() if n > factor * med]
 

@@ -45,9 +45,16 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct(ds: ray.data.Dataset, col: str, precision: int = 12) -> float:
+def hll_distinct(ds: ray.data.Dataset, col: str, precision: int = 12,
+                 num_buckets: int = 32) -> float:
     """Approximate distinct count of ``col``: per-batch register partials
-    (one sketch row per batch), merged by element-wise max in one pass."""
+    (one sketch row per batch), merged TWO-LEVEL — a bucketed exchange
+    element-wise-maxes the per-batch sketches down to ≤ ``num_buckets``
+    rows, and only those reach the driver. The old single-level pull was
+    O(#batches) sketch rows — 4 KB × a million blocks at 100 TB; the
+    merge is commutative max, so any bucket assignment is correct."""
+    from .exchange import bucket_exchange
+
     old = np.seterr(over="ignore")
     try:
         def partial(b: pa.Table) -> pa.Table:
@@ -56,9 +63,20 @@ def hll_distinct(ds: ray.data.Dataset, col: str, precision: int = 12) -> float:
                 c = pa.compute.cast(c, pa.string())
             h = splitmix64(fnv1a64(c))
             regs = _hll_registers(h, precision)
-            return pa.table({"regs": pa.array([regs], pa.list_(pa.int8()))})
+            # deterministic spread: bucket from the sketch content itself
+            part = int(splitmix64(np.asarray([regs.view(np.uint8).sum()], np.uint64))[0]
+                       % np.uint64(num_buckets))
+            return pa.table({"regs": pa.array([regs], pa.list_(pa.int8())),
+                             "_part": pa.array([part], pa.int32())})
 
-        sketches = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            m = np.maximum.reduce([np.asarray(r, np.int8) for r in g["regs"]])
+            return pd.DataFrame({"regs": [m]})
+
+        sketches = bucket_exchange(
+            ds.map_batches(partial, batch_format="pyarrow"), merge_bucket,
+            small_partials=True,
+        ).to_pandas()
     finally:
         np.seterr(**old)
     merged = np.maximum.reduce([np.asarray(r, np.int8) for r in sketches["regs"]])
