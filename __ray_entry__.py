@@ -332,6 +332,13 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_cms_counts_events(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import cms_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_counts(ev, "user_id", probes=list(range(1, 33)))
+
+
 def _q_hll_distinct_urls(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import hll_distinct
 
@@ -649,6 +656,26 @@ def _q_reproject_points_utm(sf_dir: str):
         return b
 
     return out.map_batches(snap, batch_format="pandas")
+
+
+def _q_utm_roundtrip(sf_dir: str):
+    """Forward UTM then inverse back: the engine does REAL work both ways;
+    the oracle is the identity (located lon/lat) — inverse∘forward = id to
+    ~1e-10 deg, far inside the f32 snap (ulp ~7.6e-6 deg)."""
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+
+    def rt(b: pa.Table) -> pd.DataFrame:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        zone, e, n = raster.utm_forward(lon, lat)
+        lon2, lat2 = raster.utm_inverse(zone, e, n, lat < 0)
+        return pd.DataFrame({
+            "url": b["url"].to_pandas(),
+            "lon_rt": round_half_away(lon2.astype(np.float32).astype(np.float64), 4),
+            "lat_rt": round_half_away(lat2.astype(np.float32).astype(np.float64), 4),
+        })
+
+    return located.map_batches(rt, batch_format="pyarrow")
 
 
 def _q_wkb_to_geojson(sf_dir: str):
@@ -996,6 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (never driver-checked -> keep in the first 50)
         "remove_small_objects": _q_remove_small_objects,
         "reproject_points_utm": _q_reproject_points_utm,
+        "cms_counts_events": _q_cms_counts_events,
+        "utm_roundtrip": _q_utm_roundtrip,
         # ---- entries below were driver-checked in rounds 1-2 (50/50 all
         # ---- three checks green, CORRECTNESS_r02.json) ----
         # pages / text (SQL-checked)
@@ -1103,6 +1132,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _polygonize_tiles_sql,
     _ragmerge_sql,
     _ransac_lines_sql,
+    _cms_counts_sql,
     _remove_small_objects_sql,
     _rf_oob_sql,
     _simhash_pairs_sql,
@@ -1427,6 +1457,14 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_tiles": _polygonize_tiles_sql(),
         "remove_small_objects": _remove_small_objects_sql(),
         "reproject_points_utm": _utm_sql(),
+        "cms_counts_events": _cms_counts_sql(),
+        "utm_roundtrip": (
+            f"WITH {pages_sql()} "
+            "SELECT url, "
+            "ROUND(CAST(CAST(lon AS REAL) AS DOUBLE), 4) AS lon_rt, "
+            "ROUND(CAST(CAST(lat AS REAL) AS DOUBLE), 4) AS lat_rt "
+            f"FROM ({_located_sql()})"
+        ),
         "ragmerge_regions": _ragmerge_sql(),
         "polygonize_edges": _polygonize_edges_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),

@@ -366,7 +366,8 @@ def _utm_sql() -> str:
         "u3 AS (SELECT *, SIN(la) AS s FROM u2), "
         f"u4 AS (SELECT *, 0.5 * LN((1.0 + s) / (1.0 - s)) - {C1H} * LN((1.0 + {C1} * s) / (1.0 - {C1} * s)) AS ath FROM u3), "
         "u5 AS (SELECT *, (EXP(ath) - EXP(-ath)) / 2.0 AS t FROM u4), "
-        "u6 AS (SELECT *, ATAN2(t, COS(lp)) AS xip, SIN(lp) / SQRT(1.0 + t * t) AS w FROM u5), "
+        "u6 AS (SELECT *, ATAN2(t, COS(lp)) AS xip, "
+        "  SIN(lp) / SQRT(t * t + COS(lp) * COS(lp)) AS w FROM u5), "
         "u7 AS (SELECT *, LN(w + SQRT(w * w + 1.0)) AS etap FROM u6), "
         "u8 AS (SELECT *, EXP(2.0 * etap) AS g2, EXP(4.0 * etap) AS g4, EXP(6.0 * etap) AS g6 FROM u7), "
         "u9 AS (SELECT *, "
@@ -1176,3 +1177,39 @@ _TILE_FEATURE_SQL = (
 )
 
 
+
+
+def _cms_counts_sql(width: int = 1024, depth: int = 4,
+                    probes: tuple = tuple(range(1, 33))) -> str:
+    """SQL twin of stages/sketches.cms_counts over events.user_id: the
+    depth×width count table is rebuilt with the IDENTICAL hash chain
+    (fnv1a64 of user_id::VARCHAR → xor per-row seed → splitmix64 → low
+    bits), and each probe's cell indices are computed in Python with the
+    ENGINE's own hash functions and inlined as literals — the data-side
+    chain is what the value-hash verifies."""
+    from ..stages.sketches import _cms_index, _cms_seeds
+
+    seeds = _cms_seeds(depth)
+    pidx = _cms_index(np.asarray([str(p) for p in probes], object), seeds, width)
+    steps = [("_fh", _sg.fnv1a64_expr("k")),
+             *_sg.splitmix64_steps("_fh", "_sh", "f")]  # engine: sm(fnv(k)) first
+    sel = []
+    for j in range(depth):
+        steps.append((f"_x{j}", _sg.u64_xor("_sh", str(int(seeds[j])))))
+        steps.extend(_sg.splitmix64_steps(f"_x{j}", f"_h{j}", f"c{j}"))
+        sel.append(f"SELECT {j} AS j, CAST(_h{j} & {width - 1} AS BIGINT) AS idx FROM hx")
+    pv = ", ".join(
+        f"({int(p)}, {j}, {int(pidx[j, i])})"
+        for i, p in enumerate(probes) for j in range(depth)
+    )
+    return (
+        "WITH ev AS (SELECT user_id::VARCHAR AS k FROM events), "
+        "hx AS (" + _sg.chain("SELECT k FROM ev", steps) + "), "
+        "cells AS (" + " UNION ALL ".join(sel) + "), "
+        "counts AS (SELECT j, idx, COUNT(*) AS n FROM cells GROUP BY j, idx), "
+        f"pv(user_id, j, idx) AS (VALUES {pv}) "
+        "SELECT pv.user_id::BIGINT AS user_id, "
+        "CAST(MIN(COALESCE(counts.n, 0)) AS BIGINT) AS est_count "
+        "FROM pv LEFT JOIN counts ON counts.j = pv.j AND counts.idx = pv.idx "
+        "GROUP BY pv.user_id"
+    )

@@ -1176,8 +1176,9 @@ def utm_forward(lon: np.ndarray, lat: np.ndarray):
     ath = 0.5 * np.log((1.0 + s) / (1.0 - s)) - _UTM_C1 * 0.5 * np.log(
         (1.0 + _UTM_C1 * s) / (1.0 - _UTM_C1 * s))
     t = (np.exp(ath) - np.exp(-ath)) / 2.0
-    xi_p = np.arctan2(t, np.cos(lp))
-    w = np.sin(lp) / np.sqrt(1.0 + t * t)
+    cl = np.cos(lp)
+    xi_p = np.arctan2(t, cl)
+    w = np.sin(lp) / np.sqrt(t * t + cl * cl)
     eta_p = np.log(w + np.sqrt(w * w + 1.0))
     xi = xi_p
     eta = eta_p
@@ -1190,6 +1191,48 @@ def utm_forward(lon: np.ndarray, lat: np.ndarray):
     e = 500000.0 + _UTM_K0 * _UTM_AA * eta
     nn = _UTM_K0 * _UTM_AA * xi + np.where(lat < 0.0, 10000000.0, 0.0)
     return zone, e, nn
+
+
+_UTM_B1 = _UTM_N / 2.0 - 2.0 * _UTM_N ** 2 / 3.0 + 37.0 * _UTM_N ** 3 / 96.0
+_UTM_B2 = _UTM_N ** 2 / 48.0 + _UTM_N ** 3 / 15.0
+_UTM_B3 = 17.0 * _UTM_N ** 3 / 480.0
+
+
+def utm_inverse(zone: np.ndarray, e: np.ndarray, n: np.ndarray,
+                south: np.ndarray, newton_iters: int = 8):
+    """UTM → WGS84 inverse (Karney's reverse Krüger series, order-3 beta
+    coefficients), the per-pixel kernel of the warp's inverse mapping
+    (raster.py:2634 _quickwarp resamples target→source). The geodetic
+    latitude solves tanh(atanh(s) − e·atanh(e·s)) = sin(χ) by a FIXED
+    ``newton_iters`` Newton iterations (deterministic at any parallelism;
+    quadratic convergence — machine precision by iteration 4)."""
+    eta = (np.asarray(e, np.float64) - 500000.0) / (_UTM_K0 * _UTM_AA)
+    xi = (np.asarray(n, np.float64) - np.where(south, 10000000.0, 0.0)) / (_UTM_K0 * _UTM_AA)
+    xi_p = xi
+    eta_p = eta
+    for j, bj in ((1, _UTM_B1), (2, _UTM_B2), (3, _UTM_B3)):
+        e2j = np.exp(2.0 * j * eta)
+        ch = (e2j + 1.0 / e2j) / 2.0
+        sh = (e2j - 1.0 / e2j) / 2.0
+        xi_p = xi_p - bj * np.sin(2.0 * j * xi) * ch
+        eta_p = eta_p - bj * np.cos(2.0 * j * xi) * sh
+    e2 = np.exp(eta_p)
+    sh_eta = (e2 - 1.0 / e2) / 2.0
+    cos_xi = np.cos(xi_p)
+    lam = np.arctan2(sh_eta, cos_xi)
+    tp = np.sin(xi_p) / np.sqrt(sh_eta * sh_eta + cos_xi * cos_xi)
+    sp = tp / np.sqrt(1.0 + tp * tp)  # sin of the conformal latitude
+    s = sp.copy()
+    c = _UTM_C1
+    for _ in range(newton_iters):
+        psi = 0.5 * np.log((1.0 + s) / (1.0 - s)) - c * 0.5 * np.log((1.0 + c * s) / (1.0 - c * s))
+        ep = np.exp(psi)
+        th = (ep - 1.0 / ep) / (ep + 1.0 / ep)
+        deriv = (1.0 - th * th) * (1.0 / (1.0 - s * s) - c * c / (1.0 - c * c * s * s))
+        s = np.clip(s - (th - sp) / deriv, -0.999999999, 0.999999999)
+    lat = np.degrees(np.arcsin(s))
+    lon = (np.asarray(zone, np.float64) * 6.0 - 183.0) + np.degrees(lam)
+    return lon, lat
 
 
 def reproject_points_utm(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:

@@ -73,3 +73,27 @@ def test_hll_merge_invariance():
     e2 = hll_distinct(ray.data.from_pandas(df).repartition(13), "k")
     assert abs(e1 - e2) < 1e-9
     assert abs(e1 - 2000) / 2000 < 0.05
+
+
+def test_cms_never_undercounts_and_block_invariant():
+    from geospatial_learn_ray.stages.sketches import cms_counts
+
+    df = pd.DataFrame({"k": [str(i % 23) for i in range(2000)]})
+    exact = df.k.value_counts()
+    a = cms_counts(ray.data.from_pandas(df), "k", probes=[str(i) for i in range(30)])
+    for _, r in a.iterrows():
+        assert r.est_count >= exact.get(r.k, 0)  # CMS one-sided error
+    # merge is a sum: any partitioning gives the identical sketch
+    b = cms_counts(ray.data.from_pandas(df).repartition(13), "k",
+                   probes=[str(i) for i in range(30)])
+    assert a.est_count.tolist() == b.est_count.tolist()
+
+
+def test_cms_exact_when_sparse():
+    from geospatial_learn_ray.stages.sketches import cms_counts
+
+    # 8 distinct keys in a 1024-wide, depth-4 sketch: collision probability
+    # across ALL 4 rows is negligible -> estimates are exact
+    df = pd.DataFrame({"k": [f"key{i % 8}" for i in range(800)]})
+    out = cms_counts(ray.data.from_pandas(df), "k", probes=[f"key{i}" for i in range(8)])
+    assert out.est_count.tolist() == [100] * 8

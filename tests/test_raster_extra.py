@@ -188,3 +188,50 @@ def test_utm_forward_properties():
     # 5) southern hemisphere false northing; zone selection
     zone, E, N = utm_forward(np.array([147.325]), np.array([-42.880]))  # Hobart
     assert zone[0] == 55 and N[0] < 10000000.0 and N[0] > 5000000.0
+
+
+def test_utm_forward_is_conformal_off_meridian():
+    # the w-denominator bug class: a wrong eta' formula still passes every
+    # central-meridian property but breaks CONFORMALITY off-meridian. In
+    # isometric coordinates (lambda', psi) the map E+iN must satisfy the
+    # Cauchy-Riemann equations; check by central finite differences.
+    from geospatial_learn_ray.stages.raster import utm_forward
+
+    f = 1 / 298.257223563
+    e = np.sqrt(f * (2 - f))
+
+    def psi_to_lat(psi):  # invert isometric latitude by bisection
+        lo, hi = -89.9, 89.9
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            s = np.sin(np.radians(mid))
+            p = np.arctanh(s) - e * np.arctanh(e * s)
+            lo, hi = (mid, hi) if p < psi else (lo, mid)
+        return (lo + hi) / 2
+
+    lat0, lon0 = 40.0, -73.0  # 2 deg off the zone-18 meridian
+    s0 = np.sin(np.radians(lat0))
+    psi0 = np.arctanh(s0) - e * np.arctanh(e * s0)
+    h = 1e-6
+    _, E_le, N_le = utm_forward(np.array([lon0 - np.degrees(h)]), np.array([lat0]))
+    _, E_lr, N_lr = utm_forward(np.array([lon0 + np.degrees(h)]), np.array([lat0]))
+    _, E_pd, N_pd = utm_forward(np.array([lon0]), np.array([psi_to_lat(psi0 - h)]))
+    _, E_pu, N_pu = utm_forward(np.array([lon0]), np.array([psi_to_lat(psi0 + h)]))
+    dE_dl = (E_lr[0] - E_le[0]) / (2 * h)
+    dN_dl = (N_lr[0] - N_le[0]) / (2 * h)
+    dE_dp = (E_pu[0] - E_pd[0]) / (2 * h)
+    dN_dp = (N_pu[0] - N_pd[0]) / (2 * h)
+    assert abs(dN_dp - dE_dl) / abs(dE_dl) < 1e-4
+    assert abs(dE_dp + dN_dl) / abs(dE_dl) < 1e-4
+
+
+def test_utm_inverse_roundtrip():
+    from geospatial_learn_ray.stages.raster import utm_forward, utm_inverse
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179.9, 179.9, 5000)
+    lat = rng.uniform(-84.0, 84.0, 5000)
+    z, E, N = utm_forward(lon, lat)
+    lon2, lat2 = utm_inverse(z, E, N, lat < 0)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
