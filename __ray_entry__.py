@@ -678,6 +678,12 @@ def _q_utm_roundtrip(sf_dir: str):
     return located.map_batches(rt, batch_format="pyarrow")
 
 
+def _q_warp_utm_tiles(sf_dir: str):
+    return raster.warp_tiles_utm(read_tiles(tile_px=16), tile_px=16, zone=18,
+                                 e0=300000.0, n0=4000000.0, step=5000.0,
+                                 out_w=64, out_h=64)
+
+
 def _q_wkb_to_geojson(sf_dir: str):
     from geospatial_learn_ray.functions.geometry import ring_to_geojson, wkb_to_ring
 
@@ -1025,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_points_utm": _q_reproject_points_utm,
         "cms_counts_events": _q_cms_counts_events,
         "utm_roundtrip": _q_utm_roundtrip,
+        "warp_utm_tiles": _q_warp_utm_tiles,
         # ---- entries below were driver-checked in rounds 1-2 (50/50 all
         # ---- three checks green, CORRECTNESS_r02.json) ----
         # pages / text (SQL-checked)
@@ -1138,6 +1145,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _simhash_pairs_sql,
     _snake_sql,
     _utm_sql,
+    _warp_utm_sql,
 )
 
 def oracle_sql() -> dict[str, str]:
@@ -1458,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_small_objects": _remove_small_objects_sql(),
         "reproject_points_utm": _utm_sql(),
         "cms_counts_events": _cms_counts_sql(),
+        "warp_utm_tiles": _warp_utm_sql(),
         "utm_roundtrip": (
             f"WITH {pages_sql()} "
             "SELECT url, "

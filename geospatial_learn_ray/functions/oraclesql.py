@@ -1213,3 +1213,32 @@ def _cms_counts_sql(width: int = 1024, depth: int = 4,
         "FROM pv LEFT JOIN counts ON counts.j = pv.j AND counts.idx = pv.idx "
         "GROUP BY pv.user_id"
     )
+
+
+def _warp_utm_sql(tile_px: int = 16, zone: int = 18, e0: float = 300000.0,
+                  n0: float = 4000000.0, step: float = 5000.0,
+                  out_w: int = 64, out_h: int = 64) -> str:
+    """SQL twin of raster.warp_tiles_utm: the target grid's inverse-mapped
+    (lon, lat) are inlined as literals (the inverse series itself is
+    verified by the utm_roundtrip identity oracle + the conformality /
+    roundtrip pytest); the SQL verifies the WARP content — source pixel
+    indexing (identical floor chain) and nearest-neighbor sampling against
+    the closed-form raster."""
+    from ..stages.raster import warp_target_spec
+
+    spec = warp_target_spec(tile_px, zone, e0, n0, step, out_w, out_h)
+    vals = ", ".join(
+        f"({int(r)}, {int(c)}, CAST({float(lo)!r} AS DOUBLE), CAST({float(la)!r} AS DOUBLE))"
+        for r, c, lo, la in zip(spec["tgt_row"], spec["tgt_col"], spec["lon"], spec["lat"])
+    )
+    gw, gh = GRID_X * tile_px, GRID_Y * tile_px
+    return (
+        f"WITH {tiles_sql(tile_px)}, "
+        f"tgt(tgt_row, tgt_col, lon, lat) AS (VALUES {vals}), "
+        "gidx AS (SELECT tgt_row, tgt_col, "
+        f"  CAST(FLOOR((lon + 180.0) / 360.0 * {gw}) AS BIGINT) AS gc, "
+        f"  CAST(FLOOR((lat + 80.0) / 160.0 * {gh}) AS BIGINT) AS gr FROM tgt) "
+        "SELECT g.tgt_row::BIGINT AS tgt_row, g.tgt_col::BIGINT AS tgt_col, r.vd AS value "
+        f"FROM gidx g JOIN rast r ON r.tile_x = g.gc // {tile_px} AND r.px = g.gc % {tile_px} "
+        f"AND r.tile_y = g.gr // {tile_px} AND r.py = g.gr % {tile_px}"
+    )

@@ -1252,6 +1252,73 @@ def reproject_points_utm(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.dat
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def warp_target_spec(tile_px: int, zone: int, e0: float, n0: float, step: float,
+                     out_w: int, out_h: int, south: bool = False) -> pd.DataFrame:
+    """Inverse-map a CONSTANT UTM target grid to source pixel indices —
+    the warp's target→source mapping table (bounded: out_w×out_h rows,
+    data-independent). Pixel centers at (e0+(c+.5)·step, n0+(r+.5)·step)."""
+    from ..sources.tiles import GRID_X, GRID_Y
+
+    r, c = np.divmod(np.arange(out_h * out_w, dtype=np.int64), out_w)
+    e = e0 + (c + 0.5) * step
+    n = n0 + (r + 0.5) * step
+    lon, lat = utm_inverse(np.full(len(r), zone, np.int64), e, n,
+                           np.full(len(r), south, bool))
+    gc = np.floor((lon + 180.0) / 360.0 * (GRID_X * tile_px)).astype(np.int64)
+    gr = np.floor((lat + 80.0) / 160.0 * (GRID_Y * tile_px)).astype(np.int64)
+    ok = (gc >= 0) & (gc < GRID_X * tile_px) & (gr >= 0) & (gr < GRID_Y * tile_px)
+    tx, px_ = np.divmod(gc[ok], tile_px)
+    ty, py_ = np.divmod(gr[ok], tile_px)
+    return pd.DataFrame({"tgt_row": r[ok], "tgt_col": c[ok], "tile_x": tx,
+                         "tile_y": ty, "py": py_, "px": px_,
+                         "lon": lon[ok], "lat": lat[ok]})
+
+
+def warp_tiles_utm(ds: ray.data.Dataset, tile_px: int, zone: int, e0: float,
+                   n0: float, step: float, out_w: int, out_h: int,
+                   south: bool = False) -> ray.data.Dataset:
+    """batchwarp/_quickwarp analogue (raster.py:2591,2634) as a REAL warp:
+    nearest-neighbor resample of the source mosaic onto a UTM target grid
+    by inverse mapping (exactly gdalwarp's target→source shape). The
+    target spec is a bounded constant — ``ray.put`` once, read per task —
+    and the SOURCE tiles stream: each tile batch emits the target pixels
+    it owns, so the stage scales with the source, never materializes the
+    mosaic, and needs no shuffle. For target grids too large to
+    broadcast, bucket the spec rows by source tile through the exchange
+    instead (same broadcast-vs-bucket-join tradeoff as PiP)."""
+    spec = warp_target_spec(tile_px, zone, e0, n0, step, out_w, out_h, south)
+    by_tile = {
+        (int(tx), int(ty)): (g["tgt_row"].to_numpy(), g["tgt_col"].to_numpy(),
+                             (g["py"].to_numpy() * tile_px + g["px"].to_numpy()))
+        for (tx, ty), g in spec.groupby(["tile_x", "tile_y"], sort=False)
+    }
+    ref = ray.put(by_tile)
+
+    def fn(batch: pa.Table, r=ref) -> pd.DataFrame:
+        lut = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        px = _pix(batch)
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        rows, cols, vals = [], [], []
+        for i in range(len(batch)):
+            hit = lut.get((int(tx[i]), int(ty[i])))
+            if hit is None:
+                continue
+            tr, tc, flat = hit
+            rows.append(tr)
+            cols.append(tc)
+            vals.append(px[i][flat])
+        if not rows:
+            return pd.DataFrame({"tgt_row": pd.Series([], dtype=np.int64),
+                                 "tgt_col": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"tgt_row": np.concatenate(rows),
+                             "tgt_col": np.concatenate(cols),
+                             "value": np.concatenate(vals).astype(np.float64)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class WindowReader:
     """Windowed-read actor — the Ray analogue of holding one open GDAL
     dataset per worker and reading 256² windows on demand

@@ -235,3 +235,24 @@ def test_utm_inverse_roundtrip():
     lon2, lat2 = utm_inverse(z, E, N, lat < 0)
     assert np.abs(lon2 - lon).max() < 1e-8
     assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_warp_tiles_utm_matches_dense_reference():
+    from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles, tile_pixels
+    from geospatial_learn_ray.stages.raster import utm_inverse, warp_tiles_utm
+
+    tpx, zone, e0, n0, step, W, H = 16, 18, 300000.0, 4000000.0, 5000.0, 32, 32
+    out = (warp_tiles_utm(read_tiles(tile_px=tpx), tpx, zone, e0, n0, step, W, H)
+           .to_pandas().sort_values(["tgt_row", "tgt_col"]).reset_index(drop=True))
+    assert len(out) == W * H  # the whole target grid lands inside the mosaic
+    # dense reference: inverse-project every target center, sample directly
+    r, c = np.divmod(np.arange(H * W, dtype=np.int64), W)
+    lon, lat = utm_inverse(np.full(H * W, zone), e0 + (c + 0.5) * step,
+                           n0 + (r + 0.5) * step, np.zeros(H * W, bool))
+    gc = np.floor((lon + 180.0) / 360.0 * (GRID_X * tpx)).astype(np.int64)
+    gr = np.floor((lat + 80.0) / 160.0 * (GRID_Y * tpx)).astype(np.int64)
+    exp = np.array([
+        tile_pixels(int(x // tpx), int(y // tpx), tpx)[int(y % tpx), int(x % tpx)]
+        for x, y in zip(gc, gr)
+    ], np.float64)
+    assert np.array_equal(out["value"].to_numpy(), exp)
