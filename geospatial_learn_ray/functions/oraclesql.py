@@ -1242,3 +1242,74 @@ def _warp_utm_sql(tile_px: int = 16, zone: int = 18, e0: float = 300000.0,
         f"FROM gidx g JOIN rast r ON r.tile_x = g.gc // {tile_px} AND r.px = g.gc % {tile_px} "
         f"AND r.tile_y = g.gr // {tile_px} AND r.py = g.gr % {tile_px}"
     )
+
+
+def _bloom_semi_sql(m_bits: int = 2048, k: int = 3,
+                    segment: str = "BUILDING") -> str:
+    """SQL twin of sketches.bloom_build + bloom_probe composed as a
+    semi-join pre-filter: the build side's distinct bit positions are
+    rebuilt with the IDENTICAL hash chain (splitmix64(fnv1a64(key)) xor
+    seed_j → splitmix64 → low bits — the CMS chain), and a probe key
+    passes iff ALL k of its positions are set.  False positives are part
+    of the operator's deterministic contract, so the twin reproduces them
+    exactly; the engine's OR-merge order cannot matter (bitwise OR is
+    commutative)."""
+    from ..stages.sketches import _cms_seeds
+
+    seeds = _cms_seeds(k)
+    steps = [("_fh", _sg.fnv1a64_expr("k")),
+             *_sg.splitmix64_steps("_fh", "_sh", "f")]
+    for j in range(k):
+        steps.append((f"_x{j}", _sg.u64_xor("_sh", str(int(seeds[j])))))
+        steps.extend(_sg.splitmix64_steps(f"_x{j}", f"_h{j}", f"b{j}"))
+        steps.append((f"pos{j}", f"CAST(_h{j} & {m_bits - 1} AS BIGINT)"))
+    bh = _sg.chain(
+        f"SELECT c_custkey::VARCHAR AS k FROM customer "
+        f"WHERE c_mktsegment = '{segment}'", steps)
+    ph = _sg.chain("SELECT o_custkey, o_custkey::VARCHAR AS k FROM orders", steps)
+    bpos = " UNION ".join(f"SELECT pos{j} AS pos FROM bh" for j in range(k))
+    conds = " AND ".join(f"pos{j} IN (SELECT pos FROM bpos)" for j in range(k))
+    return (
+        f"WITH bh AS MATERIALIZED ({bh}), "
+        f"bpos AS MATERIALIZED ({bpos}), "
+        f"ph AS ({ph}) "
+        f'SELECT o_custkey, COUNT(*) AS "count" FROM ph '
+        f"WHERE {conds} GROUP BY o_custkey"
+    )
+
+
+def _hist_quantiles_sql(lo: float = 0.0, width: float = 64.0,
+                        nbins: int = 2048,
+                        qs: tuple = (0.25, 0.5, 0.75, 0.99)) -> str:
+    """SQL twin of sketches.hist_quantiles over lineitem(l_returnflag,
+    l_extendedprice): identical bin chain (FLOOR((x-lo)/width) clamped),
+    integer cumulative counts via a window SUM, first-bin pick via QUALIFY
+    ROW_NUMBER, and the SAME f64 interpolation expression.  Every float
+    literal is CAST(... AS DOUBLE) — a bare 0.99 is a DuckDB DECIMAL and
+    0.99*N would be exact decimal arithmetic, silently diverging from the
+    engine's f64 q*N (the float-literal trap, CLAUDE.md round-2)."""
+    flo, fw = f"CAST({lo!r} AS DOUBLE)", f"CAST({width!r} AS DOUBLE)"
+    sels, joins, outs = [], [], []
+    for q in qs:
+        nm = f"q{int(round(q * 100))}"
+        fq = f"CAST({q!r} AS DOUBLE)"
+        est = f"{flo} + bin * {fw} + {fw} * ({fq} * n - (cum - cnt)) / cnt"
+        sels.append(
+            f"s{nm} AS (SELECT l_returnflag, ROUND({est}, 6) AS {nm} "
+            f"FROM cum WHERE cum >= {fq} * n "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY bin) = 1)"
+        )
+        joins.append(f"s{nm}")
+        outs.append(nm)
+    frm = joins[0] + "".join(f" JOIN {j} USING (l_returnflag)" for j in joins[1:])
+    return (
+        "WITH li AS (SELECT l_returnflag, LEAST(GREATEST(CAST(FLOOR("
+        f"(l_extendedprice - {flo}) / {fw}) AS BIGINT), 0), {nbins - 1}) AS bin "
+        "FROM lineitem), "
+        "counts AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM li GROUP BY 1, 2), "
+        "cum AS MATERIALIZED (SELECT l_returnflag, bin, cnt, "
+        "SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, "
+        "SUM(cnt) OVER (PARTITION BY l_returnflag) AS n FROM counts), "
+        + ", ".join(sels)
+        + f" SELECT {joins[0]}.l_returnflag, {', '.join(outs)} FROM {frm}"
+    )

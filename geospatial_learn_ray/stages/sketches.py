@@ -150,3 +150,129 @@ def cms_counts(ds: ray.data.Dataset, col: str, probes: list, width: int = 1024,
     pidx = _cms_index(np.asarray([str(p) for p in probes], object), seeds, width)
     est = M[np.arange(depth)[:, None], pidx].min(axis=0)
     return pd.DataFrame({col: probes, "est_count": est.astype(np.int64)})
+
+
+# --- Bloom filter semi-join ---------------------------------------------------
+
+def bloom_build(ds: ray.data.Dataset, col: str, m_bits: int = 2048,
+                k: int = 3, num_buckets: int = 32) -> np.ndarray:
+    """Build a Bloom filter (Bloom 1970) over ``col``: per-batch bitmap
+    partials (vectorized scatter-OR of the k cell positions), merged
+    TWO-LEVEL exactly like ``hll_distinct`` — a bucketed exchange ORs the
+    per-batch bitmaps down to ≤ ``num_buckets`` rows, only those reach the
+    driver.  Returns the packed ``m_bits/64``-word uint64 bitmap.
+
+    The position chain is the CMS chain (``_cms_index``): splitmix64(
+    fnv1a64(key)) xor seed_j → splitmix64 → low bits — the double finalize
+    keeps sequential keys unbiased (CLAUDE.md round-1 finding).  m_bits
+    must be a power of two so the SQL twin can mask instead of mod."""
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    seeds = _cms_seeds(k)
+    nwords = m_bits // 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+            c = pa.compute.cast(c, pa.string())
+        pos = _cms_index(c, seeds, m_bits).ravel()
+        w = np.zeros(nwords, np.uint64)
+        np.bitwise_or.at(w, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        old = np.seterr(over="ignore")
+        try:
+            part = int(splitmix64(np.asarray([w.sum()], np.uint64))[0]
+                       % np.uint64(num_buckets))
+        finally:
+            np.seterr(**old)
+        return pa.table({"bits": pa.array([w.view(np.int64)], pa.list_(pa.int64())),
+                         "_part": pa.array([part], pa.int32())})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.bitwise_or.reduce([np.asarray(r, np.int64) for r in g["bits"]])
+        return pd.DataFrame({"bits": [m]})
+
+    from .exchange import bucket_exchange
+
+    merged = bucket_exchange(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        merge_bucket, small_partials=True,
+    ).to_pandas()
+    return np.bitwise_or.reduce(
+        [np.asarray(r, np.int64) for r in merged["bits"]]
+    ).view(np.uint64)
+
+
+def bloom_probe(ds: ray.data.Dataset, col: str, words: np.ndarray,
+                m_bits: int, k: int = 3) -> ray.data.Dataset:
+    """Filter ``ds`` to the rows whose ``col`` the Bloom filter MAY contain
+    (true members + a deterministic false-positive set — never a false
+    negative).  This is the shuffle-free semi-join pre-filter: the build
+    side's bitmap is broadcast (captured here — at 2 KB it ships with the
+    task spec; ``ray.put`` the array and pass the ref for multi-MB filters)
+    and the probe side streams through a stateless vectorized map_batches,
+    so a join whose build side has millions of keys costs the big side no
+    exchange at all; survivors (a few %) go on to the exact join."""
+    seeds = _cms_seeds(k)
+    w = np.ascontiguousarray(words, np.uint64)
+
+    def fil(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+            c = pa.compute.cast(c, pa.string())
+        pos = _cms_index(c, seeds, m_bits)
+        hit = (w[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return b.filter(pa.array(hit.astype(bool).all(axis=0)))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+# --- Histogram quantile sketch ------------------------------------------------
+
+def hist_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
+                   lo: float = 0.0, width: float = 64.0, nbins: int = 2048,
+                   qs: tuple = (0.25, 0.5, 0.75, 0.99)) -> ray.data.Dataset:
+    """Approximate grouped quantiles from a fixed-bin histogram sketch —
+    the mergeable alternative to ``grouped_holistic``'s exact O(dataset)
+    value exchange: per-batch (group, bin, cnt) partials (one vectorized
+    groupby), a coarse bucketed exchange SUMs them (≤ groups×nbins small
+    rows move), and the quantile finalizes INSIDE the combiner from the
+    cumulative counts with linear within-bin interpolation
+    (est = lo + bin·width + width·(q·N − cum_before)/cnt_bin — the textbook
+    grouped-histogram estimator).  Error ≤ width/2 per estimate; all
+    arithmetic is integer counts + one identical f64 chain, so the DuckDB
+    twin (window SUM + QUALIFY first-bin pick) is bit-exact."""
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy(np.float64)
+        bins = np.clip(np.floor((x - lo) / width), 0, nbins - 1).astype(np.int64)
+        out = pd.DataFrame({group_col: b[group_col].to_numpy(), "bin": bins})
+        return (out.groupby([group_col, "bin"], sort=False, observed=True)
+                   .size().rename("cnt").reset_index())
+
+    parted = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda b: _add_part(b, [group_col]), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False, observed=True):
+            c = grp.groupby("bin", observed=True)["cnt"].sum().sort_index()
+            bins = c.index.to_numpy(np.int64)
+            counts = c.to_numpy(np.int64)
+            cum = np.cumsum(counts)
+            n = cum[-1]
+            row = {group_col: key}
+            for q in qs:
+                t = q * float(n)
+                i = int(np.searchsorted(cum, t, side="left"))
+                cprev = float(cum[i] - counts[i])
+                est = lo + float(bins[i]) * width + width * (t - cprev) / float(counts[i])
+                row[f"q{int(round(q * 100))}"] = round_half_away(est, 6)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucket_exchange(parted, combine, small_partials=True)

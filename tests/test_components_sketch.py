@@ -97,3 +97,44 @@ def test_cms_exact_when_sparse():
     df = pd.DataFrame({"k": [f"key{i % 8}" for i in range(800)]})
     out = cms_counts(ray.data.from_pandas(df), "k", probes=[f"key{i}" for i in range(8)])
     assert out.est_count.tolist() == [100] * 8
+
+
+def test_bloom_no_false_negatives_and_block_invariant():
+    from geospatial_learn_ray.stages.sketches import bloom_build, bloom_probe
+
+    members = pd.DataFrame({"k": [f"m-{i}" for i in range(300)]})
+    w1 = bloom_build(ray.data.from_pandas(members), "k", m_bits=2048, k=3)
+    # OR-merge is commutative: bitmap independent of block structure
+    w2 = bloom_build(ray.data.from_pandas(members).repartition(13), "k",
+                     m_bits=2048, k=3)
+    assert (w1 == w2).all()
+    probe = pd.DataFrame({"k": [f"m-{i}" for i in range(300)]
+                          + [f"x-{i}" for i in range(3000)]})
+    out = bloom_probe(ray.data.from_pandas(probe), "k", w1,
+                      m_bits=2048, k=3).to_pandas()
+    kept = set(out.k)
+    # every member passes (no false negatives)
+    assert all(f"m-{i}" in kept for i in range(300))
+    # false-positive rate near the theoretical (1-e^(-kn/m))^k ~ 4-5%
+    fp = sum(1 for i in range(3000) if f"x-{i}" in kept) / 3000
+    assert fp < 0.10
+
+
+def test_hist_quantiles_within_bin_width_and_block_invariant():
+    from geospatial_learn_ray.stages.sketches import hist_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 5000),
+                       "x": rng.uniform(0, 100000, 10000)})
+    out = hist_quantiles(ray.data.from_pandas(df), "g", "x",
+                         lo=0.0, width=64.0, nbins=2048).to_pandas()
+    out2 = hist_quantiles(ray.data.from_pandas(df).repartition(13), "g", "x",
+                          lo=0.0, width=64.0, nbins=2048).to_pandas()
+    a = out.sort_values("g").reset_index(drop=True)
+    b = out2.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    for g, grp in df.groupby("g"):
+        row = a[a.g == g].iloc[0]
+        for q in (0.25, 0.5, 0.75, 0.99):
+            exact = np.quantile(grp.x, q)
+            assert abs(row[f"q{int(q * 100)}"] - exact) <= 64.0 + 1e-9, (g, q)
