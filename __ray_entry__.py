@@ -818,6 +818,25 @@ def _q_media_frame_sample(sf_dir: str):
     return multimodal.frame_sample_stage(media, every_kth=4)
 
 
+def _q_media_resize(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    out = multimodal.resize_stage(media, out_w=8, out_h=8)
+    # the resized binary itself isn't SQL-expressible; its CONTENT is — the
+    # checksum column sums exactly the nearest-neighbor-sampled bytes
+    return out.select_columns(["media_id", "width", "height", "checksum"])
+
+
+def _q_media_features(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    return multimodal.featurize_stage(media)
+
+
 # ---- training surface (learning.create_model / RF_oob_opt /
 # regression_results / prob_pixel_bloc analogues; stages/train.py) --------
 
@@ -1126,6 +1145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 late additions (past the 50-query driver window this
         # round — local-checked now, rotate forward next round)
         "hist_quantiles_lineitem": _q_hist_quantiles,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
     }
 
 
@@ -1167,7 +1188,9 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _located_sql,
     _logistic_weights_sql,
     _media_decode_sql,
+    _media_features_sql,
     _media_frame_sample_sql,
+    _media_resize_sql,
     _minhash_pairs_sql,
     _ms_acwe_sql,
     _ms_gac_sql,
@@ -1527,6 +1550,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
+        "media_resize": _media_resize_sql(),
+        "media_features": _media_features_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

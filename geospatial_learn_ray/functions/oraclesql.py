@@ -1313,3 +1313,37 @@ def _hist_quantiles_sql(lo: float = 0.0, width: float = 64.0,
         + ", ".join(sels)
         + f" SELECT {joins[0]}.l_returnflag, {', '.join(outs)} FROM {frm}"
     )
+
+
+def _media_resize_sql(out_w: int = 8, out_h: int = 8) -> str:
+    """SQL twin of multimodal.MediaResizer content: the resized payload is
+    the nearest-neighbor byte sample pos_j = (j·L)//out_n of the GLRM
+    payload (= first 256 UTF-8 bytes of text, pure ASCII → ascii() == the
+    byte); the checksum column sums exactly those sampled bytes, so the
+    value-hash pins every sampled position. The binary container assembly
+    itself is covered by the byte-roundtrip pytest."""
+    out_n = out_w * out_h
+    return (
+        "WITH pay AS (SELECT doc_id, LEAST(length(text), 256) AS n, text FROM documents) "
+        f"SELECT doc_id AS media_id, CAST({out_w} AS INTEGER) AS width, "
+        f"CAST({out_h} AS INTEGER) AS height, "
+        "CAST(CASE WHEN n > 0 THEN "
+        f"list_aggregate(list_transform(range(0, {out_n}), "
+        f"j -> ascii(text[CAST((j * n) // {out_n} AS BIGINT) + 1])), 'sum') "
+        "ELSE 0 END AS BIGINT) AS checksum FROM pay"
+    )
+
+
+def _media_features_sql() -> str:
+    """SQL twin of multimodal.MediaFeaturizer: 16-bin byte histogram of the
+    GLRM payload (ascii(char) // 16 == byte >> 4 on pure-ASCII text)."""
+    hists = ", ".join(
+        "CAST(COALESCE(list_aggregate(list_transform(range(1, n + 1), "
+        f"i -> CASE WHEN ascii(text[i]) // 16 = {b} THEN 1 ELSE 0 END), 'sum'), 0) "
+        f"AS BIGINT) AS h{b}"
+        for b in range(16)
+    )
+    return (
+        "WITH pay AS (SELECT doc_id, LEAST(length(text), 256) AS n, text FROM documents) "
+        f"SELECT doc_id AS media_id, {hists} FROM pay"
+    )

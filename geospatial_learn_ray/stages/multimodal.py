@@ -174,3 +174,117 @@ def frame_sample_stage(ds: ray.data.Dataset, every_kth: int = 4, concurrency=(1,
         FrameSampler, fn_constructor_args=(every_kth,), batch_format="pyarrow",
         batch_size=256, concurrency=concurrency, num_cpus=1,
     )
+
+
+class MediaResizer:
+    """Resize plumbing (image analogue of the brief's decode/resize/frame
+    stages): deterministic nearest-neighbor resample of the GLRM payload to
+    ``out_w × out_h`` positions (1-D: pos_j = (j·L) // out_n), re-emitted
+    as a NEW GLRM container — media stays an opaque binary column through
+    the stage, exactly like a production thumbnailer. ``codec="real"`` is
+    the PIL seam (Image.resize); the fake path is fully vectorized off the
+    Arrow buffers, output binary built from raw offset/value buffers (no
+    per-row Python)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real image resize requires Pillow: PIL.Image.open(...)."
+                "resize((out_w, out_h)) — this container ships no codec "
+                "libraries (task brief: stub the decode/resize kernels)"
+            )
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = np.int32 if not pa.types.is_large_binary(col.type) else np.int64
+        offsets = np.frombuffer(col.buffers()[1], width)[col.offset : col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64) + 9
+        plen = np.maximum(offsets[1:].astype(np.int64) - starts, 0)
+        n = len(plen)
+        out_n = self.out_w * self.out_h
+        j = np.arange(out_n, dtype=np.int64)[None, :]
+        pos = (j * plen[:, None]) // out_n  # nearest-neighbor sample grid
+        valid = plen[:, None] > 0
+        idx = np.minimum(starts[:, None] + pos, max(len(data) - 1, 0))
+        sampled = np.where(valid, data[idx], 0).astype(np.uint8)
+        row = np.empty((n, 9 + out_n), np.uint8)
+        row[:, 0:4] = np.frombuffer(MAGIC, np.uint8)
+        row[:, 4] = self.out_w & 255
+        row[:, 5] = self.out_w >> 8
+        row[:, 6] = self.out_h & 255
+        row[:, 7] = self.out_h >> 8
+        row[:, 8] = 3
+        row[:, 9:] = sampled
+        out_off = (np.arange(n + 1, dtype=np.int32) * (9 + out_n))
+        media = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(row.tobytes())],
+        )
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "width": pa.array(np.full(n, self.out_w, np.int32)),
+            "height": pa.array(np.full(n, self.out_h, np.int32)),
+            "checksum": pa.array(np.where(plen > 0, sampled.astype(np.int64).sum(axis=1), 0)),
+            "media": media,
+        })
+
+
+def resize_stage(ds: ray.data.Dataset, out_w: int = 8, out_h: int = 8,
+                 codec: str = "fake", concurrency=(1, 8),
+                 batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaResizer, fn_constructor_args=(out_w, out_h, codec),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+class MediaFeaturizer:
+    """Feature-extract plumbing: a 16-bin byte histogram per media payload
+    (the opaque-binary stand-in for an embedding/feature model — a real
+    deployment loads the model in ``__init__`` and runs batched inference
+    in ``__call__``). One vectorized bincount per batch."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real feature extraction requires a model runtime (torch); "
+                "load the model here and run batched inference in __call__"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = np.int32 if not pa.types.is_large_binary(col.type) else np.int64
+        offsets = np.frombuffer(col.buffers()[1], width)[col.offset : col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64) + 9
+        plen = np.maximum(offsets[1:].astype(np.int64) - starts, 0)
+        n = len(plen)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), plen)
+        take = np.concatenate(
+            [np.arange(s, s + l) for s, l in zip(starts, plen)]
+        ) if n else np.zeros(0, np.int64)
+        bins = data[take] >> 4
+        hist = np.bincount(row_idx * 16 + bins, minlength=n * 16).reshape(n, 16)
+        cols = {"media_id": batch["media_id"]}
+        for b in range(16):
+            cols[f"h{b}"] = pa.array(hist[:, b].astype(np.int64))
+        return pa.table(cols)
+
+
+def featurize_stage(ds: ray.data.Dataset, codec: str = "fake",
+                    concurrency=(1, 8), batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaFeaturizer, fn_constructor_args=(codec,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

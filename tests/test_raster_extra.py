@@ -109,6 +109,42 @@ def test_media_frame_sample():
     assert out.media_id.nunique() == len(docs)
 
 
+def test_media_resize_roundtrip_and_checksum():
+    ds, docs = _media_ds()
+    out = multimodal.resize_stage(ds, out_w=8, out_h=8).to_pandas()
+    assert len(out) == len(docs)
+    d = docs.to_pandas().set_index("doc_id")
+    for _, r in out.head(20).iterrows():
+        # resized container is a valid GLRM: header roundtrips through the
+        # per-row reference decoder
+        w, h, c, _, plen = multimodal.MediaDecoder._decode_one(r.media)
+        assert (w, h, c, plen) == (8, 8, 3, 64)
+        # nearest-neighbor sample positions vs a per-row reference
+        payload = d.loc[r.media_id, "text"].encode("utf-8")[:256]
+        L = len(payload)
+        ref = bytes(payload[(j * L) // 64] for j in range(64)) if L else b"\x00" * 64
+        assert r.media[9:] == ref
+        assert r.checksum == sum(ref) if L else r.checksum == 0
+
+
+def test_media_featurize_histogram_matches_reference():
+    ds, docs = _media_ds()
+    out = multimodal.featurize_stage(ds).to_pandas().set_index("media_id")
+    d = docs.to_pandas().set_index("doc_id")
+    for mid in list(out.index)[:20]:
+        payload = d.loc[mid, "text"].encode("utf-8")[:256]
+        ref = np.bincount(np.frombuffer(payload, np.uint8) >> 4, minlength=16)
+        got = out.loc[mid, [f"h{b}" for b in range(16)]].to_numpy(np.int64)
+        assert (got == ref).all()
+
+
+def test_media_resize_real_codec_is_explicit_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.MediaResizer(codec="real")
+
+
 def test_polygonize_serpentine_region_is_one_region():
     # a same-value serpentine path of length ~side^2/2 (> side) must stay ONE
     # region: the min-label propagation needs pointer jumping / convergence
