@@ -79,6 +79,8 @@ def hll_distinct(ds: ray.data.Dataset, col: str, precision: int = 12,
         ).to_pandas()
     finally:
         np.seterr(**old)
+    if sketches.empty:  # empty input: zero registers -> linear-counting 0
+        return 0.0
     merged = np.maximum.reduce([np.asarray(r, np.int8) for r in sketches["regs"]])
     return _hll_estimate(merged)
 
@@ -146,6 +148,8 @@ def cms_counts(ds: ray.data.Dataset, col: str, probes: list, width: int = 1024,
         ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
         merge_bucket, small_partials=True,
     ).to_pandas()
+    if merged.empty:  # empty input: all-zero counts
+        merged = pd.DataFrame({"cnt": [np.zeros(depth * width, np.int64)]})
     M = np.sum([np.asarray(r, np.int64) for r in merged["cnt"]], axis=0).reshape(depth, width)
     pidx = _cms_index(np.asarray([str(p) for p in probes], object), seeds, width)
     est = M[np.arange(depth)[:, None], pidx].min(axis=0)
@@ -198,6 +202,8 @@ def bloom_build(ds: ray.data.Dataset, col: str, m_bits: int = 2048,
         ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
         merge_bucket, small_partials=True,
     ).to_pandas()
+    if merged.empty:  # empty build side: a valid all-zeros filter (nothing passes)
+        return np.zeros(nwords, np.uint64)
     return np.bitwise_or.reduce(
         [np.asarray(r, np.int64) for r in merged["bits"]]
     ).view(np.uint64)

@@ -138,3 +138,23 @@ def test_hist_quantiles_within_bin_width_and_block_invariant():
         for q in (0.25, 0.5, 0.75, 0.99):
             exact = np.quantile(grp.x, q)
             assert abs(row[f"q{int(q * 100)}"] - exact) <= 64.0 + 1e-9, (g, q)
+
+
+def test_bloom_empty_build_side_passes_nothing():
+    from geospatial_learn_ray.stages.sketches import bloom_build, bloom_probe
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype="string")})
+    w = bloom_build(ray.data.from_pandas(empty), "k", m_bits=2048, k=3)
+    assert (w == 0).all()
+    probe = pd.DataFrame({"k": [f"x-{i}" for i in range(100)]})
+    out = bloom_probe(ray.data.from_pandas(probe), "k", w, m_bits=2048, k=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_hll_cms_empty_inputs():
+    from geospatial_learn_ray.stages.sketches import cms_counts, hll_distinct
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype="string")})
+    assert hll_distinct(ray.data.from_pandas(empty), "k") == 0.0
+    out = cms_counts(ray.data.from_pandas(empty), "k", probes=["a", "b"])
+    assert out.est_count.tolist() == [0, 0]
