@@ -341,10 +341,14 @@ def _q_cms_counts_events(sf_dir: str):
 
 def _q_bloom_semi_join(sf_dir: str):
     """Bloom-filter semi-join: orders pre-filtered (no exchange on the big
-    side) by a 2048-bit filter built over the BUILDING customers, then a
-    distributed count per surviving custkey. False positives are part of
+    side) by a bitmap built over the BUILDING customers, then a distributed
+    count per surviving custkey. The bitmap is SIZED FROM A COUNT of the
+    build side (8 bits/key, next power of two) — a fixed m saturates once
+    the build side outgrows its design point. False positives are part of
     the deterministic contract the SQL twin reproduces."""
-    from geospatial_learn_ray.stages.sketches import bloom_build, bloom_probe
+    from geospatial_learn_ray.stages.sketches import (
+        bloom_auto_bits, bloom_build, bloom_probe,
+    )
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -352,10 +356,11 @@ def _q_bloom_semi_join(sf_dir: str):
         lambda b: b.filter(pa.compute.equal(b["c_mktsegment"], "BUILDING")),
         batch_format="pyarrow",
     )
-    words = bloom_build(cust, "c_custkey", m_bits=2048, k=3)
+    m_bits = bloom_auto_bits(cust.count())  # small side: the extra count pass is cheap
+    words = bloom_build(cust, "c_custkey", m_bits=m_bits, k=3)
     probe = bloom_probe(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
-        "o_custkey", words, m_bits=2048, k=3,
+        "o_custkey", words, m_bits=m_bits, k=3,
     )
     counted = probe.map_batches(
         lambda b: b.append_column("_ck", b["o_custkey"]), batch_format="pyarrow"

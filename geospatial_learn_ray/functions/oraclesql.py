@@ -1244,12 +1244,15 @@ def _warp_utm_sql(tile_px: int = 16, zone: int = 18, e0: float = 300000.0,
     )
 
 
-def _bloom_semi_sql(m_bits: int = 2048, k: int = 3,
+def _bloom_semi_sql(bits_per_key: int = 8, k: int = 3,
                     segment: str = "BUILDING") -> str:
-    """SQL twin of sketches.bloom_build + bloom_probe composed as a
-    semi-join pre-filter: the build side's distinct bit positions are
-    rebuilt with the IDENTICAL hash chain (splitmix64(fnv1a64(key)) xor
-    seed_j → splitmix64 → low bits — the CMS chain), and a probe key
+    """SQL twin of sketches.bloom_auto_bits + bloom_build + bloom_probe
+    composed as a semi-join pre-filter: the bitmap size is derived from
+    COUNT(*) of the build side exactly like the engine (smallest power of
+    two ≥ bits_per_key·n, picked by MIN over an integer VALUES list — no
+    float LOG2 on either side), the build side's distinct bit positions
+    are rebuilt with the IDENTICAL hash chain (splitmix64(fnv1a64(key))
+    xor seed_j → splitmix64 → mod m — the CMS chain), and a probe key
     passes iff ALL k of its positions are set.  False positives are part
     of the operator's deterministic contract, so the twin reproduces them
     exactly; the engine's OR-merge order cannot matter (bitwise OR is
@@ -1262,15 +1265,22 @@ def _bloom_semi_sql(m_bits: int = 2048, k: int = 3,
     for j in range(k):
         steps.append((f"_x{j}", _sg.u64_xor("_sh", str(int(seeds[j])))))
         steps.extend(_sg.splitmix64_steps(f"_x{j}", f"_h{j}", f"b{j}"))
-        steps.append((f"pos{j}", f"CAST(_h{j} & {m_bits - 1} AS BIGINT)"))
+        steps.append((f"pos{j}", f"CAST(_h{j} % m AS BIGINT)"))
+    pows = ", ".join(f"({1 << e})" for e in range(6, 41))
     bh = _sg.chain(
-        f"SELECT c_custkey::VARCHAR AS k FROM customer "
+        f"SELECT c_custkey::VARCHAR AS k, mm.m AS m FROM customer, mm "
         f"WHERE c_mktsegment = '{segment}'", steps)
-    ph = _sg.chain("SELECT o_custkey, o_custkey::VARCHAR AS k FROM orders", steps)
+    ph = _sg.chain(
+        "SELECT o_custkey, o_custkey::VARCHAR AS k, mm.m AS m FROM orders, mm",
+        steps)
     bpos = " UNION ".join(f"SELECT pos{j} AS pos FROM bh" for j in range(k))
     conds = " AND ".join(f"pos{j} IN (SELECT pos FROM bpos)" for j in range(k))
     return (
-        f"WITH bh AS MATERIALIZED ({bh}), "
+        f"WITH bc AS (SELECT COUNT(*) AS n FROM customer "
+        f"WHERE c_mktsegment = '{segment}'), "
+        f"mm AS MATERIALIZED (SELECT MIN(p) AS m FROM (VALUES {pows}) pows(p), bc "
+        f"WHERE p >= {bits_per_key} * GREATEST(bc.n, 1)), "
+        f"bh AS MATERIALIZED ({bh}), "
         f"bpos AS MATERIALIZED ({bpos}), "
         f"ph AS ({ph}) "
         f'SELECT o_custkey, COUNT(*) AS "count" FROM ph '

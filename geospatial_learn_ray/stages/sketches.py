@@ -158,6 +158,21 @@ def cms_counts(ds: ray.data.Dataset, col: str, probes: list, width: int = 1024,
 
 # --- Bloom filter semi-join ---------------------------------------------------
 
+def bloom_auto_bits(n_keys: int, bits_per_key: int = 8) -> int:
+    """Size the bitmap from a COUNTED build side: the smallest power of two
+    ≥ bits_per_key × n_keys (min 64).  A fixed m saturates as the build
+    side grows (at 8× the keys of its design point the filter passes ~all
+    probes); deriving m from a count keeps the FP rate flat at any scale.
+    Integer loop on purpose — the SQL twin picks MIN(p ≥ b·n) from a
+    powers-of-two VALUES list, and a float CEIL(LOG2(...)) on either side
+    could land a ulp across an integer boundary at large n."""
+    m = 64
+    target = bits_per_key * max(int(n_keys), 1)
+    while m < target:
+        m <<= 1
+    return m
+
+
 def bloom_build(ds: ray.data.Dataset, col: str, m_bits: int = 2048,
                 k: int = 3, num_buckets: int = 32) -> np.ndarray:
     """Build a Bloom filter (Bloom 1970) over ``col``: per-batch bitmap

@@ -158,3 +158,16 @@ def test_hll_cms_empty_inputs():
     assert hll_distinct(ray.data.from_pandas(empty), "k") == 0.0
     out = cms_counts(ray.data.from_pandas(empty), "k", probes=["a", "b"])
     assert out.est_count.tolist() == [0, 0]
+
+
+def test_bloom_auto_bits_scales_with_build_side():
+    from geospatial_learn_ray.stages.sketches import bloom_auto_bits
+
+    assert bloom_auto_bits(0) == 64
+    assert bloom_auto_bits(1) == 64
+    assert bloom_auto_bits(302) == 4096          # next_pow2(8*302)
+    assert bloom_auto_bits(3000) == 32768
+    # the invariant a fixed m loses: bits/key never drops below the target
+    for n in (10, 100, 1000, 10**6, 10**9):
+        m = bloom_auto_bits(n)
+        assert m >= 8 * n and m < 16 * n and m & (m - 1) == 0
