@@ -332,6 +332,10 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    return dedup.paragraph_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_cms_counts_events(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import cms_counts
 
@@ -1152,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles_lineitem": _q_hist_quantiles,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
+        "paragraph_dedup_docs": _q_paragraph_dedup,
     }
 
 
@@ -1194,6 +1199,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _logistic_weights_sql,
     _media_decode_sql,
     _media_features_sql,
+    _paragraph_dedup_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _minhash_pairs_sql,
@@ -1557,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),
         "media_features": _media_features_sql(),
+        "paragraph_dedup_docs": _paragraph_dedup_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -1357,3 +1357,21 @@ def _media_features_sql() -> str:
         "WITH pay AS (SELECT doc_id, LEAST(length(text), 256) AS n, text FROM documents) "
         f"SELECT doc_id AS media_id, {hists} FROM pay"
     )
+
+
+def _paragraph_dedup_sql(words_per_para: int = 12) -> str:
+    """SQL twin of dedup.paragraph_dedup: identical fixed-window
+    segmentation (list_slice is 1-based inclusive, clamped at the row end
+    exactly like the engine's offset rebuild), keep-first via ROW_NUMBER
+    ordered by (doc_id, idx) — the engine's lexsort + duplicated() — and
+    ordered string_agg reassembly."""
+    w = words_per_para
+    return (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        f"ch AS (SELECT doc_id, CAST(unnest(range(0, (len(w) + {w - 1}) // {w})) AS BIGINT) AS idx, w FROM ws), "
+        f"paras AS (SELECT doc_id, idx, array_to_string(list_slice(w, idx*{w} + 1, idx*{w} + {w}), ' ') AS para FROM ch), "
+        "kept AS (SELECT doc_id, idx, para FROM paras "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) "
+        "SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS dedup_text, "
+        "COUNT(*) AS n_kept FROM kept GROUP BY doc_id"
+    )

@@ -117,3 +117,50 @@ def test_minhash_overflow_sentinels_distinct_per_band():
     sent = cands[cands.id_a == -1]
     assert len(sent) == 16
     assert sent.id_b.nunique() == 16
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_reassembles():
+    from geospatial_learn_ray.stages.dedup import paragraph_dedup
+
+    w = " ".join  # paragraphs of exactly 4 words below (words_per_para=4)
+    shared = "alpha beta gamma delta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            w([shared, "one two three four"]),
+            w([shared, "five six seven eight"]),   # shared para claimed by doc 1
+            w(["five six seven eight", "nine ten eleven twelve"]),  # 1st para claimed by doc 2
+        ],
+    })
+    out = paragraph_dedup(ray.data.from_pandas(docs), words_per_para=4).to_pandas()
+    got = dict(zip(out.doc_id, out.dedup_text))
+    assert got[1] == shared + " one two three four"
+    assert got[2] == "five six seven eight"
+    assert got[3] == "nine ten eleven twelve"
+    assert dict(zip(out.doc_id, out.n_kept)) == {1: 2, 2: 1, 3: 1}
+    # block-structure invariance
+    out2 = paragraph_dedup(ray.data.from_pandas(docs).repartition(3),
+                           words_per_para=4).to_pandas()
+    assert dict(zip(out2.doc_id, out2.dedup_text)) == got
+
+
+def test_paragraph_dedup_doc_fully_claimed_drops_out():
+    from geospatial_learn_ray.stages.dedup import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [10, 20],
+        "text": ["a b c d e f g h", "a b c d e f g h"],  # doc 20 vanishes
+    })
+    out = paragraph_dedup(ray.data.from_pandas(docs), words_per_para=4).to_pandas()
+    assert out.doc_id.tolist() == [10]
+    assert out.dedup_text.iloc[0] == "a b c d e f g h"
+
+
+def test_paragraph_dedup_ragged_tail_window():
+    from geospatial_learn_ray.stages.dedup import paragraph_dedup
+
+    docs = pd.DataFrame({"doc_id": [1], "text": ["one two three four five"]})
+    out = paragraph_dedup(ray.data.from_pandas(docs), words_per_para=4).to_pandas()
+    # 5 words -> windows "one two three four" + ragged "five"
+    assert out.dedup_text.iloc[0] == "one two three four five"
+    assert out.n_kept.iloc[0] == 2
