@@ -332,6 +332,53 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+PROMO_WINDOWS = 9  # overlapping 5-day windows every 3 days over the events month
+
+
+def _promo_intervals() -> pd.DataFrame:
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame({
+        "interval_id": np.arange(PROMO_WINDOWS, dtype=np.int64),
+        "lo": [base + pd.Timedelta(days=3 * i) for i in range(PROMO_WINDOWS)],
+        "hi": [base + pd.Timedelta(days=3 * i + 5) for i in range(PROMO_WINDOWS)],
+    })
+
+
+def _q_interval_join_events(sf_dir: str):
+    """Range join (brief's custom-operator example): events stabbed against
+    broadcast overlapping promo windows, then count + exact cents sum per
+    window (int-valued f64 terms -> order-exact sums at any sf)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    joined = joins.interval_join(ev, _promo_intervals())
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "interval_id": b["interval_id"].to_numpy(np.int64),
+            "cents": round_half_away(b["value"].to_numpy(np.float64) * 100.0, 0),
+        })
+
+    return agg.grouped_stats(joined.map_batches(cents, batch_format="pandas"),
+                             "interval_id", "cents", stats=("count", "sum"))
+
+
+def _interval_join_sql() -> str:
+    """SQL twin of _q_interval_join_events: the broadcast interval table as
+    a VALUES literal, the stab as a BETWEEN-style theta join. value*100 is
+    DOUBLE×INTEGER (no DECIMAL literal), ROUND is half-away = the engine's
+    round_half_away, and the summed terms are int-valued f64 → order-exact."""
+    vals = ", ".join(
+        f"({int(r.interval_id)}, TIMESTAMP '{r.lo}', TIMESTAMP '{r.hi}')"
+        for r in _promo_intervals().itertuples()
+    )
+    return (
+        f"WITH iv(interval_id, lo, hi) AS (VALUES {vals}) "
+        'SELECT iv.interval_id, COUNT(*) AS "count", '
+        "SUM(ROUND(e.value * 100, 0)) AS sum_cents "
+        "FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi "
+        "GROUP BY iv.interval_id"
+    )
+
+
 def _q_paragraph_dedup(sf_dir: str):
     return dedup.paragraph_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1157,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
         "paragraph_dedup_docs": _q_paragraph_dedup,
+        "interval_join_events": _q_interval_join_events,
     }
 
 
@@ -1564,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_resize_sql(),
         "media_features": _media_features_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
+        "interval_join_events": _interval_join_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -66,3 +66,63 @@ def broadcast_join(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class IntervalJoiner:
+    """Actor-pool range-join stage (the brief's 'range join' custom
+    operator): the small interval table is broadcast (``ray.put`` once,
+    fetched per actor in ``__init__``) and each streaming batch is stabbed
+    vectorized — no shuffle touches the big side. Two plans, picked once
+    at init: sorted NON-overlapping intervals stab with two searchsorted
+    calls per batch (O(n log k)); overlapping intervals fall back to a
+    chunked outer compare (O(n·k) but fully vectorized — k is
+    broadcast-sized by contract)."""
+
+    def __init__(self, iv_ref, ts_col: str, lo_col: str, hi_col: str,
+                 id_col: str):
+        iv = ray.get(iv_ref) if isinstance(iv_ref, ray.ObjectRef) else iv_ref
+        iv = iv.to_pandas() if isinstance(iv, pa.Table) else iv
+        iv = iv.sort_values(lo_col)
+        self.ts_col, self.id_col = ts_col, id_col
+        self.lo = iv[lo_col].to_numpy("datetime64[us]").view(np.int64)
+        self.hi = iv[hi_col].to_numpy("datetime64[us]").view(np.int64)
+        self.ids = iv[id_col].to_numpy()
+        self.disjoint = bool((self.hi[:-1] <= self.lo[1:]).all())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[self.ts_col].to_numpy("datetime64[us]").view(np.int64)
+        if self.disjoint:
+            # candidate = last interval with lo <= ts; match iff ts < its hi
+            cand = np.searchsorted(self.lo, ts, side="right") - 1
+            ok = (cand >= 0) & (ts < self.hi[np.maximum(cand, 0)])
+            rows, ivs = np.flatnonzero(ok), cand[ok]
+        else:
+            hits = (ts[:, None] >= self.lo[None, :]) & (ts[:, None] < self.hi[None, :])
+            rows, ivs = np.nonzero(hits)
+        out = batch.iloc[rows].reset_index(drop=True)
+        out[self.id_col] = self.ids[ivs]
+        return out
+
+
+def interval_join(
+    ds: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    ts_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    id_col: str = "interval_id",
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Inner range join of a streaming Dataset against a broadcast interval
+    table: every row matching ``lo <= ts < hi`` is emitted once per
+    matching interval (overlaps produce multiple rows)."""
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        IntervalJoiner,
+        fn_constructor_args=(ref, ts_col, lo_col, hi_col, id_col),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

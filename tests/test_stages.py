@@ -117,3 +117,41 @@ def test_scorer_formula(tmp_path):
 def test_rmse():
     ds = ray.data.from_pandas(pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [1.0, 4.0, 3.0]}))
     assert agg.rmse(ds, "a", "b") == round((2.0**2 / 3) ** 0.5, 4)
+
+
+def test_interval_join_overlapping_and_disjoint_paths_match_brute_force():
+    from geospatial_learn_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(11)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 30 * 86400, 500), unit="s")
+    ev = pd.DataFrame({"event_id": np.arange(500, dtype=np.int64), "ts": ts})
+
+    def brute(iv):
+        rows = []
+        for _, e in ev.iterrows():
+            for _, i in iv.iterrows():
+                if i.lo <= e.ts < i.hi:
+                    rows.append((e.event_id, i.interval_id))
+        return sorted(rows)
+
+    base = pd.Timestamp("2024-01-01")
+    overlapping = pd.DataFrame({
+        "interval_id": np.arange(9, dtype=np.int64),
+        "lo": [base + pd.Timedelta(days=3 * i) for i in range(9)],
+        "hi": [base + pd.Timedelta(days=3 * i + 5) for i in range(9)],
+    })
+    disjoint = pd.DataFrame({
+        "interval_id": np.arange(10, dtype=np.int64),
+        "lo": [base + pd.Timedelta(days=3 * i) for i in range(10)],
+        "hi": [base + pd.Timedelta(days=3 * i + 2) for i in range(10)],
+    })
+    for iv in (overlapping, disjoint):
+        out = interval_join(ray.data.from_pandas(ev), iv).to_pandas()
+        got = sorted(zip(out.event_id, out.interval_id))
+        assert got == brute(iv)
+    # a timestamp inside two overlapping windows emits two rows
+    two = interval_join(
+        ray.data.from_pandas(pd.DataFrame({"event_id": [1], "ts": [base + pd.Timedelta(days=4)]})),
+        overlapping,
+    ).to_pandas()
+    assert sorted(two.interval_id.tolist()) == [0, 1]
