@@ -361,6 +361,51 @@ def _q_interval_join_events(sf_dir: str):
                              "interval_id", "cents", stats=("count", "sum"))
 
 
+def _q_weighted_sample(sf_dir: str):
+    from geospatial_learn_ray.stages.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out = weighted_sample(ds, "o_orderkey", "o_totalprice", k=50)
+    # selection/order happen at FULL precision inside the stage; only the
+    # reported column is rounded (12 decimals: |skey| <= 0.05 here, so
+    # x*1e12 < 2^53 stays exact). A distinct name — aliasing the rounded
+    # value back to "skey" in SQL would shadow the ORDER BY.
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_totalprice": b["o_totalprice"].to_numpy(np.float64),
+            "skey_r": round_half_away(b["skey"].to_numpy(np.float64), 12),
+        }),
+        batch_format="pandas",
+    )
+
+
+def _weighted_sample_sql(k: int = 50) -> str:
+    """SQL twin of sampling.weighted_sample over orders: identical id-hash
+    draw (fnv→xor sm(seed+1)→splitmix64, the train_test_split chain),
+    identical skey = LN((h+1)/2^64)/w expression, top-k via ORDER BY
+    LIMIT. LN is the one libm call (see the stage docstring's ulp note)."""
+    c = str(int(_smx(np.array([1], np.uint64))[0]))
+    inner = _sg.chain(
+        "SELECT o_orderkey, o_totalprice, CAST(o_orderkey AS VARCHAR) AS _k FROM orders",
+        [
+            ("_fh", _sg.fnv1a64_expr("_k")),
+            ("_fx", _sg.u64_xor("_fh", c)),
+            *_sg.splitmix64_steps("_fx", "_h", "h"),
+            ("skey", f"LN((CAST(_h AS DOUBLE) + 1.0) / {2.0 ** 64!r}) / o_totalprice"),
+        ],
+    )
+    return (
+        # skey_r, NOT an alias named skey: DuckDB's ORDER BY prefers output
+        # aliases, and ordering by the ROUNDED value mass-ties the ~1e-8
+        # magnitudes and scrambles the selection (caught at sf0.01)
+        "SELECT o_orderkey, o_totalprice, ROUND(skey, 12) AS skey_r "
+        f"FROM ({inner}) ORDER BY skey DESC LIMIT {k}"
+    )
+
+
 def _interval_join_sql() -> str:
     """SQL twin of _q_interval_join_events: the broadcast interval table as
     a VALUES literal, the stab as a BETWEEN-style theta join. value*100 is
@@ -1205,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "interval_join_events": _q_interval_join_events,
+        "weighted_sample_orders": _q_weighted_sample,
     }
 
 
@@ -1613,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "interval_join_events": _interval_join_sql(),
+        "weighted_sample_orders": _weighted_sample_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

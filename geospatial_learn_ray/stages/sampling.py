@@ -36,3 +36,50 @@ def train_test_split_by_key(
         return b.append_column("split", pa.array(split, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset, key_col: str, weight_col: str, k: int = 50,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws ``u ∈ (0,1]`` from an ID-HASH (the
+    block-structure-invariant draw class — stratified_sample's round-2
+    fix), scores ``skey = ln(u)/w`` (the monotone twin of ``u^(1/w)``),
+    and the sample is the global top-k by ``skey``.  P(row selected) ∝
+    weight, deterministic on any partitioning, any retry, any cluster.
+
+    Per-batch argpartition bounds the exchange to ≤ k rows per block;
+    the global sort runs over those k·#blocks partials only.  ``key_col``
+    must be unique (duplicate keys draw identical u — a boundary tie
+    would make top-k order-dependent).  Oracle note: LN is the one
+    cross-engine libm call; a ulp flip at the k-th boundary has
+    probability ~n·ulp/gap ≈ 1e-10 (same accepted class as the S2
+    oracle's sin/cos note)."""
+    kn = int(k)
+    sm_seed = splitmix64(np.asarray([seed + 1], np.uint64))[0]
+
+    def partial(b: pa.Table) -> pa.Table:
+        kc = b[key_col]
+        if not (pa.types.is_string(kc.type) or pa.types.is_binary(kc.type)):
+            kc = pa.compute.cast(kc, pa.string())
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(fnv1a64(kc) ^ sm_seed)
+        finally:
+            np.seterr(**old)
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64  # (0, 1]
+        w = np.asarray(b[weight_col].to_numpy(), np.float64)
+        skey = np.log(u) / w
+        if len(skey) > kn:
+            idx = np.argpartition(-skey, kn - 1)[:kn]
+        else:
+            idx = np.arange(len(skey))
+        return pa.table({
+            key_col: b[key_col].take(pa.array(idx, pa.int64())),
+            weight_col: b[weight_col].take(pa.array(idx, pa.int64())),
+            "skey": pa.array(skey[idx]),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").sort(
+        "skey", descending=True).limit(kn)

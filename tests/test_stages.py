@@ -155,3 +155,23 @@ def test_interval_join_overlapping_and_disjoint_paths_match_brute_force():
         overlapping,
     ).to_pandas()
     assert sorted(two.interval_id.tolist()) == [0, 1]
+
+
+def test_weighted_sample_block_invariant_and_weight_proportional():
+    from geospatial_learn_ray.stages.sampling import weighted_sample
+
+    # 20 heavy items (weight 10_000) among 2000 light ones (weight 1):
+    # each heavy key is ~10^4 more likely than a light one; all 20 must
+    # land in a k=40 sample (P(miss one) ~ (1 - 10^4/(10^4+eps))^... ~ 0)
+    df = pd.DataFrame({
+        "id": np.arange(2020, dtype=np.int64),
+        "w": np.where(np.arange(2020) < 20, 10_000.0, 1.0),
+    })
+    out = weighted_sample(ray.data.from_pandas(df), "id", "w", k=40).to_pandas()
+    assert len(out) == 40
+    heavy = set(range(20))
+    assert heavy <= set(out.id), sorted(heavy - set(out.id))
+    # identical selection under any block structure (id-hash draws)
+    out2 = weighted_sample(ray.data.from_pandas(df).repartition(17), "id", "w",
+                           k=40).to_pandas()
+    assert sorted(out.id) == sorted(out2.id)
