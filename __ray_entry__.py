@@ -361,6 +361,19 @@ def _q_interval_join_events(sf_dir: str):
                              "interval_id", "cents", stats=("count", "sum"))
 
 
+def _q_min_rect_tiles(sf_dir: str):
+    ds = read_tiles(tile_px=16).map_batches(
+        lambda b: b.filter(pa.compute.and_(
+            pa.compute.less(b["tile_x"], 5), pa.compute.less(b["tile_y"], 5))),
+        batch_format="pyarrow",
+    )
+    return raster.min_rect_stage(ds, side=16)
+
+
+def _q_orientation_tiles(sf_dir: str):
+    return raster.orientation_stage(read_tiles(tile_px=16), side=16)
+
+
 def _q_weighted_sample(sf_dir: str):
     from geospatial_learn_ray.stages.sampling import weighted_sample
 
@@ -1251,6 +1264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "interval_join_events": _q_interval_join_events,
         "weighted_sample_orders": _q_weighted_sample,
+        "min_rect_tiles": _q_min_rect_tiles,
+        "orientation_tiles": _q_orientation_tiles,
     }
 
 
@@ -1296,6 +1311,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _paragraph_dedup_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
+    _min_rect_sql,
+    _orientation_sql,
     _minhash_pairs_sql,
     _ms_acwe_sql,
     _ms_gac_sql,
@@ -1660,6 +1677,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "interval_join_events": _interval_join_sql(),
         "weighted_sample_orders": _weighted_sample_sql(),
+        "min_rect_tiles": _min_rect_sql(),
+        "orientation_tiles": _orientation_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -1375,3 +1375,58 @@ def _paragraph_dedup_sql(words_per_para: int = 12) -> str:
         "SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS dedup_text, "
         "COUNT(*) AS n_kept FROM kept GROUP BY doc_id"
     )
+
+
+def _min_rect_sql(tile_px: int = 16, max_tile: int = 5, thresh: float = 1.5) -> str:
+    """SQL twin of raster.min_rect_stage: same row/col-extreme reduction,
+    pair self-join for candidate directions, exact int64 projection
+    aggregates, and the identical single f64 division (Δproj·Δperp)/den.
+    Restricted to a tile subset — the pair×point join is O(R³) per tile."""
+    t = f"tile_x < {max_tile} AND tile_y < {max_tile}"
+    return (
+        f"WITH {tiles_sql(tile_px)}, "
+        f"fg AS MATERIALIZED (SELECT tile_x, tile_y, px AS x, py AS y FROM rast "
+        f"  WHERE vd >= CAST({thresh!r} AS DOUBLE) AND {t}), "
+        "rowex AS (SELECT tile_x, tile_y, y, MIN(x) AS xmin, MAX(x) AS xmax FROM fg GROUP BY 1,2,3), "
+        "colex AS (SELECT tile_x, tile_y, x, MIN(y) AS ymin, MAX(y) AS ymax FROM fg GROUP BY 1,2,3), "
+        "red AS MATERIALIZED (SELECT DISTINCT tile_x, tile_y, x, y FROM ("
+        "  SELECT tile_x, tile_y, xmin AS x, y FROM rowex "
+        "  UNION ALL SELECT tile_x, tile_y, xmax AS x, y FROM rowex "
+        "  UNION ALL SELECT tile_x, tile_y, x, ymin AS y FROM colex "
+        "  UNION ALL SELECT tile_x, tile_y, x, ymax AS y FROM colex)), "
+        "dirs AS MATERIALIZED (SELECT DISTINCT a.tile_x, a.tile_y, "
+        "  b.x - a.x AS dx, b.y - a.y AS dy FROM red a "
+        "  JOIN red b USING (tile_x, tile_y) WHERE a.x != b.x OR a.y != b.y), "
+        "proj AS (SELECT d.tile_x, d.tile_y, d.dx, d.dy, "
+        "  MAX(d.dx*r.x + d.dy*r.y) - MIN(d.dx*r.x + d.dy*r.y) AS dproj, "
+        "  MAX(d.dx*r.y - d.dy*r.x) - MIN(d.dx*r.y - d.dy*r.x) AS dperp "
+        "  FROM dirs d JOIN red r USING (tile_x, tile_y) GROUP BY 1,2,3,4), "
+        "mr AS (SELECT tile_x, tile_y, MIN(CAST(dproj*dperp AS DOUBLE) "
+        "  / CAST(dx*dx + dy*dy AS DOUBLE)) AS a FROM proj GROUP BY 1,2), "
+        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n_fg FROM fg GROUP BY 1,2), "
+        "rcnt AS (SELECT tile_x, tile_y, COUNT(*) AS n_red FROM red GROUP BY 1,2), "
+        f"base AS (SELECT DISTINCT tile_x, tile_y FROM rast WHERE {t}) "
+        "SELECT CAST(base.tile_x AS BIGINT) AS tile_x, CAST(base.tile_y AS BIGINT) AS tile_y, "
+        "COALESCE(cnt.n_fg, 0) AS n_fg, COALESCE(rcnt.n_red, 0) AS n_red, "
+        "ROUND(COALESCE(mr.a, 0.0), 6) AS min_rect_area "
+        "FROM base LEFT JOIN cnt USING (tile_x, tile_y) "
+        "LEFT JOIN rcnt USING (tile_x, tile_y) LEFT JOIN mr USING (tile_x, tile_y)"
+    )
+
+
+def _orientation_sql(tile_px: int = 16, thresh: float = 1.5) -> str:
+    """SQL twin of raster.orientation_stage: exact integer moment
+    aggregates (the atan2 arguments scaled by n²) — zero libm calls."""
+    return (
+        f"WITH {tiles_sql(tile_px)}, "
+        f"fg AS (SELECT tile_x, tile_y, px AS x, py AS y FROM rast "
+        f"  WHERE vd >= CAST({thresh!r} AS DOUBLE)), "
+        "m AS (SELECT tile_x, tile_y, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        "  SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM fg GROUP BY 1,2), "
+        "base AS (SELECT DISTINCT tile_x, tile_y FROM rast) "
+        "SELECT CAST(base.tile_x AS BIGINT) AS tile_x, CAST(base.tile_y AS BIGINT) AS tile_y, "
+        "CAST(COALESCE(m.n, 0) AS BIGINT) AS n_fg, "
+        "CAST(COALESCE(2*(m.n*m.sxy - m.sx*m.sy), 0) AS BIGINT) AS inum, "
+        "CAST(COALESCE((m.n*m.sxx - m.sx*m.sx) - (m.n*m.syy - m.sy*m.sy), 0) AS BIGINT) AS iden "
+        "FROM base LEFT JOIN m USING (tile_x, tile_y)"
+    )

@@ -2168,3 +2168,99 @@ def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
                          "fg_count": pa.array(fg), "mean_in": pa.array(mean_in)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def min_rect_stage(ds: ray.data.Dataset, side: int, thresh: float = 1.5) -> ray.data.Dataset:
+    """utilities.min_bound_rectangle analogue (utilities.py:1285-1357): the
+    minimum-area enclosing rectangle of each tile's foreground pixel set,
+    computed HULL-FREE so the SQL twin stays a pair self-join:
+
+    - rotating-calipers theorem: the optimal rectangle aligns with a
+      convex-hull edge;
+    - hull vertices are among the per-row / per-column extreme pixels
+      (any hull vertex is the min- or max-x pixel of its row), so the
+      reduced extreme set (≤ 4·side points) contains every hull edge as
+      a point pair;
+    - EVERY pair direction yields a valid enclosing rectangle, so the
+      minimum over all reduced-set pair directions equals the hull-edge
+      optimum — no hull construction on either side.
+
+    Projections are exact int64 (proj = x·dx + y·dy, perp = y·dx − x·dy);
+    the area (Δproj·Δperp)/(dx²+dy²) is one identical f64 division both
+    sides. Degenerate tiles (<2 reduced points, collinear sets) emit 0."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        n_fg = np.zeros(n_tiles, np.int64)
+        n_red = np.zeros(n_tiles, np.int64)
+        area = np.zeros(n_tiles, np.float64)
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            ys, xs = np.nonzero(v >= thresh)
+            n_fg[i] = len(xs)
+            if len(xs) == 0:
+                continue
+            cand = set()
+            for y in np.unique(ys):
+                row = xs[ys == y]
+                cand.add((int(row.min()), int(y))); cand.add((int(row.max()), int(y)))
+            for x in np.unique(xs):
+                col = ys[xs == x]
+                cand.add((int(x), int(col.min()))); cand.add((int(x), int(col.max())))
+            pts = np.asarray(sorted(cand), np.int64)
+            R = len(pts)
+            n_red[i] = R
+            if R < 2:
+                continue
+            X, Y = pts[:, 0], pts[:, 1]
+            DX = X[None, :] - X[:, None]
+            DY = Y[None, :] - Y[:, None]
+            den = DX * DX + DY * DY          # 0 on the diagonal
+            proj = DX[:, :, None] * X[None, None, :] + DY[:, :, None] * Y[None, None, :]
+            perp = DX[:, :, None] * Y[None, None, :] - DY[:, :, None] * X[None, None, :]
+            num = (proj.max(axis=2) - proj.min(axis=2)) * (perp.max(axis=2) - perp.min(axis=2))
+            valid = den > 0
+            area[i] = float(np.min(num[valid].astype(np.float64) / den[valid].astype(np.float64)))
+        from ..functions.rounding import round_half_away
+
+        return pa.table({
+            "tile_x": pa.array(tx), "tile_y": pa.array(ty),
+            "n_fg": pa.array(n_fg), "n_red": pa.array(n_red),
+            "min_rect_area": pa.array(round_half_away(area, 6)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def orientation_stage(ds: ray.data.Dataset, side: int, thresh: float = 1.5) -> ray.data.Dataset:
+    """utilities.imangle analogue (utilities.py:1241-1282): principal
+    orientation of each tile's foreground from image moments. The angle is
+    0.5·atan2(2μ11, μ20−μ02); cross-engine atan2 is not bit-stable, so the
+    stage emits the EXACT INTEGER atan2 arguments scaled by n²
+    (inum = 2(n·Σxy − Σx·Σy), iden = (n·Σx² − (Σx)²) − (n·Σy² − (Σy)²))
+    and pytest reconstructs/validates the angle against a dense reference."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        out = {k: np.zeros(n_tiles, np.int64) for k in ("n_fg", "inum", "iden")}
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            ys, xs = np.nonzero(v >= thresh)
+            n = np.int64(len(xs))
+            out["n_fg"][i] = n
+            if n == 0:
+                continue
+            sx, sy = xs.sum(), ys.sum()
+            out["inum"][i] = 2 * (n * (xs * ys).sum() - sx * sy)
+            out["iden"][i] = (n * (xs * xs).sum() - sx * sx) - (n * (ys * ys).sum() - sy * sy)
+        return pa.table({
+            "tile_x": pa.array(batch["tile_x"].to_numpy().astype(np.int64)),
+            "tile_y": pa.array(batch["tile_y"].to_numpy().astype(np.int64)),
+            **{k: pa.array(val) for k, val in out.items()},
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

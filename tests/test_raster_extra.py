@@ -292,3 +292,59 @@ def test_warp_tiles_utm_matches_dense_reference():
         for x, y in zip(gc, gr)
     ], np.float64)
     assert np.array_equal(out["value"].to_numpy(), exp)
+
+
+def test_min_rect_reduction_is_exact_vs_all_pairs():
+    from geospatial_learn_ray.stages.raster import min_rect_stage
+
+    # synthetic tile: a tilted bar of foreground pixels
+    side = 12
+    v = np.zeros((side, side), np.float32)
+    for t in range(10):
+        x, y = 1 + t, 1 + (t * 2) // 3
+        v[y, x] = 2.0
+    ds = ray.data.from_arrow(pa.table({
+        "tile_x": pa.array([0], pa.int32()), "tile_y": pa.array([0], pa.int32()),
+        "band_values": pa.array([v.ravel()], pa.list_(pa.float32())),
+    }))
+    out = min_rect_stage(ds, side=side).to_pandas()
+
+    # brute force over ALL foreground pair directions (no reduction)
+    ys, xs = np.nonzero(v.astype(np.float64) >= 1.5)
+    best = np.inf
+    for i in range(len(xs)):
+        for j in range(len(xs)):
+            dx, dy = int(xs[j] - xs[i]), int(ys[j] - ys[i])
+            den = dx * dx + dy * dy
+            if den == 0:
+                continue
+            proj = dx * xs + dy * ys
+            perp = dx * ys - dy * xs
+            best = min(best, float((proj.max() - proj.min()) * (perp.max() - perp.min())) / den)
+    assert abs(out.min_rect_area.iloc[0] - round(best, 6)) < 1e-9
+    assert out.n_fg.iloc[0] == 10
+
+
+def test_orientation_moments_reconstruct_angle():
+    from geospatial_learn_ray.stages.raster import orientation_stage
+
+    side = 16
+    v = np.zeros((side, side), np.float32)
+    for t in range(12):  # 45-degree diagonal blob
+        v[2 + t // 2 + t % 2, 2 + t // 2] = 2.0
+        v[2 + t // 2, 2 + t // 2] = 2.0
+    ds = ray.data.from_arrow(pa.table({
+        "tile_x": pa.array([0], pa.int32()), "tile_y": pa.array([0], pa.int32()),
+        "band_values": pa.array([v.ravel()], pa.list_(pa.float32())),
+    }))
+    out = orientation_stage(ds, side=side).to_pandas().iloc[0]
+    theta = 0.5 * np.arctan2(out.inum, out.iden)
+    assert abs(np.degrees(theta) - 45.0) < 8.0
+    # exact-moment identity vs direct central moments
+    ys, xs = np.nonzero(v.astype(np.float64) >= 1.5)
+    n = len(xs)
+    mu11 = (xs * ys).sum() - xs.sum() * ys.sum() / n
+    mu20 = (xs * xs).sum() - xs.sum() ** 2 / n
+    mu02 = (ys * ys).sum() - ys.sum() ** 2 / n
+    assert out.inum == round(2 * mu11 * n)
+    assert out.iden == round((mu20 - mu02) * n)
