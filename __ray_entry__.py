@@ -361,6 +361,30 @@ def _q_interval_join_events(sf_dir: str):
                              "interval_id", "cents", stats=("count", "sum"))
 
 
+def _q_rfe_rank(sf_dir: str):
+    """RFE over EXACT integer-scaled features (q, 100·discount, 100·tax,
+    100·price): raw f64 Gram sums are order-dependent and Cramer's
+    cancellation amplified the ulp to the 6th coef decimal at sf0.1 —
+    integer-valued terms make every sum order-exact at any sf (the
+    zonal_stats_multi cents pattern)."""
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_quantity", "l_discount", "l_tax", "l_extendedprice"])
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_quantity": b["l_quantity"].to_numpy(np.float64),
+            "l_discount": round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0),
+            "l_tax": round_half_away(b["l_tax"].to_numpy(np.float64) * 100.0, 0),
+            "l_extendedprice": round_half_away(b["l_extendedprice"].to_numpy(np.float64) * 100.0, 0),
+        })
+
+    return train.rfe_rank(ds.map_batches(scale, batch_format="pandas"),
+                          ["l_quantity", "l_discount", "l_tax"],
+                          "l_extendedprice")
+
+
 def _q_min_rect_tiles(sf_dir: str):
     ds = read_tiles(tile_px=16).map_batches(
         lambda b: b.filter(pa.compute.and_(
@@ -1266,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": _q_weighted_sample,
         "min_rect_tiles": _q_min_rect_tiles,
         "orientation_tiles": _q_orientation_tiles,
+        "rfe_rank_lineitem": _q_rfe_rank,
     }
 
 
@@ -1312,6 +1337,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
+    _rfe_sql,
     _orientation_sql,
     _minhash_pairs_sql,
     _ms_acwe_sql,
@@ -1679,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),
         "orientation_tiles": _orientation_sql(),
+        "rfe_rank_lineitem": _rfe_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

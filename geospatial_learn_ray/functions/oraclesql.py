@@ -1430,3 +1430,59 @@ def _orientation_sql(tile_px: int = 16, thresh: float = 1.5) -> str:
         "CAST(COALESCE((m.n*m.sxx - m.sx*m.sx) - (m.n*m.syy - m.sy*m.sy), 0) AS BIGINT) AS iden "
         "FROM base LEFT JOIN m USING (tile_x, tile_y)"
     )
+
+
+def _rfe_sql() -> str:
+    """SQL twin of train.rfe_rank over lineitem (features l_quantity,
+    l_discount, l_tax → l_extendedprice): the stats CTE computes the Gram
+    sums, every subset's Cramer solve embeds the SAME fully parenthesized
+    expression strings the engine eval()s (train.rfe_weight_exprs), and
+    the data-dependent elimination path is unrolled as CASE branches —
+    the self-branching analogue of the unrolled-CTE iteration recipe."""
+    from ..stages.train import rfe_weight_exprs
+
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    y = "l_extendedprice"
+    sums = ["COUNT(*)::DOUBLE AS a0_0"]
+    for i, f in enumerate(feats, 1):
+        sums.append(f"SUM({f}) AS a0_{i}")
+        for j, g in enumerate(feats, 1):
+            if j >= i:
+                sums.append(f"SUM({f}*{g}) AS a{i}_{j}")
+    sums.append(f"SUM({y}) AS b0")
+    sums += [f"SUM({f}*{y}) AS b{i}" for i, f in enumerate(feats, 1)]
+    steps = [(f"wf_{f}", rfe_weight_exprs((1, 2, 3))[f]) for f in (1, 2, 3)]
+    for i, j in ((1, 2), (1, 3), (2, 3)):
+        ws = rfe_weight_exprs((i, j))
+        steps += [(f"w{i}{j}_{i}", ws[i]), (f"w{i}{j}_{j}", ws[j])]
+    steps += [(f"ws_{f}", rfe_weight_exprs((f,))[f]) for f in (1, 2, 3)]
+    steps += [
+        ("d1", "CASE WHEN ABS(wf_1) <= ABS(wf_2) AND ABS(wf_1) <= ABS(wf_3) THEN 1 "
+               "WHEN ABS(wf_2) <= ABS(wf_3) THEN 2 ELSE 3 END"),
+        ("d2", "CASE d1 WHEN 1 THEN (CASE WHEN ABS(w23_2) <= ABS(w23_3) THEN 2 ELSE 3 END) "
+               "WHEN 2 THEN (CASE WHEN ABS(w13_1) <= ABS(w13_3) THEN 1 ELSE 3 END) "
+               "ELSE (CASE WHEN ABS(w12_1) <= ABS(w12_2) THEN 1 ELSE 2 END) END"),
+        ("surv", "6 - d1 - d2"),
+        ("c1", "CASE d1 WHEN 1 THEN wf_1 WHEN 2 THEN wf_2 ELSE wf_3 END"),
+        ("c2", "CASE WHEN d1 = 1 AND d2 = 2 THEN w23_2 WHEN d1 = 1 THEN w23_3 "
+               "WHEN d1 = 2 AND d2 = 1 THEN w13_1 WHEN d1 = 2 THEN w13_3 "
+               "WHEN d2 = 1 THEN w12_1 ELSE w12_2 END"),
+        ("c3", "CASE surv WHEN 1 THEN ws_1 WHEN 2 THEN ws_2 ELSE ws_3 END"),
+    ]
+    x = _sg.chain("SELECT * FROM st", steps)
+
+    def nm(e: str) -> str:
+        return (f"CASE {e} WHEN 1 THEN '{feats[0]}' WHEN 2 THEN '{feats[1]}' "
+                f"ELSE '{feats[2]}' END")
+
+    scaled = ("SELECT CAST(l_quantity AS DOUBLE) AS l_quantity, "
+              "ROUND(l_discount*100, 0) AS l_discount, "
+              "ROUND(l_tax*100, 0) AS l_tax, "
+              "ROUND(l_extendedprice*100, 0) AS l_extendedprice FROM lineitem")
+    return (
+        f"WITH st AS (SELECT {', '.join(sums)} FROM ({scaled})), "
+        f"x AS MATERIALIZED ({x}) "
+        f"SELECT {nm('d1')} AS feature, 1 AS rfe_rank, ROUND(c1, 6) AS coef_at_drop FROM x "
+        f"UNION ALL SELECT {nm('d2')}, 2, ROUND(c2, 6) FROM x "
+        f"UNION ALL SELECT {nm('surv')}, 3, ROUND(c3, 6) FROM x"
+    )

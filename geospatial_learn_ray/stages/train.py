@@ -387,3 +387,89 @@ def predict_proba_stage(ds: ray.data.Dataset, model_path: str, keep_cols: list[s
     else:
         cols = keep_cols + ["proba_0", "pred"]
     return out.select_columns(cols)
+
+
+# --- recursive feature elimination (learning.rec_feat_sel, learning.py:300) ---
+
+def _det_expr(m: list[list[str]]) -> str:
+    """Fully parenthesized Laplace expansion of a matrix of scalar-name
+    expressions. The SAME string is evaluated by Python eval (engine) and
+    parsed by DuckDB (oracle): full parentheses force identical f64
+    operation order on both sides — the linear-algebra version of the
+    transcendental-parity recipe (CLAUDE.md round 3)."""
+    if len(m) == 1:
+        return f"({m[0][0]})"
+    terms = []
+    for j, e in enumerate(m[0]):
+        minor = [row[:j] + row[j + 1:] for row in m[1:]]
+        t = f"(({e}) * {_det_expr(minor)})"
+        terms.append(t if j % 2 == 0 else f"((-1.0) * {t})")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _aname(i: int, j: int) -> str:
+    return f"a{min(i, j)}_{max(i, j)}"
+
+
+def rfe_weight_exprs(subset: tuple[int, ...]) -> dict[int, str]:
+    """Cramer-rule weight expressions for the OLS fit on feature subset
+    ``subset`` (1-based feature indices; intercept index 0 always in).
+    Entries reference the scalar names a{i}_{j} (Gram of [1, X]) and b{i}
+    — the columns of the stats CTE / the engine's _collect_stats output."""
+    idx = [0, *sorted(subset)]
+    gram = [[_aname(r, c) for c in idx] for r in idx]
+    den = _det_expr(gram)
+    out = {}
+    for f in subset:
+        p = idx.index(f)
+        # replace column p with the rhs, keeping the SAME row order
+        num = [[(f"b{idx[ri]}" if ci == p else gram[ri][ci])
+                for ci in range(len(idx))] for ri in range(len(idx))]
+        out[f] = f"({_det_expr(num)} / {den})"
+    return out
+
+
+def rfe_rank(ds: ray.data.Dataset, features: list[str], target: str,
+             round_to: int = 6) -> pd.DataFrame:
+    """learning.rec_feat_sel analogue: recursive feature elimination for
+    the linear model. ONE streaming pass collects the (d+1)² Gram
+    sufficient statistics; every round's OLS solve on the surviving subset
+    is then a tiny driver-side Cramer evaluation — d rounds cost one data
+    pass, not d model fits. Each round drops the feature with the smallest
+    |coefficient| (ties → smallest index), exactly sklearn RFE's criterion
+    for a linear estimator.
+
+    Parity: the solves evaluate the SAME fully parenthesized expression
+    strings the SQL twin embeds (identical f64 op order); a 1-ulp Gram-sum
+    difference can only flip an elimination choice when two |coef| tie to
+    1 ulp (not reachable with macroscopically different feature scales —
+    same accepted class as the ridge oracle's raw sums)."""
+    stats = _collect_stats(ds, features, target)
+    A, b, _, _ = stats[0]
+    d = len(features)
+    scal = {}
+    for i in range(d + 1):
+        for j in range(i, d + 1):
+            scal[_aname(i, j)] = float(A[i, j])
+        scal[f"b{i}"] = float(b[i])
+
+    def ev(e: str) -> float:
+        return eval(e, {"__builtins__": {}}, dict(scal))  # noqa: S307 — parity evaluator
+
+    remaining = list(range(1, d + 1))
+    rows = []
+    rank = 1
+    while remaining:
+        ws = {f: ev(x) for f, x in rfe_weight_exprs(tuple(remaining)).items()}
+        if len(remaining) == 1:
+            drop = remaining[0]
+        else:
+            drop = min(remaining, key=lambda f: (abs(ws[f]), f))
+        rows.append({"feature": features[drop - 1], "rfe_rank": rank,
+                     "coef_at_drop": round_half_away(ws[drop], round_to)})
+        remaining.remove(drop)
+        rank += 1
+    return pd.DataFrame(rows)

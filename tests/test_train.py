@@ -124,3 +124,48 @@ def test_bagged_stumps_oob_curve_monotonic_tendency():
     ds = ray.data.from_pandas(pd.DataFrame({"k": np.arange(n), "x0": x0, "y": y}))
     out = train.fit_bagged_stumps_oob(ds, ["x0"], "y", "k", max_stumps=24, step=8)
     assert out.oob_error.iloc[-1] <= out.oob_error.iloc[0] + 0.02
+
+
+def test_rfe_rank_drops_weakest_coefficients_first():
+    from geospatial_learn_ray.stages.train import rfe_rank
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    # integer-valued features (order-exact Gram sums) with known coef scales
+    x1 = rng.integers(1, 50, n).astype(np.float64)
+    x2 = rng.integers(1, 50, n).astype(np.float64)
+    x3 = rng.integers(1, 50, n).astype(np.float64)
+    y = 100.0 * x1 + 10.0 * x2 + 0.0 * x3 + 5.0
+    df = pd.DataFrame({"f1": x1, "f2": x2, "f3": x3, "y": y})
+    out = rfe_rank(ray.data.from_pandas(df), ["f1", "f2", "f3"], "y")
+    assert out.sort_values("rfe_rank").feature.tolist() == ["f3", "f2", "f1"]
+    # survivor's final univariate coefficient is near 100 (f1 dominates y)
+    surv = out[out.rfe_rank == 3].iloc[0]
+    assert surv.feature == "f1" and abs(surv.coef_at_drop - 100.0) < 5.0
+    # block-structure invariance (sums are exact, solves are closed-form)
+    out2 = rfe_rank(ray.data.from_pandas(df).repartition(13), ["f1", "f2", "f3"], "y")
+    pd.testing.assert_frame_equal(
+        out.sort_values("rfe_rank").reset_index(drop=True),
+        out2.sort_values("rfe_rank").reset_index(drop=True),
+    )
+
+
+def test_rfe_cramer_matches_linalg_solve():
+    from geospatial_learn_ray.stages.train import _aname, rfe_weight_exprs
+
+    rng = np.random.default_rng(9)
+    X = rng.integers(1, 20, size=(300, 3)).astype(np.float64)
+    y = X @ [3.0, -2.0, 0.5] + 1.0
+    Z = np.concatenate([np.ones((300, 1)), X], axis=1)
+    A, b = Z.T @ Z, Z.T @ y
+    scal = {}
+    for i in range(4):
+        for j in range(i, 4):
+            scal[_aname(i, j)] = float(A[i, j])
+        scal[f"b{i}"] = float(b[i])
+    for subset in [(1, 2, 3), (1, 2), (2, 3), (1,), (3,)]:
+        idx = [0, *subset]
+        ref = np.linalg.solve(A[np.ix_(idx, idx)], b[list(idx)])
+        for kpos, f in enumerate(subset):
+            got = eval(rfe_weight_exprs(subset)[f], {"__builtins__": {}}, dict(scal))
+            assert abs(got - ref[kpos + 1]) < 1e-8 * max(1.0, abs(ref[kpos + 1]))
