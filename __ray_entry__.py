@@ -361,6 +361,44 @@ def _q_interval_join_events(sf_dir: str):
                              "interval_id", "cents", stats=("count", "sum"))
 
 
+# voting ensemble: three fixed dyadic-weight logistic artifacts (the saved-
+# model pattern of classify_proba_lineitem) soft-voted per row
+VOTE_MODELS = [
+    (["l_quantity"], -3.0, [0.125]),
+    (["l_discount", "l_tax"], 0.5, [20.0, -10.0]),
+    (["l_quantity", "l_tax"], -2.0, [0.0625, 5.0]),
+]
+
+
+def _q_vote_predict(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    paths = []
+    for i, (feats, b, w) in enumerate(VOTE_MODELS):
+        paths.append(train.save_model(
+            f"/tmp/glr_models/vote_{i}.json", feats, np.array([b, *w]),
+            kind="logistic"))
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+    return train.predict_vote_stage(ds, paths, ["l_orderkey", "l_linenumber"])
+
+
+def _vote_predict_sql() -> str:
+    """SQL twin of _q_vote_predict: each model's z as the identical linear
+    chain, sigmoids averaged left-associatively, threshold on the
+    UNROUNDED mean (the engine compares before rounding)."""
+    zs = []
+    for i, (feats, b, w) in enumerate(VOTE_MODELS, 1):
+        terms = " + ".join(f"{wj!r}*{f}" for wj, f in zip(w, feats))
+        zs.append(f"{terms} + {b!r} AS z{i}")
+    mean = "((1/(1 + EXP(-z1)) + 1/(1 + EXP(-z2))) + 1/(1 + EXP(-z3)))/3.0"
+    return (
+        f"WITH z AS (SELECT l_orderkey, l_linenumber, {', '.join(zs)} FROM lineitem) "
+        f"SELECT l_orderkey, l_linenumber, ROUND({mean}, 6) AS proba_vote, "
+        f"CASE WHEN {mean} > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
+    )
+
+
 def _q_rfe_rank(sf_dir: str):
     """RFE over EXACT integer-scaled features (q, 100·discount, 100·tax,
     100·price): raw f64 Gram sums are order-dependent and Cramer's
@@ -1291,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_rect_tiles": _q_min_rect_tiles,
         "orientation_tiles": _q_orientation_tiles,
         "rfe_rank_lineitem": _q_rfe_rank,
+        "vote_predict_lineitem": _q_vote_predict,
     }
 
 
@@ -1706,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "min_rect_tiles": _min_rect_sql(),
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
+        "vote_predict_lineitem": _vote_predict_sql(),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

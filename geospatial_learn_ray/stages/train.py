@@ -473,3 +473,43 @@ def rfe_rank(ds: ray.data.Dataset, features: list[str], target: str,
         remaining.remove(drop)
         rank += 1
     return pd.DataFrame(rows)
+
+
+class VoteScorer:
+    """learning.combine_models analogue (learning.py:708, method='voting'):
+    N linear/logistic artifacts loaded ONCE per actor, soft-voting mean
+    probability per batch. The accumulation is explicitly left-associative
+    ((p1+p2)+p3)/N so the SQL twin's textual expression is the identical
+    f64 chain."""
+
+    def __init__(self, model_paths: list[str], round_to: int = 6):
+        self.models = []
+        for p in model_paths:
+            with open(p) as f:
+                m = json.load(f)
+            self.models.append((m["features"], np.asarray(m["weights"], np.float64),
+                                float(m["intercept"])))
+        self.round_to = round_to
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for feats, w, b in self.models:
+            z = batch[feats].to_numpy(np.float64) @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            acc = p if acc is None else acc + p
+        pm = acc / float(len(self.models))
+        batch = batch.copy()
+        batch["proba_vote"] = round_half_away(pm, self.round_to)
+        batch["pred"] = (pm > 0.5).astype(np.int32)
+        return batch
+
+
+def predict_vote_stage(ds: ray.data.Dataset, model_paths: list[str],
+                       keep_cols: list[str], concurrency=(1, 8),
+                       batch_size: int = 65536) -> ray.data.Dataset:
+    out = ds.map_batches(
+        VoteScorer, fn_constructor_args=(list(model_paths),),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+    return out.select_columns(keep_cols + ["proba_vote", "pred"])

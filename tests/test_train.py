@@ -169,3 +169,23 @@ def test_rfe_cramer_matches_linalg_solve():
         for kpos, f in enumerate(subset):
             got = eval(rfe_weight_exprs(subset)[f], {"__builtins__": {}}, dict(scal))
             assert abs(got - ref[kpos + 1]) < 1e-8 * max(1.0, abs(ref[kpos + 1]))
+
+
+def test_vote_predict_averages_member_probabilities():
+    from geospatial_learn_ray.stages.train import (
+        VoteScorer, predict_vote_stage, save_model,
+    )
+
+    p1 = save_model("/tmp/glr_models/test_vote_a.json", ["x"], np.array([0.0, 1.0]))
+    p2 = save_model("/tmp/glr_models/test_vote_b.json", ["x"], np.array([0.0, -1.0]))
+    df = pd.DataFrame({"rid": np.arange(5, dtype=np.int64),
+                       "x": np.array([-2.0, -1.0, 0.0, 1.0, 2.0])})
+    out = predict_vote_stage(ray.data.from_pandas(df), [p1, p2], ["rid"]).to_pandas()
+    out = out.sort_values("rid")
+    # sigmoid(x) + sigmoid(-x) = 1 -> the two-member soft vote is always 0.5
+    assert np.allclose(out.proba_vote, 0.5)
+    assert (out.pred == 0).all()  # 0.5 is NOT > 0.5
+    # single-member vote reduces to the plain scorer
+    one = predict_vote_stage(ray.data.from_pandas(df), [p1], ["rid"]).to_pandas().sort_values("rid")
+    ref = 1.0 / (1.0 + np.exp(-df.x.to_numpy()))
+    assert np.allclose(one.proba_vote, np.round(ref, 6), atol=1e-6)
