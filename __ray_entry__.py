@@ -332,18 +332,6 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
-PROMO_WINDOWS = 9  # overlapping 5-day windows every 3 days over the events month
-
-
-def _promo_intervals() -> pd.DataFrame:
-    base = pd.Timestamp("2024-01-01")
-    return pd.DataFrame({
-        "interval_id": np.arange(PROMO_WINDOWS, dtype=np.int64),
-        "lo": [base + pd.Timedelta(days=3 * i) for i in range(PROMO_WINDOWS)],
-        "hi": [base + pd.Timedelta(days=3 * i + 5) for i in range(PROMO_WINDOWS)],
-    })
-
-
 def _q_interval_join_events(sf_dir: str):
     """Range join (brief's custom-operator example): events stabbed against
     broadcast overlapping promo windows, then count + exact cents sum per
@@ -381,22 +369,6 @@ def _q_vote_predict(sf_dir: str):
     ds = _rp(sf_dir, "lineitem",
              ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
     return train.predict_vote_stage(ds, paths, ["l_orderkey", "l_linenumber"])
-
-
-def _vote_predict_sql() -> str:
-    """SQL twin of _q_vote_predict: each model's z as the identical linear
-    chain, sigmoids averaged left-associatively, threshold on the
-    UNROUNDED mean (the engine compares before rounding)."""
-    zs = []
-    for i, (feats, b, w) in enumerate(VOTE_MODELS, 1):
-        terms = " + ".join(f"{wj!r}*{f}" for wj, f in zip(w, feats))
-        zs.append(f"{terms} + {b!r} AS z{i}")
-    mean = "((1/(1 + EXP(-z1)) + 1/(1 + EXP(-z2))) + 1/(1 + EXP(-z3)))/3.0"
-    return (
-        f"WITH z AS (SELECT l_orderkey, l_linenumber, {', '.join(zs)} FROM lineitem) "
-        f"SELECT l_orderkey, l_linenumber, ROUND({mean}, 6) AS proba_vote, "
-        f"CASE WHEN {mean} > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
-    )
 
 
 def _q_rfe_rank(sf_dir: str):
@@ -454,48 +426,6 @@ def _q_weighted_sample(sf_dir: str):
             "skey_r": round_half_away(b["skey"].to_numpy(np.float64), 12),
         }),
         batch_format="pandas",
-    )
-
-
-def _weighted_sample_sql(k: int = 50) -> str:
-    """SQL twin of sampling.weighted_sample over orders: identical id-hash
-    draw (fnv→xor sm(seed+1)→splitmix64, the train_test_split chain),
-    identical skey = LN((h+1)/2^64)/w expression, top-k via ORDER BY
-    LIMIT. LN is the one libm call (see the stage docstring's ulp note)."""
-    c = str(int(_smx(np.array([1], np.uint64))[0]))
-    inner = _sg.chain(
-        "SELECT o_orderkey, o_totalprice, CAST(o_orderkey AS VARCHAR) AS _k FROM orders",
-        [
-            ("_fh", _sg.fnv1a64_expr("_k")),
-            ("_fx", _sg.u64_xor("_fh", c)),
-            *_sg.splitmix64_steps("_fx", "_h", "h"),
-            ("skey", f"LN((CAST(_h AS DOUBLE) + 1.0) / {2.0 ** 64!r}) / o_totalprice"),
-        ],
-    )
-    return (
-        # skey_r, NOT an alias named skey: DuckDB's ORDER BY prefers output
-        # aliases, and ordering by the ROUNDED value mass-ties the ~1e-8
-        # magnitudes and scrambles the selection (caught at sf0.01)
-        "SELECT o_orderkey, o_totalprice, ROUND(skey, 12) AS skey_r "
-        f"FROM ({inner}) ORDER BY skey DESC LIMIT {k}"
-    )
-
-
-def _interval_join_sql() -> str:
-    """SQL twin of _q_interval_join_events: the broadcast interval table as
-    a VALUES literal, the stab as a BETWEEN-style theta join. value*100 is
-    DOUBLE×INTEGER (no DECIMAL literal), ROUND is half-away = the engine's
-    round_half_away, and the summed terms are int-valued f64 → order-exact."""
-    vals = ", ".join(
-        f"({int(r.interval_id)}, TIMESTAMP '{r.lo}', TIMESTAMP '{r.hi}')"
-        for r in _promo_intervals().itertuples()
-    )
-    return (
-        f"WITH iv(interval_id, lo, hi) AS (VALUES {vals}) "
-        'SELECT iv.interval_id, COUNT(*) AS "count", '
-        "SUM(ROUND(e.value * 100, 0)) AS sum_cents "
-        "FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi "
-        "GROUP BY iv.interval_id"
     )
 
 
@@ -1376,7 +1306,12 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
+    PROMO_WINDOWS,  # noqa: F401
+    _interval_join_sql,
+    _promo_intervals,
     _rfe_sql,
+    _vote_predict_sql,
+    _weighted_sample_sql,
     _orientation_sql,
     _minhash_pairs_sql,
     _ms_acwe_sql,
@@ -1740,12 +1675,12 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_resize_sql(),
         "media_features": _media_features_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
-        "interval_join_events": _interval_join_sql(),
+        "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
-        "vote_predict_lineitem": _vote_predict_sql(),
+        "vote_predict_lineitem": _vote_predict_sql(VOTE_MODELS),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

@@ -11,6 +11,7 @@ docstring for the stage it restates and the exact-arithmetic techniques
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ..sources.pages import pages_sql
 from ..sources.tiles import GRID_X, GRID_Y, tiles_sql
@@ -1486,3 +1487,80 @@ def _rfe_sql() -> str:
         f"UNION ALL SELECT {nm('d2')}, 2, ROUND(c2, 6) FROM x "
         f"UNION ALL SELECT {nm('surv')}, 3, ROUND(c3, 6) FROM x"
     )
+
+
+# --- round-3 late-query SQL builders (moved from __ray_entry__ to keep
+# the driver contract a thin registry; VERDICT r2 next #10). They embed
+# the SAME constants the query functions use (__ray_entry__ imports the
+# interval/model literals from there via the builder parameters). -----
+
+def _weighted_sample_sql(k: int = 50) -> str:
+    """SQL twin of sampling.weighted_sample over orders: identical id-hash
+    draw (fnv→xor sm(seed+1)→splitmix64, the train_test_split chain),
+    identical skey = LN((h+1)/2^64)/w expression, top-k via ORDER BY
+    LIMIT. LN is the one libm call (see the stage docstring's ulp note)."""
+    c = str(int(_smx(np.array([1], np.uint64))[0]))
+    inner = _sg.chain(
+        "SELECT o_orderkey, o_totalprice, CAST(o_orderkey AS VARCHAR) AS _k FROM orders",
+        [
+            ("_fh", _sg.fnv1a64_expr("_k")),
+            ("_fx", _sg.u64_xor("_fh", c)),
+            *_sg.splitmix64_steps("_fx", "_h", "h"),
+            ("skey", f"LN((CAST(_h AS DOUBLE) + 1.0) / {2.0 ** 64!r}) / o_totalprice"),
+        ],
+    )
+    return (
+        # skey_r, NOT an alias named skey: DuckDB's ORDER BY prefers output
+        # aliases, and ordering by the ROUNDED value mass-ties the ~1e-8
+        # magnitudes and scrambles the selection (caught at sf0.01)
+        "SELECT o_orderkey, o_totalprice, ROUND(skey, 12) AS skey_r "
+        f"FROM ({inner}) ORDER BY skey DESC LIMIT {k}"
+    )
+
+
+PROMO_WINDOWS = 9  # overlapping 5-day windows every 3 days over the events month
+
+
+def _promo_intervals() -> pd.DataFrame:
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame({
+        "interval_id": np.arange(PROMO_WINDOWS, dtype=np.int64),
+        "lo": [base + pd.Timedelta(days=3 * i) for i in range(PROMO_WINDOWS)],
+        "hi": [base + pd.Timedelta(days=3 * i + 5) for i in range(PROMO_WINDOWS)],
+    })
+
+
+def _interval_join_sql(intervals) -> str:
+    """SQL twin of _q_interval_join_events: the broadcast interval table as
+    a VALUES literal, the stab as a BETWEEN-style theta join. value*100 is
+    DOUBLE×INTEGER (no DECIMAL literal), ROUND is half-away = the engine's
+    round_half_away, and the summed terms are int-valued f64 → order-exact."""
+    vals = ", ".join(
+        f"({int(r.interval_id)}, TIMESTAMP '{r.lo}', TIMESTAMP '{r.hi}')"
+        for r in intervals.itertuples()
+    )
+    return (
+        f"WITH iv(interval_id, lo, hi) AS (VALUES {vals}) "
+        'SELECT iv.interval_id, COUNT(*) AS "count", '
+        "SUM(ROUND(e.value * 100, 0)) AS sum_cents "
+        "FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi "
+        "GROUP BY iv.interval_id"
+    )
+
+
+def _vote_predict_sql(models) -> str:
+    """SQL twin of _q_vote_predict: each model's z as the identical linear
+    chain, sigmoids averaged left-associatively, threshold on the
+    UNROUNDED mean (the engine compares before rounding)."""
+    zs = []
+    for i, (feats, b, w) in enumerate(models, 1):
+        terms = " + ".join(f"{wj!r}*{f}" for wj, f in zip(w, feats))
+        zs.append(f"{terms} + {b!r} AS z{i}")
+    mean = "((1/(1 + EXP(-z1)) + 1/(1 + EXP(-z2))) + 1/(1 + EXP(-z3)))/3.0"
+    return (
+        f"WITH z AS (SELECT l_orderkey, l_linenumber, {', '.join(zs)} FROM lineitem) "
+        f"SELECT l_orderkey, l_linenumber, ROUND({mean}, 6) AS proba_vote, "
+        f"CASE WHEN {mean} > 0.5 THEN 1 ELSE 0 END AS pred FROM z"
+    )
+
+
