@@ -408,6 +408,14 @@ def _q_orientation_tiles(sf_dir: str):
     return raster.orientation_stage(read_tiles(tile_px=16), side=16)
 
 
+def _q_topk_orders_per_customer(sf_dir: str):
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    # o_totalprice passes through unchanged (no arithmetic) and o_orderkey
+    # totalizes the per-customer order, so the hash is exact with no rounding
+    return agg.grouped_topk(ds, "o_custkey", "o_totalprice", k=3,
+                            tiebreak="o_orderkey")
+
+
 def _q_weighted_sample(sf_dir: str):
     from geospatial_learn_ray.stages.sampling import weighted_sample
 
@@ -1260,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orientation_tiles": _q_orientation_tiles,
         "rfe_rank_lineitem": _q_rfe_rank,
         "vote_predict_lineitem": _q_vote_predict,
+        "topk_orders_per_customer": _q_topk_orders_per_customer,
     }
 
 
@@ -1681,6 +1690,13 @@ def oracle_sql() -> dict[str, str]:
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
         "vote_predict_lineitem": _vote_predict_sql(VOTE_MODELS),
+        "topk_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"
+        ),
         # ---- polygon family: closed-form layer + exact PiP in SQL ---------
         "geom_pixel_bbox": (
             f"WITH {polygons_sql()} "

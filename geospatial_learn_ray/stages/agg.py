@@ -338,6 +338,47 @@ def salted_grouped_stats(
     return bucket_exchange(l2p, finalize, small_partials=True)
 
 
+def grouped_topk(ds: ray.data.Dataset, keys: list[str] | str, value_col: str,
+                 k: int, tiebreak: list[str] | str, descending: bool = True,
+                 rank_col: str | None = "rn",
+                 num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Per-group top-k rows — the per-key generalization of the reference's
+    global feature-ranking sort (learning.py:1073 ``fimp.sort_values``; web
+    pipelines need the grouped form: top pages per host, newest crawls per
+    domain, best orders per customer).
+
+    Exact and shuffle-slim: each input block first reduces to ≤ k rows per
+    key it contains (one vectorized sort + ``cumcount`` mask, no Python
+    loop), so the exchange moves ≤ k rows per (key, block) instead of each
+    group's full payload — a Zipf-hot key ships k × #blocks rows, never
+    millions. The combiner re-applies the identical selection per REAL key
+    (hash path delivers several whole buckets per block).
+
+    ``tiebreak`` column(s) must make the per-group order total — otherwise
+    membership at the k boundary depends on block structure. ``rank_col``
+    (default ``rn``) emits the 1-based rank, matching SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY value, tiebreak)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    order_cols = keys + [value_col] + tiebreak
+    ascending = [True] * len(keys) + [not descending] + [True] * len(tiebreak)
+
+    def select(b: pd.DataFrame, final: bool) -> pd.DataFrame:
+        b = b.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        rn = b.groupby(keys, sort=False, observed=True).cumcount().to_numpy()
+        b = b[rn < k].copy()
+        if final:
+            b = b.drop(columns=["_part"])
+            if rank_col is not None:
+                b[rank_col] = (rn[rn < k] + 1).astype(np.int64)
+        return b
+
+    parted = ds.map_batches(lambda b: _add_part(select(b, False), keys, num_parts),
+                            batch_format="pandas", batch_size=None)
+    return bucket_exchange(parted, lambda b: select(b, True), small_partials=True)
+
+
 def rmse(ds: ray.data.Dataset, col_a: str, col_b: str, round_to: int = 4) -> float:
     """Global RMSE of two columns (learning.rmse_vector_lyr, learning.py:1828)
     as a partial+final aggregate — one tiny driver-side combine."""

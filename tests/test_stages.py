@@ -175,3 +175,28 @@ def test_weighted_sample_block_invariant_and_weight_proportional():
     out2 = weighted_sample(ray.data.from_pandas(df).repartition(17), "id", "w",
                            k=40).to_pandas()
     assert sorted(out.id) == sorted(out2.id)
+
+
+def test_grouped_topk_matches_brute_force_and_block_invariant():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "key": rng.integers(0, 37, 3000).astype(np.int64),
+        "val": rng.integers(0, 50, 3000).astype(np.float64),  # many ties
+        "tb": np.arange(3000, dtype=np.int64),
+    })
+    out = agg.grouped_topk(ray.data.from_pandas(df).repartition(7),
+                           "key", "val", k=4, tiebreak="tb").to_pandas()
+    # brute force: stable sort (val desc, tb asc) then head(4) per key
+    ref = (df.sort_values(["key", "val", "tb"], ascending=[True, False, True])
+             .groupby("key").head(4))
+    got = out.sort_values(["key", "rn"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert got[["key", "val", "tb"]].to_numpy().tolist() == \
+        ref[["key", "val", "tb"]].to_numpy().tolist()
+    assert (got.groupby("key").rn.min() == 1).all()
+    assert (got.groupby("key").rn.max() == got.groupby("key").size()).all()
+    # identical rows under a different block structure (partial top-k exact)
+    out2 = agg.grouped_topk(ray.data.from_pandas(df).repartition(23),
+                            "key", "val", k=4, tiebreak="tb").to_pandas()
+    assert sorted(map(tuple, out2[["key", "val", "tb", "rn"]].to_numpy().tolist())) == \
+        sorted(map(tuple, out[["key", "val", "tb", "rn"]].to_numpy().tolist()))
