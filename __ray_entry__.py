@@ -408,6 +408,16 @@ def _q_orientation_tiles(sf_dir: str):
     return raster.orientation_stage(read_tiles(tile_px=16), side=16)
 
 
+def _q_mg_heavy_hitters(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import mg_heavy_hitters
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    # capacity 4096 > the 1500 distinct users at sf0.1 → the sketch is in
+    # its exact regime (err = 0, counts exact — the strict-oracle contract;
+    # the approximate regime's BOUNDS are pytest-checked instead)
+    return mg_heavy_hitters(ds, "user_id", capacity=4096, min_count=70)
+
+
 def _q_topk_orders_per_customer(sf_dir: str):
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     # o_totalprice passes through unchanged (no arithmetic) and o_orderkey
@@ -1269,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfe_rank_lineitem": _q_rfe_rank,
         "vote_predict_lineitem": _q_vote_predict,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
+        "mg_heavy_hitters_events": _q_mg_heavy_hitters,
     }
 
 
@@ -1690,6 +1701,11 @@ def oracle_sql() -> dict[str, str]:
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
         "vote_predict_lineitem": _vote_predict_sql(VOTE_MODELS),
+        "mg_heavy_hitters_events": (
+            "SELECT CAST(user_id AS VARCHAR) AS user_id, "
+            "COUNT(*) AS est_count FROM events "
+            "GROUP BY user_id HAVING COUNT(*) >= 70"
+        ),
         "topk_orders_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
             "SELECT o_custkey, o_orderkey, o_totalprice, "

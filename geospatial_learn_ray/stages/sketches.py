@@ -297,3 +297,97 @@ def hist_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
         return pd.DataFrame(rows)
 
     return bucket_exchange(parted, combine, small_partials=True)
+
+
+# --- Misra-Gries frequent items ----------------------------------------------
+
+def _mg_cap(counts: pd.Series, capacity: int) -> tuple[pd.Series, int]:
+    """Cap a key→count summary at ``capacity`` counters (Misra & Gries 1982
+    merge step, Agarwal et al. 2012 'Mergeable Summaries' Lemma 1): subtract
+    the (capacity+1)-th largest count from every counter and drop the
+    non-positive ones. Returns (capped summary, amount subtracted)."""
+    if len(counts) <= capacity:
+        return counts, 0
+    sub = int(np.partition(counts.to_numpy(np.int64), -(capacity + 1))[-(capacity + 1)])
+    kept = counts - sub
+    return kept[kept > 0], sub
+
+
+def mg_heavy_hitters(ds: ray.data.Dataset, col: str, capacity: int = 4096,
+                     min_count: int = 1, num_buckets: int = 32) -> pd.DataFrame:
+    """Frequent-items summary (Misra & Gries 1982; mergeable form: Agarwal
+    et al., PODS 2012) — the candidate-GENERATING complement of
+    ``cms_counts`` (CMS answers point queries for a known probe list; MG
+    surfaces the heavy keys themselves with a deterministic error bound).
+
+    Shape: per-batch exact ``value_counts`` capped to ``capacity`` counters
+    (vectorized; one np.partition for the eviction threshold), two-level
+    merge exactly like ``cms_counts`` — a bucketed exchange sums+caps the
+    per-batch summaries down to ≤ ``num_buckets`` rows-of-summaries, the
+    driver merges those. Every level keeps ≤ capacity counters, so the
+    exchange moves ≤ capacity × #blocks tiny (key, cnt) rows and the driver
+    pull is ≤ capacity × num_buckets regardless of dataset size.
+
+    Guarantees (any merge tree): ``est ≤ true ≤ est + err`` where the
+    returned scalar ``err`` ≤ N/(capacity+1), and every key with
+    ``true > err`` is present. When ``capacity ≥`` the column's distinct
+    count nothing is ever evicted → err = 0 and counts are EXACT (the
+    strict-oracle regime; the approximate regime's exact VALUES — unlike
+    its bounds — depend on block structure, same caveat the CMS docstring
+    makes about per-block candidate generation).
+
+    Returns a pandas DataFrame (col, est_count) for keys with
+    ``est_count ≥ min_count``, plus ``.attrs['err']`` = the global bound.
+    """
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = b[col]
+        if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+            c = pa.compute.cast(c, pa.string())
+        vc = c.to_pandas().value_counts()  # exact per-batch counts
+        capped, sub = _mg_cap(vc, capacity)
+        n_evicted = len(vc) - len(capped)
+        old = np.seterr(over="ignore")
+        try:
+            part = int(splitmix64(fnv1a64(np.asarray(
+                [f"{len(capped)}:{int(capped.sum()) if len(capped) else 0}"], object)))[0]
+                % np.uint64(num_buckets))
+        finally:
+            np.seterr(**old)
+        out = pd.DataFrame({"k": capped.index.astype(str), "cnt": capped.to_numpy(np.int64),
+                            "is_err": False})
+        # one bookkeeping row per summary carries the accumulated error
+        # bound (the scalar subtracted from every counter at each cap)
+        out = pd.concat([out, pd.DataFrame({"k": [""], "cnt": [sub], "is_err": [True]})],
+                        ignore_index=True)
+        out["_part"] = np.int32(part)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        err = int(g.loc[g["is_err"], "cnt"].sum())
+        kv = g[~g["is_err"]].groupby("k", sort=False)["cnt"].sum()
+        capped, sub = _mg_cap(kv, capacity)
+        out = pd.DataFrame({"k": capped.index, "cnt": capped.to_numpy(np.int64),
+                            "is_err": False})
+        return pd.concat([out, pd.DataFrame({"k": [""], "cnt": [err + sub],
+                                             "is_err": [True]})], ignore_index=True)
+
+    merged = bucket_exchange(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        merge_bucket, small_partials=True,
+    ).to_pandas()
+    if merged.empty:
+        merged = pd.DataFrame({"k": pd.Series([], dtype=str),
+                               "cnt": pd.Series([], dtype=np.int64),
+                               "is_err": pd.Series([], dtype=bool)})
+    err = int(merged.loc[merged["is_err"], "cnt"].sum())
+    kv = merged[~merged["is_err"]].groupby("k", sort=False)["cnt"].sum()
+    final, sub = _mg_cap(kv, capacity)
+    err += sub
+    final = final[final >= min_count]
+    out = pd.DataFrame({col: final.index.astype(str), "est_count": final.to_numpy(np.int64)})
+    out = out.sort_values(["est_count", col], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out.attrs["err"] = err
+    return out

@@ -171,3 +171,40 @@ def test_bloom_auto_bits_scales_with_build_side():
     for n in (10, 100, 1000, 10**6, 10**9):
         m = bloom_auto_bits(n)
         assert m >= 8 * n and m < 16 * n and m & (m - 1) == 0
+
+
+def test_mg_exact_when_capacity_covers_distinct():
+    from geospatial_learn_ray.stages.sketches import mg_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 5000).astype(np.int64) % 200
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(9)
+    out = mg_heavy_hitters(ds, "k", capacity=1024, min_count=1)
+    assert out.attrs["err"] == 0
+    true = pd.Series(keys.astype(str)).value_counts()
+    got = out.set_index("k")["est_count"]
+    assert len(got) == len(true)
+    assert (got.sort_index() == true.sort_index()).all()
+
+
+def test_mg_bounds_in_approximate_regime():
+    from geospatial_learn_ray.stages.sketches import mg_heavy_hitters
+
+    rng = np.random.default_rng(6)
+    # 5 planted heavies (1000 each) in a sea of 4000 distinct light keys
+    keys = np.concatenate([np.repeat(np.arange(5), 1000),
+                           5 + np.arange(4000)]).astype(np.int64)
+    rng.shuffle(keys)
+    n, cap = len(keys), 64
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(11)
+    out = mg_heavy_hitters(ds, "k", capacity=cap, min_count=1)
+    err = out.attrs["err"]
+    assert 0 < err <= n // (cap + 1)
+    true = pd.Series(keys.astype(str)).value_counts()
+    got = out.set_index("k")["est_count"]
+    # never overcounts; true <= est + err for every reported key
+    for k, est in got.items():
+        assert est <= true[k] <= est + err
+    # every key with true > err must be reported (the 5 heavies qualify)
+    for k in map(str, range(5)):
+        assert k in got.index
