@@ -408,6 +408,11 @@ def _q_orientation_tiles(sf_dir: str):
     return raster.orientation_stage(read_tiles(tile_px=16), side=16)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textstages.tfidf_top_terms(ds, k=5)
+
+
 def _q_mg_heavy_hitters(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import mg_heavy_hitters
 
@@ -1280,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vote_predict_lineitem": _q_vote_predict,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "mg_heavy_hitters_events": _q_mg_heavy_hitters,
+        "tfidf_top_terms_docs": _q_tfidf_top_terms,
     }
 
 
@@ -1701,6 +1707,19 @@ def oracle_sql() -> dict[str, str]:
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
         "vote_predict_lineitem": _vote_predict_sql(VOTE_MODELS),
+        "tfidf_top_terms_docs": (
+            "WITH tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "  WHERE tok <> '' GROUP BY doc_id, tok), "
+            "dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+            "s AS (SELECT doc_id, tok, tf, df, "
+            "  CAST(CAST(tf * ln(n.n / df) AS REAL) AS DOUBLE) AS tfidf "
+            "  FROM tf JOIN dfreq USING (tok), n) "
+            "SELECT doc_id, tok, tf, df, tfidf, rn FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "    ORDER BY tfidf DESC, tok) AS rn FROM s) WHERE rn <= 5"
+        ),
         "mg_heavy_hitters_events": (
             "SELECT CAST(user_id AS VARCHAR) AS user_id, "
             "COUNT(*) AS est_count FROM events "

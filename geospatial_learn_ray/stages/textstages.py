@@ -162,3 +162,75 @@ def stratified_sample_stage(ds: ray.data.Dataset, rates: dict[str, float],
         return b[draw.astype(np.int64) < cut]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms — the classic doc-term weighting
+    (Spärck Jones 1972) as a fully distributed plan (LLM-pipeline
+    extension; the reference's nearest analogue is the per-class feature
+    ranking in learning.py:1073).
+
+    Scale shape: the vocabulary is UNBOUNDED at corpus scale, so document
+    frequency is NOT a broadcast dict — each block explodes to distinct
+    (doc, token, tf) rows (Arrow split + one vectorized groupby), ONE
+    bucketed exchange on the token hash co-locates every row of a token,
+    and the combiner attaches df with a groupby-transform (df = row count:
+    a (doc, token) pair is emitted exactly once since a document never
+    spans blocks). The per-doc top-k then rides ``grouped_topk``'s
+    partial-per-block selection, so no exchange ever moves more than
+    O(distinct doc-term pairs) and the driver sees nothing.
+
+    Oracle parity: tfidf = tf · ln(N/df) over exact integer tf/df/N, the
+    product snapped to float32 (CLAUDE.md round-3 transcendental recipe —
+    a 1-ulp f64 ln disagreement dies at the f32 boundary, and ordering
+    uses the snapped value + token tiebreak on BOTH sides)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .agg import grouped_topk
+    from .exchange import bucket_exchange
+
+    n_docs = float(docs.count())
+
+    def explode_tf(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        d = pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(), off[1:] - off[:-1]),
+            "tok": wl.values.to_pandas().to_numpy(object),
+        })
+        d = d[d["tok"].str.len() > 0]
+        g = d.groupby([id_col, "tok"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["df"] = g.groupby("tok", sort=False)["tf"].transform("size").astype(np.int64)
+        return g
+
+    with_df = bucket_exchange(
+        docs.select_columns([id_col, text_col]).map_batches(
+            explode_tf, batch_format="pyarrow"),
+        attach_df)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        tf = b["tf"].to_numpy(np.float64)
+        df_ = b["df"].to_numpy(np.float64)
+        b["tfidf"] = (tf * np.log(n_docs / df_)).astype(np.float32).astype(np.float64)
+        return b
+
+    return grouped_topk(with_df.map_batches(score, batch_format="pandas"),
+                        id_col, "tfidf", k, tiebreak="tok")

@@ -200,3 +200,46 @@ def test_grouped_topk_matches_brute_force_and_block_invariant():
                             "key", "val", k=4, tiebreak="tb").to_pandas()
     assert sorted(map(tuple, out2[["key", "val", "tb", "rn"]].to_numpy().tolist())) == \
         sorted(map(tuple, out[["key", "val", "tb", "rn"]].to_numpy().tolist()))
+
+
+def test_tfidf_top_terms_matches_brute_force():
+    from geospatial_learn_ray.stages.textstages import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "banana cherry cherry date",
+            "apple apple apple egg",
+            "date egg fig fig fig",
+            "apple banana",
+            "unique singleton words only here",
+        ],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(docs).repartition(4),
+                          k=3).to_pandas()
+    # brute force
+    rows = []
+    n = len(docs)
+    tf = {}
+    for _, r in docs.iterrows():
+        for t in r.text.split(" "):
+            tf[(r.doc_id, t)] = tf.get((r.doc_id, t), 0) + 1
+    dfreq = {}
+    for (d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    for (d, t), c in tf.items():
+        s = np.float64(np.float32(c * np.log(n / np.float64(dfreq[t]))))
+        rows.append((d, t, c, dfreq[t], s))
+    ref = pd.DataFrame(rows, columns=["doc_id", "tok", "tf", "df", "tfidf"])
+    ref = ref.sort_values(["doc_id", "tfidf", "tok"],
+                          ascending=[True, False, True], kind="mergesort")
+    ref = ref.groupby("doc_id").head(3)
+    got = out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    assert got[["doc_id", "tok", "tf", "df", "tfidf"]].to_numpy().tolist() == \
+        ref[["doc_id", "tok", "tf", "df", "tfidf"]].to_numpy().tolist()
+    # block invariance
+    out2 = tfidf_top_terms(ray.data.from_pandas(docs).repartition(2),
+                           k=3).to_pandas()
+    assert sorted(map(tuple, out2[["doc_id", "tok", "rn"]].to_numpy().tolist())) == \
+        sorted(map(tuple, got[["doc_id", "tok", "rn"]].to_numpy().tolist()))
