@@ -408,6 +408,11 @@ def _q_orientation_tiles(sf_dir: str):
     return raster.orientation_stage(read_tiles(tile_px=16), side=16)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textstages.lm_perplexity_scores(ds)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return textstages.tfidf_top_terms(ds, k=5)
@@ -1286,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "mg_heavy_hitters_events": _q_mg_heavy_hitters,
         "tfidf_top_terms_docs": _q_tfidf_top_terms,
+        "lm_perplexity_docs": _q_lm_perplexity,
     }
 
 
@@ -1707,6 +1713,21 @@ def oracle_sql() -> dict[str, str]:
         "orientation_tiles": _orientation_sql(),
         "rfe_rank_lineitem": _rfe_sql(),
         "vote_predict_lineitem": _vote_predict_sql(VOTE_MODELS),
+        "lm_perplexity_docs": (
+            "WITH bgw AS MATERIALIZED ("
+            "  SELECT doc_id, split_part(bg, ' ', 1) AS w1, bg FROM ("
+            "    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1), "
+            "      i -> l[i] || ' ' || l[i+1])) AS bg "
+            "    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))), "
+            "c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM bgw GROUP BY w1), "
+            "c12 AS (SELECT bg, COUNT(*)::BIGINT AS c12 FROM bgw GROUP BY bg), "
+            "q AS (SELECT doc_id, CAST(FLOOR((ln(c1.c1) - ln(c12.c12)) "
+            "  * CAST(1024 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q "
+            "  FROM bgw JOIN c1 USING (w1) JOIN c12 USING (bg)) "
+            "SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(q)::BIGINT AS sum_q, "
+            "ROUND(CAST(SUM(q) AS DOUBLE) / CAST(1024 * COUNT(*) AS BIGINT), 6) AS avg_nll "
+            "FROM q GROUP BY doc_id"
+        ),
         "tfidf_top_terms_docs": (
             "WITH tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM ("
             "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "

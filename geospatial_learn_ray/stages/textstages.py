@@ -234,3 +234,106 @@ def tfidf_top_terms(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return grouped_topk(with_df.map_batches(score, batch_format="pandas"),
                         id_col, "tfidf", k, tiebreak="tok")
+
+
+def lm_perplexity_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", scale: int = 1024,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Bigram-LM quality scoring (the CCNet/KenLM perplexity-filter shape,
+    Wenzek et al. 2020): train bigram counts over the corpus itself and
+    score every document by its average negative log-likelihood
+    avg_nll = −(1/n)·Σ ln C(w1,w2)/C(w1·) — low = fluent/typical, high =
+    noise. LLM-pipeline extension; no reference analogue.
+
+    Scale shape: the model is NEVER a broadcast dict (corpus-scale bigram
+    vocabularies are unbounded). Per batch, bigrams pre-aggregate to
+    distinct (doc, w1, bigram, cnt) rows; exchange 1 co-locates by hash(w1)
+    and attaches the context count C(w1·) with one groupby-transform SUM;
+    exchange 2 co-locates by hash(bigram) and attaches C(w1,w2) the same
+    way (counts are exact: a document never spans blocks, and cnt rides
+    the rows). The per-doc reduction then moves two ints per (doc, block).
+
+    Oracle parity: per-bigram nll is quantized to integer
+    q = floor((ln C1 − ln C12)·scale + 0.5) (CLAUDE.md: never SUM
+    full-mantissa irrationals — integer sums are order-exact at any
+    scale); sum_q and n_bigrams are exact ints, avg_nll is ONE identical
+    f64 division + round both sides. Documents with < 2 tokens have no
+    bigrams and drop out (filter semantics)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+
+    def _bucket(vals: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(vals)) % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        lens = off[1:] - off[:-1]
+        row_ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(row_ids) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "w1": pd.Series([], dtype=object),
+                                 "bg": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        keep = row_ids[:-1] == row_ids[1:]
+        ka = pa.array(keep)
+        vals = wl.values
+        w1 = vals.slice(0, len(vals) - 1).filter(ka)
+        w2 = vals.slice(1).filter(ka)
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        d = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[row_ids[:-1][keep]],
+            "w1": w1.to_pandas().to_numpy(object),
+            "bg": bg.to_pandas().to_numpy(object),
+        })
+        g = d.groupby([id_col, "w1", "bg"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = _bucket(g["w1"].to_numpy(object))
+        return g
+
+    def attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["c1"] = g.groupby("w1", sort=False)["cnt"].transform("sum").astype(np.int64)
+        g = g.drop(columns=["w1"])
+        g["_part"] = _bucket(g["bg"].to_numpy(object))
+        return g
+
+    def attach_c12_and_q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        c12 = g.groupby("bg", sort=False)["cnt"].transform("sum").to_numpy(np.float64)
+        c1 = g["c1"].to_numpy(np.float64)
+        q = np.floor((np.log(c1) - np.log(c12)) * np.float64(scale) + 0.5).astype(np.int64)
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "nb": g["cnt"].to_numpy(np.int64),
+                            "sq": q * g["cnt"].to_numpy(np.int64)})
+        # pre-reduce per doc before the final exchange
+        r = out.groupby(id_col, sort=False).sum().reset_index()
+        return _add_part(r, [id_col], num_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(id_col, sort=False)[["nb", "sq"]].sum().reset_index()
+        nb = r["nb"].to_numpy(np.int64)
+        sq = r["sq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: r[id_col].to_numpy(),
+            "n_bigrams": nb, "sum_q": sq,
+            "avg_nll": round_half_away(sq / (np.float64(scale) * nb), 6),
+        })
+
+    ex1 = bucket_exchange(
+        docs.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow"),
+        attach_c1)
+    ex2 = bucket_exchange(ex1, attach_c12_and_q)
+    return bucket_exchange(ex2, finalize, small_partials=True)

@@ -192,3 +192,46 @@ def test_stratified_sample_rates_and_determinism():
     assert abs(got["zh"] / (n // 4) - 0.1) < 0.02
     again = stratified_sample_stage(ray.data.from_pandas(df).repartition(7), rates).to_pandas()
     assert sorted(again.doc_id) == sorted(out.doc_id)  # block-structure invariant
+
+
+def test_lm_perplexity_matches_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.textstages import lm_perplexity_scores
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "the cat sat on the mat",
+            "the cat ran",
+            "a dog sat on a log",
+            "single",
+            "the the the the",
+        ],
+    })
+    out = lm_perplexity_scores(ray.data.from_pandas(docs).repartition(3)).to_pandas()
+    # brute force bigram counts over the whole corpus
+    c1, c12, perdoc = {}, {}, {}
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        for a, b in zip(toks[:-1], toks[1:]):
+            c1[a] = c1.get(a, 0) + 1
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            perdoc.setdefault(r.doc_id, []).append((a, b))
+    ref = {}
+    for d, bgs in perdoc.items():
+        qs = [int(np.floor((np.log(np.float64(c1[a])) - np.log(np.float64(c12[(a, b)])))
+                           * np.float64(1024) + 0.5)) for a, b in bgs]
+        ref[d] = (len(qs), sum(qs))
+    assert len(out) == len(ref)  # doc 3 (one token) absent
+    assert 3 not in set(out.doc_id)
+    for _, r in out.iterrows():
+        nb, sq = ref[r.doc_id]
+        assert r.n_bigrams == nb and r.sum_q == sq
+        assert abs(r.avg_nll - sq / (1024.0 * nb)) < 1e-6
+    # block invariance
+    out2 = lm_perplexity_scores(ray.data.from_pandas(docs).repartition(5)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
