@@ -299,6 +299,14 @@ def _q_ann_ivf_store(sf_dir: str):
     return knn.ivf_topk_store(store, Q, qids, C, k=10, nprobe=4)
 
 
+def _q_ann_pq(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    emb = _rp(sf_dir, "embeddings")
+    cb = knn.pq_train(emb, n_sub=4, ks=8, iters=3)
+    codes = knn.pq_encode_stage(emb, cb)
+    return knn.pq_topk(codes, Q, qids, cb, k=10)
+
+
 def _q_minhash_pairs(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_dedup_pairs(ds, threshold=0.5)
@@ -1292,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_hitters_events": _q_mg_heavy_hitters,
         "tfidf_top_terms_docs": _q_tfidf_top_terms,
         "lm_perplexity_docs": _q_lm_perplexity,
+        "ann_pq_topk": _q_ann_pq,
     }
 
 
@@ -1362,6 +1371,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _snake_sql,
     _utm_sql,
     _warp_utm_sql,
+    _pq_topk_sql,
 )
 
 def oracle_sql() -> dict[str, str]:
@@ -1702,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "snake_contours": _snake_sql(),
         "ms_toposnakes_tiles": _ms_toposnakes_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
+        "ann_pq_topk": _pq_topk_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

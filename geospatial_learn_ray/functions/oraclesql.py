@@ -286,6 +286,69 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
             + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
 
 
+def _pq_topk_sql(n_sub=4, ks=8, iters=3, seed=3, k=10, permille=200, dim=64):
+    """SQL twin of knn.pq_train + pq_encode_stage + pq_topk: the same
+    id-hash sample and init-hash order as the IVF oracle, per-SUBSPACE
+    k-means unrolled (subspace id m = (j-1)//dsub is just one more GROUP
+    BY key), L2 assignment as SUM(v²)−2·SUM(x·v) with (dist ASC, c ASC)
+    tie order, plain means (no renorm — PQ centroids aren't unit), codes
+    for ALL vectors from the final codebook, and ADC scores via the
+    code→codebook reconstruction join. Scores are ROUNDed to 6 BEFORE
+    ranking on both sides: equal-coded vectors tie exactly and break by
+    vec_id; sub-1e-6 cross-code gaps collapse into the same deterministic
+    tiebreak (full-precision ordering would let a SUM-order ulp flip a
+    boundary rank between engine and SQL)."""
+    dsub = dim // n_sub
+    seed_a = int(_smx(np.array([seed], np.uint64))[0])
+    seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
+    hs = _sg.chain(
+        "SELECT vec_id, e FROM base",
+        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
+         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
+    )
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"hs AS ({hs})",
+        f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
+        "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
+        f"se AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, {dim + 1})) AS j, s.e AS el, s.ir FROM samp s)",
+        f"sx AS MATERIALIZED (SELECT se.vec_id, (se.j - 1) // {dsub} AS m, se.j, "
+        "  se.el[se.j] / sn.nrm AS x, se.ir FROM se JOIN sn ON sn.vec_id = se.vec_id)",
+        f"c0 AS (SELECT m, ir - 1 AS c, j, x AS v FROM sx WHERE ir <= {ks})",
+    ]
+    for t in range(1, iters + 1):
+        p = f"c{t-1}"
+        ctes += [
+            f"d{t} AS (SELECT sx.vec_id, cc.m, cc.c, SUM(cc.v*cc.v) - 2*SUM(sx.x*cc.v) AS dist "
+            f"  FROM sx JOIN {p} cc ON cc.m = sx.m AND cc.j = sx.j GROUP BY 1, 2, 3)",
+            f"a{t} AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
+            f"  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM d{t}) WHERE rn = 1)",
+            f"m{t} AS (SELECT a.m, a.c, sx.j, AVG(sx.x) AS mv FROM a{t} a "
+            f"  JOIN sx ON sx.vec_id = a.vec_id AND sx.m = a.m GROUP BY 1, 2, 3)",
+            f"c{t} AS (SELECT p.m, p.c, p.j, COALESCE(mm.mv, p.v) AS v FROM {p} p "
+            f"  LEFT JOIN m{t} mm ON mm.m = p.m AND mm.c = p.c AND mm.j = p.j)",
+        ]
+    C = f"c{iters}"
+    ctes += [
+        f"cf AS MATERIALIZED (SELECT * FROM {C})",
+        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
+        f"ax AS MATERIALIZED (SELECT b.vec_id, unnest(range(1, {dim + 1})) AS j, b.e AS el FROM base b)",
+        f"ae AS MATERIALIZED (SELECT ax.vec_id, (ax.j - 1) // {dsub} AS m, ax.j, "
+        "  ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
+        "ad AS (SELECT ae.vec_id, cf.m, cf.c, SUM(cf.v*cf.v) - 2*SUM(ae.x*cf.v) AS dist "
+        "  FROM ae JOIN cf ON cf.m = ae.m AND cf.j = ae.j GROUP BY 1, 2, 3)",
+        "aa AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
+        "  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM ad) WHERE rn = 1)",
+        "qe AS MATERIALIZED (SELECT vec_id AS qid, m, j, x FROM ae WHERE vec_id % 50 = 0)",
+        "rc AS MATERIALIZED (SELECT aa.vec_id, cf.j, cf.v FROM aa JOIN cf ON cf.m = aa.m AND cf.c = aa.c)",
+        "sc AS (SELECT qe.qid, rc.vec_id, ROUND(SUM(qe.x * rc.v), 6) AS s "
+        "  FROM rc JOIN qe ON qe.j = rc.j GROUP BY 1, 2)",
+        "rk AS (SELECT qid, vec_id, s, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rnk FROM sc)",
+    ]
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT qid AS query_id, vec_id AS neighbor_id, s AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
+
+
 
 def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None):
     """Per-tile connected-component labeling of the clipped closed-form

@@ -528,3 +528,114 @@ def ivf_topk(
     partials = ds.map_batches(IVFTopK, fn_constructor_args=(ref,), batch_format="pandas",
                               concurrency=(1, 8))
     return _merge_topk(partials, k)
+
+
+# --- product quantization (IVF-PQ's compression half) -------------------------
+
+def pq_train(ds: ray.data.Dataset, n_sub: int = 4, ks: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_permille: int = 200, iters: int = 3, seed: int = 3,
+             dim: int = 64, max_sample_rows: int = 1_000_000) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011):
+    split every (normalized) vector into ``n_sub`` subspaces and run the
+    same deterministic k-means-lite as ``ivf_build_centroids`` in each —
+    one id-hash sample (ABSOLUTE driver cap via ``_ivf_sample``), init =
+    the ks smallest init-hash sample rows' subvectors, L2 assignment as
+    ``|c|² − 2x·c`` with first-min tie order (the exact expression the SQL
+    twin restates), plain means (no renormalization — PQ centroids are
+    not unit vectors). Returns ``[n_sub, ks, dim/n_sub]``.
+
+    At 100 TB this is the storage story brute-force/IVF lack: codes are
+    n_sub bytes per vector (64× smaller than f32×64), the scan reads
+    codes only, and the codebook broadcast is n_sub·ks·dsub floats."""
+    if dim % n_sub:
+        raise ValueError("dim must divide into n_sub equal subspaces")
+    dsub = dim // n_sub
+    seed_a = np.uint64(splitmix64(np.array([seed], np.uint64))[0])
+    seed_b = np.uint64(splitmix64(np.array([seed + 1], np.uint64))[0])
+    tbl = _ivf_sample(ds, id_col, vec_col, sample_permille, max_sample_rows, seed_a, seed_b)
+    sample = np.stack(tbl[vec_col].to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(min=1e-12)
+    init = np.argsort(tbl["_ih"].to_numpy(), kind="stable")[:ks]
+    sub = sample.reshape(len(sample), n_sub, dsub)
+    C = sub[init].transpose(1, 0, 2).copy()  # [n_sub, ks, dsub]
+    for _ in range(iters):
+        dots = np.einsum("snd,nkd->snk", sub, C)
+        cc2 = (C ** 2).sum(axis=2)  # [n_sub, ks]
+        assign = (cc2[None] - 2.0 * dots).argmin(axis=2)  # first-min = smallest c
+        for m in range(n_sub):
+            for c in range(ks):
+                msk = assign[:, m] == c
+                if msk.any():
+                    C[m, c] = sub[msk, m].mean(axis=0)
+    return C
+
+
+def pq_encode_stage(ds: ray.data.Dataset, codebooks: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """(id, vector) → (id, code_0..code_{M-1}) with the SAME assignment
+    expression as training. Codes are int8 columns — n_sub bytes/vector
+    on disk; everything downstream (ADC scan, store layout) reads codes
+    only. Codebooks ride ``ray.put`` once, not per batch."""
+    n_sub, ks, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    class Encoder:
+        def __init__(self, r):
+            self.C = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.cc2 = (self.C ** 2).sum(axis=2)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
+            sub = X.reshape(len(X), n_sub, dsub)
+            dots = np.einsum("snd,nkd->snk", sub, self.C)
+            codes = (self.cc2[None] - 2.0 * dots).argmin(axis=2)
+            out = {id_col: b[id_col].to_numpy()}
+            for m in range(n_sub):
+                out[f"code_{m}"] = codes[:, m].astype(np.int8)
+            return pd.DataFrame(out)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        Encoder, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 8))
+
+
+def pq_topk(codes: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+            codebooks: np.ndarray, k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k (asymmetric distance computation): per query, ONE
+    n_sub×ks lookup table of subspace dot products against the codebook;
+    each code column then gathers its LUT row — the per-batch work is a
+    fancy-index sum over int8 codes, never a touch of the raw vectors.
+    Scores are quantized to 6 decimals BEFORE selection on BOTH sides
+    (approx-equal ADC scores of distinct codes are collapsed and broken
+    by neighbor_id — full-precision ordering would let a SUM-order ulp
+    flip the boundary rank between engine and SQL; equal codes produce
+    equal scores by construction). Partial top-k per batch feeds the
+    distributed ``_merge_topk`` exchange."""
+    n_sub, ks, dsub = codebooks.shape
+    Qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
+    lut = np.einsum("qnd,nkd->qnk", Qn.reshape(len(Qn), n_sub, dsub), codebooks)
+    ref = ray.put((lut, np.asarray(query_ids)))
+
+    class ADC:
+        def __init__(self, r):
+            self.lut, self.qids = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy()
+            cols = np.stack([b[f"code_{m}"].to_numpy(np.int64) for m in range(n_sub)], axis=1)
+            out = []
+            kk = min(k, len(ids))
+            for qi in range(len(self.lut)):
+                s = self.lut[qi][np.arange(n_sub)[None, :], cols].sum(axis=1)
+                s = round_half_away(s, 6)
+                order = np.lexsort((ids, -s))[:kk]
+                out.append(pd.DataFrame({"query_id": self.qids[qi],
+                                         "neighbor_id": ids[order], "cosine": s[order]}))
+            return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"query_id": pd.Series([], np.int64), "neighbor_id": pd.Series([], np.int64),
+                 "cosine": pd.Series([], np.float64)})
+
+    partials = codes.map_batches(ADC, fn_constructor_args=(ref,),
+                                 batch_format="pandas", concurrency=(1, 8))
+    return _merge_topk(partials, k)

@@ -191,3 +191,37 @@ def test_ivf_centroids_unchanged_by_cap_at_fixture_scale():
     C1 = knn.ivf_build_centroids(_emb_ds(), n_centroids=8)
     C2 = knn.ivf_build_centroids(_emb_ds(), n_centroids=8, max_sample_rows=10**9)
     assert np.array_equal(C1, C2)
+
+
+def test_pq_adc_approximates_cosine_and_block_invariant():
+    ids, X = _emb_matrix()
+    qidx = list(range(0, 50, 5))
+    cb = knn.pq_train(_emb_ds(), n_sub=16, ks=16, iters=3)
+    assert cb.shape == (16, 16, 4)
+    codes = knn.pq_encode_stage(_emb_ds(), cb)
+    out = knn.pq_topk(codes, X[qidx], ids[qidx], cb, k=10)
+    brute = knn.ann_bruteforce_topk(_emb_ds(), X[qidx], ids[qidx], k=10)
+    # ADC is a lossy 8-byte code; i.i.d.-random embeddings are PQ's worst
+    # case (nothing to cluster). Demand recall@10 well above the 2% chance
+    # floor (measured 0.43 at 16x16; the oracle query's 4x8 reads 0.19)
+    recalls = []
+    for qi in ids[qidx]:
+        got = set(out[out.query_id == qi].neighbor_id.tolist())
+        exp = set(brute[brute.query_id == qi].neighbor_id.tolist())
+        recalls.append(len(got & exp) / len(exp))
+    assert np.mean(recalls) >= 0.3, recalls
+    # ADC score must carry real signal for the TOP hit of each query:
+    # random-pair cosine is ~N(0, 1/8) here, so demand the top ADC score
+    # stays within quantization distance (<0.5) of the true cosine and
+    # clearly above the random-pair noise floor
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qi, row in out[out["rank"] == 1].iterrows():
+        true_cos = float(Xn[ids == row.query_id] @ Xn[ids == row.neighbor_id].T)
+        assert abs(row.cosine - true_cos) < 0.5
+        assert row.cosine > 0.35
+    # codes and top-k identical under a different block structure
+    codes2 = knn.pq_encode_stage(_emb_ds().repartition(13), cb)
+    out2 = knn.pq_topk(codes2, X[qidx], ids[qidx], cb, k=10)
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
