@@ -307,6 +307,17 @@ def _q_ann_pq(sf_dir: str):
     return knn.pq_topk(codes, Q, qids, cb, k=10)
 
 
+def _q_ann_pq_store(sf_dir: str):
+    import hashlib
+
+    Q, qids = _ann_queries(sf_dir)
+    emb = _rp(sf_dir, "embeddings")
+    cb = knn.pq_train(emb, n_sub=4, ks=8, iters=3)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    store = knn.pq_build_store(_rp(sf_dir, "embeddings"), cb, f"/tmp/glr_pq_store_{tag}")
+    return knn.pq_topk_store(store, Q, qids, cb, k=10)
+
+
 def _q_minhash_pairs(sf_dir: str):
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_dedup_pairs(ds, threshold=0.5)
@@ -1301,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": _q_tfidf_top_terms,
         "lm_perplexity_docs": _q_lm_perplexity,
         "ann_pq_topk": _q_ann_pq,
+        "ann_pq_store_topk": _q_ann_pq_store,
     }
 
 
@@ -1713,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         "ms_toposnakes_tiles": _ms_toposnakes_sql(),
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "ann_pq_topk": _pq_topk_sql(),
+        "ann_pq_store_topk": _pq_topk_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

@@ -639,3 +639,42 @@ def pq_topk(codes: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
     partials = codes.map_batches(ADC, fn_constructor_args=(ref,),
                                  batch_format="pandas", concurrency=(1, 8))
     return _merge_topk(partials, k)
+
+
+def pq_build_store(ds: ray.data.Dataset, codebooks: np.ndarray, store_dir: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """Persist the PQ CODES table (id + n_sub int8 columns — 64× smaller
+    than the f32 vectors): the I/O half of the PQ story. An ADC scan then
+    reads only the code bytes; the raw vectors never leave cold storage.
+    Idempotent per (store_dir, codebook fingerprint) with the same
+    stale-layout clearing discipline as ``ivf_build_store`` (a re-write
+    into a dir with old files would duplicate every code row)."""
+    import json
+    import os
+
+    n_sub, ks, dsub = codebooks.shape
+    fp = f"pq-v1:{n_sub}x{ks}x{dsub}:{float(np.abs(codebooks).sum())!r}"
+    marker = os.path.join(store_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("fp") == fp:
+                return store_dir
+    if os.path.isdir(store_dir):
+        import shutil
+
+        shutil.rmtree(store_dir)
+    pq_encode_stage(ds, codebooks, id_col=id_col, vec_col=vec_col).write_parquet(store_dir)
+    with open(marker, "w") as f:
+        json.dump({"fp": fp}, f)
+    return store_dir
+
+
+def pq_topk_store(store_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+                  codebooks: np.ndarray, k: int = 10,
+                  id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k over a persisted codes store: the scan projects only
+    ``vec_id`` + code columns (bytes on the wire = codes, not vectors)."""
+    n_sub = codebooks.shape[0]
+    cols = [id_col] + [f"code_{m}" for m in range(n_sub)]
+    codes = ray.data.read_parquet(store_dir, columns=cols)
+    return pq_topk(codes, queries, query_ids, codebooks, k=k, id_col=id_col)

@@ -225,3 +225,30 @@ def test_pq_adc_approximates_cosine_and_block_invariant():
     a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pq_store_matches_in_memory_and_is_idempotent(tmp_path):
+    import json
+    import os
+
+    ids, X = _emb_matrix()
+    qidx = [0, 15, 30]
+    cb = knn.pq_train(_emb_ds(), n_sub=8, ks=8, iters=2)
+    store = str(tmp_path / "pqstore")
+    knn.pq_build_store(_emb_ds(), cb, store)
+    out_store = knn.pq_topk_store(store, X[qidx], ids[qidx], cb, k=5)
+    out_mem = knn.pq_topk(knn.pq_encode_stage(_emb_ds(), cb), X[qidx], ids[qidx], cb, k=5)
+    a = out_store.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out_mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    # idempotent: second build with the same codebook is a no-op
+    mt = {f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)}
+    knn.pq_build_store(_emb_ds(), cb, store)
+    assert mt == {f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)}
+    # stale fingerprint (different codebook) rebuilds without duplication
+    cb2 = knn.pq_train(_emb_ds(), n_sub=4, ks=8, iters=2)
+    knn.pq_build_store(_emb_ds(), cb2, store)
+    with open(os.path.join(store, "_DONE")) as f:
+        assert "4x8" in json.load(f)["fp"]
+    out2 = knn.pq_topk_store(store, X[qidx], ids[qidx], cb2, k=5)
+    assert len(out2) == len(out_store)  # same Q*k rows, no duplicated codes
