@@ -351,6 +351,13 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_apply(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                                      threshold=0.5)
+    return dedup.dedup_apply(docs, pairs)
+
+
 def _q_interval_join_events(sf_dir: str):
     """Range join (brief's custom-operator example): events stabbed against
     broadcast overlapping promo windows, then count + exact cents sum per
@@ -1313,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_docs": _q_lm_perplexity,
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_store_topk": _q_ann_pq_store,
+        "dedup_apply_docs": _q_dedup_apply,
     }
 
 
@@ -1384,6 +1392,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _utm_sql,
     _warp_utm_sql,
     _pq_topk_sql,
+    _dedup_apply_sql,
 )
 
 def oracle_sql() -> dict[str, str]:
@@ -1726,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_store_topk": _ann_ivf_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_pq_store_topk": _pq_topk_sql(),
+        "dedup_apply_docs": _dedup_apply_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

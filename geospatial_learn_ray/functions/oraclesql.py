@@ -1171,6 +1171,23 @@ def _dedup_components_sql() -> str:
     )
 
 
+def _dedup_apply_sql() -> str:
+    """SQL twin of dedup.dedup_apply over the MinHash pairs: the same
+    recursive closure as _dedup_components_sql, then an anti-join dropping
+    every node whose component_id differs from itself."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes()}, "
+        "cnodes AS (SELECT id_a AS node FROM mh_pairs UNION SELECT id_b FROM mh_pairs), "
+        "cedges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs), "
+        "reach AS (SELECT node, node AS anc FROM cnodes "
+        "  UNION SELECT r.node, e.v AS anc FROM reach r JOIN cedges e ON e.u = r.anc), "
+        "comp AS (SELECT node, MIN(anc) AS component_id FROM reach GROUP BY node) "
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id NOT IN "
+        "(SELECT node FROM comp WHERE node <> component_id)"
+    )
+
+
 def _logistic_weights_sql(iters: int = 10, lr: float = 0.5) -> str:
     """SQL twin of stages/train.fit_logistic: the fixed-iteration full-batch
     gradient descent unrolled as chained scalar CTEs (w_{k+1} from one SUM

@@ -808,3 +808,73 @@ def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     return bucket_exchange(kept.map_batches(doc_part, batch_format="pandas"),
                            reassemble)
+
+
+def dedup_apply(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                id_col: str = "doc_id", num_buckets: int = 64) -> ray.data.Dataset:
+    """The dedup LAST MILE: filter the corpus down to one canonical
+    representative per near-dup group (the component's min id — every
+    non-canonical member is dropped, singletons pass through untouched).
+    Users run pairs → components → THIS; the reference has no analogue
+    (LLM-pipeline extension; the C4/RefinedWeb "remove all but one" step).
+
+    Scale shape: the drop list is ``connected_components``' (node,
+    component_id) rows with node != component_id — O(duplicate members),
+    potentially huge, so it is NEVER a broadcast set. One bucketed
+    exchange co-locates corpus rows and drop ids by splitmix64(id) and a
+    vectorized isin per bucket drops the members; the corpus crosses the
+    shuffle once (callers should project payload columns they don't need
+    downstream — the exchange moves whatever rides in)."""
+    labels = connected_components(pairs, num_buckets=num_buckets)
+    schema = ds.schema()
+
+    def _pa_type(t):
+        # Ray's Schema carries Arrow types for Arrow blocks but numpy
+        # dtypes / object for pandas blocks — normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError, NotImplementedError):
+            return pa.string()
+
+    fields = [(n, _pa_type(t)) for n, t in zip(schema.names, schema.types)]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            part = (splitmix64(ids) % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return (b.append_column("_t", pa.array(np.zeros(len(b), np.int8)))
+                 .append_column("_part", pa.array(part)))
+
+    def tag_drop(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy()
+        comp = b["component_id"].to_numpy()
+        drop = node[node != comp]
+        old = np.seterr(over="ignore")
+        try:
+            part = (splitmix64(drop.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        cols = {}
+        for name, typ in fields:
+            # typed nulls, never object-dtype fills (CLAUDE.md round-3:
+            # untyped fills arrive null-typed through the Arrow shuffle)
+            cols[name] = (pa.array(drop, pa.int64()).cast(typ) if name == id_col
+                          else pa.nulls(len(drop), typ))
+        t = pa.table(cols)
+        return (t.append_column("_t", pa.array(np.ones(len(drop), np.int8)))
+                 .append_column("_part", pa.array(part)))
+
+    tagged = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        labels.map_batches(tag_drop, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = g.loc[g["_t"] == 1, id_col]
+        keep = g[(g["_t"] == 0) & ~g[id_col].isin(dropped)]
+        return keep.drop(columns=["_t", "_part"])
+
+    return bucket_exchange(tagged, per_bucket)

@@ -208,3 +208,23 @@ def test_mg_bounds_in_approximate_regime():
     # every key with true > err must be reported (the 5 heavies qualify)
     for k in map(str, range(5)):
         assert k in got.index
+
+
+def test_dedup_apply_keeps_canonical_and_singletons():
+    from geospatial_learn_ray.stages.dedup import dedup_apply
+
+    # corpus 0..19; groups {0,3,7}, {10,11}; the rest are singletons
+    corpus = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                           "lang": ["en"] * 20})
+    pairs = pd.DataFrame({"id_a": np.array([0, 3, 10], np.int64),
+                          "id_b": np.array([3, 7, 11], np.int64)})
+    out = dedup_apply(ray.data.from_pandas(corpus).repartition(5),
+                      ray.data.from_pandas(pairs), id_col="doc_id").to_pandas()
+    expect = set(range(20)) - {3, 7, 11}
+    assert set(out.doc_id) == expect
+    assert set(out.columns) == {"doc_id", "lang"}
+    assert (out.lang == "en").all()  # payload columns survive intact
+    # block invariance
+    out2 = dedup_apply(ray.data.from_pandas(corpus).repartition(3),
+                       ray.data.from_pandas(pairs), id_col="doc_id").to_pandas()
+    assert set(out2.doc_id) == expect
