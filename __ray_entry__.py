@@ -351,6 +351,10 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_dup_spans(sf_dir: str):
+    return textstages.dup_span_scores(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_dedup_apply(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]),
@@ -1321,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_pq_store_topk": _q_ann_pq_store,
         "dedup_apply_docs": _q_dedup_apply,
+        "dup_span_docs": _q_dup_spans,
     }
 
 
@@ -1393,6 +1398,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _warp_utm_sql,
     _pq_topk_sql,
     _dedup_apply_sql,
+    _dup_span_sql,
 )
 
 def oracle_sql() -> dict[str, str]:
@@ -1736,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_pq_store_topk": _pq_topk_sql(),
         "dedup_apply_docs": _dedup_apply_sql(),
+        "dup_span_docs": _dup_span_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

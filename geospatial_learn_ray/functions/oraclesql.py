@@ -1219,12 +1219,26 @@ def _doc_fingerprints_sql() -> str:
     because the engine's winnowing is batch-invariant (window placement
     depends only on the row's own length) and the text is pure ASCII, so
     ascii(char) == the hashed byte."""
+    sm = _sg.chain("SELECT doc_id, c, m FROM sel", _sg.splitmix64_steps("m", "sm", "fp"))
+    return (
+        f"WITH {_winnow_sel_ctes()}, "
+        f"f AS (SELECT doc_id, bit_xor({_sg.u64_to_i64('sm')}) AS fpi, COUNT(*) AS cnt "
+        f"  FROM ({sm}) GROUP BY doc_id) "
+        f"SELECT d.doc_id, CAST({_sg.i64_to_u64('COALESCE(f.fpi, 0)')} AS UBIGINT) AS fingerprint, "
+        "COALESCE(f.cnt, 0)::BIGINT AS n_fingerprints "
+        "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
+    )
+
+
+def _winnow_sel_ctes() -> str:
+    """Shared winnowing-selection CTE chain ending in ``sel(doc_id, c, m)``
+    — the per-(doc, window-position) selected span minima. Used by the
+    fingerprint oracle (xor-fold) and the dup-span oracle (df counting)."""
     base = 1099511628211  # FNV prime, hashing.py:109
     P = [pow(base, 7 - k, _sg.M64) for k in range(8)]
     terms = " + ".join(f"CAST(cs[p + {k + 1}] AS HUGEINT) * {P[k]}" for k in range(8))
-    sm = _sg.chain("SELECT doc_id, c, m FROM sel", _sg.splitmix64_steps("m", "sm", "fp"))
     return (
-        "WITH codes AS (SELECT doc_id, "
+        "codes AS (SELECT doc_id, "
         "  list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs, "
         "  length(text) - 7 AS li FROM documents), "
         "pos AS (SELECT doc_id, cs, li, unnest(range(0, GREATEST(li, 0))) AS p FROM codes), "
@@ -1234,12 +1248,22 @@ def _doc_fingerprints_sql() -> str:
         "  FROM h), "
         "w2 AS (SELECT *, LAG(m) OVER (PARTITION BY doc_id ORDER BY c) AS mprev FROM w), "
         "sel AS (SELECT doc_id, c, m FROM w2 "
-        "  WHERE (c <= li - 16 OR (c = 0 AND li > 0)) AND (c = 0 OR m <> mprev)), "
-        f"f AS (SELECT doc_id, bit_xor({_sg.u64_to_i64('sm')}) AS fpi, COUNT(*) AS cnt "
-        f"  FROM ({sm}) GROUP BY doc_id) "
-        f"SELECT d.doc_id, CAST({_sg.i64_to_u64('COALESCE(f.fpi, 0)')} AS UBIGINT) AS fingerprint, "
-        "COALESCE(f.cnt, 0)::BIGINT AS n_fingerprints "
-        "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
+        "  WHERE (c <= li - 16 OR (c = 0 AND li > 0)) AND (c = 0 OR m <> mprev))"
+    )
+
+
+def _dup_span_sql() -> str:
+    """SQL twin of textstages.dup_span_scores: the shared winnowing
+    selection, DISTINCT (doc, span), per-span distinct-doc counts, per-doc
+    duplicated-span fraction (integer counts + one identical division)."""
+    return (
+        f"WITH {_winnow_sel_ctes()}, "
+        "dsx AS MATERIALIZED (SELECT DISTINCT doc_id, m FROM sel), "
+        "dfr AS (SELECT m, COUNT(*)::BIGINT AS df FROM dsx GROUP BY m) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_spans, "
+        "SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans, "
+        "ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac "
+        "FROM dsx JOIN dfr USING (m) GROUP BY doc_id"
     )
 
 

@@ -204,6 +204,36 @@ def winnow_fingerprints(texts, window: int = 8, guarantee: int = 16) -> tuple[np
     return fp, cnt
 
 
+def winnow_selected(texts, window: int = 8, guarantee: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """The EXPLODED form of ``winnow_fingerprints``: instead of xor-folding
+    each row's selected minima into one fingerprint, return every selected
+    span hash as (row_idx int64 [m], span_hash uint64 [m]) pairs — the
+    winnowing selection rule (fresh min × in-row window) is IDENTICAL, so
+    the two functions select the same positions. Feeds inter-document
+    duplicated-span detection: a span hash shared by ≥2 docs marks ~window
+    chars of copied text (the winnowing guarantee bounds the miss rate)."""
+    H, valid = rolling_hashes(texts, window=window)
+    n, L = H.shape
+    if L == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    Li = valid.sum(axis=1).astype(np.int64)
+    w = guarantee
+    Hm = np.where(valid, H, np.uint64(0xFFFFFFFFFFFFFFFF))
+    if L < w:
+        Hm = np.concatenate(
+            [Hm, np.full((n, w - L), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)], axis=1
+        )
+    sw = np.lib.stride_tricks.sliding_window_view(Hm, w, axis=1)
+    mins = sw.min(axis=2)
+    ncols = mins.shape[1]
+    fresh = np.ones((n, ncols), bool)
+    fresh[:, 1:] = mins[:, 1:] != mins[:, :-1]
+    cols = np.arange(ncols)
+    in_row = (cols[None, :] <= (Li - w)[:, None]) | ((cols[None, :] == 0) & (Li > 0)[:, None])
+    rr, cc = np.nonzero(fresh & in_row)
+    return rr.astype(np.int64), mins[rr, cc]
+
+
 def char_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """Char k-gram shingle hashes per doc: (H uint64 [n, L], valid [n, L])."""
     return rolling_hashes(texts, window=k)

@@ -337,3 +337,65 @@ def lm_perplexity_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
         attach_c1)
     ex2 = bucket_exchange(ex1, attach_c12_and_q)
     return bucket_exchange(ex2, finalize, small_partials=True)
+
+
+def dup_span_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Inter-document duplicated-SPAN detection — the bounded stand-in for
+    suffix-array substring dedup (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): a winnowed span hash shared by
+    ≥ 2 documents marks ~window chars of text copied between them, with
+    the winnowing guarantee bounding the miss rate. Output per doc:
+    n_spans (distinct selected spans), n_dup_spans (of those, shared with
+    another doc), dup_frac — the filter column a pipeline thresholds on.
+
+    Scale shape (the tfidf/df pattern): distinct (doc, span) rows explode
+    per batch (vectorized winnowing, no Python loop over rows), ONE
+    bucketed exchange on the span hash attaches the span's distinct-doc
+    count (all rows of a span co-locate; rows are already distinct per
+    doc, so df = transform('size')), and the per-doc reduction moves two
+    ints per (doc, block). The span universe is unbounded — never a
+    broadcast set. Docs shorter than the winnowing window have no spans
+    and drop out (filter semantics)."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        rr, mm = textproc.winnow_selected(b[text_col])
+        d = pd.DataFrame({id_col: b[id_col].to_numpy()[rr],
+                          "sp": mm.view(np.int64)})
+        d = d.drop_duplicates()
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["sp"].to_numpy().view(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["df"] = g.groupby("sp", sort=False)["sp"].transform("size").astype(np.int64)
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "ns": np.ones(len(g), np.int64),
+                            "nd": (g["df"].to_numpy() >= 2).astype(np.int64)})
+        r = out.groupby(id_col, sort=False).sum().reset_index()
+        return _add_part(r, [id_col], num_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(id_col, sort=False)[["ns", "nd"]].sum().reset_index()
+        ns = r["ns"].to_numpy(np.int64)
+        nd = r["nd"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: r[id_col].to_numpy(),
+            "n_spans": ns, "n_dup_spans": nd,
+            "dup_frac": round_half_away(nd / ns.astype(np.float64), 6),
+        })
+
+    ex1 = bucket_exchange(
+        docs.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow"),
+        attach_df)
+    return bucket_exchange(ex1, finalize, small_partials=True)

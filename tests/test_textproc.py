@@ -235,3 +235,36 @@ def test_lm_perplexity_matches_brute_force_and_block_invariant():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_dup_span_scores_flags_planted_copy():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.functions import textproc
+    from geospatial_learn_ray.stages.textstages import dup_span_scores
+
+    rng = np.random.default_rng(9)
+    def rand_text(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, n))
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            rand_text(300) + " " + shared,
+            shared + " " + rand_text(300),
+            rand_text(300),
+            rand_text(300),
+        ],
+    })
+    out = dup_span_scores(ray.data.from_pandas(docs).repartition(3)).to_pandas()
+    out = out.set_index("doc_id")
+    # the planted copy shares winnowed spans between docs 0 and 1
+    assert out.loc[0, "n_dup_spans"] > 0 and out.loc[1, "n_dup_spans"] > 0
+    # independent random docs share nothing
+    assert out.loc[2, "n_dup_spans"] == 0 and out.loc[3, "n_dup_spans"] == 0
+    assert (out.dup_frac <= 1.0).all() and (out.n_dup_spans <= out.n_spans).all()
+    # winnow_selected selects exactly the positions winnow_fingerprints folds
+    rr, mm = textproc.winnow_selected(docs["text"])
+    _, cnt = textproc.winnow_fingerprints(docs["text"])
+    assert np.bincount(rr, minlength=4).tolist() == cnt.tolist()
