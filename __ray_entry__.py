@@ -351,6 +351,20 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_bow_logistic(sf_dir: str):
+    from geospatial_learn_ray.stages import train as _train
+
+    # materialize the NARROW (d+2 floats/doc) feature table once: GD makes
+    # one pass per iteration, and re-tokenizing the corpus 10x would be the
+    # expensive half of the pipeline at scale (spillable, like knn's points)
+    feats = _train.hashed_bow_features(
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"]), n_buckets=8).materialize()
+    w = _train.fit_logistic(feats, [f"x{j}" for j in range(8)], "y",
+                            iters=10, lr=0.5)
+    return pd.DataFrame({f"w{i}": [round_half_away(float(w[i]), 4)]
+                         for i in range(len(w))})
+
+
 def _q_dup_spans(sf_dir: str):
     return textstages.dup_span_scores(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1326,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_store_topk": _q_ann_pq_store,
         "dedup_apply_docs": _q_dedup_apply,
         "dup_span_docs": _q_dup_spans,
+        "bow_logistic_docs": _q_bow_logistic,
     }
 
 
@@ -1399,6 +1414,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _pq_topk_sql,
     _dedup_apply_sql,
     _dup_span_sql,
+    _bow_logistic_sql,
 )
 
 def oracle_sql() -> dict[str, str]:
@@ -1743,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_store_topk": _pq_topk_sql(),
         "dedup_apply_docs": _dedup_apply_sql(),
         "dup_span_docs": _dup_span_sql(),
+        "bow_logistic_docs": _bow_logistic_sql(),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

@@ -1171,6 +1171,48 @@ def _dedup_components_sql() -> str:
     )
 
 
+def _bow_logistic_sql(n_buckets: int = 8, iters: int = 10, lr: float = 0.5) -> str:
+    """SQL twin of train.hashed_bow_features + fit_logistic over documents:
+    the token→bucket hash chain (fnv1a64 then splitmix64, token projected
+    to its own column first — fnv's list lambda uses ``i`` and would
+    shadow an outer positional), per-doc bucket fractions pivoted to
+    d columns (LEFT JOIN keeps token-less docs as all-zero rows, matching
+    the engine's clip-to-1 normalizer), and the fixed-step GD unrolled as
+    in _logistic_weights_sql generalized to d features."""
+    bkt = _sg.chain(
+        f"SELECT doc_id, {_sg.fnv1a64_expr('tok')} AS fh FROM toks",
+        _sg.splitmix64_steps("fh", "sh", "bw"),
+    )
+    xs = ", ".join(
+        f"COALESCE(f.x{j}, CAST(0.0 AS DOUBLE)) AS x{j}" for j in range(n_buckets))
+    piv = ", ".join(
+        f"CAST(SUM(CASE WHEN sh % {n_buckets} = {j} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f"/COUNT(*) AS x{j}" for j in range(n_buckets))
+    d = n_buckets + 1
+    ctes = [
+        "toks AS MATERIALIZED (SELECT doc_id, tok FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+        "  WHERE tok <> '')",
+        f"bk AS MATERIALIZED ({bkt})",
+        f"fx AS (SELECT doc_id, {piv} FROM bk GROUP BY doc_id)",
+        "dta AS MATERIALIZED (SELECT CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+        f"{xs} FROM documents d LEFT JOIN fx f ON f.doc_id = d.doc_id)",
+        "it0 AS (SELECT " + ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS a{i}" for i in range(d)) + ")",
+    ]
+    z = " + ".join([f"a0"] + [f"a{j + 1}*x{j}" for j in range(n_buckets)])
+    for k in range(iters):
+        p = f"1.0/(1.0 + EXP(-({z})))"
+        gs = ", ".join(
+            [f"SUM({p} - y) AS g0"]
+            + [f"SUM(({p} - y)*x{j}) AS g{j + 1}" for j in range(n_buckets)])
+        ctes.append(f"g{k} AS (SELECT {gs}, COUNT(*)::DOUBLE AS n FROM dta, it{k})")
+        ws = ", ".join(f"a{i} - {lr}*g{i}/n AS a{i}" for i in range(d))
+        ctes.append(f"it{k + 1} AS (SELECT {ws} FROM g{k}, it{k})")
+    sel = ", ".join(f"ROUND(a{i}, 4) AS w{i}" for i in range(d))
+    return "WITH " + ", ".join(ctes) + f" SELECT {sel} FROM it{iters}"
+
+
 def _dedup_apply_sql() -> str:
     """SQL twin of dedup.dedup_apply over the MinHash pairs: the same
     recursive closure as _dedup_components_sql, then an anti-join dropping

@@ -33,6 +33,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import splitmix64
@@ -513,3 +514,51 @@ def predict_vote_stage(ds: ray.data.Dataset, model_paths: list[str],
         concurrency=concurrency, num_cpus=1,
     )
     return out.select_columns(keep_cols + ["proba_vote", "pred"])
+
+
+def hashed_bow_features(docs: ray.data.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", label_col: str = "lang",
+                        pos_label: str = "en",
+                        n_buckets: int = 8) -> ray.data.Dataset:
+    """fastText-style hashed bag-of-words featurizer (Joulin et al. 2017):
+    token → splitmix64(fnv1a64(tok)) % n_buckets, per-doc bucket-count
+    fractions as features (x_j = cnt_j / n_tokens), label = 1.0 iff
+    ``label_col == pos_label``. The hash trick bounds the feature width at
+    ANY vocabulary size — the classifier trains on a 100 TB corpus with a
+    fixed d-dim gradient, no vocabulary build, no broadcast. Composes with
+    ``fit_logistic`` (the distributed sufficient-statistics GD) into the
+    quality/language classifier every curation pipeline trains."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    B = n_buckets
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        lens = off[1:] - off[:-1]
+        n = len(lens)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        mask = pc.binary_length(wl.values).to_numpy() > 0
+        toks = wl.values.to_pandas().to_numpy(object)[mask]
+        old = np.seterr(over="ignore")
+        try:
+            bkt = (splitmix64(fnv1a64(toks)) % np.uint64(B)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+        counts = np.bincount(row[mask] * B + bkt, minlength=n * B).reshape(n, B)
+        ntok = counts.sum(axis=1).clip(min=1).astype(np.float64)
+        X = counts / ntok[:, None]
+        lab = b[label_col].to_pandas().to_numpy(object)
+        out = {id_col: b[id_col].to_numpy(),
+               "y": (lab == pos_label).astype(np.float64)}
+        for j in range(B):
+            out[f"x{j}"] = X[:, j]
+        return pd.DataFrame(out)
+
+    return docs.select_columns([id_col, text_col, label_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -189,3 +189,38 @@ def test_vote_predict_averages_member_probabilities():
     one = predict_vote_stage(ray.data.from_pandas(df), [p1], ["rid"]).to_pandas().sort_values("rid")
     ref = 1.0 / (1.0 + np.exp(-df.x.to_numpy()))
     assert np.allclose(one.proba_vote, np.round(ref, 6), atol=1e-6)
+
+
+def test_hashed_bow_logistic_separates_synthetic_langs():
+    import ray.data
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.stages.train import fit_logistic, hashed_bow_features
+
+    rng = np.random.default_rng(3)
+    en_words = ["the", "and", "of", "to", "in"]
+    de_words = ["der", "und", "von", "zu", "im"]
+    rows = []
+    for i in range(400):
+        en = i % 2 == 0
+        words = rng.choice(en_words if en else de_words, 12)
+        rows.append((i, " ".join(words), "en" if en else "de"))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ds = ray.data.from_pandas(docs).repartition(5)
+    feats = hashed_bow_features(ds, n_buckets=8)
+    fp = feats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # featurizer brute-force check on one row
+    toks = docs.text[0].split(" ")
+    bkt = (splitmix64(fnv1a64(np.array(toks, object))) % np.uint64(8)).astype(int)
+    for j in range(8):
+        assert abs(fp.loc[0, f"x{j}"] - (bkt == j).sum() / len(toks)) < 1e-12
+    assert fp.y.tolist() == [(1.0 if i % 2 == 0 else 0.0) for i in range(400)]
+    # training separates the two vocabularies almost perfectly
+    w = fit_logistic(feats, [f"x{j}" for j in range(8)], "y", iters=50, lr=1.0)
+    X = fp[[f"x{j}" for j in range(8)]].to_numpy()
+    Z = np.concatenate([np.ones((len(X), 1)), X], axis=1)
+    pred = (1.0 / (1.0 + np.exp(-(Z @ w)))) > 0.5
+    assert (pred == (fp.y.to_numpy() > 0.5)).mean() > 0.97
+    # block invariance of the featurizer
+    fp2 = hashed_bow_features(ray.data.from_pandas(docs).repartition(11),
+                              n_buckets=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(fp.drop(columns="doc_id"), fp2.drop(columns="doc_id"))
