@@ -351,6 +351,10 @@ def _q_dedup_components(sf_dir: str):
     return dedup.connected_components(pairs)
 
 
+def _q_host_stats(sf_dir: str):
+    return textstages.host_stats(read_pages(sf_dir, columns=["url", "lang"]))
+
+
 def _q_bow_logistic(sf_dir: str):
     from geospatial_learn_ray.stages import train as _train
 
@@ -1341,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_apply_docs": _q_dedup_apply,
         "dup_span_docs": _q_dup_spans,
         "bow_logistic_docs": _q_bow_logistic,
+        "host_stats_pages": _q_host_stats,
     }
 
 
@@ -1760,6 +1765,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_docs": _dedup_apply_sql(),
         "dup_span_docs": _dup_span_sql(),
         "bow_logistic_docs": _bow_logistic_sql(),
+        "host_stats_pages": (
+            f"WITH {pages_sql()} "
+            "SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host, "
+            "COUNT(*)::BIGINT AS n_pages, COUNT(DISTINCT lang)::BIGINT AS n_langs "
+            "FROM pages GROUP BY host"
+        ),
         "media_decode": _media_decode_sql(),
         "media_frame_sample": _media_frame_sample_sql(),
         "media_resize": _media_resize_sql(),

@@ -399,3 +399,42 @@ def dup_span_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
         docs.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow"),
         attach_df)
     return bucket_exchange(ex1, finalize, small_partials=True)
+
+
+def host_stats(pages: ray.data.Dataset, url_col: str = "url",
+               lang_col: str = "lang", num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-host corpus statistics — the per-domain curation aggregate every
+    Common-Crawl pipeline runs first (domain allow/deny lists, per-host
+    caps). Host = the authority part of the url (vectorized regex).
+
+    Scale shape: per batch, rows pre-aggregate to distinct (host, lang,
+    n_rows) partials — the exchange moves ≤ #hosts × #langs × #blocks
+    small rows, never one per page; one bucketed exchange on the host
+    co-locates a host's partials and the combiner emits (host, n_pages,
+    n_langs). Zipf-hot hosts cost #blocks partial rows, not their page
+    count."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = b[url_col].str.extract(r"^[a-z]+://([^/]+)/", expand=False).fillna("")
+        g = (pd.DataFrame({"host": host, "lang": b[lang_col].to_numpy()})
+             .groupby(["host", "lang"], sort=False).size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["host"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("host", sort=False).agg(
+            n_pages=("n", "sum"), n_langs=("lang", "nunique")).reset_index()
+        r["n_pages"] = r["n_pages"].astype(np.int64)
+        r["n_langs"] = r["n_langs"].astype(np.int64)
+        return r
+
+    return bucket_exchange(pages.map_batches(partial, batch_format="pandas"),
+                           combine, small_partials=True)

@@ -243,3 +243,20 @@ def test_tfidf_top_terms_matches_brute_force():
                            k=3).to_pandas()
     assert sorted(map(tuple, out2[["doc_id", "tok", "rn"]].to_numpy().tolist())) == \
         sorted(map(tuple, got[["doc_id", "tok", "rn"]].to_numpy().tolist()))
+
+
+def test_host_stats_counts_and_distinct_langs():
+    from geospatial_learn_ray.stages.textstages import host_stats
+
+    pages = pd.DataFrame({
+        "url": ["https://a.example/x/1", "https://a.example/y/2",
+                "https://a.example/z/3", "https://b.example/x/4",
+                "not-a-url"],
+        "lang": ["en", "en", "de", "fr", "en"],
+    })
+    out = host_stats(ray.data.from_pandas(pages).repartition(3)).to_pandas()
+    out = out.set_index("host")
+    assert out.loc["a.example", "n_pages"] == 3
+    assert out.loc["a.example", "n_langs"] == 2
+    assert out.loc["b.example", "n_pages"] == 1 and out.loc["b.example", "n_langs"] == 1
+    assert out.loc["", "n_pages"] == 1  # unparseable url -> empty-host bucket
