@@ -509,6 +509,10 @@ def _q_paragraph_dedup(sf_dir: str):
     return dedup.paragraph_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_boilerplate(sf_dir: str):
+    return dedup.boilerplate_removal(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_cms_counts_events(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import cms_counts
 
@@ -1346,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_docs": _q_dup_spans,
         "bow_logistic_docs": _q_bow_logistic,
         "host_stats_pages": _q_host_stats,
+        "boilerplate_docs": _q_boilerplate,
     }
 
 
@@ -1389,6 +1394,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _media_decode_sql,
     _media_features_sql,
     _paragraph_dedup_sql,
+    _boilerplate_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -1776,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_resize_sql(),
         "media_features": _media_features_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
+        "boilerplate_docs": _boilerplate_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1524,6 +1524,22 @@ def _paragraph_dedup_sql(words_per_para: int = 12) -> str:
     )
 
 
+def _boilerplate_sql(words_per_para: int = 12, min_docs: int = 2) -> str:
+    """SQL twin of dedup.boilerplate_removal: identical fixed-window
+    segmentation, drop EVERY occurrence of a paragraph present in
+    ≥ min_docs distinct documents, ordered string_agg reassembly."""
+    w = words_per_para
+    return (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        f"ch AS (SELECT doc_id, CAST(unnest(range(0, (len(w) + {w - 1}) // {w})) AS BIGINT) AS idx, w FROM ws), "
+        f"paras AS MATERIALIZED (SELECT doc_id, idx, array_to_string(list_slice(w, idx*{w} + 1, idx*{w} + {w}), ' ') AS para FROM ch), "
+        f"bad AS (SELECT para FROM paras GROUP BY para HAVING COUNT(DISTINCT doc_id) >= {min_docs}), "
+        "kept AS (SELECT doc_id, idx, para FROM paras WHERE para NOT IN (SELECT para FROM bad)) "
+        "SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS clean_text, "
+        "COUNT(*) AS n_kept FROM kept GROUP BY doc_id"
+    )
+
+
 def _min_rect_sql(tile_px: int = 16, max_tile: int = 5, thresh: float = 1.5) -> str:
     """SQL twin of raster.min_rect_stage: same row/col-extreme reduction,
     pair self-join for candidate directions, exact int64 projection

@@ -733,27 +733,10 @@ def embedding_dedup_pairs(
 
 # --- paragraph-level exact dedup (C4 §2.2 / RefinedWeb-style) -----------------
 
-def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
-                    text_col: str = "text", words_per_para: int = 12,
-                    num_buckets: int = 64) -> ray.data.Dataset:
-    """Paragraph-granular exact dedup: keep only the FIRST global occurrence
-    (min ``(doc_id, idx)``) of every paragraph, then reassemble each
-    document from its surviving paragraphs in order — the C4/RefinedWeb
-    line-level dedup shape (no reference analogue; LLM-pipeline
-    extension). Segmentation here is fixed ``words_per_para`` word windows
-    (the synthetic corpus has no newline structure; a real corpus swaps in
-    a delimiter split upstream — everything downstream is unchanged).
-
-    Plan: one zero-Python explode (Arrow list-offset rebuild +
-    ``binary_join`` — no per-row loop), then TWO O(dataset) bucketed
-    exchanges: by paragraph hash (combiner keeps the lexicographic-first
-    occurrence per distinct paragraph — all occurrences co-locate), then
-    by document (combiner rebuilds the text with one offsets+binary_join
-    pass). Output: (id, dedup_text, n_kept); documents whose every
-    paragraph was claimed elsewhere drop out (filter semantics)."""
+def _para_explode_fn(id_col: str, text_col: str, wpp: int, num_buckets: int):
+    """Shared zero-Python paragraph explode (Arrow list-offset rebuild +
+    ``binary_join``) used by paragraph_dedup and boilerplate_removal."""
     import pyarrow.compute as pc
-
-    wpp = int(words_per_para)
 
     def explode(b: pa.Table) -> pa.Table:
         t = b[text_col]
@@ -781,19 +764,22 @@ def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                          "idx": pa.array(iin), "para": paras,
                          "_part": pa.array(part)})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        o = np.lexsort((g["idx"].to_numpy(), g[id_col].to_numpy()))
-        gs = g.iloc[o]
-        return gs.loc[~gs["para"].duplicated(), [id_col, "idx", "para"]]
+    return explode
 
-    kept = bucket_exchange(
-        ds.map_batches(explode, batch_format="pyarrow"), keep_first)
 
+def _doc_part_fn(id_col: str, num_buckets: int):
     def doc_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["_part"] = (splitmix64(b[id_col].to_numpy().astype(np.uint64))
                       % np.uint64(num_buckets)).astype(np.int32)
         return b
+
+    return doc_part
+
+
+def _reassemble_fn(id_col: str, out_col: str):
+    """Per-doc ordered reassembly: one offsets + binary_join pass."""
+    import pyarrow.compute as pc
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         gs = g.sort_values([id_col, "idx"])
@@ -803,11 +789,152 @@ def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
         texts = pc.binary_join(
             pa.LargeListArray.from_arrays(off, pa.array(gs["para"], pa.string())), " ")
         return pd.DataFrame({id_col: ids[bounds],
-                             "dedup_text": texts.to_pandas().to_numpy(),
+                             out_col: texts.to_pandas().to_numpy(),
                              "n_kept": np.diff(off).astype(np.int64)})
 
-    return bucket_exchange(kept.map_batches(doc_part, batch_format="pandas"),
-                           reassemble)
+    return reassemble
+
+
+def paragraph_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", words_per_para: int = 12,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Paragraph-granular exact dedup: keep only the FIRST global occurrence
+    (min ``(doc_id, idx)``) of every paragraph, then reassemble each
+    document from its surviving paragraphs in order — the C4/RefinedWeb
+    line-level dedup shape (no reference analogue; LLM-pipeline
+    extension). Segmentation here is fixed ``words_per_para`` word windows
+    (the synthetic corpus has no newline structure; a real corpus swaps in
+    a delimiter split upstream — everything downstream is unchanged).
+
+    Plan: one zero-Python explode (Arrow list-offset rebuild +
+    ``binary_join`` — no per-row loop), then TWO O(dataset) bucketed
+    exchanges: by paragraph hash (combiner keeps the lexicographic-first
+    occurrence per distinct paragraph — all occurrences co-locate), then
+    by document (combiner rebuilds the text with one offsets+binary_join
+    pass). Output: (id, dedup_text, n_kept); documents whose every
+    paragraph was claimed elsewhere drop out (filter semantics)."""
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["idx"].to_numpy(), g[id_col].to_numpy()))
+        gs = g.iloc[o]
+        return gs.loc[~gs["para"].duplicated(), [id_col, "idx", "para"]]
+
+    kept = bucket_exchange(
+        ds.map_batches(_para_explode_fn(id_col, text_col, int(words_per_para),
+                                        num_buckets),
+                       batch_format="pyarrow"), keep_first)
+    return bucket_exchange(
+        kept.map_batches(_doc_part_fn(id_col, num_buckets), batch_format="pandas"),
+        _reassemble_fn(id_col, "dedup_text"))
+
+
+def boilerplate_removal(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", words_per_para: int = 12,
+                        min_docs: int = 2, num_buckets: int = 64,
+                        broadcast_bound: int = 1_000_000) -> ray.data.Dataset:
+    """Corpus-frequency boilerplate removal (CCNet §3.1 / RefinedWeb
+    line-wise filter): a paragraph occurring in ≥ ``min_docs`` DISTINCT
+    documents is boilerplate and ALL its occurrences are dropped —
+    ``paragraph_dedup``, by contrast, keeps the first. Output
+    ``(id, clean_text, n_kept)``; fully-boilerplate documents drop out.
+    No reference analogue (LLM-pipeline extension).
+
+    Scale shape: the counting pass never moves text — per-batch DISTINCT
+    ``(para_hash u64, doc_id)`` pairs (a Zipf-hot line ships #blocks
+    rows, not its occurrence count) cross ONE bucketed exchange that
+    counts distinct docs per hash. The verdict set (hashes with
+    nd ≥ min_docs) is O(distinct boilerplate lines) — small by the very
+    definition of boilerplate — so under a COUNTED ``broadcast_bound``
+    it is ray.put-broadcast and the drop pass filters map-side (one doc
+    exchange reassembles). Above the bound, verdicts join the exploded
+    rows through the same para-hash exchange instead (no broadcast, one
+    extra O(dataset) exchange). The explode runs once per pass (twice
+    total) rather than materializing the exploded corpus — recompute is
+    cheaper than holding O(dataset) text in the object store."""
+    wpp = int(words_per_para)
+    explode = _para_explode_fn(id_col, text_col, wpp, num_buckets)
+
+    def pair_rows(b: pa.Table) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(fnv1a64(b["para"]))
+        finally:
+            np.seterr(**old)
+        df = pd.DataFrame({"h": h.view(np.int64), id_col: b[id_col].to_numpy()})
+        df = df.drop_duplicates()
+        df["_part"] = (df["h"].to_numpy().view(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")[id_col].nunique()
+        bad = nd[nd >= min_docs]
+        return pd.DataFrame({"h": np.asarray(bad.index, np.int64),
+                             "nd": bad.to_numpy(np.int64)})
+
+    exploded1 = ds.map_batches(explode, batch_format="pyarrow")
+    verdicts = bucket_exchange(
+        exploded1.map_batches(pair_rows, batch_format="pyarrow"),
+        count_docs).materialize()  # small: distinct boilerplate lines only
+    n_bad = verdicts.count()
+
+    exploded2 = ds.map_batches(explode, batch_format="pyarrow")
+    if n_bad <= broadcast_bound:
+        bad_sorted = (np.empty(0, np.uint64) if n_bad == 0 else
+                      np.sort(verdicts.to_pandas()["h"].to_numpy(np.int64).view(np.uint64)))
+        bad_ref = ray.put(bad_sorted)
+
+        def drop_map(b: pa.Table, *, bad=bad_ref) -> pd.DataFrame:
+            bs = bad if isinstance(bad, np.ndarray) else ray.get(bad)
+            old = np.seterr(over="ignore")
+            try:
+                h = splitmix64(fnv1a64(b["para"]))
+            finally:
+                np.seterr(**old)
+            if len(bs) == 0:
+                member = np.zeros(len(h), bool)
+            else:
+                pos = np.searchsorted(bs, h)
+                member = (pos < len(bs)) & (bs[np.minimum(pos, len(bs) - 1)] == h)
+            t = b.filter(pa.array(~member))
+            return pd.DataFrame({id_col: t[id_col].to_numpy(),
+                                 "idx": t["idx"].to_numpy(),
+                                 "para": t["para"].to_pandas().to_numpy()})
+
+        kept = exploded2.map_batches(drop_map, batch_format="pyarrow")
+    else:
+        def tag_rows(b: pa.Table) -> pd.DataFrame:
+            old = np.seterr(over="ignore")
+            try:
+                h = splitmix64(fnv1a64(b["para"]))
+            finally:
+                np.seterr(**old)
+            return pd.DataFrame({
+                "h": h.view(np.int64), id_col: b[id_col].to_numpy(),
+                "idx": b["idx"].to_numpy(),
+                "para": b["para"].to_pandas().to_numpy(), "_t": np.int8(0),
+                "_part": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+        def tag_verdicts(b: pd.DataFrame) -> pd.DataFrame:
+            h = b["h"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "h": h, id_col: np.full(len(h), -1, np.int64),
+                "idx": np.full(len(h), -1, np.int64),
+                "para": pd.Series([""] * len(h), dtype="object"),
+                "_t": np.int8(1),
+                "_part": (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)})
+
+        def drop_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            bad = g.loc[g["_t"] == 1, "h"]
+            keep = g[(g["_t"] == 0) & ~g["h"].isin(bad)]
+            return keep[[id_col, "idx", "para"]]
+
+        tagged = exploded2.map_batches(tag_rows, batch_format="pyarrow").union(
+            verdicts.map_batches(tag_verdicts, batch_format="pandas"))
+        kept = bucket_exchange(tagged, drop_bucket)
+
+    return bucket_exchange(
+        kept.map_batches(_doc_part_fn(id_col, num_buckets), batch_format="pandas"),
+        _reassemble_fn(id_col, "clean_text"))
 
 
 def dedup_apply(ds: ray.data.Dataset, pairs: ray.data.Dataset,

@@ -164,3 +164,59 @@ def test_paragraph_dedup_ragged_tail_window():
     # 5 words -> windows "one two three four" + ragged "five"
     assert out.dedup_text.iloc[0] == "one two three four five"
     assert out.n_kept.iloc[0] == 2
+
+def test_boilerplate_removal_drops_all_occurrences():
+    from geospatial_learn_ray.stages.dedup import boilerplate_removal
+
+    w = " ".join
+    boiler = "click here to subscribe"  # in 3 docs -> dropped EVERYWHERE
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            w([boiler, "one two three four"]),
+            w([boiler, "five six seven eight"]),
+            w(["nine ten eleven twelve", boiler]),
+            w(["solo text only here", "more unique words now"]),
+        ],
+    })
+    out = boilerplate_removal(ray.data.from_pandas(docs), words_per_para=4,
+                              min_docs=2).to_pandas()
+    got = dict(zip(out.doc_id, out.clean_text))
+    # unlike paragraph_dedup, NO doc keeps the boilerplate line
+    assert got == {1: "one two three four", 2: "five six seven eight",
+                   3: "nine ten eleven twelve",
+                   4: "solo text only here more unique words now"}
+    assert dict(zip(out.doc_id, out.n_kept)) == {1: 1, 2: 1, 3: 1, 4: 2}
+    # block-structure invariance + fallback (join) path parity
+    for kwargs in ({"broadcast_bound": 0}, {}):
+        out2 = boilerplate_removal(ray.data.from_pandas(docs).repartition(4),
+                                   words_per_para=4, min_docs=2,
+                                   **kwargs).to_pandas()
+        assert dict(zip(out2.doc_id, out2.clean_text)) == got
+
+
+def test_boilerplate_within_doc_repeat_is_kept():
+    from geospatial_learn_ray.stages.dedup import boilerplate_removal
+
+    # same line twice in ONE doc: doc frequency is 1 -> kept both times
+    docs = pd.DataFrame({
+        "doc_id": [7],
+        "text": ["a b c d a b c d"],
+    })
+    out = boilerplate_removal(ray.data.from_pandas(docs), words_per_para=4,
+                              min_docs=2).to_pandas()
+    assert out.clean_text.iloc[0] == "a b c d a b c d"
+    assert out.n_kept.iloc[0] == 2
+
+
+def test_boilerplate_fully_boilerplate_doc_drops_out():
+    from geospatial_learn_ray.stages.dedup import boilerplate_removal
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b c d", "a b c d x y z w"],
+    })
+    out = boilerplate_removal(ray.data.from_pandas(docs), words_per_para=4,
+                              min_docs=3).to_pandas()
+    assert out.doc_id.tolist() == [3]
+    assert out.clean_text.iloc[0] == "x y z w"
