@@ -288,6 +288,16 @@ def _q_ann_ivf(sf_dir: str):
     return knn.ivf_topk(emb, Q, qids, C, k=10, nprobe=4)
 
 
+def _q_semdedup(sf_dir: str):
+    from geospatial_learn_ray.sources.embeddings import with_planted_dups
+
+    # raw fixture has no near-dups (max cosine ~0.51) — plant them so the
+    # grouping path is actually exercised (same layer as embedding_dedup)
+    planted = with_planted_dups(_rp(sf_dir, "embeddings"))
+    C = knn.ivf_build_centroids(planted, n_centroids=16)
+    return dedup.semdedup(planted, C, threshold=0.95)
+
+
 def _q_ann_ivf_store(sf_dir: str):
     import hashlib
 
@@ -1351,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bow_logistic_docs": _q_bow_logistic,
         "host_stats_pages": _q_host_stats,
         "boilerplate_docs": _q_boilerplate,
+        "semdedup_vectors": _q_semdedup,
     }
 
 
@@ -1380,6 +1391,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_FEATURE_SQL,
     _TILE_GRID_SQL,
     _ann_ivf_sql,
+    _semdedup_sql,
     _buffer_polygons_sql,
     _dedup_components_sql,
     _doc_fingerprints_sql,
@@ -1783,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "boilerplate_docs": _boilerplate_sql(),
+        "semdedup_vectors": _semdedup_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

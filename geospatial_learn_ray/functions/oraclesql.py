@@ -225,17 +225,35 @@ def _rf_oob_sql(max_stumps=32, step=4, bins=32, seed=11):
 
 
 
-def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
-    """SQL twin of knn.ivf_build_centroids + ivf_topk (and ivf_topk_store —
-    the store route reads the same vectors from the partitioned layout, so
-    one oracle serves both): id-hash sample (splitmix64 chains, seeds
-    inlined), init = the n_centroids smallest init-hash sample vectors,
-    the 5 k-means-lite iterations unrolled as CTE blocks (argmax assign
-    with first-max tie order, AVG means renormalized, empty clusters keep
-    the previous centroid), nprobe centroid probing, and exact cosine
-    top-k over probed lists via list_cosine_similarity. Engine cosines
-    round half-away; float ulp drift across the 5 iterations is orders of
-    magnitude below the assignment margins on this fixture."""
+def _planted_base_ctes(dim=64):
+    """CTE chain producing ``base(vec_id, e DOUBLE[])`` = embeddings plus
+    the planted perturbed copies (sources/embeddings.with_planted_dups):
+    splitmix64 noise chain, float32 round-trip IEEE-identical in DuckDB."""
+    noise_chain = _sg.chain(
+        "SELECT vec_id, j, e FROM plj",
+        _sg.splitmix64_steps(f"CAST(vec_id * {dim} + j AS HUGEINT)", "nh", "pl"),
+    )
+    return [
+        "rawb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"plj AS (SELECT vec_id, unnest(range(0, {dim})) AS j, e FROM rawb WHERE vec_id % 10 = 0)",
+        f"pln AS (SELECT vec_id, j, CAST(e[j + 1] * (1.0 + (CAST(nh AS DOUBLE) / {float(2.0**64)!r} - 0.5) * 0.01) AS FLOAT) AS pv "
+        f"  FROM ({noise_chain}))",
+        "planted AS (SELECT vec_id + 1000000 AS vec_id, list(CAST(pv AS DOUBLE) ORDER BY j) AS e "
+        "  FROM pln GROUP BY vec_id)",
+        "base AS MATERIALIZED (SELECT vec_id, e FROM rawb UNION ALL SELECT vec_id, e FROM planted)",
+    ]
+
+
+def _ivf_centroid_ctes(n_centroids=16, iters=5, seed=3, permille=200, base_ctes=None):
+    """Shared CTE chain for knn.ivf_build_centroids' deterministic
+    k-means-lite: id-hash sample (splitmix64 chains, seeds inlined), init
+    = the n_centroids smallest init-hash sample vectors, the iterations
+    unrolled as CTE blocks (argmax assign with first-max tie order, AVG
+    means renormalized, empty clusters keep the previous centroid).
+    Returns the CTE list ending in ``cf`` (the final codebook) plus the
+    all-vector assignment CTEs ``aa`` (vec_id → cluster c). ``base_ctes``
+    overrides the input chain; its final CTE must be
+    ``base(vec_id, e DOUBLE[])``."""
     seed_a = int(_smx(np.array([seed], np.uint64))[0])
     seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
     hs = _sg.chain(
@@ -243,8 +261,9 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
         [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
          *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
     )
-    ctes = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+    ctes = list(base_ctes) if base_ctes is not None else [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
+    ctes += [
         f"hs AS ({hs})",
         f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
         "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
@@ -262,20 +281,33 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
             f"c{t} AS (SELECT p.c, p.j, CASE WHEN n2.nn IS NOT NULL THEN m.mv / n2.nn ELSE p.v END AS v "
             f"  FROM {p} p LEFT JOIN m{t} m ON m.c = p.c AND m.j = p.j LEFT JOIN nz{t} n2 ON n2.c = p.c)",
         ]
-    C = f"c{iters}"
     ctes += [
-        f"cf AS MATERIALIZED (SELECT * FROM {C})",
+        f"cf AS MATERIALIZED (SELECT * FROM c{iters})",
+        "ax AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
+        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
+        "ae AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
+        "ad AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM ae JOIN cf ON cf.j = ae.j GROUP BY 1, 2)",
+        "aa AS MATERIALIZED (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM ad) WHERE rn = 1)",
+    ]
+    return ctes
+
+
+def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
+    """SQL twin of knn.ivf_build_centroids + ivf_topk (and ivf_topk_store —
+    the store route reads the same vectors from the partitioned layout, so
+    one oracle serves both): the shared ``_ivf_centroid_ctes`` chain, then
+    nprobe centroid probing and exact cosine top-k over probed lists via
+    list_cosine_similarity. Engine cosines round half-away; float ulp
+    drift across the 5 iterations is orders of magnitude below the
+    assignment margins on this fixture."""
+    ctes = _ivf_centroid_ctes(n_centroids, iters, seed, permille)
+    ctes += [
         "qs AS (SELECT vec_id AS qid, e FROM base WHERE vec_id % 50 = 0)",
         "qn AS (SELECT qid, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM qs)",
         "qx AS (SELECT q.qid, unnest(range(1, 65)) AS j, q.e AS el FROM qs q)",
         "qe AS (SELECT qx.qid, qx.j, qx.el[qx.j] / qn.nrm AS x FROM qx JOIN qn ON qn.qid = qx.qid)",
         "pd AS (SELECT qe.qid, cf.c, SUM(qe.x * cf.v) AS dot FROM qe JOIN cf ON cf.j = qe.j GROUP BY 1, 2)",
         f"pr AS (SELECT qid, c FROM (SELECT qid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, c ASC) AS rn FROM pd) WHERE rn <= {nprobe})",
-        "ax AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
-        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
-        "ae AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
-        "ad AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM ae JOIN cf ON cf.j = ae.j GROUP BY 1, 2)",
-        "aa AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM ad) WHERE rn = 1)",
         "cand AS (SELECT pr.qid, aa.vec_id FROM pr JOIN aa ON aa.c = pr.c)",
         "cosv AS (SELECT cand.qid, cand.vec_id, "
         "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) AS cosr "
@@ -284,6 +316,40 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
     ]
     return ("WITH " + ", ".join(ctes)
             + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
+
+
+def _semdedup_sql(n_centroids=16, iters=5, seed=3, permille=200, threshold=0.95):
+    """SQL twin of dedup.semdedup over the planted-dup layer
+    (sources/embeddings.with_planted_dups — the raw fixture has no
+    near-dups, max pairwise cosine ≈0.51): the shared
+    ``_ivf_centroid_ctes`` chain on the planted base (identical centroids
+    + all-vector assignment ``aa``), within-cluster pairs whose
+    ROUND(cosine, 6) ≥ threshold (the engine rounds half-away before
+    comparing — same value both sides), recursive transitive closure per
+    component (components cannot span clusters by construction), rep =
+    MIN reachable id, singletons rep = self."""
+    ctes = _ivf_centroid_ctes(n_centroids, iters, seed, permille,
+                              base_ctes=_planted_base_ctes())
+    ctes += [
+        "sp AS MATERIALIZED (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b "
+        "  FROM aa a1 JOIN aa a2 ON a1.c = a2.c AND a1.vec_id < a2.vec_id "
+        "  JOIN base b1 ON b1.vec_id = a1.vec_id "
+        "  JOIN base b2 ON b2.vec_id = a2.vec_id "
+        "  WHERE ROUND(list_cosine_similarity(b1.e, b2.e), 6) "
+        f"    >= CAST({threshold!r} AS DOUBLE))",
+        "cnodes AS (SELECT id_a AS node FROM sp UNION SELECT id_b FROM sp)",
+        "cedges AS (SELECT id_a AS u, id_b AS v FROM sp "
+        "  UNION SELECT id_b AS u, id_a AS v FROM sp)",
+        "reach AS (SELECT node, node AS anc FROM cnodes "
+        "  UNION SELECT r.node, e.v AS anc FROM reach r JOIN cedges e ON e.u = r.anc)",
+        "comp AS (SELECT node, MIN(anc) AS component_id FROM reach GROUP BY node)",
+    ]
+    return ("WITH RECURSIVE " + ", ".join(ctes)
+            + " SELECT aa.vec_id, CAST(aa.c AS BIGINT) AS cluster_id, "
+            "COALESCE(comp.component_id, aa.vec_id) AS rep_id, "
+            "CASE WHEN COALESCE(comp.component_id, aa.vec_id) = aa.vec_id "
+            "THEN 1 ELSE 0 END AS keep "
+            "FROM aa LEFT JOIN comp ON comp.node = aa.vec_id")
 
 
 def _pq_topk_sql(n_sub=4, ks=8, iters=3, seed=3, k=10, permille=200, dim=64):

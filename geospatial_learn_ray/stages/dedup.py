@@ -937,6 +937,82 @@ def boilerplate_removal(ds: ray.data.Dataset, id_col: str = "doc_id",
         _reassemble_fn(id_col, "clean_text"))
 
 
+def semdedup(ds: ray.data.Dataset, centroids: np.ndarray, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_buckets: int = 64, chunk: int = 2048) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, find cosine near-dups WITHIN each cluster, keep one
+    representative (the component's min id) per near-dup group. Output one
+    row per vector: ``(vec_id, cluster_id, rep_id, keep)``. No reference
+    analogue (LLM-pipeline extension); centroids come from
+    ``knn.ivf_build_centroids`` (deterministic, absolutely-capped sample).
+
+    Scale shape: the centroid matrix is ray.put-broadcast (small by
+    definition); assignment is one vectorized matmul per batch; ONE
+    bucketed exchange keyed on cluster id co-locates each cluster.
+    Near-dup groups cannot span clusters BY CONSTRUCTION (pairs are only
+    formed within a cluster), so connected components run entirely inside
+    the per-cluster combiner — no global CC rounds. The partitioning
+    assumption is SemDeDup's own: n_clusters is sized so one cluster fits
+    a worker (the paper uses ~100k clusters at corpus scale); the O(|c|²)
+    pairwise pass is a chunked matmul, memory-flat. Cosines are rounded
+    half-away to 6 decimals BEFORE the threshold compare — the SQL twin
+    compares the identically rounded value, so ulp drift between the
+    engine's normalized-dot and SQL's list_cosine_similarity cannot flip
+    a pair across the boundary unless the rounded values differ."""
+    C = np.ascontiguousarray(np.asarray(centroids, np.float64))
+    cref = ray.put(C)
+    thr = np.float64(threshold)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        Cl = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
+        a = (X @ Cl.T).argmax(axis=1).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "cluster_id": a,
+                             "vec": list(X),
+                             "_part": (a % num_buckets).astype(np.int32)})
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, grp in g.groupby("cluster_id"):  # several real clusters per bucket
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy(np.int64)
+            X = np.stack(grp["vec"].to_numpy())
+            n = len(ids)
+            parent = np.arange(n)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for s in range(0, n, chunk):
+                sims = round_half_away(X[s:s + chunk] @ X.T, 6)
+                ia, ib = np.nonzero(sims >= thr)
+                ia = ia + s
+                m = ia < ib
+                # ids are ascending, so min-index root == min-id root
+                for a_, b_ in zip(ia[m], ib[m]):
+                    ra, rb = find(int(a_)), find(int(b_))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+            rep = ids[np.fromiter((find(i) for i in range(n)), np.int64, n)]
+            outs.append(pd.DataFrame({
+                id_col: ids, "cluster_id": np.full(n, cid, np.int64),
+                "rep_id": rep, "keep": (ids == rep).astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64),
+                                 "rep_id": pd.Series([], dtype=np.int64),
+                                 "keep": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(ds.map_batches(assign, batch_format="pandas"),
+                           per_cluster)
+
+
 def dedup_apply(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                 id_col: str = "doc_id", num_buckets: int = 64) -> ray.data.Dataset:
     """The dedup LAST MILE: filter the corpus down to one canonical

@@ -220,3 +220,34 @@ def test_boilerplate_fully_boilerplate_doc_drops_out():
                               min_docs=3).to_pandas()
     assert out.doc_id.tolist() == [3]
     assert out.clean_text.iloc[0] == "x y z w"
+
+def test_semdedup_groups_planted_dups_and_keeps_one():
+    import numpy as np
+    from geospatial_learn_ray.stages.dedup import semdedup
+    from geospatial_learn_ray.stages.knn import ivf_build_centroids
+    from geospatial_learn_ray.sources.embeddings import with_planted_dups, PLANT_OFFSET
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = with_planted_dups(emb)
+    C = ivf_build_centroids(planted, n_centroids=16)
+    out = semdedup(planted, C, threshold=0.95).to_pandas()
+
+    n_orig = emb.count()
+    assert len(out) == n_orig + (out.vec_id >= PLANT_OFFSET).sum()
+    # every planted copy must be grouped under its original (min id = orig)
+    copies = out[out.vec_id >= PLANT_OFFSET]
+    assert len(copies) > 0
+    assert (copies.rep_id == copies.vec_id - PLANT_OFFSET).all()
+    assert (copies.keep == 0).all()
+    # exactly one keeper per component, and it IS the component id
+    per = out.groupby("rep_id")
+    assert (per.keep.sum() == 1).all()
+    assert (out.loc[out.keep == 1, "vec_id"] == out.loc[out.keep == 1, "rep_id"]).all()
+    # components never span clusters (by construction)
+    rep_cluster = dict(zip(out.vec_id, out.cluster_id))
+    assert all(rep_cluster[r] == c for r, c in zip(out.rep_id, out.cluster_id))
+    # block-structure invariance
+    out2 = semdedup(planted.repartition(7), C, threshold=0.95).to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
