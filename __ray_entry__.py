@@ -523,6 +523,18 @@ def _q_boilerplate(sf_dir: str):
     return dedup.boilerplate_removal(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_url_canon(sf_dir: str):
+    from geospatial_learn_ray.functions.textproc import canonicalize_urls
+    from geospatial_learn_ray.sources.pages import read_messy_urls
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["canon_url"] = canonicalize_urls(b["url"])
+        return b
+
+    return read_messy_urls(sf_dir).map_batches(add, batch_format="pandas")
+
+
 def _q_cms_counts_events(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import cms_counts
 
@@ -1362,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_pages": _q_host_stats,
         "boilerplate_docs": _q_boilerplate,
         "semdedup_vectors": _q_semdedup,
+        "url_canonicalize_pages": _q_url_canon,
     }
 
 
@@ -1407,6 +1420,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _media_features_sql,
     _paragraph_dedup_sql,
     _boilerplate_sql,
+    _url_canon_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -1796,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "boilerplate_docs": _boilerplate_sql(),
         "semdedup_vectors": _semdedup_sql(),
+        "url_canonicalize_pages": _url_canon_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

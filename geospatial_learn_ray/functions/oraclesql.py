@@ -1590,6 +1590,47 @@ def _paragraph_dedup_sql(words_per_para: int = 12) -> str:
     )
 
 
+def _url_canon_sql() -> str:
+    """SQL twin of textproc.canonicalize_urls over the messy-URL fixture
+    (sources/pages.read_messy_urls — 8 deterministic decoration variants
+    by doc_id % 8, restated as a CASE): every normalization step restated
+    with split_part / list_filter — lowercase scheme+host, default-port
+    strip, fragment drop, tracking-param filter preserving order,
+    /index.html fold, trailing-slash strip."""
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "  'https://site-' || (doc_id % 1000) || '.example/' || source || '/' || doc_id AS base, "
+        "  'HTTPS://SITE-' || (doc_id % 1000) || '.EXAMPLE/' || source || '/' || doc_id AS upper_u, "
+        "  'https://site-' || (doc_id % 1000) || '.example:443/' || source || '/' || doc_id AS port_u, "
+        "  'HTTPS://site-' || (doc_id % 1000) || '.EXAMPLE:443/' || source || '/' || doc_id || '/?utm_campaign=x#frag' AS combo "
+        "  FROM documents), "
+        "mu AS (SELECT doc_id, CASE doc_id % 8 "
+        "  WHEN 1 THEN upper_u WHEN 2 THEN port_u WHEN 3 THEN base || '/' "
+        "  WHEN 4 THEN base || '#sec' WHEN 5 THEN base || '?utm_source=feed&ref=1' "
+        "  WHEN 6 THEN base || '/index.html' WHEN 7 THEN combo ELSE base END AS url FROM m), "
+        "c1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS p0 FROM mu), "
+        "c2 AS (SELECT doc_id, url, split_part(p0, '?', 1) AS b, "
+        "  CASE WHEN contains(p0, '?') THEN split_part(p0, '?', 2) ELSE NULL END AS q FROM c1), "
+        "c3 AS (SELECT doc_id, url, q, lower(split_part(b, '://', 1)) AS scheme, "
+        "  split_part(b, '://', 2) AS rest FROM c2), "
+        "c4 AS (SELECT doc_id, url, q, scheme, lower(split_part(rest, '/', 1)) AS host, "
+        "  CASE WHEN contains(rest, '/') THEN substr(rest, position('/' IN rest)) ELSE '' END AS path FROM c3), "
+        "c5 AS (SELECT doc_id, url, q, scheme, CASE "
+        "  WHEN scheme = 'https' AND ends_with(host, ':443') THEN substr(host, 1, length(host) - 4) "
+        "  WHEN scheme = 'http' AND ends_with(host, ':80') THEN substr(host, 1, length(host) - 3) "
+        "  ELSE host END AS host, path FROM c4), "
+        "c6 AS (SELECT doc_id, url, q, scheme, host, CASE WHEN ends_with(path, '/index.html') "
+        "  THEN substr(path, 1, length(path) - 10) ELSE path END AS path FROM c5), "
+        "c7 AS (SELECT doc_id, url, q, scheme, host, CASE WHEN length(path) > 1 AND ends_with(path, '/') "
+        "  THEN substr(path, 1, length(path) - 1) ELSE path END AS path FROM c6), "
+        "c8 AS (SELECT doc_id, url, scheme, host, path, CASE WHEN q IS NULL THEN NULL ELSE "
+        "  array_to_string(list_filter(string_split(q, '&'), x -> NOT (starts_with(x, 'utm_') "
+        "  OR starts_with(x, 'fbclid') OR starts_with(x, 'gclid')) AND x <> ''), '&') END AS qk FROM c7) "
+        "SELECT doc_id, url, scheme || '://' || host || path || "
+        "CASE WHEN qk IS NULL OR qk = '' THEN '' ELSE '?' || qk END AS canon_url FROM c8"
+    )
+
+
 def _boilerplate_sql(words_per_para: int = 12, min_docs: int = 2) -> str:
     """SQL twin of dedup.boilerplate_removal: identical fixed-window
     segmentation, drop EVERY occurrence of a paragraph present in

@@ -405,3 +405,46 @@ def word_ngrams_frame(texts: pd.Series, n: int) -> pd.DataFrame:
         gram = gram + " " + tok.shift(-k)
         ok &= doc.shift(-k) == doc
     return pd.DataFrame({"row": doc[ok].to_numpy(), "gram": gram[ok].to_numpy()})
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """RFC 3986-subset URL normalization for pre-dedup canonicalization
+    (the crawl-pipeline step before ``dedup_keep_latest``; no reference
+    analogue — LLM-pipeline extension): lowercase scheme+host, strip the
+    scheme's default port (:443 https / :80 http), drop the fragment,
+    drop tracking query params (utm_*, fbclid, gclid) preserving the
+    order of the rest, fold a trailing ``/index.html`` to ``/`` and strip
+    the trailing slash from non-root paths. All steps are vectorized
+    pandas string kernels except the per-URL query-param join, which is
+    bounded by params-per-URL. The SQL twin restates every step with
+    split_part/list_filter — identical semantics by construction."""
+    s = urls.astype(str).str.split("#", n=1).str[0]
+    bq = s.str.split("?", n=1)
+    body, q = bq.str[0], bq.str[1]  # q is NaN where absent
+    sp = body.str.split("://", n=1)
+    scheme = sp.str[0].str.lower()
+    rest = sp.str[1]
+    hp = rest.str.split("/", n=1)
+    host = hp.str[0].str.lower()
+    tail = hp.str[1]
+    path = pd.Series(np.where(tail.isna(), "", "/" + tail.fillna("")),
+                     index=urls.index)
+    m443 = (scheme == "https") & host.str.endswith(":443")
+    host = host.mask(m443, host.str[:-4])
+    m80 = (scheme == "http") & host.str.endswith(":80")
+    host = host.mask(m80, host.str[:-3])
+    mi = path.str.endswith("/index.html")
+    path = path.mask(mi, path.str[:-10])  # leaves the trailing '/'
+    mt = path.str.endswith("/") & (path.str.len() > 1)
+    path = path.mask(mt, path.str[:-1])
+    params = q.fillna("").str.split("&").explode()
+    bad = params.str.startswith(_TRACKING_PREFIXES[0])
+    for p in _TRACKING_PREFIXES[1:]:
+        bad |= params.str.startswith(p)
+    kept = params[~bad & (params != "")].groupby(level=0).agg("&".join)
+    kept = kept.reindex(urls.index)
+    qpart = pd.Series(np.where(kept.notna(), "?" + kept.fillna(""), ""),
+                      index=urls.index)
+    return scheme + "://" + host + path + qpart

@@ -126,3 +126,35 @@ def pages_sql(with_dups: bool = False, cols: str = "url, warc_ts, text, lang") -
         )
         return f"pages AS ({base} UNION ALL {dup})"
     return f"pages AS ({base})"
+
+def read_messy_urls(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalization fixture: the pages URL decorated with one of 8
+    deterministic normalization hazards by doc_id % 8 (uppercase
+    scheme/host, default port, trailing slash, fragment, tracking params,
+    index.html, a combo). The canonical form of every variant is the base
+    URL except v5, which keeps its non-tracking param. The synthetic URLs
+    are otherwise clean, so — like embeddings.with_planted_dups — an
+    honest canonicalizer over the raw table would be a no-op."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def mess(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        source = b["source"].to_pandas().reset_index(drop=True)
+        k = pd.Series(doc_id % 1000).astype(str)
+        i = pd.Series(doc_id).astype(str)
+        base = "https://site-" + k + ".example/" + source + "/" + i
+        upper = "HTTPS://SITE-" + k + ".EXAMPLE/" + source + "/" + i
+        port = "https://site-" + k + ".example:443/" + source + "/" + i
+        combo = ("HTTPS://site-" + k + ".EXAMPLE:443/" + source + "/" + i
+                 + "/?utm_campaign=x#frag")
+        v = doc_id % 8
+        url = np.select(
+            [v == 1, v == 2, v == 3, v == 4, v == 5, v == 6, v == 7],
+            [upper, port, base + "/", base + "#sec",
+             base + "?utm_source=feed&ref=1", base + "/index.html", combo],
+            default=base)
+        return pa.table({"doc_id": b["doc_id"],
+                         "url": pa.array(url, pa.string())})
+
+    return ds.map_batches(mess, batch_format="pyarrow")

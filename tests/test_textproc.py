@@ -268,3 +268,43 @@ def test_dup_span_scores_flags_planted_copy():
     rr, mm = textproc.winnow_selected(docs["text"])
     _, cnt = textproc.winnow_fingerprints(docs["text"])
     assert np.bincount(rr, minlength=4).tolist() == cnt.tolist()
+
+def test_canonicalize_urls_known_values():
+    import pandas as pd
+    from geospatial_learn_ray.functions.textproc import canonicalize_urls
+
+    raw = pd.Series([
+        "https://A.Example/Path",                       # host lowered, Path case kept
+        "HTTP://HOST.example:80/x",                     # http default port
+        "https://h.example:8443/x",                     # NON-default port kept
+        "https://h.example/a/?utm_source=a&utm_medium=b",  # all-tracking -> no '?'
+        "https://h.example/a?ref=2&utm_source=x&b=1",   # order of kept params preserved
+        "https://h.example/a/index.html#frag",
+        "https://h.example/",                           # root slash survives
+        "https://h.example/a//",                        # only ONE trailing slash stripped
+        "https://h.example/a?fbclid=z&gclid=y",
+    ])
+    got = canonicalize_urls(raw).tolist()
+    assert got == [
+        "https://a.example/Path",
+        "http://host.example/x",
+        "https://h.example:8443/x",
+        "https://h.example/a",
+        "https://h.example/a?ref=2&b=1",
+        "https://h.example/a",
+        "https://h.example/",
+        "https://h.example/a/",
+        "https://h.example/a",
+    ]
+
+
+def test_canonicalize_urls_idempotent_on_messy_fixture():
+    from geospatial_learn_ray.functions.textproc import canonicalize_urls
+    from geospatial_learn_ray.sources.pages import read_messy_urls
+
+    df = read_messy_urls("/root/testdata/sf0.001").to_pandas()
+    c1 = canonicalize_urls(df["url"])
+    assert c1.equals(canonicalize_urls(c1))  # canonical form is a fixpoint
+    # every variant of the same doc collapses to the base (v5 keeps ?ref=1)
+    base = ("https://site-" + (df.doc_id % 1000).astype(str) + ".example/")
+    assert all(u.startswith(b) for u, b in zip(c1, base))
