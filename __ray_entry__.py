@@ -535,6 +535,18 @@ def _q_url_canon(sf_dir: str):
     return read_messy_urls(sf_dir).map_batches(add, batch_format="pandas")
 
 
+def _q_pii_redact(sf_dir: str):
+    from geospatial_learn_ray.functions.textproc import redact_pii
+    from geospatial_learn_ray.sources.pages import read_pii_docs
+
+    def red(b: pd.DataFrame) -> pd.DataFrame:
+        out = redact_pii(b["text"])
+        out.insert(0, "doc_id", b["doc_id"].to_numpy())
+        return out
+
+    return read_pii_docs(sf_dir).map_batches(red, batch_format="pandas")
+
+
 def _q_cms_counts_events(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import cms_counts
 
@@ -1375,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_docs": _q_boilerplate,
         "semdedup_vectors": _q_semdedup,
         "url_canonicalize_pages": _q_url_canon,
+        "pii_redact_docs": _q_pii_redact,
     }
 
 
@@ -1421,6 +1434,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _paragraph_dedup_sql,
     _boilerplate_sql,
     _url_canon_sql,
+    _pii_redact_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -1811,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_docs": _boilerplate_sql(),
         "semdedup_vectors": _semdedup_sql(),
         "url_canonicalize_pages": _url_canon_sql(),
+        "pii_redact_docs": _pii_redact_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1833,3 +1833,29 @@ def _vote_predict_sql(models) -> str:
     )
 
 
+
+def _pii_redact_sql() -> str:
+    """SQL twin of textproc.redact_pii over the PII fixture
+    (sources/pages.read_pii_docs — deterministic decoration by doc_id % 5,
+    restated as a CASE): counts via regexp_extract_all on the original
+    decorated text, masks via chained regexp_replace(..., 'g'). The regex
+    strings are imported from textproc (single source of truth) and are in
+    the Python-re ∩ RE2 common subset."""
+    from .textproc import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    return (
+        "WITH m AS (SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS i, "
+        "  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph FROM documents), "
+        "d AS (SELECT doc_id, CASE doc_id % 5 "
+        "  WHEN 1 THEN text || ' contact user' || i || '@mail' || (doc_id % 50) || '.example now' "
+        "  WHEN 2 THEN text || ' call +1-555-' || ph || ' today' "
+        "  WHEN 3 THEN text || ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) "
+        "    || '.' || ((doc_id // 11) % 256) || ' logged' "
+        "  WHEN 4 THEN text || ' mail u' || i || '@h' || (doc_id % 9) || '.example or +1-555-' "
+        "    || ph || ' ip 192.168.' || (doc_id % 256) || '.' || ((doc_id // 3) % 256) "
+        "  ELSE text END AS text FROM m) "
+        f"SELECT doc_id, length(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email, "
+        f"length(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone, "
+        f"length(regexp_extract_all(text, '{PII_IP_RE}')) AS n_ip, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', '<IP>', 'g') AS red_text FROM d"
+    )

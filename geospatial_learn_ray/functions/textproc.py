@@ -448,3 +448,28 @@ def canonicalize_urls(urls: pd.Series) -> pd.Series:
     qpart = pd.Series(np.where(kept.notna(), "?" + kept.fillna(""), ""),
                       index=urls.index)
     return scheme + "://" + host + path + qpart
+
+# --- PII redaction (Dolma-style, ref: LLM-pipeline extension) ---------------
+# Shared with the SQL twin (oraclesql._pii_redact_sql): every pattern is in
+# the common subset of Python re and DuckDB RE2 (no lookaround, ASCII \b),
+# verified leftmost-first identical on both engines.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+PII_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def redact_pii(texts: pd.Series) -> pd.DataFrame:
+    """Count and mask emails / phone numbers / IPv4 addresses (the Dolma
+    pipeline's PII step; no reference analogue — LLM-pipeline extension).
+    Counts are taken on the ORIGINAL text (the three patterns cannot
+    overlap: @ / + / digits-only anchors), then masks are applied
+    email → phone → ip. Fully vectorized pandas regex kernels."""
+    s = texts.astype(str)
+    n_email = s.str.count(PII_EMAIL_RE).astype(np.int64)
+    n_phone = s.str.count(PII_PHONE_RE).astype(np.int64)
+    n_ip = s.str.count(PII_IP_RE).astype(np.int64)
+    red = (s.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+             .str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+             .str.replace(PII_IP_RE, "<IP>", regex=True))
+    return pd.DataFrame({"n_email": n_email, "n_phone": n_phone,
+                         "n_ip": n_ip, "red_text": red})

@@ -158,3 +158,38 @@ def read_messy_urls(sf_dir: str) -> ray.data.Dataset:
                          "url": pa.array(url, pa.string())})
 
     return ds.map_batches(mess, batch_format="pyarrow")
+
+def read_pii_docs(sf_dir: str) -> ray.data.Dataset:
+    """PII-redaction fixture: documents.text decorated with deterministic
+    PII snippets by doc_id % 5 (1=email, 2=phone, 3=IPv4, 4=all three,
+    0=clean). Mirrors read_messy_urls: the synthetic corpus contains no
+    PII, so an honest redactor over the raw table would be a no-op; the
+    decoration makes the operator observable and SQL-twinnable (the oracle
+    rebuilds the identical decoration with string concatenation)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def mess(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy()
+        text = b["text"].to_pandas().reset_index(drop=True)
+        i = pd.Series(doc_id).astype(str)
+        email = (text + " contact user" + i + "@mail"
+                 + pd.Series(doc_id % 50).astype(str) + ".example now")
+        phone = (text + " call +1-555-"
+                 + pd.Series(doc_id % 10000).astype(str).str.zfill(4)
+                 + " today")
+        ip = (text + " from 10." + pd.Series(doc_id % 256).astype(str)
+              + "." + pd.Series((doc_id // 7) % 256).astype(str)
+              + "." + pd.Series((doc_id // 11) % 256).astype(str) + " logged")
+        combo = (text + " mail u" + i + "@h"
+                 + pd.Series(doc_id % 9).astype(str) + ".example or +1-555-"
+                 + pd.Series(doc_id % 10000).astype(str).str.zfill(4)
+                 + " ip 192.168." + pd.Series(doc_id % 256).astype(str)
+                 + "." + pd.Series((doc_id // 3) % 256).astype(str))
+        v = doc_id % 5
+        out = np.select([v == 1, v == 2, v == 3, v == 4],
+                        [email, phone, ip, combo], default=text)
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(mess, batch_format="pyarrow")

@@ -308,3 +308,46 @@ def test_canonicalize_urls_idempotent_on_messy_fixture():
     # every variant of the same doc collapses to the base (v5 keeps ?ref=1)
     base = ("https://site-" + (df.doc_id % 1000).astype(str) + ".example/")
     assert all(u.startswith(b) for u, b in zip(c1, base))
+
+def test_redact_pii_known_values():
+    import pandas as pd
+    from geospatial_learn_ray.functions.textproc import redact_pii
+
+    raw = pd.Series([
+        "contact user1@mail2.example now",
+        "call +1-555-0042 today or +1-555-9999",
+        "from 10.5.17.3 logged, also 999.1.1.1",
+        "mail u7@h5.example or +1-555-0077 ip 192.168.77.25",
+        "plain words only, no pii at all",
+        "+1-555-123 too short, 1.2.3 too few octets",
+    ])
+    out = redact_pii(raw)
+    assert out["n_email"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_ip"].tolist() == [0, 0, 2, 1, 0, 0]
+    assert out["red_text"].tolist() == [
+        "contact <EMAIL> now",
+        "call <PHONE> today or <PHONE>",
+        "from <IP> logged, also <IP>",
+        "mail <EMAIL> or <PHONE> ip <IP>",
+        "plain words only, no pii at all",
+        "+1-555-123 too short, 1.2.3 too few octets",
+    ]
+
+
+def test_redact_pii_fixture_counts_match_variant():
+    import numpy as np
+    from geospatial_learn_ray.functions.textproc import redact_pii
+    from geospatial_learn_ray.sources.pages import read_pii_docs
+
+    df = read_pii_docs("/root/testdata/sf0.001").to_pandas()
+    out = redact_pii(df["text"])
+    v = (df["doc_id"] % 5).to_numpy()
+    # each variant plants exactly the PII it claims, nowhere else
+    assert np.array_equal(out["n_email"].to_numpy(), ((v == 1) | (v == 4)).astype(np.int64))
+    assert np.array_equal(out["n_phone"].to_numpy(), ((v == 2) | (v == 4)).astype(np.int64))
+    assert np.array_equal(out["n_ip"].to_numpy(), ((v == 3) | (v == 4)).astype(np.int64))
+    # redaction is a fixpoint and leaves no pattern behind
+    again = redact_pii(out["red_text"])
+    assert int(again[["n_email", "n_phone", "n_ip"]].to_numpy().sum()) == 0
+    assert again["red_text"].equals(out["red_text"])
