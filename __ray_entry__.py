@@ -547,6 +547,18 @@ def _q_pii_redact(sf_dir: str):
     return read_pii_docs(sf_dir).map_batches(red, batch_format="pandas")
 
 
+def _q_badword_filter(sf_dir: str):
+    from geospatial_learn_ray.functions.textproc import badword_counts
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        out = badword_counts(b["text"])
+        out.insert(0, "doc_id", b["doc_id"].to_numpy())
+        return out
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
 def _q_cms_counts_events(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import cms_counts
 
@@ -1388,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_vectors": _q_semdedup,
         "url_canonicalize_pages": _q_url_canon,
         "pii_redact_docs": _q_pii_redact,
+        "badword_filter_docs": _q_badword_filter,
     }
 
 
@@ -1435,6 +1448,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _boilerplate_sql,
     _url_canon_sql,
     _pii_redact_sql,
+    _badword_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -1826,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_vectors": _semdedup_sql(),
         "url_canonicalize_pages": _url_canon_sql(),
         "pii_redact_docs": _pii_redact_sql(),
+        "badword_filter_docs": _badword_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

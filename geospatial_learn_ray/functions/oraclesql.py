@@ -1859,3 +1859,13 @@ def _pii_redact_sql() -> str:
         f"regexp_replace(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
         f"'{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', '<IP>', 'g') AS red_text FROM d"
     )
+
+def _badword_sql() -> str:
+    """SQL twin of textproc.badword_counts over raw documents: identical
+    alternation regex (Python re ∩ RE2 subset), C4 keep = zero hits."""
+    from .textproc import BADWORDS
+    pat = "\\b(?:" + "|".join(BADWORDS) + ")\\b"
+    return (
+        f"SELECT doc_id, length(regexp_extract_all(text, '{pat}')) AS n_bad, "
+        f"length(regexp_extract_all(text, '{pat}')) = 0 AS kept FROM documents"
+    )

@@ -473,3 +473,16 @@ def redact_pii(texts: pd.Series) -> pd.DataFrame:
              .str.replace(PII_IP_RE, "<IP>", regex=True))
     return pd.DataFrame({"n_email": n_email, "n_phone": n_phone,
                          "n_ip": n_ip, "red_text": red})
+
+# C4's blocklist filter (ref: C4 "bad words" drop; LLM-pipeline extension).
+BADWORDS = ("slow", "crash", "dup")
+
+
+def badword_counts(texts: pd.Series, words: tuple[str, ...] = BADWORDS) -> pd.DataFrame:
+    """Count blocklist-word occurrences (ASCII word-boundary) and flag the
+    C4 keep decision (drop any doc with >= 1 hit). One alternation regex
+    over the whole batch — the blocklist is tiny by definition, so it is a
+    compiled constant, not a broadcast side table."""
+    pat = "\\b(?:" + "|".join(words) + ")\\b"
+    n_bad = texts.astype(str).str.count(pat).astype(np.int64)
+    return pd.DataFrame({"n_bad": n_bad, "kept": (n_bad == 0)})

@@ -351,3 +351,17 @@ def test_redact_pii_fixture_counts_match_variant():
     again = redact_pii(out["red_text"])
     assert int(again[["n_email", "n_phone", "n_ip"]].to_numpy().sum()) == 0
     assert again["red_text"].equals(out["red_text"])
+
+def test_badword_counts_known_values():
+    import pandas as pd
+    from geospatial_learn_ray.functions.textproc import badword_counts
+
+    raw = pd.Series([
+        "fast join on a big table",
+        "slow merge then slow sort",
+        "dup rows found",
+        "slowly is not slow-adjacent",   # 'slowly' must NOT match; 'slow-' does (\b at '-')
+    ])
+    out = badword_counts(raw)
+    assert out["n_bad"].tolist() == [0, 2, 1, 1]
+    assert out["kept"].tolist() == [True, False, False, False]
