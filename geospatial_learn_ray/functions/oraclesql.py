@@ -1869,3 +1869,42 @@ def _badword_sql() -> str:
         f"SELECT doc_id, length(regexp_extract_all(text, '{pat}')) AS n_bad, "
         f"length(regexp_extract_all(text, '{pat}')) = 0 AS kept FROM documents"
     )
+
+def _ann_lsh_sql(n_tables: int = 4, n_bits: int = 8, dim: int = 64,
+                 seed: int = 9, k: int = 10) -> str:
+    """SQL twin of knn.lsh_topk over raw embeddings: each sign bit is the
+    same SIGNED SUM of CAST(embedding[i] AS DOUBLE) (±1 hyperplane rows
+    inlined as +/- prefixes — exact at any summation order, so the bit
+    and hence the table signatures match the engine bit-for-bit);
+    candidate = signature equality in >=1 table; ranking is the
+    ann_cosine_topk pattern (rank only, vec_id tiebreak)."""
+    from ..stages.knn import lsh_hyperplanes
+
+    H = lsh_hyperplanes(dim, n_tables, n_bits, seed)
+
+    def bit(j: int) -> str:
+        parts = []
+        for i in range(dim):
+            sgn = "+" if H[j, i] > 0 else "-"
+            parts.append(f"{sgn} CAST(embedding[{i + 1}] AS DOUBLE)")
+        body = " ".join(parts).lstrip("+ ")
+        if parts[0].startswith("-"):
+            body = "- " + body.lstrip("- ")
+        return f"(CASE WHEN ({body}) >= 0 THEN 1 ELSE 0 END)"
+
+    sig_cols = []
+    for t in range(n_tables):
+        terms = [f"{1 << b} * {bit(t * n_bits + b)}" for b in range(n_bits)]
+        sig_cols.append("(" + " + ".join(terms) + f") AS sig{t}")
+    on = " OR ".join(f"q.sig{t} = s.sig{t}" for t in range(n_tables))
+    return (
+        "WITH sig AS (SELECT vec_id, embedding, " + ", ".join(sig_cols)
+        + " FROM embeddings), "
+        "q AS (SELECT * FROM sig WHERE vec_id % 50 = 0), "
+        "r AS (SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id, "
+        "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC, "
+        "    s.vec_id ASC) AS rank "
+        f"  FROM q JOIN sig s ON ({on})) "
+        f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"
+    )

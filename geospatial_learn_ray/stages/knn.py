@@ -421,6 +421,83 @@ def ann_bruteforce_topk(
     return _merge_topk(partials, k)
 
 
+def lsh_hyperplanes(dim: int = 64, n_tables: int = 4, n_bits: int = 8,
+                    seed: int = 9) -> np.ndarray:
+    """Deterministic Rademacher (±1) sign-random-projection hyperplanes
+    (Charikar's SRP LSH with ±1 entries). Sign = top bit of splitmix64
+    over a flat (table, bit, dim) index. ±1 entries make each projection
+    a SIGNED SUM of raw f32 embedding components — exact in f64 at any
+    summation order (≤2^19 f32-valued terms), so the bucket assignment is
+    SQL-restatable bit-for-bit."""
+    base = np.uint64(splitmix64(np.array([seed], np.uint64))[0])
+    idx = np.arange(n_tables * n_bits * dim, dtype=np.uint64) + base
+    h = splitmix64(idx)
+    return np.where((h >> np.uint64(63)).astype(bool), 1.0, -1.0).reshape(
+        n_tables * n_bits, dim)
+
+
+def lsh_signatures(X_raw: np.ndarray, H: np.ndarray, n_tables: int,
+                   n_bits: int) -> np.ndarray:
+    """[n, n_tables] int64 table signatures: b sign bits of X_raw @ H.T
+    packed little-endian per table. Signatures are computed on RAW
+    (un-normalized) embeddings — sign is scale-invariant and the raw f32
+    values restate exactly in the SQL twin."""
+    bits = (X_raw @ H.T) >= 0.0
+    w = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    return (bits.reshape(len(X_raw), n_tables, n_bits) * w).sum(axis=2)
+
+
+def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, n_tables: int = 4, n_bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 9) -> pd.DataFrame:
+    """LSH-bucketed ANN: L sign-random-projection tables of b bits each; a
+    vector is a candidate for a query iff their signatures match in at
+    least one table; exact cosine top-k over candidates only.
+
+    The scale path beside IVF: hyperplanes + query signatures broadcast
+    once (ray.put), signatures computed map-side — the big side never
+    shuffles, and candidate filtering cuts the exact-cosine work by
+    ~L/2^b. ``queries`` must be the RAW embedding values (f32-valued
+    f64); cosine ranking normalizes internally like ann_bruteforce_topk."""
+    Q_raw = np.asarray(queries, np.float64)
+    H = lsh_hyperplanes(Q_raw.shape[1], n_tables, n_bits, seed)
+    qsig = lsh_signatures(Q_raw, H, n_tables, n_bits)
+    Qn = Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True).clip(min=1e-12)
+    ref = ray.put((Qn, np.asarray(query_ids), qsig, H))
+
+    class LSHTopK:
+        def __init__(self, r):
+            self.Q, self.qids, self.qsig, self.H = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            Xr = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            sig = lsh_signatures(Xr, self.H, n_tables, n_bits)
+            Xn = Xr / np.linalg.norm(Xr, axis=1, keepdims=True).clip(min=1e-12)
+            ids = b[id_col].to_numpy()
+            out = []
+            for qi in range(len(self.Q)):
+                m = (sig == self.qsig[qi]).any(axis=1)
+                if not m.any():
+                    continue
+                s = self.Q[qi] @ Xn[m].T
+                sub = ids[m]
+                order = np.lexsort((sub, -s))[: min(k, int(m.sum()))]
+                out.append(pd.DataFrame({"query_id": self.qids[qi],
+                                         "neighbor_id": sub[order],
+                                         "cosine": s[order]}))
+            if not out:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "neighbor_id": pd.Series([], dtype=np.int64),
+                                     "cosine": pd.Series([], dtype=np.float64)})
+            return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(LSHTopK, fn_constructor_args=(ref,),
+                              batch_format="pandas", concurrency=(1, 8))
+    return _merge_topk(partials, k)
+
+
 def _ivf_sample(ds: ray.data.Dataset, id_col: str, vec_col: str,
                 sample_permille: int, max_sample_rows: int,
                 seed_a: np.uint64, seed_b: np.uint64) -> pd.DataFrame:

@@ -252,3 +252,60 @@ def test_pq_store_matches_in_memory_and_is_idempotent(tmp_path):
         assert "4x8" in json.load(f)["fp"]
     out2 = knn.pq_topk_store(store, X[qidx], ids[qidx], cb2, k=5)
     assert len(out2) == len(out_store)  # same Q*k rows, no duplicated codes
+
+
+def _emb_raw():
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet").to_pandas()
+    return t.vec_id.to_numpy(), np.stack(t.embedding.to_numpy()).astype(np.float64)
+
+
+def test_lsh_signatures_match_slow_python():
+    ids, X = _emb_raw()
+    H = knn.lsh_hyperplanes(X.shape[1], n_tables=4, n_bits=8, seed=9)
+    sig = knn.lsh_signatures(X, H, 4, 8)
+    assert sig.shape == (len(X), 4)
+    for r in (0, 3, len(X) - 1):
+        for t in range(4):
+            want = 0
+            for b in range(8):
+                s = 0.0
+                for i in range(X.shape[1]):
+                    s += H[t * 8 + b, i] * X[r, i]
+                if s >= 0:
+                    want |= 1 << b
+            assert sig[r, t] == want, (r, t)
+
+
+def test_lsh_results_equal_bruteforce_on_candidate_set():
+    ids, X = _emb_raw()
+    qidx = [0, 7, 42]
+    out = knn.lsh_topk(_emb_ds(), X[qidx], ids[qidx], k=10)
+    H = knn.lsh_hyperplanes(X.shape[1], 4, 8, 9)
+    sig = knn.lsh_signatures(X, H, 4, 8)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qi, q in zip(qidx, ids[qidx]):
+        m = (sig == sig[qi]).any(axis=1)
+        s = Xn[qi] @ Xn[m].T
+        sub = ids[m]
+        order = np.lexsort((sub, -s))[: min(10, int(m.sum()))]
+        got = out[out.query_id == q]
+        assert got.neighbor_id.tolist() == sub[order].tolist(), q
+        assert got["rank"].tolist() == list(range(1, len(order) + 1))
+        # validity: every neighbor shares a table bucket with the query
+        nid_pos = {v: i for i, v in enumerate(ids)}
+        for n in got.neighbor_id:
+            assert (sig[nid_pos[n]] == sig[qi]).any()
+
+
+def test_lsh_planted_dup_recall():
+    ids, X = _emb_raw()
+    planted = with_planted_dups(_emb_ds())
+    qsel = ids[ids % 10 == 0]
+    Q = X[np.isin(ids, qsel)]
+    out = knn.lsh_topk(planted, Q, qsel, k=3)
+    for q in qsel:
+        g = out[out.query_id == q]
+        # rank 1 = self (sig matches itself in every table, cosine 1)
+        assert g.iloc[0].neighbor_id == q
+        # the >=0.999-cosine planted copy collides in >=1 table and ranks 2nd
+        assert (g.neighbor_id == q + PLANT_OFFSET).any(), q
