@@ -31,27 +31,13 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
-import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
-import ray.data
 
-from geospatial_learn_ray.functions.geometry import ring_props, wkb_to_ring
-from geospatial_learn_ray.functions.rounding import round_half_away
-from geospatial_learn_ray.sources.pages import pages_sql, read_pages
-from geospatial_learn_ray.sources.polygons import pip_sql, polygon_table, polygons_sql
-from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, read_tiles, tiles_sql
-from geospatial_learn_ray.stages import agg, dedup, joins, knn, raster, scorer, textstages
-from geospatial_learn_ray.stages.cellindex import geocode_and_cells
-from geospatial_learn_ray.stages.pip_join import pip_join
-from geospatial_learn_ray.stages.textstages import extract_stage
-from geospatial_learn_ray.pipelines.flagship import CELL_COL, flagship_dataset
-
-EVENTS_LO, EVENTS_HI = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
-
-
-def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from geospatial_learn_ray.sources.pages import pages_sql
+from geospatial_learn_ray.sources.polygons import pip_sql, polygons_sql
+from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, tiles_sql
+from geospatial_learn_ray.stages import agg, dedup, raster, scorer
+from geospatial_learn_ray.pipelines.flagship import flagship_dataset
+from geospatial_learn_ray.pipelines.querydefs import *  # noqa: F401,F403
 
 
 def entry() -> Any:
@@ -59,1196 +45,6 @@ def entry() -> Any:
     heads = flagship_dataset("/root/testdata/sf0.001")
     return heads["tile_agg"]
 
-
-# --------------------------------------------------------------------------
-# queries
-# --------------------------------------------------------------------------
-
-def _q_extract_text(sf_dir: str):
-    return extract_stage(read_pages(sf_dir), keep_cols=("url",))
-
-
-def _q_url_dedup(sf_dir: str):
-    ds = read_pages(sf_dir, with_dups=True, columns=["url", "warc_ts", "lang"])
-    return dedup.dedup_keep_latest(ds, key="url", ts_col="warc_ts")
-
-
-def _q_zonal_stats_lineitem(sf_dir: str):
-    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    return agg.grouped_stats(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
-                             stats=("count", "sum", "mean", "min", "max", "std"), round_to=4)
-
-
-def _q_zonal_frac_orders(sf_dir: str):
-    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
-    return agg.value_counts(ds, ["o_orderpriority"], "o_orderstatus")
-
-
-def _q_date_filter_events(sf_dir: str):
-    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-    lo = pa.scalar(pd.Timestamp(EVENTS_LO), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp(EVENTS_HI), pa.timestamp("us"))
-    return ds.map_batches(
-        lambda b: b.filter(pc.and_(pc.greater_equal(b["ts"], lo), pc.less(b["ts"], hi))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-
-
-def _q_topk_users_by_events(sf_dir: str):
-    ds = _rp(sf_dir, "events", ["user_id"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("user_id", sort=False).size().rename("n").reset_index()
-
-    from ray.data.aggregate import Sum
-
-    counts = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(Sum("n", alias_name="n"))
-    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
-
-
-def _q_distinct_langs(sf_dir: str):
-    return pd.DataFrame({"lang": sorted(_rp(sf_dir, "documents", ["lang"]).unique("lang"))})
-
-
-def _q_classify_lineitem(sf_dir: str):
-    model_path = scorer.train_linear_model("/tmp/glr_models/linear.json")
-    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
-    return scorer.score_stage(ds, model_path, keep_cols=["l_orderkey", "l_linenumber"])
-
-
-def _q_rmse_lineitem(sf_dir: str):
-    ds = _rp(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_tax"])
-
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        disc = b["l_extendedprice"] * (1 - b["l_discount"])
-        return pd.DataFrame({"a": disc, "b": disc * (1 + b["l_tax"])})
-
-    val = agg.rmse(ds.map_batches(derive, batch_format="pandas"), "a", "b", round_to=4)
-    return pd.DataFrame({"rmse": [val]})
-
-
-def _q_token_counts(sf_dir: str):
-    return textstages.token_count_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_quality_scores(sf_dir: str):
-    return textstages.quality_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_repetition_scores(sf_dir: str):
-    return textstages.repetition_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_decontaminate(sf_dir: str):
-    return textstages.decontaminate_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-_MIX_RATES = {"en": 1.0, "es": 0.75, "de": 0.5, "fr": 0.25, "zh": 0.1}
-
-
-def _q_stratified_sample(sf_dir: str):
-    return textstages.stratified_sample_stage(
-        _rp(sf_dir, "documents", ["doc_id", "lang"]), _MIX_RATES)
-
-
-def _q_pack_sequences(sf_dir: str):
-    from geospatial_learn_ray.stages import scan
-
-    def tokens(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(),
-            "n_tokens": b["text"].str.count(r"\S+").astype("int64").to_numpy(),
-        })
-
-    counted = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(tokens, batch_format="pandas")
-    return scan.pack_sequences(counted, budget=2048)
-
-
-def _q_exact_text_dedup(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.dedup_exact_content(ds, "text", "doc_id").select_columns(["doc_id"])
-
-
-def _q_join_orders_customer(sf_dir: str):
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    customer = pa.concat_tables(
-        [b for b in _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
-    )
-    out = joins.broadcast_join(orders, customer, "o_custkey", "c_custkey", how="inner")
-    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
-
-
-def _q_revenue_by_segment(sf_dir: str):
-    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    customer = pa.concat_tables(
-        [b for b in _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(batch_format="pyarrow")]
-    )
-    joined = joins.broadcast_join(orders, customer, "o_custkey", "c_custkey", how="inner")
-    return agg.grouped_stats(joined, "c_mktsegment", "o_totalprice", stats=("count", "sum"), round_to=2)
-
-
-def _q_topk_parts(sf_dir: str):
-    ds = _rp(sf_dir, "part", ["p_partkey", "p_retailprice"])
-    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
-
-
-LARGE_ORDER = 300000.0
-
-
-def _large_orders(sf_dir: str) -> pa.Table:
-    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    filtered = ds.map_batches(
-        lambda b: b.filter(pc.greater(b["o_totalprice"], LARGE_ORDER)).select(["o_custkey"]),
-        batch_format="pyarrow",
-    )
-    return pa.concat_tables(list(filtered.iter_batches(batch_format="pyarrow")))
-
-
-def _q_anti_join_customers(sf_dir: str):
-    customer = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
-    return joins.broadcast_join(customer, _large_orders(sf_dir), "c_custkey", "o_custkey", how="anti")
-
-
-def _q_semi_join_customers(sf_dir: str):
-    customer = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
-    return joins.broadcast_join(customer, _large_orders(sf_dir), "c_custkey", "o_custkey", how="semi")
-
-
-def _q_window_events(sf_dir: str):
-    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def add_window(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["hour"] = b["ts"].dt.floor("h")
-        return b[["event_type", "hour", "value"]]
-
-    windowed = ds.map_batches(add_window, batch_format="pandas")
-    # sum (not mean): the 4-decimal event values make sums exactly
-    # representable after ROUND(4) on both engines; tiny-group means hit
-    # decimal half-boundaries where ulp direction differs across engines
-    return agg.grouped_stats(windowed, ["event_type", "hour"], "value", stats=("count", "sum"), round_to=4)
-
-
-def _ann_queries(sf_dir: str):
-    tbl = pa.concat_tables(
-        [b for b in _rp(sf_dir, "embeddings").iter_batches(batch_format="pyarrow") ]
-    )
-    mask = (tbl["vec_id"].to_numpy() % 50) == 0
-    q = tbl.filter(pa.array(mask))
-    Q = np.stack([np.asarray(v, np.float64) for v in q["embedding"].to_pylist()])
-    return Q, q["vec_id"].to_numpy()
-
-
-def _q_ann_cosine_topk(sf_dir: str):
-    Q, qids = _ann_queries(sf_dir)
-    out = knn.ann_bruteforce_topk(_rp(sf_dir, "embeddings"), Q, qids, k=10)
-    return out[["query_id", "neighbor_id", "rank"]]
-
-
-# ---- rows-only (non-SQL-expressible; pytest oracles in tests/) ------------
-
-def _q_geocode_cells(sf_dir: str):
-    pages = read_pages(sf_dir, columns=["url"])
-    located = geocode_and_cells(pages, hex_res=(5, 7, 9))
-
-    def round_coords(b: pa.Table) -> pa.Table:
-        # round_half_away (not pc.round): pyarrow's decimal rounding returns
-        # different ulps than SQL ROUND for the same input
-        b = b.set_column(b.schema.get_field_index("lon"), "lon",
-                         pa.array(round_half_away(b["lon"].to_numpy(), 6)))
-        return b.set_column(b.schema.get_field_index("lat"), "lat",
-                            pa.array(round_half_away(b["lat"].to_numpy(), 6)))
-
-    return located.map_batches(round_coords, batch_format="pyarrow")
-
-
-def _q_pip_join(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-    return pip_join(located, polygon_table(), carry_cols=["url"], mode="inner")
-
-
-def _q_pip_anti(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-    return pip_join(located, polygon_table(), carry_cols=["url"], mode="anti")
-
-
-def _q_tile_agg(sf_dir: str):
-    return flagship_dataset(sf_dir)["tile_agg"]
-
-
-def _q_knn_pages(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(5,))
-    return knn.knn_per_cell(located.select_columns(["url", "lon", "lat"]), k=5, res=5, id_col="url")
-
-
-def _q_ann_ivf(sf_dir: str):
-    Q, qids = _ann_queries(sf_dir)
-    emb = _rp(sf_dir, "embeddings")
-    C = knn.ivf_build_centroids(emb, n_centroids=16)
-    return knn.ivf_topk(emb, Q, qids, C, k=10, nprobe=4)
-
-
-def _q_semdedup(sf_dir: str):
-    from geospatial_learn_ray.sources.embeddings import with_planted_dups
-
-    # raw fixture has no near-dups (max cosine ~0.51) — plant them so the
-    # grouping path is actually exercised (same layer as embedding_dedup)
-    planted = with_planted_dups(_rp(sf_dir, "embeddings"))
-    C = knn.ivf_build_centroids(planted, n_centroids=16)
-    return dedup.semdedup(planted, C, threshold=0.95)
-
-
-def _q_ann_ivf_store(sf_dir: str):
-    import hashlib
-
-    Q, qids = _ann_queries(sf_dir)
-    emb = _rp(sf_dir, "embeddings")
-    C = knn.ivf_build_centroids(emb, n_centroids=16)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    store = knn.ivf_build_store(_rp(sf_dir, "embeddings"), C, f"/tmp/glr_ivf_store_{tag}")
-    return knn.ivf_topk_store(store, Q, qids, C, k=10, nprobe=4)
-
-
-def _q_ann_pq(sf_dir: str):
-    Q, qids = _ann_queries(sf_dir)
-    emb = _rp(sf_dir, "embeddings")
-    cb = knn.pq_train(emb, n_sub=4, ks=8, iters=3)
-    codes = knn.pq_encode_stage(emb, cb)
-    return knn.pq_topk(codes, Q, qids, cb, k=10)
-
-
-def _q_ann_pq_store(sf_dir: str):
-    import hashlib
-
-    Q, qids = _ann_queries(sf_dir)
-    emb = _rp(sf_dir, "embeddings")
-    cb = knn.pq_train(emb, n_sub=4, ks=8, iters=3)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    store = knn.pq_build_store(_rp(sf_dir, "embeddings"), cb, f"/tmp/glr_pq_store_{tag}")
-    return knn.pq_topk_store(store, Q, qids, cb, k=10)
-
-
-def _q_minhash_pairs(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_dedup_pairs(ds, threshold=0.5)
-
-
-def _q_jaccard_verified(sf_dir: str):
-    pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
-    out = dedup.verify_jaccard_exact(
-        pairs, _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
-    )
-    return out.map_batches(
-        lambda b: b[["id_a", "id_b", "jaccard"]], batch_format="pandas"
-    )
-
-
-def _q_simhash_pairs(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.simhash_dedup_pairs(ds, max_hamming=3)
-
-
-def _q_embedding_dedup(sf_dir: str):
-    from geospatial_learn_ray.sources.embeddings import with_planted_dups
-
-    planted = with_planted_dups(_rp(sf_dir, "embeddings"))
-    return dedup.embedding_dedup_pairs(planted, threshold=0.95)
-
-
-def _q_dedup_components(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dedup.minhash_dedup_pairs(ds, threshold=0.5)
-    return dedup.connected_components(pairs)
-
-
-def _q_host_stats(sf_dir: str):
-    return textstages.host_stats(read_pages(sf_dir, columns=["url", "lang"]))
-
-
-def _q_bow_logistic(sf_dir: str):
-    from geospatial_learn_ray.stages import train as _train
-
-    # materialize the NARROW (d+2 floats/doc) feature table once: GD makes
-    # one pass per iteration, and re-tokenizing the corpus 10x would be the
-    # expensive half of the pipeline at scale (spillable, like knn's points)
-    feats = _train.hashed_bow_features(
-        _rp(sf_dir, "documents", ["doc_id", "text", "lang"]), n_buckets=8).materialize()
-    w = _train.fit_logistic(feats, [f"x{j}" for j in range(8)], "y",
-                            iters=10, lr=0.5)
-    return pd.DataFrame({f"w{i}": [round_half_away(float(w[i]), 4)]
-                         for i in range(len(w))})
-
-
-def _q_dup_spans(sf_dir: str):
-    return textstages.dup_span_scores(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_dedup_apply(sf_dir: str):
-    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    pairs = dedup.minhash_dedup_pairs(_rp(sf_dir, "documents", ["doc_id", "text"]),
-                                      threshold=0.5)
-    return dedup.dedup_apply(docs, pairs)
-
-
-def _q_interval_join_events(sf_dir: str):
-    """Range join (brief's custom-operator example): events stabbed against
-    broadcast overlapping promo windows, then count + exact cents sum per
-    window (int-valued f64 terms -> order-exact sums at any sf)."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
-    joined = joins.interval_join(ev, _promo_intervals())
-
-    def cents(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "interval_id": b["interval_id"].to_numpy(np.int64),
-            "cents": round_half_away(b["value"].to_numpy(np.float64) * 100.0, 0),
-        })
-
-    return agg.grouped_stats(joined.map_batches(cents, batch_format="pandas"),
-                             "interval_id", "cents", stats=("count", "sum"))
-
-
-# voting ensemble: three fixed dyadic-weight logistic artifacts (the saved-
-# model pattern of classify_proba_lineitem) soft-voted per row
-VOTE_MODELS = [
-    (["l_quantity"], -3.0, [0.125]),
-    (["l_discount", "l_tax"], 0.5, [20.0, -10.0]),
-    (["l_quantity", "l_tax"], -2.0, [0.0625, 5.0]),
-]
-
-
-def _q_vote_predict(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    paths = []
-    for i, (feats, b, w) in enumerate(VOTE_MODELS):
-        paths.append(train.save_model(
-            f"/tmp/glr_models/vote_{i}.json", feats, np.array([b, *w]),
-            kind="logistic"))
-    ds = _rp(sf_dir, "lineitem",
-             ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
-    return train.predict_vote_stage(ds, paths, ["l_orderkey", "l_linenumber"])
-
-
-def _q_rfe_rank(sf_dir: str):
-    """RFE over EXACT integer-scaled features (q, 100·discount, 100·tax,
-    100·price): raw f64 Gram sums are order-dependent and Cramer's
-    cancellation amplified the ulp to the 6th coef decimal at sf0.1 —
-    integer-valued terms make every sum order-exact at any sf (the
-    zonal_stats_multi cents pattern)."""
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem",
-             ["l_quantity", "l_discount", "l_tax", "l_extendedprice"])
-
-    def scale(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_quantity": b["l_quantity"].to_numpy(np.float64),
-            "l_discount": round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0),
-            "l_tax": round_half_away(b["l_tax"].to_numpy(np.float64) * 100.0, 0),
-            "l_extendedprice": round_half_away(b["l_extendedprice"].to_numpy(np.float64) * 100.0, 0),
-        })
-
-    return train.rfe_rank(ds.map_batches(scale, batch_format="pandas"),
-                          ["l_quantity", "l_discount", "l_tax"],
-                          "l_extendedprice")
-
-
-def _q_min_rect_tiles(sf_dir: str):
-    ds = read_tiles(tile_px=16).map_batches(
-        lambda b: b.filter(pa.compute.and_(
-            pa.compute.less(b["tile_x"], 5), pa.compute.less(b["tile_y"], 5))),
-        batch_format="pyarrow",
-    )
-    return raster.min_rect_stage(ds, side=16)
-
-
-def _q_orientation_tiles(sf_dir: str):
-    return raster.orientation_stage(read_tiles(tile_px=16), side=16)
-
-
-def _q_lm_perplexity(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return textstages.lm_perplexity_scores(ds)
-
-
-def _q_tfidf_top_terms(sf_dir: str):
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return textstages.tfidf_top_terms(ds, k=5)
-
-
-def _q_mg_heavy_hitters(sf_dir: str):
-    from geospatial_learn_ray.stages.sketches import mg_heavy_hitters
-
-    ds = _rp(sf_dir, "events", ["user_id"])
-    # capacity 4096 > the 1500 distinct users at sf0.1 → the sketch is in
-    # its exact regime (err = 0, counts exact — the strict-oracle contract;
-    # the approximate regime's BOUNDS are pytest-checked instead)
-    return mg_heavy_hitters(ds, "user_id", capacity=4096, min_count=70)
-
-
-def _q_topk_orders_per_customer(sf_dir: str):
-    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    # o_totalprice passes through unchanged (no arithmetic) and o_orderkey
-    # totalizes the per-customer order, so the hash is exact with no rounding
-    return agg.grouped_topk(ds, "o_custkey", "o_totalprice", k=3,
-                            tiebreak="o_orderkey")
-
-
-def _q_weighted_sample(sf_dir: str):
-    from geospatial_learn_ray.stages.sampling import weighted_sample
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-    )
-    out = weighted_sample(ds, "o_orderkey", "o_totalprice", k=50)
-    # selection/order happen at FULL precision inside the stage; only the
-    # reported column is rounded (12 decimals: |skey| <= 0.05 here, so
-    # x*1e12 < 2^53 stays exact). A distinct name — aliasing the rounded
-    # value back to "skey" in SQL would shadow the ORDER BY.
-    return out.map_batches(
-        lambda b: pd.DataFrame({
-            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
-            "o_totalprice": b["o_totalprice"].to_numpy(np.float64),
-            "skey_r": round_half_away(b["skey"].to_numpy(np.float64), 12),
-        }),
-        batch_format="pandas",
-    )
-
-
-def _q_paragraph_dedup(sf_dir: str):
-    return dedup.paragraph_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_boilerplate(sf_dir: str):
-    return dedup.boilerplate_removal(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_url_canon(sf_dir: str):
-    from geospatial_learn_ray.functions.textproc import canonicalize_urls
-    from geospatial_learn_ray.sources.pages import read_messy_urls
-
-    def add(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["canon_url"] = canonicalize_urls(b["url"])
-        return b
-
-    return read_messy_urls(sf_dir).map_batches(add, batch_format="pandas")
-
-
-def _q_pii_redact(sf_dir: str):
-    from geospatial_learn_ray.functions.textproc import redact_pii
-    from geospatial_learn_ray.sources.pages import read_pii_docs
-
-    def red(b: pd.DataFrame) -> pd.DataFrame:
-        out = redact_pii(b["text"])
-        out.insert(0, "doc_id", b["doc_id"].to_numpy())
-        return out
-
-    return read_pii_docs(sf_dir).map_batches(red, batch_format="pandas")
-
-
-def _q_badword_filter(sf_dir: str):
-    from geospatial_learn_ray.functions.textproc import badword_counts
-
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        out = badword_counts(b["text"])
-        out.insert(0, "doc_id", b["doc_id"].to_numpy())
-        return out
-
-    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas")
-
-
-def _q_cms_counts_events(sf_dir: str):
-    from geospatial_learn_ray.stages.sketches import cms_counts
-
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    return cms_counts(ev, "user_id", probes=list(range(1, 33)))
-
-
-def _q_bloom_semi_join(sf_dir: str):
-    """Bloom-filter semi-join: orders pre-filtered (no exchange on the big
-    side) by a bitmap built over the BUILDING customers, then a distributed
-    count per surviving custkey. The bitmap is SIZED FROM A COUNT of the
-    build side (8 bits/key, next power of two) — a fixed m saturates once
-    the build side outgrows its design point. False positives are part of
-    the deterministic contract the SQL twin reproduces."""
-    from geospatial_learn_ray.stages.sketches import (
-        bloom_auto_bits, bloom_build, bloom_probe,
-    )
-
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pa.compute.equal(b["c_mktsegment"], "BUILDING")),
-        batch_format="pyarrow",
-    )
-    m_bits = bloom_auto_bits(cust.count())  # small side: the extra count pass is cheap
-    words = bloom_build(cust, "c_custkey", m_bits=m_bits, k=3)
-    probe = bloom_probe(
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
-        "o_custkey", words, m_bits=m_bits, k=3,
-    )
-    counted = probe.map_batches(
-        lambda b: b.append_column("_ck", b["o_custkey"]), batch_format="pyarrow"
-    )
-    return agg.grouped_stats(counted, "o_custkey", "_ck", stats=("count",))
-
-
-def _q_hist_quantiles(sf_dir: str):
-    from geospatial_learn_ray.stages.sketches import hist_quantiles
-
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
-    )
-    return hist_quantiles(li, "l_returnflag", "l_extendedprice")
-
-
-def _q_hll_distinct_urls(sf_dir: str):
-    from geospatial_learn_ray.stages.sketches import hll_distinct
-
-    pages = read_pages(sf_dir, with_dups=True, columns=["url"])
-    est = hll_distinct(pages, "url", precision=12)
-    return pd.DataFrame({"approx_distinct_urls": [round_half_away(est, 1)]})
-
-
-def _q_lang_id(sf_dir: str):
-    return textstages.lang_id_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_fingerprints(sf_dir: str):
-    return textstages.fingerprint_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _q_ndvi_tiles(sf_dir: str):
-    return raster.ndvi_stage(read_tiles(tile_px=32))
-
-
-def _q_mask_tiles(sf_dir: str):
-    return raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.5).select_columns(
-        ["tile_x", "tile_y", "masked_count"]
-    )
-
-
-def _q_raster_points(sf_dir: str):
-    return raster.raster2points(read_tiles(tile_px=32), stride=8)
-
-
-def _q_zonal_tile_stats(sf_dir: str):
-    return raster.zonal_tile_stats(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
-
-
-def _q_sessionize_events(sf_dir: str):
-    from geospatial_learn_ray.stages.streaming import sessionize
-
-    return sessionize(_rp(sf_dir, "events", ["user_id", "ts"]))
-
-
-def _q_asof_join_events(sf_dir: str):
-    from geospatial_learn_ray.stages.streaming import asof_join
-
-    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
-    left = ds.map_batches(lambda b: b[b.event_type == "view"].drop(columns=["event_type"]), batch_format="pandas")
-    right = ds.map_batches(lambda b: b[b.event_type == "purchase"].drop(columns=["event_type"]), batch_format="pandas")
-    out = asof_join(left, right)
-    return out.select_columns(["event_id", "user_id", "ts", "asof_value"])
-
-
-def _q_revenue_by_nation(sf_dir: str):
-    customer = pa.concat_tables(
-        list(_rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow"))
-    ).to_pandas()
-    nation = pa.concat_tables(
-        list(_rp(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow"))
-    ).to_pandas()
-    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = joins.broadcast_join(orders, dim, "o_custkey", "c_custkey", how="inner")
-    return agg.grouped_stats(joined, "n_name", "o_totalprice", stats=("count", "sum"), round_to=2)
-
-
-def _q_parts_above_avg(sf_dir: str):
-    ds = _rp(sf_dir, "part", ["p_partkey", "p_retailprice"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [len(b)], "s": [float(b.p_retailprice.sum())]})
-
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    avg = parts.s.sum() / parts.n.sum()
-    return ds.map_batches(
-        lambda b: b.filter(pc.greater(b["p_retailprice"], avg)), batch_format="pyarrow"
-    )
-
-
-def _q_zonal_stats_multi(sf_dir: str):
-    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
-
-    # price carried as exact integer cents: float sums of l_extendedprice
-    # are order-dependent at scale (ulp drift vs DuckDB SUM order measured
-    # at sf0.1); integer sums are exact in any order at any sf
-    def cents(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["l_price_cents"] = round_half_away(b["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
-        return b.drop(columns=["l_extendedprice"])
-
-    return agg.grouped_stats_multi(
-        ds.map_batches(cents, batch_format="pandas"), "l_returnflag",
-        {"l_quantity": ("count", "mean", "std"), "l_price_cents": ("sum", "mean", "max")},
-        round_to=4,
-    )
-
-
-def _q_zonal_median_lineitem(sf_dir: str):
-    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    return agg.grouped_holistic(
-        ds, ["l_returnflag", "l_linestatus"], "l_quantity",
-        stats=("median", "percentile"), percentile=95.0, round_to=4,
-    )
-
-
-def _q_rgb_indices_tiles(sf_dir: str):
-    return raster.rgb_indices_stage(read_tiles(tile_px=32))
-
-
-def _q_combine_scene_tiles(sf_dir: str):
-    a = raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.8).drop_columns(["masked_count"])
-    b = read_tiles(tile_px=32)
-    out = raster.combine_scene(a, b, fill_class=0.0)
-
-    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
-        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
-        return pd.DataFrame(
-            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-             "mean_value": round_half_away(vals.mean(axis=1), 6)}
-        )
-
-    return out.map_batches(summarize, batch_format="pandas")
-
-
-def _q_apply_lut_tiles(sf_dir: str):
-    lut = {i: (0 if i < 10 else 1 if i < 20 else 2) for i in range(40)}
-    return raster.apply_lut_stage(read_tiles(tile_px=32), lut)
-
-
-def _q_temporal_mean_tiles(sf_dir: str):
-    e0 = read_tiles(tile_px=32)
-    e1 = raster.mask_stage(read_tiles(tile_px=32), rule=">", threshold=1.5, outval=1.5).drop_columns(["masked_count"])
-    out = raster.temporal_comp([e0, e1], stat="mean")
-
-    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
-        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
-        return pd.DataFrame(
-            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"], "n_epochs": batch["n_epochs"],
-             "mean_value": round_half_away(vals.mean(axis=1), 6)}
-        )
-
-    return out.map_batches(summarize, batch_format="pandas")
-
-
-def _q_hist_match_tiles(sf_dir: str):
-    ds = read_tiles(tile_px=32)
-    lut = raster.hist_ecdf_lut(ds, bins=128)
-    out = raster.apply_ecdf(read_tiles(tile_px=32), lut)
-
-    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
-        vals = np.stack([np.asarray(v, np.float64) for v in batch["band_values"]])
-        return pd.DataFrame(
-            {"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
-             "mean_ecdf": round_half_away(vals.mean(axis=1), 6)}
-        )
-
-    return out.map_batches(summarize, batch_format="pandas")
-
-
-def _q_hex_meshgrid(sf_dir: str):
-    from geospatial_learn_ray.functions import geo
-
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(5,))
-    # distributed distinct; the cell inventory itself is small by construction
-    cells = np.array(sorted(located.unique("cell_h3_r5")), np.uint64)
-    rings = geo.hex_cell_to_boundary(cells)  # (n, 7, 2) closed rings
-    x, y = rings[:, :-1, 0], rings[:, :-1, 1]
-    xs, ys = np.roll(x, -1, axis=1), np.roll(y, -1, axis=1)
-    area = np.abs(0.5 * (x * ys - xs * y).sum(axis=1))  # vectorized shoelace
-    # WKB POLYGON layout: header 9 + ring count 4 + npts * 16 bytes
-    wkb_len = np.full(len(cells), 9 + 4 + rings.shape[1] * 16, np.int64)
-    return pd.DataFrame({
-        "cell_h3_r5": cells,
-        "wkb_len": wkb_len,
-        "area": round_half_away(area, 6),
-    })
-
-
-def _q_buffer_polygons(sf_dir: str):
-    from geospatial_learn_ray.functions.geometry import buffer_ring, ring_props, wkb_to_ring
-
-    tbl = polygon_table()
-    rows = []
-    for fid, wkb in zip(tbl["feature_id"].to_pylist(), tbl["geometry"].to_pylist()):
-        ring = wkb_to_ring(wkb)
-        buf = buffer_ring(ring, 1.0)
-        rows.append(
-            {"feature_id": fid, "area": round_half_away(ring_props(ring)["area"], 6),
-             "buffered_area": round_half_away(ring_props(buf)["area"], 6)}
-        )
-    return pd.DataFrame(rows)
-
-
-def _q_geom_pixel_bbox(sf_dir: str):
-    return raster.geom2pixelbbox(polygon_table(), GRID_X, GRID_Y, tile_px=32)
-
-
-def _q_train_test_split(sf_dir: str):
-    from geospatial_learn_ray.stages.sampling import train_test_split_by_key
-
-    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
-
-    def key_str(b: pa.Table) -> pa.Table:
-        return b.append_column("key", pc.cast(b["doc_id"], pa.string()))
-
-    split = train_test_split_by_key(ds.map_batches(key_str, batch_format="pyarrow"), "key", test_frac=0.25)
-    return split.select_columns(["doc_id", "split"])
-
-
-def _q_rasterize_fraction(sf_dir: str):
-    return raster.rasterize_fraction(read_tiles(tile_px=32, with_pixels=False), polygon_table())
-
-
-def _q_point_raster_lookup(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-    return raster.point_raster_lookup(located, GRID_X, GRID_Y, tile_px=32, carry_cols=["url"])
-
-
-def _q_clip_tiles(sf_dir: str):
-    clipped = raster.clip_tiles(read_tiles(tile_px=32, with_pixels=False), -20.0, -20.0, 40.0, 30.0)
-
-    def flatten(b: pa.Table) -> pa.Table:
-        w = b["window"].combine_chunks() if isinstance(b["window"], pa.ChunkedArray) else b["window"]
-        return pa.table(
-            {
-                "tile_x": b["tile_x"], "tile_y": b["tile_y"],
-                "col_off": w.field("col_off"), "row_off": w.field("row_off"),
-                "width": w.field("width"), "height": w.field("height"),
-                "crs": b["crs"],
-            }
-        )
-
-    return clipped.map_batches(flatten, batch_format="pyarrow")
-
-
-def _q_fill_nodata_tiles(sf_dir: str):
-    masked = raster.mask_stage(read_tiles(tile_px=32), rule="<", threshold=0.3).drop_columns(["masked_count"])
-    out = raster.fill_nodata_stage(masked, nodata=0.0)
-    return out.select_columns(["tile_x", "tile_y", "filled_count"])
-
-
-def _q_polygonize_tiles(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.polygonize_tiles(small, quant=2.0)
-
-
-def _q_remove_small_objects(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.remove_small_objects_stage(small, quant=2.0, tbin=1, min_size=6)
-
-
-def _q_ragmerge(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ragmerge_count(small, side=16, quant=2.0, thresh=0.4, grid_x=16, grid_y=16)
-
-
-def _q_ransac_lines(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ransac_lines_stage(small, side=16, edge_thresh=0.1)
-
-
-def _q_hough_lines(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.hough_lines_stage(small, side=16, edge_thresh=0.1)
-
-
-def _q_ms_acwe(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ms_acwe_stage(small, side=16, iterations=5)
-
-
-def _q_do_ac(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ms_acwe_stage(small, side=16, iterations=5, lambda1=1.0, lambda2=2.0,
-                                init="threshold", init_thresh=0.5)
-
-
-def _q_ms_gac(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ms_gac_stage(small, side=16, iterations=5)
-
-
-def _q_multiband_gif(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.multiband_gif_stage(small, side=16)
-
-
-def _q_snake(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.snake_stage(small, side=16)
-
-
-def _q_ms_toposnakes(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    return raster.ms_toposnakes_stage(small, side=16, iterations=5)
-
-
-def _q_reproject_points(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-    return raster.reproject_points(located, carry_cols=["url"])
-
-
-def _q_reproject_points_utm(sf_dir: str):
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-    out = raster.reproject_points_utm(located, carry_cols=["url"])
-
-    def snap(b: pd.DataFrame) -> pd.DataFrame:
-        # oracle-parity projection: snap to f32 (absorbs ≤1-ulp libm
-        # differences between numpy and DuckDB in the exp/ln chain — the
-        # CLAUDE.md f32-cast technique), then decimeter round. f32 values
-        # are dyadic so ROUND(…, 1) can never tie. The stage itself stays
-        # full float64.
-        b = b.copy()
-        for c in ("utm_e", "utm_n"):
-            b[c] = round_half_away(
-                b[c].to_numpy(np.float64).astype(np.float32).astype(np.float64), 1
-            )
-        return b
-
-    return out.map_batches(snap, batch_format="pandas")
-
-
-def _q_utm_roundtrip(sf_dir: str):
-    """Forward UTM then inverse back: the engine does REAL work both ways;
-    the oracle is the identity (located lon/lat) — inverse∘forward = id to
-    ~1e-10 deg, far inside the f32 snap (ulp ~7.6e-6 deg)."""
-    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
-
-    def rt(b: pa.Table) -> pd.DataFrame:
-        lon = b["lon"].to_numpy()
-        lat = b["lat"].to_numpy()
-        zone, e, n = raster.utm_forward(lon, lat)
-        lon2, lat2 = raster.utm_inverse(zone, e, n, lat < 0)
-        return pd.DataFrame({
-            "url": b["url"].to_pandas(),
-            "lon_rt": round_half_away(lon2.astype(np.float32).astype(np.float64), 4),
-            "lat_rt": round_half_away(lat2.astype(np.float32).astype(np.float64), 4),
-        })
-
-    return located.map_batches(rt, batch_format="pyarrow")
-
-
-def _q_warp_utm_tiles(sf_dir: str):
-    return raster.warp_tiles_utm(read_tiles(tile_px=16), tile_px=16, zone=18,
-                                 e0=300000.0, n0=4000000.0, step=5000.0,
-                                 out_w=64, out_h=64)
-
-
-def _q_wkb_to_geojson(sf_dir: str):
-    from geospatial_learn_ray.functions.geometry import ring_to_geojson, wkb_to_ring
-
-    tbl = polygon_table()
-    return pd.DataFrame(
-        {
-            "feature_id": tbl["feature_id"].to_pylist(),
-            "geojson": [ring_to_geojson(wkb_to_ring(w)) for w in tbl["geometry"].to_pylist()],
-        }
-    )
-
-
-def _q_texture_stats(sf_dir: str):
-    return raster.texture_stats(read_tiles(tile_px=32), polygon_table(), levels=8)
-
-
-def _q_otsu_zone_thresh(sf_dir: str):
-    return raster.otsu_zone_stage(read_tiles(tile_px=32), polygon_table(), bins=64)
-
-
-def _q_niblack_tiles(sf_dir: str):
-    return raster.local_thresh_stage(read_tiles(tile_px=32, with_pixels=False), 32, algo="niblack")
-
-
-def _q_sauvola_tiles(sf_dir: str):
-    return raster.local_thresh_stage(read_tiles(tile_px=32, with_pixels=False), 32, algo="sauvola")
-
-
-def _q_slope_tiles(sf_dir: str):
-    return raster.slope_stage(read_tiles(tile_px=32, with_pixels=False), tile_px=32)
-
-
-def _q_aspect_tiles(sf_dir: str):
-    return raster.gdaldem_stage(read_tiles(tile_px=32, with_pixels=False), 32, prop="aspect")
-
-
-def _q_hillshade_tiles(sf_dir: str):
-    return raster.gdaldem_stage(read_tiles(tile_px=32, with_pixels=False), 32, prop="hillshade")
-
-
-def _q_quegan_tiles(sf_dir: str):
-    return raster.quegan_stage(read_tiles(tile_px=32, with_pixels=False), 32)
-
-
-def _q_temp_match(sf_dir: str):
-    return raster.temp_match(read_tiles(tile_px=32), polygon_table(), GRID_X, GRID_Y)
-
-
-def _q_polygonize_merged(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    rings = raster.polygonize_rings(small, quant=2.0)
-    return raster.polygonize_merge_geometry(rings, side=16)
-
-
-def _q_polygonize_rings(sf_dir: str):
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    out = raster.polygonize_rings(small, quant=2.0)
-    return out.drop_columns(["edges"])
-
-
-def _q_polygonize_edges(sf_dir: str):
-    """STRICT companion to the rows-only WKB queries: the per-region
-    DIRECTED boundary-edge multiset in global pixel-corner coordinates —
-    the exact geometric content of the rings, minus the (non-SQL) vertex
-    ordering. Order-insensitive compare makes it a value-hash check."""
-    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
-    rings = raster.polygonize_rings(small, quant=2.0)
-
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame({k: pd.Series([], dtype=np.int64) for k in
-                                 ("tile_x", "tile_y", "region_label", "x0", "y0", "x1", "y1")})
-        bufs = b["edges"].to_list()
-        counts = np.fromiter((len(buf) // 16 for buf in bufs), np.int64, len(bufs))
-        e = np.frombuffer(b"".join(bufs), np.int32).reshape(-1, 4).astype(np.int64)
-        return pd.DataFrame({
-            "tile_x": np.repeat(b["tile_x"].to_numpy(np.int64), counts),
-            "tile_y": np.repeat(b["tile_y"].to_numpy(np.int64), counts),
-            "region_label": np.repeat(b["region_label"].to_numpy(np.int64), counts),
-            "x0": e[:, 0], "y0": e[:, 1], "x1": e[:, 2], "y1": e[:, 3],
-        })
-
-    return rings.map_batches(explode, batch_format="pandas")
-
-
-def _q_media_decode(sf_dir: str):
-    from geospatial_learn_ray.stages import multimodal
-
-    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
-    media = ray.data.from_arrow(multimodal.media_table(docs))
-    return multimodal.decode_stage(media)
-
-
-def _q_media_frame_sample(sf_dir: str):
-    from geospatial_learn_ray.stages import multimodal
-
-    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
-    media = ray.data.from_arrow(multimodal.media_table(docs))
-    return multimodal.frame_sample_stage(media, every_kth=4)
-
-
-def _q_media_resize(sf_dir: str):
-    from geospatial_learn_ray.stages import multimodal
-
-    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
-    media = ray.data.from_arrow(multimodal.media_table(docs))
-    out = multimodal.resize_stage(media, out_w=8, out_h=8)
-    # the resized binary itself isn't SQL-expressible; its CONTENT is — the
-    # checksum column sums exactly the nearest-neighbor-sampled bytes
-    return out.select_columns(["media_id", "width", "height", "checksum"])
-
-
-def _q_media_features(sf_dir: str):
-    from geospatial_learn_ray.stages import multimodal
-
-    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
-    media = ray.data.from_arrow(multimodal.media_table(docs))
-    return multimodal.featurize_stage(media)
-
-
-# ---- training surface (learning.create_model / RF_oob_opt /
-# regression_results / prob_pixel_bloc analogues; stages/train.py) --------
-
-RIDGE_LAMBDAS = [0.0, 1.0, 100.0, 10000.0]
-
-# proba artifact: EXACT decimal literals restated verbatim in the oracle SQL
-# (z = (linear score - threshold)/100 — never 0, so pred has no > ties)
-PROBA_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-PROBA_WEIGHTS = (0.0002, 0.0001, -0.05, 0.03)
-PROBA_INTERCEPT = -5.3075000500000005e0
-
-
-def _q_train_linear(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-    return train.fit_linear_closed_form_1d(ds, "l_quantity", "l_extendedprice")
-
-
-def _q_regression_metrics(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-    w = train.fit_linear_closed_form_1d(ds, "l_quantity", "l_extendedprice")
-    slope, intercept = float(w.slope.iloc[0]), float(w.intercept.iloc[0])
-
-    def predict(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"y": b["l_extendedprice"].to_numpy(np.float64),
-                             "pred": intercept + slope * b["l_quantity"].to_numpy(np.float64)})
-
-    return train.regression_metrics(ds.map_batches(predict, batch_format="pandas"),
-                                    "y", "pred", round_to=2)
-
-
-def _q_ridge_param_scan(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
-    return train.fit_ridge_grid(
-        ds, ["l_quantity"], "l_extendedprice", lambdas=RIDGE_LAMBDAS,
-        split_key="l_orderkey", val_mod=5, split_mode="mod",
-        round_to=6, mse_round_to=2,
-    )
-
-
-def _q_classify_proba(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    path = train.save_model("/tmp/glr_models/proba_linear.json",
-                            list(PROBA_FEATURES),
-                            np.array([PROBA_INTERCEPT, *PROBA_WEIGHTS]))
-    ds = _rp(sf_dir, "lineitem",
-             ["l_orderkey", "l_linenumber", *PROBA_FEATURES])
-    return train.predict_proba_stage(ds, path, keep_cols=["l_orderkey", "l_linenumber"])
-
-
-def _q_rf_oob_scan(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem",
-             ["l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_tax", "l_quantity"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "y": (b["l_returnflag"] == "R").astype(np.int64),
-            "x0": b["l_discount"].to_numpy(np.float64),
-            "x1": b["l_tax"].to_numpy(np.float64),
-            "x2": b["l_quantity"].to_numpy(np.float64),
-            "k": b["l_orderkey"].to_numpy(np.int64) * 8 + b["l_linenumber"].to_numpy(np.int64),
-        })
-
-    return train.fit_bagged_stumps_oob(ds.map_batches(prep, batch_format="pandas"),
-                                       ["x0", "x1", "x2"], "y", "k",
-                                       max_stumps=32, step=4)
-
-
-def _q_logistic_weights(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_tax"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"y": (b["l_returnflag"] == "R").astype(np.int64),
-                             "x1": b["l_discount"].to_numpy(np.float64) * 10.0,
-                             "x2": b["l_tax"].to_numpy(np.float64) * 10.0})
-
-    w = train.fit_logistic(ds.map_batches(prep, batch_format="pandas"),
-                           ["x1", "x2"], "y", iters=10, lr=0.5)
-    return pd.DataFrame({"w0": [round_half_away(float(w[0]), 4)],
-                         "w1": [round_half_away(float(w[1]), 4)],
-                         "w2": [round_half_away(float(w[2]), 4)]})
-
-
-def _wkb_to_geojson_sql() -> str:
-    """GeoJSON strings assembled in SQL: DuckDB's double→VARCHAR cast is the
-    same shortest-round-trip formatting as Python's repr (probed), so the
-    concatenated string matches json.dumps byte-for-byte."""
-    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"),
-           ("pminx", "pmaxy"), ("pminx", "pminy")]
-    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"), ("pmx", "pmy"),
-           ("pmx", "pmaxy"), ("pminx", "pmaxy"), ("pminx", "pminy")]
-
-    def js(verts) -> str:
-        pts = " || '],[' || ".join(
-            f"CAST(ROUND({x}, 6) AS VARCHAR) || ',' || CAST(ROUND({y}, 6) AS VARCHAR)"
-            for x, y in verts
-        )
-        return f"('{{\"type\":\"Polygon\",\"coordinates\":[[[' || {pts} || ']]]}}')"
-
-    return (
-        f"WITH {polygons_sql()} "
-        f"SELECT feature_id, CASE WHEN is_l THEN {js(lsh)} ELSE {js(box)} END AS geojson FROM polys"
-    )
-
-
-def _q_shape_props(sf_dir: str):
-    tbl = polygon_table()
-    rows = []
-    for fid, wkb in zip(tbl["feature_id"].to_pylist(), tbl["geometry"].to_pylist()):
-        p = ring_props(wkb_to_ring(wkb))
-        p = {k: round_half_away(v, 6) for k, v in p.items()}
-        rows.append({"feature_id": fid, **p})
-    return pd.DataFrame(rows)
-
-
-def _shape_props_sql() -> str:
-    """ring_props (shoelace / perimeter / centroid / extent / hull solidity)
-    restated per closed-form shape: sequential-sum expressions in the exact
-    vertex orders the engine uses (ring order for area/centroid/perimeter;
-    Andrew-hull order — box = same 4 corners, L = 5-vertex pentagon — for
-    the solidity denominator)."""
-    box = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmaxy"), ("pminx", "pmaxy")]
-    lsh = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
-           ("pmx", "pmy"), ("pmx", "pmaxy"), ("pminx", "pmaxy")]
-    hull_l = [("pminx", "pminy"), ("pmaxx", "pminy"), ("pmaxx", "pmy"),
-              ("pmx", "pmaxy"), ("pminx", "pmaxy")]
-
-    def seq(terms: list[str]) -> str:
-        out = terms[0]
-        for t in terms[1:]:
-            out = f"({out} + {t})"
-        return out
-
-    def shoelace(v):
-        n = len(v)
-        return seq([f"({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]})" for k in range(n)])
-
-    def perim(v):
-        n = len(v)
-        return seq([f"(ABS({v[(k + 1) % n][0]} - {v[k][0]}) + ABS({v[(k + 1) % n][1]} - {v[k][1]}))"
-                    for k in range(n)])
-
-    def cxs(v):
-        n = len(v)
-        return seq([f"(({v[k][0]} + {v[(k + 1) % n][0]})*({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]}))"
-                    for k in range(n)])
-
-    def cys(v):
-        n = len(v)
-        return seq([f"(({v[k][1]} + {v[(k + 1) % n][1]})*({v[k][0]}*{v[(k + 1) % n][1]} - {v[(k + 1) % n][0]}*{v[k][1]}))"
-                    for k in range(n)])
-
-    def pick(fn_box: str, fn_l: str) -> str:
-        return f"CASE WHEN is_l THEN {fn_l} ELSE {fn_box} END"
-
-    signed = pick(f"(0.5*{shoelace(box)})", f"(0.5*{shoelace(lsh)})")
-    hull_area = pick(f"(0.5*ABS({shoelace(box)}))", f"(0.5*ABS({shoelace(hull_l)}))")
-    return (
-        f"WITH {polygons_sql()}, "
-        f"p AS (SELECT feature_id, is_l, {signed} AS sg, "
-        f"  {pick(perim(box), perim(lsh))} AS per, "
-        f"  {pick(cxs(box), cxs(lsh))} AS cxs, {pick(cys(box), cys(lsh))} AS cys, "
-        f"  {hull_area} AS ha, pmaxx - pminx AS w, pmaxy - pminy AS h FROM polys) "
-        "SELECT feature_id, ROUND(ABS(sg), 6) AS area, ROUND(per, 6) AS perimeter, "
-        "ROUND(cxs/(6.0*sg), 6) AS centroid_x, ROUND(cys/(6.0*sg), 6) AS centroid_y, "
-        "ROUND(w, 6) AS bbox_w, ROUND(h, 6) AS bbox_h, "
-        "ROUND(CASE WHEN w*h > 0 THEN ABS(sg)/(w*h) ELSE 0.0 END, 6) AS extent, "
-        "ROUND(CASE WHEN ha > 0 THEN ABS(sg)/ha ELSE 0.0 END, 6) AS solidity "
-        "FROM p"
-    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1401,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize_pages": _q_url_canon,
         "pii_redact_docs": _q_pii_redact,
         "badword_filter_docs": _q_badword_filter,
+        "ann_lsh_topk": _q_ann_lsh,
     }
 
 
@@ -1449,6 +246,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _url_canon_sql,
     _pii_redact_sql,
     _badword_sql,
+    _ann_lsh_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -1841,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_pages": _url_canon_sql(),
         "pii_redact_docs": _pii_redact_sql(),
         "badword_filter_docs": _badword_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),
