@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": _q_pii_redact,
         "badword_filter_docs": _q_badword_filter,
         "ann_lsh_topk": _q_ann_lsh,
+        "inverted_index_docs": _q_inverted_index,
     }
 
 
@@ -247,6 +248,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _pii_redact_sql,
     _badword_sql,
     _ann_lsh_sql,
+    _inverted_index_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -640,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": _pii_redact_sql(),
         "badword_filter_docs": _badword_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "inverted_index_docs": _inverted_index_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

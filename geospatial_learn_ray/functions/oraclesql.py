@@ -1908,3 +1908,19 @@ def _ann_lsh_sql(n_tables: int = 4, n_bits: int = 8, dim: int = 64,
         f"  FROM q JOIN sig s ON ({on})) "
         f"SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}"
     )
+
+def _inverted_index_sql(max_postings: int = 64) -> str:
+    """SQL twin of textstages.inverted_index: same tokenizer as the tfidf
+    oracle (string_split on ' ', empties dropped), DISTINCT (doc, term),
+    postings = first max_postings ascending doc_ids comma-joined (list
+    slice l[1:P] is 1-based inclusive and shrinks at the end), df exact."""
+    return (
+        "WITH tok AS (SELECT DISTINCT doc_id, tok FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "  WHERE tok <> ''), "
+        "g AS (SELECT tok AS term, COUNT(*)::BIGINT AS df, "
+        f"  list_sort(list(doc_id))[1:{max_postings}] AS pl "
+        "  FROM tok GROUP BY tok) "
+        "SELECT term, df, len(pl)::BIGINT AS n_stored, "
+        "array_to_string(pl, ',') AS postings FROM g"
+    )

@@ -287,6 +287,10 @@ def _q_ann_lsh(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_inverted_index(sf_dir: str):
+    return textstages.inverted_index(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_ann_pq(sf_dir: str):
     Q, qids = _ann_queries(sf_dir)
     emb = _rp(sf_dir, "embeddings")

@@ -438,3 +438,68 @@ def host_stats(pages: ray.data.Dataset, url_col: str = "url",
 
     return bucket_exchange(pages.map_batches(partial, batch_format="pandas"),
                            combine, small_partials=True)
+
+
+def inverted_index(docs: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text", max_postings: int = 64,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed inverted-index build (term → capped posting list) — the
+    web-search index shape over the corpus (LLM-pipeline extension; the
+    reference's nearest analogue is the per-class frequency ranking in
+    learning.py:1073).
+
+    Scale shape: each block explodes to DISTINCT (term, doc) rows
+    (vectorized Arrow split, same tokenizer as tfidf_top_terms), ONE
+    bucketed exchange on the term hash co-locates a term's postings, and
+    the stored list is CAPPED at ``max_postings`` ascending doc_ids while
+    ``df`` stays EXACT (no silent caps: n_stored < df marks truncation) —
+    a stopword's full posting list is O(corpus) and must never become one
+    row. The string payload is pc.binary_join over list offsets — no
+    per-term Python in the join itself."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        d = pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(), off[1:] - off[:-1]),
+            "term": wl.values.to_pandas().to_numpy(object),
+        })
+        d = d[d["term"].str.len() > 0].drop_duplicates([id_col, "term"])
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(fnv1a64(d["term"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # groups by REAL term keys internally (exchange fn contract: the
+        # hash path may deliver several whole buckets per block)
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        df_ = g.groupby("term", sort=False)[id_col].transform("size").to_numpy(np.int64)
+        rank = g.groupby("term", sort=False).cumcount().to_numpy()
+        first = rank == 0
+        head = g[rank < max_postings]
+        cnt = head.groupby("term", sort=False).size().to_numpy(np.int64) \
+            if len(head) else np.zeros(0, np.int64)
+        offs = pa.array(np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32))
+        ids_s = pc.cast(pa.array(head[id_col].to_numpy(np.int64)), pa.string())
+        postings = pc.binary_join(pa.ListArray.from_arrays(offs, ids_s), ",")
+        return pd.DataFrame({
+            "term": g["term"].to_numpy(object)[first],
+            "df": df_[first],
+            "n_stored": cnt,
+            "postings": postings.to_pandas().to_numpy(object),
+        })
+
+    parted = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    return bucket_exchange(parted, per_bucket)

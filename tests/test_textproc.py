@@ -365,3 +365,22 @@ def test_badword_counts_known_values():
     out = badword_counts(raw)
     assert out["n_bad"].tolist() == [0, 2, 1, 1]
     assert out["kept"].tolist() == [True, False, False, False]
+
+def test_inverted_index_postings_df_and_truncation():
+    import pandas as pd
+    import ray.data as rd
+    from geospatial_learn_ray.stages.textstages import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [10, 2, 7, 5],
+        "text": ["alpha beta beta", "beta  gamma", "gamma alpha gamma", "beta zz"],
+    })
+    out = (inverted_index(rd.from_pandas(docs), max_postings=2)
+           .to_pandas().set_index("term").sort_index())
+    assert out.loc["alpha"].tolist() == [2, 2, "7,10"]
+    # df stays exact past the cap; postings = 2 smallest doc_ids
+    assert out.loc["beta"].tolist() == [3, 2, "2,5"]
+    assert out.loc["gamma"].tolist() == [2, 2, "2,7"]
+    assert out.loc["zz"].tolist() == [1, 1, "5"]
+    # duplicate terms within a doc collapse (DISTINCT doc-term)
+    assert out["df"].sum() == 8
