@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badword_filter_docs": _q_badword_filter,
         "ann_lsh_topk": _q_ann_lsh,
         "inverted_index_docs": _q_inverted_index,
+        "dsir_weights_docs": _q_dsir_weights,
     }
 
 
@@ -249,6 +250,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _badword_sql,
     _ann_lsh_sql,
     _inverted_index_sql,
+    _dsir_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -643,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "badword_filter_docs": _badword_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "inverted_index_docs": _inverted_index_sql(),
+        "dsir_weights_docs": _dsir_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1924,3 +1924,42 @@ def _inverted_index_sql(max_postings: int = 64) -> str:
         "SELECT term, df, len(pl)::BIGINT AS n_stored, "
         "array_to_string(pl, ',') AS postings FROM g"
     )
+
+
+def _dsir_sql(n_features: int = 4096, scale: int = 1024,
+              target_lang: str = "en") -> str:
+    """SQL twin of textstages.dsir_weights: identical hashed uni+bigram
+    features (list_filter drops empties, bigrams join the FILTERED
+    sequence; the token is projected to its own column BEFORE fnv so the
+    fnv lambda's ``i`` can't be shadowed — CLAUDE.md), h = splitmix(fnv)
+    masked to n_features buckets, λ chain textually mirrored, integer
+    quantization so SUM(q) is order-exact."""
+    toks = (
+        "SELECT doc_id, lang, unnest(list_concat(lf, "
+        "list_transform(generate_series(1, len(lf) - 1), "
+        "i -> lf[i] || ' ' || lf[i + 1]))) AS tok "
+        "FROM (SELECT doc_id, lang, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS lf "
+        "FROM documents)"
+    )
+    hashed_inner = _sg.chain(
+        toks,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "d")])
+    lam = (
+        f"(((ln(CAST(t_cnt + 1 AS DOUBLE)) - ln(CAST(r_cnt + 1 AS DOUBLE))) "
+        f"- ln(CAST(tt + {n_features} AS DOUBLE))) "
+        f"+ ln(CAST(rr + {n_features} AS DOUBLE)))"
+    )
+    return (
+        f"WITH hashed AS MATERIALIZED (SELECT doc_id, lang, "
+        f"CAST((_h) & {n_features - 1} AS BIGINT) AS h FROM ({hashed_inner})), "
+        "fc AS MATERIALIZED (SELECT h, "
+        f"SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)::BIGINT AS t_cnt, "
+        "COUNT(*)::BIGINT AS r_cnt FROM hashed GROUP BY h), "
+        "tot AS (SELECT SUM(t_cnt)::BIGINT AS tt, SUM(r_cnt)::BIGINT AS rr FROM fc), "
+        f"q AS (SELECT h, CAST(FLOOR({lam} * CAST({scale} AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS q FROM fc, tot) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_feats, SUM(q)::BIGINT AS sum_q, "
+        f"ROUND(CAST(SUM(q) AS DOUBLE) / CAST({scale} * COUNT(*) AS BIGINT), 6) AS avg_w "
+        "FROM hashed JOIN q USING (h) GROUP BY doc_id"
+    )

@@ -1233,6 +1233,11 @@ def _shape_props_sql() -> str:
     )
 
 
+def _q_dsir_weights(sf_dir: str):
+    return textstages.dsir_weights(
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -384,3 +384,65 @@ def test_inverted_index_postings_df_and_truncation():
     assert out.loc["zz"].tolist() == [1, 1, "5"]
     # duplicate terms within a doc collapse (DISTINCT doc-term)
     assert out["df"].sum() == 8
+
+
+def test_dsir_weights_brute_force_sign_and_block_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.stages.textstages import dsir_weights
+
+    B, SCALE = 4096, 1024
+    # target (en) docs reuse 'wiki'-ish tokens; raw noise docs use others
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "wiki article science wiki",
+            "science article wiki text",
+            "wiki science text",
+            "spam click buy spam click",
+            "buy spam buy click now",
+            "click now buy",
+        ],
+        "lang": ["en", "en", "en", "fr", "fr", "zh"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = dsir_weights(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 6
+
+    # brute force: hashed uni+bigram counts over target vs raw
+    def feats(text):
+        toks = [t for t in text.split(" ") if t]
+        f = toks + [a + " " + b for a, b in zip(toks[:-1], toks[1:])]
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(np.array(f, object)))
+                    % np.uint64(B)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+
+    t_cnt, r_cnt = {}, {}
+    for _, r in docs.iterrows():
+        for h in feats(r.text):
+            r_cnt[h] = r_cnt.get(h, 0) + 1
+            if r.lang == "en":
+                t_cnt[h] = t_cnt.get(h, 0) + 1
+    T = sum(t_cnt.values())
+    R = sum(r_cnt.values())
+    ln_tb, ln_rb = np.log(np.float64(T + B)), np.log(np.float64(R + B))
+    for _, r in out.iterrows():
+        hs = feats(docs.loc[docs.doc_id == r.doc_id, "text"].iloc[0])
+        qs = [int(np.floor((((np.log(np.float64(t_cnt.get(h, 0) + 1))
+                              - np.log(np.float64(r_cnt[h] + 1))) - ln_tb) + ln_rb)
+                           * np.float64(SCALE) + 0.5)) for h in hs]
+        assert r.n_feats == len(qs) and r.sum_q == sum(qs)
+    # semantic sign: target-vocabulary docs outrank noise docs
+    en = out[out.doc_id < 3]["avg_w"]
+    noise = out[out.doc_id >= 3]["avg_w"]
+    assert en.min() > noise.max()
+    # block invariance (model counts are global exacts, not block RNG)
+    out2 = dsir_weights(ray.data.from_pandas(docs).repartition(6)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
