@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "inverted_index_docs": _q_inverted_index,
         "dsir_weights_docs": _q_dsir_weights,
+        "pagerank_hosts": _q_pagerank_hosts,
     }
 
 
@@ -251,6 +252,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_lsh_sql,
     _inverted_index_sql,
     _dsir_sql,
+    _pagerank_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -646,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "inverted_index_docs": _inverted_index_sql(),
         "dsir_weights_docs": _dsir_sql(),
+        "pagerank_hosts": _pagerank_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1963,3 +1963,47 @@ def _dsir_sql(n_features: int = 4096, scale: int = 1024,
         f"ROUND(CAST(SUM(q) AS DOUBLE) / CAST({scale} * COUNT(*) AS BIGINT), 6) AS avg_w "
         "FROM hashed JOIN q USING (h) GROUP BY doc_id"
     )
+
+
+def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.pagerank_hosts: identical hash-derived edges
+    (url||'#out'||k projected to its own column before fnv — lambda-shadow
+    rule), then ``iters`` unrolled MATERIALIZED rank rounds in pure BIGINT
+    arithmetic (``//`` floor division == numpy ``//`` on non-negatives),
+    so every round is bit-exact and order-free."""
+    q30 = 1 << 30
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "pr")])
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = "r0" if t == 1 else f"r{t - 1}"
+        rounds.append(
+            f"r{t} AS MATERIALIZED (SELECT n.host, "
+            f"({15 * q30} // (100 * nn.n)) + (85 * COALESCE(s.s, 0)) // 100 AS r "
+            "FROM nodes n CROSS JOIN nn LEFT JOIN ("
+            "  SELECT e.dst AS host, SUM((r.r * e.w) // d.wt)::BIGINT AS s "
+            f"  FROM edges e JOIN {prev} r ON r.host = e.src "
+            "  JOIN deg d ON d.src = e.src GROUP BY e.dst) s "
+            "ON s.host = n.host)"
+        )
+    return (
+        f"WITH {pages_sql()}, "
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner})), "
+        "edges AS MATERIALIZED (SELECT src, dst, COUNT(*)::BIGINT AS w "
+        "FROM lk GROUP BY src, dst), "
+        "deg AS MATERIALIZED (SELECT src, SUM(w)::BIGINT AS wt FROM edges GROUP BY src), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes), "
+        f"r0 AS MATERIALIZED (SELECT host, {q30} // nn.n AS r FROM nodes, nn), "
+        + ", ".join(rounds) +
+        f" SELECT host, r AS r_q, ROUND(CAST(r AS DOUBLE) / {float(q30)!r}, 9) AS pr "
+        f"FROM r{iters}"
+    )

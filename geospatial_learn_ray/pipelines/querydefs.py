@@ -1238,6 +1238,12 @@ def _q_dsir_weights(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
 
+def _q_pagerank_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages import graph as _graph
+
+    return _graph.pagerank_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -1,0 +1,202 @@
+"""Link-graph stages over the pages table — host-level PageRank, the
+web-pipeline quality-weighting shape (CommonCrawl host ranks feed corpus
+filters the same way the reference's per-class priors feed learning.py's
+rankings). LLM-pipeline extension; no reference analogue.
+
+The page→host edge list is derived deterministically from the url by the
+repo's standard hash recipe (splitmix64-finalized FNV — the geocode
+pattern, functions/geo.py:48), so the graph is reproducible on any
+cluster layout and restatable in SQL (CLAUDE.md: data-dependent seeded
+RNG is neither).
+
+PageRank runs in FIXED-POINT integer arithmetic end to end: ranks are
+Q30 integers, per-edge contributions are floor((r·w)/W), the damping step
+is floor(85·s/100) — every sum is an integer sum (order-exact at any
+scale, any block structure) and every division is a floor division DuckDB
+expresses as ``//``, so the unrolled-CTE oracle is bit-exact (CLAUDE.md:
+iterative numerics restate as unrolled MATERIALIZED CTE blocks).
+Documented bound: r·w needs r < 2³¹ (holds: total mass ≤ 2³⁰) and
+w < 2³² edges between one host pair — beyond that the product needs the
+int128 path both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import fnv1a64, splitmix64
+from ..functions.rounding import round_half_away
+from .exchange import bucket_exchange
+
+Q = 30  # Q30 fixed point
+DAMP_NUM, DAMP_DEN = 85, 100
+N_HOST_MOD = 1000
+OUT_LINKS = 4
+
+
+def _hash_mod(strs: np.ndarray, mod: int) -> np.ndarray:
+    old = np.seterr(over="ignore")
+    try:
+        return (splitmix64(fnv1a64(strs)) % np.uint64(mod)).astype(np.int64)
+    finally:
+        np.seterr(**old)
+
+
+def _bkt(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    old = np.seterr(over="ignore")
+    try:
+        return (splitmix64(ids.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+    finally:
+        np.seterr(**old)
+
+
+def host_edges(pages: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """pages(url) → weighted host graph (src, dst, w, wt): src is the url's
+    host id, each page emits OUT_LINKS deterministic hash outlinks, one
+    bucketed exchange aggregates multi-edges exactly and attaches the
+    total out-weight ``wt`` per src (groupby-transform — never a second
+    shuffle). Map-side pre-aggregation keeps the exchange O(distinct
+    host pairs per block), not O(pages)."""
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        urls = b["url"].to_pandas()
+        src = urls.str.extract(r"site-(\d+)\.example", expand=False).astype(np.int64)
+        srcs, dsts = [], []
+        for k in range(OUT_LINKS):
+            dsts.append(_hash_mod((urls + f"#out{k}").to_numpy(object), N_HOST_MOD))
+            srcs.append(src.to_numpy())
+        d = pd.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        g = d.groupby(["src", "dst"], sort=False).size().reset_index(name="w")
+        g["w"] = g["w"].astype(np.int64)
+        g["_part"] = _bkt(g["src"].to_numpy(), num_buckets)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        e = g.groupby(["src", "dst"], sort=False, as_index=False)["w"].sum()
+        e["wt"] = e.groupby("src", sort=False)["w"].transform("sum").astype(np.int64)
+        return e
+
+    return bucket_exchange(
+        pages.select_columns(["url"]).map_batches(explode, batch_format="pyarrow"),
+        combine)
+
+
+def _pagerank_local(edges: pd.DataFrame, n_nodes: int, nodes: np.ndarray,
+                    iters: int) -> pd.DataFrame:
+    """Driver fast path (counted bound only): identical integer recurrence
+    on numpy arrays. np.add.at keeps the bucket sums int64-exact —
+    bincount's float64 weights would not be (CLAUDE.md sketch rule)."""
+    idx = {h: i for i, h in enumerate(nodes)}
+    si = np.array([idx[s] for s in edges["src"]], np.int64)
+    di = np.array([idx[d] for d in edges["dst"]], np.int64)
+    w = edges["w"].to_numpy(np.int64)
+    wt = edges["wt"].to_numpy(np.int64)
+    base = (15 * (1 << Q)) // (100 * n_nodes)
+    r = np.full(n_nodes, (1 << Q) // n_nodes, np.int64)
+    for _ in range(iters):
+        c = (r[si] * w) // wt
+        s = np.zeros(n_nodes, np.int64)
+        np.add.at(s, di, c)
+        r = base + (DAMP_NUM * s) // DAMP_DEN
+    return pd.DataFrame({"host": nodes, "r_q": r,
+                         "pr": round_half_away(r / np.float64(1 << Q), 9)})
+
+
+def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
+                   num_buckets: int = 64,
+                   local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Host-level PageRank over the deterministic link graph, ``iters``
+    rounds of r ← base + ⌊85·(Σ_in ⌊r·w/W⌋)/100⌋ (dangling mass dropped —
+    the simplified recurrence; both sides implement it identically so the
+    oracle is exact).
+
+    Scale shape: the edge list aggregates once to the HOST graph (a
+    Dataset — spillable, never driver memory) and is reused every round
+    with the SAME bucketing key. When the counted edge total is under
+    ``local_bound`` the iteration runs on the driver (the
+    connected_components counted-bound pattern, dedup.py); above it each
+    round is the union-tag bucketed join (ranks ⋈ edges on src, one
+    vectorized merge per bucket) + one exchange keyed on dst — 2 exchanges
+    per round, contributions pre-summed per dst inside the join block so
+    the second exchange moves O(distinct dst per block) rows."""
+    edges = host_edges(pages, num_buckets).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= local_bound:
+        e = edges.to_pandas()  # counted bound: ≤ local_bound host-pair rows
+        nodes = np.unique(np.concatenate([e["src"].to_numpy(np.int64),
+                                          e["dst"].to_numpy(np.int64)]))
+        return ray.data.from_pandas(_pagerank_local(e, len(nodes), nodes, iters))
+
+    # ---- distributed rounds ------------------------------------------------
+    def node_rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"host": h, "_part": _bkt(h, num_buckets)})
+
+    nodes = bucket_exchange(
+        edges.map_batches(node_rows, batch_format="pandas"),
+        lambda g: pd.DataFrame({"host": np.unique(g["host"].to_numpy(np.int64))}),
+    ).materialize()
+    n_nodes = nodes.count()
+    base = (15 * (1 << Q)) // (100 * n_nodes)
+    r0 = (1 << Q) // n_nodes
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["src"].to_numpy(np.int64),
+                             "dst": b["dst"].to_numpy(np.int64),
+                             "w": b["w"].to_numpy(np.int64),
+                             "wt": b["wt"].to_numpy(np.int64),
+                             "r": np.int64(0), "t": np.int8(0),
+                             "_jb": _bkt(b["src"].to_numpy(np.int64), num_buckets)})
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["t"] == 0]
+        rk = g[g["t"] == 1][["src", "r"]]
+        m = e[["src", "dst", "w", "wt"]].merge(rk, on="src", how="inner")
+        c = (m["r"].to_numpy(np.int64) * m["w"].to_numpy(np.int64)) \
+            // m["wt"].to_numpy(np.int64)
+        p = pd.DataFrame({"host": m["dst"].to_numpy(np.int64), "s": c})
+        p = p.groupby("host", sort=False, as_index=False)["s"].sum()
+        p["_part"] = _bkt(p["host"].to_numpy(np.int64), num_buckets)
+        return p
+
+    def new_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        s = g.groupby("host", sort=False, as_index=False)["s"].sum()
+        s["r"] = base + (DAMP_NUM * s["s"].to_numpy(np.int64)) // DAMP_DEN
+        return s[["host", "r"]]
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+    zero = nodes.map_batches(
+        lambda b: pd.DataFrame({"host": b["host"].to_numpy(np.int64),
+                                "s": np.int64(0),
+                                "_part": _bkt(b["host"].to_numpy(np.int64), num_buckets)}),
+        batch_format="pandas")
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame({"host": b["host"].to_numpy(np.int64),
+                                "r": np.int64(r0)}),
+        batch_format="pandas")
+    for _ in range(iters):
+        tagged_ranks = ranks.map_batches(
+            lambda b: pd.DataFrame({"src": b["host"].to_numpy(np.int64),
+                                    "dst": np.int64(0), "w": np.int64(0),
+                                    "wt": np.int64(0),
+                                    "r": b["r"].to_numpy(np.int64),
+                                    "t": np.int8(1),
+                                    "_jb": _bkt(b["host"].to_numpy(np.int64),
+                                                num_buckets)}),
+            batch_format="pandas")
+        joined = bucket_exchange(tagged_edges.union(tagged_ranks), contribs, key="_jb")
+        ranks = bucket_exchange(joined.union(zero), new_ranks)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["r"].to_numpy(np.int64)
+        return pd.DataFrame({"host": b["host"].to_numpy(np.int64), "r_q": r,
+                             "pr": round_half_away(r / np.float64(1 << Q), 9)})
+
+    return ranks.map_batches(finalize, batch_format="pandas")

@@ -228,3 +228,26 @@ def test_dedup_apply_keeps_canonical_and_singletons():
     out2 = dedup_apply(ray.data.from_pandas(corpus).repartition(3),
                        ray.data.from_pandas(pairs), id_col="doc_id").to_pandas()
     assert set(out2.doc_id) == expect
+
+
+def test_pagerank_distributed_matches_local_fixed_point():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.graph import pagerank_hosts
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    a = pagerank_hosts(pages, iters=4).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    b = pagerank_hosts(pages, iters=4, local_bound=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    # integer fixed-point: the two paths must agree BIT-exactly
+    assert a.equals(b[a.columns])
+    # rank mass: bounded by the initial 2^30; dangling hosts (ids with no
+    # pages) shed their mass each round, so only the teleport floor is a
+    # guaranteed lower bound
+    tot = a["r_q"].sum()
+    n = len(a)
+    assert ((15 * (1 << 30)) // (100 * n)) * n <= tot <= (1 << 30)
+    assert int(a["r_q"].min()) >= (15 * (1 << 30)) // (100 * n)
