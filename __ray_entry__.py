@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_docs": _q_inverted_index,
         "dsir_weights_docs": _q_dsir_weights,
         "pagerank_hosts": _q_pagerank_hosts,
+        "chunk_docs": _q_chunk_docs,
     }
 
 
@@ -253,6 +254,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _inverted_index_sql,
     _dsir_sql,
     _pagerank_sql,
+    _chunk_docs_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -649,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_docs": _inverted_index_sql(),
         "dsir_weights_docs": _dsir_sql(),
         "pagerank_hosts": _pagerank_sql(),
+        "chunk_docs": _chunk_docs_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

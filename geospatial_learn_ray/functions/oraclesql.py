@@ -2007,3 +2007,21 @@ def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000) -> s
         f" SELECT host, r AS r_q, ROUND(CAST(r AS DOUBLE) / {float(q30)!r}, 9) AS pr "
         f"FROM r{iters}"
     )
+
+
+def _chunk_docs_sql(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    """SQL twin of textstages.chunk_documents: generate_series in
+    expression context yields per-row chunk ids, list slice l[a+1:a+c] is
+    1-based inclusive and shrinks at the tail exactly like the engine's
+    min(end, n)."""
+    stride = chunk_tokens - overlap
+    return (
+        "WITH d AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM ("
+        "  SELECT doc_id, string_split(text, ' ') AS l FROM documents)), "
+        "c AS (SELECT doc_id, n, l, "
+        f"unnest(generate_series(0, (n - 1) // {stride})) AS chunk_id FROM d) "
+        "SELECT doc_id, chunk_id, "
+        f"LEAST(n - chunk_id * {stride}, {chunk_tokens})::BIGINT AS n_tokens, "
+        f"array_to_string(l[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}], ' ') AS chunk_text "
+        "FROM c"
+    )

@@ -1244,6 +1244,10 @@ def _q_pagerank_hosts(sf_dir: str):
     return _graph.pagerank_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_chunk_docs(sf_dir: str):
+    return textstages.chunk_documents(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

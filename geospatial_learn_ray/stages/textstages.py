@@ -636,3 +636,60 @@ def dsir_weights(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def chunk_documents(docs: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 32,
+                    overlap: int = 8) -> ray.data.Dataset:
+    """Context-window chunking (the RAG / pretraining-sequence shape):
+    split every document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``, the final window shrinking at the end.
+    LLM-pipeline extension; the reference's nearest analogue is the
+    raster tiler (tile_rasters raster.py:396 — same fixed-window-with-
+    overlap decomposition, over token axes instead of pixels).
+
+    Purely map-side (no shuffle): each batch rebuilds the overlapping
+    windows with ONE values.take(gather) + contiguous-offset
+    ``binary_join`` — the paragraph-explode idiom extended to overlap,
+    where the shared token values are gathered per window because Arrow
+    list offsets must stay monotone. No per-row Python."""
+    import pyarrow.compute as pc
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        lens = off[1:] - off[:-1]
+        nch = (lens + stride - 1) // stride
+        tot = int(nch.sum())
+        if tot == 0:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        starts = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), nch)
+        k = np.arange(tot, dtype=np.int64) - np.repeat(starts, nch)
+        cstart = k * stride
+        cnt = np.minimum(cstart + chunk_tokens, lens[row]) - cstart
+        abs_start = off[:-1][row] + cstart
+        csum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        gidx = np.repeat(abs_start, cnt) + (
+            np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(csum, cnt))
+        vals = wl.values.take(pa.array(gidx))
+        new_off = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+        chunks = pc.binary_join(
+            pa.LargeListArray.from_arrays(new_off, vals), " ")
+        return pa.table({id_col: b[id_col].take(pa.array(row)),
+                         "chunk_id": pa.array(k),
+                         "n_tokens": pa.array(cnt.astype(np.int64)),
+                         "chunk_text": pc.cast(chunks, pa.string())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")

@@ -446,3 +446,36 @@ def test_dsir_weights_brute_force_sign_and_block_invariance():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_chunk_documents_windows_cover_and_overlap():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.textstages import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            " ".join(f"w{i}" for i in range(70)),   # 3 windows
+            " ".join(f"x{i}" for i in range(32)),   # exactly one window
+            "a b c",                                 # short tail window
+            "solo",
+        ],
+    })
+    out = chunk_documents(ray.data.from_pandas(docs).repartition(2),
+                          chunk_tokens=32, overlap=8).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        ch = out[out.doc_id == r.doc_id]
+        exp = [(k, toks[k * 24:k * 24 + 32])
+               for k in range((len(toks) + 23) // 24)]
+        assert len(ch) == len(exp)
+        for (k, etoks), (_, row) in zip(exp, ch.iterrows()):
+            assert row.chunk_id == k
+            assert row.n_tokens == len(etoks)
+            assert row.chunk_text == " ".join(etoks)
+    # consecutive windows share exactly `overlap` tokens when full-length
+    d0 = out[out.doc_id == 0].chunk_text.tolist()
+    assert d0[0].split(" ")[-8:] == d0[1].split(" ")[:8]
