@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_docs": _q_dsir_weights,
         "pagerank_hosts": _q_pagerank_hosts,
         "chunk_docs": _q_chunk_docs,
+        "host_cap_pages": _q_host_cap,
     }
 
 
@@ -255,6 +256,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _dsir_sql,
     _pagerank_sql,
     _chunk_docs_sql,
+    _host_cap_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -652,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_docs": _dsir_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "chunk_docs": _chunk_docs_sql(),
+        "host_cap_pages": _host_cap_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

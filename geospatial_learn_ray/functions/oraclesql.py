@@ -2025,3 +2025,21 @@ def _chunk_docs_sql(chunk_tokens: int = 32, overlap: int = 8) -> str:
         f"array_to_string(l[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}], ' ') AS chunk_text "
         "FROM c"
     )
+
+
+def _host_cap_sql(k: int = 3) -> str:
+    """SQL twin of textstages.host_cap_sample: same fnv/splitmix draw
+    reinterpreted as signed BIGINT so ORDER BY matches numpy's int64 view
+    bit-for-bit."""
+    inner = _sg.chain(
+        f"WITH {pages_sql()} SELECT url FROM pages",
+        [("_f", _sg.fnv1a64_expr("url")), *_sg.splitmix64_steps("_f", "_h", "hc")])
+    draw = _sg.u64_to_i64("_h")
+    return (
+        "SELECT url, host, draw, rn FROM ("
+        "  SELECT url, host, draw, row_number() OVER ("
+        "    PARTITION BY host ORDER BY draw, url) AS rn FROM ("
+        "    SELECT url, CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS host, "
+        f"    {draw} AS draw FROM ({inner}))) "
+        f"WHERE rn <= {k}"
+    )

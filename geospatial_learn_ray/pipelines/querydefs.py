@@ -1248,6 +1248,10 @@ def _q_chunk_docs(sf_dir: str):
     return textstages.chunk_documents(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_host_cap(sf_dir: str):
+    return textstages.host_cap_sample(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

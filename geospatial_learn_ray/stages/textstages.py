@@ -693,3 +693,31 @@ def chunk_documents(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
+
+
+def host_cap_sample(pages: ray.data.Dataset, k: int = 3,
+                    url_col: str = "url") -> ray.data.Dataset:
+    """Per-host document cap (the crawl-pipeline "at most K pages per
+    host" policy): survivors are the K urls with the SMALLEST
+    splitmix64(fnv(url)) draw per host — an id-hash order, so the
+    surviving set is identical at any cluster size / block structure
+    (CLAUDE.md: seeded RNG is neither) and restates exactly in SQL as a
+    signed-BIGINT ORDER BY. Rides grouped_topk's partial per-block
+    selection: a Zipf-hot host ships ≤ k rows per block, never its full
+    page list."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .agg import grouped_topk
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        urls = b[url_col].to_pandas()
+        host = urls.str.extract(r"site-(\d+)\.example", expand=False).astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            draw = splitmix64(fnv1a64(urls.to_numpy(object))).view(np.int64)
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({url_col: urls, "host": host, "draw": draw})
+
+    return grouped_topk(
+        pages.select_columns([url_col]).map_batches(prep, batch_format="pyarrow"),
+        "host", "draw", k, tiebreak=url_col, descending=False)

@@ -479,3 +479,21 @@ def test_chunk_documents_windows_cover_and_overlap():
     # consecutive windows share exactly `overlap` tokens when full-length
     d0 = out[out.doc_id == 0].chunk_text.tolist()
     assert d0[0].split(" ")[-8:] == d0[1].split(" ")[:8]
+
+
+def test_host_cap_sample_layout_invariant_and_capped():
+    import ray.data
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.textstages import host_cap_sample
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    a = host_cap_sample(pages, k=2).to_pandas()
+    assert a.groupby("host").size().max() <= 2
+    # survivor SET must not depend on block structure
+    b = host_cap_sample(pages.repartition(7), k=2).to_pandas()
+    assert set(a.url) == set(b.url)
+    # ranks are 1..k ascending by draw within host
+    for _, g in a.groupby("host"):
+        g = g.sort_values("rn")
+        assert g.rn.tolist() == list(range(1, len(g) + 1))
+        assert g.draw.is_monotonic_increasing
