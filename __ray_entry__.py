@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "chunk_docs": _q_chunk_docs,
         "host_cap_pages": _q_host_cap,
+        "bpe_merges_docs": _q_bpe_merges,
     }
 
 
@@ -257,6 +258,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _pagerank_sql,
     _chunk_docs_sql,
     _host_cap_sql,
+    _bpe_merges_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -655,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_sql(),
         "chunk_docs": _chunk_docs_sql(),
         "host_cap_pages": _host_cap_sql(),
+        "bpe_merges_docs": _bpe_merges_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

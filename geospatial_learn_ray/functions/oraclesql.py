@@ -2043,3 +2043,48 @@ def _host_cap_sql(k: int = 3) -> str:
         f"    {draw} AS draw FROM ({inner}))) "
         f"WHERE rn <= {k}"
     )
+
+
+def _bpe_merges_sql(n_merges: int = 4) -> str:
+    """SQL twin of textstages.bpe_train_merges: unrolled MATERIALIZED
+    rounds (CLAUDE.md iterative-numerics rule). Greedy left-to-right merge
+    = gaps-and-islands over the matched rows (consecutive overlapping
+    matches keep even offsets), textually the same run-parity rule the
+    engine vectorizes; best pair per round is the identical total order
+    (count DESC, pair ASC)."""
+    parts = [
+        "wc AS MATERIALIZED (SELECT tok AS word, COUNT(*)::BIGINT AS cnt FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "  WHERE tok <> '' GROUP BY tok)",
+        "v0 AS MATERIALIZED (SELECT word, cnt, pos, word[pos] AS sym FROM ("
+        "  SELECT word, cnt, unnest(generate_series(1, length(word))) AS pos FROM wc))",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        parts += [
+            f"e{r} AS MATERIALIZED (SELECT word, cnt, pos, sym, "
+            "ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS rn, "
+            "LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt "
+            f"FROM {prev})",
+            f"p{r} AS (SELECT sym || ' ' || nxt AS pair, SUM(cnt)::BIGINT AS c "
+            f"FROM e{r} WHERE nxt IS NOT NULL GROUP BY pair)",
+            f"b{r} AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS lhs, "
+            f"split_part(pair, ' ', 2) AS rhs, c FROM p{r} "
+            "ORDER BY c DESC, pair ASC LIMIT 1)",
+            f"mm{r} AS MATERIALIZED (SELECT word, rn, "
+            "rn - ROW_NUMBER() OVER (PARTITION BY word ORDER BY rn) AS grp "
+            f"FROM e{r}, b{r} WHERE sym = b{r}.lhs AND nxt = b{r}.rhs)",
+            f"k{r} AS MATERIALIZED (SELECT word, rn FROM ("
+            "  SELECT word, rn, rn - MIN(rn) OVER (PARTITION BY word, grp) AS off "
+            f"  FROM mm{r}) WHERE off % 2 = 0)",
+            f"v{r} AS MATERIALIZED (SELECT e.word, e.cnt, e.pos, "
+            "CASE WHEN k1.rn IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END AS sym "
+            f"FROM e{r} e "
+            f"LEFT JOIN k{r} k1 ON k1.word = e.word AND k1.rn = e.rn "
+            f"LEFT JOIN k{r} k2 ON k2.word = e.word AND k2.rn = e.rn - 1 "
+            "WHERE k2.rn IS NULL)",
+        ]
+    final = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, c AS pair_cnt FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return "WITH " + ", ".join(parts) + " " + final

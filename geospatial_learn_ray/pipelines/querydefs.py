@@ -1252,6 +1252,10 @@ def _q_host_cap(sf_dir: str):
     return textstages.host_cap_sample(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_bpe_merges(sf_dir: str):
+    return textstages.bpe_train_merges(_rp(sf_dir, "documents", ["text"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -721,3 +721,134 @@ def host_cap_sample(pages: ray.data.Dataset, k: int = 3,
     return grouped_topk(
         pages.select_columns([url_col]).map_batches(prep, batch_format="pyarrow"),
         "host", "draw", k, tiebreak=url_col, descending=False)
+
+
+def bpe_train_merges(docs: ray.data.Dataset, text_col: str = "text",
+                     n_merges: int = 4, num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed BPE tokenizer training — the first ``n_merges`` merge
+    rules (Sennrich et al. 2016), learned over the corpus word
+    distribution. LLM-pipeline extension; no reference analogue. The
+    end-of-word marker is omitted (documented simplification — merges are
+    within-word only, the distributed shape is identical).
+
+    Scale shape: the corpus reduces ONCE to the distinct-word vocabulary
+    with exact counts (one bucketed exchange — vocab ≪ corpus), which then
+    explodes to (word, cnt, pos, sym) rows that stay word-contiguous
+    inside their block for every round (map_batches preserves blocks, a
+    merge only deletes rows). Each round: per-block pair-count partials →
+    one exchange → per-bucket best → a driver pull of ≤ num_buckets rows
+    (counted bound) picks the global argmax (count desc, pair asc — a
+    TOTAL order, so the learned merges are layout-independent), the tiny
+    winning pair broadcasts in the closure, and the greedy left-to-right
+    apply is the vectorized run-parity trick (consecutive overlapping
+    matches keep even offsets — exactly SQL's gaps-and-islands, so the
+    unrolled-CTE oracle is bit-exact).
+
+    Returns (step, lhs, rhs, pair_cnt) — the learned merge table."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def word_counts(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        d = pd.DataFrame({"word": wl.values.to_pandas().to_numpy(object)})
+        d = d[d["word"].str.len() > 0]
+        g = d.groupby("word", sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["word"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine_wc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        return g.groupby("word", sort=False, as_index=False)["cnt"].sum()
+
+    def explode_chars(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["word"].to_numpy(object)
+        cnt = b["cnt"].to_numpy(np.int64)
+        lens = np.fromiter((len(x) for x in w), np.int64, len(w))
+        tot = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(starts, lens) + 1
+        # one C-level pass: join words, then slice to a char array
+        joined = "".join(w)
+        syms = np.frombuffer(joined.encode("latin-1"), np.uint8)
+        syms = np.char.decode(syms.view("S1"), "latin-1").astype(object)
+        return pd.DataFrame({"word": np.repeat(w, lens), "cnt": np.repeat(cnt, lens),
+                             "pos": pos, "sym": syms})
+
+    vocab = bucket_exchange(
+        docs.select_columns([text_col]).map_batches(word_counts, batch_format="pyarrow"),
+        combine_wc).map_batches(explode_chars, batch_format="pandas").materialize()
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["word"].to_numpy(object)
+        sym = b["sym"].to_numpy(object)
+        cnt = b["cnt"].to_numpy(np.int64)
+        if len(w) < 2:
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        adj = w[:-1] == w[1:]
+        pair = sym[:-1][adj] + " " + sym[1:][adj]
+        g = pd.DataFrame({"pair": pair, "c": cnt[:-1][adj]}) \
+            .groupby("pair", sort=False, as_index=False)["c"].sum()
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["pair"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        s = g.groupby("pair", sort=False, as_index=False)["c"].sum()
+        s = s.sort_values(["c", "pair"], ascending=[False, True], kind="mergesort")
+        return s.head(1)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = bucket_exchange(
+            vocab.map_batches(pair_partials, batch_format="pandas"),
+            bucket_best).to_pandas()  # ≤ num_buckets rows — counted bound
+        best = best.sort_values(["c", "pair"], ascending=[False, True],
+                                kind="mergesort").head(1)
+        if len(best) == 0:
+            break
+        a, bb = best["pair"].iloc[0].split(" ")
+        merges.append({"step": np.int64(step), "lhs": a, "rhs": bb,
+                       "pair_cnt": np.int64(best["c"].iloc[0])})
+
+        def apply(b: pd.DataFrame, a=a, bb=bb) -> pd.DataFrame:
+            w = b["word"].to_numpy(object)
+            sym = b["sym"].to_numpy(object).copy()
+            if len(w) < 2:
+                return b
+            m = (w[:-1] == w[1:]) & (sym[:-1] == a) & (sym[1:] == bb)
+            mi = np.flatnonzero(m)
+            if len(mi) == 0:
+                return b
+            run_brk = np.flatnonzero(np.concatenate([[True], np.diff(mi) != 1]))
+            run_start = np.repeat(mi[run_brk],
+                                  np.diff(np.append(run_brk, len(mi))))
+            kept = mi[((mi - run_start) % 2) == 0]
+            sym[kept] = a + bb
+            drop = np.zeros(len(w), bool)
+            drop[kept + 1] = True
+            out = b.loc[~drop].copy()
+            out["sym"] = sym[~drop]
+            return out
+
+        vocab = vocab.map_batches(apply, batch_format="pandas").materialize()
+
+    return ray.data.from_pandas(pd.DataFrame(
+        merges, columns=["step", "lhs", "rhs", "pair_cnt"]))

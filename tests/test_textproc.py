@@ -497,3 +497,35 @@ def test_host_cap_sample_layout_invariant_and_capped():
         g = g.sort_values("rn")
         assert g.rn.tolist() == list(range(1, len(g) + 1))
         assert g.draw.is_monotonic_increasing
+
+
+def test_bpe_merges_greedy_overlap_and_layout_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.textstages import bpe_train_merges
+
+    # 'aaaa' forces the overlap rule: greedy left-to-right pairs (aa)(aa),
+    # so after merge 1 the pair (a,a) is GONE from 'aaaa' but 'aaa'
+    # becomes (aa) a.
+    docs = pd.DataFrame({"text": [
+        "aaaa aaaa aaaa aaaa aaaa aaaa",   # (a,a) dominates round 1
+        "aaa aaa aaa",
+        "bc bc bc bc bc",                  # (b,c) wins a later round
+        "xy",
+    ]})
+    ds = ray.data.from_pandas(docs)
+    out = bpe_train_merges(ds, n_merges=3).to_pandas()
+    assert out.iloc[0][["lhs", "rhs"]].tolist() == ["a", "a"]
+    # pair count of (a,a): words weighted by corpus frequency —
+    # 'aaaa' (3 adjacent pairs, cnt 6) + 'aaa' (2 pairs, cnt 3) = 24
+    assert out.iloc[0].pair_cnt == 3 * 6 + 2 * 3
+    # round 2: 'aaaa'->(aa)(aa) gives (aa,aa) cnt 6; 'aaa'->(aa)a gives
+    # (aa,a) cnt 3; 'bc' gives (b,c) cnt 5 -> (aa,aa) wins
+    assert out.iloc[1][["lhs", "rhs"]].tolist() == ["aa", "aa"]
+    assert out.iloc[1].pair_cnt == 6
+    # round 3: (b,c) cnt 5 beats (aa,a) cnt 3
+    assert out.iloc[2][["lhs", "rhs"]].tolist() == ["b", "c"]
+    # layout invariance: merges identical under any block structure
+    out2 = bpe_train_merges(ds.repartition(4), n_merges=3).to_pandas()
+    assert out.equals(out2)
