@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "host_cap_pages": _q_host_cap,
         "bpe_merges_docs": _q_bpe_merges,
+        "bpe_token_counts_docs": _q_bpe_token_counts,
     }
 
 
@@ -259,6 +260,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _chunk_docs_sql,
     _host_cap_sql,
     _bpe_merges_sql,
+    _bpe_token_counts_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -658,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_docs_sql(),
         "host_cap_pages": _host_cap_sql(),
         "bpe_merges_docs": _bpe_merges_sql(),
+        "bpe_token_counts_docs": _bpe_token_counts_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

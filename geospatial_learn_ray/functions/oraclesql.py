@@ -2045,13 +2045,8 @@ def _host_cap_sql(k: int = 3) -> str:
     )
 
 
-def _bpe_merges_sql(n_merges: int = 4) -> str:
-    """SQL twin of textstages.bpe_train_merges: unrolled MATERIALIZED
-    rounds (CLAUDE.md iterative-numerics rule). Greedy left-to-right merge
-    = gaps-and-islands over the matched rows (consecutive overlapping
-    matches keep even offsets), textually the same run-parity rule the
-    engine vectorizes; best pair per round is the identical total order
-    (count DESC, pair ASC)."""
+def _bpe_parts(n_merges: int) -> list[str]:
+    """Shared unrolled BPE-round CTE list (see _bpe_merges_sql)."""
     parts = [
         "wc AS MATERIALIZED (SELECT tok AS word, COUNT(*)::BIGINT AS cnt FROM ("
         "  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
@@ -2084,7 +2079,35 @@ def _bpe_merges_sql(n_merges: int = 4) -> str:
             f"LEFT JOIN k{r} k2 ON k2.word = e.word AND k2.rn = e.rn - 1 "
             "WHERE k2.rn IS NULL)",
         ]
+    return parts
+
+
+def _bpe_merges_sql(n_merges: int = 4) -> str:
+    """SQL twin of textstages.bpe_train_merges: unrolled MATERIALIZED
+    rounds (CLAUDE.md iterative-numerics rule). Greedy left-to-right merge
+    = gaps-and-islands over the matched rows (consecutive overlapping
+    matches keep even offsets), textually the same run-parity rule the
+    engine vectorizes; best pair per round is the identical total order
+    (count DESC, pair ASC)."""
     final = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, c AS pair_cnt FROM b{r}"
         for r in range(1, n_merges + 1))
-    return "WITH " + ", ".join(parts) + " " + final
+    return "WITH " + ", ".join(_bpe_parts(n_merges)) + " " + final
+
+
+def _bpe_token_counts_sql(n_merges: int = 4) -> str:
+    """SQL twin of textstages.bpe_token_counts: the final merged vocab
+    v{n} reduces to per-word token counts and joins each document's
+    distinct-word multiplicities."""
+    parts = _bpe_parts(n_merges) + [
+        f"wt AS (SELECT word, COUNT(*)::BIGINT AS n_tok FROM v{n_merges} GROUP BY word)",
+        "dw AS (SELECT doc_id, tok AS word, COUNT(*)::BIGINT AS k FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "  WHERE tok <> '' GROUP BY doc_id, tok)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT doc_id, SUM(k)::BIGINT AS n_words, "
+        "SUM(k * n_tok)::BIGINT AS n_bpe_tokens "
+        "FROM dw JOIN wt USING (word) GROUP BY doc_id"
+    )

@@ -1256,6 +1256,10 @@ def _q_bpe_merges(sf_dir: str):
     return textstages.bpe_train_merges(_rp(sf_dir, "documents", ["text"]))
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    return textstages.bpe_token_counts(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

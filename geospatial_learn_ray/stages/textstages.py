@@ -745,6 +745,15 @@ def bpe_train_merges(docs: ray.data.Dataset, text_col: str = "text",
     unrolled-CTE oracle is bit-exact).
 
     Returns (step, lhs, rhs, pair_cnt) — the learned merge table."""
+    merges, _ = _bpe_train(docs, text_col, n_merges, num_buckets)
+    return ray.data.from_pandas(pd.DataFrame(
+        merges, columns=["step", "lhs", "rhs", "pair_cnt"]))
+
+
+def _bpe_train(docs: ray.data.Dataset, text_col: str, n_merges: int,
+               num_buckets: int):
+    """Shared BPE training loop (see bpe_train_merges): returns the merge
+    list and the FINAL merged vocab dataset (word, cnt, pos, sym)."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import fnv1a64, splitmix64
@@ -850,5 +859,85 @@ def bpe_train_merges(docs: ray.data.Dataset, text_col: str = "text",
 
         vocab = vocab.map_batches(apply, batch_format="pandas").materialize()
 
-    return ray.data.from_pandas(pd.DataFrame(
-        merges, columns=["step", "lhs", "rhs", "pair_cnt"]))
+    return merges, vocab
+
+
+def bpe_token_counts(docs: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", n_merges: int = 4,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """BPE ENCODE over the corpus with the merges learned by _bpe_train:
+    per document, the word count and the token count after the first
+    ``n_merges`` merges — the sizing pass every pretraining-data budget
+    needs (tokens per doc under the target tokenizer).
+
+    Scale shape: encoding never re-runs the merge machinery per document —
+    a word's token count is a property of the WORD, so the final merged
+    vocab reduces to (word, n_tok) and joins the per-doc distinct word
+    counts through the union-tag bucketed exchange on hash(word) (the
+    _bucketed_hash_join shape — the vocab is NOT broadcast: distinct words
+    are unbounded at corpus scale). A second exchange on doc_id sums the
+    per-doc partials."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+
+    _, vocab = _bpe_train(docs, text_col, n_merges, num_buckets)
+
+    def _wpart(words: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(words)) % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def vocab_tok(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("word", sort=False).size().reset_index(name="n_tok")
+        # word-contiguous within a block, so per-block size IS the total
+        return pd.DataFrame({"word": g["word"].to_numpy(object),
+                             "n_tok": g["n_tok"].to_numpy(np.int64),
+                             "k": np.int64(0), id_col: np.int64(0),
+                             "t": np.int8(1),
+                             "_jb": _wpart(g["word"].to_numpy(object))})
+
+    def doc_words(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        d = pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(), off[1:] - off[:-1]),
+            "word": wl.values.to_pandas().to_numpy(object),
+        })
+        d = d[d["word"].str.len() > 0]
+        g = d.groupby([id_col, "word"], sort=False).size().reset_index(name="k")
+        return pd.DataFrame({"word": g["word"].to_numpy(object),
+                             "n_tok": np.int64(0),
+                             "k": g["k"].to_numpy(np.int64),
+                             id_col: g[id_col].to_numpy(np.int64),
+                             "t": np.int8(0),
+                             "_jb": _wpart(g["word"].to_numpy(object))})
+
+    def join_words(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["t"] == 0]
+        v = g[g["t"] == 1][["word", "n_tok"]]
+        m = d[[id_col, "word", "k"]].merge(v, on="word", how="inner")
+        m["n_bpe_tokens"] = m["k"].to_numpy(np.int64) * m["n_tok"].to_numpy(np.int64)
+        r = m.groupby(id_col, sort=False, as_index=False).agg(
+            n_words=("k", "sum"), n_bpe_tokens=("n_bpe_tokens", "sum"))
+        return _add_part(r, [id_col], num_buckets)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        r = g.groupby(id_col, sort=False, as_index=False)[
+            ["n_words", "n_bpe_tokens"]].sum()
+        r["n_words"] = r["n_words"].astype(np.int64)
+        r["n_bpe_tokens"] = r["n_bpe_tokens"].astype(np.int64)
+        return r
+
+    u = docs.select_columns([id_col, text_col]).map_batches(
+        doc_words, batch_format="pyarrow").union(
+        vocab.map_batches(vocab_tok, batch_format="pandas"))
+    joined = bucket_exchange(u, join_words, key="_jb")
+    return bucket_exchange(joined, per_doc, small_partials=True)

@@ -529,3 +529,24 @@ def test_bpe_merges_greedy_overlap_and_layout_invariance():
     # layout invariance: merges identical under any block structure
     out2 = bpe_train_merges(ds.repartition(4), n_merges=3).to_pandas()
     assert out.equals(out2)
+
+
+def test_bpe_token_counts_sums_merged_word_lengths():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.textstages import bpe_token_counts
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["aaaa bc", "aaa aaa bc xy", "xy"],
+    })
+    out = bpe_token_counts(ray.data.from_pandas(docs).repartition(2),
+                           n_merges=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # merges learned on THIS corpus: round 1 (a,a) cnt 3+2*2=7;
+    # round 2: 'aaaa'->(aa)(aa) cnt 1, 'aaa'->(aa)a cnt 2, (b,c) cnt 2,
+    # (x,y) cnt 2 -> ties at 2: pair ASC picks 'aa a', so aaa -> [aaa]
+    # tokenized lengths: aaaa->2, aaa->1, bc->2, xy->2
+    assert out.n_words.tolist() == [2, 4, 1]
+    assert out.n_bpe_tokens.tolist() == [2 + 2, 1 + 1 + 2 + 2, 2]
