@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap_pages": _q_host_cap,
         "bpe_merges_docs": _q_bpe_merges,
         "bpe_token_counts_docs": _q_bpe_token_counts,
+        "quality_pct_by_lang": _q_quality_pct,
     }
 
 
@@ -362,6 +363,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS bpe_tokens "
             "FROM documents"
+        ),
+        "quality_pct_by_lang": (
+            "WITH t AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio "
+            "  FROM documents), "
+            "q AS (SELECT doc_id, lang, "
+            "  ROUND(0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "        + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) AS quality FROM t) "
+            "SELECT doc_id, lang, quality, "
+            "ROUND(CASE WHEN nl > 1 THEN CAST(rk - 1 AS DOUBLE) / (nl - 1) "
+            "      ELSE CAST(0 AS DOUBLE) END, 6) AS pct_rank FROM ("
+            "  SELECT doc_id, lang, quality, "
+            "  RANK() OVER (PARTITION BY lang ORDER BY quality) AS rk, "
+            "  COUNT(*) OVER (PARTITION BY lang) AS nl FROM q)"
         ),
         "quality_scores": (
             "WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "

@@ -1260,6 +1260,11 @@ def _q_bpe_token_counts(sf_dir: str):
     return textstages.bpe_token_counts(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_quality_pct(sf_dir: str):
+    return textstages.quality_percentile_by_lang(
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

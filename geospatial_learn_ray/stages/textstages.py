@@ -941,3 +941,92 @@ def bpe_token_counts(docs: ray.data.Dataset, id_col: str = "doc_id",
         vocab.map_batches(vocab_tok, batch_format="pandas"))
     joined = bucket_exchange(u, join_words, key="_jb")
     return bucket_exchange(joined, per_doc, small_partials=True)
+
+
+def quality_percentile_by_lang(docs: ray.data.Dataset, id_col: str = "doc_id",
+                               text_col: str = "text", lang_col: str = "lang",
+                               num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-language quality-percentile calibration (the CCNet bucketing
+    step, Wenzek et al. 2020: a score is only meaningful relative to its
+    language's distribution). pct_rank = (rank_min − 1)/(N_lang − 1), SQL
+    RANK semantics (min of ties).
+
+    Scale shape: the quality score is quantized to 4 decimals
+    (round_half_away — bijective with the int key qk), so ranks come from
+    the per-(lang, qk) VALUE HISTOGRAM, never a per-row sort: one exchange
+    keyed by lang builds cumulative counts over the (small) distinct-value
+    histogram, and the union-tag bucketed join attaches (rank, N) back to
+    the doc rows — no global sort, no driver pull, the only per-lang
+    payload is the histogram."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def _sbkt(strs: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(strs)) % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = textproc.quality_scores(b[text_col])["quality"].to_numpy(np.float64)
+        qual = round_half_away(q, 4)
+        qk = round_half_away(qual * 10000.0, 0).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             lang_col: b[lang_col].to_numpy(object),
+                             "quality": qual, "qk": qk})
+
+    scored = docs.select_columns([id_col, text_col, lang_col]).map_batches(
+        score, batch_format="pandas")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([lang_col, "qk"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = _sbkt(g[lang_col].to_numpy(object))
+        return g
+
+    def hist_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        h = g.groupby([lang_col, "qk"], sort=False, as_index=False)["cnt"].sum()
+        h = h.sort_values([lang_col, "qk"], kind="mergesort")
+        h["nl"] = h.groupby(lang_col, sort=False)["cnt"].transform("sum").astype(np.int64)
+        before = h.groupby(lang_col, sort=False)["cnt"].cumsum() - h["cnt"]
+        h["rk"] = (before + 1).astype(np.int64)
+        return h[[lang_col, "qk", "rk", "nl"]]
+
+    hist = bucket_exchange(
+        scored.map_batches(hist_partial, batch_format="pandas"), hist_ranks)
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rk"] = np.int64(0)
+        b["nl"] = np.int64(0)
+        b["t"] = np.int8(0)
+        key = (b[lang_col].astype(str) + ":" + b["qk"].astype(str)).to_numpy(object)
+        b["_jb"] = _sbkt(key)
+        return b
+
+    def tag_hist(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[id_col] = np.int64(0)
+        b["quality"] = np.float64(0.0)
+        b["t"] = np.int8(1)
+        key = (b[lang_col].astype(str) + ":" + b["qk"].astype(str)).to_numpy(object)
+        b["_jb"] = _sbkt(key)
+        return b[[id_col, lang_col, "quality", "qk", "rk", "nl", "t", "_jb"]]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["t"] == 0]
+        h = g[g["t"] == 1][[lang_col, "qk", "rk", "nl"]]
+        m = d[[id_col, lang_col, "quality", "qk"]].merge(h, on=[lang_col, "qk"], how="inner")
+        rk = m["rk"].to_numpy(np.int64)
+        nl = m["nl"].to_numpy(np.int64)
+        pct = np.where(nl > 1, (rk - 1) / np.maximum(nl - 1, 1).astype(np.float64), 0.0)
+        return pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                             lang_col: m[lang_col].to_numpy(object),
+                             "quality": m["quality"].to_numpy(np.float64),
+                             "pct_rank": round_half_away(pct, 6)})
+
+    u = scored.map_batches(tag_docs, batch_format="pandas").union(
+        hist.map_batches(tag_hist, batch_format="pandas"))
+    return bucket_exchange(u, attach, key="_jb")

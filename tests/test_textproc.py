@@ -550,3 +550,35 @@ def test_bpe_token_counts_sums_merged_word_lengths():
     # tokenized lengths: aaaa->2, aaa->1, bc->2, xy->2
     assert out.n_words.tolist() == [2, 4, 1]
     assert out.n_bpe_tokens.tolist() == [2 + 2, 1 + 1 + 2 + 2, 2]
+
+
+def test_quality_percentile_matches_rank_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.textstages import quality_percentile_by_lang
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["short", "a much longer document with many many words here",
+                 "short", "mid length text here", "x", "y"],
+        "lang": ["en", "en", "en", "en", "fr", "fr"],
+    })
+    out = quality_percentile_by_lang(
+        ray.data.from_pandas(docs).repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 6
+    # RANK (min of ties): equal qualities share pct_rank; ordering
+    # within lang follows quality
+    en = out[out.lang == "en"].sort_values("quality")
+    assert en.pct_rank.is_monotonic_increasing
+    q0 = out[out.doc_id == 0]
+    q2 = out[out.doc_id == 2]
+    assert float(q0.pct_rank.iloc[0]) == float(q2.pct_rank.iloc[0])  # tie
+    assert float(en.pct_rank.min()) == 0.0
+    assert float(en.pct_rank.max()) == 1.0
+    # brute-force rank check for en
+    qs = en.quality.to_numpy()
+    for _, r in en.iterrows():
+        rk = int((qs < r.quality).sum()) + 1
+        assert abs(r.pct_rank - (rk - 1) / (len(qs) - 1)) < 5.1e-7  # 6-dec rounding
