@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_docs": _q_bpe_merges,
         "bpe_token_counts_docs": _q_bpe_token_counts,
         "quality_pct_by_lang": _q_quality_pct,
+        "incremental_dedup_docs": _q_incremental_dedup,
     }
 
 
@@ -262,6 +263,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _host_cap_sql,
     _bpe_merges_sql,
     _bpe_token_counts_sql,
+    _incremental_dedup_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -677,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap_pages": _host_cap_sql(),
         "bpe_merges_docs": _bpe_merges_sql(),
         "bpe_token_counts_docs": _bpe_token_counts_sql(),
+        "incremental_dedup_docs": _incremental_dedup_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

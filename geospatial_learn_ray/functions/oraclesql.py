@@ -2111,3 +2111,21 @@ def _bpe_token_counts_sql(n_merges: int = 4) -> str:
         "SUM(k * n_tok)::BIGINT AS n_bpe_tokens "
         "FROM dw JOIN wt USING (word) GROUP BY doc_id"
     )
+
+
+def _incremental_dedup_sql(inc_mod: int = 7, inc_rem: int = 3) -> str:
+    """SQL twin of dedup.incremental_novel_docs over the deterministic
+    base/increment split: identical fnv/splitmix content hash both sides,
+    membership = 64-bit hash equality (the store's documented criterion)."""
+    inc_inner = _sg.chain(
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {inc_mod} = {inc_rem}",
+        [("_f", _sg.fnv1a64_expr("text")), *_sg.splitmix64_steps("_f", "_h", "ic")])
+    base_inner = _sg.chain(
+        f"SELECT text FROM documents WHERE doc_id % {inc_mod} <> {inc_rem}",
+        [("_f", _sg.fnv1a64_expr("text")), *_sg.splitmix64_steps("_f", "_h", "bs")])
+    h_i64 = _sg.u64_to_i64("_h")
+    return (
+        f"WITH base AS MATERIALIZED (SELECT {_sg.u64_to_i64('_h')} AS h FROM ({base_inner})) "
+        f"SELECT doc_id, {h_i64} AS content_h FROM ({inc_inner}) "
+        "WHERE " + h_i64 + " NOT IN (SELECT h FROM base)"
+    )

@@ -1265,6 +1265,20 @@ def _q_quality_pct(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
 
+def _q_incremental_dedup(sf_dir: str):
+    import hashlib
+
+    from geospatial_learn_ray.stages import dedup as _dedup
+
+    base = _rp(sf_dir, "documents", ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % 7 != 3)
+    inc = _rp(sf_dir, "documents", ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % 7 == 3)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    store = _dedup.content_store_build(base, f"/tmp/glr_dedup_store_{tag}")
+    return _dedup.incremental_novel_docs(inc, store)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -1081,3 +1081,115 @@ def dedup_apply(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         return keep.drop(columns=["_t", "_part"])
 
     return bucket_exchange(tagged, per_bucket)
+
+
+# --- incremental (cross-snapshot) dedup store ---------------------------------
+
+def _content_hash_frame(b: pa.Table, id_col: str, text_col: str,
+                        num_parts: int) -> pd.DataFrame:
+    """(id, h, hpart) per doc: h = splitmix64(fnv1a64(text)) as the signed
+    BIGINT reinterpret, hpart = the unsigned hash mod num_parts (the store's
+    hive partition key — probe and store agree by construction)."""
+    texts = b[text_col].to_pandas().to_numpy(object)
+    old = np.seterr(over="ignore")
+    try:
+        hu = splitmix64(fnv1a64(texts))
+        hpart = (hu % np.uint64(num_parts)).astype(np.int32)
+    finally:
+        np.seterr(**old)
+    return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                         "h": hu.view(np.int64), "hpart": hpart})
+
+
+def content_store_build(docs: ray.data.Dataset, store_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_parts: int = 64) -> str:
+    """Persist the corpus CONTENT-HASH table hive-partitioned by hash
+    bucket (``hpart=K/`` dirs) — the incremental-crawl dedup layout: a new
+    snapshot probes the store co-partitioned on the same key, so the store
+    is NEVER re-shuffled and only the (small) increment's hashes move.
+    The store keeps (id, h) only — bytes per historical doc are 16, not
+    the document. Membership criterion is 64-bit hash equality (documented;
+    the SQL twin restates the identical fnv/splitmix chain, so both sides
+    agree bit-for-bit even on a collision). Idempotent per
+    (store_dir, num_parts, row count) with ivf_build_store's stale-layout
+    clearing discipline (CLAUDE.md: merged hive layouts duplicate rows)."""
+    import json
+    import os
+
+    fp = f"dedupstore-v1:{num_parts}:{docs.count()}"
+    marker = os.path.join(store_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("fp") == fp:
+                return store_dir
+    if os.path.isdir(store_dir):
+        import shutil
+
+        for d in os.listdir(store_dir):
+            p = os.path.join(store_dir, d)
+            if d.startswith("hpart="):
+                shutil.rmtree(p)
+            elif d == "_DONE":
+                os.remove(p)
+    docs.select_columns([id_col, text_col]).map_batches(
+        lambda b: _content_hash_frame(b, id_col, text_col, num_parts),
+        batch_format="pyarrow").write_parquet(store_dir, partition_cols=["hpart"])
+    os.makedirs(store_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"fp": fp}, f)
+    return store_dir
+
+
+def incremental_novel_docs(new_docs: ray.data.Dataset, store_dir: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_parts: int = 64,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """Anti-join a new snapshot against a persisted content store: returns
+    the increment rows whose content hash is NOT in the store. Path-level
+    pruning first (read only the ``hpart=`` dirs the increment actually
+    hits — a driver pull of ≤ num_parts distinct bucket ids, counted
+    bound), then the union-tag bucketed exchange on hpart does one
+    vectorized isin per co-located block. The store side ships (h) only."""
+    import os
+
+    inc = new_docs.select_columns([id_col, text_col]).map_batches(
+        lambda b: _content_hash_frame(b, id_col, text_col, num_parts),
+        batch_format="pyarrow").materialize()
+    hit_parts = sorted(int(v) for v in inc.unique("hpart"))  # ≤ num_parts
+    paths = []
+    for k in hit_parts:
+        d = os.path.join(store_dir, f"hpart={k}")
+        if os.path.isdir(d):
+            paths.extend(sorted(os.path.join(d, f) for f in os.listdir(d)
+                                if f.endswith(".parquet")))
+
+    def tag_inc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["t"] = np.int8(0)
+        return b
+
+    def tag_store(b: pd.DataFrame) -> pd.DataFrame:
+        hu = b["h"].to_numpy(np.int64).view(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            hpart = (hu % np.uint64(num_parts)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({id_col: np.int64(0), "h": b["h"].to_numpy(np.int64),
+                             "hpart": hpart, "t": np.int8(1)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["t"] == 0]
+        seen = g.loc[g["t"] == 1, "h"]
+        novel = d[~d["h"].isin(seen)]
+        return pd.DataFrame({id_col: novel[id_col].to_numpy(np.int64),
+                             "content_h": novel["h"].to_numpy(np.int64)})
+
+    if paths:
+        store = ray.data.read_parquet(paths, columns=["h"]).map_batches(
+            tag_store, batch_format="pandas")
+        u = inc.map_batches(tag_inc, batch_format="pandas").union(store)
+    else:
+        u = inc.map_batches(tag_inc, batch_format="pandas")
+    return bucket_exchange(u, anti, key="hpart")

@@ -251,3 +251,41 @@ def test_semdedup_groups_planted_dups_and_keeps_one():
     a = out.sort_values("vec_id").reset_index(drop=True)
     b = out2.sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_incremental_store_filters_seen_content_and_rebuilds_cleanly(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.dedup import (
+        content_store_build, incremental_novel_docs)
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"base document number {i}" for i in range(10)],
+    })
+    inc = pd.DataFrame({
+        "doc_id": np.arange(100, 106, dtype=np.int64),
+        "text": ["base document number 3",      # seen → dropped
+                 "base document number 7",      # seen → dropped
+                 "genuinely new content a",
+                 "genuinely new content b",
+                 "genuinely new content a",     # dup WITHIN increment: both pass
+                 "genuinely new content c"],
+    })
+    store = content_store_build(ray.data.from_pandas(base), str(tmp_path / "st"))
+    out = incremental_novel_docs(ray.data.from_pandas(inc).repartition(3), store) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [102, 103, 104, 105]
+    # idempotent: same fingerprint skips the rebuild (marker mtime probe)
+    import os
+    marker = os.path.join(store, "_DONE")
+    m0 = os.path.getmtime(marker)
+    content_store_build(ray.data.from_pandas(base), store)
+    assert os.path.getmtime(marker) == m0
+    # STALE store (different corpus size) must rebuild, not merge
+    base2 = base.head(5)
+    content_store_build(ray.data.from_pandas(base2), store)
+    out2 = incremental_novel_docs(ray.data.from_pandas(inc), store).to_pandas()
+    # doc 7 is no longer in the (smaller) store → doc 101 is novel now
+    assert 101 in set(out2.doc_id) and 100 not in set(out2.doc_id)
