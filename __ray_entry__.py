@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": _q_bpe_token_counts,
         "quality_pct_by_lang": _q_quality_pct,
         "incremental_dedup_docs": _q_incremental_dedup,
+        "hopping_window_events": _q_hopping_window,
     }
 
 
@@ -437,6 +438,14 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             f"(SELECT o_custkey FROM orders WHERE o_totalprice > {LARGE_ORDER})"
+        ),
+        "hopping_window_events": (
+            "SELECT event_type, win_start, COUNT(*)::BIGINT AS count, "
+            "ROUND(SUM(value), 4) AS sum_value FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) "
+            "    - to_microseconds(k.range * 3600000000) AS win_start, value "
+            "  FROM events, range(0, 2) k) "
+            "GROUP BY event_type, win_start"
         ),
         "window_events": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS count, "

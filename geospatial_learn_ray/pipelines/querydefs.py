@@ -1279,6 +1279,13 @@ def _q_incremental_dedup(sf_dir: str):
     return _dedup.incremental_novel_docs(inc, store)
 
 
+def _q_hopping_window(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming as _streaming
+
+    return _streaming.hopping_window(
+        _rp(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -107,3 +107,31 @@ def asof_join(
         return merged
 
     return bucket_exchange(both, per_bucket, key="_bkt")
+
+
+def hopping_window(events: ray.data.Dataset, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   window_hours: int = 2, hop_hours: int = 1) -> ray.data.Dataset:
+    """Hopping-window aggregate (overlapping windows, the streaming
+    counterpart of the tumbling `window_events` query): every event lands
+    in ``window/hop`` windows, so the map side EXPLODES each event into
+    its window starts (a bounded constant factor) and pre-aggregates
+    before the exchange — the same partial-moments shape as
+    grouped_stats, never a per-window shuffle of raw events."""
+    from .agg import grouped_stats
+
+    n_wins = window_hours // hop_hours
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = b[ts_col].dt.floor(f"{hop_hours}h")
+        frames = [pd.DataFrame({
+            key_col: b[key_col].to_numpy(object),
+            "win_start": (h - pd.Timedelta(hours=k * hop_hours)).to_numpy(),
+            value_col: b[value_col].to_numpy(np.float64),
+        }) for k in range(n_wins)]
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = events.select_columns([ts_col, key_col, value_col]).map_batches(
+        explode, batch_format="pandas")
+    return grouped_stats(exploded, [key_col, "win_start"], value_col,
+                         stats=("count", "sum"), round_to=4)

@@ -60,3 +60,28 @@ def test_grouped_stats_multi_matches_pandas():
     assert np.allclose(out["std_l_quantity"], exp["std_q"])
     assert np.allclose(out["sum_l_extendedprice"], exp["sum_e"])
     assert np.allclose(out["max_l_extendedprice"], exp["max_e"])
+
+
+def test_hopping_window_each_event_in_two_windows():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.streaming import hopping_window
+
+    ts = pd.to_datetime(["2024-01-01 10:15", "2024-01-01 10:45",
+                         "2024-01-01 11:05", "2024-01-01 13:00"])
+    ev = pd.DataFrame({"ts": ts, "event_type": ["a", "a", "a", "b"],
+                       "value": [1.0, 2.0, 4.0, 8.0]})
+    out = hopping_window(ray.data.from_pandas(ev).repartition(2)) \
+        .to_pandas().sort_values(["event_type", "win_start"]).reset_index(drop=True)
+    # window [10:00,12:00) gets all three 'a' events; [09:00,11:00) gets
+    # the two 10:xx events; [11:00,13:00) gets the 11:05 one
+    got = {(r.event_type, str(r.win_start)): (r["count"], r.sum_value)
+           for _, r in out.iterrows()}
+    assert got[("a", "2024-01-01 10:00:00")] == (3, 7.0)
+    assert got[("a", "2024-01-01 09:00:00")] == (2, 3.0)
+    assert got[("a", "2024-01-01 11:00:00")] == (1, 4.0)
+    assert got[("b", "2024-01-01 13:00:00")] == (1, 8.0)
+    assert got[("b", "2024-01-01 12:00:00")] == (1, 8.0)
+    # total multiplicity: every event appears in exactly window/hop windows
+    assert out["count"].sum() == 2 * len(ev)
