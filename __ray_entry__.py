@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_pct_by_lang": _q_quality_pct,
         "incremental_dedup_docs": _q_incremental_dedup,
         "hopping_window_events": _q_hopping_window,
+        "embedding_drift_labels": _q_embedding_drift,
     }
 
 
@@ -265,6 +266,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _bpe_merges_sql,
     _bpe_token_counts_sql,
     _incremental_dedup_sql,
+    _embedding_drift_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -689,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_docs": _bpe_merges_sql(),
         "bpe_token_counts_docs": _bpe_token_counts_sql(),
         "incremental_dedup_docs": _incremental_dedup_sql(),
+        "embedding_drift_labels": _embedding_drift_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

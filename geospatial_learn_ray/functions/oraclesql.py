@@ -2129,3 +2129,26 @@ def _incremental_dedup_sql(inc_mod: int = 7, inc_rem: int = 3) -> str:
         f"SELECT doc_id, {h_i64} AS content_h FROM ({inc_inner}) "
         "WHERE " + h_i64 + " NOT IN (SELECT h FROM base)"
     )
+
+
+def _embedding_drift_sql(dim: int = 64) -> str:
+    """SQL twin of knn.embedding_drift_by_label: exact group sum-vectors
+    (f32-valued f64 sums are order-exact at oracle scale), means by one
+    division, dot/norms as LEFT-ASSOCIATIVE 64-term chains mirroring the
+    engine's reduce order."""
+    s_cols = ", ".join(
+        f"SUM(CAST(embedding[{i + 1}] AS DOUBLE)) AS s{i}" for i in range(dim))
+    g_cols = ", ".join(f"SUM(s{i}) AS g{i}" for i in range(dim))
+    dot = " + ".join(f"(s{i} / CAST(n AS DOUBLE)) * (g{i} / CAST(ng AS DOUBLE))"
+                     for i in range(dim))
+    na = " + ".join(f"(s{i} / CAST(n AS DOUBLE)) * (s{i} / CAST(n AS DOUBLE))"
+                    for i in range(dim))
+    nb = " + ".join(f"(g{i} / CAST(ng AS DOUBLE)) * (g{i} / CAST(ng AS DOUBLE))"
+                    for i in range(dim))
+    return (
+        f"WITH s AS MATERIALIZED (SELECT label, COUNT(*)::BIGINT AS n, {s_cols} "
+        "FROM embeddings GROUP BY label), "
+        f"g AS (SELECT SUM(n)::BIGINT AS ng, {g_cols} FROM s) "
+        f"SELECT label, n, ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 9) "
+        "AS cos_to_global FROM s, g"
+    )

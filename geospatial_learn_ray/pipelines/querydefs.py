@@ -1286,6 +1286,11 @@ def _q_hopping_window(sf_dir: str):
         _rp(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def _q_embedding_drift(sf_dir: str):
+    return knn.embedding_drift_by_label(
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

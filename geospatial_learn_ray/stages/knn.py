@@ -755,3 +755,67 @@ def pq_topk_store(store_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     cols = [id_col] + [f"code_{m}" for m in range(n_sub)]
     codes = ray.data.read_parquet(store_dir, columns=cols)
     return pq_topk(codes, queries, query_ids, codebooks, k=k, id_col=id_col)
+
+
+def embedding_drift_by_label(emb: ray.data.Dataset, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             group_col: str = "label", dim: int = 64,
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-group embedding centroid drift — cosine of each group's mean
+    vector to the GLOBAL mean (the domain-shift / cluster-health monitor a
+    production embedding pipeline runs per source/day). LLM-pipeline
+    extension; no reference analogue.
+
+    Scale shape: ONE pass of per-block partial sum-vectors (np.add.at on
+    a [n_groups, dim] accumulator — a block ships ≤ groups×(dim+2) floats,
+    never rows), one exchange to exact group sums, then a driver pull of
+    ≤ #groups rows (counted bound: the group key is a small categorical).
+    Exactness: sums of ≤2^19 float32-valued f64 terms are order-exact
+    (CLAUDE.md), so group means are bit-reproducible at oracle scale; dot
+    and norms are LEFT-FOLDED in dim order, textually mirrored by the SQL
+    chain (the vote-scorer precedent)."""
+    import functools
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        lab = b[group_col].to_numpy(np.int64)
+        uniq, idx = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(S, idx, X)
+        n = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
+        out = pd.DataFrame(S, columns=[f"s{i}" for i in range(dim)])
+        out.insert(0, group_col, uniq)
+        out.insert(1, "n", n)
+        out["_part"] = (uniq % num_buckets).astype(np.int32)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        return g.groupby(group_col, sort=False, as_index=False).sum()
+
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    rows = bucket_exchange(
+        emb.select_columns([id_col, vec_col, group_col]).map_batches(
+            partial, batch_format="pandas"),
+        combine).to_pandas()  # ≤ #groups rows — counted bound
+    scols = [f"s{i}" for i in range(dim)]
+    S = rows[scols].to_numpy(np.float64)
+    n = rows["n"].to_numpy(np.int64)
+    gvec = S.sum(axis=0)  # exact: f32-valued terms (see docstring)
+    ng = int(n.sum())
+    gm = gvec / np.float64(ng)
+    M = S / n.astype(np.float64)[:, None]
+    # left-fold in dim order — mirrors the SQL's left-associative chain
+    fold = lambda terms: functools.reduce(lambda a, b: a + b, terms)  # noqa: E731
+    out = []
+    for i in range(len(rows)):
+        dot = fold([M[i, d] * gm[d] for d in range(dim)])
+        na = fold([M[i, d] * M[i, d] for d in range(dim)])
+        nb = fold([gm[d] * gm[d] for d in range(dim)])
+        out.append(dot / (np.sqrt(na) * np.sqrt(nb)))
+    res = pd.DataFrame({group_col: rows[group_col].to_numpy(np.int64),
+                        "n": n,
+                        "cos_to_global": round_half_away(np.array(out), 9)})
+    return ray.data.from_pandas(res)

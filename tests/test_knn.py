@@ -309,3 +309,34 @@ def test_lsh_planted_dup_recall():
         assert g.iloc[0].neighbor_id == q
         # the >=0.999-cosine planted copy collides in >=1 table and ranks 2nd
         assert (g.neighbor_id == q + PLANT_OFFSET).any(), q
+
+
+def test_embedding_drift_identical_group_has_cosine_one():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.knn import embedding_drift_by_label
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64).astype(np.float32)
+    # group 0: exact copies of the global direction; group 1: orthogonal-ish
+    X0 = np.tile(base, (6, 1))
+    X1 = rng.normal(size=(6, 64)).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(12, dtype=np.int64),
+        "embedding": [r for r in np.vstack([X0, X1])],
+        "label": [0] * 6 + [1] * 6,
+    })
+    out = embedding_drift_by_label(ray.data.from_pandas(df).repartition(3),
+                                   dim=64).to_pandas().set_index("label")
+    assert out.loc[0, "n"] == 6 and out.loc[1, "n"] == 6
+    assert -1.0 - 1e-9 <= out.cos_to_global.min() and out.cos_to_global.max() <= 1.0 + 1e-9
+    # all-same group: its mean IS base; drift cosine vs global reflects mix
+    m0 = base.astype(np.float64)
+    gm = np.vstack([X0, X1]).astype(np.float64).mean(axis=0)
+    exp = float(m0 @ gm / (np.linalg.norm(m0) * np.linalg.norm(gm)))
+    assert abs(out.loc[0, "cos_to_global"] - exp) < 1e-6
+    # block-structure invariance
+    out2 = embedding_drift_by_label(ray.data.from_pandas(df).repartition(5),
+                                    dim=64).to_pandas().set_index("label")
+    assert out.cos_to_global.tolist() == out2.cos_to_global.tolist()
