@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": _q_incremental_dedup,
         "hopping_window_events": _q_hopping_window,
         "embedding_drift_labels": _q_embedding_drift,
+        "media_dhash_dedup": _q_media_dhash,
     }
 
 
@@ -267,6 +268,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _bpe_token_counts_sql,
     _incremental_dedup_sql,
     _embedding_drift_sql,
+    _media_dhash_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -692,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts_docs": _bpe_token_counts_sql(),
         "incremental_dedup_docs": _incremental_dedup_sql(),
         "embedding_drift_labels": _embedding_drift_sql(),
+        "media_dhash_dedup": _media_dhash_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -2152,3 +2152,23 @@ def _embedding_drift_sql(dim: int = 64) -> str:
         f"SELECT label, n, ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 9) "
         "AS cos_to_global FROM s, g"
     )
+
+
+def _media_dhash_sql(width: int = 65) -> str:
+    """SQL twin of multimodal.dhash_dedup_stage over the GLRM fixture: the
+    payload is the first 256 text bytes (ASCII -> ascii() == the byte),
+    zero-padded to 65; bit j = byte[j] > byte[j+1] with weight 2^j summed
+    in HUGEINT then reinterpreted signed."""
+    def byte(i):  # 1-based text char index
+        return f"(CASE WHEN length(text) >= {i} THEN ascii(text[{i}]) ELSE 0 END)"
+
+    terms = " + ".join(
+        f"(CASE WHEN {byte(j + 1)} > {byte(j + 2)} THEN CAST({1 << j} AS HUGEINT) "
+        "ELSE CAST(0 AS HUGEINT) END)"
+        for j in range(64))
+    dh = _sg.u64_to_i64("_dh")
+    return (
+        f"WITH h AS MATERIALIZED (SELECT doc_id AS media_id, ({terms}) AS _dh FROM documents) "
+        f"SELECT media_id, {dh} AS dhash, "
+        "COUNT(*) OVER (PARTITION BY _dh)::BIGINT AS n_same FROM h"
+    )

@@ -1291,6 +1291,14 @@ def _q_embedding_drift(sf_dir: str):
         _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]))
 
 
+def _q_media_dhash(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    return multimodal.dhash_dedup_stage(media)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

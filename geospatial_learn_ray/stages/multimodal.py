@@ -288,3 +288,72 @@ def featurize_stage(ds: ray.data.Dataset, codec: str = "fake",
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+class DHasher:
+    """Perceptual difference-hash actor (the image near-dup fingerprint:
+    dHash, Krawetz 2013 — bit j set iff payload byte j > byte j+1 over the
+    first 65 payload bytes, zero-padded). On a real deployment the bytes
+    are the 9×8 downsampled grayscale pixels; here they are the GLRM
+    payload — the hashing plumbing, bit packing and dedup exchange are the
+    real thing. Fully vectorized off the Arrow value buffer (MediaDecoder's
+    standard)."""
+
+    WIDTH = 65  # 64 adjacent comparisons
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset : col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[col.offset : col.offset + len(col) + 1]
+        data = np.frombuffer(col.buffers()[2], np.uint8) if col.buffers()[2] is not None else np.zeros(0, np.uint8)
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        p0 = np.minimum(starts + 9, ends)  # skip the GLRM header
+        k = np.arange(self.WIDTH, dtype=np.int64)
+        idx = p0[:, None] + k[None, :]
+        valid = idx < ends[:, None]
+        safe = np.minimum(idx, max(len(data) - 1, 0))
+        mat = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.int64)
+        bits = (mat[:, :64] > mat[:, 1:65]).astype(np.uint64)
+        dh = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table({"media_id": batch["media_id"],
+                         "dhash": pa.array(dh.view(np.int64))})
+
+
+def dhash_dedup_stage(media: ray.data.Dataset, num_buckets: int = 64,
+                      concurrency=(1, 8), batch_size: int = 256) -> ray.data.Dataset:
+    """media → (media_id, dhash, n_same): hash in an actor pool (small
+    batches — wide binary rows), ONE dhash-keyed exchange attaches each
+    hash's duplicate-group size with a groupby transform. Exact-duplicate
+    groups are hash-equality groups (64-bit dHash, documented criterion —
+    the SQL twin restates the identical bit chain)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    hashed = media.map_batches(DHasher, batch_format="pyarrow",
+                               batch_size=batch_size, concurrency=concurrency,
+                               num_cpus=1)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        old = np.seterr(over="ignore")
+        try:
+            b["_part"] = (splitmix64(b["dhash"].to_numpy(np.int64).view(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return b
+
+    def count_same(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["n_same"] = g.groupby("dhash", sort=False)["media_id"] \
+            .transform("size").astype(np.int64)
+        return g
+
+    return bucket_exchange(hashed.map_batches(part, batch_format="pandas"),
+                           count_same)

@@ -260,3 +260,41 @@ def test_host_stats_counts_and_distinct_langs():
     assert out.loc["a.example", "n_langs"] == 2
     assert out.loc["b.example", "n_pages"] == 1 and out.loc["b.example", "n_langs"] == 1
     assert out.loc["", "n_pages"] == 1  # unparseable url -> empty-host bucket
+
+
+def test_dhash_dedup_groups_identical_payloads():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from geospatial_learn_ray.stages.multimodal import (
+        MAGIC, DHasher, dhash_dedup_stage)
+
+    def glrm(payload: bytes) -> bytes:
+        return MAGIC + (8).to_bytes(2, "little") + (8).to_bytes(2, "little") + b"\x03" + payload
+
+    rows = pa.table({
+        "media_id": pa.array(np.arange(5, dtype=np.int64)),
+        "media": pa.array([
+            glrm(bytes(range(70))),          # strictly increasing -> dhash 0
+            glrm(bytes(range(70))),          # identical dup
+            glrm(bytes(reversed(range(70)))),  # strictly decreasing -> all bits
+            glrm(b"ab"),                      # short payload, zero-padded
+            glrm(b""),                        # empty payload
+        ], pa.binary()),
+    })
+    out = dhash_dedup_stage(ray.data.from_arrow(rows)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert out.dhash[0] == out.dhash[1] == 0
+    # hash-0 group = the two increasing payloads + the empty payload
+    assert out.n_same[0] == 3 and out.n_same[1] == 3
+    # decreasing bytes: every comparison true over the 61 real pairs; the
+    # padded tail compares 0 > 0 = False -> bits 0..60 set... byte 61 is
+    # payload[61]=8? payload len 70 -> first 65 bytes all real, decreasing
+    # -> bits 0..63 all set -> dhash == -1 (all ones, signed)
+    assert out.dhash[2] == -1
+    assert out.n_same[2] == 1
+    # 'ab': b'a'(97) < b'b'(98) -> bit0 clear; b'b' > pad 0 -> bit1 set
+    assert out.dhash[3] == 2
+    # empty payload: all zeros -> groups with the increasing payloads
+    assert out.dhash[4] == 0 and out.n_same[4] == 3
