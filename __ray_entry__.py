@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": _q_hopping_window,
         "embedding_drift_labels": _q_embedding_drift,
         "media_dhash_dedup": _q_media_dhash,
+        "rollup_stats_docs": _q_rollup_stats,
     }
 
 
@@ -269,6 +270,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _incremental_dedup_sql,
     _embedding_drift_sql,
     _media_dhash_sql,
+    _rollup_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -695,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _incremental_dedup_sql(),
         "embedding_drift_labels": _embedding_drift_sql(),
         "media_dhash_dedup": _media_dhash_sql(),
+        "rollup_stats_docs": _rollup_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

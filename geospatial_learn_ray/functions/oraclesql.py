@@ -2172,3 +2172,20 @@ def _media_dhash_sql(width: int = 65) -> str:
         f"SELECT media_id, {dh} AS dhash, "
         "COUNT(*) OVER (PARTITION BY _dh)::BIGINT AS n_same FROM h"
     )
+
+
+def _rollup_sql(keys=("source", "lang"), value_col="n_chars",
+                sentinel="(all)") -> str:
+    """SQL twin of agg.rollup_stats: GROUP BY ROLLUP with COALESCE
+    sentinels and gid = number of rolled-up keys (GROUPING bitmask 0->0,
+    1->1, 3->2 for two keys)."""
+    k1, k2 = keys
+    return (
+        f"SELECT COALESCE({k1}, '{sentinel}') AS {k1}, "
+        f"COALESCE({k2}, '{sentinel}') AS {k2}, "
+        f"CASE GROUPING({k1}, {k2}) WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END::BIGINT AS gid, "
+        "COUNT(*)::BIGINT AS count, "
+        f"ROUND(SUM({value_col}), 4) AS sum_{value_col}, "
+        f"ROUND(SUM({value_col}) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_{value_col} "
+        f"FROM documents GROUP BY ROLLUP({k1}, {k2})"
+    )

@@ -1299,6 +1299,14 @@ def _q_media_dhash(sf_dir: str):
     return multimodal.dhash_dedup_stage(media)
 
 
+def _q_rollup_stats(sf_dir: str):
+    from geospatial_learn_ray.stages import agg as _agg
+
+    return _agg.rollup_stats(
+        _rp(sf_dir, "documents", ["source", "lang", "n_chars"]),
+        ["source", "lang"], "n_chars")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -389,3 +389,53 @@ def rmse(ds: ray.data.Dataset, col_a: str, col_b: str, round_to: int = 4) -> flo
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     return round_half_away(float(np.sqrt(parts["s"].sum() / parts["n"].sum())), round_to)
+
+
+def rollup_stats(ds: ray.data.Dataset, keys: list[str], value_col: str,
+                 round_to: int = 4, sentinel: str = "(all)",
+                 num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """ROLLUP grouping-sets aggregate in ONE pass (the dashboard rollup:
+    (k1, k2), (k1), () levels with count/sum/mean each) — SQL's
+    GROUP BY ROLLUP re-expressed as map-side per-set partials: every block
+    computes its partial moments for ALL levels at once (pre-aggregated —
+    the exchange moves ≤ Σ|set cardinalities| rows per block, never raw
+    rows × levels), one coarse exchange combines. Coarser levels are NOT
+    recomputed from raw data — they're the same partials re-keyed.
+    Superaggregate rows carry ``sentinel`` in the rolled-up key columns
+    (documented: real key values must not equal it) and ``gid`` = number
+    of rolled-up keys, matching the SQL twin's GROUPING bitmask mapping."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]  # fine → coarse
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        frames = []
+        for gid, ks in enumerate(sets):
+            if ks:
+                g = b.groupby(ks, sort=False, observed=True)[value_col] \
+                    .agg(n="size", s="sum").reset_index()
+            else:
+                g = pd.DataFrame({"n": [len(b)], "s": [float(v.sum())]})
+            for k in keys:
+                if k not in ks:
+                    g[k] = sentinel
+            g["gid"] = np.int64(gid)
+            g["n"] = g["n"].astype(np.int64)
+            frames.append(g[keys + ["gid", "n", "s"]])
+        out = pd.concat(frames, ignore_index=True)
+        return _add_part(out, keys + ["gid"], num_parts)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        c = g.groupby(keys + ["gid"], sort=False, observed=True, as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"))
+        out = c[keys + ["gid"]].copy()
+        out["count"] = c["n"].astype(np.int64)
+        out[f"sum_{value_col}"] = round_half_away(c["s"], round_to)
+        out[f"mean_{value_col}"] = round_half_away(
+            c["s"].to_numpy(np.float64) / c["n"].to_numpy(np.float64), round_to)
+        return out
+
+    from .exchange import bucket_exchange
+
+    return bucket_exchange(ds.select_columns(keys + [value_col]).map_batches(
+        partial, batch_format="pandas"), combine, small_partials=True)

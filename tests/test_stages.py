@@ -298,3 +298,31 @@ def test_dhash_dedup_groups_identical_payloads():
     assert out.dhash[3] == 2
     # empty payload: all zeros -> groups with the increasing payloads
     assert out.dhash[4] == 0 and out.n_same[4] == 3
+
+
+def test_rollup_stats_levels_are_consistent():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.agg import rollup_stats
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "a", "b", "b"],
+        "lang": ["en", "en", "fr", "en", "de"],
+        "n_chars": [10, 20, 30, 40, 50],
+    })
+    out = rollup_stats(ray.data.from_pandas(df).repartition(3),
+                       ["source", "lang"], "n_chars").to_pandas()
+    fine = out[out.gid == 0]
+    mid = out[out.gid == 1]
+    top = out[out.gid == 2]
+    assert len(fine) == 4 and len(mid) == 2 and len(top) == 1
+    # the (a, en) leaf
+    r = fine[(fine.source == "a") & (fine.lang == "en")].iloc[0]
+    assert r["count"] == 2 and r.sum_n_chars == 30.0 and r.mean_n_chars == 15.0
+    # level sums are conserved
+    assert fine["count"].sum() == mid["count"].sum() == top["count"].iloc[0] == 5
+    assert fine.sum_n_chars.sum() == top.sum_n_chars.iloc[0] == 150.0
+    # superaggregate rows carry the sentinel
+    assert (mid.lang == "(all)").all()
+    assert (top.source == "(all)").all() and (top.lang == "(all)").all()
