@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_drift_labels": _q_embedding_drift,
         "media_dhash_dedup": _q_media_dhash,
         "rollup_stats_docs": _q_rollup_stats,
+        "containment_pairs": _q_containment,
     }
 
 
@@ -271,6 +272,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _embedding_drift_sql,
     _media_dhash_sql,
     _rollup_sql,
+    _containment_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -698,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift_labels": _embedding_drift_sql(),
         "media_dhash_dedup": _media_dhash_sql(),
         "rollup_stats_docs": _rollup_sql(),
+        "containment_pairs": _containment_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -2189,3 +2189,26 @@ def _rollup_sql(keys=("source", "lang"), value_col="n_chars",
         f"ROUND(SUM({value_col}) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_{value_col} "
         f"FROM documents GROUP BY ROLLUP({k1}, {k2})"
     )
+
+
+def _containment_sql(threshold: float = 0.6, cand_threshold: float = 0.5) -> str:
+    """SQL twin of dedup.verify_containment over the MinHash candidates:
+    the shared shingle CTEs of _jaccard_verified_sql with the asymmetric
+    ratios; rounds BEFORE the GREATEST/threshold compare on both sides."""
+    return (
+        f"WITH {_minhash_ctes(cand_threshold)}, "
+        "sh3s AS (SELECT DISTINCT doc_id, tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2] AS s3 "
+        "  FROM tpos WHERE i + 2 <= len(tl)), "
+        "shc AS (SELECT doc_id, COUNT(*) AS n3 FROM sh3s GROUP BY doc_id), "
+        "inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS ni FROM mh_pairs p "
+        "  JOIN sh3s a ON a.doc_id = p.id_a JOIN sh3s b ON b.doc_id = p.id_b AND b.s3 = a.s3 "
+        "  GROUP BY p.id_a, p.id_b), "
+        "c AS (SELECT p.id_a, p.id_b, p.est_jaccard, "
+        "  ROUND(COALESCE(ni, 0)::DOUBLE / ca.n3, 6) AS cont_ab, "
+        "  ROUND(COALESCE(ni, 0)::DOUBLE / cb.n3, 6) AS cont_ba "
+        "  FROM mh_pairs p JOIN shc ca ON ca.doc_id = p.id_a JOIN shc cb ON cb.doc_id = p.id_b "
+        "  LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b) "
+        "SELECT id_a, id_b, est_jaccard, cont_ab, cont_ba, "
+        "GREATEST(cont_ab, cont_ba) AS max_cont FROM c "
+        f"WHERE GREATEST(cont_ab, cont_ba) >= CAST({threshold!r} AS DOUBLE)"
+    )

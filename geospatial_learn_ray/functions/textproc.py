@@ -486,3 +486,18 @@ def badword_counts(texts: pd.Series, words: tuple[str, ...] = BADWORDS) -> pd.Da
     pat = "\\b(?:" + "|".join(words) + ")\\b"
     n_bad = texts.astype(str).str.count(pat).astype(np.int64)
     return pd.DataFrame({"n_bad": n_bad, "kept": (n_bad == 0)})
+
+
+def containment_word_shingles(a: str, b: str, k: int = 3) -> tuple[float, float]:
+    """Exact word-k-gram CONTAINMENT pair (|A∩B|/|A|, |A∩B|/|B|) — the
+    asymmetric near-dup measure (Broder 1997): a quote or subset document
+    scores high containment at low Jaccard. Returns (-1.0, -1.0) when
+    either side has no shingles (caller drops — mirrors the SQL twin's
+    inner joins)."""
+    ta, tb = a.split(), b.split()
+    sa = {tuple(ta[i: i + k]) for i in range(max(len(ta) - k + 1, 0))}
+    sb = {tuple(tb[i: i + k]) for i in range(max(len(tb) - k + 1, 0))}
+    if not sa or not sb:
+        return -1.0, -1.0
+    ni = len(sa & sb)
+    return ni / len(sa), ni / len(sb)

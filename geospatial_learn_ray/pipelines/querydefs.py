@@ -1307,6 +1307,13 @@ def _q_rollup_stats(sf_dir: str):
         ["source", "lang"], "n_chars")
 
 
+def _q_containment(sf_dir: str):
+    pairs = dedup.minhash_dedup_pairs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    return dedup.verify_containment(
+        pairs, _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.6)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

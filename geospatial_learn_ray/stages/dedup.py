@@ -1193,3 +1193,39 @@ def incremental_novel_docs(new_docs: ray.data.Dataset, store_dir: str,
     else:
         u = inc.map_batches(tag_inc, batch_format="pandas")
     return bucket_exchange(u, anti, key="hpart")
+
+
+def verify_containment(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       shingle_k: int = 3, threshold: float = 0.6) -> ray.data.Dataset:
+    """Exact shingle CONTAINMENT verification of candidate pairs — the
+    asymmetric companion of verify_jaccard_exact (Broder 1997): keeps a
+    pair when max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold, catching
+    quote/subset relationships Jaccard misses. Texts attach through the
+    same _pair_payload_join bucketed exchanges (no corpus broadcast, no
+    driver pull); pairs with a zero-shingle side drop (the SQL twin's
+    inner joins)."""
+    joined = _pair_payload_join(
+        pairs, docs.select_columns([id_col, text_col]),
+        id_col=id_col, payload_col=text_col,
+        extra_cols=["est_jaccard"], payload_fill="",
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _pair_frame(extra={"est_jaccard": np.float64,
+                                      "cont_ab": np.float64,
+                                      "cont_ba": np.float64,
+                                      "max_cont": np.float64})
+        cs = [textproc.containment_word_shingles(ta, tb, k=shingle_k)
+              for ta, tb in zip(b[f"{text_col}_a"], b[f"{text_col}_b"])]
+        ab = round_half_away(np.array([c[0] for c in cs], np.float64), 6)
+        ba = round_half_away(np.array([c[1] for c in cs], np.float64), 6)
+        out = b.drop(columns=[f"{text_col}_a", f"{text_col}_b"]).copy()
+        out["cont_ab"] = ab
+        out["cont_ba"] = ba
+        out["max_cont"] = np.maximum(ab, ba)
+        out = out[(ab >= 0) & (out["max_cont"] >= threshold)]
+        return out
+
+    return joined.map_batches(score, batch_format="pandas")

@@ -289,3 +289,31 @@ def test_incremental_store_filters_seen_content_and_rebuilds_cleanly(tmp_path):
     out2 = incremental_novel_docs(ray.data.from_pandas(inc), store).to_pandas()
     # doc 7 is no longer in the (smaller) store → doc 101 is novel now
     assert 101 in set(out2.doc_id) and 100 not in set(out2.doc_id)
+
+
+def test_containment_flags_subset_document():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.dedup import verify_containment
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    quote = " ".join(base.split()[:10])  # strict subset -> containment 1.0
+    other = "totally different words about engines and data processing here now"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [base, quote, other],
+    })
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "id_a": [0, 0], "id_b": [1, 2], "est_jaccard": [0.5, 0.5]}))
+    out = verify_containment(pairs, ray.data.from_pandas(docs),
+                             threshold=0.6).to_pandas()
+    # quote ⊂ base: containment of the quote side is 1.0 although the
+    # jaccard is only 8/18
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.cont_ba == 1.0          # |A∩B| / |B| with B the quote
+    assert abs(r.cont_ab - 8 / 18) < 1e-6
+    assert r.max_cont == 1.0
