@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dhash_dedup": _q_media_dhash,
         "rollup_stats_docs": _q_rollup_stats,
         "containment_pairs": _q_containment,
+        "corpus_prep_docs": _q_corpus_prep,
     }
 
 
@@ -374,6 +375,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS bpe_tokens "
             "FROM documents"
+        ),
+        "corpus_prep_docs": (
+            "WITH qd AS (SELECT doc_id, text, lang FROM ("
+            "  SELECT doc_id, text, lang, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio "
+            "  FROM documents) "
+            "  WHERE ROUND(0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "        + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) >= CAST(0.5 AS DOUBLE)), "
+            "dd AS (SELECT doc_id, text, lang FROM qd "
+            "  WHERE doc_id IN (SELECT MIN(doc_id) FROM qd GROUP BY text)), "
+            "sm AS (SELECT doc_id, text, lang FROM ("
+            + _sg.chain("SELECT doc_id, text, lang FROM dd",
+                        _sg.splitmix64_steps("doc_id", "smv", "cp"))
+            + ") WHERE CAST(smv % 1000000 AS BIGINT) < CASE lang "
+            + " ".join(f"WHEN '{k}' THEN {int(round(r * 1_000_000))}" for k, r in _MIX_RATES.items())
+            + " ELSE 1000000 END), "
+            "t AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM sm), "
+            "p AS (SELECT doc_id, lang, n_tokens, "
+            "  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prefix FROM t) "
+            "SELECT doc_id, lang, n_tokens, prefix, prefix // 2048 AS seq_id, "
+            "prefix % 2048 AS offset_in_seq FROM p"
         ),
         "quality_pct_by_lang": (
             "WITH t AS (SELECT doc_id, lang, length(text)::BIGINT AS n_chars, "

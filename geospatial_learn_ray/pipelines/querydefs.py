@@ -1314,6 +1314,13 @@ def _q_containment(sf_dir: str):
         pairs, _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.6)
 
 
+def _q_corpus_prep(sf_dir: str):
+    from geospatial_learn_ray.pipelines.corpus_prep import corpus_prep
+
+    return corpus_prep(_rp(sf_dir, "documents", ["doc_id", "text", "lang"]),
+                       _MIX_RATES)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

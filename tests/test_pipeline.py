@@ -138,3 +138,24 @@ def test_resumed_output_equals_fresh(tmp_path):
 
     a, b = load(fresh_dir), load(resumed_dir)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_corpus_prep_composition_invariants():
+    import numpy as np
+    import ray.data
+    from geospatial_learn_ray.pipelines.corpus_prep import corpus_prep
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    rates = {"en": 1.0, "es": 0.75, "de": 0.5, "fr": 0.25, "zh": 0.1}
+    out = corpus_prep(docs, rates).to_pandas().sort_values("doc_id")
+    assert len(out) > 0
+    # packing invariant: prefix is the exclusive running sum in doc order
+    pref = out.prefix.to_numpy()
+    ntok = out.n_tokens.to_numpy()
+    assert pref[0] == 0
+    assert (pref[1:] == pref[:-1] + ntok[:-1]).all()
+    assert (out.seq_id == out.prefix // 2048).all()
+    # layout invariance of the whole composition
+    out2 = corpus_prep(docs.repartition(7), rates).to_pandas().sort_values("doc_id")
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
