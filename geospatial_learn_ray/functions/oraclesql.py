@@ -2212,3 +2212,22 @@ def _containment_sql(threshold: float = 0.6, cand_threshold: float = 0.5) -> str
         "GREATEST(cont_ab, cont_ba) AS max_cont FROM c "
         f"WHERE GREATEST(cont_ab, cont_ba) >= CAST({threshold!r} AS DOUBLE)"
     )
+
+
+def _jl_project_sql(out_dim: int = 8, dim: int = 64) -> str:
+    """SQL twin of knn.jl_project: the sign matrix inlined as +/- terms
+    (order-free exact sums of f32-valued f64 terms), /sqrt(k) as the
+    identical repr literal."""
+    import numpy as np
+
+    from ..stages.knn import jl_sign_matrix
+
+    S = jl_sign_matrix(dim, out_dim)
+    rt = repr(float(np.sqrt(np.float64(out_dim))))
+    cols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"({'' if S[d, j] > 0 else '-'}CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(dim))
+        cols.append(f"(({terms}) / {rt}) AS y{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"

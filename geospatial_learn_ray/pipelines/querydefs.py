@@ -1321,6 +1321,10 @@ def _q_corpus_prep(sf_dir: str):
                        _MIX_RATES)
 
 
+def _q_jl_project(sf_dir: str):
+    return knn.jl_project(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -819,3 +819,39 @@ def embedding_drift_by_label(emb: ray.data.Dataset, id_col: str = "vec_id",
                         "n": n,
                         "cos_to_global": round_half_away(np.array(out), 9)})
     return ray.data.from_pandas(res)
+
+
+def jl_sign_matrix(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix: entry (d, j) =
+    low bit of splitmix64(d·out_dim + j) — reproducible on any cluster and
+    inlinable as SQL literals."""
+    from ..functions.hashing import splitmix64
+
+    idx = np.arange(dim * out_dim, dtype=np.uint64)
+    bits = (splitmix64(idx) & np.uint64(1)).astype(np.int64)
+    return np.where(bits == 1, 1.0, -1.0).reshape(dim, out_dim)
+
+
+def jl_project(emb: ray.data.Dataset, out_dim: int = 8, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> ray.data.Dataset:
+    """Random-projection dimensionality reduction (Achlioptas 2003 ±1
+    variant of Johnson-Lindenstrauss): y = X·S/√k with S the deterministic
+    sign matrix — the cheap embedding compressor in front of clustering /
+    ANN at corpus scale. Purely map-side (the 64×8 sign matrix rides the
+    closure); BIT-EXACT oracle parity without any quantization because
+    each output is a sum of ≤2^6 float32-valued ±f64 terms — order-exact
+    in ANY summation order (CLAUDE.md), so vectorized X @ S equals SQL's
+    left-to-right chain, and the final /√k is one identical f64 op (the
+    literal is inlined in the SQL text)."""
+    S = jl_sign_matrix(dim, out_dim)
+    rt = np.sqrt(np.float64(out_dim))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Y = (X @ S) / rt
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(np.int64)})
+        for j in range(out_dim):
+            out[f"y{j}"] = Y[:, j]
+        return out
+
+    return emb.select_columns([id_col, vec_col]).map_batches(fn, batch_format="pandas")

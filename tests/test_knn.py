@@ -340,3 +340,27 @@ def test_embedding_drift_identical_group_has_cosine_one():
     out2 = embedding_drift_by_label(ray.data.from_pandas(df).repartition(5),
                                     dim=64).to_pandas().set_index("label")
     assert out.cos_to_global.tolist() == out2.cos_to_global.tolist()
+
+
+def test_jl_project_preserves_distances_approximately():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.knn import jl_project, jl_sign_matrix
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [r for r in X]})
+    out = jl_project(ray.data.from_pandas(df).repartition(3), out_dim=8) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    Y = out[[f"y{j}" for j in range(8)]].to_numpy()
+    # exact parity with the dense formula (order-free f32-valued sums)
+    S = jl_sign_matrix(64, 8)
+    exp = (X.astype(np.float64) @ S) / np.sqrt(np.float64(8))
+    assert np.array_equal(Y, exp)
+    # JL property: squared-distance ratios concentrate around 1
+    d_hi = ((X[:20].astype(np.float64) - X[20:]) ** 2).sum(axis=1)
+    d_lo = ((Y[:20] - Y[20:]) ** 2).sum(axis=1)
+    ratios = d_lo / d_hi
+    assert 0.5 < np.median(ratios) < 1.7
