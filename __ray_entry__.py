@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment,
         "corpus_prep_docs": _q_corpus_prep,
         "jl_project_vectors": _q_jl_project,
+        "corpus_shuffle_order": _q_corpus_shuffle,
     }
 
 
@@ -276,6 +277,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _rollup_sql,
     _containment_sql,
     _jl_project_sql,
+    _corpus_shuffle_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -727,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_stats_docs": _rollup_sql(),
         "containment_pairs": _containment_sql(),
         "jl_project_vectors": _jl_project_sql(),
+        "corpus_shuffle_order": _corpus_shuffle_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

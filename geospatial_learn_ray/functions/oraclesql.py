@@ -2231,3 +2231,15 @@ def _jl_project_sql(out_dim: int = 8, dim: int = 64) -> str:
             for d in range(dim))
         cols.append(f"(({terms}) / {rt}) AS y{j}")
     return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+def _corpus_shuffle_sql() -> str:
+    """SQL twin of sampling.corpus_shuffle_order: the same splitmix64
+    bijection as a signed BIGINT, rank = row_number over it (no tiebreak
+    needed — the finalizer is injective on ids)."""
+    inner = _sg.chain("SELECT doc_id FROM documents",
+                      _sg.splitmix64_steps("doc_id", "_h", "shf"))
+    return (
+        f"SELECT doc_id, hkey, row_number() OVER (ORDER BY hkey)::BIGINT AS shuffle_rank "
+        f"FROM (SELECT doc_id, {_sg.u64_to_i64('_h')} AS hkey FROM ({inner}))"
+    )

@@ -1325,6 +1325,12 @@ def _q_jl_project(sf_dir: str):
     return knn.jl_project(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def _q_corpus_shuffle(sf_dir: str):
+    from geospatial_learn_ray.stages import sampling as _sampling
+
+    return _sampling.corpus_shuffle_order(_rp(sf_dir, "documents", ["doc_id"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

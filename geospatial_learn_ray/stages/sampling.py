@@ -83,3 +83,36 @@ def weighted_sample(
 
     return ds.map_batches(partial, batch_format="pyarrow").sort(
         "skey", descending=True).limit(kn)
+
+
+def corpus_shuffle_order(docs: ray.data.Dataset,
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic global shuffle ORDER for training output: rank every
+    doc by splitmix64(doc_id) — the finalizer is a BIJECTION on uint64, so
+    distinct ids give distinct keys (no tiebreak needed) and the order is
+    reproducible on any cluster at any block structure, unlike
+    random_shuffle. The global rank rides the two-level distributed scan
+    (exclusive_prefix_sum with val=1): per-range counts → driver scan of
+    ≤ #ranges totals → per-range vectorized cumsum. A writer consuming
+    this sorts only within ranges (the ranges ARE hash-ordered)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+    from .scan import exclusive_prefix_sum
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        hk = splitmix64(b[id_col].to_numpy().astype(np.uint64)).view(np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "hkey": hk, "one": np.int64(1)})
+
+    pref = exclusive_prefix_sum(
+        docs.select_columns([id_col]).map_batches(add_key, batch_format="pandas"),
+        "hkey", "one")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "hkey": b["hkey"].to_numpy(np.int64),
+                             "shuffle_rank": b["prefix"].to_numpy(np.int64) + 1})
+
+    return pref.map_batches(finish, batch_format="pandas")

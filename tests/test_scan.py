@@ -30,3 +30,23 @@ def test_pack_sequences_budget_semantics():
     assert list(out.prefix) == [700 * i for i in range(10)]
     assert list(out.seq_id) == [700 * i // 1000 for i in range(10)]
     assert list(out.offset_in_seq) == [700 * i % 1000 for i in range(10)]
+
+
+def test_corpus_shuffle_order_is_a_permutation_and_layout_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.stages.sampling import corpus_shuffle_order
+
+    docs = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+    a = corpus_shuffle_order(ray.data.from_pandas(docs).repartition(5)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(a.shuffle_rank) == list(range(1, 201))  # a permutation
+    # rank follows the signed hkey order exactly
+    by_rank = a.sort_values("shuffle_rank")
+    assert by_rank.hkey.is_monotonic_increasing
+    # not the identity order (it's a shuffle)
+    assert a.shuffle_rank.tolist() != list(range(1, 201))
+    b = corpus_shuffle_order(ray.data.from_pandas(docs).repartition(11)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
