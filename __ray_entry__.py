@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_docs": _q_corpus_prep,
         "jl_project_vectors": _q_jl_project,
         "corpus_shuffle_order": _q_corpus_shuffle,
+        "reproject_points_laea": _q_reproject_points_laea,
     }
 
 
@@ -278,6 +279,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _containment_sql,
     _jl_project_sql,
     _corpus_shuffle_sql,
+    _laea_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -730,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_sql(),
         "jl_project_vectors": _jl_project_sql(),
         "corpus_shuffle_order": _corpus_shuffle_sql(),
+        "reproject_points_laea": _laea_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -2243,3 +2243,34 @@ def _corpus_shuffle_sql() -> str:
         f"SELECT doc_id, hkey, row_number() OVER (ORDER BY hkey)::BIGINT AS shuffle_rank "
         f"FROM (SELECT doc_id, {_sg.u64_to_i64('_h')} AS hkey FROM ({inner}))"
     )
+
+
+def _laea_sql() -> str:
+    """SQL twin of raster.reproject_points_laea: Snyder's ellipsoidal LAEA
+    with every constant a repr literal and the identical chain order, then
+    the UTM twin's f32 snap + decimeter round."""
+    from ..stages import raster as _r
+
+    R = repr(float(np.radians(1.0)))
+    E, E2 = repr(float(_r._LAEA_E)), repr(float(_r._LAEA_E2))
+    IE2 = repr(float(1.0 - _r._LAEA_E2))
+    HE = repr(float(1.0 / (2.0 * _r._LAEA_E)))
+    QP = repr(float(_r._LAEA_QP))
+    RQ = repr(float(_r._LAEA_RQ))
+    SB1, CB1 = repr(float(_r._LAEA_SB1)), repr(float(_r._LAEA_CB1))
+    D = repr(float(_r._LAEA_D))
+    return (
+        f"WITH {pages_sql()}, "
+        f"l0 AS (SELECT url, lon, lat FROM ({_located_sql()})), "
+        f"l1 AS (SELECT url, SIN(lat * {R}) AS s, "
+        f"  (lon - {repr(float(_r._LAEA_LON0))}) * {R} AS dl FROM l0), "
+        f"l2 AS (SELECT *, {IE2} * (s / (1.0 - {E2} * s * s) "
+        f"  - {HE} * LN((1.0 - {E} * s) / (1.0 + {E} * s))) AS q FROM l1), "
+        f"l3 AS (SELECT *, q / {QP} AS sb FROM l2), "
+        "l4 AS (SELECT *, SQRT(1.0 - sb * sb) AS cb, COS(dl) AS cd FROM l3), "
+        f"l5 AS (SELECT *, {RQ} * SQRT(2.0 / (1.0 + {SB1} * sb + {CB1} * (cb * cd))) AS bb FROM l4) "
+        "SELECT url, "
+        f"ROUND(CAST(CAST({repr(float(_r._LAEA_FE))} + (bb * {D}) * (cb * SIN(dl)) AS REAL) AS DOUBLE), 1) AS laea_x, "
+        f"ROUND(CAST(CAST({repr(float(_r._LAEA_FN))} + (bb / {D}) * ({CB1} * sb - {SB1} * (cb * cd)) AS REAL) AS DOUBLE), 1) AS laea_y "
+        "FROM l5"
+    )

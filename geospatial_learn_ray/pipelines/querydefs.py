@@ -1331,6 +1331,22 @@ def _q_corpus_shuffle(sf_dir: str):
     return _sampling.corpus_shuffle_order(_rp(sf_dir, "documents", ["doc_id"]))
 
 
+def _q_reproject_points_laea(sf_dir: str):
+    located = geocode_and_cells(read_pages(sf_dir, columns=["url"]), hex_res=(7,))
+    out = raster.reproject_points_laea(located, carry_cols=["url"])
+
+    def snap(b: pd.DataFrame) -> pd.DataFrame:
+        # same f32-snap + decimeter-round oracle projection as the UTM twin
+        b = b.copy()
+        for c in ("laea_x", "laea_y"):
+            b[c] = round_half_away(
+                b[c].to_numpy(np.float64).astype(np.float32).astype(np.float64), 1
+            )
+        return b
+
+    return out.map_batches(snap, batch_format="pandas")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

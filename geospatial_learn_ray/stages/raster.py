@@ -2264,3 +2264,64 @@ def orientation_stage(ds: ray.data.Dataset, side: int, thresh: float = 1.5) -> r
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- Lambert azimuthal equal-area (ETRS89-LAEA shape, EPSG:3035 params) -------
+
+_LAEA_E = np.sqrt(2.0 * _UTM_F - _UTM_F * _UTM_F)  # first eccentricity
+_LAEA_E2 = _LAEA_E * _LAEA_E
+_LAEA_LAT0, _LAEA_LON0 = 52.0, 10.0
+_LAEA_FE, _LAEA_FN = 4321000.0, 3210000.0
+
+
+def _laea_q(s: np.ndarray) -> np.ndarray:
+    """Snyder's authalic q(sinφ) — the identical float chain the SQL twin
+    spells out."""
+    return (1.0 - _LAEA_E2) * (
+        s / (1.0 - _LAEA_E2 * s * s)
+        - (1.0 / (2.0 * _LAEA_E)) * np.log((1.0 - _LAEA_E * s) / (1.0 + _LAEA_E * s)))
+
+
+_LAEA_QP = float(_laea_q(np.float64(1.0)))
+_LAEA_RQ = _UTM_A * np.sqrt(_LAEA_QP / 2.0)
+_LAEA_SB1 = float(_laea_q(np.sin(np.radians(_LAEA_LAT0)))) / _LAEA_QP
+_LAEA_CB1 = np.sqrt(1.0 - _LAEA_SB1 * _LAEA_SB1)
+_LAEA_D = (_UTM_A * np.cos(np.radians(_LAEA_LAT0))
+           / np.sqrt(1.0 - _LAEA_E2 * np.sin(np.radians(_LAEA_LAT0)) ** 2)
+           / (_LAEA_RQ * _LAEA_CB1))
+
+
+def laea_forward(lon: np.ndarray, lat: np.ndarray):
+    """WGS84 → ellipsoidal Lambert azimuthal equal-area forward (Snyder
+    1987 §24 / EPSG method 9820, EPSG:3035 parameters) — the second CRS
+    kernel beside UTM for the batchwarp analogue (reference raster.py:2591;
+    LAEA is the reference's continental-stats CRS). Same oracle recipe as
+    utm_forward: every transcendental is one numpy call mirrored textually
+    in SQL, constants inlined as repr literals. Defined for |lat| ≤ 89°
+    away from the antipode of (52, 10) — the fixture's geocode range."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    la = lat * np.radians(1.0)
+    dl = (lon - _LAEA_LON0) * np.radians(1.0)
+    s = np.sin(la)
+    q = _laea_q(s)
+    sb = q / _LAEA_QP
+    cb = np.sqrt(1.0 - sb * sb)
+    cd = np.cos(dl)
+    denom = 1.0 + _LAEA_SB1 * sb + _LAEA_CB1 * (cb * cd)
+    bb = _LAEA_RQ * np.sqrt(2.0 / denom)
+    x = _LAEA_FE + (bb * _LAEA_D) * (cb * np.sin(dl))
+    y = _LAEA_FN + (bb / _LAEA_D) * (_LAEA_CB1 * sb - _LAEA_SB1 * (cb * cd))
+    return x, y
+
+
+def reproject_points_laea(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.data.Dataset:
+    """Per-point LAEA forward — map-side, no shuffle (see laea_forward)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x, y = laea_forward(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        out = batch.select(carry_cols)
+        return (out.append_column("laea_x", pa.array(x))
+                   .append_column("laea_y", pa.array(y)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -348,3 +348,38 @@ def test_orientation_moments_reconstruct_angle():
     mu02 = (ys * ys).sum() - ys.sum() ** 2 / n
     assert out.inum == round(2 * mu11 * n)
     assert out.iden == round((mu20 - mu02) * n)
+
+
+def test_laea_is_equal_area_and_centered():
+    """Independent mathematical check (CLAUDE.md round-3 rule: expression-
+    parity oracles share bugs): the finite-difference Jacobian determinant
+    of the forward map must equal the ellipsoid area element
+    a²(1−e²)cosφ/(1−e²sin²φ)² everywhere — THE defining property of an
+    equal-area projection — and the projection center maps to the false
+    origin exactly."""
+    import numpy as np
+    from geospatial_learn_ray.stages.raster import (
+        _LAEA_E2, _LAEA_FE, _LAEA_FN, _UTM_A, laea_forward)
+
+    x0, y0 = laea_forward(np.array([10.0]), np.array([52.0]))
+    assert abs(x0[0] - _LAEA_FE) < 1e-6 and abs(y0[0] - _LAEA_FN) < 1e-6
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-120.0, 140.0, 200)
+    lat = rng.uniform(-75.0, 75.0, 200)
+    h = 1e-5  # degrees
+    xe, ye = laea_forward(lon + h, lat)
+    xw, yw = laea_forward(lon - h, lat)
+    xn, yn = laea_forward(lon, lat + h)
+    xs, ys = laea_forward(lon, lat - h)
+    dxl = (xe - xw) / (2 * h)
+    dyl = (ye - yw) / (2 * h)
+    dxp = (xn - xs) / (2 * h)
+    dyp = (yn - ys) / (2 * h)
+    det = np.abs(dxl * dyp - dxp * dyl)  # m² per deg²
+    phi = np.radians(lat)
+    sp = np.sin(phi)
+    rad = np.radians(1.0)
+    exp = (_UTM_A ** 2 * (1.0 - _LAEA_E2) * np.cos(phi)
+           / (1.0 - _LAEA_E2 * sp * sp) ** 2) * rad * rad
+    assert np.all(np.abs(det / exp - 1.0) < 1e-4)
