@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_project_vectors": _q_jl_project,
         "corpus_shuffle_order": _q_corpus_shuffle,
         "reproject_points_laea": _q_reproject_points_laea,
+        "lang_confusion_docs": _q_lang_confusion,
     }
 
 
@@ -280,6 +281,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _jl_project_sql,
     _corpus_shuffle_sql,
     _laea_sql,
+    _lang_confusion_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -733,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "jl_project_vectors": _jl_project_sql(),
         "corpus_shuffle_order": _corpus_shuffle_sql(),
         "reproject_points_laea": _laea_sql(),
+        "lang_confusion_docs": _lang_confusion_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -91,7 +91,7 @@ def _knn_pages_sql() -> str:
         "FROM r1 JOIN kth ON r1.u = kth.u WHERE rn <= 5"
     )
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(carry: tuple = ()) -> str:
     """SQL twin of functions/textproc.lang_id: per-code function-word hit
     counts (multi-char markers = whitespace-token equality, single-char CJK
     markers = substring occurrences), argmax with lexicographic tie-break,
@@ -116,9 +116,10 @@ def _lang_id_sql() -> str:
         score_cols.append(f"({' + '.join(parts)}) AS s_{code}")
     m = "GREATEST(" + ", ".join(f"s_{c}" for c in codes) + ")"
     case = " ".join(f"WHEN s_{c} = {m} THEN '{c}'" for c in codes)
+    cc = "".join(f"{c}, " for c in carry)
     return (
-        f"WITH sc AS (SELECT doc_id, {', '.join(score_cols)} FROM documents) "
-        f"SELECT doc_id, CASE WHEN {m} = 0 THEN 'und' {case} END AS lang_pred FROM sc"
+        f"WITH sc AS (SELECT doc_id, {cc}{', '.join(score_cols)} FROM documents) "
+        f"SELECT doc_id, {cc}CASE WHEN {m} = 0 THEN 'und' {case} END AS lang_pred FROM sc"
     )
 
 
@@ -2273,4 +2274,16 @@ def _laea_sql() -> str:
         f"ROUND(CAST(CAST({repr(float(_r._LAEA_FE))} + (bb * {D}) * (cb * SIN(dl)) AS REAL) AS DOUBLE), 1) AS laea_x, "
         f"ROUND(CAST(CAST({repr(float(_r._LAEA_FN))} + (bb / {D}) * ({CB1} * sb - {SB1} * (cb * cd)) AS REAL) AS DOUBLE), 1) AS laea_y "
         "FROM l5"
+    )
+
+
+def _lang_confusion_sql() -> str:
+    """SQL twin of the language-ID confusion matrix: the lang_id twin
+    carrying the true lang, then the value_counts shape (count + row-
+    normalized fraction per true language)."""
+    return (
+        f"WITH pr AS ({_lang_id_sql(carry=('lang',))}) "
+        "SELECT lang, lang_pred, COUNT(*)::BIGINT AS n, "
+        "ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac "
+        "FROM pr GROUP BY lang, lang_pred"
     )

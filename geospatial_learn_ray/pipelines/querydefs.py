@@ -1347,6 +1347,20 @@ def _q_reproject_points_laea(sf_dir: str):
     return out.map_batches(snap, batch_format="pandas")
 
 
+def _q_lang_confusion(sf_dir: str):
+    from geospatial_learn_ray.functions import textproc as _tp
+    from geospatial_learn_ray.stages import agg as _agg
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pred(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"].to_numpy(object),
+                             "lang_pred": _tp.lang_id(b["text"]).to_numpy()})
+
+    return _agg.value_counts(ds.map_batches(pred, batch_format="pandas"),
+                             ["lang"], "lang_pred")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -582,3 +582,39 @@ def test_quality_percentile_matches_rank_semantics():
     for _, r in en.iterrows():
         rk = int((qs < r.quality).sum()) + 1
         assert abs(r.pct_rank - (rk - 1) / (len(qs) - 1)) < 5.1e-7  # 6-dec rounding
+
+
+def test_lang_confusion_diagonal_dominates():
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.functions import textproc as _tp
+    from geospatial_learn_ray.stages import agg as _agg
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def pred(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"].to_numpy(object),
+                             "lang_pred": _tp.lang_id(b["text"]).to_numpy()})
+
+    out = _agg.value_counts(ds.map_batches(pred, batch_format="pandas"),
+                            ["lang"], "lang_pred").to_pandas()
+    # row-normalized fractions sum to 1 per true language; counts conserve
+    sums = out.groupby("lang")["frac"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert out.n.sum() == 500
+    # diagonal property on REAL marker text (the synthetic corpus text is
+    # engine vocabulary, so its lang labels are arbitrary metadata)
+    real = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["the cat and the dog is here",
+                 "le chat et la maison est pour les amis",
+                 "el perro y las casas es para los gatos",
+                 "the dog is the best and is here"],
+        "lang": ["en", "fr", "es", "en"],
+    })
+    out2 = _agg.value_counts(
+        ray.data.from_pandas(real).map_batches(pred, batch_format="pandas"),
+        ["lang"], "lang_pred").to_pandas()
+    for lang, g in out2.groupby("lang"):
+        assert g.sort_values("n", ascending=False).iloc[0].lang_pred == lang
