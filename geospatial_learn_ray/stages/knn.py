@@ -796,10 +796,16 @@ def embedding_drift_by_label(emb: ray.data.Dataset, id_col: str = "vec_id",
     from ..functions.rounding import round_half_away
     from .exchange import bucket_exchange
 
-    rows = bucket_exchange(
+    combined = bucket_exchange(
         emb.select_columns([id_col, vec_col, group_col]).map_batches(
             partial, batch_format="pandas"),
-        combine).to_pandas()  # ≤ #groups rows — counted bound
+        combine).materialize()
+    n_groups = combined.count()  # COUNTED before the pull, never assumed
+    if n_groups > 100_000:
+        raise ValueError(
+            f"embedding_drift_by_label: {n_groups} groups exceeds the "
+            "driver-pull bound (100k) — group by a coarser categorical")
+    rows = combined.to_pandas()
     scols = [f"s{i}" for i in range(dim)]
     S = rows[scols].to_numpy(np.float64)
     n = rows["n"].to_numpy(np.int64)
