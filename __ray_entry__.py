@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_order": _q_corpus_shuffle,
         "reproject_points_laea": _q_reproject_points_laea,
         "lang_confusion_docs": _q_lang_confusion,
+        "bm25_topk_docs": _q_bm25_topk,
     }
 
 
@@ -282,6 +283,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _corpus_shuffle_sql,
     _laea_sql,
     _lang_confusion_sql,
+    _bm25_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -736,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": _corpus_shuffle_sql(),
         "reproject_points_laea": _laea_sql(),
         "lang_confusion_docs": _lang_confusion_sql(),
+        "bm25_topk_docs": _bm25_sql(BM25_QUERIES, k=10),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -2287,3 +2287,39 @@ def _lang_confusion_sql() -> str:
         "ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac "
         "FROM pr GROUP BY lang, lang_pred"
     )
+
+
+def _bm25_sql(queries: dict[int, list[str]], k: int = 10) -> str:
+    """SQL twin of textstages.bm25_topk: exact integer tf/df/dl/N, the
+    Lucene positive-IDF BM25 chain with the engine's exact parenthesization
+    (constants CAST AS DOUBLE — the DECIMAL-literal trap), each term score
+    snapped to f32 so the per-doc SUM of ≤|query| f32-valued f64 terms is
+    order-exact, rank = row_number over (score DESC, doc_id)."""
+    vals = ", ".join(f"({q}, '{t}')" for q, ts in sorted(queries.items()) for t in ts)
+    return (
+        f"WITH qt(query_id, tok) AS (VALUES {vals}), "
+        "toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "  FROM documents), "
+        "tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks "
+        "  WHERE tok <> '' GROUP BY doc_id, tok), "
+        "dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks "
+        "  WHERE tok <> '' GROUP BY doc_id), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM toks WHERE tok <> ''), "
+        "qtf AS (SELECT * FROM tf WHERE tok IN (SELECT tok FROM qt)), "
+        "dfq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM qtf GROUP BY tok), "
+        "s AS (SELECT qt.query_id, qtf.doc_id, CAST(CAST("
+        "  ln(((n.n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) "
+        "     + CAST(1 AS DOUBLE)) "
+        "  * (tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) "
+        "  / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) "
+        "     + CAST(0.75 AS DOUBLE) * (dl.dl / (tot.tot / n.n)))) "
+        "  AS REAL) AS DOUBLE) AS s "
+        "  FROM qtf JOIN qt USING (tok) JOIN dfq USING (tok) "
+        "  JOIN dl USING (doc_id), n, tot), "
+        "agg AS (SELECT query_id, doc_id, SUM(s) AS score FROM s "
+        "  GROUP BY query_id, doc_id) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rn FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"    ORDER BY score DESC, doc_id) AS rn FROM agg) WHERE rn <= {k}"
+    )

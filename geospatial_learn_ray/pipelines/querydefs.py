@@ -1361,8 +1361,18 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+BM25_QUERIES = {0: ["hash", "join", "merge"], 1: ["window", "sort", "order"],
+                2: ["query", "filter", "scan"], 3: ["spark", "stream", "vector"]}
+
+
+def _q_bm25_topk(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return textstages.bm25_topk(ds, BM25_QUERIES, k=10)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
+    "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",
     "RIDGE_LAMBDAS", "VOTE_MODELS", "_MIX_RATES", "_rp",
     "_shape_props_sql", "_wkb_to_geojson_sql",

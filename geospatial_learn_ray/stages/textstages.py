@@ -1030,3 +1030,121 @@ def quality_percentile_by_lang(docs: ray.data.Dataset, id_col: str = "doc_id",
     u = scored.map_batches(tag_docs, batch_format="pandas").union(
         hist.map_batches(tag_hist, batch_format="pandas"))
     return bucket_exchange(u, attach, key="_jb")
+
+
+def bm25_topk(docs: ray.data.Dataset, queries: dict[int, list[str]],
+              id_col: str = "doc_id", text_col: str = "text", k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """BM25 top-k retrieval (Robertson & Walker 1994; the Lucene
+    positive-IDF variant) over the corpus for a small fixed query set —
+    the retrieval op a training-data pipeline needs for hard-negative
+    mining and retrieval-based decontamination. LLM-pipeline extension;
+    the reference's nearest analogue is the global feature-ranking sort
+    (learning.py:1073).
+
+    Scale shape: the query-term set is tiny BY DEFINITION (it is the
+    user's input), so it broadcasts; the corpus streams. Pass 1 is a
+    scalar aggregate (N, Σdl → avgdl). Pass 2 explodes each block to
+    (doc, tok, tf, dl) rows FILTERED to query terms (posting-list
+    pruning at the map — only matching rows ever leave a block), one
+    bucketed exchange on hash(tok) attaches exact df, a second on
+    hash(doc) sums per-(query, doc) scores, and ``grouped_topk`` keeps
+    k per query (its map-side pre-selection means the final exchange
+    moves ≤ k · #blocks rows). The driver never sees row data.
+
+    Oracle parity: idf and the term score are one f64 chain with the
+    exact parenthesization restated in SQL (constants CAST AS DOUBLE —
+    CLAUDE.md float-literal trap), snapped to f32 per term; per-doc
+    sums of ≤ |query| f32-valued terms are order-exact, so ranking on
+    the exact score + doc_id tiebreak is deterministic both sides."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .agg import grouped_topk
+    from .exchange import bucket_exchange
+
+    term_to_qids: dict[str, list[int]] = {}
+    for qid, terms in queries.items():
+        for t in terms:
+            term_to_qids.setdefault(t, []).append(qid)
+    qt = pd.DataFrame(
+        {"tok": np.array([t for t, qs in term_to_qids.items() for _ in qs], object),
+         "query_id": np.array([q for qs in term_to_qids.values() for q in qs], np.int64)})
+    term_set = frozenset(term_to_qids)
+
+    n_docs = float(docs.count())
+
+    def len_partial(t: pa.Table) -> pd.DataFrame:
+        wl = pc.split_pattern(t[text_col].combine_chunks()
+                              if isinstance(t[text_col], pa.ChunkedArray) else t[text_col], " ")
+        ne = int(pc.sum(pc.greater(pc.utf8_length(wl.values), 0)).as_py() or 0)
+        return pd.DataFrame({"tot": [np.int64(ne)]})
+
+    total_len = docs.select_columns([text_col]).map_batches(
+        len_partial, batch_format="pyarrow").sum("tot")
+    avgdl = float(total_len) / n_docs
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wl = pc.split_pattern(col, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        counts = off[1:] - off[:-1]
+        seg = np.repeat(np.arange(len(counts)), counts)
+        toks = wl.values.to_pandas().to_numpy(object)
+        ne = np.asarray(pc.greater(pc.utf8_length(wl.values), 0))
+        dl = np.bincount(seg[ne], minlength=len(counts)).astype(np.int64)
+        d = pd.DataFrame({id_col: np.repeat(t[id_col].to_numpy(), counts)[ne],
+                          "tok": toks[ne], "_dl": dl[seg[ne]]})
+        d = d[d["tok"].isin(term_set)]
+        if not len(d):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "tok": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype=np.int64),
+                                 "dl": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        g = d.groupby([id_col, "tok"], sort=False).agg(
+            tf=("tok", "size"), dl=("_dl", "first")).reset_index()
+        g["tf"] = g["tf"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def attach_df_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["df"] = g.groupby("tok", sort=False)["tok"].transform("size").astype(np.int64)
+        tf = g["tf"].to_numpy(np.float64)
+        df_ = g["df"].to_numpy(np.float64)
+        dl = g["dl"].to_numpy(np.float64)
+        idf = np.log(((n_docs - df_) + 0.5) / (df_ + 0.5) + 1.0)
+        s = (idf * (tf * (k1 + 1.0))
+             / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        g["s"] = s.astype(np.float32).astype(np.float64)
+        m = g[[id_col, "tok", "s"]].merge(qt, on="tok", how="inner")
+        old = np.seterr(over="ignore")
+        try:
+            m["_part"] = (splitmix64(m[id_col].to_numpy(np.int64).view(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return m[["query_id", id_col, "s", "_part"]]
+
+    scored = bucket_exchange(
+        docs.select_columns([id_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"),
+        attach_df_and_score)
+
+    def sum_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        out = g.groupby(["query_id", id_col], sort=False)["s"].sum().reset_index(name="score")
+        out["query_id"] = out["query_id"].astype(np.int64)
+        return out
+
+    sums = bucket_exchange(scored, sum_per_doc)
+    return grouped_topk(sums, "query_id", "score", k, tiebreak=id_col)

@@ -618,3 +618,52 @@ def test_lang_confusion_diagonal_dominates():
         ["lang"], "lang_pred").to_pandas()
     for lang, g in out2.groupby("lang"):
         assert g.sort_values("n", ascending=False).iloc[0].lang_pred == lang
+
+
+def test_bm25_matches_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import bm25_topk
+
+    rng = np.random.default_rng(7)
+    vocab = ["hash", "join", "merge", "scan", "sort", "the", "a", "row"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    queries = {0: ["hash", "join"], 1: ["merge", "scan", "sort"]}
+    k1, b, k = 1.2, 0.75, 5
+
+    # brute force
+    tok = [t.split(" ") for t in texts]
+    dl = np.array([sum(1 for w in ws if w) for ws in tok], np.float64)
+    n, avgdl = float(len(df)), dl.sum() / len(df)
+    rows = []
+    for qid, terms in queries.items():
+        for d in range(len(df)):
+            s = 0.0
+            for t in terms:
+                tf = float(sum(1 for w in tok[d] if w == t))
+                if tf == 0:
+                    continue
+                dfreq = float(sum(any(w == t for w in ws) for ws in tok))
+                idf = np.log(((n - dfreq) + 0.5) / (dfreq + 0.5) + 1.0)
+                s += float(np.float32(idf * (tf * (k1 + 1.0))
+                                      / (tf + k1 * ((1.0 - b) + b * (dl[d] / avgdl)))))
+            if s > 0:
+                rows.append((qid, d, s))
+    ref = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    ref["rn"] = ref.sort_values(["score", "doc_id"], ascending=[False, True]) \
+                   .groupby("query_id").cumcount() + 1
+    ref = ref[ref["rn"] <= k].sort_values(["query_id", "rn"]).reset_index(drop=True)
+
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = bm25_topk(ds, queries, k=k).to_pandas() \
+            .sort_values(["query_id", "rn"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["query_id", "doc_id", "score", "rn"]].astype(
+                {"query_id": np.int64, "doc_id": np.int64, "rn": np.int64}),
+            ref.astype({"query_id": np.int64, "doc_id": np.int64, "rn": np.int64}),
+            check_exact=True)
