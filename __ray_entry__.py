@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_points_laea": _q_reproject_points_laea,
         "lang_confusion_docs": _q_lang_confusion,
         "bm25_topk_docs": _q_bm25_topk,
+        "event_gaps_users": _q_event_gaps,
     }
 
 
@@ -739,6 +740,15 @@ def oracle_sql() -> dict[str, str]:
         "reproject_points_laea": _laea_sql(),
         "lang_confusion_docs": _lang_confusion_sql(),
         "bm25_topk_docs": _bm25_sql(BM25_QUERIES, k=10),
+        "event_gaps_users": (
+            "WITH d AS (SELECT user_id, epoch_us(ts) "
+            "  - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap "
+            "  FROM events) "
+            "SELECT user_id, COUNT(*)::BIGINT AS n_events, "
+            "COUNT(gap)::BIGINT AS n_gaps, SUM(gap)::BIGINT AS sum_gap_us, "
+            "MIN(gap)::BIGINT AS min_gap_us, MAX(gap)::BIGINT AS max_gap_us, "
+            "ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_us "
+            "FROM d GROUP BY user_id HAVING COUNT(*) >= 2"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1361,6 +1361,12 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_event_gaps(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import event_gaps
+
+    return event_gaps(_rp(sf_dir, "events", ["user_id", "ts"]))
+
+
 BM25_QUERIES = {0: ["hash", "join", "merge"], 1: ["window", "sort", "order"],
                 2: ["query", "filter", "scan"], 3: ["spark", "stream", "vector"]}
 

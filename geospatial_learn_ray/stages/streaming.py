@@ -135,3 +135,52 @@ def hopping_window(events: ray.data.Dataset, ts_col: str = "ts",
         explode, batch_format="pandas")
     return grouped_stats(exploded, [key_col, "win_start"], value_col,
                          stats=("count", "sum"), round_to=4)
+
+
+def event_gaps(ds: ray.data.Dataset, key: str = "user_id",
+               ts_col: str = "ts", num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key inter-arrival gap statistics (n_events, and the count /
+    sum / min / max / rounded mean of consecutive-event gaps in integer
+    microseconds) — the stream-health aggregate behind rate limiting and
+    bot detection. Streaming extension (SURVEY.md §2.9: the reference is
+    purely batch); keys with a single event have no gaps and drop out
+    (filter semantics, mirrored by HAVING COUNT(*) >= 2).
+
+    Scale shape: one bucketed exchange on hash(key) moves narrow
+    (key, ts) rows — like ``sessionize``, gaps need every event of a key
+    co-located, so the exchange is O(dataset) and ``small_partials``
+    stays False (exchange.py contract). The combiner is one vectorized
+    sort + diff per bucket, grouped by REAL key. Gap sums are exact
+    int64 microseconds — order-exact at any scale (never float seconds).
+
+    Ties on ts need no tiebreak: the multiset of consecutive deltas of a
+    sorted sequence is invariant to the ordering of equal timestamps."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        ks = g[key].to_numpy(np.int64)
+        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(g), bool)
+        if len(g):
+            same[1:] = ks[1:] == ks[:-1]
+        d = np.empty(len(g), np.int64)
+        if len(g):
+            d[0] = 0
+            d[1:] = us[1:] - us[:-1]
+        f = pd.DataFrame({key: ks, "gap": d, "is_gap": same})
+        agg = f.groupby(key, sort=False).agg(
+            n_events=("gap", "size"),
+            n_gaps=("is_gap", "sum"))
+        gaps = f[f["is_gap"]].groupby(key, sort=False)["gap"].agg(
+            sum_gap_us="sum", min_gap_us="min", max_gap_us="max")
+        out = agg.join(gaps, how="inner").reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_gaps"] = out["n_gaps"].astype(np.int64)
+        from ..functions.rounding import round_half_away
+        out["mean_gap_us"] = round_half_away(
+            out["sum_gap_us"].to_numpy(np.float64) / out["n_gaps"].to_numpy(np.int64), 6)
+        return out
+
+    narrow = ds.select_columns([key, ts_col])
+    return bucket_exchange(_bucket_by_key(narrow, key, num_buckets),
+                           per_bucket, key="_bkt")

@@ -85,3 +85,38 @@ def test_hopping_window_each_event_in_two_windows():
     assert got[("b", "2024-01-01 12:00:00")] == (1, 8.0)
     # total multiplicity: every event appears in exactly window/hop windows
     assert out["count"].sum() == 2 * len(ev)
+
+
+def test_event_gaps_matches_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import event_gaps
+
+    rng = np.random.default_rng(3)
+    n = 400
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": base + rng.integers(0, 10**9, n).astype("timedelta64[us]"),
+    })
+    # brute force
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        us = np.sort(g["ts"].to_numpy("datetime64[us]").astype(np.int64))
+        if len(us) < 2:
+            continue
+        d = np.diff(us)
+        rows.append((uid, len(us), len(d), d.sum(), d.min(), d.max(),
+                     round(float(d.sum()) / len(d), 6)))
+    ref = pd.DataFrame(rows, columns=["user_id", "n_events", "n_gaps",
+                                      "sum_gap_us", "min_gap_us",
+                                      "max_gap_us", "mean_gap_us"]) \
+        .sort_values("user_id").reset_index(drop=True)
+
+    for parts in (1, 9):
+        out = event_gaps(ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out.astype(ref.dtypes.to_dict()), ref, check_exact=True)
