@@ -2323,3 +2323,35 @@ def _bm25_sql(queries: dict[int, list[str]], k: int = 10) -> str:
         "  SELECT *, row_number() OVER (PARTITION BY query_id "
         f"    ORDER BY score DESC, doc_id) AS rn FROM agg) WHERE rn <= {k}"
     )
+
+
+def _hll_grouped_sql(group_col: str = "event_type", table: str = "events",
+                     key_expr: str = "CAST(user_id AS VARCHAR)") -> str:
+    """SQL twin of sketches.hll_distinct_grouped: the proven
+    splitmix64∘fnv1a64 register chain (hll_distinct_urls twin), grouped,
+    with the harmonic sum as an EXACT integer Σ 2^(53−reg) in HUGEINT —
+    no float-sum order dependence — then one identical f64 chain."""
+    from . import sqlgen as _sg
+
+    base = f"SELECT {group_col}, {key_expr} AS k FROM {table}"
+    hx = _sg.chain(base, [("_fh", _sg.fnv1a64_expr("k")),
+                          *_sg.splitmix64_steps("_fh", "_h", "g")])
+    return (
+        f"WITH hx AS MATERIALIZED ({hx}), "
+        f"r AS (SELECT {group_col}, CAST(_h // 4503599627370496 AS BIGINT) AS idx, "
+        "  LEAST(64 - CAST(FLOOR(LOG2(CAST((_h % 4503599627370496) * 4096 + 4095 "
+        "  AS DOUBLE))) AS BIGINT), 53) AS rank FROM hx), "
+        f"regs AS (SELECT {group_col}, idx, MAX(rank) AS reg FROM r "
+        f"  GROUP BY {group_col}, idx), "
+        f"s AS (SELECT {group_col}, "
+        "  SUM(9007199254740992 // (CAST(1 AS BIGINT) << reg)) "
+        "  + (4096 - COUNT(*)) * CAST(9007199254740992 AS HUGEINT) AS ssc, "
+        f"  4096 - COUNT(*) AS zeros FROM regs GROUP BY {group_col}), "
+        f"e AS (SELECT {group_col}, "
+        "  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 4096) "
+        "  * 4096 * 4096 / (CAST(ssc AS DOUBLE) / CAST(9007199254740992 AS DOUBLE)) AS est, "
+        "  zeros FROM s) "
+        f"SELECT {group_col}, ROUND(CASE WHEN est <= CAST(2.5 AS DOUBLE) * 4096 "
+        "  AND zeros > 0 THEN 4096 * LN(CAST(4096 AS DOUBLE) / zeros) "
+        "  ELSE est END, 1) AS approx_distinct FROM e"
+    )

@@ -1361,6 +1361,13 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_hll_users_by_type(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import hll_distinct_grouped
+
+    return hll_distinct_grouped(_rp(sf_dir, "events", ["event_type", "user_id"]),
+                                "event_type", "user_id")
+
+
 def _q_event_gaps(sf_dir: str):
     from geospatial_learn_ray.stages.streaming import event_gaps
 

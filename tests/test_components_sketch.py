@@ -251,3 +251,30 @@ def test_pagerank_distributed_matches_local_fixed_point():
     n = len(a)
     assert ((15 * (1 << 30)) // (100 * n)) * n <= tot <= (1 << 30)
     assert int(a["r_q"].min()) >= (15 * (1 << 30)) // (100 * n)
+
+
+def test_hll_grouped_accuracy_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.sketches import hll_distinct_grouped
+
+    rng = np.random.default_rng(11)
+    frames = []
+    truth = {}
+    for g, n_distinct in (("a", 300), ("b", 2000), ("c", 17)):
+        keys = np.array([f"{g}-key-{i}" for i in range(n_distinct)], object)
+        draw = rng.integers(0, n_distinct, n_distinct * 3)
+        frames.append(pd.DataFrame({"grp": g, "k": keys[draw]}))
+        truth[g] = len(np.unique(draw))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+
+    out1 = hll_distinct_grouped(ray.data.from_pandas(df), "grp", "k") \
+        .to_pandas().set_index("grp")["approx_distinct"]
+    out2 = hll_distinct_grouped(ray.data.from_pandas(df).repartition(13),
+                                "grp", "k").to_pandas() \
+        .set_index("grp")["approx_distinct"]
+    pd.testing.assert_series_equal(out1.sort_index(), out2.sort_index())
+    for g, t in truth.items():
+        assert abs(out1[g] - t) / t < 0.06, (g, out1[g], t)
