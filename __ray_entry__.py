@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": _q_bm25_topk,
         "event_gaps_users": _q_event_gaps,
         "hll_users_by_type": _q_hll_users_by_type,
+        "lang_temp_weights": _q_lang_temp_weights,
     }
 
 
@@ -287,6 +288,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _lang_confusion_sql,
     _bm25_sql,
     _hll_grouped_sql,
+    _lang_temp_weights_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -752,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_us "
             "FROM d GROUP BY user_id HAVING COUNT(*) >= 2"),
         "hll_users_by_type": _hll_grouped_sql(),
+        "lang_temp_weights": _lang_temp_weights_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

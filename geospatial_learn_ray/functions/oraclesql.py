@@ -2355,3 +2355,32 @@ def _hll_grouped_sql(group_col: str = "event_type", table: str = "events",
         "  AND zeros > 0 THEN 4096 * LN(CAST(4096 AS DOUBLE) / zeros) "
         "  ELSE est END, 1) AS approx_distinct FROM e"
     )
+
+
+def _lang_temp_weights_sql(rep_scale: int = 1000) -> str:
+    """SQL twin of textstages.lang_temperature_weights: α = 1/2 temperature
+    resampling with IEEE-exact SQRT, f32-snapped shares (order-exact
+    ≤ #languages denominator sum), one identical f64 weight chain, and the
+    splitmix64(doc_id) extra-rep draw against floor(frac·2^64) (clamped at
+    2^64−2^11 both sides — the f64-rounding guard at frac → 1)."""
+    from . import sqlgen as _sg
+
+    hx = _sg.chain("SELECT doc_id, lang FROM documents",
+                   [*_sg.splitmix64_steps("CAST(doc_id AS HUGEINT)", "_h", "tw")])
+    return (
+        "WITH n AS (SELECT lang, COUNT(*)::BIGINT AS nl FROM documents GROUP BY lang), "
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+        "s AS (SELECT lang, nl, CAST(CAST(SQRT(nl / t.n) AS REAL) AS DOUBLE) AS sl "
+        "  FROM n, t), "
+        "d AS (SELECT SUM(sl) AS denom FROM s), "
+        "w AS (SELECT lang, (sl / d.denom) / (nl / t.n) AS w FROM s, d, t), "
+        "wr AS (SELECT lang, w, CAST(FLOOR(w * " + f"CAST({rep_scale} AS DOUBLE)" + ") AS BIGINT) AS base, "
+        "  CAST(LEAST(FLOOR((w * " + f"CAST({rep_scale} AS DOUBLE)"
+        " - FLOOR(w * " + f"CAST({rep_scale} AS DOUBLE)" + ")) "
+        "  * CAST(18446744073709551616 AS DOUBLE)), "
+        "  CAST(18446744073709549568 AS DOUBLE)) AS HUGEINT) AS thr FROM w), "
+        f"hx AS ({hx}) "
+        "SELECT hx.doc_id, hx.lang, ROUND(wr.w, 6) AS w, "
+        "wr.base + CASE WHEN hx._h < wr.thr THEN 1 ELSE 0 END AS reps "
+        "FROM hx JOIN wr ON hx.lang = wr.lang"
+    )

@@ -1361,6 +1361,11 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_lang_temp_weights(sf_dir: str):
+    return textstages.lang_temperature_weights(
+        _rp(sf_dir, "documents", ["doc_id", "lang"]))
+
+
 def _q_hll_users_by_type(sf_dir: str):
     from geospatial_learn_ray.stages.sketches import hll_distinct_grouped
 

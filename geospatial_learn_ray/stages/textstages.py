@@ -1148,3 +1148,80 @@ def bm25_topk(docs: ray.data.Dataset, queries: dict[int, list[str]],
 
     sums = bucket_exchange(scored, sum_per_doc)
     return grouped_topk(sums, "query_id", "score", k, tiebreak=id_col)
+
+
+def lang_temperature_weights(docs: ray.data.Dataset, id_col: str = "doc_id",
+                             lang_col: str = "lang", rep_scale: int = 1000,
+                             group_bound: int = 100_000,
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Temperature-based multilingual resampling (the XLM-R α-sampling
+    shape, Conneau et al. 2020, at α = 1/2): per-language corpus shares
+    p_l are reweighted to q_l ∝ √p_l, each document carries the resample
+    weight w_l = q_l / p_l, and a deterministic id-hash draw converts the
+    fractional part of w_l · rep_scale/1000-per-mille into an integer
+    repetition count — low-resource languages up-sampled, high-resource
+    down-weighted, reproducible at any block structure (the id-hash
+    sampling pattern, never data-dependent RNG). LLM-pipeline extension;
+    no reference analogue.
+
+    Scale shape: one partial-counts exchange reduces to ≤ #languages rows
+    (a COUNTED bound — raises above ``group_bound`` like
+    ``embedding_drift_by_label``); the per-language weight table
+    broadcasts in a closure and the corpus streams through one map.
+
+    Oracle parity: α = 1/2 on purpose — √ is correctly rounded IEEE both
+    sides (POWER(p, 0.3) is a libm call with no cross-engine guarantee).
+    Each √share snaps to f32 so the ≤ #languages denominator sum is
+    order-exact; w is then one identical f64 chain, and the extra-rep
+    draw compares splitmix64(doc_id) against floor(frac · 2^64) — an
+    exact integer threshold both sides."""
+    from ..functions.hashing import splitmix64
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        g = (pd.Series(b[lang_col].to_pandas().to_numpy(object))
+             .value_counts().rename_axis(lang_col).reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parted = docs.select_columns([lang_col]).map_batches(
+        partial, batch_format="pyarrow").map_batches(
+        lambda b: _add_part(b, [lang_col]), batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(lang_col, sort=False)["n"].sum().reset_index()
+
+    counts = bucket_exchange(parted, combine, small_partials=True).materialize()
+    n_groups = counts.count()
+    if n_groups > group_bound:
+        raise ValueError(
+            f"lang_temperature_weights: {n_groups} languages exceeds the "
+            f"driver-pull bound ({group_bound}) — not a language column?")
+    tbl = counts.to_pandas().sort_values(lang_col).reset_index(drop=True)
+    n_total = float(tbl["n"].sum())
+    sl = np.sqrt(tbl["n"].to_numpy(np.int64) / n_total).astype(np.float32).astype(np.float64)
+    denom = sl.sum()  # exact: ≤ #languages f32-valued f64 terms
+    w = (sl / denom) / (tbl["n"].to_numpy(np.int64) / n_total)
+    base = np.floor(w * float(rep_scale))
+    frac = w * float(rep_scale) - base
+    thr = np.floor(frac * 2.0 ** 64)
+    lang_order = {l: i for i, l in enumerate(tbl[lang_col])}
+    w_arr = np.asarray(w, np.float64)
+    base_arr = base.astype(np.int64)
+    thr_arr = np.minimum(thr, 2.0 ** 64 - 2 ** 11).astype(np.uint64)  # frac<1 ⇒ no clamp in practice
+
+    from ..functions.rounding import round_half_away
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        langs = b[lang_col].to_pandas().to_numpy(object)
+        ids = b[id_col].to_numpy()
+        li = pd.Series(langs).map(lang_order).to_numpy(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        extra = (h < thr_arr[li]).astype(np.int64)
+        return pd.DataFrame({id_col: ids, lang_col: langs,
+                             "w": round_half_away(w_arr[li], 6),
+                             "reps": base_arr[li] + extra})
+
+    return docs.select_columns([id_col, lang_col]).map_batches(
+        assign, batch_format="pyarrow")

@@ -667,3 +667,35 @@ def test_bm25_matches_brute_force_and_block_invariant():
                 {"query_id": np.int64, "doc_id": np.int64, "rn": np.int64}),
             ref.astype({"query_id": np.int64, "doc_id": np.int64, "rn": np.int64}),
             check_exact=True)
+
+
+def test_lang_temperature_weights_properties():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import lang_temperature_weights
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(900, dtype=np.int64),
+        "lang": np.repeat(["en", "de", "xx"], [700, 170, 30]),
+    })
+    out = lang_temperature_weights(ray.data.from_pandas(df)).to_pandas()
+    out2 = lang_temperature_weights(
+        ray.data.from_pandas(df).repartition(11)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+
+    per = out.groupby("lang")["w"].first()
+    # low-resource up, high-resource down, expected reps ≈ w * 1000
+    assert per["xx"] > 1.0 > per["en"]
+    assert per["xx"] > per["de"] > per["en"]
+    reps = out.groupby("lang")["reps"].mean()
+    for lang in ("en", "de", "xx"):
+        assert abs(reps[lang] - per[lang] * 1000) < 60, (lang, reps[lang], per[lang])
+    # weighted shares: q_l = w_l * p_l must sum to 1
+    p = df["lang"].value_counts(normalize=True)
+    # w is rounded to 6 decimals in the output, so the share identity
+    # holds to ~1e-6
+    assert abs(sum(per[l] * p[l] for l in p.index) - 1.0) < 1e-5
