@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps_users": _q_event_gaps,
         "hll_users_by_type": _q_hll_users_by_type,
         "lang_temp_weights": _q_lang_temp_weights,
+        "char_entropy_docs": _q_char_entropy,
     }
 
 
@@ -755,6 +756,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY user_id HAVING COUNT(*) >= 2"),
         "hll_users_by_type": _hll_grouped_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
+        "char_entropy_docs": (
+            "WITH ch AS MATERIALIZED (SELECT doc_id, "
+            "  unnest(string_split(text, '')) AS ch FROM documents), "
+            "c AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS c FROM ch "
+            "  WHERE ch <> '' GROUP BY doc_id, ch), "
+            "n AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM ch "
+            "  WHERE ch <> '' GROUP BY doc_id), "
+            "t AS (SELECT c.doc_id, n.n, CAST(CAST("
+            "  -((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) "
+            "  AS REAL) AS DOUBLE) AS t FROM c JOIN n USING (doc_id)) "
+            "SELECT doc_id, n AS n_chars, ROUND(SUM(t), 6) AS entropy "
+            "FROM t GROUP BY doc_id, n"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1361,6 +1361,10 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_char_entropy(sf_dir: str):
+    return textstages.char_entropy(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_lang_temp_weights(sf_dir: str):
     return textstages.lang_temperature_weights(
         _rp(sf_dir, "documents", ["doc_id", "lang"]))

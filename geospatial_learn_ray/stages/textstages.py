@@ -1225,3 +1225,55 @@ def lang_temperature_weights(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, lang_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def char_entropy(docs: ray.data.Dataset, id_col: str = "doc_id",
+                 text_col: str = "text") -> ray.data.Dataset:
+    """Per-document byte-entropy quality signal H = −Σ p_b ln p_b over the
+    byte histogram — the cheap "is this text or noise" filter (RefinedWeb-
+    style heuristics; uniform-noise docs score near ln 256, natural text
+    much lower). LLM-pipeline extension; no reference analogue. The corpus
+    fixture is pure ASCII, so byte == character entropy (asserted by the
+    SQL twin's char split).
+
+    Embarrassingly parallel — no shuffle: per-(doc, byte) counts come
+    straight off the Arrow value buffer (frombuffer + one bincount on the
+    combined (row, byte) key — the MediaDecoder idiom, no per-row Python),
+    each term −(c/n)·ln(c/n) snaps to f32 so the ≤ 256-term per-doc sum
+    is order-exact, then one round. Zero-length docs have no bytes and
+    drop out (filter semantics)."""
+    from ..functions.rounding import round_half_away
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_string(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset: col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[col.offset: col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        nrows = len(lens)
+        seg = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        # string value buffers are contiguous: row i occupies
+        # data[offsets[i]:offsets[i+1]], rows adjacent
+        flat = data[offsets[0] if nrows else 0: offsets[-1] if nrows else 0]
+        key = seg * np.int64(256) + flat.astype(np.int64)
+        cnt = np.bincount(key, minlength=nrows * 256).reshape(nrows, 256)
+        rows, bts = np.nonzero(cnt)
+        c = cnt[rows, bts].astype(np.float64)
+        n = lens[rows].astype(np.float64)
+        p = c / n
+        t = (-(p * np.log(p))).astype(np.float32).astype(np.float64)
+        ent = np.zeros(nrows, np.float64)
+        np.add.at(ent, rows, t)  # ≤256 f32-valued terms per doc → order-exact
+        keep = lens > 0
+        ids = b[id_col].to_numpy()
+        return pd.DataFrame({id_col: ids[keep],
+                             "n_chars": lens[keep],
+                             "entropy": round_half_away(ent[keep], 6)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -699,3 +699,33 @@ def test_lang_temperature_weights_properties():
     # w is rounded to 6 decimals in the output, so the share identity
     # holds to ~1e-6
     assert abs(sum(per[l] * p[l] for l in p.index) - 1.0) < 1e-5
+
+
+def test_char_entropy_known_values_and_slice_safety():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import char_entropy
+
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": ["aaaa", "ab", "abcd", ""]})
+    out = char_entropy(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # "" drops out; known entropies: 0, ln2, ln4
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_chars"].tolist() == [4, 2, 4]
+    np.testing.assert_allclose(
+        out["entropy"].to_numpy(),
+        [0.0, np.log(2.0), np.log(4.0)], atol=2e-6)
+
+    # sliced/offset Arrow input (non-zero col.offset) must read correctly
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(["xx", "yy", "aaaa", "ab", "abcd", "zz"])})
+    sliced = tbl.slice(2, 3)
+    ds = ray.data.from_arrow(sliced)
+    out2 = char_entropy(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        out2["entropy"].to_numpy(),
+        [0.0, np.log(2.0), np.log(4.0)], atol=2e-6)
