@@ -32,6 +32,7 @@ from typing import Any
 
 import numpy as np
 
+from geospatial_learn_ray.sources.events import delayed_events_sql as _delayed_events_sql
 from geospatial_learn_ray.sources.pages import pages_sql
 from geospatial_learn_ray.sources.polygons import pip_sql, polygons_sql
 from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, tiles_sql
@@ -222,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "lang_temp_weights": _q_lang_temp_weights,
         "char_entropy_docs": _q_char_entropy,
+        "late_events_watermark": _q_late_events,
     }
 
 
@@ -768,6 +770,14 @@ def oracle_sql() -> dict[str, str]:
             "  AS REAL) AS DOUBLE) AS t FROM c JOIN n USING (doc_id)) "
             "SELECT doc_id, n AS n_chars, ROUND(SUM(t), 6) AS entropy "
             "FROM t GROUP BY doc_id, n"),
+        "late_events_watermark": (
+            "WITH " + _delayed_events_sql() + ", "
+            "w AS (SELECT event_id, etime_us, COALESCE(MAX(etime_us) OVER ("
+            "  ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "  etime_us) AS pmax FROM delayed) "
+            "SELECT event_id, pmax - 300000000 AS watermark_us, "
+            "CAST(CASE WHEN etime_us < pmax - 300000000 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS is_late FROM w"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1361,6 +1361,13 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_late_events(sf_dir: str):
+    from geospatial_learn_ray.sources.events import read_delayed_events
+    from geospatial_learn_ray.stages.streaming import late_events
+
+    return late_events(read_delayed_events(sf_dir))
+
+
 def _q_char_entropy(sf_dir: str):
     return textstages.char_entropy(_rp(sf_dir, "documents", ["doc_id", "text"]))
 

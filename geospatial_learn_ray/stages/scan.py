@@ -88,3 +88,51 @@ def pack_sequences(ds: ray.data.Dataset, budget: int, key: str = "doc_id",
         return b
 
     return pref.map_batches(finish, batch_format="pandas")
+
+
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def exclusive_prefix_max(ds: ray.data.Dataset, key: str, val: str,
+                         num_ranges: int = 64) -> ray.data.Dataset:
+    """Add ``prefix_max`` = max of ``val`` over all rows with a smaller
+    ``key`` (exclusive running max in global ``key`` order; keys unique;
+    identity = INT64_MIN for the first row). Same two-level shape as
+    ``exclusive_prefix_sum`` — per-range partial maxes (K rows), driver
+    scan over K values, one vectorized per-range pass behind a bucket
+    exchange. The running-max is the event-time WATERMARK primitive."""
+    width = _bucket_width(ds, key, num_ranges)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b[key].to_numpy(np.int64) // width)
+        return (pd.DataFrame({"r": r, "m": b[val].to_numpy(np.int64)})
+                .groupby("r", sort=False).max().reset_index())
+
+    totals = (ds.map_batches(partials, batch_format="pandas")
+              .groupby("r").max("m").to_pandas().sort_values("r"))
+    m = totals["max(m)"].to_numpy(np.int64)
+    # exclusive running max over the K sorted range maxes
+    excl = np.concatenate([[_I64_MIN], np.maximum.accumulate(m)[:-1]])
+    offsets = dict(zip(totals["r"].astype(int), excl))
+    ref = ray.put(offsets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_rng"] = (b[key].to_numpy(np.int64) // width).astype(np.int32)
+        return b
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out_frames = []
+        for r, fr in g.groupby("_rng", sort=False):
+            fr = fr.sort_values(key)
+            v = fr[val].to_numpy(np.int64)
+            run = np.maximum.accumulate(v)
+            prev = np.concatenate([[_I64_MIN], run[:-1]])
+            fr = fr.drop(columns=["_rng"]).copy()
+            fr["prefix_max"] = np.maximum(prev, np.int64(off[int(r)]))
+            out_frames.append(fr)
+        return pd.concat(out_frames, ignore_index=True)
+
+    return bucket_exchange(ds.map_batches(add_bucket, batch_format="pandas"),
+                           per_range, key="_rng")

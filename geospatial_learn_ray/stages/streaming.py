@@ -184,3 +184,34 @@ def event_gaps(ds: ray.data.Dataset, key: str = "user_id",
     narrow = ds.select_columns([key, ts_col])
     return bucket_exchange(_bucket_by_key(narrow, key, num_buckets),
                            per_bucket, key="_bkt")
+
+
+def late_events(ds: ray.data.Dataset, order_col: str = "event_id",
+                time_col: str = "etime_us",
+                lateness_us: int = 300_000_000) -> ray.data.Dataset:
+    """Event-time watermark / late-data tagging (the Beam/Flink
+    allowed-lateness semantic, SURVEY.md §2.9): processing the log in
+    ``order_col`` (arrival) order, the watermark before each record is
+    (max event time seen so far) − ``lateness_us``; a record whose event
+    time falls below it is LATE (a windowed aggregate would have already
+    closed its window). Streaming extension; no reference analogue.
+
+    Scale shape: the running max rides ``scan.exclusive_prefix_max`` —
+    per-range partials, a driver scan over K range maxes (K ≈ cluster
+    width, never O(rows)), one vectorized per-range pass. All arithmetic
+    is exact int64 microseconds; the first record coalesces the empty
+    watermark to its own event time (never late)."""
+    from .scan import exclusive_prefix_max
+
+    pm = exclusive_prefix_max(ds, order_col, time_col)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        et = b[time_col].to_numpy(np.int64)
+        prev = b["prefix_max"].to_numpy(np.int64)
+        pmax = np.where(prev == np.int64(np.iinfo(np.int64).min), et, prev)
+        wm = pmax - np.int64(lateness_us)
+        return pd.DataFrame({order_col: b[order_col].to_numpy(np.int64),
+                             "watermark_us": wm,
+                             "is_late": (et < wm).astype(np.int64)})
+
+    return pm.map_batches(finish, batch_format="pandas")

@@ -120,3 +120,34 @@ def test_event_gaps_matches_brute_force_and_block_invariant():
             .to_pandas().sort_values("user_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             out.astype(ref.dtypes.to_dict()), ref, check_exact=True)
+
+
+def test_late_events_matches_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import late_events
+
+    rng = np.random.default_rng(5)
+    n = 500
+    arrival = np.cumsum(rng.integers(1, 10**7, n)).astype(np.int64)
+    delay = np.where(rng.random(n) < 0.3,
+                     rng.integers(0, 5 * 10**7, n), 0).astype(np.int64)
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "etime_us": arrival - delay})
+    lateness = 10**7
+
+    run = np.maximum.accumulate(df["etime_us"].to_numpy())
+    pmax = np.concatenate([[df["etime_us"].iloc[0]], run[:-1]])
+    wm = pmax - lateness
+    ref = pd.DataFrame({"event_id": df["event_id"], "watermark_us": wm,
+                        "is_late": (df["etime_us"].to_numpy() < wm).astype(np.int64)})
+    assert ref["is_late"].sum() > 0  # fixture actually has late events
+
+    for parts in (1, 13):
+        out = late_events(ray.data.from_pandas(df).repartition(parts),
+                          lateness_us=lateness).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref.reset_index(drop=True),
+                                      check_exact=True)
