@@ -2384,3 +2384,26 @@ def _lang_temp_weights_sql(rep_scale: int = 1000) -> str:
         "wr.base + CASE WHEN hx._h < wr.thr THEN 1 ELSE 0 END AS reps "
         "FROM hx JOIN wr ON hx.lang = wr.lang"
     )
+
+
+def _snapshot_diff_sql() -> str:
+    """SQL twin of cdc.snapshot_diff over the v1/v2 snapshot fixtures:
+    fnv1a64 content hashes (equality-by-hash, identical predicate to the
+    engine), full outer join on doc_id, unchanged rows dropped."""
+    from . import sqlgen as _sg
+    from ..sources.snapshots import snapshot_sql
+
+    def h(src: str, tag: str) -> str:
+        return _sg.chain(f"SELECT doc_id, text FROM {src}",
+                         [(f"_h_{tag}", _sg.fnv1a64_expr("text"))])
+
+    return (
+        f"WITH {snapshot_sql(1)}, {snapshot_sql(2)}, "
+        f"h1 AS ({h('v1', 'a')}), h2 AS ({h('v2', 'b')}), "
+        "j AS (SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id, "
+        "  h1._h_a AS ha, h2._h_b AS hb "
+        "  FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id) "
+        "SELECT doc_id, CASE WHEN ha IS NULL THEN 'added' "
+        "WHEN hb IS NULL THEN 'removed' ELSE 'changed' END AS change "
+        "FROM j WHERE ha IS NULL OR hb IS NULL OR ha <> hb"
+    )

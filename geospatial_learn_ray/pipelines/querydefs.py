@@ -1361,6 +1361,13 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    from geospatial_learn_ray.sources.snapshots import read_snapshot
+    from geospatial_learn_ray.stages.cdc import snapshot_diff
+
+    return snapshot_diff(read_snapshot(sf_dir, 1), read_snapshot(sf_dir, 2))
+
+
 def _q_late_events(sf_dir: str):
     from geospatial_learn_ray.sources.events import read_delayed_events
     from geospatial_learn_ray.stages.streaming import late_events

@@ -317,3 +317,28 @@ def test_containment_flags_subset_document():
     assert r.cont_ba == 1.0          # |A∩B| / |B| with B the quote
     assert abs(r.cont_ab - 8 / 18) < 1e-6
     assert r.max_cont == 1.0
+
+
+def test_snapshot_diff_classes_and_block_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.cdc import snapshot_diff
+
+    v1 = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "text": [f"doc {i}" for i in range(10)]})
+    # v2: drop 0-1, change 2-3, keep 4-9, add 100-101
+    v2 = pd.DataFrame({
+        "doc_id": np.array(list(range(2, 10)) + [100, 101], np.int64),
+        "text": ["doc 2 EDIT", "doc 3 EDIT"] + [f"doc {i}" for i in range(4, 10)]
+                + ["new a", "new b"]})
+    expect = {0: "removed", 1: "removed", 2: "changed", 3: "changed",
+              100: "added", 101: "added"}
+
+    for parts in (1, 5):
+        out = snapshot_diff(ray.data.from_pandas(v1).repartition(parts),
+                            ray.data.from_pandas(v2).repartition(parts)) \
+            .to_pandas()
+        got = dict(zip(out["doc_id"], out["change"]))
+        assert got == expect
