@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": _q_char_entropy,
         "late_events_watermark": _q_late_events,
         "snapshot_diff_docs": _q_snapshot_diff,
+        "triangle_count_hosts": _q_triangle_hosts,
     }
 
 
@@ -294,6 +295,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _hll_grouped_sql,
     _lang_temp_weights_sql,
     _snapshot_diff_sql,
+    _triangle_sql,
     _media_frame_sample_sql,
     _media_resize_sql,
     _min_rect_sql,
@@ -781,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN etime_us < pmax - 300000000 THEN 1 ELSE 0 END AS BIGINT) "
             "AS is_late FROM w"),
         "snapshot_diff_docs": _snapshot_diff_sql(),
+        "triangle_count_hosts": _triangle_sql(),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -2407,3 +2407,41 @@ def _snapshot_diff_sql() -> str:
         "WHEN hb IS NULL THEN 'removed' ELSE 'changed' END AS change "
         "FROM j WHERE ha IS NULL OR hb IS NULL OR ha <> hb"
     )
+
+
+def _triangle_sql(out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.triangle_count_hosts: identical hash-derived host
+    edges (the pagerank twin's lk fragment), undirected simple graph,
+    degree-(id) oriented wedges, closing-edge join — all integer counts."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "tr")])
+    return (
+        f"WITH {pages_sql()}, "
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner})), "
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM lk WHERE src <> dst), "
+        "nd AS MATERIALIZED (SELECT node, COUNT(*)::BIGINT AS deg FROM ("
+        "  SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue) "
+        "  GROUP BY node), "
+        "ornt AS MATERIALIZED (SELECT "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v) "
+        "    THEN u ELSE v END AS s, "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v) "
+        "    THEN v ELSE u END AS t "
+        "  FROM ue JOIN nd da ON da.node = ue.u JOIN nd db ON db.node = ue.v), "
+        "wd AS MATERIALIZED (SELECT e1.t AS a, e2.t AS b "
+        "  FROM ornt e1 JOIN ornt e2 ON e1.s = e2.s "
+        "  JOIN nd d1 ON d1.node = e1.t JOIN nd d2 ON d2.node = e2.t "
+        "  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND e1.t < e2.t)) "
+        "SELECT (SELECT COUNT(*) FROM ue) AS n_edges, "
+        "(SELECT COUNT(*) FROM wd) AS n_wedges, "
+        "(SELECT COUNT(*) FROM wd JOIN ornt "
+        "  ON ornt.s = wd.a AND ornt.t = wd.b) AS n_triangles"
+    )

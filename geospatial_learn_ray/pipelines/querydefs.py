@@ -1361,6 +1361,12 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_triangle_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages import graph as _graph
+
+    return _graph.triangle_count_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_snapshot_diff(sf_dir: str):
     from geospatial_learn_ray.sources.snapshots import read_snapshot
     from geospatial_learn_ray.stages.cdc import snapshot_diff

@@ -278,3 +278,28 @@ def test_hll_grouped_accuracy_and_block_invariant():
     pd.testing.assert_series_equal(out1.sort_index(), out2.sort_index())
     for g, t in truth.items():
         assert abs(out1[g] - t) / t < 0.06, (g, out1[g], t)
+
+
+def test_triangle_count_matches_dense_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.graph import host_edges, triangle_count_hosts
+
+    urls = [f"https://site-{i % 37}.example/web/{i}" for i in range(400)]
+    pages = ray.data.from_pandas(pd.DataFrame({"url": urls})).repartition(7)
+
+    e = host_edges(pages).to_pandas()
+    n = 1000
+    A = np.zeros((n, n), np.int64)
+    m = e["src"].to_numpy() != e["dst"].to_numpy()
+    A[e["src"].to_numpy()[m], e["dst"].to_numpy()[m]] = 1
+    A = np.maximum(A, A.T)
+    expected_tri = int(np.trace(A @ A @ A) // 6)
+    expected_edges = int(A.sum() // 2)
+
+    out = triangle_count_hosts(pages).to_pandas().iloc[0]
+    assert out["n_edges"] == expected_edges
+    assert out["n_triangles"] == expected_tri
+    assert out["n_wedges"] >= out["n_triangles"]
