@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_watermark": _q_late_events,
         "snapshot_diff_docs": _q_snapshot_diff,
         "triangle_count_hosts": _q_triangle_hosts,
+        "trimmed_stats_lineitem": _q_trimmed_stats,
     }
 
 
@@ -784,6 +785,31 @@ def oracle_sql() -> dict[str, str]:
             "AS is_late FROM w"),
         "snapshot_diff_docs": _snapshot_diff_sql(),
         "triangle_count_hosts": _triangle_sql(),
+        "trimmed_stats_lineitem": (
+            "WITH v AS (SELECT l_returnflag, l_linestatus, "
+            "  CAST(FLOOR(ABS(l_extendedprice*100.0) + 0.5)*SIGN(l_extendedprice) AS BIGINT) AS c "
+            "  FROM lineitem), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus "
+            "    ORDER BY c) AS rn, "
+            "  COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n FROM v), "
+            "b AS (SELECT l_returnflag, l_linestatus, ANY_VALUE(n) AS n, "
+            "  n - 2*(n//10) AS m, "
+            "  MAX(CASE WHEN rn = n//10 + 1 THEN c END) AS lo, "
+            "  MAX(CASE WHEN rn = n - n//10 THEN c END) AS hi, "
+            "  SUM(CASE WHEN rn > n//10 AND rn <= n - n//10 THEN c ELSE 0 END) AS tsum "
+            "  FROM r GROUP BY l_returnflag, l_linestatus, n - 2*(n//10) "
+            "  HAVING n - 2*(n//10) > 0), "
+            "w AS (SELECT r.l_returnflag, r.l_linestatus, "
+            "  SUM(LEAST(GREATEST(r.c, b.lo), b.hi)) AS wsum "
+            "  FROM r JOIN b ON r.l_returnflag = b.l_returnflag "
+            "  AND r.l_linestatus = b.l_linestatus "
+            "  GROUP BY r.l_returnflag, r.l_linestatus) "
+            "SELECT b.l_returnflag, b.l_linestatus, b.n::BIGINT AS n, "
+            "b.m::BIGINT AS n_kept, "
+            "ROUND(CAST(b.tsum AS DOUBLE) / (b.m * 100), 6) AS trimmed_mean, "
+            "ROUND(CAST(w.wsum AS DOUBLE) / (b.n * 100), 6) AS winsor_mean "
+            "FROM b JOIN w ON b.l_returnflag = w.l_returnflag "
+            "AND b.l_linestatus = w.l_linestatus"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

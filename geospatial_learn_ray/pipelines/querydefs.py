@@ -1361,6 +1361,13 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_trimmed_stats(sf_dir: str):
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return agg.grouped_trimmed_stats(ds, ["l_returnflag", "l_linestatus"],
+                                     "l_extendedprice")
+
+
 def _q_triangle_hosts(sf_dir: str):
     from geospatial_learn_ray.stages import graph as _graph
 

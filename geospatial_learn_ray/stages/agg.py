@@ -439,3 +439,53 @@ def rollup_stats(ds: ray.data.Dataset, keys: list[str], value_col: str,
 
     return bucket_exchange(ds.select_columns(keys + [value_col]).map_batches(
         partial, batch_format="pandas"), combine, small_partials=True)
+
+
+def grouped_trimmed_stats(ds: ray.data.Dataset, keys: list[str] | str,
+                          value_col: str, trim_frac_denom: int = 10,
+                          num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Robust per-group stats: the 10 %-trimmed mean (drop the lowest and
+    highest n//10 values by rank) and the winsorized mean (clamp to the
+    trim boundaries) — the outlier-resistant aggregates a data-quality
+    dashboard wants next to zonal_stats' moments (reference analogue: the
+    stat dispatch in shape.py:1023's ``stat=`` family).
+
+    Exactness: values are converted to integer CENTS map-side
+    (round_half_away(x·100) — CLAUDE.md: raw float sums of
+    non-representable decimals are order-dependent at scale), so every
+    sum is an exact int64 in any order; ties at the trim boundary are
+    harmless because equal values are interchangeable in both the kept
+    multiset and the clamp. Holistic shape: raw (key, cents) rows
+    hash-shuffle on the coarse ``_part`` bucket (small_partials stays
+    False — exchange.py contract), one vectorized pass per real group."""
+    from ..functions.rounding import round_half_away as _rha
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys].copy()
+        out["c"] = _rha(b[value_col].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        return _add_part(out, keys, num_parts)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in g.groupby(keys, sort=False, observed=True):
+            c = np.sort(grp["c"].to_numpy(np.int64))
+            n = len(c)
+            t = n // trim_frac_denom
+            m = n - 2 * t
+            if m <= 0:
+                continue
+            kept = c[t:n - t]
+            lo, hi = kept[0], kept[-1]
+            tsum = int(kept.sum())
+            wsum = int(np.clip(c, lo, hi).sum())
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, np.int64(n), np.int64(m),
+                         _rha(np.float64(tsum) / (m * 100), 6),
+                         _rha(np.float64(wsum) / (n * 100), 6)))
+        return pd.DataFrame(rows, columns=[*keys, "n", "n_kept",
+                                           "trimmed_mean", "winsor_mean"])
+
+    parted = ds.map_batches(prep, batch_format="pandas")
+    return bucket_exchange(parted, per_part)

@@ -326,3 +326,36 @@ def test_rollup_stats_levels_are_consistent():
     # superaggregate rows carry the sentinel
     assert (mid.lang == "(all)").all()
     assert (top.source == "(all)").all() and (top.lang == "(all)").all()
+
+
+def test_grouped_trimmed_stats_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages import agg
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 500),
+        "x": np.round(rng.normal(100, 30, 500), 2),
+    })
+    # plant outliers that trimming must reject
+    df.loc[:4, "x"] = 1e6
+
+    out = agg.grouped_trimmed_stats(
+        ray.data.from_pandas(df).repartition(9), "k", "x") \
+        .to_pandas().set_index("k").sort_index()
+
+    for k, g in df.groupby("k"):
+        c = np.sort(np.floor(np.abs(g["x"].to_numpy() * 100) + 0.5).astype(np.int64)
+                    * np.sign(g["x"].to_numpy()).astype(np.int64))
+        n = len(c)
+        t = n // 10
+        kept = c[t:n - t]
+        assert out.loc[k, "n"] == n and out.loc[k, "n_kept"] == len(kept)
+        assert abs(out.loc[k, "trimmed_mean"] - kept.sum() / (len(kept) * 100)) < 1e-6
+        ws = np.clip(c, kept[0], kept[-1]).sum()
+        assert abs(out.loc[k, "winsor_mean"] - ws / (n * 100)) < 1e-6
+        # outliers rejected: trimmed mean near 100, raw mean far above
+        assert out.loc[k, "trimmed_mean"] < 200
