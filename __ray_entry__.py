@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_docs": _q_snapshot_diff,
         "triangle_count_hosts": _q_triangle_hosts,
         "trimmed_stats_lineitem": _q_trimmed_stats,
+        "robots_blocked_pages": _q_robots_blocklist,
     }
 
 
@@ -810,6 +811,19 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(w.wsum AS DOUBLE) / (b.n * 100), 6) AS winsor_mean "
             "FROM b JOIN w ON b.l_returnflag = w.l_returnflag "
             "AND b.l_linestatus = w.l_linestatus"),
+        "robots_blocked_pages": (
+            f"WITH {pages_sql(cols='url')}, "
+            "hp AS (SELECT url, regexp_extract(url, '^https?://([^/]+)(/.*)?$', 1) AS host, "
+            "  COALESCE(NULLIF(regexp_extract(url, '^https?://([^/]+)(/.*)?$', 2), ''), '/') AS path "
+            "  FROM pages) "
+            "SELECT url, CAST(CASE "
+            "  WHEN host = 'site-7.example' AND starts_with(path, '/') THEN 0 "
+            "  WHEN starts_with(path, '/src3/') THEN 1 "
+            "  WHEN host = 'site-13.example' AND starts_with(path, '/src1') THEN 2 "
+            "  END AS BIGINT) AS rule_id "
+            "FROM hp WHERE host = 'site-7.example' "
+            "OR starts_with(path, '/src3/') "
+            "OR (host = 'site-13.example' AND starts_with(path, '/src1'))"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1361,6 +1361,10 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_robots_blocklist(sf_dir: str):
+    return textstages.robots_blocklist(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_trimmed_stats(sf_dir: str):
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_extendedprice"])

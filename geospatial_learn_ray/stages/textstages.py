@@ -1277,3 +1277,45 @@ def char_entropy(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+ROBOTS_RULES: tuple[tuple[str, str], ...] = (
+    ("site-7.example", "/"),      # whole host blocked
+    ("*", "/src3/"),              # path prefix on every host
+    ("site-13.example", "/src1"),  # bare prefix: matches /src1, /src10..19
+)
+
+
+def robots_blocklist(pages: ray.data.Dataset, url_col: str = "url",
+                     rules: tuple[tuple[str, str], ...] = ROBOTS_RULES
+                     ) -> ray.data.Dataset:
+    """Robots-style URL blocklist: ordered (host | '*', path-prefix) rules,
+    first match wins, blocked urls emitted with the matching rule id — the
+    crawl-policy filter every web corpus applies before processing
+    (reference analogue: the sqlfilter/filter_shp predicate family).
+
+    Map-only, no shuffle: the rule list is tiny BY DEFINITION (it is
+    operator input) and evaluates as one vectorized startswith per rule
+    with a first-match running mask — never a per-row Python loop."""
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        urls = b[url_col].to_pandas()
+        m = urls.str.extract(r"^https?://([^/]+)(/.*)?$")
+        host = m[0].fillna("").to_numpy(object)
+        path = m[1].fillna("/").to_numpy(object)
+        rule_id = np.full(len(urls), -1, np.int64)
+        unassigned = np.ones(len(urls), bool)
+        hs = pd.Series(host)
+        ps = pd.Series(path)
+        for i, (h, p) in enumerate(rules):
+            hit = (ps.str.startswith(p).to_numpy()
+                   & (np.full(len(urls), True) if h == "*"
+                      else (hs == h).to_numpy()))
+            take = hit & unassigned
+            rule_id[take] = i
+            unassigned &= ~hit
+        keep = rule_id >= 0
+        return pd.DataFrame({url_col: urls.to_numpy(object)[keep],
+                             "rule_id": rule_id[keep]})
+
+    return pages.select_columns([url_col]).map_batches(fn, batch_format="pyarrow")

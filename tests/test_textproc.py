@@ -729,3 +729,23 @@ def test_char_entropy_known_values_and_slice_safety():
     np.testing.assert_allclose(
         out2["entropy"].to_numpy(),
         [0.0, np.log(2.0), np.log(4.0)], atol=2e-6)
+
+
+def test_robots_blocklist_precedence_and_prefix_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import robots_blocklist
+
+    urls = [
+        "https://site-7.example/src3/1",    # host rule 0 wins over rule 1
+        "https://site-2.example/src3/2",    # rule 1 (wildcard path)
+        "https://site-13.example/src14/3",  # rule 2: '/src1' prefix matches src14
+        "https://site-13.example/src2/4",   # no rule
+        "https://site-5.example/src9/5",    # no rule
+    ]
+    out = robots_blocklist(
+        ray.data.from_pandas(pd.DataFrame({"url": urls})).repartition(2)) \
+        .to_pandas().set_index("url")["rule_id"]
+    assert out.to_dict() == {urls[0]: 0, urls[1]: 1, urls[2]: 2}
