@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_hosts": _q_triangle_hosts,
         "trimmed_stats_lineitem": _q_trimmed_stats,
         "robots_blocked_pages": _q_robots_blocklist,
+        "daily_users_events": _q_daily_users,
     }
 
 
@@ -824,6 +825,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM hp WHERE host = 'site-7.example' "
             "OR starts_with(path, '/src3/') "
             "OR (host = 'site-13.example' AND starts_with(path, '/src1'))"),
+        "daily_users_events": (
+            "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "fd AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id), "
+            "ad AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS active_users "
+            "  FROM e GROUP BY day), "
+            "nd AS (SELECT first_day AS day, COUNT(*)::BIGINT AS new_users "
+            "  FROM fd GROUP BY first_day), "
+            "ev AS (SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n_events "
+            "  FROM events GROUP BY day) "
+            "SELECT STRFTIME(ev.day, '%Y-%m-%d') AS day, n_events, active_users, "
+            "COALESCE(new_users, 0) AS new_users, "
+            "active_users - COALESCE(new_users, 0) AS returning_users, "
+            "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY ev.day) AS BIGINT) "
+            "AS cum_users "
+            "FROM ev JOIN ad USING (day) LEFT JOIN nd ON nd.day = ev.day"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

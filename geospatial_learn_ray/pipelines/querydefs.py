@@ -1361,6 +1361,12 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_daily_users(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import daily_user_accounting
+
+    return daily_user_accounting(_rp(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_robots_blocklist(sf_dir: str):
     return textstages.robots_blocklist(read_pages(sf_dir, columns=["url"]))
 

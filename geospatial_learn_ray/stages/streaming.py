@@ -215,3 +215,81 @@ def late_events(ds: ray.data.Dataset, order_col: str = "event_id",
                              "is_late": (et < wm).astype(np.int64)})
 
     return pm.map_batches(finish, batch_format="pandas")
+
+
+def daily_user_accounting(ds: ray.data.Dataset, key: str = "user_id",
+                          ts_col: str = "ts", num_buckets: int = 64,
+                          day_bound: int = 100_000) -> ray.data.Dataset:
+    """Per-day new / returning / cumulative user accounting — the growth
+    dashboard every event log feeds (daily active users, first-seen
+    cohorts, cumulative reach). Streaming-analytics extension
+    (SURVEY.md §2.9); no reference analogue.
+
+    Scale shape: exchange 1 co-locates each user's DISTINCT (user, day)
+    pairs (locally pre-deduped per block, so a power user ships #blocks
+    rows, not their event count) and tags each day with whether it is the
+    user's first; exchange 2 sums per-day partials (new/active from
+    exchange 1, raw event counts map-side from the events themselves).
+    Only the per-DAY table reaches the driver for the cumulative scan —
+    a COUNTED bound (≤ ``day_bound`` rows; a day span is a calendar,
+    not a corpus)."""
+    from .exchange import bucket_exchange
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "day": b[ts_col].to_numpy("datetime64[D]").astype(np.int64),
+        }).drop_duplicates()
+        d["_bkt"] = (splitmix64(d[key].to_numpy(np.int64).astype(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return d
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key, "day"]].drop_duplicates()
+        first = g.groupby(key, sort=False)["day"].transform("min")
+        out = pd.DataFrame({"day": g["day"].to_numpy(np.int64),
+                            "active": np.int64(1),
+                            "new": (g["day"].to_numpy(np.int64)
+                                    == first.to_numpy(np.int64)).astype(np.int64),
+                            "n_ev": np.int64(0)})
+        agg = out.groupby("day", sort=False, as_index=False).sum()
+        agg["_bkt"] = (splitmix64(agg["day"].to_numpy(np.int64).astype(np.uint64))
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return agg
+
+    user_days = bucket_exchange(
+        ds.select_columns([key, ts_col]).map_batches(pairs, batch_format="pandas"),
+        per_user, key="_bkt")
+
+    def ev_counts(b: pd.DataFrame) -> pd.DataFrame:
+        d = (pd.DataFrame({"day": b[ts_col].to_numpy("datetime64[D]").astype(np.int64)})
+             .groupby("day", sort=False).size().reset_index(name="n_ev"))
+        d["active"] = np.int64(0)
+        d["new"] = np.int64(0)
+        d["n_ev"] = d["n_ev"].astype(np.int64)
+        d["_bkt"] = (splitmix64(d["day"].to_numpy(np.int64).astype(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return d[["day", "active", "new", "n_ev", "_bkt"]]
+
+    both = user_days.union(
+        ds.select_columns([ts_col]).map_batches(ev_counts, batch_format="pandas"))
+
+    per_day = bucket_exchange(
+        both,
+        lambda g: g.groupby("day", sort=False, as_index=False)
+                   [["active", "new", "n_ev"]].sum(),
+        key="_bkt", small_partials=True).materialize()
+
+    n_days = per_day.count()
+    if n_days > day_bound:
+        raise ValueError(f"daily_user_accounting: {n_days} days exceeds the "
+                         f"driver-pull bound ({day_bound})")
+    t = per_day.to_pandas().sort_values("day").reset_index(drop=True)
+    return ray.data.from_pandas(pd.DataFrame({
+        "day": t["day"].to_numpy(np.int64).astype("datetime64[D]").astype(str),
+        "n_events": t["n_ev"].to_numpy(np.int64),
+        "active_users": t["active"].to_numpy(np.int64),
+        "new_users": t["new"].to_numpy(np.int64),
+        "returning_users": (t["active"] - t["new"]).to_numpy(np.int64),
+        "cum_users": np.cumsum(t["new"].to_numpy(np.int64)),
+    }))

@@ -151,3 +151,40 @@ def test_late_events_matches_brute_force_and_block_invariant():
             .sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(out, ref.reset_index(drop=True),
                                       check_exact=True)
+
+
+def test_daily_user_accounting_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import daily_user_accounting
+
+    rng = np.random.default_rng(9)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": (np.datetime64("2024-03-01", "us")
+               + rng.integers(0, 12 * 86_400_000_000, n).astype("timedelta64[us]")),
+    })
+    day = df["ts"].to_numpy("datetime64[D]")
+    first = df.assign(day=day).groupby("user_id")["day"].min()
+    ref_rows = []
+    cum = 0
+    for d in np.unique(day):
+        sub = df[day == d]
+        active = sub["user_id"].nunique()
+        new = int((first == d).sum() if (first == d).any() else 0)
+        new = int(sum(1 for u in sub["user_id"].unique() if first[u] == d))
+        cum += new
+        ref_rows.append((str(d), len(sub), active, new, active - new, cum))
+    ref = pd.DataFrame(ref_rows, columns=["day", "n_events", "active_users",
+                                          "new_users", "returning_users",
+                                          "cum_users"])
+
+    for parts in (1, 11):
+        out = daily_user_accounting(
+            ray.data.from_pandas(df).repartition(parts)).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out.astype(ref.dtypes.to_dict()), ref, check_exact=True)
