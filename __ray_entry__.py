@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_stats_lineitem": _q_trimmed_stats,
         "robots_blocked_pages": _q_robots_blocklist,
         "daily_users_events": _q_daily_users,
+        "funnel_conversion_users": _q_funnel,
     }
 
 
@@ -840,6 +841,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY ev.day) AS BIGINT) "
             "AS cum_users "
             "FROM ev JOIN ad USING (day) LEFT JOIN nd ON nd.day = ev.day"),
+        "funnel_conversion_users": (
+            "WITH a AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us "
+            "  FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "b AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us "
+            "  FROM events e JOIN a ON a.user_id = e.user_id "
+            "  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= a.signup_us "
+            "  GROUP BY e.user_id) "
+            "SELECT a.user_id, a.signup_us, "
+            "COALESCE(b.purchase_us, -1) AS purchase_us, "
+            "CAST(CASE WHEN b.purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+            "AS converted, "
+            "COALESCE(b.purchase_us - a.signup_us, -1) AS ttc_us "
+            "FROM a LEFT JOIN b ON a.user_id = b.user_id"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

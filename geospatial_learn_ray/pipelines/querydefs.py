@@ -1361,6 +1361,13 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_funnel(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import funnel_conversion
+
+    return funnel_conversion(_rp(sf_dir, "events",
+                                 ["user_id", "ts", "event_type"]))
+
+
 def _q_daily_users(sf_dir: str):
     from geospatial_learn_ray.stages.streaming import daily_user_accounting
 

@@ -293,3 +293,57 @@ def daily_user_accounting(ds: ray.data.Dataset, key: str = "user_id",
         "returning_users": (t["active"] - t["new"]).to_numpy(np.int64),
         "cum_users": np.cumsum(t["new"].to_numpy(np.int64)),
     }))
+
+
+def funnel_conversion(ds: ray.data.Dataset, key: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      step_a: str = "signup", step_b: str = "purchase",
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Two-step funnel per key: the first ``step_a`` event, the first
+    ``step_b`` event at or after it, a conversion flag and the
+    time-to-convert in exact integer microseconds — the product-analytics
+    query every event log answers (signup → purchase). Streaming-analytics
+    extension (SURVEY.md §2.9); no reference analogue. Keys that never
+    reach ``step_a`` drop out (filter semantics).
+
+    Scale shape: the map filters to the two step types (~60 % of rows
+    never leave the block here) and pre-reduces per block — one min-a row
+    per key, distinct b rows (min-b-after-a is not block-decomposable
+    without a, so b candidates ship; they are a funnel step, not the
+    firehose). One key-hash exchange, then a fully vectorized
+    merge + filter + groupby-min per bucket."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        et = b[type_col].to_numpy(object)
+        m = (et == step_a) | (et == step_b)
+        d = pd.DataFrame({
+            key: b[key].to_numpy(np.int64)[m],
+            "tus": b[ts_col].to_numpy("datetime64[us]").astype(np.int64)[m],
+            "is_a": (et[m] == step_a).astype(np.int8),
+        })
+        a = (d[d["is_a"] == 1].groupby(key, sort=False, as_index=False)["tus"]
+             .min().assign(is_a=np.int8(1)))
+        bb = d[d["is_a"] == 0].drop_duplicates()
+        out = pd.concat([a[[key, "tus", "is_a"]], bb], ignore_index=True)
+        out["_bkt"] = (splitmix64(out[key].to_numpy(np.int64).astype(np.uint64))
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a0 = g[g["is_a"] == 1].groupby(key, sort=False)["tus"].min().rename("signup_us")
+        bc = g[g["is_a"] == 0][[key, "tus"]].merge(a0, on=key)
+        b0 = (bc[bc["tus"] >= bc["signup_us"]]
+              .groupby(key, sort=False)["tus"].min().rename("purchase_us"))
+        out = a0.to_frame().join(b0, how="left").reset_index()
+        conv = out["purchase_us"].notna().to_numpy()
+        p = out["purchase_us"].fillna(-1).to_numpy(np.int64)
+        s = out["signup_us"].to_numpy(np.int64)
+        return pd.DataFrame({key: out[key].to_numpy(np.int64),
+                             "signup_us": s,
+                             "purchase_us": np.where(conv, p, np.int64(-1)),
+                             "converted": conv.astype(np.int64),
+                             "ttc_us": np.where(conv, p - s, np.int64(-1))})
+
+    narrow = ds.select_columns([key, ts_col, type_col])
+    return bucket_exchange(narrow.map_batches(prep, batch_format="pandas"),
+                           per_user, key="_bkt")

@@ -188,3 +188,38 @@ def test_daily_user_accounting_brute_force_and_block_invariant():
             .sort_values("day").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             out.astype(ref.dtypes.to_dict()), ref, check_exact=True)
+
+
+def test_funnel_conversion_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import funnel_conversion
+
+    base = np.datetime64("2024-05-01", "us")
+    rows = []
+    # user 0: signup then purchase (converted)
+    rows += [(0, 10, "signup"), (0, 50, "purchase")]
+    # user 1: purchase BEFORE signup only (not converted)
+    rows += [(1, 10, "purchase"), (1, 50, "signup")]
+    # user 2: purchase before AND after signup (converted, after one wins)
+    rows += [(2, 5, "purchase"), (2, 20, "signup"), (2, 80, "purchase")]
+    # user 3: never signs up (drops out)
+    rows += [(3, 10, "purchase"), (3, 20, "view")]
+    # user 4: signup at same instant as purchase (>= counts)
+    rows += [(4, 30, "signup"), (4, 30, "purchase")]
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type"])
+    df["ts"] = base + df.pop("off").astype("timedelta64[s]")
+    df["user_id"] = df["user_id"].astype(np.int64)
+
+    expect = {
+        0: (1, 40_000_000), 1: (0, -1), 2: (1, 60_000_000), 4: (1, 0),
+    }
+    for parts in (1, 4):
+        out = funnel_conversion(ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().set_index("user_id")
+        assert set(out.index) == set(expect)
+        for u, (conv, ttc) in expect.items():
+            assert out.loc[u, "converted"] == conv, u
+            assert out.loc[u, "ttc_us"] == ttc, u
