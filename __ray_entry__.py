@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_blocked_pages": _q_robots_blocklist,
         "daily_users_events": _q_daily_users,
         "funnel_conversion_users": _q_funnel,
+        "vocab_stats_docs": _q_vocab_stats,
     }
 
 
@@ -854,6 +855,18 @@ def oracle_sql() -> dict[str, str]:
             "AS converted, "
             "COALESCE(b.purchase_us - a.signup_us, -1) AS ttc_us "
             "FROM a LEFT JOIN b ON a.user_id = b.user_id"),
+        "vocab_stats_docs": (
+            "WITH tl AS MATERIALIZED (SELECT string_split(text, ' ') AS l FROM documents), "
+            "toks AS MATERIALIZED (SELECT unnest(l) AS tok FROM tl), "
+            "bis AS (SELECT unnest(list_transform(generate_series(1, len(l)-1), "
+            "  i -> l[i] || ' ' || l[i+1])) AS bg FROM tl "
+            "  WHERE len(l) >= 2), "
+            "t AS (SELECT COUNT(*)::BIGINT AS n_tokens, "
+            "  COUNT(DISTINCT tok)::BIGINT AS n_types FROM toks WHERE tok <> ''), "
+            "b AS (SELECT COUNT(DISTINCT bg)::BIGINT AS n_bigram_types FROM bis "
+            "  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> '') "
+            "SELECT n_tokens, n_types, n_bigram_types, "
+            "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

@@ -1319,3 +1319,76 @@ def robots_blocklist(pages: ray.data.Dataset, url_col: str = "url",
                              "rule_id": rule_id[keep]})
 
     return pages.select_columns([url_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_vocab_stats(docs: ray.data.Dataset, text_col: str = "text",
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Corpus-level vocabulary statistics — total tokens, distinct
+    unigrams/bigrams, type-token ratio: the Heaps-law growth numbers a
+    corpus dashboard tracks per snapshot (vocabulary explosion signals
+    boilerplate or encoding rot). LLM-pipeline extension.
+
+    Scale shape: per block, tokens/bigrams reduce to DISTINCT partials
+    (+ one exact token-count row); one token-hash exchange dedups each
+    term globally and each bucket emits ONE count row, so the driver sees
+    ≤ num_buckets rows — a COUNT(DISTINCT) over an unbounded vocabulary
+    with no vocabulary table ever broadcast or pulled."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wl = pc.split_pattern(col, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        counts = off[1:] - off[:-1]
+        toks = wl.values.to_pandas().to_numpy(object)
+        ne = np.asarray(pc.greater(pc.utf8_length(wl.values), 0))
+        seg = np.repeat(np.arange(len(counts)), counts)
+        n_tok = int(ne.sum())
+        uni = pd.unique(toks[ne])
+        # bigrams within a doc: adjacent non-empty token positions
+        same_doc = seg[1:] == seg[:-1]
+        ok = same_doc & ne[1:] & ne[:-1]
+        bi = pd.unique(pd.Series(toks[:-1][ok]).str.cat(
+            pd.Series(toks[1:][ok]), sep=" ").to_numpy(object)) \
+            if ok.any() else np.array([], object)
+        old = np.seterr(over="ignore")
+        try:
+            d = pd.DataFrame({
+                "term": np.concatenate([uni, bi]),
+                "is_bi": np.concatenate([np.zeros(len(uni), np.int8),
+                                         np.ones(len(bi), np.int8)]),
+                "n_tok": np.int64(0),
+            })
+            d["_part"] = (splitmix64(fnv1a64(d["term"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        cnt = pd.DataFrame({"term": ["\x00count"], "is_bi": np.int8(2),
+                            "n_tok": np.int64(n_tok), "_part": np.int32(0)})
+        return pd.concat([d, cnt], ignore_index=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g[g["is_bi"] == 0]["term"].nunique()
+        bis = g[g["is_bi"] == 1]["term"].nunique()
+        ntok = int(g[g["is_bi"] == 2]["n_tok"].sum())
+        return pd.DataFrame({"n_types": [np.int64(toks)],
+                             "n_bigram_types": [np.int64(bis)],
+                             "n_tokens": [np.int64(ntok)]})
+
+    parts = bucket_exchange(
+        docs.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+        per_bucket).to_pandas()  # ≤ num_buckets rows — bounded by design
+    n_types = int(parts["n_types"].sum())
+    n_tokens = int(parts["n_tokens"].sum())
+    from ..functions.rounding import round_half_away
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_tokens": [np.int64(n_tokens)],
+        "n_types": [np.int64(n_types)],
+        "n_bigram_types": [np.int64(parts["n_bigram_types"].sum())],
+        "ttr": round_half_away(np.array([n_types / n_tokens], np.float64), 6),
+    }))

@@ -749,3 +749,25 @@ def test_robots_blocklist_precedence_and_prefix_semantics():
         ray.data.from_pandas(pd.DataFrame({"url": urls})).repartition(2)) \
         .to_pandas().set_index("url")["rule_id"]
     assert out.to_dict() == {urls[0]: 0, urls[1]: 1, urls[2]: 2}
+
+
+def test_corpus_vocab_stats_known_values_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import corpus_vocab_stats
+
+    df = pd.DataFrame({"text": [
+        "a b a",        # tokens a,b,a; bigrams "a b","b a"
+        "b c",          # bigram "b c"
+        "a  b",         # double space: no bigram across the empty token
+        "d",            # no bigram
+    ]})
+    for parts in (1, 3):
+        out = corpus_vocab_stats(
+            ray.data.from_pandas(df).repartition(parts)).to_pandas().iloc[0]
+        assert out["n_tokens"] == 8          # a b a b c a b d
+        assert out["n_types"] == 4           # a b c d
+        assert out["n_bigram_types"] == 3    # "a b" "b a" "b c"
+        assert abs(out["ttr"] - 0.5) < 1e-9
