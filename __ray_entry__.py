@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_users_events": _q_daily_users,
         "funnel_conversion_users": _q_funnel,
         "vocab_stats_docs": _q_vocab_stats,
+        "quality_blend_docs": _q_quality_blend,
     }
 
 
@@ -867,6 +868,43 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> '') "
             "SELECT n_tokens, n_types, n_bigram_types, "
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
+        "quality_blend_docs": (
+            "WITH q0 AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio FROM documents), "
+            "q AS (SELECT doc_id, n_chars, "
+            "  ROUND(0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "  + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) AS quality FROM q0), "
+            "toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "p2 AS (SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 1, 0))) AS p FROM toks), "
+            "bc AS (SELECT doc_id, t[p+1] || ' ' || t[p+2] AS g, COUNT(*) AS c "
+            "  FROM p2 GROUP BY 1, 2), "
+            "b2 AS (SELECT doc_id, ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) "
+            "  / CAST(SUM(c) AS DOUBLE), 6) AS dup2 FROM bc GROUP BY doc_id), "
+            "ch AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+            "  FROM documents), "
+            "cc AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS c FROM ch "
+            "  WHERE ch <> '' GROUP BY doc_id, ch), "
+            "cn AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM ch "
+            "  WHERE ch <> '' GROUP BY doc_id), "
+            "ent AS (SELECT cc.doc_id, ROUND(SUM(CAST(CAST("
+            "  -((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) "
+            "  AS REAL) AS DOUBLE)), 6) AS entropy "
+            "  FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id), "
+            "m AS (SELECT q.doc_id, q.n_chars, q.quality, "
+            "  COALESCE(b2.dup2, CAST(0 AS DOUBLE)) AS dup_2gram_frac, "
+            "  COALESCE(ent.entropy, CAST(0 AS DOUBLE)) AS entropy, "
+            "  (CASE WHEN q.n_chars < 150 THEN 1 ELSE 0 END) "
+            "  + (CASE WHEN q.quality < CAST(0.55 AS DOUBLE) THEN 2 ELSE 0 END) "
+            "  + (CASE WHEN COALESCE(b2.dup2, CAST(0 AS DOUBLE)) > CAST(0.05 AS DOUBLE) "
+            "     THEN 4 ELSE 0 END) "
+            "  + (CASE WHEN COALESCE(ent.entropy, CAST(0 AS DOUBLE)) < CAST(2.75 AS DOUBLE) "
+            "     THEN 8 ELSE 0 END) AS fail_mask "
+            "  FROM q LEFT JOIN b2 USING (doc_id) LEFT JOIN ent ON ent.doc_id = q.doc_id) "
+            "SELECT doc_id, n_chars, quality, dup_2gram_frac, entropy, "
+            "CAST(fail_mask AS BIGINT) AS fail_mask, "
+            "CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM m"),
         "interval_join_events": _interval_join_sql(_promo_intervals()),
         "weighted_sample_orders": _weighted_sample_sql(),
         "min_rect_tiles": _min_rect_sql(),

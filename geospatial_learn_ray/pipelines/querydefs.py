@@ -1361,6 +1361,10 @@ def _q_lang_confusion(sf_dir: str):
                              ["lang"], "lang_pred")
 
 
+def _q_quality_blend(sf_dir: str):
+    return textstages.quality_blend(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_vocab_stats(sf_dir: str):
     return textstages.corpus_vocab_stats(_rp(sf_dir, "documents", ["text"]))
 

@@ -1227,6 +1227,37 @@ def lang_temperature_weights(docs: ray.data.Dataset, id_col: str = "doc_id",
         assign, batch_format="pyarrow")
 
 
+def _byte_entropy(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte length, byte entropy in nats) per row of an Arrow string
+    column — counts straight off the value buffer (frombuffer + one
+    bincount, no per-row Python), each term −(c/n)·ln(c/n) snapped to f32
+    so the ≤256-term per-row sum is order-exact."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset: col.offset + len(col) + 1]
+    else:
+        offsets = np.frombuffer(col.buffers()[1], np.int32)[col.offset: col.offset + len(col) + 1]
+    data = (np.frombuffer(col.buffers()[2], np.uint8)
+            if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    nrows = len(lens)
+    seg = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+    # string value buffers are contiguous: row i occupies
+    # data[offsets[i]:offsets[i+1]], rows adjacent
+    flat = data[offsets[0] if nrows else 0: offsets[-1] if nrows else 0]
+    key = seg * np.int64(256) + flat.astype(np.int64)
+    cnt = np.bincount(key, minlength=nrows * 256).reshape(nrows, 256)
+    rows, bts = np.nonzero(cnt)
+    c = cnt[rows, bts].astype(np.float64)
+    n = lens[rows].astype(np.float64)
+    p = c / n
+    t = (-(p * np.log(p))).astype(np.float32).astype(np.float64)
+    ent = np.zeros(nrows, np.float64)
+    np.add.at(ent, rows, t)  # ≤256 f32-valued terms per row → order-exact
+    return lens, ent
+
+
 def char_entropy(docs: ray.data.Dataset, id_col: str = "doc_id",
                  text_col: str = "text") -> ray.data.Dataset:
     """Per-document byte-entropy quality signal H = −Σ p_b ln p_b over the
@@ -1245,30 +1276,7 @@ def char_entropy(docs: ray.data.Dataset, id_col: str = "doc_id",
     from ..functions.rounding import round_half_away
 
     def fn(b: pa.Table) -> pd.DataFrame:
-        col = b[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_large_string(col.type):
-            offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset: col.offset + len(col) + 1]
-        else:
-            offsets = np.frombuffer(col.buffers()[1], np.int32)[col.offset: col.offset + len(col) + 1]
-        data = (np.frombuffer(col.buffers()[2], np.uint8)
-                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
-        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        nrows = len(lens)
-        seg = np.repeat(np.arange(nrows, dtype=np.int64), lens)
-        # string value buffers are contiguous: row i occupies
-        # data[offsets[i]:offsets[i+1]], rows adjacent
-        flat = data[offsets[0] if nrows else 0: offsets[-1] if nrows else 0]
-        key = seg * np.int64(256) + flat.astype(np.int64)
-        cnt = np.bincount(key, minlength=nrows * 256).reshape(nrows, 256)
-        rows, bts = np.nonzero(cnt)
-        c = cnt[rows, bts].astype(np.float64)
-        n = lens[rows].astype(np.float64)
-        p = c / n
-        t = (-(p * np.log(p))).astype(np.float32).astype(np.float64)
-        ent = np.zeros(nrows, np.float64)
-        np.add.at(ent, rows, t)  # ≤256 f32-valued terms per doc → order-exact
+        lens, ent = _byte_entropy(b[text_col])
         keep = lens > 0
         ids = b[id_col].to_numpy()
         return pd.DataFrame({id_col: ids[keep],
@@ -1392,3 +1400,53 @@ def corpus_vocab_stats(docs: ray.data.Dataset, text_col: str = "text",
         "n_bigram_types": [np.int64(parts["n_bigram_types"].sum())],
         "ttr": round_half_away(np.array([n_types / n_tokens], np.float64), 6),
     }))
+
+
+QUALITY_BLEND_RULES = {"min_chars": 150, "min_quality": 0.55,
+                       "max_dup2": 0.05, "min_entropy": 2.75}
+
+
+def quality_blend(docs: ray.data.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  rules: dict | None = None) -> ray.data.Dataset:
+    """Multi-signal document verdict (the FineWeb/RefinedWeb filter
+    composition): length, heuristic quality score, Gopher duplicate-bigram
+    fraction and byte entropy combine into a keep flag plus a per-rule
+    failure bitmask — one fused, fully map-side stage (every signal is
+    per-document; no shuffle, the corpus streams once). LLM-pipeline
+    extension; reference analogue: the stat dispatch + sqlfilter family.
+
+    Thresholds compare the ROUNDED signals — exactly the values whose
+    bit-parity the standalone signal twins (quality_scores,
+    repetition_scores, char_entropy) already prove, so the SQL threshold
+    comparisons agree bit-for-bit."""
+    from ..functions.rounding import round_half_away
+
+    r = dict(QUALITY_BLEND_RULES, **(rules or {}))
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        texts = b[text_col].to_pandas()
+        qual = round_half_away(
+            textproc.quality_scores(texts)["quality"].to_numpy(np.float64), 4)
+        dup2 = textproc.repetition_scores(texts)["dup_2gram_frac"].to_numpy(np.float64)
+        lens, ent_raw = _byte_entropy(b[text_col])
+        ent = round_half_away(ent_raw, 6)
+        # rules compare the ROUNDED signals — exactly the values whose
+        # bit-parity the standalone signal twins already prove, so the
+        # threshold comparisons agree bit-for-bit
+        fail = ((lens < r["min_chars"]).astype(np.int64)
+                | ((qual < r["min_quality"]).astype(np.int64) << 1)
+                | ((dup2 > r["max_dup2"]).astype(np.int64) << 2)
+                | ((ent < r["min_entropy"]).astype(np.int64) << 3))
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_chars": lens,
+            "quality": qual,
+            "dup_2gram_frac": dup2,
+            "entropy": ent,
+            "fail_mask": fail,
+            "keep": (fail == 0).astype(np.int64),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

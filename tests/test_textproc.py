@@ -771,3 +771,30 @@ def test_corpus_vocab_stats_known_values_and_block_invariant():
         assert out["n_types"] == 4           # a b c d
         assert out["n_bigram_types"] == 3    # "a b" "b a" "b c"
         assert abs(out["ttr"] - 0.5) < 1e-9
+
+
+def test_quality_blend_rule_bits():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import quality_blend
+
+    good = ("the quick brown fox jumps over a lazy dog while bright children "
+            "wander near old stone bridges and curious travelers explored vast "
+            "golden meadows beyond the quiet village where ancient oaks guarded "
+            "winding paths to hidden lakes full of silver fish")
+    short = "the cat is on a mat"                     # fails min_chars
+    repeats = ("the cat the cat the cat the cat the cat the cat the cat "
+               "the cat the cat the cat the cat the cat the cat the cat "
+               "the cat the cat the cat the cat the cat the cat the cat")
+    lowent = "a" * 200                                # entropy ~0, quality low
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": [good, short, repeats, lowent]})
+    out = quality_blend(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "keep"] == 1 and out.loc[0, "fail_mask"] == 0
+    assert out.loc[1, "fail_mask"] & 1          # too short
+    assert out.loc[2, "fail_mask"] & 4          # duplicate bigrams
+    assert out.loc[3, "fail_mask"] & 8          # low entropy
+    assert (out.loc[1:, "keep"] == 0).all()
