@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion_users": _q_funnel,
         "vocab_stats_docs": _q_vocab_stats,
         "quality_blend_docs": _q_quality_blend,
+        "cohort_retention_users": _q_cohort_retention,
     }
 
 
@@ -868,6 +869,16 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> '') "
             "SELECT n_tokens, n_types, n_bigram_types, "
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
+        "cohort_retention_users": (
+            "WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "fd AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id), "
+            "r AS (SELECT fd.cohort, DATE_DIFF('day', fd.cohort, e.day) AS offset_days, "
+            "  COUNT(*)::BIGINT AS n_users "
+            "  FROM e JOIN fd USING (user_id) GROUP BY 1, 2), "
+            "s AS (SELECT cohort, n_users AS cohort_size FROM r WHERE offset_days = 0) "
+            "SELECT STRFTIME(r.cohort, '%Y-%m-%d') AS cohort, offset_days, n_users, "
+            "ROUND(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention "
+            "FROM r JOIN s USING (cohort)"),
         "quality_blend_docs": (
             "WITH q0 AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

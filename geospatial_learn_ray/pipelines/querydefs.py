@@ -1382,6 +1382,12 @@ def _q_daily_users(sf_dir: str):
     return daily_user_accounting(_rp(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_cohort_retention(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import cohort_retention
+
+    return cohort_retention(_rp(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_robots_blocklist(sf_dir: str):
     return textstages.robots_blocklist(read_pages(sf_dir, columns=["url"]))
 

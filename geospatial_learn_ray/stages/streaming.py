@@ -347,3 +347,69 @@ def funnel_conversion(ds: ray.data.Dataset, key: str = "user_id",
     narrow = ds.select_columns([key, ts_col, type_col])
     return bucket_exchange(narrow.map_batches(prep, batch_format="pandas"),
                            per_user, key="_bkt")
+
+
+def cohort_retention(ds: ray.data.Dataset, key: str = "user_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by first-seen day (their
+    cohort), counted at every day-offset they come back, plus the
+    retention rate against the cohort's own size — the classic growth
+    triangle every event log feeds. Streaming-analytics extension
+    (SURVEY.md §2.9); no reference analogue.
+
+    Scale shape: exchange 1 (user hash) co-locates each user's DISTINCT
+    (user, day) pairs (locally pre-deduped per block, so a power user
+    ships #blocks rows, not their event count) and reduces them straight
+    to (cohort, offset, n) partials pre-aggregated per bucket; exchange 2
+    (cohort hash) sums partials and derives the rate against the
+    cohort's offset-0 row — whole cohorts co-locate, so no third pass.
+    Output is O(days²) rows regardless of corpus size.
+
+    The rate is a ratio of exact small integers rounded half-away to 6
+    (matches SQL ROUND on the reachable dyadic ties, e.g. odd/128)."""
+    from ..functions.rounding import round_half_away
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "day": b[ts_col].to_numpy("datetime64[D]").astype(np.int64),
+        }).drop_duplicates()
+        d["_bkt"] = (splitmix64(d[key].to_numpy(np.int64).astype(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return d
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key, "day"]].drop_duplicates()
+        first = g.groupby(key, sort=False)["day"].transform("min")
+        part = (pd.DataFrame({"cohort": first.to_numpy(np.int64),
+                              "offset_days": g["day"].to_numpy(np.int64)
+                              - first.to_numpy(np.int64)})
+                .groupby(["cohort", "offset_days"], sort=False)
+                .size().reset_index(name="n_users"))
+        part["n_users"] = part["n_users"].astype(np.int64)
+        part["_bkt"] = (splitmix64(part["cohort"].to_numpy(np.int64)
+                                   .astype(np.uint64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+        return part
+
+    def per_cohort(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby(["cohort", "offset_days"], sort=False, as_index=False)
+             ["n_users"].sum())
+        size = (t[t["offset_days"] == 0].set_index("cohort")["n_users"]
+                .reindex(t["cohort"]).to_numpy(np.int64))
+        return pd.DataFrame({
+            "cohort": t["cohort"].to_numpy(np.int64)
+            .astype("datetime64[D]").astype(str),
+            "offset_days": t["offset_days"].to_numpy(np.int64),
+            "n_users": t["n_users"].to_numpy(np.int64),
+            "retention": round_half_away(
+                t["n_users"].to_numpy(np.float64) / size, 6),
+        })
+
+    days = bucket_exchange(
+        ds.select_columns([key, ts_col]).map_batches(pairs,
+                                                     batch_format="pandas"),
+        per_user, key="_bkt")
+    return bucket_exchange(days, per_cohort, key="_bkt",
+                           small_partials=True)

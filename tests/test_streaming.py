@@ -223,3 +223,42 @@ def test_funnel_conversion_brute_force_and_block_invariant():
         for u, (conv, ttc) in expect.items():
             assert out.loc[u, "converted"] == conv, u
             assert out.loc[u, "ttc_us"] == ttc, u
+
+
+def test_cohort_retention_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.stages.streaming import cohort_retention
+
+    rng = np.random.default_rng(17)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "ts": (np.datetime64("2024-03-01", "us")
+               + rng.integers(0, 10 * 86_400_000_000, n).astype("timedelta64[us]")),
+    })
+    day = df["ts"].to_numpy("datetime64[D]").astype(np.int64)
+    pairs = pd.DataFrame({"user_id": df["user_id"], "day": day}).drop_duplicates()
+    first = pairs.groupby("user_id")["day"].transform("min")
+    r = (pd.DataFrame({"cohort": first, "offset_days": pairs["day"] - first})
+         .groupby(["cohort", "offset_days"]).size().reset_index(name="n_users"))
+    size = r[r["offset_days"] == 0].set_index("cohort")["n_users"]
+    ref = pd.DataFrame({
+        "cohort": r["cohort"].to_numpy(np.int64).astype("datetime64[D]").astype(str),
+        "offset_days": r["offset_days"].to_numpy(np.int64),
+        "n_users": r["n_users"].to_numpy(np.int64),
+        "retention": round_half_away(
+            r["n_users"].to_numpy(np.float64)
+            / size.reindex(r["cohort"]).to_numpy(np.int64), 6),
+    }).sort_values(["cohort", "offset_days"]).reset_index(drop=True)
+
+    for parts in (1, 13):
+        out = cohort_retention(ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().sort_values(["cohort", "offset_days"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # every cohort's offset-0 row is its own size -> retention exactly 1
+    assert (out.loc[out["offset_days"] == 0, "retention"] == 1.0).all()
