@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats_docs": _q_vocab_stats,
         "quality_blend_docs": _q_quality_blend,
         "cohort_retention_users": _q_cohort_retention,
+        "geohash_cells": _q_geohash_cells,
     }
 
 
@@ -262,6 +263,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_FEATURE_SQL,
     _TILE_GRID_SQL,
     _ann_ivf_sql,
+    _geohash_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
     _dedup_components_sql,
@@ -869,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> '') "
             "SELECT n_tokens, n_types, n_bigram_types, "
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
+        "geohash_cells": f"WITH {pages_sql()} {_geohash_sql(8)}",
         "cohort_retention_users": (
             "WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
             "fd AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id), "

@@ -348,3 +348,43 @@ def s2_level(cell: np.ndarray) -> np.ndarray:
     lsb = cell & (~cell + np.uint64(1))
     lvl = _S2_MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2).astype(np.int64)
     return lvl
+
+
+# --- geohash (Niemeyer base32 cell index) -----------------------------------
+
+_GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray,
+                   precision: int = 8) -> np.ndarray:
+    """Niemeyer geohash (the public base32 cell index): 5·precision bits,
+    even bit positions (counting from the MSB) encode longitude, odd
+    latitude. Computed as the closed-form quantization
+    ``floor(((lon+180)/360)·2^nx)`` + one vectorized bit interleave —
+    equal to the textbook bisection everywhere except exact cell-boundary
+    floats, where THIS form is the specification (documented deviation;
+    the float chain is mirrored verbatim by the SQL twin). Third public
+    cell family beside the H3-style hex and S2 encoders above; reference
+    analogue: the cell indexing in geodata_tools (same role, different
+    public index)."""
+    nbits = 5 * precision
+    nx = (nbits + 1) // 2
+    ny = nbits // 2
+    x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0
+                 * float(1 << nx))
+    y = np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0
+                 * float(1 << ny))
+    x = np.clip(x, 0.0, float((1 << nx) - 1)).astype(np.uint64)
+    y = np.clip(y, 0.0, float((1 << ny) - 1)).astype(np.uint64)
+    code = np.zeros(len(x), np.uint64)
+    one = np.uint64(1)
+    for i in range(nx):
+        code |= ((x >> np.uint64(nx - 1 - i)) & one) << np.uint64(nbits - 1 - 2 * i)
+    for i in range(ny):
+        code |= ((y >> np.uint64(ny - 1 - i)) & one) << np.uint64(nbits - 2 - 2 * i)
+    alpha = np.frombuffer(_GEOHASH_ALPHABET, np.uint8)
+    idx = np.empty((len(code), precision), np.uint8)
+    for j in range(precision):
+        idx[:, j] = alpha[((code >> np.uint64(5 * (precision - 1 - j)))
+                           & np.uint64(31)).astype(np.int64)]
+    return np.ascontiguousarray(idx).reshape(-1).view(f"S{precision}").astype(str)

@@ -2445,3 +2445,31 @@ def _triangle_sql(out_links: int = 4, host_mod: int = 1000) -> str:
         "(SELECT COUNT(*) FROM wd JOIN ornt "
         "  ON ornt.s = wd.a AND ornt.t = wd.b) AS n_triangles"
     )
+
+
+def _geohash_sql(precision: int = 8) -> str:
+    """(url, gh{p}, gh4) — the SQL twin of stages/cellindex.geocode_and_geohash
+    / functions/geo.geohash_encode: same closed-form quantization float chain
+    verbatim, bit interleave as an explicit shift-and-or sum, base32 chars by
+    substr. Integer-valued doubles throughout, so the BIGINT casts are exact."""
+    nbits = 5 * precision
+    nx = (nbits + 1) // 2
+    ny = nbits // 2
+    steps: list[tuple[str, str]] = [
+        ("_ghx", "CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * "
+         f"{float(1 << nx)!r}), 0.0), {float((1 << nx) - 1)!r}) AS BIGINT)"),
+        ("_ghy", "CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * "
+         f"{float(1 << ny)!r}), 0.0), {float((1 << ny) - 1)!r}) AS BIGINT)"),
+    ]
+    terms = [f"(((_ghx >> {nx - 1 - i}) & 1) << {nbits - 1 - 2 * i})"
+             for i in range(nx)]
+    terms += [f"(((_ghy >> {ny - 1 - i}) & 1) << {nbits - 2 - 2 * i})"
+              for i in range(ny)]
+    steps.append(("_ghc", " + ".join(terms)))
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [f"substr('{alpha}', CAST(((_ghc >> {5 * (precision - 1 - j)}) "
+             "& 31) AS INTEGER) + 1, 1)" for j in range(precision)]
+    steps.append((f"gh{precision}", " || ".join(chars)))
+    steps.append(("gh4", f"substr(gh{precision}, 1, 4)"))
+    inner = _sg.chain(_located_sql(), steps)
+    return f"SELECT url, gh{precision}, gh4 FROM ({inner})"

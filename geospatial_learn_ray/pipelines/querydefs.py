@@ -1388,6 +1388,13 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(_rp(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_geohash_cells(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import geocode_and_geohash
+
+    return geocode_and_geohash(read_pages(sf_dir, columns=["url"])) \
+        .select_columns(["url", "gh8", "gh4"])
+
+
 def _q_robots_blocklist(sf_dir: str):
     return textstages.robots_blocklist(read_pages(sf_dir, columns=["url"]))
 

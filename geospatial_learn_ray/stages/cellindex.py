@@ -41,3 +41,23 @@ def geocode_and_cells(ds: ray.data.Dataset, hex_res=(5, 6, 7, 8, 9), s2_level: i
         return add_cells(add_geocode(batch, skew=skew), hex_res, s2_level)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=_bs())
+
+
+def geocode_and_geohash(ds: ray.data.Dataset, precision: int = 8,
+                        prefix: int = 4, skew: bool = True) -> ray.data.Dataset:
+    """Geocode + Niemeyer geohash encode as one fused zero-copy Arrow stage
+    (the base32 sibling of geocode_and_cells): per page the full-precision
+    cell plus its ``prefix``-char parent — geohash's defining property is
+    that a left prefix IS the coarser cell, so the tiling groupby key is a
+    substring, not a re-encode."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_geocode(batch, skew=skew)
+        gh = geo.geohash_encode(batch["lat"].to_numpy(),
+                                batch["lon"].to_numpy(), precision)
+        batch = batch.append_column(f"gh{precision}", pa.array(gh))
+        return batch.append_column(
+            f"gh{prefix}", pa.array(gh.astype(f"U{prefix}")))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=_bs())

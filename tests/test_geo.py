@@ -153,3 +153,51 @@ def test_geocode_no_skew_uniform():
     cells = geo.hex_latlng_to_cell(lat, lon, 5)
     _, counts = np.unique(cells, return_counts=True)
     assert counts.max() / len(urls) < 0.01
+
+
+def _geohash_bisect_ref(lat: float, lon: float, precision: int) -> str:
+    """Independent textbook bisection implementation (test-only)."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    nb = 0
+    for _ in range(5 * precision):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            bit = lon >= mid
+            lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            bit = lat >= mid
+            lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+        bits = bits * 2 + int(bit)
+        nb += 1
+        if nb == 5:
+            out.append(alpha[bits])
+            bits, nb = 0, 0
+        even = not even
+    return "".join(out)
+
+
+def test_geohash_known_vector_and_bisection_parity():
+    # the canonical published example (Wikipedia / Niemeyer)
+    got = geo.geohash_encode(np.array([57.64911]), np.array([10.40744]), 8)
+    assert got[0] == "u4pruydq"
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-89.9, 89.9, 300)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    enc = geo.geohash_encode(lat, lon, 8)
+    for i in range(300):
+        assert enc[i] == _geohash_bisect_ref(float(lat[i]), float(lon[i]), 8)
+
+
+def test_geohash_prefix_is_parent_cell():
+    rng = np.random.default_rng(6)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    g8 = geo.geohash_encode(lat, lon, 8)
+    g4 = geo.geohash_encode(lat, lon, 4)
+    assert (np.char.ljust(g8.astype("U4"), 4) == g4).all()
+    # nearby points share long prefixes, antipodal points don't
+    a = geo.geohash_encode(np.array([48.8584, 48.8585]), np.array([2.2945, 2.2946]), 8)
+    assert a[0][:5] == a[1][:5]
