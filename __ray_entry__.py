@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_blend_docs": _q_quality_blend,
         "cohort_retention_users": _q_cohort_retention,
         "geohash_cells": _q_geohash_cells,
+        "burst_detect_events": _q_burst_detect,
     }
 
 
@@ -872,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_tokens, n_types, n_bigram_types, "
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
         "geohash_cells": f"WITH {pages_sql()} {_geohash_sql(8)}",
+        "burst_detect_events": (
+            "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour "
+            "  FROM events), "
+            "b AS (SELECT (MAX(hour) - MIN(hour) + 1) AS H FROM h), "
+            "t AS (SELECT user_id, hour, COUNT(*)::BIGINT AS c "
+            "  FROM h GROUP BY 1, 2), "
+            "s AS (SELECT user_id, SUM(c)::BIGINT AS S FROM t GROUP BY user_id) "
+            "SELECT t.user_id, t.hour, t.c AS n_events, s.S AS total_events, "
+            "b.H AS hour_span "
+            "FROM t JOIN s USING (user_id), b "
+            "WHERE t.c * b.H >= 2 * s.S AND t.c >= 2"),
         "cohort_retention_users": (
             "WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
             "fd AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id), "

@@ -1388,6 +1388,15 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(_rp(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_burst_detect(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import burst_detect
+
+    # rate_factor/min_count lowered from the production defaults so the
+    # synthetic near-uniform event rates still produce verdict rows
+    return burst_detect(_rp(sf_dir, "events", ["user_id", "ts"]),
+                        rate_factor=2, min_count=2)
+
+
 def _q_geohash_cells(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import geocode_and_geohash
 

@@ -413,3 +413,60 @@ def cohort_retention(ds: ray.data.Dataset, key: str = "user_id",
         per_user, key="_bkt")
     return bucket_exchange(days, per_cohort, key="_bkt",
                            small_partials=True)
+
+
+def burst_detect(ds: ray.data.Dataset, key: str = "user_id",
+                 ts_col: str = "ts", num_buckets: int = 64,
+                 rate_factor: int = 10, min_count: int = 5) -> ray.data.Dataset:
+    """Per-key hourly burst detection: flag every hour where a key's event
+    count is at least ``rate_factor``× its own calendar-mean hourly rate
+    (and ≥ ``min_count`` absolute) — the rate-limiter / bot-burst rule
+    every event firehose runs. Streaming-analytics extension (SURVEY.md
+    §2.9); no reference analogue.
+
+    The rule is EXACT integer arithmetic end-to-end:
+    ``c·H ≥ rate_factor·S AND c ≥ min_count`` where c = events this hour,
+    S = the key's total events, H = the global hour span — no float mean
+    or variance crosses an engine/SQL boundary (and c·H stays far inside
+    int64 at any realistic scale: c ≤ 1e9 events/hour, H ≤ 1e5 hours).
+
+    Scale shape: per-block (key, hour) pre-aggregation (a firehose key
+    ships #blocks partials, not its event count), ONE key-hash exchange
+    whose combiner sums per-hour counts and the per-key total together;
+    H is a 2-number global reduce broadcast as a literal."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = (pd.DataFrame({
+            key: b[key].to_numpy(np.int64),
+            "hour": b[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000,
+        }).groupby([key, "hour"], sort=False).size().reset_index(name="c"))
+        d["c"] = d["c"].astype(np.int64)
+        d["_bkt"] = (splitmix64(d[key].to_numpy(np.int64).astype(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int32)
+        return d
+
+    # materialized ONCE: the partials are the narrow (key, hour, c) table
+    # (O(distinct pairs), spillable), read again by the exchange below —
+    # not a recompute of the storage scan
+    parted = ds.select_columns([key, ts_col]).map_batches(
+        prep, batch_format="pandas").materialize()
+
+    # global hour span: a 2-number aggregate over the slim partials
+    bounds = parted.aggregate(ray.data.aggregate.Min("hour"),
+                              ray.data.aggregate.Max("hour"))
+    H = np.int64(bounds["max(hour)"] - bounds["min(hour)"] + 1)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby([key, "hour"], sort=False, as_index=False)["c"].sum()
+        S = t.groupby(key, sort=False)["c"].transform("sum").to_numpy(np.int64)
+        c = t["c"].to_numpy(np.int64)
+        burst = (c * H >= np.int64(rate_factor) * S) & (c >= min_count)
+        return pd.DataFrame({key: t[key].to_numpy(np.int64)[burst],
+                             "hour": t["hour"].to_numpy(np.int64)[burst],
+                             "n_events": c[burst],
+                             "total_events": S[burst],
+                             "hour_span": np.full(int(burst.sum()), H,
+                                                  np.int64)})
+
+    return bucket_exchange(parted, per_key, key="_bkt")

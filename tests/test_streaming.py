@@ -262,3 +262,47 @@ def test_cohort_retention_brute_force_and_block_invariant():
         pd.testing.assert_frame_equal(out, ref, check_exact=True)
     # every cohort's offset-0 row is its own size -> retention exactly 1
     assert (out.loc[out["offset_days"] == 0, "retention"] == 1.0).all()
+
+
+def test_burst_detect_brute_force_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import burst_detect
+
+    rng = np.random.default_rng(23)
+    # background: 3 users with steady activity; user 99 bursts in one hour
+    base_ts = np.datetime64("2024-05-01", "us")
+    rows = []
+    for u in (1, 2, 3):
+        for h in range(48):
+            for _ in range(int(rng.integers(1, 4))):
+                rows.append((u, base_ts + np.timedelta64(h, "h")
+                             + np.timedelta64(int(rng.integers(0, 3600)), "s")))
+    for _ in range(30):
+        rows.append((99, base_ts + np.timedelta64(7, "h")
+                     + np.timedelta64(int(rng.integers(0, 3600)), "s")))
+    rows.append((99, base_ts + np.timedelta64(40, "h")))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["user_id"] = df["user_id"].astype(np.int64)
+
+    hour = df["ts"].to_numpy("datetime64[us]").astype(np.int64) // 3_600_000_000
+    H = hour.max() - hour.min() + 1
+    t = (pd.DataFrame({"user_id": df["user_id"], "hour": hour})
+         .groupby(["user_id", "hour"]).size().reset_index(name="c"))
+    S = t.groupby("user_id")["c"].transform("sum")
+    m = (t["c"] * H >= 10 * S) & (t["c"] >= 5)
+    ref = pd.DataFrame({
+        "user_id": t["user_id"][m].to_numpy(np.int64),
+        "hour": t["hour"][m].to_numpy(np.int64),
+        "n_events": t["c"][m].to_numpy(np.int64),
+        "total_events": S[m].to_numpy(np.int64),
+        "hour_span": np.full(int(m.sum()), H, np.int64),
+    }).sort_values(["user_id", "hour"]).reset_index(drop=True)
+    assert (ref["user_id"] == 99).all() and len(ref) == 1  # only the burst
+
+    for parts in (1, 9):
+        out = burst_detect(ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().sort_values(["user_id", "hour"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_exact=True)
