@@ -348,8 +348,8 @@ def _semdedup_sql(n_centroids=16, iters=5, seed=3, permille=200, threshold=0.95)
     return ("WITH RECURSIVE " + ", ".join(ctes)
             + " SELECT aa.vec_id, CAST(aa.c AS BIGINT) AS cluster_id, "
             "COALESCE(comp.component_id, aa.vec_id) AS rep_id, "
-            "CASE WHEN COALESCE(comp.component_id, aa.vec_id) = aa.vec_id "
-            "THEN 1 ELSE 0 END AS keep "
+            "CAST(CASE WHEN COALESCE(comp.component_id, aa.vec_id) = aa.vec_id "
+            "THEN 1 ELSE 0 END AS BIGINT) AS keep "
             "FROM aa LEFT JOIN comp ON comp.node = aa.vec_id")
 
 
@@ -575,7 +575,7 @@ def _hough_lines_sql(side=16, tx_max=15, ty_max=15, edge_thresh=0.1, n_orient=12
         "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
         "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl) "
         "SELECT b.tile_x, b.tile_y, COALESCE(c.n, 0) AS n_edge, "
-        "COALESCE(p.j, -1) AS peak_theta, COALESCE(p.rho, 0) AS peak_rho, "
+        "CAST(COALESCE(p.j, -1) AS BIGINT) AS peak_theta, COALESCE(p.rho, 0) AS peak_rho, "
         "COALESCE(p.votes, 0) AS votes "
         "FROM base b LEFT JOIN cnt c USING (tile_x, tile_y) "
         "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p USING (tile_x, tile_y)"
@@ -597,7 +597,8 @@ def _polygonize_edges_sql(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15):
     parts = []
     for cond, x0, y0, x1, y1 in dirs:
         parts.append(
-            "SELECT c.tile_x, c.tile_y, c.lab AS region_label, "
+            "SELECT CAST(c.tile_x AS BIGINT) AS tile_x, "
+            "CAST(c.tile_y AS BIGINT) AS tile_y, c.lab AS region_label, "
             f"{x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1 FROM cel c "
             f"LEFT JOIN cel n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
             f"AND {cond} AND n.lab = c.lab WHERE n.lab IS NULL"
@@ -1753,7 +1754,7 @@ def _rfe_sql() -> str:
     return (
         f"WITH st AS (SELECT {', '.join(sums)} FROM ({scaled})), "
         f"x AS MATERIALIZED ({x}) "
-        f"SELECT {nm('d1')} AS feature, 1 AS rfe_rank, ROUND(c1, 6) AS coef_at_drop FROM x "
+        f"SELECT {nm('d1')} AS feature, CAST(1 AS BIGINT) AS rfe_rank, ROUND(c1, 6) AS coef_at_drop FROM x "
         f"UNION ALL SELECT {nm('d2')}, 2, ROUND(c2, 6) FROM x "
         f"UNION ALL SELECT {nm('surv')}, 3, ROUND(c3, 6) FROM x"
     )
@@ -1811,7 +1812,7 @@ def _interval_join_sql(intervals) -> str:
     )
     return (
         f"WITH iv(interval_id, lo, hi) AS (VALUES {vals}) "
-        'SELECT iv.interval_id, COUNT(*) AS "count", '
+        'SELECT CAST(iv.interval_id AS BIGINT) AS interval_id, COUNT(*) AS "count", '
         "SUM(ROUND(e.value * 100, 0)) AS sum_cents "
         "FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi "
         "GROUP BY iv.interval_id"
@@ -2150,7 +2151,8 @@ def _embedding_drift_sql(dim: int = 64) -> str:
         f"WITH s AS MATERIALIZED (SELECT label, COUNT(*)::BIGINT AS n, {s_cols} "
         "FROM embeddings GROUP BY label), "
         f"g AS (SELECT SUM(n)::BIGINT AS ng, {g_cols} FROM s) "
-        f"SELECT label, n, ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 9) "
+        f"SELECT CAST(label AS BIGINT) AS label, n, "
+        f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 9) "
         "AS cos_to_global FROM s, g"
     )
 

@@ -1078,7 +1078,16 @@ def dedup_apply(ds: ray.data.Dataset, pairs: ray.data.Dataset,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dropped = g.loc[g["_t"] == 1, id_col]
         keep = g[(g["_t"] == 0) & ~g[id_col].isin(dropped)]
-        return keep.drop(columns=["_t", "_part"])
+        keep = keep.drop(columns=["_t", "_part"])
+        # the drop rows' typed-null fills promote int columns to float64
+        # across the pandas boundary; every null row is gone here, so
+        # restore the source schema dtypes
+        for name, typ in fields:
+            if (pa.types.is_integer(typ)
+                    and keep[name].dtype == np.dtype(np.float64)):
+                keep[name] = keep[name].astype(typ.to_pandas_dtype(),
+                                               copy=False)
+        return keep
 
     return bucket_exchange(tagged, per_bucket)
 

@@ -126,7 +126,8 @@ def hopping_window(events: ray.data.Dataset, ts_col: str = "ts",
         h = b[ts_col].dt.floor(f"{hop_hours}h")
         frames = [pd.DataFrame({
             key_col: b[key_col].to_numpy(object),
-            "win_start": (h - pd.Timedelta(hours=k * hop_hours)).to_numpy(),
+            "win_start": (h - pd.Timedelta(hours=k * hop_hours))
+            .to_numpy("datetime64[us]"),
             value_col: b[value_col].to_numpy(np.float64),
         }) for k in range(n_wins)]
         return pd.concat(frames, ignore_index=True)
