@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_users": _q_cohort_retention,
         "geohash_cells": _q_geohash_cells,
         "burst_detect_events": _q_burst_detect,
+        "dbscan_pages": _q_dbscan_pages,
     }
 
 
@@ -264,6 +265,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_FEATURE_SQL,
     _TILE_GRID_SQL,
     _ann_ivf_sql,
+    _dbscan_sql,
     _geohash_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -873,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_tokens, n_types, n_bigram_types, "
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
         "geohash_cells": f"WITH {pages_sql()} {_geohash_sql(8)}",
+        "dbscan_pages": f"WITH {pages_sql()}, {_dbscan_sql()}",
         "burst_detect_events": (
             "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour "
             "  FROM events), "

@@ -2475,3 +2475,65 @@ def _geohash_sql(precision: int = 8) -> str:
     steps.append(("gh4", f"substr(gh{precision}, 1, 4)"))
     inner = _sg.chain(_located_sql(), steps)
     return f"SELECT url, gh{precision}, gh4 FROM ({inner})"
+
+
+def _dbscan_sql(eps: float = 0.002, min_pts: int = 5,
+                rounds: int = 14) -> str:
+    """SQL twin of stages/cluster.grid_dbscan over geocoded pages: pid =
+    signed splitmix64(fnv1a64(url)), neighbor test is the IDENTICAL f64
+    chain ((ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= eps²) on both sides (a
+    bounding-box pre-filter prunes the join without changing the verdict
+    set), core = count ≥ min_pts INCLUDING self, components as ``rounds``
+    unrolled MATERIALIZED min-label passes over the symmetric core-core
+    edges (measured convergence ≤ 8 at sf0.001/0.01/0.1; rounds = 14 is
+    the measured-plus-margin schedule — any converging schedule yields
+    the same fixpoint, the component MIN), borders attach to the MIN-id
+    core within eps, noise = -1."""
+    e = f"CAST({eps!r} AS DOUBLE)"
+    e2 = f"CAST({eps * eps!r} AS DOUBLE)"
+    pid_chain = _sg.chain(
+        "SELECT url FROM pages",
+        [("_f", _sg.fnv1a64_expr("url")),
+         *_sg.splitmix64_steps("_f", "_hq", "db"),
+         *_sg.geocode_steps()])
+    pts = (f"SELECT {_sg.u64_to_i64('_hq')} AS pid, lon AS x, lat AS y "
+           f"FROM ({pid_chain})")
+    box = (f"b.x >= a.x - {e} AND b.x <= a.x + {e} "
+           f"AND b.y >= a.y - {e} AND b.y <= a.y + {e}")
+    d2 = "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)"
+    ctes = [
+        f"pts AS MATERIALIZED ({pts})",
+        "nb AS MATERIALIZED (SELECT a.pid, COUNT(*)::BIGINT AS n_nbrs "
+        f"  FROM pts a JOIN pts b ON {box} AND {d2} <= {e2} GROUP BY a.pid)",
+        "co AS MATERIALIZED (SELECT p.pid, p.x, p.y FROM pts p "
+        f"  JOIN nb USING (pid) WHERE n_nbrs >= {min_pts})",
+        "ed AS MATERIALIZED (SELECT a.pid AS u, b.pid AS v FROM co a "
+        f"  JOIN co b ON {box} AND {d2} <= {e2} AND a.pid <> b.pid)",
+        "l0 AS (SELECT pid, pid AS lab FROM co)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"l{t - 1}"
+        ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT l.pid, "
+            f"  LEAST(l.lab, COALESCE(MIN(ln.lab), l.lab)) AS lab "
+            f"  FROM {p} l LEFT JOIN ed e ON e.u = l.pid "
+            f"  LEFT JOIN {p} ln ON ln.pid = e.v GROUP BY l.pid, l.lab)")
+    ctes.append(
+        "bref AS (SELECT a.pid, MIN(b.pid) AS cr FROM "
+        f"  (SELECT p.* FROM pts p JOIN nb USING (pid) "
+        f"   WHERE n_nbrs < {min_pts}) a "
+        f"  JOIN co b ON {box} AND {d2} <= {e2} GROUP BY a.pid)")
+    return (  # no WITH prefix: composes after the pages CTE
+        ", ".join(ctes) + " "
+        "SELECT p.pid, nb.n_nbrs, "
+        f"CAST(CASE WHEN nb.n_nbrs >= {min_pts} THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_core, "
+        "CAST(CASE "
+        f"  WHEN nb.n_nbrs >= {min_pts} THEN lc.lab "
+        "  WHEN bref.cr IS NOT NULL THEN lb.lab "
+        "  ELSE -1 END AS BIGINT) AS cluster_id "
+        "FROM pts p JOIN nb USING (pid) "
+        f"LEFT JOIN l{rounds} lc ON lc.pid = p.pid "
+        "LEFT JOIN bref ON bref.pid = p.pid "
+        f"LEFT JOIN l{rounds} lb ON lb.pid = bref.cr"
+    )

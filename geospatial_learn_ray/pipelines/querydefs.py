@@ -1388,6 +1388,26 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(_rp(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _q_dbscan_pages(sf_dir: str):
+    from geospatial_learn_ray.functions import geo
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.stages.cluster import grid_dbscan
+
+    def to_pts(b: pa.Table) -> pd.DataFrame:
+        u = b["url"]
+        lon, lat = geo.geocode(u)
+        old = np.seterr(over="ignore")
+        try:
+            pid = splitmix64(fnv1a64(u)).view(np.int64)
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({"pid": pid, "x": lon, "y": lat})
+
+    pts = read_pages(sf_dir, columns=["url"]).map_batches(
+        to_pts, batch_format="pyarrow")
+    return grid_dbscan(pts, eps=0.002, min_pts=5)
+
+
 def _q_burst_detect(sf_dir: str):
     from geospatial_learn_ray.stages.streaming import burst_detect
 

@@ -1,0 +1,80 @@
+"""grid_dbscan vs a dense brute-force DBSCAN reference."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from geospatial_learn_ray.stages.cluster import grid_dbscan
+
+
+def _brute_dbscan(pid: np.ndarray, xy: np.ndarray, eps: float,
+                  min_pts: int) -> pd.DataFrame:
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    near = d2 <= eps * eps
+    n = near.sum(1)
+    core = n >= min_pts
+    parent = {int(p): int(p) for p in pid}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j in zip(*np.nonzero(near & core[:, None] & core[None, :])):
+        if i < j:
+            ri, rj = find(int(pid[i])), find(int(pid[j]))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    cl = np.empty(len(xy), np.int64)
+    for i in range(len(xy)):
+        if core[i]:
+            cl[i] = find(int(pid[i]))
+        else:
+            cands = [int(pid[j]) for j in np.nonzero(near[i] & core)[0]]
+            cl[i] = find(min(cands)) if cands else -1
+    return pd.DataFrame({"pid": pid, "n_nbrs": n.astype(np.int64),
+                         "is_core": core.astype(np.int64),
+                         "cluster_id": cl}).set_index("pid").sort_index()
+
+
+def test_grid_dbscan_brute_force_and_block_invariant():
+    rng = np.random.default_rng(3)
+    b1 = rng.normal((0.5, 0.5), 0.0006, (60, 2))
+    b2 = rng.normal((0.52, 0.53), 0.0006, (80, 2))
+    bg = rng.uniform(0, 1, (100, 2))
+    xy = np.vstack([b1, b2, bg])
+    # ids near ±2^63: a float64 detour in any label join would corrupt
+    # them (the exact bug the Int64 paths guard against)
+    pid = (rng.permutation(len(xy)).astype(np.int64)
+           * np.int64(7_900_000_000_000_000) + np.int64(1 << 62))
+    df = pd.DataFrame({"pid": pid, "x": xy[:, 0], "y": xy[:, 1]})
+    ref = _brute_dbscan(pid, xy, 0.002, 10)
+    assert ref["is_core"].sum() > 0 and (ref["cluster_id"] == -1).sum() > 0
+    assert len(set(ref.loc[ref["cluster_id"] >= 0, "cluster_id"])) == 2
+
+    for parts in (1, 7):
+        out = grid_dbscan(ray.data.from_pandas(df).repartition(parts),
+                          eps=0.002, min_pts=10) \
+            .to_pandas().set_index("pid").sort_index()
+        pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def test_grid_dbscan_isolated_core_and_cross_cell_cluster():
+    # a blob straddling a cell boundary must be ONE cluster (ghost
+    # replication), and a tight clique far away forms its own
+    eps, mp = 0.1, 4
+    line = np.array([[0.95 + 0.06 * k, 0.5] for k in range(4)])  # crosses x=1.0
+    clique = np.array([[5.0, 5.0], [5.01, 5.0], [5.0, 5.01], [5.01, 5.01]])
+    lone = np.array([[9.0, 9.0]])
+    xy = np.vstack([line, clique, lone])
+    pid = np.arange(len(xy), dtype=np.int64) + 100
+    df = pd.DataFrame({"pid": pid, "x": xy[:, 0], "y": xy[:, 1]})
+    out = grid_dbscan(ray.data.from_pandas(df).repartition(3),
+                      eps=eps, min_pts=mp) \
+        .to_pandas().set_index("pid").sort_index()
+    ref = _brute_dbscan(pid, xy, eps, mp)
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # the line blob is one cluster despite crossing the cell boundary
+    assert out.loc[100:103, "cluster_id"].nunique() == 1
+    assert out.loc[108, "cluster_id"] == -1  # the lone point is noise
