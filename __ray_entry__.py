@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_cells": _q_geohash_cells,
         "burst_detect_events": _q_burst_detect,
         "dbscan_pages": _q_dbscan_pages,
+        "nearest_city_pages": _q_nearest_city,
     }
 
 
@@ -267,6 +268,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_ivf_sql,
     _dbscan_sql,
     _geohash_sql,
+    _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
     _dedup_components_sql,
@@ -876,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr FROM t, b"),
         "geohash_cells": f"WITH {pages_sql()} {_geohash_sql(8)}",
         "dbscan_pages": f"WITH {pages_sql()}, {_dbscan_sql()}",
+        "nearest_city_pages": f"WITH {pages_sql()} {_nearest_city_sql()}",
         "burst_detect_events": (
             "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour "
             "  FROM events), "

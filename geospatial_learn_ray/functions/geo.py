@@ -388,3 +388,25 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray,
         idx[:, j] = alpha[((code >> np.uint64(5 * (precision - 1 - j)))
                            & np.uint64(31)).astype(np.int64)]
     return np.ascontiguousarray(idx).reshape(-1).view(f"S{precision}").astype(str)
+
+
+# --- great-circle distance (haversine) ---------------------------------------
+
+_RAD = 0.017453292519943295  # float64 of radians(1); inlined by the SQL twin
+_2R_KM = 2.0 * 6371.0088     # IUGG mean Earth radius, doubled
+
+
+def haversine_km(lat1: np.ndarray, lon1: np.ndarray,
+                 lat2: float, lon2: float) -> np.ndarray:
+    """Great-circle distance (km) from each point to a fixed (lat2, lon2),
+    haversine form with the atan2 closing (asin is never called — atan2's
+    numpy↔DuckDB bit-parity is proven by the UTM oracle family). Every op
+    order mirrors the SQL twin verbatim; the (lat2, lon2)-dependent
+    constants are plain Python floats so the twin inlines their reprs."""
+    cos2 = float(np.cos(lat2 * _RAD))
+    dphi = (lat2 - lat1) * _RAD / 2.0
+    dlmb = (lon2 - lon1) * _RAD / 2.0
+    sp = np.sin(dphi)
+    sl = np.sin(dlmb)
+    a = sp * sp + np.cos(lat1 * _RAD) * cos2 * (sl * sl)
+    return _2R_KM * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))

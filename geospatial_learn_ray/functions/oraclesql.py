@@ -2537,3 +2537,33 @@ def _dbscan_sql(eps: float = 0.002, min_pts: int = 5,
         "LEFT JOIN bref ON bref.pid = p.pid "
         f"LEFT JOIN l{rounds} lb ON lb.pid = bref.cr"
     )
+
+
+def _nearest_city_sql() -> str:
+    """SQL twin of cellindex.nearest_city: per-city haversine distances as
+    the IDENTICAL f64 chain (constants inlined as numpy-computed reprs,
+    atan2 closing — numpy↔DuckDB SIN/COS/ATAN2/SQRT bit-parity proven by
+    the UTM family), argmin by first-match CASE (ties break to the
+    smallest index on both sides), f32-snapped rounded km."""
+    rad = _geo._RAD
+    steps = list(_sg.geocode_steps())
+    dcols = []
+    for k, (cx, cy) in enumerate(_geo.HOT_CITIES):
+        cos2 = float(np.cos(float(cy) * rad))
+        steps.append((f"_dp{k}", f"SIN(({float(cy)!r} - lat) * {rad!r} / 2.0)"))
+        steps.append((f"_dl{k}", f"SIN(({float(cx)!r} - lon) * {rad!r} / 2.0)"))
+        steps.append((f"_a{k}",
+                      f"_dp{k} * _dp{k} + COS(lat * {rad!r}) * {cos2!r} "
+                      f"* (_dl{k} * _dl{k})"))
+        steps.append((f"_d{k}",
+                      f"{_geo._2R_KM!r} * ATAN2(SQRT(_a{k}), "
+                      f"SQRT(1.0 - _a{k}))"))
+        dcols.append(f"_d{k}")
+    steps.append(("_dmin", f"LEAST({', '.join(dcols)})"))
+    city = ("CASE " + " ".join(f"WHEN _d{k} = _dmin THEN {k}"
+                               for k in range(len(_geo.HOT_CITIES)))
+            + " END")
+    inner = _sg.chain("SELECT url FROM pages", steps)
+    return (f"SELECT url, CAST({city} AS BIGINT) AS city, "
+            "ROUND(CAST(CAST(_dmin AS REAL) AS DOUBLE), 6) AS dist_km "
+            f"FROM ({inner})")

@@ -1408,6 +1408,13 @@ def _q_dbscan_pages(sf_dir: str):
     return grid_dbscan(pts, eps=0.002, min_pts=5)
 
 
+def _q_nearest_city(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import nearest_city
+
+    return nearest_city(read_pages(sf_dir, columns=["url"])) \
+        .select_columns(["url", "city", "dist_km"])
+
+
 def _q_burst_detect(sf_dir: str):
     from geospatial_learn_ray.stages.streaming import burst_detect
 

@@ -61,3 +61,29 @@ def geocode_and_geohash(ds: ray.data.Dataset, precision: int = 8,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=_bs())
+
+
+def nearest_city(ds: ray.data.Dataset, skew: bool = True) -> ray.data.Dataset:
+    """Great-circle nearest-POI assignment: each page is geocoded and
+    assigned to the closest of the five hot-city centers (the broadcast
+    small-side spatial nearest join — POIs ride as constants, the corpus
+    streams map-only, no shuffle; reference analogue: zonal_point's
+    nearest-lookup family on a point layer instead of a raster). Distance
+    is the haversine/atan2 form in km; ties (exact f64 equality of two
+    distances) break to the smallest city index on both sides."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_geocode(batch, skew=skew)
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        d = np.stack([geo.haversine_km(lat, lon, float(cy), float(cx))
+                      for cx, cy in geo.HOT_CITIES])
+        city = d.argmin(axis=0).astype(np.int64)  # first-min tiebreak
+        dist = d[city, np.arange(len(lat))]
+        from ..functions.rounding import round_half_away
+        return (batch.append_column("city", pa.array(city))
+                .append_column("dist_km", pa.array(round_half_away(
+                    dist.astype(np.float32).astype(np.float64), 6))))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=_bs())

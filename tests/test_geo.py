@@ -201,3 +201,36 @@ def test_geohash_prefix_is_parent_cell():
     # nearby points share long prefixes, antipodal points don't
     a = geo.geohash_encode(np.array([48.8584, 48.8585]), np.array([2.2945, 2.2946]), 8)
     assert a[0][:5] == a[1][:5]
+
+
+def test_haversine_known_values_and_nearest_city():
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from geospatial_learn_ray.stages.cellindex import nearest_city
+
+    # published great-circle London->NYC ~= 5570.25 km (IUGG radius)
+    d = geo.haversine_km(np.array([51.5072]), np.array([-0.1276]),
+                         40.7128, -74.0060)
+    assert abs(d[0] - 5570.25) < 0.5
+    assert geo.haversine_km(np.array([12.3]), np.array([45.6]),
+                            12.3, 45.6)[0] == 0.0
+    # antipodal ~ pi*R
+    d = geo.haversine_km(np.array([0.0]), np.array([0.0]), 0.0, 180.0)
+    assert abs(d[0] - np.pi * 6371.0088) < 0.01
+
+    urls = [f"https://site-{i}.example/s/{i}" for i in range(4000)]
+    out = nearest_city(ray.data.from_arrow(
+        pa.table({"url": pa.array(urls)})).repartition(5)).to_pandas()
+    lon, lat = geo.geocode(pa.array(urls))
+    hot = out["dist_km"].to_numpy() < 2.0
+    # the hot 30% sit inside a 0.01-degree jitter box of their city
+    assert 0.2 < hot.mean() < 0.4
+    # hot pages' city assignment equals the geocoder's own hot-city draw
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    h = splitmix64(fnv1a64(pa.array(urls)))
+    is_hot = (h % np.uint64(10)) < np.uint64(3)
+    city = (h % np.uint64(5)).astype(np.int64)
+    m = pd.Series(out["city"].to_numpy(), index=out["url"]).reindex(urls).to_numpy()
+    assert (m[is_hot] == city[is_hot]).all()
