@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_detect_events": _q_burst_detect,
         "dbscan_pages": _q_dbscan_pages,
         "nearest_city_pages": _q_nearest_city,
+        "hex_kring_smooth_pages": _q_hex_kring,
     }
 
 
@@ -268,6 +269,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_ivf_sql,
     _dbscan_sql,
     _geohash_sql,
+    _hex_kring_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -879,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": f"WITH {pages_sql()} {_geohash_sql(8)}",
         "dbscan_pages": f"WITH {pages_sql()}, {_dbscan_sql()}",
         "nearest_city_pages": f"WITH {pages_sql()} {_nearest_city_sql()}",
+        "hex_kring_smooth_pages": f"WITH {pages_sql()}, {_hex_kring_sql(7)}",
         "burst_detect_events": (
             "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour "
             "  FROM events), "

@@ -2567,3 +2567,31 @@ def _nearest_city_sql() -> str:
     return (f"SELECT url, CAST({city} AS BIGINT) AS city, "
             "ROUND(CAST(CAST(_dmin AS REAL) AS DOUBLE), 6) AS dist_km "
             f"FROM ({inner})")
+
+
+def _hex_kring_sql(res: int = 7) -> str:
+    """SQL twin of cellindex.hex_kring_smooth: identical geocode + hex
+    chain, per-cell aggregation, then the 7 one-ring neighbors via PURE
+    ARITHMETIC on the packed axial id (HUGEINT intermediate; deltas
+    dq·2²⁷ + dr mirror cellindex._HEX_RING1 exactly)."""
+    deltas = [0, (1 << 27), (1 << 27) - 1, -1,
+              -(1 << 27), -(1 << 27) + 1, 1]
+    vals = ", ".join(f"({d})" for d in deltas)
+    located = _sg.chain(
+        "SELECT url, length(text)::BIGINT AS nch FROM pages",
+        _sg.geocode_steps() + _sg.hex_cell_steps(res, "cell"))
+    return (
+        f"agg AS MATERIALIZED (SELECT cell, COUNT(*)::BIGINT AS n, "
+        f"SUM(nch)::BIGINT AS s FROM ({located}) GROUP BY cell), "
+        f"offs(d) AS (VALUES {vals}), "
+        "ring AS (SELECT a.cell, COUNT(*)::BIGINT AS ring_cells, "
+        "  SUM(b.n)::BIGINT AS ring_pages, SUM(b.s)::BIGINT AS ring_chars "
+        "  FROM agg a CROSS JOIN offs o JOIN agg b "
+        "  ON CAST(b.cell AS HUGEINT) = CAST(a.cell AS HUGEINT) + o.d "
+        "  GROUP BY a.cell) "
+        f"SELECT a.cell AS cell_h3_r{res}, a.n AS n_own, r.ring_cells, "
+        "r.ring_pages, "
+        "ROUND(CAST(r.ring_chars AS DOUBLE) / r.ring_pages, 6) "
+        "AS mean_chars_ring "
+        "FROM agg a JOIN ring r USING (cell)"
+    )

@@ -1415,6 +1415,12 @@ def _q_nearest_city(sf_dir: str):
         .select_columns(["url", "city", "dist_km"])
 
 
+def _q_hex_kring(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import hex_kring_smooth
+
+    return hex_kring_smooth(read_pages(sf_dir, columns=["url", "text"]))
+
+
 def _q_burst_detect(sf_dir: str):
     from geospatial_learn_ray.stages.streaming import burst_detect
 

@@ -87,3 +87,81 @@ def nearest_city(ds: ray.data.Dataset, skew: bool = True) -> ray.data.Dataset:
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=_bs())
+
+
+# axial one-ring deltas (pointy-top), packed as dq*2^27 + dr; index 0 = self
+_HEX_RING1 = np.array(
+    [0,
+     (1 << 27) + 0, (1 << 27) - 1, -1,
+     -(1 << 27) + 0, -(1 << 27) + 1, 1], np.int64)
+
+
+def hex_kring_smooth(ds: ray.data.Dataset, res: int = 7,
+                     text_col: str = "text",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Focal (one-ring) smoothing on the hex lattice: per-cell page count
+    and char mass, then each cell's mean over its 7-cell k=1 ring — the
+    hex counterpart of the raster focal family (batch_gdaldem's windows),
+    demonstrating that hex neighbors are ARITHMETIC on the packed axial
+    id (cell + dq·2²⁷ + dr): no replication, no geometry — two slim
+    bucketed exchanges, the second over a 7× explode of per-CELL rows
+    (cells, not pages: the explode factor applies after aggregation).
+
+    Output keeps only cells that have their own data (classic focal
+    support); means are exact-integer ratios rounded half-away."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def _bkt_of(cell_i64: np.ndarray) -> np.ndarray:
+        from ..functions.hashing import splitmix64
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(cell_i64.astype(np.uint64))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        lon, lat = geo.geocode(b["url"])
+        cell = geo.hex_latlng_to_cell(lat, lon, res).view(np.int64)
+        nch = pc.utf8_length(b[text_col]).to_numpy().astype(np.int64)
+        d = (pd.DataFrame({"cell": cell, "n": np.int64(1), "s": nch})
+             .groupby("cell", sort=False, as_index=False).sum())
+        d["_bkt"] = _bkt_of(d["cell"].to_numpy(np.int64))
+        return d
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("cell", sort=False, as_index=False)[["n", "s"]].sum()
+        c = t["cell"].to_numpy(np.int64)
+        frames = [pd.DataFrame({"tgt": c + d, "n": t["n"].to_numpy(np.int64),
+                                "s": t["s"].to_numpy(np.int64),
+                                "self": np.int8(1 if d == 0 else 0)})
+                  for d in _HEX_RING1]
+        out = pd.concat(frames, ignore_index=True)
+        out["_bkt"] = _bkt_of(out["tgt"].to_numpy(np.int64))
+        return out
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("tgt", sort=False).agg(
+            ring_cells=("n", "size"), ring_pages=("n", "sum"),
+            ring_chars=("s", "sum"), has_self=("self", "max"))
+        own = g[g["self"] == 1].set_index("tgt")["n"]
+        a["n_own"] = own.reindex(a.index).fillna(0).astype(np.int64)
+        a = a[a["has_self"] == 1].reset_index()
+        return pd.DataFrame({
+            f"cell_h3_r{res}": a["tgt"].to_numpy(np.int64).view(np.uint64),
+            "n_own": a["n_own"].to_numpy(np.int64),
+            "ring_cells": a["ring_cells"].to_numpy(np.int64),
+            "ring_pages": a["ring_pages"].to_numpy(np.int64),
+            "mean_chars_ring": round_half_away(
+                a["ring_chars"].to_numpy(np.float64)
+                / a["ring_pages"].to_numpy(np.int64), 6),
+        })
+
+    parted = ds.map_batches(partial, batch_format="pyarrow")
+    cells = bucket_exchange(parted, per_cell, key="_bkt",
+                            small_partials=True)
+    return bucket_exchange(cells, smooth, key="_bkt", small_partials=True)

@@ -234,3 +234,46 @@ def test_haversine_known_values_and_nearest_city():
     city = (h % np.uint64(5)).astype(np.int64)
     m = pd.Series(out["city"].to_numpy(), index=out["url"]).reindex(urls).to_numpy()
     assert (m[is_hot] == city[is_hot]).all()
+
+
+def test_hex_kring_smooth_brute_force_and_block_invariant():
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.stages.cellindex import _HEX_RING1, hex_kring_smooth
+
+    urls = [f"https://site-{i}.example/k/{i}" for i in range(3000)]
+    texts = ["x" * (17 + (i * 13) % 211) for i in range(3000)]
+    lon, lat = geo.geocode(pa.array(urls))
+    cell = geo.hex_latlng_to_cell(lat, lon, 7).view(np.int64)
+    nch = np.array([len(t) for t in texts], np.int64)
+    agg = (pd.DataFrame({"cell": cell, "n": 1, "s": nch})
+           .groupby("cell").agg(n=("n", "sum"), s=("s", "sum")))
+    rows = []
+    for c, r in agg.iterrows():
+        rc = rp = rs = 0
+        for d in _HEX_RING1:
+            if c + d in agg.index:
+                rc += 1
+                rp += int(agg.loc[c + d, "n"])
+                rs += int(agg.loc[c + d, "s"])
+        rows.append((np.int64(c).view(np.uint64) if hasattr(np.int64(c), "view")
+                     else c, int(r["n"]), rc, rp,
+                     float(round_half_away(np.array([rs / rp]), 6)[0])))
+    ref = pd.DataFrame(rows, columns=["cell_h3_r7", "n_own", "ring_cells",
+                                      "ring_pages", "mean_chars_ring"])
+    ref["cell_h3_r7"] = np.array([np.int64(c).astype(np.int64) for c in agg.index],
+                                 np.int64).view(np.uint64)
+    ref = ref.astype({"n_own": np.int64, "ring_cells": np.int64,
+                      "ring_pages": np.int64}) \
+        .sort_values("cell_h3_r7").reset_index(drop=True)
+    # hot-city cells must actually have populated rings (the test bites)
+    assert (ref["ring_cells"] > 1).any()
+
+    t = pa.table({"url": pa.array(urls), "text": pa.array(texts)})
+    for parts in (1, 6):
+        out = hex_kring_smooth(ray.data.from_arrow(t).repartition(parts)) \
+            .to_pandas().sort_values("cell_h3_r7").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_exact=True)
