@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_pages": _q_dbscan_pages,
         "nearest_city_pages": _q_nearest_city,
         "hex_kring_smooth_pages": _q_hex_kring,
+        "canny_edges_tiles": _q_canny_edges,
     }
 
 
@@ -267,6 +268,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_FEATURE_SQL,
     _TILE_GRID_SQL,
     _ann_ivf_sql,
+    _canny_sql,
     _dbscan_sql,
     _geohash_sql,
     _hex_kring_sql,
@@ -722,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_edges": _polygonize_edges_sql(),
         "ransac_lines_tiles": _ransac_lines_sql(),
         "hough_lines_tiles": _hough_lines_sql(),
+        "canny_edges_tiles": _canny_sql(),
         "ms_acwe_tiles": _ms_acwe_sql(),
         "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
         "ms_gac_tiles": _ms_gac_sql(),

@@ -2595,3 +2595,84 @@ def _hex_kring_sql(res: int = 7) -> str:
         "AS mean_chars_ring "
         "FROM agg a JOIN ring r USING (cell)"
     )
+
+
+def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
+               hi2: int = 40_000, rounds: int = 20,
+               tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.canny_edges_stage: separable integer smooth /
+    Sobel as LAG/LEAD windows with COALESCE replicate borders, the integer
+    NMS sector rule as CASE offsets + two neighbor self-joins, hysteresis
+    as ``rounds`` unrolled MATERIALIZED min-label passes over the 8-conn
+    survivor adjacency (measured convergence 16 on the closed-form raster,
+    which is sf-independent; 20 = margin)."""
+    wrow = "PARTITION BY tile_x, tile_y, py ORDER BY px"
+    wcol = "PARTITION BY tile_x, tile_y, px ORDER BY py"
+    steps: list[tuple[str, str]] = [
+        ("rs", f"COALESCE(LAG(q) OVER ({wrow}), q) + 2*q "
+               f"+ COALESCE(LEAD(q) OVER ({wrow}), q)"),
+        ("s", f"COALESCE(LAG(rs) OVER ({wcol}), rs) + 2*rs "
+              f"+ COALESCE(LEAD(rs) OVER ({wcol}), rs)"),
+        ("dxx", f"COALESCE(LEAD(s) OVER ({wrow}), s) "
+                f"- COALESCE(LAG(s) OVER ({wrow}), s)"),
+        ("dyy", f"COALESCE(LEAD(s) OVER ({wcol}), s) "
+                f"- COALESCE(LAG(s) OVER ({wcol}), s)"),
+        ("gx", f"COALESCE(LAG(dxx) OVER ({wcol}), dxx) + 2*dxx "
+               f"+ COALESCE(LEAD(dxx) OVER ({wcol}), dxx)"),
+        ("gy", f"COALESCE(LAG(dyy) OVER ({wrow}), dyy) + 2*dyy "
+               f"+ COALESCE(LEAD(dyy) OVER ({wrow}), dyy)"),
+        ("g2", "gx*gx + gy*gy"),
+        ("sec", "CASE WHEN 2*ABS(gy) <= ABS(gx) THEN 0 "
+                "WHEN 2*ABS(gx) <= ABS(gy) THEN 1 "
+                "WHEN gx*gy > 0 THEN 2 ELSE 3 END"),
+        ("ox", "CASE sec WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1 "
+               "ELSE 1 END"),
+        ("oy", "CASE sec WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 "
+               "ELSE -1 END"),
+    ]
+    base = (f"SELECT tile_x, tile_y, px, py, "
+            f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+            f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
+    grad = _sg.chain(base, steps)
+    ctes = [
+        f"gr AS MATERIALIZED ({grad})",
+        "mk AS MATERIALIZED (SELECT p.tile_x, p.tile_y, p.px, p.py, "
+        f"  p.py * {side} + p.px AS idx, p.g2, "
+        f"  CASE WHEN p.g2 > {hi2} THEN 1 ELSE 0 END AS strong "
+        "  FROM gr p "
+        "  LEFT JOIN gr n1 ON n1.tile_x = p.tile_x AND n1.tile_y = p.tile_y "
+        "    AND n1.px = p.px + p.ox AND n1.py = p.py + p.oy "
+        "  LEFT JOIN gr n2 ON n2.tile_x = p.tile_x AND n2.tile_y = p.tile_y "
+        "    AND n2.px = p.px - p.ox AND n2.py = p.py - p.oy "
+        f"  WHERE p.g2 > {lo2} AND p.g2 >= COALESCE(n1.g2, 0) "
+        "    AND p.g2 >= COALESCE(n2.g2, 0))",
+        "adj AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.idx AS u, "
+        "  b.idx AS v FROM mk a JOIN mk b ON b.tile_x = a.tile_x "
+        "  AND b.tile_y = a.tile_y AND ABS(a.px - b.px) <= 1 "
+        "  AND ABS(a.py - b.py) <= 1 AND a.idx <> b.idx)",
+        "c0 AS (SELECT tile_x, tile_y, idx, idx AS lab FROM mk)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"c{t - 1}"
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT l.tile_x, l.tile_y, l.idx, "
+            f"  LEAST(l.lab, COALESCE(MIN(ln.lab), l.lab)) AS lab "
+            f"  FROM {p} l LEFT JOIN adj e ON e.tile_x = l.tile_x "
+            f"  AND e.tile_y = l.tile_y AND e.u = l.idx "
+            f"  LEFT JOIN {p} ln ON ln.tile_x = l.tile_x "
+            f"  AND ln.tile_y = l.tile_y AND ln.idx = e.v "
+            f"  GROUP BY l.tile_x, l.tile_y, l.idx, l.lab)")
+    ctes.append(
+        f"cs AS (SELECT c.tile_x, c.tile_y, c.lab FROM c{rounds} c "
+        "  JOIN mk USING (tile_x, tile_y, idx) "
+        "  GROUP BY c.tile_x, c.tile_y, c.lab HAVING MAX(mk.strong) = 1)")
+    return (
+        f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " "
+        "SELECT CAST(m.tile_x AS BIGINT) AS tile_x, "
+        "CAST(m.tile_y AS BIGINT) AS tile_y, CAST(m.px AS BIGINT) AS px, "
+        "CAST(m.py AS BIGINT) AS py, m.g2, "
+        "CAST(m.strong AS BIGINT) AS strong "
+        f"FROM mk m JOIN c{rounds} l USING (tile_x, tile_y, idx) "
+        "JOIN cs ON cs.tile_x = m.tile_x AND cs.tile_y = m.tile_y "
+        "AND cs.lab = l.lab"
+    )

@@ -1415,6 +1415,11 @@ def _q_nearest_city(sf_dir: str):
         .select_columns(["url", "city", "dist_km"])
 
 
+def _q_canny_edges(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.canny_edges_stage(small, side=16)
+
+
 def _q_hex_kring(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import hex_kring_smooth
 

@@ -2325,3 +2325,98 @@ def reproject_points_laea(ds: ray.data.Dataset, carry_cols: list[str]) -> ray.da
                    .append_column("laea_y", pa.array(y)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def canny_edges_stage(ds: ray.data.Dataset, side: int, quant: float = 8.0,
+                      lo2: int = 20_000, hi2: int = 40_000) -> ray.data.Dataset:
+    """Integer-exact Canny edge detector per tile (Canny 1986) — the REAL
+    version of the gradient-magnitude "canny stand-in" that ransac/hough
+    share (utilities.py:112 ``edge='canny'``; utilities.py:969 iter_ransac
+    sigma edges). Every step is exact integer arithmetic on the quantized
+    tile so the SQL twin value-hashes bit-for-bit:
+
+    - 3×3 binomial smooth: two separable [1,2,1] passes with REPLICATE
+      borders (COALESCE(LAG,·) in the twin), kept at ×16 integer scale;
+    - Sobel: gx = colsmooth(rowdiff(s)), gy = rowsmooth(coldiff(s)) with
+      the same replicate rule; g² = gx² + gy² (exact int64);
+    - NMS: gradient direction quantized by the INTEGER sector rule
+      (2|gy| ≤ |gx| → E/W; 2|gx| ≤ |gy| → N/S; else diagonal by
+      sign(gx·gy) — documented deviation from atan2 sectoring: the rule
+      is cross-multiplication-exact, no trig), survive if g² ≥ both
+      neighbors along the sector (out-of-tile = 0, ties survive);
+    - hysteresis: 8-connected components over survivors with g² > lo2;
+      keep components containing a strong pixel (g² > hi2) — min-label
+      CCL, the same fixpoint the twin unrolls (measured 16 rounds on the
+      closed-form raster; the twin runs 20).
+
+    Output: one row per final edge pixel (tile_x, tile_y, px, py, g2,
+    strong) — the full edge SET is value-hashed, not a summary."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        big = np.iinfo(np.int64).max
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "g2", "strong")}
+        Y, X = np.mgrid[0:side, 0:side]
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            rowsm = lambda a: (np.concatenate([a[:, :1], a[:, :-1]], 1)
+                               + 2 * a + np.concatenate([a[:, 1:], a[:, -1:]], 1))
+            colsm = lambda a: (np.concatenate([a[:1, :], a[:-1, :]], 0)
+                               + 2 * a + np.concatenate([a[1:, :], a[-1:, :]], 0))
+            rowdiff = lambda a: (np.concatenate([a[:, 1:], a[:, -1:]], 1)
+                                 - np.concatenate([a[:, :1], a[:, :-1]], 1))
+            coldiff = lambda a: (np.concatenate([a[1:, :], a[-1:, :]], 0)
+                                 - np.concatenate([a[:1, :], a[:-1, :]], 0))
+            s = colsm(rowsm(q))
+            gx = colsm(rowdiff(s))
+            gy = rowsm(coldiff(s))
+            g2 = gx * gx + gy * gy
+            ax, ay = np.abs(gx), np.abs(gy)
+            sec = np.where(2 * ay <= ax, 0,
+                           np.where(2 * ax <= ay, 1,
+                                    np.where(gx * gy > 0, 2, 3)))
+            n1 = np.zeros_like(g2)
+            n2 = np.zeros_like(g2)
+            for k, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (1, -1))):
+                m = sec == k
+                for sign, tgt in ((1, n1), (-1, n2)):
+                    nx, ny = X + sign * dx, Y + sign * dy
+                    ok = (nx >= 0) & (nx < side) & (ny >= 0) & (ny < side) & m
+                    tgt[ok] = g2[ny[ok], nx[ok]]
+            mask = (g2 > lo2) & (g2 >= n1) & (g2 >= n2)
+            strong = mask & (g2 > hi2)
+            lab = np.where(mask, Y * side + X, big)
+            while True:
+                new = lab.copy()
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        sh = np.full_like(lab, big)
+                        ys = slice(max(dy, 0), side + min(dy, 0))
+                        xs = slice(max(dx, 0), side + min(dx, 0))
+                        yd = slice(max(-dy, 0), side + min(-dy, 0))
+                        xd = slice(max(-dx, 0), side + min(-dx, 0))
+                        sh[yd, xd] = lab[ys, xs]
+                        new = np.minimum(new, sh)
+                new = np.where(mask, new, big)
+                if (new == lab).all():
+                    break
+                lab = new
+            keep = np.unique(lab[strong])
+            final = mask & np.isin(lab, keep)
+            fy, fx = np.nonzero(final)
+            rows["tile_x"].append(np.full(len(fy), txs[i], np.int64))
+            rows["tile_y"].append(np.full(len(fy), tys[i], np.int64))
+            rows["px"].append(fx.astype(np.int64))
+            rows["py"].append(fy.astype(np.int64))
+            rows["g2"].append(g2[fy, fx])
+            rows["strong"].append(strong[fy, fx].astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v) if v else
+                                     np.zeros(0, np.int64))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -383,3 +383,92 @@ def test_laea_is_equal_area_and_centered():
     exp = (_UTM_A ** 2 * (1.0 - _LAEA_E2) * np.cos(phi)
            / (1.0 - _LAEA_E2 * sp * sp) ** 2) * rad * rad
     assert np.all(np.abs(det / exp - 1.0) < 1e-4)
+
+
+def test_canny_edges_scalar_reference_and_hysteresis():
+    """canny_edges_stage vs an independent scalar reference (explicit
+    per-pixel loops, BFS flood-fill hysteresis) on a handful of tiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geospatial_learn_ray.sources.tiles import tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    side, quant, lo2, hi2 = 16, 8.0, 20_000, 40_000
+
+    def ref_canny(v):
+        q = np.floor(v.astype(np.float64) * quant).astype(np.int64)
+        def at(a, y, x):  # replicate padding
+            return a[min(max(y, 0), side - 1), min(max(x, 0), side - 1)]
+        s = np.zeros((side, side), np.int64)
+        for y in range(side):
+            for x in range(side):
+                acc = 0
+                for dy, wy in ((-1, 1), (0, 2), (1, 1)):
+                    row = at(q, y + dy, x - 1) + 2 * at(q, y + dy, x) \
+                        + at(q, y + dy, x + 1)
+                    acc += wy * row
+                s[y, x] = acc
+        gx = np.zeros_like(s); gy = np.zeros_like(s)
+        for y in range(side):
+            for x in range(side):
+                dxx = lambda yy, xx: at(s, yy, min(xx + 1, side - 1)) \
+                    - at(s, yy, max(xx - 1, 0))
+                dyy = lambda yy, xx: at(s, min(yy + 1, side - 1), xx) \
+                    - at(s, max(yy - 1, 0), xx)
+                gx[y, x] = dxx(max(y-1,0), x) + 2 * dxx(y, x) + dxx(min(y+1,side-1), x)
+                gy[y, x] = dyy(y, max(x-1,0)) + 2 * dyy(y, x) + dyy(y, min(x+1,side-1))
+        g2 = gx * gx + gy * gy
+        mask = np.zeros((side, side), bool)
+        for y in range(side):
+            for x in range(side):
+                if g2[y, x] <= lo2:
+                    continue
+                axv, ayv = abs(gx[y, x]), abs(gy[y, x])
+                if 2 * ayv <= axv: dx, dy = 1, 0
+                elif 2 * axv <= ayv: dx, dy = 0, 1
+                elif gx[y, x] * gy[y, x] > 0: dx, dy = 1, 1
+                else: dx, dy = 1, -1
+                n1 = g2[y+dy, x+dx] if 0 <= y+dy < side and 0 <= x+dx < side else 0
+                n2 = g2[y-dy, x-dx] if 0 <= y-dy < side and 0 <= x-dx < side else 0
+                mask[y, x] = g2[y, x] >= n1 and g2[y, x] >= n2
+        strong = mask & (g2 > hi2)
+        # BFS flood fill from strong pixels through mask (8-conn)
+        final = np.zeros_like(mask)
+        stack = list(zip(*np.nonzero(strong)))
+        while stack:
+            y, x = stack.pop()
+            if final[y, x] or not mask[y, x]:
+                continue
+            final[y, x] = True
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < side and 0 <= xx < side and mask[yy, xx] \
+                            and not final[yy, xx]:
+                        stack.append((yy, xx))
+        return g2, strong, final
+
+    picks = [(0, 0), (3, 5), (7, 11), (15, 15)]
+    tbl = pa.table({
+        "tile_x": pa.array([t[0] for t in picks], pa.int32()),
+        "tile_y": pa.array([t[1] for t in picks], pa.int32()),
+        "band_values": pa.array(
+            [tile_pixels(tx, ty, side).ravel() for tx, ty in picks],
+            pa.list_(pa.float32())),
+    })
+    out = raster.canny_edges_stage(
+        ray.data.from_arrow(tbl).repartition(2), side=side).to_pandas()
+    assert len(out) > 0 and (out["strong"] <= 1).all()
+    for tx, ty in picks:
+        g2, strong, final = ref_canny(tile_pixels(tx, ty, side))
+        sub = out[(out["tile_x"] == tx) & (out["tile_y"] == ty)]
+        got = set(zip(sub["py"], sub["px"]))
+        want = set(zip(*np.nonzero(final)))
+        assert got == want, (tx, ty)
+        for _, r in sub.iterrows():
+            assert r["g2"] == g2[r["py"], r["px"]]
+            assert bool(r["strong"]) == bool(strong[r["py"], r["px"]])
+        # hysteresis bites: some NMS survivors above lo2 were dropped
+    # at least one tile has weak-only components pruned
