@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_city_pages": _q_nearest_city,
         "hex_kring_smooth_pages": _q_hex_kring,
         "canny_edges_tiles": _q_canny_edges,
+        "edt_proximity_tiles": _q_edt_proximity,
     }
 
 
@@ -270,6 +271,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_ivf_sql,
     _canny_sql,
     _dbscan_sql,
+    _edt_sql,
     _geohash_sql,
     _hex_kring_sql,
     _nearest_city_sql,
@@ -725,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "ransac_lines_tiles": _ransac_lines_sql(),
         "hough_lines_tiles": _hough_lines_sql(),
         "canny_edges_tiles": _canny_sql(),
+        "edt_proximity_tiles": _edt_sql(),
         "ms_acwe_tiles": _ms_acwe_sql(),
         "do_ac_tiles": _ms_acwe_sql(lambda1=1.0, lambda2=2.0, init="threshold", init_thresh=0.5),
         "ms_gac_tiles": _ms_gac_sql(),

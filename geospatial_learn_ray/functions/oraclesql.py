@@ -2676,3 +2676,27 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
         "JOIN cs ON cs.tile_x = m.tile_x AND cs.tile_y = m.tile_y "
         "AND cs.lab = l.lab"
     )
+
+
+def _edt_sql(side: int = 16, quant: float = 2.0, fg_thresh: int = 4,
+             tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.edt_proximity_stage: brute-force exact min over
+    per-tile foreground pixels of the integer squared distance."""
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"fg AS MATERIALIZED (SELECT * FROM rc WHERE q >= {fg_thresh}), "
+        "d AS (SELECT p.tile_x, p.tile_y, p.px, p.py, "
+        "  MIN((p.px - f.px)*(p.px - f.px) + (p.py - f.py)*(p.py - f.py)) AS d2 "
+        "  FROM rc p JOIN fg f ON f.tile_x = p.tile_x AND f.tile_y = p.tile_y "
+        "  GROUP BY p.tile_x, p.tile_y, p.px, p.py) "
+        "SELECT CAST(p.tile_x AS BIGINT) AS tile_x, "
+        "CAST(p.tile_y AS BIGINT) AS tile_y, CAST(p.px AS BIGINT) AS px, "
+        "CAST(p.py AS BIGINT) AS py, "
+        f"CAST(CASE WHEN p.q >= {fg_thresh} THEN 1 ELSE 0 END AS BIGINT) AS fg, "
+        "CAST(COALESCE(d.d2, -1) AS BIGINT) AS d2 "
+        "FROM rc p LEFT JOIN d ON d.tile_x = p.tile_x "
+        "AND d.tile_y = p.tile_y AND d.px = p.px AND d.py = p.py"
+    )

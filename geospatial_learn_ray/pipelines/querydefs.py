@@ -1420,6 +1420,11 @@ def _q_canny_edges(sf_dir: str):
     return raster.canny_edges_stage(small, side=16)
 
 
+def _q_edt_proximity(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.edt_proximity_stage(small, side=16)
+
+
 def _q_hex_kring(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import hex_kring_smooth
 

@@ -2420,3 +2420,46 @@ def canny_edges_stage(ds: ray.data.Dataset, side: int, quant: float = 8.0,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def edt_proximity_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                        fg_thresh: int = 4) -> ray.data.Dataset:
+    """Exact Euclidean distance transform per tile — the proximity raster
+    the reference builds with scipy's distance_transform_edt inside both
+    `shape.snake`'s buffer construction (shape.py:1928) and `thresh_seg`'s
+    buf path (shape.py:2180-2182): distance from every pixel to the
+    nearest foreground pixel (q = floor(vd·quant) ≥ fg_thresh). Computed
+    in SQUARED integer units (dx² + dy² — exact at any size; the caller's
+    `dist ≤ buf` threshold is `d2 ≤ buf²` in these units, so nothing is
+    lost to a sqrt), brute-force-exact over the tile (side⁴ ≤ 65k ops —
+    vectorized one matmul-shaped min per tile; a true multi-tile raster
+    would halo like batch_gdaldem). Tiles with no foreground emit
+    d2 = -1 (documented sentinel)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        yf = Y.ravel().astype(np.int64)
+        xf = X.ravel().astype(np.int64)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "fg", "d2")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            fg = (q >= fg_thresh).ravel()
+            if fg.any():
+                dy = yf[:, None] - yf[None, fg]
+                dx = xf[:, None] - xf[None, fg]
+                d2 = (dy * dy + dx * dx).min(axis=1)
+            else:
+                d2 = np.full(side * side, -1, np.int64)
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(xf)
+            rows["py"].append(yf)
+            rows["fg"].append(fg.astype(np.int64))
+            rows["d2"].append(d2)
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

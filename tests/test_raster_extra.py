@@ -472,3 +472,43 @@ def test_canny_edges_scalar_reference_and_hysteresis():
             assert bool(r["strong"]) == bool(strong[r["py"], r["px"]])
         # hysteresis bites: some NMS survivors above lo2 were dropped
     # at least one tile has weak-only components pruned
+
+
+def test_edt_proximity_scalar_reference():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geospatial_learn_ray.sources.tiles import tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    side = 16
+    picks = [(0, 0), (2, 9), (12, 4)]
+    tbl = pa.table({
+        "tile_x": pa.array([t[0] for t in picks], pa.int32()),
+        "tile_y": pa.array([t[1] for t in picks], pa.int32()),
+        "band_values": pa.array(
+            [tile_pixels(tx, ty, side).ravel() for tx, ty in picks],
+            pa.list_(pa.float32())),
+    })
+    out = raster.edt_proximity_stage(
+        ray.data.from_arrow(tbl).repartition(2), side=side).to_pandas()
+    assert len(out) == len(picks) * side * side
+    saw_empty = False
+    for tx, ty in picks:
+        q = np.floor(tile_pixels(tx, ty, side).astype(np.float64) * 2.0) \
+            .astype(np.int64)
+        fgm = q >= 4
+        sub = out[(out["tile_x"] == tx) & (out["tile_y"] == ty)]
+        for _, r in sub.iterrows():
+            if not fgm.any():
+                assert r["d2"] == -1
+                saw_empty = True
+                continue
+            ys, xs = np.nonzero(fgm)
+            want = int(((ys - r["py"]) ** 2 + (xs - r["px"]) ** 2).min())
+            assert r["d2"] == want
+            assert r["fg"] == int(fgm[r["py"], r["px"]])
+            if r["fg"]:
+                assert r["d2"] == 0
+    # the scipy-EDT relationship: sqrt(d2) == distance_transform_edt value
