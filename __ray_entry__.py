@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_kring_smooth_pages": _q_hex_kring,
         "canny_edges_tiles": _q_canny_edges,
         "edt_proximity_tiles": _q_edt_proximity,
+        "kmv_users_by_type": _q_kmv_users_by_type,
     }
 
 
@@ -274,6 +275,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _edt_sql,
     _geohash_sql,
     _hex_kring_sql,
+    _kmv_grouped_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -783,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_us "
             "FROM d GROUP BY user_id HAVING COUNT(*) >= 2"),
         "hll_users_by_type": _hll_grouped_sql(),
+        "kmv_users_by_type": _kmv_grouped_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2700,3 +2700,30 @@ def _edt_sql(side: int = 16, quant: float = 2.0, fg_thresh: int = 4,
         "FROM rc p LEFT JOIN d ON d.tile_x = p.tile_x "
         "AND d.tile_y = p.tile_y AND d.px = p.px AND d.py = p.py"
     )
+
+
+def _kmv_grouped_sql(group_col: str = "event_type", table: str = "events",
+                     key_expr: str = "CAST(user_id AS VARCHAR)",
+                     k: int = 32) -> str:
+    """SQL twin of sketches.kmv_distinct_grouped: identical hash chain,
+    per-group bottom-k via ROW_NUMBER over the u64 hash, and the
+    (k-1)*2^64/kth estimate as the SAME f64 expression (every operand an
+    exact cast; 2^64 inlined as a HUGEINT literal cast to DOUBLE)."""
+    from . import sqlgen as _sg
+
+    base = (f"SELECT DISTINCT {group_col}, {key_expr} AS kv FROM {table}")
+    hx = _sg.chain(base, [("_fh", _sg.fnv1a64_expr("kv")),
+                          *_sg.splitmix64_steps("_fh", "_h", "g")])
+    return (
+        f"WITH hx AS MATERIALIZED ({hx}), "
+        f"d AS (SELECT DISTINCT {group_col}, _h FROM hx), "
+        f"rk AS (SELECT {group_col}, _h, ROW_NUMBER() OVER "
+        f"  (PARTITION BY {group_col} ORDER BY _h) AS rn FROM d), "
+        f"a AS (SELECT {group_col}, COUNT(*) AS n_mins, MAX(_h) AS kth "
+        f"  FROM rk WHERE rn <= {k} GROUP BY {group_col}) "
+        f"SELECT {group_col}, CAST(n_mins AS BIGINT) AS n_mins, "
+        f"{_sg.u64_to_i64('kth')} AS kth_hash, "
+        f"CASE WHEN n_mins < {k} THEN CAST(n_mins AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * CAST(CAST(18446744073709551616 AS HUGEINT) AS DOUBLE) "
+        f"/ CAST(kth AS DOUBLE) END AS est_distinct FROM a"
+    )

@@ -1509,6 +1509,14 @@ def _q_bm25_topk(sf_dir: str):
     return textstages.bm25_topk(ds, BM25_QUERIES, k=10)
 
 
+def _q_kmv_users_by_type(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import kmv_distinct_grouped
+
+    return kmv_distinct_grouped(
+        _rp(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

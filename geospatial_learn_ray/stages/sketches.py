@@ -473,3 +473,72 @@ def hll_distinct_grouped(ds: ray.data.Dataset, group_col: str, col: str,
     parted = ds.select_columns([group_col, col]).map_batches(
         partial, batch_format="pyarrow")
     return bucket_exchange(parted, combine, small_partials=True)
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+
+def kmv_distinct_grouped(ds: ray.data.Dataset, group_col: str, col: str,
+                         k: int = 32, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-group KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002;
+    the mergeable "k minimum hash values" summary): per batch, hash the
+    values and keep the k smallest DISTINCT hashes per group; one bucketed
+    exchange unions the per-batch bottom-k sets and re-takes the bottom-k
+    (the global bottom-k of a union is always contained in the union of
+    per-part bottom-k's, so the two-level merge is exact). Estimate:
+    ``(k-1) * 2^64 / kth_min`` — every term is an exactly-representable
+    f64 (k-1 times a power of two; uint64→f64 casts are correctly
+    rounded), so the oracle twin recomputes it bit-identically.
+
+    Groups with fewer than k distinct values report their EXACT count
+    (standard KMV small-set convention) — same CASE on the SQL side.
+
+    Scale shape: per-batch partials are ≤ k rows per (group, block); the
+    exchange moves O(groups × blocks × k) tiny rows and nothing reaches
+    the driver. Complements the HLL register sketch above: KMV additionally
+    supports set-operation estimates (see ``kmv_overlap_pairs``)."""
+    from .exchange import bucket_exchange
+
+    def _bottom_k(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates([group_col, "h"])
+        d = d.sort_values("h", kind="mergesort")
+        return d.groupby(group_col, sort=False).head(k)
+
+    old = np.seterr(over="ignore")
+    try:
+        def partial(b: pa.Table) -> pd.DataFrame:
+            c = b[col]
+            if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+                c = pa.compute.cast(c, pa.string())
+            h = splitmix64(fnv1a64(c))
+            d = _bottom_k(pd.DataFrame({
+                group_col: b[group_col].to_pandas().to_numpy(), "h": h}))
+            gk = d[group_col].to_numpy()
+            gh = (splitmix64(fnv1a64(gk.astype(object)))
+                  if gk.dtype == object else splitmix64(gk.astype(np.uint64)))
+            d = d.copy()
+            d["_part"] = (gh % np.uint64(num_buckets)).astype(np.int32)
+            return d
+    finally:
+        np.seterr(**old)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        top = _bottom_k(g.drop(columns=["_part"]))
+        a = top.groupby(group_col, as_index=False, sort=False).agg(
+            n_mins=("h", "size"), kth=("h", "max"))
+        n = a["n_mins"].to_numpy(np.int64)
+        kth = a["kth"].to_numpy(np.uint64)
+        with np.errstate(divide="ignore"):
+            est = np.where(
+                n < k, n.astype(np.float64),
+                (np.float64(k - 1) * 18446744073709551616.0)
+                / kth.astype(np.float64))
+        return pd.DataFrame({
+            group_col: a[group_col].to_numpy(),
+            "n_mins": n,
+            "kth_hash": kth.view(np.int64),
+            "est_distinct": est,
+        })
+
+    parted = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucket_exchange(parted, combine, small_partials=True)

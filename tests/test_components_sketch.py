@@ -303,3 +303,35 @@ def test_triangle_count_matches_dense_brute_force():
     assert out["n_edges"] == expected_edges
     assert out["n_triangles"] == expected_tri
     assert out["n_wedges"] >= out["n_triangles"]
+
+
+def test_kmv_accuracy_and_block_invariance():
+    from geospatial_learn_ray.stages.sketches import kmv_distinct_grouped
+
+    n = 4000
+    df = pd.DataFrame({
+        "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        # group a: 2000 rows over 1000 distinct; group b: 2000 over 2000
+        "v": np.where(np.arange(n) % 2 == 0,
+                      (np.arange(n) // 2) % 1000, 10_000 + np.arange(n)),
+    })
+    for blocks in (1, 7):
+        out = kmv_distinct_grouped(
+            ray.data.from_pandas(df).repartition(blocks), "g", "v",
+            k=64).to_pandas().set_index("g")
+        for g, truth in (("a", 1000), ("b", 2000)):
+            est = out.loc[g, "est_distinct"]
+            assert abs(est - truth) / truth < 0.35, (g, est)
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base.sort_index(), out.sort_index())
+
+
+def test_kmv_small_group_exact():
+    from geospatial_learn_ray.stages.sketches import kmv_distinct_grouped
+
+    df = pd.DataFrame({"g": ["s"] * 50, "v": np.arange(50) % 7})
+    out = kmv_distinct_grouped(ray.data.from_pandas(df), "g", "v",
+                               k=32).to_pandas()
+    assert out["n_mins"].tolist() == [7]
+    assert out["est_distinct"].tolist() == [7.0]
