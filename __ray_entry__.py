@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canny_edges_tiles": _q_canny_edges,
         "edt_proximity_tiles": _q_edt_proximity,
         "kmv_users_by_type": _q_kmv_users_by_type,
+        "kmv_overlap_event_types": _q_kmv_overlap,
     }
 
 
@@ -276,6 +277,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _geohash_sql,
     _hex_kring_sql,
     _kmv_grouped_sql,
+    _kmv_overlap_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -786,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY user_id HAVING COUNT(*) >= 2"),
         "hll_users_by_type": _hll_grouped_sql(),
         "kmv_users_by_type": _kmv_grouped_sql(),
+        "kmv_overlap_event_types": _kmv_overlap_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2727,3 +2727,42 @@ def _kmv_grouped_sql(group_col: str = "event_type", table: str = "events",
         f"ELSE CAST({k - 1} AS DOUBLE) * CAST(CAST(18446744073709551616 AS HUGEINT) AS DOUBLE) "
         f"/ CAST(kth AS DOUBLE) END AS est_distinct FROM a"
     )
+
+
+def _kmv_overlap_sql(group_col: str = "event_type", table: str = "events",
+                     key_expr: str = "CAST(user_id AS VARCHAR)",
+                     k: int = 32) -> str:
+    """SQL twin of sketches.kmv_overlap_pairs: bottom-k per group, the
+    pair union's bottom-k via a second ROW_NUMBER, and the same exact-
+    operand float expressions (division and product in identical order)."""
+    from . import sqlgen as _sg
+
+    base = f"SELECT DISTINCT {group_col}, {key_expr} AS kv FROM {table}"
+    hx = _sg.chain(base, [("_fh", _sg.fnv1a64_expr("kv")),
+                          *_sg.splitmix64_steps("_fh", "_h", "g")])
+    two64 = "CAST(CAST(18446744073709551616 AS HUGEINT) AS DOUBLE)"
+    return (
+        f"WITH hx AS MATERIALIZED ({hx}), "
+        f"d AS (SELECT DISTINCT {group_col}, _h FROM hx), "
+        f"rk AS (SELECT {group_col}, _h, ROW_NUMBER() OVER "
+        f"  (PARTITION BY {group_col} ORDER BY _h) AS rn FROM d), "
+        f"tk AS MATERIALIZED (SELECT {group_col} AS g, _h FROM rk WHERE rn <= {k}), "
+        "ty AS (SELECT DISTINCT g FROM tk), "
+        "pr AS (SELECT t1.g AS a, t2.g AS b FROM ty t1 JOIN ty t2 ON t1.g < t2.g), "
+        "u AS (SELECT p.a, p.b, s._h, "
+        "  MAX(CASE WHEN s.g = p.a THEN 1 ELSE 0 END) AS in_a, "
+        "  MAX(CASE WHEN s.g = p.b THEN 1 ELSE 0 END) AS in_b "
+        "  FROM pr p JOIN tk s ON s.g = p.a OR s.g = p.b "
+        "  GROUP BY p.a, p.b, s._h), "
+        "ru AS (SELECT a, b, _h, in_a, in_b, ROW_NUMBER() OVER "
+        "  (PARTITION BY a, b ORDER BY _h) AS rn FROM u), "
+        f"m AS (SELECT a, b, COUNT(*) AS n_u, MAX(_h) AS kth, "
+        f"  SUM(in_a * in_b) AS com FROM ru WHERE rn <= {k} GROUP BY a, b), "
+        f"e AS (SELECT a, b, n_u, com, CASE WHEN n_u < {k} "
+        f"  THEN CAST(n_u AS DOUBLE) ELSE CAST({k - 1} AS DOUBLE) * {two64} "
+        "  / CAST(kth AS DOUBLE) END AS est_union FROM m) "
+        "SELECT a AS type_a, b AS type_b, CAST(n_u AS BIGINT) AS n_mins, "
+        "CAST(com AS BIGINT) AS n_common_mins, est_union, "
+        "CAST(com AS DOUBLE) / CAST(n_u AS DOUBLE) * est_union AS est_inter "
+        "FROM e"
+    )

@@ -1517,6 +1517,14 @@ def _q_kmv_users_by_type(sf_dir: str):
         "event_type", "user_id")
 
 
+def _q_kmv_overlap(sf_dir: str):
+    from geospatial_learn_ray.stages.sketches import kmv_overlap_pairs
+
+    return kmv_overlap_pairs(
+        _rp(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -542,3 +542,84 @@ def kmv_distinct_grouped(ds: ray.data.Dataset, group_col: str, col: str,
     parted = ds.select_columns([group_col, col]).map_batches(
         partial, batch_format="pyarrow")
     return bucket_exchange(parted, combine, small_partials=True)
+
+
+def kmv_overlap_pairs(ds: ray.data.Dataset, group_col: str, col: str,
+                      k: int = 32, num_buckets: int = 32) -> ray.data.Dataset:
+    """KMV set-operation estimates for every unordered pair of groups:
+    |A ∪ B| and |A ∩ B| from the groups' bottom-k sketches alone (Beyer
+    et al. 2007 — the classic KMV union/intersection estimator). The
+    bottom-k of A ∪ B is computable exactly from bottom-k(A) ∪ bottom-k(B);
+    the intersection estimate is (common minima / n_u) · est_union.
+
+    Two exchanges: (1) the same per-group bottom-k merge as
+    ``kmv_distinct_grouped`` but emitting the sketch ROWS, (2) a
+    single-bucket combine over the ≤ groups×k sketch rows that forms the
+    pairwise estimates — nothing data-sized ever reaches the driver and
+    the pair combine sees only sketches (at 100 TB the full per-group
+    member sets never exist anywhere).
+
+    Float discipline for the oracle twin: est_union is the exact-operand
+    division used by ``kmv_distinct_grouped``; est_inter is
+    (common / n_u) * est_union with the same left-to-right association
+    in SQL."""
+    from .exchange import bucket_exchange
+
+    def _bottom_k(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates([group_col, "h"])
+        d = d.sort_values("h", kind="mergesort")
+        return d.groupby(group_col, sort=False).head(k)
+
+    old = np.seterr(over="ignore")
+    try:
+        def partial(b: pa.Table) -> pd.DataFrame:
+            c = b[col]
+            if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+                c = pa.compute.cast(c, pa.string())
+            h = splitmix64(fnv1a64(c))
+            d = _bottom_k(pd.DataFrame({
+                group_col: b[group_col].to_pandas().to_numpy(), "h": h}))
+            gk = d[group_col].to_numpy()
+            gh = (splitmix64(fnv1a64(gk.astype(object)))
+                  if gk.dtype == object else splitmix64(gk.astype(np.uint64)))
+            d = d.copy()
+            d["_part"] = (gh % np.uint64(num_buckets)).astype(np.int32)
+            return d
+    finally:
+        np.seterr(**old)
+
+    def combine_rows(g: pd.DataFrame) -> pd.DataFrame:
+        top = _bottom_k(g.drop(columns=["_part"])).copy()
+        top["_part"] = np.zeros(len(top), np.int32)
+        return top[[group_col, "h", "_part"]]
+
+    sketch_rows = bucket_exchange(
+        ds.select_columns([group_col, col]).map_batches(
+            partial, batch_format="pyarrow"),
+        combine_rows, small_partials=True)
+
+    def pairwise(g: pd.DataFrame) -> pd.DataFrame:
+        sets = {t: np.sort(sub["h"].to_numpy(np.uint64))
+                for t, sub in g.groupby(group_col, sort=True)}
+        names = sorted(sets)
+        rows = []
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                u = np.union1d(sets[a], sets[b])
+                m = u[:k]
+                n_u = len(m)
+                kth = np.uint64(m[-1])
+                if n_u < k:
+                    est_union = np.float64(n_u)
+                else:
+                    est_union = (np.float64(k - 1) * 18446744073709551616.0
+                                 ) / np.float64(kth)
+                common = int((np.isin(m, sets[a]) & np.isin(m, sets[b])).sum())
+                est_inter = (np.float64(common) / np.float64(n_u)) * est_union
+                rows.append((a, b, np.int64(n_u), np.int64(common),
+                             float(est_union), float(est_inter)))
+        return pd.DataFrame(
+            rows, columns=["type_a", "type_b", "n_mins", "n_common_mins",
+                           "est_union", "est_inter"])
+
+    return bucket_exchange(sketch_rows, pairwise, small_partials=True)

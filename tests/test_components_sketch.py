@@ -335,3 +335,24 @@ def test_kmv_small_group_exact():
                                k=32).to_pandas()
     assert out["n_mins"].tolist() == [7]
     assert out["est_distinct"].tolist() == [7.0]
+
+
+def test_kmv_overlap_planted_intersection():
+    from geospatial_learn_ray.stages.sketches import kmv_overlap_pairs
+
+    # A = 0..1499, B = 1000..2499 -> |A∩B| = 500, |A∪B| = 2500
+    a = pd.DataFrame({"g": "a", "v": np.arange(1500)})
+    b = pd.DataFrame({"g": "b", "v": np.arange(1000, 2500)})
+    df = pd.concat([a, b], ignore_index=True)
+    for blocks in (1, 5):
+        out = kmv_overlap_pairs(
+            ray.data.from_pandas(df).repartition(blocks), "g", "v",
+            k=128).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["type_a"], r["type_b"]) == ("a", "b")
+        assert abs(r["est_union"] - 2500) / 2500 < 0.3
+        assert abs(r["est_inter"] - 500) / 500 < 0.6
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
