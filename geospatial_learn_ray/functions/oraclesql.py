@@ -2766,3 +2766,35 @@ def _kmv_overlap_sql(group_col: str = "event_type", table: str = "events",
         "CAST(com AS DOUBLE) / CAST(n_u AS DOUBLE) * est_union AS est_inter "
         "FROM e"
     )
+
+
+def _pmi_bigrams_sql(min_count: int = 5, k: int = 50) -> str:
+    """SQL twin of textstages.pmi_bigrams: same space tokenizer as the
+    tfidf family, positional bigrams via the generate_series list
+    comprehension, exact integer counts, and the pmi float as the SAME
+    associated expression ln(((cab*N1/N2)*(N1/ca))/cb) snapped to f32."""
+    return (
+        "WITH toks AS MATERIALIZED (SELECT "
+        "  list_filter(string_split(text, ' '), x -> len(x) > 0) AS l "
+        "  FROM documents), "
+        "uni AS MATERIALIZED (SELECT unnest(l) AS tok FROM toks), "
+        "ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok), "
+        "n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni), "
+        "bg AS MATERIALIZED (SELECT unnest(list_transform("
+        "  generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS b "
+        "  FROM toks WHERE len(l) >= 2), "
+        "n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bg), "
+        f"bcnt AS (SELECT b, COUNT(*) AS cab FROM bg GROUP BY b "
+        f"  HAVING COUNT(*) >= {min_count}), "
+        "f AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, "
+        "  cab FROM bcnt), "
+        "j AS (SELECT f.w1, f.w2, f.cab, ua.c AS ca, ub.c AS cb "
+        "  FROM f JOIN ucnt ua ON ua.tok = f.w1 JOIN ucnt ub ON ub.tok = f.w2), "
+        "s AS (SELECT w1, w2, CAST(cab AS BIGINT) AS pair_count, "
+        "  CAST(ca AS BIGINT) AS c_w1, CAST(cb AS BIGINT) AS c_w2, "
+        "  CAST(CAST(ln((CAST(cab AS DOUBLE) * n1.n / n2.n) * "
+        "  (n1.n / CAST(ca AS DOUBLE)) / CAST(cb AS DOUBLE)) AS REAL) AS DOUBLE) "
+        "  AS pmi FROM j, n1, n2) "
+        "SELECT w1, w2, pair_count, c_w1, c_w2, pmi FROM s "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) <= {k}"
+    )

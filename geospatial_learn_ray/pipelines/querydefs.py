@@ -1525,6 +1525,12 @@ def _q_kmv_overlap(sf_dir: str):
         "event_type", "user_id")
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    from geospatial_learn_ray.stages.textstages import pmi_bigrams
+
+    return pmi_bigrams(_rp(sf_dir, "documents", ["text"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -1450,3 +1450,169 @@ def quality_blend(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def pmi_bigrams(docs: ray.data.Dataset, text_col: str = "text",
+                min_count: int = 5, k: int = 50,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Corpus-level top-k PMI collocations (Church & Hanks 1990):
+    pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent-token bigrams,
+    keeping bigrams with corpus count ≥ ``min_count``.
+
+    Fully distributed: per-block PRE-AGGREGATED unigram/bigram partial
+    counts (one vectorized groupby per block — the map-side combiner
+    pattern), one bucketed exchange each for the global sums, then the
+    two unigram lookups attach through the dedup-style half-row union
+    exchange (`_pair_payload_join` shape, string keys): bigram rows
+    explode into two halves keyed on their member token, union with the
+    unigram-count rows, co-locate by token hash, merge per bucket, re-key
+    on the pair and zip — the vocabulary is UNBOUNDED so neither side is
+    ever a broadcast dict. Corpus totals N1/N2 are two scalar `ds.sum`
+    tree-aggregates (driver holds two numbers, nothing else).
+
+    Oracle parity: counts are exact integers; the single pmi float is
+    ln(((cab·N1/N2) · (N1/ca)) / cb) with every operand an exact
+    int→f64 cast and the SAME association in SQL, snapped to f32
+    (round-3 transcendental recipe); ranking uses the snapped value with
+    a (w1, w2) tiebreak on both sides."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def _doc_tokens(b: pa.Table):
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas().to_numpy(object)
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = np.char.str_len(vals.astype(str)) > 0
+        return vals[keep], doc[keep]
+
+    def totals(b: pa.Table) -> pd.DataFrame:
+        vals, doc = _doc_tokens(b)
+        n2 = int((doc[1:] == doc[:-1]).sum()) if len(doc) > 1 else 0
+        return pd.DataFrame({"n1": [len(vals)], "n2": [n2]})
+
+    tsum = docs.select_columns([text_col]).map_batches(
+        totals, batch_format="pyarrow").sum(["n1", "n2"])
+    n1f = np.float64(tsum["sum(n1)"])
+    n2f = np.float64(tsum["sum(n2)"])
+
+    old = np.seterr(over="ignore")
+    try:
+        def _tok_part(tok: np.ndarray) -> np.ndarray:
+            return (splitmix64(fnv1a64(tok.astype(object)))
+                    % np.uint64(num_buckets)).astype(np.int32)
+
+        def uni_part(b: pa.Table) -> pd.DataFrame:
+            vals, _ = _doc_tokens(b)
+            g = (pd.DataFrame({"tok": vals}).groupby("tok", sort=False)
+                 .size().reset_index(name="c"))
+            g["c"] = g["c"].astype(np.int64)
+            g["_part"] = _tok_part(g["tok"].to_numpy())
+            return g
+
+        def big_part(b: pa.Table) -> pd.DataFrame:
+            vals, doc = _doc_tokens(b)
+            if len(vals) < 2:
+                return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                     "w2": pd.Series([], dtype=object),
+                                     "cab": pd.Series([], dtype=np.int64),
+                                     "_part": pd.Series([], dtype=np.int32)})
+            adj = doc[1:] == doc[:-1]
+            g = (pd.DataFrame({"w1": vals[:-1][adj], "w2": vals[1:][adj]})
+                 .groupby(["w1", "w2"], sort=False).size()
+                 .reset_index(name="cab"))
+            g["cab"] = g["cab"].astype(np.int64)
+            pair = (g["w1"] + " " + g["w2"]).to_numpy(object)
+            g["_part"] = _tok_part(pair)
+            return g
+
+        def uni_combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("tok", sort=False, as_index=False)["c"].sum())
+            out["c"] = out["c"].astype(np.int64)
+            return out
+
+        def big_combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["w1", "w2"], sort=False, as_index=False)["cab"].sum()
+            out["cab"] = out["cab"].astype(np.int64)
+            return out[out["cab"] >= min_count]
+
+        dsel = docs.select_columns([text_col])
+        ucnt = bucket_exchange(
+            dsel.map_batches(uni_part, batch_format="pyarrow"), uni_combine)
+        bcnt = bucket_exchange(
+            dsel.map_batches(big_part, batch_format="pyarrow"), big_combine)
+
+        def halves(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            w1 = b["w1"].to_numpy(object)
+            w2 = b["w2"].to_numpy(object)
+            d = pd.DataFrame({
+                "jtok": np.concatenate([w1, w2]),
+                "w1": np.concatenate([w1, w1]),
+                "w2": np.concatenate([w2, w2]),
+                "cab": np.concatenate([b["cab"].to_numpy(np.int64)] * 2),
+                "side": np.concatenate([np.zeros(n, np.int8),
+                                        np.ones(n, np.int8)]),
+                "t": np.zeros(2 * n, np.int8),
+                "c": np.zeros(2 * n, np.int64),
+            })
+            d["_part"] = _tok_part(d["jtok"].to_numpy())
+            return d
+
+        def look(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            empt = np.empty(n, object)
+            empt.fill("")
+            d = pd.DataFrame({
+                "jtok": b["tok"].to_numpy(object),
+                "w1": empt, "w2": empt,
+                "cab": np.zeros(n, np.int64),
+                "side": np.full(n, -1, np.int8),
+                "t": np.ones(n, np.int8),
+                "c": b["c"].to_numpy(np.int64),
+            })
+            d["_part"] = _tok_part(d["jtok"].to_numpy())
+            return d
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            h = g[g["t"] == 0].drop(columns=["c", "t", "_part"])
+            lk = g.loc[g["t"] == 1, ["jtok", "c"]]
+            m = h.merge(lk, on="jtok", how="inner").drop(columns=["jtok"])
+            pair = (m["w1"] + " " + m["w2"]).to_numpy(object)
+            m["_part"] = _tok_part(pair)
+            return m
+
+        def zips(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.loc[g["side"] == 0, ["w1", "w2", "cab", "c"]].rename(
+                columns={"c": "ca"})
+            bb = g.loc[g["side"] == 1, ["w1", "w2", "c"]].rename(
+                columns={"c": "cb"})
+            m = a.merge(bb, on=["w1", "w2"], how="inner")
+            cab = m["cab"].to_numpy(np.float64)
+            ca = m["ca"].to_numpy(np.float64)
+            cb = m["cb"].to_numpy(np.float64)
+            pmi = np.log((cab * n1f / n2f) * (n1f / ca) / cb)
+            return pd.DataFrame({
+                "w1": m["w1"].to_numpy(object),
+                "w2": m["w2"].to_numpy(object),
+                "pair_count": m["cab"].to_numpy(np.int64),
+                "c_w1": m["ca"].to_numpy(np.int64),
+                "c_w2": m["cb"].to_numpy(np.int64),
+                "pmi": pmi.astype(np.float32).astype(np.float64),
+            })
+
+        joined = bucket_exchange(
+            bcnt.map_batches(halves, batch_format="pandas")
+            .union(ucnt.map_batches(look, batch_format="pandas")),
+            attach)
+        scored = bucket_exchange(joined, zips)
+    finally:
+        np.seterr(**old)
+
+    return scored.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)

@@ -798,3 +798,30 @@ def test_quality_blend_rule_bits():
     assert out.loc[2, "fail_mask"] & 4          # duplicate bigrams
     assert out.loc[3, "fail_mask"] & 8          # low entropy
     assert (out.loc[1:, "keep"] == 0).all()
+
+
+def test_pmi_bigrams_planted_collocation():
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import pmi_bigrams
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = []
+    for _ in range(80):
+        toks = list(rng.choice(vocab, 30))
+        # plant "alpha beta" always adjacent, never apart
+        for pos in (5, 15, 25):
+            toks[pos:pos + 2] = ["alpha", "beta"]
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"text": docs})
+    for blocks in (1, 6):
+        out = pmi_bigrams(ray.data.from_pandas(df).repartition(blocks),
+                          min_count=5, k=10).to_pandas()
+        top = out.iloc[0]
+        assert (top["w1"], top["w2"]) == ("alpha", "beta")
+        # pmi(alpha,beta) ~ ln(N1/ c(alpha)) since p(ab)=p(a)=p(b)
+        assert top["pmi"] > 2.0
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
