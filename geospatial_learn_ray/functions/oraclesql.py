@@ -2798,3 +2798,30 @@ def _pmi_bigrams_sql(min_count: int = 5, k: int = 50) -> str:
         "SELECT w1, w2, pair_count, c_w1, c_w2, pmi FROM s "
         f"QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) <= {k}"
     )
+
+
+def _scd2_sql(n_snaps: int = 2) -> str:
+    """SQL twin of cdc.scd2_history over the v1/v2 snapshot fixtures:
+    fnv1a64 content hashes, gaps-and-islands run grouping (equivalent to
+    the engine's sorted-scan run detection: same-hash runs broken on
+    non-consecutive snaps)."""
+    from . import sqlgen as _sg
+    from ..sources.snapshots import snapshot_sql
+
+    def h(src: str, snap: int) -> str:
+        inner = _sg.chain(f"SELECT doc_id, text FROM {src}",
+                          [("_hu", _sg.fnv1a64_expr("text"))])
+        return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {snap} AS snap, "
+                f"{_sg.u64_to_i64('_hu')} AS h FROM ({inner})")
+
+    return (
+        f"WITH {snapshot_sql(1)}, {snapshot_sql(2)}, "
+        f"s AS ({h('v1', 1)} UNION ALL {h('v2', 2)}), "
+        "r AS (SELECT doc_id, h, snap, snap - ROW_NUMBER() OVER "
+        "  (PARTITION BY doc_id, h ORDER BY snap) AS isl FROM s) "
+        "SELECT doc_id, h AS content_hash, "
+        "CAST(MIN(snap) AS BIGINT) AS valid_from, "
+        "CAST(MAX(snap) AS BIGINT) AS valid_to, "
+        f"CAST(CASE WHEN MAX(snap) = {n_snaps} THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_current FROM r GROUP BY doc_id, h, isl"
+    )

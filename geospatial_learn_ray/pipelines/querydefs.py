@@ -1531,6 +1531,13 @@ def _q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_rp(sf_dir, "documents", ["text"]))
 
 
+def _q_scd2_history(sf_dir: str):
+    from geospatial_learn_ray.sources.snapshots import read_snapshot
+    from geospatial_learn_ray.stages.cdc import scd2_history
+
+    return scd2_history([read_snapshot(sf_dir, 1), read_snapshot(sf_dir, 2)])
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -62,3 +62,66 @@ def snapshot_diff(v1: ray.data.Dataset, v2: ray.data.Dataset,
         return out.reset_index(drop=True)
 
     return bucket_exchange(both, combine)
+
+
+def scd2_history(snaps: list[ray.data.Dataset], id_col: str = "doc_id",
+                 content_col: str = "text",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history build over an ordered list
+    of corpus snapshots: one output row per maximal run of consecutive
+    snapshots in which a key is present with unchanged content —
+    ``(key, content_hash, valid_from, valid_to, is_current)``. The
+    kimball-style dimension-history shape for recurring crawls (each run
+    is one "version" of the document; a deletion or content change closes
+    the run).
+
+    Scale shape: identical to ``snapshot_diff`` — map-side content
+    hashing keeps the text column out of the exchange; all snapshots ship
+    narrow (id, hash, snap) rows into ONE bucketed exchange on hash(id),
+    and the combiner detects runs with a vectorized sorted scan (no
+    per-key Python). Runs never span buckets because a key's rows all
+    land in its bucket."""
+    n_snaps = len(snaps)
+
+    def tag(snap: int):
+        def fn(b: pa.Table) -> pd.DataFrame:
+            ids = b[id_col].to_numpy()
+            h = fnv1a64(b[content_col]).view(np.int64)
+            old = np.seterr(over="ignore")
+            try:
+                part = (splitmix64(ids.astype(np.uint64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+            finally:
+                np.seterr(**old)
+            return pd.DataFrame({id_col: ids.astype(np.int64), "h": h,
+                                 "snap": np.full(len(ids), snap, np.int64),
+                                 "_part": part})
+        return fn
+
+    both = snaps[0].select_columns([id_col, content_col]).map_batches(
+        tag(1), batch_format="pyarrow")
+    for i, s in enumerate(snaps[1:], start=2):
+        both = both.union(s.select_columns([id_col, content_col]).map_batches(
+            tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "snap"], kind="mergesort")
+        ids = g[id_col].to_numpy(np.int64)
+        sn = g["snap"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64)
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = ((ids[1:] != ids[:-1]) | (sn[1:] != sn[:-1] + 1)
+                       | (h[1:] != h[:-1]))
+        first = np.flatnonzero(new)
+        last = np.r_[first[1:] - 1, len(g) - 1] if len(first) else first
+        vt = sn[last]
+        return pd.DataFrame({
+            id_col: ids[first],
+            "content_hash": h[first],
+            "valid_from": sn[first],
+            "valid_to": vt,
+            "is_current": (vt == n_snaps).astype(np.int64),
+        })
+
+    return bucket_exchange(both, combine)

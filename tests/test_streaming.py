@@ -306,3 +306,31 @@ def test_burst_detect_brute_force_and_block_invariant():
         out = burst_detect(ray.data.from_pandas(df).repartition(parts)) \
             .to_pandas().sort_values(["user_id", "hour"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def test_scd2_history_runs_and_current_flags():
+    import ray.data
+
+    from geospatial_learn_ray.stages.cdc import scd2_history
+
+    # doc 1: stable across 3 snaps -> one current run
+    # doc 2: content flips A->B->A -> three runs
+    # doc 3: present snaps 1,3 (gap) -> two runs, same content
+    # doc 4: only snap 2 -> one closed run
+    mk = lambda rows: ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    s1 = mk([(1, "x"), (2, "A"), (3, "g")])
+    s2 = mk([(1, "x"), (2, "B"), (4, "once")])
+    s3 = mk([(1, "x"), (2, "A"), (3, "g")])
+    out = scd2_history([s1, s2, s3]).to_pandas().sort_values(
+        ["doc_id", "valid_from"]).reset_index(drop=True)
+    spans = out[["doc_id", "valid_from", "valid_to", "is_current"]].values.tolist()
+    assert spans == [
+        [1, 1, 3, 1],
+        [2, 1, 1, 0], [2, 2, 2, 0], [2, 3, 3, 1],
+        [3, 1, 1, 0], [3, 3, 3, 1],
+        [4, 2, 2, 0],
+    ]
+    # A->B->A: first and third runs share the content hash
+    d2 = out[out["doc_id"] == 2]["content_hash"].tolist()
+    assert d2[0] == d2[2] and d2[0] != d2[1]
