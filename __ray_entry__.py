@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap_event_types": _q_kmv_overlap,
         "pmi_bigrams_docs": _q_pmi_bigrams,
         "scd2_history_docs": _q_scd2_history,
+        "crawl_frontier_pages": _q_crawl_frontier,
     }
 
 
@@ -282,6 +283,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _kmv_overlap_sql,
     _pmi_bigrams_sql,
     _scd2_sql,
+    _crawl_frontier_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -795,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap_event_types": _kmv_overlap_sql(),
         "pmi_bigrams_docs": _pmi_bigrams_sql(),
         "scd2_history_docs": _scd2_sql(),
+        "crawl_frontier_pages": _crawl_frontier_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2825,3 +2825,27 @@ def _scd2_sql(n_snaps: int = 2) -> str:
         f"CAST(CASE WHEN MAX(snap) = {n_snaps} THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_current FROM r GROUP BY doc_id, h, isl"
     )
+
+
+def _crawl_frontier_sql() -> str:
+    """SQL twin of textstages.crawl_frontier: same fnv/splitmix priority
+    draw (signed-BIGINT view for bit-identical ordering), per-host
+    ROW_NUMBER, and the integer politeness arithmetic."""
+    inner = _sg.chain(
+        f"WITH {pages_sql()} SELECT url FROM pages",
+        [("_f", _sg.fnv1a64_expr("url")), *_sg.splitmix64_steps("_f", "_h", "cf")])
+    draw = _sg.u64_to_i64("_h")
+    hostd = _sg.chain(
+        "SELECT url, draw, CAST(host AS HUGEINT) AS hu, host FROM base",
+        [*_sg.splitmix64_steps("hu", "_hh", "cfd")])
+    return (
+        f"WITH base AS MATERIALIZED (SELECT url, "
+        "CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS host, "
+        f"{draw} AS draw FROM ({inner})), "
+        f"wd AS (SELECT url, host, draw, "
+        f"  CAST(500 + (_hh % 1000) AS BIGINT) AS delay_ms FROM ({hostd})) "
+        "SELECT url, host, draw, delay_ms, rn, "
+        "CAST((rn - 1) * delay_ms AS BIGINT) AS sched_ms FROM ("
+        "  SELECT url, host, draw, delay_ms, row_number() OVER ("
+        "    PARTITION BY host ORDER BY draw, url) AS rn FROM wd)"
+    )

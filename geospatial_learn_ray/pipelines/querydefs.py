@@ -1538,6 +1538,12 @@ def _q_scd2_history(sf_dir: str):
     return scd2_history([read_snapshot(sf_dir, 1), read_snapshot(sf_dir, 2)])
 
 
+def _q_crawl_frontier(sf_dir: str):
+    from geospatial_learn_ray.stages.textstages import crawl_frontier
+
+    return crawl_frontier(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

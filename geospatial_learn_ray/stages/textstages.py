@@ -1616,3 +1616,53 @@ def pmi_bigrams(docs: ray.data.Dataset, text_col: str = "text",
 
     return scored.sort(["pmi", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+def crawl_frontier(pages: ray.data.Dataset, url_col: str = "url",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Crawl-frontier politeness scheduling: every page gets a fetch slot
+    within its host queue — pages are ranked per host by a deterministic
+    id-hash priority draw (cluster-size reproducible, CLAUDE.md RNG
+    rule), and page ``i`` of a host is scheduled at
+    ``(i-1) × delay_ms(host)`` where the per-host crawl delay is
+    ``500 + splitmix64(host) % 1000`` ms — the "be polite, one fetch per
+    delay per host" frontier shape (Heydon & Najork's Mercator).
+
+    Scale shape: one O(dataset) bucketed exchange on hash(host) (narrow
+    url/host/draw rows, wide columns never ship); the combiner ranks each
+    host with ONE vectorized sort + cumcount over the co-located block.
+    Rank-within-host is inherently a per-host sequential structure, so a
+    Zipf-hot host cannot be salted — but its rows are a sorted scan, not
+    a Python loop, and hosts spread across ``num_buckets`` buckets."""
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        urls = b[url_col].to_pandas()
+        host = urls.str.extract(r"site-(\d+)\.example", expand=False).astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            draw = splitmix64(fnv1a64(urls.to_numpy(object))).view(np.int64)
+            part = (splitmix64(host.to_numpy(np.uint64))
+                    % np.uint64(num_buckets)).astype(np.int32)
+            delay = (np.int64(500)
+                     + (splitmix64(host.to_numpy(np.uint64))
+                        % np.uint64(1000)).astype(np.int64))
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({url_col: urls, "host": host, "draw": draw,
+                             "delay_ms": delay, "_part": part})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values(
+            ["host", "draw", url_col], kind="mergesort")
+        rn = g.groupby("host", sort=False).cumcount().to_numpy(np.int64) + 1
+        g = g.copy()
+        g["rn"] = rn
+        g["sched_ms"] = (rn - 1) * g["delay_ms"].to_numpy(np.int64)
+        return g.reset_index(drop=True)
+
+    from .exchange import bucket_exchange
+
+    return bucket_exchange(
+        pages.select_columns([url_col]).map_batches(prep, batch_format="pyarrow"),
+        rank)

@@ -825,3 +825,19 @@ def test_pmi_bigrams_planted_collocation():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_crawl_frontier_politeness_invariants():
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.textstages import crawl_frontier
+
+    out = crawl_frontier(
+        read_pages("/root/testdata/sf0.001", columns=["url"])).to_pandas()
+    for host, g in out.groupby("host"):
+        g = g.sort_values("rn")
+        assert g["rn"].tolist() == list(range(1, len(g) + 1))
+        d = g["delay_ms"].iloc[0]
+        assert (g["delay_ms"] == d).all() and 500 <= d < 1500
+        assert (np.diff(g["sched_ms"].to_numpy()) == d).all()
+        # priority order is the id-hash draw
+        assert (np.diff(g["draw"].to_numpy()) >= 0).all()
