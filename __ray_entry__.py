@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams_docs": _q_pmi_bigrams,
         "scd2_history_docs": _q_scd2_history,
         "crawl_frontier_pages": _q_crawl_frontier,
+        "skyline_orders": _q_skyline_orders,
     }
 
 
@@ -284,6 +285,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _pmi_bigrams_sql,
     _scd2_sql,
     _crawl_frontier_sql,
+    _skyline_orders_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -798,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams_docs": _pmi_bigrams_sql(),
         "scd2_history_docs": _scd2_sql(),
         "crawl_frontier_pages": _crawl_frontier_sql(),
+        "skyline_orders": _skyline_orders_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2849,3 +2849,18 @@ def _crawl_frontier_sql() -> str:
         "  SELECT url, host, draw, delay_ms, row_number() OVER ("
         "    PARTITION BY host ORDER BY draw, url) AS rn FROM wd)"
     )
+
+
+def _skyline_orders_sql() -> str:
+    """SQL twin of agg.skyline_2d over orders (maximize o_totalprice,
+    minimize o_orderdate): per-price-group min date, running min over
+    strictly better prices via a 1-PRECEDING window, same tie rules."""
+    return (
+        "WITH g AS (SELECT o_totalprice AS p, MIN(o_orderdate) AS d "
+        "  FROM orders GROUP BY o_totalprice), "
+        "r AS (SELECT p, d, MIN(d) OVER (ORDER BY p DESC "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g) "
+        "SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate "
+        "FROM orders o JOIN r ON o.o_totalprice = r.p "
+        "WHERE o.o_orderdate = r.d AND (r.m1 IS NULL OR o.o_orderdate < r.m1)"
+    )

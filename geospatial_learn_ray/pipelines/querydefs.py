@@ -1544,6 +1544,12 @@ def _q_crawl_frontier(sf_dir: str):
     return crawl_frontier(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_skyline_orders(sf_dir: str):
+    return agg.skyline_2d(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]),
+        "o_totalprice", "o_orderdate", carry=["o_orderkey"])
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

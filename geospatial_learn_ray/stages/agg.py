@@ -489,3 +489,57 @@ def grouped_trimmed_stats(ds: ray.data.Dataset, keys: list[str] | str,
 
     parted = ds.map_batches(prep, batch_format="pandas")
     return bucket_exchange(parted, per_part)
+
+
+def _skyline2d(df: pd.DataFrame, max_col: str, min_col: str) -> pd.DataFrame:
+    """Exact 2-D skyline of ``df`` (maximize max_col, minimize min_col),
+    vectorized: survive iff (a) min_col equals the group minimum within
+    its max_col value and (b) min_col is strictly below every strictly-
+    better max_col group's minimum. Ties in both coordinates all
+    survive (neither strictly dominates)."""
+    if df.empty:
+        return df
+    d = df.sort_values([max_col, min_col], ascending=[False, True],
+                       kind="mergesort")
+    mx = d[max_col].to_numpy()
+    mn = d[min_col].to_numpy()
+    # group minimum = first value per max_col group (sorted asc inside)
+    new_grp = np.ones(len(d), bool)
+    new_grp[1:] = mx[1:] != mx[:-1]
+    gmin = mn[new_grp][np.cumsum(new_grp) - 1]
+    # running min of gmin over strictly-better groups
+    grp_first_mn = mn[new_grp]
+    prior = np.empty(len(grp_first_mn), grp_first_mn.dtype)
+    if len(grp_first_mn):
+        prior[0] = grp_first_mn[0]  # sentinel: top group has no better
+        np.minimum.accumulate(grp_first_mn[:-1], out=prior[1:])
+    prior_row = prior[np.cumsum(new_grp) - 1]
+    first_grp = np.cumsum(new_grp) == 1
+    keep = (mn == gmin) & (first_grp | (mn < prior_row))
+    return d[keep]
+
+
+def skyline_2d(ds: ray.data.Dataset, max_col: str, min_col: str,
+               carry: list[str]) -> ray.data.Dataset:
+    """Distributed exact 2-D Pareto skyline (Börzsönyi et al. 2001):
+    per-block LOCAL skylines first — the local skyline of a block always
+    contains every global-skyline point in it, and on non-adversarial
+    data prunes each block to O(log block) candidates — then ONE
+    single-bucket exchange computes the final skyline over the pruned
+    union with the same vectorized scan. Nothing reaches the driver."""
+    from .exchange import bucket_exchange
+
+    cols = [*carry, max_col, min_col]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        out = _skyline2d(b[cols], max_col, min_col).copy()
+        out["_part"] = np.zeros(len(out), np.int32)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _skyline2d(g.drop(columns=["_part"]), max_col,
+                          min_col).reset_index(drop=True)
+
+    return bucket_exchange(
+        ds.select_columns(cols).map_batches(local, batch_format="pandas"),
+        final, small_partials=True)

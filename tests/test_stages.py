@@ -359,3 +359,29 @@ def test_grouped_trimmed_stats_matches_brute_force():
         assert abs(out.loc[k, "winsor_mean"] - ws / (n * 100)) < 1e-6
         # outliers rejected: trimmed mean near 100, raw mean far above
         assert out.loc[k, "trimmed_mean"] < 200
+
+
+def test_skyline2d_matches_bruteforce():
+    import ray.data
+
+    from geospatial_learn_ray.stages.agg import _skyline2d, skyline_2d
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "id": np.arange(400),
+        # small integer domain -> plenty of exact ties in both coords
+        "price": rng.randint(0, 25, 400).astype(np.float64),
+        "date": rng.randint(0, 25, 400),
+    })
+    dominated = np.zeros(len(df), bool)
+    p, d = df["price"].to_numpy(), df["date"].to_numpy()
+    for i in range(len(df)):
+        dominated[i] = bool(np.any(
+            (p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))))
+    brute = set(df.loc[~dominated, "id"])
+    local = set(_skyline2d(df, "price", "date")["id"])
+    assert local == brute
+    for blocks in (1, 8):
+        dist = set(skyline_2d(ray.data.from_pandas(df).repartition(blocks),
+                              "price", "date", carry=["id"]).to_pandas()["id"])
+        assert dist == brute
