@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history_docs": _q_scd2_history,
         "crawl_frontier_pages": _q_crawl_frontier,
         "skyline_orders": _q_skyline_orders,
+        "ab_test_events": _q_ab_test,
     }
 
 
@@ -286,6 +287,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _scd2_sql,
     _crawl_frontier_sql,
     _skyline_orders_sql,
+    _ab_test_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -801,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history_docs": _scd2_sql(),
         "crawl_frontier_pages": _crawl_frontier_sql(),
         "skyline_orders": _skyline_orders_sql(),
+        "ab_test_events": _ab_test_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2864,3 +2864,39 @@ def _skyline_orders_sql() -> str:
         "FROM orders o JOIN r ON o.o_totalprice = r.p "
         "WHERE o.o_orderdate = r.d AND (r.m1 IS NULL OR o.o_orderdate < r.m1)"
     )
+
+
+def _ab_test_sql() -> str:
+    """SQL twin of agg.ab_test_stats: splitmix64(user_id)%2 assignment,
+    exact integer cents, HUGEINT sums, and the identical Welch-z float
+    expression over exact casts."""
+    from . import sqlgen as _sg
+
+    inner = _sg.chain(
+        "SELECT user_id, value FROM events",
+        [*_sg.splitmix64_steps("CAST(user_id AS HUGEINT)", "_h", "ab")])
+    cents = "CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT)"
+    return (
+        f"WITH v AS (SELECT CAST(_h % 2 AS BIGINT) AS variant, {cents} AS c "
+        f"FROM ({inner})), "
+        "s AS (SELECT variant, COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS s1, "
+        "  SUM(CAST(c AS HUGEINT) * c) AS s2 FROM v GROUP BY variant), "
+        "e AS (SELECT "
+        "  (SELECT n FROM s WHERE variant = 0) AS na, "
+        "  (SELECT n FROM s WHERE variant = 1) AS nb, "
+        "  (SELECT s1 FROM s WHERE variant = 0) AS s1a, "
+        "  (SELECT s1 FROM s WHERE variant = 1) AS s1b, "
+        "  (SELECT s2 FROM s WHERE variant = 0) AS s2a, "
+        "  (SELECT s2 FROM s WHERE variant = 1) AS s2b), "
+        "f AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+        "  CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS mean_cents_a, "
+        "  CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_cents_b, "
+        "  (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) "
+        "    / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va, "
+        "  (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) "
+        "    / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb, "
+        "  CAST(na AS DOUBLE) AS fa, CAST(nb AS DOUBLE) AS fb FROM e) "
+        "SELECT n_a, n_b, mean_cents_a, mean_cents_b, "
+        "(mean_cents_a - mean_cents_b) / SQRT(va / fa + vb / fb) AS welch_z "
+        "FROM f"
+    )

@@ -1550,6 +1550,10 @@ def _q_skyline_orders(sf_dir: str):
         "o_totalprice", "o_orderdate", carry=["o_orderkey"])
 
 
+def _q_ab_test(sf_dir: str):
+    return agg.ab_test_stats(_rp(sf_dir, "events", ["user_id", "value"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -543,3 +543,70 @@ def skyline_2d(ds: ray.data.Dataset, max_col: str, min_col: str,
     return bucket_exchange(
         ds.select_columns(cols).map_batches(local, batch_format="pandas"),
         final, small_partials=True)
+
+
+def ab_test_stats(ds: ray.data.Dataset, user_col: str = "user_id",
+                  value_col: str = "value") -> ray.data.Dataset:
+    """Hash-randomized A/B experiment readout: users split 50/50 by
+    ``splitmix64(user_id) % 2`` (deterministic assignment — the id-hash
+    sampling rule, reproducible at any cluster size), per-variant
+    mean of the event value and the Welch z-statistic.
+
+    Exactness: values become integer cents map-side (round_half_away —
+    the only rounding that matches SQL ROUND, CLAUDE.md), per-block
+    int64 partial Σc and Σc² ride ONE single-bucket exchange (2 rows per
+    block), and the combiner totals them in arbitrary-precision Python
+    ints (the HUGEINT-sum twin: int64 would wrap at ~100 TB of cents²).
+    Every output float is a fixed expression over those exact integers
+    mirrored token-for-token in SQL (divisions and SQRT are IEEE
+    correctly-rounded on both engines)."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        u = b[user_col].to_numpy()
+        old = np.seterr(over="ignore")
+        try:
+            variant = (splitmix64(u.astype(np.uint64))
+                       % np.uint64(2)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+        c = round_half_away(
+            np.asarray(b[value_col].to_pandas(), np.float64) * 100.0,
+            0).astype(np.int64)
+        d = pd.DataFrame({"variant": variant, "c": c, "c2": c * c})
+        g = d.groupby("variant", as_index=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2=("c2", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = {}
+        for v, sub in g.groupby("variant"):
+            tot[int(v)] = (int(sub["n"].sum()),
+                           sum(int(x) for x in sub["s1"]),
+                           sum(int(x) for x in sub["s2"]))
+        na, s1a, s2a = tot.get(0, (0, 0, 0))
+        nb, s1b, s2b = tot.get(1, (0, 0, 0))
+        fa, fb = np.float64(na), np.float64(nb)
+        mean_a = np.float64(s1a) / fa
+        mean_b = np.float64(s1b) / fb
+        va = (np.float64(s2a) - np.float64(s1a) * np.float64(s1a) / fa) \
+            / np.float64(na - 1)
+        vb = (np.float64(s2b) - np.float64(s1b) * np.float64(s1b) / fb) \
+            / np.float64(nb - 1)
+        z = (mean_a - mean_b) / np.sqrt(va / fa + vb / fb)
+        return pd.DataFrame({
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+            "mean_cents_a": [float(mean_a)],
+            "mean_cents_b": [float(mean_b)],
+            "welch_z": [float(z)],
+        })
+
+    return bucket_exchange(
+        ds.select_columns([user_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        combine, small_partials=True)

@@ -385,3 +385,31 @@ def test_skyline2d_matches_bruteforce():
         dist = set(skyline_2d(ray.data.from_pandas(df).repartition(blocks),
                               "price", "date", carry=["id"]).to_pandas()["id"])
         assert dist == brute
+
+
+def test_ab_test_stats_matches_direct_computation():
+    import ray.data
+
+    from geospatial_learn_ray.functions.hashing import splitmix64
+    from geospatial_learn_ray.stages.agg import ab_test_stats
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({"user_id": np.arange(2000) % 400,
+                       "value": rng.gamma(2.0, 10.0, 2000).round(2)})
+    for blocks in (1, 6):
+        out = ab_test_stats(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert len(out) == 1
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
+    v = (splitmix64(df["user_id"].to_numpy(np.uint64)) % np.uint64(2)).astype(int)
+    c = np.floor(np.abs(df["value"] * 100.0) + 0.5) * np.sign(df["value"])
+    r = out.iloc[0]
+    assert r["n_a"] == int((v == 0).sum()) and r["n_b"] == int((v == 1).sum())
+    assert abs(r["mean_cents_a"] - c[v == 0].mean()) < 1e-6
+    # Welch z close to scipy-free direct formula
+    va = c[v == 0].var(ddof=1); vb = c[v == 1].var(ddof=1)
+    zd = (c[v == 0].mean() - c[v == 1].mean()) / np.sqrt(
+        va / (v == 0).sum() + vb / (v == 1).sum())
+    assert abs(r["welch_z"] - zd) < 1e-6
