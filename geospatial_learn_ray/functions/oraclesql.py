@@ -2900,3 +2900,24 @@ def _ab_test_sql() -> str:
         "(mean_cents_a - mean_cents_b) / SQRT(va / fa + vb / fb) AS welch_z "
         "FROM f"
     )
+
+
+def _fuzzy_names_sql() -> str:
+    """SQL twin of dedup.fuzzy_name_pairs: the same complete deletion-
+    neighborhood blocking (list-comprehension single deletions + the
+    name itself), then DuckDB's exact levenshtein() as the d ≤ 1 verify —
+    equivalent integer predicate to the engine's one-edit test."""
+    return (
+        "WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer), "
+        "v AS (SELECT id, nm, unnest(list_append(list_transform("
+        "  generate_series(1, len(nm)), "
+        "  i -> substr(nm, 1, i - 1) || substr(nm, i + 1)), nm)) AS variant "
+        "  FROM c), "
+        "vd AS (SELECT DISTINCT id, nm, variant FROM v), "
+        "p AS (SELECT DISTINCT a.id AS c_custkey_a, b.id AS c_custkey_b, "
+        "  a.nm AS c_name_a, b.nm AS c_name_b "
+        "  FROM vd a JOIN vd b ON a.variant = b.variant AND a.id < b.id) "
+        "SELECT c_custkey_a, c_custkey_b, c_name_a, c_name_b, "
+        "CAST(levenshtein(c_name_a, c_name_b) AS BIGINT) AS dist "
+        "FROM p WHERE levenshtein(c_name_a, c_name_b) <= 1"
+    )

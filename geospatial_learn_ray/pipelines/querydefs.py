@@ -1554,6 +1554,12 @@ def _q_ab_test(sf_dir: str):
     return agg.ab_test_stats(_rp(sf_dir, "events", ["user_id", "value"]))
 
 
+def _q_fuzzy_names(sf_dir: str):
+    from geospatial_learn_ray.stages.dedup import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(_rp(sf_dir, "customer", ["c_custkey", "c_name"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -1238,3 +1238,120 @@ def verify_containment(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         return out
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+def _one_edit_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact edit-distance-≤1 check for paired string arrays:
+    d(a,b) ≤ 1 ⇔ equal, or (equal length ∧ lcp+lcs ≥ L-1), or
+    (length diff 1 ∧ lcp+lcs ≥ min(L)) — the classic one-edit test
+    (no DP loop; works on padded byte matrices)."""
+    la = np.char.str_len(a.astype(str))
+    lb = np.char.str_len(b.astype(str))
+    w = int(max(la.max(initial=1), lb.max(initial=1)))
+    am = np.frombuffer(
+        np.char.ljust(a.astype(str), w).astype(f"S{w}").tobytes(),
+        np.uint8).reshape(-1, w)
+    bm = np.frombuffer(
+        np.char.ljust(b.astype(str), w).astype(f"S{w}").tobytes(),
+        np.uint8).reshape(-1, w)
+    eq = am == bm
+    lcp = np.minimum((eq.cumprod(axis=1)).sum(axis=1), np.minimum(la, lb))
+    # suffix: compare right-aligned — shift shorter string's tail
+    ar = np.frombuffer(
+        np.char.rjust(a.astype(str), w).astype(f"S{w}").tobytes(),
+        np.uint8).reshape(-1, w)
+    br = np.frombuffer(
+        np.char.rjust(b.astype(str), w).astype(f"S{w}").tobytes(),
+        np.uint8).reshape(-1, w)
+    eqr = ar == br
+    lcs = np.minimum(eqr[:, ::-1].cumprod(axis=1).sum(axis=1),
+                     np.minimum(la, lb))
+    same_len = la == lb
+    off1 = np.abs(la - lb) == 1
+    return ((same_len & (lcp + lcs >= la - 1))
+            | (off1 & (lcp + lcs >= np.minimum(la, lb))))
+
+
+def fuzzy_name_pairs(ds: ray.data.Dataset, id_col: str = "c_custkey",
+                     name_col: str = "c_name",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Blocked similarity self-join: all pairs of rows whose names are
+    within edit distance 1, via SymSpell deletion-neighborhood blocking
+    (Garbe 2012): every name explodes into its ≤L single-deletion
+    variants (+ itself); two strings with d ≤ 1 ALWAYS share a variant
+    (delete the differing/inserted position), so blocking is complete —
+    no n² cross join ever forms. Exchange 1 co-locates by variant hash
+    and emits intra-block candidate pairs (groups sharing a variant are
+    tiny); exchange 2 co-locates by pair identity, dedups the multi-
+    variant repeats, and verifies d ≤ 1 with the vectorized one-edit
+    test — no per-pair DP loop anywhere.
+
+    The SQL twin restates the same complete blocking (list-comprehension
+    deletions) and verifies with DuckDB's levenshtein() — equivalent
+    integer predicates, so the surviving pair sets match exactly."""
+    from .exchange import bucket_exchange
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        names = b[name_col].to_pandas()
+        parts = [pd.DataFrame({"variant": names, id_col: ids,
+                               name_col: names})]
+        w = int(names.str.len().max()) if len(names) else 0
+        for i in range(w):
+            sub = names.str.len() > i
+            if not sub.any():
+                continue
+            v = names[sub].str[:i] + names[sub].str[i + 1:]
+            parts.append(pd.DataFrame({
+                "variant": v, id_col: ids[sub.to_numpy()],
+                name_col: names[sub]}))
+        d = pd.concat(parts, ignore_index=True)
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(fnv1a64(d["variant"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).drop_duplicates(["variant", id_col])
+        m = g.merge(g, on="variant", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m = m[[f"{id_col}_a", f"{id_col}_b",
+               f"{name_col}_a", f"{name_col}_b"]].drop_duplicates(
+            [f"{id_col}_a", f"{id_col}_b"])
+        old = np.seterr(over="ignore")
+        try:
+            key = (m[f"{id_col}_a"].to_numpy(np.int64) * 1000003
+                   + m[f"{id_col}_b"].to_numpy(np.int64))
+            m = m.copy()
+            m["_part"] = (splitmix64(key.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return m
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).drop_duplicates(
+            [f"{id_col}_a", f"{id_col}_b"]).reset_index(drop=True)
+        if g.empty:
+            return pd.DataFrame({
+                f"{id_col}_a": pd.Series([], dtype=np.int64),
+                f"{id_col}_b": pd.Series([], dtype=np.int64),
+                f"{name_col}_a": pd.Series([], dtype=object),
+                f"{name_col}_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64)})
+        a = g[f"{name_col}_a"].to_numpy(object)
+        b = g[f"{name_col}_b"].to_numpy(object)
+        ok = _one_edit_mask(a, b)
+        out = g[ok].copy()
+        out["dist"] = np.where(
+            out[f"{name_col}_a"].to_numpy(object)
+            == out[f"{name_col}_b"].to_numpy(object), 0, 1).astype(np.int64)
+        return out.reset_index(drop=True)
+
+    parted = ds.select_columns([id_col, name_col]).map_batches(
+        explode, batch_format="pyarrow")
+    cand = bucket_exchange(parted, candidates)
+    return bucket_exchange(cand, verify)

@@ -342,3 +342,59 @@ def test_snapshot_diff_classes_and_block_invariance():
             .to_pandas()
         got = dict(zip(out["doc_id"], out["change"]))
         assert got == expect
+
+
+def test_one_edit_mask_matches_dp():
+    from geospatial_learn_ray.stages.dedup import _one_edit_mask
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    import itertools
+    words = ["abc", "abd", "ab", "abcd", "bc", "abc", "xbc", "acb",
+             "", "a", "abcde", "zabc", "abcz", "aXc"]
+    pairs = list(itertools.product(words, words))
+    a = np.array([p[0] for p in pairs], object)
+    b = np.array([p[1] for p in pairs], object)
+    got = _one_edit_mask(a, b)
+    want = np.array([lev(x, y) <= 1 for x, y in pairs])
+    assert (got == want).all()
+
+
+def test_fuzzy_name_pairs_block_invariant_and_complete():
+    import ray.data
+
+    from geospatial_learn_ray.stages.dedup import fuzzy_name_pairs
+
+    names = [f"Customer#{i:09d}" for i in range(1, 61)]
+    df = pd.DataFrame({"c_custkey": np.arange(1, 61), "c_name": names})
+    outs = []
+    for blocks in (1, 5):
+        out = fuzzy_name_pairs(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        outs.append(out.sort_values(["c_custkey_a", "c_custkey_b"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = set(zip(outs[0]["c_custkey_a"], outs[0]["c_custkey_b"]))
+    # brute force ground truth
+    def lev_le1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        i = 0
+        while i < min(len(a), len(b)) and a[i] == b[i]:
+            i += 1
+        j = 0
+        while j < min(len(a), len(b)) - i and a[-1 - j] == b[-1 - j]:
+            j += 1
+        return i + j >= (len(a) - 1 if len(a) == len(b) else min(len(a), len(b)))
+    want = {(i + 1, j + 1) for i in range(60) for j in range(i + 1, 60)
+            if lev_le1(names[i], names[j])}
+    assert got == want and len(want) > 0
