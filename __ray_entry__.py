@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline_orders,
         "ab_test_events": _q_ab_test,
         "fuzzy_name_pairs_customer": _q_fuzzy_names,
+        "idw_grid_pages": _q_idw_grid,
     }
 
 
@@ -290,6 +291,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _skyline_orders_sql,
     _ab_test_sql,
     _fuzzy_names_sql,
+    _idw_grid_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -807,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_orders": _skyline_orders_sql(),
         "ab_test_events": _ab_test_sql(),
         "fuzzy_name_pairs_customer": _fuzzy_names_sql(),
+        "idw_grid_pages": _idw_grid_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

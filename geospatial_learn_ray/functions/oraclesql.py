@@ -2921,3 +2921,34 @@ def _fuzzy_names_sql() -> str:
         "CAST(levenshtein(c_name_a, c_name_b) AS BIGINT) AS dist "
         "FROM p WHERE levenshtein(c_name_a, c_name_b) <= 1"
     )
+
+
+def _idw_grid_sql(cs: float = 1.0) -> str:
+    """SQL twin of cellindex.idw_grid: geocode chain, 3×3 ring
+    replication via two range() cross joins, identical f64 distance
+    expression, integer weights, HUGEINT sums, one final division."""
+    from . import sqlgen as _sg
+
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url, text FROM pages",
+                      _sg.geocode_steps("url"))
+    csd = f"CAST({cs!r} AS DOUBLE)"
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT lon, lat, "
+        f"CAST(len(text) AS BIGINT) AS v, "
+        f"CAST(FLOOR(lon / {csd}) AS BIGINT) AS cx, "
+        f"CAST(FLOOR(lat / {csd}) AS BIGINT) AS cy FROM ({inner})), "
+        "rep AS (SELECT cx + dxr.range AS gx, cy + dyr.range AS gy, "
+        "  lon, lat, v FROM pts, range(-1, 2) dxr, range(-1, 2) dyr), "
+        "d AS (SELECT gx, gy, v, "
+        f"  (lon - (CAST(gx AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) AS ddx, "
+        f"  (lat - (CAST(gy AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) AS ddy "
+        "  FROM rep), "
+        "w AS (SELECT gx, gy, v, CAST(FLOOR(CAST(1000000 AS DOUBLE) / "
+        "  (CAST(1.0 AS DOUBLE) + (ddx * ddx + ddy * ddy) * CAST(16.0 AS DOUBLE)) "
+        "  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq FROM d "
+        f"  WHERE ddx * ddx + ddy * ddy <= {csd} * {csd}) "
+        "SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_pts, "
+        "CAST(SUM(CAST(wq AS HUGEINT) * v) AS DOUBLE) "
+        "/ CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) AS idw "
+        "FROM w GROUP BY gx, gy"
+    )

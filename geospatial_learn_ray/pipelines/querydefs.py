@@ -1560,6 +1560,12 @@ def _q_fuzzy_names(sf_dir: str):
     return fuzzy_name_pairs(_rp(sf_dir, "customer", ["c_custkey", "c_name"]))
 
 
+def _q_idw_grid(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import idw_grid
+
+    return idw_grid(read_pages(sf_dir, columns=["url", "text"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

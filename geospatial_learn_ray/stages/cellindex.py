@@ -9,6 +9,7 @@ batches — numpy kernels from functions/geo.py, no Python per row.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -165,3 +166,74 @@ def hex_kring_smooth(ds: ray.data.Dataset, res: int = 7,
     cells = bucket_exchange(parted, per_cell, key="_bkt",
                             small_partials=True)
     return bucket_exchange(cells, smooth, key="_bkt", small_partials=True)
+
+
+def idw_grid(pages: ray.data.Dataset, url_col: str = "url",
+             text_col: str = "text", cs: float = 1.0,
+             num_buckets: int = 256) -> ray.data.Dataset:
+    """Inverse-distance-weighted grid interpolation (Shepard 1968) of a
+    per-page measurement (text length) onto a ``cs``-degree lon/lat grid:
+    each cell center averages the points within radius R = cs, weighted
+    by a quantized inverse-distance kernel.
+
+    Scale shape: the kNN pattern — every point replicates to its 3×3
+    cell ring map-side (complete for R = cs: a neighbor-of-neighbor
+    center is ≥ 1.5·cs away), ONE bucketed exchange on the cell key
+    co-locates each cell's candidate points, and the combiner is a
+    vectorized distance filter + integer groupby. No driver pulls.
+
+    Oracle exactness: weights are integers floor(1e6/(1+16·d²)+0.5) —
+    d² is the identical f64 expression both sides (geocode lon/lat is
+    exact hash arithmetic) — so Σw and Σw·v are order-exact integer
+    sums and the final idw is one division of exact casts."""
+    import pyarrow.compute as pc
+
+    from ..functions import geo
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        v = pc.utf8_length(b[text_col]).to_numpy().astype(np.int64)
+        cx = np.floor(lon / cs).astype(np.int64)
+        cy = np.floor(lat / cs).astype(np.int64)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts.append(pd.DataFrame({
+                    "gx": cx + dx, "gy": cy + dy,
+                    "lon": lon, "lat": lat, "v": v}))
+        d = pd.concat(parts, ignore_index=True)
+        old = np.seterr(over="ignore")
+        try:
+            key = (d["gx"].to_numpy(np.int64) * 100003
+                   + d["gy"].to_numpy(np.int64))
+            d["_part"] = (splitmix64(key.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        gx = g["gx"].to_numpy(np.int64)
+        gy = g["gy"].to_numpy(np.int64)
+        cxc = (gx.astype(np.float64) + 0.5) * cs
+        cyc = (gy.astype(np.float64) + 0.5) * cs
+        dx = g["lon"].to_numpy(np.float64) - cxc
+        dy = g["lat"].to_numpy(np.float64) - cyc
+        d2 = dx * dx + dy * dy
+        keep = d2 <= cs * cs
+        wq = np.floor(1e6 / (1.0 + d2[keep] * 16.0) + 0.5).astype(np.int64)
+        sub = pd.DataFrame({"gx": gx[keep], "gy": gy[keep], "wq": wq,
+                            "wv": wq * g["v"].to_numpy(np.int64)[keep]})
+        out = sub.groupby(["gx", "gy"], as_index=False).agg(
+            n_pts=("wq", "size"), sw=("wq", "sum"), swv=("wv", "sum"))
+        out["n_pts"] = out["n_pts"].astype(np.int64)
+        out["idw"] = (out["swv"].to_numpy(np.int64).astype(np.float64)
+                      / out["sw"].to_numpy(np.int64).astype(np.float64))
+        return out[["gx", "gy", "n_pts", "idw"]]
+
+    return bucket_exchange(
+        pages.select_columns([url_col, text_col]).map_batches(
+            prep, batch_format="pyarrow"),
+        combine)

@@ -78,3 +78,34 @@ def test_grid_dbscan_isolated_core_and_cross_cell_cluster():
     # the line blob is one cluster despite crossing the cell boundary
     assert out.loc[100:103, "cluster_id"].nunique() == 1
     assert out.loc[108, "cluster_id"] == -1  # the lone point is noise
+
+
+def test_idw_grid_block_invariant_and_exact_singleton():
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.cellindex import idw_grid
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url", "text"])
+    outs = []
+    for blocks in (2, 7):
+        out = idw_grid(pages.repartition(blocks)).to_pandas()
+        outs.append(out.sort_values(["gx", "gy"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert (out["n_pts"] >= 1).all()
+    # a cell whose ring holds exactly one point interpolates to that
+    # point's value exactly (weights cancel)
+    import pyarrow.compute as pc
+
+    from geospatial_learn_ray.functions import geo
+    t = pages.to_pandas()
+    lon, lat = geo.geocode(t["url"].to_numpy(object))
+    v = t["text"].str.len().to_numpy(np.int64)
+    ones = out[out["n_pts"] == 1]
+    assert len(ones) > 0
+    for _, r in ones.head(5).iterrows():
+        cx, cy = r["gx"] + 0.5, r["gy"] + 0.5
+        d2 = (lon - cx) ** 2 + (lat - cy) ** 2
+        near = np.flatnonzero(d2 <= 1.0)
+        assert len(near) == 1 and float(v[near[0]]) == r["idw"]
