@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_events": _q_ab_test,
         "fuzzy_name_pairs_customer": _q_fuzzy_names,
         "idw_grid_pages": _q_idw_grid,
+        "skeletonize_tiles": _q_skeletonize,
     }
 
 
@@ -292,6 +293,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ab_test_sql,
     _fuzzy_names_sql,
     _idw_grid_sql,
+    _skeletonize_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -810,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_events": _ab_test_sql(),
         "fuzzy_name_pairs_customer": _fuzzy_names_sql(),
         "idw_grid_pages": _idw_grid_sql(),
+        "skeletonize_tiles": _skeletonize_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -2952,3 +2952,59 @@ def _idw_grid_sql(cs: float = 1.0) -> str:
         "/ CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) AS idw "
         "FROM w GROUP BY gx, gy"
     )
+
+
+def _skeletonize_sql(side: int = 16, quant: float = 2.0, fg_thresh: int = 4,
+                     rounds: int = 8, tx_max: int = 15,
+                     ty_max: int = 15) -> str:
+    """SQL twin of raster.skeletonize_stage: the 2·rounds Zhang-Suen
+    subpasses unrolled as MATERIALIZED CTEs (CLAUDE.md: self-referencing
+    round chains must materialize), neighbors via 8 equi LEFT JOINs with
+    COALESCE 0 at borders, identical compass order and subpass rules."""
+    nbr = {"p2": (0, -1), "p3": (1, -1), "p4": (1, 0), "p5": (1, 1),
+           "p6": (0, 1), "p7": (-1, 1), "p8": (-1, 0), "p9": (-1, -1)}
+    pairs = [("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p5", "p6"),
+             ("p6", "p7"), ("p7", "p8"), ("p8", "p9"), ("p9", "p2")]
+    ctes = [
+        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CASE WHEN q >= {fg_thresh} THEN 1 ELSE 0 END AS b FROM rc)"]
+    for k in range(1, 2 * rounds + 1):
+        prev = f"s{k - 1}"
+        joins = []
+        sel = []
+        for name, (dx, dy) in nbr.items():
+            t = "n" + name[1:]
+            joins.append(
+                f"LEFT JOIN {prev} {t} ON {t}.tile_x = c.tile_x "
+                f"AND {t}.tile_y = c.tile_y AND {t}.px = c.px + ({dx}) "
+                f"AND {t}.py = c.py + ({dy})")
+            sel.append(f"COALESCE({t}.b, 0) AS {name}")
+        a_expr = " + ".join(
+            f"(CASE WHEN {a} = 0 AND {b} = 1 THEN 1 ELSE 0 END)"
+            for a, b in pairs)
+        bsum = " + ".join(nbr)
+        if (k - 1) % 2 == 0:
+            c1, c2 = "p2 * p4 * p6", "p4 * p6 * p8"
+        else:
+            c1, c2 = "p2 * p4 * p8", "p2 * p6 * p8"
+        inner = (f"SELECT c.tile_x, c.tile_y, c.px, c.py, c.b, "
+                 + ", ".join(sel) + f" FROM {prev} c " + " ".join(joins))
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+            f"CASE WHEN b = 1 AND ({bsum}) BETWEEN 2 AND 6 "
+            f"AND ({a_expr}) = 1 AND ({c1}) = 0 AND ({c2}) = 0 "
+            f"THEN 0 ELSE b END AS b FROM ({inner}))")
+    last = f"s{2 * rounds}"
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        + ", ".join(ctes) + " "
+        "SELECT CAST(f.tile_x AS BIGINT) AS tile_x, "
+        "CAST(f.tile_y AS BIGINT) AS tile_y, CAST(f.px AS BIGINT) AS px, "
+        "CAST(f.py AS BIGINT) AS py, CAST(f.b AS BIGINT) AS fg, "
+        f"CAST(l.b AS BIGINT) AS skel FROM s0 f JOIN {last} l "
+        "ON l.tile_x = f.tile_x AND l.tile_y = f.tile_y "
+        "AND l.px = f.px AND l.py = f.py"
+    )

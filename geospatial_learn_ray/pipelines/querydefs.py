@@ -1566,6 +1566,11 @@ def _q_idw_grid(sf_dir: str):
     return idw_grid(read_pages(sf_dir, columns=["url", "text"]))
 
 
+def _q_skeletonize(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.skeletonize_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

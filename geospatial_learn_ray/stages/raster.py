@@ -2463,3 +2463,70 @@ def edt_proximity_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def skeletonize_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                      fg_thresh: int = 4,
+                      rounds: int = 8) -> ray.data.Dataset:
+    """Zhang-Suen thinning (Zhang & Suen 1984, CACM 27(3) — the
+    `skimage.morphology.skeletonize` default) per tile: ``rounds`` full
+    iterations of the two-subpass deletion rule over the quantized
+    foreground (q = floor(vd·quant) ≥ fg_thresh), borders treated as
+    background (tile-local semantics, like the ACWE/snake family;
+    a multi-tile skeleton would need a per-round halo exchange).
+
+    Neighborhood order (shared with the SQL twin — thinning is NOT
+    rotation-invariant, the subpass conditions bake in compass
+    directions): P2=N(py-1,px), P3=NE, P4=E(px+1), P5=SE, P6=S(py+1),
+    P7=SW, P8=W(px-1), P9=NW. Deletions are simultaneous per subpass
+    (mask computed from the frozen previous state). 8 rounds suffice for
+    a 16-px tile: thinning erodes ≥1 px per side per round, and the SQL
+    twin unrolls exactly the same 16 subpasses."""
+
+    def _neighbors(p: np.ndarray):
+        return (p[0:-2, 1:-1], p[0:-2, 2:], p[1:-1, 2:], p[2:, 2:],
+                p[2:, 1:-1], p[2:, 0:-2], p[1:-1, 0:-2], p[0:-2, 0:-2])
+
+    def _thin(img: np.ndarray) -> np.ndarray:
+        for _ in range(rounds):
+            for sub in (0, 1):
+                p = np.pad(img, 1)
+                p2, p3, p4, p5, p6, p7, p8, p9 = _neighbors(p)
+                bsum = (p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9)
+                seq = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
+                a = np.zeros_like(img, np.int64)
+                for i in range(8):
+                    a += ((seq[i] == 0) & (seq[i + 1] == 1)).astype(np.int64)
+                if sub == 0:
+                    c1 = p2 * p4 * p6 == 0
+                    c2 = p4 * p6 * p8 == 0
+                else:
+                    c1 = p2 * p4 * p8 == 0
+                    c2 = p2 * p6 * p8 == 0
+                kill = ((img == 1) & (bsum >= 2) & (bsum <= 6) & (a == 1)
+                        & c1 & c2)
+                img = img & ~kill
+        return img
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        yf = Y.ravel().astype(np.int64)
+        xf = X.ravel().astype(np.int64)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "fg", "skel")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            img = (q >= fg_thresh).astype(np.int64)
+            skel = _thin(img.copy())
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(xf)
+            rows["py"].append(yf)
+            rows["fg"].append(img.ravel())
+            rows["skel"].append(skel.ravel().astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -512,3 +512,53 @@ def test_edt_proximity_scalar_reference():
             if r["fg"]:
                 assert r["d2"] == 0
     # the scipy-EDT relationship: sqrt(d2) == distance_transform_edt value
+
+
+def _cc8_count(mask):
+    """8-connected component count via BFS (test-local brute force)."""
+    import collections
+    seen = np.zeros_like(mask, bool)
+    n = 0
+    H, W = mask.shape
+    for sy, sx in zip(*np.nonzero(mask)):
+        if seen[sy, sx]:
+            continue
+        n += 1
+        q = collections.deque([(sy, sx)])
+        seen[sy, sx] = True
+        while q:
+            y, x = q.popleft()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < H and 0 <= xx < W and mask[yy, xx] \
+                            and not seen[yy, xx]:
+                        seen[yy, xx] = True
+                        q.append((yy, xx))
+    return n
+
+
+def test_skeletonize_subset_idempotent_connectivity():
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    out8 = raster.skeletonize_stage(small, side=16).to_pandas()
+    out12 = raster.skeletonize_stage(small, side=16, rounds=12).to_pandas()
+    key = ["tile_x", "tile_y", "py", "px"]
+    out8 = out8.sort_values(key).reset_index(drop=True)
+    out12 = out12.sort_values(key).reset_index(drop=True)
+    # skeleton is a subset of foreground; 8 rounds already converged
+    assert (out8["skel"] <= out8["fg"]).all()
+    pd.testing.assert_frame_equal(out8, out12)
+    # Zhang-Suen preserves 8-connectivity per tile (independent property,
+    # not shared with the SQL twin: CLAUDE.md round-3 rule)
+    checked = 0
+    for (tx, ty), g in out8.groupby(["tile_x", "tile_y"]):
+        fg = g.pivot(index="py", columns="px", values="fg").to_numpy()
+        sk = g.pivot(index="py", columns="px", values="skel").to_numpy()
+        if fg.any():
+            assert _cc8_count(fg.astype(bool)) == _cc8_count(sk.astype(bool))
+            checked += 1
+    assert checked > 0
