@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs_customer": _q_fuzzy_names,
         "idw_grid_pages": _q_idw_grid,
         "skeletonize_tiles": _q_skeletonize,
+        "debounce_events": _q_debounce,
     }
 
 
@@ -294,6 +295,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _fuzzy_names_sql,
     _idw_grid_sql,
     _skeletonize_sql,
+    _debounce_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -813,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_pairs_customer": _fuzzy_names_sql(),
         "idw_grid_pages": _idw_grid_sql(),
         "skeletonize_tiles": _skeletonize_sql(),
+        "debounce_events": _debounce_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -3008,3 +3008,18 @@ def _skeletonize_sql(side: int = 16, quant: float = 2.0, fg_thresh: int = 4,
         "ON l.tile_x = f.tile_x AND l.tile_y = f.tile_y "
         "AND l.px = f.px AND l.py = f.py"
     )
+
+
+def _debounce_sql(window_s: int = 300) -> str:
+    """SQL twin of streaming.debounce_events: keep-first per tumbling
+    key window via ROW_NUMBER over (event time, event_id)."""
+    win_us = window_s * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, event_type, event_id, ts, "
+        "CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        f"CAST(epoch_us(ts) // {win_us} AS BIGINT) AS win FROM events) "
+        "SELECT user_id, event_type, win, event_id, ts, ts_us, "
+        "CAST(rn AS BIGINT) AS rn FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, win "
+        "  ORDER BY ts_us, event_id) AS rn FROM e) WHERE rn <= 1"
+    )

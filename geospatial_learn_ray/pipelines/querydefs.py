@@ -1571,6 +1571,13 @@ def _q_skeletonize(sf_dir: str):
     return raster.skeletonize_stage(small, side=16)
 
 
+def _q_debounce(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import debounce_events
+
+    return debounce_events(
+        _rp(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -471,3 +471,34 @@ def burst_detect(ds: ray.data.Dataset, key: str = "user_id",
                                                   np.int64)})
 
     return bucket_exchange(parted, per_key, key="_bkt")
+
+
+def debounce_events(ds: ray.data.Dataset, window_s: int = 300) -> ray.data.Dataset:
+    """Idempotent event de-duplication (debounce): keep the FIRST event
+    per (user, event_type) in each tumbling ``window_s`` window — the
+    at-least-once-delivery cleanup every event pipeline runs before
+    aggregation. Deterministic under any block structure: "first" is
+    (min event-time, min event_id) per key-window, selected with
+    ``grouped_topk``'s per-block partial top-1 (a hot user ships one row
+    per block per window, never its full event list)."""
+    from .agg import grouped_topk
+
+    win_us = window_s * 1_000_000
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "event_type": b["event_type"].to_pandas().to_numpy(object),
+            "win": us // win_us,
+            "event_id": b["event_id"].to_numpy().astype(np.int64),
+            "ts": ts,
+            "ts_us": us,
+        })
+
+    return grouped_topk(
+        ds.select_columns(["user_id", "event_type", "event_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type", "win"], "ts_us", 1,
+        tiebreak="event_id", descending=False)
