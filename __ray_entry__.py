@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_grid_pages": _q_idw_grid,
         "skeletonize_tiles": _q_skeletonize,
         "debounce_events": _q_debounce,
+        "viewshed_tiles": _q_viewshed,
     }
 
 
@@ -296,6 +297,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _idw_grid_sql,
     _skeletonize_sql,
     _debounce_sql,
+    _viewshed_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -816,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_grid_pages": _idw_grid_sql(),
         "skeletonize_tiles": _skeletonize_sql(),
         "debounce_events": _debounce_sql(),
+        "viewshed_tiles": _viewshed_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

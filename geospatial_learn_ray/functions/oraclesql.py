@@ -3023,3 +3023,39 @@ def _debounce_sql(window_s: int = 300) -> str:
         "  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, win "
         "  ORDER BY ts_us, event_id) AS rn FROM e) WHERE rn <= 1"
     )
+
+
+def _viewshed_sql(side: int = 16, quant: float = 2.0, obs_h: int = 2,
+                  tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.viewshed_stage: identical integer sightline
+    sampling and cross-multiplied slope test; n ≤ 1 pixels default
+    visible via the LEFT JOIN COALESCE."""
+    c = side // 2
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"o AS (SELECT tile_x, tile_y, q + {obs_h} AS eo2 FROM rc "
+        f"  WHERE px = {c} AND py = {c}), "
+        "p AS MATERIALIZED (SELECT rc.tile_x, rc.tile_y, rc.px, rc.py, rc.q, "
+        f"  o.eo2, GREATEST(ABS(rc.px - {c}), ABS(rc.py - {c})) AS n "
+        "  FROM rc JOIN o ON o.tile_x = rc.tile_x AND o.tile_y = rc.tile_y), "
+        f"kx AS (SELECT p.*, kr.range AS kk FROM p, range(1, {side // 2}) kr "
+        "  WHERE kr.range < p.n), "
+        "s AS (SELECT tile_x, tile_y, px, py, q, eo2, n, kk, "
+        f"  (2*{c}*n + 2*(px - {c})*kk + n) // (2*n) AS sx, "
+        f"  (2*{c}*n + 2*(py - {c})*kk + n) // (2*n) AS sy FROM kx), "
+        "e AS (SELECT s.*, r2.q AS ek FROM s JOIN rc r2 "
+        "  ON r2.tile_x = s.tile_x AND r2.tile_y = s.tile_y "
+        "  AND r2.px = s.sx AND r2.py = s.sy), "
+        "v AS (SELECT tile_x, tile_y, px, py, "
+        "  MIN(CASE WHEN (ek - eo2) * n <= (q - eo2) * kk THEN 1 ELSE 0 END) "
+        "  AS vis FROM e GROUP BY tile_x, tile_y, px, py) "
+        "SELECT CAST(p.tile_x AS BIGINT) AS tile_x, "
+        "CAST(p.tile_y AS BIGINT) AS tile_y, CAST(p.px AS BIGINT) AS px, "
+        "CAST(p.py AS BIGINT) AS py, CAST(p.n AS BIGINT) AS n_steps, "
+        "CAST(p.q AS BIGINT) AS q, CAST(COALESCE(v.vis, 1) AS BIGINT) AS vis "
+        "FROM p LEFT JOIN v ON v.tile_x = p.tile_x AND v.tile_y = p.tile_y "
+        "AND v.px = p.px AND v.py = p.py"
+    )

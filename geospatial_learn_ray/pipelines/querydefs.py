@@ -1578,6 +1578,11 @@ def _q_debounce(sf_dir: str):
         _rp(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"]))
 
 
+def _q_viewshed(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.viewshed_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

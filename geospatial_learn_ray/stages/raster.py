@@ -2530,3 +2530,52 @@ def skeletonize_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def viewshed_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                   obs_h: int = 2) -> ray.data.Dataset:
+    """Per-tile viewshed (GRASS r.viewshed / Wang et al. 2000 R3 shape):
+    an observer ``obs_h`` quantized units above the tile-center pixel
+    sees pixel p iff no sampled point along the sightline subtends a
+    larger vertical angle. INTEGER-EXACT throughout: elevations are the
+    usual q = floor(vd·quant); the sightline is sampled at parameter
+    k/n (n = Chebyshev distance, so along-line distance ∝ k) at the
+    rounded-to-nearest cell (2·ox·n + 2·dx·k + n) // (2n) — pure integer
+    arithmetic, ties round half-up on both sides; the angle comparison
+    cross-multiplies to (e_k − e_o)·n ≤ (e_p − e_o)·k, so the SQL twin
+    is bit-free of floats. Pixels with n ≤ 1 are trivially visible."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        c = side // 2
+        Y, X = np.mgrid[0:side, 0:side]
+        dx = X - c
+        dy = Y - c
+        n = np.maximum(np.abs(dx), np.abs(dy)).astype(np.int64)
+        ns = np.maximum(n, 1)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "n_steps",
+                                  "q", "vis")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            eo2 = q[c, c] + obs_h
+            vis = np.ones((side, side), bool)
+            for k in range(1, int(n.max())):
+                mask = k < n
+                sx = (2 * c * ns + 2 * dx * k + ns) // (2 * ns)
+                sy = (2 * c * ns + 2 * dy * k + ns) // (2 * ns)
+                ek = q[sy, sx]
+                bad = mask & ((ek - eo2) * n > (q - eo2) * k)
+                vis &= ~bad
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["n_steps"].append(n.ravel())
+            rows["q"].append(q.ravel())
+            rows["vis"].append(vis.ravel().astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

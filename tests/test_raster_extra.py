@@ -562,3 +562,24 @@ def test_skeletonize_subset_idempotent_connectivity():
             assert _cc8_count(fg.astype(bool)) == _cc8_count(sk.astype(bool))
             checked += 1
     assert checked > 0
+
+
+def test_viewshed_center_visible_and_height_monotone():
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    key = ["tile_x", "tile_y", "py", "px"]
+    lo = raster.viewshed_stage(small, side=16, obs_h=2).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    hi = raster.viewshed_stage(small, side=16, obs_h=10).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    # observer and its 8-ring are always visible
+    near = lo[lo["n_steps"] <= 1]
+    assert (near["vis"] == 1).all()
+    # raising the observer can only reveal pixels, never hide them
+    # ((e_k−e_o)·n > (e_p−e_o)·k ⇔ e_k·n − e_p·k > e_o·(n−k), n > k)
+    assert (hi["vis"] >= lo["vis"]).all()
+    # terrain actually occludes something at obs_h=2
+    assert (lo["vis"] == 0).any()
