@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skeletonize_tiles": _q_skeletonize,
         "debounce_events": _q_debounce,
         "viewshed_tiles": _q_viewshed,
+        "label_prop_hosts": _q_label_prop,
+        "exact_median_lineitem": _q_exact_median,
     }
 
 
@@ -298,6 +300,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _skeletonize_sql,
     _debounce_sql,
     _viewshed_sql,
+    _label_prop_sql,
+    _exact_median_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -819,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
         "skeletonize_tiles": _skeletonize_sql(),
         "debounce_events": _debounce_sql(),
         "viewshed_tiles": _viewshed_sql(),
+        "label_prop_hosts": _label_prop_sql(),
+        "exact_median_lineitem": _exact_median_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -3059,3 +3059,60 @@ def _viewshed_sql(side: int = 16, quant: float = 2.0, obs_h: int = 2,
         "FROM p LEFT JOIN v ON v.tile_x = p.tile_x AND v.tile_y = p.tile_y "
         "AND v.px = p.px AND v.py = p.py"
     )
+
+
+def _label_prop_sql(rounds: int = 4, out_links: int = 4,
+                    host_mod: int = 1000) -> str:
+    """SQL twin of graph.label_prop_hosts: triangle twin's ue fragment,
+    directed both ways, ``rounds`` unrolled MATERIALIZED mode rounds
+    (count DESC, label ASC argmax via QUALIFY), isolated nodes coalesce
+    to their own label."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "lp")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM lk WHERE src <> dst)",
+        "nd AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "  SELECT src AS node FROM lk UNION ALL SELECT dst AS node FROM lk))",
+        "dirs AS MATERIALIZED (SELECT u AS nbr, v AS node FROM ue "
+        "  UNION ALL SELECT v AS nbr, u AS node FROM ue)",
+        "l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT node, lab FROM ("
+            f"  SELECT d.node, l.lab, COUNT(*) AS c FROM dirs d "
+            f"  JOIN l{k - 1} l ON l.node = d.nbr GROUP BY d.node, l.lab) "
+            "  QUALIFY row_number() OVER (PARTITION BY node "
+            "  ORDER BY c DESC, lab) = 1)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT nd.node AS host, "
+        f"CAST(COALESCE(l{rounds}.lab, nd.node) AS BIGINT) AS label "
+        f"FROM nd LEFT JOIN l{rounds} ON l{rounds}.node = nd.node"
+    )
+
+
+def _exact_median_sql(table: str = "lineitem",
+                      col: str = "l_extendedprice") -> str:
+    """SQL twin of agg.exact_median: order statistics selected explicitly
+    by row_number (NOT quantile_cont — its a+(b−a)·f interpolation can
+    differ by an ulp from (a+b)/2), identical final float expression."""
+    return (
+        f"WITH s AS (SELECT {col} AS v, "
+        f"row_number() OVER (ORDER BY {col}) AS rn, "
+        f"COUNT(*) OVER () AS n FROM {table}), "
+        "e AS (SELECT MAX(n) AS n, "
+        "  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS v_lo, "
+        "  MAX(CASE WHEN rn = (n + 2) // 2 THEN v END) AS v_hi FROM s) "
+        "SELECT CAST(n AS BIGINT) AS n, v_lo, v_hi, "
+        "(v_lo + v_hi) / CAST(2.0 AS DOUBLE) AS median FROM e"
+    )

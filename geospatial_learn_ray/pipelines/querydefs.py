@@ -1583,6 +1583,17 @@ def _q_viewshed(sf_dir: str):
     return raster.viewshed_stage(small, side=16)
 
 
+def _q_label_prop(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import label_prop_hosts
+
+    return label_prop_hosts(read_pages(sf_dir, columns=["url"]))
+
+
+def _q_exact_median(sf_dir: str):
+    return agg.exact_median(_rp(sf_dir, "lineitem", ["l_extendedprice"]),
+                            "l_extendedprice")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -610,3 +610,105 @@ def ab_test_stats(ds: ray.data.Dataset, user_col: str = "user_id",
         ds.select_columns([user_col, value_col]).map_batches(
             partial, batch_format="pyarrow"),
         combine, small_partials=True)
+
+
+def exact_median(ds: ray.data.Dataset, col: str, n_bins: int = 1024,
+                 pull_bound: int = 65536,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT global median by iterative histogram refinement (the
+    distributed selection algorithm: Blum et al. medians-of-medians'
+    streaming cousin) — the scale path where ``grouped_holistic`` /
+    ``ds.sort`` would move O(dataset) values: each refinement round is
+    one streaming pass emitting ≤ ``n_bins`` counted rows through a
+    bucketed exchange, the driver narrows the value range containing
+    ranks ⌈n/2⌉ and ⌈(n+1)/2⌉, and only when the candidate count drops
+    under ``pull_bound`` (counted — the dedup.py bound pattern) are raw
+    values pulled and selected. log_{n_bins}(n / pull_bound) rounds:
+    2 passes cover 10¹¹ rows.
+
+    The median float is (v_lo + v_hi)/2 written EXPLICITLY on both sides
+    (DuckDB's quantile_cont interpolates a + (b−a)·f, which can differ
+    by an ulp — the oracle twin selects both order statistics by
+    row_number and applies the identical (a+b)/2)."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import splitmix64
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("exact_median of an empty dataset")
+    k1 = (n + 1) // 2
+    k2 = (n + 2) // 2
+
+    lo, hi = None, None  # candidate value range (inclusive)
+    rank_off = 0         # count of values strictly below lo
+
+    def _hist(lo_v, hi_v):
+        def partial(b: pa.Table) -> pd.DataFrame:
+            v = np.asarray(b[col].to_pandas(), np.float64)
+            v = v[(v >= lo_v) & (v <= hi_v)]
+            if hi_v > lo_v:
+                idx = np.clip(((v - lo_v) / (hi_v - lo_v) * n_bins)
+                              .astype(np.int64), 0, n_bins - 1)
+            else:
+                idx = np.zeros(len(v), np.int64)
+            cnt = np.bincount(idx, minlength=n_bins).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            old = np.seterr(over="ignore")
+            try:
+                part = (splitmix64(nz.astype(np.uint64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+            finally:
+                np.seterr(**old)
+            return pd.DataFrame({"bin": nz, "cnt": cnt[nz], "_part": part})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns=["_part"]).groupby(
+                "bin", as_index=False, sort=False)["cnt"].sum()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+
+        return bucket_exchange(
+            ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+            combine, small_partials=True).to_pandas()  # ≤ n_bins counted rows
+
+    # initialize range from a min/max pass
+    mm = ds.select_columns([col])
+    lo = mm.min(col)
+    hi = mm.max(col)
+    cand = n
+
+    while cand > pull_bound and hi > lo:
+        h = _hist(lo, hi).sort_values("bin")
+        bins = h["bin"].to_numpy(np.int64)
+        cnts = h["cnt"].to_numpy(np.int64)
+        cum = rank_off + np.cumsum(cnts)
+        # first bin where cumulative rank reaches k1, last needed for k2
+        i1 = int(np.searchsorted(cum, k1))
+        i2 = int(np.searchsorted(cum, k2))
+        width = (hi - lo) / n_bins
+        new_lo = lo + bins[i1] * width
+        new_hi = lo + (bins[i2] + 1) * width if i2 + 1 <= n_bins else hi
+        rank_off = int(rank_off + cnts[:i1].sum())
+        cand = int(cnts[i1:i2 + 1].sum())
+        # guard: identical-value mass can stall the shrink — fall through
+        if new_lo == lo and min(new_hi, hi) == hi:
+            break
+        lo, hi = new_lo, min(new_hi, hi)
+
+    if hi == lo:  # all candidates share one value — no pull needed
+        v1 = v2 = lo
+    else:
+        def pull(b: pa.Table) -> pd.DataFrame:
+            v = np.asarray(b[col].to_pandas(), np.float64)
+            return pd.DataFrame({col: v[(v >= lo) & (v <= hi)]})
+
+        vals = np.sort(np.asarray(
+            ds.select_columns([col]).map_batches(
+                pull, batch_format="pyarrow").to_pandas()[col], np.float64))
+        v1 = vals[k1 - rank_off - 1]
+        v2 = vals[k2 - rank_off - 1]
+    return ray.data.from_pandas(pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "v_lo": [float(v1)], "v_hi": [float(v2)],
+        "median": [float((v1 + v2) / 2.0)],
+    }))

@@ -342,3 +342,131 @@ def triangle_count_hosts(pages: ray.data.Dataset,
         "n_wedges": [np.int64(parts["n_wedges"].sum()) if len(parts) else np.int64(0)],
         "n_triangles": [np.int64(parts["n_triangles"].sum()) if len(parts) else np.int64(0)],
     }))
+
+
+def label_prop_hosts(pages: ray.data.Dataset, rounds: int = 4,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected simple host graph: every host starts
+    as its own label; each round every node adopts the MODE of its
+    neighbors' previous-round labels, ties broken by the smallest label
+    — fully deterministic (the paper's random tie-break and asynchronous
+    order are both cluster-layout hazards, CLAUDE.md RNG rule), so a
+    fixed ``rounds`` unrolls exactly in the SQL twin.
+
+    Scale shape: per round, ONE union-tag bucketed join attaches labels
+    to the directed neighbor list (labels ⋈ edges on the neighbor id) and
+    pre-counts (node, lab) partials in the SAME combiner, then one
+    node-keyed exchange sums counts and takes the argmax — 2 exchanges
+    per round over O(E) slim rows, mirroring pagerank_hosts' round shape.
+    Isolated nodes (self-loop-only hosts) keep their own label via a
+    final coalesce exchange."""
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        df = pd.DataFrame({"u": np.minimum(s, d), "v": np.maximum(s, d)})
+        df = df[df["u"] != df["v"]].drop_duplicates()
+        df["_part"] = _bkt(df["u"].to_numpy(np.int64) * np.int64(1000003)
+                           + df["v"].to_numpy(np.int64), num_buckets)
+        return df
+
+    ue = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(),
+    ).materialize()
+
+    def nodes_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["u"].to_numpy(np.int64),
+                                      b["v"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": h, "_part": _bkt(h, num_buckets)})
+
+    nodes = bucket_exchange(
+        edges.map_batches(lambda b: nodes_part(pd.DataFrame({
+            "u": b["src"], "v": b["dst"]})), batch_format="pandas"),
+        lambda g: pd.DataFrame(
+            {"node": np.unique(g["node"].to_numpy(np.int64))}),
+    ).materialize()
+
+    def dirs(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        d = pd.DataFrame({"nbr": np.concatenate([u, v]),
+                          "node": np.concatenate([v, u])})
+        d["lab"] = np.int64(0)
+        d["cnt"] = np.int64(0)
+        d["t"] = np.int8(0)
+        d["_part"] = _bkt(d["nbr"].to_numpy(np.int64), num_buckets)
+        return d[["nbr", "node", "lab", "cnt", "t", "_part"]]
+
+    dir_ds = ue.map_batches(dirs, batch_format="pandas").materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "lab": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "nbr": b["node"].to_numpy(np.int64),
+            "node": np.zeros(n, np.int64),
+            "lab": b["lab"].to_numpy(np.int64),
+            "cnt": np.zeros(n, np.int64),
+            "t": np.full(n, 1, np.int8),
+            "_part": _bkt(b["node"].to_numpy(np.int64), num_buckets)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["t"] == 0][["nbr", "node"]]
+        lk = g.loc[g["t"] == 1, ["nbr", "lab"]]
+        m = e.merge(lk, on="nbr", how="inner")
+        c = m.groupby(["node", "lab"], sort=False).size().reset_index(name="cnt")
+        c["cnt"] = c["cnt"].astype(np.int64)
+        c["_part"] = _bkt(c["node"].to_numpy(np.int64), num_buckets)
+        return c
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby(
+            ["node", "lab"], sort=False, as_index=False)["cnt"].sum()
+        c = c.sort_values(["node", "cnt", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+        first = c.groupby("node", sort=False).head(1)
+        return first[["node", "lab"]].reset_index(drop=True)
+
+    for _ in range(rounds):
+        both = dir_ds.union(labels.map_batches(tag_labels,
+                                               batch_format="pandas"))
+        counted = bucket_exchange(both, attach)
+        labels = bucket_exchange(counted, mode)
+
+    def tag_final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                             "lab": b["lab"].to_numpy(np.int64),
+                             "t": np.int8(1),
+                             "_part": _bkt(b["node"].to_numpy(np.int64),
+                                           num_buckets)})
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                             "lab": np.zeros(len(b), np.int64),
+                             "t": np.int8(0),
+                             "_part": _bkt(b["node"].to_numpy(np.int64),
+                                           num_buckets)})
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["t"] == 0][["node"]]
+        lk = g.loc[g["t"] == 1, ["node", "lab"]]
+        m = base.merge(lk, on="node", how="left")
+        lab = m["lab"].to_numpy()
+        node = m["node"].to_numpy(np.int64)
+        out = np.where(pd.isna(lab), node, lab).astype(np.int64)
+        return pd.DataFrame({"host": node, "label": out})
+
+    final = bucket_exchange(
+        nodes.map_batches(tag_nodes, batch_format="pandas").union(
+            labels.map_batches(tag_final, batch_format="pandas")),
+        coalesce)
+    return final

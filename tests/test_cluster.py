@@ -109,3 +109,23 @@ def test_idw_grid_block_invariant_and_exact_singleton():
         d2 = (lon - cx) ** 2 + (lat - cy) ** 2
         near = np.flatnonzero(d2 <= 1.0)
         assert len(near) == 1 and float(v[near[0]]) == r["idw"]
+
+
+def test_label_propagation_invariants():
+    import ray.data
+
+    from geospatial_learn_ray.stages import graph as _graph
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    out = _graph.label_prop_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"])).to_pandas()
+    # one row per host, labels are existing host ids
+    assert out["host"].is_unique
+    assert set(out["label"]).issubset(set(out["host"]))
+    # block invariance
+    out2 = _graph.label_prop_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"])
+        .repartition(7)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("host").reset_index(drop=True),
+        out2.sort_values("host").reset_index(drop=True))

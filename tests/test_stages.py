@@ -413,3 +413,31 @@ def test_ab_test_stats_matches_direct_computation():
     zd = (c[v == 0].mean() - c[v == 1].mean()) / np.sqrt(
         va / (v == 0).sum() + vb / (v == 1).sum())
     assert abs(r["welch_z"] - zd) < 1e-6
+
+
+def test_exact_median_matches_numpy_and_forces_refinement():
+    import ray.data
+
+    from geospatial_learn_ray.stages.agg import exact_median
+
+    rng = np.random.RandomState(5)
+    for n in (9999, 10000):
+        v = rng.lognormal(3.0, 2.0, n)
+        ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+        # tiny pull_bound forces at least two histogram refinement rounds
+        out = exact_median(ds, "x", n_bins=32, pull_bound=64).to_pandas()
+        r = out.iloc[0]
+        assert r["n"] == n
+        assert r["median"] == np.median(v)
+        s = np.sort(v)
+        assert r["v_lo"] == s[(n + 1) // 2 - 1] and r["v_hi"] == s[(n + 2) // 2 - 1]
+
+
+def test_exact_median_constant_column():
+    import ray.data
+
+    from geospatial_learn_ray.stages.agg import exact_median
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": np.full(5000, 7.25)}))
+    out = exact_median(ds, "x", n_bins=16, pull_bound=32).to_pandas()
+    assert out.iloc[0]["median"] == 7.25
