@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed_tiles": _q_viewshed,
         "label_prop_hosts": _q_label_prop,
         "exact_median_lineitem": _q_exact_median,
+        "mst_hosts": _q_mst_hosts,
     }
 
 
@@ -302,6 +303,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _viewshed_sql,
     _label_prop_sql,
     _exact_median_sql,
+    _mst_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -825,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_tiles": _viewshed_sql(),
         "label_prop_hosts": _label_prop_sql(),
         "exact_median_lineitem": _exact_median_sql(),
+        "mst_hosts": _mst_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

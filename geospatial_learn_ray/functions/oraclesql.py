@@ -3116,3 +3116,68 @@ def _exact_median_sql(table: str = "lineitem",
         "SELECT CAST(n AS BIGINT) AS n, v_lo, v_hi, "
         "(v_lo + v_hi) / CAST(2.0 AS DOUBLE) AS median FROM e"
     )
+
+
+def _mst_sql(rounds: int = 12, jumps: int = 24, out_links: int = 4,
+             host_mod: int = 1000) -> str:
+    """SQL twin of graph.mst_hosts: Borůvka rounds unrolled, each with a
+    Shiloach-Vishkin-style inner closure (min over self, neighbors'
+    labels, label-of-label — ``jumps`` rounds, far above the measured
+    convergence on the ≤ 2·host_mod-node fixture graph); the chosen-edge
+    total order (w, u, v) matches the engine's grouped_topk tiebreak."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ms")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "uew AS MATERIALIZED (SELECT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v, CAST(COUNT(*) AS BIGINT) AS w FROM lk "
+        "WHERE src <> dst GROUP BY 1, 2)",
+        "nd AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "  SELECT u AS node FROM uew UNION ALL SELECT v AS node FROM uew))",
+        "comp0 AS MATERIALIZED (SELECT node, node AS c FROM nd)",
+    ]
+    chosen = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"er{r} AS MATERIALIZED (SELECT e.u, e.v, e.w, cu.c AS cu, "
+            f"cv.c AS cv FROM uew e JOIN comp{p} cu ON cu.node = e.u "
+            f"JOIN comp{p} cv ON cv.node = e.v WHERE cu.c <> cv.c)")
+        ctes.append(
+            f"ch{r} AS MATERIALIZED (SELECT DISTINCT u, v, w, cu, cv FROM ("
+            f"  SELECT c, u, v, w, cu, cv FROM ("
+            f"    SELECT cu AS c, u, v, w, cu, cv FROM er{r} "
+            f"    UNION ALL SELECT cv AS c, u, v, w, cu, cv FROM er{r}) "
+            "  QUALIFY row_number() OVER (PARTITION BY c "
+            "  ORDER BY w, u, v) = 1))")
+        chosen.append(f"SELECT u, v, w FROM ch{r}")
+        ctes.append(
+            f"gd{r} AS MATERIALIZED (SELECT cu AS x, cv AS y FROM ch{r} "
+            f"UNION ALL SELECT cv AS x, cu AS y FROM ch{r})")
+        ctes.append(
+            f"j{r}_0 AS MATERIALIZED (SELECT DISTINCT c AS x, c AS p "
+            f"FROM comp{p})")
+        for t in range(1, jumps + 1):
+            q = t - 1
+            ctes.append(
+                f"j{r}_{t} AS MATERIALIZED (SELECT a.x, "
+                f"LEAST(a.p, COALESCE(nb.mn, a.p), pp.p) AS p "
+                f"FROM j{r}_{q} a "
+                f"LEFT JOIN (SELECT g.x, MIN(l.p) AS mn FROM gd{r} g "
+                f"  JOIN j{r}_{q} l ON l.x = g.y GROUP BY g.x) nb "
+                f"  ON nb.x = a.x "
+                f"JOIN j{r}_{q} pp ON pp.x = a.p)")
+        ctes.append(
+            f"comp{r} AS MATERIALIZED (SELECT c0.node, j.p AS c "
+            f"FROM comp{p} c0 JOIN j{r}_{jumps} j ON j.x = c0.c)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT u, v, w FROM (" + " UNION ALL ".join(chosen) + ")"
+    )

@@ -1594,6 +1594,12 @@ def _q_exact_median(sf_dir: str):
                             "l_extendedprice")
 
 
+def _q_mst_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import mst_hosts
+
+    return mst_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

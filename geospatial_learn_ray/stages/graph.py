@@ -470,3 +470,163 @@ def label_prop_hosts(pages: ray.data.Dataset, rounds: int = 4,
             labels.map_batches(tag_final, batch_format="pandas")),
         coalesce)
     return final
+
+
+def mst_hosts(pages: ray.data.Dataset, num_buckets: int = 64,
+              max_rounds: int = 12) -> ray.data.Dataset:
+    """Minimum spanning forest of the weighted undirected host graph by
+    distributed Borůvka (1926; the GBBS/MapReduce-MST shape): each round
+    every component selects its minimum outgoing edge under the TOTAL
+    order (w, u, v) — deterministic, so the forest is unique — selected
+    edges merge components, repeat until no component has an outgoing
+    edge. O(log n) rounds; component count at least halves per round.
+
+    Scale shape per round: two union-tag bucketed exchanges attach
+    component labels to the edge endpoints, the per-component minimum
+    rides ``grouped_topk``'s ≤ 1 row/(comp, block) partial selection, a
+    pair-keyed exchange dedups edges chosen from both sides, and the
+    component merge reuses ``dedup.connected_components`` (counted-bound
+    driver union-find under 1 M pairs, min-label propagation above). The
+    driver sees one scalar count per round (the termination check)."""
+    from .agg import grouped_topk
+    from .dedup import connected_components
+    from .exchange import bucket_exchange
+
+    edges0 = host_edges(pages, num_buckets)
+
+    def und(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        g = pd.DataFrame({"u": np.minimum(s, d), "v": np.maximum(s, d),
+                          "w": b["w"].to_numpy(np.int64)})
+        g = g[g["u"] != g["v"]]
+        g = g.groupby(["u", "v"], sort=False, as_index=False)["w"].sum()
+        g["w"] = g["w"].astype(np.int64)
+        g["_part"] = _bkt(g["u"].to_numpy(np.int64) * np.int64(1000003)
+                          + g["v"].to_numpy(np.int64), num_buckets)
+        return g
+
+    ue = bucket_exchange(
+        edges0.map_batches(und, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            ["u", "v"], sort=False, as_index=False)["w"].sum().astype(
+            {"w": np.int64}),
+    ).materialize()
+
+    def nodes_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["u"].to_numpy(np.int64),
+                                      b["v"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": h, "_part": _bkt(h, num_buckets)})
+
+    comp = bucket_exchange(
+        ue.map_batches(nodes_part, batch_format="pandas"),
+        lambda g: pd.DataFrame({"node": (u := np.unique(
+            g["node"].to_numpy(np.int64))), "c": u}),
+    ).materialize()
+
+    def _attach(edges: ray.data.Dataset, key: str, out: str) -> ray.data.Dataset:
+        """edges ⋈ comp on edge endpoint ``key`` → label column ``out``."""
+        def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+            d = b.copy()
+            d["jk"] = d[key].to_numpy(np.int64)
+            d["lab"] = np.int64(0)
+            d["t"] = np.int8(0)
+            d["_part"] = _bkt(d["jk"].to_numpy(np.int64), num_buckets)
+            return d
+
+        def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            d = pd.DataFrame({"jk": b["node"].to_numpy(np.int64)})
+            for col in edges.columns():
+                d[col] = np.zeros(n, np.int64)
+            d["lab"] = b["c"].to_numpy(np.int64)
+            d["t"] = np.int8(1)
+            d["_part"] = _bkt(d["jk"].to_numpy(np.int64), num_buckets)
+            return d
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["t"] == 0].drop(columns=["lab", "t", "_part"])
+            lk = g.loc[g["t"] == 1, ["jk", "lab"]].drop_duplicates("jk")
+            m = e.merge(lk, on="jk", how="inner").drop(columns=["jk"])
+            return m.rename(columns={"lab": out})
+
+        return bucket_exchange(
+            edges.map_batches(tag_e, batch_format="pandas").union(
+                comp.map_batches(tag_c, batch_format="pandas")),
+            combine)
+
+    mst_parts: list[ray.data.Dataset] = []
+    cur = ue
+    for _ in range(max_rounds):
+        e1 = _attach(cur, "u", "cu")
+        e2 = _attach(e1, "v", "cv").map_batches(
+            lambda b: b[b["cu"] != b["cv"]],
+            batch_format="pandas").materialize()
+        if e2.count() == 0:
+            break
+
+        def bothdir(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat([
+                b.assign(c=b["cu"].to_numpy(np.int64)),
+                b.assign(c=b["cv"].to_numpy(np.int64))], ignore_index=True)
+
+        chosen = grouped_topk(
+            e2.map_batches(bothdir, batch_format="pandas"),
+            "c", "w", 1, tiebreak=["u", "v"], descending=False)
+
+        def ded(b: pd.DataFrame) -> pd.DataFrame:
+            d = b[["u", "v", "w", "cu", "cv"]].drop_duplicates(["u", "v"])
+            d = d.copy()
+            d["_part"] = _bkt(d["u"].to_numpy(np.int64) * np.int64(1000003)
+                              + d["v"].to_numpy(np.int64), num_buckets)
+            return d
+
+        ch = bucket_exchange(
+            chosen.map_batches(ded, batch_format="pandas"),
+            lambda g: g.drop(columns=["_part"]).drop_duplicates(["u", "v"]),
+        ).materialize()
+        mst_parts.append(ch)
+
+        ccmap = connected_components(ch.map_batches(
+            lambda b: pd.DataFrame({"id_a": b["cu"].to_numpy(np.int64),
+                                    "id_b": b["cv"].to_numpy(np.int64)}),
+            batch_format="pandas"))
+
+        def tag_comp(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "jk": b["c"].to_numpy(np.int64),
+                "node": b["node"].to_numpy(np.int64),
+                "lab": np.zeros(len(b), np.int64), "t": np.int8(0),
+                "_part": _bkt(b["c"].to_numpy(np.int64), num_buckets)})
+
+        def tag_cc(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "jk": b["node"].to_numpy(np.int64),
+                "node": np.zeros(len(b), np.int64),
+                "lab": b["component_id"].to_numpy(np.int64), "t": np.int8(1),
+                "_part": _bkt(b["node"].to_numpy(np.int64), num_buckets)})
+
+        def upd(g: pd.DataFrame) -> pd.DataFrame:
+            base = g[g["t"] == 0][["jk", "node"]]
+            lk = g.loc[g["t"] == 1, ["jk", "lab"]].drop_duplicates("jk")
+            m = base.merge(lk, on="jk", how="left")
+            lab = m["lab"].to_numpy()
+            old = m["jk"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "node": m["node"].to_numpy(np.int64),
+                "c": np.where(pd.isna(lab), old, lab).astype(np.int64)})
+
+        comp = bucket_exchange(
+            comp.map_batches(tag_comp, batch_format="pandas").union(
+                ccmap.map_batches(tag_cc, batch_format="pandas")),
+            upd).materialize()
+
+    if not mst_parts:
+        return ray.data.from_pandas(pd.DataFrame({
+            "u": pd.Series([], dtype=np.int64),
+            "v": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.int64)}))
+    out = mst_parts[0].select_columns(["u", "v", "w"])
+    for p in mst_parts[1:]:
+        out = out.union(p.select_columns(["u", "v", "w"]))
+    return out

@@ -129,3 +129,57 @@ def test_label_propagation_invariants():
     pd.testing.assert_frame_equal(
         out.sort_values("host").reset_index(drop=True),
         out2.sort_values("host").reset_index(drop=True))
+
+
+def test_mst_matches_kruskal_bruteforce():
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    got = _graph.mst_hosts(pages).to_pandas().sort_values(
+        ["u", "v"]).reset_index(drop=True)
+
+    # independent Kruskal over the same undirected weighted edge set
+    e = _graph.host_edges(pages).to_pandas()
+    und = pd.DataFrame({
+        "u": np.minimum(e["src"], e["dst"]),
+        "v": np.maximum(e["src"], e["dst"]),
+        "w": e["w"]})
+    und = und[und["u"] != und["v"]].groupby(
+        ["u", "v"], as_index=False)["w"].sum()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    picked = []
+    for _, r in und.sort_values(["w", "u", "v"]).iterrows():
+        ra, rb = find(int(r["u"])), find(int(r["v"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            picked.append((int(r["u"]), int(r["v"]), int(r["w"])))
+    nodes = set(und["u"]) | set(und["v"])
+    n_comp = len({find(int(n)) for n in nodes})
+    # forest size and total weight are MST-invariants (weight ties make the
+    # edge SET potentially differ between algorithms; the total cannot)
+    assert len(got) == len(nodes) - n_comp == len(picked)
+    assert got["w"].sum() == sum(w for _, _, w in picked)
+    # Boruvka's result must itself be acyclic and spanning
+    parent2 = {}
+
+    def find2(x):
+        parent2.setdefault(x, x)
+        while parent2[x] != x:
+            parent2[x] = parent2[parent2[x]]
+            x = parent2[x]
+        return x
+
+    for _, r in got.iterrows():
+        ra, rb = find2(int(r["u"])), find2(int(r["v"]))
+        assert ra != rb, "cycle in reported MST"
+        parent2[max(ra, rb)] = min(ra, rb)
+    assert len({find2(int(n)) for n in nodes}) == n_comp
