@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop_hosts": _q_label_prop,
         "exact_median_lineitem": _q_exact_median,
         "mst_hosts": _q_mst_hosts,
+        "pca_top1_embeddings": _q_pca_top1,
     }
 
 
@@ -304,6 +305,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _label_prop_sql,
     _exact_median_sql,
     _mst_sql,
+    _pca_power_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -828,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop_hosts": _label_prop_sql(),
         "exact_median_lineitem": _exact_median_sql(),
         "mst_hosts": _mst_sql(),
+        "pca_top1_embeddings": _pca_power_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

@@ -3181,3 +3181,41 @@ def _mst_sql(rounds: int = 12, jumps: int = 24, out_links: int = 4,
         f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
         "SELECT u, v, w FROM (" + " UNION ALL ".join(chosen) + ")"
     )
+
+
+def _pca_power_sql(dim: int = 64, scale_bits: int = 20, iters: int = 8) -> str:
+    """SQL twin of knn.pca_power_top1: HUGEINT Gram via an unnest self-
+    join, unrolled fixed-point power rounds, truncating division on
+    non-negative operands (Python // parity), exact integer Rayleigh."""
+    s = 1 << scale_bits
+    ctes = [
+        "ex AS MATERIALIZED (SELECT vec_id, CAST(gs.range AS BIGINT) AS i, "
+        "CAST(FLOOR(CAST(embedding[CAST(gs.range AS INT)] AS DOUBLE) * "
+        f"CAST({s} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS HUGEINT) AS q "
+        f"FROM embeddings, range(1, {dim + 1}) gs)",
+        "gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g "
+        "FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)",
+        f"v0 AS MATERIALIZED (SELECT CAST(gs.range AS BIGINT) AS i, "
+        f"CAST({s} AS HUGEINT) AS q FROM range(1, {dim + 1}) gs)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT g.i, SUM(g.g * v.q) AS w "
+            f"FROM gram g JOIN v{p} v ON v.i = g.j GROUP BY g.i)")
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t})")
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT w.i, "
+            f"CASE WHEN m.mx = 0 THEN p.q "
+            f"WHEN w.w >= 0 THEN (w.w * {s}) // m.mx "
+            f"ELSE -(((-w.w) * {s}) // m.mx) END AS q "
+            f"FROM w{t} w JOIN v{p} p ON p.i = w.i, m{t} m)")
+    last = f"v{iters}"
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"num AS (SELECT SUM(vi.q * g.g * vj.q) AS n FROM gram g "
+        f"JOIN {last} vi ON vi.i = g.i JOIN {last} vj ON vj.i = g.j), "
+        f"den AS (SELECT SUM(q * q) AS d FROM {last}) "
+        f"SELECT v.i, CAST(v.q AS BIGINT) AS v_q, "
+        f"CAST(num.n // den.d AS BIGINT) AS lam_q FROM {last} v, num, den"
+    )

@@ -1600,6 +1600,12 @@ def _q_mst_hosts(sf_dir: str):
     return mst_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_pca_top1(sf_dir: str):
+    from geospatial_learn_ray.stages.knn import pca_power_top1
+
+    return pca_power_top1(_rp(sf_dir, "embeddings", ["embedding"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

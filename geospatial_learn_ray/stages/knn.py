@@ -861,3 +861,68 @@ def jl_project(emb: ray.data.Dataset, out_dim: int = 8, dim: int = 64,
         return out
 
     return emb.select_columns([id_col, vec_col]).map_batches(fn, batch_format="pandas")
+
+
+def pca_power_top1(emb: ray.data.Dataset, dim: int = 64, scale_bits: int = 20,
+                   iters: int = 8, vec_col: str = "embedding") -> ray.data.Dataset:
+    """Top principal direction of the embedding cloud (uncentered PCA /
+    leading Gram eigenvector) by distributed EXACT-INTEGER Gram
+    accumulation + fixed-point power iteration (Mises & Pollaczek-
+    Geiringer 1929; the pagerank Q-arithmetic recipe applied to a
+    numerical kernel):
+
+    - map: each block quantizes its vectors (q = floor(x·2^20 + 0.5) —
+      f32→f64 casts are exact) and emits ONE dim×dim int64 partial Gram
+      (a single matmul), 4096 rows per block regardless of block size;
+    - ONE single-bucket exchange totals the partials in
+      arbitrary-precision Python ints (the HUGEINT twin — int64 would
+      wrap at ~100 TB) and runs ``iters`` power-iteration rounds in pure
+      integers: w = G·v, then v ← sign(w)·((|w|·2^20) // max|w|) —
+      truncating division on NON-NEGATIVE operands so Python // and
+      DuckDB // agree; λ = (vᵀGv) // (vᵀv) exactly.
+
+    Every operation is order-free integer arithmetic → the SQL twin is
+    bit-identical with no float discipline at all. Output: one row per
+    dimension (i, v_q Q20 fixed-point component, lam_q shared λ)."""
+
+    s = 1 << scale_bits
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        x = np.asarray(col.values, np.float32).astype(np.float64)
+        x = x.reshape(len(col), dim)
+        q = np.floor(x * float(s) + 0.5).astype(np.int64)
+        g = q.T @ q  # dim×dim int64 — exact for |q|≤2^20, rows ≤ 2^21
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        return pd.DataFrame({"i": ii.ravel().astype(np.int64),
+                             "j": jj.ravel().astype(np.int64),
+                             "g": g.ravel(),
+                             "_part": np.zeros(dim * dim, np.int32)})
+
+    def combine(gdf: pd.DataFrame) -> pd.DataFrame:
+        tot: dict[tuple[int, int], int] = {}
+        for i, j, g in zip(gdf["i"].to_numpy(np.int64),
+                           gdf["j"].to_numpy(np.int64),
+                           gdf["g"].to_numpy(np.int64)):
+            tot[(int(i), int(j))] = tot.get((int(i), int(j)), 0) + int(g)
+        G = [[tot.get((i, j), 0) for j in range(dim)] for i in range(dim)]
+        v = [s] * dim
+        for _ in range(iters):
+            w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            mx = max(abs(x) for x in w)
+            if mx == 0:
+                break
+            v = [(1 if x >= 0 else -1) * ((abs(x) * s) // mx) for x in w]
+        num = sum(v[i] * G[i][j] * v[j] for i in range(dim) for j in range(dim))
+        den = sum(c * c for c in v)
+        lam = num // den
+        assert abs(lam) < (1 << 62), "lambda exceeds int64 — raise scale"
+        return pd.DataFrame({"i": np.arange(1, dim + 1, dtype=np.int64),
+                             "v_q": np.array(v, np.int64),
+                             "lam_q": np.full(dim, lam, np.int64)})
+
+    return bucket_exchange(
+        emb.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"),
+        combine, small_partials=True)

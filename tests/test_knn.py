@@ -364,3 +364,33 @@ def test_jl_project_preserves_distances_approximately():
     d_lo = ((Y[:20] - Y[20:]) ** 2).sum(axis=1)
     ratios = d_lo / d_hi
     assert 0.5 < np.median(ratios) < 1.7
+
+
+def test_pca_power_top1_matches_eigh_and_block_invariant():
+    import ray.data
+
+    from geospatial_learn_ray.stages.knn import pca_power_top1
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: a dominant direction with clear spectral gap
+    d0 = rng.normal(0, 1, 64); d0 /= np.linalg.norm(d0)
+    X = (np.outer(rng.normal(0, 3.0, 500), d0)
+         + rng.normal(0, 0.3, (500, 64))).astype(np.float32)
+    df = pd.DataFrame({"embedding": [row for row in X]})
+    for blocks in (1, 5):
+        out = pca_power_top1(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        v = out.sort_values("i")["v_q"].to_numpy(np.float64)
+        v /= np.linalg.norm(v)
+        # independent check (round-3 rule): numpy eigendecomposition of the
+        # float Gram — the engine/SQL pair share only integer arithmetic
+        q = np.floor(X.astype(np.float64) * 2**20 + 0.5)
+        G = q.T @ q
+        evals, evecs = np.linalg.eigh(G)
+        top = evecs[:, -1]
+        assert abs(float(v @ top)) > 0.999
+        lam = out["lam_q"].iloc[0]
+        assert abs(lam - evals[-1]) / evals[-1] < 0.01
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
