@@ -891,8 +891,11 @@ def pca_power_top1(emb: ray.data.Dataset, dim: int = 64, scale_bits: int = 20,
         col = b[vec_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        x = np.asarray(col.values, np.float32).astype(np.float64)
-        x = x.reshape(len(col), dim)
+        if hasattr(col, "values"):  # plain list<float> (the parquet path)
+            x = np.asarray(col.values, np.float32).astype(np.float64)
+            x = x.reshape(len(col), dim)
+        else:  # ArrowTensorArray from in-memory numpy columns
+            x = np.stack(col.to_pylist()).astype(np.float64).reshape(-1, dim)
         q = np.floor(x * float(s) + 0.5).astype(np.int64)
         g = q.T @ q  # dim×dim int64 — exact for |q|≤2^20, rows ≤ 2^21
         ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
