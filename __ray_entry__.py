@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_lineitem": _q_exact_median,
         "mst_hosts": _q_mst_hosts,
         "pca_top1_embeddings": _q_pca_top1,
+        "tile_pyramid_tiles": _q_tile_pyramid,
     }
 
 
@@ -306,6 +307,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _exact_median_sql,
     _mst_sql,
     _pca_power_sql,
+    _tile_pyramid_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -831,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_median_lineitem": _exact_median_sql(),
         "mst_hosts": _mst_sql(),
         "pca_top1_embeddings": _pca_power_sql(),
+        "tile_pyramid_tiles": _tile_pyramid_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

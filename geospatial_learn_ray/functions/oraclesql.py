@@ -3219,3 +3219,20 @@ def _pca_power_sql(dim: int = 64, scale_bits: int = 20, iters: int = 8) -> str:
         f"SELECT v.i, CAST(v.q AS BIGINT) AS v_q, "
         f"CAST(num.n // den.d AS BIGINT) AS lam_q FROM {last} v, num, den"
     )
+
+
+def _tile_pyramid_sql(side: int = 16, levels: int = 3, tx_max: int = 15,
+                      ty_max: int = 15) -> str:
+    """SQL twin of raster.tile_pyramid_stage: per-level GROUP BY of the
+    integer block index, SUM/4^L with a power-of-two divisor (exact)."""
+    parts = []
+    for lev in range(1, levels + 1):
+        s = 1 << lev
+        parts.append(
+            f"SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+            f"CAST(tile_y AS BIGINT) AS tile_y, CAST({lev} AS BIGINT) AS level, "
+            f"CAST(px // {s} AS BIGINT) AS px, CAST(py // {s} AS BIGINT) AS py, "
+            f"SUM(vd) / CAST({s * s} AS DOUBLE) AS mean_v "
+            f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max} "
+            f"GROUP BY tile_x, tile_y, px // {s}, py // {s}")
+    return f"WITH {tiles_sql(side)} " + " UNION ALL ".join(parts)

@@ -1606,6 +1606,11 @@ def _q_pca_top1(sf_dir: str):
     return pca_power_top1(_rp(sf_dir, "embeddings", ["embedding"]))
 
 
+def _q_tile_pyramid(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.tile_pyramid_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -2579,3 +2579,41 @@ def viewshed_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tile_pyramid_stage(ds: ray.data.Dataset, side: int,
+                       levels: int = 3) -> ray.data.Dataset:
+    """Overview / pyramid build (gdaladdo's average-resampled levels —
+    the reference's rasters carry overviews via gdal.BuildOverviews in
+    its display paths): level L replaces each 2^L×2^L block with its
+    mean. Purely map-side (one reshape-mean per level per tile), no
+    shuffle — at 100 TB every tile downsamples independently and the
+    pyramid streams out beside the base level.
+
+    Exactness: sums of ≤ 4^L f32-valued f64 pixels are order-exact and
+    the divisor 4^L is a power of two, so the means are bit-identical to
+    the SQL GROUP BY px//2^L restatement with no rounding discipline."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "level", "px", "py",
+                                  "mean_v")}
+        for i in range(pxm.shape[0]):
+            img = pxm[i].reshape(side, side)
+            for lev in range(1, levels + 1):
+                s = 1 << lev
+                n = side // s
+                m = img.reshape(n, s, n, s).sum(axis=(1, 3)) / float(s * s)
+                Y, X = np.mgrid[0:n, 0:n]
+                rows["tile_x"].append(np.full(n * n, txs[i], np.int64))
+                rows["tile_y"].append(np.full(n * n, tys[i], np.int64))
+                rows["level"].append(np.full(n * n, lev, np.int64))
+                rows["px"].append(X.ravel().astype(np.int64))
+                rows["py"].append(Y.ravel().astype(np.int64))
+                rows["mean_v"].append(m.ravel())
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -583,3 +583,23 @@ def test_viewshed_center_visible_and_height_monotone():
     assert (hi["vis"] >= lo["vis"]).all()
     # terrain actually occludes something at obs_h=2
     assert (lo["vis"] == 0).any()
+
+
+def test_tile_pyramid_parent_child_consistency():
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    out = raster.tile_pyramid_stage(small, side=16).to_pandas()
+    l1 = out[out["level"] == 1]
+    l2 = out[out["level"] == 2]
+    # each level-2 cell is EXACTLY the mean of its four level-1 children
+    # (dyadic divisors: no rounding anywhere)
+    m = l1.assign(px2=l1["px"] // 2, py2=l1["py"] // 2).groupby(
+        ["tile_x", "tile_y", "px2", "py2"])["mean_v"].mean().reset_index()
+    j = l2.merge(m, left_on=["tile_x", "tile_y", "px", "py"],
+                 right_on=["tile_x", "tile_y", "px2", "py2"],
+                 suffixes=("", "_c"))
+    assert len(j) == len(l2)
+    assert (j["mean_v"] == j["mean_v_c"]).all()
