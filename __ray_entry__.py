@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_hosts": _q_mst_hosts,
         "pca_top1_embeddings": _q_pca_top1,
         "tile_pyramid_tiles": _q_tile_pyramid,
+        "pivot_events_users": _q_pivot_events,
     }
 
 
@@ -308,6 +309,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _mst_sql,
     _pca_power_sql,
     _tile_pyramid_sql,
+    _pivot_events_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -834,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "mst_hosts": _mst_sql(),
         "pca_top1_embeddings": _pca_power_sql(),
         "tile_pyramid_tiles": _tile_pyramid_sql(),
+        "pivot_events_users": _pivot_events_sql(),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

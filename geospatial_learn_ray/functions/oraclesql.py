@@ -3236,3 +3236,14 @@ def _tile_pyramid_sql(side: int = 16, levels: int = 3, tx_max: int = 15,
             f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max} "
             f"GROUP BY tile_x, tile_y, px // {s}, py // {s}")
     return f"WITH {tiles_sql(side)} " + " UNION ALL ".join(parts)
+
+
+def _pivot_events_sql(cats=("click", "error", "purchase", "signup",
+                            "view")) -> str:
+    """SQL twin of agg.pivot_counts over events: CASE-sum pivot with the
+    same sorted column set and typed-0 missing cells."""
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{c}" for c in cats)
+    return (f"SELECT user_id, {cols}, CAST(COUNT(*) AS BIGINT) AS n_total "
+            "FROM events GROUP BY user_id")

@@ -1611,6 +1611,11 @@ def _q_tile_pyramid(sf_dir: str):
     return raster.tile_pyramid_stage(small, side=16)
 
 
+def _q_pivot_events(sf_dir: str):
+    return agg.pivot_counts(_rp(sf_dir, "events", ["user_id", "event_type"]),
+                            "user_id", "event_type")
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -712,3 +712,55 @@ def exact_median(ds: ray.data.Dataset, col: str, n_bins: int = 1024,
         "v_lo": [float(v1)], "v_hi": [float(v2)],
         "median": [float((v1 + v2) / 2.0)],
     }))
+
+
+def pivot_counts(ds: ray.data.Dataset, key: str, col: str,
+                 type_bound: int = 1024,
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Crosstab / PIVOT: one row per ``key`` with a count column per
+    distinct ``col`` value plus a total — the wide activity-matrix shape
+    (user × event-type). The column set is discovered with a COUNTED
+    distinct pull (pivot output schemas are driver-defined by nature; a
+    data-dependent unbounded column set is refused loudly), then counts
+    pre-aggregate per block and ONE key-hash exchange pivots each bucket
+    with a vectorized unstack. Missing cells are 0 (typed int64)."""
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    cats = sorted(str(v) for v in ds.unique(col))
+    if len(cats) > type_bound:
+        raise ValueError(
+            f"pivot over {len(cats)} distinct {col!r} values exceeds "
+            f"type_bound={type_bound}; a wider pivot needs an explicit bound")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({key: b[key].to_numpy(),
+                          col: b[col].to_pandas().to_numpy(object)})
+        g = d.groupby([key, col], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g[key].to_numpy().astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby(
+            [key, col], sort=False, as_index=False)["n"].sum()
+        wide = c.pivot_table(index=key, columns=col, values="n",
+                             aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({key: wide.index.to_numpy()})
+        tot = np.zeros(len(wide), np.int64)
+        for cat in cats:
+            v = (wide[cat].to_numpy(np.int64) if cat in wide.columns
+                 else np.zeros(len(wide), np.int64))
+            out[f"n_{cat}"] = v
+            tot += v
+        out["n_total"] = tot
+        return out
+
+    return bucket_exchange(
+        ds.select_columns([key, col]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        pivot, small_partials=True)
