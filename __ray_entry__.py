@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top1_embeddings": _q_pca_top1,
         "tile_pyramid_tiles": _q_tile_pyramid,
         "pivot_events_users": _q_pivot_events,
+        "roc_auc_quality_docs": _q_roc_auc,
     }
 
 
@@ -837,6 +838,26 @@ def oracle_sql() -> dict[str, str]:
         "pca_top1_embeddings": _pca_power_sql(),
         "tile_pyramid_tiles": _tile_pyramid_sql(),
         "pivot_events_users": _pivot_events_sql(),
+        "roc_auc_quality_docs": (
+            "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio "
+            "  FROM documents), "
+            "q AS (SELECT lang, CAST(FLOOR(ROUND("
+            "  0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "  + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) * 10000.0 + 0.5) "
+            "  AS BIGINT) AS sq FROM t), "
+            "s AS (SELECT sq, COUNT(*) AS n, "
+            "  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np FROM q GROUP BY sq), "
+            "c AS (SELECT sq, n, np, COALESCE(SUM(n) OVER (ORDER BY sq "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM s), "
+            "e AS (SELECT SUM(np * (2 * cb + n + 1)) AS sr, SUM(np) AS p, "
+            "  SUM(n) AS tot FROM c) "
+            "SELECT CAST(p AS BIGINT) AS n_pos, CAST(tot - p AS BIGINT) AS n_neg, "
+            "CAST(sr - p * (p + 1) AS BIGINT) AS u2, "
+            "CAST(sr - p * (p + 1) AS DOUBLE) / CAST(2 * p * (tot - p) AS DOUBLE) AS auc "
+            "FROM e"
+        ),
         "lang_temp_weights": _lang_temp_weights_sql(),
         "char_entropy_docs": (
             "WITH ch AS MATERIALIZED (SELECT doc_id, "

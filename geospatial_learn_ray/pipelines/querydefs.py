@@ -1616,6 +1616,12 @@ def _q_pivot_events(sf_dir: str):
                             "user_id", "event_type")
 
 
+def _q_roc_auc(sf_dir: str):
+    from geospatial_learn_ray.stages.train import roc_auc_quality
+
+    return roc_auc_quality(_rp(sf_dir, "documents", ["text", "lang"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -562,3 +562,54 @@ def hashed_bow_features(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col, label_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def roc_auc_quality(docs: ray.data.Dataset, pos_lang: str = "en",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Exact ROC-AUC of the heuristic quality score as a detector of
+    ``pos_lang`` documents — the Mann-Whitney U identity
+    AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with midrank tie handling,
+    computed EXACTLY in integers: scores are the proven 4-decimal
+    quality values scaled to ints, ranks come from the per-score-value
+    HISTOGRAM (the quality_percentile pattern — never a per-row sort),
+    and all rank sums are ×2-scaled so midranks stay integral. The only
+    float is the final one-division AUC.
+
+    Scale shape: per-block (score, n, n_pos) partials (≤ 10⁴ distinct
+    4-decimal scores — bounded by the value DOMAIN, not the corpus), one
+    single-bucket exchange sums and does the vectorized cumulative
+    scan."""
+    from ..functions import textproc
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = textproc.quality_scores(b["text"])["quality"].to_numpy(np.float64)
+        sq = round_half_away(round_half_away(q, 4) * 10000.0, 0).astype(np.int64)
+        pos = (b["lang"].to_numpy(object) == pos_lang).astype(np.int64)
+        g = pd.DataFrame({"sq": sq, "n": np.ones(len(b), np.int64),
+                          "np_": pos}).groupby("sq", as_index=False).sum()
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby("sq", as_index=False).sum()
+        c = c.sort_values("sq", kind="mergesort")
+        n = c["n"].to_numpy(np.int64)
+        npos = c["np_"].to_numpy(np.int64)
+        cb = np.r_[0, np.cumsum(n)[:-1]]
+        sr = int((npos * (2 * cb + n + 1)).sum())          # 2×Σ midranks⁺
+        p = int(npos.sum())
+        tot = int(n.sum())
+        nn = tot - p
+        u2 = sr - p * (p + 1)                               # 2×U
+        auc = np.float64(u2) / np.float64(2 * p * nn)
+        return pd.DataFrame({"n_pos": np.array([p], np.int64),
+                             "n_neg": np.array([nn], np.int64),
+                             "u2": np.array([u2], np.int64),
+                             "auc": [float(auc)]})
+
+    return bucket_exchange(
+        docs.select_columns(["text", "lang"]).map_batches(
+            partial, batch_format="pandas"),
+        combine, small_partials=True)

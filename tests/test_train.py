@@ -224,3 +224,26 @@ def test_hashed_bow_logistic_separates_synthetic_langs():
     fp2 = hashed_bow_features(ray.data.from_pandas(docs).repartition(11),
                               n_buckets=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert np.allclose(fp.drop(columns="doc_id"), fp2.drop(columns="doc_id"))
+
+
+def test_roc_auc_matches_pairwise_definition():
+    import ray.data
+
+    from geospatial_learn_ray.functions import textproc
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.stages.train import roc_auc_quality
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text", "lang"])
+    out = roc_auc_quality(
+        ray.data.from_pandas(df).repartition(5)).to_pandas().iloc[0]
+    q = textproc.quality_scores(df["text"])["quality"].to_numpy(np.float64)
+    sq = round_half_away(round_half_away(q, 4) * 10000.0, 0).astype(np.int64)
+    pos = sq[(df["lang"] == "en").to_numpy()]
+    neg = sq[(df["lang"] != "en").to_numpy()]
+    # brute-force pairwise AUC: P(s+ > s-) + 0.5 P(s+ = s-)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert abs(out["auc"] - auc) < 1e-12
