@@ -3247,3 +3247,51 @@ def _pivot_events_sql(cats=("click", "error", "purchase", "signup",
         f"AS BIGINT) AS n_{c}" for c in cats)
     return (f"SELECT user_id, {cols}, CAST(COUNT(*) AS BIGINT) AS n_total "
             "FROM events GROUP BY user_id")
+
+
+def _hits_sql(rounds: int = 8, scale_bits: int = 20, out_links: int = 4,
+              host_mod: int = 1000) -> str:
+    """SQL twin of graph.hits_hosts: unrolled Q20 integer half-rounds in
+    HUGEINT, max-normalized with // on non-negative operands."""
+    s = 1 << scale_bits
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ht")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w "
+        "FROM lk GROUP BY src, dst)",
+        "nd AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({s} AS HUGEINT) AS q FROM nd)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS node, SUM(e.w * h.q) AS raw "
+            f"FROM e JOIN h{p} h ON h.node = e.src GROUP BY e.dst)")
+        ctes.append(f"am{t} AS (SELECT MAX(raw) AS mx FROM ar{t})")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT node, (raw * {s}) // m.mx AS q "
+            f"FROM ar{t}, am{t} m)")
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS node, SUM(e.w * a.q) AS raw "
+            f"FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src)")
+        ctes.append(f"hm{t} AS (SELECT MAX(raw) AS mx FROM hr{t})")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT node, (raw * {s}) // m.mx AS q "
+            f"FROM hr{t}, hm{t} m)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT nd.node AS host, "
+        f"CAST(COALESCE(a{rounds}.q, 0) AS BIGINT) AS auth_q, "
+        f"CAST(COALESCE(h{rounds}.q, 0) AS BIGINT) AS hub_q "
+        f"FROM nd LEFT JOIN a{rounds} ON a{rounds}.node = nd.node "
+        f"LEFT JOIN h{rounds} ON h{rounds}.node = nd.node"
+    )

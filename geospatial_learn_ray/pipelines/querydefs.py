@@ -1622,6 +1622,12 @@ def _q_roc_auc(sf_dir: str):
     return roc_auc_quality(_rp(sf_dir, "documents", ["text", "lang"]))
 
 
+def _q_hits_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import hits_hosts
+
+    return hits_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -630,3 +630,162 @@ def mst_hosts(pages: ray.data.Dataset, num_buckets: int = 64,
     for p in mst_parts[1:]:
         out = out.union(p.select_columns(["u", "v", "w"]))
     return out
+
+
+def _attach_col(edges: ray.data.Dataset, lookup: ray.data.Dataset,
+                edge_key: str, out: str,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """edges ⋈ lookup(node, q) on ``edge_key`` → edges + ``out`` column —
+    the union-tag bucketed join shared by the iterative graph stages."""
+    from .exchange import bucket_exchange
+
+    ecols = edges.columns()
+
+    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.copy()
+        d["jk"] = d[edge_key].to_numpy(np.int64)
+        d["q"] = np.int64(0)
+        d["t"] = np.int8(0)
+        d["_part"] = _bkt(d["jk"].to_numpy(np.int64), num_buckets)
+        return d
+
+    def tag_l(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        d = pd.DataFrame({"jk": b["node"].to_numpy(np.int64)})
+        for col in ecols:
+            d[col] = np.zeros(n, np.int64)
+        d["q"] = b["q"].to_numpy(np.int64)
+        d["t"] = np.int8(1)
+        d["_part"] = _bkt(d["jk"].to_numpy(np.int64), num_buckets)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["t"] == 0].drop(columns=["q", "t", "_part"])
+        lk = g.loc[g["t"] == 1, ["jk", "q"]].drop_duplicates("jk")
+        return e.merge(lk, on="jk", how="inner").drop(
+            columns=["jk"]).rename(columns={"q": out})
+
+    return bucket_exchange(
+        edges.map_batches(tag_e, batch_format="pandas").union(
+            lookup.map_batches(tag_l, batch_format="pandas")), combine)
+
+
+def hits_hosts(pages: ray.data.Dataset, rounds: int = 8,
+               scale_bits: int = 20, num_buckets: int = 64,
+               local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over the weighted host
+    graph in the pagerank Q-arithmetic style: a ← Σ_in w·h, h ← Σ_out
+    w·a, each renormalized to Q20 fixed point by ``(x·2^20) // max(x)``
+    — pure integers, truncating division on non-negative operands, so
+    the SQL twin is bit-identical with zero float discipline.
+
+    Scale shape per half-round: the O(E) weighted sum is ONE union-tag
+    bucketed join (score ⋈ edges) with per-block pre-summed
+    contributions + one destination-keyed exchange; the normalizer is a
+    scalar ``ds.max()`` (never a score-table pull), and the scale step
+    maps over the O(nodes) score rows in exact Python ints (HUGEINT
+    twin — the raw·2^20 product wraps int64 at web scale)."""
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets).materialize()
+    s = 1 << scale_bits
+
+    if edges.count() <= local_bound:
+        # counted-bound driver fast path (the pagerank_hosts pattern):
+        # identical integer recurrence on numpy arrays — 32 chained Ray
+        # stage graphs of fixed overhead beat their own work below ~2M
+        # host-pair rows (measured: 176 s → 2 s at sf0.001)
+        e = edges.to_pandas()
+        nodes_arr = np.unique(np.concatenate([e["src"].to_numpy(np.int64),
+                                              e["dst"].to_numpy(np.int64)]))
+        idx = {h: i for i, h in enumerate(nodes_arr)}
+        si = np.array([idx[x] for x in e["src"]], np.int64)
+        di = np.array([idx[x] for x in e["dst"]], np.int64)
+        w = e["w"].to_numpy(np.int64)
+        n = len(nodes_arr)
+        hub_v = np.full(n, s, np.int64)
+        auth_v = hub_v.copy()
+        for _ in range(rounds):
+            raw = np.zeros(n, np.int64)
+            np.add.at(raw, di, w * hub_v[si])
+            assert raw.max(initial=0) < (1 << 42), "raise scale path"
+            auth_v = (raw * s) // max(int(raw.max(initial=0)), 1)
+            raw = np.zeros(n, np.int64)
+            np.add.at(raw, si, w * auth_v[di])
+            hub_v = (raw * s) // max(int(raw.max(initial=0)), 1)
+        return ray.data.from_pandas(pd.DataFrame({
+            "host": nodes_arr, "auth_q": auth_v, "hub_q": hub_v}))
+
+    def nodes_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": h, "_part": _bkt(h, num_buckets)})
+
+    nodes = bucket_exchange(
+        edges.map_batches(nodes_part, batch_format="pandas"),
+        lambda g: pd.DataFrame(
+            {"node": np.unique(g["node"].to_numpy(np.int64))}),
+    ).materialize()
+    hub = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "q": np.full(len(b), s, np.int64)}),
+        batch_format="pandas").materialize()
+
+    def _halfround(score: ray.data.Dataset, from_key: str,
+                   to_key: str) -> ray.data.Dataset:
+        withq = _attach_col(edges.select_columns(["src", "dst", "w"]),
+                            score, from_key, "sq", num_buckets)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({
+                "node": b[to_key].to_numpy(np.int64),
+                "raw": b["w"].to_numpy(np.int64) * b["sq"].to_numpy(np.int64)})
+            g = d.groupby("node", as_index=False)["raw"].sum()
+            g["raw"] = g["raw"].astype(np.int64)
+            g["_part"] = _bkt(g["node"].to_numpy(np.int64), num_buckets)
+            return g
+
+        raw = bucket_exchange(
+            withq.map_batches(contrib, batch_format="pandas"),
+            lambda g: g.drop(columns=["_part"]).groupby(
+                "node", as_index=False)["raw"].sum().astype(
+                {"raw": np.int64}),
+        ).materialize()
+        mx = int(raw.max("raw"))
+
+        def scaled(b: pd.DataFrame) -> pd.DataFrame:
+            q = [int((int(r) * s) // mx) for r in b["raw"].to_numpy(np.int64)]
+            return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                 "q": np.array(q, np.int64)})
+
+        return raw.map_batches(scaled, batch_format="pandas").materialize()
+
+    auth = hub
+    for _ in range(rounds):
+        auth = _halfround(hub, "src", "dst")
+        hub = _halfround(auth, "dst", "src")
+
+    def tag(ds_, col, t):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            return pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "q": (b["q"].to_numpy(np.int64) if "q" in b.columns
+                      else np.zeros(n, np.int64)),
+                "t": np.full(n, t, np.int8),
+                "_part": _bkt(b["node"].to_numpy(np.int64), num_buckets)})
+        return ds_.map_batches(fn, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["t"] == 0][["node"]]
+        a = g.loc[g["t"] == 1, ["node", "q"]].rename(columns={"q": "auth_q"})
+        h = g.loc[g["t"] == 2, ["node", "q"]].rename(columns={"q": "hub_q"})
+        m = base.merge(a, on="node", how="left").merge(h, on="node", how="left")
+        return pd.DataFrame({
+            "host": m["node"].to_numpy(np.int64),
+            "auth_q": m["auth_q"].fillna(0).to_numpy(np.int64),
+            "hub_q": m["hub_q"].fillna(0).to_numpy(np.int64)})
+
+    return bucket_exchange(
+        tag(nodes, None, 0).union(tag(auth, "q", 1)).union(tag(hub, "q", 2)),
+        final)

@@ -183,3 +183,18 @@ def test_mst_matches_kruskal_bruteforce():
         assert ra != rb, "cycle in reported MST"
         parent2[max(ra, rb)] = min(ra, rb)
     assert len({find2(int(n)) for n in nodes}) == n_comp
+
+
+def test_hits_local_and_distributed_paths_bit_parity():
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    fast = _graph.hits_hosts(pages, rounds=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    slow = _graph.hits_hosts(pages, rounds=2, local_bound=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert fast["auth_q"].max() == 1 << 20  # max-normalized fixed point
