@@ -473,7 +473,8 @@ def label_prop_hosts(pages: ray.data.Dataset, rounds: int = 4,
 
 
 def mst_hosts(pages: ray.data.Dataset, num_buckets: int = 64,
-              max_rounds: int = 12) -> ray.data.Dataset:
+              max_rounds: int = 12,
+              local_bound: int = 2_000_000) -> ray.data.Dataset:
     """Minimum spanning forest of the weighted undirected host graph by
     distributed Borůvka (1926; the GBBS/MapReduce-MST shape): each round
     every component selects its minimum outgoing edge under the TOTAL
@@ -512,6 +513,32 @@ def mst_hosts(pages: ray.data.Dataset, num_buckets: int = 64,
             ["u", "v"], sort=False, as_index=False)["w"].sum().astype(
             {"w": np.int64}),
     ).materialize()
+
+    if ue.count() <= local_bound:
+        # counted-bound driver fast path: under the lexicographic total
+        # order (w, u, v) all edge keys are distinct, so the MST is
+        # UNIQUE — Kruskal here returns bit-identically the same edge
+        # set as the distributed Borůvka rounds (and their SQL twin).
+        e = ue.to_pandas().sort_values(["w", "u", "v"], kind="mergesort")
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        keep = np.zeros(len(e), bool)
+        pos = 0
+        for u_, v_ in zip(e["u"].to_numpy(np.int64), e["v"].to_numpy(np.int64)):
+            ru, rv = find(int(u_)), find(int(v_))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                keep[pos] = True
+            pos += 1
+        return ray.data.from_pandas(
+            e[keep][["u", "v", "w"]].reset_index(drop=True))
 
     def nodes_part(b: pd.DataFrame) -> pd.DataFrame:
         h = np.unique(np.concatenate([b["u"].to_numpy(np.int64),

@@ -198,3 +198,18 @@ def test_hits_local_and_distributed_paths_bit_parity():
         .sort_values("host").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
     assert fast["auth_q"].max() == 1 << 20  # max-normalized fixed point
+
+
+def test_mst_distributed_path_matches_local_kruskal():
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(120)
+    fast = _graph.mst_hosts(pages).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    dist = _graph.mst_hosts(pages, local_bound=0).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    # the lex-tie-broken MST is unique -> Boruvka and Kruskal agree exactly
+    pd.testing.assert_frame_equal(fast, dist)
