@@ -213,3 +213,17 @@ def test_mst_distributed_path_matches_local_kruskal():
         .sort_values(["u", "v"]).reset_index(drop=True)
     # the lex-tie-broken MST is unique -> Boruvka and Kruskal agree exactly
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_label_prop_local_and_distributed_paths_agree():
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(120)
+    fast = _graph.label_prop_hosts(pages, rounds=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    dist = _graph.label_prop_hosts(pages, rounds=2, local_bound=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist)
