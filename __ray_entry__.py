@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events_users": _q_pivot_events,
         "roc_auc_quality_docs": _q_roc_auc,
         "hits_hosts": _q_hits_hosts,
+        "contour_cells_tiles": _q_contour_cells,
     }
 
 
@@ -313,6 +314,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _tile_pyramid_sql,
     _pivot_events_sql,
     _hits_sql,
+    _contour_cells_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -841,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_tiles": _tile_pyramid_sql(),
         "pivot_events_users": _pivot_events_sql(),
         "hits_hosts": _hits_sql(),
+        "contour_cells_tiles": _contour_cells_sql(),
         "roc_auc_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

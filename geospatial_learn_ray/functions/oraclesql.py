@@ -3295,3 +3295,30 @@ def _hits_sql(rounds: int = 8, scale_bits: int = 20, out_links: int = 4,
         f"FROM nd LEFT JOIN a{rounds} ON a{rounds}.node = nd.node "
         f"LEFT JOIN h{rounds} ON h{rounds}.node = nd.node"
     )
+
+
+def _contour_cells_sql(side: int = 16, quant: float = 2.0, level: int = 4,
+                       tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.contour_cells_stage: four equi self-joins give
+    the 2×2 corner bits; same case index and saddle rule."""
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CASE WHEN CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) "
+        f">= {level} THEN 1 ELSE 0 END AS b "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "c AS (SELECT tl.tile_x, tl.tile_y, tl.px AS cx, tl.py AS cy, "
+        "  tl.b * 8 + tr.b * 4 + br.b * 2 + bl.b AS mcase "
+        "  FROM rc tl "
+        "  JOIN rc tr ON tr.tile_x = tl.tile_x AND tr.tile_y = tl.tile_y "
+        "    AND tr.py = tl.py AND tr.px = tl.px + 1 "
+        "  JOIN rc br ON br.tile_x = tl.tile_x AND br.tile_y = tl.tile_y "
+        "    AND br.py = tl.py + 1 AND br.px = tl.px + 1 "
+        "  JOIN rc bl ON bl.tile_x = tl.tile_x AND bl.tile_y = tl.tile_y "
+        "    AND bl.py = tl.py + 1 AND bl.px = tl.px) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(cx AS BIGINT) AS cx, "
+        "CAST(cy AS BIGINT) AS cy, CAST(mcase AS BIGINT) AS mcase, "
+        "CAST(CASE WHEN mcase IN (5, 10) THEN 2 ELSE 1 END AS BIGINT) "
+        "AS n_segs FROM c WHERE mcase NOT IN (0, 15)"
+    )

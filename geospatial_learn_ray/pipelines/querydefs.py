@@ -1628,6 +1628,11 @@ def _q_hits_hosts(sf_dir: str):
     return hits_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_contour_cells(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.contour_cells_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

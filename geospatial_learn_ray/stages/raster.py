@@ -2617,3 +2617,45 @@ def tile_pyramid_stage(ds: ray.data.Dataset, side: int,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contour_cells_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                        level: int = 4) -> ray.data.Dataset:
+    """Marching-squares contour inventory (Lorensen & Cline's 2-D case
+    table; gdal_contour's cell classification) at one quantized level:
+    every 2×2 pixel cell gets its 4-bit case index from (q ≥ level) at
+    (top-left, top-right, bottom-right, bottom-left) — bit 3..0 in that
+    order — and cells actually crossed by the contour (case ∉ {0, 15})
+    are emitted with the segment count (2 for the ambiguous saddle cases
+    5/10, else 1). Midpoint rule: no interpolation, so the whole
+    operator is integer comparisons — bit-free of floats like the
+    viewshed. Map-only per tile; a cross-tile contour would stitch via
+    the polygonize edge exchange."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        n = side - 1
+        Y, X = np.mgrid[0:n, 0:n]
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "cx", "cy", "mcase",
+                                  "n_segs")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            b = (q >= level).astype(np.int64)
+            case = (b[:-1, :-1] * 8 + b[:-1, 1:] * 4
+                    + b[1:, 1:] * 2 + b[1:, :-1])
+            keep = (case != 0) & (case != 15)
+            segs = np.where((case == 5) | (case == 10), 2, 1)
+            m = keep.ravel()
+            k = int(m.sum())
+            rows["tile_x"].append(np.full(k, txs[i], np.int64))
+            rows["tile_y"].append(np.full(k, tys[i], np.int64))
+            rows["cx"].append(X.ravel()[m].astype(np.int64))
+            rows["cy"].append(Y.ravel()[m].astype(np.int64))
+            rows["mcase"].append(case.ravel()[m])
+            rows["n_segs"].append(segs.ravel()[m].astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -603,3 +603,27 @@ def test_tile_pyramid_parent_child_consistency():
                  suffixes=("", "_c"))
     assert len(j) == len(l2)
     assert (j["mean_v"] == j["mean_v_c"]).all()
+
+
+def test_contour_cells_crossing_predicate():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0,
+                              -90.0, 0.0)
+    out = raster.contour_cells_stage(small, side=16).to_pandas()
+    # independent predicate: a cell is emitted iff its 2x2 corner minimum
+    # is below the level and its maximum reaches it
+    got = set(zip(out["tile_x"], out["tile_y"], out["cx"], out["cy"]))
+    want = set()
+    for tx in range(16):
+        for ty in range(16):
+            q = np.floor(tile_pixels(tx, ty, 16) * 2.0).astype(np.int64)
+            for cy in range(15):
+                for cx in range(15):
+                    c4 = q[cy:cy + 2, cx:cx + 2]
+                    if c4.min() < 4 <= c4.max():
+                        want.add((tx, ty, cx, cy))
+    assert got == want
+    assert (out.loc[out["mcase"].isin([5, 10]), "n_segs"] == 2).all()
+    assert (out.loc[~out["mcase"].isin([5, 10]), "n_segs"] == 1).all()
