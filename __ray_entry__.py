@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_auc_quality_docs": _q_roc_auc,
         "hits_hosts": _q_hits_hosts,
         "contour_cells_tiles": _q_contour_cells,
+        "calibration_bins_lineitem": _q_calibration,
     }
 
 
@@ -844,6 +845,21 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events_users": _pivot_events_sql(),
         "hits_hosts": _hits_sql(),
         "contour_cells_tiles": _contour_cells_sql(),
+        "calibration_bins_lineitem": (
+            "WITH z AS (SELECT l_returnflag, "
+            f"  0.0002*l_quantity + 0.0001*l_extendedprice + -0.05*l_discount + 0.03*l_tax "
+            f"  + {PROBA_INTERCEPT!r} AS zz FROM lineitem), "
+            "p AS (SELECT ROUND(1/(1 + EXP(-zz)), 6) AS pr, "
+            "  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM z), "
+            "b AS (SELECT LEAST(CAST(FLOOR(pr * 10.0) AS BIGINT), 9) AS bin, "
+            "  CAST(FLOOR(ABS(pr * 1000000.0) + 0.5) AS BIGINT) AS pq, y FROM p) "
+            "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(y) AS BIGINT) AS n_pos, "
+            "CAST(SUM(CAST(pq AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+            "/ CAST(1000000 AS DOUBLE) AS mean_pred, "
+            "CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos "
+            "FROM b GROUP BY bin"
+        ),
         "roc_auc_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -1633,6 +1633,25 @@ def _q_contour_cells(sf_dir: str):
     return raster.contour_cells_stage(small, side=16)
 
 
+def _q_calibration(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    path = train.save_model("/tmp/glr_models/proba_linear.json",
+                            list(PROBA_FEATURES),
+                            np.array([PROBA_INTERCEPT, *PROBA_WEIGHTS]))
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_returnflag", *PROBA_FEATURES])
+    proba = train.predict_proba_stage(ds, path, keep_cols=["l_returnflag"])
+
+    def lab(b):
+        b = b.copy()
+        b["y"] = (b["l_returnflag"].to_numpy(object) == "R").astype(np.int64)
+        return b[["proba_1", "y"]]
+
+    return train.calibration_bins(
+        proba.map_batches(lab, batch_format="pandas"))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -613,3 +613,46 @@ def roc_auc_quality(docs: ray.data.Dataset, pos_lang: str = "en",
         docs.select_columns(["text", "lang"]).map_batches(
             partial, batch_format="pandas"),
         combine, small_partials=True)
+
+
+def calibration_bins(proba_ds: ray.data.Dataset, label_col: str = "y",
+                     proba_col: str = "proba_1", n_bins: int = 10,
+                     num_buckets: int = 16) -> ray.data.Dataset:
+    """Reliability-diagram bins for a probabilistic classifier (the
+    calibration-curve companion of ``roc_auc_quality``): predictions
+    bucket into ``n_bins`` equal-width bins; each bin reports count,
+    observed positive fraction, and mean predicted probability.
+
+    Exactness: the input probabilities are already 6-decimal-rounded, so
+    they scale to exact integer micro-probabilities — Σpq is an
+    order-exact integer sum and both output floats are single mirrored
+    division chains. Per-block partials are ≤ n_bins rows."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b[proba_col].to_numpy(np.float64)
+        y = b[label_col].to_numpy(np.int64)
+        binv = np.minimum(np.floor(pr * 10.0).astype(np.int64), n_bins - 1)
+        pq = round_half_away(pr * 1_000_000.0, 0).astype(np.int64)
+        g = pd.DataFrame({"bin": binv, "n": np.ones(len(b), np.int64),
+                          "n_pos": y, "spq": pq}).groupby(
+            "bin", as_index=False).sum()
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby("bin", as_index=False).sum()
+        n = c["n"].to_numpy(np.int64)
+        npos = c["n_pos"].to_numpy(np.int64)
+        spq = c["spq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bin": c["bin"].to_numpy(np.int64),
+            "n": n, "n_pos": npos,
+            "mean_pred": spq.astype(np.float64) / n.astype(np.float64)
+            / np.float64(1_000_000.0),
+            "frac_pos": npos.astype(np.float64) / n.astype(np.float64),
+        })
+
+    return bucket_exchange(proba_ds.map_batches(partial, batch_format="pandas"),
+                           combine, small_partials=True)

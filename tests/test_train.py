@@ -247,3 +247,29 @@ def test_roc_auc_matches_pairwise_definition():
     auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
     assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
     assert abs(out["auc"] - auc) < 1e-12
+
+
+def test_calibration_bins_conservation_and_ranges():
+    import ray.data
+
+    from geospatial_learn_ray.stages.train import calibration_bins
+
+    rng = np.random.RandomState(2)
+    pr = np.round(rng.uniform(0.01, 0.99, 3000), 6)
+    y = (rng.uniform(size=3000) < pr).astype(np.int64)  # well-calibrated
+    df = pd.DataFrame({"proba_1": pr, "y": y})
+    for blocks in (1, 6):
+        out = calibration_bins(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert out["n"].sum() == 3000
+        assert out["n_pos"].sum() == y.sum()
+        # mean_pred must sit inside its bin
+        lo = out["bin"] / 10.0
+        assert ((out["mean_pred"] >= lo - 1e-9)
+                & (out["mean_pred"] <= lo + 0.1 + 1e-9)).all()
+        # calibrated data: observed fraction tracks mean prediction
+        big = out[out["n"] > 100]
+        assert (np.abs(big["frac_pos"] - big["mean_pred"]) < 0.1).all()
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
