@@ -3322,3 +3322,25 @@ def _contour_cells_sql(side: int = 16, quant: float = 2.0, level: int = 4,
         "CAST(CASE WHEN mcase IN (5, 10) THEN 2 ELSE 1 END AS BIGINT) "
         "AS n_segs FROM c WHERE mcase NOT IN (0, 15)"
     )
+
+
+def _scene_cuts_sql(threshold: int = 100, frame: int = 32,
+                    maxp: int = 256) -> str:
+    """SQL twin of multimodal.SceneCutDetector over the GLRM fixture:
+    payload bytes are the first 256 utf8 bytes of the doc text (ASCII in
+    the fixture, so ord == byte); frame signatures via list sums."""
+    return (
+        f"WITH s AS (SELECT doc_id AS media_id, substr(text, 1, {maxp}) AS p "
+        "FROM documents), "
+        f"nf AS (SELECT media_id, p, length(p) // {frame} AS n FROM s), "
+        "fr AS (SELECT media_id, n, CAST(gs.range AS BIGINT) AS f, "
+        "  list_aggregate(list_transform("
+        f"    generate_series(1, {frame}), "
+        f"    i -> ord(substr(p, CAST(gs.range * {frame} AS INT) + i, 1))), "
+        "  'sum') AS sig "
+        "  FROM nf, range(0, 8) gs WHERE gs.range < n), "
+        "d AS (SELECT a.media_id, a.f AS cut_after, ABS(b.sig - a.sig) AS delta "
+        "  FROM fr a JOIN fr b ON b.media_id = a.media_id AND b.f = a.f + 1) "
+        f"SELECT media_id, cut_after, CAST(delta AS BIGINT) AS delta "
+        f"FROM d WHERE delta > {threshold}"
+    )

@@ -1652,6 +1652,14 @@ def _q_calibration(sf_dir: str):
         proba.map_batches(lab, batch_format="pandas"))
 
 
+def _q_scene_cuts(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(multimodal.media_table, batch_format="pyarrow")
+    return multimodal.scene_cut_stage(media)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -357,3 +357,63 @@ def dhash_dedup_stage(media: ray.data.Dataset, num_buckets: int = 64,
 
     return bucket_exchange(hashed.map_batches(part, batch_format="pandas"),
                            count_same)
+
+
+class SceneCutDetector:
+    """Scene-change detection plumbing (video analogue of dHash dedup):
+    consecutive 32-byte pseudo-frames of the payload get integer
+    byte-sum signatures; a cut fires where |Δsignature| > threshold.
+    All-integer (no float crosses the oracle boundary); payloads are
+    gathered into one zero-padded byte matrix straight off the Arrow
+    binary value buffer — no per-row Python."""
+
+    HEADER = 9
+    FRAME = 32
+    MAXP = 256
+
+    def __init__(self, threshold: int = 100):
+        self.t = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[
+                col.offset: col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[
+                col.offset: col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        n = len(col)
+        lens = ends - starts
+        # zero-padded payload gather (the DHasher idiom, wider window)
+        k = np.arange(self.MAXP, dtype=np.int64)
+        idx = (starts + self.HEADER)[:, None] + k[None, :]
+        valid = idx < ends[:, None]
+        safe = np.minimum(idx, max(len(data) - 1, 0))
+        pay = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.int64)
+        sig = pay.reshape(n, self.MAXP // self.FRAME, self.FRAME).sum(axis=2)
+        n_frames = np.maximum(lens - self.HEADER, 0) // self.FRAME
+        ids = batch["media_id"].to_numpy()
+        f = np.arange(sig.shape[1] - 1)
+        valid = f[None, :] + 1 < n_frames[:, None]
+        delta = np.abs(sig[:, 1:] - sig[:, :-1])
+        hit = valid & (delta > self.t)
+        r, c = np.nonzero(hit)
+        return pa.table({
+            "media_id": pa.array(ids[r].astype(np.int64)),
+            "cut_after": pa.array(c.astype(np.int64)),
+            "delta": pa.array(delta[r, c].astype(np.int64)),
+        })
+
+
+def scene_cut_stage(ds: ray.data.Dataset, threshold: int = 100,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        SceneCutDetector, fn_constructor_args=(threshold,),
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency,
+        num_cpus=1)

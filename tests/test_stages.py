@@ -441,3 +441,18 @@ def test_exact_median_constant_column():
     ds = ray.data.from_pandas(pd.DataFrame({"x": np.full(5000, 7.25)}))
     out = exact_median(ds, "x", n_bins=16, pull_bound=32).to_pandas()
     assert out.iloc[0]["median"] == 7.25
+
+
+def test_scene_cut_detector_known_payload():
+    import pyarrow as pa
+
+    from geospatial_learn_ray.stages.multimodal import MAGIC, SceneCutDetector
+
+    hdr = MAGIC + (16).to_bytes(2, "little") + (16).to_bytes(2, "little") + b"\x03"
+    # frames: 32x'a', 32x'a', 32x'z' -> one cut after frame 1 (delta 32*25)
+    payload = b"a" * 64 + b"z" * 32
+    short = b"a" * 40  # only one full frame -> no cuts
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "media": pa.array([hdr + payload, hdr + short], pa.binary())})
+    out = SceneCutDetector(threshold=100)(t).to_pandas()
+    assert out.values.tolist() == [[1, 1, 32 * 25]]
