@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_cells_tiles": _q_contour_cells,
         "calibration_bins_lineitem": _q_calibration,
         "media_scene_cuts": _q_scene_cuts,
+        "sq8_encode_vectors": _q_sq8_encode,
     }
 
 
@@ -318,6 +319,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _hits_sql,
     _contour_cells_sql,
     _scene_cuts_sql,
+    _sq8_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -848,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_hosts": _hits_sql(),
         "contour_cells_tiles": _contour_cells_sql(),
         "media_scene_cuts": _scene_cuts_sql(),
+        "sq8_encode_vectors": _sq8_sql(),
         "calibration_bins_lineitem": (
             "WITH z AS (SELECT l_returnflag, "
             f"  0.0002*l_quantity + 0.0001*l_extendedprice + -0.05*l_discount + 0.03*l_tax "

@@ -3344,3 +3344,28 @@ def _scene_cuts_sql(threshold: int = 100, frame: int = 32,
         f"SELECT media_id, cut_after, CAST(delta AS BIGINT) AS delta "
         f"FROM d WHERE delta > {threshold}"
     )
+
+
+def _sq8_sql(dim: int = 64) -> str:
+    """SQL twin of knn.sq8_encode: per-dim MIN/MAX over exact f32 casts,
+    the identical code/reconstruction float chains, integer aggregates."""
+    return (
+        "WITH ex AS MATERIALIZED (SELECT vec_id, CAST(gs.range AS BIGINT) AS i, "
+        "CAST(embedding[CAST(gs.range AS INT)] AS DOUBLE) AS x "
+        f"FROM embeddings, range(1, {dim + 1}) gs), "
+        "st AS MATERIALIZED (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex "
+        "GROUP BY i), "
+        "c AS (SELECT ex.vec_id, ex.i, ex.x, st.mn, st.mx, "
+        "  LEAST(GREATEST(FLOOR((ex.x - st.mn) / (st.mx - st.mn) "
+        "  * CAST(255.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)), "
+        "  CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS cd "
+        "  FROM ex JOIN st ON st.i = ex.i), "
+        "e AS (SELECT vec_id, CAST(cd AS BIGINT) AS cdi, i, "
+        "  CAST(FLOOR(ABS(x - (mn + cd / CAST(255.0 AS DOUBLE) * (mx - mn))) "
+        "  * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eq "
+        "  FROM c) "
+        "SELECT vec_id, CAST(SUM(cdi * i) AS BIGINT) AS code_sum, "
+        "CAST(MIN(cdi) AS BIGINT) AS code_min, "
+        "CAST(MAX(cdi) AS BIGINT) AS code_max, "
+        "CAST(SUM(eq) AS BIGINT) AS err_q FROM e GROUP BY vec_id"
+    )

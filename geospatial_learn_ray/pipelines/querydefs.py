@@ -1660,6 +1660,12 @@ def _q_scene_cuts(sf_dir: str):
     return multimodal.scene_cut_stage(media)
 
 
+def _q_sq8_encode(sf_dir: str):
+    from geospatial_learn_ray.stages.knn import sq8_encode
+
+    return sq8_encode(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -394,3 +394,26 @@ def test_pca_power_top1_matches_eigh_and_block_invariant():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_sq8_encode_error_bound_and_block_invariance():
+    import ray.data
+
+    from geospatial_learn_ray.stages.knn import sq8_encode
+
+    rng = np.random.RandomState(4)
+    X = rng.normal(0, 1, (400, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [r for r in X]})
+    for blocks in (1, 5):
+        out = sq8_encode(ray.data.from_pandas(df).repartition(blocks)) \
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (out["code_min"] >= 0).all() and (out["code_max"] <= 255).all()
+        # per-dim quantization error is at most half a step: err_q (Q20
+        # 1/2^20 units, 64 dims) stays under 64 * (range/255/2) * 2^20
+        spans = X.astype(np.float64).max(0) - X.astype(np.float64).min(0)
+        bound = (spans / 255.0 / 2.0 * 2**20).sum() + 64  # +rounding slack
+        assert (out["err_q"] <= bound).all()
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
