@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins_lineitem": _q_calibration,
         "media_scene_cuts": _q_scene_cuts,
         "sq8_encode_vectors": _q_sq8_encode,
+        "event_transitions_users": _q_event_transitions,
     }
 
 
@@ -851,6 +852,17 @@ def oracle_sql() -> dict[str, str]:
         "contour_cells_tiles": _contour_cells_sql(),
         "media_scene_cuts": _scene_cuts_sql(),
         "sq8_encode_vectors": _sq8_sql(),
+        "event_transitions_users": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "  CAST(epoch_us(ts) AS BIGINT) AS u, event_id FROM events), "
+            "t AS (SELECT event_type AS b, LAG(event_type) OVER ("
+            "  PARTITION BY user_id ORDER BY u, event_id) AS a FROM o) "
+            "SELECT a AS from_type, b AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER "
+            "  (PARTITION BY a) AS DOUBLE) AS frac "
+            "FROM t WHERE a IS NOT NULL GROUP BY a, b"
+        ),
         "calibration_bins_lineitem": (
             "WITH z AS (SELECT l_returnflag, "
             f"  0.0002*l_quantity + 0.0001*l_extendedprice + -0.05*l_discount + 0.03*l_tax "

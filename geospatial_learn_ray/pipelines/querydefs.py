@@ -1666,6 +1666,13 @@ def _q_sq8_encode(sf_dir: str):
     return sq8_encode(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def _q_event_transitions(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import event_transitions
+
+    return event_transitions(
+        _rp(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -502,3 +502,65 @@ def debounce_events(ds: ray.data.Dataset, window_s: int = 300) -> ray.data.Datas
         .map_batches(prep, batch_format="pyarrow"),
         ["user_id", "event_type", "win"], "ts_us", 1,
         tiebreak="event_id", descending=False)
+
+
+def event_transitions(ds: ray.data.Dataset,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """First-order Markov transition counts over each user's time-ordered
+    event sequence (the behavioral n-gram: session-flow modeling), with
+    row-normalized probabilities. Exchange 1 co-locates each user's
+    narrow (user, ts, event_id, type) rows and emits per-bucket
+    PRE-AGGREGATED (from, to, cnt) partials from one vectorized sorted
+    scan; exchange 2 keys on hash(from) so a source type's full row
+    co-locates — the normalizing row total is a groupby-transform, never
+    a third shuffle. Ties in ts break on event_id (total order)."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "et": b["event_type"].to_pandas().to_numpy(object),
+            "u": ts,
+            "event_id": b["event_id"].to_numpy().astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["user_id"].to_numpy().astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "u", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["et"].to_numpy(object)
+        same = uid[1:] == uid[:-1]
+        c = (pd.DataFrame({"a": et[:-1][same], "b": et[1:][same]})
+             .groupby(["a", "b"], sort=False).size().reset_index(name="cnt"))
+        c["cnt"] = c["cnt"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            c["_part"] = (splitmix64(fnv1a64(c["a"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return c
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby(["a", "b"], sort=False,
+                                              as_index=False)["cnt"].sum()
+        tot = c.groupby("a", sort=False)["cnt"].transform("sum")
+        return pd.DataFrame({
+            "from_type": c["a"].to_numpy(object),
+            "to_type": c["b"].to_numpy(object),
+            "n": c["cnt"].to_numpy(np.int64),
+            "frac": c["cnt"].to_numpy(np.int64).astype(np.float64)
+            / tot.to_numpy(np.int64).astype(np.float64)})
+
+    parted = ds.select_columns(
+        ["user_id", "event_type", "event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return bucket_exchange(bucket_exchange(parted, pairs), finalize,
+                           small_partials=True)

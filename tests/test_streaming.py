@@ -334,3 +334,23 @@ def test_scd2_history_runs_and_current_flags():
     # A->B->A: first and third runs share the content hash
     d2 = out[out["doc_id"] == 2]["content_hash"].tolist()
     assert d2[0] == d2[2] and d2[0] != d2[1]
+
+
+def test_event_transitions_row_stochastic_and_conservation():
+    import ray.data
+
+    from geospatial_learn_ray.stages.streaming import event_transitions
+
+    df = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type", "event_id", "ts"])
+    for blocks in (1, 6):
+        out = event_transitions(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        # rows per from_type sum to 1; total transitions = events - users
+        sums = out.groupby("from_type")["frac"].sum()
+        assert np.allclose(sums, 1.0)
+        assert out["n"].sum() == len(df) - df["user_id"].nunique()
+        if blocks == 1:
+            base = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    out = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, out)
