@@ -237,36 +237,6 @@ def triangle_count_hosts(pages: ray.data.Dataset,
         lambda g: g.drop(columns=["_part"]).drop_duplicates(),
     ).materialize()
 
-    if ue.count() <= local_bound:
-        # counted-bound driver fast path: the identical synchronous
-        # mode-label rounds on pandas arrays (exchange overhead dominates
-        # below ~2M undirected edges; measured 20 s → 2 s at sf0.001)
-        e = ue.to_pandas()
-        u = e["u"].to_numpy(np.int64)
-        v = e["v"].to_numpy(np.int64)
-        dirs_df = pd.DataFrame({"nbr": np.concatenate([u, v]),
-                                "node": np.concatenate([v, u])})
-        # node domain from the DIRECTED edge list: a self-loop-only host
-        # has no ue row but must still appear (with its own label)
-        ed = edges.select_columns(["src", "dst"]).to_pandas()
-        nodes_arr = np.unique(np.concatenate(
-            [ed["src"].to_numpy(np.int64), ed["dst"].to_numpy(np.int64)]))
-        lab = pd.DataFrame({"node": nodes_arr, "lab": nodes_arr})
-        for _ in range(rounds):
-            m = dirs_df.merge(lab, left_on="nbr", right_on="node",
-                              suffixes=("", "_l"))[["node", "lab"]]
-            c = m.groupby(["node", "lab"], sort=False).size()                 .reset_index(name="cnt")
-            c = c.sort_values(["node", "cnt", "lab"],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-            lab = c.groupby("node", sort=False).head(1)[["node", "lab"]]
-        out = pd.DataFrame({"node": nodes_arr}).merge(lab, on="node",
-                                                      how="left")
-        lv = out["lab"].to_numpy()
-        res = np.where(pd.isna(lv), out["node"].to_numpy(np.int64),
-                       lv).astype(np.int64)
-        return ray.data.from_pandas(pd.DataFrame(
-            {"host": out["node"].to_numpy(np.int64), "label": res}))
     n_edges = ue.count()
 
     # node degrees over the undirected simple graph
