@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_scene_cuts": _q_scene_cuts,
         "sq8_encode_vectors": _q_sq8_encode,
         "event_transitions_users": _q_event_transitions,
+        "leverage_topk_lineitem": _q_leverage,
     }
 
 
@@ -321,6 +322,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _contour_cells_sql,
     _scene_cuts_sql,
     _sq8_sql,
+    _leverage_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -852,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_cells_tiles": _contour_cells_sql(),
         "media_scene_cuts": _scene_cuts_sql(),
         "sq8_encode_vectors": _sq8_sql(),
+        "leverage_topk_lineitem": _leverage_sql(),
         "event_transitions_users": (
             "WITH o AS (SELECT user_id, event_type, "
             "  CAST(epoch_us(ts) AS BIGINT) AS u, event_id FROM events), "

@@ -3369,3 +3369,51 @@ def _sq8_sql(dim: int = 64) -> str:
         "CAST(MAX(cdi) AS BIGINT) AS code_max, "
         "CAST(SUM(eq) AS BIGINT) AS err_q FROM e GROUP BY vec_id"
     )
+
+
+def _leverage_sql(k: int = 50, lam: int = 1_000_000) -> str:
+    """SQL twin of train.leverage_topk: exact HUGEINT Gram + adjugate,
+    generated from the SAME cofactor formulas, and the 9-term quadratic
+    form in the identical left-associative f64 order."""
+    names = [["a00", "a01", "a02"], ["a10", "a11", "a12"],
+             ["a20", "a21", "a22"]]
+    det = (f"({names[0][0]}*({names[1][1]}*{names[2][2]} - {names[1][2]}*{names[2][1]})"
+           f" - {names[0][1]}*({names[1][0]}*{names[2][2]} - {names[1][2]}*{names[2][0]})"
+           f" + {names[0][2]}*({names[1][0]}*{names[2][1]} - {names[1][1]}*{names[2][0]}))")
+    adj = {}
+    for i in range(3):
+        for j in range(3):
+            mi = [[names[r][c] for c in range(3) if c != j]
+                  for r in range(3) if r != i]
+            cof = f"({mi[0][0]}*{mi[1][1]} - {mi[0][1]}*{mi[1][0]})"
+            sign = "" if (i + j) % 2 == 0 else "-"
+            adj[(j, i)] = f"({sign}{cof})"
+    msel = ", ".join(
+        f"CAST({adj[(i, j)]} AS DOUBLE) / CAST(det AS DOUBLE) AS m{i}{j}"
+        for i in range(3) for j in range(3))
+    q = ["q1", "q2", "q3"]
+    lev = None
+    for i in range(3):
+        for j in range(3):
+            t = f"(CAST({q[i]}*{q[j]} AS DOUBLE) * m{i}{j})"
+            lev = t if lev is None else f"({lev} + {t})"
+    return (
+        "WITH f AS MATERIALIZED (SELECT l_orderkey, "
+        "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "CAST(FLOOR(ABS(l_quantity) + 0.5)*SIGN(l_quantity) AS BIGINT) AS q1, "
+        "CAST(FLOOR(ABS(l_discount*100.0) + 0.5)*SIGN(l_discount) AS BIGINT) AS q2, "
+        "CAST(FLOOR(ABS(l_tax*100.0) + 0.5)*SIGN(l_tax) AS BIGINT) AS q3 "
+        "FROM lineitem), "
+        "g AS (SELECT SUM(CAST(q1 AS HUGEINT)*q1) AS g00, "
+        "SUM(CAST(q1 AS HUGEINT)*q2) AS g01, SUM(CAST(q1 AS HUGEINT)*q3) AS g02, "
+        "SUM(CAST(q2 AS HUGEINT)*q2) AS g11, SUM(CAST(q2 AS HUGEINT)*q3) AS g12, "
+        "SUM(CAST(q3 AS HUGEINT)*q3) AS g22 FROM f), "
+        f"a AS (SELECT g00 + {lam} AS a00, g01 AS a01, g02 AS a02, "
+        f"g01 AS a10, g11 + {lam} AS a11, g12 AS a12, "
+        f"g02 AS a20, g12 AS a21, g22 + {lam} AS a22 FROM g), "
+        f"dd AS (SELECT a.*, {det} AS det FROM a), "
+        f"mm AS (SELECT {msel} FROM dd) "
+        f"SELECT l_orderkey, l_linenumber, {lev} AS lev FROM f, mm "
+        f"QUALIFY row_number() OVER (ORDER BY {lev} DESC, l_orderkey, "
+        f"l_linenumber) <= {k}"
+    )

@@ -1673,6 +1673,14 @@ def _q_event_transitions(sf_dir: str):
         _rp(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"]))
 
 
+def _q_leverage(sf_dir: str):
+    from geospatial_learn_ray.stages.train import leverage_topk
+
+    return leverage_topk(_rp(sf_dir, "lineitem",
+                             ["l_orderkey", "l_linenumber", "l_quantity",
+                              "l_discount", "l_tax"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -656,3 +656,84 @@ def calibration_bins(proba_ds: ray.data.Dataset, label_col: str = "y",
 
     return bucket_exchange(proba_ds.map_batches(partial, batch_format="pandas"),
                            combine, small_partials=True)
+
+
+LEV_LAMBDA = 1_000_000
+
+
+def leverage_topk(ds: ray.data.Dataset, k: int = 50,
+                  num_buckets: int = 8) -> ray.data.Dataset:
+    """Ridge leverage scores over lineitem — the data-valuation /
+    influence diagnostic (h_i = x_iᵀ(XᵀX+λI)⁻¹x_i; rows with the highest
+    leverage dominate any linear fit): ONE streaming pass emits per-block
+    integer Gram partials (features are EXACT small ints: quantity,
+    100·discount, 100·tax — the round-3 Gram rule), a single-bucket
+    exchange totals them in Python ints and inverts the 3×3 via the
+    EXACT integer adjugate/determinant (bound: det < 2^127 needs
+    A-entries < 2^42 — ~10¹¹ rows at these feature ranges; beyond that,
+    rescale), and the scoring map evaluates the 9-term quadratic form in
+    a FIXED left-associative f64 order mirrored textually in SQL. Top-k
+    by the bit-identical score with key tiebreaks."""
+    from .exchange import bucket_exchange
+    from ..functions.rounding import round_half_away
+
+    def _feats(b: pd.DataFrame) -> np.ndarray:
+        q1 = round_half_away(b["l_quantity"].to_numpy(np.float64), 0)
+        q2 = round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0)
+        q3 = round_half_away(b["l_tax"].to_numpy(np.float64) * 100.0, 0)
+        return np.stack([q1, q2, q3], axis=1).astype(np.int64)
+
+    def gram_part(b: pd.DataFrame) -> pd.DataFrame:
+        x = _feats(b)
+        g = x.T @ x
+        ii, jj = np.triu_indices(3)
+        return pd.DataFrame({"i": ii.astype(np.int64),
+                             "j": jj.astype(np.int64),
+                             "g": g[ii, jj],
+                             "_part": np.zeros(len(ii), np.int32)})
+
+    def inv_row(gdf: pd.DataFrame) -> pd.DataFrame:
+        tot: dict[tuple[int, int], int] = {}
+        for i, j, g in zip(gdf["i"], gdf["j"], gdf["g"]):
+            tot[(int(i), int(j))] = tot.get((int(i), int(j)), 0) + int(g)
+        A = [[tot.get((min(i, j), max(i, j)), 0) for j in range(3)]
+             for i in range(3)]
+        for i in range(3):
+            A[i][i] += LEV_LAMBDA
+        det = (A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+               - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+               + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0]))
+        adj = [[0] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                mi = [[A[r][c] for c in range(3) if c != j]
+                      for r in range(3) if r != i]
+                cof = mi[0][0] * mi[1][1] - mi[0][1] * mi[1][0]
+                adj[j][i] = (1 if (i + j) % 2 == 0 else -1) * cof
+        out = {"_one": np.array([1], np.int64)}
+        for i in range(3):
+            for j in range(3):
+                out[f"m{i}{j}"] = [np.float64(adj[i][j]) / np.float64(det)]
+        return pd.DataFrame(out)
+
+    M = bucket_exchange(
+        ds.map_batches(gram_part, batch_format="pandas"),
+        inv_row, small_partials=True).to_pandas()  # exactly one tiny row
+    m = {(i, j): np.float64(M[f"m{i}{j}"].iloc[0])
+         for i in range(3) for j in range(3)}
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        x = _feats(b)
+        acc = None
+        for i in range(3):
+            for j in range(3):
+                term = (x[:, i] * x[:, j]).astype(np.float64) * m[(i, j)]
+                acc = term if acc is None else acc + term
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_linenumber": b["l_linenumber"].to_numpy(np.int64).astype(np.int64),
+            "lev": acc})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return scored.sort(["lev", "l_orderkey", "l_linenumber"],
+                       descending=[True, False, False]).limit(k)

@@ -273,3 +273,34 @@ def test_calibration_bins_conservation_and_ranges():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_leverage_topk_matches_numpy_inverse():
+    import ray.data
+
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.stages.train import LEV_LAMBDA, leverage_topk
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                 "l_tax"])
+    out = leverage_topk(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+    x = np.stack([
+        round_half_away(df["l_quantity"].to_numpy(np.float64), 0),
+        round_half_away(df["l_discount"].to_numpy(np.float64) * 100.0, 0),
+        round_half_away(df["l_tax"].to_numpy(np.float64) * 100.0, 0)],
+        axis=1)
+    A = x.T @ x + LEV_LAMBDA * np.eye(3)
+    h = np.einsum("ij,jk,ik->i", x, np.linalg.inv(A), x)
+    ref = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                        "l_linenumber": df["l_linenumber"].astype(np.int64),
+                        "h": h}).sort_values(
+        ["h", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True]).head(50)
+    assert np.allclose(out["lev"].to_numpy(), ref["h"].to_numpy(),
+                       rtol=1e-9)
+    assert out["l_orderkey"].tolist() == ref["l_orderkey"].tolist()
+    # leverage sums to at most the feature dimension
+    assert 0 < h.sum() <= 3.0 + 1e-9
