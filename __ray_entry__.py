@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_encode_vectors": _q_sq8_encode,
         "event_transitions_users": _q_event_transitions,
         "leverage_topk_lineitem": _q_leverage,
+        "segment_slopes_orders": _q_segment_slopes,
     }
 
 
@@ -855,6 +856,27 @@ def oracle_sql() -> dict[str, str]:
         "media_scene_cuts": _scene_cuts_sql(),
         "sq8_encode_vectors": _sq8_sql(),
         "leverage_topk_lineitem": _leverage_sql(),
+        "segment_slopes_orders": (
+            "WITH j AS (SELECT c.c_mktsegment AS seg, "
+            "  CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day, "
+            "  CAST(FLOOR(ABS(o.o_totalprice*100.0) + 0.5)*SIGN(o.o_totalprice) "
+            "  AS BIGINT) AS cents "
+            "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey), "
+            "s AS (SELECT seg, COUNT(*) AS n, SUM(CAST(day AS HUGEINT)) AS sx, "
+            "  SUM(CAST(cents AS HUGEINT)) AS sy, "
+            "  SUM(CAST(day AS HUGEINT) * day) AS sxx, "
+            "  SUM(CAST(day AS HUGEINT) * cents) AS sxy FROM j GROUP BY seg), "
+            "e AS (SELECT seg, n, "
+            "  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, "
+            "  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den, "
+            "  CAST(sx AS DOUBLE) AS sxf, CAST(sy AS DOUBLE) AS syf FROM s) "
+            "SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n, "
+            "num / den AS slope_cents_per_day, "
+            "(syf - (num / den) * sxf) / CAST(n AS DOUBLE) AS intercept_cents "
+            "FROM e"
+        ),
         "event_transitions_users": (
             "WITH o AS (SELECT user_id, event_type, "
             "  CAST(epoch_us(ts) AS BIGINT) AS u, event_id FROM events), "

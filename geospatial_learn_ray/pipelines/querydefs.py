@@ -1681,6 +1681,14 @@ def _q_leverage(sf_dir: str):
                               "l_discount", "l_tax"]))
 
 
+def _q_segment_slopes(sf_dir: str):
+    from geospatial_learn_ray.stages.train import segment_slopes
+
+    return segment_slopes(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

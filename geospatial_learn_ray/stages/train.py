@@ -737,3 +737,64 @@ def leverage_topk(ds: ray.data.Dataset, k: int = 50,
     scored = ds.map_batches(score, batch_format="pandas")
     return scored.sort(["lev", "l_orderkey", "l_linenumber"],
                        descending=[True, False, False]).limit(k)
+
+
+def segment_slopes(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-market-segment OLS trend of order value over time — the
+    grouped closed-form regression (slope = (n·Sxy − Sx·Sy)/(n·Sxx −
+    Sx²) per group; the grouped sibling of
+    ``fit_linear_closed_form_1d``). x = order date in whole days, y =
+    total price in EXACT integer cents (the round-3 Gram rule: raw f64
+    sums of cents are order-dependent at scale); the small customer
+    side broadcasts through the existing hash-join stage; per-block
+    integer moment partials ride one segment-keyed exchange and the
+    slope/intercept floats are single mirrored expressions over exact
+    casts."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+    from .joins import broadcast_join
+
+    j = broadcast_join(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"]),
+        customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas(),
+        "o_custkey", "c_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"seg": b["c_mktsegment"].to_numpy(object),
+                          "n": np.ones(len(b), np.int64), "sx": day,
+                          "sy": cents, "sxx": day * day, "sxy": day * cents})
+        g = d.groupby("seg", as_index=False).sum()
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["seg"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, sub in g.drop(columns=["_part"]).groupby("seg"):
+            n = sum(int(x) for x in sub["n"])
+            sx = sum(int(x) for x in sub["sx"])
+            sy = sum(int(x) for x in sub["sy"])
+            sxx = sum(int(x) for x in sub["sxx"])
+            sxy = sum(int(x) for x in sub["sxy"])
+            nf = np.float64(n)
+            num = nf * np.float64(sxy) - np.float64(sx) * np.float64(sy)
+            den = nf * np.float64(sxx) - np.float64(sx) * np.float64(sx)
+            slope = num / den
+            intercept = (np.float64(sy) - slope * np.float64(sx)) / nf
+            rows.append((seg, np.int64(n), float(slope), float(intercept)))
+        return pd.DataFrame(rows, columns=["c_mktsegment", "n",
+                                           "slope_cents_per_day",
+                                           "intercept_cents"])
+
+    return bucket_exchange(j.map_batches(partial, batch_format="pandas"),
+                           finalize, small_partials=True)

@@ -304,3 +304,30 @@ def test_leverage_topk_matches_numpy_inverse():
     assert out["l_orderkey"].tolist() == ref["l_orderkey"].tolist()
     # leverage sums to at most the feature dimension
     assert 0 < h.sum() <= 3.0 + 1e-9
+
+
+def test_segment_slopes_recovers_planted_trend():
+    import ray.data
+
+    from geospatial_learn_ray.stages.train import segment_slopes
+
+    rng = np.random.RandomState(9)
+    days = rng.randint(8000, 9000, 2000)
+    seg = np.where(np.arange(2000) % 2 == 0, "UP", "DOWN")
+    cents = np.where(seg == "UP", 500 * days + 1000,
+                     -200 * days + 90_000_000) + rng.randint(-50, 50, 2000)
+    orders = pd.DataFrame({
+        "o_custkey": np.arange(2000) % 100,
+        "o_orderdate": (days * 86_400_000_000).astype("datetime64[us]"),
+        "o_totalprice": cents / 100.0})
+    cust = pd.DataFrame({"c_custkey": np.arange(100)})
+    cust["c_mktsegment"] = "x"
+    # segment comes from the ORDER in this planted setup: route via custkey
+    orders["o_custkey"] = np.where(seg == "UP", 0, 1)
+    cust = pd.DataFrame({"c_custkey": [0, 1], "c_mktsegment": ["UP", "DOWN"]})
+    out = segment_slopes(
+        ray.data.from_pandas(orders).repartition(6),
+        ray.data.from_pandas(cust)).to_pandas().set_index("c_mktsegment")
+    assert abs(out.loc["UP", "slope_cents_per_day"] - 500) < 1
+    assert abs(out.loc["DOWN", "slope_cents_per_day"] + 200) < 1
+    assert out["n"].sum() == 2000
