@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions_users": _q_event_transitions,
         "leverage_topk_lineitem": _q_leverage,
         "segment_slopes_orders": _q_segment_slopes,
+        "cusum_hourly_events": _q_cusum_hourly,
     }
 
 
@@ -856,6 +857,24 @@ def oracle_sql() -> dict[str, str]:
         "media_scene_cuts": _scene_cuts_sql(),
         "sq8_encode_vectors": _sq8_sql(),
         "leverage_topk_lineitem": _leverage_sql(),
+        "cusum_hourly_events": (
+            "WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
+            "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1, "
+            "  CAST(SUM(c) AS BIGINT) AS n, "
+            "  CAST(MAX(hour) - MIN(hour) + 1 AS BIGINT) AS t FROM h), "
+            "hs AS MATERIALIZED (SELECT unnest(generate_series(h0, h1)) AS hour "
+            "  FROM b), "
+            "f AS (SELECT hs.hour, COALESCE(h.c, 0) AS c FROM hs "
+            "  LEFT JOIN h ON h.hour = hs.hour), "
+            "p AS (SELECT f.hour, f.c, b.n, SUM(b.t * f.c - b.n) OVER "
+            "  (ORDER BY f.hour ROWS UNBOUNDED PRECEDING) AS pf FROM f, b), "
+            "s AS (SELECT hour, c, n, pf - MIN(pf) OVER (ORDER BY hour "
+            "  ROWS UNBOUNDED PRECEDING) AS cus FROM p) "
+            "SELECT hour, c, CAST(cus AS BIGINT) AS cusum, "
+            "CAST(CASE WHEN cus > n // 4 THEN 1 ELSE 0 END AS BIGINT) AS alarm "
+            "FROM s"
+        ),
         "segment_slopes_orders": (
             "WITH j AS (SELECT c.c_mktsegment AS seg, "
             "  CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day, "

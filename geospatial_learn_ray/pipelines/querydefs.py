@@ -1689,6 +1689,12 @@ def _q_segment_slopes(sf_dir: str):
         _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
+def _q_cusum_hourly(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import cusum_hourly
+
+    return cusum_hourly(_rp(sf_dir, "events", ["ts"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

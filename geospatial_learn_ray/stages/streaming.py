@@ -564,3 +564,57 @@ def event_transitions(ds: ray.data.Dataset,
         prep, batch_format="pyarrow")
     return bucket_exchange(bucket_exchange(parted, pairs), finalize,
                            small_partials=True)
+
+
+def cusum_hourly(ds: ray.data.Dataset, num_buckets: int = 32,
+                 hour_bound: int = 200_000) -> ray.data.Dataset:
+    """CUSUM change-point statistic over the global hourly event-rate
+    series (Page 1954), INTEGER-exact via the prefix closed form: the
+    recursion S_t = max(0, S_{t-1} + d_t) equals P_t − min_{s≤t} P_s for
+    prefix sums P of the deviations d_t = T·c_t − N (scaled by the hour
+    count so the mean is never a float). Alarm where S > N/4.
+
+    Scale shape: per-block (hour, count) partials, one hour-keyed
+    exchange to exact totals; only the per-HOUR table reaches the driver
+    (counted ≤ ``hour_bound`` — an hour span is a calendar, not a
+    corpus; the daily_users rule), where the scan is one numpy pass over
+    Python-int-safe values."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        hr = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000)
+        g = (pd.DataFrame({"hour": hr}).groupby("hour", as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["hour"].to_numpy().astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    hourly = bucket_exchange(
+        ds.select_columns(["ts"]).map_batches(partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "hour", as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(hourly) > hour_bound:
+        raise ValueError(f"hour span {len(hourly)} exceeds bound {hour_bound}")
+    h0, h1 = int(hourly["hour"].min()), int(hourly["hour"].max())
+    full = pd.DataFrame({"hour": np.arange(h0, h1 + 1, dtype=np.int64)})
+    full = full.merge(hourly, on="hour", how="left")
+    c = full["c"].fillna(0).to_numpy(np.int64)
+    t = len(c)
+    n = int(c.sum())
+    d = t * c - n
+    p = np.cumsum(d)
+    s = p - np.minimum.accumulate(p)
+    thr = n // 4
+    return ray.data.from_pandas(pd.DataFrame({
+        "hour": full["hour"].to_numpy(np.int64),
+        "c": c,
+        "cusum": s,
+        "alarm": (s > thr).astype(np.int64)}))

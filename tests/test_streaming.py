@@ -354,3 +354,26 @@ def test_event_transitions_row_stochastic_and_conservation():
             base = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
     out = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_cusum_hourly_matches_recursion_and_flags_planted_shift():
+    import ray.data
+
+    from geospatial_learn_ray.stages.streaming import cusum_hourly
+
+    # 100 quiet hours (2/hour) then 20 loud hours (40/hour)
+    hours = np.concatenate([np.repeat(np.arange(100), 2),
+                            np.repeat(np.arange(100, 120), 40)])
+    ts = (hours * 3_600_000_000 + 1).astype("datetime64[us]")
+    df = pd.DataFrame({"ts": ts})
+    out = cusum_hourly(ray.data.from_pandas(df).repartition(5)).to_pandas()
+    # closed form == the literal recursion S = max(0, S + d)
+    t, n = len(out), int(out["c"].sum())
+    s_ref, s = [], 0
+    for cv in out["c"]:
+        s = max(0, s + (t * int(cv) - n))
+        s_ref.append(s)
+    assert out["cusum"].tolist() == s_ref
+    # the regime shift alarms in the loud window, never in the quiet one
+    assert out.loc[out["hour"] >= 110, "alarm"].all()
+    assert not out.loc[out["hour"] < 100, "alarm"].any()
