@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leverage_topk_lineitem": _q_leverage,
         "segment_slopes_orders": _q_segment_slopes,
         "cusum_hourly_events": _q_cusum_hourly,
+        "d8_directions_tiles": _q_d8_directions,
     }
 
 
@@ -325,6 +326,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _scene_cuts_sql,
     _sq8_sql,
     _leverage_sql,
+    _d8_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -857,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "media_scene_cuts": _scene_cuts_sql(),
         "sq8_encode_vectors": _sq8_sql(),
         "leverage_topk_lineitem": _leverage_sql(),
+        "d8_directions_tiles": _d8_sql(),
         "cusum_hourly_events": (
             "WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "

@@ -3417,3 +3417,37 @@ def _leverage_sql(k: int = 50, lam: int = 1_000_000) -> str:
         f"QUALIFY row_number() OVER (ORDER BY {lev} DESC, l_orderkey, "
         f"l_linenumber) <= {k}"
     )
+
+
+def _d8_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+            ty_max: int = 15) -> str:
+    """SQL twin of raster.d8_directions_stage: candidate explode over the
+    8 fixed directions (VALUES), integer slope key, QUALIFY argmax with
+    the direction-order tiebreak, sinks via LEFT JOIN."""
+    from ..stages.raster import D8_DIRS
+
+    vals = ", ".join(f"({i}, {dx}, {dy}, {3 - (dx * dx + dy * dy)})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(di, dx, dy, w) AS (VALUES {vals}), "
+        "cand AS (SELECT c.tile_x, c.tile_y, c.px, c.py, d.di, "
+        "  c.q - n.q AS drop, (c.q - n.q) * (c.q - n.q) * d.w AS key "
+        "  FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  WHERE c.q - n.q > 0), "
+        "best AS (SELECT tile_x, tile_y, px, py, di, drop FROM cand "
+        "  QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, px, py "
+        "  ORDER BY key DESC, di) = 1) "
+        "SELECT CAST(c.tile_x AS BIGINT) AS tile_x, "
+        "CAST(c.tile_y AS BIGINT) AS tile_y, CAST(c.px AS BIGINT) AS px, "
+        "CAST(c.py AS BIGINT) AS py, "
+        "CAST(COALESCE(b.di, -1) AS BIGINT) AS dir, "
+        "CAST(COALESCE(b.drop, 0) AS BIGINT) AS best_drop "
+        "FROM rc c LEFT JOIN best b ON b.tile_x = c.tile_x "
+        "AND b.tile_y = c.tile_y AND b.px = c.px AND b.py = c.py"
+    )

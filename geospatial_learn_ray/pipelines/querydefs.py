@@ -1695,6 +1695,11 @@ def _q_cusum_hourly(sf_dir: str):
     return cusum_hourly(_rp(sf_dir, "events", ["ts"]))
 
 
+def _q_d8_directions(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.d8_directions_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

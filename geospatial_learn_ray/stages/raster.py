@@ -2659,3 +2659,55 @@ def contour_cells_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+D8_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1),
+           (1, -1))  # E, SE, S, SW, W, NW, N, NE — the ESRI D8 order
+
+
+def d8_directions_stage(ds: ray.data.Dataset, side: int,
+                        quant: float = 2.0) -> ray.data.Dataset:
+    """D8 steepest-descent flow direction per pixel (O'Callaghan & Mark
+    1984 — the gdaldem/hydrology companion of the slope/aspect family):
+    each pixel drains to the neighbor with the greatest drop/distance;
+    diagonal √2 distances never materialize — slopes compare by the
+    EXACT integer key drop²·(3−d²) (= 2·drop² cardinal, drop² diagonal),
+    ties break on the fixed direction order. Outside-tile neighbors are
+    not candidates (tile-local, like skeletonize); pixels with no
+    positive drop are sinks (dir −1). Map-only, integer-exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "dir",
+                                  "best_drop")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            best_key = np.full((side, side), -1, np.int64)
+            best_dir = np.full((side, side), -1, np.int64)
+            best_drop = np.zeros((side, side), np.int64)
+            for di, (dx, dy) in enumerate(D8_DIRS):
+                nq = np.full((side, side), np.iinfo(np.int64).max, np.int64)
+                ys0, ys1 = max(0, dy), side + min(0, dy)
+                xs0, xs1 = max(0, dx), side + min(0, dx)
+                nq[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = \
+                    q[ys0:ys1, xs0:xs1]
+                drop = q - nq
+                valid = nq != np.iinfo(np.int64).max
+                key = drop * drop * (3 - (dx * dx + dy * dy))
+                better = valid & (drop > 0) & (key > best_key)
+                best_key = np.where(better, key, best_key)
+                best_drop = np.where(better, drop, best_drop)
+                best_dir = np.where(better, di, best_dir)
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["dir"].append(best_dir.ravel())
+            rows["best_drop"].append(best_drop.ravel())
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -627,3 +627,33 @@ def test_contour_cells_crossing_predicate():
     assert got == want
     assert (out.loc[out["mcase"].isin([5, 10]), "n_segs"] == 2).all()
     assert (out.loc[~out["mcase"].isin([5, 10]), "n_segs"] == 1).all()
+
+
+def test_d8_directions_point_downhill_and_sinks_are_local_minima():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    out = raster.d8_directions_stage(small, side=16).to_pandas()
+    assert (out["dir"] >= -1).all() and (out["dir"] <= 7).all()
+    checked_flow = checked_sink = 0
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        for _, r in g.sample(n=min(len(g), 40), random_state=0).iterrows():
+            px, py, d = int(r["px"]), int(r["py"]), int(r["dir"])
+            if d >= 0:
+                dx, dy = raster.D8_DIRS[d]
+                # the receiving neighbor is strictly lower by best_drop
+                assert q[py, px] - q[py + dy, px + dx] == r["best_drop"] > 0
+                checked_flow += 1
+            else:
+                # sink: no in-tile neighbor is lower
+                for dx, dy in raster.D8_DIRS:
+                    nx, ny = px + dx, py + dy
+                    if 0 <= nx < 16 and 0 <= ny < 16:
+                        assert q[ny, nx] >= q[py, px]
+                checked_sink += 1
+        if checked_flow > 200 and checked_sink > 10:
+            break
+    assert checked_flow > 0 and checked_sink > 0
