@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_slopes_orders": _q_segment_slopes,
         "cusum_hourly_events": _q_cusum_hourly,
         "d8_directions_tiles": _q_d8_directions,
+        "neyman_allocation_orders": _q_neyman,
     }
 
 
@@ -860,6 +861,27 @@ def oracle_sql() -> dict[str, str]:
         "sq8_encode_vectors": _sq8_sql(),
         "leverage_topk_lineitem": _leverage_sql(),
         "d8_directions_tiles": _d8_sql(),
+        "neyman_allocation_orders": (
+            "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
+            "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+            "*SIGN(o_totalprice) AS BIGINT) AS HUGEINT)) AS s1, "
+            "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+            "*SIGN(o_totalprice) AS BIGINT) AS HUGEINT) "
+            "  * CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+            "*SIGN(o_totalprice) AS BIGINT)) AS s2 "
+            "  FROM orders GROUP BY o_orderpriority), "
+            "e AS (SELECT st, n, SQRT((CAST(s2 AS DOUBLE) "
+            "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "  / (CAST(n AS DOUBLE) - 1.0)) AS sig FROM c), "
+            "w AS (SELECT st, n, sig, CAST(n AS DOUBLE) * sig AS wt, "
+            "  SUM(CAST(n AS DOUBLE) * sig) OVER (ORDER BY st "
+            "  ROWS UNBOUNDED PRECEDING) AS cum FROM e), "
+            "t AS (SELECT MAX(cum) AS total FROM w) "
+            "SELECT st AS o_orderpriority, CAST(n AS BIGINT) AS n, "
+            "sig AS sigma_cents, "
+            "CAST(FLOOR(ABS(wt / t.total * CAST(1000 AS DOUBLE)) + 0.5)"
+            "*SIGN(wt) AS BIGINT) AS alloc FROM w, t"
+        ),
         "cusum_hourly_events": (
             "WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
             "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "

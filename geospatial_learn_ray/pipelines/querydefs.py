@@ -1700,6 +1700,13 @@ def _q_d8_directions(sf_dir: str):
     return raster.d8_directions_stage(small, side=16)
 
 
+def _q_neyman(sf_dir: str):
+    from geospatial_learn_ray.stages.sampling import neyman_allocation
+
+    return neyman_allocation(
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

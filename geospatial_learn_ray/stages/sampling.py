@@ -10,6 +10,7 @@ worker, any retry, any partitioning (SURVEY.md §2.6).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -116,3 +117,59 @@ def corpus_shuffle_order(docs: ray.data.Dataset,
                              "shuffle_rank": b["prefix"].to_numpy(np.int64) + 1})
 
     return pref.map_batches(finish, batch_format="pandas")
+
+
+def neyman_allocation(orders: ray.data.Dataset, total_sample: int = 1000,
+                      num_buckets: int = 8) -> ray.data.Dataset:
+    """Neyman optimal stratified-sample allocation (Neyman 1934): the
+    budget splits across strata proportionally to N_h·σ_h — the
+    variance-minimizing design for a stratified mean estimate (here:
+    order priority strata over the exact-cents total price).
+
+    Exactness: moments are integer cents (order-exact sums through one
+    tiny exchange); σ_h = SQRT of an exact-cast expression (IEEE-correct
+    both engines); the normalizing Σ N_h·σ_h is an ORDERED cumulative
+    (window sum in stratum order = the same left-associative chain as
+    the engine's sorted loop — a bare SQL SUM() has unspecified order)."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"st": b["o_orderpriority"].to_numpy(object),
+                          "n": np.ones(len(b), np.int64),
+                          "s1": cents, "s2": cents * cents})
+        g = d.groupby("st", as_index=False).sum()
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby("st", as_index=False).sum()
+        c = c.sort_values("st", kind="mergesort").reset_index(drop=True)
+        n = c["n"].to_numpy(np.int64)
+        s1 = np.array([int(x) for x in c["s1"]], object)
+        s2 = np.array([int(x) for x in c["s2"]], object)
+        nf = n.astype(np.float64)
+        s1f = np.array([np.float64(x) for x in s1])
+        s2f = np.array([np.float64(x) for x in s2])
+        sig = np.sqrt((s2f - s1f * s1f / nf) / (nf - 1.0))
+        w = nf * sig
+        # ordered left-associative running total (mirrors the SQL window)
+        cum = np.empty(len(w))
+        acc = np.float64(0.0)
+        for i, x in enumerate(w):
+            acc = acc + x
+            cum[i] = acc
+        total = cum[-1]
+        alloc = round_half_away(w / total * np.float64(total_sample), 0)
+        return pd.DataFrame({
+            "o_orderpriority": c["st"].to_numpy(object),
+            "n": n,
+            "sigma_cents": sig,
+            "alloc": alloc.astype(np.int64)})
+
+    return bucket_exchange(
+        orders.select_columns(["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        finalize, small_partials=True)

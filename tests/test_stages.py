@@ -456,3 +456,28 @@ def test_scene_cut_detector_known_payload():
                   "media": pa.array([hdr + payload, hdr + short], pa.binary())})
     out = SceneCutDetector(threshold=100)(t).to_pandas()
     assert out.values.tolist() == [[1, 1, 32 * 25]]
+
+
+def test_neyman_allocation_favors_high_variance_strata():
+    import ray.data
+
+    from geospatial_learn_ray.stages.sampling import neyman_allocation
+
+    rng = np.random.RandomState(6)
+    # equal sizes, very different spreads -> allocation follows sigma
+    lo = rng.normal(500, 1.0, 2000).round(2)
+    hi = rng.normal(500, 50.0, 2000).round(2)
+    df = pd.DataFrame({
+        "o_orderpriority": ["1-LOW"] * 2000 + ["2-HIGH"] * 2000,
+        "o_totalprice": np.concatenate([lo, hi])})
+    for blocks in (1, 5):
+        out = neyman_allocation(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas() \
+            .set_index("o_orderpriority")
+        assert out.loc["2-HIGH", "alloc"] > 20 * out.loc["1-LOW", "alloc"]
+        assert abs(out["alloc"].sum() - 1000) <= 1  # rounding slack
+        sd = df.groupby("o_orderpriority")["o_totalprice"].std(ddof=1) * 100
+        assert np.allclose(out["sigma_cents"], sd[out.index], rtol=1e-6)
+        if blocks == 1:
+            base = out
+    pd.testing.assert_frame_equal(base, out)
