@@ -870,7 +870,11 @@ def oracle_sql() -> dict[str, str]:
             "  * CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
             "*SIGN(o_totalprice) AS BIGINT)) AS s2 "
             "  FROM orders GROUP BY o_orderpriority), "
-            "e AS (SELECT st, n, SQRT((CAST(s2 AS DOUBLE) "
+            # two-limb HUGEINT->DOUBLE: DuckDB's native cast composes the
+            # 64-bit limbs with two roundings (1 ulp low vs numpy above 2^53);
+            # hi*2^26 is an exact power-of-two scale, + lo rounds once.
+            "e AS (SELECT st, n, SQRT(((CAST(s2 >> 26 AS DOUBLE) "
+            "  * CAST(67108864 AS DOUBLE) + CAST(s2 & 67108863 AS DOUBLE)) "
             "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
             "  / (CAST(n AS DOUBLE) - 1.0)) AS sig FROM c), "
             "w AS (SELECT st, n, sig, CAST(n AS DOUBLE) * sig AS wt, "

@@ -2351,7 +2351,12 @@ def _hll_grouped_sql(group_col: str = "event_type", table: str = "events",
         f"  4096 - COUNT(*) AS zeros FROM regs GROUP BY {group_col}), "
         f"e AS (SELECT {group_col}, "
         "  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 4096) "
-        "  * 4096 * 4096 / (CAST(ssc AS DOUBLE) / CAST(9007199254740992 AS DOUBLE)) AS est, "
+        # ssc can reach 4096*2^53 = 2^65; DuckDB's HUGEINT->DOUBLE cast is
+        # only correctly rounded below 2^64 (above, it composes the two
+        # 64-bit limbs with two roundings). Two-limb chain: hi*2^26 is an
+        # exact power-of-two scale, + lo rounds once = numpy bit-for-bit.
+        "  * 4096 * 4096 / ((CAST(ssc >> 26 AS DOUBLE) * CAST(67108864 AS DOUBLE) "
+        "  + CAST(ssc & 67108863 AS DOUBLE)) / CAST(9007199254740992 AS DOUBLE)) AS est, "
         "  zeros FROM s) "
         f"SELECT {group_col}, ROUND(CASE WHEN est <= CAST(2.5 AS DOUBLE) * 4096 "
         "  AND zeros > 0 THEN 4096 * LN(CAST(4096 AS DOUBLE) / zeros) "

@@ -137,9 +137,13 @@ def neyman_allocation(orders: ray.data.Dataset, total_sample: int = 1000,
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         cents = round_half_away(
             b["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        sq = cents * cents
+        # two-limb second moment: a block's raw sum of cents-squared wraps
+        # int64 above ~10^4 rows of 10^7-cent orders (caught at sf0.1)
         d = pd.DataFrame({"st": b["o_orderpriority"].to_numpy(object),
                           "n": np.ones(len(b), np.int64),
-                          "s1": cents, "s2": cents * cents})
+                          "s1": cents,
+                          "s2_hi": sq >> 26, "s2_lo": sq & ((1 << 26) - 1)})
         g = d.groupby("st", as_index=False).sum()
         g["_part"] = np.zeros(len(g), np.int32)
         return g
@@ -149,7 +153,8 @@ def neyman_allocation(orders: ray.data.Dataset, total_sample: int = 1000,
         c = c.sort_values("st", kind="mergesort").reset_index(drop=True)
         n = c["n"].to_numpy(np.int64)
         s1 = np.array([int(x) for x in c["s1"]], object)
-        s2 = np.array([int(x) for x in c["s2"]], object)
+        s2 = np.array([(int(h) << 26) + int(lo)
+                       for h, lo in zip(c["s2_hi"], c["s2_lo"])], object)
         nf = n.astype(np.float64)
         s1f = np.array([np.float64(x) for x in s1])
         s2f = np.array([np.float64(x) for x in s2])
