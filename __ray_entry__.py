@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_hourly_events": _q_cusum_hourly,
         "d8_directions_tiles": _q_d8_directions,
         "neyman_allocation_orders": _q_neyman,
+        "flow_accum_tiles": _q_flow_accum,
+        "interval_coverage_users": _q_interval_coverage,
     }
 
 
@@ -328,6 +330,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _sq8_sql,
     _leverage_sql,
     _d8_sql,
+    _flow_accum_sql,
+    _interval_coverage_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -861,6 +865,8 @@ def oracle_sql() -> dict[str, str]:
         "sq8_encode_vectors": _sq8_sql(),
         "leverage_topk_lineitem": _leverage_sql(),
         "d8_directions_tiles": _d8_sql(),
+        "flow_accum_tiles": _flow_accum_sql(),
+        "interval_coverage_users": _interval_coverage_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

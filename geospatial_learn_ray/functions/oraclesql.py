@@ -3456,3 +3456,75 @@ def _d8_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
         "FROM rc c LEFT JOIN best b ON b.tile_x = c.tile_x "
         "AND b.tile_y = c.tile_y AND b.px = c.px AND b.py = c.py"
     )
+
+
+def _flow_accum_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+                    ty_max: int = 15) -> str:
+    """SQL twin of raster.flow_accum_stage: the d8 argmax picks each
+    pixel's downstream edge, then a recursive reachability closure walks
+    every pixel's drainage path (strictly decreasing quantized elevation →
+    guaranteed termination) and COUNT(*) per reached cell is the
+    accumulation (each pixel seeds its own path, so acc includes self)."""
+    from ..stages.raster import D8_DIRS
+
+    vals = ", ".join(f"({i}, {dx}, {dy}, {3 - (dx * dx + dy * dy)})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return (
+        f"WITH RECURSIVE {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(di, dx, dy, w) AS (VALUES {vals}), "
+        "cand AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  c.px + d.dx AS nx, c.py + d.dy AS ny, "
+        "  (c.q - n.q) * (c.q - n.q) * d.w AS key, d.di "
+        "  FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  WHERE c.q - n.q > 0), "
+        "edge AS MATERIALIZED (SELECT tile_x, tile_y, px, py, nx, ny "
+        "  FROM cand "
+        "  QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, px, py "
+        "  ORDER BY key DESC, di) = 1), "
+        "reach AS (SELECT tile_x, tile_y, px AS cx, py AS cy FROM rc "
+        "  UNION ALL "
+        "  SELECT r.tile_x, r.tile_y, e.nx, e.ny FROM reach r "
+        "  JOIN edge e ON e.tile_x = r.tile_x AND e.tile_y = r.tile_y "
+        "    AND e.px = r.cx AND e.py = r.cy) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(cx AS BIGINT) AS px, "
+        "CAST(cy AS BIGINT) AS py, CAST(COUNT(*) AS BIGINT) AS acc "
+        "FROM reach GROUP BY tile_x, tile_y, cx, cy"
+    )
+
+
+def _interval_coverage_sql(base_s: int = 60) -> str:
+    """SQL twin of streaming.interval_coverage: gaps-and-islands with
+    window functions — new island iff start exceeds the running max end
+    of all prior rows of the key (ROWS UNBOUNDED PRECEDING .. 1
+    PRECEDING), island id by running SUM, then two GROUP BYs. All int64
+    microseconds; the dur expression mirrors the engine's
+    ⌊|value|·10 + 0.5⌋ float chain exactly."""
+    return (
+        "WITH i AS (SELECT user_id, "
+        "  CAST(epoch_us(ts) AS BIGINT) AS s, "
+        "  CAST(epoch_us(ts) AS BIGINT) + "
+        "  (CAST(FLOOR(ABS(value) * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        f"   AS BIGINT) + {base_s}) * 1000000 AS e "
+        "  FROM events), "
+        "m AS (SELECT user_id, s, e, "
+        "  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id "
+        "    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "    -9223372036854775807) THEN 1 ELSE 0 END AS new_island "
+        "  FROM i), "
+        "g AS (SELECT user_id, s, e, SUM(new_island) OVER (PARTITION BY user_id "
+        "  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "  AS iid FROM m), "
+        "isl AS (SELECT user_id, iid, MIN(s) AS s0, MAX(e) AS e1, "
+        "  COUNT(*) AS n FROM g GROUP BY user_id, iid) "
+        "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+        "CAST(COUNT(*) AS BIGINT) AS n_islands, "
+        "CAST(SUM(e1 - s0) AS BIGINT) AS covered_us, "
+        "CAST(MAX(e1 - s0) AS BIGINT) AS max_island_us "
+        "FROM isl GROUP BY user_id"
+    )

@@ -1700,11 +1700,22 @@ def _q_d8_directions(sf_dir: str):
     return raster.d8_directions_stage(small, side=16)
 
 
+def _q_flow_accum(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.flow_accum_stage(small, side=16)
+
+
 def _q_neyman(sf_dir: str):
     from geospatial_learn_ray.stages.sampling import neyman_allocation
 
     return neyman_allocation(
         _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
+
+
+def _q_interval_coverage(sf_dir: str):
+    from geospatial_learn_ray.stages.streaming import interval_coverage
+
+    return interval_coverage(_rp(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
 # everything the contract file's queries()/oracle_sql() reach for

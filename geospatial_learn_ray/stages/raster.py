@@ -2665,6 +2665,28 @@ D8_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1),
            (1, -1))  # E, SE, S, SW, W, NW, N, NE — the ESRI D8 order
 
 
+def _d8_grid(q: np.ndarray, side: int) -> tuple[np.ndarray, np.ndarray]:
+    """(side, side) integer elevations → (best_dir, best_drop) grids by the
+    exact integer slope key drop²·(3−d²); ties break on D8_DIRS order,
+    sinks are −1 (shared kernel of d8_directions_stage / flow_accum_stage)."""
+    best_key = np.full((side, side), -1, np.int64)
+    best_dir = np.full((side, side), -1, np.int64)
+    best_drop = np.zeros((side, side), np.int64)
+    for di, (dx, dy) in enumerate(D8_DIRS):
+        nq = np.full((side, side), np.iinfo(np.int64).max, np.int64)
+        ys0, ys1 = max(0, dy), side + min(0, dy)
+        xs0, xs1 = max(0, dx), side + min(0, dx)
+        nq[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = q[ys0:ys1, xs0:xs1]
+        drop = q - nq
+        valid = nq != np.iinfo(np.int64).max
+        key = drop * drop * (3 - (dx * dx + dy * dy))
+        better = valid & (drop > 0) & (key > best_key)
+        best_key = np.where(better, key, best_key)
+        best_drop = np.where(better, drop, best_drop)
+        best_dir = np.where(better, di, best_dir)
+    return best_dir, best_drop
+
+
 def d8_directions_stage(ds: ray.data.Dataset, side: int,
                         quant: float = 2.0) -> ray.data.Dataset:
     """D8 steepest-descent flow direction per pixel (O'Callaghan & Mark
@@ -2686,22 +2708,7 @@ def d8_directions_stage(ds: ray.data.Dataset, side: int,
                                   "best_drop")}
         for i in range(pxm.shape[0]):
             q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
-            best_key = np.full((side, side), -1, np.int64)
-            best_dir = np.full((side, side), -1, np.int64)
-            best_drop = np.zeros((side, side), np.int64)
-            for di, (dx, dy) in enumerate(D8_DIRS):
-                nq = np.full((side, side), np.iinfo(np.int64).max, np.int64)
-                ys0, ys1 = max(0, dy), side + min(0, dy)
-                xs0, xs1 = max(0, dx), side + min(0, dx)
-                nq[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = \
-                    q[ys0:ys1, xs0:xs1]
-                drop = q - nq
-                valid = nq != np.iinfo(np.int64).max
-                key = drop * drop * (3 - (dx * dx + dy * dy))
-                better = valid & (drop > 0) & (key > best_key)
-                best_key = np.where(better, key, best_key)
-                best_drop = np.where(better, drop, best_drop)
-                best_dir = np.where(better, di, best_dir)
+            best_dir, best_drop = _d8_grid(q, side)
             rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
             rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
             rows["px"].append(X.ravel().astype(np.int64))
@@ -2709,5 +2716,53 @@ def d8_directions_stage(ds: ray.data.Dataset, side: int,
             rows["dir"].append(best_dir.ravel())
             rows["best_drop"].append(best_drop.ravel())
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def flow_accum_stage(ds: ray.data.Dataset, side: int,
+                     quant: float = 2.0) -> ray.data.Dataset:
+    """D8 flow accumulation (O'Callaghan & Mark 1984; the hydrology stage
+    downstream of d8_directions_stage): each pixel's accumulation is the
+    number of pixels — including itself — whose steepest-descent drainage
+    path passes through it. Flow only follows strictly positive drops, so
+    the quantized elevation strictly decreases along every path: the D8
+    pointer graph is a forest of in-trees rooted at sinks and one
+    descending-elevation pass accumulates exactly (child counts land on
+    the parent before the parent is visited). Map-only per tile,
+    integer-exact; the SQL twin is a recursive reachability closure
+    (every pixel contributes 1 to each node on its path)."""
+    dxs = np.array([dx for dx, dy in D8_DIRS], np.int64)
+    dys = np.array([dy for dx, dy in D8_DIRS], np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        Xf, Yf = X.ravel().astype(np.int64), Y.ravel().astype(np.int64)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "acc")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            best_dir, _ = _d8_grid(q, side)
+            fd = best_dir.ravel()
+            has = fd >= 0
+            sd = np.where(has, fd, 0)
+            dst = np.where(has, (Yf + dys[sd]) * side + (Xf + dxs[sd]), -1)
+            acc = np.ones(side * side, np.int64)
+            # strictly descending elevation order; equal-q pixels never
+            # flow into each other, so their relative order is irrelevant
+            for idx in np.argsort(-q.ravel(), kind="stable"):
+                j = dst[idx]
+                if j >= 0:
+                    acc[j] += acc[idx]
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(Xf)
+            rows["py"].append(Yf)
+            rows["acc"].append(acc)
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")

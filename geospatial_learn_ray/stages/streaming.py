@@ -618,3 +618,64 @@ def cusum_hourly(ds: ray.data.Dataset, num_buckets: int = 32,
         "c": c,
         "cusum": s,
         "alarm": (s > thr).astype(np.int64)}))
+
+
+def interval_coverage(ds: ray.data.Dataset, key: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      base_s: int = 60,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key merged-interval coverage (gaps-and-islands): each event
+    opens the interval [ts, ts + dur) with dur = (⌊|value|·10 + 0.5⌋ +
+    base_s) seconds; overlapping/touching intervals per key merge into
+    islands and the output is (key, n_events, n_islands, covered_us,
+    max_island_us) — the session-coverage / uptime semantic behind SLA
+    accounting. Streaming extension (SURVEY.md §2.9).
+
+    Scale shape: one bucketed exchange on hash(key) of narrow
+    (key, start, end) int64-µs rows; the combiner is a single vectorized
+    sort + per-key running-max pass per bucket (no Python per-group
+    loop). All arithmetic is exact int64 microseconds, so sums are
+    order-exact at any scale. Island detection is tie-safe: rows sort by
+    (key, start, end) and a row starts a new island iff start > running
+    max end of all prior rows of the key — equal starts can never open
+    an island regardless of tie order (prev end ≥ prev start = start)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ks = g[key].to_numpy(np.int64)
+        s = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        dur = (np.floor(np.abs(g[val_col].to_numpy(np.float64)) * 10.0
+                        + 0.5).astype(np.int64) + np.int64(base_s))
+        e = s + dur * np.int64(1_000_000)
+        f = pd.DataFrame({key: ks, "s": s, "e": e}).sort_values(
+            [key, "s", "e"], kind="mergesort")
+        ks = f[key].to_numpy(np.int64)
+        s = f["s"].to_numpy(np.int64)
+        e = f["e"].to_numpy(np.int64)
+        new_key = np.zeros(len(f), bool)
+        if len(f):
+            new_key[0] = True
+            new_key[1:] = ks[1:] != ks[:-1]
+        # segmented running max of e within key (vectorized C path)
+        run = pd.Series(e).groupby(ks, sort=False).cummax().to_numpy(np.int64)
+        prev_run = np.empty(len(f), np.int64)
+        if len(f):
+            prev_run[0] = np.iinfo(np.int64).min
+            prev_run[1:] = run[:-1]
+        new_island = new_key | (s > prev_run)
+        island_id = np.cumsum(new_island)
+        isl = pd.DataFrame({key: ks, "iid": island_id, "s": s, "e": e})
+        islands = isl.groupby("iid", sort=False).agg(
+            k=(key, "first"), s0=("s", "min"), e1=("e", "max"),
+            n=("s", "size"))
+        islands["len_us"] = islands["e1"] - islands["s0"]
+        out = islands.groupby("k", sort=False).agg(
+            n_events=("n", "sum"), n_islands=("n", "size"),
+            covered_us=("len_us", "sum"), max_island_us=("len_us", "max"))
+        out = out.reset_index().rename(columns={"k": key})
+        for c in ("n_events", "n_islands", "covered_us", "max_island_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    narrow = ds.select_columns([key, ts_col, val_col])
+    return bucket_exchange(_bucket_by_key(narrow, key, num_buckets),
+                           per_bucket, key="_bkt")

@@ -657,3 +657,35 @@ def test_d8_directions_point_downhill_and_sinks_are_local_minima():
         if checked_flow > 200 and checked_sink > 10:
             break
     assert checked_flow > 0 and checked_sink > 0
+
+
+def test_flow_accum_conserves_mass_and_matches_reference_walk():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    out = raster.flow_accum_stage(small, side=16).to_pandas()
+    # every pixel counts at least itself and at most the whole tile
+    assert (out["acc"] >= 1).all() and (out["acc"] <= 256).all()
+    checked = 0
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        bd, _ = raster._d8_grid(q, 16)
+        # reference: walk every pixel's pointer chain, count visits
+        ref = np.zeros((16, 16), np.int64)
+        for sy in range(16):
+            for sx in range(16):
+                x, y = sx, sy
+                ref[y, x] += 1
+                while bd[y, x] >= 0:
+                    dx, dy = raster.D8_DIRS[bd[y, x]]
+                    x, y = x + dx, y + dy
+                    ref[y, x] += 1
+        acc = np.zeros((16, 16), np.int64)
+        acc[g["py"].to_numpy(), g["px"].to_numpy()] = g["acc"].to_numpy()
+        assert (acc == ref).all()
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked == 3

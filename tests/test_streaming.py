@@ -377,3 +377,36 @@ def test_cusum_hourly_matches_recursion_and_flags_planted_shift():
     # the regime shift alarms in the loud window, never in the quiet one
     assert out.loc[out["hour"] >= 110, "alarm"].all()
     assert not out.loc[out["hour"] < 100, "alarm"].any()
+
+
+def test_interval_coverage_hand_case_and_block_invariant():
+    from geospatial_learn_ray.stages.streaming import interval_coverage
+
+    t0 = pd.Timestamp("2024-01-01")
+    # user 1: [0,70s) via value=1.0 (dur=10+60), [60s,135s) via value=1.5
+    #   at +60s (dur 15+60=75) → one island [0,135s); then [400s,461s)
+    #   via value=0.1 (dur 1+60=61) → second island
+    # user 2: a single event, value=0 → dur 60 s, one island
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": [t0, t0 + pd.Timedelta(seconds=60),
+               t0 + pd.Timedelta(seconds=400), t0],
+        "value": [1.0, 1.5, 0.1, 0.0],
+    })
+    out = interval_coverage(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [3, 1]
+    assert out["n_islands"].tolist() == [2, 1]
+    assert out["covered_us"].tolist() == [(135 + 61) * 1_000_000, 60_000_000]
+    assert out["max_island_us"].tolist() == [135_000_000, 60_000_000]
+
+    # block-structure invariance on the real fixture
+    ev = pq.read_table(SF_SMALL + "/events.parquet").select(
+        ["user_id", "ts", "value"])
+    a = interval_coverage(ray.data.from_arrow(ev)).to_pandas()
+    b = interval_coverage(
+        ray.data.from_arrow(ev).repartition(13)).to_pandas()
+    a = a.sort_values("user_id").reset_index(drop=True)
+    b = b.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
