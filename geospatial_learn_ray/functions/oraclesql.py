@@ -3528,3 +3528,45 @@ def _interval_coverage_sql(base_s: int = 60) -> str:
         "CAST(MAX(e1 - s0) AS BIGINT) AS max_island_us "
         "FROM isl GROUP BY user_id"
     )
+
+
+def _kcore_sql(rounds: int = 16, out_links: int = 4,
+               host_mod: int = 1000) -> str:
+    """SQL twin of graph.kcore_hosts: the identical fixed-round H-index
+    recurrence unrolled — per round, neighbors' values rank desc per
+    node (row_number) and the new value is MAX(LEAST(rn, hq)); tie
+    order among equal hq is irrelevant because LEAST depends only on
+    the (position, value) multiset. Pure integers throughout."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ht")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua)",
+        "h0 AS MATERIALIZED (SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS q "
+        "FROM adj GROUP BY v)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"nb{t} AS (SELECT adj.v AS node, h.q AS hq, "
+            "row_number() OVER (PARTITION BY adj.v ORDER BY h.q DESC) AS rn "
+            f"FROM adj JOIN h{t - 1} h ON h.node = adj.u)")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT node, MAX(LEAST(rn, hq)) AS q "
+            f"FROM nb{t} GROUP BY node)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT CAST(h0.node AS BIGINT) AS host, "
+        "CAST(h0.q AS BIGINT) AS degree, "
+        f"CAST(h{rounds}.q AS BIGINT) AS core "
+        f"FROM h0 JOIN h{rounds} ON h{rounds}.node = h0.node"
+    )

@@ -1718,6 +1718,12 @@ def _q_interval_coverage(sf_dir: str):
     return interval_coverage(_rp(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
+def _q_kcore_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages import graph as _graph
+
+    return _graph.kcore_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -227,3 +227,54 @@ def test_label_prop_local_and_distributed_paths_agree():
     dist = _graph.label_prop_hosts(pages, rounds=2, local_bound=0) \
         .to_pandas().sort_values("host").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_kcore_converges_to_true_peel_and_dual_path_parity():
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    out = _graph.kcore_hosts(pages).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+
+    # reference: classic min-degree peeling on the same simple graph
+    e = _graph.host_edges(pages).to_pandas()
+    s, d = e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)
+    keep = s != d
+    pairs = set(zip(np.minimum(s[keep], d[keep]).tolist(),
+                    np.maximum(s[keep], d[keep]).tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    # monotone min-degree peel: the running max of the removal degree
+    # is the core number of each removed node
+    live = dict(deg)
+    core = {}
+    kmax = 0
+    while live:
+        v = min(live, key=lambda x: (live[x], x))
+        kmax = max(kmax, live[v])
+        core[v] = kmax
+        live.pop(v)
+        for u in adj[v]:
+            if u in live:
+                live[u] -= 1
+    ref = pd.DataFrame(sorted(core.items()), columns=["host", "core"])
+    got = out[["host", "core"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.astype({"host": np.int64,
+                                                   "core": np.int64}))
+    dref = pd.Series({v: len(ns) for v, ns in adj.items()}).sort_index()
+    assert (out.set_index("host")["degree"].sort_index()
+            .to_numpy() == dref.to_numpy()).all()
+
+    # dual-path bit parity on a smaller slice
+    small = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    fast = _graph.kcore_hosts(small, rounds=3).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    slow = _graph.kcore_hosts(small, rounds=3, local_bound=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
