@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accum_tiles": _q_flow_accum,
         "interval_coverage_users": _q_interval_coverage,
         "kcore_hosts": _q_kcore_hosts,
+        "haar_tiles": _q_haar_tiles,
     }
 
 
@@ -334,6 +335,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _flow_accum_sql,
     _interval_coverage_sql,
     _kcore_sql,
+    _haar_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -870,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_accum_tiles": _flow_accum_sql(),
         "interval_coverage_users": _interval_coverage_sql(),
         "kcore_hosts": _kcore_sql(),
+        "haar_tiles": _haar_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

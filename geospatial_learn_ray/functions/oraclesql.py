@@ -3570,3 +3570,38 @@ def _kcore_sql(rounds: int = 16, out_links: int = 4,
         f"CAST(h{rounds}.q AS BIGINT) AS core "
         f"FROM h0 JOIN h{rounds} ON h{rounds}.node = h0.node"
     )
+
+
+def _haar_sql(side: int = 16, levels: int = 2, quant: float = 2.0,
+              tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.haar_tiles_stage: level 1 is one signed GROUP
+    BY over 2×2 pixel blocks, each further level the same pass over the
+    previous level's ll — integer-exact, sums of ≤4 int64 terms."""
+    ctes = [
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        "l1 AS MATERIALIZED (SELECT tile_x, tile_y, px // 2 AS bx, "
+        "py // 2 AS by, SUM(q) AS ll, "
+        "SUM(CASE WHEN px % 2 = 0 THEN q ELSE -q END) AS lh, "
+        "SUM(CASE WHEN py % 2 = 0 THEN q ELSE -q END) AS hl, "
+        "SUM(CASE WHEN (px + py) % 2 = 0 THEN q ELSE -q END) AS hh "
+        "FROM rc GROUP BY tile_x, tile_y, px // 2, py // 2)",
+    ]
+    for lev in range(2, levels + 1):
+        p = lev - 1
+        ctes.append(
+            f"l{lev} AS MATERIALIZED (SELECT tile_x, tile_y, "
+            "bx // 2 AS bx, by // 2 AS by, SUM(ll) AS ll, "
+            "SUM(CASE WHEN bx % 2 = 0 THEN ll ELSE -ll END) AS lh, "
+            "SUM(CASE WHEN by % 2 = 0 THEN ll ELSE -ll END) AS hl, "
+            "SUM(CASE WHEN (bx + by) % 2 = 0 THEN ll ELSE -ll END) AS hh "
+            f"FROM l{p} GROUP BY tile_x, tile_y, bx // 2, by // 2)")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        f"CAST(tile_y AS BIGINT) AS tile_y, CAST({lev} AS BIGINT) AS level, "
+        "CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, "
+        "CAST(ll AS BIGINT) AS ll, CAST(lh AS BIGINT) AS lh, "
+        "CAST(hl AS BIGINT) AS hl, CAST(hh AS BIGINT) AS hh "
+        f"FROM l{lev}" for lev in range(1, levels + 1))
+    return f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " " + sel

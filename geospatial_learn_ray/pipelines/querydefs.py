@@ -1724,6 +1724,11 @@ def _q_kcore_hosts(sf_dir: str):
     return _graph.kcore_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_haar_tiles(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.haar_tiles_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -2766,3 +2766,53 @@ def flow_accum_stage(ds: ray.data.Dataset, side: int,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def haar_tiles_stage(ds: ray.data.Dataset, side: int, levels: int = 2,
+                     quant: float = 2.0) -> ray.data.Dataset:
+    """Unnormalized integer 2-D Haar decomposition per tile (the pyramid
+    / texture-energy transform of the wavelet-compression family): on
+    the quantized grid q = ⌊v·quant⌋, each level maps every 2×2 block
+    (a b / c d) to ll = a+b+c+d, lh = (a+c)−(b+d), hl = (a+b)−(c+d),
+    hh = a−b−c+d and recurses on ll — the lifting S-transform without
+    the normalizing shifts, so every coefficient is an exact int64 and
+    the SQL twin is two signed GROUP BY passes. → one row per
+    (tile, level, block): (tile_x, tile_y, level, bx, by, ll, lh, hl,
+    hh). Map-only; no shuffle at any scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "level", "bx", "by",
+                                  "ll", "lh", "hl", "hh")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            ll = q
+            for lev in range(1, levels + 1):
+                a = ll[0::2, 0::2]
+                b = ll[0::2, 1::2]
+                c = ll[1::2, 0::2]
+                d = ll[1::2, 1::2]
+                nll = a + b + c + d
+                lh = (a + c) - (b + d)
+                hl = (a + b) - (c + d)
+                hh = a - b - c + d
+                h = nll.shape[0]
+                By, Bx = np.mgrid[0:h, 0:h]
+                n = h * h
+                rows["tile_x"].append(np.full(n, txs[i], np.int64))
+                rows["tile_y"].append(np.full(n, tys[i], np.int64))
+                rows["level"].append(np.full(n, lev, np.int64))
+                rows["bx"].append(Bx.ravel().astype(np.int64))
+                rows["by"].append(By.ravel().astype(np.int64))
+                rows["ll"].append(nll.ravel())
+                rows["lh"].append(lh.ravel())
+                rows["hl"].append(hl.ravel())
+                rows["hh"].append(hh.ravel())
+                ll = nll
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -689,3 +689,42 @@ def test_flow_accum_conserves_mass_and_matches_reference_walk():
         if checked >= 3:
             break
     assert checked == 3
+
+
+def test_haar_tiles_exactly_invertible_per_level():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    out = raster.haar_tiles_stage(small, side=16).to_pandas()
+    assert set(out["level"]) == {1, 2}
+    checked = 0
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        prev = q
+        for lev, side_l in ((1, 8), (2, 4)):
+            gl = g[g["level"] == lev]
+            grid = {c: np.zeros((side_l, side_l), np.int64)
+                    for c in ("ll", "lh", "hl", "hh")}
+            for c in grid:
+                grid[c][gl["by"].to_numpy(), gl["bx"].to_numpy()] = \
+                    gl[c].to_numpy()
+            ll, lh, hl, hh = (grid[c] for c in ("ll", "lh", "hl", "hh"))
+            # exact inverse of the unnormalized transform
+            a = ll + lh + hl + hh
+            b = ll - lh + hl - hh
+            c2 = ll + lh - hl - hh
+            d = ll - lh - hl + hh
+            assert (a % 4 == 0).all()
+            rec = np.zeros_like(prev)
+            rec[0::2, 0::2] = a // 4
+            rec[0::2, 1::2] = b // 4
+            rec[1::2, 0::2] = c2 // 4
+            rec[1::2, 1::2] = d // 4
+            assert (rec == prev).all()
+            prev = ll
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked == 3
