@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage_users": _q_interval_coverage,
         "kcore_hosts": _q_kcore_hosts,
         "haar_tiles": _q_haar_tiles,
+        "watershed_basins_tiles": _q_watershed,
+        "focal_majority_tiles": _q_focal_majority,
     }
 
 
@@ -336,6 +338,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _interval_coverage_sql,
     _kcore_sql,
     _haar_sql,
+    _watershed_sql,
+    _focal_majority_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -873,6 +877,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage_users": _interval_coverage_sql(),
         "kcore_hosts": _kcore_sql(),
         "haar_tiles": _haar_sql(),
+        "watershed_basins_tiles": _watershed_sql(),
+        "focal_majority_tiles": _focal_majority_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

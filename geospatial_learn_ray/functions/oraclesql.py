@@ -3605,3 +3605,73 @@ def _haar_sql(side: int = 16, levels: int = 2, quant: float = 2.0,
         "CAST(hl AS BIGINT) AS hl, CAST(hh AS BIGINT) AS hh "
         f"FROM l{lev}" for lev in range(1, levels + 1))
     return f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " " + sel
+
+
+def _watershed_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+                   ty_max: int = 15) -> str:
+    """SQL twin of raster.watershed_basins_stage: the flow_accum pointer
+    walk, but keeping per start pixel the unique path node with no
+    outgoing edge (the sink) as its basin label."""
+    from ..stages.raster import D8_DIRS
+
+    vals = ", ".join(f"({i}, {dx}, {dy}, {3 - (dx * dx + dy * dy)})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return (
+        f"WITH RECURSIVE {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(di, dx, dy, w) AS (VALUES {vals}), "
+        "cand AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  c.px + d.dx AS nx, c.py + d.dy AS ny, "
+        "  (c.q - n.q) * (c.q - n.q) * d.w AS key, d.di "
+        "  FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  WHERE c.q - n.q > 0), "
+        "edge AS MATERIALIZED (SELECT tile_x, tile_y, px, py, nx, ny "
+        "  FROM cand "
+        "  QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, px, py "
+        "  ORDER BY key DESC, di) = 1), "
+        "walk AS (SELECT tile_x, tile_y, px, py, px AS cx, py AS cy FROM rc "
+        "  UNION ALL "
+        "  SELECT w.tile_x, w.tile_y, w.px, w.py, e.nx, e.ny FROM walk w "
+        "  JOIN edge e ON e.tile_x = w.tile_x AND e.tile_y = w.tile_y "
+        "    AND e.px = w.cx AND e.py = w.cy) "
+        "SELECT CAST(w.tile_x AS BIGINT) AS tile_x, "
+        "CAST(w.tile_y AS BIGINT) AS tile_y, CAST(w.px AS BIGINT) AS px, "
+        "CAST(w.py AS BIGINT) AS py, "
+        f"CAST(w.cy * {side} + w.cx AS BIGINT) AS basin "
+        "FROM walk w WHERE NOT EXISTS (SELECT 1 FROM edge e "
+        "  WHERE e.tile_x = w.tile_x AND e.tile_y = w.tile_y "
+        "  AND e.px = w.cx AND e.py = w.cy)"
+    )
+
+
+def _focal_majority_sql(side: int = 16, quant: float = 2.0,
+                        tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.focal_majority_stage: explode the 3×3
+    neighborhood (VALUES offsets ⋈ in-tile pixels — the join shrinks at
+    borders by construction), count per (pixel, value), QUALIFY the
+    (count DESC, value ASC) argmax."""
+    offs = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        "nb AS (SELECT c.tile_x, c.tile_y, c.px, c.py, n.q "
+        "  FROM rc c, offs o "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + o.dx AND n.py = c.py + o.dy), "
+        "cnts AS (SELECT tile_x, tile_y, px, py, q, COUNT(*) AS n "
+        "  FROM nb GROUP BY tile_x, tile_y, px, py, q) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, CAST(q AS BIGINT) AS mode_q, "
+        "CAST(n AS BIGINT) AS mode_n "
+        "FROM cnts QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, "
+        "px, py ORDER BY n DESC, q) = 1"
+    )

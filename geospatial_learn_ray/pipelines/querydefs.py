@@ -1729,6 +1729,16 @@ def _q_haar_tiles(sf_dir: str):
     return raster.haar_tiles_stage(small, side=16)
 
 
+def _q_watershed(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.watershed_basins_stage(small, side=16)
+
+
+def _q_focal_majority(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.focal_majority_stage(small, side=16)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -2816,3 +2816,101 @@ def haar_tiles_stage(ds: ray.data.Dataset, side: int, levels: int = 2,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def watershed_basins_stage(ds: ray.data.Dataset, side: int,
+                           quant: float = 2.0) -> ray.data.Dataset:
+    """D8 watershed delineation (the basin companion of
+    flow_accum_stage): every pixel is labeled by the sink its
+    steepest-descent path terminates at (basin = sink_y·side + sink_x;
+    sinks label themselves). Pointer-doubling resolves all paths in
+    ⌈log₂ side²⌉ vectorized rounds per tile — never a per-pixel walk.
+    Map-only, integer-exact; the SQL twin walks the same pointer chain
+    recursively and keeps the step whose endpoint has no outgoing edge."""
+    dxs = np.array([dx for dx, dy in D8_DIRS], np.int64)
+    dys = np.array([dy for dx, dy in D8_DIRS], np.int64)
+    n = side * side
+    rounds = max(1, int(np.ceil(np.log2(n))))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        Xf, Yf = X.ravel().astype(np.int64), Y.ravel().astype(np.int64)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "basin")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            best_dir, _ = _d8_grid(q, side)
+            fd = best_dir.ravel()
+            has = fd >= 0
+            sd = np.where(has, fd, 0)
+            me = Yf * side + Xf
+            nxt = np.where(has, (Yf + dys[sd]) * side + (Xf + dxs[sd]), me)
+            for _ in range(rounds):
+                nxt = nxt[nxt]
+            rows["tile_x"].append(np.full(n, txs[i], np.int64))
+            rows["tile_y"].append(np.full(n, tys[i], np.int64))
+            rows["px"].append(Xf)
+            rows["py"].append(Yf)
+            rows["basin"].append(nxt)
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def focal_majority_stage(ds: ray.data.Dataset, side: int,
+                         quant: float = 2.0) -> ray.data.Dataset:
+    """3×3 focal majority (mode) filter on the quantized grid — the
+    categorical-raster smoothing of the gdaldem/sieve family: each
+    pixel takes the most frequent value in its shrink-at-border 3×3
+    window; count ties break to the SMALLEST value (deterministic, the
+    rule the SQL twin's QUALIFY restates). Vectorized per tile: the 9
+    shifted layers sort columnwise and run lengths accumulate across
+    the 9 rows — no per-pixel Python. Map-only, integer-exact."""
+    SENT = np.int64(np.iinfo(np.int64).max)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "mode_q",
+                                  "mode_n")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            layers = np.full((9, side, side), SENT, np.int64)
+            li = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ys0, ys1 = max(0, dy), side + min(0, dy)
+                    xs0, xs1 = max(0, dx), side + min(0, dx)
+                    layers[li, ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = \
+                        q[ys0:ys1, xs0:xs1]
+                    li += 1
+            s = np.sort(layers, axis=0)
+            cnt = np.ones_like(s)
+            for r in range(1, 9):
+                same = s[r] == s[r - 1]
+                cnt[r] = np.where(same, cnt[r - 1] + 1, 1)
+            best_n = np.zeros((side, side), np.int64)
+            best_v = np.full((side, side), SENT, np.int64)
+            for r in range(9):
+                valid = s[r] != SENT
+                # strict > keeps the FIRST (= smallest, rows ascend) value
+                better = valid & (cnt[r] > best_n)
+                best_n = np.where(better, cnt[r], best_n)
+                best_v = np.where(better, s[r], best_v)
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["mode_q"].append(best_v.ravel())
+            rows["mode_n"].append(best_n.ravel())
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -728,3 +728,55 @@ def test_haar_tiles_exactly_invertible_per_level():
         if checked >= 3:
             break
     assert checked == 3
+
+
+def test_watershed_basins_are_sinks_and_partition_matches_flow_accum():
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -140.0,
+                              -90.0, -50.0)
+    basins = raster.watershed_basins_stage(small, side=16).to_pandas()
+    dirs = raster.d8_directions_stage(small, side=16).to_pandas()
+    acc = raster.flow_accum_stage(small, side=16).to_pandas()
+    m = basins.merge(dirs, on=["tile_x", "tile_y", "px", "py"])
+    m["flat"] = m["py"] * 16 + m["px"]
+    # every basin label points at a sink, and sinks label themselves
+    sinks = m[m["flat"] == m["basin"]]
+    assert (sinks["dir"] == -1).all()
+    lab = m.set_index(["tile_x", "tile_y", "flat"])["dir"]
+    tgt = m.set_index(["tile_x", "tile_y", "basin"]).index
+    assert (lab.loc[tgt] == -1).all()
+    # basin sizes == flow accumulation at the sink (cross-operator)
+    sizes = m.groupby(["tile_x", "tile_y", "basin"]).size()
+    a = acc.copy()
+    a["flat"] = a["py"] * 16 + a["px"]
+    accs = a.set_index(["tile_x", "tile_y", "flat"])["acc"]
+    got = accs.loc[sizes.index]
+    assert (got.to_numpy() == sizes.to_numpy()).all()
+
+
+def test_focal_majority_matches_counter_reference_and_ties_to_min():
+    from collections import Counter
+
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -160.0,
+                              -90.0, -70.0)
+    out = raster.focal_majority_stage(small, side=16).to_pandas()
+    saw_tie = False
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        for _, r in g.iterrows():
+            px, py = int(r["px"]), int(r["py"])
+            vals = [int(q[y, x]) for y in range(max(0, py - 1), min(16, py + 2))
+                    for x in range(max(0, px - 1), min(16, px + 2))]
+            c = Counter(vals)
+            mx = max(c.values())
+            winners = sorted(v for v, n in c.items() if n == mx)
+            if len(winners) > 1:
+                saw_tie = True
+            assert int(r["mode_q"]) == winners[0]
+            assert int(r["mode_n"]) == mx
+    assert saw_tie  # the tie rule is actually exercised
