@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_tiles": _q_haar_tiles,
         "watershed_basins_tiles": _q_watershed,
         "focal_majority_tiles": _q_focal_majority,
+        "link_predict_hosts": _q_link_predict,
     }
 
 
@@ -340,6 +341,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _haar_sql,
     _watershed_sql,
     _focal_majority_sql,
+    _link_predict_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -879,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "haar_tiles": _haar_sql(),
         "watershed_basins_tiles": _watershed_sql(),
         "focal_majority_tiles": _focal_majority_sql(),
+        "link_predict_hosts": _link_predict_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

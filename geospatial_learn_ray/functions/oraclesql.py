@@ -3675,3 +3675,43 @@ def _focal_majority_sql(side: int = 16, quant: float = 2.0,
         "FROM cnts QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, "
         "px, py ORDER BY n DESC, q) = 1"
     )
+
+
+def _link_predict_sql(cap: int = 64, k: int = 200, scale_bits: int = 20,
+                      out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.link_predict_hosts: wedge self-join restricted
+    to degree-capped centers, ⌊2^20/ln(deg)⌋ integer AA weights (numpy
+    log == DuckDB ln bit-for-bit on this box — tfidf precedent), ANTI
+    JOIN drops real edges, QUALIFY takes the (aa_q DESC, x, y) top-k."""
+    s = 1 << scale_bits
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ht")])
+    return (
+        f"WITH {pages_sql()}, "
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner})), "
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst), "
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua), "
+        "deg AS (SELECT v AS node, COUNT(*) AS d FROM adj GROUP BY v), "
+        f"ctr AS MATERIALIZED (SELECT node, CAST(FLOOR(CAST({s} AS DOUBLE) "
+        f"/ ln(CAST(d AS DOUBLE))) AS BIGINT) AS wq FROM deg "
+        f"WHERE d >= 2 AND d <= {cap}), "
+        "wed AS (SELECT a1.u AS x, a2.u AS y, c.wq "
+        "FROM ctr c JOIN adj a1 ON a1.v = c.node "
+        "JOIN adj a2 ON a2.v = c.node AND a1.u < a2.u), "
+        "sc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn, "
+        "CAST(SUM(wq) AS BIGINT) AS aa_q FROM wed GROUP BY x, y), "
+        "ne AS (SELECT sc.x, sc.y, sc.cn, sc.aa_q FROM sc "
+        "ANTI JOIN ua ON ua.a = sc.x AND ua.b = sc.y) "
+        "SELECT CAST(x AS BIGINT) AS host_a, CAST(y AS BIGINT) AS host_b, "
+        "cn, aa_q FROM ne "
+        f"QUALIFY row_number() OVER (ORDER BY aa_q DESC, x, y) <= {k}"
+    )

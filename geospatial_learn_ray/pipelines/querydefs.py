@@ -1739,6 +1739,12 @@ def _q_focal_majority(sf_dir: str):
     return raster.focal_majority_stage(small, side=16)
 
 
+def _q_link_predict(sf_dir: str):
+    from geospatial_learn_ray.stages import graph as _graph
+
+    return _graph.link_predict_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -278,3 +278,53 @@ def test_kcore_converges_to_true_peel_and_dual_path_parity():
     slow = _graph.kcore_hosts(small, rounds=3, local_bound=0).to_pandas() \
         .sort_values("host").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_link_predict_matches_bruteforce_adamic_adar():
+    from itertools import combinations
+
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    # vectorized pair generator == itertools on ragged groups
+    u = np.array([1, 5, 9, 2, 4, 7, 8, 3], np.int64)
+    sizes = np.array([3, 4, 1], np.int64)
+    starts = np.cumsum(sizes) - sizes
+    xs, ys, pg = _graph._all_group_pairs(u, starts, sizes)
+    want = []
+    off = 0
+    for gi, d in enumerate(sizes):
+        for a, b in combinations(u[off:off + d], 2):
+            want.append((int(a), int(b), gi))
+        off += d
+    assert list(zip(xs.tolist(), ys.tolist(), pg.tolist())) == want
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    out = _graph.link_predict_hosts(pages, cap=64, k=200).to_pandas()
+
+    e = _graph.host_edges(pages).to_pandas()
+    s, d = e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)
+    keep = s != d
+    ua = set(zip(np.minimum(s[keep], d[keep]).tolist(),
+                 np.maximum(s[keep], d[keep]).tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in ua:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for z, ns in adj.items():
+        dz = len(ns)
+        if not (2 <= dz <= 64):
+            continue
+        wq = int(np.floor((1 << 20) / np.log(np.float64(dz))))
+        for x, y in combinations(sorted(ns), 2):
+            c = scores.setdefault((x, y), [0, 0])
+            c[0] += 1
+            c[1] += wq
+    rows = [(x, y, cn, aa) for (x, y), (cn, aa) in scores.items()
+            if (x, y) not in ua]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    ref = pd.DataFrame(rows[:200], columns=["host_a", "host_b", "cn", "aa_q"])
+    pd.testing.assert_frame_equal(out, ref.astype(np.int64))
