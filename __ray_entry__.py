@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed_basins_tiles": _q_watershed,
         "focal_majority_tiles": _q_focal_majority,
         "link_predict_hosts": _q_link_predict,
+        "media_loudness": _q_media_loudness,
     }
 
 
@@ -342,6 +343,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _watershed_sql,
     _focal_majority_sql,
     _link_predict_sql,
+    _loudness_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -882,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_basins_tiles": _watershed_sql(),
         "focal_majority_tiles": _focal_majority_sql(),
         "link_predict_hosts": _link_predict_sql(),
+        "media_loudness": _loudness_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

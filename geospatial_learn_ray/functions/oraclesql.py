@@ -3715,3 +3715,30 @@ def _link_predict_sql(cap: int = 64, k: int = 200, scale_bits: int = 20,
         "cn, aa_q FROM ne "
         f"QUALIFY row_number() OVER (ORDER BY aa_q DESC, x, y) <= {k}"
     )
+
+
+def _loudness_sql(clip: int = 120, frame: int = 32, maxp: int = 256) -> str:
+    """SQL twin of multimodal.LoudnessMeter over the GLRM fixture
+    (payload = first 256 utf8 bytes of the ASCII doc text, so ord ==
+    byte): per 32-byte frame, integer energy/peak/clip-count via list
+    kernels."""
+    dev = f"ord(substr(p, CAST(gs.range * {frame} AS INT) + i, 1)) - 128"
+    return (
+        f"WITH s AS (SELECT doc_id AS media_id, substr(text, 1, {maxp}) AS p "
+        "FROM documents), "
+        f"nf AS (SELECT media_id, p, length(p) // {frame} AS n FROM s), "
+        "fr AS (SELECT media_id, CAST(gs.range AS BIGINT) AS frame, "
+        "  list_aggregate(list_transform("
+        f"    generate_series(1, {frame}), i -> ({dev}) * ({dev})), "
+        "  'sum') AS energy, "
+        "  list_aggregate(list_transform("
+        f"    generate_series(1, {frame}), i -> ABS({dev})), 'max') AS peak, "
+        "  list_aggregate(list_transform("
+        f"    generate_series(1, {frame}), "
+        f"    i -> CASE WHEN ABS({dev}) >= {clip} THEN 1 ELSE 0 END), "
+        "  'sum') AS n_clip "
+        f"  FROM nf, range(0, {maxp // frame}) gs WHERE gs.range < n) "
+        "SELECT media_id, frame, CAST(energy AS BIGINT) AS energy, "
+        "CAST(peak AS BIGINT) AS peak, CAST(n_clip AS BIGINT) AS n_clip "
+        "FROM fr"
+    )

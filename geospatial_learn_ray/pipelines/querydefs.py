@@ -1745,6 +1745,14 @@ def _q_link_predict(sf_dir: str):
     return _graph.link_predict_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_media_loudness(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(multimodal.media_table, batch_format="pyarrow")
+    return multimodal.loudness_stage(media)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

@@ -417,3 +417,70 @@ def scene_cut_stage(ds: ray.data.Dataset, threshold: int = 100,
         SceneCutDetector, fn_constructor_args=(threshold,),
         batch_format="pyarrow", batch_size=256, concurrency=concurrency,
         num_cpus=1)
+
+
+class LoudnessMeter:
+    """Audio loudness plumbing (the RMS/peak framing every audio-corpus
+    filter runs before keeping a clip): payload bytes after the GLRM
+    header are treated as unsigned 8-bit PCM centered at 128;
+    consecutive 32-byte frames report energy = Σ(b−128)² (the squared-RMS
+    numerator), peak = max|b−128| and n_clip = #samples with |b−128| ≥
+    clip — all exact integers, so the SQL twin needs zero float
+    discipline. Payload gather is the zero-copy byte-matrix idiom
+    (DHasher/SceneCutDetector); partial trailing frames are dropped
+    (frame semantics, mirrored by the twin's length // frame bound)."""
+
+    HEADER = 9
+    FRAME = 32
+    MAXP = 256
+
+    def __init__(self, clip: int = 120):
+        self.clip = clip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[
+                col.offset: col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[
+                col.offset: col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        n = len(col)
+        lens = ends - starts
+        k = np.arange(self.MAXP, dtype=np.int64)
+        idx = (starts + self.HEADER)[:, None] + k[None, :]
+        valid = idx < ends[:, None]
+        safe = np.minimum(idx, max(len(data) - 1, 0))
+        pay = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.int64)
+        dev = pay - 128
+        nfr = self.MAXP // self.FRAME
+        dev3 = dev.reshape(n, nfr, self.FRAME)
+        energy = (dev3 * dev3).sum(axis=2)
+        peak = np.abs(dev3).max(axis=2)
+        nclip = (np.abs(dev3) >= self.clip).sum(axis=2).astype(np.int64)
+        n_frames = np.maximum(lens - self.HEADER, 0) // self.FRAME
+        ids = batch["media_id"].to_numpy()
+        f = np.arange(nfr)
+        keep = f[None, :] < n_frames[:, None]
+        r, c = np.nonzero(keep)
+        return pa.table({
+            "media_id": pa.array(ids[r].astype(np.int64)),
+            "frame": pa.array(c.astype(np.int64)),
+            "energy": pa.array(energy[r, c].astype(np.int64)),
+            "peak": pa.array(peak[r, c].astype(np.int64)),
+            "n_clip": pa.array(nclip[r, c]),
+        })
+
+
+def loudness_stage(ds: ray.data.Dataset, clip: int = 120,
+                   concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        LoudnessMeter, fn_constructor_args=(clip,),
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency,
+        num_cpus=1)

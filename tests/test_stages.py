@@ -481,3 +481,22 @@ def test_neyman_allocation_favors_high_variance_strata():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_loudness_meter_known_payload():
+    import pyarrow as pa
+
+    from geospatial_learn_ray.stages.multimodal import MAGIC, LoudnessMeter
+
+    hdr = MAGIC + (16).to_bytes(2, "little") + (16).to_bytes(2, "little") + b"\x03"
+    # frame 0: 32 bytes of 0x80 (dev 0) -> energy 0, peak 0, no clips
+    # frame 1: 32 bytes of 0xFF (dev 127) -> energy 32*127^2, all clipped
+    payload = b"\x80" * 32 + b"\xff" * 32
+    short = b"\x80" * 40  # one full frame only
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "media": pa.array([hdr + payload, hdr + short], pa.binary())})
+    out = LoudnessMeter(clip=120)(t).to_pandas()
+    assert out.values.tolist() == [
+        [1, 0, 0, 0, 0],
+        [1, 1, 32 * 127 * 127, 127, 32],
+        [2, 0, 0, 0, 0]]
