@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_majority_tiles": _q_focal_majority,
         "link_predict_hosts": _q_link_predict,
         "media_loudness": _q_media_loudness,
+        "kfold_cv_lineitem": _q_kfold_cv,
     }
 
 
@@ -344,6 +345,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _focal_majority_sql,
     _link_predict_sql,
     _loudness_sql,
+    _kfold_cv_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -885,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_majority_tiles": _focal_majority_sql(),
         "link_predict_hosts": _link_predict_sql(),
         "media_loudness": _loudness_sql(),
+        "kfold_cv_lineitem": _kfold_cv_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

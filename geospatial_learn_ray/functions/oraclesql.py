@@ -3742,3 +3742,50 @@ def _loudness_sql(clip: int = 120, frame: int = 32, maxp: int = 256) -> str:
         "CAST(peak AS BIGINT) AS peak, CAST(n_clip AS BIGINT) AS n_clip "
         "FROM fr"
     )
+
+
+def _kfold_cv_sql(k: int = 5) -> str:
+    """SQL twin of train.kfold_cv_1d on lineitem (x = l_quantity,
+    y = l_extendedprice, fold = l_orderkey % k): per-fold sufficient
+    statistics pivot to columns so the fold totals combine in the
+    engine's explicit ascending-fold left-associative order, then the
+    identical closed-form/quadratic-form float chains."""
+    stats = ("n", "sx", "sy", "sxx", "sxy", "syy")
+    piv = ", ".join(
+        f"MAX(CASE WHEN fold = {f} THEN {s} END) AS {s}{f}"
+        for s in stats for f in range(k))
+    tots = []
+    for s in stats:
+        acc = f"{s}0"
+        for f in range(1, k):
+            acc = f"({acc} + {s}{f})"
+        tots.append(f"{acc} AS t_{s}")
+    folds = []
+    for f in range(k):
+        folds.append(
+            f"SELECT CAST({f} AS BIGINT) AS fold, "
+            f"CAST(n{f} AS BIGINT) AS n_val, "
+            f"(t_n - n{f}) AS trn, (t_sx - sx{f}) AS trsx, "
+            f"(t_sy - sy{f}) AS trsy, (t_sxx - sxx{f}) AS trsxx, "
+            f"(t_sxy - sxy{f}) AS trsxy, "
+            f"n{f} AS vn, sx{f} AS vsx, sy{f} AS vsy, sxx{f} AS vsxx, "
+            f"sxy{f} AS vsxy, syy{f} AS vsyy FROM p, t")
+    return (
+        "WITH f AS (SELECT l_orderkey % " + str(k) + " AS fold, "
+        "CAST(l_quantity AS DOUBLE) AS x, "
+        "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem), "
+        "s AS (SELECT fold, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, "
+        "SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy "
+        "FROM f GROUP BY fold), "
+        f"p AS (SELECT {piv} FROM s), "
+        f"t AS (SELECT {', '.join(tots)} FROM p), "
+        "folds AS (" + " UNION ALL ".join(folds) + "), "
+        "w AS (SELECT fold, n_val, vn, vsx, vsy, vsxx, vsxy, vsyy, "
+        "((trn * trsxy) - (trsx * trsy)) / ((trn * trsxx) - (trsx * trsx)) AS w1u, "
+        "((trsy * trsxx) - (trsx * trsxy)) / ((trn * trsxx) - (trsx * trsx)) AS w0u "
+        "FROM folds) "
+        "SELECT fold, n_val, ROUND(w0u, 6) AS w0, ROUND(w1u, 6) AS w1, "
+        "ROUND((vsyy - 2*((w0u*vsy) + (w1u*vsxy)) "
+        "+ (((w0u*w0u)*vn) + (((2*w0u)*w1u)*vsx) + ((w1u*w1u)*vsxx)))/vn, 2) "
+        "AS val_mse FROM w"
+    )

@@ -1753,6 +1753,14 @@ def _q_media_loudness(sf_dir: str):
     return multimodal.loudness_stage(media)
 
 
+def _q_kfold_cv(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    return train.kfold_cv_1d(ds, "l_quantity", "l_extendedprice",
+                             "l_orderkey", k=5)
+
+
 # everything the contract file's queries()/oracle_sql() reach for
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",

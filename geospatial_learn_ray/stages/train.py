@@ -798,3 +798,67 @@ def segment_slopes(orders: ray.data.Dataset, customer: ray.data.Dataset,
 
     return bucket_exchange(j.map_batches(partial, batch_format="pandas"),
                            finalize, small_partials=True)
+
+
+def kfold_cv_1d(ds: ray.data.Dataset, x_col: str, y_col: str,
+                key_col: str, k: int = 5, round_to: int = 6,
+                mse_round_to: int = 2) -> pd.DataFrame:
+    """K-fold cross-validation of the 1-feature OLS fit (the sklearn
+    cross_val_score shape on the reference's create_model family): folds
+    are ``key % k`` (deterministic, cluster-layout-free), every fold's
+    train stats are TOTALS − fold — so ONE streaming pass yields all K
+    fits, never K data passes. Per fold: closed-form slope/intercept on
+    the complement, validation MSE via the quadratic-form identity
+    (syy − 2·w·b + wᵀAw)/n — no second scan of the fold.
+
+    Parity class: raw float sufficient statistics like fit_ridge_grid
+    (rounded outputs absorb block-order ulps); the fold totals combine
+    in EXPLICIT ascending-fold left-associative order so the SQL twin's
+    ((((s0+s1)+s2)+s3)+s4) is the identical f64 chain."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        f = (b[key_col].to_numpy(np.int64) % k).astype(np.int64)
+        rows = []
+        for fold in range(k):
+            m = f == fold
+            rows.append({"fold": fold, "n": float(m.sum()),
+                         "sx": x[m].sum(), "sy": y[m].sum(),
+                         "sxx": (x[m] * x[m]).sum(),
+                         "sxy": (x[m] * y[m]).sum(),
+                         "syy": (y[m] * y[m]).sum()})
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = ("n", "sx", "sy", "sxx", "sxy", "syy")
+    per = {s: [float(p.loc[p["fold"] == fold, s].sum()) for fold in range(k)]
+           for s in stats}
+    tot = {}
+    for s in stats:
+        acc = per[s][0]
+        for fold in range(1, k):
+            acc = acc + per[s][fold]   # explicit left-assoc, ascending fold
+        tot[s] = acc
+    rows = []
+    for fold in range(k):
+        trn = tot["n"] - per["n"][fold]
+        trsx = tot["sx"] - per["sx"][fold]
+        trsy = tot["sy"] - per["sy"][fold]
+        trsxx = tot["sxx"] - per["sxx"][fold]
+        trsxy = tot["sxy"] - per["sxy"][fold]
+        den = trn * trsxx - trsx * trsx
+        w1 = (trn * trsxy - trsx * trsy) / den
+        w0 = (trsy * trsxx - trsx * trsxy) / den
+        n, sx, sy = per["n"][fold], per["sx"][fold], per["sy"][fold]
+        sxx, sxy, syy = per["sxx"][fold], per["sxy"][fold], per["syy"][fold]
+        mse = (syy - 2.0 * (w0 * sy + w1 * sxy)
+               + (w0 * w0 * n + 2.0 * w0 * w1 * sx + w1 * w1 * sxx)) / n
+        rows.append({"fold": fold, "n_val": int(n),
+                     "w0": round_half_away(w0, round_to),
+                     "w1": round_half_away(w1, round_to),
+                     "val_mse": round_half_away(mse, mse_round_to)})
+    out = pd.DataFrame(rows)
+    out["fold"] = out["fold"].astype(np.int64)
+    out["n_val"] = out["n_val"].astype(np.int64)
+    return out

@@ -331,3 +331,27 @@ def test_segment_slopes_recovers_planted_trend():
     assert abs(out.loc["UP", "slope_cents_per_day"] - 500) < 1
     assert abs(out.loc["DOWN", "slope_cents_per_day"] + 200) < 1
     assert out["n"].sum() == 2000
+
+
+def test_kfold_cv_1d_matches_per_fold_refit():
+    rng = np.random.default_rng(11)
+    n, k = 3000, 5
+    key = rng.integers(0, 1 << 40, n)
+    x = rng.uniform(1, 50, n).round(2)
+    y = 3.5 * x + 10.0 + rng.normal(0, 2.0, n)
+    df = pd.DataFrame({"key": key, "x": x, "y": y})
+    out = train.kfold_cv_1d(
+        ray.data.from_pandas(df).repartition(7), "x", "y", "key", k=k
+    ).set_index("fold")
+    assert sorted(out.index) == list(range(k))
+    assert out["n_val"].sum() == n
+    for fold in range(k):
+        va = df[df.key % k == fold]
+        tr = df[df.key % k != fold]
+        w1, w0 = np.polyfit(tr.x, tr.y, 1)
+        pred = w0 + w1 * va.x
+        mse = float(np.mean((va.y - pred) ** 2))
+        assert out.loc[fold, "n_val"] == len(va)
+        assert abs(out.loc[fold, "w1"] - w1) < 1e-4
+        assert abs(out.loc[fold, "w0"] - w0) < 1e-4
+        assert abs(out.loc[fold, "val_mse"] - mse) < 0.02
