@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict_hosts": _q_link_predict,
         "media_loudness": _q_media_loudness,
         "kfold_cv_lineitem": _q_kfold_cv,
+        "bfs_depth_hosts": _q_bfs_depth_hosts,
     }
 
 
@@ -346,6 +347,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _link_predict_sql,
     _loudness_sql,
     _kfold_cv_sql,
+    _bfs_depth_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -888,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "link_predict_hosts": _link_predict_sql(),
         "media_loudness": _loudness_sql(),
         "kfold_cv_lineitem": _kfold_cv_sql(),
+        "bfs_depth_hosts": _bfs_depth_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

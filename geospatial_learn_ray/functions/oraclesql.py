@@ -3789,3 +3789,44 @@ def _kfold_cv_sql(k: int = 5) -> str:
         "+ (((w0u*w0u)*vn) + (((2*w0u)*w1u)*vsx) + ((w1u*w1u)*vsxx)))/vn, 2) "
         "AS val_mse FROM w"
     )
+
+
+def _bfs_depth_sql(rounds: int = 8, out_links: int = 4,
+                   host_mod: int = 1000) -> str:
+    """SQL twin of graph.bfs_depth_hosts: the identical fixed-round
+    min-plus relaxation unrolled — per round the new depth is the MIN
+    over {previous depth} ∪ {neighbor depth + 1}. Pure integers; INF
+    is the same 2^40 sentinel as the engine."""
+    inf = 1 << 40
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ht")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj)",
+        "d0 AS MATERIALIZED (SELECT node, CASE WHEN node = "
+        "(SELECT MIN(node) FROM nodes) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({inf} AS BIGINT) END AS q FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT node, MIN(q) AS q FROM ("
+            f"SELECT node, q FROM d{t - 1} "
+            f"UNION ALL SELECT adj.v AS node, d.q + 1 AS q "
+            f"FROM adj JOIN d{t - 1} d ON d.node = adj.u) GROUP BY node)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT CAST(node AS BIGINT) AS host, "
+        f"CAST(CASE WHEN q >= {inf} THEN -1 ELSE q END AS BIGINT) AS depth "
+        f"FROM d{rounds}"
+    )

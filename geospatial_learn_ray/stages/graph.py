@@ -1131,3 +1131,125 @@ def link_predict_hosts(pages: ray.data.Dataset, cap: int = 64,
         ["aa_q", "host_a", "host_b"],
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     return ray.data.from_pandas(top)
+
+
+BFS_INF = np.int64(1) << np.int64(40)
+
+
+def bfs_depth_hosts(pages: ray.data.Dataset, rounds: int = 8,
+                    num_buckets: int = 64,
+                    local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Single-source BFS depth over the undirected simple host graph
+    (the reference's region-growing / flood-fill shape on graphs —
+    shape.py's grow-from-seed family — re-expressed as bulk-synchronous
+    min-plus relaxation): source = MIN(host id) (deterministic,
+    layout-free), d₀(v) = 0 at the source else INF, and per round
+    d_{t+1}(v) = min(d_t(v), 1 + min_{u∈N(v)} d_t(u)). ``rounds`` is a
+    FIXED parameter so the SQL twin unrolls the identical pure-integer
+    recurrence whether or not the frontier has drained (tests verify
+    convergence at the shipped round count on this graph family).
+    → (host, depth), depth = -1 for nodes unreached within ``rounds``.
+
+    Scale shape per round: one union-tag bucketed join (depths ⋈
+    adjacency on u) + one destination-keyed min-combine exchange —
+    O(E) moved, never a per-node Python loop. Below ``local_bound``
+    adjacency pairs the driver fast path runs the same recurrence on
+    numpy arrays (the pagerank/kcore pattern); dual-path parity is
+    pytest-enforced."""
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    if pairs.count() <= local_bound:
+        p = pairs.to_pandas()
+        a = p["a"].to_numpy(np.int64)
+        b = p["b"].to_numpy(np.int64)
+        v = np.concatenate([a, b])
+        u = np.concatenate([b, a])
+        nodes_arr, vi = np.unique(v, return_inverse=True)
+        ui = np.searchsorted(nodes_arr, u)
+        d = np.full(len(nodes_arr), BFS_INF, np.int64)
+        d[0] = 0            # nodes_arr is sorted → index 0 IS min(host)
+        for _ in range(rounds):
+            nd = d.copy()
+            np.minimum.at(nd, vi, d[ui] + 1)
+            d = nd
+        return ray.data.from_pandas(pd.DataFrame(
+            {"host": nodes_arr,
+             "depth": np.where(d >= BFS_INF, np.int64(-1), d)}))
+
+    def both_dirs(bdf: pd.DataFrame) -> pd.DataFrame:
+        a = bdf["a"].to_numpy(np.int64)
+        z = bdf["b"].to_numpy(np.int64)
+        d = pd.DataFrame({"v": np.concatenate([a, z]),
+                          "u": np.concatenate([z, a])})
+        d["_part"] = _bkt(d["v"].to_numpy(np.int64), num_buckets)
+        return d
+
+    adj = bucket_exchange(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"])).materialize()
+
+    def node_part(bdf: pd.DataFrame) -> pd.DataFrame:
+        n = bdf[["v"]].drop_duplicates()
+        return pd.DataFrame({"node": n["v"].to_numpy(np.int64),
+                             "_part": _bkt(n["v"].to_numpy(np.int64),
+                                           num_buckets)})
+
+    nodes = bucket_exchange(
+        adj.map_batches(node_part, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates("node"),
+    ).materialize()
+    src = nodes.min("node")
+
+    def init_d(bdf: pd.DataFrame) -> pd.DataFrame:
+        nd = bdf["node"].to_numpy(np.int64)
+        return pd.DataFrame({"node": nd,
+                             "q": np.where(nd == src, np.int64(0), BFS_INF)})
+
+    d = nodes.map_batches(init_d, batch_format="pandas").materialize()
+
+    def part_q(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf[["node", "q"]].copy()
+        o["_part"] = _bkt(o["node"].to_numpy(np.int64), num_buckets)
+        return o
+
+    def min_q(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby("node", as_index=False)["q"].min()
+        o["q"] = o["q"].astype(np.int64)
+        return o
+
+    for _ in range(rounds):
+        withq = _attach_col(adj.select_columns(["v", "u"]), d, "u", "dq",
+                            num_buckets)
+
+        def cand(bdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": bdf["v"].to_numpy(np.int64),
+                "q": bdf["dq"].to_numpy(np.int64) + 1})
+
+        d = bucket_exchange(
+            withq.map_batches(cand, batch_format="pandas").union(d)
+                 .map_batches(part_q, batch_format="pandas"),
+            min_q).materialize()
+
+    def finalize(bdf: pd.DataFrame) -> pd.DataFrame:
+        q = bdf["q"].to_numpy(np.int64)
+        return pd.DataFrame({"host": bdf["node"].to_numpy(np.int64),
+                             "depth": np.where(q >= BFS_INF,
+                                               np.int64(-1), q)})
+
+    return d.map_batches(finalize, batch_format="pandas")

@@ -328,3 +328,49 @@ def test_link_predict_matches_bruteforce_adamic_adar():
     rows.sort(key=lambda r: (-r[3], r[0], r[1]))
     ref = pd.DataFrame(rows[:200], columns=["host_a", "host_b", "cn", "aa_q"])
     pd.testing.assert_frame_equal(out, ref.astype(np.int64))
+
+
+def test_bfs_depth_matches_true_bfs_and_dual_path_parity():
+    from collections import deque
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    out = _graph.bfs_depth_hosts(pages).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+
+    # reference: queue BFS on the same simple graph from min(host)
+    e = _graph.host_edges(pages).to_pandas()
+    s, d = e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)
+    keep = s != d
+    pairs = set(zip(np.minimum(s[keep], d[keep]).tolist(),
+                    np.maximum(s[keep], d[keep]).tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    depth = {src: 0}
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if u not in depth:
+                depth[u] = depth[v] + 1
+                q.append(u)
+    ref = pd.DataFrame(
+        sorted((v, depth.get(v, -1)) for v in adj),
+        columns=["host", "depth"]).astype({"host": np.int64,
+                                           "depth": np.int64})
+    # shipped rounds=8 must have drained the frontier on this graph
+    pd.testing.assert_frame_equal(out, ref)
+
+    # dual-path bit parity on a smaller slice with a truncating round
+    # count (parity must hold even when NOT converged)
+    small = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    fast = _graph.bfs_depth_hosts(small, rounds=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    slow = _graph.bfs_depth_hosts(small, rounds=2, local_bound=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
