@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_loudness": _q_media_loudness,
         "kfold_cv_lineitem": _q_kfold_cv,
         "bfs_depth_hosts": _q_bfs_depth_hosts,
+        "variogram_tiles": _q_variogram,
+        "moran_i_tiles": _q_moran_i,
+        "getis_gi_tiles": _q_getis_gi,
+        "clustering_coeff_hosts": _q_clustering_coeff,
     }
 
 
@@ -348,6 +352,10 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _loudness_sql,
     _kfold_cv_sql,
     _bfs_depth_sql,
+    _variogram_sql,
+    _moran_sql,
+    _getis_sql,
+    _clustering_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -891,6 +899,10 @@ def oracle_sql() -> dict[str, str]:
         "media_loudness": _loudness_sql(),
         "kfold_cv_lineitem": _kfold_cv_sql(),
         "bfs_depth_hosts": _bfs_depth_sql(),
+        "variogram_tiles": _variogram_sql(),
+        "moran_i_tiles": _moran_sql(),
+        "getis_gi_tiles": _getis_sql(),
+        "clustering_coeff_hosts": _clustering_sql(),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

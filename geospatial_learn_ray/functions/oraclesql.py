@@ -3830,3 +3830,155 @@ def _bfs_depth_sql(rounds: int = 8, out_links: int = 4,
         f"CAST(CASE WHEN q >= {inf} THEN -1 ELSE q END AS BIGINT) AS depth "
         f"FROM d{rounds}"
     )
+
+
+def _variogram_sql(side: int = 16, quant: float = 2.0, max_lag: int = 8,
+                   tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.variogram_stage: lag offsets ⋈ in-tile pixels
+    (shrinks at borders by construction), integer Σd² per (tile, axis,
+    lag), γ = ss/(2n) as one correctly-rounded division of exact ints."""
+    lags = ", ".join(f"({h})" for h in range(1, max_lag + 1))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"lags(lag) AS (VALUES {lags}), "
+        "prs AS ("
+        "SELECT c.tile_x, c.tile_y, 'x' AS axis, l.lag, "
+        "  (n.q - c.q) * (n.q - c.q) AS d2 "
+        "FROM rc c, lags l "
+        "JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "  AND n.py = c.py AND n.px = c.px + l.lag "
+        "UNION ALL "
+        "SELECT c.tile_x, c.tile_y, 'y' AS axis, l.lag, "
+        "  (n.q - c.q) * (n.q - c.q) AS d2 "
+        "FROM rc c, lags l "
+        "JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "  AND n.px = c.px AND n.py = c.py + l.lag) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, axis, "
+        "CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(d2) AS BIGINT) AS ss, "
+        "ROUND(CAST(SUM(d2) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE), 9) "
+        "AS gamma_r "
+        "FROM prs GROUP BY tile_x, tile_y, axis, lag"
+    )
+
+
+def _moran_sql(side: int = 16, quant: float = 2.0,
+               tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.moran_i_stage: N-scaled mean-centered values
+    keep everything integer; rook offsets count each unordered neighbor
+    pair twice exactly as the engine's 2·(row+col) slicing does."""
+    n = side * side
+    w = 2 * (2 * side * (side - 1))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "st AS (SELECT tile_x, tile_y, SUM(q) AS s "
+        "  FROM rc GROUP BY tile_x, tile_y), "
+        "cc AS MATERIALIZED (SELECT r.tile_x, r.tile_y, r.px, r.py, "
+        f"  {n} * r.q - st.s AS c "
+        "  FROM rc r JOIN st ON st.tile_x = r.tile_x "
+        "    AND st.tile_y = r.tile_y), "
+        "offs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)), "
+        "nn AS (SELECT a.tile_x, a.tile_y, a.c * b.c AS p "
+        "  FROM cc a, offs o "
+        "  JOIN cc b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y "
+        "    AND b.px = a.px + o.dx AND b.py = a.py + o.dy), "
+        "ag AS (SELECT tile_x, tile_y, SUM(p) AS num "
+        "  FROM nn GROUP BY tile_x, tile_y), "
+        "dd AS (SELECT tile_x, tile_y, SUM(c * c) AS den "
+        "  FROM cc GROUP BY tile_x, tile_y) "
+        "SELECT CAST(ag.tile_x AS BIGINT) AS tile_x, "
+        "CAST(ag.tile_y AS BIGINT) AS tile_y, "
+        f"CAST({n} AS BIGINT) AS n, CAST({w} AS BIGINT) AS w_pairs, "
+        "CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den, "
+        f"ROUND(CAST(num * {n} AS DOUBLE) / CAST(den * {w} AS DOUBLE), 9) "
+        "AS moran_r "
+        "FROM ag JOIN dd ON dd.tile_x = ag.tile_x AND dd.tile_y = ag.tile_y"
+    )
+
+
+def _getis_sql(side: int = 16, quant: float = 2.0,
+               tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.getis_gi_stage: 3×3 shrink-at-border window
+    sums via the offsets join, z from exact-integer numerator and two
+    correctly-rounded square roots mirrored op-for-op."""
+    n = side * side
+    offs = ", ".join(f"({dx}, {dy})" for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "st AS (SELECT tile_x, tile_y, SUM(q) AS s, SUM(q * q) AS s2 "
+        "  FROM rc GROUP BY tile_x, tile_y), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        "wnd AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  SUM(n.q) AS wsum, COUNT(*) AS n_w "
+        "  FROM rc c, offs o "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + o.dx AND n.py = c.py + o.dy "
+        "  GROUP BY c.tile_x, c.tile_y, c.px, c.py) "
+        "SELECT CAST(w.tile_x AS BIGINT) AS tile_x, "
+        "CAST(w.tile_y AS BIGINT) AS tile_y, CAST(w.px AS BIGINT) AS px, "
+        "CAST(w.py AS BIGINT) AS py, CAST(w.wsum AS BIGINT) AS wsum, "
+        "CAST(w.n_w AS BIGINT) AS n_w, "
+        f"ROUND(CAST({n} * w.wsum - st.s * w.n_w AS DOUBLE) / "
+        f"(SQRT(CAST({n} * st.s2 - st.s * st.s AS DOUBLE)) * "
+        f"SQRT(CAST({n} * w.n_w - w.n_w * w.n_w AS DOUBLE) / "
+        f"CAST({n - 1} AS DOUBLE))), 9) AS z_r "
+        "FROM wnd w JOIN st ON st.tile_x = w.tile_x "
+        "  AND st.tile_y = w.tile_y"
+    )
+
+
+def _clustering_sql(out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.clustering_coeff_hosts: the _triangle_sql plan
+    with the wedge CENTER kept, per-node triangle counts from the three
+    corners of each closing hit, cc = one correctly-rounded division of
+    exact integers (0 when deg < 2)."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "cl")])
+    return (
+        f"WITH {pages_sql()}, "
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner})), "
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM lk WHERE src <> dst), "
+        "nd AS MATERIALIZED (SELECT node, COUNT(*)::BIGINT AS deg FROM ("
+        "  SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue) "
+        "  GROUP BY node), "
+        "ornt AS MATERIALIZED (SELECT "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v) "
+        "    THEN u ELSE v END AS s, "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u < v) "
+        "    THEN v ELSE u END AS t "
+        "  FROM ue JOIN nd da ON da.node = ue.u JOIN nd db ON db.node = ue.v), "
+        "wd AS MATERIALIZED (SELECT e1.s AS s, e1.t AS a, e2.t AS b "
+        "  FROM ornt e1 JOIN ornt e2 ON e1.s = e2.s "
+        "  JOIN nd d1 ON d1.node = e1.t JOIN nd d2 ON d2.node = e2.t "
+        "  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND e1.t < e2.t)), "
+        "tri AS MATERIALIZED (SELECT wd.s, wd.a, wd.b FROM wd "
+        "  JOIN ornt ON ornt.s = wd.a AND ornt.t = wd.b), "
+        "tc AS (SELECT node, COUNT(*)::BIGINT AS tri FROM ("
+        "  SELECT s AS node FROM tri UNION ALL SELECT a AS node FROM tri "
+        "  UNION ALL SELECT b AS node FROM tri) GROUP BY node) "
+        "SELECT CAST(nd.node AS BIGINT) AS host, nd.deg AS deg, "
+        "CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri, "
+        "CASE WHEN nd.deg < 2 THEN CAST(0 AS DOUBLE) ELSE "
+        "ROUND(CAST(2 * COALESCE(tc.tri, 0) AS DOUBLE) / "
+        "CAST(nd.deg * (nd.deg - 1) AS DOUBLE), 9) END AS cc_r "
+        "FROM nd LEFT JOIN tc ON tc.node = nd.node"
+    )

@@ -1753,6 +1753,27 @@ def _q_media_loudness(sf_dir: str):
     return multimodal.loudness_stage(media)
 
 
+def _q_clustering_coeff(sf_dir: str):
+    from geospatial_learn_ray.stages import graph as _graph
+
+    return _graph.clustering_coeff_hosts(read_pages(sf_dir, columns=["url"]))
+
+
+def _q_variogram(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.variogram_stage(small, side=16)
+
+
+def _q_moran_i(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.moran_i_stage(small, side=16)
+
+
+def _q_getis_gi(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.getis_gi_stage(small, side=16)
+
+
 def _q_bfs_depth_hosts(sf_dir: str):
     from geospatial_learn_ray.stages import graph as _graph
 

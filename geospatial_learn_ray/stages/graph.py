@@ -1253,3 +1253,205 @@ def bfs_depth_hosts(pages: ray.data.Dataset, rounds: int = 8,
                                                np.int64(-1), q)})
 
     return d.map_batches(finalize, batch_format="pandas")
+
+
+def clustering_coeff_hosts(pages: ray.data.Dataset,
+                           num_buckets: int = 64,
+                           local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Per-node local clustering coefficient over the undirected simple
+    host graph — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the node-level
+    companion of triangle_count_hosts (same Suri-Vassilvitskii degree-
+    oriented wedge plan; wedges carry their CENTER so each closing hit
+    credits all three corners exactly once). All counts are exact ints;
+    cc is one correctly-rounded f64 division mirrored in the SQL twin.
+    cc = 0.0 for deg < 2 by definition. → (host, deg, tri, cc_r).
+
+    Below ``local_bound`` undirected pairs the driver fast path computes
+    diag(A³)/2 on a dense adjacency (the HITS/BFS counted-bound pattern
+    — 64 chained exchange graphs of fixed overhead dwarf the work on
+    small graphs); triangle counts are exact combinatorics, so dual-path
+    parity is bit-for-bit (pytest-enforced)."""
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.minimum(b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64))
+        v = np.maximum(b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64))
+        d = pd.DataFrame({"u": u, "v": v})[u != v].drop_duplicates()
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = _bkt((d["u"].to_numpy(np.int64) * np.int64(1_000_003))
+                              ^ d["v"].to_numpy(np.int64), num_buckets)
+        finally:
+            np.seterr(**old)
+        return d
+
+    ue = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(),
+    ).materialize()
+
+    if ue.count() <= local_bound:
+        p = ue.to_pandas()
+        u = p["u"].to_numpy(np.int64)
+        v = p["v"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        n = len(nodes)
+        if n <= 8192:  # dense A³ needs n² ints — cap the driver footprint
+            ui, vi = inv[:len(u)], inv[len(u):]
+            A = np.zeros((n, n), np.int64)
+            A[ui, vi] = 1
+            A[vi, ui] = 1
+            degv = A.sum(axis=1)
+            triv = ((A @ A) * A).sum(axis=1) // 2
+            cc = np.zeros(n, np.float64)
+            ok = degv >= 2
+            cc[ok] = round_half_away(
+                (2.0 * triv[ok].astype(np.float64))
+                / (degv[ok] * (degv[ok] - 1)).astype(np.float64), 9)
+            return ray.data.from_pandas(pd.DataFrame(
+                {"host": nodes, "deg": degv, "tri": triv, "cc_r": cc}))
+
+    def explode_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate([b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)])
+        d = pd.DataFrame({"node": n}).groupby("node", sort=False).size() \
+            .reset_index(name="c")
+        d["_part"] = _bkt(d["node"].to_numpy(np.int64), num_buckets)
+        return d
+
+    deg = bucket_exchange(
+        ue.map_batches(explode_nodes, batch_format="pandas"),
+        lambda g: g.groupby("node", sort=False, as_index=False)["c"].sum()
+                   .rename(columns={"c": "deg"}),
+        small_partials=True).materialize()
+
+    def _attach(es: ray.data.Dataset, key: str, out: str) -> ray.data.Dataset:
+        def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_t"] = np.int8(0)
+            b["deg"] = np.int64(0)
+            b["_part"] = _bkt(b[key].to_numpy(np.int64), num_buckets)
+            return b
+
+        def tag_d(b: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({key: b["node"].to_numpy(np.int64),
+                              "deg": b["deg"].to_numpy(np.int64)})
+            d["_t"] = np.int8(1)
+            d["_part"] = _bkt(d[key].to_numpy(np.int64), num_buckets)
+            return d
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["_t"] == 0].drop(columns=["_t", "deg", "_part"])
+            d = g[g["_t"] == 1][[key, "deg"]]
+            return e.merge(d, on=key, how="inner").rename(columns={"deg": out})
+
+        both = es.map_batches(tag_e, batch_format="pandas").union(
+            deg.map_batches(tag_d, batch_format="pandas"))
+        return bucket_exchange(both, join)
+
+    with_deg = _attach(_attach(ue, "u", "du"), "v", "dv")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u, v = b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)
+        du, dv = b["du"].to_numpy(np.int64), b["dv"].to_numpy(np.int64)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(fwd, u, v)
+        t = np.where(fwd, v, u)
+        dt = np.where(fwd, dv, du)
+        d = pd.DataFrame({"s": s, "t": t, "dt": dt})
+        d["_part"] = _bkt(d["s"].to_numpy(np.int64), num_buckets)
+        return d
+
+    oriented = bucket_exchange(
+        with_deg.map_batches(orient, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"])).materialize()
+
+    def wedges(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s_val, grp in b.groupby("s", sort=False):
+            g = grp.sort_values(["dt", "t"], kind="mergesort")
+            t = g["t"].to_numpy(np.int64)
+            if len(t) < 2:
+                continue
+            i, j = np.triu_indices(len(t), k=1)
+            outs.append(pd.DataFrame({"s": np.full(len(i), s_val, np.int64),
+                                      "a": t[i], "b": t[j]}))
+        if not outs:
+            return pd.DataFrame({"s": pd.Series([], dtype=np.int64),
+                                 "a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    # batch_size=None: a source's whole adjacency must stay in one batch
+    w = oriented.map_batches(wedges, batch_format="pandas", batch_size=None)
+
+    def tag_pairs(side: int, with_s: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({"a": b["a" if with_s else "s"].to_numpy(np.int64),
+                              "b": b["b" if with_s else "t"].to_numpy(np.int64),
+                              "s": (b["s"].to_numpy(np.int64) if with_s
+                                    else np.zeros(len(b), np.int64)),
+                              "_t": np.int8(side)})
+            old = np.seterr(over="ignore")
+            try:
+                d["_part"] = _bkt((d["a"].to_numpy(np.int64) * np.int64(1_000_003))
+                                  ^ d["b"].to_numpy(np.int64), num_buckets)
+            finally:
+                np.seterr(**old)
+            return d
+        return fn
+
+    probe = w.map_batches(tag_pairs(1, True), batch_format="pandas").union(
+        oriented.map_batches(tag_pairs(0, False), batch_format="pandas"))
+
+    def tri_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_t"] == 0][["a", "b"]].drop_duplicates()
+        wd = g[g["_t"] == 1][["s", "a", "b"]]
+        hit = wd.merge(e, on=["a", "b"], how="inner")
+        n = np.concatenate([hit["s"].to_numpy(np.int64),
+                            hit["a"].to_numpy(np.int64),
+                            hit["b"].to_numpy(np.int64)])
+        d = pd.DataFrame({"node": n}).groupby("node", sort=False).size() \
+            .reset_index(name="tri")
+        d["tri"] = d["tri"].astype(np.int64)
+        d["_part"] = _bkt(d["node"].to_numpy(np.int64), num_buckets)
+        return d
+
+    tric = bucket_exchange(
+        bucket_exchange(probe, tri_nodes),
+        lambda g: g.drop(columns=["_part"])
+                   .groupby("node", sort=False, as_index=False)["tri"].sum())
+
+    # left-join deg with tri (tri = 0 where absent) — tagged union
+    def tag_deg(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["node", "deg"]].copy()
+        d["tri"] = np.int64(0)
+        d["_t"] = np.int8(0)
+        d["_part"] = _bkt(d["node"].to_numpy(np.int64), num_buckets)
+        return d
+
+    def tag_tri(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                          "deg": np.zeros(len(b), np.int64),
+                          "tri": b["tri"].to_numpy(np.int64)})
+        d["_t"] = np.int8(1)
+        d["_part"] = _bkt(d["node"].to_numpy(np.int64), num_buckets)
+        return d
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_t"] == 0][["node", "deg"]]
+        t = g[g["_t"] == 1][["node", "tri"]]
+        m = d.merge(t, on="node", how="left")
+        m["tri"] = m["tri"].fillna(0).astype(np.int64)
+        degv = m["deg"].to_numpy(np.int64)
+        triv = m["tri"].to_numpy(np.int64)
+        cc = np.zeros(len(m), np.float64)
+        ok = degv >= 2
+        cc[ok] = round_half_away(
+            (2.0 * triv[ok].astype(np.float64))
+            / (degv[ok] * (degv[ok] - 1)).astype(np.float64), 9)
+        return pd.DataFrame({"host": m["node"].to_numpy(np.int64),
+                             "deg": degv, "tri": triv, "cc_r": cc})
+
+    both = deg.map_batches(tag_deg, batch_format="pandas").union(
+        tric.map_batches(tag_tri, batch_format="pandas"))
+    return bucket_exchange(both, finalize)

@@ -2914,3 +2914,142 @@ def focal_majority_stage(ds: ray.data.Dataset, side: int,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def variogram_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                    max_lag: int = 8) -> ray.data.Dataset:
+    """Empirical directional semivariogram per tile (the geostatistics
+    companion of texture_stats — the reference's kriging-prep shape):
+    for each lag h = 1..max_lag along each axis, the pair count and the
+    exact integer Σ(q_i − q_{i+h})² over the quantized grid, plus
+    γ(h) = ss / (2·n) rounded half-away-from-zero to 9 decimals (one
+    correctly-rounded f64 division of exact <2⁵³ integers — bit-equal to
+    the SQL twin's). Map-only, no shuffle; vectorized slicing per tile."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "axis", "lag",
+                                  "n_pairs", "ss")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            for h in range(1, max_lag + 1):
+                for ax, d in (("x", q[:, h:] - q[:, :-h]),
+                              ("y", q[h:, :] - q[:-h, :])):
+                    rows["tile_x"].append(int(txs[i]))
+                    rows["tile_y"].append(int(tys[i]))
+                    rows["axis"].append(ax)
+                    rows["lag"].append(h)
+                    rows["n_pairs"].append(int(d.size))
+                    rows["ss"].append(int((d * d).sum()))
+        t = pa.table({
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "axis": pa.array(rows["axis"], pa.string()),
+            "lag": pa.array(rows["lag"], pa.int64()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "ss": pa.array(rows["ss"], pa.int64()),
+        })
+        ssv = np.array(rows["ss"], np.float64)
+        npv = np.array(rows["n_pairs"], np.float64)
+        return t.append_column(
+            "gamma_r", pa.array(round_half_away(ssv / (2.0 * npv), 9)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def moran_i_stage(ds: ray.data.Dataset, side: int,
+                  quant: float = 2.0) -> ray.data.Dataset:
+    """Global Moran's I per tile under rook contiguity — spatial
+    autocorrelation of the quantized grid. Everything is scaled by
+    N = side² so mean-centering stays integer: with S = Σq,
+    num = Σ_i Σ_{j∈rook(i)} (N·q_i − S)(N·q_j − S),
+    den = Σ_i (N·q_i − S)², W = directed rook pair count, and
+    I = (N·num) / (W·den) — both products are exact < 2⁵³ integers, so
+    the single f64 division is correctly rounded and bit-equal to the
+    SQL twin. One row per tile; map-only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        n = side * side
+        w = 2 * (2 * side * (side - 1))  # directed rook pairs
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "n", "w_pairs",
+                                  "num", "den")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            c = n * q - q.sum()           # N·q_i − S, exact int64
+            num = 2 * (int((c[:, 1:] * c[:, :-1]).sum())
+                       + int((c[1:, :] * c[:-1, :]).sum()))
+            den = int((c * c).sum())
+            rows["tile_x"].append(int(txs[i]))
+            rows["tile_y"].append(int(tys[i]))
+            rows["n"].append(n)
+            rows["w_pairs"].append(w)
+            rows["num"].append(num)
+            rows["den"].append(den)
+        t = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        numv = np.array(rows["num"], np.float64) * np.float64(n)
+        denv = np.array(rows["den"], np.float64) * np.float64(w)
+        return t.append_column(
+            "moran_r", pa.array(round_half_away(numv / denv, 9)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def getis_gi_stage(ds: ray.data.Dataset, side: int,
+                   quant: float = 2.0) -> ray.data.Dataset:
+    """Getis-Ord Gi* hot-spot z-score per pixel over the 3×3
+    shrink-at-border window (self included). With N = side², S = Σq,
+    S2 = Σq², wsum_i = window sum, n_i = window count:
+      z_i = (N·wsum_i − S·n_i) /
+            ( √(N·S2 − S²) · √((N·n_i − n_i²)/(N−1)) )
+    (both num and denom of the classic Gi* scaled by N — N·s = √(N·S2−S²))
+    Numerator and both sqrt arguments are exact integers (< 2⁵³), so
+    each √ / × / ÷ is one correctly-rounded IEEE op mirrored verbatim
+    in the SQL twin — bit-equal z, rounded half-away to 9. The window
+    sum is 9 shifted adds per tile (separable would also work); no
+    shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        n = side * side
+        Y, X = np.mgrid[0:side, 0:side]
+        out: dict[str, list] = {k: [] for k in
+                                ("tile_x", "tile_y", "px", "py", "wsum",
+                                 "n_w", "z_r")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            s = int(q.sum())
+            s2 = int((q * q).sum())
+            wsum = np.zeros((side, side), np.int64)
+            n_w = np.zeros((side, side), np.int64)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ys0, ys1 = max(0, dy), side + min(0, dy)
+                    xs0, xs1 = max(0, dx), side + min(0, dx)
+                    wsum[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] += \
+                        q[ys0:ys1, xs0:xs1]
+                    n_w[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] += 1
+            numer = (n * wsum - s * n_w).astype(np.float64)
+            g = np.sqrt(np.float64(n * s2 - s * s))
+            h = np.sqrt((n * n_w - n_w * n_w).astype(np.float64)
+                        / np.float64(n - 1))
+            z = numer / (g * h)
+            out["tile_x"].append(np.full(n, txs[i], np.int64))
+            out["tile_y"].append(np.full(n, tys[i], np.int64))
+            out["px"].append(X.ravel().astype(np.int64))
+            out["py"].append(Y.ravel().astype(np.int64))
+            out["wsum"].append(wsum.ravel())
+            out["n_w"].append(n_w.ravel())
+            out["z_r"].append(round_half_away(z.ravel(), 9))
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in out.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -374,3 +374,21 @@ def test_bfs_depth_matches_true_bfs_and_dual_path_parity():
     slow = _graph.bfs_depth_hosts(small, rounds=2, local_bound=0) \
         .to_pandas().sort_values("host").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_clustering_coeff_dual_path_parity_and_identities():
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    fast = _graph.clustering_coeff_hosts(pages).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    slow = _graph.clustering_coeff_hosts(pages, local_bound=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    # Σ tri(v) = 3·(global triangle count)
+    glob = _graph.triangle_count_hosts(pages).to_pandas()
+    assert int(fast["tri"].sum()) == 3 * int(glob["n_triangles"].iloc[0])
+    # cc ∈ [0, 1]; deg<2 rows are exactly 0
+    assert ((fast["cc_r"] >= 0) & (fast["cc_r"] <= 1)).all()
+    assert (fast.loc[fast["deg"] < 2, "cc_r"] == 0).all()

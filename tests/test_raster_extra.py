@@ -780,3 +780,83 @@ def test_focal_majority_matches_counter_reference_and_ties_to_min():
             assert int(r["mode_q"]) == winners[0]
             assert int(r["mode_n"]) == mx
     assert saw_tie  # the tie rule is actually exercised
+
+
+def test_variogram_scalar_reference_and_symmetry():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -160.0,
+                              -90.0, -70.0)
+    out = raster.variogram_stage(small, side=16).to_pandas()
+    for (tx, ty, ax, lag), g in out.groupby(["tile_x", "tile_y", "axis",
+                                             "lag"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        lag = int(lag)
+        ss = n = 0
+        for y in range(16):
+            for x in range(16):
+                if ax == "x" and x + lag < 16:
+                    ss += int(q[y, x + lag] - q[y, x]) ** 2
+                    n += 1
+                if ax == "y" and y + lag < 16:
+                    ss += int(q[y + lag, x] - q[y, x]) ** 2
+                    n += 1
+        assert int(g["ss"].iloc[0]) == ss
+        assert int(g["n_pairs"].iloc[0]) == n
+        assert float(g["gamma_r"].iloc[0]) == round(ss / (2 * n), 9)
+
+
+def test_moran_i_known_fields():
+    from geospatial_learn_ray.stages import raster
+
+    # Checkerboard → strong negative autocorrelation; smooth gradient →
+    # strong positive. Build tiny in-memory tiles through the same stage.
+    import pyarrow as pa
+    import ray.data
+
+    side = 8
+    yy, xx = np.mgrid[0:side, 0:side]
+    checker = ((xx + yy) % 2).astype(np.float32) * 3.0
+    grad = (xx / 2.0).astype(np.float32)
+    tbl = pa.table({
+        "tile_x": pa.array([0, 1], pa.int32()),
+        "tile_y": pa.array([0, 0], pa.int32()),
+        "band_values": pa.array([checker.ravel() / 2.0, grad.ravel() / 2.0],
+                                pa.list_(pa.float32())),
+    })
+    out = raster.moran_i_stage(ray.data.from_arrow(tbl),
+                               side=side).to_pandas()
+    m = out.set_index("tile_x")["moran_r"]
+    assert m.loc[0] < -0.9          # checkerboard alternates perfectly
+    assert m.loc[1] > 0.5           # gradient is smooth
+    # exact-integer identity: I = n*num / (w*den)
+    r0 = out[out.tile_x == 0].iloc[0]
+    assert float(r0["moran_r"]) == round(
+        (r0["n"] * r0["num"]) / (r0["w_pairs"] * r0["den"]), 9)
+
+
+def test_getis_gi_zscores_center_on_zero_and_flag_extremes():
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -170.0,
+                              -90.0, -70.0)
+    out = raster.getis_gi_stage(small, side=16).to_pandas()
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        n = 256
+        s, s2 = q.sum(), (q * q).sum()
+        xbar, sd = s / n, np.sqrt(s2 / n - (s / n) ** 2)
+        # spot-check the classic formula at an interior pixel
+        r = g[(g.px == 5) & (g.py == 7)].iloc[0]
+        w = int(r["n_w"])
+        assert w == 9
+        z_ref = (r["wsum"] - xbar * w) / (
+            sd * np.sqrt((n * w - w * w) / (n - 1)))
+        assert abs(float(r["z_r"]) - z_ref) < 1e-6
+        # window sums are exact: Σ wsum over pixels counts each q once
+        # per window containing it = Σ q · n_w
+        assert int(g["wsum"].sum()) == int(
+            (q * g.sort_values(["py", "px"])["n_w"].to_numpy()
+             .reshape(16, 16)).sum())
