@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moran_i_tiles": _q_moran_i,
         "getis_gi_tiles": _q_getis_gi,
         "clustering_coeff_hosts": _q_clustering_coeff,
+        "mi_lang_quality_docs": _q_mi_lang_quality,
     }
 
 
@@ -903,6 +904,28 @@ def oracle_sql() -> dict[str, str]:
         "moran_i_tiles": _moran_sql(),
         "getis_gi_tiles": _getis_sql(),
         "clustering_coeff_hosts": _clustering_sql(),
+        "mi_lang_quality_docs": (
+            "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
+            f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "
+            f"  {_QUALITY_STOP}::DOUBLE / {_QUALITY_WS} AS stop_ratio "
+            "  FROM documents), "
+            "q AS (SELECT lang, "
+            "  ROUND(0.4 * LEAST(n_chars / 500.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0) "
+            "        + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 4) AS quality FROM t), "
+            "bk AS (SELECT lang, LEAST(CAST(ROUND(quality * 10000, 0) AS BIGINT) // 2000, 4) AS bucket FROM q), "
+            "c AS (SELECT lang, bucket, COUNT(*)::BIGINT AS n FROM bk GROUP BY lang, bucket), "
+            "x AS (SELECT lang, bucket, n, "
+            "  SUM(n) OVER (PARTITION BY lang) AS n_lang, "
+            "  SUM(n) OVER (PARTITION BY bucket) AS n_bucket, "
+            "  SUM(n) OVER () AS n_total FROM c) "
+            "SELECT lang, CAST(bucket AS BIGINT) AS bucket, n, "
+            "CAST(n_lang AS BIGINT) AS n_lang, CAST(n_bucket AS BIGINT) AS n_bucket, "
+            "CAST(n_total AS BIGINT) AS n_total, "
+            "CAST((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) * "
+            "ln((CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE)) / "
+            "(CAST(n_bucket AS DOUBLE) / CAST(n_total AS DOUBLE))) AS FLOAT) AS mi_term "
+            "FROM x"
+        ),
         "neyman_allocation_orders": (
             "WITH c AS (SELECT o_orderpriority AS st, COUNT(*) AS n, "
             "  SUM(CAST(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"

@@ -1753,6 +1753,11 @@ def _q_media_loudness(sf_dir: str):
     return multimodal.loudness_stage(media)
 
 
+def _q_mi_lang_quality(sf_dir: str):
+    return textstages.mi_lang_quality(
+        _rp(sf_dir, "documents", ["text", "lang"]))
+
+
 def _q_clustering_coeff(sf_dir: str):
     from geospatial_learn_ray.stages import graph as _graph
 

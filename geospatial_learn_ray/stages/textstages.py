@@ -1666,3 +1666,56 @@ def crawl_frontier(pages: ray.data.Dataset, url_col: str = "url",
     return bucket_exchange(
         pages.select_columns([url_col]).map_batches(prep, batch_format="pyarrow"),
         rank)
+
+
+def mi_lang_quality(docs: ray.data.Dataset, text_col: str = "text",
+                    lang_col: str = "lang") -> ray.data.Dataset:
+    """Mutual information between language and quality bucket — the
+    corpus-curation diagnostic ("does quality filtering skew the language
+    mix?", the DSIR/CCNet audit companion). Quality is the repo's exact
+    4-decimal linear score; bucket = min(qk // 2000, 4) on its integer
+    key (pure integer, no float boundary risk). Per-(lang, bucket) MI
+    term = (n/N)·ln((n/n_lang)/(n_bucket/N)) — every division is one
+    correctly-rounded op on exact integer operands and numpy log ==
+    DuckDB ln bit-for-bit on this box (tfidf precedent), final value
+    snapped to f32. Ratios-of-ratios keep magnitudes O(1), so no product
+    ever approaches 2⁵³ at any corpus size.
+
+    Scale shape: per-block partial counts (≤ #langs×5 rows each) → ONE
+    single-bucket exchange sums and finalizes the ≤25-cell table — the
+    only global state is that tiny contingency table."""
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = textproc.quality_scores(b[text_col])["quality"].to_numpy(np.float64)
+        qk = round_half_away(
+            round_half_away(q, 4) * 10000.0, 0).astype(np.int64)
+        bucket = np.minimum(qk // 2000, 4)
+        g = pd.DataFrame({"lang": b[lang_col].to_numpy(object),
+                          "bucket": bucket}) \
+            .groupby(["lang", "bucket"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        g["_part"] = np.int32(0)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]) \
+            .groupby(["lang", "bucket"], as_index=False)["n"].sum()
+        c["n"] = c["n"].astype(np.int64)
+        n_total = np.int64(c["n"].sum())
+        c["n_lang"] = c.groupby("lang")["n"].transform("sum").astype(np.int64)
+        c["n_bucket"] = c.groupby("bucket")["n"].transform("sum") \
+            .astype(np.int64)
+        c["n_total"] = n_total
+        nf = c["n"].to_numpy(np.float64)
+        term = (nf / np.float64(n_total)) * np.log(
+            (nf / c["n_lang"].to_numpy(np.float64))
+            / (c["n_bucket"].to_numpy(np.float64) / np.float64(n_total)))
+        c["mi_term"] = term.astype(np.float32)
+        return c
+
+    return bucket_exchange(
+        docs.select_columns([text_col, lang_col]).map_batches(
+            partial, batch_format="pandas"),
+        combine, small_partials=True)

@@ -841,3 +841,23 @@ def test_crawl_frontier_politeness_invariants():
         assert (np.diff(g["sched_ms"].to_numpy()) == d).all()
         # priority order is the id-hash draw
         assert (np.diff(g["draw"].to_numpy()) >= 0).all()
+
+
+def test_mi_lang_quality_is_nonneg_and_marginals_consistent():
+    import ray.data
+
+    from geospatial_learn_ray.stages import textstages
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["text", "lang"])
+    out = textstages.mi_lang_quality(docs).to_pandas()
+    # MI = Σ terms ≥ 0 (information inequality); exact f32-valued sum
+    assert float(out["mi_term"].astype(np.float64).sum()) >= 0.0
+    # marginals recompose: Σ_b n(l,b) = n_lang(l), Σ n = n_total
+    for lang, g in out.groupby("lang"):
+        assert int(g["n"].sum()) == int(g["n_lang"].iloc[0])
+    assert int(out["n"].sum()) == int(out["n_total"].iloc[0])
+    # independence sanity: shuffled-independent table would have ~0 MI;
+    # each term's sign matches n vs expected
+    exp = out["n_lang"] * out["n_bucket"] / out["n_total"]
+    assert ((out["mi_term"] > 0) == (out["n"] > exp)).all()
