@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_gi_tiles": _q_getis_gi,
         "clustering_coeff_hosts": _q_clustering_coeff,
         "mi_lang_quality_docs": _q_mi_lang_quality,
+        "cost_distance_tiles": _q_cost_distance,
     }
 
 
@@ -357,6 +358,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _moran_sql,
     _getis_sql,
     _clustering_sql,
+    _cost_distance_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -904,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i_tiles": _moran_sql(),
         "getis_gi_tiles": _getis_sql(),
         "clustering_coeff_hosts": _clustering_sql(),
+        "cost_distance_tiles": _cost_distance_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

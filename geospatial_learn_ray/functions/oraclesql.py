@@ -3982,3 +3982,41 @@ def _clustering_sql(out_links: int = 4, host_mod: int = 1000) -> str:
         "CAST(nd.deg * (nd.deg - 1) AS DOUBLE), 9) END AS cc_r "
         "FROM nd LEFT JOIN tc ON tc.node = nd.node"
     )
+
+
+def _cost_distance_sql(side: int = 16, quant: float = 2.0, offset: int = 5,
+                       rounds: int = 36, tx_max: int = 15,
+                       ty_max: int = 15) -> str:
+    """SQL twin of raster.cost_distance_stage: the identical fixed-round
+    integer min-plus recurrence, each round one SELECT whose 4-neighbor
+    minimum is LAG/LEAD over the row partition + LAG/LEAD over the column
+    partition (the window-function focal recipe — no self-join)."""
+    inf = 1 << 40
+    ctes = [
+        "d0 AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) + {offset} "
+        "AS c, "
+        f"CASE WHEN px = 0 AND py = 0 THEN 0 ELSE {inf} END AS d "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT tile_x, tile_y, px, py, c, "
+            "LEAST(d, LEAST("
+            f"COALESCE(LAG(d) OVER (PARTITION BY tile_x, tile_y, py "
+            f"ORDER BY px), {inf}), "
+            f"COALESCE(LEAD(d) OVER (PARTITION BY tile_x, tile_y, py "
+            f"ORDER BY px), {inf}), "
+            f"COALESCE(LAG(d) OVER (PARTITION BY tile_x, tile_y, px "
+            f"ORDER BY py), {inf}), "
+            f"COALESCE(LEAD(d) OVER (PARTITION BY tile_x, tile_y, px "
+            f"ORDER BY py), {inf})) + c) AS d "
+            f"FROM d{p})")
+    return (
+        f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, CAST(c AS BIGINT) AS cost, "
+        f"CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )

