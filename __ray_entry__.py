@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_hosts": _q_clustering_coeff,
         "mi_lang_quality_docs": _q_mi_lang_quality,
         "cost_distance_tiles": _q_cost_distance,
+        "hyperanf_hosts": _q_hyperanf_hosts,
     }
 
 
@@ -359,6 +360,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _getis_sql,
     _clustering_sql,
     _cost_distance_sql,
+    _hyperanf_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -907,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "getis_gi_tiles": _getis_sql(),
         "clustering_coeff_hosts": _clustering_sql(),
         "cost_distance_tiles": _cost_distance_sql(),
+        "hyperanf_hosts": _hyperanf_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

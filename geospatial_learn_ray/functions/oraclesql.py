@@ -4020,3 +4020,66 @@ def _cost_distance_sql(side: int = 16, quant: float = 2.0, offset: int = 5,
         "CAST(py AS BIGINT) AS py, CAST(c AS BIGINT) AS cost, "
         f"CAST(d AS BIGINT) AS dist FROM d{rounds}"
     )
+
+
+def _hyperanf_sql(rounds: int = 3, out_links: int = 4,
+                  host_mod: int = 1000) -> str:
+    """SQL twin of graph.hyperanf_hosts: the identical p=4 HLL register
+    chain (splitmix64 of the node id, rank capped at 53), max-merged over
+    undirected neighbors per unrolled round, harmonic sum as the EXACT
+    integer Σ 2^(53−reg) + zeros·2^53 ≤ 16·2^53 < 2⁶⁴ (single
+    correctly-rounded HUGEINT→DOUBLE cast), α·m² inlined as the
+    engine's Python-computed repr literal, linear counting below
+    2.5·m with the proven LN parity."""
+    m = 16
+    am2 = float((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "ha")])
+    node_h = _sg.chain(
+        "SELECT node FROM nodes",
+        [*_sg.splitmix64_steps("CAST(node AS HUGEINT)", "_h", "hn")])
+    # rest = (h << 4) | 0xF in 64 bits; rank = 64 - floor(log2(rest)), ≤ 53
+    rest = "(_h & 1152921504606846975) * 16 + 15"
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj)",
+        f"hx AS MATERIALIZED ({node_h})",
+        "r0 AS MATERIALIZED (SELECT node, CAST(_h >> 60 AS BIGINT) AS idx, "
+        f"LEAST(64 - CAST(FLOOR(LOG2(CAST({rest} AS DOUBLE))) AS BIGINT), 53) "
+        "AS reg FROM hx)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT node, idx, MAX(reg) AS reg FROM ("
+            f"SELECT node, idx, reg FROM r{t - 1} "
+            f"UNION ALL SELECT adj.v AS node, r.idx, r.reg FROM adj "
+            f"JOIN r{t - 1} r ON r.node = adj.u) GROUP BY node, idx)")
+    ests = " UNION ALL ".join(
+        f"SELECT node, CAST({t} AS BIGINT) AS rnd, COUNT(*) AS nzc, "
+        "SUM(9007199254740992 // (CAST(1 AS BIGINT) << reg)) "
+        f"+ ({m} - COUNT(*)) * CAST(9007199254740992 AS HUGEINT) AS ssc "
+        f"FROM r{t} GROUP BY node"
+        for t in range(0, rounds + 1))
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + ", "
+        f"s AS ({ests}), "
+        f"e AS (SELECT node, rnd, nzc, {m} - nzc AS zeros, "
+        f"CAST({am2!r} AS DOUBLE) / (CAST(ssc AS DOUBLE) "
+        "/ CAST(9007199254740992 AS DOUBLE)) AS est FROM s) "
+        "SELECT CAST(node AS BIGINT) AS host, rnd AS \"round\", "
+        "CAST(nzc AS BIGINT) AS nz, "
+        f"ROUND(CASE WHEN est <= CAST(2.5 AS DOUBLE) * {m} AND zeros > 0 "
+        f"THEN CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / zeros) "
+        "ELSE est END, 1) AS ball FROM e"
+    )

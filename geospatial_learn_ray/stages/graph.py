@@ -1455,3 +1455,203 @@ def clustering_coeff_hosts(pages: ray.data.Dataset,
     both = deg.map_batches(tag_deg, batch_format="pandas").union(
         tric.map_batches(tag_tri, batch_format="pandas"))
     return bucket_exchange(both, finalize)
+
+
+HANF_P = 4          # 16 registers — ample for ≤10^3-host balls, tiny rows
+HANF_RANK_CAP = 53  # keeps 2^(53-reg) an exact integer (grouped-HLL rule)
+
+
+def hyperanf_hosts(pages: ray.data.Dataset, rounds: int = 3,
+                   num_buckets: int = 64,
+                   local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """HyperANF (Boldi-Rosa-Vigna 2011): the per-node neighborhood
+    function |B(v, t)| estimated by one HLL sketch per node, max-merged
+    over neighbors each round — the web-graph "how fast does my crawl
+    frontier grow" diagnostic. m = 16 registers (p = 4), rank capped at
+    53 so the harmonic sum is the EXACT integer Σ 2^(53−reg)
+    (+ zeros·2^53) — ssc ≤ 16·2^53 < 2⁶⁴, so the SQL twin's single
+    HUGEINT→DOUBLE cast is correctly rounded (CLAUDE.md two-limb rule not
+    needed). est = α·m² / (ssc/2^53), linear counting below 2.5·m —
+    identical f64 chains both sides, ROUND(·,1).
+    → (host, round, nz, ball) for round = 0..rounds.
+
+    Scale shape per round: one union-tag bucketed join (adjacency ⋈
+    sparse (node, idx, reg) rows on u — m·E narrow int rows) + one
+    (node, idx) max-combine exchange; estimates reduce per node in the
+    same node-keyed buckets. Below ``local_bound`` pairs the driver fast
+    path runs dense numpy max-scatter rounds (HITS/BFS pattern;
+    dual-path bit parity pytest-enforced)."""
+    from .sketches import _hll_ranks
+
+    p = HANF_P
+    m = 1 << p
+    am2 = float((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    def node_regs(nodes_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(nodes_arr.astype(np.uint64))
+        finally:
+            np.seterr(**old)
+        idx, rank = _hll_ranks(h, p)
+        return idx, np.minimum(rank, HANF_RANK_CAP)
+
+    def est_frame(hosts: np.ndarray, regs: np.ndarray,
+                  t: int) -> pd.DataFrame:
+        """dense (n, m) int64 regs → (host, round, nz, ball)."""
+        ssc = (np.int64(1) << (np.int64(HANF_RANK_CAP) - regs)).sum(axis=1)
+        zeros = (regs == 0).sum(axis=1).astype(np.int64)
+        est = am2 / (ssc.astype(np.float64) / 9007199254740992.0)
+        lin = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(
+                lin, np.float64(m) * np.log(
+                    np.float64(m)
+                    / np.where(zeros > 0, zeros, 1).astype(np.float64)),
+                est)
+        return pd.DataFrame({"host": hosts,
+                             "round": np.full(len(hosts), t, np.int64),
+                             "nz": np.int64(m) - zeros,
+                             "ball": round_half_away(est, 1)})
+
+    if pairs.count() <= local_bound:
+        pdf = pairs.to_pandas()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        nodes_arr, inv = np.unique(np.concatenate([a, b]),
+                                   return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        n = len(nodes_arr)
+        idx, rank = node_regs(nodes_arr)
+        regs = np.zeros((n, m), np.int64)
+        regs[np.arange(n), idx] = rank
+        outs = [est_frame(nodes_arr, regs, 0)]
+        for t in range(1, rounds + 1):
+            nd = regs.copy()
+            np.maximum.at(nd, ai, regs[bi])
+            np.maximum.at(nd, bi, regs[ai])
+            regs = nd
+            outs.append(est_frame(nodes_arr, regs, t))
+        return ray.data.from_pandas(pd.concat(outs, ignore_index=True))
+
+    def both_dirs(bdf: pd.DataFrame) -> pd.DataFrame:
+        a = bdf["a"].to_numpy(np.int64)
+        z = bdf["b"].to_numpy(np.int64)
+        d = pd.DataFrame({"v": np.concatenate([a, z]),
+                          "u": np.concatenate([z, a])})
+        d["_part"] = _bkt(d["v"].to_numpy(np.int64), num_buckets)
+        return d
+
+    adj = bucket_exchange(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"])).materialize()
+
+    def init_regs(bdf: pd.DataFrame) -> pd.DataFrame:
+        nd = np.unique(bdf["v"].to_numpy(np.int64))
+        idx, rank = node_regs(nd)
+        d = pd.DataFrame({"node": nd, "idx": idx, "reg": rank})
+        d["_part"] = _bkt(d["node"].to_numpy(np.int64), num_buckets)
+        return d
+
+    regs_ds = bucket_exchange(
+        adj.map_batches(init_regs, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["node", "idx"]),
+    ).materialize()
+
+    def sparse_est(t: int):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            r = g.drop(columns=["_part"])
+            gb = r.groupby("node", sort=False)
+            ssc = gb["reg"].apply(
+                lambda s: int((np.int64(1) << (np.int64(HANF_RANK_CAP)
+                                               - s.to_numpy(np.int64)))
+                              .sum()))
+            cnt = gb.size()
+            hosts = ssc.index.to_numpy(np.int64)
+            sscv = ssc.to_numpy(np.int64) \
+                + (np.int64(m) - cnt.to_numpy(np.int64)) \
+                * (np.int64(1) << np.int64(HANF_RANK_CAP))
+            zeros = (np.int64(m) - cnt.to_numpy(np.int64))
+            est = am2 / (sscv.astype(np.float64) / 9007199254740992.0)
+            lin = (est <= 2.5 * m) & (zeros > 0)
+            with np.errstate(divide="ignore"):
+                est = np.where(
+                    lin, np.float64(m) * np.log(
+                        np.float64(m)
+                        / np.where(zeros > 0, zeros, 1).astype(np.float64)),
+                    est)
+            return pd.DataFrame({"host": hosts,
+                                 "round": np.full(len(hosts), t, np.int64),
+                                 "nz": np.int64(m) - zeros,
+                                 "ball": round_half_away(est, 1)})
+        return fn
+
+    def part_regs(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf[["node", "idx", "reg"]].copy()
+        o["_part"] = _bkt(o["node"].to_numpy(np.int64), num_buckets)
+        return o
+
+    def max_regs(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]) \
+            .groupby(["node", "idx"], sort=False, as_index=False)["reg"].max()
+        o["reg"] = o["reg"].astype(np.int64)
+        return o
+
+    out = bucket_exchange(regs_ds.map_batches(part_regs,
+                                              batch_format="pandas"),
+                          sparse_est(0))
+    for t in range(1, rounds + 1):
+        # adjacency ⋈ regs on u: tagged union (regs are multi-row per node)
+        def tag_a(b: pd.DataFrame) -> pd.DataFrame:
+            d = b[["v", "u"]].copy()
+            d["idx"] = np.int64(0)
+            d["reg"] = np.int64(0)
+            d["_t"] = np.int8(0)
+            d["_part"] = _bkt(d["u"].to_numpy(np.int64), num_buckets)
+            return d
+
+        def tag_r(b: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({"v": np.zeros(len(b), np.int64),
+                              "u": b["node"].to_numpy(np.int64),
+                              "idx": b["idx"].to_numpy(np.int64),
+                              "reg": b["reg"].to_numpy(np.int64)})
+            d["_t"] = np.int8(1)
+            d["_part"] = _bkt(d["u"].to_numpy(np.int64), num_buckets)
+            return d
+
+        def nbr_regs(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["_t"] == 0, ["v", "u"]]
+            r = g.loc[g["_t"] == 1, ["u", "idx", "reg"]]
+            j = e.merge(r, on="u", how="inner")
+            return pd.DataFrame({"node": j["v"].to_numpy(np.int64),
+                                 "idx": j["idx"].to_numpy(np.int64),
+                                 "reg": j["reg"].to_numpy(np.int64)})
+
+        nbr = bucket_exchange(
+            adj.map_batches(tag_a, batch_format="pandas").union(
+                regs_ds.map_batches(tag_r, batch_format="pandas")),
+            nbr_regs)
+        regs_ds = bucket_exchange(
+            nbr.union(regs_ds).map_batches(part_regs,
+                                           batch_format="pandas"),
+            max_regs).materialize()
+        out = out.union(bucket_exchange(
+            regs_ds.map_batches(part_regs, batch_format="pandas"),
+            sparse_est(t)))
+    return out

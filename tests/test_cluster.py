@@ -392,3 +392,28 @@ def test_clustering_coeff_dual_path_parity_and_identities():
     # cc ∈ [0, 1]; deg<2 rows are exactly 0
     assert ((fast["cc_r"] >= 0) & (fast["cc_r"] <= 1)).all()
     assert (fast.loc[fast["deg"] < 2, "cc_r"] == 0).all()
+
+
+def test_hyperanf_dual_path_parity_and_properties():
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    key = ["host", "round"]
+    fast = _graph.hyperanf_hosts(pages, rounds=2).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    slow = _graph.hyperanf_hosts(pages, rounds=2, local_bound=0) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    # round 0 is the singleton ball: exactly one live register, and the
+    # linear-counting estimate 16·ln(16/15) for every node
+    r0 = fast[fast["round"] == 0]
+    assert (r0["nz"] == 1).all()
+    assert r0["ball"].nunique() == 1
+    assert abs(r0["ball"].iloc[0] - 16 * np.log(16 / 15)) < 0.06
+    # registers only max-merge: nz (and so the sketch) is monotone per host
+    g = fast.sort_values(key).groupby("host")["nz"]
+    assert (g.diff().dropna() >= 0).all()
+    # every endpoint of every edge is present, at every round
+    assert set(fast["round"].unique()) == {0, 1, 2}
+    assert fast.groupby("round")["host"].nunique().nunique() == 1
