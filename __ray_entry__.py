@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mi_lang_quality_docs": _q_mi_lang_quality,
         "cost_distance_tiles": _q_cost_distance,
         "hyperanf_hosts": _q_hyperanf_hosts,
+        "quadtree_cells_pages": _q_quadtree_cells,
     }
 
 
@@ -361,6 +362,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _clustering_sql,
     _cost_distance_sql,
     _hyperanf_sql,
+    _quadtree_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -910,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff_hosts": _clustering_sql(),
         "cost_distance_tiles": _cost_distance_sql(),
         "hyperanf_hosts": _hyperanf_sql(),
+        "quadtree_cells_pages": _quadtree_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -4083,3 +4083,43 @@ def _hyperanf_sql(rounds: int = 3, out_links: int = 4,
         f"THEN CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / zeros) "
         "ELSE est END, 1) AS ball FROM e"
     )
+
+
+def _quadtree_sql(cap: int = 25, max_depth: int = 8) -> str:
+    """SQL twin of cellindex.quadtree_cells: the closed-form tree — n_d
+    CTEs roll the depth-``max_depth`` cell counts up level by level
+    (pure integer sums; the FLOOR cell keys are the identical f64
+    expression both sides), the ok_d chain keeps exactly the cells all
+    of whose ancestors split, leaves are ok cells at/below cap (or at
+    the floor). Mirrors the engine's driver/shallow + per-subtree/deep
+    split, which partitions the same closed form."""
+    side = 1 << max_depth
+    ctes = [
+        f"n{max_depth} AS MATERIALIZED (SELECT "
+        "LEAST(CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE) "
+        f"* CAST({side} AS DOUBLE)) AS BIGINT), {side - 1}) AS cx, "
+        "LEAST(CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / CAST(180 AS DOUBLE) "
+        f"* CAST({side} AS DOUBLE)) AS BIGINT), {side - 1}) AS cy, "
+        "COUNT(*) AS n FROM loc GROUP BY 1, 2)",
+    ]
+    for d in range(max_depth - 1, -1, -1):
+        ctes.append(
+            f"n{d} AS MATERIALIZED (SELECT cx // 2 AS cx, cy // 2 AS cy, "
+            f"SUM(n) AS n FROM n{d + 1} GROUP BY 1, 2)")
+    ctes.append("ok0 AS (SELECT cx, cy, n FROM n0)")
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"ok{d} AS MATERIALIZED (SELECT c.cx, c.cy, c.n FROM n{d} c "
+            f"JOIN ok{d - 1} p ON p.cx = c.cx // 2 AND p.cy = c.cy // 2 "
+            f"WHERE p.n > {cap})")
+    leaves = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth, cx, cy, n FROM ok{d} "
+        + (f"WHERE n <= {cap}" if d < max_depth else "")
+        for d in range(0, max_depth + 1))
+    loc = _sg.chain("SELECT url FROM pages", _sg.geocode_steps())
+    return (
+        f"WITH {pages_sql()}, loc AS MATERIALIZED ({loc}), "
+        + ", ".join(ctes) + " "
+        "SELECT depth, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, "
+        f"CAST(n AS BIGINT) AS n_points FROM ({leaves})"
+    )

@@ -237,3 +237,156 @@ def idw_grid(pages: ray.data.Dataset, url_col: str = "url",
         pages.select_columns([url_col, text_col]).map_batches(
             prep, batch_format="pyarrow"),
         combine)
+
+
+QT_DEPTH = 8    # finest split level: 256x256 base cells
+QT_PREFIX = 3   # subtree/bucket level: 4^3 = 64 bounded exchange keys
+QT_CAP = 25     # split a cell while it holds more than this many points
+
+
+def quadtree_cells(pages: ray.data.Dataset, url_col: str = "url",
+                   cap: int = QT_CAP, max_depth: int = QT_DEPTH,
+                   prefix: int = QT_PREFIX) -> ray.data.Dataset:
+    """Adaptive quadtree partitioning of the geocoded pages — the
+    skew-aware spatial partitioner: a cell splits into 4 while it holds
+    more than ``cap`` points, so the hot-city cells (30% of rows in 5
+    jitter boxes, geo.py:48) descend to ``max_depth`` while the sparse
+    background stays shallow. Returns the NONEMPTY leaf inventory
+    (depth, cx, cy, n_points) — the partition layout a 100 TB spatial
+    join would bucket by instead of a fixed grid.
+
+    Scale shape: the tree is CLOSED-FORM in the per-depth counts (a
+    depth-d cell is a leaf iff its count ≤ cap — or d = max_depth —
+    and every ancestor's count > cap), so no split iterations run:
+    one map pass emits per-block (cx, cy, n) partials at max_depth
+    (O(distinct cells/block) rows, never O(points)); a bounded
+    4^prefix-row exchange gives the driver the subtree totals that
+    decide depths ≤ prefix; ONE bucketed exchange keyed on the
+    depth-``prefix`` cell co-locates each subtree, whose combiner
+    rolls up counts and walks the ok-chain locally. The Zipf-hot
+    subtree ships #blocks partial rows, not its point count."""
+    from .exchange import bucket_exchange
+
+    assert 0 < prefix < max_depth
+    side = 1 << max_depth
+    shift = max_depth - prefix
+    pmask = (1 << prefix) - 1
+
+    def cellify(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        cx = np.minimum(np.floor((lon + 180.0) / 360.0 * float(side)),
+                        side - 1).astype(np.int64)
+        cy = np.minimum(np.floor((lat + 90.0) / 180.0 * float(side)),
+                        side - 1).astype(np.int64)
+        d = pd.DataFrame({"cx": cx, "cy": cy}) \
+            .groupby(["cx", "cy"], sort=False).size().reset_index(name="n")
+        d["n"] = d["n"].astype(np.int64)
+        d["_part"] = (((d["cx"].to_numpy(np.int64) >> shift) << prefix)
+                      | (d["cy"].to_numpy(np.int64) >> shift)).astype(np.int32)
+        return d
+
+    partials = pages.select_columns([url_col]) \
+        .map_batches(cellify, batch_format="pyarrow").materialize()
+
+    # bounded driver pull: 4^prefix subtree totals decide depths 0..prefix
+    def to_pref(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("_part", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def sum_pref(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby("_part", as_index=False)["n"].sum()
+        o["n"] = o["n"].astype(np.int64)
+        return o
+
+    pref = bucket_exchange(partials.map_batches(to_pref, batch_format="pandas"),
+                           sum_pref, small_partials=True).to_pandas()
+    lvl = pd.DataFrame({
+        "cx": (pref["_part"].to_numpy(np.int64) >> prefix),
+        "cy": (pref["_part"].to_numpy(np.int64) & pmask),
+        "n": pref["n"].to_numpy(np.int64)})
+    levels = {prefix: lvl}
+    for d in range(prefix - 1, -1, -1):
+        up = levels[d + 1].copy()
+        up["cx"] //= 2
+        up["cy"] //= 2
+        levels[d] = up.groupby(["cx", "cy"], as_index=False)["n"].sum()
+
+    shallow = []
+    ok_prev = None  # (cx, cy) frame of ok cells at the previous depth
+    go: set[int] = set()
+    for d in range(0, prefix + 1):
+        f = levels[d].copy()
+        if d == 0:
+            f["ok"] = True
+        else:
+            par = ok_prev.rename(columns={"cx": "pcx", "cy": "pcy"})
+            f = f.merge(par, left_on=[f["cx"] // 2, f["cy"] // 2],
+                        right_on=["pcx", "pcy"], how="left")
+            f["ok"] = f["ok_split"].notna()
+            f = f[["cx", "cy", "n", "ok"]]
+        leaf = f["ok"] & (f["n"].to_numpy(np.int64) <= cap)
+        sh = f.loc[leaf, ["cx", "cy", "n"]].copy()
+        sh.insert(0, "depth", np.int64(d))
+        shallow.append(sh)
+        f["ok_split"] = f["ok"] & (f["n"].to_numpy(np.int64) > cap)
+        ok_prev = f.loc[f["ok_split"], ["cx", "cy", "ok_split"]]
+        if d == prefix:
+            go = set(((f.loc[f["ok_split"], "cx"].to_numpy(np.int64) << prefix)
+                      | f.loc[f["ok_split"], "cy"].to_numpy(np.int64)).tolist())
+
+    def empty_leaves() -> pd.DataFrame:
+        return pd.DataFrame({"depth": pd.Series([], dtype=np.int64),
+                             "cx": pd.Series([], dtype=np.int64),
+                             "cy": pd.Series([], dtype=np.int64),
+                             "n_points": pd.Series([], dtype=np.int64)})
+
+    go_f = frozenset(go)
+
+    def deep(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for part, sub in g.groupby("_part", sort=False):
+            if int(part) not in go_f:
+                continue
+            cur = sub.groupby(["cx", "cy"], as_index=False)["n"].sum()
+            cur["n"] = cur["n"].astype(np.int64)
+            lv = {max_depth: cur}
+            for d in range(max_depth - 1, prefix, -1):
+                up = lv[d + 1].copy()
+                up["cx"] //= 2
+                up["cy"] //= 2
+                lv[d] = up.groupby(["cx", "cy"], as_index=False)["n"].sum()
+            okf = None
+            for d in range(prefix + 1, max_depth + 1):
+                f = lv[d].copy()
+                if d == prefix + 1:
+                    f["ok"] = True  # subtree root is in go => it split
+                else:
+                    par = okf.rename(columns={"cx": "pcx", "cy": "pcy"})
+                    f = f.merge(par, left_on=[f["cx"] // 2, f["cy"] // 2],
+                                right_on=["pcx", "pcy"], how="left")
+                    f["ok"] = f["ok_split"].notna()
+                    f = f[["cx", "cy", "n", "ok"]]
+                n_arr = f["n"].to_numpy(np.int64)
+                leaf = f["ok"].to_numpy(bool) & ((n_arr <= cap)
+                                                 | (d == max_depth))
+                sh = f.loc[leaf, ["cx", "cy", "n"]].copy()
+                sh.insert(0, "depth", np.int64(d))
+                outs.append(sh)
+                f["ok_split"] = f["ok"] & (n_arr > cap)
+                okf = f.loc[f["ok_split"], ["cx", "cy", "ok_split"]]
+        if not outs:
+            return empty_leaves()
+        o = pd.concat(outs, ignore_index=True)
+        o = o.rename(columns={"n": "n_points"})
+        return o.astype({"depth": np.int64, "cx": np.int64,
+                         "cy": np.int64, "n_points": np.int64})
+
+    deep_ds = bucket_exchange(partials, deep, small_partials=True)
+    sh = pd.concat(shallow, ignore_index=True) if shallow else None
+    if sh is None or not len(sh):
+        return deep_ds
+    sh = sh.rename(columns={"n": "n_points"}).astype(
+        {"depth": np.int64, "cx": np.int64, "cy": np.int64,
+         "n_points": np.int64})
+    return deep_ds.union(ray.data.from_pandas(sh))

@@ -277,3 +277,64 @@ def test_hex_kring_smooth_brute_force_and_block_invariant():
         out = hex_kring_smooth(ray.data.from_arrow(t).repartition(parts)) \
             .to_pandas().sort_values("cell_h3_r7").reset_index(drop=True)
         pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def test_quadtree_matches_bruteforce_and_properties():
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.cellindex import (QT_CAP, QT_DEPTH,
+                                                       quadtree_cells)
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    out = quadtree_cells(pages).to_pandas() \
+        .sort_values(["depth", "cx", "cy"]).reset_index(drop=True)
+
+    urls = pages.to_pandas()["url"]
+    lon, lat = geo.geocode(urls)
+    side = 1 << QT_DEPTH
+    cx = np.minimum(np.floor((lon + 180.0) / 360.0 * float(side)),
+                    side - 1).astype(np.int64)
+    cy = np.minimum(np.floor((lat + 90.0) / 180.0 * float(side)),
+                    side - 1).astype(np.int64)
+    cnt = {d: collections.Counter() for d in range(QT_DEPTH + 1)}
+    for x, y in zip(cx, cy):
+        for d in range(QT_DEPTH + 1):
+            cnt[d][(x >> (QT_DEPTH - d), y >> (QT_DEPTH - d))] += 1
+    leaves = []
+
+    def walk(d, x, y):
+        n = cnt[d].get((x, y), 0)
+        if n == 0:
+            return
+        if n <= QT_CAP or d == QT_DEPTH:
+            leaves.append((d, x, y, n))
+            return
+        for ddx in (0, 1):
+            for ddy in (0, 1):
+                walk(d + 1, 2 * x + ddx, 2 * y + ddy)
+
+    walk(0, 0, 0)
+    ref = pd.DataFrame(sorted(leaves),
+                       columns=["depth", "cx", "cy", "n_points"]) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+
+    # every point in exactly one leaf
+    assert int(out["n_points"].sum()) == len(urls)
+    # leaves are prefix-free: no leaf is an ancestor of another
+    cells = set(zip(out["depth"], out["cx"], out["cy"]))
+    for d, x, y in cells:
+        for dd in range(d):
+            assert (dd, x >> (d - dd), y >> (d - dd)) not in cells
+    # the skew fixture forces hot-city cells to the max depth, over cap
+    deepest = out[out["depth"] == QT_DEPTH]
+    assert len(deepest) >= 3
+    assert (deepest["n_points"] > QT_CAP).all()
+    # block-structure invariance
+    out2 = quadtree_cells(pages.repartition(7)).to_pandas() \
+        .sort_values(["depth", "cx", "cy"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out2, ref)
