@@ -4123,3 +4123,59 @@ def _quadtree_sql(cap: int = 25, max_depth: int = 8) -> str:
         "SELECT depth, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, "
         f"CAST(n AS BIGINT) AS n_points FROM ({leaves})"
     )
+
+
+def _kriging_sql(cs: float = 1.0) -> str:
+    """SQL twin of cellindex.kriging_grid: geocode chain + 3×3 ring
+    replication (idw pattern), (d², url) ROW_NUMBER ranks, rank-1..3
+    pivot, then the EXACT Cramer texts from sqlgen.kriging_cramer_texts
+    embedded verbatim — the engine numpy-evals the same strings, so
+    every f64 op runs in the identical parse order. det = 0 dropped
+    and ±1e6 clamped on both sides."""
+    from . import sqlgen as _sg
+
+    det_t, w1_t, w2_t, w3_t = _sg.kriging_cramer_texts()
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url, text FROM pages",
+                      _sg.geocode_steps("url"))
+    csd = f"CAST({cs!r} AS DOUBLE)"
+
+    def pick(col: str, r: int) -> str:
+        return f"MAX(CASE WHEN rk = {r} THEN {col} END)"
+
+    wide_cols = ", ".join(
+        f"{pick(c, r)} AS {c}{r}"
+        for r in (1, 2, 3) for c in ("lon", "lat", "d2", "v"))
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT url, lon, lat, "
+        "CAST(len(text) AS BIGINT) AS v, "
+        f"CAST(FLOOR(lon / {csd}) AS BIGINT) AS cx, "
+        f"CAST(FLOOR(lat / {csd}) AS BIGINT) AS cy FROM ({inner})), "
+        "rep AS (SELECT cx + dxr.range AS gx, cy + dyr.range AS gy, "
+        "  url, lon, lat, v FROM pts, range(-1, 2) dxr, range(-1, 2) dyr), "
+        "d AS MATERIALIZED (SELECT gx, gy, url, lon, lat, v, "
+        f"  (lon - (CAST(gx AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) "
+        f"  * (lon - (CAST(gx AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) "
+        f"  + (lat - (CAST(gy AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) "
+        f"  * (lat - (CAST(gy AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {csd}) "
+        "  AS d2 FROM rep), "
+        "r AS MATERIALIZED (SELECT gx, gy, url, lon, lat, v, d2, "
+        "  ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY d2, url) AS rk, "
+        "  COUNT(*) OVER (PARTITION BY gx, gy) AS n_cand FROM d), "
+        f"wide AS MATERIALIZED (SELECT gx, gy, MAX(n_cand) AS n_cand, "
+        f"  {wide_cols} FROM r WHERE rk <= 3 GROUP BY gx, gy "
+        "  HAVING MAX(n_cand) >= 3), "
+        "gam AS (SELECT gx, gy, n_cand, "
+        "  SQRT((lon1 - lon2) * (lon1 - lon2) + (lat1 - lat2) * (lat1 - lat2)) AS g12, "
+        "  SQRT((lon1 - lon3) * (lon1 - lon3) + (lat1 - lat3) * (lat1 - lat3)) AS g13, "
+        "  SQRT((lon2 - lon3) * (lon2 - lon3) + (lat2 - lat3) * (lat2 - lat3)) AS g23, "
+        "  SQRT(d21) AS b1, SQRT(d22) AS b2, SQRT(d23) AS b3, "
+        "  CAST(v1 AS DOUBLE) AS v1, CAST(v2 AS DOUBLE) AS v2, "
+        "  CAST(v3 AS DOUBLE) AS v3 FROM wide), "
+        f"sol AS (SELECT gx, gy, n_cand, {det_t} AS det, "
+        f"  {w1_t} AS w1, {w2_t} AS w2, {w3_t} AS w3, v1, v2, v3 FROM gam) "
+        "SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy, "
+        "CAST(n_cand AS BIGINT) AS n_cand, "
+        "ROUND(LEAST(GREATEST(((w1 * v1 + w2 * v2) + w3 * v3) / det, "
+        "CAST(-1000000 AS DOUBLE)), CAST(1000000 AS DOUBLE)), 6) AS krig_r "
+        "FROM sol WHERE det <> 0"
+    )

@@ -218,3 +218,57 @@ def s2_lookup_sql() -> str:
 
     vals = ", ".join(f"({i},{int(v)})" for i, v in enumerate(_S2_LOOKUP_POS))
     return f"s2lut(k, v) AS (VALUES {vals})"
+
+
+def _det_text(M: list[list[str]]) -> str:
+    """Fully parenthesized Laplace-expansion determinant text over symbol
+    entries ('0'/'1' simplified away). The SAME string is Python-eval'd on
+    numpy columns by the engine and embedded verbatim in the SQL twin, so
+    both sides run the identical f64 op order (the rfe_rank recipe)."""
+    n = len(M)
+    if n == 1:
+        return M[0][0]
+    terms = []
+    for j, e in enumerate(M[0]):
+        if e == "0":
+            continue
+        minor = [row[:j] + row[j + 1:] for row in M[1:]]
+        sub = _det_text(minor)
+        if sub == "0":
+            continue
+        if e == "1":
+            t = sub
+        elif sub == "1":
+            t = e
+        else:
+            t = f"({e} * {sub})"
+        terms.append((j % 2, t))
+    if not terms:
+        return "0"
+    expr = None
+    for sgn, t in terms:
+        if expr is None:
+            expr = t if sgn == 0 else f"(- {t})"
+        else:
+            expr = f"({expr} - {t})" if sgn else f"({expr} + {t})"
+    return expr
+
+
+def kriging_cramer_texts() -> tuple[str, str, str, str]:
+    """(det, w1, w2, w3) Cramer texts for the 3-point ordinary-kriging
+    system [[0,g12,g13,1],[g12,0,g23,1],[g13,g23,0,1],[1,1,1,0]] λ = 
+    [b1,b2,b3,1]: g are the pairwise neighbor variograms, b the
+    center-to-neighbor ones. λ_j = w_j/det; estimate =
+    (w1·v1 + w2·v2 + w3·v3)/det (one division, no per-λ rounding)."""
+    A = [["0", "g12", "g13", "1"],
+         ["g12", "0", "g23", "1"],
+         ["g13", "g23", "0", "1"],
+         ["1", "1", "1", "0"]]
+    b = ["b1", "b2", "b3", "1"]
+    out = [_det_text(A)]
+    for j in range(3):
+        Aj = [row[:] for row in A]
+        for i in range(4):
+            Aj[i][j] = b[i]
+        out.append(_det_text(Aj))
+    return tuple(out)

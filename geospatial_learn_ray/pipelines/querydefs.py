@@ -1790,6 +1790,12 @@ def _q_bfs_depth_hosts(sf_dir: str):
     return _graph.bfs_depth_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_kriging_grid(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import kriging_grid
+
+    return kriging_grid(read_pages(sf_dir, columns=["url", "text"]))
+
+
 def _q_quadtree_cells(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import quadtree_cells
 

@@ -390,3 +390,119 @@ def quadtree_cells(pages: ray.data.Dataset, url_col: str = "url",
         {"depth": np.int64, "cx": np.int64, "cy": np.int64,
          "n_points": np.int64})
     return deep_ds.union(ray.data.from_pandas(sh))
+
+
+def kriging_grid(pages: ray.data.Dataset, url_col: str = "url",
+                 text_col: str = "text", cs: float = 1.0,
+                 num_buckets: int = 256) -> ray.data.Dataset:
+    """Ordinary kriging (Krige 1951 / Matheron 1963) of the per-page
+    measurement (text length) onto the ``cs``-degree grid — the
+    geostatistical upgrade of `idw_grid`: at each cell center the 3
+    nearest ring candidates (total order (d², url)) get weights from
+    the 4×4 ordinary-kriging system with a linear variogram γ(d) = d,
+    solved by Cramer with `sqlgen.kriging_cramer_texts` — the SAME
+    fully parenthesized expressions are numpy-eval'd here and embedded
+    in the SQL twin, so the f64 op order is identical by construction.
+    λ sums to 1 (unbiasedness) up to fp — pytest checks a constant
+    field reproduces exactly within 1e-9 before rounding.
+
+    Scale shape: identical to idw_grid — map-side 3×3 ring replication
+    (complete for the ring-local neighbor semantics documented here:
+    neighbors are the 3 nearest WITHIN the ring, a bounded candidate
+    set by construction), ONE cell-keyed exchange, vectorized
+    per-bucket top-3 + closed-form solve. No iteration, no driver
+    pulls; near-singular systems are clamped to ±1e6 (both sides) and
+    det = 0 rows dropped (bit-identical det ⇒ identical filter)."""
+    import pyarrow.compute as pc
+
+    from ..functions import geo
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from ..functions.sqlgen import kriging_cramer_texts
+    from .exchange import bucket_exchange
+
+    det_t, w1_t, w2_t, w3_t = kriging_cramer_texts()
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        v = pc.utf8_length(b[text_col]).to_numpy().astype(np.int64)
+        urls = b[url_col].to_pandas().to_numpy(object)
+        cx = np.floor(lon / cs).astype(np.int64)
+        cy = np.floor(lat / cs).astype(np.int64)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                parts.append(pd.DataFrame({
+                    "gx": cx + dx, "gy": cy + dy, "url": urls,
+                    "lon": lon, "lat": lat, "v": v}))
+        d = pd.concat(parts, ignore_index=True)
+        old = np.seterr(over="ignore")
+        try:
+            key = (d["gx"].to_numpy(np.int64) * 100003
+                   + d["gy"].to_numpy(np.int64))
+            d["_part"] = (splitmix64(key.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        gx = g["gx"].to_numpy(np.int64)
+        gy = g["gy"].to_numpy(np.int64)
+        cxc = (gx.astype(np.float64) + 0.5) * cs
+        cyc = (gy.astype(np.float64) + 0.5) * cs
+        dx = g["lon"].to_numpy(np.float64) - cxc
+        dy = g["lat"].to_numpy(np.float64) - cyc
+        d = pd.DataFrame({"gx": gx, "gy": gy, "url": g["url"],
+                          "lon": g["lon"], "lat": g["lat"],
+                          "v": g["v"].to_numpy(np.int64),
+                          "d2": dx * dx + dy * dy})
+        d = d.sort_values(["gx", "gy", "d2", "url"], kind="mergesort")
+        grp = d.groupby(["gx", "gy"], sort=False)
+        d["rk"] = grp.cumcount()
+        nc = grp.size().rename("n_cand")
+        top = d[d["rk"] < 3]
+        wide = top.set_index(["gx", "gy", "rk"])[
+            ["lon", "lat", "d2", "v"]].unstack("rk")
+        wide.columns = [f"{c}{r + 1}" for c, r in wide.columns]
+        wide = wide.join(nc)
+        wide = wide[wide["n_cand"] >= 3].reset_index()
+        if not len(wide):
+            return pd.DataFrame({
+                "gx": pd.Series([], dtype=np.int64),
+                "gy": pd.Series([], dtype=np.int64),
+                "n_cand": pd.Series([], dtype=np.int64),
+                "krig_r": pd.Series([], dtype=np.float64)})
+        x1 = wide["lon1"].to_numpy(np.float64)
+        x2 = wide["lon2"].to_numpy(np.float64)
+        x3 = wide["lon3"].to_numpy(np.float64)
+        y1 = wide["lat1"].to_numpy(np.float64)
+        y2 = wide["lat2"].to_numpy(np.float64)
+        y3 = wide["lat3"].to_numpy(np.float64)
+        env = {
+            "g12": np.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)),
+            "g13": np.sqrt((x1 - x3) * (x1 - x3) + (y1 - y3) * (y1 - y3)),
+            "g23": np.sqrt((x2 - x3) * (x2 - x3) + (y2 - y3) * (y2 - y3)),
+            "b1": np.sqrt(wide["d21"].to_numpy(np.float64)),
+            "b2": np.sqrt(wide["d22"].to_numpy(np.float64)),
+            "b3": np.sqrt(wide["d23"].to_numpy(np.float64)),
+        }
+        det = eval(det_t, {"__builtins__": {}}, env)  # noqa: S307 — generated text
+        w1 = eval(w1_t, {"__builtins__": {}}, env)  # noqa: S307
+        w2 = eval(w2_t, {"__builtins__": {}}, env)  # noqa: S307
+        w3 = eval(w3_t, {"__builtins__": {}}, env)  # noqa: S307
+        v1 = wide["v1"].to_numpy(np.float64)
+        v2 = wide["v2"].to_numpy(np.float64)
+        v3 = wide["v3"].to_numpy(np.float64)
+        keep = det != 0.0
+        est = ((w1 * v1 + w2 * v2) + w3 * v3)[keep] / det[keep]
+        est = np.clip(est, -1e6, 1e6)
+        return pd.DataFrame({
+            "gx": wide["gx"].to_numpy(np.int64)[keep],
+            "gy": wide["gy"].to_numpy(np.int64)[keep],
+            "n_cand": wide["n_cand"].to_numpy(np.int64)[keep],
+            "krig_r": round_half_away(est, 6)})
+
+    parted = pages.select_columns([url_col, text_col]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return bucket_exchange(parted, combine)

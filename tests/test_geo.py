@@ -338,3 +338,62 @@ def test_quadtree_matches_bruteforce_and_properties():
     out2 = quadtree_cells(pages.repartition(7)).to_pandas() \
         .sort_values(["depth", "cx", "cy"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out2, ref)
+
+
+def test_kriging_matches_independent_solver_and_is_unbiased():
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.cellindex import kriging_grid
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url", "text"])
+    out = kriging_grid(pages).to_pandas() \
+        .sort_values(["gx", "gy"]).reset_index(drop=True)
+    assert len(out) > 10
+
+    # independent reference: same neighbor rule, np.linalg.solve (NOT the
+    # shared Cramer texts) — catches a wrong system both twins could share
+    pdf = pages.to_pandas()
+    lon, lat = geo.geocode(pdf["url"])
+    v = pdf["text"].str.len().to_numpy(np.int64)
+    cx = np.floor(lon).astype(np.int64)
+    cy = np.floor(lat).astype(np.int64)
+    cand = {}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for i in range(len(lon)):
+                cand.setdefault((cx[i] + dx, cy[i] + dy), []).append(i)
+    for _, row in out.sample(min(len(out), 12), random_state=7).iterrows():
+        key = (row["gx"], row["gy"])
+        idx = cand[key]
+        assert len(idx) == row["n_cand"]
+        cxc, cyc = key[0] + 0.5, key[1] + 0.5
+        d2 = [(lon[i] - cxc) ** 2 + (lat[i] - cyc) ** 2 for i in idx]
+        order = sorted(range(len(idx)),
+                       key=lambda j: (d2[j], pdf["url"].iloc[idx[j]]))[:3]
+        pts = [idx[j] for j in order]
+        g = np.zeros((4, 4))
+        for a in range(3):
+            for b in range(3):
+                g[a, b] = np.hypot(lon[pts[a]] - lon[pts[b]],
+                                   lat[pts[a]] - lat[pts[b]])
+            g[a, 3] = g[3, a] = 1.0
+        rhs = np.array([np.hypot(lon[p] - cxc, lat[p] - cyc)
+                        for p in pts] + [1.0])
+        lam = np.linalg.solve(g, rhs)[:3]
+        est = float(np.dot(lam, v[pts]))
+        assert abs(est - row["krig_r"]) < 1e-5
+
+    # unbiasedness (Σλ = 1): a constant field is reproduced exactly
+    import pyarrow as _pa
+    urls = pdf["url"].tolist()
+    const = ray.data.from_arrow(_pa.table({
+        "url": _pa.array(urls), "text": _pa.array(["x" * 100] * len(urls))}))
+    cst = kriging_grid(const).to_pandas()
+    assert np.allclose(cst["krig_r"], 100.0, atol=1e-5)
+
+    # block-structure invariance
+    out2 = kriging_grid(pages.repartition(7)).to_pandas() \
+        .sort_values(["gx", "gy"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
