@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_hosts": _q_hyperanf_hosts,
         "quadtree_cells_pages": _q_quadtree_cells,
         "kriging_grid_pages": _q_kriging_grid,
+        "kn_perplexity_docs": _q_kn_perplexity,
     }
 
 
@@ -365,6 +366,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _hyperanf_sql,
     _quadtree_sql,
     _kriging_sql,
+    _kn_perplexity_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -916,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_hosts": _hyperanf_sql(),
         "quadtree_cells_pages": _quadtree_sql(),
         "kriging_grid_pages": _kriging_sql(),
+        "kn_perplexity_docs": _kn_perplexity_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

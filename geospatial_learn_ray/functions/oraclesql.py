@@ -4179,3 +4179,38 @@ def _kriging_sql(cs: float = 1.0) -> str:
         "CAST(-1000000 AS DOUBLE)), CAST(1000000 AS DOUBLE)), 6) AS krig_r "
         "FROM sol WHERE det <> 0"
     )
+
+
+def _kn_perplexity_sql(scale: int = 1024) -> str:
+    """SQL twin of textstages.kn_perplexity_scores: occurrence-level
+    bigram explode (lm_perplexity pattern), the five EXACT integer model
+    counts as plain aggregates, one mirrored f64 interpolated-KN chain
+    (D = 0.75 exact dyadic, CAST literals — the DECIMAL trap), −ln P
+    quantized to 1/scale nats before the per-doc integer sum."""
+    d = "CAST(0.75 AS DOUBLE)"
+    p = (f"(CAST(c12.c12 AS DOUBLE) - {d}) / CAST(c1.c1 AS DOUBLE) "
+         f"+ {d} * CAST(c1.nf1 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) "
+         "* (CAST(nb.nb2 AS DOUBLE) / CAST(bt.bt AS DOUBLE))")
+    return (
+        "WITH bgw AS MATERIALIZED ("
+        "  SELECT doc_id, split_part(bg, ' ', 1) AS w1, "
+        "  split_part(bg, ' ', 2) AS w2, bg FROM ("
+        "    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1), "
+        "      i -> l[i] || ' ' || l[i+1])) AS bg "
+        "    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))), "
+        "c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1, "
+        "  COUNT(DISTINCT w2)::BIGINT AS nf1 FROM bgw GROUP BY w1), "
+        "c12 AS (SELECT bg, COUNT(*)::BIGINT AS c12 FROM bgw GROUP BY bg), "
+        "nb AS (SELECT w2, COUNT(DISTINCT w1)::BIGINT AS nb2 "
+        "  FROM bgw GROUP BY w2), "
+        "bt AS (SELECT COUNT(DISTINCT bg)::BIGINT AS bt FROM bgw), "
+        "q AS (SELECT doc_id, CAST(FLOOR((- LN("
+        f"{p}"
+        f")) * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q "
+        "  FROM bgw JOIN c1 USING (w1) JOIN c12 USING (bg) "
+        "  JOIN nb USING (w2), bt) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, "
+        "SUM(q)::BIGINT AS sum_q, "
+        f"ROUND(CAST(SUM(q) AS DOUBLE) / CAST({scale} * COUNT(*) AS BIGINT), 6) "
+        "AS kn_nll FROM q GROUP BY doc_id"
+    )

@@ -1790,6 +1790,13 @@ def _q_bfs_depth_hosts(sf_dir: str):
     return _graph.bfs_depth_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_kn_perplexity(sf_dir: str):
+    from geospatial_learn_ray.stages import textstages
+
+    return textstages.kn_perplexity_scores(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_kriging_grid(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import kriging_grid
 

@@ -1719,3 +1719,126 @@ def mi_lang_quality(docs: ray.data.Dataset, text_col: str = "text",
         docs.select_columns([text_col, lang_col]).map_batches(
             partial, batch_format="pandas"),
         combine, small_partials=True)
+
+
+def kn_perplexity_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", discount: float = 0.75,
+                         scale: int = 1024,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Interpolated Kneser-Ney bigram scoring (Kneser-Ney 1995; the
+    smoothing KenLM ships and CCNet's filter perplexity uses — the
+    richer sibling of `lm_perplexity_scores`'s MLE chain):
+
+        P(w2|w1) = (C(w1w2) − D)/C(w1·)
+                 + D·N1+(w1·)/C(w1·) · N1+(·w2)/N1+(··)
+
+    with D = 0.75 (exact dyadic). Scoring corpus = training corpus, so
+    C(w1w2) ≥ 1 > D and the max(·,0) never binds. All five model
+    quantities are EXACT integers; P is one identical f64 chain both
+    sides and the per-bigram −ln P is quantized to integer 1/``scale``
+    nats (lm_perplexity recipe — never SUM raw logs).
+
+    Scale shape: the model is never a broadcast dict. Exchange 1
+    (hash(w1)) attaches C(w1·) and the distinct-continuation count
+    N1+(w1·) with two groupby-transforms; the distinct-bigram total
+    N1+(··) is a bounded driver pull (Σ nf1 over distinct w1 — ≤ 1 row
+    per bucket); exchange 2 (hash(w2)) attaches N1+(·w2) and C(w1w2)
+    and quantizes; the per-doc reduction moves two ints per (doc,
+    block)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+    from .agg import _add_part
+    from .exchange import bucket_exchange
+
+    def _bucket(vals: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(vals))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        off = np.asarray(wl.offsets, np.int64)
+        lens = off[1:] - off[:-1]
+        row_ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(row_ids) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        keep = row_ids[:-1] == row_ids[1:]
+        ka = pa.array(keep)
+        vals = wl.values
+        w1 = vals.slice(0, len(vals) - 1).filter(ka)
+        w2 = vals.slice(1).filter(ka)
+        d = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[row_ids[:-1][keep]],
+            "w1": w1.to_pandas().to_numpy(object),
+            "w2": w2.to_pandas().to_numpy(object),
+        })
+        g = d.groupby([id_col, "w1", "w2"], sort=False).size() \
+            .reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = _bucket(g["w1"].to_numpy(object))
+        return g
+
+    def attach_ctx(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        gb = g.groupby("w1", sort=False)
+        g["c1"] = gb["cnt"].transform("sum").astype(np.int64)
+        g["nf1"] = gb["w2"].transform("nunique").astype(np.int64)
+        g["_part"] = _bucket(g["w2"].to_numpy(object))
+        return g
+
+    ex1 = bucket_exchange(
+        docs.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow"),
+        attach_ctx).materialize()
+
+    # bounded pull: N1+(··) = Σ nf1 over distinct w1 (1 partial row/block)
+    def b_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates("w1")
+        return pd.DataFrame({"bt": [np.int64(d["nf1"].sum())]})
+
+    bt = int(ex1.map_batches(b_partial, batch_format="pandas")
+             .to_pandas()["bt"].sum())
+    btf = np.float64(bt)
+    dq = np.float64(discount)
+
+    def attach_rest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["nb2"] = g.groupby("w2", sort=False)["w1"] \
+            .transform("nunique").astype(np.int64)
+        c12 = g.groupby(["w1", "w2"], sort=False)["cnt"] \
+            .transform("sum").to_numpy(np.float64)
+        c1 = g["c1"].to_numpy(np.float64)
+        nf1 = g["nf1"].to_numpy(np.float64)
+        nb2 = g["nb2"].to_numpy(np.float64)
+        p = (c12 - dq) / c1 + dq * nf1 / c1 * (nb2 / btf)
+        q = np.floor((-np.log(p)) * np.float64(scale) + 0.5).astype(np.int64)
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "nb": g["cnt"].to_numpy(np.int64),
+                            "sq": q * g["cnt"].to_numpy(np.int64)})
+        r = out.groupby(id_col, sort=False).sum().reset_index()
+        return _add_part(r, [id_col], num_buckets)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(id_col, sort=False)[["nb", "sq"]].sum().reset_index()
+        nb = r["nb"].to_numpy(np.int64)
+        sq = r["sq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: r[id_col].to_numpy(),
+            "n_bigrams": nb, "sum_q": sq,
+            "kn_nll": round_half_away(sq / (np.float64(scale) * nb), 6),
+        })
+
+    ex2 = bucket_exchange(ex1, attach_rest)
+    return bucket_exchange(ex2, finalize, small_partials=True)

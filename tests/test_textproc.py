@@ -861,3 +861,64 @@ def test_mi_lang_quality_is_nonneg_and_marginals_consistent():
     # each term's sign matches n vs expected
     exp = out["n_lang"] * out["n_bucket"] / out["n_total"]
     assert ((out["mi_term"] > 0) == (out["n"] > exp)).all()
+
+
+def test_kn_perplexity_matches_bruteforce_and_normalizes():
+    import collections
+    import math
+
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import kn_perplexity_scores
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = kn_perplexity_scores(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    pdf = docs.to_pandas()
+    D, SCALE = 0.75, 1024
+    c12 = collections.Counter()
+    per_doc = {}
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split(" ")
+        bgs = list(zip(toks[:-1], toks[1:]))
+        per_doc[did] = bgs
+        c12.update(bgs)
+    c1 = collections.Counter()
+    follow = collections.defaultdict(set)
+    precede = collections.defaultdict(set)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        follow[w1].add(w2)
+        precede[w2].add(w1)
+    bt = len(c12)
+
+    def prob(w1, w2):
+        seen = c12.get((w1, w2), 0)
+        return (max(seen - D, 0.0) / c1[w1]
+                + D * len(follow[w1]) / c1[w1] * (len(precede[w2]) / bt))
+
+    ref = {}
+    for did, bgs in per_doc.items():
+        if not bgs:
+            continue
+        sq = sum(math.floor(-math.log(prob(w1, w2)) * SCALE + 0.5)
+                 for w1, w2 in bgs)
+        ref[did] = (len(bgs), sq)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        nb, sq = ref[row["doc_id"]]
+        assert row["n_bigrams"] == nb and row["sum_q"] == sq
+        assert abs(row["kn_nll"] - sq / (SCALE * nb)) < 1e-6
+
+    # interpolated KN normalizes: Σ_w2∈vocab P(w2|w1) = 1 for any context
+    vocab = set(precede)
+    for w1 in list(follow)[:5]:
+        s = sum(prob(w1, w2) for w2 in vocab)
+        assert abs(s - 1.0) < 1e-9
+
+    # block-structure invariance
+    out2 = kn_perplexity_scores(docs.repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
