@@ -4214,3 +4214,56 @@ def _kn_perplexity_sql(scale: int = 1024) -> str:
         f"ROUND(CAST(SUM(q) AS DOUBLE) / CAST({scale} * COUNT(*) AS BIGINT), 6) "
         "AS kn_nll FROM q GROUP BY doc_id"
     )
+
+
+def _theilsen_sql() -> str:
+    """SQL twin of train.theilsen_slopes: equi self-join pairs (ok1 <
+    ok2, date-distinct), ONE correctly-rounded division per slope, the
+    explicit two-middle median (exact_median recipe), half-away ROUND."""
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok, "
+        "  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+        "  CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "  AS BIGINT) AS cents FROM orders), "
+        "p AS MATERIALIZED (SELECT a.ck, "
+        "  CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS s "
+        "  FROM o a JOIN o b ON b.ck = a.ck AND a.ok < b.ok "
+        "  AND a.day <> b.day), "
+        "r AS (SELECT ck, s, "
+        "  ROW_NUMBER() OVER (PARTITION BY ck ORDER BY s) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY ck) AS n FROM p) "
+        "SELECT ck AS o_custkey, CAST(MAX(n) AS BIGINT) AS n_pairs, "
+        "ROUND((MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN s END) "
+        "+ MAX(CASE WHEN rn = n // 2 + 1 THEN s END)) "
+        "/ CAST(2 AS DOUBLE), 6) AS ts_slope_r "
+        "FROM r GROUP BY ck"
+    )
+
+
+def _mann_kendall_sql() -> str:
+    """SQL twin of train.mann_kendall_orders: day-strict sign-pair sum,
+    integer value-tie correction, and the identical 3-op f64 chain
+    (div → sqrt → div) for the continuity-corrected z."""
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, "
+        "  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+        "  CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "  AS BIGINT) AS cents FROM orders), "
+        "s AS MATERIALIZED (SELECT a.ck, CAST(SUM(CASE "
+        "  WHEN b.cents > a.cents THEN 1 WHEN b.cents < a.cents THEN -1 "
+        "  ELSE 0 END) AS BIGINT) AS s "
+        "  FROM o a JOIN o b ON b.ck = a.ck AND a.day < b.day GROUP BY a.ck), "
+        "n AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY ck), "
+        "t AS (SELECT ck, CAST(SUM(c*(c-1)*(2*c+5)) AS BIGINT) AS tt FROM "
+        "  (SELECT ck, cents, CAST(COUNT(*) AS BIGINT) AS c FROM o "
+        "   GROUP BY ck, cents) GROUP BY ck) "
+        "SELECT n.ck AS o_custkey, n.n AS n_orders, "
+        "CAST(COALESCE(s.s, 0) AS BIGINT) AS s_stat, "
+        "n.n*(n.n-1)*(2*n.n+5) - t.tt AS var18, "
+        "ROUND(CASE WHEN COALESCE(s.s, 0) = 0 "
+        "  OR n.n*(n.n-1)*(2*n.n+5) - t.tt <= 0 THEN CAST(0 AS DOUBLE) "
+        "  ELSE CAST(s.s - SIGN(s.s) AS DOUBLE) "
+        "  / SQRT(CAST(n.n*(n.n-1)*(2*n.n+5) - t.tt AS DOUBLE) "
+        "         / CAST(18 AS DOUBLE)) END, 6) AS mk_z_r "
+        "FROM n JOIN t ON t.ck = n.ck LEFT JOIN s ON s.ck = n.ck"
+    )

@@ -1790,6 +1790,14 @@ def _q_bfs_depth_hosts(sf_dir: str):
     return _graph.bfs_depth_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_theilsen(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.theilsen_slopes(
+        _rp(sf_dir, "orders",
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]))
+
+
 def _q_kn_perplexity(sf_dir: str):
     from geospatial_learn_ray.stages import textstages
 
@@ -1830,3 +1838,10 @@ __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "RIDGE_LAMBDAS", "VOTE_MODELS", "_MIX_RATES", "_rp",
     "_shape_props_sql", "_wkb_to_geojson_sql",
 ]
+
+
+def _q_mann_kendall(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.mann_kendall_orders(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))

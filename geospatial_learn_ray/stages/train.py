@@ -862,3 +862,142 @@ def kfold_cv_1d(ds: ray.data.Dataset, x_col: str, y_col: str,
     out["fold"] = out["fold"].astype(np.int64)
     out["n_val"] = out["n_val"].astype(np.int64)
     return out
+
+
+def _ck_day_cents_prep(num_buckets: int, with_ok: bool = False):
+    """Shared prep for the per-customer order-series stages (Theil-Sen,
+    Mann-Kendall): (o_custkey, [o_orderkey,] epoch-day, exact integer
+    cents) plus the splitmix64 ``_part`` bucket key."""
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy()
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy().astype(np.float64) * 100.0,
+            0).astype(np.int64)
+        cols = {"ck": b["o_custkey"].to_numpy().astype(np.int64)}
+        if with_ok:
+            cols["ok"] = b["o_orderkey"].to_numpy().astype(np.int64)
+        cols.update(day=day, cents=cents)
+        d = pd.DataFrame(cols)
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["ck"].to_numpy(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    return prep
+
+
+def theilsen_slopes(orders: ray.data.Dataset,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-customer Theil-Sen robust trend (Theil 1950 / Sen 1968): the
+    median of all pairwise slopes Δcents/Δdays over a customer's
+    date-distinct order pairs — the outlier-robust sibling of the OLS
+    `segment_slopes`. Pairs are O(k²) in the PER-KEY order count (tens
+    for this fixture — bounded by key cardinality, documented), never in
+    the table size.
+
+    Scale shape: one customer-keyed exchange of (day, cents) rows; the
+    combiner forms each customer's pairs with ONE vectorized self-merge
+    per bucket and reduces to the two middle order statistics. Exactness:
+    each slope is ONE correctly-rounded division of exact integers
+    (identical f64 both sides ⇒ identical sort), the median is always
+    the explicit (lo + hi)/2 two-middle rule (exact_median recipe —
+    never a library median), rounded half-away."""
+    from .exchange import bucket_exchange
+
+    prep = _ck_day_cents_prep(num_buckets, with_ok=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[["ck", "ok", "day", "cents"]]
+        p = a.merge(a, on="ck", suffixes=("1", "2"))
+        p = p[(p["ok1"] < p["ok2"]) & (p["day1"] != p["day2"])]
+        if not len(p):
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "ts_slope_r": pd.Series([], dtype=np.float64)})
+        dc = (p["cents2"] - p["cents1"]).to_numpy(np.int64)
+        dd = (p["day2"] - p["day1"]).to_numpy(np.int64)
+        p = pd.DataFrame({"ck": p["ck"].to_numpy(np.int64),
+                          "s": dc.astype(np.float64)
+                          / dd.astype(np.float64)})
+        p = p.sort_values(["ck", "s"], kind="mergesort")
+        grp = p.groupby("ck", sort=False)
+        rk = grp.cumcount().to_numpy(np.int64)
+        n = grp["s"].transform("size").to_numpy(np.int64)
+        s = p["s"].to_numpy(np.float64)
+        lo = (rk == (n - 1) // 2)
+        hi = (rk == n // 2)
+        out = pd.DataFrame({"ck": p["ck"].to_numpy(np.int64)})
+        out["vlo"] = np.where(lo, s, np.nan)
+        out["vhi"] = np.where(hi, s, np.nan)
+        out["np_"] = n
+        r = out.groupby("ck", as_index=False).agg(
+            n_pairs=("np_", "first"), vlo=("vlo", "max"), vhi=("vhi", "max"))
+        med = (r["vlo"].to_numpy(np.float64)
+               + r["vhi"].to_numpy(np.float64)) / 2.0
+        return pd.DataFrame({"o_custkey": r["ck"].to_numpy(np.int64),
+                             "n_pairs": r["n_pairs"].to_numpy(np.int64),
+                             "ts_slope_r": round_half_away(med, 6)})
+
+    return bucket_exchange(
+        orders.select_columns(["o_custkey", "o_orderkey", "o_orderdate",
+                               "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def mann_kendall_orders(orders: ray.data.Dataset,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-customer Mann-Kendall trend test (Mann 1945 / Kendall 1975)
+    over the order-value series — the significance companion to
+    ``theilsen_slopes``: S = Σ sign(cents_j − cents_i) over the
+    customer's DAY-STRICT pairs (day_i < day_j; same-day pairs carry no
+    time order and are excluded — documented semantics, mirrored by the
+    oracle), VAR18 = 18·Var(S) with the classic value-tie correction
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-corrected
+    z = (S − sign(S)) / sqrt(VAR18/18) (0 when S = 0 or VAR18 ≤ 0).
+
+    Exactness: S, n and VAR18 are pure integers; z is division →
+    correctly-rounded sqrt → division — the identical three-op f64
+    chain as the SQL twin, so the value-hash is bit-stable. Scale
+    shape: one customer-keyed exchange of (day, cents) rows; pairs are
+    O(k²) in the PER-KEY order count only (tens here), formed by one
+    vectorized self-merge per bucket."""
+    from .exchange import bucket_exchange
+
+    prep = _ck_day_cents_prep(num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[["ck", "day", "cents"]]
+        per = a.groupby("ck", as_index=False).agg(n_orders=("day", "size"))
+        ties = a.groupby(["ck", "cents"], as_index=False).agg(
+            c=("day", "size"))
+        c = ties["c"].to_numpy(np.int64)
+        ties["tt"] = c * (c - 1) * (2 * c + 5)
+        tt = ties.groupby("ck", as_index=False).agg(tt=("tt", "sum"))
+        p = a.merge(a, on="ck", suffixes=("1", "2"))
+        p = p[p["day1"] < p["day2"]]
+        sgn = np.sign(p["cents2"].to_numpy(np.int64)
+                      - p["cents1"].to_numpy(np.int64))
+        s = (pd.DataFrame({"ck": p["ck"].to_numpy(np.int64), "s": sgn})
+             .groupby("ck", as_index=False).agg(s=("s", "sum")))
+        r = per.merge(tt, on="ck").merge(s, on="ck", how="left")
+        n = r["n_orders"].to_numpy(np.int64)
+        sv = r["s"].fillna(0).to_numpy(np.int64)
+        var18 = n * (n - 1) * (2 * n + 5) - r["tt"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sig = np.sqrt(var18.astype(np.float64) / 18.0)
+            z = (sv - np.sign(sv)).astype(np.float64) / sig
+        z = np.where((sv == 0) | (var18 <= 0), 0.0, z)
+        return pd.DataFrame({"o_custkey": r["ck"].to_numpy(np.int64),
+                             "n_orders": n, "s_stat": sv, "var18": var18,
+                             "mk_z_r": round_half_away(z, 6)})
+
+    return bucket_exchange(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"), combine)
