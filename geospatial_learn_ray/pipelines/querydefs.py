@@ -1832,16 +1832,16 @@ def _q_kfold_cv(sf_dir: str):
 
 
 # everything the contract file's queries()/oracle_sql() reach for
+def _q_mann_kendall(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.mann_kendall_orders(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",
     "RIDGE_LAMBDAS", "VOTE_MODELS", "_MIX_RATES", "_rp",
     "_shape_props_sql", "_wkb_to_geojson_sql",
 ]
-
-
-def _q_mann_kendall(sf_dir: str):
-    from geospatial_learn_ray.stages import train
-
-    return train.mann_kendall_orders(
-        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))

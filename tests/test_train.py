@@ -355,3 +355,74 @@ def test_kfold_cv_1d_matches_per_fold_refit():
         assert abs(out.loc[fold, "w1"] - w1) < 1e-4
         assert abs(out.loc[fold, "w0"] - w0) < 1e-4
         assert abs(out.loc[fold, "val_mse"] - mse) < 0.02
+
+
+def _trend_orders_df():
+    rng = np.random.RandomState(7)
+    rows = []
+    for ck in range(1, 13):
+        n = rng.randint(1, 9)
+        days = rng.choice(np.arange(40), size=n, replace=True)
+        for i, d in enumerate(days):
+            # planted trend for even custkeys, noise for odd
+            price = (100.0 + 3.0 * d + rng.randint(0, 5)
+                     if ck % 2 == 0 else float(rng.randint(50, 500)))
+            rows.append({"o_custkey": ck, "o_orderkey": ck * 100 + i,
+                         "o_orderdate": np.datetime64("1995-01-01", "us")
+                         + np.timedelta64(int(d), "D").astype("timedelta64[us]"),
+                         "o_totalprice": price})
+    return pd.DataFrame(rows)
+
+
+def test_theilsen_matches_bruteforce():
+    from geospatial_learn_ray.functions.rounding import round_half_away
+
+    df = _trend_orders_df()
+    out = (train.theilsen_slopes(ray.data.from_pandas(df), num_buckets=4)
+           .to_pandas().set_index("o_custkey").sort_index())
+    day = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+    cents = round_half_away(df["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+    for ck, g in df.assign(day=day, cents=cents).groupby("o_custkey"):
+        g = g.sort_values("o_orderkey")
+        sl = []
+        rows = list(g.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i].day != rows[j].day:
+                    sl.append((rows[j].cents - rows[i].cents)
+                              / float(rows[j].day - rows[i].day))
+        if not sl:
+            assert ck not in out.index
+            continue
+        sl.sort()
+        med = (sl[(len(sl) - 1) // 2] + sl[len(sl) // 2]) / 2.0
+        assert out.loc[ck, "n_pairs"] == len(sl)
+        assert out.loc[ck, "ts_slope_r"] == round_half_away(med, 6)
+
+
+def test_mann_kendall_matches_bruteforce_and_sign():
+    from geospatial_learn_ray.functions.rounding import round_half_away
+
+    df = _trend_orders_df()
+    out = (train.mann_kendall_orders(ray.data.from_pandas(df), num_buckets=4)
+           .to_pandas().set_index("o_custkey").sort_index())
+    day = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+    cents = round_half_away(df["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+    assert len(out) == df["o_custkey"].nunique()
+    for ck, g in df.assign(day=day, cents=cents).groupby("o_custkey"):
+        rows = list(g.itertuples())
+        s = sum(int(np.sign(b.cents - a.cents))
+                for i, a in enumerate(rows) for b in rows
+                if a.day < b.day)
+        n = len(rows)
+        tt = sum(c * (c - 1) * (2 * c + 5)
+                 for c in g.groupby("cents").size())
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        z = 0.0 if (s == 0 or var18 <= 0) else \
+            (s - int(np.sign(s))) / np.sqrt(var18 / 18.0)
+        assert out.loc[ck, "s_stat"] == s
+        assert out.loc[ck, "var18"] == var18
+        assert out.loc[ck, "mk_z_r"] == round_half_away(z, 6)
+        # planted monotone trend ⇒ strongly positive z for even keys with data
+        if ck % 2 == 0 and n >= 6 and var18 > 0:
+            assert out.loc[ck, "mk_z_r"] > 0
