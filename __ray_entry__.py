@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_perplexity_docs": _q_kn_perplexity,
         "theilsen_slopes_orders": _q_theilsen,
         "mann_kendall_orders": _q_mann_kendall,
+        "terrain_indices_tiles": _q_terrain_indices,
     }
 
 
@@ -371,6 +372,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _kn_perplexity_sql,
     _theilsen_sql,
     _mann_kendall_sql,
+    _terrain_indices_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -925,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity_docs": _kn_perplexity_sql(),
         "theilsen_slopes_orders": _theilsen_sql(),
         "mann_kendall_orders": _mann_kendall_sql(),
+        "terrain_indices_tiles": _terrain_indices_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

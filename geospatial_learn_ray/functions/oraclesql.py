@@ -4267,3 +4267,40 @@ def _mann_kendall_sql() -> str:
         "         / CAST(18 AS DOUBLE)) END, 6) AS mk_z_r "
         "FROM n JOIN t ON t.ck = n.ck LEFT JOIN s ON s.ck = n.ck"
     )
+
+
+def _terrain_indices_sql(side: int = 16, quant: float = 2.0,
+                         tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.terrain_indices_stage: 8-direction neighbour
+    explode (VALUES), pure-integer GROUP BY reductions per pixel —
+    TPI numerator, TRI, centered roughness, cardinal Laplacian."""
+    from ..stages.raster import TERRAIN_DIRS
+
+    vals = ", ".join(f"({dx}, {dy}, {1 if dx * dx + dy * dy == 1 else 0})"
+                     for dx, dy in TERRAIN_DIRS)
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(dx, dy, card) AS (VALUES {vals}), "
+        "nb AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n.q) AS BIGINT) AS s, "
+        "  CAST(SUM(ABS(c.q - n.q)) AS BIGINT) AS sad, "
+        "  MAX(n.q) AS mx, MIN(n.q) AS mn, "
+        "  CAST(SUM(d.card) AS BIGINT) AS c4, "
+        "  CAST(SUM(d.card * n.q) AS BIGINT) AS s4 "
+        "  FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  GROUP BY 1, 2, 3, 4) "
+        "SELECT CAST(c.tile_x AS BIGINT) AS tile_x, "
+        "CAST(c.tile_y AS BIGINT) AS tile_y, CAST(c.px AS BIGINT) AS px, "
+        "CAST(c.py AS BIGINT) AS py, b.cnt AS n_nbrs, "
+        "b.cnt * c.q - b.s AS tpi_num, b.sad AS tri, "
+        "GREATEST(b.mx, c.q) - LEAST(b.mn, c.q) AS rough, "
+        "CASE WHEN b.c4 = 4 THEN 4 * c.q - b.s4 ELSE CAST(0 AS BIGINT) END "
+        "AS lap4, b.c4 AS n4 "
+        "FROM rc c JOIN nb b ON b.tile_x = c.tile_x AND b.tile_y = c.tile_y "
+        "AND b.px = c.px AND b.py = c.py"
+    )

@@ -1839,6 +1839,11 @@ def _q_mann_kendall(sf_dir: str):
         _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
 
 
+def _q_terrain_indices(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.terrain_indices_stage(small, side=16)
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -3101,3 +3101,71 @@ def cost_distance_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+TERRAIN_DIRS = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+                (0, -1), (1, -1))  # E, SE, S, SW, W, NW, N, NE
+
+
+def terrain_indices_stage(ds: ray.data.Dataset, side: int,
+                          quant: float = 2.0) -> ray.data.Dataset:
+    """gdaldem TPI / TRI / roughness per pixel (Wilson et al. 2007;
+    Riley et al. 1999 — the remaining third of the reference's
+    batch_gdaldem prop dispatch, raster.py:554/566, next to the
+    slope/aspect/hillshade stage) plus the 4-neighbour Laplacian.
+    Integer-exact like the D8 family: q = floor(vd·quant); TPI is kept
+    as its exact numerator pair (tpi_num = n_nbrs·q − Σ nbr, so
+    TPI = tpi_num/n_nbrs without ever dividing), TRI = Σ|q − nbr|,
+    roughness = max − min of the 3×3 window INCLUDING the center
+    (gdaldem semantics), lap4 = 4q − (N+S+E+W) where all four cardinal
+    neighbours are in-tile (0 at borders, n4 discloses the count).
+    Tile-local neighbours only (border pixels see a shrunken window,
+    like d8/skeletonize). Map-only, no shuffle."""
+    i64max = np.iinfo(np.int64).max
+    i64min = np.iinfo(np.int64).min
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "n_nbrs",
+                                  "tpi_num", "tri", "rough", "lap4", "n4")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            cnt = np.zeros((side, side), np.int64)
+            s = np.zeros((side, side), np.int64)
+            sad = np.zeros((side, side), np.int64)
+            mx = np.full((side, side), i64min, np.int64)
+            mn = np.full((side, side), i64max, np.int64)
+            c4 = np.zeros((side, side), np.int64)
+            s4 = np.zeros((side, side), np.int64)
+            for dx, dy in TERRAIN_DIRS:
+                nq = np.full((side, side), i64max, np.int64)
+                ys0, ys1 = max(0, dy), side + min(0, dy)
+                xs0, xs1 = max(0, dx), side + min(0, dx)
+                nq[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = q[ys0:ys1, xs0:xs1]
+                valid = nq != i64max
+                nz = np.where(valid, nq, 0)
+                cnt += valid
+                s += nz
+                sad += np.where(valid, np.abs(q - nq), 0)
+                mx = np.where(valid, np.maximum(mx, nq), mx)
+                mn = np.where(valid, np.minimum(mn, nq), mn)
+                if dx * dx + dy * dy == 1:
+                    c4 += valid
+                    s4 += nz
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["n_nbrs"].append(cnt.ravel())
+            rows["tpi_num"].append((cnt * q - s).ravel())
+            rows["tri"].append(sad.ravel())
+            rows["rough"].append((np.maximum(mx, q) - np.minimum(mn, q)).ravel())
+            rows["lap4"].append(np.where(c4 == 4, 4 * q - s4, 0).ravel())
+            rows["n4"].append(c4.ravel())
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
