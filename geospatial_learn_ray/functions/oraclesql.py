@@ -4304,3 +4304,32 @@ def _terrain_indices_sql(side: int = 16, quant: float = 2.0,
         "FROM rc c JOIN nb b ON b.tile_x = c.tile_x AND b.tile_y = c.tile_y "
         "AND b.px = c.px AND b.py = c.py"
     )
+
+
+def _acf_daily_sql(max_lag: int = 7) -> str:
+    """SQL twin of streaming.acf_daily_orders: dense day spine via
+    lateral generate_series, integer mean-free series n·x − Σx, exact
+    integer num/den, one CAST/CAST division per lag."""
+    lags = ", ".join(f"({L})" for L in range(1, max_lag + 1))
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+        "  AS BIGINT) AS day FROM orders), "
+        "c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d GROUP BY day), "
+        "r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+        "s AS MATERIALIZED (SELECT g.day, COALESCE(c.x, 0) AS x "
+        "  FROM r, LATERAL (SELECT UNNEST(generate_series(r.d0, r.d1)) "
+        "  AS day) g LEFT JOIN c ON c.day = g.day), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(x) AS BIGINT) AS sx FROM s), "
+        "y AS MATERIALIZED (SELECT s.day, nn.n * s.x - nn.sx AS y "
+        "  FROM s, nn), "
+        "den AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den FROM y), "
+        f"lags(L) AS (VALUES {lags}), "
+        "num AS (SELECT l.L, CAST(SUM(a.y * b.y) AS BIGINT) AS num, "
+        "  CAST(COUNT(*) AS BIGINT) AS nt FROM lags l "
+        "  JOIN y a ON TRUE JOIN y b ON b.day = a.day + l.L GROUP BY l.L) "
+        "SELECT CAST(num.L AS BIGINT) AS lag, num.nt AS n_terms, "
+        "ROUND(CASE WHEN den.den = 0 THEN CAST(0 AS DOUBLE) "
+        "  ELSE CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) END, 6) "
+        "AS acf_r FROM num, den"
+    )

@@ -1844,6 +1844,12 @@ def _q_terrain_indices(sf_dir: str):
     return raster.terrain_indices_stage(small, side=16)
 
 
+def _q_acf_daily(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.acf_daily_orders(_rp(sf_dir, "orders", ["o_orderdate"]))
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -679,3 +679,63 @@ def interval_coverage(ds: ray.data.Dataset, key: str = "user_id",
     narrow = ds.select_columns([key, ts_col, val_col])
     return bucket_exchange(_bucket_by_key(narrow, key, num_buckets),
                            per_bucket, key="_bkt")
+
+
+def acf_daily_orders(orders: ray.data.Dataset, max_lag: int = 7,
+                     day_bound: int = 200_000) -> ray.data.Dataset:
+    """Autocorrelation of the global DAILY order-count series at lags
+    1..``max_lag`` (Box & Jenkins): r_L = Σ yₜ·yₜ₊L / Σ yₜ², computed on
+    the mean-free INTEGER series y_t = n·x_t − Σx (the n² scale cancels
+    in the ratio, so the mean never becomes a float — the cusum_hourly
+    trick). Missing days inside [min_day, max_day] count as x=0.
+
+    Scale shape: per-block (day, count) partials, one day-keyed exchange
+    to exact totals; only the per-DAY table reaches the driver (counted
+    ≤ ``day_bound`` — a day span is a calendar, not a corpus), where
+    num/den are exact Python-int reductions (no int64 wrap at any sf)
+    and each r_L is ONE correctly-rounded f64 division, identical to
+    the SQL twin's CAST/CAST divide."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["day"].to_numpy().astype(np.uint64))
+                          % np.uint64(32)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    daily = bucket_exchange(
+        orders.select_columns(["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "day", as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(daily) > day_bound:
+        raise ValueError(f"day span {len(daily)} exceeds bound {day_bound}")
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    full = pd.DataFrame({"day": np.arange(d0, d1 + 1, dtype=np.int64)})
+    full = full.merge(daily, on="day", how="left")
+    x = [int(v) for v in full["c"].fillna(0).to_numpy(np.int64)]
+    n, sx = len(x), sum(x)
+    y = [n * v - sx for v in x]
+    den = sum(v * v for v in y)
+    rows = []
+    for lag in range(1, max_lag + 1):
+        num = sum(y[t] * y[t + lag] for t in range(n - lag))
+        assert abs(num) < 2 ** 63 and den < 2 ** 63, "limb-split needed"
+        r = 0.0 if den == 0 else np.float64(num) / np.float64(den)
+        rows.append({"lag": lag, "n_terms": max(n - lag, 0),
+                     "acf_r": round_half_away(float(r), 6)})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype(np.int64)
+    out["n_terms"] = out["n_terms"].astype(np.int64)
+    return ray.data.from_pandas(out)
