@@ -4333,3 +4333,33 @@ def _acf_daily_sql(max_lag: int = 7) -> str:
         "  ELSE CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) END, 6) "
         "AS acf_r FROM num, den"
     )
+
+
+def _mad_outliers_sql() -> str:
+    """SQL twin of streaming.mad_outliers_events: hourly counts per
+    type, two-middle doubled medians (m2 = 2·median of c, mad4 = 4·MAD),
+    pure-integer Hampel flag 2·dev2 > 3·mad4."""
+    return (
+        "WITH c AS (SELECT event_type, "
+        "  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, hour, c, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, hour) "
+        "  AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM c), "
+        "m AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n-1)//2 + 1 "
+        "  THEN c END) + MAX(CASE WHEN rn = n//2 + 1 THEN c END) "
+        "  AS BIGINT) AS m2 FROM r GROUP BY event_type), "
+        "d AS MATERIALIZED (SELECT c.event_type, c.hour, c.c, "
+        "  ABS(2*c.c - m.m2) AS dev2, m.m2 FROM c "
+        "  JOIN m USING (event_type)), "
+        "r2 AS (SELECT event_type, dev2, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY event_type) AS n FROM d), "
+        "md AS (SELECT event_type, CAST(MAX(CASE WHEN rn = (n-1)//2 + 1 "
+        "  THEN dev2 END) + MAX(CASE WHEN rn = n//2 + 1 THEN dev2 END) "
+        "  AS BIGINT) AS mad4 FROM r2 GROUP BY event_type) "
+        "SELECT d.event_type, d.hour, d.c, d.m2, CAST(d.dev2 AS BIGINT) "
+        "AS dev2, md.mad4, CAST(CASE WHEN 2*d.dev2 > 3*md.mad4 THEN 1 "
+        "ELSE 0 END AS BIGINT) AS is_outlier "
+        "FROM d JOIN md USING (event_type)"
+    )

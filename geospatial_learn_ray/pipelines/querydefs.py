@@ -1850,6 +1850,13 @@ def _q_acf_daily(sf_dir: str):
     return streaming.acf_daily_orders(_rp(sf_dir, "orders", ["o_orderdate"]))
 
 
+def _q_mad_outliers(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.mad_outliers_events(
+        _rp(sf_dir, "events", ["event_type", "ts"]))
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

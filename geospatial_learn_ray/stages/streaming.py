@@ -739,3 +739,70 @@ def acf_daily_orders(orders: ray.data.Dataset, max_lag: int = 7,
     out["lag"] = out["lag"].astype(np.int64)
     out["n_terms"] = out["n_terms"].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def mad_outliers_events(events: ray.data.Dataset,
+                        num_buckets: int = 16) -> ray.data.Dataset:
+    """Robust outlier flags on the hourly event-rate series per event
+    type (Hampel filter family, Leys et al. 2013): a present-hour count
+    is an outlier when |c − median| > 3·MAD. INTEGER-exact end to end
+    via the doubled-median trick: m2 = lo+hi of the sorted counts
+    (= 2·median), dev2 = |2c − m2| (= 2·deviation), mad4 = lo+hi of the
+    sorted dev2 (= 4·MAD), and the flag is the pure-integer comparison
+    2·dev2 > 3·mad4 — no float ever forms, so the SQL twin is bit-free.
+
+    Scale shape: per-block (type, hour) count partials (O(types·hours)
+    per block, never O(events)), ONE type-keyed exchange; each type's
+    combiner work is bounded by its calendar hour span, and the
+    medians are the explicit two-middle order statistics."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        hr = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000)
+        g = (pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hour": hr})
+             .groupby(["event_type", "hour"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["event_type"].to_numpy()))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["event_type", "hour"], as_index=False)["c"].sum()
+             .astype({"c": np.int64, "hour": np.int64}))
+        outs = []
+        for et, t in c.groupby("event_type", sort=False):
+            cs = np.sort(t["c"].to_numpy(np.int64))
+            n = len(cs)
+            m2 = int(cs[(n - 1) // 2]) + int(cs[n // 2])
+            dev2 = np.abs(2 * t["c"].to_numpy(np.int64) - m2)
+            ds_ = np.sort(dev2)
+            mad4 = int(ds_[(n - 1) // 2]) + int(ds_[n // 2])
+            outs.append(pd.DataFrame({
+                "event_type": et, "hour": t["hour"].to_numpy(np.int64),
+                "c": t["c"].to_numpy(np.int64),
+                "m2": np.int64(m2), "dev2": dev2.astype(np.int64),
+                "mad4": np.int64(mad4),
+                "is_outlier": (2 * dev2 > 3 * mad4).astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64),
+                "m2": pd.Series([], dtype=np.int64),
+                "dev2": pd.Series([], dtype=np.int64),
+                "mad4": pd.Series([], dtype=np.int64),
+                "is_outlier": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(
+        events.select_columns(["event_type", "ts"]).map_batches(
+            partial, batch_format="pyarrow"),
+        combine, small_partials=True)
