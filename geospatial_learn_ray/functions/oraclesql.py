@@ -4363,3 +4363,37 @@ def _mad_outliers_sql() -> str:
         "ELSE 0 END AS BIGINT) AS is_outlier "
         "FROM d JOIN md USING (event_type)"
     )
+
+
+def _ams_f2_sql(k: int = 16, group: int = 4) -> str:
+    """SQL twin of sketches.ams_f2 over events.user_id: identical hash
+    chain per estimator (fnv → xor seed_j → splitmix → low bit), integer
+    Z/Z²/group sums, two-middle median, dyadic /8."""
+    from ..stages.sketches import _cms_seeds
+
+    seeds = _cms_seeds(k)
+    steps = [("_fh", _sg.fnv1a64_expr("k")),
+             *_sg.splitmix64_steps("_fh", "_sh", "f")]
+    sel = []
+    for j in range(k):
+        steps.append((f"_x{j}", _sg.u64_xor("_sh", str(int(seeds[j])))))
+        steps.extend(_sg.splitmix64_steps(f"_x{j}", f"_h{j}", f"a{j}"))
+        sel.append(f"SELECT {j} AS j, CASE WHEN (_h{j} & 1) = 1 "
+                   "THEN 1 ELSE -1 END AS s FROM hx")
+    return (
+        "WITH ev AS (SELECT user_id::VARCHAR AS k FROM events), "
+        "hx AS MATERIALIZED (" + _sg.chain("SELECT k FROM ev", steps) + "), "
+        "signs AS (" + " UNION ALL ".join(sel) + "), "
+        "z AS MATERIALIZED (SELECT j, CAST(SUM(s) AS BIGINT) AS z "
+        "  FROM signs GROUP BY j), "
+        f"sg AS (SELECT j // {group} AS g, CAST(SUM(z*z) AS BIGINT) AS s "
+        "  FROM z GROUP BY 1), "
+        "r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, "
+        "  COUNT(*) OVER () AS n FROM sg), "
+        "med AS (SELECT CAST(MAX(CASE WHEN rn = (n-1)//2 + 1 THEN s END) "
+        "  + MAX(CASE WHEN rn = n//2 + 1 THEN s END) AS BIGINT) AS m2 "
+        "  FROM r) "
+        "SELECT CAST(z.j AS BIGINT) AS est_id, z.z, z.z*z.z AS z2, "
+        f"CAST(med.m2 AS DOUBLE) / CAST({2 * group} AS DOUBLE) AS f2_est "
+        "FROM z, med"
+    )

@@ -1857,6 +1857,12 @@ def _q_mad_outliers(sf_dir: str):
         _rp(sf_dir, "events", ["event_type", "ts"]))
 
 
+def _q_ams_f2(sf_dir: str):
+    from geospatial_learn_ray.stages import sketches
+
+    return sketches.ams_f2(_rp(sf_dir, "events", ["user_id"]), "user_id")
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -623,3 +623,61 @@ def kmv_overlap_pairs(ds: ray.data.Dataset, group_col: str, col: str,
                            "est_union", "est_inter"])
 
     return bucket_exchange(sketch_rows, pairwise, small_partials=True)
+
+
+def ams_f2(ds: ray.data.Dataset, col: str, k: int = 16, group: int = 4,
+           num_buckets: int = 16) -> ray.data.Dataset:
+    """AMS second-frequency-moment (F2 = Σ f(x)²) sketch (Alon, Matias &
+    Szegedy 1996): k sign estimators Z_j = Σ_rows s_j(x) with s_j ∈ {±1}
+    drawn from the CMS hash chain (fnv1a64 → xor seed_j → splitmix64 →
+    low bit; CLAUDE.md: never raw FNV low bits), estimate = median of
+    means of Z_j² over k/group groups. E[Z²] = F2 exactly; the sketch is
+    mergeable (Z sums), so per-batch partials collapse through ONE
+    estimator-keyed exchange and the driver sees exactly k rows.
+
+    Exactness: Z, Z² and the group sums S_g are integers; with
+    group = 4 the final estimate (loS + hiS)/8 is a dyadic division —
+    bit-exact f64 both sides. Worst-case S_g < group·n² needs n < 2³¹
+    rows for int64; beyond that, limb-split the Z² sums (neyman
+    pattern)."""
+    from .exchange import bucket_exchange
+
+    assert k % group == 0 and (2 * group) & (2 * group - 1) == 0
+    seeds = _cms_seeds(k)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = b[col]
+        if not (pa.types.is_string(c.type) or pa.types.is_binary(c.type)):
+            c = pa.compute.cast(c, pa.string())
+        h = splitmix64(fnv1a64(c))
+        old = np.seterr(over="ignore")
+        try:
+            z = np.array([
+                int(np.where((splitmix64(h ^ seeds[j])
+                              & np.uint64(1)) == 1, 1, -1).sum())
+                for j in range(k)], np.int64)
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({"j": np.arange(k, dtype=np.int64), "z": z,
+                             "_part": (np.arange(k) % num_buckets)
+                             .astype(np.int32)})
+
+    merged = bucket_exchange(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby("j", as_index=False)
+        ["z"].sum().astype({"z": np.int64}),
+        small_partials=True).to_pandas()  # exactly k rows — counted bound
+    full = pd.DataFrame({"j": np.arange(k, dtype=np.int64)})
+    full = full.merge(merged, on="j", how="left")
+    z = [int(v) for v in full["z"].fillna(0).to_numpy(np.int64)]
+    sg = sorted(sum(z[j] * z[j] for j in range(g * group, (g + 1) * group))
+                for g in range(k // group))
+    n = len(sg)
+    m2 = sg[(n - 1) // 2] + sg[n // 2]
+    assert m2 < 2 ** 63, "limb-split needed"
+    f2 = float(np.float64(m2) / np.float64(2 * group))
+    out = pd.DataFrame({"est_id": np.arange(k, dtype=np.int64),
+                        "z": np.asarray(z, np.int64)})
+    out["z2"] = out["z"] * out["z"]
+    out["f2_est"] = np.float64(f2)
+    return ray.data.from_pandas(out)

@@ -356,3 +356,24 @@ def test_kmv_overlap_planted_intersection():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_ams_f2_accuracy_and_block_invariance():
+    from geospatial_learn_ray.stages.sketches import ams_f2
+
+    rng = np.random.RandomState(3)
+    # skewed frequencies: F2 dominated by the head
+    keys = np.concatenate([np.repeat(np.arange(10), 200),
+                           rng.randint(1000, 3000, size=2000)])
+    df = pd.DataFrame({"user_id": keys.astype(np.int64)})
+    true_f2 = int((pd.Series(keys).value_counts() ** 2).sum())
+    est1 = ams_f2(ray.data.from_pandas(df), "user_id").to_pandas()
+    est2 = ams_f2(ray.data.from_pandas(df).repartition(7), "user_id").to_pandas()
+    # mergeable: block structure must not change a single output value
+    pd.testing.assert_frame_equal(
+        est1.sort_values("est_id").reset_index(drop=True),
+        est2.sort_values("est_id").reset_index(drop=True))
+    f2 = est1["f2_est"].iloc[0]
+    assert 0.2 * true_f2 < f2 < 5.0 * true_f2
+    # E[Z^2] sanity: every estimator's Z^2 is nonnegative, z2 == z*z
+    assert (est1["z2"] == est1["z"] ** 2).all()
