@@ -4397,3 +4397,34 @@ def _ams_f2_sql(k: int = 16, group: int = 4) -> str:
         f"CAST(med.m2 AS DOUBLE) / CAST({2 * group} AS DOUBLE) AS f2_est "
         "FROM z, med"
     )
+
+
+def _isotonic_sql() -> str:
+    """SQL twin of train.isotonic_orders: the PAVA fit restated as the
+    closed-form minimax max_{i<=k} min_{j>=k} avg(i..j) over per-day
+    pooled points — every avg is one CAST/CAST division of exact
+    integers; max/min commute with the monotone f64 map."""
+    return (
+        "WITH o AS (SELECT o_custkey AS ck, "
+        "  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+        "  CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "  AS BIGINT) AS cents FROM orders), "
+        "g AS (SELECT ck, day, CAST(COUNT(*) AS BIGINT) AS w, "
+        "  CAST(SUM(cents) AS BIGINT) AS s FROM o GROUP BY 1, 2), "
+        "p AS MATERIALIZED (SELECT ck, day, w, s, "
+        "  ROW_NUMBER() OVER (PARTITION BY ck ORDER BY day) AS k, "
+        "  CAST(SUM(w) OVER (PARTITION BY ck ORDER BY day) AS BIGINT) AS pw, "
+        "  CAST(SUM(s) OVER (PARTITION BY ck ORDER BY day) AS BIGINT) AS ps "
+        "  FROM g), "
+        "pairs AS MATERIALIZED (SELECT a.ck, a.k AS i, b.k AS j, "
+        "  CAST(b.ps - (a.ps - a.s) AS DOUBLE) "
+        "  / CAST(b.pw - (a.pw - a.w) AS DOUBLE) AS avgv "
+        "  FROM p a JOIN p b ON b.ck = a.ck AND b.k >= a.k), "
+        "mn AS (SELECT pr.ck, pr.i, c.k, MIN(pr.avgv) AS m "
+        "  FROM pairs pr JOIN p c ON c.ck = pr.ck AND pr.j >= c.k "
+        "  AND pr.i <= c.k GROUP BY 1, 2, 3), "
+        "fit AS (SELECT ck, k, MAX(m) AS fitv FROM mn GROUP BY 1, 2) "
+        "SELECT p.ck AS o_custkey, p.day, p.w AS n_orders, "
+        "p.s AS sum_cents, ROUND(fit.fitv, 6) AS fit_r "
+        "FROM p JOIN fit ON fit.ck = p.ck AND fit.k = p.k"
+    )

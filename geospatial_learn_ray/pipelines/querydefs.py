@@ -1863,6 +1863,13 @@ def _q_ams_f2(sf_dir: str):
     return sketches.ams_f2(_rp(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def _q_isotonic(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.isotonic_orders(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
+
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

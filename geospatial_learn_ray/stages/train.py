@@ -1001,3 +1001,70 @@ def mann_kendall_orders(orders: ray.data.Dataset,
     return bucket_exchange(
         orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
         .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def isotonic_orders(orders: ray.data.Dataset,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-customer isotonic (monotone nondecreasing) regression of
+    daily order value over time — PAVA (Ayer et al. 1955; Robertson,
+    Wright & Dykstra 1988). Same-day orders pre-pool into one weighted
+    point (w = count, s = Σcents); the fit at day k is its pooled
+    block's weighted mean.
+
+    Oracle parity argument: the SQL twin computes the closed-form
+    minimax fit max_{i≤k} min_{j≥k} avg(i..j). Every avg is ONE
+    correctly-rounded division of exact integers, f64() is monotone,
+    and max/min commute with monotone maps, so the SQL's max-min over
+    f64 divisions equals f64 of the exact minimax value — which is the
+    pooled block mean PAVA divides out directly. The engine's PAVA
+    merge test compares exact integer cross-products (never floats),
+    so block boundaries are the exact-rational ones on both sides.
+
+    Scale shape: one customer-keyed exchange of per-day (w, s) rows;
+    PAVA is O(days) per key with Python-int cross-multiplications."""
+    from .exchange import bucket_exchange
+
+    prep = _ck_day_cents_prep(num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["ck", "day"], as_index=False).agg(
+            w=("cents", "size"), s=("cents", "sum"))
+        gg = gg.sort_values(["ck", "day"], kind="mergesort")
+        cks, days, ws, ss, fits = [], [], [], [], []
+        for ck, t in gg.groupby("ck", sort=False):
+            S = [int(v) for v in t["s"]]
+            W = [int(v) for v in t["w"]]
+            blocks: list[list[int]] = []  # [s, w, n_points]
+            for s_, w_ in zip(S, W):
+                cs, cw, cn = s_, w_, 1
+                while blocks and blocks[-1][0] * cw >= cs * blocks[-1][1]:
+                    ps_, pw_, pn = blocks.pop()
+                    cs += ps_
+                    cw += pw_
+                    cn += pn
+                blocks.append([cs, cw, cn])
+            fit = []
+            for s_, w_, n_ in blocks:
+                fit.extend([float(np.float64(s_) / np.float64(w_))] * n_)
+            cks.append(t["ck"].to_numpy(np.int64))
+            days.append(t["day"].to_numpy(np.int64))
+            ws.append(t["w"].to_numpy(np.int64))
+            ss.append(t["s"].to_numpy(np.int64))
+            fits.append(np.asarray(fit, np.float64))
+        if not cks:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "day": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "sum_cents": pd.Series([], dtype=np.int64),
+                "fit_r": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "o_custkey": np.concatenate(cks),
+            "day": np.concatenate(days),
+            "n_orders": np.concatenate(ws),
+            "sum_cents": np.concatenate(ss),
+            "fit_r": round_half_away(np.concatenate(fits), 6)})
+
+    return bucket_exchange(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"), combine)
