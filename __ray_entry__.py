@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": _q_mad_outliers,
         "ams_f2_events": _q_ams_f2,
         "isotonic_orders": _q_isotonic,
+        "naive_bayes_lang_docs": _q_naive_bayes,
     }
 
 
@@ -381,6 +382,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _mad_outliers_sql,
     _ams_f2_sql,
     _isotonic_sql,
+    _naive_bayes_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -940,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_events": _mad_outliers_sql(),
         "ams_f2_events": _ams_f2_sql(),
         "isotonic_orders": _isotonic_sql(),
+        "naive_bayes_lang_docs": _naive_bayes_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

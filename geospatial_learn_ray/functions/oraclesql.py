@@ -4428,3 +4428,67 @@ def _isotonic_sql() -> str:
         "p.s AS sum_cents, ROUND(fit.fitv, 6) AS fit_r "
         "FROM p JOIN fit ON fit.ck = p.ck AND fit.k = p.k"
     )
+
+
+def _naive_bayes_sql(n_features: int = 4096, scale: int = 1024) -> str:
+    """SQL twin of textstages.naive_bayes_lang: identical hashed
+    uni+bigram occurrences (the _dsir_sql featurizer), exact integer
+    model counts, every log quantized to floor(ln(p)·scale + 0.5) as
+    BIGINT before any sum (lm_perplexity recipe), and the engine's
+    dense-matrix score decomposed as pq + q0·nt + Σ cnt·(q − q0) over
+    model pairs only (algebraically identical integers). argmax ties
+    break on ascending lang both sides."""
+    toks = (
+        "SELECT doc_id, lang, unnest(list_concat(lf, "
+        "list_transform(generate_series(1, len(lf) - 1), "
+        "i -> lf[i] || ' ' || lf[i + 1]))) AS tok "
+        "FROM (SELECT doc_id, lang, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS lf "
+        "FROM documents)"
+    )
+    hashed_inner = _sg.chain(
+        toks,
+        [("_f", _sg.fnv1a64_expr("tok")),
+         *_sg.splitmix64_steps("_f", "_h", "nb")])
+    sc = f"CAST({scale} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    return (
+        f"WITH hashed AS MATERIALIZED (SELECT doc_id, lang, "
+        f"CAST((_h) & {n_features - 1} AS BIGINT) AS h "
+        f"FROM ({hashed_inner})), "
+        "mc AS MATERIALIZED (SELECT lang, h, COUNT(*)::BIGINT AS c "
+        "FROM hashed GROUP BY 1, 2), "
+        "pri AS (SELECT lang, COUNT(*)::BIGINT AS nd "
+        "FROM documents GROUP BY 1), "
+        "ndt AS (SELECT CAST(SUM(nd) AS DOUBLE) AS n FROM pri), "
+        "lt AS (SELECT p.lang, COALESCE(m.cl, 0)::BIGINT AS cl, p.nd "
+        "FROM pri p LEFT JOIN (SELECT lang, SUM(c)::BIGINT AS cl "
+        "FROM mc GROUP BY 1) m ON m.lang = p.lang), "
+        "lq AS MATERIALIZED (SELECT lang, cl, "
+        "CAST(FLOOR(ln(CAST(1 AS DOUBLE) / "
+        f"CAST(cl + {n_features} AS DOUBLE)) * {sc} + {half}) AS BIGINT) "
+        "AS q0, "
+        f"CAST(FLOOR(ln(CAST(nd AS DOUBLE) / ndt.n) * {sc} + {half}) "
+        "AS BIGINT) AS pq FROM lt, ndt), "
+        "q AS (SELECT m.lang, m.h, "
+        "CAST(FLOOR(ln(CAST(m.c + 1 AS DOUBLE) / "
+        f"CAST(l.cl + {n_features} AS DOUBLE)) * {sc} + {half}) AS BIGINT) "
+        "AS qv FROM mc m JOIN lq l USING (lang)), "
+        "df AS MATERIALIZED (SELECT doc_id, h, COUNT(*)::BIGINT AS cnt "
+        "FROM hashed GROUP BY 1, 2), "
+        "nt AS (SELECT doc_id, SUM(cnt)::BIGINT AS nt FROM df GROUP BY 1), "
+        "delta AS (SELECT d.doc_id, q.lang, "
+        "SUM(d.cnt * (q.qv - l.q0))::BIGINT AS dl "
+        "FROM df d JOIN q ON q.h = d.h JOIN lq l ON l.lang = q.lang "
+        "GROUP BY 1, 2), "
+        "sc AS (SELECT dd.doc_id, dd.lang AS true_lang, l.lang, "
+        "l.pq + l.q0 * COALESCE(n.nt, 0) + COALESCE(x.dl, 0) AS s, "
+        "COALESCE(n.nt, 0) AS nf "
+        "FROM documents dd CROSS JOIN lq l "
+        "LEFT JOIN nt n ON n.doc_id = dd.doc_id "
+        "LEFT JOIN delta x ON x.doc_id = dd.doc_id AND x.lang = l.lang) "
+        "SELECT doc_id, true_lang, lang AS pred_lang, "
+        "CAST(s AS BIGINT) AS score_q, CAST(nf AS BIGINT) AS n_feats "
+        "FROM sc QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
+    )

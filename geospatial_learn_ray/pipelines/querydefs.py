@@ -1870,6 +1870,12 @@ def _q_isotonic(sf_dir: str):
         _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
 
 
+def _q_naive_bayes(sf_dir: str):
+    from geospatial_learn_ray.stages import textstages
+
+    return textstages.naive_bayes_lang(
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -1842,3 +1842,118 @@ def kn_perplexity_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     ex2 = bucket_exchange(ex1, attach_rest)
     return bucket_exchange(ex2, finalize, small_partials=True)
+
+
+def naive_bayes_lang(docs: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", lang_col: str = "lang",
+                     n_features: int = 4096, scale: int = 1024,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Multinomial naive-Bayes language classifier over hashed uni+bigram
+    features (the hashing-trick NB of Weinberger et al. 2009), trained on
+    the corpus's own ``lang`` labels and scored resubstitution-style —
+    the classification sibling of the reference's per-class prob surface
+    (learning.py:1073 class priors; prob_pixel_bloc classify.py).
+
+    Model: P(h|l) = (C(l,h)+1) / (C(l)+V) with V = ``n_features`` and
+    P(l) = N_l/N over ALL docs (empty-text docs keep their prior row).
+    Every log is quantized to an integer q = floor(ln(p)·scale + 0.5)
+    BEFORE any summation (lm_perplexity recipe), so per-doc scores are
+    exact integer sums at any block structure:
+
+        score(d,l) = pq_l + q0_l·nt_d + Σ_occ (q_{l,h} − q0_l)
+
+    where q0_l is the unseen-pair log and the Σ runs only over (l,h)
+    pairs present in the model. argmax breaks ties on ascending lang —
+    both sides. ln args are single divisions of exact integers (ln
+    bit-matches DuckDB on identical f64 inputs — CLAUDE.md).
+
+    Scale shape: the model is bounded at V×L rows by construction (one
+    bucketed exchange, counted driver pull ≤ V·L), priors are ≤ L rows
+    per block; the broadcast is one (L,V) int64 matrix via ray.put.
+    Scoring streams the corpus once, vectorized gather + groupby-sum."""
+    from .exchange import bucket_exchange
+
+    def feat_counts(b: pa.Table) -> pd.DataFrame:
+        rows, h = _hashed_ngram_feats(b, text_col, n_features)
+        if len(h) == 0:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        d = pd.DataFrame({
+            "lang": b[lang_col].to_numpy(zero_copy_only=False)[rows],
+            "h": h.astype(np.int64)})
+        g = d.groupby(["lang", "h"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = (g["h"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_part"]).groupby(
+            ["lang", "h"], sort=False, as_index=False)["c"].sum()
+
+    model = bucket_exchange(
+        docs.select_columns([text_col, lang_col]).map_batches(
+            feat_counts, batch_format="pyarrow"),
+        combine).to_pandas()  # counted bound: ≤ n_features × L rows
+
+    def pri_partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"lang": b[lang_col].to_numpy(zero_copy_only=False)})
+        g = d.groupby("lang", sort=False).size().reset_index(name="nd")
+        g["nd"] = g["nd"].astype(np.int64)
+        return g
+
+    pri = docs.select_columns([lang_col]).map_batches(
+        pri_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("lang", as_index=False)["nd"].sum()  # ≤ L rows per block
+    langs = np.sort(pri["lang"].to_numpy(object))
+    L = len(langs)
+    lidx = {l: i for i, l in enumerate(langs)}
+    nd = np.zeros(L, np.int64)
+    nd[[lidx[l] for l in pri["lang"]]] = pri["nd"].to_numpy(np.int64)
+    ndt = np.float64(nd.sum())
+    cl = np.zeros(L, np.int64)
+    mg = model.groupby("lang", as_index=False)["c"].sum()
+    cl[[lidx[l] for l in mg["lang"]]] = mg["c"].to_numpy(np.int64)
+    denom = (cl + np.int64(n_features)).astype(np.float64)
+    q0 = np.floor(np.log(np.float64(1.0) / denom)
+                  * np.float64(scale) + 0.5).astype(np.int64)
+    pq = np.floor(np.log(nd.astype(np.float64) / ndt)
+                  * np.float64(scale) + 0.5).astype(np.int64)
+    qmat = np.tile(q0[:, None], (1, n_features))
+    li = np.asarray([lidx[l] for l in model["lang"]], np.int64)
+    hv = model["h"].to_numpy(np.int64)
+    cv = model["c"].to_numpy(np.float64)
+    qmat[li, hv] = np.floor(
+        np.log((cv + 1.0) / denom[li]) * np.float64(scale) + 0.5
+    ).astype(np.int64)
+    bref = ray.put((qmat, q0, pq, langs))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        qm, q0v, pqv, lg = ray.get(bref)
+        rows, h = _hashed_ngram_feats(b, text_col, n_features)
+        n = b.num_rows
+        acc = np.tile(pqv, (n, 1)).astype(np.int64)  # (n, L)
+        nt = np.zeros(n, np.int64)
+        if len(h):
+            np.add.at(nt, rows, 1)
+            per = qm[:, h].T  # (n_occ, L)
+            occ = pd.DataFrame(per)
+            occ["_r"] = rows
+            summed = occ.groupby("_r", sort=False).sum()
+            acc[summed.index.to_numpy(np.int64)] += \
+                summed.to_numpy(np.int64)
+        # docs with zero features keep score = prior only
+        pred_i = np.argmax(acc, axis=1)  # ties → lowest index = asc lang
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "true_lang": b[lang_col].to_numpy(zero_copy_only=False),
+            "pred_lang": lg[pred_i],
+            "score_q": acc[np.arange(n), pred_i].astype(np.int64),
+            "n_feats": nt})
+        return out
+
+    return docs.select_columns([id_col, text_col, lang_col]).map_batches(
+        score, batch_format="pyarrow")

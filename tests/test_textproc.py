@@ -922,3 +922,32 @@ def test_kn_perplexity_matches_bruteforce_and_normalizes():
     out2 = kn_perplexity_scores(docs.repartition(7)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_naive_bayes_separable_and_block_invariant():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import naive_bayes_lang
+
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": (["le chat mange le poisson"] * 4
+                 + ["the dog eats the bone"] * 4
+                 + ["", "le chat et the dog"]),
+        "lang": ["fr"] * 4 + ["en"] * 4 + ["en", "fr"],
+    })
+    out = naive_bayes_lang(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # clearly separable vocab → resubstitution recovers the labels
+    assert (out.loc[:3, "pred_lang"] == "fr").all()
+    assert (out.loc[4:7, "pred_lang"] == "en").all()
+    # empty doc scores prior-only; en is the majority class (5 vs 5 tie
+    # broken asc) — priors equal, so argmax tie → 'en' (lowest lang)
+    assert out.loc[8, "n_feats"] == 0
+    assert out.loc[8, "pred_lang"] == "en"
+    # block-structure invariance: same result over 5 blocks
+    again = naive_bayes_lang(
+        ray.data.from_pandas(docs).repartition(5)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
