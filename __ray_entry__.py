@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_events": _q_ams_f2,
         "isotonic_orders": _q_isotonic,
         "naive_bayes_lang_docs": _q_naive_bayes,
+        "gini_revenue_nation": _q_gini_nation,
     }
 
 
@@ -383,6 +384,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ams_f2_sql,
     _isotonic_sql,
     _naive_bayes_sql,
+    _gini_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -943,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_events": _ams_f2_sql(),
         "isotonic_orders": _isotonic_sql(),
         "naive_bayes_lang_docs": _naive_bayes_sql(),
+        "gini_revenue_nation": _gini_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -4492,3 +4492,26 @@ def _naive_bayes_sql(n_features: int = 4096, scale: int = 1024) -> str:
         "FROM sc QUALIFY ROW_NUMBER() OVER "
         "(PARTITION BY doc_id ORDER BY s DESC, lang) = 1"
     )
+
+
+def _gini_sql() -> str:
+    """SQL twin of agg.gini_by_nation: exact integer cents, LEFT-join
+    zero-revenue customers, ranks from the same (cents, ck) sort, and
+    the rank-covariance Gini as one BIGINT expression divided once."""
+    return (
+        "WITH rev AS (SELECT o_custkey AS ck, "
+        "CAST(SUM(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+        "*SIGN(o_totalprice) AS BIGINT)) AS BIGINT) AS s FROM orders "
+        "GROUP BY 1), "
+        "x AS (SELECT c.c_nationkey AS nk, c.c_custkey AS ck, "
+        "COALESCE(r.s, 0)::BIGINT AS cents "
+        "FROM customer c LEFT JOIN rev r ON r.ck = c.c_custkey), "
+        "rk AS (SELECT nk, cents, ROW_NUMBER() OVER "
+        "(PARTITION BY nk ORDER BY cents, ck) AS i FROM x), "
+        "g AS (SELECT nk, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s, "
+        "SUM(i * cents)::BIGINT AS w FROM rk GROUP BY nk) "
+        "SELECT CAST(nk AS BIGINT) AS n_nationkey, n AS n_cust, s AS sum_cents, "
+        "ROUND(CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(2*w - (n+1)*s AS DOUBLE) / CAST(n*s AS DOUBLE) END, 9) "
+        "AS gini_r FROM g"
+    )

@@ -1876,6 +1876,11 @@ def _q_naive_bayes(sf_dir: str):
     return textstages.naive_bayes_lang(
         _rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
+def _q_gini_nation(sf_dir: str):
+    return agg.gini_by_nation(
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -764,3 +764,89 @@ def pivot_counts(ds: ray.data.Dataset, key: str, col: str,
         ds.select_columns([key, col]).map_batches(partial,
                                                   batch_format="pyarrow"),
         pivot, small_partials=True)
+
+
+def gini_by_nation(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-nation Gini coefficient of per-customer revenue (Lorenz-curve
+    concentration; Gini 1912 via the rank covariance identity):
+
+        G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x),   x sorted ascending.
+
+    Customers with no orders count as zero-revenue rows (LEFT-join
+    semantics). Revenue is exact integer cents so every sum is
+    order-free; ties in x are rank-order-invariant (equal x makes
+    Σ i·x depend only on the tied ranks' total), and the (cents, ck)
+    sort both sides makes ranks identical anyway.
+
+    Scale shape: orders pre-reduce per block, then ONE custkey-bucketed
+    exchange merges revenue with the customer dimension rows riding the
+    same exchange (tagged union — no broadcast of an O(dataset) table);
+    a second nation-keyed exchange computes the sorted integer moments.
+    Σ i·x is computed in int64 with a guarded promotion to Python ints
+    when n·max(x)·n approaches 2^62 (per-nation arrays only)."""
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        g = pd.DataFrame({"ck": b["o_custkey"].to_numpy(np.int64),
+                          "cents": cents}) \
+            .groupby("ck", as_index=False)["cents"].sum()
+        g["cents"] = g["cents"].astype(np.int64)
+        g["nation"] = np.int64(-1)
+        g["_part"] = (g["ck"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return g[["ck", "nation", "cents", "_part"]]
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck": b["c_custkey"].to_numpy(np.int64),
+            "nation": b["c_nationkey"].to_numpy(np.int64),
+            "cents": np.zeros(len(b), np.int64),
+            "_part": (b["c_custkey"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)})
+
+    uni = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(rev_partial, batch_format="pandas") \
+        .union(customer.select_columns(["c_custkey", "c_nationkey"])
+               .map_batches(cust_rows, batch_format="pandas"))
+
+    def attach_nation(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop(columns=["_part"]).groupby("ck", as_index=False).agg(
+            nation=("nation", "max"), cents=("cents", "sum"))
+        m = m[m["nation"] >= 0].copy()  # drop orders with no dim row
+        m["cents"] = m["cents"].astype(np.int64)
+        m["nation"] = m["nation"].astype(np.int64)
+        m["_part"] = (m["nation"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return m
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        nks, ns, ss, gs = [], [], [], []
+        for nk, t in g.sort_values(["nation", "cents", "ck"],
+                                   kind="mergesort").groupby(
+                                       "nation", sort=False):
+            x = t["cents"].to_numpy(np.int64)
+            n = len(x)
+            s = int(x.sum())
+            if n and int(x.max() if n else 0) * n * n < (1 << 62):
+                w = int(np.dot(np.arange(1, n + 1, dtype=np.int64), x))
+            else:  # exact Python-int fallback for extreme magnitudes
+                w = sum(i * int(v) for i, v in enumerate(x, 1))
+            num = 2 * w - (n + 1) * s
+            gv = (np.float64(num) / np.float64(n * s)) if s else 0.0
+            nks.append(nk)
+            ns.append(n)
+            ss.append(s)
+            gs.append(gv)
+        return pd.DataFrame({
+            "n_nationkey": pd.Series(nks, dtype=np.int64),
+            "n_cust": pd.Series(ns, dtype=np.int64),
+            "sum_cents": pd.Series(ss, dtype=np.int64),
+            "gini_r": round_half_away(
+                pd.Series(gs, dtype=np.float64).to_numpy(), 9)})
+
+    return bucket_exchange(bucket_exchange(uni, attach_nation), gini,
+                           small_partials=True)
