@@ -4515,3 +4515,38 @@ def _gini_sql() -> str:
         "ELSE CAST(2*w - (n+1)*s AS DOUBLE) / CAST(n*s AS DOUBLE) END, 9) "
         "AS gini_r FROM g"
     )
+
+
+def _seasonal_decomp_sql() -> str:
+    """SQL twin of streaming.seasonal_decomp_orders: zero-filled daily
+    series via a lateral range(), 7-wide window sum restricted to full
+    windows, two-middle doubled medians per phase, and the same scaled
+    integers (trend7/seas14/resid14) divided once for the ratios."""
+    return (
+        "WITH dd AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+        "AS BIGINT) AS day FROM orders), "
+        "cnt AS (SELECT day, COUNT(*)::BIGINT AS c FROM dd GROUP BY 1), "
+        "b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cnt), "
+        "g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b), "
+        "f AS MATERIALIZED (SELECT g.day, COALESCE(c.c, 0)::BIGINT "
+        "AS c FROM g LEFT JOIN cnt c ON c.day = g.day), "
+        "w AS (SELECT day, c, CAST(SUM(c) OVER win AS BIGINT) AS t7, "
+        "COUNT(*) OVER win AS nw FROM f WINDOW win AS "
+        "(ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+        "i AS MATERIALIZED (SELECT day, c, t7, 7*c - t7 AS det7, "
+        "day % 7 AS dow FROM w WHERE nw = 7), "
+        "r AS (SELECT dow, det7, ROW_NUMBER() OVER "
+        "(PARTITION BY dow ORDER BY det7) AS rn, "
+        "COUNT(*) OVER (PARTITION BY dow) AS m FROM i), "
+        "s AS (SELECT dow, CAST(MAX(CASE WHEN rn = (m-1)//2 + 1 "
+        "THEN det7 END) + MAX(CASE WHEN rn = m//2 + 1 THEN det7 END) "
+        "AS BIGINT) AS s14 FROM r GROUP BY dow) "
+        "SELECT i.day, i.c AS n_orders, CAST(i.dow AS BIGINT) AS dow, "
+        "i.t7 AS trend7, s.s14 AS seas14, "
+        "CAST(14*i.c - 2*i.t7 - s.s14 AS BIGINT) AS resid14, "
+        "ROUND(CAST(i.t7 AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS trend_r, "
+        "ROUND(CAST(s.s14 AS DOUBLE) / CAST(14 AS DOUBLE), 6) AS seas_r, "
+        "ROUND(CAST(14*i.c - 2*i.t7 - s.s14 AS DOUBLE) / "
+        "CAST(14 AS DOUBLE), 6) AS resid_r "
+        "FROM i JOIN s USING (dow)"
+    )

@@ -1881,6 +1881,12 @@ def _q_gini_nation(sf_dir: str):
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
         _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
 
+def _q_seasonal_decomp(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.seasonal_decomp_orders(
+        _rp(sf_dir, "orders", ["o_orderdate"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -806,3 +806,88 @@ def mad_outliers_events(events: ray.data.Dataset,
         events.select_columns(["event_type", "ts"]).map_batches(
             partial, batch_format="pyarrow"),
         combine, small_partials=True)
+
+
+def seasonal_decomp_orders(orders: ray.data.Dataset,
+                           day_bound: int = 200_000) -> ray.data.Dataset:
+    """Classical additive seasonal decomposition of the global daily
+    order-count series (Macaulay 1931 / the 'decompose' textbook method):
+    trend = centered 7-day moving average, seasonal = per-phase median of
+    the detrended series, residual = remainder. INTEGER-exact end to end
+    via scaled units (cusum/MAD recipe): trend7 = Σ window counts (7×),
+    det7 = 7·x − trend7 (7×), seas14 = two-middle doubled median of det7
+    per day-of-week phase (14×), resid14 = 14·x − 2·trend7 − seas14.
+    Only interior days (full 7-day window) are emitted. The convenience
+    ratios are ONE division of exact integers each; denominators 7/14
+    cannot tie at the 6th decimal (terminating cases are dyadic-exact).
+
+    Scale shape: per-block (day, count) partials, one day-keyed exchange;
+    the per-day table is a counted driver pull (≤ ``day_bound`` — a
+    calendar, not a corpus), where the decomposition is O(days)."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["day"].to_numpy().astype(np.uint64))
+                          % np.uint64(32)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    daily = bucket_exchange(
+        orders.select_columns(["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "day", as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(daily) > day_bound:
+        raise ValueError(f"day span {len(daily)} exceeds bound {day_bound}")
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    full = pd.DataFrame({"day": np.arange(d0, d1 + 1, dtype=np.int64)})
+    full = full.merge(daily, on="day", how="left")
+    x = full["c"].fillna(0).to_numpy(np.int64)
+    day = full["day"].to_numpy(np.int64)
+    n = len(x)
+    if n < 7:
+        return ray.data.from_pandas(pd.DataFrame({
+            "day": pd.Series([], dtype=np.int64),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "dow": pd.Series([], dtype=np.int64),
+            "trend7": pd.Series([], dtype=np.int64),
+            "seas14": pd.Series([], dtype=np.int64),
+            "resid14": pd.Series([], dtype=np.int64),
+            "trend_r": pd.Series([], dtype=np.float64),
+            "seas_r": pd.Series([], dtype=np.float64),
+            "resid_r": pd.Series([], dtype=np.float64)}))
+    cs = np.concatenate([[0], np.cumsum(x)])
+    trend7 = (cs[7:] - cs[:-7]).astype(np.int64)  # t = 3 .. n-4
+    xi = x[3:n - 3]
+    di = day[3:n - 3]
+    det7 = 7 * xi - trend7
+    dow = di % 7
+    seas14 = np.zeros(7, np.int64)
+    for d in range(7):
+        v = np.sort(det7[dow == d])
+        m = len(v)
+        if m:
+            seas14[d] = v[(m - 1) // 2] + v[m // 2]
+    s14 = seas14[dow]
+    resid14 = 14 * xi - 2 * trend7 - s14
+    out = pd.DataFrame({
+        "day": di, "n_orders": xi, "dow": dow.astype(np.int64),
+        "trend7": trend7, "seas14": s14, "resid14": resid14,
+        "trend_r": round_half_away(
+            trend7.astype(np.float64) / np.float64(7.0), 6),
+        "seas_r": round_half_away(
+            s14.astype(np.float64) / np.float64(14.0), 6),
+        "resid_r": round_half_away(
+            resid14.astype(np.float64) / np.float64(14.0), 6)})
+    return ray.data.from_pandas(out)
