@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "naive_bayes_lang_docs": _q_naive_bayes,
         "gini_revenue_nation": _q_gini_nation,
         "seasonal_decomp_orders": _q_seasonal_decomp,
+        "dp_simplify_trajectories": _q_dp_simplify,
     }
 
 
@@ -387,6 +388,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _naive_bayes_sql,
     _gini_sql,
     _seasonal_decomp_sql,
+    _dp_simplify_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -949,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "naive_bayes_lang_docs": _naive_bayes_sql(),
         "gini_revenue_nation": _gini_sql(),
         "seasonal_decomp_orders": _seasonal_decomp_sql(),
+        "dp_simplify_trajectories": _dp_simplify_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

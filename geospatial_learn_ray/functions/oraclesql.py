@@ -4550,3 +4550,68 @@ def _seasonal_decomp_sql() -> str:
         "CAST(14 AS DOUBLE), 6) AS resid_r "
         "FROM i JOIN s USING (dow)"
     )
+
+
+def _dp_simplify_sql(tol_udeg: int = 20_000_000, rounds: int = 24) -> str:
+    """SQL twin of streaming.simplify_trajectories: identical splitmix
+    integer geocode, then ``rounds`` unrolled BFS split rounds — per
+    round each active segment picks its max-|cross| interior point
+    (ties → min k) and splits iff cross² > tol²·len2 in HUGEINT. The
+    keep-set is the endpoints plus every split point (DFS == BFS)."""
+    tol2 = int(tol_udeg) ** 2
+    xor_c = 0x9E3779B97F4A7C15
+    inner = _sg.chain(
+        "SELECT event_id, ts, user_id FROM events",
+        [("_e", _sg.i64_to_u64("event_id")),
+         *_sg.splitmix64_steps("_e", "_h1", "dpa"),
+         ("_x1", _sg.u64_xor("_h1", str(xor_c))),
+         *_sg.splitmix64_steps("_x1", "_h2", "dpb")])
+    parts = [
+        "WITH p AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS i, "
+        "CAST(_h2 % 360000001 AS BIGINT) - 180000000 AS x, "
+        "CAST(_h1 % 180000001 AS BIGINT) - 90000000 AS y "
+        f"FROM ({inner})), "
+        "nn AS (SELECT u, COUNT(*)::BIGINT AS n FROM p GROUP BY 1), "
+        "s0 AS (SELECT u, CAST(1 AS BIGINT) AS i, n AS j FROM nn "
+        "WHERE n >= 2)"]
+    kept_units = ["SELECT u, CAST(1 AS BIGINT) AS i FROM nn",
+                  "SELECT u, n AS i FROM nn WHERE n > 1"]
+    for t in range(1, rounds + 1):
+        prev = f"s{t - 1}"
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT u, i, j, k, len2, m FROM ("
+            "SELECT s.u, s.i, s.j, q.i AS k, "
+            "(pb.x - pa.x)*(pb.x - pa.x) + (pb.y - pa.y)*(pb.y - pa.y) "
+            "AS len2, "
+            "CASE WHEN (pb.x - pa.x)*(pb.x - pa.x) + "
+            "(pb.y - pa.y)*(pb.y - pa.y) = 0 "
+            "THEN CAST((q.x - pa.x)*(q.x - pa.x) + "
+            "(q.y - pa.y)*(q.y - pa.y) AS HUGEINT) "
+            "ELSE CAST((pb.x - pa.x)*(q.y - pa.y) - "
+            "(pb.y - pa.y)*(q.x - pa.x) AS HUGEINT) * "
+            "CAST((pb.x - pa.x)*(q.y - pa.y) - "
+            "(pb.y - pa.y)*(q.x - pa.x) AS HUGEINT) END AS m "
+            f"FROM {prev} s "
+            "JOIN p pa ON pa.u = s.u AND pa.i = s.i "
+            "JOIN p pb ON pb.u = s.u AND pb.i = s.j "
+            "JOIN p q ON q.u = s.u AND q.i > s.i AND q.i < s.j) "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY u, i, j "
+            "ORDER BY m DESC, k) = 1)")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT u, i, j, k FROM b{t} "
+            f"WHERE CASE WHEN len2 = 0 THEN m > {tol2} "
+            f"ELSE m > CAST({tol2} AS HUGEINT) * len2 END)")
+        parts.append(
+            f"s{t} AS (SELECT u, i, k AS j FROM w{t} "
+            f"UNION ALL SELECT u, k AS i, j FROM w{t})")
+        kept_units.append(f"SELECT u, k AS i FROM w{t}")
+    kept = " UNION ALL ".join(kept_units)
+    return (
+        ", ".join(parts)
+        + f", kept AS ({kept}) "
+        "SELECT p.u AS user_id, p.i AS idx, p.x AS lon_udeg, "
+        "p.y AS lat_udeg FROM p JOIN kept ON kept.u = p.u "
+        "AND kept.i = p.i"
+    )

@@ -1887,6 +1887,12 @@ def _q_seasonal_decomp(sf_dir: str):
     return streaming.seasonal_decomp_orders(
         _rp(sf_dir, "orders", ["o_orderdate"]))
 
+def _q_dp_simplify(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.simplify_trajectories(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

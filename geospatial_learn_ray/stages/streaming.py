@@ -891,3 +891,104 @@ def seasonal_decomp_orders(orders: ray.data.Dataset,
         "resid_r": round_half_away(
             resid14.astype(np.float64) / np.float64(14.0), 6)})
     return ray.data.from_pandas(out)
+
+
+def simplify_trajectories(events: ray.data.Dataset,
+                          tol_udeg: int = 20_000_000,
+                          max_depth: int = 24,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Douglas-Peucker polyline simplification (Douglas & Peucker 1973)
+    of per-user 'GPS ping' trajectories: each event gets an integer
+    microdegree position derived from splitmix64(event_id) (pure-integer
+    geocode — no float ever forms), the trajectory is the user's events
+    in (ts, event_id) order, and DP keeps a point iff it is an endpoint
+    or a split point of the recursion. All distance tests are exact
+    integer comparisons: a candidate k beats others on |cross(AB, AP)|
+    (squares are monotone; ties → min k) and a segment splits iff
+    cross² > tol²·|AB|² (degenerate A=B segments compare |AP|² > tol²).
+    The keep-set is evaluation-order independent, so the engine's DFS
+    recursion equals the SQL twin's ``max_depth`` unrolled BFS rounds —
+    the engine RAISES if any trajectory's split tree exceeds that depth.
+
+    Scale shape: one user-keyed exchange; per-user work is the classic
+    O(n·depth) DP with numpy argmax per segment and O(1) Python-int
+    exact split tests (cross² needs int128)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    XOR_C = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        old = np.seterr(over="ignore")
+        try:
+            h1 = splitmix64(eid.astype(np.uint64))
+            h2 = splitmix64(h1 ^ XOR_C)
+        finally:
+            np.seterr(**old)
+        lat = (h1 % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+        lon = (h2 % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "u": u,
+            "ts": b["ts"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64),
+            "eid": eid.astype(np.int64),
+            "x": lon, "y": lat,
+            "_part": (u % num_buckets).astype(np.int32)})
+
+    tol2 = int(tol_udeg) ** 2
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]) \
+             .sort_values(["u", "ts", "eid"], kind="mergesort")
+        us, idxs, xs, ys = [], [], [], []
+        for u, t in g.groupby("u", sort=False):
+            x = t["x"].to_numpy(np.int64)
+            y = t["y"].to_numpy(np.int64)
+            n = len(x)
+            keep = {0, n - 1}
+            # iterative DFS over (i, j, depth); identical keep-set to BFS
+            stack = [(0, n - 1, 1)]
+            while stack:
+                i, j, d = stack.pop()
+                if j <= i + 1:
+                    continue
+                ax, ay, bx, by = x[i], y[i], x[j], y[j]
+                kx = x[i + 1:j]
+                ky = y[i + 1:j]
+                dx = int(bx) - int(ax)
+                dy = int(by) - int(ay)
+                len2 = dx * dx + dy * dy
+                if len2 == 0:
+                    m = (kx - ax) ** 2 + (ky - ay) ** 2
+                    kbest = int(np.argmax(m))
+                    split = int(m[kbest]) > tol2
+                else:
+                    cross = np.abs(dx * (ky - np.int64(ay))
+                                   - dy * (kx - np.int64(ax)))
+                    kbest = int(np.argmax(cross))
+                    split = int(cross[kbest]) ** 2 > tol2 * len2
+                if split:
+                    if d > max_depth:
+                        # the SQL twin unrolls exactly max_depth rounds
+                        raise ValueError(
+                            f"DP split tree deeper than {max_depth}")
+                    k = i + 1 + kbest
+                    keep.add(k)
+                    stack.append((i, k, d + 1))
+                    stack.append((k, j, d + 1))
+            ks = sorted(keep)
+            us.extend([u] * len(ks))
+            idxs.extend(k + 1 for k in ks)  # 1-based rank, SQL ROW_NUMBER
+            xs.extend(int(x[k]) for k in ks)
+            ys.extend(int(y[k]) for k in ks)
+        return pd.DataFrame({
+            "user_id": pd.Series(us, dtype=np.int64),
+            "idx": pd.Series(idxs, dtype=np.int64),
+            "lon_udeg": pd.Series(xs, dtype=np.int64),
+            "lat_udeg": pd.Series(ys, dtype=np.int64)})
+
+    return bucket_exchange(
+        events.select_columns(["event_id", "ts", "user_id"]).map_batches(
+            prep, batch_format="pyarrow"), combine)

@@ -410,3 +410,78 @@ def test_interval_coverage_hand_case_and_block_invariant():
     a = a.sort_values("user_id").reset_index(drop=True)
     b = b.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dp_simplify_matches_recursive_reference_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.functions.hashing import splitmix64
+    from geospatial_learn_ray.stages.streaming import simplify_trajectories
+
+    n = 120
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "user_id": np.repeat(np.arange(3, dtype=np.int64), n // 3)})
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    tol = 20_000_000
+
+    def ref_keep(x, y):
+        keep = {0, len(x) - 1}
+
+        def rec(i, j):
+            if j <= i + 1:
+                return
+            dx, dy = int(x[j]) - int(x[i]), int(y[j]) - int(y[i])
+            len2 = dx * dx + dy * dy
+            best, bm = None, -1
+            for k in range(i + 1, j):
+                if len2 == 0:
+                    m = (int(x[k]) - int(x[i])) ** 2 \
+                        + (int(y[k]) - int(y[i])) ** 2
+                else:
+                    m = abs(dx * (int(y[k]) - int(y[i]))
+                            - dy * (int(x[k]) - int(x[i]))) ** 2
+                if m > bm:
+                    best, bm = k, m
+            split = bm > tol * tol * (len2 if len2 else 1)
+            if split:
+                keep.add(best)
+                rec(i, best)
+                rec(best, j)
+
+        rec(0, len(x) - 1)
+        return sorted(keep)
+
+    out = simplify_trajectories(
+        ray.data.from_pandas(ev), tol_udeg=tol).to_pandas() \
+        .sort_values(["user_id", "idx"]).reset_index(drop=True)
+    # independent recursive reference on the same hash geocode
+    old = np.seterr(over="ignore")
+    try:
+        h1 = splitmix64(ev["event_id"].to_numpy().astype(np.uint64))
+        h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15))
+    finally:
+        np.seterr(**old)
+    ev["y"] = (h1 % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+    ev["x"] = (h2 % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+    rows = []
+    for u, t in ev.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        x, y = t["x"].to_numpy(), t["y"].to_numpy()
+        for k in ref_keep(x, y):
+            rows.append((u, k + 1, int(x[k]), int(y[k])))
+    ref = pd.DataFrame(rows, columns=["user_id", "idx",
+                                      "lon_udeg", "lat_udeg"]) \
+        .astype(np.int64).sort_values(["user_id", "idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) < n  # it actually simplifies something
+    again = simplify_trajectories(
+        ray.data.from_pandas(ev[["event_id", "ts", "user_id"]])
+        .repartition(7), tol_udeg=tol).to_pandas() \
+        .sort_values(["user_id", "idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
