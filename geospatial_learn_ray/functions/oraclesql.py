@@ -4615,3 +4615,34 @@ def _dp_simplify_sql(tol_udeg: int = 20_000_000, rounds: int = 24) -> str:
         "p.y AS lat_udeg FROM p JOIN kept ON kept.u = p.u "
         "AND kept.i = p.i"
     )
+
+
+def _nb_confusion_sql() -> str:
+    """SQL twin of textstages.classification_report over the
+    naive-Bayes predictions: exact integer confusion counts, and each
+    metric ONE CAST/CAST division (F1 = 2·tp/(n_pred + n_true))."""
+    nb = _naive_bayes_sql()
+    return (
+        f"WITH m AS MATERIALIZED (SELECT true_lang, pred_lang FROM ({nb})), "
+        "ct AS (SELECT true_lang AS t, pred_lang AS p, COUNT(*)::BIGINT "
+        "AS c FROM m GROUP BY 1, 2), "
+        "cls AS (SELECT DISTINCT lang FROM documents), "
+        "tl AS (SELECT t AS lang, SUM(c)::BIGINT AS n_true FROM ct "
+        "GROUP BY 1), "
+        "pl AS (SELECT p AS lang, SUM(c)::BIGINT AS n_pred FROM ct "
+        "GROUP BY 1), "
+        "dg AS (SELECT t AS lang, SUM(c)::BIGINT AS tp FROM ct "
+        "WHERE t = p GROUP BY 1) "
+        "SELECT cls.lang, COALESCE(tl.n_true, 0)::BIGINT AS n_true, "
+        "COALESCE(pl.n_pred, 0)::BIGINT AS n_pred, "
+        "COALESCE(dg.tp, 0)::BIGINT AS tp, "
+        "ROUND(CASE WHEN COALESCE(pl.n_pred, 0) = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(COALESCE(dg.tp, 0) AS DOUBLE) / CAST(pl.n_pred AS DOUBLE) "
+        "END, 6) AS prec_r, "
+        "ROUND(CAST(COALESCE(dg.tp, 0) AS DOUBLE) / "
+        "CAST(tl.n_true AS DOUBLE), 6) AS rec_r, "
+        "ROUND(CAST(2 * COALESCE(dg.tp, 0) AS DOUBLE) / "
+        "CAST(COALESCE(pl.n_pred, 0) + tl.n_true AS DOUBLE), 6) AS f1_r "
+        "FROM cls LEFT JOIN tl USING (lang) LEFT JOIN pl USING (lang) "
+        "LEFT JOIN dg USING (lang)"
+    )

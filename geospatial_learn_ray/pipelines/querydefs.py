@@ -1893,6 +1893,13 @@ def _q_dp_simplify(sf_dir: str):
     return streaming.simplify_trajectories(
         _rp(sf_dir, "events", ["event_id", "ts", "user_id"]))
 
+def _q_nb_confusion(sf_dir: str):
+    from geospatial_learn_ray.stages import textstages
+
+    return textstages.classification_report(
+        textstages.naive_bayes_lang(
+            _rp(sf_dir, "documents", ["doc_id", "text", "lang"])))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

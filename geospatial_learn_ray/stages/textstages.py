@@ -1957,3 +1957,54 @@ def naive_bayes_lang(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col, lang_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def classification_report(preds: ray.data.Dataset,
+                          true_col: str = "true_lang",
+                          pred_col: str = "pred_lang") -> ray.data.Dataset:
+    """Per-class confusion metrics over a (true, pred) prediction table:
+    tp / n_true / n_pred plus precision, recall and F1 — each restated
+    as ONE division of exact integers (F1 = 2·tp/(n_pred + n_true), the
+    harmonic-mean identity), so there is no multi-op float chain to
+    drift. Classes with zero predictions get precision 0.0 by
+    convention (sklearn's zero_division=0).
+
+    Scale shape: per-block (true, pred) count partials — the confusion
+    table is bounded at L² rows by construction — then one single-bucket
+    exchange finalizes."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "t": b[true_col].to_numpy(zero_copy_only=False),
+            "p": b[pred_col].to_numpy(zero_copy_only=False)})
+        g = d.groupby(["t", "p"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = np.zeros(len(g), np.int32)  # bounded L² rows total
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        ct = g.drop(columns=["_part"]).groupby(
+            ["t", "p"], as_index=False)["c"].sum()
+        langs = np.sort(np.unique(ct["t"].to_numpy(object)))
+        n_true = ct.groupby("t")["c"].sum()
+        n_pred = ct.groupby("p")["c"].sum()
+        diag = ct[ct["t"] == ct["p"]].set_index("t")["c"]
+        tp = np.asarray([int(diag.get(l, 0)) for l in langs], np.int64)
+        nt = np.asarray([int(n_true.get(l, 0)) for l in langs], np.int64)
+        npd = np.asarray([int(n_pred.get(l, 0)) for l in langs], np.int64)
+        prec = np.where(npd > 0, tp / np.maximum(npd, 1).astype(np.float64),
+                        0.0)
+        rec = tp / nt.astype(np.float64)
+        f1 = (2 * tp) / (npd + nt).astype(np.float64)
+        return pd.DataFrame({
+            "lang": langs, "n_true": nt, "n_pred": npd, "tp": tp,
+            "prec_r": round_half_away(prec, 6),
+            "rec_r": round_half_away(rec, 6),
+            "f1_r": round_half_away(f1, 6)})
+
+    return bucket_exchange(
+        preds.select_columns([true_col, pred_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        finalize, small_partials=True)
