@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decomp_orders": _q_seasonal_decomp,
         "dp_simplify_trajectories": _q_dp_simplify,
         "nb_confusion_docs": _q_nb_confusion,
+        "sssp_hosts": _q_sssp_hosts,
     }
 
 
@@ -391,6 +392,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _seasonal_decomp_sql,
     _dp_simplify_sql,
     _nb_confusion_sql,
+    _sssp_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -955,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decomp_orders": _seasonal_decomp_sql(),
         "dp_simplify_trajectories": _dp_simplify_sql(),
         "nb_confusion_docs": _nb_confusion_sql(),
+        "sssp_hosts": _sssp_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

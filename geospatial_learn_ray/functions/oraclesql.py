@@ -4646,3 +4646,52 @@ def _nb_confusion_sql() -> str:
         "FROM cls LEFT JOIN tl USING (lang) LEFT JOIN pl USING (lang) "
         "LEFT JOIN dg USING (lang)"
     )
+
+
+def _sssp_sql(rounds: int = 8, out_links: int = 4,
+              host_mod: int = 1000) -> str:
+    """SQL twin of graph.sssp_hosts: the identical fixed-round weighted
+    min-plus relaxation unrolled, edge weights from the same u64 chain
+    w = 1 + splitmix(splitmix(a) xor b) % 9, INF = 2^40."""
+    inf = 1 << 40
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")),
+         *_sg.splitmix64_steps("_f", "_h", "sp")])
+    w_inner = _sg.chain(
+        "SELECT a, b FROM ua",
+        [("_ua", _sg.i64_to_u64("a")),
+         *_sg.splitmix64_steps("_ua", "_s1", "swa"),
+         ("_xw", _sg.u64_xor("_s1", _sg.i64_to_u64("b"))),
+         *_sg.splitmix64_steps("_xw", "_s2", "swb")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "we AS MATERIALIZED (SELECT a, b, "
+        f"CAST(1 + (_s2 % 9) AS BIGINT) AS w FROM ({w_inner}))",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u, w FROM we "
+        "UNION ALL SELECT b AS v, a AS u, w FROM we)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj)",
+        "d0 AS MATERIALIZED (SELECT node, CASE WHEN node = "
+        "(SELECT MIN(node) FROM nodes) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({inf} AS BIGINT) END AS q FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT node, MIN(q) AS q FROM ("
+            f"SELECT node, q FROM d{t - 1} "
+            f"UNION ALL SELECT adj.v AS node, d.q + adj.w AS q "
+            f"FROM adj JOIN d{t - 1} d ON d.node = adj.u) GROUP BY node)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT CAST(node AS BIGINT) AS host, "
+        f"CAST(CASE WHEN q >= {inf} THEN -1 ELSE q END AS BIGINT) AS dist "
+        f"FROM d{rounds}"
+    )

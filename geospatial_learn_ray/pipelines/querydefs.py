@@ -1900,6 +1900,11 @@ def _q_nb_confusion(sf_dir: str):
         textstages.naive_bayes_lang(
             _rp(sf_dir, "documents", ["doc_id", "text", "lang"])))
 
+def _q_sssp_hosts(sf_dir: str):
+    from geospatial_learn_ray.stages import graph
+
+    return graph.sssp_hosts(read_pages(sf_dir, columns=["url"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

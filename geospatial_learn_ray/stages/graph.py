@@ -1655,3 +1655,138 @@ def hyperanf_hosts(pages: ray.data.Dataset, rounds: int = 3,
             regs_ds.map_batches(part_regs, batch_format="pandas"),
             sparse_est(t)))
     return out
+
+
+def _edge_weight(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic 'latency' per undirected edge (a < b):
+    w = 1 + splitmix64(splitmix64(a) xor b) % 9 ∈ [1, 9] — a pure
+    u64 chain both the engine and the SQL twin restate verbatim."""
+    old = np.seterr(over="ignore")
+    try:
+        k = splitmix64(splitmix64(a.astype(np.uint64))
+                       ^ b.astype(np.uint64))
+    finally:
+        np.seterr(**old)
+    return (np.uint64(1) + k % np.uint64(9)).astype(np.int64)
+
+
+def sssp_hosts(pages: ray.data.Dataset, rounds: int = 8,
+               num_buckets: int = 64,
+               local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Bounded-hop weighted single-source shortest paths over the
+    undirected simple host graph (Bellman-Ford relaxation, the weighted
+    sibling of bfs_depth_hosts): edge weights are the deterministic
+    `_edge_weight` integers, source = MIN(host), and ``rounds`` fixed
+    relaxation rounds compute the exact minimum cost over paths of at
+    most ``rounds`` edges — a well-defined operator at any scale (the
+    SQL twin unrolls the identical pure-integer recurrence). Nodes not
+    reached within the hop bound report dist = -1.
+
+    Scale shape per round: one union-tag bucketed join (dists ⋈
+    weighted adjacency on u) + one destination-keyed min-combine —
+    O(E) moved. Below ``local_bound`` pairs, the driver fast path runs
+    the same recurrence on numpy arrays (dual-path parity pytest)."""
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    if pairs.count() <= local_bound:
+        p = pairs.to_pandas()
+        a = p["a"].to_numpy(np.int64)
+        b = p["b"].to_numpy(np.int64)
+        w = _edge_weight(a, b)
+        v = np.concatenate([a, b])
+        u = np.concatenate([b, a])
+        w2 = np.concatenate([w, w])
+        nodes_arr, vi = np.unique(v, return_inverse=True)
+        ui = np.searchsorted(nodes_arr, u)
+        d = np.full(len(nodes_arr), BFS_INF, np.int64)
+        d[0] = 0            # nodes_arr sorted → index 0 IS min(host)
+        for _ in range(rounds):
+            nd = d.copy()
+            np.minimum.at(nd, vi, d[ui] + w2)
+            d = nd
+        return ray.data.from_pandas(pd.DataFrame(
+            {"host": nodes_arr,
+             "dist": np.where(d >= BFS_INF, np.int64(-1), d)}))
+
+    def both_dirs(bdf: pd.DataFrame) -> pd.DataFrame:
+        a = bdf["a"].to_numpy(np.int64)
+        z = bdf["b"].to_numpy(np.int64)
+        w = _edge_weight(a, z)
+        d = pd.DataFrame({"v": np.concatenate([a, z]),
+                          "u": np.concatenate([z, a]),
+                          "w": np.concatenate([w, w])})
+        d["_part"] = _bkt(d["v"].to_numpy(np.int64), num_buckets)
+        return d
+
+    adj = bucket_exchange(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"])).materialize()
+
+    def node_part(bdf: pd.DataFrame) -> pd.DataFrame:
+        n = bdf[["v"]].drop_duplicates()
+        return pd.DataFrame({"node": n["v"].to_numpy(np.int64),
+                             "_part": _bkt(n["v"].to_numpy(np.int64),
+                                           num_buckets)})
+
+    nodes = bucket_exchange(
+        adj.map_batches(node_part, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates("node"),
+    ).materialize()
+    src = nodes.min("node")
+
+    def init_d(bdf: pd.DataFrame) -> pd.DataFrame:
+        nd = bdf["node"].to_numpy(np.int64)
+        return pd.DataFrame({"node": nd,
+                             "q": np.where(nd == src, np.int64(0),
+                                           BFS_INF)})
+
+    d = nodes.map_batches(init_d, batch_format="pandas").materialize()
+
+    def part_q(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf[["node", "q"]].copy()
+        o["_part"] = _bkt(o["node"].to_numpy(np.int64), num_buckets)
+        return o
+
+    def min_q(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby(
+            "node", as_index=False)["q"].min()
+        o["q"] = o["q"].astype(np.int64)
+        return o
+
+    for _ in range(rounds):
+        withq = _attach_col(adj.select_columns(["v", "u", "w"]), d, "u",
+                            "dq", num_buckets)
+
+        def cand(bdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": bdf["v"].to_numpy(np.int64),
+                "q": bdf["dq"].to_numpy(np.int64)
+                + bdf["w"].to_numpy(np.int64)})
+
+        d = bucket_exchange(
+            withq.map_batches(cand, batch_format="pandas").union(d)
+                 .map_batches(part_q, batch_format="pandas"),
+            min_q).materialize()
+
+    def finalize(bdf: pd.DataFrame) -> pd.DataFrame:
+        q = bdf["q"].to_numpy(np.int64)
+        return pd.DataFrame({"host": bdf["node"].to_numpy(np.int64),
+                             "dist": np.where(q >= BFS_INF,
+                                              np.int64(-1), q)})
+
+    return d.map_batches(finalize, batch_format="pandas")

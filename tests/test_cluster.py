@@ -417,3 +417,56 @@ def test_hyperanf_dual_path_parity_and_properties():
     # every endpoint of every edge is present, at every round
     assert set(fast["round"].unique()) == {0, 1, 2}
     assert fast.groupby("round")["host"].nunique().nunique() == 1
+
+
+def test_sssp_matches_dijkstra_and_dual_path_parity():
+    import heapq
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph as _graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    out = _graph.sssp_hosts(pages, rounds=16).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+
+    # reference: Dijkstra on the same weighted simple graph — with 16
+    # relaxation rounds the hop bound must have drained on this graph
+    e = _graph.host_edges(pages).to_pandas()
+    s, d = e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)
+    keep = s != d
+    a = np.minimum(s[keep], d[keep])
+    b = np.maximum(s[keep], d[keep])
+    pe = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+    w = _graph._edge_weight(pe["a"].to_numpy(np.int64),
+                            pe["b"].to_numpy(np.int64))
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (aa, bb), ww in zip(pe.itertuples(index=False), w.tolist()):
+        adj.setdefault(int(aa), []).append((int(bb), ww))
+        adj.setdefault(int(bb), []).append((int(aa), ww))
+    src = min(adj)
+    dist = {src: 0}
+    h = [(0, src)]
+    while h:
+        dv, v = heapq.heappop(h)
+        if dv > dist.get(v, 1 << 60):
+            continue
+        for u, ww in adj[v]:
+            nd = dv + ww
+            if nd < dist.get(u, 1 << 60):
+                dist[u] = nd
+                heapq.heappush(h, (nd, u))
+    ref = pd.DataFrame(
+        sorted((v, dist.get(v, -1)) for v in adj),
+        columns=["host", "dist"]).astype({"host": np.int64,
+                                          "dist": np.int64})
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["dist"] > 0).any() and out["dist"].max() > 1  # weighted
+
+    # dual-path bit parity on a truncating round count (must hold even
+    # when NOT converged)
+    small = read_pages("/root/testdata/sf0.001", columns=["url"]).limit(150)
+    fast = _graph.sssp_hosts(small, rounds=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    slow = _graph.sssp_hosts(small, rounds=2, local_bound=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
