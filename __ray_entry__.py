@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_simplify_trajectories": _q_dp_simplify,
         "nb_confusion_docs": _q_nb_confusion,
         "sssp_hosts": _q_sssp_hosts,
+        "kde_heat_grid_pages": _q_kde_grid,
     }
 
 
@@ -393,6 +394,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _dp_simplify_sql,
     _nb_confusion_sql,
     _sssp_sql,
+    _kde_grid_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -958,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_simplify_trajectories": _dp_simplify_sql(),
         "nb_confusion_docs": _nb_confusion_sql(),
         "sssp_hosts": _sssp_sql(),
+        "kde_heat_grid_pages": _kde_grid_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

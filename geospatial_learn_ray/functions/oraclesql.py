@@ -4695,3 +4695,37 @@ def _sssp_sql(rounds: int = 8, out_links: int = 4,
         f"CAST(CASE WHEN q >= {inf} THEN -1 ELSE q END AS BIGINT) AS dist "
         f"FROM d{rounds}"
     )
+
+
+def _kde_grid_sql(cs: float = 4.0, radius: int = 3, sigma: float = 1.5,
+                  scale: int = 64) -> str:
+    """SQL twin of cellindex.kde_heat_grid: geocode chain, the same
+    integer per-axis kernel table inlined as VALUES (computed once in
+    Python — no libm in SQL), offset scatter via two VALUES cross
+    joins, exact integer sums."""
+    import numpy as _np
+
+    from . import sqlgen as _sg
+
+    qk = _np.floor(_np.exp(-(_np.arange(radius + 1, dtype=_np.float64)
+                             ** 2) / (2.0 * sigma * sigma))
+                   * scale + 0.5).astype(_np.int64)
+    offs = ", ".join(f"({d}, {int(qk[abs(d)])})"
+                     for d in range(-radius, radius + 1))
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url FROM pages",
+                      _sg.geocode_steps("url"))
+    csd = f"CAST({cs!r} AS DOUBLE)"
+    return (
+        f"WITH pts AS (SELECT "
+        f"CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / {csd}) AS BIGINT) AS gi, "
+        f"CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / {csd}) AS BIGINT) AS gj "
+        f"FROM ({inner})), "
+        "c AS MATERIALIZED (SELECT gi, gj, COUNT(*)::BIGINT AS c "
+        "FROM pts GROUP BY 1, 2), "
+        f"off(d, q) AS (VALUES {offs}) "
+        "SELECT c.gi + ox.d AS gi, c.gj + oy.d AS gj, "
+        "CAST(SUM(CASE WHEN ox.d = 0 AND oy.d = 0 THEN c.c ELSE 0 END) "
+        "AS BIGINT) AS cnt, "
+        "CAST(SUM(ox.q * oy.q * c.c) AS BIGINT) AS dens_q "
+        "FROM c, off ox, off oy GROUP BY 1, 2"
+    )

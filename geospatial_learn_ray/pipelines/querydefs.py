@@ -1905,6 +1905,11 @@ def _q_sssp_hosts(sf_dir: str):
 
     return graph.sssp_hosts(read_pages(sf_dir, columns=["url"]))
 
+def _q_kde_grid(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import kde_heat_grid
+
+    return kde_heat_grid(read_pages(sf_dir, columns=["url"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -506,3 +506,83 @@ def kriging_grid(pages: ray.data.Dataset, url_col: str = "url",
     parted = pages.select_columns([url_col, text_col]) \
         .map_batches(prep, batch_format="pyarrow")
     return bucket_exchange(parted, combine)
+
+
+def kde_heat_grid(pages: ray.data.Dataset, url_col: str = "url",
+                  cs: float = 4.0, radius: int = 3, sigma: float = 1.5,
+                  scale: int = 64,
+                  num_buckets: int = 256) -> ray.data.Dataset:
+    """Kernel-density heat grid (Silverman 1986 binned KDE / the GIS
+    'heatmap' operator) over geocoded pages: points bin to a ``cs``-degree
+    lon/lat grid, and every cell scatters its count through a separable
+    quantized Gaussian kernel K(di,dj) = q(di)·q(dj) with
+    q(d) = floor(exp(-d²/2σ²)·scale + 0.5) — the kernel is a tiny
+    INTEGER literal table shared verbatim with the SQL twin, so the
+    density is an exact integer sum in any order. Cells within
+    ``radius`` of mass appear even when empty (cnt = 0).
+
+    Scale shape: per-block (cell, count) partials → cell-keyed exchange
+    to exact counts → map-side (2r+1)² offset scatter → a second
+    cell-keyed exchange sums contributions. O(cells·(2r+1)²) moved,
+    never O(points); no driver pull."""
+    from ..functions import geo
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    qk = np.floor(np.exp(-(np.arange(radius + 1, dtype=np.float64) ** 2)
+                         / (2.0 * sigma * sigma)) * scale + 0.5
+                  ).astype(np.int64)
+
+    def _cell_part(gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            key = gi * np.int64(100003) + gj
+            return (splitmix64(key.astype(np.uint64))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        gi = np.floor((lon + 180.0) / cs).astype(np.int64)
+        gj = np.floor((lat + 90.0) / cs).astype(np.int64)
+        g = pd.DataFrame({"gi": gi, "gj": gj}).groupby(
+            ["gi", "gj"], as_index=False).size().rename(
+                columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = _cell_part(g["gi"].to_numpy(np.int64),
+                                g["gj"].to_numpy(np.int64))
+        return g
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.drop(columns=["_part"]).groupby(
+            ["gi", "gj"], as_index=False)["c"].sum()
+        gi = cc["gi"].to_numpy(np.int64)
+        gj = cc["gj"].to_numpy(np.int64)
+        c = cc["c"].to_numpy(np.int64)
+        outs = []
+        for di in range(-radius, radius + 1):
+            for dj in range(-radius, radius + 1):
+                w = int(qk[abs(di)]) * int(qk[abs(dj)])
+                outs.append(pd.DataFrame({
+                    "gi": gi + di, "gj": gj + dj,
+                    "dq": w * c,
+                    "c0": c if (di == 0 and dj == 0)
+                    else np.zeros(len(c), np.int64)}))
+        d = pd.concat(outs, ignore_index=True)
+        d["_part"] = _cell_part(d["gi"].to_numpy(np.int64),
+                                d["gj"].to_numpy(np.int64))
+        return d
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["_part"]).groupby(
+            ["gi", "gj"], as_index=False).agg(
+                cnt=("c0", "sum"), dens_q=("dq", "sum"))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["dens_q"] = out["dens_q"].astype(np.int64)
+        return out
+
+    counted = bucket_exchange(
+        pages.select_columns([url_col]).map_batches(
+            prep, batch_format="pyarrow"), scatter)
+    return bucket_exchange(counted, finalize, small_partials=True)
