@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_confusion_docs": _q_nb_confusion,
         "sssp_hosts": _q_sssp_hosts,
         "kde_heat_grid_pages": _q_kde_grid,
+        "benford_digits_orders": _q_benford,
+        "kappa_nb_docs": _q_kappa,
     }
 
 
@@ -395,6 +397,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _nb_confusion_sql,
     _sssp_sql,
     _kde_grid_sql,
+    _benford_sql,
+    _kappa_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -961,6 +965,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_confusion_docs": _nb_confusion_sql(),
         "sssp_hosts": _sssp_sql(),
         "kde_heat_grid_pages": _kde_grid_sql(),
+        "benford_digits_orders": _benford_sql(),
+        "kappa_nb_docs": _kappa_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -4729,3 +4729,50 @@ def _kde_grid_sql(cs: float = 4.0, radius: int = 3, sigma: float = 1.5,
         "CAST(SUM(ox.q * oy.q * c.c) AS BIGINT) AS dens_q "
         "FROM c, off ox, off oy GROUP BY 1, 2"
     )
+
+
+def _benford_sql() -> str:
+    """SQL twin of agg.benford_digits: string first digit of exact
+    cents, the engine's nine np.log10 f64 constants inlined as repr
+    literals, and each float the same multiply-then-divide chain."""
+    import numpy as _np
+
+    p = _np.log10(1.0 + 1.0 / _np.arange(1, 10, dtype=_np.float64))
+    pv = ", ".join(f"({d}, CAST({p[d - 1]!r} AS DOUBLE))"
+                   for d in range(1, 10))
+    return (
+        "WITH cents AS (SELECT CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+        "*SIGN(o_totalprice) AS BIGINT) AS c FROM orders), "
+        "fd AS (SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) "
+        "AS digit FROM cents), "
+        "o AS (SELECT digit, COUNT(*)::BIGINT AS obs FROM fd GROUP BY 1), "
+        "n AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o), "
+        f"pt(digit, p) AS (VALUES {pv}) "
+        "SELECT o.digit, o.obs, ROUND(n.n * pt.p, 6) AS exp_r, "
+        "ROUND(CAST(o.obs AS DOUBLE) / (n.n * pt.p), 6) AS dev_r "
+        "FROM o JOIN pt USING (digit), n"
+    )
+
+
+def _kappa_sql() -> str:
+    """SQL twin of textstages.cohens_kappa over the naive-Bayes
+    predictions: κ = (N·agree − Σ nt·np)/(N² − Σ nt·np), one division
+    of exact BIGINTs."""
+    nb = _naive_bayes_sql()
+    return (
+        f"WITH m AS MATERIALIZED (SELECT true_lang, pred_lang FROM ({nb})), "
+        "n AS (SELECT COUNT(*)::BIGINT AS n, "
+        "SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)::BIGINT "
+        "AS agree FROM m), "
+        "tl AS (SELECT true_lang AS lang, COUNT(*)::BIGINT AS nt FROM m "
+        "GROUP BY 1), "
+        "pl AS (SELECT pred_lang AS lang, COUNT(*)::BIGINT AS np FROM m "
+        "GROUP BY 1), "
+        "pe AS (SELECT COALESCE(SUM(tl.nt * pl.np), 0)::BIGINT AS pe_num "
+        "FROM tl JOIN pl USING (lang)) "
+        "SELECT n.n AS n_docs, n.agree, pe.pe_num, "
+        "ROUND(CASE WHEN n.n * n.n - pe.pe_num = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(n.n * n.agree - pe.pe_num AS DOUBLE) "
+        "/ CAST(n.n * n.n - pe.pe_num AS DOUBLE) END, 6) AS kappa_r "
+        "FROM n, pe"
+    )

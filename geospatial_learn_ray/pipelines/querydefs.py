@@ -1910,6 +1910,17 @@ def _q_kde_grid(sf_dir: str):
 
     return kde_heat_grid(read_pages(sf_dir, columns=["url"]))
 
+def _q_benford(sf_dir: str):
+    return agg.benford_digits(
+        _rp(sf_dir, "orders", ["o_totalprice"]))
+
+def _q_kappa(sf_dir: str):
+    from geospatial_learn_ray.stages import textstages
+
+    return textstages.cohens_kappa(
+        textstages.naive_bayes_lang(
+            _rp(sf_dir, "documents", ["doc_id", "text", "lang"])))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

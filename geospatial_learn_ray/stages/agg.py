@@ -850,3 +850,50 @@ def gini_by_nation(orders: ray.data.Dataset, customer: ray.data.Dataset,
 
     return bucket_exchange(bucket_exchange(uni, attach_nation), gini,
                            small_partials=True)
+
+
+def benford_digits(orders: ray.data.Dataset,
+                   col: str = "o_totalprice") -> ray.data.Dataset:
+    """Benford first-significant-digit analysis (Newcomb 1881, Benford
+    1938 — the classic forensic-accounting screen) of order totals in
+    exact integer cents: per digit d ∈ 1..9 the observed count, the
+    Benford expectation n·log10(1+1/d) and the observed/expected ratio.
+    The nine log10 constants are Python-computed f64 literals inlined
+    into the SQL twin verbatim; each output float is one short chain
+    (multiply, then divide) in the same op order both sides. The first
+    digit comes from the decimal STRING of the cents integer — exact on
+    both sides (no float log10 near power-of-ten boundaries).
+
+    Scale shape: per-block 9-bin bincount partials, one single-bucket
+    exchange (9 rows) finalizes."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    p = np.log10(1.0 + 1.0 / np.arange(1, 10, dtype=np.float64))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b[col].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(int) \
+            .to_numpy(np.int64)
+        cnt = np.bincount(first, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "obs": cnt.astype(np.int64),
+                             "_part": np.zeros(9, np.int32)})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby(
+            "digit", as_index=False)["obs"].sum()
+        o["obs"] = o["obs"].astype(np.int64)
+        n = np.float64(np.int64(o["obs"].sum()))
+        pe = p[o["digit"].to_numpy(np.int64) - 1]
+        exp = n * pe
+        o["exp_r"] = round_half_away(exp, 6)
+        o["dev_r"] = round_half_away(
+            o["obs"].to_numpy(np.int64).astype(np.float64) / exp, 6)
+        return o
+
+    return bucket_exchange(
+        orders.select_columns([col]).map_batches(
+            partial, batch_format="pandas"),
+        finalize, small_partials=True)

@@ -2008,3 +2008,54 @@ def classification_report(preds: ray.data.Dataset,
         preds.select_columns([true_col, pred_col]).map_batches(
             partial, batch_format="pyarrow"),
         finalize, small_partials=True)
+
+
+def cohens_kappa(preds: ray.data.Dataset,
+                 true_col: str = "true_lang",
+                 pred_col: str = "pred_lang") -> ray.data.Dataset:
+    """Cohen's kappa inter-rater agreement (Cohen 1960) between the true
+    and predicted labels, restated as ONE division of exact integers:
+
+        κ = (N·Σ_l tp_l − Σ_l n_true_l·n_pred_l)
+            / (N² − Σ_l n_true_l·n_pred_l)
+
+    (the po/pe form multiplied through by N²). One row out:
+    (n_docs, agree, pe_num, kappa_r).
+
+    Scale shape: the classification_report partials (bounded L² rows),
+    single-bucket finalize."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "t": b[true_col].to_numpy(zero_copy_only=False),
+            "p": b[pred_col].to_numpy(zero_copy_only=False)})
+        g = d.groupby(["t", "p"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        ct = g.drop(columns=["_part"]).groupby(
+            ["t", "p"], as_index=False)["c"].sum()
+        n = int(ct["c"].sum())
+        agree = int(ct.loc[ct["t"] == ct["p"], "c"].sum())
+        nt = ct.groupby("t")["c"].sum()
+        npd = ct.groupby("p")["c"].sum()
+        pe_num = int(sum(int(nt.get(l, 0)) * int(npd.get(l, 0))
+                         for l in nt.index.union(npd.index)))
+        den = n * n - pe_num
+        k = (np.float64(n * agree - pe_num) / np.float64(den)) \
+            if den else 0.0
+        return pd.DataFrame({
+            "n_docs": pd.Series([n], dtype=np.int64),
+            "agree": pd.Series([agree], dtype=np.int64),
+            "pe_num": pd.Series([pe_num], dtype=np.int64),
+            "kappa_r": pd.Series([round_half_away(float(k), 6)],
+                                 dtype=np.float64)})
+
+    return bucket_exchange(
+        preds.select_columns([true_col, pred_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        finalize, small_partials=True)
