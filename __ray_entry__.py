@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_heat_grid_pages": _q_kde_grid,
         "benford_digits_orders": _q_benford,
         "kappa_nb_docs": _q_kappa,
+        "label_centroid_cosine": _q_label_centroid,
     }
 
 
@@ -399,6 +400,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _kde_grid_sql,
     _benford_sql,
     _kappa_sql,
+    _label_centroid_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -967,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_heat_grid_pages": _kde_grid_sql(),
         "benford_digits_orders": _benford_sql(),
         "kappa_nb_docs": _kappa_sql(),
+        "label_centroid_cosine": _label_centroid_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

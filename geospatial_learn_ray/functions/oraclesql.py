@@ -4776,3 +4776,35 @@ def _kappa_sql() -> str:
         "/ CAST(n.n * n.n - pe.pe_num AS DOUBLE) END, 6) AS kappa_r "
         "FROM n, pe"
     )
+
+
+def _label_centroid_sql(quant_bits: int = 20, dim: int = 64) -> str:
+    """SQL twin of knn.label_centroid_cosine: exact f64 element sums,
+    one mean division, floor(m·2^bits + 0.5) integer quantization, and
+    the identical dot/(sqrt(na)·sqrt(nb)) chain."""
+    sc = f"CAST({1 << quant_bits} AS DOUBLE)"
+    return (
+        "WITH se AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS label, "
+        f"unnest(range(1, {dim + 1})) AS j, embedding AS emb "
+        "FROM embeddings), "
+        "s AS (SELECT label, CAST(j AS BIGINT) AS j, "
+        "SUM(CAST(emb[j] AS DOUBLE)) AS s FROM se GROUP BY 1, 2), "
+        "n AS (SELECT CAST(label AS BIGINT) AS label, "
+        "COUNT(*)::BIGINT AS n FROM embeddings GROUP BY 1), "
+        "q AS MATERIALIZED (SELECT s.label, s.j, "
+        f"CAST(FLOOR((s.s / CAST(n.n AS DOUBLE)) * {sc} "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS q "
+        "FROM s JOIN n USING (label)), "
+        "nm AS (SELECT label, SUM(q * q)::BIGINT AS nq FROM q GROUP BY 1), "
+        "d AS (SELECT a.label AS label_a, b.label AS label_b, "
+        "SUM(a.q * b.q)::BIGINT AS dot_q FROM q a "
+        "JOIN q b ON b.j = a.j AND b.label > a.label GROUP BY 1, 2) "
+        "SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b, d.dot_q, "
+        "ROUND(CASE WHEN ma.nq = 0 OR mb.nq = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(d.dot_q AS DOUBLE) / (SQRT(CAST(ma.nq AS DOUBLE)) * "
+        "SQRT(CAST(mb.nq AS DOUBLE))) END, 6) AS cos_r "
+        "FROM d JOIN n na ON na.label = d.label_a "
+        "JOIN n nb ON nb.label = d.label_b "
+        "JOIN nm ma ON ma.label = d.label_a "
+        "JOIN nm mb ON mb.label = d.label_b"
+    )

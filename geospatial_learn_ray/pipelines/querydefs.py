@@ -1921,6 +1921,10 @@ def _q_kappa(sf_dir: str):
         textstages.naive_bayes_lang(
             _rp(sf_dir, "documents", ["doc_id", "text", "lang"])))
 
+def _q_label_centroid(sf_dir: str):
+    return knn.label_centroid_cosine(
+        _rp(sf_dir, "embeddings", ["embedding", "label"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -988,3 +988,86 @@ def sq8_encode(emb: ray.data.Dataset, dim: int = 64,
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         encode, batch_format="pyarrow")
+
+
+def label_centroid_cosine(emb: ray.data.Dataset,
+                          quant_bits: int = 20,
+                          max_per_label: int = 1 << 19) -> ray.data.Dataset:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (the class-prototype similarity matrix of prototypical networks /
+    semantic drift checks). Exactness recipe: per-label element sums are
+    EXACT f64 (float32-valued terms, count asserted ≤ 2^19 per label —
+    CLAUDE.md sum rule), the mean is ONE division, the centroid is then
+    quantized to integers q = floor(m·2^bits + 0.5), so dots and norms
+    are exact int64 (≤ 2^46 at bits=20, dim 64) and the cosine is the
+    identical short chain dot/(sqrt(na)·sqrt(nb)) both sides.
+
+    Scale shape: per-block (label, elem, partial-sum) rows — bounded at
+    L·dim per block — one single-bucket exchange finalizes the L² pair
+    table."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    scale = np.float64(1 << quant_bits)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        dim = len(e[0])
+        vals = np.asarray(e.values, np.float32).reshape(len(lab), dim) \
+            .astype(np.float64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), dim), np.float64)
+        np.add.at(sums, inv, vals)
+        cnt = np.bincount(inv).astype(np.float64)
+        rows = {
+            "label": np.concatenate([np.repeat(labs, dim), labs]),
+            "j": np.concatenate([np.tile(np.arange(1, dim + 1,
+                                                   dtype=np.int64),
+                                         len(labs)),
+                                 np.full(len(labs), -1, np.int64)]),
+            "s": np.concatenate([sums.ravel(), cnt]),
+        }
+        d = pd.DataFrame(rows)
+        d["_part"] = np.zeros(len(d), np.int32)
+        return d
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_part"]).groupby(
+            ["label", "j"], as_index=False)["s"].sum()
+        cnts = t[t["j"] == -1].set_index("label")["s"]
+        sums = t[t["j"] > 0]
+        labs = np.sort(cnts.index.to_numpy(np.int64))
+        qs, nqs, ns = {}, {}, {}
+        for l in labs:
+            n = int(cnts[l])
+            if n > max_per_label:
+                raise ValueError(
+                    f"label {l} count {n} exceeds exact-sum bound")
+            sv = sums[sums["label"] == l].sort_values("j")["s"] \
+                .to_numpy(np.float64)
+            m = sv / np.float64(n)
+            q = np.floor(m * scale + 0.5).astype(np.int64)
+            qs[l], nqs[l], ns[l] = q, int(q @ q), n
+        rows = []
+        for i, a in enumerate(labs):
+            for b_ in labs[i + 1:]:
+                dot = int(qs[a] @ qs[b_])
+                den = np.sqrt(np.float64(nqs[a])) \
+                    * np.sqrt(np.float64(nqs[b_]))
+                c = np.float64(dot) / den if den else 0.0
+                rows.append((a, b_, ns[a], ns[b_], dot,
+                             round_half_away(float(c), 6)))
+        out = pd.DataFrame(rows, columns=[
+            "label_a", "label_b", "n_a", "n_b", "dot_q", "cos_r"])
+        for c_ in ["label_a", "label_b", "n_a", "n_b", "dot_q"]:
+            out[c_] = out[c_].astype(np.int64)
+        out["cos_r"] = out["cos_r"].astype(np.float64)
+        return out
+
+    return bucket_exchange(
+        emb.select_columns(["embedding", "label"]).map_batches(
+            partial, batch_format="pyarrow"),
+        finalize, small_partials=True)
