@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits_orders": _q_benford,
         "kappa_nb_docs": _q_kappa,
         "label_centroid_cosine": _q_label_centroid,
+        "assoc_rules_events": _q_assoc_rules,
     }
 
 
@@ -401,6 +402,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _benford_sql,
     _kappa_sql,
     _label_centroid_sql,
+    _assoc_rules_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -970,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits_orders": _benford_sql(),
         "kappa_nb_docs": _kappa_sql(),
         "label_centroid_cosine": _label_centroid_sql(),
+        "assoc_rules_events": _assoc_rules_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

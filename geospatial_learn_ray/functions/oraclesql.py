@@ -4808,3 +4808,28 @@ def _label_centroid_sql(quant_bits: int = 20, dim: int = 64) -> str:
         "JOIN nm ma ON ma.label = d.label_a "
         "JOIN nm mb ON mb.label = d.label_b"
     )
+
+
+def _assoc_rules_sql(min_support: int = 2) -> str:
+    """SQL twin of streaming.assoc_rules_events: distinct baskets,
+    exact integer counts, conf one division, lift the identical
+    two-product chain."""
+    return (
+        "WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type "
+        "FROM events), "
+        "nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n "
+        "FROM ut), "
+        "s AS (SELECT event_type, COUNT(*)::BIGINT AS c FROM ut "
+        "GROUP BY 1), "
+        "p AS (SELECT a.event_type AS x, b.event_type AS y, "
+        "COUNT(*)::BIGINT AS cxy FROM ut a JOIN ut b "
+        "ON b.user_id = a.user_id AND b.event_type <> a.event_type "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}) "
+        "SELECT p.x, p.y, p.cxy AS n_xy, sx.c AS n_x, sy.c AS n_y, "
+        "ROUND(CAST(p.cxy AS DOUBLE) / CAST(sx.c AS DOUBLE), 6) "
+        "AS conf_r, "
+        "ROUND((CAST(p.cxy AS DOUBLE) * nu.n) / "
+        "(CAST(sx.c AS DOUBLE) * CAST(sy.c AS DOUBLE)), 6) AS lift_r "
+        "FROM p JOIN s sx ON sx.event_type = p.x "
+        "JOIN s sy ON sy.event_type = p.y, nu"
+    )

@@ -1925,6 +1925,12 @@ def _q_label_centroid(sf_dir: str):
     return knn.label_centroid_cosine(
         _rp(sf_dir, "embeddings", ["embedding", "label"]))
 
+def _q_assoc_rules(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.assoc_rules_events(
+        _rp(sf_dir, "events", ["user_id", "event_type"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -992,3 +992,73 @@ def simplify_trajectories(events: ray.data.Dataset,
     return bucket_exchange(
         events.select_columns(["event_id", "ts", "user_id"]).map_batches(
             prep, batch_format="pyarrow"), combine)
+
+
+def assoc_rules_events(events: ray.data.Dataset, min_support: int = 2,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Pairwise association rules X→Y over per-user event-type baskets
+    (Agrawal-Srikant Apriori at itemset size 2 — the market-basket
+    classic): support counts are exact integers, confidence is ONE
+    division (n_xy/n_x) and lift is the fixed two-product chain
+    (n_xy·N)/(n_x·n_y) mirrored by the SQL twin. Rules below
+    ``min_support`` co-occurring users are pruned.
+
+    Scale shape: per-block distinct (user, type) partials, one
+    user-keyed exchange builds each basket exactly and emits its ≤ T²
+    ordered pairs plus tagged singleton/user-count rows; the final
+    single-bucket exchange reduces a bounded T²-row table."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "u": b["user_id"].to_numpy().astype(np.int64),
+            "t": b["event_type"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        d["_part"] = (d["u"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return d
+
+    def baskets(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns=["_part"]).drop_duplicates(["u", "t"])
+        # pairs within each user's basket (x != y, both directions)
+        m = d.merge(d, on="u")
+        m = m[m["t_x"] != m["t_y"]]
+        pc_ = m.groupby(["t_x", "t_y"], as_index=False).size() \
+            .rename(columns={"size": "c", "t_x": "x", "t_y": "y"})
+        sc = d.groupby("t", as_index=False).size() \
+            .rename(columns={"size": "c", "t": "x"})
+        sc["y"] = ""          # tag: singleton rows
+        un = pd.DataFrame({"x": [""], "y": [""],
+                           "c": [d["u"].nunique()]})  # tag: user count
+        out = pd.concat([pc_, sc[["x", "y", "c"]], un], ignore_index=True)
+        out["c"] = out["c"].astype(np.int64)
+        out["_part"] = np.zeros(len(out), np.int32)
+        return out
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_part"]).groupby(
+            ["x", "y"], as_index=False)["c"].sum()
+        n = np.float64(int(t.loc[(t["x"] == "") & (t["y"] == ""),
+                                 "c"].sum()))
+        singles = t[(t["y"] == "") & (t["x"] != "")] \
+            .set_index("x")["c"]
+        pairs = t[(t["x"] != "") & (t["y"] != "")].copy()
+        pairs = pairs[pairs["c"] >= min_support]
+        cx = np.asarray([int(singles[v]) for v in pairs["x"]], np.int64)
+        cy = np.asarray([int(singles[v]) for v in pairs["y"]], np.int64)
+        cxy = pairs["c"].to_numpy(np.int64)
+        conf = cxy.astype(np.float64) / cx.astype(np.float64)
+        lift = (cxy.astype(np.float64) * n) \
+            / (cx.astype(np.float64) * cy.astype(np.float64))
+        return pd.DataFrame({
+            "x": pairs["x"].to_numpy(object),
+            "y": pairs["y"].to_numpy(object),
+            "n_xy": cxy, "n_x": cx, "n_y": cy,
+            "conf_r": round_half_away(conf, 6),
+            "lift_r": round_half_away(lift, 6)})
+
+    ex1 = bucket_exchange(
+        events.select_columns(["user_id", "event_type"]).map_batches(
+            prep, batch_format="pyarrow"), baskets)
+    return bucket_exchange(ex1, finalize, small_partials=True)
