@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kappa_nb_docs": _q_kappa,
         "label_centroid_cosine": _q_label_centroid,
         "assoc_rules_events": _q_assoc_rules,
+        "markov_stationary_events": _q_markov_stationary,
     }
 
 
@@ -403,6 +404,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _kappa_sql,
     _label_centroid_sql,
     _assoc_rules_sql,
+    _markov_stationary_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -973,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "kappa_nb_docs": _kappa_sql(),
         "label_centroid_cosine": _label_centroid_sql(),
         "assoc_rules_events": _assoc_rules_sql(),
+        "markov_stationary_events": _markov_stationary_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

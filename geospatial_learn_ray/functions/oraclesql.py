@@ -4833,3 +4833,36 @@ def _assoc_rules_sql(min_support: int = 2) -> str:
         "FROM p JOIN s sx ON sx.event_type = p.x "
         "JOIN s sy ON sy.event_type = p.y, nu"
     )
+
+
+def _markov_stationary_sql(iters: int = 16) -> str:
+    """SQL twin of streaming.markov_stationary_events: LAG transition
+    counts (ts, event_id order), then ``iters`` unrolled MATERIALIZED
+    Q30 integer rounds — floor division both sides, no teleport."""
+    q30 = 1 << 30
+    ctes = [
+        "pr AS (SELECT LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS a, "
+        "event_type AS b FROM events)",
+        "cm AS MATERIALIZED (SELECT a, b, COUNT(*)::BIGINT AS c FROM pr "
+        "WHERE a IS NOT NULL GROUP BY 1, 2)",
+        "states AS MATERIALIZED (SELECT a AS s FROM cm "
+        "UNION SELECT b FROM cm)",
+        "ns AS (SELECT COUNT(*)::BIGINT AS s FROM states)",
+        "tot AS (SELECT a, SUM(c)::BIGINT AS t FROM cm GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT states.s AS state, "
+f"CAST({q30} // ns.s AS BIGINT) AS r FROM states, ns)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT st.s AS state, "
+            "COALESCE(x.v, 0)::BIGINT AS r FROM states st LEFT JOIN ("
+            "SELECT cm.b AS state, SUM((r.r * cm.c) // tot.t)::BIGINT AS v "
+            f"FROM cm JOIN r{t - 1} r ON r.state = cm.a "
+            "JOIN tot ON tot.a = cm.a GROUP BY cm.b) x ON x.state = st.s)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT state AS event_type, r AS pi_q, "
+        f"ROUND(CAST(r AS DOUBLE) / CAST({q30} AS DOUBLE), 9) AS pi_r "
+        f"FROM r{iters}"
+    )

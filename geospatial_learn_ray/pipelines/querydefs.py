@@ -1931,6 +1931,12 @@ def _q_assoc_rules(sf_dir: str):
     return streaming.assoc_rules_events(
         _rp(sf_dir, "events", ["user_id", "event_type"]))
 
+def _q_markov_stationary(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.markov_stationary_events(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

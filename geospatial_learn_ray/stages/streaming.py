@@ -1062,3 +1062,43 @@ def assoc_rules_events(events: ray.data.Dataset, min_support: int = 2,
         events.select_columns(["user_id", "event_type"]).map_batches(
             prep, batch_format="pyarrow"), baskets)
     return bucket_exchange(ex1, finalize, small_partials=True)
+
+
+def markov_stationary_events(ds: ray.data.Dataset, iters: int = 16,
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Stationary distribution of the first-order event-type Markov
+    chain (power iteration on the row-normalized transition counts) in
+    pure Q30 fixed-point integers — the pagerank recurrence without
+    teleport: π_{t+1}(b) = Σ_a (π_t(a)·C(a,b)) // tot(a), floor
+    division both sides, ``iters`` fixed rounds (exact recurrence, so
+    parity holds whether or not the chain has mixed). Sink-state mass
+    (types never followed) drains deterministically on both sides.
+
+    Scale shape: the transition matrix is BOUNDED at T² rows by
+    construction — the event_transitions exchanges reduce it exactly,
+    the driver pulls ≤ T² rows (counted bound) and iterates a T-vector
+    locally."""
+    q30 = np.int64(1) << np.int64(30)
+    tr = event_transitions(ds, num_buckets).to_pandas()  # ≤ T² rows
+    states = np.sort(np.unique(np.concatenate(
+        [tr["from_type"].to_numpy(object), tr["to_type"].to_numpy(object)])))
+    sidx = {s: i for i, s in enumerate(states)}
+    S = len(states)
+    a = np.asarray([sidx[v] for v in tr["from_type"]], np.int64)
+    b = np.asarray([sidx[v] for v in tr["to_type"]], np.int64)
+    c = tr["n"].to_numpy(np.int64)
+    tot = np.zeros(S, np.int64)
+    np.add.at(tot, a, c)
+    assert int(c.max() if len(c) else 0) < (1 << 32), "limb-split needed"
+    pi = np.full(S, int(q30) // max(S, 1), np.int64)
+    for _ in range(iters):
+        contrib = (pi[a] * c) // tot[a]
+        nxt = np.zeros(S, np.int64)
+        np.add.at(nxt, b, contrib)
+        pi = nxt
+    from ..functions.rounding import round_half_away
+    return ray.data.from_pandas(pd.DataFrame({
+        "event_type": states,
+        "pi_q": pi,
+        "pi_r": round_half_away(pi.astype(np.float64)
+                                / np.float64(q30), 9)}))
