@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_cosine": _q_label_centroid,
         "assoc_rules_events": _q_assoc_rules,
         "markov_stationary_events": _q_markov_stationary,
+        "twap_events": _q_twap,
+        "rolling_zscore_events": _q_rolling_zscore,
     }
 
 
@@ -405,6 +407,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _label_centroid_sql,
     _assoc_rules_sql,
     _markov_stationary_sql,
+    _twap_sql,
+    _rolling_zscore_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -976,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_cosine": _label_centroid_sql(),
         "assoc_rules_events": _assoc_rules_sql(),
         "markov_stationary_events": _markov_stationary_sql(),
+        "twap_events": _twap_sql(),
+        "rolling_zscore_events": _rolling_zscore_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -4866,3 +4866,45 @@ f"CAST({q30} // ns.s AS BIGINT) AS r FROM states, ns)",
         f"ROUND(CAST(r AS DOUBLE) / CAST({q30} AS DOUBLE), 9) AS pi_r "
         f"FROM r{iters}"
     )
+
+
+def _twap_sql() -> str:
+    """SQL twin of streaming.twap_events: LEAD holding intervals within
+    (type, day), exact integer cents·µs sums, the identical
+    divide-then-divide chain."""
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "epoch_us(ts) AS u, event_id, "
+        "CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT) AS q "
+        "FROM events), "
+        "w AS (SELECT event_type, day, q, "
+        "LEAD(u) OVER (PARTITION BY event_type, day "
+        "ORDER BY u, event_id) - u AS dt FROM e), "
+        "f AS (SELECT * FROM w WHERE dt IS NOT NULL) "
+        "SELECT event_type, day, COUNT(*)::BIGINT AS n_obs, "
+        "SUM(dt)::BIGINT AS sum_dt, SUM(q*dt)::BIGINT AS sum_wq, "
+        "ROUND((CAST(SUM(q*dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)) "
+        "/ CAST(100 AS DOUBLE), 6) AS twap_r "
+        "FROM f GROUP BY 1, 2"
+    )
+
+
+def _rolling_zscore_sql(window: int = 8, thresh_sq: int = 9) -> str:
+    """SQL twin of streaming.rolling_zscore_events: trailing window
+    sums via ROWS BETWEEN, the identical scaled-integer 3σ test."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS u, "
+        "CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT) AS q "
+        "FROM events), "
+        "w AS (SELECT event_id, user_id, q, "
+        "SUM(q) OVER win AS s, SUM(q*q) OVER win AS s2, "
+        "COUNT(*) OVER win AS m FROM e WINDOW win AS "
+        "(PARTITION BY user_id ORDER BY u, event_id "
+        f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, CAST(user_id AS BIGINT) AS user_id, q, "
+        "CAST(s AS BIGINT) AS win_s, CAST(s2 AS BIGINT) AS win_s2, "
+        f"CAST(CASE WHEN ({window}*q - s)*({window}*q - s) > "
+        f"{thresh_sq}*({window}*s2 - s*s) THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS is_anom FROM w WHERE m = {window}"
+    )

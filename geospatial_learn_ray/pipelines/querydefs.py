@@ -1937,6 +1937,18 @@ def _q_markov_stationary(sf_dir: str):
     return streaming.markov_stationary_events(
         _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
 
+def _q_twap(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.twap_events(
+        _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"]))
+
+def _q_rolling_zscore(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.rolling_zscore_events(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

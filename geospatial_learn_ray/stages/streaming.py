@@ -1102,3 +1102,146 @@ def markov_stationary_events(ds: ray.data.Dataset, iters: int = 16,
         "pi_q": pi,
         "pi_r": round_half_away(pi.astype(np.float64)
                                 / np.float64(q30), 9)}))
+
+
+def twap_events(events: ray.data.Dataset,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Time-weighted average value per (event_type, day) — the TWAP /
+    interval-weighted mean of streaming finance: each observation is
+    held until the next same-day observation of its type, so
+    TWAP = Σ q·dt / Σ dt with q = exact integer cents and dt exact µs.
+    Both sums are bounded integers at ANY scale (Σ dt ≤ 86 400·10⁶ per
+    group by construction), and the TWAP is one division. The last
+    observation of each (type, day) has no holding interval and is
+    dropped — both sides.
+
+    Scale shape: one (type, day)-keyed exchange of narrow quantized
+    rows; per-group work is a vectorized sorted diff."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({
+            "et": b["event_type"].to_numpy(zero_copy_only=False),
+            "day": ts // 86_400_000_000,
+            "u": ts,
+            "event_id": b["event_id"].to_numpy().astype(np.int64),
+            "q": round_half_away(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            key = splitmix64(fnv1a64(d["et"].to_numpy(object))
+                             ^ d["day"].to_numpy(np.int64).astype(np.uint64))
+            d["_part"] = (key % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values(
+            ["et", "day", "u", "event_id"], kind="mergesort")
+        et = g["et"].to_numpy(object)
+        day = g["day"].to_numpy(np.int64)
+        u = g["u"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same[:-1] = (et[:-1] == et[1:]) & (day[:-1] == day[1:])
+        dt = np.zeros(len(g), np.int64)
+        dt[:-1] = u[1:] - u[:-1]
+        k = same
+        d = pd.DataFrame({"et": et[k], "day": day[k],
+                          "dt": dt[k], "wq": q[k] * dt[k]})
+        o = d.groupby(["et", "day"], as_index=False).agg(
+            n_obs=("dt", "size"), sum_dt=("dt", "sum"),
+            sum_wq=("wq", "sum"))
+        for c in ["n_obs", "sum_dt", "sum_wq"]:
+            o[c] = o[c].astype(np.int64)
+        o["twap_r"] = round_half_away(
+            (o["sum_wq"].to_numpy(np.int64).astype(np.float64)
+             / o["sum_dt"].to_numpy(np.int64).astype(np.float64)) / 100.0,
+            6)
+        return o.rename(columns={"et": "event_type"})
+
+    return bucket_exchange(
+        events.select_columns(["event_id", "ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def rolling_zscore_events(events: ray.data.Dataset, window: int = 8,
+                          thresh_sq: int = 9,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user rolling z-score anomaly flags over the event value
+    series (trailing control chart): each event with a FULL window of
+    the ``window`` prior values is flagged when |x − μ| > 3σ over that
+    window. INTEGER-exact via the scaled identity
+
+        (w·x − S)² > thresh_sq · (w·S2 − S²)
+
+    (both sides multiplied by w²·σ²'s denominator; q = exact cents) —
+    no float ever forms, so SQL parity is bit-free. Only full-window
+    rows are emitted.
+
+    Scale shape: one user-keyed exchange; per-user work is a cumsum
+    rolling scan."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+    from ..functions.rounding import round_half_away
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "u": ts,
+            "event_id": b["event_id"].to_numpy().astype(np.int64),
+            "q": round_half_away(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["user_id"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    w = int(window)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values(
+            ["user_id", "u", "event_id"], kind="mergesort")
+        outs = []
+        for uid, t in g.groupby("user_id", sort=False):
+            q = t["q"].to_numpy(np.int64)
+            n = len(q)
+            if n <= w:
+                continue
+            cs = np.concatenate([[0], np.cumsum(q)])
+            cs2 = np.concatenate([[0], np.cumsum(q * q)])
+            S = cs[w:n] - cs[:n - w]          # trailing w sums for i>=w
+            S2 = cs2[w:n] - cs2[:n - w]
+            x = q[w:]
+            lhs = (w * x - S) ** 2
+            rhs = thresh_sq * (w * S2 - S * S)
+            outs.append(pd.DataFrame({
+                "event_id": t["event_id"].to_numpy(np.int64)[w:],
+                "user_id": np.full(n - w, uid, np.int64),
+                "q": x, "win_s": S, "win_s2": S2,
+                "is_anom": (lhs > rhs).astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "q": pd.Series([], dtype=np.int64),
+                "win_s": pd.Series([], dtype=np.int64),
+                "win_s2": pd.Series([], dtype=np.int64),
+                "is_anom": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow"), combine)
