@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary_events": _q_markov_stationary,
         "twap_events": _q_twap,
         "rolling_zscore_events": _q_rolling_zscore,
+        "rfm_tiles_customers": _q_rfm,
     }
 
 
@@ -409,6 +410,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _markov_stationary_sql,
     _twap_sql,
     _rolling_zscore_sql,
+    _rfm_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -982,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary_events": _markov_stationary_sql(),
         "twap_events": _twap_sql(),
         "rolling_zscore_events": _rolling_zscore_sql(),
+        "rfm_tiles_customers": _rfm_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

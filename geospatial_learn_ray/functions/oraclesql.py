@@ -4908,3 +4908,29 @@ def _rolling_zscore_sql(window: int = 8, thresh_sq: int = 9) -> str:
         f"{thresh_sq}*({window}*s2 - s*s) THEN 1 ELSE 0 END AS BIGINT) "
         f"AS is_anom FROM w WHERE m = {window}"
     )
+
+
+def _rfm_sql() -> str:
+    """SQL twin of agg.rfm_customers: per-customer metrics, ROW_NUMBER
+    ranks on (metric, ck), explicit tile = (rn−1)·5 // n + 1."""
+    return (
+        "WITH m AS MATERIALIZED (SELECT o_custkey AS ck, "
+        "CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) "
+        "AS last_day, COUNT(*)::BIGINT AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+        "*SIGN(o_totalprice) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders GROUP BY 1), "
+        "n AS (SELECT COUNT(*)::BIGINT AS n FROM m), "
+        "r AS (SELECT m.*, "
+        "ROW_NUMBER() OVER (ORDER BY last_day, ck) AS rr, "
+        "ROW_NUMBER() OVER (ORDER BY n_orders, ck) AS rf, "
+        "ROW_NUMBER() OVER (ORDER BY cents, ck) AS rm FROM m) "
+        "SELECT ck AS o_custkey, last_day, n_orders, cents, "
+        "CAST((rr - 1) * 5 // n.n + 1 AS BIGINT) AS r_tile, "
+        "CAST((rf - 1) * 5 // n.n + 1 AS BIGINT) AS f_tile, "
+        "CAST((rm - 1) * 5 // n.n + 1 AS BIGINT) AS m_tile, "
+        "CAST(100 * ((rr - 1) * 5 // n.n + 1) "
+        "+ 10 * ((rf - 1) * 5 // n.n + 1) "
+        "+ ((rm - 1) * 5 // n.n + 1) AS BIGINT) AS rfm_code "
+        "FROM r, n"
+    )

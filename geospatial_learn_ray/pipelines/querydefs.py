@@ -1949,6 +1949,10 @@ def _q_rolling_zscore(sf_dir: str):
     return streaming.rolling_zscore_events(
         _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"]))
 
+def _q_rfm(sf_dir: str):
+    return agg.rfm_customers(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

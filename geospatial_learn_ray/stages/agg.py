@@ -897,3 +897,88 @@ def benford_digits(orders: ray.data.Dataset,
         orders.select_columns([col]).map_batches(
             partial, batch_format="pandas"),
         finalize, small_partials=True)
+
+
+def rfm_customers(orders: ray.data.Dataset,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    customers (Hughes 1994 — the classic CRM scoring): per customer the
+    last order day, order count and exact revenue cents, each ranked
+    globally and cut into quintiles by the explicit integer formula
+    tile = rank0·5 // n + 1 (ties broken on custkey — deterministic on
+    both sides; NOT SQL NTILE, whose unequal-group convention differs).
+    rfm_code = 100·R + 10·F + M; tile 5 = most recent / most frequent /
+    highest spend.
+
+    Scale shape: one custkey exchange for the metrics, then three
+    distributed rank scans (scan.exclusive_prefix_sum over a composite
+    (metric, ck) key — per-range partials + a K-row driver scan, never
+    a global sort materialization). Composite keys assert
+    metric·2^22 + ck < 2^63."""
+    from .exchange import bucket_exchange
+    from .scan import exclusive_prefix_sum
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = pd.DataFrame({"ck": b["o_custkey"].to_numpy(np.int64),
+                          "day": day, "cents": cents}) \
+            .groupby("ck", as_index=False).agg(
+                last_day=("day", "max"), n_orders=("day", "size"),
+                cents=("cents", "sum"))
+        for c in ["last_day", "n_orders", "cents"]:
+            g[c] = g[c].astype(np.int64)
+        g["_part"] = (g["ck"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby("ck", as_index=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+            cents=("cents", "sum"))
+        for c in ["last_day", "n_orders", "cents"]:
+            o[c] = o[c].astype(np.int64)
+        o["one"] = np.ones(len(o), np.int64)
+        return o
+
+    m = bucket_exchange(
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pandas"), combine).materialize()
+    n = m.count()
+
+    def keyed(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            v = b[col].to_numpy(np.int64)
+            ck = b["ck"].to_numpy(np.int64)
+            assert (ck < (1 << 22)).all() and \
+                (v < (1 << 40)).all(), "composite rank key overflow"
+            b["_rk"] = v * np.int64(1 << 22) + ck
+            return b
+        return fn
+
+    out = m
+    for col, tile in (("last_day", "r_tile"), ("n_orders", "f_tile"),
+                      ("cents", "m_tile")):
+        out = exclusive_prefix_sum(
+            out.map_batches(keyed(col), batch_format="pandas"),
+            "_rk", "one", num_ranges=num_buckets)
+
+        def cut(b: pd.DataFrame, _t=tile) -> pd.DataFrame:
+            b = b.copy()
+            b[_t] = (b["prefix"].to_numpy(np.int64) * 5 // n + 1) \
+                .astype(np.int64)
+            return b.drop(columns=["prefix", "_rk"])
+
+        out = out.map_batches(cut, batch_format="pandas")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop(columns=["one"]).copy()
+        b["rfm_code"] = (100 * b["r_tile"] + 10 * b["f_tile"]
+                         + b["m_tile"]).astype(np.int64)
+        return b.rename(columns={"ck": "o_custkey"})
+
+    return out.map_batches(finish, batch_format="pandas")
