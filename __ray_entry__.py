@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap_events": _q_twap,
         "rolling_zscore_events": _q_rolling_zscore,
         "rfm_tiles_customers": _q_rfm,
+        "emerging_hotspots_pages": _q_emerging_hotspots,
     }
 
 
@@ -411,6 +412,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _twap_sql,
     _rolling_zscore_sql,
     _rfm_sql,
+    _emerging_hotspots_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -985,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _twap_sql(),
         "rolling_zscore_events": _rolling_zscore_sql(),
         "rfm_tiles_customers": _rfm_sql(),
+        "emerging_hotspots_pages": _emerging_hotspots_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

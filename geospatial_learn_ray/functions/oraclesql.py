@@ -4934,3 +4934,42 @@ def _rfm_sql() -> str:
         "+ ((rm - 1) * 5 // n.n + 1) AS BIGINT) AS rfm_code "
         "FROM r, n"
     )
+
+
+def _emerging_hotspots_sql(cs: float = 10.0) -> str:
+    """SQL twin of cellindex.emerging_hotspots: geocode chain, cell ×
+    hour counts, hour-strict Mann-Kendall with the value-tie variance
+    correction and the identical div → sqrt → div z chain."""
+    from . import sqlgen as _sg
+
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url, warc_ts FROM pages",
+                      _sg.geocode_steps("url"))
+    csd = f"CAST({cs!r} AS DOUBLE)"
+    return (
+        f"WITH pts AS (SELECT "
+        f"CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / {csd}) AS BIGINT) AS ci, "
+        f"CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / {csd}) AS BIGINT) AS cj, "
+        "CAST(epoch_us(warc_ts) // 3600000000 AS BIGINT) AS hour "
+        f"FROM ({inner})), "
+        "a AS MATERIALIZED (SELECT ci, cj, hour, COUNT(*)::BIGINT AS cnt "
+        "FROM pts GROUP BY 1, 2, 3), "
+        "s AS MATERIALIZED (SELECT x.ci, x.cj, CAST(SUM(CASE "
+        "WHEN y.cnt > x.cnt THEN 1 WHEN y.cnt < x.cnt THEN -1 ELSE 0 END) "
+        "AS BIGINT) AS s FROM a x JOIN a y ON y.ci = x.ci AND y.cj = x.cj "
+        "AND x.hour < y.hour GROUP BY 1, 2), "
+        "n AS (SELECT ci, cj, COUNT(*)::BIGINT AS n, "
+        "CAST(SUM(cnt) AS BIGINT) AS total FROM a GROUP BY 1, 2), "
+        "t AS (SELECT ci, cj, CAST(SUM(c*(c-1)*(2*c+5)) AS BIGINT) AS tt "
+        "FROM (SELECT ci, cj, cnt, COUNT(*)::BIGINT AS c FROM a "
+        "GROUP BY 1, 2, 3) GROUP BY 1, 2) "
+        "SELECT n.ci, n.cj, n.n AS n_hours, n.total, "
+        "CAST(COALESCE(s.s, 0) AS BIGINT) AS s_stat, "
+        "n.n*(n.n-1)*(2*n.n+5) - t.tt AS var18, "
+        "ROUND(CASE WHEN COALESCE(s.s, 0) = 0 "
+        "OR n.n*(n.n-1)*(2*n.n+5) - t.tt <= 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(s.s - SIGN(s.s) AS DOUBLE) "
+        "/ SQRT(CAST(n.n*(n.n-1)*(2*n.n+5) - t.tt AS DOUBLE) "
+        "/ CAST(18 AS DOUBLE)) END, 6) AS mk_z_r "
+        "FROM n JOIN t ON t.ci = n.ci AND t.cj = n.cj "
+        "LEFT JOIN s ON s.ci = n.ci AND s.cj = n.cj"
+    )

@@ -1953,6 +1953,11 @@ def _q_rfm(sf_dir: str):
     return agg.rfm_customers(
         _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]))
 
+def _q_emerging_hotspots(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import emerging_hotspots
+
+    return emerging_hotspots(read_pages(sf_dir, columns=["url", "warc_ts"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -586,3 +586,84 @@ def kde_heat_grid(pages: ray.data.Dataset, url_col: str = "url",
         pages.select_columns([url_col]).map_batches(
             prep, batch_format="pyarrow"), scatter)
     return bucket_exchange(counted, finalize, small_partials=True)
+
+
+def emerging_hotspots(pages: ray.data.Dataset, url_col: str = "url",
+                      ts_col: str = "warc_ts", cs: float = 10.0,
+                      num_buckets: int = 256) -> ray.data.Dataset:
+    """Emerging-hot-spot analysis (the ArcGIS space-time-cube operator,
+    Mann-Kendall flavor): pages bin to a ``cs``-degree cell × crawl HOUR
+    cube, and each cell's hourly-count series gets the Mann-Kendall
+    trend test — S over hour-ordered pairs, the classic value-tie
+    variance correction, continuity-corrected z. Counts are exact
+    integers; z is the identical divide→sqrt→divide chain both sides.
+    Only observed hours enter a cell's series (documented semantics —
+    zero-fill would need the global calendar joined per cell).
+
+    Scale shape: per-block (cell, hour) count partials, ONE cell-keyed
+    exchange; per-cell pair work is O(hours²) — bounded by the crawl
+    calendar, not the corpus."""
+    from ..functions import geo
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        hour = (b[ts_col].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // 3_600_000_000)
+        d = pd.DataFrame({
+            "ci": np.floor((lon + 180.0) / cs).astype(np.int64),
+            "cj": np.floor((lat + 90.0) / cs).astype(np.int64),
+            "hour": hour})
+        g = d.groupby(["ci", "cj", "hour"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            key = g["ci"].to_numpy(np.int64) * np.int64(100003) \
+                + g["cj"].to_numpy(np.int64)
+            g["_part"] = (splitmix64(key.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.drop(columns=["_part"]).groupby(
+            ["ci", "cj", "hour"], as_index=False)["cnt"].sum()
+        a["cnt"] = a["cnt"].astype(np.int64)
+        per = a.groupby(["ci", "cj"], as_index=False).agg(
+            n_hours=("hour", "size"), total=("cnt", "sum"))
+        ties = a.groupby(["ci", "cj", "cnt"], as_index=False).agg(
+            c=("hour", "size"))
+        c = ties["c"].to_numpy(np.int64)
+        ties["tt"] = c * (c - 1) * (2 * c + 5)
+        tt = ties.groupby(["ci", "cj"], as_index=False).agg(
+            tt=("tt", "sum"))
+        p = a.merge(a, on=["ci", "cj"], suffixes=("1", "2"))
+        p = p[p["hour1"] < p["hour2"]]
+        sgn = np.sign(p["cnt2"].to_numpy(np.int64)
+                      - p["cnt1"].to_numpy(np.int64))
+        s = (pd.DataFrame({"ci": p["ci"].to_numpy(np.int64),
+                           "cj": p["cj"].to_numpy(np.int64), "s": sgn})
+             .groupby(["ci", "cj"], as_index=False).agg(s=("s", "sum")))
+        r = per.merge(tt, on=["ci", "cj"]).merge(
+            s, on=["ci", "cj"], how="left")
+        n = r["n_hours"].to_numpy(np.int64)
+        sv = r["s"].fillna(0).to_numpy(np.int64)
+        var18 = n * (n - 1) * (2 * n + 5) - r["tt"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sig = np.sqrt(var18.astype(np.float64) / 18.0)
+            z = (sv - np.sign(sv)).astype(np.float64) / sig
+        z = np.where((sv == 0) | (var18 <= 0), 0.0, z)
+        return pd.DataFrame({
+            "ci": r["ci"].to_numpy(np.int64),
+            "cj": r["cj"].to_numpy(np.int64),
+            "n_hours": n, "total": r["total"].to_numpy(np.int64),
+            "s_stat": sv, "var18": var18,
+            "mk_z_r": round_half_away(z, 6)})
+
+    return bucket_exchange(
+        pages.select_columns([url_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow"), combine)
