@@ -4973,3 +4973,42 @@ def _emerging_hotspots_sql(cs: float = 10.0) -> str:
         "FROM n JOIN t ON t.ci = n.ci AND t.cj = n.cj "
         "LEFT JOIN s ON s.ci = n.ci AND s.cj = n.cj"
     )
+
+
+def _media_phash_sql(scale: int = 1024) -> str:
+    """SQL twin of multimodal.phash_dedup_stage over the GLRM fixture:
+    8×8 payload bytes (text ASCII), the engine's integer DCT basis
+    inlined as VALUES, exact coefficient sums, two-middle doubled AC
+    median, bit j−1 = 2·c > m2."""
+    from ..stages.multimodal import _dct_basis
+
+    B = _dct_basis(scale)
+    bvals = ", ".join(f"({u}, {x}, {int(B[u, x])})"
+                      for u in range(8) for x in range(8))
+    return (
+        "WITH px AS MATERIALIZED (SELECT doc_id AS media_id, "
+        "CAST(g.range AS BIGINT) AS j, "
+        "CAST(CASE WHEN length(text) >= g.range + 1 THEN "
+        "ord(substr(text, CAST(g.range + 1 AS INT), 1)) ELSE 0 END "
+        "AS BIGINT) AS v FROM documents, range(0, 64) g), "
+        f"b(u, x, bv) AS (VALUES {bvals}), "
+        "c AS MATERIALIZED (SELECT px.media_id, bu.u AS u, bv2.u AS v, "
+        "SUM(bu.bv * bv2.bv * px.v)::BIGINT AS c FROM px "
+        "JOIN b bu ON bu.x = px.j // 8 "
+        "JOIN b bv2 ON bv2.x = px.j % 8 GROUP BY 1, 2, 3), "
+        "nz AS MATERIALIZED (SELECT media_id, 8*u + v AS j, c FROM c "
+        "WHERE NOT (u = 0 AND v = 0)), "
+        "r AS (SELECT media_id, j, c, ROW_NUMBER() OVER "
+        "(PARTITION BY media_id ORDER BY c) AS rn, "
+        "COUNT(*) OVER (PARTITION BY media_id) AS m FROM nz), "
+        "md AS (SELECT media_id, CAST(MAX(CASE WHEN rn = (m-1)//2 + 1 "
+        "THEN c END) + MAX(CASE WHEN rn = m//2 + 1 THEN c END) "
+        "AS BIGINT) AS m2 FROM r GROUP BY 1), "
+        "h AS MATERIALIZED (SELECT nz.media_id, "
+        "CAST(SUM(CASE WHEN 2*nz.c > md.m2 THEN "
+        "CAST(1 AS BIGINT) << CAST(nz.j - 1 AS INT) "
+        "ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash "
+        "FROM nz JOIN md USING (media_id) GROUP BY 1) "
+        "SELECT media_id, phash, "
+        "COUNT(*) OVER (PARTITION BY phash)::BIGINT AS n_same FROM h"
+    )

@@ -1958,6 +1958,13 @@ def _q_emerging_hotspots(sf_dir: str):
 
     return emerging_hotspots(read_pages(sf_dir, columns=["url", "warc_ts"]))
 
+def _q_media_phash(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = pa.concat_tables(list(_rp(sf_dir, "documents").iter_batches(batch_format="pyarrow")))
+    media = ray.data.from_arrow(multimodal.media_table(docs))
+    return multimodal.phash_dedup_stage(media)
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -484,3 +484,93 @@ def loudness_stage(ds: ray.data.Dataset, clip: int = 120,
         LoudnessMeter, fn_constructor_args=(clip,),
         batch_format="pyarrow", batch_size=256, concurrency=concurrency,
         num_cpus=1)
+
+
+def _dct_basis(scale: int = 1024) -> np.ndarray:
+    """8-point DCT-II basis quantized to integers: B[u,x] =
+    floor(cos(π(2x+1)u/16)·scale + 0.5) — shared verbatim (as VALUES
+    literals) with the SQL twin, so the transform is exact int math."""
+    x = np.arange(8, dtype=np.float64)
+    u = np.arange(8, dtype=np.float64)
+    return np.floor(np.cos(np.pi * (2 * x[None, :] + 1) * u[:, None]
+                           / 16.0) * scale + 0.5).astype(np.int64)
+
+
+class PHasher:
+    """Perceptual DCT hash (pHash, Krawetz 2010): the first 64 payload
+    bytes form an 8×8 'image', an INTEGER-quantized 8×8 DCT-II yields 64
+    coefficients, and bit j−1 is set iff coefficient j (DC excluded)
+    exceeds the median of the 63 AC coefficients (two-middle doubled
+    median — no float forms anywhere). Same GLRM-header skip and Arrow
+    buffer gather as DHasher."""
+
+    WIDTH = 64
+
+    def __init__(self, scale: int = 1024):
+        self.B = _dct_basis(scale)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[
+                col.offset: col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[
+                col.offset: col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        p0 = np.minimum(starts + 9, ends)
+        k = np.arange(self.WIDTH, dtype=np.int64)
+        idx = p0[:, None] + k[None, :]
+        valid = idx < ends[:, None]
+        safe = np.minimum(idx, max(len(data) - 1, 0))
+        mat = np.where(valid, data[safe] if len(data) else 0, 0) \
+            .astype(np.int64).reshape(-1, 8, 8)
+        C = np.einsum("ux,nxy,vy->nuv", self.B, mat, self.B) \
+            .reshape(-1, 64)
+        ac = C[:, 1:]                       # DC excluded
+        srt = np.sort(ac, axis=1)
+        m2 = srt[:, 31] + srt[:, 31]        # 63 odd → lo == hi == mid
+        bits = (2 * ac > m2[:, None]).astype(np.uint64)
+        ph = (bits << np.arange(63, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table({"media_id": batch["media_id"],
+                         "phash": pa.array(ph.view(np.int64))})
+
+
+def phash_dedup_stage(media: ray.data.Dataset, num_buckets: int = 64,
+                      concurrency=(1, 8),
+                      batch_size: int = 256) -> ray.data.Dataset:
+    """media → (media_id, phash, n_same): the DCT sibling of
+    dhash_dedup_stage — actor-pool hashing, one phash-keyed exchange
+    attaches duplicate-group sizes."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    hashed = media.map_batches(PHasher, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=concurrency, num_cpus=1)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        old = np.seterr(over="ignore")
+        try:
+            b["_part"] = (splitmix64(b["phash"].to_numpy(np.int64)
+                                     .view(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return b
+
+    def count_same(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["n_same"] = g.groupby("phash", sort=False)["media_id"] \
+            .transform("size").astype(np.int64)
+        return g
+
+    return bucket_exchange(
+        hashed.map_batches(part, batch_format="pandas"), count_same)
