@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_tiles_customers": _q_rfm,
         "emerging_hotspots_pages": _q_emerging_hotspots,
         "media_phash_dedup": _q_media_phash,
+        "convex_hull_hosts": _q_convex_hull,
     }
 
 
@@ -415,6 +416,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _rfm_sql,
     _emerging_hotspots_sql,
     _media_phash_sql,
+    _convex_hull_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -991,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_tiles_customers": _rfm_sql(),
         "emerging_hotspots_pages": _emerging_hotspots_sql(),
         "media_phash_dedup": _media_phash_sql(),
+        "convex_hull_hosts": _convex_hull_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -5012,3 +5012,29 @@ def _media_phash_sql(scale: int = 1024) -> str:
         "SELECT media_id, phash, "
         "COUNT(*) OVER (PARTITION BY phash)::BIGINT AS n_same FROM h"
     )
+
+
+def _convex_hull_sql() -> str:
+    """SQL twin of cellindex.convex_hull_hosts: identical integer
+    microdegree coords and the extreme-point EXISTS/NOT-EXISTS
+    predicate."""
+    from . import sqlgen as _sg
+
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url FROM pages",
+                      _sg.geocode_steps("url"))
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT url, "
+        "CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) "
+        "AS host, "
+        "CAST(FLOOR(ABS(lon*1000000.0) + 0.5)*SIGN(lon) AS BIGINT) AS x, "
+        "CAST(FLOOR(ABS(lat*1000000.0) + 0.5)*SIGN(lat) AS BIGINT) AS y "
+        f"FROM ({inner})), "
+        "nh AS (SELECT host, COUNT(*)::BIGINT AS n FROM pts GROUP BY 1) "
+        "SELECT p.url, p.host, p.x, p.y, "
+        "CAST(CASE WHEN nh.n = 1 THEN 1 WHEN EXISTS ("
+        "SELECT 1 FROM pts q WHERE q.host = p.host AND q.url <> p.url "
+        "AND NOT EXISTS (SELECT 1 FROM pts r WHERE r.host = p.host "
+        "AND (q.x - p.x)*(r.y - p.y) - (q.y - p.y)*(r.x - p.x) < 0)) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_hull "
+        "FROM pts p JOIN nh ON nh.host = p.host"
+    )

@@ -1965,6 +1965,11 @@ def _q_media_phash(sf_dir: str):
     media = ray.data.from_arrow(multimodal.media_table(docs))
     return multimodal.phash_dedup_stage(media)
 
+def _q_convex_hull(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import convex_hull_hosts
+
+    return convex_hull_hosts(read_pages(sf_dir, columns=["url"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -667,3 +667,80 @@ def emerging_hotspots(pages: ray.data.Dataset, url_col: str = "url",
     return bucket_exchange(
         pages.select_columns([url_col, ts_col]).map_batches(
             prep, batch_format="pyarrow"), combine)
+
+
+def convex_hull_hosts(pages: ray.data.Dataset, url_col: str = "url",
+                      num_buckets: int = 64,
+                      max_per_host: int = 512) -> ray.data.Dataset:
+    """Per-host convex hull membership over geocoded pages: a page is on
+    the hull iff it is an EXTREME point — ∃ q ≠ p in the host with all
+    r satisfying cross(q−p, r−p) ≥ 0 (a supporting line through p; the
+    textbook extreme-point characterization; collinear boundary points
+    count as on-hull — consistent on both sides). Coordinates are exact
+    integer microdegrees, crosses exact int64, so the predicate is
+    bit-free; single-point hosts are on-hull by definition.
+
+    Scale shape: one host-keyed exchange; the per-host O(n³) predicate
+    is asserted ≤ ``max_per_host`` points (the synthetic host fan-out is
+    constant by construction — a real deployment would swap in a
+    monotone-chain kernel per host)."""
+    from ..functions import geo
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b[url_col])
+        urls = b[url_col].to_pandas()
+        host = urls.str.extract(r"site-(\d+)\.example", expand=False) \
+            .astype(np.int64).to_numpy()
+        d = pd.DataFrame({
+            "url": urls.to_numpy(object), "host": host,
+            "x": round_half_away(lon * 1e6, 0).astype(np.int64),
+            "y": round_half_away(lat * 1e6, 0).astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(host.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        outs = []
+        for h, t in g.groupby("host", sort=False):
+            x = t["x"].to_numpy(np.int64)
+            y = t["y"].to_numpy(np.int64)
+            n = len(x)
+            if n > max_per_host:
+                raise ValueError(f"host {h} has {n} > {max_per_host} "
+                                 "points; brute-force bound exceeded")
+            if n == 1:
+                flag = np.ones(1, np.int64)
+            else:
+                flag = np.zeros(n, np.int64)
+                for p in range(n):
+                    dxq = x - x[p]
+                    dyq = y - y[p]
+                    # cross[q, r] = (xq-xp)(yr-yp) - (yq-yp)(xr-xp)
+                    cr = dxq[:, None] * dyq[None, :] \
+                        - dyq[:, None] * dxq[None, :]
+                    ok_q = (cr >= 0).all(axis=1)
+                    ok_q[p] = False
+                    flag[p] = np.int64(ok_q.any())
+            o = t[["url", "host", "x", "y"]].copy()
+            o["is_hull"] = flag
+            outs.append(o)
+        if not outs:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "host": pd.Series([], dtype=np.int64),
+                "x": pd.Series([], dtype=np.int64),
+                "y": pd.Series([], dtype=np.int64),
+                "is_hull": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(
+        pages.select_columns([url_col]).map_batches(
+            prep, batch_format="pyarrow"), combine)
