@@ -5038,3 +5038,26 @@ def _convex_hull_sql() -> str:
         "THEN 1 ELSE 0 END AS BIGINT) AS is_hull "
         "FROM pts p JOIN nh ON nh.host = p.host"
     )
+
+
+def _capped_balance_sql() -> str:
+    """SQL twin of streaming.capped_balance_users: the closed-form
+    b_t = P_t − min(0, cummin P) with cumulative windows, exact ints."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS u, "
+        "CASE WHEN event_type = 'purchase' THEN "
+        "CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT) "
+        "ELSE -CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT) "
+        "END AS delta FROM events), "
+        "w AS (SELECT event_id, user_id, u, delta, "
+        "CAST(SUM(delta) OVER win AS BIGINT) AS p FROM e WINDOW win AS "
+        "(PARTITION BY user_id ORDER BY u, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "m AS (SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
+        "delta, p AS prefix, "
+        "CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY u, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS rm FROM w) "
+        "SELECT event_id, user_id, delta, prefix, "
+        "CAST(prefix - LEAST(rm, 0) AS BIGINT) AS balance FROM m"
+    )

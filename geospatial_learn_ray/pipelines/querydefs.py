@@ -1970,6 +1970,12 @@ def _q_convex_hull(sf_dir: str):
 
     return convex_hull_hosts(read_pages(sf_dir, columns=["url"]))
 
+def _q_capped_balance(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.capped_balance_users(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

