@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dedup": _q_media_phash,
         "convex_hull_hosts": _q_convex_hull,
         "capped_balance_users": _q_capped_balance,
+        "psi_drift_orders": _q_psi_drift,
     }
 
 
@@ -419,6 +420,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _media_phash_sql,
     _convex_hull_sql,
     _capped_balance_sql,
+    _psi_drift_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -997,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_dedup": _media_phash_sql(),
         "convex_hull_hosts": _convex_hull_sql(),
         "capped_balance_users": _capped_balance_sql(),
+        "psi_drift_orders": _psi_drift_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

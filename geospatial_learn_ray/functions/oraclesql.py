@@ -5061,3 +5061,36 @@ def _capped_balance_sql() -> str:
         "SELECT event_id, user_id, delta, prefix, "
         "CAST(prefix - LEAST(rm, 0) AS BIGINT) AS balance FROM m"
     )
+
+
+def _psi_drift_sql(n_bins: int = 10) -> str:
+    """SQL twin of agg.psi_drift_orders: same integer bins/split, the
+    identical 4-op PSI term chain with the exact-int-product ln arg."""
+    return (
+        "WITH o AS (SELECT "
+        "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+        "CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "AS BIGINT) AS cents FROM orders), "
+        "sc AS (SELECT MIN(day) AS d0, MAX(day) AS d1, MAX(cents) AS mc "
+        "FROM o), "
+        "x AS (SELECT LEAST(CAST("
+        f"{n_bins - 1} AS BIGINT), cents * {n_bins} // (sc.mc + 1)) "
+        "AS bin, CASE WHEN day >= (sc.d0 + sc.d1 + 1) // 2 THEN 1 "
+        "ELSE 0 END AS side FROM o, sc), "
+        "t AS (SELECT bin, side, COUNT(*)::BIGINT AS c FROM x "
+        "GROUP BY 1, 2), "
+        f"bins AS (SELECT unnest(range(0, {n_bins})) AS bin), "
+        "w AS (SELECT bins.bin, "
+        "COALESCE(a.c, 0)::BIGINT AS n_a, COALESCE(b.c, 0)::BIGINT AS n_b "
+        "FROM bins LEFT JOIN t a ON a.bin = bins.bin AND a.side = 0 "
+        "LEFT JOIN t b ON b.bin = bins.bin AND b.side = 1), "
+        "tot AS (SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb "
+        "FROM w) "
+        "SELECT w.bin, w.n_a, w.n_b, "
+        "ROUND(CASE WHEN w.n_a = 0 OR w.n_b = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE (CAST(w.n_a AS DOUBLE) / CAST(tot.ta AS DOUBLE) "
+        "- CAST(w.n_b AS DOUBLE) / CAST(tot.tb AS DOUBLE)) "
+        "* ln(CAST(w.n_a * tot.tb AS DOUBLE) "
+        "/ CAST(w.n_b * tot.ta AS DOUBLE)) END, 6) AS psi_term_r "
+        "FROM w, tot"
+    )

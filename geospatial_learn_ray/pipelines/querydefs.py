@@ -1976,6 +1976,10 @@ def _q_capped_balance(sf_dir: str):
     return streaming.capped_balance_users(
         _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]))
 
+def _q_psi_drift(sf_dir: str):
+    return agg.psi_drift_orders(
+        _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -982,3 +982,78 @@ def rfm_customers(orders: ray.data.Dataset,
         return b.rename(columns={"ck": "o_custkey"})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def psi_drift_orders(orders: ray.data.Dataset,
+                     n_bins: int = 10) -> ray.data.Dataset:
+    """Population stability index (the model-monitoring drift screen)
+    of order value between the first and second half of the order-date
+    span: ``n_bins`` equal-width cent bins over [0, max], split at
+    mid = (min_day + max_day + 1)//2, and per bin the PSI term
+    (p_a − p_b)·ln(p_a/p_b) — the ln argument is ONE division of exact
+    integer products (n_ai·n_b)/(n_bi·n_a), so the whole term is a
+    fixed 4-op f64 chain mirrored in SQL. Bins empty on either side
+    emit term 0.0 (the ε-free convention); the total PSI is the exact
+    sum of the emitted per-bin terms — left to the reader so no
+    order-dependent float sum crosses the oracle.
+
+    Scale shape: one scalar pre-pass (min/max day, max cents — 1 row
+    per block), then per-block (bin, side) bincount partials and a
+    single-bucket finalize of 2·n_bins rows."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def scal(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"d0": [int(day.min())], "d1": [int(day.max())],
+                             "mc": [int(cents.max())]})
+
+    sc = orders.map_batches(scal, batch_format="pandas").to_pandas()
+    d0, d1, mc = int(sc["d0"].min()), int(sc["d1"].max()), int(sc["mc"].max())
+    mid = (d0 + d1 + 1) // 2
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        bn = np.minimum(n_bins - 1, cents * n_bins // (mc + 1))
+        side = (day >= mid).astype(np.int64)
+        g = pd.DataFrame({"bin": bn, "side": side}).groupby(
+            ["bin", "side"], as_index=False).size().rename(
+                columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_part"]).groupby(
+            ["bin", "side"], as_index=False)["c"].sum()
+        na = np.zeros(n_bins, np.int64)
+        nb = np.zeros(n_bins, np.int64)
+        a = t[t["side"] == 0]
+        bb = t[t["side"] == 1]
+        na[a["bin"].to_numpy(np.int64)] = a["c"].to_numpy(np.int64)
+        nb[bb["bin"].to_numpy(np.int64)] = bb["c"].to_numpy(np.int64)
+        ta, tb = int(na.sum()), int(nb.sum())
+        term = np.zeros(n_bins, np.float64)
+        ok = (na > 0) & (nb > 0)
+        pa_ = na[ok].astype(np.float64) / np.float64(ta)
+        pb_ = nb[ok].astype(np.float64) / np.float64(tb)
+        arg = (na[ok] * tb).astype(np.float64) \
+            / (nb[ok] * ta).astype(np.float64)
+        term[ok] = (pa_ - pb_) * np.log(arg)
+        return pd.DataFrame({
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "n_a": na, "n_b": nb,
+            "psi_term_r": round_half_away(term, 6)})
+
+    return bucket_exchange(
+        orders.select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        finalize, small_partials=True)
