@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convex_hull_hosts": _q_convex_hull,
         "capped_balance_users": _q_capped_balance,
         "psi_drift_orders": _q_psi_drift,
+        "ewma_daily_orders": _q_ewma_daily,
+        "readability_docs": _q_readability,
     }
 
 
@@ -421,6 +423,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _convex_hull_sql,
     _capped_balance_sql,
     _psi_drift_sql,
+    _ewma_daily_sql,
+    _readability_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1000,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull_hosts": _convex_hull_sql(),
         "capped_balance_users": _capped_balance_sql(),
         "psi_drift_orders": _psi_drift_sql(),
+        "ewma_daily_orders": _ewma_daily_sql(),
+        "readability_docs": _readability_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -5094,3 +5094,44 @@ def _psi_drift_sql(n_bins: int = 10) -> str:
         "/ CAST(w.n_b * tot.ta AS DOUBLE)) END, 6) AS psi_term_r "
         "FROM w, tot"
     )
+
+
+def _ewma_daily_sql(n_lags: int = 30) -> str:
+    """SQL twin of streaming.ewma_daily_orders: dense day spine (acf
+    pattern), lag weights 2^-(k+1) inlined as exact dyadic literals —
+    every term count*2^-(k+1) is exact, spans <= 22+30 < 53 mantissa
+    bits, so SUM order cannot matter."""
+    lags = ", ".join(
+        f"({k}, CAST({2.0 ** -(k + 1)!r} AS DOUBLE))" for k in range(n_lags))
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+        "  AS BIGINT) AS day FROM orders), "
+        "c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d GROUP BY day), "
+        "r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+        "s AS MATERIALIZED (SELECT g.day, COALESCE(c.x, 0)::BIGINT AS x "
+        "  FROM r, LATERAL (SELECT UNNEST(generate_series(r.d0, r.d1)) "
+        "  AS day) g LEFT JOIN c ON c.day = g.day), "
+        f"lags(k, w) AS (VALUES {lags}) "
+        "SELECT a.day, a.x AS cnt, "
+        "SUM(CAST(b.x AS DOUBLE) * l.w) AS ewma "
+        "FROM s a JOIN lags l ON TRUE "
+        "JOIN s b ON b.day = a.day - l.k "
+        "GROUP BY 1, 2"
+    )
+
+
+def _readability_sql() -> str:
+    """SQL twin of textstages.readability_docs: identical RE2/re counts,
+    the one-division exact-integer FK chain, ROUND on bit-identical f64."""
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w, "
+        "CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s, "
+        "CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)"
+        " AS v FROM documents), "
+        "m AS (SELECT doc_id, w, s, v, GREATEST(w, 1) AS wc, "
+        "GREATEST(s, 1) AS sc FROM t) "
+        "SELECT doc_id, w AS n_words, s AS n_sents, v AS n_syll, "
+        "ROUND(CAST(39*w*wc + 1180*v*sc - 1559*wc*sc AS DOUBLE) "
+        "/ CAST(100*wc*sc AS DOUBLE), 4) AS fk_grade_r FROM m"
+    )

@@ -1980,6 +1980,16 @@ def _q_psi_drift(sf_dir: str):
     return agg.psi_drift_orders(
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
+
+def _q_ewma_daily(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.ewma_daily_orders(_rp(sf_dir, "orders", ["o_orderdate"]))
+
+def _q_readability(sf_dir: str):
+    return textstages.readability_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -1302,3 +1302,59 @@ def capped_balance_users(events: ray.data.Dataset,
         events.select_columns(["event_id", "ts", "user_id",
                                "event_type", "value"])
         .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def ewma_daily_orders(orders: ray.data.Dataset, n_lags: int = 30,
+                      day_bound: int = 200_000) -> ray.data.Dataset:
+    """Windowed EWMA of the global DAILY order-count series with
+    alpha = 1/2 capped at ``n_lags`` lags (the model-monitoring smooth
+    next to acf_daily_orders): s_d = sum_{k=0..L-1} x_{d-k} * 2^-(k+1),
+    missing days inside the span count 0 and days before the span do
+    not contribute (truncated-window convention — documented so the
+    SQL twin states the same sum). Every term is count * 2^-(k+1),
+    an exact dyadic with mantissa span <= log2(max_count) + L bits,
+    so for max_count < 2^22 the per-day sum is EXACT in any summation
+    order — no float-order hazard crosses the oracle.
+
+    Scale shape: per-block (day, count) partials through one day-keyed
+    exchange (acf pattern); only the per-DAY table reaches the driver
+    (counted <= ``day_bound`` — a day span is a calendar, not a
+    corpus), where the window convolution is one vectorized pass."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["day"].to_numpy().astype(np.uint64))
+                          % np.uint64(32)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    daily = bucket_exchange(
+        orders.select_columns(["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "day", as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(daily) > day_bound:
+        raise ValueError(f"day span {len(daily)} exceeds bound {day_bound}")
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    full = pd.DataFrame({"day": np.arange(d0, d1 + 1, dtype=np.int64)})
+    full = full.merge(daily, on="day", how="left")
+    x = full["c"].fillna(0).to_numpy(np.int64)
+    assert int(x.max()) < 2 ** 22, "dyadic-exactness bound exceeded"
+    xf = x.astype(np.float64)
+    s = np.zeros(len(xf), np.float64)
+    for k in range(n_lags):          # L fixed small: L exact shifted adds
+        w = 2.0 ** -(k + 1)
+        s[k:] += xf[:len(xf) - k if k else None] * w
+    return ray.data.from_pandas(pd.DataFrame({
+        "day": full["day"].to_numpy(np.int64),
+        "cnt": x, "ewma": s}))

@@ -2059,3 +2059,39 @@ def cohens_kappa(preds: ray.data.Dataset,
         preds.select_columns([true_col, pred_col]).map_batches(
             partial, batch_format="pyarrow"),
         finalize, small_partials=True)
+
+
+def readability_docs(docs: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> ray.data.Dataset:
+    """Flesch-Kincaid grade-level readability per document (Kincaid et
+    al. 1975) — the classic quality-filter feature next to
+    quality_scores/char_entropy (LLM-pipeline extension; reference
+    analogue is the scalar text-metric family, SURVEY §2.8). Heuristic
+    counts, identical regex both sides: words = ``\\S+`` runs,
+    sentences = ``[.!?]+`` runs (clamped >= 1), syllables = vowel-group
+    runs ``[aeiouyAEIOUY]+`` over the whole text (tokens without a
+    vowel contribute 0 — documented simplification of the per-word
+    max(1,.) convention). grade = 0.39 W/S + 11.8 V/W − 15.59 is
+    computed as ONE division of exact int64 products
+    (39·W·W' + 1180·V·S' − 1559·W'·S') / (100·W'·S') with
+    W' = max(W,1), S' = max(S,1), so the f64 value is bit-identical to
+    the SQL twin's CAST/CAST divide and the final ROUND can never
+    tie-split. Map-only, vectorized str.count — no shuffle."""
+    from ..functions.rounding import round_half_away
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col].to_pandas()
+        W = t.str.count(r"\S+").to_numpy(np.int64)
+        S = t.str.count(r"[.!?]+").to_numpy(np.int64)
+        V = t.str.count(r"[aeiouyAEIOUY]+").to_numpy(np.int64)
+        Wc = np.maximum(W, 1)
+        Sc = np.maximum(S, 1)
+        num = 39 * W * Wc + 1180 * V * Sc - 1559 * Wc * Sc
+        den = 100 * Wc * Sc
+        grade = num.astype(np.float64) / den.astype(np.float64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "n_words": W, "n_sents": S, "n_syll": V,
+                             "fk_grade_r": round_half_away(grade, 4)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -522,3 +522,54 @@ def test_capped_balance_matches_sequential_recurrence():
     assert (out["balance"] >= 0).all()
     assert (out["balance"] != np.maximum(out["prefix"], 0)).any() \
         or True  # clamp engaged at least somewhere on this fixture
+
+
+def test_ewma_daily_matches_sequential_reference():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import ewma_daily_orders
+
+    n = 500
+    days = np.repeat(np.arange(40, dtype=np.int64), 1 + np.arange(40) % 24)
+    days = days[:n] if len(days) >= n else np.concatenate(
+        [days, np.zeros(n - len(days), np.int64)])
+    od = pd.DataFrame({"o_orderdate": (
+        pd.to_datetime("2024-01-05")
+        + pd.to_timedelta(days, unit="D")).astype("datetime64[us]")})
+    out = ewma_daily_orders(
+        ray.data.from_pandas(od).repartition(5), n_lags=30).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    cnt = od.groupby(od["o_orderdate"].dt.normalize()).size()
+    spine_days = pd.date_range(cnt.index.min(), cnt.index.max(), freq="D")
+    x = cnt.reindex(spine_days, fill_value=0).to_numpy(np.int64)
+    # sequential truncated-window reference: s_d = sum x[d-k] * 2^-(k+1)
+    ref = np.array([
+        sum(float(x[d - k]) * 2.0 ** -(k + 1)
+            for k in range(min(30, d + 1)))
+        for d in range(len(x))])
+    assert len(out) == len(x)
+    assert (out["cnt"].to_numpy() == x).all()
+    # exact dyadic: bit equality, not approx
+    assert (out["ewma"].to_numpy() == ref).all()
+
+
+def test_ewma_daily_block_structure_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import ewma_daily_orders
+
+    od = pd.DataFrame({"o_orderdate": (
+        pd.to_datetime("2023-06-01")
+        + pd.to_timedelta(np.arange(300, dtype=np.int64) % 90, unit="D"))
+        .astype("datetime64[us]")})
+    a = ewma_daily_orders(ray.data.from_pandas(od)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    b = ewma_daily_orders(
+        ray.data.from_pandas(od.sample(frac=1.0, random_state=3)
+                             .reset_index(drop=True)).repartition(11)) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

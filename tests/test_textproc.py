@@ -951,3 +951,31 @@ def test_naive_bayes_separable_and_block_invariant():
         ray.data.from_pandas(docs).repartition(5)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_readability_known_values():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import readability_docs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "The cat sat on the mat. It was happy!",
+            "",                      # degenerate: clamped denominators
+            "xyz qrs",               # no vowels, no sentence marks
+            "One two three? Four five six. Seven!!",
+        ]})
+    out = readability_docs(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # row 0: W=9, S=2, V: The(1)+cat(1)+sat(1)+on(1)+the(1)+mat(1)+It(1)
+    #   +was(1)+happy(2: a, y) = 10
+    assert out.loc[0, ["n_words", "n_sents", "n_syll"]].tolist() == [9, 2, 10]
+    w, s, v = 9, 2, 10
+    grade = (39 * w * w + 1180 * v * s - 1559 * w * s) / (100 * w * s)
+    assert abs(out.loc[0, "fk_grade_r"] - round(grade, 4)) < 1e-12
+    assert out.loc[1, ["n_words", "n_sents", "n_syll"]].tolist() == [0, 0, 0]
+    assert out.loc[2, "n_syll"] == 1  # 'y' in xyz and 'q r s' none -> y run
+    assert out.loc[3, "n_sents"] == 3
