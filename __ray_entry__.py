@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift_orders": _q_psi_drift,
         "ewma_daily_orders": _q_ewma_daily,
         "readability_docs": _q_readability,
+        "curvature_tiles": _q_curvature,
+        "lbp_tiles": _q_lbp,
     }
 
 
@@ -425,6 +427,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _psi_drift_sql,
     _ewma_daily_sql,
     _readability_sql,
+    _curvature_sql,
+    _lbp_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1006,6 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift_orders": _psi_drift_sql(),
         "ewma_daily_orders": _ewma_daily_sql(),
         "readability_docs": _readability_sql(),
+        "curvature_tiles": _curvature_sql(),
+        "lbp_tiles": _lbp_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -5135,3 +5135,69 @@ def _readability_sql() -> str:
         "ROUND(CAST(39*w*wc + 1180*v*sc - 1559*wc*sc AS DOUBLE) "
         "/ CAST(100*wc*sc AS DOUBLE), 4) AS fk_grade_r FROM m"
     )
+
+
+def _curvature_sql(side: int = 16, quant: float = 8.0,
+                   tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.curvature_stage: 8-neighbour conditional-agg
+    pivot, exact-integer Zevenbergen-Thorne numerators, ONE division."""
+    dirs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if (dx, dy) != (0, 0))
+    piv = {
+        "z1": (-1, -1), "z2": (0, -1), "z3": (1, -1), "z4": (-1, 0),
+        "z6": (1, 0), "z7": (-1, 1), "z8": (0, 1), "z9": (1, 1)}
+    sel = ", ".join(
+        f"MAX(CASE WHEN d.dx = {dx} AND d.dy = {dy} THEN n.q END) AS {z}"
+        for z, (dx, dy) in piv.items())
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(dx, dy) AS (VALUES {dirs}), "
+        "nb AS (SELECT c.tile_x, c.tile_y, c.px, c.py, c.q AS z5, "
+        f"{sel} FROM rc c, dirs d "
+        "JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "  AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        f"WHERE c.px BETWEEN 1 AND {side - 2} "
+        f"AND c.py BETWEEN 1 AND {side - 2} "
+        "GROUP BY 1, 2, 3, 4, 5), "
+        "m AS (SELECT tile_x, tile_y, px, py, "
+        "2*(z4+z6) - 4*z5 AS d4, 2*(z2+z8) - 4*z5 AS e4, "
+        "-z1+z3+z7-z9 AS f4, z6-z4 AS g2, z2-z8 AS h2 FROM nb) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, "
+        "ROUND(CASE WHEN g2 = 0 AND h2 = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "CAST(-(d4*g2*g2 + e4*h2*h2 + f4*g2*h2) AS DOUBLE) "
+        "/ CAST(2*(g2*g2 + h2*h2) AS DOUBLE) END, 9) AS prof_r, "
+        "ROUND(CASE WHEN g2 = 0 AND h2 = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "CAST(d4*h2*h2 + e4*g2*g2 - f4*g2*h2 AS DOUBLE) "
+        "/ CAST(2*(g2*g2 + h2*h2) AS DOUBLE) END, 9) AS plan_r FROM m"
+    )
+
+
+def _lbp_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.lbp_stage: LBP_DIRS weights 2^k, >= compare on
+    the identical f64 pixel values, per-tile code histogram."""
+    from ..stages.raster import LBP_DIRS
+
+    dirs = ", ".join(f"({dx}, {dy}, {1 << k})"
+                     for k, (dx, dy) in enumerate(LBP_DIRS))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, vd "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(dx, dy, w) AS (VALUES {dirs}), "
+        "cd AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "CAST(SUM(CASE WHEN n.vd >= c.vd THEN d.w ELSE 0 END) AS BIGINT) "
+        "AS code FROM rc c, dirs d "
+        "JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "  AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        f"WHERE c.px BETWEEN 1 AND {side - 2} "
+        f"AND c.py BETWEEN 1 AND {side - 2} "
+        "GROUP BY 1, 2, 3, 4) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, code, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM cd GROUP BY 1, 2, 3"
+    )

@@ -1990,6 +1990,15 @@ def _q_readability(sf_dir: str):
     return textstages.readability_docs(
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
+
+def _q_curvature(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.curvature_stage(small, side=16)
+
+def _q_lbp(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.lbp_stage(small, side=16)
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

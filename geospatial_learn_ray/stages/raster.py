@@ -3169,3 +3169,97 @@ def terrain_indices_stage(ds: ray.data.Dataset, side: int,
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+LBP_DIRS: tuple[tuple[int, int], ...] = (
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1))
+
+
+def curvature_stage(ds: ray.data.Dataset, side: int,
+                    quant: float = 8.0) -> ray.data.Dataset:
+    """Zevenbergen & Thorne (1987) profile / plan curvature per INTERIOR
+    pixel — the second-derivative companion of the gdaldem family
+    (slope/aspect/hillshade at raster.py:638, TPI/TRI above; reference
+    batch_gdaldem raster.py:554). Exact-integer formulation on the
+    quantized surface q = floor(vd*quant): with the 3x3 window
+    z1..z9 (z5 center, px east, py south) define
+      D4 = 2(z4+z6)-4z5, E4 = 2(z2+z8)-4z5, F4 = -z1+z3+z7-z9,
+      G2 = z6-z4, H2 = z2-z8       (all exact int64), then
+      profile = -(D4*G2^2 + E4*H2^2 + F4*G2*H2) / (2(G2^2+H2^2))
+      plan    =  (D4*H2^2 + E4*G2^2 - F4*G2*H2) / (2(G2^2+H2^2))
+    — numerator/denominator are exact products of small ints, the ONE
+    f64 division is bit-identical to the SQL twin, so ROUND(.,9) can
+    never tie-split. Flat cells (G2=H2=0) emit 0.0 by convention.
+    Border pixels are excluded (no halo; tile-local like d8/terrain).
+    Map-only, no shuffle; vectorized over the whole (tiles, y, x) cube."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        n = pxm.shape[0]
+        q = np.floor(pxm.reshape(n, side, side) * quant).astype(np.int64)
+        z5 = q[:, 1:-1, 1:-1]
+        z1 = q[:, :-2, :-2];  z2 = q[:, :-2, 1:-1]; z3 = q[:, :-2, 2:]
+        z4 = q[:, 1:-1, :-2]; z6 = q[:, 1:-1, 2:]
+        z7 = q[:, 2:, :-2];   z8 = q[:, 2:, 1:-1];  z9 = q[:, 2:, 2:]
+        D4 = 2 * (z4 + z6) - 4 * z5
+        E4 = 2 * (z2 + z8) - 4 * z5
+        F4 = -z1 + z3 + z7 - z9
+        G2 = z6 - z4
+        H2 = z2 - z8
+        den = 2 * (G2 * G2 + H2 * H2)
+        pn = -(D4 * G2 * G2 + E4 * H2 * H2 + F4 * G2 * H2)
+        qn = D4 * H2 * H2 + E4 * G2 * G2 - F4 * G2 * H2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prof = np.where(den == 0, 0.0,
+                            pn.astype(np.float64) / den.astype(np.float64))
+            plan = np.where(den == 0, 0.0,
+                            qn.astype(np.float64) / den.astype(np.float64))
+        m = side - 2
+        Y, X = np.mgrid[1:side - 1, 1:side - 1]
+        from ..functions.rounding import round_half_away
+        return pa.table({
+            "tile_x": pa.array(np.repeat(
+                batch["tile_x"].to_numpy().astype(np.int64), m * m)),
+            "tile_y": pa.array(np.repeat(
+                batch["tile_y"].to_numpy().astype(np.int64), m * m)),
+            "px": pa.array(np.tile(X.ravel().astype(np.int64), n)),
+            "py": pa.array(np.tile(Y.ravel().astype(np.int64), n)),
+            "prof_r": pa.array(round_half_away(prof.reshape(n, -1), 9)
+                               .ravel()),
+            "plan_r": pa.array(round_half_away(plan.reshape(n, -1), 9)
+                               .ravel()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lbp_stage(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+    """Local binary pattern texture codes (Ojala et al. 2002, the P=8,
+    R=1 integer variant) + per-tile code histogram — the rotation-naive
+    texture descriptor next to the GLCM stats (raster.py:527; reference
+    texture_stats shape.py). code = sum 2^k [vd(nbr_k) >= vd(center)]
+    over LBP_DIRS order, INTERIOR pixels only; comparisons are on the
+    exact f64-widened f32 pixel values, bit-identical in the SQL twin,
+    so the whole operator is integer-exact. Emits nonzero histogram
+    rows (tile_x, tile_y, code, cnt). Map-only, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        n = pxm.shape[0]
+        v = pxm.reshape(n, side, side)
+        c = v[:, 1:-1, 1:-1]
+        code = np.zeros(c.shape, np.int64)
+        for k, (dx, dy) in enumerate(LBP_DIRS):
+            nb = v[:, 1 + dy:side - 1 + dy, 1 + dx:side - 1 + dx]
+            code += (nb >= c).astype(np.int64) << k
+        m = side - 2
+        tx = np.repeat(batch["tile_x"].to_numpy().astype(np.int64), m * m)
+        ty = np.repeat(batch["tile_y"].to_numpy().astype(np.int64), m * m)
+        g = (pd.DataFrame({"tile_x": tx, "tile_y": ty,
+                           "code": code.ravel()})
+             .groupby(["tile_x", "tile_y", "code"], as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

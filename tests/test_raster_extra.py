@@ -892,3 +892,62 @@ def test_cost_distance_converges_within_shipped_rounds_and_matches_dijkstra():
                         heapq.heappush(pq, (nd, ny, nx))
         got = g.sort_values(["py", "px"])["dist"].to_numpy().reshape(16, 16)
         assert (got == dist).all()  # 36 fixed rounds ≥ true convergence
+
+
+def test_curvature_matches_dense_reference():
+    import numpy as np
+    import ray
+
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages.raster import clip_tiles, curvature_stage
+
+    side = 16
+    small = clip_tiles(read_tiles(tile_px=side), -180.0, -80.0, -168.75, -70.0)
+    out = curvature_stage(small, side=side).to_pandas()
+    out = out.set_index(["tile_x", "tile_y", "py", "px"]).sort_index()
+    for tx in range(2):
+        for ty in range(2):
+            q = np.floor(
+                tile_pixels(tx, ty, side).astype(np.float64) * 8.0
+            ).astype(np.int64)
+            for py in range(1, side - 1):
+                for px in range(1, side - 1):
+                    z = q[py - 1:py + 2, px - 1:px + 2]
+                    d4 = 2 * (z[1, 0] + z[1, 2]) - 4 * z[1, 1]
+                    e4 = 2 * (z[0, 1] + z[2, 1]) - 4 * z[1, 1]
+                    f4 = -z[0, 0] + z[0, 2] + z[2, 0] - z[2, 2]
+                    g2 = z[1, 2] - z[1, 0]
+                    h2 = z[0, 1] - z[2, 1]
+                    den = 2 * (g2 * g2 + h2 * h2)
+                    prof = 0.0 if den == 0 else \
+                        -(d4 * g2 * g2 + e4 * h2 * h2 + f4 * g2 * h2) / den
+                    row = out.loc[(tx, ty, py, px)]
+                    assert abs(row["prof_r"] - round(prof, 9)) < 2e-9, \
+                        (tx, ty, py, px)
+
+
+def test_lbp_codes_match_bruteforce():
+    import numpy as np
+    import ray
+
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages.raster import (
+        LBP_DIRS, clip_tiles, lbp_stage)
+
+    side = 16
+    small = clip_tiles(read_tiles(tile_px=side), -180.0, -80.0, -174.375, -75.0)
+    out = lbp_stage(small, side=side).to_pandas()
+    got = out[(out["tile_x"] == 0) & (out["tile_y"] == 0)] \
+        .set_index("code")["cnt"].to_dict()
+    v = tile_pixels(0, 0, side).astype(np.float64)
+    ref: dict[int, int] = {}
+    for py in range(1, side - 1):
+        for px in range(1, side - 1):
+            code = 0
+            for k, (dx, dy) in enumerate(LBP_DIRS):
+                if v[py + dy, px + dx] >= v[py, px]:
+                    code |= 1 << k
+            ref[code] = ref.get(code, 0) + 1
+    assert got == ref
+    # histogram mass == interior pixel count
+    assert sum(got.values()) == (side - 2) ** 2
