@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": _q_readability,
         "curvature_tiles": _q_curvature,
         "lbp_tiles": _q_lbp,
+        "survival_gaps_users": _q_survival_gaps,
+        "bootstrap_ci_orders": _q_bootstrap_ci,
     }
 
 
@@ -429,6 +431,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _readability_sql,
     _curvature_sql,
     _lbp_sql,
+    _survival_gaps_sql,
+    _bootstrap_ci_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1012,6 +1016,8 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _readability_sql(),
         "curvature_tiles": _curvature_sql(),
         "lbp_tiles": _lbp_sql(),
+        "survival_gaps_users": _survival_gaps_sql(),
+        "bootstrap_ci_orders": _bootstrap_ci_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

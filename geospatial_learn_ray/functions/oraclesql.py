@@ -5201,3 +5201,59 @@ def _lbp_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
         "CAST(tile_y AS BIGINT) AS tile_y, code, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM cd GROUP BY 1, 2, 3"
     )
+
+
+def _survival_gaps_sql() -> str:
+    """SQL twin of streaming.survival_gaps_users: LEAD gaps + censored
+    tails, minute floor, suffix-sum at-risk window, tie-free q20 factor."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "mx AS (SELECT MAX(us) AS m FROM e), "
+        "g AS (SELECT user_id, us, LEAD(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) AS nxt FROM e), "
+        "obs AS (SELECT (CASE WHEN nxt IS NULL THEN mx.m - us "
+        "ELSE nxt - us END) // 60000000 AS dur, "
+        "CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev FROM g, mx), "
+        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY dur), "
+        "km AS (SELECT dur, d, CAST(SUM(c) OVER (ORDER BY dur DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n FROM t) "
+        "SELECT dur AS t_min, d, n, "
+        "CAST(FLOOR(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) "
+        "* 1048576.0 + 0.5) AS BIGINT) AS factor_q20 "
+        "FROM km WHERE d > 0"
+    )
+
+
+def _bootstrap_ci_sql(n_boot: int = 200) -> str:
+    """SQL twin of streaming.bootstrap_ci_orders: day spine, splitmix64
+    counter draws (sqlgen chain), exact integer-cent replicate sums."""
+    from . import sqlgen as _sg
+
+    g0 = (
+        "SELECT bb.range AS b, s.i AS i, r.nd AS nd "
+        f"FROM range(0, {n_boot}) bb, s, r")
+    gh = _sg.chain(g0, _sg.splitmix64_steps(
+        "CAST(b * nd + i AS HUGEINT)", "h", "bs"))
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+        "AS BIGINT) AS day, "
+        "CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "AS BIGINT) AS cents FROM orders), "
+        "c AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM d GROUP BY day), "
+        "r AS MATERIALIZED (SELECT MIN(day) AS d0, MAX(day) AS d1, "
+        "MAX(day) - MIN(day) + 1 AS nd FROM d), "
+        "s AS MATERIALIZED (SELECT g.day - r.d0 AS i, "
+        "COALESCE(c.cents, 0)::BIGINT AS cents "
+        "FROM r, LATERAL (SELECT UNNEST(generate_series(r.d0, r.d1)) "
+        "AS day) g LEFT JOIN c ON c.day = g.day), "
+        f"gh AS ({gh}), "
+        "dr AS (SELECT b, CAST(h % nd AS BIGINT) AS idx FROM gh), "
+        "rs AS (SELECT dr.b, CAST(SUM(s.cents) AS BIGINT) AS sum_cents "
+        "FROM dr JOIN s ON s.i = dr.idx GROUP BY dr.b) "
+        "SELECT rs.b, r.nd AS n_days, rs.sum_cents, "
+        "ROUND(CAST(rs.sum_cents AS DOUBLE) / CAST(r.nd AS DOUBLE), 6) "
+        "AS mean_cents_r FROM rs, r"
+    )

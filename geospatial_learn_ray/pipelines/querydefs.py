@@ -1999,6 +1999,19 @@ def _q_lbp(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
     return raster.lbp_stage(small, side=16)
 
+
+def _q_survival_gaps(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.survival_gaps_users(
+        _rp(sf_dir, "events", ["user_id", "ts"]))
+
+def _q_bootstrap_ci(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.bootstrap_ci_orders(
+        _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

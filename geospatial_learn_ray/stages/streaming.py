@@ -1358,3 +1358,140 @@ def ewma_daily_orders(orders: ray.data.Dataset, n_lags: int = 30,
     return ray.data.from_pandas(pd.DataFrame({
         "day": full["day"].to_numpy(np.int64),
         "cnt": x, "ewma": s}))
+
+
+def survival_gaps_users(events: ray.data.Dataset, num_buckets: int = 64,
+                        step_bound: int = 1_000_000) -> ray.data.Dataset:
+    """Kaplan-Meier risk table (Kaplan & Meier 1958) over user
+    inter-event gaps in whole MINUTES — the churn / return-time survival
+    screen: each consecutive-event gap is an observed EVENT duration,
+    and each user's open tail (corpus max ts − last event) is a
+    CENSORED duration (a user's next return hasn't happened yet).
+    Emits one row per distinct duration with >= 1 event:
+      t_min   — duration (minutes, floor),
+      d       — events at exactly t,
+      n       — at-risk count (observations with duration >= t),
+      factor_q20 — floor((n−d)/n * 2^20 + 0.5): the KM step factor on a
+    2^20 integer grid. Tie-freeness: (n−d)/n = k/n with n < 2^21, so
+    k*2^20/n + 1/2 can never be an integer (the odd-half would need
+    v2(n) > 21) — the quantization is provably stable, and the survival
+    curve is the reader's cumulative product of factors.
+
+    Scale shape: gaps need per-user co-location → ONE O(dataset)
+    bucketed exchange of narrow (user, ts) rows (event_gaps shape,
+    small_partials False); per-bucket combiners emit (dur, is_event)
+    COUNT partials, a second tiny exchange sums them, and only the
+    distinct-duration histogram reaches the driver (counted <=
+    ``step_bound``) for the suffix-sum finalize."""
+    mx = events.select_columns(["ts"]).map_batches(
+        lambda b: pd.DataFrame({"m": [int(
+            b["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    max_us = int(mx["m"].max())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ks = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        last = np.zeros(len(g), bool)
+        if len(g):
+            last[:-1] = ks[1:] != ks[:-1]
+            last[-1] = True
+        gap = np.empty(len(g), np.int64)
+        if len(g):
+            gap[:-1] = us[1:] - us[:-1]
+        gap[last] = max_us - us[last]        # censored open tail
+        f = pd.DataFrame({"dur": gap // 60_000_000,
+                          "ev": (~last).astype(np.int64)})
+        h = f.groupby(["dur", "ev"], as_index=False).size().rename(
+            columns={"size": "c"})
+        h["c"] = h["c"].astype(np.int64)
+        h["_part"] = (h["dur"].to_numpy(np.int64) % 16).astype(np.int32)
+        return h
+
+    hist = bucket_exchange(
+        bucket_exchange(
+            _bucket_by_key(events.select_columns(["user_id", "ts"]),
+                           "user_id", num_buckets),
+            per_bucket, key="_bkt"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            ["dur", "ev"], as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(hist) > step_bound:
+        raise ValueError(f"distinct durations {len(hist)} > {step_bound}")
+    hist = hist.sort_values("dur", kind="mergesort")
+    durs = np.unique(hist["dur"].to_numpy(np.int64))
+    tot = hist.groupby("dur")["c"].sum().reindex(durs, fill_value=0) \
+        .to_numpy(np.int64)
+    d = hist[hist["ev"] == 1].groupby("dur")["c"].sum() \
+        .reindex(durs, fill_value=0).to_numpy(np.int64)
+    n = tot[::-1].cumsum()[::-1]             # suffix sum: at-risk counts
+    assert int(n.max()) < 2 ** 21, "factor_q20 tie-freeness bound"
+    keep = d > 0
+    nk, dk = n[keep], d[keep]
+    fq = np.floor((nk - dk).astype(np.float64) / nk.astype(np.float64)
+                  * 1048576.0 + 0.5).astype(np.int64)
+    return ray.data.from_pandas(pd.DataFrame({
+        "t_min": durs[keep], "d": dk, "n": nk, "factor_q20": fq}))
+
+
+def bootstrap_ci_orders(orders: ray.data.Dataset, n_boot: int = 200,
+                        day_bound: int = 200_000) -> ray.data.Dataset:
+    """Deterministic bootstrap of mean DAILY revenue (Efron 1979, with
+    splitmix64 counter draws instead of an RNG stream — the id-hash
+    sampling rule from CLAUDE round-2: reproducible across any cluster
+    or block structure): replicate b resamples the D-day revenue series
+    with replacement via idx = splitmix64(b*D + i) mod D, i = 0..D-1,
+    and emits its mean in exact integer cents — the empirical quantiles
+    of the ``n_boot`` means are the CI. Missing days inside the span
+    count as 0 revenue. Every replicate sum is exact int64 (cents), the
+    ONE division per replicate is bit-identical to the SQL twin.
+
+    Scale shape: per-day cent sums through one day-keyed exchange
+    (acf pattern); only the day table (counted <= ``day_bound``) and
+    the fixed n_boot x D draw grid touch the driver."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        v = b["o_totalprice"].to_numpy().astype(np.float64)
+        cents = (np.floor(np.abs(v) * 100.0 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        g = pd.DataFrame({"day": day, "cents": cents}).groupby(
+            "day", as_index=False)["cents"].sum()
+        g["cents"] = g["cents"].astype(np.int64)
+        g["_part"] = (g["day"].to_numpy(np.int64) % 32).astype(np.int32)
+        return g
+
+    daily = bucket_exchange(
+        orders.select_columns(["o_orderdate", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "day", as_index=False)["cents"].sum()
+        .astype({"cents": np.int64}),
+        small_partials=True).to_pandas()
+    if len(daily) > day_bound:
+        raise ValueError(f"day span {len(daily)} exceeds bound {day_bound}")
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    spine = pd.DataFrame({"day": np.arange(d0, d1 + 1, dtype=np.int64)})
+    spine = spine.merge(daily, on="day", how="left")
+    cents = spine["cents"].fillna(0).to_numpy(np.int64)
+    D = len(cents)
+    ctr = np.arange(n_boot * D, dtype=np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        idx = (splitmix64(ctr) % np.uint64(D)).astype(np.int64)
+    finally:
+        np.seterr(**old)
+    sums = cents[idx].reshape(n_boot, D).sum(axis=1)
+    mean_r = round_half_away(
+        sums.astype(np.float64) / np.float64(D), 6)
+    return ray.data.from_pandas(pd.DataFrame({
+        "b": np.arange(n_boot, dtype=np.int64),
+        "n_days": np.full(n_boot, D, np.int64),
+        "sum_cents": sums.astype(np.int64),
+        "mean_cents_r": mean_r}))

@@ -573,3 +573,68 @@ def test_ewma_daily_block_structure_invariant():
                              .reset_index(drop=True)).repartition(11)) \
         .to_pandas().sort_values("day").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_survival_gaps_matches_sequential_km():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import survival_gaps_users
+
+    n = 120
+    ev = pd.DataFrame({
+        "user_id": np.tile(np.arange(8, dtype=np.int64), n // 8),
+        "ts": (pd.to_datetime("2024-02-01") + pd.to_timedelta(
+            np.cumsum(1 + (np.arange(n) * 7) % 50), unit="min"))
+        .astype("datetime64[us]")})
+    out = survival_gaps_users(
+        ray.data.from_pandas(ev).repartition(6), num_buckets=8).to_pandas() \
+        .sort_values("t_min").reset_index(drop=True)
+    # sequential reference
+    max_us = ev["ts"].max().value // 1000  # ns -> us
+    obs = []
+    for _, g in ev.groupby("user_id"):
+        us = np.sort(g["ts"].to_numpy("datetime64[us]").astype(np.int64))
+        for a, b in zip(us[:-1], us[1:]):
+            obs.append(((b - a) // 60_000_000, 1))
+        obs.append(((max_us - us[-1]) // 60_000_000, 0))
+    f = pd.DataFrame(obs, columns=["dur", "ev"])
+    rows = []
+    for t in sorted(f[f["ev"] == 1]["dur"].unique()):
+        nn = int((f["dur"] >= t).sum())
+        dd = int(((f["dur"] == t) & (f["ev"] == 1)).sum())
+        rows.append((t, dd, nn,
+                     int(np.floor((nn - dd) / nn * 1048576.0 + 0.5))))
+    ref = pd.DataFrame(rows, columns=["t_min", "d", "n", "factor_q20"])
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # survival curve is monotone non-increasing
+    s = np.cumprod(out["factor_q20"].to_numpy() / 1048576.0)
+    assert (np.diff(s) <= 1e-15).all()
+
+
+def test_bootstrap_ci_block_invariant_and_exact():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import bootstrap_ci_orders
+
+    od = pd.DataFrame({
+        "o_orderdate": (pd.to_datetime("2023-01-01") + pd.to_timedelta(
+            (np.arange(400, dtype=np.int64) * 13) % 60, unit="D"))
+        .astype("datetime64[us]"),
+        "o_totalprice": 100.0 + (np.arange(400) % 37) * 10.01})
+    a = bootstrap_ci_orders(ray.data.from_pandas(od), n_boot=50) \
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    b = bootstrap_ci_orders(
+        ray.data.from_pandas(od.sample(frac=1.0, random_state=5)
+                             .reset_index(drop=True)).repartition(9),
+        n_boot=50).to_pandas().sort_values("b").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # replicate means hover around the true day-mean (weak sanity band)
+    day = od["o_orderdate"].dt.normalize()
+    cents = np.floor(np.abs(od["o_totalprice"] * 100.0) + 0.5)
+    true_mean = cents.groupby(day).sum().reindex(
+        pd.date_range(day.min(), day.max(), freq="D"), fill_value=0).mean()
+    assert abs(a["mean_cents_r"].mean() - true_mean) / true_mean < 0.2
