@@ -5257,3 +5257,42 @@ def _bootstrap_ci_sql(n_boot: int = 200) -> str:
         "ROUND(CAST(rs.sum_cents AS DOUBLE) / CAST(r.nd AS DOUBLE), 6) "
         "AS mean_cents_r FROM rs, r"
     )
+
+
+def _snap_points_sql(n_seg: int = 64) -> str:
+    """SQL twin of cellindex.snap_points_pages: identical geocode chain,
+    segment constants inlined as VALUES, the same int64 numerator over
+    the shared 65025 denominator, ROW_NUMBER argmin with id tiebreak."""
+    from ..stages.cellindex import _SNAP_LEN2, snap_segments
+
+    segs = snap_segments(n_seg)
+    vals = ", ".join(
+        f"({sid}, {ax}, {ay}, {bx}, {by}, {dx}, {dy})"
+        for sid, ax, ay, bx, by, dx, dy in segs.tolist())
+    located = _sg.chain(
+        "SELECT url FROM pages",
+        _sg.geocode_steps()
+        + [("px", "CAST(FLOOR(lon * 10.0) AS BIGINT)"),
+           ("py", "CAST(FLOOR(lat * 10.0) AS BIGINT)")])
+    L2 = _SNAP_LEN2
+    return (
+        f"segs(sid, ax, ay, bx, by, dx, dy) AS (VALUES {vals}), "
+        f"pts AS MATERIALIZED (SELECT url, px, py FROM ({located})), "
+        "cand AS (SELECT p.url, s.sid, "
+        "  s.dx*(p.px - s.ax) + s.dy*(p.py - s.ay) AS tnum, "
+        "  CASE WHEN s.dx*(p.px - s.ax) + s.dy*(p.py - s.ay) <= 0 THEN "
+        f"    ((p.px-s.ax)*(p.px-s.ax) + (p.py-s.ay)*(p.py-s.ay)) * {L2} "
+        f"  WHEN s.dx*(p.px - s.ax) + s.dy*(p.py - s.ay) >= {L2} THEN "
+        f"    ((p.px-s.bx)*(p.px-s.bx) + (p.py-s.by)*(p.py-s.by)) * {L2} "
+        "  ELSE (s.dx*(p.py - s.ay) - s.dy*(p.px - s.ax)) "
+        "     * (s.dx*(p.py - s.ay) - s.dy*(p.px - s.ax)) END AS num "
+        "  FROM pts p CROSS JOIN segs s), "
+        "best AS (SELECT url, sid, num, tnum, ROW_NUMBER() OVER "
+        "  (PARTITION BY url ORDER BY num, sid) AS rn FROM cand) "
+        "SELECT url, CAST(sid AS BIGINT) AS seg_id, "
+        "CAST(num AS BIGINT) AS d2_num, "
+        f"CAST(FLOOR(CAST(LEAST(GREATEST(tnum, 0), {L2}) AS DOUBLE) "
+        f"/ {float(L2)!r} * 1048576.0 + 0.5) AS BIGINT) AS t_q20, "
+        "ROUND(SQRT(CAST(num AS DOUBLE)) / 255.0, 6) AS dist_deci_r "
+        "FROM best WHERE rn = 1"
+    )

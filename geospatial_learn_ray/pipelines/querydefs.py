@@ -2012,6 +2012,12 @@ def _q_bootstrap_ci(sf_dir: str):
     return streaming.bootstrap_ci_orders(
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
+
+def _q_snap_points(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import snap_points_pages
+
+    return snap_points_pages(read_pages(sf_dir, columns=["url"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -744,3 +744,97 @@ def convex_hull_hosts(pages: ray.data.Dataset, url_col: str = "url",
     return bucket_exchange(
         pages.select_columns([url_col]).map_batches(
             prep, batch_format="pyarrow"), combine)
+
+
+# 12 direction vectors of CONSTANT squared length 255^2 = 65025 (the
+# Pythagorean 153-204-255 = 51*(3,4,5) family + axes): a shared |d|^2
+# gives every point-to-segment distance the SAME denominator, so the
+# cross-segment argmin is a pure int64 comparison (no rational compare).
+_SNAP_DIRS = np.array(
+    [(255, 0), (-255, 0), (0, 255), (0, -255),
+     (153, 204), (153, -204), (-153, 204), (-153, -204),
+     (204, 153), (204, -153), (-204, 153), (-204, -153)], np.int64)
+_SNAP_LEN2 = 65025
+
+
+def snap_segments(n_seg: int = 64, seed: int = 424242) -> np.ndarray:
+    """Deterministic synthetic road network: ``n_seg`` segments with
+    integer deci-degree endpoints — anchor from splitmix64 counter
+    draws, direction from the constant-length _SNAP_DIRS set. Pure
+    constants (seeded), inlined as VALUES literals in the SQL twin."""
+    from ..functions.hashing import splitmix64
+
+    k = np.arange(n_seg, dtype=np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        ax = (splitmix64(np.uint64(seed) + 3 * k) % np.uint64(3000)
+              ).astype(np.int64) - 1500
+        ay = (splitmix64(np.uint64(seed) + 3 * k + np.uint64(1))
+              % np.uint64(1300)).astype(np.int64) - 650
+        di = (splitmix64(np.uint64(seed) + 3 * k + np.uint64(2))
+              % np.uint64(len(_SNAP_DIRS))).astype(np.int64)
+    finally:
+        np.seterr(**old)
+    d = _SNAP_DIRS[di]
+    return np.column_stack([np.arange(n_seg, dtype=np.int64),
+                            ax, ay, ax + d[:, 0], ay + d[:, 1],
+                            d[:, 0], d[:, 1]])
+
+
+def snap_points_pages(ds: ray.data.Dataset, n_seg: int = 64,
+                      skew: bool = True) -> ray.data.Dataset:
+    """Map matching: snap each geocoded page point to the nearest of
+    ``n_seg`` synthetic road segments (projection onto the segment,
+    clamped to its endpoints) — the GPS-trace snap every trajectory
+    pipeline runs (reference analogue: the zonal_point nearest-lookup
+    family; classic formulation e.g. Brakatsoulas et al. 2005, exact
+    geometric predicates after integer snapping). Point coords quantize
+    to deci-degrees (floor(lon*10) — identical FLOOR both sides);
+    with the constant |d|^2 = 65025 direction set every candidate
+    distance^2 is the exact int64 numerator over that ONE denominator
+    (interior: cross^2; endpoint: e^2*65025), so nearest-segment argmin
+    is integer comparison with ties to the smaller segment id. Emits
+    d2_num (exact), t_q20 = floor(clamp(t)·2^20+0.5) (odd denominator
+    65025 -> provably tie-free), and dist_deci_r = ROUND(SQRT(d2n)/255)
+    (SQRT is numpy<->DuckDB bit-exact on ints < 2^53).
+
+    Broadcast small side (the segment table is operator input), corpus
+    streams map-only — no shuffle; the 64-way scan is a vectorized
+    running-min, never a per-row loop."""
+    segs = snap_segments(n_seg)
+    from ..functions.rounding import round_half_away
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_geocode(batch, skew=skew)
+        px = np.floor(batch["lon"].to_numpy() * 10.0).astype(np.int64)
+        py = np.floor(batch["lat"].to_numpy() * 10.0).astype(np.int64)
+        best_key = np.full(len(px), np.iinfo(np.int64).max, np.int64)
+        best_num = np.zeros(len(px), np.int64)
+        best_t = np.zeros(len(px), np.int64)
+        for sid, ax, ay, bx, by, dx, dy in segs:
+            rx, ry = px - ax, py - ay
+            tnum = dx * rx + dy * ry
+            cross = dx * ry - dy * rx
+            e_a = (rx * rx + ry * ry) * _SNAP_LEN2
+            e_b = ((px - bx) ** 2 + (py - by) ** 2) * _SNAP_LEN2
+            num = np.where(tnum <= 0, e_a,
+                           np.where(tnum >= _SNAP_LEN2, e_b, cross * cross))
+            key = num * n_seg + sid
+            take = key < best_key
+            best_key = np.where(take, key, best_key)
+            best_num = np.where(take, num, best_num)
+            best_t = np.where(take, np.clip(tnum, 0, _SNAP_LEN2), best_t)
+        seg_id = best_key % n_seg
+        t_q20 = np.floor(best_t.astype(np.float64) / _SNAP_LEN2
+                         * 1048576.0 + 0.5).astype(np.int64)
+        dist_r = round_half_away(
+            np.sqrt(best_num.astype(np.float64)) / 255.0, 6)
+        return pa.table({
+            "url": batch["url"],
+            "seg_id": pa.array(seg_id),
+            "d2_num": pa.array(best_num),
+            "t_q20": pa.array(t_q20),
+            "dist_deci_r": pa.array(dist_r)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=_bs())

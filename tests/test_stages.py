@@ -500,3 +500,45 @@ def test_loudness_meter_known_payload():
         [1, 0, 0, 0, 0],
         [1, 1, 32 * 127 * 127, 127, 32],
         [2, 0, 0, 0, 0]]
+
+
+def test_snap_points_matches_bruteforce_rational():
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.cellindex import (
+        _SNAP_LEN2, snap_points_pages, snap_segments)
+
+    urls = pd.DataFrame({"url": [f"https://site-{i}.example/p{i}"
+                                 for i in range(40)],
+                         "text": ["x"] * 40})
+    out = snap_points_pages(ray.data.from_pandas(urls)).to_pandas() \
+        .set_index("url").sort_index()
+    # brute-force with exact rationals (no common-denominator trick)
+    from geospatial_learn_ray.stages.cellindex import add_geocode
+    import pyarrow as pa
+    g = add_geocode(pa.Table.from_pandas(urls))
+    px = np.floor(g["lon"].to_numpy() * 10.0).astype(np.int64)
+    py = np.floor(g["lat"].to_numpy() * 10.0).astype(np.int64)
+    segs = snap_segments()
+    for i, u in enumerate(urls["url"]):
+        best = None
+        for sid, ax, ay, bx, by, dx, dy in segs.tolist():
+            rx, ry = int(px[i] - ax), int(py[i] - ay)
+            tn = dx * rx + dy * ry
+            if tn <= 0:
+                d2 = Fraction(rx * rx + ry * ry)
+            elif tn >= _SNAP_LEN2:
+                d2 = Fraction((px[i] - bx) ** 2 + (py[i] - by) ** 2)
+            else:
+                c = dx * ry - dy * rx
+                d2 = Fraction(c * c, _SNAP_LEN2)
+            if best is None or d2 < best[0]:
+                best = (d2, sid)
+        row = out.loc[u]
+        assert row["seg_id"] == best[1], u
+        assert Fraction(int(row["d2_num"]), _SNAP_LEN2) == best[0], u
+        assert 0 <= row["t_q20"] <= 1048576
