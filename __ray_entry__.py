@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_gaps_users": _q_survival_gaps,
         "bootstrap_ci_orders": _q_bootstrap_ci,
         "snap_points_pages": _q_snap_points,
+        "gbm_stumps_lineitem": _q_gbm_stumps,
     }
 
 
@@ -435,6 +436,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _survival_gaps_sql,
     _bootstrap_ci_sql,
     _snap_points_sql,
+    _gbm_stumps_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1021,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_gaps_users": _survival_gaps_sql(),
         "bootstrap_ci_orders": _bootstrap_ci_sql(),
         "snap_points_pages": f"WITH {pages_sql()}, {_snap_points_sql()}",
+        "gbm_stumps_lineitem": _gbm_stumps_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

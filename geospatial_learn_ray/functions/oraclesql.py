@@ -5296,3 +5296,64 @@ def _snap_points_sql(n_seg: int = 64) -> str:
         "ROUND(SQRT(CAST(num AS DOUBLE)) / 255.0, 6) AS dist_deci_r "
         "FROM best WHERE rn = 1"
     )
+
+
+def _gbm_stumps_sql(n_rounds: int = 2) -> str:
+    """SQL twin of train.gbm_stumps_lineitem: per-round bin CTEs,
+    window prefix sums, HUGEINT gain pair ranked by the 2^52 limb-split
+    double (single rounding == Python float(int)), trunc-div leaves."""
+    cents = ("CAST(FLOOR(ABS(l_extendedprice*100.0)+0.5)"
+             "*SIGN(l_extendedprice) AS BIGINT)")
+    dc = "CAST(FLOOR(ABS(l_discount*100.0)+0.5)*SIGN(l_discount) AS BIGINT)"
+    P52 = "CAST(4503599627370496 AS DOUBLE)"
+    parts = [
+        f"li0 AS MATERIALIZED (SELECT {cents} AS y, "
+        f"CAST(l_quantity AS BIGINT) AS f0, {dc} AS f1 FROM lineitem)"]
+    sels = []
+    for r in range(1, n_rounds + 1):
+        li = f"li{r - 1}"
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT 0 AS f, f0 AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s "
+            f"FROM {li} GROUP BY f0 UNION ALL SELECT 1, f1, "
+            "CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT) "
+            f"FROM {li} GROUP BY f1)")
+        parts.append(
+            f"t{r} AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
+            f"CAST(SUM(s) AS BIGINT) AS st FROM b{r} WHERE f = 0)")
+        parts.append(
+            f"c{r} AS (SELECT f, v AS thr, "
+            "CAST(SUM(n) OVER w AS BIGINT) AS n_l, "
+            f"CAST(SUM(s) OVER w AS BIGINT) AS s_l FROM b{r} "
+            "WINDOW w AS (PARTITION BY f ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT f, thr, n_l, s_l, "
+            f"t{r}.nt - n_l AS n_r, t{r}.st - s_l AS s_r, "
+            f"CAST(s_l AS HUGEINT)*s_l*(t{r}.nt - n_l) "
+            f"+ CAST(t{r}.st - s_l AS HUGEINT)*(t{r}.st - s_l)*n_l AS gnum, "
+            f"CAST(n_l AS HUGEINT)*(t{r}.nt - n_l) AS gden "
+            f"FROM c{r}, t{r} WHERE t{r}.nt - n_l > 0)")
+        parts.append(
+            f"gd{r} AS MATERIALIZED (SELECT *, "
+            f"(CAST(gnum >> 52 AS DOUBLE)*{P52} "
+            "+ CAST(gnum & 4503599627370495 AS DOUBLE)) "
+            f"/ CAST(gden AS DOUBLE) AS fd FROM g{r})")
+        parts.append(
+            f"best{r} AS (SELECT f AS bf, thr AS bt, "
+            "CAST(s_l // n_l AS BIGINT) AS wl, "
+            f"CAST(s_r // n_r AS BIGINT) AS wr FROM gd{r} "
+            "ORDER BY fd DESC, f, thr LIMIT 1)")
+        if r < n_rounds:
+            parts.append(
+                f"li{r} AS MATERIALIZED (SELECT y - CASE WHEN "
+                "(CASE WHEN p.bf = 0 THEN f0 ELSE f1 END) <= p.bt "
+                f"THEN p.wl ELSE p.wr END AS y, f0, f1 "
+                f"FROM li{r - 1}, best{r} p)")
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS rnd, CAST(f AS BIGINT) "
+            "AS feature, CAST(thr AS BIGINT) AS thr, n_l, s_l, n_r, s_r, "
+            "fd AS gain_f, CAST(CASE WHEN f = p.bf "
+            "AND thr = p.bt THEN 1 ELSE 0 END AS BIGINT) AS is_best "
+            f"FROM gd{r}, best{r} p")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)

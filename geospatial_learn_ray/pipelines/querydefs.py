@@ -2018,6 +2018,14 @@ def _q_snap_points(sf_dir: str):
 
     return snap_points_pages(read_pages(sf_dir, columns=["url"]))
 
+
+def _q_gbm_stumps(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.gbm_stumps_lineitem(
+        _rp(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_extendedprice"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

@@ -1068,3 +1068,110 @@ def isotonic_orders(orders: ray.data.Dataset,
     return bucket_exchange(
         orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
         .map_batches(prep, batch_format="pyarrow"), combine)
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB ``//`` semantics;
+    Python ``//`` floors, so negatives need the abs/sign form)."""
+    return (abs(s) // n) * (1 if s >= 0 else -1)
+
+
+def gbm_stumps_lineitem(li: ray.data.Dataset, n_rounds: int = 2,
+                        bin_bound: int = 100_000) -> ray.data.Dataset:
+    """Gradient-boosted depth-1 trees (Friedman 2001, squared loss) on
+    integer-cent revenue with QUANTIZED leaves — ``n_rounds`` stumps
+    over the two small-cardinality features (l_quantity, discount
+    cents), each round fit on the exact integer residuals of the last.
+    Leaf values are trunc(S/n) (DuckDB ``//`` semantics), so residuals
+    stay exact int64 forever — no float drift between rounds. The
+    split score S_L²/n_L + S_R²/n_R is carried as the exact integer
+    pair (gnum, gden) = (S_L²·n_R + S_R²·n_L, n_L·n_R) and ranked by
+    the ONE correctly-rounded f64 division float(gnum)/float(gden)
+    (gnum < 2^105: Python float(int) == the SQL twin's 2^52 limb-split
+    cast, both a single rounding) with (feature, thr) tiebreak — a
+    float-rounded argmax, deterministic and identical on both sides by
+    construction. Emits the full split-scan trace: one row per
+    (round, feature, candidate thr) with exact prefix aggregates, the
+    rounded gain, and the is_best flag.
+
+    Scale shape: each round is one map-side (feature, value) bincount
+    partial pass + a tiny exchange (distinct values are operator-small,
+    counted <= ``bin_bound``); the scan itself touches only the bin
+    table. Residuals never materialize — round r's partial pass
+    recomputes them from the broadcast (r-1)-stump constants."""
+    from .exchange import bucket_exchange
+
+    def make_partial(stumps: list[tuple[int, int, int, int]]):
+        def partial(b: pa.Table) -> pd.DataFrame:
+            price = b["l_extendedprice"].to_numpy().astype(np.float64)
+            y = (np.floor(np.abs(price) * 100.0 + 0.5)
+                 * np.sign(price)).astype(np.int64)
+            disc = b["l_discount"].to_numpy().astype(np.float64)
+            f = np.stack([
+                b["l_quantity"].to_numpy().astype(np.int64),
+                (np.floor(np.abs(disc) * 100.0 + 0.5)
+                 * np.sign(disc)).astype(np.int64)])
+            for bf, bt, wl, wr in stumps:
+                y = y - np.where(f[bf] <= bt, wl, wr)
+            out = []
+            for fi in range(2):
+                g = pd.DataFrame({"v": f[fi], "y": y}).groupby(
+                    "v", as_index=False).agg(n=("y", "size"), s=("y", "sum"))
+                g.insert(0, "f", fi)
+                out.append(g)
+            o = pd.concat(out, ignore_index=True)
+            o["n"] = o["n"].astype(np.int64)
+            o["s"] = o["s"].astype(np.int64)
+            o["_part"] = (o["v"].to_numpy(np.int64) % 8).astype(np.int32)
+            return o
+
+        return partial
+
+    narrow = li.select_columns(
+        ["l_quantity", "l_discount", "l_extendedprice"])
+    stumps: list[tuple[int, int, int, int]] = []
+    trace = []
+    for rnd in range(1, n_rounds + 1):
+        bins = bucket_exchange(
+            narrow.map_batches(make_partial(list(stumps)),
+                               batch_format="pyarrow"),
+            lambda g: g.drop(columns=["_part"]).groupby(
+                ["f", "v"], as_index=False)[["n", "s"]].sum()
+            .astype({"n": np.int64, "s": np.int64}),
+            small_partials=True).to_pandas()
+        if len(bins) > bin_bound:
+            raise ValueError(f"{len(bins)} bins exceed bound {bin_bound}")
+        nt = int(bins[bins["f"] == 0]["n"].sum())
+        st = int(bins[bins["f"] == 0]["s"].sum())
+        cands = []
+        for fi in range(2):
+            sub = bins[bins["f"] == fi].sort_values("v")
+            n_l = s_l = 0
+            for v, n, s in zip(sub["v"], sub["n"], sub["s"]):
+                n_l += int(n)
+                s_l += int(s)
+                n_r, s_r = nt - n_l, st - s_l
+                if n_r <= 0:
+                    continue
+                gnum = s_l * s_l * n_r + s_r * s_r * n_l
+                gden = n_l * n_r
+                assert gnum < 2 ** 105, "limb-split rank bound"
+                fd = float(gnum) / float(gden)
+                cands.append((fi, int(v), n_l, s_l, n_r, s_r, fd))
+        best = min(cands, key=lambda c: (-c[6], c[0], c[1]))
+        bf, bt = best[0], best[1]
+        wl = _trunc_div(best[3], best[2])
+        wr = _trunc_div(best[5], best[4])
+        stumps.append((bf, bt, wl, wr))
+        for fi, v, n_l, s_l, n_r, s_r, fd in cands:
+            trace.append({
+                "rnd": rnd, "feature": fi, "thr": v,
+                "n_l": n_l, "s_l": s_l, "n_r": n_r, "s_r": s_r,
+                "gain_f": fd,  # bit-identical both sides; ROUND at
+                # this magnitude (x*1e6 ~ 2^53) diverges from SQL
+                "is_best": int(fi == bf and v == bt)})
+    out = pd.DataFrame(trace)
+    for c in ("rnd", "feature", "thr", "n_l", "s_l", "n_r", "s_r",
+              "is_best"):
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

