@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_orders": _q_bootstrap_ci,
         "snap_points_pages": _q_snap_points,
         "gbm_stumps_lineitem": _q_gbm_stumps,
+        "zipf_fit_docs": _q_zipf_fit,
+        "changepoint_daily_orders": _q_changepoint_daily,
     }
 
 
@@ -437,6 +439,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _bootstrap_ci_sql,
     _snap_points_sql,
     _gbm_stumps_sql,
+    _zipf_fit_sql,
+    _changepoint_daily_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1024,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci_orders": _bootstrap_ci_sql(),
         "snap_points_pages": f"WITH {pages_sql()}, {_snap_points_sql()}",
         "gbm_stumps_lineitem": _gbm_stumps_sql(),
+        "zipf_fit_docs": _zipf_fit_sql(),
+        "changepoint_daily_orders": _changepoint_daily_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

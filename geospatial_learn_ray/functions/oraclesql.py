@@ -5357,3 +5357,73 @@ def _gbm_stumps_sql(n_rounds: int = 2) -> str:
             "AND thr = p.bt THEN 1 ELSE 0 END AS BIGINT) AS is_best "
             f"FROM gd{r}, best{r} p")
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+def _zipf_fit_sql(k: int = 100) -> str:
+    """SQL twin of textstages.zipf_fit_docs: token counts, top-k with
+    (cnt desc, tok) order, powers-table exact lq1024, integer-sum
+    Cramer slope as one raw division."""
+    pows = ", ".join(f"({j}, {1 << j})" for j in range(54))
+
+    def lq(col: str) -> str:
+        return (f"1024*(SELECT MAX(j) FROM pow WHERE p <= {col}) "
+                f"+ ({col} - (SELECT MAX(p) FROM pow WHERE p <= {col})) "
+                f"* 1024 // (SELECT MAX(p) FROM pow WHERE p <= {col})")
+
+    return (
+        f"WITH pow(j, p) AS (VALUES {pows}), "
+        "tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM "
+        "(SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) "
+        "WHERE tok != '' GROUP BY tok), "
+        f"top AS MATERIALIZED (SELECT tok, c, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY c DESC, tok) AS BIGINT) AS r FROM tc "
+        f"ORDER BY c DESC, tok LIMIT {k}), "
+        f"lqt AS MATERIALIZED (SELECT tok, c, r, CAST({lq('r')} AS BIGINT) "
+        f"AS x, CAST({lq('c')} AS BIGINT) AS y FROM top), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx "
+        "FROM lqt) "
+        "SELECT l.r AS rank, l.tok AS token, l.c AS cnt, "
+        "l.x AS lq_rank, l.y AS lq_cnt, "
+        "CAST(s.n*s.sxy - s.sx*s.sy AS DOUBLE) "
+        "/ CAST(s.n*s.sxx - s.sx*s.sx AS DOUBLE) AS slope_f "
+        "FROM lqt l, s"
+    )
+
+
+def _changepoint_daily_sql() -> str:
+    """SQL twin of streaming.changepoint_daily_orders: day spine,
+    window prefix sums, the gbm gain_f limb-free f64 rank (gnum < 2^53
+    never holds here, so the same 2^52 limb split as gbm), is_best via
+    window argmax with smaller-day tiebreak."""
+    P52 = "CAST(4503599627370496 AS DOUBLE)"
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+        "AS BIGINT) AS day FROM orders), "
+        "c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d "
+        "GROUP BY day), "
+        "r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d), "
+        "s AS MATERIALIZED (SELECT g.day, COALESCE(c.x, 0)::BIGINT AS x "
+        "FROM r, LATERAL (SELECT UNNEST(generate_series(r.d0, r.d1)) "
+        "AS day) g LEFT JOIN c ON c.day = g.day), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, "
+        "CAST(SUM(x) AS BIGINT) AS st FROM s), "
+        "pre AS (SELECT day, CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_l, "
+        "CAST(SUM(x) OVER w AS BIGINT) AS s_l FROM s "
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)), "
+        "g AS MATERIALIZED (SELECT day, n_l, s_l, t.nt - n_l AS n_r, "
+        "t.st - s_l AS s_r, "
+        "CAST(s_l AS HUGEINT)*s_l*(t.nt - n_l) "
+        "+ CAST(t.st - s_l AS HUGEINT)*(t.st - s_l)*n_l AS gnum, "
+        "CAST(n_l AS HUGEINT)*(t.nt - n_l) AS gden "
+        "FROM pre, t WHERE t.nt - n_l > 0), "
+        "gd AS MATERIALIZED (SELECT day, n_l, s_l, n_r, s_r, "
+        f"(CAST(gnum >> 52 AS DOUBLE)*{P52} "
+        "+ CAST(gnum & 4503599627370495 AS DOUBLE)) "
+        "/ CAST(gden AS DOUBLE) AS gain_f FROM g) "
+        "SELECT *, CAST(CASE WHEN (day) = (SELECT day FROM gd "
+        "ORDER BY gain_f DESC, day LIMIT 1) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_best FROM gd"
+    )

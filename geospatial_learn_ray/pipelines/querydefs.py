@@ -2026,6 +2026,17 @@ def _q_gbm_stumps(sf_dir: str):
         _rp(sf_dir, "lineitem",
             ["l_quantity", "l_discount", "l_extendedprice"]))
 
+
+def _q_zipf_fit(sf_dir: str):
+    return textstages.zipf_fit_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+def _q_changepoint_daily(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.changepoint_daily_orders(
+        _rp(sf_dir, "orders", ["o_orderdate"]))
+
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

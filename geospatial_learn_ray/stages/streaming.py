@@ -1495,3 +1495,70 @@ def bootstrap_ci_orders(orders: ray.data.Dataset, n_boot: int = 200,
         "n_days": np.full(n_boot, D, np.int64),
         "sum_cents": sums.astype(np.int64),
         "mean_cents_r": mean_r}))
+
+
+def changepoint_daily_orders(orders: ray.data.Dataset,
+                             day_bound: int = 200_000) -> ray.data.Dataset:
+    """Single change-point detection on the global DAILY order-count
+    series (binary segmentation step 1, Scott & Knott / CUSUM-SSE
+    form): the boundary day i (left block = days <= i) minimizing the
+    two-segment SSE, equivalently maximizing the exact integer gain
+    pair (S_L^2*n_R + S_R^2*n_L, n_L*n_R), ranked by its ONE raw f64
+    division with smaller-day tiebreak — the gbm_stumps gain_f recipe.
+    Emits the full scan trace: one row per candidate boundary with the
+    exact prefix aggregates, gain_f, and is_best.
+
+    Scale shape: per-block (day, count) partials + one tiny exchange
+    (acf pattern); the scan touches only the day table (counted <=
+    ``day_bound``)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["day"].to_numpy().astype(np.uint64))
+                          % np.uint64(32)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    daily = bucket_exchange(
+        orders.select_columns(["o_orderdate"]).map_batches(
+            partial, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "day", as_index=False)["c"].sum().astype({"c": np.int64}),
+        small_partials=True).to_pandas()
+    if len(daily) > day_bound:
+        raise ValueError(f"day span {len(daily)} exceeds bound {day_bound}")
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    spine = pd.DataFrame({"day": np.arange(d0, d1 + 1, dtype=np.int64)})
+    spine = spine.merge(daily, on="day", how="left")
+    x = spine["c"].fillna(0).to_numpy(np.int64)
+    nt, st = len(x), int(x.sum())
+    rows = []
+    n_l = s_l = 0
+    best = None
+    for i, v in enumerate(x[:-1]):        # boundary after day index i
+        n_l += 1
+        s_l += int(v)
+        n_r, s_r = nt - n_l, st - s_l
+        gnum = s_l * s_l * n_r + s_r * s_r * n_l
+        gden = n_l * n_r
+        assert gnum < 2 ** 105
+        fd = float(gnum) / float(gden)
+        day = int(spine["day"].iloc[i])
+        rows.append([day, n_l, s_l, n_r, s_r, fd])
+        if best is None or fd > best[1]:
+            best = (day, fd)
+    out = pd.DataFrame(rows, columns=["day", "n_l", "s_l", "n_r", "s_r",
+                                      "gain_f"])
+    for c in ("day", "n_l", "s_l", "n_r", "s_r"):
+        out[c] = out[c].astype(np.int64)
+    out["is_best"] = (out["day"] == best[0]).astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -2095,3 +2095,92 @@ def readability_docs(docs: ray.data.Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def _lq1024(n: np.ndarray) -> np.ndarray:
+    """Exact-integer log2 approximation on a 1/1024 grid: msb index plus
+    the linear interpolation between consecutive powers of two —
+    lq(n) = 1024*(b-1) + (n - 2^(b-1))*1024 // 2^(b-1), b = bit_length.
+    Pure int64 (n < 2^53), identical to the SQL twin's powers-table
+    form; no transcendental ever touches the oracle."""
+    n = n.astype(np.int64)
+    # bit_length exactly, via binary-search shifts (no float path):
+    bl = np.zeros(len(n), np.int64)
+    m = n.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        step = m >= (np.int64(1) << shift)
+        bl += np.where(step, shift, 0)
+        m = np.where(step, m >> shift, m)
+    bl += 1  # bit_length of n >= 1
+    p = np.int64(1) << (bl - 1)
+    return 1024 * (bl - 1) + (n - p) * 1024 // p
+
+
+def zipf_fit_docs(docs: ray.data.Dataset, k: int = 100,
+                  text_col: str = "text",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Zipf's-law fit of the corpus token frequency spectrum: top-``k``
+    tokens by count (ties to lexicographically smaller), each mapped to
+    the EXACT integer 1/1024-grid log2 (_lq1024 — msb + linear
+    interpolation, no transcendental), and the least-squares slope of
+    lq(cnt) on lq(rank) computed from exact integer sums with ONE f64
+    division (raw, unrounded — bit-identical both sides, the gbm gain_f
+    pattern). Slope ~ -1024/1024 = -1 for Zipfian text; emitted as a
+    constant column beside the per-rank rows.
+
+    Scale shape: per-block token-count partials, one token-hash
+    bucketed exchange, per-bucket top-k candidate selection (a global
+    top-k is a subset of the union of per-bucket top-ks since buckets
+    partition tokens), driver merge of <= num_buckets*k candidate
+    rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        d = pd.DataFrame({"tok": wl.values.to_pandas().to_numpy(object)})
+        d = d[d["tok"].str.len() > 0]
+        g = d.groupby("tok", sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_part"]).groupby(
+            "tok", as_index=False)["c"].sum()
+        t["c"] = t["c"].astype(np.int64)
+        return t.sort_values(["c", "tok"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = bucket_exchange(
+        docs.select_columns([text_col]).map_batches(
+            explode, batch_format="pyarrow"),
+        bucket_topk).to_pandas()
+    top = cand.sort_values(["c", "tok"], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    ranks = np.arange(1, len(top) + 1, dtype=np.int64)
+    cnts = top["c"].to_numpy(np.int64)
+    x = _lq1024(ranks)
+    y = _lq1024(cnts)
+    n = len(top)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    assert abs(num) < 2 ** 62 and 0 < den < 2 ** 62
+    slope = float(num) / float(den)
+    return ray.data.from_pandas(pd.DataFrame({
+        "rank": ranks, "token": top["tok"].to_numpy(object),
+        "cnt": cnts, "lq_rank": x, "lq_cnt": y,
+        "slope_f": np.full(n, slope, np.float64)}))

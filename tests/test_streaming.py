@@ -638,3 +638,25 @@ def test_bootstrap_ci_block_invariant_and_exact():
     true_mean = cents.groupby(day).sum().reindex(
         pd.date_range(day.min(), day.max(), freq="D"), fill_value=0).mean()
     assert abs(a["mean_cents_r"].mean() - true_mean) / true_mean < 0.2
+
+
+def test_changepoint_finds_planted_level_shift():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import changepoint_daily_orders
+
+    # 30 days at ~2/day then 30 days at ~12/day
+    days = np.concatenate([np.repeat(np.arange(30), 2),
+                           np.repeat(np.arange(30, 60), 12)])
+    od = pd.DataFrame({"o_orderdate": (
+        pd.to_datetime("2024-01-01") + pd.to_timedelta(days, unit="D"))
+        .astype("datetime64[us]")})
+    out = changepoint_daily_orders(
+        ray.data.from_pandas(od).repartition(5)).to_pandas()
+    best = out[out["is_best"] == 1]
+    assert len(best) == 1
+    # boundary lands exactly at the planted shift (last low day)
+    day0 = out["day"].min()
+    assert int(best["day"].iloc[0]) - day0 == 29

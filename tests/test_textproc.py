@@ -979,3 +979,48 @@ def test_readability_known_values():
     assert out.loc[1, ["n_words", "n_sents", "n_syll"]].tolist() == [0, 0, 0]
     assert out.loc[2, "n_syll"] == 1  # 'y' in xyz and 'q r s' none -> y run
     assert out.loc[3, "n_sents"] == 3
+
+
+def test_zipf_fit_slope_on_planted_zipf():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import (
+        _lq1024, zipf_fit_docs)
+
+    # plant an exactly Zipfian corpus: token w_r appears floor(1024/r)x
+    toks = []
+    for r in range(1, 65):
+        toks += [f"w{r:03d}"] * (1024 // r)
+    rng = np.random.default_rng(11)
+    rng.shuffle(toks)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(32, dtype=np.int64),
+        "text": [" ".join(toks[i::32]) for i in range(32)]})
+    out = zipf_fit_docs(ray.data.from_pandas(docs).repartition(4), k=64) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    assert len(out) == 64
+    # counts are the planted multiplicities, order by (cnt desc, token)
+    assert out.loc[0, "cnt"] == 1024 and out.loc[63, "cnt"] == 16
+    # slope of an ideal zipf in lq space ~ -1 (quantization tolerance)
+    assert -1.05 < out.loc[0, "slope_f"] < -0.93
+    # lq columns match the helper exactly
+    assert (out["lq_cnt"].to_numpy()
+            == _lq1024(out["cnt"].to_numpy(np.int64))).all()
+
+
+def test_lq1024_is_exact_piecewise_log2():
+    import numpy as np
+
+    from geospatial_learn_ray.stages.textstages import _lq1024
+
+    n = np.unique(np.concatenate([
+        np.arange(1, 5000), 2 ** np.arange(1, 52),
+        2 ** np.arange(1, 52) - 1, 2 ** np.arange(1, 52) + 1]))
+    lq = _lq1024(n)
+    ref = np.array([1024 * (int(v).bit_length() - 1)
+                    + (int(v) - (1 << (int(v).bit_length() - 1))) * 1024
+                    // (1 << (int(v).bit_length() - 1)) for v in n])
+    assert (lq == ref).all()
+    assert (np.diff(lq) >= 0).all()  # monotone
