@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gbm_stumps_lineitem": _q_gbm_stumps,
         "zipf_fit_docs": _q_zipf_fit,
         "changepoint_daily_orders": _q_changepoint_daily,
+        "cdc_chunks_docs": _q_cdc_chunks,
     }
 
 
@@ -441,6 +442,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _gbm_stumps_sql,
     _zipf_fit_sql,
     _changepoint_daily_sql,
+    _cdc_chunks_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1030,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "gbm_stumps_lineitem": _gbm_stumps_sql(),
         "zipf_fit_docs": _zipf_fit_sql(),
         "changepoint_daily_orders": _changepoint_daily_sql(),
+        "cdc_chunks_docs": _cdc_chunks_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

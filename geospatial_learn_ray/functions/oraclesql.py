@@ -5427,3 +5427,46 @@ def _changepoint_daily_sql() -> str:
         "ORDER BY gain_f DESC, day LIMIT 1) THEN 1 ELSE 0 END AS BIGINT) "
         "AS is_best FROM gd"
     )
+
+
+def _cdc_chunks_sql() -> str:
+    """SQL twin of dedup.cdc_chunk_dedup: gear table mod 64 inlined as
+    VALUES (derived from the same splitmix64 draws), the position-local
+    6-term LAG boundary test, window prefix-sum chunk ids, ordered
+    string_agg reassembly, fnv1a64 chunk hashes, one GROUP BY hash."""
+    from ..stages.dedup import gear6_table
+
+    g6 = gear6_table()
+    gear_vals = ", ".join(f"({c}, {int(g6[c])})" for c in range(128))
+    lag_terms = " + ".join(
+        f"CASE WHEN i > {j} THEN LAG(gv, {j}) OVER w * {1 << j} ELSE 0 END"
+        for j in range(1, 6))
+    ch_hash = _sg.u64_to_i64(_sg.fnv1a64_expr("ctext"))
+    return (
+        f"WITH gear(c, gv) AS (VALUES {gear_vals}), "
+        "pos AS (SELECT doc_id, text, "
+        "UNNEST(generate_series(1, len(text))) AS i FROM documents), "
+        "gc AS MATERIALIZED (SELECT doc_id, i, substr(text, i, 1) AS s, "
+        "len(text) AS L, gv FROM pos "
+        "JOIN gear ON gear.c = ascii(substr(text, i, 1))), "
+        "hb AS MATERIALIZED (SELECT doc_id, i, s, "
+        f"CASE WHEN ((gv + {lag_terms}) & 63) = 0 OR i = L "
+        "THEN 1 ELSE 0 END AS bnd FROM gc "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+        "cid AS MATERIALIZED (SELECT doc_id, i, s, "
+        "COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cix "
+        "FROM hb), "
+        "chunks AS MATERIALIZED (SELECT doc_id, cix, "
+        "CAST(MIN(i) AS BIGINT) AS start, CAST(COUNT(*) AS BIGINT) AS clen, "
+        "string_agg(s, '' ORDER BY i) AS ctext FROM cid "
+        "GROUP BY doc_id, cix), "
+        f"hashed AS MATERIALIZED (SELECT doc_id, start, clen, "
+        f"{ch_hash} AS chunk_hash FROM chunks) "
+        "SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(SUM(clen) AS BIGINT) AS total_chars, "
+        "CAST(MIN(doc_id * 1048576 + start) // 1048576 AS BIGINT) AS rep_doc, "
+        "CAST(MIN(doc_id * 1048576 + start) % 1048576 AS BIGINT) AS rep_start "
+        "FROM hashed GROUP BY chunk_hash"
+    )

@@ -2037,6 +2037,12 @@ def _q_changepoint_daily(sf_dir: str):
     return streaming.changepoint_daily_orders(
         _rp(sf_dir, "orders", ["o_orderdate"]))
 
+def _q_cdc_chunks(sf_dir: str):
+    return dedup.cdc_chunk_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# KEEP LAST: evaluated at import; any _q_* defined below it would be
+# invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",

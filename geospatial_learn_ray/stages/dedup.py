@@ -1355,3 +1355,144 @@ def fuzzy_name_pairs(ds: ray.data.Dataset, id_col: str = "c_custkey",
         explode, batch_format="pyarrow")
     cand = bucket_exchange(parted, candidates)
     return bucket_exchange(cand, verify)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (gear rolling hash) + cross-corpus chunk dedup
+# ---------------------------------------------------------------------------
+
+def gear6_table() -> np.ndarray:
+    """The 256-entry gear table reduced mod 64 (int64). Derived from
+    splitmix64 so every worker/retry regenerates it bit-identically; only
+    the low 6 bits matter for a 6-bit boundary mask (see cdc_chunk_dedup)."""
+    from ..functions.hashing import splitmix64
+
+    old = np.seterr(over="ignore")
+    try:
+        return (splitmix64(np.arange(256, dtype=np.uint64))
+                & np.uint64(63)).astype(np.int64)
+    finally:
+        np.seterr(**old)
+
+
+def cdc_chunk_dedup(docs: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Content-defined chunking (gear rolling hash, the FastCDC family;
+    Xia et al., USENIX ATC'16) + cross-corpus chunk-level dedup — the
+    storage/dataset dedup primitive the LLM-pipeline wants beside
+    document-level MinHash: shared boilerplate paragraphs dedup at the
+    CHUNK level even when whole documents differ.
+
+    Boundary rule (deliberately position-local): the gear hash
+    ``h_i = sum_j gear[b_{i-j}] << j (mod 2^64)`` with a power-of-two
+    mask ``2^6 - 1`` depends only on the LAST 6 bytes — ``gear[b] << j``
+    vanishes mod 64 for ``j >= 6`` — so the cut decision ``h_i & 63 == 0``
+    needs no sequential chunk-start reset and no driver scan: it is
+    embarrassingly parallel across blocks AND restatable in SQL as a
+    6-term LAG window. (This locality is the observation behind gear
+    hashing's rolling speed; we keep no min/max chunk size so the rule
+    stays purely local — a documented deviation from production FastCDC,
+    which adds size clamps that reintroduce sequential state.) Average
+    chunk length is 64 chars. ASCII-only (byte == codepoint == the SQL
+    twin's ``ascii(substr(..))``) — guarded with a loud error.
+
+    Scale shape: chunking + hashing are map-side over balanced read
+    blocks (zero-copy off the Arrow string buffer; the ONE per-chunk
+    Python slice loop is bounded by chars/64 per batch); only narrow
+    (hash, doc, start, len) rows enter a single bucketed exchange on
+    hash(chunk_hash); the combiner is one vectorized groupby per bucket.
+    Output per distinct chunk: copy counts, distinct-doc counts, total
+    bytes and the lexicographically first (doc, start) representative."""
+    gear = gear6_table()
+
+    def chunk(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if pa.types.is_large_string(t.type):
+            offs = np.frombuffer(t.buffers()[1], np.int64)[
+                t.offset:t.offset + len(t) + 1].astype(np.int64)
+        else:
+            offs = np.frombuffer(t.buffers()[1], np.int32)[
+                t.offset:t.offset + len(t) + 1].astype(np.int64)
+        data = np.frombuffer(t.buffers()[2], np.uint8) if t.buffers()[2] is not None \
+            else np.zeros(0, np.uint8)
+        base = offs[0]
+        starts = offs[:-1] - base
+        lens = offs[1:] - offs[:-1]
+        arr = data[base:offs[-1]]
+        empty = pd.DataFrame({
+            "chunk_hash": pd.Series([], dtype=np.int64),
+            id_col: pd.Series([], dtype=np.int64),
+            "start": pd.Series([], dtype=np.int64),
+            "clen": pd.Series([], dtype=np.int64)})
+        if len(arr) == 0:
+            return _with_cdc_part(empty, num_buckets)
+        if int(arr.max()) >= 128:
+            raise ValueError(
+                "cdc_chunk_dedup assumes ASCII text (the SQL twin walks "
+                "codepoints; a non-ASCII byte would diverge)")
+        n = len(arr)
+        g = gear[arr]
+        rel = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        h = g.copy()
+        for j in range(1, 6):
+            term = np.zeros(n, np.int64)
+            term[j:] = g[:-j] << j
+            h += np.where(rel >= j, term, 0)
+        ends_mask = (h & 63) == 0
+        last = starts + lens - 1
+        ends_mask[last[lens > 0]] = True
+        ends = np.flatnonzero(ends_mask)
+        di = np.searchsorted(starts, ends, side="right") - 1
+        prev_end = np.concatenate(([np.int64(-1)], ends[:-1]))
+        cstart = np.maximum(prev_end + 1, starts[di])
+        clen = ends - cstart + 1
+        rel_start = cstart - starts[di] + 1  # 1-based within the doc
+        texts = t.to_pylist()
+        chunks = [texts[d][s - 1:s - 1 + ln]
+                  for d, s, ln in zip(di, rel_start, clen)]
+        from ..functions.hashing import fnv1a64
+        ch = fnv1a64(chunks).view(np.int64) if chunks else \
+            np.zeros(0, np.int64)
+        out = pd.DataFrame({
+            "chunk_hash": ch, id_col: ids[di],
+            "start": rel_start.astype(np.int64),
+            "clen": clen.astype(np.int64)})
+        return _with_cdc_part(out, num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        key = g[id_col].to_numpy(np.int64) * np.int64(1 << 20) \
+            + g["start"].to_numpy(np.int64)
+        g = g.assign(_rk=key)
+        c = g.groupby("chunk_hash", sort=False, as_index=False).agg(
+            n_copies=(id_col, "size"), n_docs=(id_col, "nunique"),
+            total_chars=("clen", "sum"), _rk=("_rk", "min"))
+        c["rep_doc"] = (c["_rk"] // (1 << 20)).astype(np.int64)
+        c["rep_start"] = (c["_rk"] % (1 << 20)).astype(np.int64)
+        for col in ("n_copies", "n_docs", "total_chars"):
+            c[col] = c[col].astype(np.int64)
+        return c.drop(columns=["_rk"])
+
+    from .exchange import bucket_exchange
+
+    parted = docs.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pyarrow")
+    return bucket_exchange(parted, combine)
+
+
+def _with_cdc_part(m: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    from ..functions.hashing import splitmix64
+
+    old = np.seterr(over="ignore")
+    try:
+        m = m.copy()
+        m["_part"] = (splitmix64(m["chunk_hash"].to_numpy(np.int64)
+                                 .astype(np.uint64))
+                      % np.uint64(num_buckets)).astype(np.int32)
+    finally:
+        np.seterr(**old)
+    return m

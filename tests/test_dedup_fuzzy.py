@@ -398,3 +398,93 @@ def test_fuzzy_name_pairs_block_invariant_and_complete():
     want = {(i + 1, j + 1) for i in range(60) for j in range(i + 1, 60)
             if lev_le1(names[i], names[j])}
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (cdc_chunk_dedup)
+# ---------------------------------------------------------------------------
+
+def _cdc_scalar_reference(texts):
+    """Plain per-doc rolling-gear loop (the published formulation, no
+    vectorization): h = (h << 1 + gear[b]) over the WHOLE doc (no reset),
+    cut after position i when h & 63 == 0. Must agree bit-for-bit with
+    the vectorized window-sum form (gear[b] << j vanishes mod 64 for
+    j >= 6, so the truncated shift chain equals the 6-term window)."""
+    from geospatial_learn_ray.stages.dedup import gear6_table
+    from geospatial_learn_ray.functions.hashing import splitmix64
+    import numpy as np
+
+    old = np.seterr(over="ignore")
+    try:
+        gear_full = splitmix64(np.arange(256, dtype=np.uint64))
+    finally:
+        np.seterr(**old)
+    out = []
+    for di, t in enumerate(texts):
+        h = 0
+        start = 0
+        for i, c in enumerate(t):
+            h = ((h << 1) + int(gear_full[ord(c)])) % (1 << 64)
+            if (h & 63) == 0 or i == len(t) - 1:
+                out.append((di, start + 1, t[start:i + 1]))
+                start = i + 1
+    return out
+
+
+def test_cdc_chunks_match_scalar_rolling_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.functions.hashing import fnv1a64
+    from geospatial_learn_ray.stages.dedup import cdc_chunk_dedup
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdefgh ijklmnop")
+    texts = ["".join(rng.choice(alpha, size=int(n)))
+             for n in rng.integers(1, 400, size=40)]
+    ref = _cdc_scalar_reference(texts)
+    ref_df = pd.DataFrame({
+        "doc_id": [d for d, _, _ in ref],
+        "start": [s for _, s, _ in ref],
+        "chunk_hash": fnv1a64([c for _, _, c in ref]).view(np.int64),
+        "clen": [len(c) for _, _, c in ref]})
+    exp = (ref_df.assign(_rk=lambda x: x.doc_id * (1 << 20) + x.start)
+           .groupby("chunk_hash", as_index=False)
+           .agg(n_copies=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+                total_chars=("clen", "sum"), _rk=("_rk", "min")))
+    exp["rep_doc"] = exp["_rk"] // (1 << 20)
+    exp["rep_start"] = exp["_rk"] % (1 << 20)
+    exp = exp.drop(columns=["_rk"]).sort_values("chunk_hash").reset_index(drop=True)
+
+    for parallelism in (1, 7):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64),
+             "text": texts})).repartition(parallelism)
+        got = (cdc_chunk_dedup(ds).to_pandas()
+               .sort_values("chunk_hash").reset_index(drop=True)
+               [exp.columns.tolist()].astype({c: np.int64 for c in exp.columns}))
+        pd.testing.assert_frame_equal(got, exp.astype({c: np.int64 for c in exp.columns}))
+
+
+def test_cdc_chunks_find_planted_shared_paragraph():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.dedup import cdc_chunk_dedup
+
+    rng = np.random.default_rng(11)
+    shared = "".join(rng.choice(list("abcdefghij klmnopqrstu"), size=600))
+    # precondition: the planted paragraph must contain >= 3 interior cuts
+    # so a whole chunk lies strictly inside it in every carrier document
+    assert len(_cdc_scalar_reference([shared])) >= 4
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["intro one " + shared + " tail alpha",
+                 "a different start " + shared + " other ending",
+                 "unrelated document with its own words entirely",
+                 "third carrier text " + shared]})
+    out = cdc_chunk_dedup(ray.data.from_pandas(docs)).to_pandas()
+    assert (out["n_docs"] >= 3).any(), "no chunk shared by the 3 planted docs"
+    assert (out["n_docs"] == 1).any()
