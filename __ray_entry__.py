@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit_docs": _q_zipf_fit,
         "changepoint_daily_orders": _q_changepoint_daily,
         "cdc_chunks_docs": _q_cdc_chunks,
+        "cube_stats_orders": _q_cube_stats,
     }
 
 
@@ -443,6 +444,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _zipf_fit_sql,
     _changepoint_daily_sql,
     _cdc_chunks_sql,
+    _cube_stats_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1033,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit_docs": _zipf_fit_sql(),
         "changepoint_daily_orders": _changepoint_daily_sql(),
         "cdc_chunks_docs": _cdc_chunks_sql(),
+        "cube_stats_orders": _cube_stats_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

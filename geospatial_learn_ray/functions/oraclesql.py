@@ -5470,3 +5470,21 @@ def _cdc_chunks_sql() -> str:
         "CAST(MIN(doc_id * 1048576 + start) % 1048576 AS BIGINT) AS rep_start "
         "FROM hashed GROUP BY chunk_hash"
     )
+
+
+def _cube_stats_sql() -> str:
+    """SQL twin of agg.cube_stats_orders: GROUP BY CUBE with GROUPING
+    bitmask gid, integer-cents sums, one f64 division for the mean."""
+    return (
+        "WITH b AS (SELECT o_orderpriority AS pr, "
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT COALESCE(pr, '(all)') AS o_orderpriority, "
+        "COALESCE(yr, CAST(-1 AS BIGINT)) AS o_year, "
+        "CAST(GROUPING(pr, yr) AS BIGINT) AS gid, "
+        "CAST(COUNT(*) AS BIGINT) AS count, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+        "CAST(SUM(cents) AS DOUBLE) / CAST(100 * COUNT(*) AS DOUBLE) "
+        "AS mean_f FROM b GROUP BY CUBE(pr, yr)"
+    )

@@ -2041,6 +2041,12 @@ def _q_cdc_chunks(sf_dir: str):
     return dedup.cdc_chunk_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_cube_stats(sf_dir: str):
+    return agg.cube_stats_orders(
+        _rp(sf_dir, "orders",
+            ["o_orderdate", "o_orderpriority", "o_totalprice"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

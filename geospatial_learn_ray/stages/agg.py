@@ -1057,3 +1057,66 @@ def psi_drift_orders(orders: ray.data.Dataset,
         orders.select_columns(["o_orderdate", "o_totalprice"])
         .map_batches(partial, batch_format="pandas"),
         finalize, small_partials=True)
+
+
+def cube_stats_orders(orders: ray.data.Dataset,
+                      num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """GROUP BY CUBE (o_orderpriority, year) over order totals — the full
+    2^k grouping-sets lattice beside ``rollup_stats``'s linear ROLLUP
+    (reference analogue: the multi-level summaries shape.py's zonal stat
+    dispatch produces one call per level; the engine does ALL levels in
+    one pass). gid follows SQL's GROUPING(pr, yr) bitmask (pr = high bit);
+    rolled-up keys carry typed sentinels ('(all)' / -1).
+
+    Exactness: totals become integer cents map-side (round_half_away —
+    raw float sums are order-dependent at scale), so every SUM is exact
+    int64 in any order and the ONE f64 division for the mean is
+    bit-identical to the SQL twin. Scale shape: per-block partials for
+    all 4 sets at once (pre-aggregated), one coarse exchange."""
+    sets = [(True, True), (True, False), (False, True), (False, False)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "pr": b["o_orderpriority"].to_numpy(object),
+            "yr": b["o_orderdate"].dt.year.to_numpy(np.int64),
+            "cents": round_half_away(
+                b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+            ).astype(np.int64)})
+        frames = []
+        for use_pr, use_yr in sets:
+            ks = [k for k, u in (("pr", use_pr), ("yr", use_yr)) if u]
+            if ks:
+                g = d.groupby(ks, sort=False, observed=True)["cents"] \
+                    .agg(n="size", s="sum").reset_index()
+            else:
+                g = pd.DataFrame({"n": [len(d)],
+                                  "s": [int(d["cents"].sum())]})
+            if not use_pr:
+                g["pr"] = "(all)"
+            if not use_yr:
+                g["yr"] = np.int64(-1)
+            g["gid"] = np.int64((0 if use_pr else 2) + (0 if use_yr else 1))
+            g["n"] = g["n"].astype(np.int64)
+            g["s"] = g["s"].astype(np.int64)
+            frames.append(g[["pr", "yr", "gid", "n", "s"]])
+        out = pd.concat(frames, ignore_index=True)
+        return _add_part(out, ["pr", "yr", "gid"], num_parts)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby(
+            ["pr", "yr", "gid"], sort=False, observed=True,
+            as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+        return pd.DataFrame({
+            "o_orderpriority": c["pr"].to_numpy(object),
+            "o_year": c["yr"].to_numpy(np.int64),
+            "gid": c["gid"].to_numpy(np.int64),
+            "count": c["n"].to_numpy(np.int64),
+            "sum_cents": c["s"].to_numpy(np.int64),
+            "mean_f": c["s"].to_numpy(np.float64)
+            / (100.0 * c["n"].to_numpy(np.float64))})
+
+    return bucket_exchange(
+        orders.select_columns(["o_orderdate", "o_orderpriority",
+                               "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        combine, small_partials=True)

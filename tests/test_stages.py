@@ -542,3 +542,25 @@ def test_snap_points_matches_bruteforce_rational():
         assert row["seg_id"] == best[1], u
         assert Fraction(int(row["d2_num"]), _SNAP_LEN2) == best[0], u
         assert 0 <= row["t_q20"] <= 1048576
+
+
+def test_cube_stats_lattice_consistency():
+    import numpy as np
+    import ray.data
+
+    from geospatial_learn_ray.stages.agg import cube_stats_orders
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+    out = cube_stats_orders(ds).to_pandas()
+    assert sorted(out["gid"].unique()) == [0, 1, 2, 3]
+    fine = out[out["gid"] == 0]
+    top = out[out["gid"] == 3]
+    assert len(top) == 1
+    assert int(fine["count"].sum()) == int(top["count"].iloc[0])
+    assert int(fine["sum_cents"].sum()) == int(top["sum_cents"].iloc[0])
+    # each marginal re-aggregates the fine level exactly
+    by_pr = fine.groupby("o_orderpriority")["sum_cents"].sum()
+    m1 = out[out["gid"] == 1].set_index("o_orderpriority")["sum_cents"]
+    assert (by_pr.sort_index() == m1.sort_index()).all()
