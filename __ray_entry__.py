@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_daily_orders": _q_changepoint_daily,
         "cdc_chunks_docs": _q_cdc_chunks,
         "cube_stats_orders": _q_cube_stats,
+        "single_linkage_hosts": _q_single_linkage,
     }
 
 
@@ -445,6 +446,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _changepoint_daily_sql,
     _cdc_chunks_sql,
     _cube_stats_sql,
+    _single_linkage_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1036,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoint_daily_orders": _changepoint_daily_sql(),
         "cdc_chunks_docs": _cdc_chunks_sql(),
         "cube_stats_orders": _cube_stats_sql(),
+        "single_linkage_hosts": _single_linkage_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

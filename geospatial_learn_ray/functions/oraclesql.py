@@ -5488,3 +5488,55 @@ def _cube_stats_sql() -> str:
         "CAST(SUM(cents) AS DOUBLE) / CAST(100 * COUNT(*) AS DOUBLE) "
         "AS mean_f FROM b GROUP BY CUBE(pr, yr)"
     )
+
+
+def _single_linkage_sql(levels: tuple[int, ...] = (1, 2, 3, 4),
+                        out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.single_linkage_hosts: the sssp edge/weight CTEs
+    (identical u64 chain), one recursive min-label closure per dendrogram
+    level, singleton fallback via the closure's self-row, window sizes."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")),
+         *_sg.splitmix64_steps("_f", "_h", "sp")])
+    w_inner = _sg.chain(
+        "SELECT a, b FROM ua",
+        [("_ua", _sg.i64_to_u64("a")),
+         *_sg.splitmix64_steps("_ua", "_s1", "swa"),
+         ("_xw", _sg.u64_xor("_s1", _sg.i64_to_u64("b"))),
+         *_sg.splitmix64_steps("_xw", "_s2", "swb")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "we AS MATERIALIZED (SELECT a, b, "
+        f"CAST(1 + (_s2 % 9) AS BIGINT) AS w FROM ({w_inner}))",
+        "nodes AS MATERIALIZED (SELECT a AS node FROM ua "
+        "UNION SELECT b FROM ua)",
+    ]
+    selects = []
+    for t in levels:
+        ctes.append(
+            f"ce{t} AS MATERIALIZED (SELECT a AS u, b AS v FROM we "
+            f"WHERE w <= {t} UNION ALL SELECT b, a FROM we WHERE w <= {t})")
+        ctes.append(
+            f"r{t} AS (SELECT node, node AS anc FROM nodes "
+            f"UNION SELECT r.node, e.v AS anc FROM r{t} r "
+            f"JOIN ce{t} e ON e.u = r.anc)")
+        ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT node, MIN(anc) AS cluster "
+            f"FROM r{t} GROUP BY node)")
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT) AS level, "
+            "CAST(node AS BIGINT) AS host, "
+            "CAST(cluster AS BIGINT) AS cluster, "
+            "CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) "
+            f"AS cluster_size FROM l{t}")
+    return (f"WITH RECURSIVE {pages_sql()}, " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(selects))

@@ -2047,6 +2047,12 @@ def _q_cube_stats(sf_dir: str):
             ["o_orderdate", "o_orderpriority", "o_totalprice"]))
 
 
+def _q_single_linkage(sf_dir: str):
+    from geospatial_learn_ray.stages import graph
+
+    return graph.single_linkage_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1790,3 +1790,115 @@ def sssp_hosts(pages: ray.data.Dataset, rounds: int = 8,
                                               np.int64(-1), q)})
 
     return d.map_batches(finalize, batch_format="pandas")
+
+
+def single_linkage_hosts(pages: ray.data.Dataset,
+                         levels: tuple[int, ...] = (1, 2, 3, 4),
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Single-linkage agglomerative clustering of the hash-weighted
+    simple host graph, one row per (dendrogram level, host): by the
+    Gower & Ross (1969) equivalence, the single-linkage clusters at
+    height t are EXACTLY the connected components of the subgraph of
+    edges with w <= t — so the whole dendrogram cut comes from one
+    components pass per level, no O(n²) agglomeration and no explicit
+    MST. Weights are sssp_hosts' deterministic ``_edge_weight`` u64
+    chain (w ∈ [1, 9]); components are min-label, so cluster ids are
+    bit-reproducible at any block structure.
+
+    Scale shape: ONE undirected-dedup exchange builds the simple edge
+    list with weights; per level, ``dedup.connected_components``
+    (distributed min-label + pointer jumping, counted-bound driver fast
+    path) labels the kept subgraph; a union-tag attach gives unlabeled
+    hosts their own singleton id; ONE cluster-bucketed exchange emits
+    per-host rows with cluster sizes (each cluster co-locates whole).
+
+    Output: (level, host, cluster, cluster_size), cluster = min host in
+    the cluster."""
+    from .dedup import connected_components
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    def wdedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).drop_duplicates(["a", "b"])
+        g = g.copy()
+        g["w"] = _edge_weight(g["a"].to_numpy(np.int64),
+                              g["b"].to_numpy(np.int64))
+        return g
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        wdedup).materialize()
+
+    def nodes_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["a"].to_numpy(np.int64),
+                                      b["b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": h, "_part": _bkt(h, num_buckets)})
+
+    nodes = bucket_exchange(
+        pairs.map_batches(nodes_part, batch_format="pandas"),
+        lambda g: pd.DataFrame({"node": np.unique(
+            g["node"].to_numpy(np.int64))})).materialize()
+
+    per_level: list[ray.data.Dataset] = []
+    for t in levels:
+        def kept(b: pd.DataFrame, _t: int = t) -> pd.DataFrame:
+            k = b[b["w"].to_numpy(np.int64) <= _t]
+            return pd.DataFrame({"id_a": k["a"].to_numpy(np.int64),
+                                 "id_b": k["b"].to_numpy(np.int64)})
+
+        labels = connected_components(
+            pairs.map_batches(kept, batch_format="pandas"))
+
+        def tag_n(b: pd.DataFrame) -> pd.DataFrame:
+            n = b["node"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "jk": n, "lab": np.zeros(len(n), np.int64),
+                "t": np.int8(0), "_part": _bkt(n, num_buckets)})
+
+        def tag_l(b: pd.DataFrame) -> pd.DataFrame:
+            n = b["node"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "jk": n, "lab": b["component_id"].to_numpy(np.int64),
+                "t": np.int8(1), "_part": _bkt(n, num_buckets)})
+
+        def attach(g: pd.DataFrame, _t: int = t) -> pd.DataFrame:
+            base = g.loc[g["t"] == 0, ["jk"]]
+            lk = g.loc[g["t"] == 1, ["jk", "lab"]].drop_duplicates("jk")
+            m = base.merge(lk, on="jk", how="left")
+            lab = m["lab"].to_numpy()
+            node = m["jk"].to_numpy(np.int64)
+            c = np.where(pd.isna(lab), node, lab).astype(np.int64)
+            return pd.DataFrame({
+                "level": np.full(len(node), _t, np.int64),
+                "host": node, "cluster": c,
+                "_part": _bkt(c, num_buckets)})
+
+        per_level.append(bucket_exchange(
+            nodes.map_batches(tag_n, batch_format="pandas").union(
+                labels.map_batches(tag_l, batch_format="pandas")),
+            attach))
+
+    labeled = per_level[0]
+    for p in per_level[1:]:
+        labeled = labeled.union(p)
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        sz = g.groupby(["level", "cluster"], sort=False)["host"] \
+            .transform("size")
+        out = g.copy()
+        out["cluster_size"] = sz.to_numpy(np.int64)
+        return out
+
+    return bucket_exchange(labeled, sizes)

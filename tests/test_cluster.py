@@ -470,3 +470,49 @@ def test_sssp_matches_dijkstra_and_dual_path_parity():
     slow = _graph.sssp_hosts(small, rounds=2, local_bound=0) \
         .to_pandas().sort_values("host").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_single_linkage_levels_nest_and_match_brute_force():
+    """Independent property oracle (not the SQL twin): (a) level-t
+    clusters refine level-(t+1) clusters — the dendrogram nests; (b) the
+    level-1 labels equal a brute-force union-find over the w<=1 edges."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.graph import (_edge_weight, host_edges,
+                                                   single_linkage_hosts)
+
+    out = single_linkage_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"])).to_pandas()
+    by = {t: g.set_index("host")["cluster"] for t, g in out.groupby("level")}
+    hosts = by[1].index
+    for t in (1, 2, 3):
+        fine, coarse = by[t], by[t + 1]
+        # same cluster at t => same cluster at t+1
+        df = pd.DataFrame({"f": fine.loc[hosts].to_numpy(),
+                           "c": coarse.loc[hosts].to_numpy()})
+        assert (df.groupby("f")["c"].nunique() == 1).all()
+
+    e = host_edges(read_pages("/root/testdata/sf0.001",
+                              columns=["url"])).to_pandas()
+    a = np.minimum(e["src"], e["dst"]).to_numpy(np.int64)
+    b = np.maximum(e["src"], e["dst"]).to_numpy(np.int64)
+    keep = a != b
+    p = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+    w = _edge_weight(p["a"].to_numpy(np.int64), p["b"].to_numpy(np.int64))
+    parent: dict[int, int] = {int(n): int(n) for n in hosts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in p[w <= 1][["a", "b"]].itertuples(index=False):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    ref = {n: find(int(n)) for n in hosts}
+    got = by[1].to_dict()
+    assert got == ref
