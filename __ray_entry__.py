@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks_docs": _q_cdc_chunks,
         "cube_stats_orders": _q_cube_stats,
         "single_linkage_hosts": _q_single_linkage,
+        "g2_collocations_docs": _q_g2_collocations,
     }
 
 
@@ -447,6 +448,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _cdc_chunks_sql,
     _cube_stats_sql,
     _single_linkage_sql,
+    _g2_collocations_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1039,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks_docs": _cdc_chunks_sql(),
         "cube_stats_orders": _cube_stats_sql(),
         "single_linkage_hosts": _single_linkage_sql(),
+        "g2_collocations_docs": _g2_collocations_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

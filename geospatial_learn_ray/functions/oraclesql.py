@@ -5540,3 +5540,48 @@ def _single_linkage_sql(levels: tuple[int, ...] = (1, 2, 3, 4),
             f"AS cluster_size FROM l{t}")
     return (f"WITH RECURSIVE {pages_sql()}, " + ", ".join(ctes) + " "
             + " UNION ALL ".join(selects))
+
+
+def _g2_collocations_sql(min_count: int = 5, k: int = 50) -> str:
+    """SQL twin of textstages.g2_collocations: positional-margin 2×2
+    tables over adjacent bigrams, powers-table exact lq1024 (the
+    _zipf_fit_sql form), guarded integer terms, (score_q DESC, w1, w2)
+    top-k."""
+    pows = ", ".join(f"({j}, {1 << j})" for j in range(54))
+
+    def lq(col: str) -> str:
+        return (f"(1024*(SELECT MAX(j) FROM pow WHERE p <= {col}) "
+                f"+ ({col} - (SELECT MAX(p) FROM pow WHERE p <= {col})) "
+                f"* 1024 // (SELECT MAX(p) FROM pow WHERE p <= {col}))")
+
+    def term(o: str, e: str) -> str:
+        return (f"CASE WHEN ({o}) > 0 AND ({e}) > 0 THEN "
+                f"({o}) * ({lq(f'({o}) * n')} - {lq(f'({e})')}) "
+                "ELSE 0 END")
+
+    terms = " + ".join([
+        term("cab", "r * c"),
+        term("r - cab", "r * (n - c)"),
+        term("c - cab", "(n - r) * c"),
+        term("n - r - c + cab", "(n - r) * (n - c)")])
+    return (
+        f"WITH pow(j, p) AS (VALUES {pows}), "
+        "toks AS MATERIALIZED (SELECT "
+        "  list_filter(string_split(text, ' '), x -> len(x) > 0) AS l "
+        "  FROM documents), "
+        "bg AS MATERIALIZED (SELECT unnest(list_transform("
+        "  generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS b "
+        "  FROM toks WHERE len(l) >= 2), "
+        "bcnt AS MATERIALIZED (SELECT split_part(b, ' ', 1) AS w1, "
+        "  split_part(b, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS cab "
+        "  FROM bg GROUP BY b), "
+        "m AS MATERIALIZED (SELECT w1, w2, cab, "
+        "  CAST(SUM(cab) OVER (PARTITION BY w1) AS BIGINT) AS r, "
+        "  CAST(SUM(cab) OVER (PARTITION BY w2) AS BIGINT) AS c, "
+        "  CAST(SUM(cab) OVER () AS BIGINT) AS n FROM bcnt), "
+        f"s AS (SELECT w1, w2, cab AS pair_count, r AS r_w1, c AS c_w2, "
+        f"  CAST({terms} AS BIGINT) AS score_q FROM m "
+        f"  WHERE cab >= {min_count}) "
+        "SELECT * FROM s "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY score_q DESC, w1, w2) <= {k}"
+    )

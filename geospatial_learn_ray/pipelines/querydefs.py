@@ -2053,6 +2053,11 @@ def _q_single_linkage(sf_dir: str):
     return graph.single_linkage_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_g2_collocations(sf_dir: str):
+    return textstages.g2_collocations(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2184,3 +2184,104 @@ def zipf_fit_docs(docs: ray.data.Dataset, k: int = 100,
         "rank": ranks, "token": top["tok"].to_numpy(object),
         "cnt": cnts, "lq_rank": x, "lq_cnt": y,
         "slope_f": np.full(n, slope, np.float64)}))
+
+
+def g2_collocations(docs: ray.data.Dataset, text_col: str = "text",
+                    min_count: int = 5, k: int = 50,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Top-k log-likelihood-ratio collocations (Dunning 1993) over
+    adjacent-token bigrams — the statistically sound sibling of
+    pmi_bigrams (PMI over-ranks rare pairs; G² doesn't). The 2×2 table
+    per bigram (a, b) uses positional margins: R = #bigrams with first
+    token a, C = #bigrams with second token b, N = total bigrams.
+
+    Exact-integer scoring (no transcendental near the oracle):
+    ``score_q = Σ_ij O_ij · (lq1024(O_ij·N) − lq1024(R_i·C_j))`` — the
+    1/1024-grid integer log2 (`_lq1024`), so score_q ∝ G²·1024/(2·ln 2)
+    and is an exact int64 both sides (operands ≤ N² < 2^53). Ranking by
+    (score_q DESC, w1, w2) can never tie-split.
+
+    Scale shape: per-block pre-aggregated bigram partials; exchange 1
+    buckets on hash(w1) — the combiner both sums global pair counts AND
+    computes the first-position margin with one vectorized transform
+    (every bigram of a given w1 co-locates, so the margin is final);
+    exchange 2 does the same on hash(w2); the min_count filter applies
+    AFTER margins (margins must count all bigrams). Driver sees only the
+    global top-k."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def _tok_part(tok: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(tok.astype(object)))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def big_part(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas().to_numpy(object)
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = np.char.str_len(vals.astype(str)) > 0
+        vals, doc = vals[keep], doc[keep]
+        if len(vals) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "cab": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        adj = doc[1:] == doc[:-1]
+        g = (pd.DataFrame({"w1": vals[:-1][adj], "w2": vals[1:][adj]})
+             .groupby(["w1", "w2"], sort=False).size().reset_index(name="cab"))
+        g["cab"] = g["cab"].astype(np.int64)
+        g["_part"] = _tok_part(g["w1"].to_numpy())
+        return g
+
+    def margin_r(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["_part"])
+             .groupby(["w1", "w2"], sort=False, as_index=False)["cab"].sum())
+        g["cab"] = g["cab"].astype(np.int64)
+        g["r"] = g.groupby("w1", sort=False)["cab"].transform("sum") \
+            .to_numpy(np.int64)
+        g["_part"] = _tok_part(g["w2"].to_numpy())
+        return g
+
+    def margin_c(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["c"] = g.groupby("w2", sort=False)["cab"].transform("sum") \
+            .to_numpy(np.int64)
+        return g
+
+    parted = docs.select_columns([text_col]).map_batches(
+        big_part, batch_format="pyarrow")
+    withc = bucket_exchange(bucket_exchange(parted, margin_r), margin_c) \
+        .materialize()
+    n = int(withc.sum("cab"))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["cab"].to_numpy(np.int64) >= min_count]
+        cab = b["cab"].to_numpy(np.int64)
+        r = b["r"].to_numpy(np.int64)
+        c = b["c"].to_numpy(np.int64)
+        o = [cab, r - cab, c - cab, np.int64(n) - r - c + cab]
+        e = [r * c, r * (n - c), (n - r) * c, (n - r) * (n - c)]
+        sq = np.zeros(len(b), np.int64)
+        for oi, ei in zip(o, e):
+            ok = (oi > 0) & (ei > 0)
+            term = np.zeros(len(b), np.int64)
+            if ok.any():
+                term[ok] = oi[ok] * (_lq1024(oi[ok] * np.int64(n))
+                                     - _lq1024(ei[ok]))
+            sq += term
+        return pd.DataFrame({
+            "w1": b["w1"].to_numpy(object), "w2": b["w2"].to_numpy(object),
+            "pair_count": cab, "r_w1": r, "c_w2": c, "score_q": sq})
+
+    return withc.map_batches(score, batch_format="pandas").sort(
+        ["score_q", "w1", "w2"], descending=[True, False, False]).limit(k)

@@ -1024,3 +1024,47 @@ def test_lq1024_is_exact_piecewise_log2():
                     // (1 << (int(v).bit_length() - 1)) for v in n])
     assert (lq == ref).all()
     assert (np.diff(lq) >= 0).all()  # monotone
+
+
+def test_g2_collocations_track_float_g2_and_block_invariance():
+    """Independent property oracle: score_q is the 1/1024-grid integer
+    log2 form of Dunning's G², so score_q * (2 ln2 / 1024) must track
+    the float G2 (lq1024's max error is ~0.09 bits per term); and the
+    result is invariant to the input block structure."""
+    import numpy as np
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import g2_collocations
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = g2_collocations(ds).to_pandas()
+    assert len(out) == 50
+    n = None
+    # reconstruct float G2 from the emitted exact counts
+    for _, row in out.head(10).iterrows():
+        cab, r, c = float(row.pair_count), float(row.r_w1), float(row.c_w2)
+        if n is None:
+            # N is recoverable from any row only approximately; recompute
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["text"])["text"]
+            wl = pc.split_pattern(t.combine_chunks(), " ")
+            vals = wl.values.to_pandas().to_numpy(object)
+            off = np.asarray(wl.offsets, np.int64)
+            doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+            keep = np.char.str_len(vals.astype(str)) > 0
+            doc = doc[keep]
+            n = float((doc[1:] == doc[:-1]).sum())
+        g2 = 0.0
+        for o, e in ((cab, r * c / n), (r - cab, r * (n - c) / n),
+                     (c - cab, (n - r) * c / n),
+                     (n - r - c + cab, (n - r) * (n - c) / n)):
+            if o > 0 and e > 0:
+                g2 += 2.0 * o * np.log(o / e)
+        approx = float(row.score_q) * 2.0 * np.log(2.0) / 1024.0
+        assert abs(approx - g2) <= 0.2 * abs(g2) + 50.0, (approx, g2)
+
+    out2 = g2_collocations(ds.repartition(7)).to_pandas()
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
