@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_stats_orders": _q_cube_stats,
         "single_linkage_hosts": _q_single_linkage,
         "g2_collocations_docs": _q_g2_collocations,
+        "focal_median_tiles": _q_focal_median,
+        "harris_corners_tiles": _q_harris_corners,
+        "twi_tiles": _q_twi,
     }
 
 
@@ -449,6 +452,9 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _cube_stats_sql,
     _single_linkage_sql,
     _g2_collocations_sql,
+    _focal_median_sql,
+    _harris_sql,
+    _twi_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1042,6 +1048,9 @@ def oracle_sql() -> dict[str, str]:
         "cube_stats_orders": _cube_stats_sql(),
         "single_linkage_hosts": _single_linkage_sql(),
         "g2_collocations_docs": _g2_collocations_sql(),
+        "focal_median_tiles": _focal_median_sql(),
+        "harris_corners_tiles": _harris_sql(),
+        "twi_tiles": _twi_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -5585,3 +5585,137 @@ def _g2_collocations_sql(min_count: int = 5, k: int = 50) -> str:
         "SELECT * FROM s "
         f"QUALIFY ROW_NUMBER() OVER (ORDER BY score_q DESC, w1, w2) <= {k}"
     )
+
+
+def _focal_median_sql(side: int = 16, quant: float = 2.0,
+                      tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.focal_median_stage: 3×3 shrink-at-border
+    neighbor lists via a dirs cross join, list_sort, and the 1-based
+    lower-median index (len+1)//2 — the identical deterministic rule."""
+    dirs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(dx, dy) AS (VALUES {dirs}), "
+        "nb AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  list_sort(list(n.q)) AS l FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  GROUP BY 1, 2, 3, 4) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, "
+        "CAST(l[(len(l) + 1) // 2] AS BIGINT) AS med_q, "
+        "CAST(len(l) AS BIGINT) AS n_win FROM nb"
+    )
+
+
+def _harris_sql(side: int = 16, quant: float = 8.0,
+                tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.harris_corners_stage: Sobel via per-direction
+    integer weights (dx·(2−|dy|) / dy·(2−|dx|)), 3×3 box sums as a
+    second conditional-agg join, r20 response, strict local max over
+    available neighbors."""
+    sob = ", ".join(
+        f"({dx}, {dy}, {dx * (2 - abs(dy))}, {dy * (2 - abs(dx))})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    box = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1))
+    n8 = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                   for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"sob(dx, dy, wx, wy) AS (VALUES {sob}), "
+        f"box(dx, dy) AS (VALUES {box}), "
+        f"n8(dx, dy) AS (VALUES {n8}), "
+        "g AS MATERIALIZED (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  SUM(n.q * s.wx) AS ix, SUM(n.q * s.wy) AS iy "
+        "  FROM rc c, sob s "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + s.dx AND n.py = c.py + s.dy "
+        f"  WHERE c.px BETWEEN 1 AND {side - 2} "
+        f"  AND c.py BETWEEN 1 AND {side - 2} GROUP BY 1, 2, 3, 4), "
+        "t AS MATERIALIZED (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  SUM(n.ix * n.ix) AS sxx, SUM(n.ix * n.iy) AS sxy, "
+        "  SUM(n.iy * n.iy) AS syy FROM g c, box d "
+        "  JOIN g n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        f"  WHERE c.px BETWEEN 2 AND {side - 3} "
+        f"  AND c.py BETWEEN 2 AND {side - 3} GROUP BY 1, 2, 3, 4), "
+        "r AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        "  20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r20 FROM t), "
+        "mx AS (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  MAX(n.r20) AS nmax FROM r c, n8 d "
+        "  JOIN r n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  GROUP BY 1, 2, 3, 4) "
+        "SELECT CAST(r.tile_x AS BIGINT) AS tile_x, "
+        "CAST(r.tile_y AS BIGINT) AS tile_y, CAST(r.px AS BIGINT) AS px, "
+        "CAST(r.py AS BIGINT) AS py, CAST(r.r20 AS BIGINT) AS r20, "
+        "CAST(CASE WHEN r.r20 > 0 AND r.r20 > mx.nmax THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_corner FROM r "
+        "JOIN mx ON mx.tile_x = r.tile_x AND mx.tile_y = r.tile_y "
+        "AND mx.px = r.px AND mx.py = r.py"
+    )
+
+
+def _twi_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+             ty_max: int = 15) -> str:
+    """SQL twin of raster.twi_stage: the d8/flow CTE chain (same argmax
+    key and recursive drainage closure) + powers-table lq1024 —
+    twi_q = lq(acc) − lq(best_drop + 1), all exact integers."""
+    from ..stages.raster import D8_DIRS
+
+    pows = ", ".join(f"({j}, {1 << j})" for j in range(54))
+
+    def lq(col: str) -> str:
+        return (f"(1024*(SELECT MAX(j) FROM pow WHERE p <= {col}) "
+                f"+ ({col} - (SELECT MAX(p) FROM pow WHERE p <= {col})) "
+                f"* 1024 // (SELECT MAX(p) FROM pow WHERE p <= {col}))")
+
+    vals = ", ".join(f"({i}, {dx}, {dy}, {3 - (dx * dx + dy * dy)})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return (
+        f"WITH RECURSIVE pow(j, p) AS (VALUES {pows}), {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        f"dirs(di, dx, dy, w) AS (VALUES {vals}), "
+        "cand AS MATERIALIZED (SELECT c.tile_x, c.tile_y, c.px, c.py, "
+        "  c.px + d.dx AS nx, c.py + d.dy AS ny, c.q - n.q AS drop, "
+        "  (c.q - n.q) * (c.q - n.q) * d.w AS key, d.di "
+        "  FROM rc c, dirs d "
+        "  JOIN rc n ON n.tile_x = c.tile_x AND n.tile_y = c.tile_y "
+        "    AND n.px = c.px + d.dx AND n.py = c.py + d.dy "
+        "  WHERE c.q - n.q > 0), "
+        "best AS MATERIALIZED (SELECT tile_x, tile_y, px, py, nx, ny, drop "
+        "  FROM cand "
+        "  QUALIFY row_number() OVER (PARTITION BY tile_x, tile_y, px, py "
+        "  ORDER BY key DESC, di) = 1), "
+        "reach AS (SELECT tile_x, tile_y, px AS cx, py AS cy FROM rc "
+        "  UNION ALL "
+        "  SELECT r.tile_x, r.tile_y, e.nx, e.ny FROM reach r "
+        "  JOIN best e ON e.tile_x = r.tile_x AND e.tile_y = r.tile_y "
+        "    AND e.px = r.cx AND e.py = r.cy), "
+        "accs AS MATERIALIZED (SELECT tile_x, tile_y, cx AS px, cy AS py, "
+        "  CAST(COUNT(*) AS BIGINT) AS acc FROM reach "
+        "  GROUP BY tile_x, tile_y, cx, cy), "
+        "j AS MATERIALIZED (SELECT c.tile_x, c.tile_y, c.px, c.py, a.acc, "
+        "  COALESCE(b.drop, 0) AS best_drop "
+        "  FROM rc c JOIN accs a ON a.tile_x = c.tile_x "
+        "    AND a.tile_y = c.tile_y AND a.px = c.px AND a.py = c.py "
+        "  LEFT JOIN best b ON b.tile_x = c.tile_x AND b.tile_y = c.tile_y "
+        "    AND b.px = c.px AND b.py = c.py) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, acc, "
+        "CAST(best_drop AS BIGINT) AS best_drop, "
+        f"CAST({lq('acc')} - {lq('(best_drop + 1)')} AS BIGINT) AS twi_q "
+        "FROM j"
+    )

@@ -2058,6 +2058,21 @@ def _q_g2_collocations(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_focal_median(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.focal_median_stage(small, side=16)
+
+
+def _q_harris_corners(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.harris_corners_stage(small, side=16)
+
+
+def _q_twi(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.twi_stage(small, side=16)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

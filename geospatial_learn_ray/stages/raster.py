@@ -3263,3 +3263,163 @@ def lbp_stage(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def focal_median_stage(ds: ray.data.Dataset, side: int,
+                       quant: float = 2.0) -> ray.data.Dataset:
+    """3×3 focal (lower-)median filter on the quantized grid — the
+    salt-and-pepper denoiser of the gdaldem/sieve family beside
+    focal_majority_stage. Windows SHRINK at borders (9/6/4 values); the
+    deterministic lower median ``sorted[(n-1)//2]`` avoids the even-count
+    interpolation (DuckDB MEDIAN interpolates — the SQL twin instead
+    indexes the sorted list, identical rule). Vectorized per tile: 9
+    shifted sentinel layers, one columnwise sort, one take_along_axis —
+    no per-pixel Python. Map-only, integer-exact."""
+    SENT = np.int64(np.iinfo(np.int64).max)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "med_q",
+                                  "n_win")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            layers = np.full((9, side, side), SENT, np.int64)
+            li = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ys0, ys1 = max(0, dy), side + min(0, dy)
+                    xs0, xs1 = max(0, dx), side + min(0, dx)
+                    layers[li, ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx] = \
+                        q[ys0:ys1, xs0:xs1]
+                    li += 1
+            s = np.sort(layers, axis=0)
+            cnt = (layers != SENT).sum(axis=0).astype(np.int64)
+            med = np.take_along_axis(
+                s, ((cnt - 1) // 2)[None, :, :], axis=0)[0]
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(X.ravel().astype(np.int64))
+            rows["py"].append(Y.ravel().astype(np.int64))
+            rows["med_q"].append(med.ravel())
+            rows["n_win"].append(cnt.ravel())
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def harris_corners_stage(ds: ray.data.Dataset, side: int,
+                         quant: float = 8.0) -> ray.data.Dataset:
+    """Harris-Stephens corner response (1988) per tile, exact-integer
+    formulation: integer Sobel gradients on the quantized grid
+    q = ⌊vd·quant⌋, 3×3 unweighted structure-tensor box sums, and the
+    ×20-scaled response ``r20 = 20·(Sxx·Syy − Sxy²) − (Sxx+Syy)²``
+    (k = 1/20 — inside skimage's 0.04–0.06 default range, chosen so the
+    response stays an exact int64; no Gaussian window, a documented
+    deviation). A pixel is a corner iff r20 > 0 AND strictly greater
+    than every AVAILABLE neighbor's response (border pixels of the
+    valid region compare only in-range neighbors — the SQL twin's
+    conditional-agg MAX sees the same set). Valid region: px, py ∈
+    [2, side−3] (gradient + box each eat one ring). Map-only,
+    no shuffle; vectorized over the tile cube."""
+    NEG = np.int64(np.iinfo(np.int64).min // 4)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        n = pxm.shape[0]
+        q = np.floor(pxm.reshape(n, side, side) * quant).astype(np.int64)
+        # Sobel on the interior (indices 1..side-2)
+        c = q[:, 1:-1, :]
+        ix = ((q[:, :-2, 2:] + 2 * q[:, 1:-1, 2:] + q[:, 2:, 2:])
+              - (q[:, :-2, :-2] + 2 * q[:, 1:-1, :-2] + q[:, 2:, :-2]))
+        iy = ((q[:, 2:, :-2] + 2 * q[:, 2:, 1:-1] + q[:, 2:, 2:])
+              - (q[:, :-2, :-2] + 2 * q[:, :-2, 1:-1] + q[:, :-2, 2:]))
+        del c
+        xx, xy, yy = ix * ix, ix * iy, iy * iy
+        # 3x3 box sums over the gradient grid -> valid px,py in [2, side-3]
+        def box(a: np.ndarray) -> np.ndarray:
+            return sum(a[:, dy:dy + side - 4, dx:dx + side - 4]
+                       for dy in range(3) for dx in range(3))
+        sxx, sxy, syy = box(xx), box(xy), box(yy)
+        r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+        m = side - 4
+        # strict local max vs available neighbors: pad with -inf sentinel
+        pad = np.full((n, m + 2, m + 2), NEG, np.int64)
+        pad[:, 1:-1, 1:-1] = r20
+        ismax = np.ones((n, m, m), bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                ismax &= r20 > pad[:, 1 + dy:1 + dy + m, 1 + dx:1 + dx + m]
+        corner = (ismax & (r20 > 0)).astype(np.int64)
+        Y, X = np.mgrid[2:side - 2, 2:side - 2]
+        return pa.table({
+            "tile_x": pa.array(np.repeat(
+                batch["tile_x"].to_numpy().astype(np.int64), m * m)),
+            "tile_y": pa.array(np.repeat(
+                batch["tile_y"].to_numpy().astype(np.int64), m * m)),
+            "px": pa.array(np.tile(X.ravel().astype(np.int64), n)),
+            "py": pa.array(np.tile(Y.ravel().astype(np.int64), n)),
+            "r20": pa.array(r20.reshape(n, -1).ravel()),
+            "is_corner": pa.array(corner.reshape(n, -1).ravel()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def twi_stage(ds: ray.data.Dataset, side: int,
+              quant: float = 2.0) -> ray.data.Dataset:
+    """Topographic wetness index (Beven & Kirkby 1979) per pixel, the
+    hydrology composite of d8_directions_stage + flow_accum_stage:
+    TWI = ln(a / tan β) re-expressed on the 1/1024 integer log2 grid —
+    ``twi_q = lq1024(acc) − lq1024(best_drop + 1)`` where acc is the D8
+    accumulation (≥ 1, includes self) and best_drop the steepest
+    quantized descent (0 at sinks; +1 keeps the operand ≥ 1). No
+    transcendental touches the oracle (the SQL twin uses the identical
+    powers-table lq1024); twi_q ∝ 1024·log2 of the wetness ratio.
+    Map-only per tile; same D8 kernel and descending-elevation
+    accumulation pass as flow_accum_stage."""
+    from .textstages import _lq1024
+
+    dxs = np.array([dx for dx, dy in D8_DIRS], np.int64)
+    dys = np.array([dy for dx, dy in D8_DIRS], np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        Y, X = np.mgrid[0:side, 0:side]
+        Xf, Yf = X.ravel().astype(np.int64), Y.ravel().astype(np.int64)
+        rows: dict[str, list] = {k: [] for k in
+                                 ("tile_x", "tile_y", "px", "py", "acc",
+                                  "best_drop", "twi_q")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            best_dir, best_drop = _d8_grid(q, side)
+            fd = best_dir.ravel()
+            has = fd >= 0
+            sd = np.where(has, fd, 0)
+            dst = np.where(has, (Yf + dys[sd]) * side + (Xf + dxs[sd]), -1)
+            acc = np.ones(side * side, np.int64)
+            for idx in np.argsort(-q.ravel(), kind="stable"):
+                j = dst[idx]
+                if j >= 0:
+                    acc[j] += acc[idx]
+            drop = best_drop.ravel()
+            twi = _lq1024(acc) - _lq1024(drop + 1)
+            rows["tile_x"].append(np.full(side * side, txs[i], np.int64))
+            rows["tile_y"].append(np.full(side * side, tys[i], np.int64))
+            rows["px"].append(Xf)
+            rows["py"].append(Yf)
+            rows["acc"].append(acc)
+            rows["best_drop"].append(drop)
+            rows["twi_q"].append(twi)
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

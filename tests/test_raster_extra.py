@@ -951,3 +951,93 @@ def test_lbp_codes_match_bruteforce():
     assert got == ref
     # histogram mass == interior pixel count
     assert sum(got.values()) == (side - 2) ** 2
+
+
+def _one_tile_df(side=16):
+    import ray.data
+
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages.raster import clip_tiles
+
+    return clip_tiles(read_tiles(tile_px=side), -180.0, -80.0, -175.0, -76.0)
+
+
+def test_focal_median_matches_per_pixel_reference():
+    import numpy as np
+
+    from geospatial_learn_ray.stages.raster import _pix, focal_median_stage
+
+    side = 16
+    ds = _one_tile_df(side).materialize()
+    q = np.floor(_pix(ds.take_batch(1, batch_format="pyarrow"))
+                 .astype(np.float64).reshape(side, side) * 2.0).astype(np.int64)
+    out = focal_median_stage(ds, side=side).to_pandas()
+    out = out.set_index(["py", "px"])
+    for py in range(side):
+        for px in range(side):
+            win = [int(q[y, x]) for y in range(max(0, py - 1), min(side, py + 2))
+                   for x in range(max(0, px - 1), min(side, px + 2))]
+            win.sort()
+            row = out.loc[(py, px)]
+            assert row["n_win"] == len(win)
+            assert row["med_q"] == win[(len(win) - 1) // 2]
+
+
+def test_harris_matches_per_pixel_reference():
+    import numpy as np
+
+    from geospatial_learn_ray.stages.raster import _pix, harris_corners_stage
+
+    side = 16
+    ds = _one_tile_df(side).materialize()
+    q = np.floor(_pix(ds.take_batch(1, batch_format="pyarrow"))
+                 .astype(np.float64).reshape(side, side) * 8.0).astype(np.int64)
+    out = harris_corners_stage(ds, side=side).to_pandas() \
+        .set_index(["py", "px"])
+
+    def sob(py, px):
+        ix = ((q[py - 1, px + 1] + 2 * q[py, px + 1] + q[py + 1, px + 1])
+              - (q[py - 1, px - 1] + 2 * q[py, px - 1] + q[py + 1, px - 1]))
+        iy = ((q[py + 1, px - 1] + 2 * q[py + 1, px] + q[py + 1, px + 1])
+              - (q[py - 1, px - 1] + 2 * q[py - 1, px] + q[py - 1, px + 1]))
+        return ix, iy
+
+    r20 = {}
+    for py in range(2, side - 2):
+        for px in range(2, side - 2):
+            sxx = sxy = syy = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ix, iy = sob(py + dy, px + dx)
+                    sxx += ix * ix
+                    sxy += ix * iy
+                    syy += iy * iy
+            r20[(py, px)] = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    for (py, px), v in r20.items():
+        row = out.loc[(py, px)]
+        assert int(row["r20"]) == v
+        nb = [r20[(py + dy, px + dx)] for dy in (-1, 0, 1)
+              for dx in (-1, 0, 1)
+              if (dx, dy) != (0, 0) and (py + dy, px + dx) in r20]
+        expect = int(v > 0 and all(v > w for w in nb))
+        assert int(row["is_corner"]) == expect
+
+
+def test_twi_matches_flow_and_d8_composition():
+    import numpy as np
+
+    from geospatial_learn_ray.stages.raster import (
+        d8_directions_stage, flow_accum_stage, twi_stage)
+    from geospatial_learn_ray.stages.textstages import _lq1024
+
+    side = 16
+    ds = _one_tile_df(side).materialize()
+    twi = twi_stage(ds, side=side).to_pandas().set_index(["py", "px"])
+    acc = flow_accum_stage(ds, side=side).to_pandas().set_index(["py", "px"])
+    d8 = d8_directions_stage(ds, side=side).to_pandas().set_index(["py", "px"])
+    assert (twi["acc"] == acc["acc"]).all()
+    assert (twi["best_drop"] == d8["best_drop"]).all()
+    a = twi["acc"].to_numpy(np.int64)
+    d = twi["best_drop"].to_numpy(np.int64)
+    assert (twi["twi_q"].to_numpy(np.int64)
+            == _lq1024(a) - _lq1024(d + 1)).all()
