@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_median_tiles": _q_focal_median,
         "harris_corners_tiles": _q_harris_corners,
         "twi_tiles": _q_twi,
+        "traj_intersections_users": _q_traj_intersections,
     }
 
 
@@ -455,6 +456,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _focal_median_sql,
     _harris_sql,
     _twi_sql,
+    _traj_intersections_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1051,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_median_tiles": _focal_median_sql(),
         "harris_corners_tiles": _harris_sql(),
         "twi_tiles": _twi_sql(),
+        "traj_intersections_users": _traj_intersections_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

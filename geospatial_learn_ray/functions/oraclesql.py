@@ -5719,3 +5719,43 @@ def _twi_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
         f"CAST({lq('acc')} - {lq('(best_drop + 1)')} AS BIGINT) AS twi_q "
         "FROM j"
     )
+
+
+def _traj_intersections_sql() -> str:
+    """SQL twin of streaming.traj_intersections_users: the dp_simplify
+    splitmix geocode, LEAD segments, non-adjacent self-join with the four
+    integer orientation predicates (proper crossings only)."""
+    xor_c = 0x9E3779B97F4A7C15
+    inner = _sg.chain(
+        "SELECT event_id, ts, user_id FROM events",
+        [("_e", _sg.i64_to_u64("event_id")),
+         *_sg.splitmix64_steps("_e", "_h1", "txa"),
+         ("_x1", _sg.u64_xor("_h1", str(xor_c))),
+         *_sg.splitmix64_steps("_x1", "_h2", "txb")])
+    return (
+        "WITH p AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS i, "
+        "CAST(_h2 % 360000001 AS BIGINT) - 180000000 AS x, "
+        "CAST(_h1 % 180000001 AS BIGINT) - 90000000 AS y "
+        f"FROM ({inner})), "
+        "seg AS MATERIALIZED (SELECT u, i, x AS ax, y AS ay, "
+        "LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by FROM p "
+        "WINDOW w AS (PARTITION BY u ORDER BY i) QUALIFY bx IS NOT NULL), "
+        "pr AS (SELECT s.u, "
+        "(s.bx - s.ax)*(t.ay - s.ay) - (s.by - s.ay)*(t.ax - s.ax) AS o1, "
+        "(s.bx - s.ax)*(t.by - s.ay) - (s.by - s.ay)*(t.bx - s.ax) AS o2, "
+        "(t.bx - t.ax)*(s.ay - t.ay) - (t.by - t.ay)*(s.ax - t.ax) AS o3, "
+        "(t.bx - t.ax)*(s.by - t.ay) - (t.by - t.ay)*(s.bx - t.ax) AS o4 "
+        "FROM seg s JOIN seg t ON t.u = s.u AND t.i >= s.i + 2), "
+        "x AS (SELECT u, CAST(COUNT(*) FILTER ("
+        "((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0)) AND "
+        "((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))) AS BIGINT) "
+        "AS n_crossings FROM pr GROUP BY u), "
+        "np AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_points FROM p "
+        "GROUP BY u) "
+        "SELECT np.u AS user_id, np.n_points, "
+        "CAST(GREATEST(np.n_points - 1, 0) AS BIGINT) AS n_segments, "
+        "CAST(COALESCE(x.n_crossings, 0) AS BIGINT) AS n_crossings "
+        "FROM np LEFT JOIN x ON x.u = np.u"
+    )

@@ -2073,6 +2073,13 @@ def _q_twi(sf_dir: str):
     return raster.twi_stage(small, side=16)
 
 
+def _q_traj_intersections(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.traj_intersections_users(
+        _rp(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1562,3 +1562,80 @@ def changepoint_daily_orders(orders: ray.data.Dataset,
         out[c] = out[c].astype(np.int64)
     out["is_best"] = (out["day"] == best[0]).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def traj_intersections_users(events: ray.data.Dataset,
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user trajectory self-intersection count — the sweep/quality
+    metric of the GPS-track family (same synthetic microdegree pings and
+    (ts, event_id) ordering as simplify_trajectories): for every pair of
+    NON-ADJACENT segments (j ≥ i+2), count PROPER crossings via the four
+    exact-integer orientation tests (o1·o2 < 0 AND o3·o4 < 0 — collinear
+    touches deliberately don't count, so no epsilon exists anywhere).
+    Coordinates are ±1.8e8 microdegrees: every cross product is
+    ≤ 2.6e17, exact in int64 on both sides.
+
+    Scale shape: one user-keyed exchange (narrow int rows); the combiner
+    vectorizes all O(n²) segment pairs per user with one triu broadcast
+    — no per-pair Python. Output: (user_id, n_points, n_segments,
+    n_crossings)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    XOR_C = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        old = np.seterr(over="ignore")
+        try:
+            h1 = splitmix64(eid.astype(np.uint64))
+            h2 = splitmix64(h1 ^ XOR_C)
+        finally:
+            np.seterr(**old)
+        lat = (h1 % np.uint64(180_000_001)).astype(np.int64) - 90_000_000
+        lon = (h2 % np.uint64(360_000_001)).astype(np.int64) - 180_000_000
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "u": u,
+            "ts": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            "eid": eid.astype(np.int64), "x": lon, "y": lat,
+            "_part": (u % num_buckets).astype(np.int32)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]) \
+             .sort_values(["u", "ts", "eid"], kind="mergesort")
+        out = {"user_id": [], "n_points": [], "n_segments": [],
+               "n_crossings": []}
+        for u, t in g.groupby("u", sort=False):
+            x = t["x"].to_numpy(np.int64)
+            y = t["y"].to_numpy(np.int64)
+            n = len(x)
+            nseg = max(n - 1, 0)
+            cnt = 0
+            if nseg >= 3:
+                ax, ay = x[:-1], y[:-1]
+                bx, by = x[1:], y[1:]
+                ii, jj = np.triu_indices(nseg, k=2)
+                a1x, a1y = ax[ii], ay[ii]
+                b1x, b1y = bx[ii], by[ii]
+                c1x, c1y = ax[jj], ay[jj]
+                d1x, d1y = bx[jj], by[jj]
+                r1x, r1y = b1x - a1x, b1y - a1y
+                r2x, r2y = d1x - c1x, d1y - c1y
+                o1 = r1x * (c1y - a1y) - r1y * (c1x - a1x)
+                o2 = r1x * (d1y - a1y) - r1y * (d1x - a1x)
+                o3 = r2x * (a1y - c1y) - r2y * (a1x - c1x)
+                o4 = r2x * (b1y - c1y) - r2y * (b1x - c1x)
+                proper = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) \
+                    & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+                cnt = int(proper.sum())
+            out["user_id"].append(int(u))
+            out["n_points"].append(n)
+            out["n_segments"].append(nseg)
+            out["n_crossings"].append(cnt)
+        return pd.DataFrame({k: np.asarray(v, np.int64)
+                             for k, v in out.items()})
+
+    parted = events.select_columns(["user_id", "ts", "event_id"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return bucket_exchange(parted, combine)

@@ -660,3 +660,50 @@ def test_changepoint_finds_planted_level_shift():
     # boundary lands exactly at the planted shift (last low day)
     day0 = out["day"].min()
     assert int(best["day"].iloc[0]) - day0 == 29
+
+
+def test_traj_intersections_known_values_and_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.streaming import traj_intersections_users
+
+    out = traj_intersections_users(ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_id"])).to_pandas()
+    assert (out["n_segments"] == out["n_points"] - 1).all()
+    # random microdegree walks self-cross a lot: expect some nonzero
+    assert (out["n_crossings"] > 0).any()
+
+    # brute-force O(n^2) scalar reference for one user (same geocode)
+    from geospatial_learn_ray.functions.hashing import splitmix64
+    import pyarrow.parquet as pq
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    u0 = int(out["user_id"].iloc[0])
+    t = ev[ev["user_id"] == u0].sort_values(["ts", "event_id"])
+    old = np.seterr(over="ignore")
+    try:
+        h1 = splitmix64(t["event_id"].to_numpy(np.int64).astype(np.uint64))
+        h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15))
+    finally:
+        np.seterr(**old)
+    y = (h1 % np.uint64(180_000_001)).astype(object)
+    x = (h2 % np.uint64(360_000_001)).astype(object)
+    x = [int(v) - 180_000_000 for v in x]
+    y = [int(v) - 90_000_000 for v in y]
+    n = len(x)
+    cnt = 0
+    for i in range(n - 1):
+        for j in range(i + 2, n - 1):
+            ax, ay, bx, by = x[i], y[i], x[i + 1], y[i + 1]
+            cx, cy, dx, dy = x[j], y[j], x[j + 1], y[j + 1]
+            o1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            o2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+            o3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+            o4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+            if ((o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0
+                    and (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0):
+                cnt += 1
+    assert cnt == int(out[out["user_id"] == u0]["n_crossings"].iloc[0])
