@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harris_corners_tiles": _q_harris_corners,
         "twi_tiles": _q_twi,
         "traj_intersections_users": _q_traj_intersections,
+        "closeness_hosts": _q_closeness,
+        "rake_keywords_docs": _q_rake,
     }
 
 
@@ -457,6 +459,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _harris_sql,
     _twi_sql,
     _traj_intersections_sql,
+    _closeness_sql,
+    _rake_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1054,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "harris_corners_tiles": _harris_sql(),
         "twi_tiles": _twi_sql(),
         "traj_intersections_users": _traj_intersections_sql(),
+        "closeness_hosts": _closeness_sql(),
+        "rake_keywords_docs": _rake_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

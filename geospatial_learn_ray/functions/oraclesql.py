@@ -5759,3 +5759,94 @@ def _traj_intersections_sql() -> str:
         "CAST(COALESCE(x.n_crossings, 0) AS BIGINT) AS n_crossings "
         "FROM np LEFT JOIN x ON x.u = np.u"
     )
+
+
+def _closeness_sql(k_sources: int = 4, rounds: int = 8, out_links: int = 4,
+                   host_mod: int = 1000) -> str:
+    """SQL twin of graph.closeness_hosts: pivots = top-k splitmix64
+    draws over the node set (ties → smaller node), one unrolled
+    min-plus BFS with a source dimension, exact-integer reach/sum."""
+    inf = 1 << 40
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "cl")])
+    draw_inner = _sg.chain(
+        "SELECT node, CAST(node AS HUGEINT) AS nu FROM nodes",
+        [*_sg.splitmix64_steps("nu", "_dw", "cld")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj)",
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM ({draw_inner}) "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY _dw, node) <= {k_sources})",
+        "d0 AS MATERIALIZED (SELECT srcs.s, nodes.node, "
+        "CASE WHEN nodes.node = srcs.s THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({inf} AS BIGINT) END AS q FROM srcs, nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT s, node, MIN(q) AS q FROM ("
+            f"SELECT s, node, q FROM d{t - 1} "
+            f"UNION ALL SELECT d.s, adj.v AS node, d.q + 1 AS q "
+            f"FROM adj JOIN d{t - 1} d ON d.node = adj.u) GROUP BY s, node)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT CAST(s AS BIGINT) AS source, "
+        f"CAST(COUNT(*) FILTER (q < {inf} AND q > 0) AS BIGINT) AS n_reached, "
+        f"CAST(COALESCE(SUM(q) FILTER (q < {inf} AND q > 0), 0) AS BIGINT) "
+        f"AS sum_depth FROM d{rounds} GROUP BY s"
+    )
+
+
+def _rake_sql(k: int = 50, min_count: int = 2) -> str:
+    """SQL twin of textstages.rake_keywords: stopword-delimited runs via
+    a window prefix sum, deg/freq word scores with the identical 1024
+    floor division, per-position phrase sums, (score_q DESC, phrase)
+    top-k."""
+    from .textproc import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        "WITH tl AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> len(x) > 0) AS tl "
+        "FROM documents), "
+        "tp AS MATERIALIZED (SELECT doc_id, "
+        "UNNEST(generate_series(1, len(tl))) AS i, tl FROM tl), "
+        "tw AS MATERIALIZED (SELECT doc_id, i, tl[i] AS w, "
+        f"tl[i] IN ({stops}) AS is_stop FROM tp), "
+        "rn AS MATERIALIZED (SELECT doc_id, i, w, is_stop, "
+        "SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS run FROM tw), "
+        "cand AS MATERIALIZED (SELECT doc_id, run, i, w FROM rn "
+        "WHERE NOT is_stop), "
+        "runs AS MATERIALIZED (SELECT doc_id, run, "
+        "CAST(COUNT(*) AS BIGINT) AS rlen, "
+        "string_agg(w, ' ' ORDER BY i) AS phrase FROM cand "
+        "GROUP BY doc_id, run), "
+        "wrow AS (SELECT c.w, r.rlen FROM cand c "
+        "JOIN runs r ON r.doc_id = c.doc_id AND r.run = c.run), "
+        "ws AS MATERIALIZED (SELECT w, "
+        "(CAST(SUM(rlen) AS BIGINT) * 1024) // CAST(COUNT(*) AS BIGINT) "
+        "AS sq FROM wrow GROUP BY w), "
+        "pcnt AS MATERIALIZED (SELECT phrase, CAST(COUNT(*) AS BIGINT) "
+        "AS cnt FROM runs GROUP BY phrase), "
+        "pw AS (SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w, cnt "
+        "FROM pcnt), "
+        "tot AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(MAX(pw.cnt) AS BIGINT) AS cnt, "
+        "CAST(SUM(ws.sq) AS BIGINT) AS score_q "
+        "FROM pw JOIN ws ON ws.w = pw.w GROUP BY phrase) "
+        f"SELECT phrase, n_words, cnt, score_q FROM tot "
+        f"WHERE cnt >= {min_count} "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY score_q DESC, phrase) <= {k}"
+    )

@@ -2080,6 +2080,17 @@ def _q_traj_intersections(sf_dir: str):
         _rp(sf_dir, "events", ["user_id", "ts", "event_id"]))
 
 
+def _q_closeness(sf_dir: str):
+    from geospatial_learn_ray.stages import graph
+
+    return graph.closeness_hosts(read_pages(sf_dir, columns=["url"]))
+
+
+def _q_rake(sf_dir: str):
+    return textstages.rake_keywords(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

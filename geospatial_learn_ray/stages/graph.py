@@ -1902,3 +1902,186 @@ def single_linkage_hosts(pages: ray.data.Dataset,
         return out
 
     return bucket_exchange(labeled, sizes)
+
+
+def closeness_hosts(pages: ray.data.Dataset, k_sources: int = 4,
+                    rounds: int = 8, num_buckets: int = 64,
+                    local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Hop-bounded closeness centrality from ``k_sources`` pivot nodes
+    over the undirected simple host graph — the landmark/pivot estimate
+    (Eppstein & Wang 2004 shape) with DETERMINISTIC pivots: the k nodes
+    with the smallest splitmix64(node) draw (ties → smaller node), so
+    every retry/scale picks the same landmarks (the id-hash sampling
+    rule, CLAUDE.md RNG class). For each pivot, a ``rounds``-bounded BFS
+    (same bulk-synchronous min-plus recurrence as bfs_depth_hosts);
+    closeness bookkeeping stays exact-integer: n_reached (within the hop
+    bound, excluding self) and sum_depth per pivot.
+
+    Scale shape per round: ONE union-tag bucketed join moves the k·|E|
+    candidate rows (k is a small constant) + one (src, node)-keyed
+    min-combine; the counted-bound fast path runs the identical
+    recurrence on a k×n numpy matrix (dual-path parity pytest).
+    → (source, n_reached, sum_depth)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    def _pick_sources(nodes_arr: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            draw = splitmix64(nodes_arr.astype(np.uint64))
+        finally:
+            np.seterr(**old)
+        order = np.lexsort((nodes_arr, draw))
+        return nodes_arr[order[:k_sources]]
+
+    if pairs.count() <= local_bound:
+        p = pairs.to_pandas()
+        a = p["a"].to_numpy(np.int64)
+        b = p["b"].to_numpy(np.int64)
+        v = np.concatenate([a, b])
+        u = np.concatenate([b, a])
+        nodes_arr, vi = np.unique(v, return_inverse=True)
+        ui = np.searchsorted(nodes_arr, u)
+        srcs = _pick_sources(nodes_arr)
+        d = np.full((len(srcs), len(nodes_arr)), BFS_INF, np.int64)
+        for si, s in enumerate(srcs):
+            d[si, np.searchsorted(nodes_arr, s)] = 0
+        for _ in range(rounds):
+            nd = d.copy()
+            for si in range(len(srcs)):
+                np.minimum.at(nd[si], vi, d[si][ui] + 1)
+            d = nd
+        reached = (d < BFS_INF) & (d > 0)
+        return ray.data.from_pandas(pd.DataFrame({
+            "source": srcs.astype(np.int64),
+            "n_reached": reached.sum(axis=1).astype(np.int64),
+            "sum_depth": np.where(reached, d, 0).sum(axis=1)
+            .astype(np.int64)}))
+
+    def both_dirs(bdf: pd.DataFrame) -> pd.DataFrame:
+        a = bdf["a"].to_numpy(np.int64)
+        z = bdf["b"].to_numpy(np.int64)
+        d = pd.DataFrame({"v": np.concatenate([a, z]),
+                          "u": np.concatenate([z, a])})
+        d["_part"] = _bkt(d["u"].to_numpy(np.int64), num_buckets)
+        return d
+
+    adj = edges.map_batches(undirect, batch_format="pandas") \
+        .map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def node_part(bdf: pd.DataFrame) -> pd.DataFrame:
+        n = bdf[["v"]].drop_duplicates()
+        return pd.DataFrame({"node": n["v"].to_numpy(np.int64),
+                             "_part": _bkt(n["v"].to_numpy(np.int64),
+                                           num_buckets)})
+
+    nodes = bucket_exchange(
+        adj.map_batches(node_part, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates("node"),
+    ).materialize()
+    # global top-k draw = top-k of the union of per-bucket top-ks
+    # (buckets partition nodes) — the driver merges <= buckets*k rows
+    def bucket_srcs(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.unique(g["node"].to_numpy(np.int64))
+        return pd.DataFrame({"node": _pick_sources(arr)})
+
+    cand_srcs = bucket_exchange(
+        nodes.map_batches(
+            lambda b: pd.DataFrame({
+                "node": (nd := b["node"].to_numpy(np.int64)),
+                "_part": _bkt(nd, num_buckets)}),
+            batch_format="pandas"),
+        bucket_srcs).to_pandas()
+    srcs = _pick_sources(np.sort(cand_srcs["node"].to_numpy(np.int64)))
+
+    def init_d(bdf: pd.DataFrame) -> pd.DataFrame:
+        nd = bdf["node"].to_numpy(np.int64)
+        frames = []
+        for s in srcs:
+            frames.append(pd.DataFrame({
+                "src": np.full(len(nd), s, np.int64), "node": nd,
+                "q": np.where(nd == s, np.int64(0), BFS_INF)}))
+        return pd.concat(frames, ignore_index=True)
+
+    d = nodes.map_batches(init_d, batch_format="pandas").materialize()
+
+    def tag_adj(bdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "jk": bdf["u"].to_numpy(np.int64),
+            "v": bdf["v"].to_numpy(np.int64),
+            "src": np.zeros(len(bdf), np.int64),
+            "q": np.zeros(len(bdf), np.int64), "t": np.int8(0),
+            "_part": _bkt(bdf["u"].to_numpy(np.int64), num_buckets)})
+
+    def tag_d(bdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "jk": bdf["node"].to_numpy(np.int64),
+            "v": np.zeros(len(bdf), np.int64),
+            "src": bdf["src"].to_numpy(np.int64),
+            "q": bdf["q"].to_numpy(np.int64), "t": np.int8(1),
+            "_part": _bkt(bdf["node"].to_numpy(np.int64), num_buckets)})
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["t"] == 0, ["jk", "v"]]
+        dq = g.loc[g["t"] == 1, ["jk", "src", "q"]]
+        m = e.merge(dq, on="jk", how="inner")
+        return pd.DataFrame({"src": m["src"].to_numpy(np.int64),
+                             "node": m["v"].to_numpy(np.int64),
+                             "q": m["q"].to_numpy(np.int64) + 1})
+
+    def part_q(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf[["src", "node", "q"]].copy()
+        o["_part"] = _bkt(o["node"].to_numpy(np.int64), num_buckets)
+        return o
+
+    def min_q(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby(
+            ["src", "node"], as_index=False)["q"].min()
+        o["q"] = o["q"].astype(np.int64)
+        return o
+
+    for _ in range(rounds):
+        cand = bucket_exchange(
+            adj.map_batches(tag_adj, batch_format="pandas").union(
+                d.map_batches(tag_d, batch_format="pandas")), relax)
+        d = bucket_exchange(
+            cand.union(d).map_batches(part_q, batch_format="pandas"),
+            min_q).materialize()
+
+    def part_src(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf.copy()
+        o["_part"] = _bkt(o["src"].to_numpy(np.int64), num_buckets)
+        return o
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        q = g["q"].to_numpy(np.int64)
+        r = (q < BFS_INF) & (q > 0)
+        agg = g.assign(r=r.astype(np.int64),
+                       sd=np.where(r, q, 0)).groupby(
+            "src", as_index=False).agg(n_reached=("r", "sum"),
+                                       sum_depth=("sd", "sum"))
+        return pd.DataFrame({
+            "source": agg["src"].to_numpy(np.int64),
+            "n_reached": agg["n_reached"].to_numpy(np.int64),
+            "sum_depth": agg["sum_depth"].to_numpy(np.int64)})
+
+    return bucket_exchange(
+        d.map_batches(part_src, batch_format="pandas"), finalize)

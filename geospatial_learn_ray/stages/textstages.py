@@ -2285,3 +2285,149 @@ def g2_collocations(docs: ray.data.Dataset, text_col: str = "text",
 
     return withc.map_batches(score, batch_format="pandas").sort(
         ["score_q", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+def rake_keywords(docs: ray.data.Dataset, text_col: str = "text",
+                  k: int = 50, min_count: int = 2,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) over
+    the corpus: candidate phrases are maximal runs of non-stopword
+    tokens (the shared ``functions.textproc.STOPWORDS`` delimiter set),
+    word score = deg/freq with deg(w) = Σ over occurrences of the
+    containing phrase's length, and phrase score = Σ word scores. The
+    ratio is kept exact-integer as ``wscore_q = deg·1024 // freq``
+    (floor division both sides — no float ratio ever forms), so the
+    phrase score is an exact int64 sum and (score_q DESC, phrase) top-k
+    can't tie-split.
+
+    Scale shape: phrase/word partials pre-aggregate per block; one
+    word-keyed exchange finalizes word scores; phrase rows explode into
+    per-position word halves that union-tag join the word scores in a
+    second exchange (unbounded vocabulary — never a broadcast dict);
+    a third phrase-keyed exchange sums. Driver sees the top-k only."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.textproc import STOPWORDS
+    from .exchange import bucket_exchange
+
+    stop = frozenset(STOPWORDS)
+
+    def _tok_part(tok: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(fnv1a64(tok.astype(object)))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def _runs(b: pa.Table) -> pd.DataFrame:
+        """(word, run_id, run_len, phrase) rows for every candidate-run
+        position in the block — one vectorized pass, no per-doc loop."""
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas().to_numpy(object)
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = np.char.str_len(vals.astype(str)) > 0
+        vals, doc = vals[keep], doc[keep]
+        is_stop = np.isin(vals, list(stop))
+        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+        run = np.cumsum(is_stop | new_doc)
+        d = pd.DataFrame({"w": vals, "run": run})[~is_stop]
+        if d.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "run": pd.Series([], dtype=np.int64),
+                                 "rlen": pd.Series([], dtype=np.int64),
+                                 "phrase": pd.Series([], dtype=object)})
+        d["rlen"] = d.groupby("run", sort=False)["w"].transform("size") \
+            .to_numpy(np.int64)
+        d["phrase"] = d.groupby("run", sort=False)["w"] \
+            .transform(lambda s: " ".join(s)).to_numpy(object)
+        return d
+
+    def word_part(b: pa.Table) -> pd.DataFrame:
+        d = _runs(b)
+        g = d.groupby("w", sort=False, as_index=False).agg(
+            deg=("rlen", "sum"), freq=("rlen", "size"))
+        g["deg"] = g["deg"].astype(np.int64)
+        g["freq"] = g["freq"].astype(np.int64)
+        g["_part"] = _tok_part(g["w"].to_numpy())
+        return g
+
+    def word_combine(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby("w", sort=False,
+                                              as_index=False).sum()
+        o["deg"] = o["deg"].astype(np.int64)
+        o["freq"] = o["freq"].astype(np.int64)
+        o["wscore_q"] = (o["deg"] * np.int64(1024)) // o["freq"]
+        return o
+
+    wscore = bucket_exchange(
+        docs.select_columns([text_col]).map_batches(
+            word_part, batch_format="pyarrow"), word_combine)
+
+    def phrase_part(b: pa.Table) -> pd.DataFrame:
+        d = _runs(b)
+        ph = d.drop_duplicates("run")
+        g = ph.groupby("phrase", sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_part"] = _tok_part(g["phrase"].to_numpy())
+        return g
+
+    pcnt = bucket_exchange(
+        docs.select_columns([text_col]).map_batches(
+            phrase_part, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            "phrase", sort=False, as_index=False)["cnt"].sum()
+        .astype({"cnt": np.int64}))
+
+    def halves(b: pd.DataFrame) -> pd.DataFrame:
+        ws = b["phrase"].str.split(" ")
+        lens = ws.str.len().to_numpy(np.int64)
+        d = pd.DataFrame({
+            "jk": np.concatenate(ws.to_numpy(object)) if len(b) else
+            np.array([], object),
+            "phrase": np.repeat(b["phrase"].to_numpy(object), lens),
+            "cnt": np.repeat(b["cnt"].to_numpy(np.int64), lens),
+            "sq": np.zeros(int(lens.sum()), np.int64),
+            "t": np.zeros(int(lens.sum()), np.int8)})
+        d["_part"] = _tok_part(d["jk"].to_numpy())
+        return d
+
+    def look(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        empt = np.empty(n, object)
+        empt.fill("")
+        d = pd.DataFrame({
+            "jk": b["w"].to_numpy(object), "phrase": empt,
+            "cnt": np.zeros(n, np.int64),
+            "sq": b["wscore_q"].to_numpy(np.int64),
+            "t": np.ones(n, np.int8)})
+        d["_part"] = _tok_part(d["jk"].to_numpy())
+        return d
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["t"] == 0].drop(columns=["sq", "t", "_part"])
+        lk = g.loc[g["t"] == 1, ["jk", "sq"]]
+        m = h.merge(lk, on="jk", how="inner").drop(columns=["jk"])
+        m["_part"] = _tok_part(m["phrase"].to_numpy())
+        return m
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        o = g.groupby("phrase", sort=False, as_index=False).agg(
+            n_words=("sq", "size"), cnt=("cnt", "max"),
+            score_q=("sq", "sum"))
+        for c in ("n_words", "cnt", "score_q"):
+            o[c] = o[c].astype(np.int64)
+        return o[o["cnt"] >= min_count]
+
+    joined = bucket_exchange(
+        pcnt.map_batches(halves, batch_format="pandas").union(
+            wscore.map_batches(look, batch_format="pandas")), attach)
+    scored = bucket_exchange(joined, total)
+    return scored.sort(["score_q", "phrase"],
+                       descending=[True, False]).limit(k)

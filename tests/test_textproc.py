@@ -1068,3 +1068,26 @@ def test_g2_collocations_track_float_g2_and_block_invariance():
 
     out2 = g2_collocations(ds.repartition(7)).to_pandas()
     assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+
+
+def test_rake_known_values_on_tiny_corpus():
+    """Hand-computed RAKE on a 2-doc corpus: runs split at the shared
+    STOPWORDS, deg = sum of containing-run lengths, score_q floor-div."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import rake_keywords
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["red fox of red fox", "red fox and blue bird"]})
+    out = rake_keywords(ray.data.from_pandas(docs), k=10, min_count=1) \
+        .to_pandas().set_index("phrase")
+    # runs: 'red fox' x3, 'blue bird' x1
+    # red: deg 2+2+2=6 freq 3 -> 2048; fox same; blue/bird: deg 2 freq 1 -> 2048
+    assert int(out.loc["red fox", "cnt"]) == 3
+    assert int(out.loc["red fox", "score_q"]) == 4096
+    assert int(out.loc["blue bird", "cnt"]) == 1
+    assert int(out.loc["blue bird", "score_q"]) == 4096
+    assert int(out.loc["red fox", "n_words"]) == 2
