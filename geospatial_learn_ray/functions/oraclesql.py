@@ -5850,3 +5850,42 @@ def _rake_sql(k: int = 50, min_count: int = 2) -> str:
         f"WHERE cnt >= {min_count} "
         f"QUALIFY ROW_NUMBER() OVER (ORDER BY score_q DESC, phrase) <= {k}"
     )
+
+
+def _hough_circles_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15,
+                       edge_thresh: float = 0.1,
+                       radii: tuple[int, ...] = (3, 4, 5)) -> str:
+    """SQL twin of raster.hough_circles_stage: the shared edge CTEs,
+    per-radius integer annulus offsets inlined as VALUES, in-tile vote
+    accumulator, peak by votes DESC then (cy, cx) ASC."""
+    from ..stages.raster import _circle_offsets
+
+    offs = ", ".join(
+        f"({r}, {int(dx)}, {int(dy)})"
+        for r in radii for dx, dy in _circle_offsets(r))
+    rvals = ", ".join(f"({r})" for r in radii)
+    return (
+        f"WITH {_edge_ctes(side, tx_max, ty_max, edge_thresh)}, "
+        f"co(r, dx, dy) AS (VALUES {offs}), "
+        f"rads(r) AS (VALUES {rvals}), "
+        "acc AS (SELECT e.tile_x, e.tile_y, co.r, "
+        "  e.x - co.dx AS cx, e.y - co.dy AS cy, COUNT(*) AS votes "
+        "  FROM ed e, co "
+        f"  WHERE e.x - co.dx BETWEEN 0 AND {side - 1} "
+        f"  AND e.y - co.dy BETWEEN 0 AND {side - 1} "
+        "  GROUP BY 1, 2, 3, 4, 5), "
+        "pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y, r "
+        "  ORDER BY votes DESC, cy ASC, cx ASC) AS rr FROM acc), "
+        "cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM ed GROUP BY 1, 2), "
+        "base AS (SELECT DISTINCT tile_x, tile_y FROM rcl) "
+        "SELECT CAST(b.tile_x AS BIGINT) AS tile_x, "
+        "CAST(b.tile_y AS BIGINT) AS tile_y, CAST(rads.r AS BIGINT) AS r, "
+        "CAST(COALESCE(p.cx, -1) AS BIGINT) AS peak_cx, "
+        "CAST(COALESCE(p.cy, -1) AS BIGINT) AS peak_cy, "
+        "CAST(COALESCE(p.votes, 0) AS BIGINT) AS votes, "
+        "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_edge "
+        "FROM base b CROSS JOIN rads "
+        "LEFT JOIN cnt c ON c.tile_x = b.tile_x AND c.tile_y = b.tile_y "
+        "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p "
+        "ON p.tile_x = b.tile_x AND p.tile_y = b.tile_y AND p.r = rads.r"
+    )

@@ -3423,3 +3423,73 @@ def twi_stage(ds: ray.data.Dataset, side: int,
                          for k, v in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _circle_offsets(r: int) -> np.ndarray:
+    """Integer annulus offsets for radius r: dx² + dy² ∈ [r²−r+1, r²+r]
+    (symmetric ring around r², ~one pixel thick — both sides inline the
+    identical list, so membership is never a float question)."""
+    d = np.arange(-r, r + 1, dtype=np.int64)
+    DX, DY = np.meshgrid(d, d)
+    m = (DX * DX + DY * DY >= r * r - r + 1) & (DX * DX + DY * DY <= r * r + r)
+    return np.stack([DX[m], DY[m]], axis=1)
+
+
+def hough_circles_stage(ds: ray.data.Dataset, side: int,
+                        edge_thresh: float = 0.1,
+                        radii: tuple[int, ...] = (3, 4, 5)) -> ray.data.Dataset:
+    """Circular Hough transform per tile (Duda & Hart 1972's circle
+    variant; skimage.transform.hough_circle shape) over the shared
+    gradient-magnitude edge mask of hough_lines_stage / ransac_lines:
+    every edge pixel votes for candidate centers one integer annulus
+    away (offset table per radius, inlined in the SQL twin as VALUES);
+    centers clamp to in-tile coordinates. Peak per (tile, radius) =
+    max votes, ties to (cx, cy) smallest. All-integer accumulator —
+    strict oracle. Output: (tile_x, tile_y, r, peak_cx, peak_cy,
+    votes, n_edge). Map-only, no shuffle."""
+    offs = {r: _circle_offsets(r) for r in radii}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n_tiles = px.shape[0]
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        out: dict[str, list] = {k: [] for k in
+                                ("tile_x", "tile_y", "r", "peak_cx",
+                                 "peak_cy", "votes", "n_edge")}
+        for i in range(n_tiles):
+            v = px[i].reshape(side, side)
+            gx = np.empty_like(v)
+            gx[:, 1:-1] = (v[:, 2:] - v[:, :-2]) / 2.0
+            gx[:, 0] = (v[:, 1] - v[:, 0]) / 2.0
+            gx[:, -1] = (v[:, -1] - v[:, -2]) / 2.0
+            gy = np.empty_like(v)
+            gy[1:-1, :] = (v[2:, :] - v[:-2, :]) / 2.0
+            gy[0, :] = (v[1, :] - v[0, :]) / 2.0
+            gy[-1, :] = (v[-1, :] - v[-2, :]) / 2.0
+            idx = np.flatnonzero((gx * gx + gy * gy > edge_thresh).ravel())
+            ys, xs = np.divmod(idx, side)
+            for r in radii:
+                o = offs[r]
+                cx = xs[:, None] - o[None, :, 0]
+                cy = ys[:, None] - o[None, :, 1]
+                ok = (cx >= 0) & (cx < side) & (cy >= 0) & (cy < side)
+                code = (cy * side + cx)[ok]
+                out["tile_x"].append(txs[i])
+                out["tile_y"].append(tys[i])
+                out["r"].append(r)
+                out["n_edge"].append(len(idx))
+                if len(code) == 0:
+                    out["peak_cx"].append(-1)
+                    out["peak_cy"].append(-1)
+                    out["votes"].append(0)
+                    continue
+                votes = np.bincount(code, minlength=side * side)
+                best = int(np.argmax(votes))  # first max = smallest (cy, cx)
+                out["peak_cy"].append(best // side)
+                out["peak_cx"].append(best % side)
+                out["votes"].append(int(votes[best]))
+        return pa.table({k: pa.array(np.asarray(vv, np.int64))
+                         for k, vv in out.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

