@@ -5993,3 +5993,59 @@ def _iforest_sql(n_trees: int = 16, psi: int = 256, max_depth: int = 8,
     return ("WITH " + ", ".join(parts)
             + " SELECT CAST(key AS BIGINT) AS o_orderkey, total_q "
             f"FROM sc ORDER BY total_q, o_orderkey LIMIT {k}")
+
+
+def _spectrogram_sql(frame: int = 32, nbins: int = 8, maxp: int = 256,
+                     scale: int = 1024) -> str:
+    """SQL twin of multimodal.Spectrogrammer over the GLRM fixture: the
+    same integer-quantized DFT basis (imported and inlined as list
+    literals — shared verbatim with the engine), list-kernel re/im sums
+    per 32-byte frame, power = re²+im², first-max peak bin via a GREATEST
+    chain, and LAG-window positive spectral flux / relative onset — all
+    exact int64, zero transcendental in the query text."""
+    from ..stages.multimodal import _dft_basis
+
+    C, S = _dft_basis(frame, nbins, scale)
+    dev = f"(ord(substr(p, CAST(frame * {frame} AS INT) + i, 1)) - 128)"
+    res = []
+    for b in range(nbins):
+        cl = "[" + ", ".join(str(v) for v in C[b]) + "]"
+        sl = "[" + ", ".join(str(v) for v in S[b]) + "]"
+        res.append(
+            f"list_aggregate(list_transform(generate_series(1, {frame}), "
+            f"i -> {dev} * ({cl})[i]), 'sum') AS re{b + 1}")
+        res.append(
+            f"list_aggregate(list_transform(generate_series(1, {frame}), "
+            f"i -> {dev} * ({sl})[i]), 'sum') AS im{b + 1}")
+    pcols = ", ".join(
+        f"re{b}*re{b} + im{b}*im{b} AS p{b}" for b in range(1, nbins + 1))
+    peak_cases = " ".join(
+        f"WHEN p{b} >= GREATEST("
+        + ", ".join(f"p{j}" for j in range(b + 1, nbins + 1))
+        + f") THEN {b}"
+        for b in range(1, nbins))
+    flux = " + ".join(
+        f"GREATEST(p{b} - LAG(p{b}) OVER w, 0)" for b in range(1, nbins + 1))
+    tot = " + ".join(f"p{b}" for b in range(1, nbins + 1))
+    plist = ", ".join(f"p{b}" for b in range(1, nbins + 1))
+    pbig = ", ".join(f"CAST(p{b} AS BIGINT) AS p{b}"
+                     for b in range(1, nbins + 1))
+    return (
+        f"WITH s AS (SELECT doc_id AS media_id, substr(text, 1, {maxp}) "
+        "AS p FROM documents), "
+        f"nf AS (SELECT media_id, p, length(p) // {frame} AS n FROM s), "
+        "fr AS (SELECT media_id, CAST(gs.range AS BIGINT) AS frame, p "
+        f"FROM nf, range(0, {maxp // frame}) gs WHERE gs.range < n), "
+        f"ri AS MATERIALIZED (SELECT media_id, frame, {', '.join(res)} "
+        "FROM fr), "
+        f"pw AS MATERIALIZED (SELECT media_id, frame, {pcols} FROM ri), "
+        f"fx AS MATERIALIZED (SELECT media_id, frame, {plist}, "
+        f"CASE WHEN frame = 0 THEN 0 ELSE {flux} END AS flux, "
+        f"LAG({tot}) OVER w AS prev_tot, "
+        f"CASE {peak_cases} ELSE {nbins} END AS peak_bin FROM pw "
+        "WINDOW w AS (PARTITION BY media_id ORDER BY frame)) "
+        f"SELECT media_id, frame, {pbig}, "
+        "CAST(peak_bin AS BIGINT) AS peak_bin, CAST(flux AS BIGINT) AS "
+        "flux, CAST(CASE WHEN frame > 0 AND 2*flux > prev_tot THEN 1 "
+        "ELSE 0 END AS BIGINT) AS is_onset FROM fx"
+    )

@@ -2104,6 +2104,15 @@ def _q_iforest(sf_dir: str):
             ["o_orderkey", "o_totalprice", "o_orderdate", "o_custkey"]))
 
 
+def _q_media_spectrogram(sf_dir: str):
+    from geospatial_learn_ray.stages import multimodal
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    media = docs.map_batches(multimodal.media_table, batch_format="pyarrow")
+    return multimodal.spectrogram_stage(media)
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -574,3 +574,96 @@ def phash_dedup_stage(media: ray.data.Dataset, num_buckets: int = 64,
 
     return bucket_exchange(
         hashed.map_batches(part, batch_format="pandas"), count_same)
+
+
+def _dft_basis(frame: int = 32, nbins: int = 8,
+               scale: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Integer-quantized DFT basis for the spectrogram: C[b,n] =
+    floor(cos(2π(b+1)n/frame)·scale + 0.5) and the matching −sin table
+    (bins 1..nbins — DC skipped). Shared verbatim (as SQL list literals)
+    with the twin, so every re/im/power value is exact int64 (|dev| ≤ 128,
+    |coef| ≤ 1024, 32 terms → power ≤ 2·(32·128·1024)² < 2^46)."""
+    n = np.arange(frame, dtype=np.float64)
+    b = np.arange(1, nbins + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * b[:, None] * n[None, :] / frame
+    C = np.floor(np.cos(ang) * scale + 0.5).astype(np.int64)
+    S = np.floor(-np.sin(ang) * scale + 0.5).astype(np.int64)
+    return C, S
+
+
+class Spectrogrammer:
+    """Audio feature-extraction plumbing (the spectrogram every
+    audio-corpus pipeline computes before filtering/embedding): GLRM
+    payload bytes as unsigned 8-bit PCM centered at 128 (LoudnessMeter
+    framing — 32-sample frames, partial trailing frames dropped), an
+    integer-quantized 8-bin DFT per frame (power_b = re² + im², exact
+    int64), the peak bin (ties → smaller bin), the L1 positive spectral
+    flux vs the previous frame, and a relative onset flag
+    (2·flux > previous frame's total power — integer cross-multiply, no
+    division). Stateful basis tables live in ``__init__`` (once per
+    actor); the payload gather is the zero-copy byte-matrix idiom."""
+
+    HEADER = 9
+    FRAME = 32
+    MAXP = 256
+    NBINS = 8
+
+    def __init__(self, scale: int = 1024):
+        self.C, self.S = _dft_basis(self.FRAME, self.NBINS, scale)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["media"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_binary(col.type):
+            offsets = np.frombuffer(col.buffers()[1], np.int64)[
+                col.offset: col.offset + len(col) + 1]
+        else:
+            offsets = np.frombuffer(col.buffers()[1], np.int32)[
+                col.offset: col.offset + len(col) + 1]
+        data = (np.frombuffer(col.buffers()[2], np.uint8)
+                if col.buffers()[2] is not None else np.zeros(0, np.uint8))
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        n = len(col)
+        lens = ends - starts
+        k = np.arange(self.MAXP, dtype=np.int64)
+        idx = (starts + self.HEADER)[:, None] + k[None, :]
+        valid = idx < ends[:, None]
+        safe = np.minimum(idx, max(len(data) - 1, 0))
+        pay = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.int64)
+        nfr = self.MAXP // self.FRAME
+        dev = (pay - 128).reshape(n, nfr, self.FRAME)
+        re = np.einsum("nfk,bk->nfb", dev, self.C)
+        im = np.einsum("nfk,bk->nfb", dev, self.S)
+        power = re * re + im * im                       # (n, nfr, NBINS)
+        peak = np.argmax(power, axis=2).astype(np.int64) + 1  # first max
+        tot = power.sum(axis=2)
+        prev = np.concatenate(
+            [np.zeros((n, 1, self.NBINS), np.int64), power[:, :-1]], axis=1)
+        flux = np.maximum(power - prev, 0).sum(axis=2)
+        flux[:, 0] = 0
+        prev_tot = np.concatenate([np.zeros((n, 1), np.int64),
+                                   tot[:, :-1]], axis=1)
+        onset = ((2 * flux > prev_tot) & (np.arange(nfr)[None, :] > 0)) \
+            .astype(np.int64)
+        n_frames = np.maximum(lens - self.HEADER, 0) // self.FRAME
+        ids = batch["media_id"].to_numpy()
+        f = np.arange(nfr)
+        keep = f[None, :] < n_frames[:, None]
+        r, c = np.nonzero(keep)
+        cols = {"media_id": pa.array(ids[r].astype(np.int64)),
+                "frame": pa.array(c.astype(np.int64))}
+        for b in range(self.NBINS):
+            cols[f"p{b + 1}"] = pa.array(power[r, c, b])
+        cols["peak_bin"] = pa.array(peak[r, c])
+        cols["flux"] = pa.array(flux[r, c])
+        cols["is_onset"] = pa.array(onset[r, c])
+        return pa.table(cols)
+
+
+def spectrogram_stage(ds: ray.data.Dataset,
+                      concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        Spectrogrammer, batch_format="pyarrow", batch_size=256,
+        concurrency=concurrency, num_cpus=1)

@@ -564,3 +564,39 @@ def test_cube_stats_lattice_consistency():
     by_pr = fine.groupby("o_orderpriority")["sum_cents"].sum()
     m1 = out[out["gid"] == 1].set_index("o_orderpriority")["sum_cents"]
     assert (by_pr.sort_index() == m1.sort_index()).all()
+
+
+def test_spectrogrammer_matches_per_row_reference():
+    import numpy as np
+    import pyarrow as pa
+
+    from geospatial_learn_ray.stages.multimodal import (
+        MAGIC, Spectrogrammer, _dft_basis)
+
+    hdr = MAGIC + (16).to_bytes(2, "little") + (16).to_bytes(2, "little") + b"\x03"
+    rng_bytes = bytes((i * 37 + 11) % 128 for i in range(256))
+    short = bytes((i * 53) % 128 for i in range(70))  # 2 full frames
+    t = pa.table({"media_id": pa.array([7, 8], pa.int64()),
+                  "media": pa.array([hdr + rng_bytes, hdr + short],
+                                    pa.binary())})
+    out = Spectrogrammer()(t).to_pandas()
+    assert (out[out.media_id == 7].frame.tolist() == list(range(8))
+            and out[out.media_id == 8].frame.tolist() == [0, 1])
+    C, S = _dft_basis()
+    # per-row reference walk (pure python loops, independent of einsum)
+    prev = None
+    for fr in range(8):
+        seg = np.frombuffer(rng_bytes[fr * 32:(fr + 1) * 32], np.uint8)
+        dev = seg.astype(np.int64) - 128
+        p = [int((dev * C[b]).sum()) ** 2 + int((dev * S[b]).sum()) ** 2
+             for b in range(8)]
+        row = out[(out.media_id == 7) & (out.frame == fr)].iloc[0]
+        assert [row[f"p{b+1}"] for b in range(8)] == p
+        assert row["peak_bin"] == int(np.argmax(p)) + 1
+        if fr == 0:
+            assert row["flux"] == 0 and row["is_onset"] == 0
+        else:
+            flux = sum(max(a - b, 0) for a, b in zip(p, prev))
+            assert row["flux"] == flux
+            assert row["is_onset"] == int(2 * flux > sum(prev))
+        prev = p
