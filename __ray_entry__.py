@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hough_circles_tiles": _q_hough_circles,
         "iforest_orders": _q_iforest,
         "media_spectrogram": _q_media_spectrogram,
+        "seam_carve_tiles": _q_seam_carve,
     }
 
 
@@ -467,6 +468,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _hough_circles_sql,
     _iforest_sql,
     _spectrogram_sql,
+    _seam_carve_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1069,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "hough_circles_tiles": _hough_circles_sql(),
         "iforest_orders": _iforest_sql(),
         "media_spectrogram": _spectrogram_sql(),
+        "seam_carve_tiles": _seam_carve_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -6049,3 +6049,67 @@ def _spectrogram_sql(frame: int = 32, nbins: int = 8, maxp: int = 256,
         "flux, CAST(CASE WHEN frame > 0 AND 2*flux > prev_tot THEN 1 "
         "ELSE 0 END AS BIGINT) AS is_onset FROM fx"
     )
+
+
+def _seam_carve_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+                    ty_max: int = 15) -> str:
+    """SQL twin of raster.seam_carve_stage: quantized-gradient integer
+    energy (clamped borders via COALESCE(LAG/LEAD, q)), the seam DP
+    unrolled one LAG/LEAD-window CTE per row, the backtrack one
+    (ORDER BY m, px LIMIT-1-per-tile) CTE per row — ties toward smaller
+    px exactly as the engine's first-hit argmin."""
+    inf = 1 << 40
+    ctes = [
+        "qt AS (SELECT tile_x, tile_y, px, py, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+        "en AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        "ABS(COALESCE(LEAD(q) OVER wx, q) - COALESCE(LAG(q) OVER wx, q)) "
+        "+ ABS(COALESCE(LEAD(q) OVER wy, q) - COALESCE(LAG(q) OVER wy, q)) "
+        "AS e FROM qt "
+        "WINDOW wx AS (PARTITION BY tile_x, tile_y, py ORDER BY px), "
+        "wy AS (PARTITION BY tile_x, tile_y, px ORDER BY py))",
+        "m0 AS MATERIALIZED (SELECT tile_x, tile_y, px, e AS m "
+        "FROM en WHERE py = 0)",
+    ]
+    for y in range(1, side):
+        ctes.append(
+            f"mp{y} AS (SELECT tile_x, tile_y, px, LEAST(m, "
+            f"COALESCE(LAG(m) OVER wx, {inf}), "
+            f"COALESCE(LEAD(m) OVER wx, {inf})) AS m3 FROM m{y - 1} "
+            "WINDOW wx AS (PARTITION BY tile_x, tile_y ORDER BY px))")
+        ctes.append(
+            f"m{y} AS MATERIALIZED (SELECT e.tile_x, e.tile_y, e.px, "
+            f"e.e + p.m3 AS m FROM (SELECT * FROM en WHERE py = {y}) e "
+            f"JOIN mp{y} p ON p.tile_x = e.tile_x AND p.tile_y = e.tile_y "
+            "AND p.px = e.px)")
+    ctes.append(
+        f"bt{side - 1} AS MATERIALIZED (SELECT tile_x, tile_y, px AS sx "
+        "FROM (SELECT tile_x, tile_y, px, ROW_NUMBER() OVER (PARTITION BY "
+        f"tile_x, tile_y ORDER BY m, px) AS rr FROM m{side - 1}) "
+        "WHERE rr = 1)")
+    for y in range(side - 2, -1, -1):
+        ctes.append(
+            f"bt{y} AS MATERIALIZED (SELECT tile_x, tile_y, px AS sx FROM "
+            "(SELECT m.tile_x, m.tile_y, m.px, ROW_NUMBER() OVER ("
+            "PARTITION BY m.tile_x, m.tile_y ORDER BY m.m, m.px) AS rr "
+            f"FROM m{y} m JOIN bt{y + 1} b ON b.tile_x = m.tile_x "
+            "AND b.tile_y = m.tile_y AND ABS(m.px - b.sx) <= 1) "
+            "WHERE rr = 1)")
+    ctes.append("seam AS (" + " UNION ALL ".join(
+        f"SELECT tile_x, tile_y, CAST({y} AS BIGINT) AS py, sx FROM bt{y}"
+        for y in range(side)) + ")")
+    ctes.append("mall AS (" + " UNION ALL ".join(
+        f"SELECT tile_x, tile_y, CAST({y} AS BIGINT) AS py, px, m "
+        f"FROM m{y}" for y in range(side)) + ")")
+    return (
+        f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " "
+        "SELECT CAST(s.tile_x AS BIGINT) AS tile_x, "
+        "CAST(s.tile_y AS BIGINT) AS tile_y, s.py, "
+        "CAST(s.sx AS BIGINT) AS seam_x, CAST(m.m AS BIGINT) AS m_cum, "
+        "CAST(e.e AS BIGINT) AS e_seam "
+        "FROM seam s JOIN mall m ON m.tile_x = s.tile_x "
+        "AND m.tile_y = s.tile_y AND m.py = s.py AND m.px = s.sx "
+        "JOIN en e ON e.tile_x = s.tile_x AND e.tile_y = s.tile_y "
+        "AND e.py = s.py AND e.px = s.sx"
+    )

@@ -2113,6 +2113,12 @@ def _q_media_spectrogram(sf_dir: str):
 
 
 
+def _q_seam_carve(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.seam_carve_stage(small, side=16)
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -3493,3 +3493,64 @@ def hough_circles_stage(ds: ray.data.Dataset, side: int,
                          for k, vv in out.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def seam_carve_stage(ds: ray.data.Dataset, side: int,
+                     quant: float = 2.0) -> ray.data.Dataset:
+    """Vertical minimum-energy seam per tile (Avidan & Shamir 2007, the
+    content-aware-resize primitive): energy is the exact integer L1
+    gradient |q_right − q_left| + |q_down − q_up| of the quantized
+    elevation (clamped borders — the COALESCE(LAG, q) twin), the DP is
+    M[y,x] = E[y,x] + min(M[y−1, x−1..x+1]) with out-of-range = +INF,
+    and the backtrack picks argmin of the last row then the minimal
+    predecessor among x−1,x,x+1 per step — every tie broken toward the
+    SMALLER x on both sides (np.argmin first-hit == ORDER BY m, px).
+    Map-only over balanced tile blocks (no shuffle), fully vectorized
+    across the batch's tiles; the SQL twin unrolls the DP as one
+    LAG/LEAD window CTE per row and the backtrack as one argmin CTE per
+    row. Emits one row per (tile, py): the seam column, its cumulative
+    cost and its cell energy."""
+    INF = np.int64(1) << 40
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        n = pxm.shape[0]
+        q = np.floor(pxm.reshape(n, side, side) * quant).astype(np.int64)
+        xs = np.arange(side)
+        ys = np.arange(side)
+        E = (np.abs(q[:, :, np.minimum(xs + 1, side - 1)]
+                    - q[:, :, np.maximum(xs - 1, 0)])
+             + np.abs(q[:, np.minimum(ys + 1, side - 1), :]
+                      - q[:, np.maximum(ys - 1, 0), :]))
+        M = np.empty_like(E)
+        M[:, 0] = E[:, 0]
+        for y in range(1, side):
+            prev = M[:, y - 1]
+            lp = np.concatenate([np.full((n, 1), INF), prev[:, :-1]], axis=1)
+            rp = np.concatenate([prev[:, 1:], np.full((n, 1), INF)], axis=1)
+            M[:, y] = E[:, y] + np.minimum(prev, np.minimum(lp, rp))
+        seam = np.empty((n, side), np.int64)
+        seam[:, side - 1] = np.argmin(M[:, side - 1], axis=1)
+        rows_n = np.arange(n)
+        for y in range(side - 2, -1, -1):
+            x = seam[:, y + 1]
+            cand = np.stack([x - 1, x, x + 1], axis=1)
+            ok = (cand >= 0) & (cand < side)
+            vals = np.where(ok, M[rows_n[:, None], y,
+                                  np.clip(cand, 0, side - 1)], INF)
+            seam[:, y] = cand[rows_n, np.argmin(vals, axis=1)]
+        py = np.tile(ys, n)
+        ti = np.repeat(rows_n, side)
+        sx = seam.ravel()
+        return pa.table({
+            "tile_x": pa.array(txs[ti].astype(np.int64)),
+            "tile_y": pa.array(tys[ti].astype(np.int64)),
+            "py": pa.array(py.astype(np.int64)),
+            "seam_x": pa.array(sx),
+            "m_cum": pa.array(M[ti, py, sx]),
+            "e_seam": pa.array(E[ti, py, sx]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

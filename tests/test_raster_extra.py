@@ -1075,3 +1075,48 @@ def test_hough_circles_finds_planted_circle():
     assert abs(int(row["peak_cx"]) - cx) <= 1
     assert abs(int(row["peak_cy"]) - cy) <= 1
     assert int(row["votes"]) >= 8
+
+
+def test_seam_carve_matches_scalar_dp_and_is_connected():
+    import numpy as np
+    import ray
+
+    from geospatial_learn_ray.sources.tiles import read_tiles, tile_pixels
+    from geospatial_learn_ray.stages import raster
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = raster.seam_carve_stage(small, side=side).to_pandas()
+    for (tx, ty) in [(0, 0), (3, 7), (15, 15)]:
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)] \
+            .sort_values("py").reset_index(drop=True)
+        assert len(g) == side
+        sx = g["seam_x"].to_numpy()
+        assert (np.abs(np.diff(sx)) <= 1).all()          # connected seam
+        # scalar reference DP (python loops, no vectorization shortcuts)
+        q = np.floor(tile_pixels(tx, ty, side).astype(np.float64)
+                     .reshape(side, side) * 2.0).astype(np.int64)
+        E = np.zeros((side, side), np.int64)
+        for y in range(side):
+            for x in range(side):
+                E[y, x] = (abs(q[y, min(x + 1, side - 1)]
+                               - q[y, max(x - 1, 0)])
+                           + abs(q[min(y + 1, side - 1), x]
+                                 - q[max(y - 1, 0), x]))
+        M = E.copy()
+        for y in range(1, side):
+            for x in range(side):
+                M[y, x] = E[y, x] + min(
+                    M[y - 1, xx] for xx in (x - 1, x, x + 1)
+                    if 0 <= xx < side)
+        bx = int(np.argmin(M[side - 1]))
+        ref = [0] * side
+        ref[side - 1] = bx
+        for y in range(side - 2, -1, -1):
+            cands = [xx for xx in (ref[y + 1] - 1, ref[y + 1], ref[y + 1] + 1)
+                     if 0 <= xx < side]
+            ref[y] = min(cands, key=lambda xx: (M[y, xx], xx))
+        assert sx.tolist() == ref
+        assert g["m_cum"].tolist() == [int(M[y, ref[y]]) for y in range(side)]
+        assert g["e_seam"].tolist() == [int(E[y, ref[y]]) for y in range(side)]
