@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iforest_orders": _q_iforest,
         "media_spectrogram": _q_media_spectrogram,
         "seam_carve_tiles": _q_seam_carve,
+        "sorted_neighborhood_docs": _q_sorted_neighborhood,
     }
 
 
@@ -469,6 +470,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _iforest_sql,
     _spectrogram_sql,
     _seam_carve_sql,
+    _sorted_neighborhood_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1072,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "iforest_orders": _iforest_sql(),
         "media_spectrogram": _spectrogram_sql(),
         "seam_carve_tiles": _seam_carve_sql(),
+        "sorted_neighborhood_docs": _sorted_neighborhood_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -6113,3 +6113,27 @@ def _seam_carve_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
         "JOIN en e ON e.tile_x = s.tile_x AND e.tile_y = s.tile_y "
         "AND e.py = s.py AND e.px = s.sx"
     )
+
+
+def _sorted_neighborhood_sql(window: int = 3, key_len: int = 32,
+                             gram_len: int = 64) -> str:
+    """SQL twin of textstages.sorted_neighborhood_docs: per-lang
+    ROW_NUMBER over (substr key, doc_id), rank-gap ≤ window self-join,
+    shared-distinct-trigram counts via list_distinct + list_intersect."""
+    return (
+        f"WITH d AS (SELECT doc_id, lang, substr(text, 1, {key_len}) "
+        f"AS skey, substr(text, 1, {gram_len}) AS t64 FROM documents), "
+        "r AS (SELECT doc_id, lang, t64, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY skey, doc_id) AS BIGINT) AS rk "
+        "FROM d), "
+        "g AS MATERIALIZED (SELECT doc_id, lang, rk, "
+        "list_distinct(list_transform("
+        "generate_series(1, GREATEST(length(t64) - 2, 0)), "
+        "i -> substr(t64, i, 3))) AS tg FROM r) "
+        "SELECT a.lang, CAST(a.doc_id AS BIGINT) AS id_a, "
+        "CAST(b.doc_id AS BIGINT) AS id_b, "
+        "CAST(b.rk - a.rk AS BIGINT) AS gap, "
+        "CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS n_shared "
+        "FROM g a JOIN g b ON b.lang = a.lang AND b.rk > a.rk "
+        f"AND b.rk <= a.rk + {window}"
+    )

@@ -2119,6 +2119,12 @@ def _q_seam_carve(sf_dir: str):
 
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    return textstages.sorted_neighborhood_docs(
+        _rp(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

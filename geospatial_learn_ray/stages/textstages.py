@@ -2431,3 +2431,85 @@ def rake_keywords(docs: ray.data.Dataset, text_col: str = "text",
     scored = bucket_exchange(joined, total)
     return scored.sort(["score_q", "phrase"],
                        descending=[True, False]).limit(k)
+
+
+def sorted_neighborhood_docs(docs: ray.data.Dataset, window: int = 3,
+                             key_len: int = 32, gram_len: int = 64,
+                             num_buckets: int = 64) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking for near-duplicate candidate pairs
+    (Hernández & Stolfo 1995, the merge/purge windowing every
+    entity-resolution pipeline runs before expensive pairwise scoring) —
+    the blocked variant that scales: records are hash-partitioned by a
+    BLOCKING key (lang here; at corpus scale a key with ≥ cluster-width
+    cardinality), sorted inside each block by a cheap sort key (the first
+    ``key_len`` text chars, doc_id tiebreak), and only rank-gap ≤
+    ``window`` neighbors are paired. Windows never cross blocks, so one
+    bucketed exchange does the whole op — no global rank, no all-to-all.
+    Pair score = number of DISTINCT char 3-grams of the first
+    ``gram_len`` chars shared by both sides, computed as one fully
+    vectorized (pairs × 62 × 62) byte-matrix compare per block — exact
+    integers, trivially restated as DuckDB list_intersect."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            h = fnv1a64(b["lang"].astype(str).to_numpy(object))
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "lang": b["lang"].astype(str),
+            "skey": b["text"].str.slice(0, key_len),
+            "t64": b["text"].str.slice(0, gram_len),
+            "_part": (h % np.uint64(num_buckets)).astype(np.int32)})
+
+    def _tri(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """(codes, distinct-first-occurrence mask) — padded byte matrix."""
+        n = len(texts)
+        lens = texts.str.len().to_numpy(np.int64)
+        pad = texts.str.pad(gram_len, side="right", fillchar="\x00")
+        m = np.frombuffer("".join(pad).encode("ascii"),
+                          np.uint8).reshape(n, gram_len).astype(np.int64)
+        k = gram_len - 2
+        codes = (m[:, :k] << 16) + (m[:, 1:k + 1] << 8) + m[:, 2:k + 2]
+        valid = np.arange(k)[None, :] < np.maximum(lens - 2, 0)[:, None]
+        codes = np.where(valid, codes, -1)
+        eq = codes[:, :, None] == codes[:, None, :]
+        dup = (eq & np.tril(np.ones((k, k), bool), -1)[None]).any(axis=2)
+        return codes, valid & ~dup
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, fr in g.groupby("lang", sort=False):
+            fr = fr.sort_values(["skey", "doc_id"],
+                                kind="mergesort").reset_index(drop=True)
+            n = len(fr)
+            if n < 2:
+                continue
+            codes, dist = _tri(fr["t64"])
+            ids = fr["doc_id"].to_numpy(np.int64)
+            ai, bi = [], []
+            for d in range(1, window + 1):
+                ai.append(np.arange(0, max(n - d, 0)))
+                bi.append(np.arange(d, n))
+            ai = np.concatenate(ai)
+            bi = np.concatenate(bi)
+            ta, tb = codes[ai], codes[bi]
+            shared = ((ta[:, :, None] == tb[:, None, :]).any(axis=2)
+                      & dist[ai]).sum(axis=1)
+            frames.append(pd.DataFrame({
+                "lang": fr["lang"].iloc[0], "id_a": ids[ai],
+                "id_b": ids[bi], "gap": (bi - ai).astype(np.int64),
+                "n_shared": shared.astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "gap": pd.Series([], dtype=np.int64),
+                                 "n_shared": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return bucket_exchange(docs.map_batches(part, batch_format="pandas"),
+                           pairs)

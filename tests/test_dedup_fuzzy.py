@@ -488,3 +488,39 @@ def test_cdc_chunks_find_planted_shared_paragraph():
     out = cdc_chunk_dedup(ray.data.from_pandas(docs)).to_pandas()
     assert (out["n_docs"] >= 3).any(), "no chunk shared by the 3 planted docs"
     assert (out["n_docs"] == 1).any()
+
+
+def test_sorted_neighborhood_planted_near_dups():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import sorted_neighborhood_docs
+
+    # planted: docs 100/101 share a 64-char prefix except one char —
+    # adjacent in sort order, n_shared close to max; doc 999 is unrelated
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        {"doc_id": 100, "lang": "en", "text": base + " tail one"},
+        {"doc_id": 101, "lang": "en", "text": base[:40] + "X" + base[41:] + " t2"},
+        {"doc_id": 999, "lang": "en", "text": "zzz totally different body " * 4},
+        {"doc_id": 7, "lang": "fr", "text": base + " fr side"},
+    ]
+    filler = [{"doc_id": 200 + i, "lang": "en",
+               "text": f"mid {i:03d} filler body words " * 3}
+              for i in range(10)]
+    df = pd.DataFrame(rows + filler)
+    out = sorted_neighborhood_docs(
+        ray.data.from_pandas(df).repartition(3)).to_pandas()
+    # pairs never cross lang blocks
+    assert not ((out.id_a == 7) | (out.id_b == 7)).any() or \
+        (out[(out.id_a == 7) | (out.id_b == 7)].lang == "fr").all()
+    pair = out[(out.id_a == 100) & (out.id_b == 101)
+               | (out.id_a == 101) & (out.id_b == 100)]
+    assert len(pair) == 1 and pair.iloc[0]["gap"] == 1
+    # the planted pair shares nearly all distinct trigrams; count exactly
+    ta = {df.text[0][:64][i:i + 3] for i in range(62)}
+    tb = {df.text[1][:64][i:i + 3] for i in range(62)}
+    assert pair.iloc[0]["n_shared"] == len(ta & tb) > 40
+    # gap bounded by window
+    assert out.gap.between(1, 3).all()
