@@ -6137,3 +6137,26 @@ def _sorted_neighborhood_sql(window: int = 3, key_len: int = 32,
         "FROM g a JOIN g b ON b.lang = a.lang AND b.rk > a.rk "
         f"AND b.rk <= a.rk + {window}"
     )
+
+
+def _attribution_sql(horizon_days: int = 7) -> str:
+    """SQL twin of streaming.attribution_events: the naive (purchase ×
+    in-window touch) LEFT JOIN with ordered FIRST/LAST aggregates — the
+    engine's merge_asof pair computes the same first/last/count without
+    materializing the pair blow-up."""
+    return (
+        "WITH t AS (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type IN ('click', 'view')), "
+        "p AS (SELECT event_id, user_id, ts, "
+        "CAST(FLOOR(ABS(value*100.0) + 0.5)*SIGN(value) AS BIGINT) "
+        "AS cents FROM events WHERE event_type = 'purchase') "
+        "SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id, "
+        "p.cents, CAST(COUNT(t.event_id) AS BIGINT) AS n_touches, "
+        "CAST(COALESCE(FIRST(t.event_id ORDER BY t.ts, t.event_id), -1) "
+        "AS BIGINT) AS first_touch_id, "
+        "CAST(COALESCE(LAST(t.event_id ORDER BY t.ts, t.event_id), -1) "
+        "AS BIGINT) AS last_touch_id "
+        "FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts < p.ts "
+        f"AND t.ts >= p.ts - INTERVAL {horizon_days} DAY "
+        "GROUP BY p.event_id, p.user_id, p.cents"
+    )

@@ -2125,6 +2125,15 @@ def _q_sorted_neighborhood(sf_dir: str):
 
 
 
+def _q_attribution(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.attribution_events(
+        _rp(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

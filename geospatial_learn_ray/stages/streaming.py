@@ -1639,3 +1639,89 @@ def traj_intersections_users(events: ray.data.Dataset,
     parted = events.select_columns(["user_id", "ts", "event_id"]) \
         .map_batches(prep, batch_format="pyarrow")
     return bucket_exchange(parted, combine)
+
+
+def attribution_events(ds: ray.data.Dataset, horizon_days: int = 7,
+                       touch_types: tuple[str, ...] = ("click", "view"),
+                       conv_type: str = "purchase",
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """First/last-touch attribution (the standard marketing-analytics
+    join every conversion pipeline runs): for each ``conv_type`` event,
+    the first and last ``touch_types`` event of the same user inside
+    [ts − horizon, ts) plus the touch count — ties on equal timestamps
+    break by event_id on both ends, exactly the SQL twin's
+    FIRST/LAST(... ORDER BY ts, event_id). One user-bucketed exchange;
+    inside each bucket the window lookups are TWO ``pd.merge_asof``
+    passes (backward at ts−1µs for the last touch, forward at
+    ts−horizon for the first) plus a per-user running touch counter —
+    all C-vectorized, no per-user Python loop, no row explosion (the
+    SQL LEFT JOIN materializes every (purchase, touch) pair; the
+    engine never does). Purchases with no in-window touch report
+    n_touches = 0 and ids −1."""
+    from ..functions.rounding import round_half_away
+
+    usec = np.int64(horizon_days) * 86_400_000_000
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            uh = splitmix64(b["user_id"].to_numpy(np.int64).astype(np.uint64))
+        finally:
+            np.seterr(**old)
+        keep = b["event_type"].isin(list(touch_types) + [conv_type])
+        b = b.loc[keep, ["event_id", "ts", "user_id", "event_type",
+                         "value"]].copy()
+        b["_part"] = (uh[keep.to_numpy()] % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        return b
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = g.assign(_ts=ts).sort_values(["_ts", "event_id"],
+                                         kind="mergesort")
+        t = g[g["event_type"].isin(touch_types)].copy()
+        p = g[g["event_type"] == conv_type].copy()
+        if not len(p):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "cents": pd.Series([], dtype=np.int64),
+                "n_touches": pd.Series([], dtype=np.int64),
+                "first_touch_id": pd.Series([], dtype=np.int64),
+                "last_touch_id": pd.Series([], dtype=np.int64)})
+        t["_seq"] = t.groupby("user_id", sort=False).cumcount() \
+            .to_numpy(np.int64)
+        tt = t[["_ts", "user_id", "event_id", "_seq"]]
+        pb = p[["_ts", "user_id", "event_id"]].copy()
+        pb["_bk"] = pb["_ts"] - 1
+        pf = pb.copy()
+        pf["_fw"] = pb["_ts"] - usec
+        last = pd.merge_asof(
+            pb.sort_values("_bk", kind="mergesort"), tt,
+            left_on="_bk", right_on="_ts", by="user_id",
+            direction="backward", suffixes=("", "_t"))
+        first = pd.merge_asof(
+            pf.sort_values("_fw", kind="mergesort"), tt,
+            left_on="_fw", right_on="_ts", by="user_id",
+            direction="forward", suffixes=("", "_t"))
+        last = last.set_index("event_id")
+        first = first.set_index("event_id")
+        pid = p["event_id"].to_numpy(np.int64)
+        s_last = last["_seq"].reindex(pid)
+        s_first = first["_seq"].reindex(pid)
+        n = (s_last - s_first + 1).fillna(0).to_numpy(np.int64)
+        n = np.maximum(n, 0)
+        has = n > 0
+        fid = np.where(has, first["event_id_t"].reindex(pid)
+                       .fillna(-1).to_numpy(np.int64), -1)
+        lid = np.where(has, last["event_id_t"].reindex(pid)
+                       .fillna(-1).to_numpy(np.int64), -1)
+        cents = round_half_away(p["value"].to_numpy(np.float64) * 100.0,
+                                0).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": pid, "user_id": p["user_id"].to_numpy(np.int64),
+            "cents": cents, "n_touches": np.where(has, n, 0),
+            "first_touch_id": fid, "last_touch_id": lid})
+
+    return bucket_exchange(ds.map_batches(part, batch_format="pandas"),
+                           attrib)

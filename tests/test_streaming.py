@@ -707,3 +707,42 @@ def test_traj_intersections_known_values_and_brute_force():
                     and (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0):
                 cnt += 1
     assert cnt == int(out[out["user_id"] == u0]["n_crossings"].iloc[0])
+
+
+def test_attribution_events_planted_windows():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.streaming import attribution_events
+
+    T0 = pd.Timestamp("2024-03-01")
+    H = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: touches at t0, t0+1h, t0+2h; purchase at t0+3h
+        (10, T0, 1, "click", 0.0),
+        (11, T0 + H, 1, "view", 0.0),
+        (12, T0 + 2 * H, 1, "click", 0.0),
+        (13, T0 + 3 * H, 1, "purchase", 12.345),
+        # user 2: touch 8 days before purchase -> outside horizon
+        (20, T0, 2, "click", 0.0),
+        (21, T0 + pd.Timedelta(days=8), 2, "purchase", 5.0),
+        # user 3: touch at exactly purchase ts -> excluded (strictly before)
+        (30, T0, 3, "view", 0.0),
+        (31, T0, 3, "purchase", 1.0),
+        # user 4: touch exactly horizon boundary (ts-7d) -> included
+        (40, T0, 4, "click", 0.0),
+        (41, T0 + pd.Timedelta(days=7), 4, "purchase", 2.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    out = attribution_events(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("event_id").sort_index()
+    assert out.loc[13, ["n_touches", "first_touch_id", "last_touch_id"]] \
+        .tolist() == [3, 10, 12]
+    assert out.loc[13, "cents"] == 1235  # round half away
+    assert out.loc[21, ["n_touches", "first_touch_id", "last_touch_id"]] \
+        .tolist() == [0, -1, -1]
+    assert out.loc[31, "n_touches"] == 0
+    assert out.loc[41, ["n_touches", "first_touch_id", "last_touch_id"]] \
+        .tolist() == [1, 40, 40]
