@@ -6160,3 +6160,59 @@ def _attribution_sql(horizon_days: int = 7) -> str:
         f"AND t.ts >= p.ts - INTERVAL {horizon_days} DAY "
         "GROUP BY p.event_id, p.user_id, p.cents"
     )
+
+
+def _zorder_layout_sql(grid: int = 256, files_shift: int = 6,
+                       bbox: tuple[float, float, float, float] =
+                       (-10.0, 30.0, 40.0, 60.0)) -> str:
+    """SQL twin of cellindex.zorder_layout_pages: geocode chain, the
+    identical float cell binning (inlined scale literals), the Morton
+    part1by1 mask ladder on BIGINTs, per-file zone-map aggregates and
+    the same integer range-intersection pruning predicate."""
+    from . import sqlgen as _sg
+
+    lo_x, lo_y, hi_x, hi_y = bbox
+    sx = grid / 360.0
+    sy = grid / 180.0
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url FROM pages",
+                      _sg.geocode_steps("url"))
+
+    def spread(col: str, tag: str) -> list[tuple[str, str]]:
+        a, b, c2 = f"_z{tag}a", f"_z{tag}b", f"_z{tag}c"
+        return [
+            (a, f"(({col} & 255) | (({col} & 255) << 4)) & 3855"),
+            (b, f"(({a} | ({a} << 2)) & 13107)"),
+            (c2, f"(({b} | ({b} << 1)) & 21845)"),
+        ]
+
+    qlo_x = int(np.floor((lo_x + 180.0) * sx))
+    qhi_x = int(np.floor((hi_x + 180.0) * sx))
+    qlo_y = int(np.floor((lo_y + 90.0) * sy))
+    qhi_y = int(np.floor((hi_y + 90.0) * sy))
+    cells = _sg.chain(
+        f"SELECT lon, lat, "
+        f"CAST(LEAST(FLOOR((lon + CAST(180 AS DOUBLE)) * "
+        f"CAST({sx!r} AS DOUBLE)), {grid - 1}) AS BIGINT) AS ix, "
+        f"CAST(LEAST(FLOOR((lat + CAST(90 AS DOUBLE)) * "
+        f"CAST({sy!r} AS DOUBLE)), {grid - 1}) AS BIGINT) AS iy "
+        f"FROM ({inner})",
+        spread("ix", "x") + spread("iy", "y")
+        + [("fid", "((_zxc | (_zyc << 1)) >> " + str(files_shift) + ")"),
+           ("hit", f"CASE WHEN lon >= CAST({lo_x!r} AS DOUBLE) "
+                   f"AND lon <= CAST({hi_x!r} AS DOUBLE) "
+                   f"AND lat >= CAST({lo_y!r} AS DOUBLE) "
+                   f"AND lat <= CAST({hi_y!r} AS DOUBLE) "
+                   "THEN 1 ELSE 0 END")])
+    return (
+        f"WITH g AS MATERIALIZED (SELECT fid, COUNT(*)::BIGINT AS n_rows, "
+        "MIN(ix) AS min_ix, MAX(ix) AS max_ix, MIN(iy) AS min_iy, "
+        "MAX(iy) AS max_iy, CAST(SUM(hit) AS BIGINT) AS n_hits "
+        f"FROM ({cells}) GROUP BY fid) "
+        "SELECT CAST(fid AS BIGINT) AS fid, n_rows, "
+        "CAST(min_ix AS BIGINT) AS min_ix, CAST(max_ix AS BIGINT) AS "
+        "max_ix, CAST(min_iy AS BIGINT) AS min_iy, "
+        "CAST(max_iy AS BIGINT) AS max_iy, n_hits, "
+        f"CAST(CASE WHEN max_ix >= {qlo_x} AND min_ix <= {qhi_x} "
+        f"AND max_iy >= {qlo_y} AND min_iy <= {qhi_y} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS need_scan FROM g"
+    )

@@ -2134,6 +2134,13 @@ def _q_attribution(sf_dir: str):
 
 
 
+def _q_zorder_layout(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import zorder_layout_pages
+
+    return zorder_layout_pages(read_pages(sf_dir, columns=["url"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

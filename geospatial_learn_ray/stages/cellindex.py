@@ -838,3 +838,82 @@ def snap_points_pages(ds: ray.data.Dataset, n_seg: int = 64,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=_bs())
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 8 bits of each int64 so bit i lands at 2i (the
+    classic Morton part1by1 mask ladder — identical literal masks in the
+    SQL twin)."""
+    v = v & 0xFF
+    v = (v | (v << 4)) & 0x0F0F
+    v = (v | (v << 2)) & 0x3333
+    v = (v | (v << 1)) & 0x5555
+    return v
+
+
+def zorder_layout_pages(pages: ray.data.Dataset, grid: int = 256,
+                        files_shift: int = 6,
+                        bbox: tuple[float, float, float, float] =
+                        (-10.0, 30.0, 40.0, 60.0),
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Z-order (Morton) data-layout planner — the file-skipping layout
+    step a lakehouse writer runs before clustering 100 TB by spatial
+    key: geocode each page, bin to a ``grid``×``grid`` integer cell,
+    interleave bits into a Morton key, and group rows into Z-contiguous
+    'files' (``zkey >> files_shift`` — 1024 files at the defaults). Per
+    file it reports the min/max cell ranges a format like Parquet would
+    store as zone-map stats, whether a fixed ``bbox`` query could SKIP
+    the file (range intersection on the stats), and the rows actually
+    matching — so the emitted table directly exhibits the
+    scan-pruning win (files_scanned ≪ files, hits ≈ scanned rows).
+    Map-side partial aggregation per block, then one coarse bucketed
+    exchange over file ids — no row-level shuffle of the dataset."""
+    from ..functions.geo import geocode
+    from .exchange import bucket_exchange
+
+    lo_x, lo_y, hi_x, hi_y = bbox
+    sx = grid / 360.0
+    sy = grid / 180.0
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        lon, lat = geocode(b["url"].to_numpy(object))
+        ix = np.minimum(np.floor((lon + 180.0) * sx), grid - 1) \
+            .astype(np.int64)
+        iy = np.minimum(np.floor((lat + 90.0) * sy), grid - 1) \
+            .astype(np.int64)
+        zkey = _part1by1(ix) | (_part1by1(iy) << 1)
+        fid = zkey >> files_shift
+        hit = ((lon >= lo_x) & (lon <= hi_x)
+               & (lat >= lo_y) & (lat <= hi_y)).astype(np.int64)
+        d = pd.DataFrame({"fid": fid, "ix": ix, "iy": iy, "hit": hit})
+        agg = d.groupby("fid").agg(
+            n_rows=("ix", "size"), min_ix=("ix", "min"),
+            max_ix=("ix", "max"), min_iy=("iy", "min"),
+            max_iy=("iy", "max"), n_hits=("hit", "sum")).reset_index()
+        agg["_part"] = (agg["fid"].to_numpy(np.int64)
+                        % num_buckets).astype(np.int32)
+        return agg
+
+    # bbox in cell space (identical expressions in the SQL twin)
+    qlo_x = int(np.floor((lo_x + 180.0) * sx))
+    qhi_x = int(np.floor((hi_x + 180.0) * sx))
+    qlo_y = int(np.floor((lo_y + 90.0) * sy))
+    qhi_y = int(np.floor((hi_y + 90.0) * sy))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["_part"]).groupby("fid").agg(
+            n_rows=("n_rows", "sum"), min_ix=("min_ix", "min"),
+            max_ix=("max_ix", "max"), min_iy=("min_iy", "min"),
+            max_iy=("max_iy", "max"), n_hits=("n_hits", "sum")) \
+            .reset_index()
+        out["need_scan"] = ((out["max_ix"] >= qlo_x)
+                            & (out["min_ix"] <= qhi_x)
+                            & (out["max_iy"] >= qlo_y)
+                            & (out["min_iy"] <= qhi_y)).astype(np.int64)
+        for c in ("fid", "n_rows", "min_ix", "max_ix", "min_iy",
+                  "max_iy", "n_hits"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucket_exchange(pages.map_batches(part, batch_format="pandas"),
+                           combine, small_partials=True)

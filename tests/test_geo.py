@@ -397,3 +397,34 @@ def test_kriging_matches_independent_solver_and_is_unbiased():
     out2 = kriging_grid(pages.repartition(7)).to_pandas() \
         .sort_values(["gx", "gy"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_zorder_part1by1_and_pruning_win():
+    import numpy as np
+    import ray
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.cellindex import (
+        _part1by1, zorder_layout_pages)
+
+    # bit-spread reference: every set bit of v lands at 2*i
+    v = np.arange(256, dtype=np.int64)
+    ref = np.zeros(256, np.int64)
+    for i in range(8):
+        ref |= ((v >> i) & 1) << (2 * i)
+    assert (_part1by1(v) == ref).all()
+    # interleave is a bijection on the 16-bit grid
+    ix, iy = np.meshgrid(np.arange(64), np.arange(64))
+    z = _part1by1(ix.ravel().astype(np.int64)) \
+        | (_part1by1(iy.ravel().astype(np.int64)) << 1)
+    assert len(np.unique(z)) == 64 * 64
+    out = zorder_layout_pages(
+        read_pages("/root/testdata/sf0.001", columns=["url"])).to_pandas()
+    # zone-map pruning must lose no hits and skip a real fraction of files
+    assert out.loc[out.need_scan == 0, "n_hits"].sum() == 0
+    assert out["n_rows"].sum() == 500
+    assert 0 < out["need_scan"].sum() < len(out)
+    # Z-contiguous files bound cell ranges: a file spans <= 2^files_shift
+    # Morton slots, so its ix/iy spreads stay inside one 8x8-ish window
+    assert ((out.max_ix - out.min_ix) <= 15).all()
+    assert ((out.max_iy - out.min_iy) <= 15).all()
