@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_docs": _q_sorted_neighborhood,
         "attribution_events": _q_attribution,
         "zorder_layout_pages": _q_zorder_layout,
+        "rrf_fusion_docs": _q_rrf_fusion,
     }
 
 
@@ -475,6 +476,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _sorted_neighborhood_sql,
     _attribution_sql,
     _zorder_layout_sql,
+    _rrf_fusion_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1081,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_docs": _sorted_neighborhood_sql(),
         "attribution_events": _attribution_sql(),
         "zorder_layout_pages": _zorder_layout_sql(),
+        "rrf_fusion_docs": _rrf_fusion_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -6216,3 +6216,41 @@ def _zorder_layout_sql(grid: int = 256, files_shift: int = 6,
         f"AND max_iy >= {qlo_y} AND min_iy <= {qhi_y} "
         "THEN 1 ELSE 0 END AS BIGINT) AS need_scan FROM g"
     )
+
+
+def _rrf_fusion_sql(queries: dict[int, list[str]] | None = None,
+                    k_lists: int = 10, k_out: int = 10,
+                    rrf_c: int = 60) -> str:
+    """SQL twin of textstages.rrf_fusion_docs: the two retrieval oracles
+    (_bm25_sql and the ann_cosine ranking) as parenthesized subqueries,
+    fused by the integer floor(2^20/(c+rank)) RRF surrogate with −1
+    absent-rank markers and (rrf_q DESC, id) top-k_out."""
+    if queries is None:
+        from ..pipelines.querydefs import BM25_QUERIES
+        queries = BM25_QUERIES
+    nq = len(queries)
+    return (
+        f"WITH bm AS (SELECT query_id, doc_id AS id, rn AS r "
+        f"FROM ({_bm25_sql(queries, k_lists)})), "
+        "co AS (SELECT qid // 50 AS query_id, neighbor_id AS id, rank AS r "
+        "FROM (SELECT q.qid, e.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+        "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rank "
+        "FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+        f"WHERE vec_id % 50 = 0 AND vec_id // 50 < {nq}) q "
+        f"CROSS JOIN embeddings e) WHERE rank <= {k_lists}), "
+        "u AS (SELECT query_id, id, r, 0 AS src FROM bm "
+        "UNION ALL SELECT query_id, id, r, 1 AS src FROM co), "
+        "g AS MATERIALIZED (SELECT query_id, id, "
+        f"CAST(SUM(1048576 // ({rrf_c} + r)) AS BIGINT) AS rrf_q, "
+        "CAST(COALESCE(MAX(CASE WHEN src = 0 THEN r END), -1) AS BIGINT) "
+        "AS bm25_rank, "
+        "CAST(COALESCE(MAX(CASE WHEN src = 1 THEN r END), -1) AS BIGINT) "
+        "AS cos_rank FROM u GROUP BY query_id, id) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(id AS BIGINT) AS id, rrf_q, bm25_rank, cos_rank, "
+        "CAST(rn AS BIGINT) AS rn FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY rrf_q DESC, id) AS rn FROM g) "
+        f"WHERE rn <= {k_out}"
+    )

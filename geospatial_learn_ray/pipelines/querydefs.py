@@ -2141,6 +2141,13 @@ def _q_zorder_layout(sf_dir: str):
 
 
 
+def _q_rrf_fusion(sf_dir: str):
+    return textstages.rrf_fusion_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        _rp(sf_dir, "embeddings"))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2513,3 +2513,69 @@ def sorted_neighborhood_docs(docs: ray.data.Dataset, window: int = 3,
 
     return bucket_exchange(docs.map_batches(part, batch_format="pandas"),
                            pairs)
+
+
+def rrf_fusion_docs(docs: ray.data.Dataset, embeddings: ray.data.Dataset,
+                    queries: dict[int, list[str]] | None = None,
+                    k_lists: int = 10, k_out: int = 10,
+                    rrf_c: int = 60) -> ray.data.Dataset:
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009): fuse the BM25 lexical top-k and the embedding-cosine
+    top-k per query with the INTEGER RRF surrogate
+    score = Σ_lists floor(2^20 / (c + rank)) — exact both sides, no
+    float ever near the oracle. Fusion query q pairs BM25_QUERIES[q]
+    with the stock ANN query vector vec_id = 50·q (the % 50 == 0 probe
+    fixture both retrieval oracles already use). Both input rankings
+    are the existing distributed stages; the fusion itself touches only
+    |Q|·k ranked rows — bounded by the query set BY DEFINITION, the one
+    driver pull that never scales with the corpus. Ids absent from a
+    list carry rank −1 in the output."""
+    from .knn import ann_bruteforce_topk
+
+    if queries is None:
+        from ..pipelines.querydefs import BM25_QUERIES
+        queries = BM25_QUERIES
+
+    bm = bm25_topk(docs, queries, k=k_lists).to_pandas()
+
+    # stream-filter the probe vectors (fixture rows — tiny) map-side;
+    # only |Q| rows reach the driver. ann_bruteforce_topk then broadcasts
+    # Q and scans the embeddings corpus once, partial top-k per block.
+    nq = len(queries)
+
+    def pick_probes(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        return t.filter(pa.array((vid % 50 == 0) & (vid // 50 < nq)))
+
+    qt = pa.concat_tables(list(
+        embeddings.map_batches(pick_probes, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    order = np.argsort(qt["vec_id"].to_numpy())
+    Q = np.stack([np.asarray(v, np.float64)
+                  for v in qt["embedding"].to_pylist()])[order]
+    co = ann_bruteforce_topk(embeddings, Q,
+                             qt["vec_id"].to_numpy()[order], k=k_lists)
+
+    bm = bm.rename(columns={"doc_id": "id", "rn": "r"})
+    bm["src"] = 0
+    co = co.rename(columns={"neighbor_id": "id", "rank": "r"}).copy()
+    co["query_id"] = (co["query_id"].to_numpy(np.int64) // 50)
+    co["src"] = 1
+    u = pd.concat([bm[["query_id", "id", "r", "src"]],
+                   co[["query_id", "id", "r", "src"]]], ignore_index=True)
+    u["pts"] = (np.int64(1) << 20) // (rrf_c + u["r"].to_numpy(np.int64))
+    g = u.groupby(["query_id", "id"], sort=False)["pts"].sum() \
+        .reset_index(name="rrf_q")
+    for src, col in ((0, "bm25_rank"), (1, "cos_rank")):
+        m = u[u["src"] == src].set_index(["query_id", "id"])["r"]
+        g[col] = m.reindex(pd.MultiIndex.from_frame(
+            g[["query_id", "id"]])).fillna(-1).to_numpy(np.int64)
+    g = g.sort_values(["query_id", "rrf_q", "id"],
+                      ascending=[True, False, True], kind="mergesort")
+    g["rn"] = g.groupby("query_id", sort=False).cumcount() + 1
+    g = g[g["rn"] <= k_out]
+    out = g[["query_id", "id", "rrf_q", "bm25_rank", "cos_rank",
+             "rn"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

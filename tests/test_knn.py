@@ -417,3 +417,39 @@ def test_sq8_encode_error_bound_and_block_invariance():
         if blocks == 1:
             base = out
     pd.testing.assert_frame_equal(base, out)
+
+
+def test_rrf_fusion_scoring_identity():
+    import numpy as np
+    import ray
+
+    from geospatial_learn_ray.pipelines.querydefs import BM25_QUERIES
+    from geospatial_learn_ray.stages.knn import ann_bruteforce_topk
+    from geospatial_learn_ray.stages.textstages import (bm25_topk,
+                                                        rrf_fusion_docs)
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    out = rrf_fusion_docs(docs, emb).to_pandas()
+    # rebuild the two lists independently and re-derive one query's scores
+    bm = bm25_topk(docs, BM25_QUERIES, k=10).to_pandas()
+    et = emb.to_pandas()
+    probes = et[(et.vec_id % 50 == 0) & (et.vec_id // 50 < 4)] \
+        .sort_values("vec_id")
+    Q = np.stack(probes["embedding"].to_numpy()).astype(np.float64)
+    co = ann_bruteforce_topk(emb, Q, probes["vec_id"].to_numpy(), k=10)
+    qsel = 2
+    pts: dict[int, int] = {}
+    for _, r in bm[bm.query_id == qsel].iterrows():
+        pts[r.doc_id] = pts.get(r.doc_id, 0) + (1 << 20) // (60 + r.rn)
+    for _, r in co[co.query_id == qsel * 50].iterrows():
+        pts[r.neighbor_id] = pts.get(r.neighbor_id, 0) \
+            + (1 << 20) // (60 + r["rank"])
+    want = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = out[out.query_id == qsel].sort_values("rn")
+    assert list(zip(got["id"], got["rrf_q"])) == want
+    # rank markers: every row appears in at least one list
+    assert ((got.bm25_rank >= 1) | (got.cos_rank >= 1)).all()
+    assert ((out.bm25_rank.between(1, 10)) | (out.bm25_rank == -1)).all()
