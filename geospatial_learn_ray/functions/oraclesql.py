@@ -6254,3 +6254,39 @@ def _rrf_fusion_sql(queries: dict[int, list[str]] | None = None,
         "PARTITION BY query_id ORDER BY rrf_q DESC, id) AS rn FROM g) "
         f"WHERE rn <= {k_out}"
     )
+
+
+def _textrank_sql(iters: int = 4, k: int = 50) -> str:
+    """SQL twin of textstages.textrank_keywords_docs: positional bigram
+    list comprehension, undirected weight aggregation, per-source
+    out-weight, and the integer fixed-point recurrence unrolled one
+    MATERIALIZED CTE per round — every operation an exact BIGINT sum or
+    floor division, identical to the engine's."""
+    base = (15 * (1 << 20)) // 100
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"r{t} AS MATERIALIZED (SELECT d.d2 AS tok, "
+            f"CAST({base} + (17 * SUM((d.w * r.r) // d.wt)) // 20 "
+            f"AS BIGINT) AS r FROM dir d JOIN r{t - 1} r ON r.tok = d.s "
+            "GROUP BY d.d2)")
+    return (
+        "WITH lt AS (SELECT list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS l FROM documents), "
+        "bi AS (SELECT UNNEST(list_transform("
+        "generate_series(1, len(l) - 1), i -> struct_pack(a := l[i], "
+        "b := l[i + 1]))) AS p FROM lt), "
+        "ab AS (SELECT p.a AS a, p.b AS b FROM bi WHERE p.a <> p.b), "
+        "und AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM ab GROUP BY 1, 2), "
+        "dir AS MATERIALIZED (SELECT s, d2, w, "
+        "CAST(SUM(w) OVER (PARTITION BY s) AS BIGINT) AS wt FROM ("
+        "SELECT u AS s, v AS d2, w FROM und "
+        "UNION ALL SELECT v AS s, u AS d2, w FROM und)), "
+        "r0 AS (SELECT DISTINCT s AS tok, CAST(1048576 AS BIGINT) AS r "
+        "FROM dir), "
+        + ", ".join(rounds) + " "
+        f"SELECT tok AS token, r AS score_q, CAST(ROW_NUMBER() OVER ("
+        f"ORDER BY r DESC, tok) AS BIGINT) AS rn FROM r{iters} "
+        f"ORDER BY r DESC, tok LIMIT {k}"
+    )

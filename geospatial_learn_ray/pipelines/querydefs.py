@@ -2148,6 +2148,12 @@ def _q_rrf_fusion(sf_dir: str):
 
 
 
+def _q_textrank(sf_dir: str):
+    return textstages.textrank_keywords_docs(
+        _rp(sf_dir, "documents", ["text"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2579,3 +2579,182 @@ def rrf_fusion_docs(docs: ray.data.Dataset, embeddings: ray.data.Dataset,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+_TR_Q = 20
+_TR_BASE = (15 * (1 << _TR_Q)) // 100          # floor(0.15 · 2^20)
+
+
+def _tr_bkt(toks: np.ndarray, num_buckets: int) -> np.ndarray:
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    old = np.seterr(over="ignore")
+    try:
+        return (splitmix64(fnv1a64(toks.astype(object)))
+                % np.uint64(num_buckets)).astype(np.int32)
+    finally:
+        np.seterr(**old)
+
+
+def _textrank_local(e: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Dense driver iteration on the counted-bound directed edge list
+    (s, d, w, wt) — bit-identical to the distributed rounds (all ops are
+    order-free integer sums and floor divisions)."""
+    toks = np.unique(np.concatenate([e["s"].to_numpy(object),
+                                     e["d"].to_numpy(object)]))
+    idx = {t: i for i, t in enumerate(toks)}
+    si = np.array([idx[t] for t in e["s"]], np.int64)
+    di = np.array([idx[t] for t in e["d"]], np.int64)
+    w = e["w"].to_numpy(np.int64)
+    wt = e["wt"].to_numpy(np.int64)
+    r = np.full(len(toks), np.int64(1) << _TR_Q, np.int64)
+    for _ in range(iters):
+        contrib = (w * r[si]) // wt
+        acc = np.zeros(len(toks), np.int64)
+        np.add.at(acc, di, contrib)
+        r = _TR_BASE + (17 * acc) // 20
+    return pd.DataFrame({"token": toks, "score_q": r})
+
+
+def textrank_keywords_docs(docs: ray.data.Dataset, iters: int = 4,
+                           k: int = 50, text_col: str = "text",
+                           num_buckets: int = 64,
+                           local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the corpus word co-occurrence graph (adjacent-token edges, a ≠ b,
+    undirected with co-occurrence-count weights), run as the INTEGER
+    fixed-point recurrence r ← ⌊0.15·2^20⌋ + ⌊17·Σ_j ⌊w_ji·r_j / W_j⌋ / 20⌋
+    for ``iters`` rounds (d = 0.85 = 17/20 exactly; no float anywhere),
+    then the global top-``k`` tokens by (score DESC, token).
+
+    Scale shape mirrors graph.pagerank_hosts: the tokenizer emits
+    PRE-AGGREGATED per-block pair partials, one exchange sums undirected
+    weights, a second (keyed on the source token hash) attaches each
+    directed edge's out-weight W_j as a per-bucket transform. Under the
+    counted ``local_bound`` the rounds run dense on the driver
+    (bit-parity-tested against the distributed plan); above it each
+    round is the tagged-union bucketed join + one destination-keyed
+    exchange — contributions pre-summed per destination inside the
+    bucket, so round traffic is O(distinct tokens per block), not
+    O(edges)."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+
+    def pair_partials(b: pa.Table) -> pd.DataFrame:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas().to_numpy(object)
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = np.char.str_len(vals.astype(str)) > 0
+        vals, doc = vals[keep], doc[keep]
+        adj = doc[:-1] == doc[1:]
+        a, b2 = vals[:-1][adj], vals[1:][adj]
+        ne = a != b2
+        a, b2 = a[ne], b2[ne]
+        lo = np.where(a < b2, a, b2)
+        hi = np.where(a < b2, b2, a)
+        d = pd.DataFrame({"u": lo, "v": hi}).groupby(
+            ["u", "v"], sort=False).size().reset_index(name="w")
+        d["w"] = d["w"].astype(np.int64)
+        d["_part"] = _tr_bkt((d["u"].astype(str) + "\x00"
+                              + d["v"].astype(str)).to_numpy(object),
+                             num_buckets)
+        return d
+
+    def sum_und(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop(columns=["_part"]).groupby(
+            ["u", "v"], sort=False, as_index=False)["w"].sum()
+        both = pd.concat([
+            u.rename(columns={"u": "s", "v": "d"}),
+            u.rename(columns={"u": "d", "v": "s"})], ignore_index=True)
+        both["_part"] = _tr_bkt(both["s"].to_numpy(object), num_buckets)
+        return both[["s", "d", "w", "_part"]]
+
+    def attach_wt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        g["wt"] = g.groupby("s", sort=False)["w"].transform("sum") \
+            .astype(np.int64)
+        return g
+
+    edges = bucket_exchange(
+        bucket_exchange(
+            docs.map_batches(pair_partials, batch_format="pyarrow"),
+            sum_und),
+        attach_wt, key="_part").materialize()
+    n_dir = edges.count()
+
+    if n_dir <= local_bound:
+        ranks = ray.data.from_pandas(
+            _textrank_local(edges.to_pandas(), iters))
+    else:
+        def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[["s", "d", "w", "wt"]].copy()
+            b["r"] = np.int64(0)
+            b["t"] = np.int8(0)
+            b["_jb"] = _tr_bkt(b["s"].to_numpy(object), num_buckets)
+            return b
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["t"] == 0]
+            rk = g[g["t"] == 1][["s", "r"]]
+            m = e[["s", "d", "w", "wt"]].merge(rk, on="s", how="inner")
+            c = (m["w"].to_numpy(np.int64) * m["r"].to_numpy(np.int64)) \
+                // m["wt"].to_numpy(np.int64)
+            p = pd.DataFrame({"tok": m["d"].to_numpy(object), "acc": c})
+            p = p.groupby("tok", sort=False, as_index=False)["acc"].sum()
+            p["_part"] = _tr_bkt(p["tok"].to_numpy(object), num_buckets)
+            return p
+
+        def new_ranks(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.drop(columns=["_part"]).groupby(
+                "tok", sort=False, as_index=False)["acc"].sum()
+            s["r"] = _TR_BASE + (17 * s["acc"].to_numpy(np.int64)) // 20
+            return s[["tok", "r"]]
+
+        tagged_edges = edges.map_batches(
+            tag_edges, batch_format="pandas").materialize()
+        nodes = bucket_exchange(
+            edges.map_batches(
+                lambda b: pd.DataFrame(
+                    {"tok": pd.unique(b["s"]),
+                     "_part": _tr_bkt(pd.unique(b["s"]).astype(object),
+                                      num_buckets)}),
+                batch_format="pandas"),
+            lambda g: pd.DataFrame({"tok": pd.unique(g["tok"])})) \
+            .materialize()
+        ranks = nodes.map_batches(
+            lambda b: pd.DataFrame({"tok": b["tok"].to_numpy(object),
+                                    "r": np.int64(1 << _TR_Q)}),
+            batch_format="pandas")
+        zero = nodes.map_batches(
+            lambda b: pd.DataFrame({"tok": b["tok"].to_numpy(object),
+                                    "acc": np.int64(0),
+                                    "_part": _tr_bkt(
+                                        b["tok"].to_numpy(object),
+                                        num_buckets)}),
+            batch_format="pandas")
+        for _ in range(iters):
+            tagged_ranks = ranks.map_batches(
+                lambda b: pd.DataFrame(
+                    {"s": b["tok"].to_numpy(object), "d": "",
+                     "w": np.int64(0), "wt": np.int64(0),
+                     "r": b["r"].to_numpy(np.int64), "t": np.int8(1),
+                     "_jb": _tr_bkt(b["tok"].to_numpy(object),
+                                    num_buckets)}),
+                batch_format="pandas")
+            joined = bucket_exchange(tagged_edges.union(tagged_ranks),
+                                     contribs, key="_jb")
+            ranks = bucket_exchange(joined.union(zero), new_ranks)
+        ranks = ranks.map_batches(
+            lambda b: pd.DataFrame({"token": b["tok"].to_numpy(object),
+                                    "score_q": b["r"].to_numpy(np.int64)}),
+            batch_format="pandas")
+
+    top = ranks.sort(["score_q", "token"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    top["rn"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return ray.data.from_pandas(top)

@@ -1091,3 +1091,23 @@ def test_rake_known_values_on_tiny_corpus():
     assert int(out.loc["blue bird", "cnt"]) == 1
     assert int(out.loc["blue bird", "score_q"]) == 4096
     assert int(out.loc["red fox", "n_words"]) == 2
+
+
+def test_textrank_dual_path_bit_parity():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import textrank_keywords_docs
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    local = textrank_keywords_docs(docs).to_pandas()
+    dist = textrank_keywords_docs(docs, local_bound=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        local.reset_index(drop=True), dist.reset_index(drop=True))
+    # damped scores stay inside the theoretical fixed-point band
+    assert (local["score_q"] >= (15 * (1 << 20)) // 100).all()
+    assert local["score_q"].is_monotonic_decreasing or \
+        (local.sort_values(["score_q", "token"],
+                           ascending=[False, True])["token"].tolist()
+         == local["token"].tolist())
