@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_pages": _q_zorder_layout,
         "rrf_fusion_docs": _q_rrf_fusion,
         "textrank_keywords_docs": _q_textrank,
+        "als_round_events": _q_als_round,
     }
 
 
@@ -479,6 +480,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _zorder_layout_sql,
     _rrf_fusion_sql,
     _textrank_sql,
+    _als_round_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1087,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_pages": _zorder_layout_sql(),
         "rrf_fusion_docs": _rrf_fusion_sql(),
         "textrank_keywords_docs": _textrank_sql(),
+        "als_round_events": _als_round_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

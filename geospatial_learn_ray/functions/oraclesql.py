@@ -6290,3 +6290,24 @@ def _textrank_sql(iters: int = 4, k: int = 50) -> str:
         f"ORDER BY r DESC, tok) AS BIGINT) AS rn FROM r{iters} "
         f"ORDER BY r DESC, tok LIMIT {k}"
     )
+
+
+def _als_round_sql(lam: int = 3, k_types: int = 5) -> str:
+    """SQL twin of train.als_round_events: exact integer num/den rank-1
+    ALS statistics and the single final f64 division."""
+    return (
+        "WITH r AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS r FROM events "
+        "GROUP BY user_id, event_type), "
+        "s AS (SELECT user_id, CAST(SUM(r) AS BIGINT) AS su FROM r "
+        "GROUP BY user_id), "
+        "den AS (SELECT CAST(SUM(su * su) AS BIGINT) + "
+        f"{64 * lam} AS den FROM s) "
+        "SELECT r.event_type, "
+        "CAST(SUM(8 * r.r * s.su) AS BIGINT) AS y_num, "
+        "CAST(den.den AS BIGINT) AS y_den, "
+        "CAST(SUM(8 * r.r * s.su) AS BIGINT) / CAST(den.den AS DOUBLE) "
+        "AS y_f "
+        "FROM r JOIN s ON s.user_id = r.user_id, den "
+        "GROUP BY r.event_type, den.den"
+    )

@@ -2154,6 +2154,14 @@ def _q_textrank(sf_dir: str):
 
 
 
+def _q_als_round(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.als_round_events(
+        _rp(sf_dir, "events", ["user_id", "event_type"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1334,3 +1334,91 @@ def iforest_orders(orders: ray.data.Dataset, n_trees: int = 16,
 
     scored = fds.map_batches(score, batch_format="pandas")
     return scored.sort(["total_q", "o_orderkey"]).limit(k)
+
+
+def als_round_events(events: ray.data.Dataset, lam: int = 3,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """One deterministic ALS round (Hu, Koren & Volinsky 2008 implicit
+    feedback, rank 1) over the user × event-type count matrix R — the
+    recommender-factorization primitive, restated so every sufficient
+    statistic is an EXACT integer and the only float is one final
+    division per item:
+
+        y⁰_t = 1                          (item init)
+        x_u  = Σ_t R[u,t] / (k + λ) = S_u / 8   (λ=3, k=5 types → dyadic)
+        y¹_t = Σ_u R[u,t]·x_u / (Σ_u x_u² + λ)
+             = 8·Σ_u R[u,t]·S_u / (Σ_u S_u² + 64λ)  — integer num / den
+
+    Both statistics ride the exchanges as int64 partials (order-free
+    sums; S_u² stays ≤ 2^53 at any realistic per-user count), so the SQL
+    twin is exact; y_f = num/den is one identical f64 division on both
+    sides. Scale shape: one user-bucketed exchange computes S_u and the
+    per-(type) numerator partials IN the bucket (R·S_u co-grouped per
+    user — no second scan), the global Σ S_u² travels as TAGGED den rows
+    (is_den flag, never a magic key — CLAUDE.md sketch-bookkeeping rule),
+    and a second exchange reduces to k item rows + one den row; the
+    driver touches k+1 rows."""
+    from .exchange import bucket_exchange
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="r")
+        d["r"] = d["r"].astype(np.int64)
+        d["user_id"] = d["user_id"].astype(np.int64)
+        d["_part"] = (d["user_id"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return d
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).groupby(
+            ["user_id", "event_type"], sort=False, as_index=False)["r"] \
+            .sum()
+        su = g.groupby("user_id", sort=False)["r"].transform("sum") \
+            .to_numpy(np.int64)
+        items = pd.DataFrame({
+            "event_type": g["event_type"].astype(object),
+            "val": 8 * g["r"].to_numpy(np.int64) * su,
+            "is_den": np.int64(0)})
+        s_u = g.groupby("user_id", sort=False)["r"].sum() \
+            .to_numpy(np.int64)
+        den = pd.DataFrame({"event_type": np.array([""], object),
+                            "val": np.array([(s_u * s_u).sum()], np.int64),
+                            "is_den": np.int64(1)})
+        out = pd.concat([items, den], ignore_index=True)
+        h = _tr_part(out["event_type"].to_numpy(object), num_buckets)
+        out["_part"] = np.where(out["is_den"].to_numpy() == 1,
+                                np.int32(0), h).astype(np.int32)
+        return out
+
+    def reduce_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        out = g.groupby(["event_type", "is_den"], sort=False,
+                        as_index=False)["val"].sum()
+        out["val"] = out["val"].astype(np.int64)
+        return out
+
+    rows = bucket_exchange(
+        bucket_exchange(events.map_batches(part, batch_format="pandas"),
+                        per_user),
+        reduce_rows).to_pandas()  # k item rows + 1 den row — bounded
+    den = int(rows.loc[rows["is_den"] == 1, "val"].sum()) + 64 * lam
+    items = rows[rows["is_den"] == 0].copy()
+    items = items.sort_values("event_type").reset_index(drop=True)
+    out = pd.DataFrame({
+        "event_type": items["event_type"].astype(object),
+        "y_num": items["val"].to_numpy(np.int64),
+        "y_den": np.int64(den),
+        "y_f": items["val"].to_numpy(np.int64).astype(np.float64)
+        / np.float64(den)})
+    return ray.data.from_pandas(out)
+
+
+def _tr_part(toks: np.ndarray, num_buckets: int) -> np.ndarray:
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    old = np.seterr(over="ignore")
+    try:
+        return (splitmix64(fnv1a64(toks.astype(object)))
+                % np.uint64(num_buckets)).astype(np.int32)
+    finally:
+        np.seterr(**old)

@@ -522,3 +522,30 @@ def test_iforest_tree_invariants_and_walk_parity():
     assert len(a) == 20
     assert a["total_q"].dtype == np.int64 and a["o_orderkey"].dtype == np.int64
     assert (a["total_q"].to_numpy()[:-1] <= a["total_q"].to_numpy()[1:]).all()
+
+
+def test_als_round_matches_dense_reference():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.train import als_round_events
+
+    rng = [(u, t) for u in range(30) for t in
+           ("click", "view", "purchase", "signup", "error")
+           for _ in range((u * 7 + len(t)) % 4)]
+    df = pd.DataFrame(rng, columns=["user_id", "event_type"])
+    out = als_round_events(ray.data.from_pandas(df).repartition(4)) \
+        .to_pandas().set_index("event_type")
+    R = df.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+    S = R.sum(axis=1).to_numpy(np.int64)
+    den = int((S * S).sum()) + 192
+    for t in R.columns:
+        num = int(8 * (R[t].to_numpy(np.int64) * S).sum())
+        assert out.loc[t, "y_num"] == num
+        assert out.loc[t, "y_den"] == den
+        assert out.loc[t, "y_f"] == num / float(den)
+    # rank-1 ALS invariant: factors are nonnegative, scale with popularity
+    pop = R.sum(axis=0)
+    assert (out["y_f"] >= 0).all()
+    assert out.loc[pop.idxmax(), "y_f"] >= out.loc[pop.idxmin(), "y_f"]
