@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion_docs": _q_rrf_fusion,
         "textrank_keywords_docs": _q_textrank,
         "als_round_events": _q_als_round,
+        "jenks_breaks_nation": _q_jenks,
     }
 
 
@@ -481,6 +482,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _rrf_fusion_sql,
     _textrank_sql,
     _als_round_sql,
+    _jenks_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1090,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion_docs": _rrf_fusion_sql(),
         "textrank_keywords_docs": _textrank_sql(),
         "als_round_events": _als_round_sql(),
+        "jenks_breaks_nation": _jenks_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

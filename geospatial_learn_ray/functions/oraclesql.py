@@ -6311,3 +6311,59 @@ def _als_round_sql(lam: int = 3, k_types: int = 5) -> str:
         "FROM r JOIN s ON s.user_id = r.user_id, den "
         "GROUP BY r.event_type, den.den"
     )
+
+
+def _jenks_sql(k_classes: int = 5, v_scale: int = 1_000_000,
+               L: int = 26771144400) -> str:
+    """SQL twin of cluster.jenks_breaks_nation: the identical exact
+    integer DP ((L // n)·S² terms in HUGEINT), one MATERIALIZED CTE per
+    class level, argmax ties to the smaller split index, backtrack as a
+    chained boundary CTE per class."""
+    fs = ["f1 AS MATERIALIZED (SELECT j, g AS val, CAST(1 AS BIGINT) "
+          "AS bi FROM cost WHERE i = 1)"]
+    for k in range(2, k_classes + 1):
+        fs.append(
+            f"f{k} AS MATERIALIZED (SELECT j, val, bi FROM ("
+            "SELECT c.j, c.i AS bi, p.val + c.g AS val, "
+            "ROW_NUMBER() OVER (PARTITION BY c.j "
+            "ORDER BY p.val + c.g DESC, c.i) AS rr "
+            f"FROM cost c JOIN f{k - 1} p ON p.j = c.i - 1 "
+            f"WHERE c.i >= {k}) WHERE rr = 1)")
+    bts = [f"b{k_classes} AS (SELECT f{k_classes}.bi AS i, nn.n AS j "
+           f"FROM f{k_classes}, nn WHERE f{k_classes}.j = nn.n)"]
+    for k in range(k_classes - 1, 0, -1):
+        bts.append(
+            f"b{k} AS (SELECT f{k}.bi AS i, b{k + 1}.i - 1 AS j "
+            f"FROM f{k}, b{k + 1} WHERE f{k}.j = b{k + 1}.i - 1)")
+    cls = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS class_id, i, j FROM b{k}"
+        for k in range(1, k_classes + 1))
+    return (
+        "WITH cents AS (SELECT c.c_nationkey AS nk, "
+        "CAST(SUM(CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)"
+        "*SIGN(o_totalprice) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY 1), "
+        f"rv AS (SELECT n.n_name, cents.cents // {v_scale} AS v "
+        "FROM cents JOIN nation n ON n.n_nationkey = cents.nk), "
+        "rk AS MATERIALIZED (SELECT v, CAST(ROW_NUMBER() OVER ("
+        "ORDER BY v, n_name) AS BIGINT) AS r FROM rv), "
+        "pp AS MATERIALIZED (SELECT r, v, CAST(SUM(v) OVER ("
+        "ORDER BY r) AS BIGINT) AS p FROM rk), "
+        "nn AS (SELECT MAX(r) AS n FROM rk), "
+        "cost AS MATERIALIZED (SELECT i.r AS i, j.r AS j, "
+        f"(CAST({L} AS HUGEINT) // (j.r - i.r + 1)) "
+        "* CAST(j.p - COALESCE(ip.p, 0) AS HUGEINT) "
+        "* CAST(j.p - COALESCE(ip.p, 0) AS HUGEINT) AS g "
+        "FROM pp j JOIN pp i ON i.r <= j.r "
+        "LEFT JOIN pp ip ON ip.r = i.r - 1), "
+        + ", ".join(fs) + ", " + ", ".join(bts) + ", "
+        f"classes AS ({cls}) "
+        "SELECT c.class_id, CAST(c.i AS BIGINT) AS i_start, "
+        "CAST(c.j AS BIGINT) AS i_end, CAST(c.j - c.i + 1 AS BIGINT) "
+        "AS n, CAST(pj.p - COALESCE(pi.p, 0) AS BIGINT) AS sum_v, "
+        "CAST(vi.v AS BIGINT) AS v_min, CAST(vj.v AS BIGINT) AS v_max "
+        "FROM classes c JOIN pp pj ON pj.r = c.j "
+        "LEFT JOIN pp pi ON pi.r = c.i - 1 "
+        "JOIN pp vi ON vi.r = c.i JOIN pp vj ON vj.r = c.j"
+    )

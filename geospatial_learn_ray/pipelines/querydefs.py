@@ -2162,6 +2162,16 @@ def _q_als_round(sf_dir: str):
 
 
 
+def _q_jenks(sf_dir: str):
+    from geospatial_learn_ray.stages.cluster import jenks_breaks_nation
+
+    return jenks_breaks_nation(
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _rp(sf_dir, "nation", ["n_nationkey", "n_name"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -251,3 +251,130 @@ def grid_dbscan(pts: ray.data.Dataset, id_col: str = "pid",
                              "cluster_id": cl.astype(np.int64)})
 
     return bucket_exchange(u2, assemble, key="_bkt")
+
+
+_JENKS_L = 26771144400  # lcm(1..25): (L // n)·S² is an exact integer ∀ n ≤ 25
+
+
+def jenks_breaks_nation(orders: ray.data.Dataset,
+                        customer: ray.data.Dataset,
+                        nation: ray.data.Dataset, k_classes: int = 5,
+                        v_scale: int = 1_000_000,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Jenks natural-breaks classification (Fisher 1958 / Jenks 1967 —
+    the choropleth class-break optimizer every GIS package ships) over
+    per-nation order revenue. The DP maximizes Σ_classes S_c²/n_c
+    (equivalent to minimizing within-class squared deviation) in EXACT
+    integer arithmetic: every term is (L // n_c)·S_c² with
+    L = lcm(1..25), so Python bigints on the engine side and HUGEINT in
+    the SQL twin agree bit-for-bit; values are revenue cents quantized
+    by ``v_scale`` (floor — documented quantization, keeps S² inside
+    HUGEINT at any sf). Ties in the argmax break toward the SMALLER
+    split index on both sides.
+
+    Scale shape: revenue aggregates distributively (cents partials per
+    block → one custkey-bucketed join exchange → one nationkey reduce);
+    the DP itself runs on the driver over ≤ 25 rows — bounded by the
+    nation-key DOMAIN, not the data."""
+    from ..functions.rounding import round_half_away
+
+    def o_part(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64)
+        d = pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy(np.int64),
+                          "cents": cents})
+        d = d.groupby("c_custkey", sort=False, as_index=False).sum()
+        d["t"] = np.int8(0)
+        d["n_nationkey"] = np.int64(0)
+        d["_part"] = (d["c_custkey"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return d
+
+    def c_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"c_custkey": b["c_custkey"].to_numpy(np.int64),
+                          "cents": np.int64(0), "t": np.int8(1),
+                          "n_nationkey":
+                              b["c_nationkey"].to_numpy(np.int64)})
+        d["_part"] = (d["c_custkey"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return d
+
+    def join_nation(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["t"] == 0]
+        c = g[g["t"] == 1][["c_custkey", "n_nationkey"]]
+        m = o[["c_custkey", "cents"]].merge(c, on="c_custkey", how="inner")
+        out = m.groupby("n_nationkey", sort=False, as_index=False)["cents"] \
+            .sum()
+        out["cents"] = out["cents"].astype(np.int64)
+        return out
+
+    per_nation = bucket_exchange(
+        orders.map_batches(o_part, batch_format="pandas").union(
+            customer.map_batches(c_rows, batch_format="pandas")),
+        join_nation)
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["_part"]).groupby(
+            "n_nationkey", sort=False, as_index=False)["cents"].sum()
+        out["cents"] = out["cents"].astype(np.int64)
+        return out
+
+    def rekey(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b["n_nationkey"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return b
+
+    rev = bucket_exchange(per_nation.map_batches(rekey,
+                                                 batch_format="pandas"),
+                          final_sum).to_pandas()  # ≤ 25 rows (key domain)
+    names = nation.to_pandas()[["n_nationkey", "n_name"]]
+    rev = rev.merge(names, on="n_nationkey", how="inner")
+    rev["v"] = rev["cents"].to_numpy(np.int64) // v_scale
+    rev = rev.sort_values(["v", "n_name"], kind="mergesort") \
+        .reset_index(drop=True)
+    v = [int(x) for x in rev["v"]]
+    n = len(v)
+    pref = [0]
+    for x in v:
+        pref.append(pref[-1] + x)
+
+    def g_cost(i: int, j: int) -> int:        # 1-indexed inclusive
+        nn = j - i + 1
+        s = pref[j] - pref[i - 1]
+        return (_JENKS_L // nn) * s * s
+
+    NEG = None
+    f = [[NEG] * (n + 1) for _ in range(k_classes + 1)]
+    bi = [[0] * (n + 1) for _ in range(k_classes + 1)]
+    for j in range(1, n + 1):
+        f[1][j] = g_cost(1, j)
+        bi[1][j] = 1
+    for k in range(2, k_classes + 1):
+        for j in range(k, n + 1):
+            best, besti = None, 0
+            for i in range(k, j + 1):
+                val = f[k - 1][i - 1] + g_cost(i, j)
+                if best is None or val > best:
+                    best, besti = val, i
+            f[k][j] = best
+            bi[k][j] = besti
+    # backtrack
+    bounds = []
+    j = n
+    for k in range(k_classes, 0, -1):
+        i = bi[k][j]
+        bounds.append((k, i, j))
+        j = i - 1
+    bounds.reverse()
+    rows = []
+    for k, i, j in bounds:
+        s = pref[j] - pref[i - 1]
+        rows.append({"class_id": k, "i_start": i, "i_end": j,
+                     "n": j - i + 1, "sum_v": s,
+                     "v_min": v[i - 1], "v_max": v[j - 1]})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

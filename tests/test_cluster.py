@@ -541,3 +541,49 @@ def test_closeness_dual_path_parity_and_bfs_consistency():
     assert len(fast) == 2
     assert (fast["n_reached"] > 0).all()
     assert (fast["sum_depth"] >= fast["n_reached"]).all()
+
+
+def test_jenks_dp_is_optimal_on_small_exhaustive():
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.cluster import (_JENKS_L,
+                                                     jenks_breaks_nation)
+
+    # 8 synthetic nations with clearly clustered revenues; k=5 classes.
+    # Exhaustive split search must agree with the DP's partition.
+    vals = [1, 2, 3, 50, 52, 400, 401, 1000]
+    orders = pd.DataFrame({
+        "o_custkey": np.arange(8, dtype=np.int64),
+        "o_totalprice": [v * 10000.0 for v in vals]})
+    cust = pd.DataFrame({"c_custkey": np.arange(8, dtype=np.int64),
+                         "c_nationkey": np.arange(8, dtype=np.int64)})
+    nat = pd.DataFrame({"n_nationkey": np.arange(8, dtype=np.int64),
+                        "n_name": [f"N{i}" for i in range(8)]})
+    out = jenks_breaks_nation(
+        ray.data.from_pandas(orders), ray.data.from_pandas(cust),
+        ray.data.from_pandas(nat), v_scale=1_000_000).to_pandas()
+    v = sorted(int(x * 10000 * 100) // 1_000_000 for x in vals)
+
+    def good(partition):
+        t = 0
+        for seg in partition:
+            s = sum(v[i] for i in seg)
+            t += (_JENKS_L // len(seg)) * s * s
+        return t
+
+    best, bestp = None, None
+    for cuts in combinations(range(1, 8), 4):
+        edges = [0, *cuts, 8]
+        p = [range(edges[i], edges[i + 1]) for i in range(5)]
+        g = good(p)
+        if best is None or g > best:
+            best, bestp = g, p
+    got = [(int(r.i_start), int(r.i_end)) for r in out.itertuples()]
+    want = [(seg[0] + 1, seg[-1] + 1) for seg in bestp]
+    assert got == want
+    assert int(out["n"].sum()) == 8
+    assert (out["v_min"] <= out["v_max"]).all()
