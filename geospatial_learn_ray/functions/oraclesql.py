@@ -6367,3 +6367,60 @@ def _jenks_sql(k_classes: int = 5, v_scale: int = 1_000_000,
         "LEFT JOIN pp pi ON pi.r = c.i - 1 "
         "JOIN pp vi ON vi.r = c.i JOIN pp vj ON vj.r = c.j"
     )
+
+
+def _code_switch_sql(win: int = 16) -> str:
+    """SQL twin of textstages.code_switch_docs: token windows via list
+    slices, per-window marker scores generated from the SAME
+    _LANG_MARKERS dict as _lang_id_sql, LAG-based switch counting, modal
+    window language with lexicographic tie-break."""
+    from geospatial_learn_ray.functions.textproc import _LANG_MARKERS
+
+    codes = sorted(_LANG_MARKERS)
+    score_cols = []
+    for code in codes:
+        words = _LANG_MARKERS[code]
+        parts = []
+        multi = [w for w in words if len(w) > 1]
+        if multi:
+            inlist = ", ".join(f"'{w}'" for w in multi)
+            parts.append(
+                "len(list_filter(regexp_split_to_array(wt, '\\s+'), "
+                f"t -> t IN ({inlist})))")
+        for w in words:
+            if len(w) == 1:
+                parts.append(
+                    f"(length(wt) - length(replace(wt, '{w}', '')))")
+        score_cols.append(f"({' + '.join(parts)}) AS s_{code}")
+    m = "GREATEST(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN s_{c} = {m} THEN '{c}'" for c in codes)
+    return (
+        "WITH lt AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "wi AS (SELECT doc_id, l, UNNEST(generate_series(0, "
+        f"(len(l) - 1) // {win})) AS w FROM lt WHERE len(l) > 0), "
+        "wt AS (SELECT doc_id, w, array_to_string("
+        f"l[w*{win} + 1 : LEAST((w + 1)*{win}, len(l))], ' ') AS wt "
+        "FROM wi), "
+        f"sc AS (SELECT doc_id, w, {', '.join(score_cols)} FROM wt), "
+        f"lg AS MATERIALIZED (SELECT doc_id, w, CASE WHEN {m} = 0 "
+        f"THEN 'und' {case} END AS lang FROM sc), "
+        "sw AS (SELECT doc_id, COUNT(*) AS n_windows, "
+        "SUM(CASE WHEN lang <> 'und' AND prev <> 'und' "
+        "AND prev IS NOT NULL AND lang <> prev THEN 1 ELSE 0 END) AS "
+        "n_switch FROM (SELECT doc_id, lang, LAG(lang) OVER ("
+        "PARTITION BY doc_id ORDER BY w) AS prev FROM lg) GROUP BY 1), "
+        "nl AS (SELECT doc_id, COUNT(DISTINCT lang) AS n_lang FROM lg "
+        "WHERE lang <> 'und' GROUP BY 1), "
+        "md AS (SELECT doc_id, lang AS main_lang FROM ("
+        "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY COUNT(*) DESC, lang) AS rr FROM lg "
+        "GROUP BY doc_id, lang) WHERE rr = 1) "
+        "SELECT sw.doc_id, CAST(sw.n_windows AS BIGINT) AS n_windows, "
+        "CAST(sw.n_switch AS BIGINT) AS n_switch, "
+        "CAST(COALESCE(nl.n_lang, 0) AS BIGINT) AS n_lang, "
+        "md.main_lang FROM sw "
+        "LEFT JOIN nl ON nl.doc_id = sw.doc_id "
+        "JOIN md ON md.doc_id = sw.doc_id"
+    )

@@ -2172,6 +2172,12 @@ def _q_jenks(sf_dir: str):
 
 
 
+def _q_code_switch(sf_dir: str):
+    return textstages.code_switch_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

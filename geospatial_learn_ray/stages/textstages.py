@@ -2758,3 +2758,61 @@ def textrank_keywords_docs(docs: ray.data.Dataset, iters: int = 4,
         .limit(k).to_pandas()
     top["rn"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return ray.data.from_pandas(top)
+
+
+def code_switch_docs(docs: ray.data.Dataset, win: int = 16,
+                     text_col: str = "text") -> ray.data.Dataset:
+    """Windowed code-switch detection (the segment-level language scan a
+    multilingual-corpus pipeline runs to catch mixed-language documents
+    that a whole-doc language ID mislabels): tokens are whitespace-split,
+    grouped into ``win``-token windows, each window language-identified
+    with the SAME marker heuristic as functions/textproc.lang_id (shared
+    _LANG_MARKERS — the two sides cannot drift), and per doc it reports
+    window count, adjacent same-doc window pairs whose languages differ
+    (both non-'und'), distinct non-'und' window languages, and the modal
+    window language (ties → lexicographically smaller code). Map-only:
+    every window of a document lives in its row's block, so the stage
+    never shuffles."""
+    from ..functions.textproc import lang_id
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].reset_index(drop=True)
+        ex = texts.str.split().explode().dropna()
+        ex = ex[ex.str.len() > 0]
+        doc = ex.index.to_numpy(np.int64)
+        pos = pd.Series(np.arange(len(ex)), index=ex.index) \
+            .groupby(level=0).cumcount().to_numpy(np.int64)
+        wid = pos // win
+        wt = pd.DataFrame({"doc": doc, "w": wid, "tok": ex.to_numpy(object)}) \
+            .groupby(["doc", "w"], sort=True)["tok"] \
+            .agg(" ".join).reset_index(name="txt")
+        wt["lang"] = lang_id(wt["txt"]).to_numpy(object)
+        wt = wt.sort_values(["doc", "w"], kind="mergesort")
+        prev = wt.groupby("doc", sort=False)["lang"].shift(1)
+        sw = ((wt["lang"] != prev) & (wt["lang"] != "und")
+              & (prev != "und") & prev.notna())
+        agg = wt.groupby("doc", sort=False).agg(
+            n_windows=("w", "size"),
+            n_switch=("w", lambda s: 0)).reset_index()
+        agg["n_switch"] = sw.groupby(wt["doc"], sort=False).sum() \
+            .reindex(agg["doc"]).to_numpy(np.int64)
+        nl = wt[wt["lang"] != "und"].groupby("doc", sort=False)["lang"] \
+            .nunique()
+        agg["n_lang"] = nl.reindex(agg["doc"]).fillna(0) \
+            .to_numpy(np.int64)
+        mode = wt.groupby(["doc", "lang"], sort=False).size() \
+            .reset_index(name="c") \
+            .sort_values(["doc", "c", "lang"],
+                         ascending=[True, False, True], kind="mergesort") \
+            .drop_duplicates("doc").set_index("doc")["lang"]
+        agg["main_lang"] = mode.reindex(agg["doc"]).to_numpy(object)
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[
+                agg["doc"].to_numpy(np.int64)],
+            "n_windows": agg["n_windows"].to_numpy(np.int64),
+            "n_switch": agg["n_switch"].to_numpy(np.int64),
+            "n_lang": agg["n_lang"].to_numpy(np.int64),
+            "main_lang": agg["main_lang"].astype(object)})
+        return out
+
+    return docs.map_batches(fn, batch_format="pandas")

@@ -1111,3 +1111,28 @@ def test_textrank_dual_path_bit_parity():
         (local.sort_values(["score_q", "token"],
                            ascending=[False, True])["token"].tolist()
          == local["token"].tolist())
+
+
+def test_code_switch_planted_mixed_doc():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import code_switch_docs
+
+    en = "the cat and the dog is that for with the end pad pad pad pad pad"
+    fr = "le chat et la mer les vagues de la nuit est pour toi pad pad pad"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [en + " " + fr + " " + en,         # en | fr | en → 2 switches
+                 en,                                # single window, no switch
+                 "xxx kkk zzz qqq"]})               # no markers → und
+    out = code_switch_docs(ray.data.from_pandas(df), win=16) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_windows"] == 3
+    assert out.loc[1, "n_switch"] == 2
+    assert out.loc[1, "n_lang"] == 2
+    assert out.loc[1, "main_lang"] == "en"   # 2 en windows vs 1 fr
+    assert out.loc[2, ["n_windows", "n_switch", "n_lang"]].tolist() \
+        == [1, 0, 1]
+    assert out.loc[2, "main_lang"] == "en"
+    assert out.loc[3, "main_lang"] == "und" and out.loc[3, "n_lang"] == 0
