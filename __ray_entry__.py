@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_round_events": _q_als_round,
         "jenks_breaks_nation": _q_jenks,
         "code_switch_docs": _q_code_switch,
+        "source_overlap_docs": _q_source_overlap,
     }
 
 
@@ -485,6 +486,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _als_round_sql,
     _jenks_sql,
     _code_switch_sql,
+    _source_overlap_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1096,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "als_round_events": _als_round_sql(),
         "jenks_breaks_nation": _jenks_sql(),
         "code_switch_docs": _code_switch_sql(),
+        "source_overlap_docs": _source_overlap_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

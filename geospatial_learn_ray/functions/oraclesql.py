@@ -6424,3 +6424,33 @@ def _code_switch_sql(win: int = 16) -> str:
         "LEFT JOIN nl ON nl.doc_id = sw.doc_id "
         "JOIN md ON md.doc_id = sw.doc_id"
     )
+
+
+def _source_overlap_sql(gram: int = 8) -> str:
+    """SQL twin of textstages.source_overlap_docs: positional shingle
+    lists, bit_or source masks per DISTINCT shingle (the engine groups
+    by the 64-bit shingle hash — collision-free at any realistic corpus,
+    the exact_text_dedup precedent), mask histogram, pair counts via a
+    bit-test cross join over the observed source-id range."""
+    return (
+        "WITH lt AS (SELECT CAST(REPLACE(source, 'src', '') AS BIGINT) "
+        "AS src, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '') AS l FROM documents), "
+        "sh AS (SELECT src, UNNEST(list_transform("
+        f"generate_series(1, len(l) - {gram - 1}), "
+        f"i -> array_to_string(l[i : i + {gram - 1}], ' '))) AS g8 "
+        f"FROM lt WHERE len(l) >= {gram}), "
+        "mk AS MATERIALIZED (SELECT CAST(bit_or(CAST(1 AS BIGINT) << src) "
+        "AS BIGINT) AS m FROM sh GROUP BY g8), "
+        "hist AS MATERIALIZED (SELECT m, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM mk GROUP BY m), "
+        "nb AS (SELECT MAX(src) AS hi FROM sh), "
+        "si AS (SELECT UNNEST(generate_series(0, (SELECT hi FROM nb))) "
+        "AS i) "
+        "SELECT CAST(a.i AS BIGINT) AS src_a, CAST(b.i AS BIGINT) AS "
+        "src_b, CAST(COALESCE(SUM(CASE WHEN ((h.m >> CAST(a.i AS BIGINT)"
+        ") & 1) = 1 AND ((h.m >> CAST(b.i AS BIGINT)) & 1) = 1 THEN h.c "
+        "ELSE 0 END), 0) AS BIGINT) AS n_shared "
+        "FROM si a JOIN si b ON b.i > a.i LEFT JOIN hist h ON TRUE "
+        "GROUP BY a.i, b.i"
+    )

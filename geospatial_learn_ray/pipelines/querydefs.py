@@ -2178,6 +2178,12 @@ def _q_code_switch(sf_dir: str):
 
 
 
+def _q_source_overlap(sf_dir: str):
+    return textstages.source_overlap_docs(
+        _rp(sf_dir, "documents", ["text", "source"]))
+
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

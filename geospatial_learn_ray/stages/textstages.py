@@ -2816,3 +2816,95 @@ def code_switch_docs(docs: ray.data.Dataset, win: int = 16,
         return out
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def _or_by_key(keys: np.ndarray, vals: np.ndarray):
+    """(unique keys, per-key bitwise OR) via one sort + reduceat — the
+    vectorized replacement for a per-key Python reduce."""
+    if not len(keys):
+        return keys, vals
+    order = np.argsort(keys, kind="mergesort")
+    ks, vs = keys[order], vals[order]
+    first = np.empty(len(ks), bool)
+    first[0] = True
+    first[1:] = ks[1:] != ks[:-1]
+    idx = np.nonzero(first)[0]
+    return ks[idx], np.bitwise_or.reduceat(vs, idx)
+
+
+def source_overlap_docs(docs: ray.data.Dataset, gram: int = 8,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Pairwise cross-source n-gram contamination matrix (the corpus
+    forensic every multi-source training mix needs: how much verbatim
+    text do source i and source j share?): each distinct ``gram``-token
+    shingle maps to the BITMASK of sources containing it (sources are a
+    small fixed domain, so one int64 carries the whole set), masks OR
+    together distributively through one shingle-keyed exchange, and the
+    (i, j) overlap counts fall out of a popcount-style scan of the mask
+    histogram — the driver sees one row per distinct mask value (≤ 2^20
+    for 20 sources), never a shingle. Output: one row per unordered
+    source pair (i < j) with the count of distinct shared shingles."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    def shingle_masks(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        src = b["source"].to_pandas().str.removeprefix("src") \
+            .astype(np.int64).to_numpy()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas().to_numpy(object)
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = np.char.str_len(vals.astype(str)) > 0
+        vals, doc = vals[keep], doc[keep]
+        n = len(vals)
+        if n < gram:
+            return pd.DataFrame({"g": pd.Series([], dtype=np.uint64),
+                                 "m": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        same = doc[:n - gram + 1] == doc[gram - 1:]
+        joined = vals[:n - gram + 1].astype(object)
+        for i in range(1, gram):
+            joined = joined + " " + vals[i:n - gram + 1 + i].astype(object)
+        old = np.seterr(over="ignore")
+        try:
+            gh = splitmix64(fnv1a64(joined[same]))
+        finally:
+            np.seterr(**old)
+        mask = (np.int64(1) << src[doc[:n - gram + 1][same]]).astype(np.int64)
+        gh2, red = _or_by_key(gh, mask)
+        d = pd.DataFrame({"g": gh2, "m": red})
+        d["_part"] = (d["g"].to_numpy(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return d
+
+    def or_masks(g: pd.DataFrame) -> pd.DataFrame:
+        gh2, red = _or_by_key(g["g"].to_numpy(np.uint64),
+                              g["m"].to_numpy(np.int64))
+        d = pd.DataFrame({"g": gh2, "m": red})
+        out = d.groupby("m", sort=False).size().reset_index(name="c")
+        out["m"] = out["m"].astype(np.int64)
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    hist = bucket_exchange(
+        docs.map_batches(shingle_masks, batch_format="pyarrow"),
+        or_masks).to_pandas()
+    hist = hist.groupby("m", as_index=False)["c"].sum()
+    masks = hist["m"].to_numpy(np.int64)
+    cnts = hist["c"].to_numpy(np.int64)
+    n_src = int(masks.max()).bit_length() if len(masks) else 0
+    rows = []
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            both = ((masks >> i) & 1) & ((masks >> j) & 1)
+            rows.append({"src_a": i, "src_b": j,
+                         "n_shared": int((cnts * both).sum())})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

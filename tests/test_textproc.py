@@ -1136,3 +1136,24 @@ def test_code_switch_planted_mixed_doc():
         == [1, 0, 1]
     assert out.loc[2, "main_lang"] == "en"
     assert out.loc[3, "main_lang"] == "und" and out.loc[3, "n_lang"] == 0
+
+
+def test_source_overlap_planted_shared_shingles():
+    import pandas as pd
+    import ray
+
+    from geospatial_learn_ray.stages.textstages import source_overlap_docs
+
+    shared = "one two three four five six seven eight"      # exactly one 8-gram
+    df = pd.DataFrame({
+        "source": ["src0", "src1", "src2", "src0"],
+        "text": [shared + " alpha beta",                     # src0
+                 shared + " gamma delta",                    # src1: shares 1
+                 "totally different words here apart nine ten eleven twelve",
+                 "unrelated filler text with no overlap at all ok ok ok"]})
+    out = source_overlap_docs(ray.data.from_pandas(df)) \
+        .to_pandas().set_index(["src_a", "src_b"])
+    assert out.loc[(0, 1), "n_shared"] == 1
+    assert out.loc[(0, 2), "n_shared"] == 0
+    assert out.loc[(1, 2), "n_shared"] == 0
+    assert len(out) == 3  # sources 0..2 → 3 unordered pairs
