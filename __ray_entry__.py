@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jenks_breaks_nation": _q_jenks,
         "code_switch_docs": _q_code_switch,
         "source_overlap_docs": _q_source_overlap,
+        "tasseled_cap_tiles": _q_tasseled_cap,
     }
 
 
@@ -487,6 +488,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _jenks_sql,
     _code_switch_sql,
     _source_overlap_sql,
+    _tasseled_cap_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1099,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "jenks_breaks_nation": _jenks_sql(),
         "code_switch_docs": _code_switch_sql(),
         "source_overlap_docs": _source_overlap_sql(),
+        "tasseled_cap_tiles": _tasseled_cap_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

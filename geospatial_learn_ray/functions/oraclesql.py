@@ -6454,3 +6454,36 @@ def _source_overlap_sql(gram: int = 8) -> str:
         "FROM si a JOIN si b ON b.i > a.i LEFT JOIN hist h ON TRUE "
         "GROUP BY a.i, b.i"
     )
+
+
+def _tasseled_cap_sql(side: int = 32, quant: float = 64.0) -> str:
+    """SQL twin of raster.tasseled_cap_stage: the same floor(v*quant+0.5)
+    quantization off the rast CTE, the same six derived integer bands (all
+    mods on shifted non-negative ints, where numpy % == SQL %), and the
+    published coefficients x 10^4 as integer literals — every output is an
+    exact BIGINT, so the value-hash match is unconditional."""
+    from ..stages.raster import TC_BRIGHT, TC_GREEN, TC_WET
+
+    bands = ["qs", "2*qs + 5", "3*qs + 7", "(qs*qs) % 101",
+             "(5*qs + 3) % 83", "(7*qs + 11) % 59"]
+
+    def dot(coefs) -> str:
+        return " + ".join(f"({c})*({b})" for c, b in zip(coefs, bands))
+
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "qq AS (SELECT tile_x, tile_y, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT) + 128 AS qs FROM rast), "
+        f"tc AS (SELECT tile_x, tile_y, {dot(TC_BRIGHT)} AS bright, "
+        f"{dot(TC_GREEN)} AS green, {dot(TC_WET)} AS wet FROM qq) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_px, "
+        "CAST(SUM(bright) AS BIGINT) AS bright_sum, "
+        "CAST(SUM(green) AS BIGINT) AS green_sum, "
+        "CAST(SUM(wet) AS BIGINT) AS wet_sum, "
+        "CAST(MAX(bright) AS BIGINT) AS bright_max, "
+        "CAST(MIN(green) AS BIGINT) AS green_min "
+        "FROM tc GROUP BY tile_x, tile_y"
+    )

@@ -2184,6 +2184,10 @@ def _q_source_overlap(sf_dir: str):
 
 
 
+def _q_tasseled_cap(sf_dir: str):
+    return raster.tasseled_cap_stage(read_tiles(tile_px=32), side=32)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -3554,3 +3554,62 @@ def seam_carve_stage(ds: ray.data.Dataset, side: int,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Crist & Cicone (1984) Landsat-TM tasseled-cap coefficients, scaled by
+# 10^4 to exact integers (the published values have 4 decimals).
+TC_BRIGHT = (3037, 2793, 4743, 5585, 5082, 1863)
+TC_GREEN = (-2848, -2435, -5436, 7243, 840, -1800)
+TC_WET = (1509, 1973, 3279, 3406, -7112, -4572)
+
+
+def _tc_bands(qs: np.ndarray) -> list[np.ndarray]:
+    """Six deterministic co-registered integer "TM bands" derived from the
+    shifted quantized pixel qs >= 0 (the fixture raster is single-band, so
+    the band stack is synthesized the same way rgb_indices_stage derives
+    its RGB triple). All mods act on non-negative ints — numpy % and SQL %
+    agree only there."""
+    return [qs,
+            2 * qs + 5,
+            3 * qs + 7,
+            (qs * qs) % 101,
+            (5 * qs + 3) % 83,
+            (7 * qs + 11) % 59]
+
+
+def tasseled_cap_stage(ds: ray.data.Dataset, side: int,
+                       quant: float = 64.0) -> ray.data.Dataset:
+    """Tasseled-cap transform (Kauth & Thomas 1976; Crist & Cicone 1984 TM
+    coefficients — the fixed linear band rotation every Landsat
+    change-detection pipeline applies; geospatial-learn drives the same
+    band math through raster.py's stack/calc helpers): pixels quantize to
+    exact integers (floor(v*quant + 0.5), shifted non-negative), a 6-band
+    stack is derived deterministically, and brightness / greenness /
+    wetness are integer dot products with the published coefficients
+    x 10^4. Per-tile output: pixel count, the three component sums, the
+    brightness max and greenness min — all exact int64, map-only, no
+    shuffle."""
+
+    b_c = np.array(TC_BRIGHT, np.int64)
+    g_c = np.array(TC_GREEN, np.int64)
+    w_c = np.array(TC_WET, np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        qs = np.floor(pxm * quant + 0.5).astype(np.int64) + 128
+        bands = _tc_bands(qs)
+        bright = sum(c * b for c, b in zip(b_c, bands))
+        green = sum(c * b for c, b in zip(g_c, bands))
+        wet = sum(c * b for c, b in zip(w_c, bands))
+        return pa.table({
+            "tile_x": pa.array(batch["tile_x"].to_numpy().astype(np.int64)),
+            "tile_y": pa.array(batch["tile_y"].to_numpy().astype(np.int64)),
+            "n_px": pa.array(np.full(len(batch), qs.shape[1], np.int64)),
+            "bright_sum": pa.array(bright.sum(axis=1)),
+            "green_sum": pa.array(green.sum(axis=1)),
+            "wet_sum": pa.array(wet.sum(axis=1)),
+            "bright_max": pa.array(bright.max(axis=1)),
+            "green_min": pa.array(green.min(axis=1)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

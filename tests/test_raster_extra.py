@@ -1120,3 +1120,37 @@ def test_seam_carve_matches_scalar_dp_and_is_connected():
         assert sx.tolist() == ref
         assert g["m_cum"].tolist() == [int(M[y, ref[y]]) for y in range(side)]
         assert g["e_seam"].tolist() == [int(E[y, ref[y]]) for y in range(side)]
+
+
+def test_tasseled_cap_scalar_reference_and_known_value():
+    from geospatial_learn_ray.stages.raster import (
+        TC_BRIGHT, TC_GREEN, TC_WET, _tc_bands, tasseled_cap_stage)
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = tasseled_cap_stage(small, side=side).to_pandas()
+    assert len(out) == 256 and (out["n_px"] == side * side).all()
+    # scalar known value: a pixel with qs == 0 has bands (0,5,7,0,3,11)
+    b = [0, 5, 7, 0, 3, 11]
+    assert sum(c * x for c, x in zip(TC_BRIGHT, b)) == 82905
+    # per-tile scalar reference (python loop, independent of the stage)
+    for (tx, ty) in [(0, 0), (5, 11), (15, 15)]:
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)].iloc[0]
+        v = tile_pixels(tx, ty, side).astype(np.float64).ravel()
+        bs = gs = ws = 0
+        bmax, gmin = -1 << 62, 1 << 62
+        for x in v:
+            qs = int(np.floor(x * 64.0 + 0.5)) + 128
+            bands = _tc_bands(np.array([qs], np.int64))
+            vals = [int(b[0]) for b in bands]
+            br = sum(c * x2 for c, x2 in zip(TC_BRIGHT, vals))
+            gr = sum(c * x2 for c, x2 in zip(TC_GREEN, vals))
+            we = sum(c * x2 for c, x2 in zip(TC_WET, vals))
+            bs += br; gs += gr; ws += we
+            bmax = max(bmax, br); gmin = min(gmin, gr)
+        assert int(g["bright_sum"]) == bs
+        assert int(g["green_sum"]) == gs
+        assert int(g["wet_sum"]) == ws
+        assert int(g["bright_max"]) == bmax
+        assert int(g["green_min"]) == gmin
