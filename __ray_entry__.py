@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_switch_docs": _q_code_switch,
         "source_overlap_docs": _q_source_overlap,
         "tasseled_cap_tiles": _q_tasseled_cap,
+        "bilinear_resample_tiles": _q_bilinear_resample,
     }
 
 
@@ -489,6 +490,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _code_switch_sql,
     _source_overlap_sql,
     _tasseled_cap_sql,
+    _bilinear_resample_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1102,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "code_switch_docs": _code_switch_sql(),
         "source_overlap_docs": _source_overlap_sql(),
         "tasseled_cap_tiles": _tasseled_cap_sql(),
+        "bilinear_resample_tiles": _bilinear_resample_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

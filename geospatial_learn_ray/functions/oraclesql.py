@@ -6487,3 +6487,39 @@ def _tasseled_cap_sql(side: int = 32, quant: float = 64.0) -> str:
         "CAST(MIN(green) AS BIGINT) AS green_min "
         "FROM tc GROUP BY tile_x, tile_y"
     )
+
+
+def _bilinear_resample_sql(side: int = 16, quant: float = 64.0,
+                           tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.bilinear_resample_stage: the clamped right/down
+    neighbors come from LEAD(..., 1, <self>) windows (default = clamp),
+    even output rows reduce as SUM(6q + 2qr) with LEAST/GREATEST over the
+    two interleaved pixel forms, odd rows as SUM(3q + qr + 3qd + qdr) —
+    all exact BIGINT arithmetic."""
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "qq AS (SELECT tile_x, tile_y, py, px, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT) + 128 AS q FROM rast "
+        f"WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "n1 AS (SELECT *, LEAD(q, 1, q) OVER "
+        "(PARTITION BY tile_x, tile_y, py ORDER BY px) AS qr FROM qq), "
+        "n2 AS (SELECT *, "
+        "LEAD(q, 1, q) OVER (PARTITION BY tile_x, tile_y, px ORDER BY py)"
+        " AS qd, "
+        "LEAD(qr, 1, qr) OVER (PARTITION BY tile_x, tile_y, px ORDER BY "
+        "py) AS qdr FROM n1) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(2*py AS BIGINT) AS oy, "
+        "CAST(SUM(6*q + 2*qr) AS BIGINT) AS row_sum, "
+        "CAST(MIN(LEAST(4*q, 2*(q + qr))) AS BIGINT) AS row_min, "
+        "CAST(MAX(GREATEST(4*q, 2*(q + qr))) AS BIGINT) AS row_max "
+        "FROM n2 GROUP BY tile_x, tile_y, py "
+        "UNION ALL "
+        "SELECT CAST(tile_x AS BIGINT), CAST(tile_y AS BIGINT), "
+        "CAST(2*py + 1 AS BIGINT), "
+        "CAST(SUM(3*q + qr + 3*qd + qdr) AS BIGINT), "
+        "CAST(MIN(LEAST(2*(q + qd), q + qr + qd + qdr)) AS BIGINT), "
+        "CAST(MAX(GREATEST(2*(q + qd), q + qr + qd + qdr)) AS BIGINT) "
+        "FROM n2 GROUP BY tile_x, tile_y, py"
+    )

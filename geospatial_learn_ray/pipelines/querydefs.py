@@ -2188,6 +2188,11 @@ def _q_tasseled_cap(sf_dir: str):
     return raster.tasseled_cap_stage(read_tiles(tile_px=32), side=32)
 
 
+def _q_bilinear_resample(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.bilinear_resample_stage(small, side=16)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -3613,3 +3613,54 @@ def tasseled_cap_stage(ds: ray.data.Dataset, side: int,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bilinear_resample_stage(ds: ray.data.Dataset, side: int,
+                            quant: float = 64.0) -> ray.data.Dataset:
+    """x2 bilinear upsample (gdal.Warp resampleAlg='bilinear' semantics —
+    the resample the reference's batchwarp/_quickwarp family applies;
+    raster.py:2591): source pixels quantize to exact integers and the
+    upsampled pixels carry an exact x4 fixed-point scale, so
+    out[2i,2j] = 4*q[i,j], out[2i,2j+1] = 2*(q[i,j]+q[i,j+1]),
+    out[2i+1,2j] = 2*(q[i,j]+q[i+1,j]) and the odd/odd pixel is the
+    4-neighbor sum; edges clamp (replicate border). To keep the checked
+    surface dense without emitting 4x the pixels, the output is one row
+    per (tile, output row): the exact row sum / min / max of the scaled
+    upsampled values — every upsampled pixel contributes. Map-only,
+    integer-exact, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        n = pxm.shape[0]
+        q = (np.floor(pxm * quant + 0.5).astype(np.int64) + 128) \
+            .reshape(n, side, side)
+        jc = np.minimum(np.arange(side) + 1, side - 1)
+        qr = q[:, :, jc]
+        qd = q[:, jc, :]
+        qdr = qd[:, :, jc]
+        e1, e2 = 4 * q, 2 * (q + qr)                     # even output rows
+        o1, o2 = 2 * (q + qd), q + qr + qd + qdr         # odd output rows
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        oy = np.empty(2 * side, np.int64)
+        oy[0::2] = 2 * np.arange(side)
+        oy[1::2] = 2 * np.arange(side) + 1
+        rs = np.empty((n, 2 * side), np.int64)
+        rmin = np.empty((n, 2 * side), np.int64)
+        rmax = np.empty((n, 2 * side), np.int64)
+        rs[:, 0::2] = (e1 + e2).sum(axis=2)
+        rs[:, 1::2] = (o1 + o2).sum(axis=2)
+        rmin[:, 0::2] = np.minimum(e1, e2).min(axis=2)
+        rmin[:, 1::2] = np.minimum(o1, o2).min(axis=2)
+        rmax[:, 0::2] = np.maximum(e1, e2).max(axis=2)
+        rmax[:, 1::2] = np.maximum(o1, o2).max(axis=2)
+        return pa.table({
+            "tile_x": pa.array(np.repeat(txs, 2 * side)),
+            "tile_y": pa.array(np.repeat(tys, 2 * side)),
+            "oy": pa.array(np.tile(oy, n)),
+            "row_sum": pa.array(rs.ravel()),
+            "row_min": pa.array(rmin.ravel()),
+            "row_max": pa.array(rmax.ravel()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

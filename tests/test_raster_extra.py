@@ -1154,3 +1154,33 @@ def test_tasseled_cap_scalar_reference_and_known_value():
         assert int(g["wet_sum"]) == ws
         assert int(g["bright_max"]) == bmax
         assert int(g["green_min"]) == gmin
+
+
+def test_bilinear_resample_scalar_reference():
+    from geospatial_learn_ray.stages.raster import bilinear_resample_stage
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = bilinear_resample_stage(small, side=side).to_pandas()
+    assert len(out) == 256 * 2 * side
+    for (tx, ty) in [(0, 0), (7, 3), (15, 15)]:
+        q = (np.floor(tile_pixels(tx, ty, side).astype(np.float64)
+                      .reshape(side, side) * 64.0 + 0.5)
+             .astype(np.int64) + 128)
+        # scalar x2 bilinear with border clamp, x4 fixed point
+        up = np.zeros((2 * side, 2 * side), np.int64)
+        for i in range(side):
+            for j in range(side):
+                jr = min(j + 1, side - 1)
+                ir = min(i + 1, side - 1)
+                up[2 * i, 2 * j] = 4 * q[i, j]
+                up[2 * i, 2 * j + 1] = 2 * (q[i, j] + q[i, jr])
+                up[2 * i + 1, 2 * j] = 2 * (q[i, j] + q[ir, j])
+                up[2 * i + 1, 2 * j + 1] = (q[i, j] + q[i, jr]
+                                            + q[ir, j] + q[ir, jr])
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)] \
+            .sort_values("oy").reset_index(drop=True)
+        assert g["row_sum"].tolist() == up.sum(axis=1).tolist()
+        assert g["row_min"].tolist() == up.min(axis=1).tolist()
+        assert g["row_max"].tolist() == up.max(axis=1).tolist()
