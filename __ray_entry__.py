@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_docs": _q_source_overlap,
         "tasseled_cap_tiles": _q_tasseled_cap,
         "bilinear_resample_tiles": _q_bilinear_resample,
+        "regex_funnel_events": _q_regex_funnel,
     }
 
 
@@ -491,6 +492,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _source_overlap_sql,
     _tasseled_cap_sql,
     _bilinear_resample_sql,
+    _regex_funnel_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1105,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_docs": _source_overlap_sql(),
         "tasseled_cap_tiles": _tasseled_cap_sql(),
         "bilinear_resample_tiles": _bilinear_resample_sql(),
+        "regex_funnel_events": _regex_funnel_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -6523,3 +6523,27 @@ def _bilinear_resample_sql(side: int = 16, quant: float = 64.0,
         "CAST(MAX(GREATEST(2*(q + qd), q + qr + qd + qdr)) AS BIGINT) "
         "FROM n2 GROUP BY tile_x, tile_y, py"
     )
+
+
+def _regex_funnel_sql() -> str:
+    """SQL twin of streaming.regex_funnel_events: string_agg the per-user
+    code string in the same (ts, event_id) total order, then RE2
+    regexp_extract_all counts the same non-overlapping matches (leftmost
+    greedy scan in both engines for these patterns); max view run is
+    list_max over the lengths of ``v+`` matches."""
+    return (
+        "WITH t AS (SELECT user_id, ts, event_id, "
+        "CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c' "
+        "WHEN 'error' THEN 'e' WHEN 'view' THEN 'v' "
+        "WHEN 'purchase' THEN 'p' END AS code FROM events), "
+        "s AS (SELECT user_id, string_agg(code, '' ORDER BY ts, event_id)"
+        " AS seq FROM t GROUP BY user_id) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(len(seq) AS BIGINT) AS n_events, "
+        "CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_funnel, "
+        "CAST(len(regexp_extract_all(seq, 'e+[cv]')) AS BIGINT) AS "
+        "n_retry, "
+        "CAST(COALESCE(list_max(list_transform("
+        "regexp_extract_all(seq, 'v+'), x -> len(x))), 0) AS BIGINT) AS "
+        "max_view_run FROM s"
+    )

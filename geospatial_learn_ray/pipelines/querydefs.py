@@ -2193,6 +2193,13 @@ def _q_bilinear_resample(sf_dir: str):
     return raster.bilinear_resample_stage(small, side=16)
 
 
+def _q_regex_funnel(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.regex_funnel_events(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1725,3 +1725,73 @@ def attribution_events(ds: ray.data.Dataset, horizon_days: int = 7,
 
     return bucket_exchange(ds.map_batches(part, batch_format="pandas"),
                            attrib)
+
+
+_FUNNEL_CODES = {"signup": "s", "click": "c", "error": "e",
+                 "view": "v", "purchase": "p"}
+
+
+def regex_funnel_events(ds: ray.data.Dataset,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """MATCH_RECOGNIZE-lite sequence-pattern matching (the SQL:2016 row
+    pattern engine, restated as regexes over per-user event-code strings
+    — the standard trick for funnel mining on an engine without a native
+    pattern operator): each user's events collapse to a code string in
+    (ts, event_id) order, then compiled regexes count non-overlapping
+    matches of the view->purchase funnel (``v+p``) and the error-recovery
+    pattern (``e+[cv]``); the longest consecutive view run comes from a
+    vectorized run-length scan of the same sorted frame (no per-row
+    Python). One user-keyed exchange co-locates each user's narrow rows;
+    all downstream work is per-bucket vectorized pandas."""
+    import re
+
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    pat_funnel = re.compile("v+p")
+    pat_retry = re.compile("e+[cv]")
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "code": b["event_type"].to_pandas().map(_FUNNEL_CODES)
+            .to_numpy(object),
+            "u": ts,
+            "event_id": b["event_id"].to_numpy().astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(d["user_id"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "u", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        code = g["code"].to_numpy(object)
+        seq = pd.Series(code, index=uid).groupby(level=0, sort=True) \
+            .agg("".join)
+        n_funnel = seq.str.count(pat_funnel)
+        n_retry = seq.str.count(pat_retry)
+        # longest view run: run-length encode the sorted (user, code) scan
+        isv = code == "v"
+        newrun = np.empty(len(g), bool)
+        newrun[0] = True
+        newrun[1:] = (uid[1:] != uid[:-1]) | (code[1:] != code[:-1])
+        rid = np.cumsum(newrun)
+        rl = pd.Series(np.ones(len(g), np.int64)).groupby(rid).transform(
+            "size").to_numpy(np.int64)
+        vrun = pd.Series(np.where(isv, rl, 0), index=uid) \
+            .groupby(level=0, sort=True).max()
+        return pd.DataFrame({
+            "user_id": seq.index.to_numpy(np.int64),
+            "n_events": seq.str.len().to_numpy(np.int64),
+            "n_funnel": n_funnel.to_numpy(np.int64),
+            "n_retry": n_retry.to_numpy(np.int64),
+            "max_view_run": vrun.reindex(seq.index).to_numpy(np.int64)})
+
+    return bucket_exchange(ds.map_batches(prep, batch_format="pyarrow"),
+                           per_user)

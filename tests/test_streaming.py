@@ -746,3 +746,37 @@ def test_attribution_events_planted_windows():
     assert out.loc[31, "n_touches"] == 0
     assert out.loc[41, ["n_touches", "first_touch_id", "last_touch_id"]] \
         .tolist() == [1, 40, 40]
+
+
+def test_regex_funnel_scalar_reference():
+    import re
+
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.streaming import (
+        _FUNNEL_CODES, regex_funnel_events)
+
+    rows = pd.DataFrame({
+        "event_id": range(12),
+        "ts": pd.to_datetime([1, 2, 3, 4, 5, 6, 1, 2, 3, 4, 5, 6],
+                             unit="s").astype("datetime64[us]"),
+        "user_id": [1] * 6 + [2] * 6,
+        "event_type": ["view", "view", "purchase", "error", "error",
+                       "click", "view", "error", "view", "view",
+                       "view", "purchase"],
+    })
+    out = regex_funnel_events(ray.data.from_pandas(rows), num_buckets=4) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    for _, r in out.iterrows():
+        seq = "".join(rows[rows.user_id == r.user_id]
+                      .sort_values(["ts", "event_id"])["event_type"]
+                      .map(_FUNNEL_CODES))
+        assert r["n_events"] == len(seq)
+        assert r["n_funnel"] == len(re.findall("v+p", seq))
+        assert r["n_retry"] == len(re.findall("e+[cv]", seq))
+        runs = re.findall("v+", seq)
+        assert r["max_view_run"] == (max(len(x) for x in runs) if runs else 0)
+    assert out["n_funnel"].tolist() == [1, 1]
+    assert out["n_retry"].tolist() == [1, 1]
+    assert out["max_view_run"].tolist() == [2, 3]
