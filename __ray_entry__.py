@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tasseled_cap_tiles": _q_tasseled_cap,
         "bilinear_resample_tiles": _q_bilinear_resample,
         "regex_funnel_events": _q_regex_funnel,
+        "betweenness_hosts": _q_betweenness,
     }
 
 
@@ -493,6 +494,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _tasseled_cap_sql,
     _bilinear_resample_sql,
     _regex_funnel_sql,
+    _betweenness_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1108,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "tasseled_cap_tiles": _tasseled_cap_sql(),
         "bilinear_resample_tiles": _bilinear_resample_sql(),
         "regex_funnel_events": _regex_funnel_sql(),
+        "betweenness_hosts": _betweenness_sql(k_pivots=8),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

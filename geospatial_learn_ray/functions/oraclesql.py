@@ -6547,3 +6547,82 @@ def _regex_funnel_sql() -> str:
         "regexp_extract_all(seq, 'v+'), x -> len(x))), 0) AS BIGINT) AS "
         "max_view_run FROM s"
     )
+
+
+def _betweenness_sql(k_pivots: int = 4, rounds: int = 4,
+                     out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.betweenness_hosts: the closeness BFS CTE chain
+    (same pivot draw, same unrolled min-plus distance rounds) extended
+    with per-level sigma CTEs — sig_l holds exactly the depth-l nodes,
+    each row the SUM of its depth-(l-1) neighbors' sigmas (exact
+    BIGINTs) — then the pivot-pair dependency joins: v is on a shortest
+    s-t path iff d_sv + d_tv = d_st, contributing sigma_sv * sigma_tv."""
+    inf = 1 << 40
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "cl")])
+    draw_inner = _sg.chain(
+        "SELECT node, CAST(node AS HUGEINT) AS nu FROM nodes",
+        [*_sg.splitmix64_steps("nu", "_dw", "cld")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM ua "
+        "UNION ALL SELECT b AS v, a AS u FROM ua)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj)",
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM ({draw_inner}) "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY _dw, node) <= {k_pivots})",
+        "d0 AS MATERIALIZED (SELECT srcs.s, nodes.node, "
+        "CASE WHEN nodes.node = srcs.s THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({inf} AS BIGINT) END AS q FROM srcs, nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT s, node, MIN(q) AS q FROM ("
+            f"SELECT s, node, q FROM d{t - 1} "
+            f"UNION ALL SELECT d.s, adj.v AS node, d.q + 1 AS q "
+            f"FROM adj JOIN d{t - 1} d ON d.node = adj.u) GROUP BY s, node)")
+    ctes.append("sig0 AS MATERIALIZED (SELECT s, s AS node, "
+                "CAST(1 AS BIGINT) AS sig FROM srcs)")
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"sig{t} AS MATERIALIZED (SELECT p.s, adj.v AS node, "
+            f"CAST(SUM(p.sig) AS BIGINT) AS sig "
+            f"FROM adj JOIN sig{t - 1} p ON p.node = adj.u "
+            f"JOIN d{rounds} dv ON dv.s = p.s AND dv.node = adj.v "
+            f"WHERE dv.q = {t} GROUP BY p.s, adj.v)")
+    sig_union = " UNION ALL ".join(
+        f"SELECT * FROM sig{t}" for t in range(rounds + 1))
+    ctes.append(f"sig AS MATERIALIZED ({sig_union})")
+    ctes.append(
+        f"dfin AS MATERIALIZED (SELECT s, node, q FROM d{rounds} "
+        f"WHERE q < {inf})")
+    ctes.append("pr AS (SELECT a.s AS s1, b.s AS s2 FROM srcs a "
+                "JOIN srcs b ON b.s > a.s)")
+    ctes.append("pd AS (SELECT pr.s1, pr.s2, d.q AS dq FROM pr "
+                "JOIN dfin d ON d.s = pr.s1 AND d.node = pr.s2)")
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        "SELECT CAST(pd.s1 AS BIGINT) AS s1, CAST(pd.s2 AS BIGINT) AS s2, "
+        "CAST(d1.node AS BIGINT) AS node, "
+        "CAST(g1.sig * g2.sig AS BIGINT) AS pt, "
+        "CAST(0 AS BIGINT) AS is_end "
+        "FROM pd "
+        "JOIN dfin d1 ON d1.s = pd.s1 "
+        "JOIN dfin d2 ON d2.s = pd.s2 AND d2.node = d1.node "
+        "JOIN sig g1 ON g1.s = pd.s1 AND g1.node = d1.node "
+        "JOIN sig g2 ON g2.s = pd.s2 AND g2.node = d1.node "
+        "WHERE d1.q + d2.q = pd.dq "
+        "AND d1.node <> pd.s1 AND d1.node <> pd.s2 "
+        "UNION ALL "
+        "SELECT CAST(pd.s1 AS BIGINT), CAST(pd.s2 AS BIGINT), "
+        "CAST(pd.s2 AS BIGINT), CAST(g.sig AS BIGINT), CAST(1 AS BIGINT) "
+        "FROM pd JOIN sig g ON g.s = pd.s1 AND g.node = pd.s2"
+    )

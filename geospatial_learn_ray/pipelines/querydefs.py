@@ -2200,6 +2200,12 @@ def _q_regex_funnel(sf_dir: str):
         _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
 
 
+def _q_betweenness(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import betweenness_hosts
+
+    return betweenness_hosts(read_pages(sf_dir, columns=["url"]), k_pivots=8)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2085,3 +2085,275 @@ def closeness_hosts(pages: ray.data.Dataset, k_sources: int = 4,
 
     return bucket_exchange(
         d.map_batches(part_src, batch_format="pandas"), finalize)
+
+
+def betweenness_hosts(pages: ray.data.Dataset, k_pivots: int = 4,
+                      rounds: int = 4, num_buckets: int = 64,
+                      local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Pivot-pair betweenness over the undirected simple host graph: the
+    Brandes (2001) forward pass (hop-bounded BFS distances d plus exact
+    shortest-path counts sigma per pivot), then — instead of the float
+    delta back-propagation, whose ratio sums are not cross-engine
+    bit-stable — the EXACT integer pair dependency restricted to pivot
+    pairs (Eppstein-Wang-style sampling): node v lies on a shortest
+    s-t path iff d_sv + d_tv = d_st, and the number of shortest s-t
+    paths through v is sigma_sv * sigma_tv (undirected sigma symmetry).
+    Pivots are the k smallest splitmix64 draws (deterministic, id-hash
+    sampling rule). Output: one row per (pivot pair, on-path node) with
+    the exact path-count product, plus one endpoint row per connected
+    pair carrying sigma_st itself (is_end = 1) — all exact int64 (sigma
+    is hop-bounded: sigma <= max_deg^rounds; the engine asserts the
+    product stays inside int64 so an overflow is loud, never silent).
+
+    Scale shape: per BFS round one frontier->candidate bucketed join plus
+    one (src, node) sum-combine (frontier rows only — sigma sums must not
+    double-count, so relaxation is frontier-based, not the idempotent
+    full-state min-plus closeness uses); the counted-bound fast path runs
+    the identical recurrence on k x n numpy rows (dual-path parity
+    pytest)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    def _pick_sources(nodes_arr: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            draw = splitmix64(nodes_arr.astype(np.uint64))
+        finally:
+            np.seterr(**old)
+        order = np.lexsort((nodes_arr, draw))
+        return nodes_arr[order[:k_pivots]]
+
+    def _pair_stats(nodes_arr: np.ndarray, D: np.ndarray, S: np.ndarray,
+                    srcs: np.ndarray) -> pd.DataFrame:
+        rows = {"s1": [], "s2": [], "node": [], "pt": [], "is_end": []}
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                tpos = np.searchsorted(nodes_arr, srcs[j])
+                dst = D[i][tpos]
+                if dst >= BFS_INF:
+                    continue
+                # endpoint row: sigma_st = the exact shortest s-t path count
+                rows["s1"].append(np.array([srcs[i]], np.int64))
+                rows["s2"].append(np.array([srcs[j]], np.int64))
+                rows["node"].append(np.array([srcs[j]], np.int64))
+                rows["pt"].append(np.array([S[i][tpos]], np.int64))
+                rows["is_end"].append(np.array([1], np.int64))
+                on = (D[i] + D[j] == dst) \
+                    & (nodes_arr != srcs[i]) & (nodes_arr != srcs[j])
+                if on.any():
+                    prod = S[i][on].astype(object) * S[j][on].astype(object)
+                    assert max(prod) < (1 << 62), "sigma product overflow"
+                k = int(on.sum())
+                rows["s1"].append(np.full(k, srcs[i], np.int64))
+                rows["s2"].append(np.full(k, srcs[j], np.int64))
+                rows["node"].append(nodes_arr[on].astype(np.int64))
+                rows["pt"].append(S[i][on] * S[j][on])
+                rows["is_end"].append(np.zeros(k, np.int64))
+        return pd.DataFrame({c: np.concatenate(v) if v else
+                             pd.Series([], dtype=np.int64)
+                             for c, v in rows.items()})
+
+    if pairs.count() <= local_bound:
+        p = pairs.to_pandas()
+        a = p["a"].to_numpy(np.int64)
+        b = p["b"].to_numpy(np.int64)
+        v = np.concatenate([a, b])       # receiver
+        u = np.concatenate([b, a])       # sender
+        nodes_arr, vi = np.unique(v, return_inverse=True)
+        ui = np.searchsorted(nodes_arr, u)
+        # pair rows are canonicalized s1 < s2: selection is by draw,
+        # iteration order by node id (matches the SQL twin's b.s > a.s)
+        srcs = np.sort(_pick_sources(nodes_arr))
+        n = len(nodes_arr)
+        D = np.full((len(srcs), n), BFS_INF, np.int64)
+        S = np.zeros((len(srcs), n), np.int64)
+        for si, s in enumerate(srcs):
+            pos = np.searchsorted(nodes_arr, s)
+            D[si, pos] = 0
+            S[si, pos] = 1
+        for level in range(1, rounds + 1):
+            for si in range(len(srcs)):
+                mask_e = D[si][ui] == level - 1
+                contrib = np.zeros(n, np.int64)
+                np.add.at(contrib, vi[mask_e], S[si][ui[mask_e]])
+                newly = (D[si] == BFS_INF) & (contrib > 0)
+                D[si][newly] = level
+                S[si][newly] = contrib[newly]
+        return ray.data.from_pandas(_pair_stats(nodes_arr, D, S, srcs))
+
+    # ---------------- distributed path ----------------
+    def both_dirs(bdf: pd.DataFrame) -> pd.DataFrame:
+        a = bdf["a"].to_numpy(np.int64)
+        z = bdf["b"].to_numpy(np.int64)
+        d = pd.DataFrame({"v": np.concatenate([a, z]),
+                          "u": np.concatenate([z, a])})
+        d["_part"] = _bkt(d["u"].to_numpy(np.int64), num_buckets)
+        return d
+
+    adj = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def bucket_srcs(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.unique(g["u"].to_numpy(np.int64))
+        return pd.DataFrame({"node": _pick_sources(arr)})
+
+    cand_srcs = bucket_exchange(adj, bucket_srcs).to_pandas()
+    srcs = np.sort(_pick_sources(np.sort(np.unique(
+        cand_srcs["node"].to_numpy(np.int64)))))
+
+    state = pd.DataFrame({"src": srcs.astype(np.int64),
+                          "node": srcs.astype(np.int64),
+                          "q": np.zeros(len(srcs), np.int64),
+                          "sig": np.ones(len(srcs), np.int64)})
+    state_ds = ray.data.from_pandas(state).materialize()
+
+    for level in range(1, rounds + 1):
+        def tag_adj(bdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "jk": bdf["u"].to_numpy(np.int64),
+                "v": bdf["v"].to_numpy(np.int64),
+                "src": np.zeros(len(bdf), np.int64),
+                "sig": np.zeros(len(bdf), np.int64), "t": np.int8(0),
+                "_part": _bkt(bdf["u"].to_numpy(np.int64), num_buckets)})
+
+        def tag_front(bdf: pd.DataFrame, lv=level) -> pd.DataFrame:
+            f = bdf[bdf["q"].to_numpy(np.int64) == lv - 1]
+            return pd.DataFrame({
+                "jk": f["node"].to_numpy(np.int64),
+                "v": np.zeros(len(f), np.int64),
+                "src": f["src"].to_numpy(np.int64),
+                "sig": f["sig"].to_numpy(np.int64), "t": np.int8(1),
+                "_part": _bkt(f["node"].to_numpy(np.int64), num_buckets)})
+
+        def relax(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["t"] == 0, ["jk", "v"]]
+            fr = g.loc[g["t"] == 1, ["jk", "src", "sig"]]
+            m = e.merge(fr, on="jk", how="inner")
+            o = m.groupby(["src", "v"], as_index=False)["sig"].sum()
+            out = pd.DataFrame({
+                "src": o["src"].to_numpy(np.int64),
+                "node": o["v"].to_numpy(np.int64),
+                "sig": o["sig"].to_numpy(np.int64)})
+            out["_part"] = _bkt(
+                out["src"].to_numpy(np.int64)
+                ^ out["node"].to_numpy(np.int64), num_buckets)
+            return out
+
+        cand = bucket_exchange(
+            adj.map_batches(tag_adj, batch_format="pandas").union(
+                state_ds.map_batches(tag_front, batch_format="pandas")),
+            relax)
+
+        def tag_state(bdf: pd.DataFrame) -> pd.DataFrame:
+            o = bdf[["src", "node", "q", "sig"]].copy()
+            o["t"] = np.int8(1)
+            o["_part"] = _bkt(o["src"].to_numpy(np.int64)
+                              ^ o["node"].to_numpy(np.int64), num_buckets)
+            return o
+
+        def tag_cand(bdf: pd.DataFrame, lv=level) -> pd.DataFrame:
+            # partial per-bucket sums from relax may repeat (src, node)
+            # only across buckets keyed identically — same bucket, so one
+            # groupby-sum here finishes the sigma sum exactly
+            o = bdf.groupby(["src", "node"], as_index=False)["sig"].sum()
+            o["q"] = np.int64(lv)
+            o["t"] = np.int8(0)
+            o["_part"] = _bkt(o["src"].to_numpy(np.int64)
+                              ^ o["node"].to_numpy(np.int64), num_buckets)
+            return o[["src", "node", "q", "sig", "t", "_part"]]
+
+        def merge_state(g: pd.DataFrame) -> pd.DataFrame:
+            old = g.loc[g["t"] == 1, ["src", "node", "q", "sig"]]
+            new = g.loc[g["t"] == 0, ["src", "node", "q", "sig"]]
+            if len(new):
+                new = new.groupby(["src", "node"], as_index=False) \
+                    .agg(q=("q", "min"), sig=("sig", "sum"))
+                mk = new.merge(old[["src", "node"]].assign(_hit=1),
+                               on=["src", "node"], how="left")
+                fresh = mk.loc[mk["_hit"].isna(),
+                               ["src", "node", "q", "sig"]]
+                out = pd.concat([old, fresh], ignore_index=True)
+            else:
+                out = old.copy()
+            for c in out.columns:
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        state_ds = bucket_exchange(
+            state_ds.map_batches(tag_state, batch_format="pandas").union(
+                cand.map_batches(tag_cand, batch_format="pandas")),
+            merge_state).materialize()
+
+    # pivot-to-pivot distances + endpoint sigmas: structurally <= k^2 rows
+    dmat = state_ds.map_batches(
+        lambda b: b[b["node"].isin(srcs)], batch_format="pandas") \
+        .to_pandas()
+    dst_of = {(int(r["src"]), int(r["node"])): (int(r["q"]), int(r["sig"]))
+              for _, r in dmat.iterrows()}
+
+    end_rows = {"s1": [], "s2": [], "node": [], "pt": [], "is_end": []}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            si, sj = int(srcs[i]), int(srcs[j])
+            if (si, sj) in dst_of:
+                end_rows["s1"].append(si)
+                end_rows["s2"].append(sj)
+                end_rows["node"].append(sj)
+                end_rows["pt"].append(dst_of[(si, sj)][1])
+                end_rows["is_end"].append(1)
+    ends = pd.DataFrame(end_rows)
+    for c in ends.columns:
+        ends[c] = ends[c].astype(np.int64)
+
+    def node_stats(g: pd.DataFrame) -> pd.DataFrame:
+        w_q = g.pivot_table(index="node", columns="src", values="q",
+                            aggfunc="min", fill_value=int(BFS_INF))
+        w_s = g.pivot_table(index="node", columns="src", values="sig",
+                            aggfunc="sum", fill_value=0)
+        nd = w_q.index.to_numpy(np.int64)
+        rows = {"s1": [], "s2": [], "node": [], "pt": [], "is_end": []}
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                si, sj = int(srcs[i]), int(srcs[j])
+                if (si, sj) not in dst_of or si not in w_q.columns \
+                        or sj not in w_q.columns:
+                    continue
+                dst = dst_of[(si, sj)][0]
+                on = (w_q[si].to_numpy(np.int64)
+                      + w_q[sj].to_numpy(np.int64) == dst) \
+                    & (nd != si) & (nd != sj)
+                k = int(on.sum())
+                rows["s1"].append(np.full(k, si, np.int64))
+                rows["s2"].append(np.full(k, sj, np.int64))
+                rows["node"].append(nd[on])
+                rows["pt"].append(w_s[si].to_numpy(np.int64)[on]
+                                  * w_s[sj].to_numpy(np.int64)[on])
+                rows["is_end"].append(np.zeros(k, np.int64))
+        return pd.DataFrame({c: np.concatenate(v) if v else
+                             pd.Series([], dtype=np.int64)
+                             for c, v in rows.items()})
+
+    def part_node(bdf: pd.DataFrame) -> pd.DataFrame:
+        o = bdf[["src", "node", "q", "sig"]].copy()
+        o["_part"] = _bkt(o["node"].to_numpy(np.int64), num_buckets)
+        return o
+
+    mids = bucket_exchange(
+        state_ds.map_batches(part_node, batch_format="pandas"), node_stats)
+    return mids.union(ray.data.from_pandas(ends))

