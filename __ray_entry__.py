@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bilinear_resample_tiles": _q_bilinear_resample,
         "regex_funnel_events": _q_regex_funnel,
         "betweenness_hosts": _q_betweenness,
+        "mmr_rerank_vectors": _q_mmr_rerank,
     }
 
 
@@ -495,6 +496,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _bilinear_resample_sql,
     _regex_funnel_sql,
     _betweenness_sql,
+    _mmr_rerank_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1111,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "bilinear_resample_tiles": _bilinear_resample_sql(),
         "regex_funnel_events": _regex_funnel_sql(),
         "betweenness_hosts": _betweenness_sql(k_pivots=8),
+        "mmr_rerank_vectors": _mmr_rerank_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

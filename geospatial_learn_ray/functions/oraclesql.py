@@ -6626,3 +6626,51 @@ def _betweenness_sql(k_pivots: int = 4, rounds: int = 4,
         "CAST(pd.s2 AS BIGINT), CAST(g.sig AS BIGINT), CAST(1 AS BIGINT) "
         "FROM pd JOIN sig g ON g.s = pd.s1 AND g.node = pd.s2"
     )
+
+
+def _mmr_rerank_sql(k: int = 10, n_cand: int = 64, scale: float = 128.0,
+                    dim: int = 64) -> str:
+    """SQL twin of knn.mmr_rerank: identical integer quantization, the
+    same top-n_cand candidate cut (rel DESC, vec_id), and the greedy
+    selection unrolled as k QUALIFY-argmax CTE rounds over the integer
+    candidate dot matrix."""
+    qexpr = (f"list_transform(embedding, x -> CAST(FLOOR(CAST(x AS "
+             f"DOUBLE) * CAST({scale!r} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+             f" AS BIGINT))")
+    dot = (f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+           "i -> {a}.qe[i] * {b}.qe[i])) AS BIGINT)")
+    ctes = [
+        f"ev AS MATERIALIZED (SELECT vec_id, {qexpr} AS qe "
+        "FROM embeddings)",
+        "qm AS (SELECT MIN(vec_id) AS qid FROM embeddings)",
+        "qq AS (SELECT qe FROM ev, qm WHERE vec_id = qid)",
+        "rel AS (SELECT e.vec_id, "
+        + dot.format(a="e", b="q") + " AS rel, e.qe "
+        "FROM ev e, qq q, qm WHERE e.vec_id <> qm.qid)",
+        f"cand AS MATERIALIZED (SELECT vec_id, rel, qe FROM rel "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) "
+        f"<= {n_cand})",
+        "dots AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, "
+        + dot.format(a="a", b="b") + " AS d "
+        "FROM cand a JOIN cand b ON b.vec_id <> a.vec_id)",
+        "s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
+        "rel, 2*rel AS score FROM cand "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) = 1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT * FROM s{t - 1} UNION ALL "
+            f"(SELECT CAST({t} AS BIGINT), j.vec_id, j.rel, j.score "
+            "FROM (SELECT c.vec_id, c.rel, 2*c.rel - MAX(d.d) AS score "
+            "FROM cand c JOIN dots d ON d.va = c.vec_id "
+            f"JOIN s{t - 1} s ON s.vec_id = d.vb "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM s{t - 1}) "
+            "GROUP BY c.vec_id, c.rel) j "
+            "QUALIFY ROW_NUMBER() OVER "
+            "(ORDER BY j.score DESC, j.vec_id) = 1))")
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT CAST(rank AS BIGINT) AS rank, "
+        "CAST(vec_id AS BIGINT) AS vec_id, CAST(rel AS BIGINT) AS rel, "
+        f"CAST(score AS BIGINT) AS score FROM s{k}"
+    )

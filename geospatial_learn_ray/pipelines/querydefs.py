@@ -2206,6 +2206,10 @@ def _q_betweenness(sf_dir: str):
     return betweenness_hosts(read_pages(sf_dir, columns=["url"]), k_pivots=8)
 
 
+def _q_mmr_rerank(sf_dir: str):
+    return knn.mmr_rerank(_rp(sf_dir, "embeddings"))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1071,3 +1071,87 @@ def label_centroid_cosine(emb: ray.data.Dataset,
         emb.select_columns(["embedding", "label"]).map_batches(
             partial, batch_format="pyarrow"),
         finalize, small_partials=True)
+
+
+def mmr_rerank(emb: ray.data.Dataset, k: int = 10, n_cand: int = 64,
+               scale: float = 128.0, dim: int = 64,
+               num_buckets: int = 64) -> ray.data.Dataset:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998 —
+    the diversity rerank every retrieval pipeline bolts onto its top-k):
+    relevance and inter-candidate similarity are integer inner products
+    of floor(x*scale + 0.5)-quantized vectors (exact int64, so greedy
+    argmax ties are impossible to mis-order cross-engine), the query is
+    the min-vec_id vector (deterministic), candidates are the top
+    ``n_cand`` by (rel DESC, vec_id), and the greedy loop picks
+    argmax(2*rel - max_sim_to_selected) with a vec_id tiebreak for k
+    rounds. Scale shape: one broadcast query vector, one vectorized
+    rel+partial-top-N map over the storage blocks, one single-bucket
+    combine of the <=|blocks|*n_cand partial rows, then the greedy runs
+    on the n_cand x n_cand integer dot matrix — driver work is
+    O(n_cand^2), never O(dataset). -> (rank, vec_id, rel, score)."""
+
+    def _mat(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col.values, np.float32).astype(
+            np.float64).reshape(len(col), dim)
+
+    def _quant(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * scale + 0.5).astype(np.int64)
+
+    qid = int(emb.min("vec_id"))
+    qrow = emb.filter(lambda r: r["vec_id"] == qid).take(1)[0]
+    qv = _quant(np.asarray(qrow["embedding"], np.float32)
+                .astype(np.float64))
+    qref = ray.put(qv)
+
+    def rel_part(b: pa.Table) -> pd.DataFrame:
+        q = ray.get(qref)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        keep = ids != qid
+        qe = _quant(_mat(b["embedding"]))[keep]
+        ids = ids[keep]
+        rel = qe @ q
+        order = np.lexsort((ids, -rel))[:n_cand]
+        d = pd.DataFrame({"vec_id": ids[order], "rel": rel[order]})
+        d["qe"] = list(qe[order])
+        d["_part"] = np.zeros(len(d), np.int32)
+        return d
+
+    def merge_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rel", "vec_id"],
+                          ascending=[False, True], kind="mergesort") \
+            .head(n_cand)
+        return g.drop(columns=["_part"])
+
+    cand = bucket_exchange(
+        emb.map_batches(rel_part, batch_format="pyarrow"),
+        merge_topn).to_pandas() \
+        .sort_values(["rel", "vec_id"], ascending=[False, True],
+                     kind="mergesort").head(n_cand).reset_index(drop=True)
+
+    ids = cand["vec_id"].to_numpy(np.int64)
+    rel = cand["rel"].to_numpy(np.int64)
+    V = np.stack(cand["qe"].to_numpy(object)).astype(np.int64)
+    dots = V @ V.T
+    n = len(ids)
+    picked = np.zeros(n, bool)
+    out = {"rank": [], "vec_id": [], "rel": [], "score": []}
+    maxsim = np.full(n, -(1 << 62), np.int64)
+    for r in range(1, min(k, n) + 1):
+        if r == 1:
+            score = 2 * rel
+        else:
+            score = 2 * rel - maxsim
+        score_m = np.where(picked, -(1 << 62), score)
+        best = np.lexsort((ids, -score_m))[0]
+        picked[best] = True
+        out["rank"].append(r)
+        out["vec_id"].append(ids[best])
+        out["rel"].append(rel[best])
+        out["score"].append(score_m[best])
+        maxsim = np.maximum(maxsim, dots[:, best])
+    o = pd.DataFrame(out)
+    for c in o.columns:
+        o[c] = o[c].astype(np.int64)
+    return ray.data.from_pandas(o)

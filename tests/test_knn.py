@@ -453,3 +453,39 @@ def test_rrf_fusion_scoring_identity():
     # rank markers: every row appears in at least one list
     assert ((got.bm25_rank >= 1) | (got.cos_rank >= 1)).all()
     assert ((out.bm25_rank.between(1, 10)) | (out.bm25_rank == -1)).all()
+
+
+def test_mmr_rerank_scalar_greedy_reference():
+    """Stage output == a scalar greedy MMR reimplementation; first pick is
+    the max-relevance candidate and every later score <= 2*rel."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geospatial_learn_ray.stages.knn import mmr_rerank
+    import ray.data
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    out = mmr_rerank(ray.data.from_arrow(t), k=6, n_cand=16) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    emb = np.asarray(t["embedding"].combine_chunks().values,
+                     np.float32).astype(np.float64).reshape(len(t), -1)
+    ids = t["vec_id"].to_numpy()
+    qe = np.floor(emb * 128.0 + 0.5).astype(np.int64)
+    qid = int(ids.min())
+    qv = qe[ids == qid][0]
+    mask = ids != qid
+    rel = qe[mask] @ qv
+    cids = ids[mask]
+    order = np.lexsort((cids, -rel))[:16]
+    crel, cid, cv = rel[order], cids[order], qe[mask][order]
+    dots = cv @ cv.T
+    sel, maxsim = [], np.full(16, -(1 << 62), np.int64)
+    for r in range(6):
+        score = 2 * crel if r == 0 else 2 * crel - maxsim
+        score = np.where(np.isin(np.arange(16), sel), -(1 << 62), score)
+        b = int(np.lexsort((cid, -score))[0])
+        sel.append(b)
+        assert out.loc[r, "vec_id"] == cid[b]
+        assert out.loc[r, "score"] == score[b]
+        maxsim = np.maximum(maxsim, dots[:, b])
+    assert out.loc[0, "rel"] == crel.max()
