@@ -6674,3 +6674,25 @@ def _mmr_rerank_sql(k: int = 10, n_cand: int = 64, scale: float = 128.0,
         "CAST(vec_id AS BIGINT) AS vec_id, CAST(rel AS BIGINT) AS rel, "
         f"CAST(score AS BIGINT) AS score FROM s{k}"
     )
+
+
+def _oov_rate_sql(vocab_size: int = 256) -> str:
+    """SQL twin of textstages.oov_rate_docs: the same single-space token
+    split, (cnt DESC, tok ASC) top-V vocab, and exact integer floor
+    permille."""
+    return (
+        "WITH tl AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> len(x) > 0) AS l "
+        "FROM documents), "
+        "tok AS MATERIALIZED (SELECT doc_id, UNNEST(l) AS tok FROM tl), "
+        "voc AS MATERIALIZED (SELECT tok FROM tok GROUP BY tok "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) "
+        f"<= {vocab_size}) "
+        "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov, "
+        "CAST((COUNT(*) FILTER (v.tok IS NULL)) * 1000 "
+        "// GREATEST(COUNT(*), 1) AS BIGINT) AS oov_permille "
+        "FROM tok t LEFT JOIN voc v ON v.tok = t.tok "
+        "GROUP BY t.doc_id"
+    )

@@ -2210,6 +2210,13 @@ def _q_mmr_rerank(sf_dir: str):
     return knn.mmr_rerank(_rp(sf_dir, "embeddings"))
 
 
+def _q_oov_rate(sf_dir: str):
+    # the synthetic corpus has ~31 distinct tokens: V=16 keeps a real
+    # out-of-vocabulary tail so the OOV path is actually exercised
+    return textstages.oov_rate_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), vocab_size=16)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

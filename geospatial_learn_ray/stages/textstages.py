@@ -2908,3 +2908,76 @@ def source_overlap_docs(docs: ray.data.Dataset, gram: int = 8,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def oov_rate_docs(docs: ray.data.Dataset, vocab_size: int = 256,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Vocabulary-coverage / OOV-rate screen (the tokenizer-fit check a
+    training-data pipeline runs before committing to a vocab: what
+    fraction of each document falls outside the top-V corpus tokens?):
+    pass 1 counts tokens through one token-keyed exchange and takes the
+    global top-``vocab_size`` (count DESC, token ASC — buckets partition
+    tokens, so the union of per-bucket top-V contains the global top-V
+    and the driver merge is <= buckets*V rows); pass 2 broadcasts the
+    vocab as a frozenset and scores every document vectorized (exploded
+    isin, no per-row Python). Output per doc: token count, OOV count,
+    and the exact integer OOV permille (floor)."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def tok_counts(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        vals = vals[vals.str.len() > 0]
+        c = vals.groupby(vals).size().reset_index()
+        c.columns = ["tok", "cnt"]
+        c["cnt"] = c["cnt"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            c["_part"] = (splitmix64(fnv1a64(c["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return c
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby("tok", as_index=False)[
+            "cnt"].sum()
+        c["cnt"] = c["cnt"].astype(np.int64)
+        return c.sort_values(["cnt", "tok"], ascending=[False, True],
+                             kind="mergesort").head(vocab_size)
+
+    tops = bucket_exchange(
+        docs.map_batches(tok_counts, batch_format="pyarrow"),
+        bucket_top).to_pandas() \
+        .sort_values(["cnt", "tok"], ascending=[False, True],
+                     kind="mergesort").head(vocab_size)
+    vocab = ray.put(frozenset(tops["tok"].tolist()))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        vs = ray.get(vocab)
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = vals.str.len() > 0
+        vals, doc = vals[keep.to_numpy()], doc[keep.to_numpy()]
+        oov = ~vals.isin(vs)
+        n_tok = np.bincount(doc, minlength=len(b)).astype(np.int64)
+        n_oov = np.bincount(doc, weights=oov.to_numpy(np.float64),
+                            minlength=len(b)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+            "n_tokens": n_tok,
+            "n_oov": n_oov,
+            "oov_permille": (n_oov * 1000) // np.maximum(n_tok, 1)})
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1157,3 +1157,24 @@ def test_source_overlap_planted_shared_shingles():
     assert out.loc[(0, 2), "n_shared"] == 0
     assert out.loc[(1, 2), "n_shared"] == 0
     assert len(out) == 3  # sources 0..2 → 3 unordered pairs
+
+
+def test_oov_rate_scalar_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import oov_rate_docs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a c", "x y a", ""],
+    })
+    out = oov_rate_docs(ray.data.from_pandas(docs), vocab_size=2,
+                        num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # corpus counts: a=3, b=1, c=1, x=1, y=1 -> top-2 (cnt DESC, tok ASC)
+    # = {a, b}
+    assert out["n_tokens"].tolist() == [4, 3, 0]
+    assert out["n_oov"].tolist() == [1, 2, 0]
+    assert out["oov_permille"].tolist() == [250, 666, 0]
