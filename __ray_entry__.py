@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_hosts": _q_betweenness,
         "mmr_rerank_vectors": _q_mmr_rerank,
         "oov_rate_docs": _q_oov_rate,
+        "postings_varint_docs": _q_postings_varint,
     }
 
 
@@ -499,6 +500,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _betweenness_sql,
     _mmr_rerank_sql,
     _oov_rate_sql,
+    _postings_varint_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1117,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_hosts": _betweenness_sql(k_pivots=8),
         "mmr_rerank_vectors": _mmr_rerank_sql(),
         "oov_rate_docs": _oov_rate_sql(vocab_size=16),
+        "postings_varint_docs": _postings_varint_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

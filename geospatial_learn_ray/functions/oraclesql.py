@@ -6696,3 +6696,26 @@ def _oov_rate_sql(vocab_size: int = 256) -> str:
         "FROM tok t LEFT JOIN voc v ON v.tok = t.tok "
         "GROUP BY t.doc_id"
     )
+
+
+def _postings_varint_sql() -> str:
+    """SQL twin of textstages.postings_varint_docs: LAG over the sorted
+    per-term doc ids gives the gaps (first gap = doc_id + 1), bit length
+    is length(bin(gap)) — exact for BIGINT — and the varint cost is
+    (bits + 6) // 7."""
+    return (
+        "WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        "UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) "
+        "AS term FROM documents), "
+        "gp AS (SELECT term, doc_id, "
+        "COALESCE(doc_id - LAG(doc_id) OVER "
+        "(PARTITION BY term ORDER BY doc_id), doc_id + 1) AS gap "
+        "FROM tok) "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+        "CAST(MIN(doc_id) AS BIGINT) AS first_doc, "
+        "CAST(MAX(doc_id) AS BIGINT) AS last_doc, "
+        "CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS "
+        "bytes_varint, "
+        "CAST(8 * COUNT(*) AS BIGINT) AS bytes_fixed "
+        "FROM gp GROUP BY term"
+    )

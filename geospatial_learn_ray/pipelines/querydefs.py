@@ -2217,6 +2217,11 @@ def _q_oov_rate(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]), vocab_size=16)
 
 
+def _q_postings_varint(sf_dir: str):
+    return textstages.postings_varint_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2981,3 +2981,77 @@ def oov_rate_docs(docs: ray.data.Dataset, vocab_size: int = 256,
             "oov_permille": (n_oov * 1000) // np.maximum(n_tok, 1)})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+_POW2 = np.concatenate([[0], 2 ** np.arange(63, dtype=np.int64)])
+
+
+def _bit_len(g: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (1 + floor(log2 g)) for g >= 1 — a
+    searchsorted over the power-of-two thresholds, never float log2
+    (whose boundary ulps misbin exact powers of two)."""
+    return np.searchsorted(_POW2, g, side="right").astype(np.int64) - 1
+
+
+def postings_varint_docs(docs: ray.data.Dataset,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Posting-list compression planning (the index-layout stat an
+    inverted-index builder computes before choosing an encoding: how many
+    bytes does each term's delta+varint posting list cost vs fixed
+    64-bit?): per term the doc ids sort ascending, gaps are
+    first_doc + 1 then successive deltas (always >= 1 — doc ids are
+    distinct), and the LEB128 varint cost of a gap is
+    ceil(bit_length/7) bytes. One term-keyed exchange; everything after
+    the shuffle is one vectorized sorted scan per bucket. Output per
+    term: document frequency, first/last doc id, varint bytes, fixed
+    bytes (8*df)."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(b["doc_id"].to_numpy().astype(np.int64),
+                        off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        d = pd.DataFrame({"tok": vals[keep].to_numpy(object),
+                          "doc_id": doc[keep]}).drop_duplicates()
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(fnv1a64(d["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def encode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).drop_duplicates(["tok", "doc_id"]) \
+            .sort_values(["tok", "doc_id"], kind="mergesort")
+        tok = g["tok"].to_numpy(object)
+        did = g["doc_id"].to_numpy(np.int64)
+        first = np.empty(len(g), bool)
+        if len(g):
+            first[0] = True
+            first[1:] = tok[1:] != tok[:-1]
+        gap = np.empty(len(g), np.int64)
+        gap[first] = did[first] + 1
+        gap[~first] = did[~first] - np.roll(did, 1)[~first]
+        vb = (_bit_len(gap) + 6) // 7
+        s = pd.DataFrame({"term": tok, "doc_id": did, "vb": vb})
+        out = s.groupby("term", sort=False).agg(
+            df=("doc_id", "size"), first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+            bytes_varint=("vb", "sum")).reset_index()
+        for c in ("df", "first_doc", "last_doc", "bytes_varint"):
+            out[c] = out[c].astype(np.int64)
+        out["bytes_fixed"] = (8 * out["df"]).astype(np.int64)
+        return out
+
+    return bucket_exchange(
+        docs.map_batches(pairs, batch_format="pyarrow"), encode)

@@ -1178,3 +1178,31 @@ def test_oov_rate_scalar_reference():
     assert out["n_tokens"].tolist() == [4, 3, 0]
     assert out["n_oov"].tolist() == [1, 2, 0]
     assert out["oov_permille"].tolist() == [250, 666, 0]
+
+
+def test_postings_varint_scalar_reference():
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import (
+        _bit_len, postings_varint_docs)
+    import numpy as np
+
+    # varint boundary cases: 127 -> 1 byte, 128 -> 2 bytes (exact powers)
+    assert _bit_len(np.array([1, 2, 127, 128, 1 << 62])).tolist() \
+        == [1, 2, 7, 8, 63]
+    docs = pd.DataFrame({
+        "doc_id": [0, 127, 128, 300],
+        "text": ["alpha beta", "alpha", "alpha beta beta", "beta"],
+    })
+    out = postings_varint_docs(ray.data.from_pandas(docs),
+                               num_buckets=4).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    # alpha postings [0,127,128]: gaps [1,127,1] -> 1+1+1 = 3 bytes
+    # beta postings [0,128,300]: gaps [1,128,172] -> 1+2+2 = 5 bytes
+    assert out["term"].tolist() == ["alpha", "beta"]
+    assert out["df"].tolist() == [3, 3]
+    assert out["bytes_varint"].tolist() == [3, 5]
+    assert out["bytes_fixed"].tolist() == [24, 24]
+    assert out["first_doc"].tolist() == [0, 0]
+    assert out["last_doc"].tolist() == [128, 300]
