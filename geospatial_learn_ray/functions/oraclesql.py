@@ -6719,3 +6719,53 @@ def _postings_varint_sql() -> str:
         "CAST(8 * COUNT(*) AS BIGINT) AS bytes_fixed "
         "FROM gp GROUP BY term"
     )
+
+
+def _sieve_sql(side: int = 16, quant: float = 2.0, min_size: int = 6,
+               rounds: int = 20, tx_max: int = 15,
+               ty_max: int = 15) -> str:
+    """SQL twin of raster.sieve_stage: the shared CCL CTEs label per-tile
+    regions, right/down pixel joins mirrored both ways count shared
+    borders, QUALIFY picks each small region's (w DESC, lb ASC) non-small
+    neighbor, and the survivor inventory regroups on the mapped label —
+    exact integers throughout."""
+    ctes = _ccl_ctes(quant, side, rounds, tx_max, ty_max)
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        "regn AS MATERIALIZED (SELECT tile_x, tile_y, lab, "
+        "CAST(MIN(q) AS BIGINT) AS cq, CAST(COUNT(*) AS BIGINT) AS area "
+        "FROM fin GROUP BY tile_x, tile_y, lab), "
+        "bp AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.lab AS la, "
+        "b.lab AS lb, CAST(COUNT(*) AS BIGINT) AS w FROM fin a "
+        "JOIN fin b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND ("
+        f"(b.idx = a.idx + 1 AND a.idx % {side} < {side - 1}) OR "
+        f"b.idx = a.idx + {side}) "
+        "WHERE b.lab <> a.lab GROUP BY a.tile_x, a.tile_y, a.lab, b.lab), "
+        "adjw AS MATERIALIZED (SELECT tile_x, tile_y, la, lb, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM ("
+        "SELECT tile_x, tile_y, la, lb, w FROM bp "
+        "UNION ALL SELECT tile_x, tile_y, lb AS la, la AS lb, w FROM bp) "
+        "GROUP BY tile_x, tile_y, la, lb), "
+        "tgt AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.lab AS sl, "
+        "a.lb AS tl FROM regn s "
+        "JOIN adjw a ON a.tile_x = s.tile_x AND a.tile_y = s.tile_y "
+        "AND a.la = s.lab "
+        "JOIN regn rb ON rb.tile_x = s.tile_x AND rb.tile_y = s.tile_y "
+        "AND rb.lab = a.lb "
+        f"WHERE s.area < {min_size} AND rb.area >= {min_size} "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY s.tile_x, s.tile_y, "
+        "s.lab ORDER BY a.w DESC, a.lb) = 1), "
+        "fmap AS (SELECT r.tile_x, r.tile_y, r.lab, "
+        "COALESCE(t.tl, r.lab) AS fl, r.area, "
+        "CASE WHEN t.tl IS NULL THEN 0 ELSE 1 END AS merged "
+        "FROM regn r LEFT JOIN tgt t ON t.tile_x = r.tile_x "
+        "AND t.tile_y = r.tile_y AND t.sl = r.lab) "
+        "SELECT CAST(f.tile_x AS BIGINT) AS tile_x, "
+        "CAST(f.tile_y AS BIGINT) AS tile_y, "
+        "CAST(f.fl AS BIGINT) AS region_label, rc.cq AS class_q, "
+        "CAST(SUM(f.area) AS BIGINT) AS area, "
+        "CAST(SUM(f.merged) AS BIGINT) AS n_merged "
+        "FROM fmap f JOIN regn rc ON rc.tile_x = f.tile_x "
+        "AND rc.tile_y = f.tile_y AND rc.lab = f.fl "
+        "GROUP BY f.tile_x, f.tile_y, f.fl, rc.cq"
+    )

@@ -2222,6 +2222,11 @@ def _q_postings_varint(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_sieve(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.sieve_stage(small, side=16)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -3664,3 +3664,78 @@ def bilinear_resample_stage(ds: ray.data.Dataset, side: int,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sieve_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
+                min_size: int = 6) -> ray.data.Dataset:
+    """gdal.SieveFilter analogue (the polygon-cleaning pass the reference
+    runs before polygonize; GDAL sieve merges raster polygons below a
+    pixel threshold into their largest-shared-border neighbor): per tile,
+    quantized-value regions label by CCL (_label_regions — min-pixel-idx
+    labels, same as polygonize), every region with area < ``min_size``
+    merges into the adjacent region sharing the LONGEST border whose own
+    area is >= min_size (ties -> smaller neighbor label; a small region
+    with only small neighbors stays — one simultaneous pass over the
+    ORIGINAL labeling, a documented deviation from GDAL's sequential
+    cascade). Output: the surviving region inventory (label, class,
+    merged area, how many regions were absorbed) — all exact integers.
+    Map-only per tile, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _pix(batch).astype(np.float64)
+        n, npx = px.shape
+        rows = {"tile_x": [], "tile_y": [], "region_label": [],
+                "class_q": [], "area": [], "n_merged": []}
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        for i in range(n):
+            img = np.floor(px[i].reshape(side, side) * quant) \
+                .astype(np.int64)
+            labels = _label_regions(img)
+            flat = labels.ravel()
+            labs, inv = np.unique(flat, return_inverse=True)
+            area = np.bincount(inv).astype(np.int64)
+            r = len(labs)
+            lh_a = labels[:, :-1].ravel()
+            lh_b = labels[:, 1:].ravel()
+            lv_a = labels[:-1, :].ravel()
+            lv_b = labels[1:, :].ravel()
+            u = np.concatenate([lh_a, lh_b, lv_a, lv_b])
+            v = np.concatenate([lh_b, lh_a, lv_b, lv_a])
+            diff = u != v
+            iu = np.searchsorted(labs, u[diff])
+            iv = np.searchsorted(labs, v[diff])
+            code = iu * r + iv
+            ucode, w = np.unique(code, return_counts=True)
+            iu, iv = ucode // r, ucode % r
+            small = area < min_size
+            cand = small[iu] & ~small[iv]
+            cu, cv, cw = iu[cand], iv[cand], w[cand].astype(np.int64)
+            tgt = np.arange(r)
+            has_tgt = np.zeros(r, bool)
+            if len(cu):
+                order = np.lexsort((labs[cv], -cw, cu))
+                firsts = np.flatnonzero(np.r_[True, cu[order][1:]
+                                               != cu[order][:-1]])
+                sel = order[firsts]
+                tgt[cu[sel]] = cv[sel]
+                has_tgt[cu[sel]] = True
+            final = np.where(small & has_tgt, tgt, np.arange(r))
+            area_after = np.zeros(r, np.int64)
+            np.add.at(area_after, final, area)
+            n_merged = np.bincount(final[small & has_tgt],
+                                   minlength=r).astype(np.int64)
+            surv = ~(small & has_tgt)
+            k = int(surv.sum())
+            rows["tile_x"].append(np.full(k, tx[i], np.int64))
+            rows["tile_y"].append(np.full(k, ty[i], np.int64))
+            rows["region_label"].append(labs[surv].astype(np.int64))
+            rows["class_q"].append(img.ravel()[labs[surv]])
+            rows["area"].append(area_after[surv])
+            rows["n_merged"].append(n_merged[surv])
+        if not rows["tile_x"]:
+            return pa.table({k2: pa.array([], pa.int64()) for k2 in rows})
+        return pa.table({k2: pa.array(np.concatenate(v2))
+                         for k2, v2 in rows.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1184,3 +1184,55 @@ def test_bilinear_resample_scalar_reference():
         assert g["row_sum"].tolist() == up.sum(axis=1).tolist()
         assert g["row_min"].tolist() == up.min(axis=1).tolist()
         assert g["row_max"].tolist() == up.max(axis=1).tolist()
+
+
+def test_sieve_scalar_reference_and_conservation():
+    from geospatial_learn_ray.stages.raster import (
+        _label_regions, sieve_stage)
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = sieve_stage(small, side=side, min_size=6).to_pandas()
+    for (tx, ty) in [(0, 0), (9, 4), (15, 15)]:
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)]
+        img = np.floor(tile_pixels(tx, ty, side).astype(np.float64)
+                       .reshape(side, side) * 2.0).astype(np.int64)
+        labels = _label_regions(img)
+        # pixel conservation: total area after sieve == side*side
+        assert g["area"].sum() == side * side
+        # scalar recompute: per-region areas and the merge decisions
+        labs, inv = np.unique(labels.ravel(), return_inverse=True)
+        area = {int(l): int(c) for l, c in
+                zip(labs, np.bincount(inv))}
+        borders = {}
+        for y in range(side):
+            for x in range(side):
+                for dy, dx in ((0, 1), (1, 0)):
+                    if y + dy < side and x + dx < side:
+                        a, b = int(labels[y, x]), int(labels[y + dy,
+                                                             x + dx])
+                        if a != b:
+                            borders[(a, b)] = borders.get((a, b), 0) + 1
+                            borders[(b, a)] = borders.get((b, a), 0) + 1
+        finals = {}
+        for l in area:
+            if area[l] < 6:
+                cands = [(w, nb) for (a, nb), w in borders.items()
+                         if a == l and area[nb] >= 6]
+                if cands:
+                    best = sorted(cands, key=lambda t: (-t[0], t[1]))[0][1]
+                    finals[l] = best
+                    continue
+            finals[l] = l
+        ref_area, ref_merged = {}, {}
+        for l, f in finals.items():
+            ref_area[f] = ref_area.get(f, 0) + area[l]
+            if f != l:
+                ref_merged[f] = ref_merged.get(f, 0) + 1
+        surv = sorted(set(finals.values()))
+        gi = g.set_index("region_label")
+        assert sorted(gi.index.tolist()) == surv
+        for f in surv:
+            assert int(gi.loc[f, "area"]) == ref_area[f]
+            assert int(gi.loc[f, "n_merged"]) == ref_merged.get(f, 0)
