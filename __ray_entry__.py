@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": _q_oov_rate,
         "postings_varint_docs": _q_postings_varint,
         "sieve_tiles": _q_sieve,
+        "brovey_pansharpen_tiles": _q_brovey,
     }
 
 
@@ -503,6 +504,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _oov_rate_sql,
     _postings_varint_sql,
     _sieve_sql,
+    _brovey_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1123,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_docs": _oov_rate_sql(vocab_size=16),
         "postings_varint_docs": _postings_varint_sql(),
         "sieve_tiles": _sieve_sql(),
+        "brovey_pansharpen_tiles": _brovey_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

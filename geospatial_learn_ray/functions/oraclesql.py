@@ -6769,3 +6769,31 @@ def _sieve_sql(side: int = 16, quant: float = 2.0, min_size: int = 6,
         "AND rc.tile_y = f.tile_y AND rc.lab = f.fl "
         "GROUP BY f.tile_x, f.tile_y, f.fl, rc.cq"
     )
+
+
+def _brovey_sql(side: int = 32, quant: float = 64.0,
+                ratio_scale: int = 1024) -> str:
+    """SQL twin of raster.brovey_pansharpen_stage: same quantization,
+    same derived bands, same exact floor division."""
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "qq AS (SELECT tile_x, tile_y, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT) + 128 AS qs FROM rast), "
+        "bb AS (SELECT tile_x, tile_y, qs AS r, 2*qs + 5 AS g, "
+        "3*qs + 7 AS b, 3*(qs + (2*qs + 5) + (3*qs + 7)) AS d3, "
+        "(qs + (2*qs + 5) + (3*qs + 7)) AS pan3 FROM qq), "
+        "sh AS (SELECT tile_x, tile_y, "
+        f"(r * pan3 * {ratio_scale}) // d3 AS ro, "
+        f"(g * pan3 * {ratio_scale}) // d3 AS go, "
+        f"(b * pan3 * {ratio_scale}) // d3 AS bo FROM bb) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_px, "
+        "CAST(SUM(ro) AS BIGINT) AS red_sum, "
+        "CAST(SUM(go) AS BIGINT) AS green_sum, "
+        "CAST(SUM(bo) AS BIGINT) AS blue_sum, "
+        "CAST(MIN(ro) AS BIGINT) AS red_min, "
+        "CAST(MAX(ro) AS BIGINT) AS red_max "
+        "FROM sh GROUP BY tile_x, tile_y"
+    )

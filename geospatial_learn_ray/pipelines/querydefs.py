@@ -2227,6 +2227,10 @@ def _q_sieve(sf_dir: str):
     return raster.sieve_stage(small, side=16)
 
 
+def _q_brovey(sf_dir: str):
+    return raster.brovey_pansharpen_stage(read_tiles(tile_px=32), side=32)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -3739,3 +3739,41 @@ def sieve_stage(ds: ray.data.Dataset, side: int, quant: float = 2.0,
                          for k2, v2 in rows.items()})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def brovey_pansharpen_stage(ds: ray.data.Dataset, side: int,
+                            quant: float = 64.0,
+                            ratio_scale: int = 1024) -> ray.data.Dataset:
+    """Brovey-transform pansharpening (Gillespie et al. 1987; the ratio
+    fusion every RGB+pan stack gets before visual products — the
+    reference's stack_ras/rgb composites feed the same band math): three
+    derived co-registered integer bands (the rgb_indices derivation) fuse
+    with a synthetic pan band (their exact integer mean, scaled x3 to
+    avoid division) as out_k = band_k * pan * ratio_scale // sum(bands)
+    — floor division on exact integers, so every sharpened pixel is
+    bit-reproducible. Per-tile output: the three sharpened band sums,
+    min/max of the red channel, and the pixel count. Map-only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        qs = np.floor(pxm * quant + 0.5).astype(np.int64) + 128
+        r = qs
+        g = 2 * qs + 5
+        b = 3 * qs + 7
+        tot = r + g + b                       # > 0 (qs >= 0 -> tot >= 12)
+        pan3 = tot                             # 3*pan where pan = tot/3
+        outs = [bb * pan3 * ratio_scale // (3 * tot) for bb in (r, g, b)]
+        return pa.table({
+            "tile_x": pa.array(batch["tile_x"].to_numpy()
+                               .astype(np.int64)),
+            "tile_y": pa.array(batch["tile_y"].to_numpy()
+                               .astype(np.int64)),
+            "n_px": pa.array(np.full(len(batch), qs.shape[1], np.int64)),
+            "red_sum": pa.array(outs[0].sum(axis=1)),
+            "green_sum": pa.array(outs[1].sum(axis=1)),
+            "blue_sum": pa.array(outs[2].sum(axis=1)),
+            "red_min": pa.array(outs[0].min(axis=1)),
+            "red_max": pa.array(outs[0].max(axis=1)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1236,3 +1236,31 @@ def test_sieve_scalar_reference_and_conservation():
         for f in surv:
             assert int(gi.loc[f, "area"]) == ref_area[f]
             assert int(gi.loc[f, "n_merged"]) == ref_merged.get(f, 0)
+
+
+def test_brovey_scalar_reference():
+    from geospatial_learn_ray.stages.raster import brovey_pansharpen_stage
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = brovey_pansharpen_stage(small, side=side).to_pandas()
+    for (tx, ty) in [(0, 0), (12, 6)]:
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)].iloc[0]
+        v = tile_pixels(tx, ty, side).astype(np.float64).ravel()
+        rs = gs = bs = 0
+        rmin, rmax = 1 << 62, -(1 << 62)
+        for x in v:
+            qs = int(np.floor(x * 64.0 + 0.5)) + 128
+            r, gg, b = qs, 2 * qs + 5, 3 * qs + 7
+            tot = r + gg + b
+            ro = r * tot * 1024 // (3 * tot)
+            go = gg * tot * 1024 // (3 * tot)
+            bo = b * tot * 1024 // (3 * tot)
+            rs += ro; gs += go; bs += bo
+            rmin = min(rmin, ro); rmax = max(rmax, ro)
+        assert int(g["red_sum"]) == rs
+        assert int(g["green_sum"]) == gs
+        assert int(g["blue_sum"]) == bs
+        assert int(g["red_min"]) == rmin
+        assert int(g["red_max"]) == rmax
