@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_varint_docs": _q_postings_varint,
         "sieve_tiles": _q_sieve,
         "brovey_pansharpen_tiles": _q_brovey,
+        "soundex_blocks_parts": _q_soundex,
     }
 
 
@@ -505,6 +506,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _postings_varint_sql,
     _sieve_sql,
     _brovey_sql,
+    _soundex_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1126,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_varint_docs": _postings_varint_sql(),
         "sieve_tiles": _sieve_sql(),
         "brovey_pansharpen_tiles": _brovey_sql(),
+        "soundex_blocks_parts": _soundex_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

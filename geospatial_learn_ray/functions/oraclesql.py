@@ -6797,3 +6797,42 @@ def _brovey_sql(side: int = 32, quant: float = 64.0,
         "CAST(MAX(ro) AS BIGINT) AS red_max "
         "FROM sh GROUP BY tile_x, tile_y"
     )
+
+
+def _soundex_sql() -> str:
+    """SQL twin of textstages.soundex_block_parts: the Soundex automaton
+    restated relationally — chars UNNEST with position, consonant-class
+    CASE codes, the h/w-transparent previous code via LAST_VALUE(...
+    IGNORE NULLS) over the preceding rows (vowel code 0 resets the run,
+    code 7 = h/w yields NULL and is skipped), the first three emitted
+    digits via QUALIFY, zero-padded."""
+    code_case = (
+        "CASE WHEN c IN ('b','f','p','v') THEN 1 "
+        "WHEN c IN ('c','g','j','k','q','s','x','z') THEN 2 "
+        "WHEN c IN ('d','t') THEN 3 WHEN c = 'l' THEN 4 "
+        "WHEN c IN ('m','n') THEN 5 WHEN c = 'r' THEN 6 "
+        "WHEN c IN ('h','w') THEN 7 ELSE 0 END")
+    return (
+        "WITH wn AS MATERIALIZED (SELECT string_split(p_name, ' ')[1] "
+        "AS word, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part "
+        "GROUP BY 1), "
+        "nm AS (SELECT word, lower(word) AS w FROM wn), "
+        "ch AS (SELECT word, w, t.i, w[t.i] AS c FROM nm, "
+        "LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i) t), "
+        f"cd AS (SELECT word, w, i, c, {code_case} AS code FROM ch), "
+        "pv AS (SELECT word, w, i, code, "
+        "LAST_VALUE(CASE WHEN code <> 7 THEN code END IGNORE NULLS) "
+        "OVER (PARTITION BY word ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev "
+        "FROM cd), "
+        "em AS (SELECT word, i, code FROM pv "
+        "WHERE i > 1 AND code BETWEEN 1 AND 6 "
+        "AND (prev IS NULL OR code <> prev) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) <= 3), "
+        "dg AS (SELECT word, string_agg(CAST(code AS VARCHAR), '' "
+        "ORDER BY i) AS d FROM em GROUP BY word) "
+        "SELECT wn.word, upper(nm.w[1]) || "
+        "rpad(COALESCE(dg.d, ''), 3, '0') AS sx, wn.n_parts "
+        "FROM wn JOIN nm ON nm.word = wn.word "
+        "LEFT JOIN dg ON dg.word = wn.word"
+    )

@@ -501,3 +501,49 @@ def containment_word_shingles(a: str, b: str, k: int = 3) -> tuple[float, float]
         return -1.0, -1.0
     ni = len(sa & sb)
     return ni / len(sa), ni / len(sb)
+
+
+_SOUNDEX_CODE = np.zeros(128, np.int8)
+for _c, _d in (("bfpv", 1), ("cgjkqsxz", 2), ("dt", 3), ("l", 4),
+               ("mn", 5), ("r", 6)):
+    for _ch in _c:
+        _SOUNDEX_CODE[ord(_ch)] = _d
+for _ch in "hw":
+    _SOUNDEX_CODE[ord(_ch)] = 7          # transparent: skipped, not a wall
+
+
+def soundex(words: pd.Series) -> pd.Series:
+    """American Soundex (Russell & Odell, the archival standard; the
+    phonetic blocking key of classic record linkage): first letter kept,
+    consonant classes 1-6, vowels reset the run, h/w are TRANSPARENT
+    (a duplicate code separated only by h/w is not re-emitted), output
+    letter + 3 digits zero-padded. Vectorized as a column sweep over the
+    padded lowercase byte matrix (loop over max word length, never over
+    rows — the fuzzy_name byte-matrix recipe)."""
+    w = words.str.lower().fillna("")
+    n = len(w)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    L = max(int(w.str.len().max()), 1)
+    M = np.zeros((n, L), np.uint8)
+    for i, s in enumerate(w.to_numpy(object)):     # fill: bounded by the
+        b = s.encode("ascii", "ignore")[:L]        # batch, cheap byte copy
+        M[i, :len(b)] = np.frombuffer(b, np.uint8)
+    C = _SOUNDEX_CODE[np.minimum(M, 127)]
+    alpha = (M >= ord("a")) & (M <= ord("z"))
+    first = np.where(alpha[:, 0], M[:, 0] - 32, 0).astype(np.uint8)
+    digits = np.zeros((n, 3), np.int8)
+    cnt = np.zeros(n, np.int64)
+    prev = np.where(alpha[:, 0], C[:, 0], 0).astype(np.int8)  # first code
+    for j in range(1, L):
+        c = C[:, j]
+        is_hw = (c == 7) & alpha[:, j]
+        emit = alpha[:, j] & (c >= 1) & (c <= 6) & (c != prev) & (cnt < 3)
+        for k in range(3):
+            digits[:, k] = np.where(emit & (cnt == k), c, digits[:, k])
+        cnt = cnt + emit
+        # vowels (code 0) reset prev; h/w leave it; consonants set it
+        prev = np.where(alpha[:, j] & ~is_hw, c, prev).astype(np.int8)
+    out = np.array([chr(f) + "".join(str(d) for d in row) if f else ""
+                    for f, row in zip(first, digits)], object)
+    return pd.Series(out, index=words.index, dtype=object)

@@ -2231,6 +2231,10 @@ def _q_brovey(sf_dir: str):
     return raster.brovey_pansharpen_stage(read_tiles(tile_px=32), side=32)
 
 
+def _q_soundex(sf_dir: str):
+    return textstages.soundex_block_parts(_rp(sf_dir, "part", ["p_name"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

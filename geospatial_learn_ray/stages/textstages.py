@@ -3055,3 +3055,40 @@ def postings_varint_docs(docs: ray.data.Dataset,
 
     return bucket_exchange(
         docs.map_batches(pairs, batch_format="pyarrow"), encode)
+
+
+def soundex_block_parts(parts: ray.data.Dataset,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Phonetic blocking over part names (the Soundex pass of classic
+    record linkage — the blocking key Fellegi-Sunter pipelines use before
+    pair scoring; complements the trigram sorted-neighborhood stage):
+    counts group by the name's first token through one token-keyed
+    exchange, the combiner stamps each distinct token with its American
+    Soundex code (functions/textproc.soundex — vectorized byte-matrix
+    sweep), and the output is one row per distinct token with its code
+    and part count."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.textproc import soundex
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        w = b["p_name"].to_pandas().str.split(" ").str[0].rename("word")
+        c = w.groupby(w).size().reset_index(name="n_parts")
+        c["n_parts"] = c["n_parts"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            c["_part"] = (splitmix64(fnv1a64(c["word"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return c
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).groupby("word", as_index=False)[
+            "n_parts"].sum()
+        c["n_parts"] = c["n_parts"].astype(np.int64)
+        c["sx"] = soundex(c["word"]).to_numpy(object)
+        return c[["word", "sx", "n_parts"]]
+
+    return bucket_exchange(
+        parts.map_batches(prep, batch_format="pyarrow"), combine)

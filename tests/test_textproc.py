@@ -1206,3 +1206,19 @@ def test_postings_varint_scalar_reference():
     assert out["bytes_fixed"].tolist() == [24, 24]
     assert out["first_doc"].tolist() == [0, 0]
     assert out["last_doc"].tolist() == [128, 300]
+
+
+def test_soundex_published_vectors_and_blocking():
+    import pandas as pd
+
+    from geospatial_learn_ray.functions.textproc import soundex
+
+    cases = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+             "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+             "Gutierrez": "G362", "Jackson": "J250", "widget": "W323"}
+    got = soundex(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+    # h/w transparency: same-code consonants across h are coded once
+    assert soundex(pd.Series(["Burroughs", "Burrows"])).tolist() \
+        == ["B620", "B620"]
