@@ -6836,3 +6836,30 @@ def _soundex_sql() -> str:
         "FROM wn JOIN nm ON nm.word = wn.word "
         "LEFT JOIN dg ON dg.word = wn.word"
     )
+
+
+def _profile_sql() -> str:
+    """SQL twin of agg.profile_lineitem: one UNION ALL block per profiled
+    column with the identical canonical encodings (half-away cents,
+    epoch_us, raw strings)."""
+    from ..stages.agg import PROFILE_SPEC
+
+    blocks = []
+    for col, kind in PROFILE_SPEC:
+        if kind == "cents":
+            key = f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
+        elif kind == "micros":
+            key = f"epoch_us({col})"
+        else:
+            key = col
+        if kind == "str":
+            mn, mx = f"MIN({col})", f"MAX({col})"
+        else:
+            mn = f"CAST(MIN({key}) AS VARCHAR)"
+            mx = f"CAST(MAX({key}) AS VARCHAR)"
+        blocks.append(
+            f"SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_s, {mx} AS max_s FROM lineitem")
+    return " UNION ALL ".join(blocks)

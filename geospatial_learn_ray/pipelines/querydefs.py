@@ -2235,6 +2235,13 @@ def _q_soundex(sf_dir: str):
     return textstages.soundex_block_parts(_rp(sf_dir, "part", ["p_name"]))
 
 
+def _q_profile(sf_dir: str):
+    return agg.profile_lineitem(
+        _rp(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_extendedprice",
+             "l_returnflag", "l_linestatus", "l_shipdate"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1120,3 +1120,110 @@ def cube_stats_orders(orders: ray.data.Dataset,
                                "o_totalprice"])
         .map_batches(partial, batch_format="pandas"),
         combine, small_partials=True)
+
+
+PROFILE_SPEC = (("l_quantity", "cents"), ("l_discount", "cents"),
+                ("l_extendedprice", "cents"), ("l_returnflag", "str"),
+                ("l_linestatus", "str"), ("l_shipdate", "micros"))
+
+
+def profile_lineitem(ds: ray.data.Dataset,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Column-profiling operator (the deequ/describe data-quality surface
+    every ingestion pipeline runs first: per-column row count, null
+    count, EXACT distinct count, min/max): every value canonicalizes to
+    an exact string key — integer cents for the decimal columns (the
+    CLAUDE.md order-exact recipe), epoch microseconds for timestamps,
+    the string itself otherwise — so distinct counting needs no hashing
+    and min/max stringify identically in both engines. Counts/min/max
+    ride one tiny per-batch partial (one row per column per batch);
+    distinct counting pre-dedups per batch then counts uniques through
+    one value-keyed exchange. Output: (col, n, n_null, n_distinct,
+    min_s, max_s)."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+
+    def canon(b: pd.DataFrame, col: str, kind: str) -> pd.Series:
+        s = b[col]
+        if kind == "cents":
+            return pd.Series(round_half_away(
+                s.to_numpy(np.float64) * 100.0, 0).astype(np.int64)) \
+                .map(str)
+        if kind == "micros":
+            return pd.Series(s.to_numpy("datetime64[us]")
+                             .astype(np.int64)).map(str)
+        return s.astype(object).reset_index(drop=True)
+
+    def stat_part(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, kind in PROFILE_SPEC:
+            c = canon(b, col, kind)
+            nn = int(b[col].isna().sum())
+            if kind == "str":
+                mn, mx = (c.min(), c.max()) if len(c) else ("", "")
+            else:
+                iv = c.map(int)
+                mn, mx = ((str(iv.min()), str(iv.max()))
+                          if len(c) else ("", ""))
+            rows.append({"col": col, "n": len(b), "n_null": nn,
+                         "min_s": mn, "max_s": mx})
+        d = pd.DataFrame(rows)
+        for c2 in ("n", "n_null"):
+            d[c2] = d[c2].astype(np.int64)
+        d["_part"] = np.zeros(len(d), np.int32)
+        return d
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        def mm(s, kind, f):
+            if kind == "str":
+                return f(s)
+            return str(f(s.map(int)))
+
+        out = []
+        for col, kind in PROFILE_SPEC:
+            gg = g[g["col"] == col]
+            out.append({
+                "col": col, "n": int(gg["n"].sum()),
+                "n_null": int(gg["n_null"].sum()),
+                "min_s": mm(gg["min_s"], kind, lambda s: s.min()),
+                "max_s": mm(gg["max_s"], kind, lambda s: s.max())})
+        d = pd.DataFrame(out)
+        for c2 in ("n", "n_null"):
+            d[c2] = d[c2].astype(np.int64)
+        return d
+
+    stats = bucket_exchange(
+        ds.map_batches(stat_part, batch_format="pandas"), stat_merge)
+
+    def dist_part(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col, kind in PROFILE_SPEC:
+            u = canon(b, col, kind).drop_duplicates()
+            frames.append(pd.DataFrame({
+                "col": np.full(len(u), col, object),
+                "key": u.to_numpy(object)}))
+        d = pd.concat(frames, ignore_index=True)
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(fnv1a64(
+                (d["col"] + "\x1f" + d["key"]).to_numpy(object)))
+                % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def dist_merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop(columns=["_part"]).drop_duplicates() \
+            .groupby("col", as_index=False).size() \
+            .rename(columns={"size": "nd"})
+        c["nd"] = c["nd"].astype(np.int64)
+        return c
+
+    dist = bucket_exchange(
+        ds.map_batches(dist_part, batch_format="pandas"), dist_merge) \
+        .to_pandas().groupby("col", as_index=False)["nd"].sum()
+
+    st = stats.to_pandas().merge(dist, on="col", how="left")
+    st["n_distinct"] = st["nd"].fillna(0).astype(np.int64)
+    return ray.data.from_pandas(
+        st[["col", "n", "n_null", "n_distinct", "min_s", "max_s"]])

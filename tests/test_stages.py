@@ -600,3 +600,32 @@ def test_spectrogrammer_matches_per_row_reference():
             assert row["flux"] == flux
             assert row["is_onset"] == int(2 * flux > sum(prev))
         prev = p
+
+
+def test_profile_lineitem_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.stages.agg import profile_lineitem
+    import ray.data
+
+    df = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_quantity", "l_discount",
+                                  "l_extendedprice", "l_returnflag",
+                                  "l_linestatus", "l_shipdate"])
+    out = profile_lineitem(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("col")
+    assert (out["n"] == len(df)).all()
+    assert (out["n_null"] == 0).all()
+    cents = round_half_away(
+        df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0) \
+        .astype(np.int64)
+    assert out.loc["l_extendedprice", "n_distinct"] \
+        == len(np.unique(cents))
+    assert out.loc["l_extendedprice", "min_s"] == str(cents.min())
+    assert out.loc["l_returnflag", "n_distinct"] \
+        == df["l_returnflag"].nunique()
+    assert out.loc["l_returnflag", "max_s"] == df["l_returnflag"].max()
+    us = df["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+    assert out.loc["l_shipdate", "min_s"] == str(us.min())
