@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brovey_pansharpen_tiles": _q_brovey,
         "soundex_blocks_parts": _q_soundex,
         "profile_lineitem": _q_profile,
+        "dq_checks_orders": _q_dq_checks,
     }
 
 
@@ -509,6 +510,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _brovey_sql,
     _soundex_sql,
     _profile_sql,
+    _dq_checks_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1132,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "brovey_pansharpen_tiles": _brovey_sql(),
         "soundex_blocks_parts": _soundex_sql(),
         "profile_lineitem": _profile_sql(),
+        "dq_checks_orders": _dq_checks_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -6863,3 +6863,27 @@ def _profile_sql() -> str:
             f"CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct, "
             f"{mn} AS min_s, {mx} AS max_s FROM lineitem")
     return " UNION ALL ".join(blocks)
+
+
+def _dq_checks_sql() -> str:
+    """SQL twin of agg.dq_checks_orders: one aggregate block per check."""
+    checks = [
+        ("not_null_custkey",
+         "COUNT(*) FILTER (o_custkey IS NULL)"),
+        ("positive_price", "COUNT(*) FILTER (o_totalprice <= 0)"),
+        ("domain_status",
+         "COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P'))"),
+        ("ref_custkey",
+         "COUNT(*) FILTER (o_custkey NOT IN "
+         "(SELECT c_custkey FROM customer))"),
+        ("price_cap_50k",
+         "COUNT(*) FILTER (o_totalprice > CAST(50000.0 AS DOUBLE))"),
+        ("fresh_since_1996",
+         "COUNT(*) FILTER (o_orderdate < TIMESTAMP '1996-01-01')"),
+        ("unique_orderkey",
+         "COUNT(*) - COUNT(DISTINCT o_orderkey)"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS \"check\", CAST(COUNT(*) AS BIGINT) AS "
+        f"n_rows, CAST({expr} AS BIGINT) AS n_violations FROM orders"
+        for name, expr in checks)

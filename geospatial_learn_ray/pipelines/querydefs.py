@@ -2242,6 +2242,14 @@ def _q_profile(sf_dir: str):
              "l_returnflag", "l_linestatus", "l_shipdate"]))
 
 
+def _q_dq_checks(sf_dir: str):
+    return agg.dq_checks_orders(
+        _rp(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate"]),
+        _rp(sf_dir, "customer", ["c_custkey"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1227,3 +1227,98 @@ def profile_lineitem(ds: ray.data.Dataset,
     st["n_distinct"] = st["nd"].fillna(0).astype(np.int64)
     return ray.data.from_pandas(
         st[["col", "n", "n_null", "n_distinct", "min_s", "max_s"]])
+
+
+DQ_CHECKS = ("not_null_custkey", "unique_orderkey", "positive_price",
+             "domain_status", "ref_custkey", "price_cap_50k",
+             "fresh_since_1996")
+
+
+def dq_checks_orders(orders: ray.data.Dataset,
+                     customer: ray.data.Dataset,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Data-quality verification suite (the deequ/great-expectations
+    check battery every ingestion gate runs; companion to
+    profile_lineitem): completeness, key uniqueness, range, domain,
+    referential integrity, plus two deliberately tight screens (a price
+    cap and a freshness floor) so the violation path is exercised on
+    clean data. Row-local checks ride one per-batch partial; uniqueness
+    counts key multiplicity through one key-hash exchange; referential
+    integrity broadcasts the (small-side) customer key array once via
+    ray.put. Output: (check, n_rows, n_violations) — exact integers."""
+    from ..functions.hashing import splitmix64
+
+    ck = ray.put(np.unique(np.concatenate(
+        [b["c_custkey"].to_numpy()
+         for b in customer.select_columns(["c_custkey"])
+         .iter_batches(batch_format="pandas", batch_size=65536)]
+        or [np.array([], np.int64)])))
+
+    FRESH = np.datetime64("1996-01-01", "us")
+
+    def row_part(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ck)
+        n = len(b)
+        viol = {
+            "not_null_custkey": int(b["o_custkey"].isna().sum()),
+            "positive_price":
+                int((b["o_totalprice"].to_numpy(np.float64) <= 0).sum()),
+            "domain_status":
+                int((~b["o_orderstatus"].isin(["O", "F", "P"])).sum()),
+            "ref_custkey":
+                int((~np.isin(b["o_custkey"].to_numpy(np.int64),
+                              keys)).sum()),
+            "price_cap_50k":
+                int((b["o_totalprice"].to_numpy(np.float64)
+                     > 50000.0).sum()),
+            "fresh_since_1996":
+                int((b["o_orderdate"].to_numpy("datetime64[us]")
+                     < FRESH).sum()),
+        }
+        d = pd.DataFrame({"check": list(viol), "n_rows": n,
+                          "n_violations": list(viol.values())})
+        for c in ("n_rows", "n_violations"):
+            d[c] = d[c].astype(np.int64)
+        d["_part"] = np.zeros(len(d), np.int32)
+        return d
+
+    def row_merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.drop(columns=["_part"]).groupby("check", as_index=False) \
+            .sum()
+        for c in ("n_rows", "n_violations"):
+            o[c] = o[c].astype(np.int64)
+        return o
+
+    rowchecks = bucket_exchange(
+        orders.map_batches(row_part, batch_format="pandas"), row_merge)
+
+    def key_part(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        d = pd.DataFrame({"k": u, "c": c.astype(np.int64)})
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(u.astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def key_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop(columns=["_part"]).groupby("k", as_index=False)[
+            "c"].sum()
+        return pd.DataFrame({
+            "n": np.array([int(s["c"].sum())], np.int64),
+            "nk": np.array([len(s)], np.int64)})
+
+    km = bucket_exchange(
+        orders.select_columns(["o_orderkey"])
+        .map_batches(key_part, batch_format="pandas"),
+        key_merge).to_pandas()
+    n_total = int(km["n"].sum())
+    uniq = pd.DataFrame({
+        "check": ["unique_orderkey"],
+        "n_rows": np.array([n_total], np.int64),
+        "n_violations": np.array([n_total - int(km["nk"].sum())],
+                                 np.int64)})
+    return rowchecks.union(ray.data.from_pandas(uniq))

@@ -629,3 +629,32 @@ def test_profile_lineitem_matches_pandas_reference():
     assert out.loc["l_returnflag", "max_s"] == df["l_returnflag"].max()
     us = df["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
     assert out.loc["l_shipdate", "min_s"] == str(us.min())
+
+
+def test_dq_checks_planted_violations():
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.stages.agg import dq_checks_orders
+    import ray.data
+
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 1, 2, 3],                 # dup key -> 1 violation
+        "o_custkey": [10, 10, 99, 11],              # 99 missing -> 1 ref
+        "o_orderstatus": ["O", "F", "X", "P"],      # X -> 1 domain
+        "o_totalprice": [-5.0, 60000.0, 10.0, 20.0],  # 1 pos + 1 cap
+        "o_orderdate": pd.to_datetime(
+            ["1995-06-01", "1996-02-01", "1997-01-01", "1998-01-01"]
+        ).astype("datetime64[us]"),                  # 1 fresh
+    })
+    cust = pd.DataFrame({"c_custkey": [10, 11]})
+    out = dq_checks_orders(ray.data.from_pandas(orders),
+                           ray.data.from_pandas(cust), num_buckets=4) \
+        .to_pandas().set_index("check")["n_violations"]
+    assert out["unique_orderkey"] == 1
+    assert out["ref_custkey"] == 1
+    assert out["domain_status"] == 1
+    assert out["positive_price"] == 1
+    assert out["price_cap_50k"] == 1
+    assert out["fresh_since_1996"] == 1
+    assert out["not_null_custkey"] == 0
