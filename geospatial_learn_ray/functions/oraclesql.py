@@ -6887,3 +6887,48 @@ def _dq_checks_sql() -> str:
         f"SELECT '{name}' AS \"check\", CAST(COUNT(*) AS BIGINT) AS "
         f"n_rows, CAST({expr} AS BIGINT) AS n_violations FROM orders"
         for name, expr in checks)
+
+
+def _tophat_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
+                ty_max: int = 15) -> str:
+    """SQL twin of raster.tophat_stage: cross-SE erosion/dilation as
+    LEAST/GREATEST of the row and column 3-windows (both contain the
+    center; ROWS BETWEEN shrinks at borders = the engine's in-bounds
+    min/max), opening/closing as the second pass over the first."""
+
+    def morph(src: str, dst: str, fn2: str) -> str:
+        agg2 = "MIN" if fn2 == "LEAST" else "MAX"
+        return (
+            f"{dst} AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
+            f"{fn2}("
+            f"{agg2}(v) OVER (PARTITION BY tile_x, tile_y, py ORDER BY px "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), "
+            f"{agg2}(v) OVER (PARTITION BY tile_x, tile_y, px ORDER BY py "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) AS v "
+            f"FROM {src})")
+
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "q0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS v "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        + morph("q0", "er", "LEAST") + ", "
+        + morph("er", "op", "GREATEST") + ", "
+        + morph("q0", "di", "GREATEST") + ", "
+        + morph("di", "cl", "LEAST") + " "
+        "SELECT CAST(q0.tile_x AS BIGINT) AS tile_x, "
+        "CAST(q0.tile_y AS BIGINT) AS tile_y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_px, "
+        "CAST(SUM(q0.v - op.v) AS BIGINT) AS wth_sum, "
+        "CAST(COUNT(*) FILTER (q0.v - op.v > 0) AS BIGINT) AS wth_nz, "
+        "CAST(MAX(q0.v - op.v) AS BIGINT) AS wth_max, "
+        "CAST(SUM(cl.v - q0.v) AS BIGINT) AS bth_sum, "
+        "CAST(COUNT(*) FILTER (cl.v - q0.v > 0) AS BIGINT) AS bth_nz, "
+        "CAST(MAX(cl.v - q0.v) AS BIGINT) AS bth_max "
+        "FROM q0 "
+        "JOIN op ON op.tile_x = q0.tile_x AND op.tile_y = q0.tile_y "
+        "AND op.py = q0.py AND op.px = q0.px "
+        "JOIN cl ON cl.tile_x = q0.tile_x AND cl.tile_y = q0.tile_y "
+        "AND cl.py = q0.py AND cl.px = q0.px "
+        "GROUP BY q0.tile_x, q0.tile_y"
+    )

@@ -2250,6 +2250,11 @@ def _q_dq_checks(sf_dir: str):
         _rp(sf_dir, "customer", ["c_custkey"]))
 
 
+def _q_tophat(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.tophat_stage(small, side=16)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

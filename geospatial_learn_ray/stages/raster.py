@@ -3777,3 +3777,61 @@ def brovey_pansharpen_stage(ds: ray.data.Dataset, side: int,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cross_min(a: np.ndarray) -> np.ndarray:
+    """3x3 cross-SE erosion with border shrink (min over in-bounds
+    center/left/right/up/down) — all contributions from the ORIGINAL
+    array, accumulated in place."""
+    r = a.copy()
+    r[:, :, 1:] = np.minimum(r[:, :, 1:], a[:, :, :-1])
+    r[:, :, :-1] = np.minimum(r[:, :, :-1], a[:, :, 1:])
+    r[:, 1:, :] = np.minimum(r[:, 1:, :], a[:, :-1, :])
+    r[:, :-1, :] = np.minimum(r[:, :-1, :], a[:, 1:, :])
+    return r
+
+
+def _cross_max(a: np.ndarray) -> np.ndarray:
+    r = a.copy()
+    r[:, :, 1:] = np.maximum(r[:, :, 1:], a[:, :, :-1])
+    r[:, :, :-1] = np.maximum(r[:, :, :-1], a[:, :, 1:])
+    r[:, 1:, :] = np.maximum(r[:, 1:, :], a[:, :-1, :])
+    r[:, :-1, :] = np.maximum(r[:, :-1, :], a[:, 1:, :])
+    return r
+
+
+def tophat_stage(ds: ray.data.Dataset, side: int,
+                 quant: float = 2.0) -> ray.data.Dataset:
+    """Morphological top-hat transforms (Serra's white top-hat
+    img - opening and black top-hat closing - img with the 3x3 cross SE
+    — the small-feature extractors of the thresh_seg/morphology family;
+    shape.py's skimage.morphology usage): exact integer pixels, erosion/
+    dilation as in-bounds cross-neighborhood min/max (borders shrink —
+    the separable-window semantics the SQL twin's ROWS BETWEEN windows
+    produce), opening = dilate(erode), closing = erode(dilate). Per-tile
+    output: sum / nonzero count / max of both top-hats. Map-only,
+    integer-exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        n = pxm.shape[0]
+        q = np.floor(pxm * quant).astype(np.int64).reshape(n, side, side)
+        opening = _cross_max(_cross_min(q))
+        closing = _cross_min(_cross_max(q))
+        wth = (q - opening).reshape(n, -1)
+        bth = (closing - q).reshape(n, -1)
+        return pa.table({
+            "tile_x": pa.array(batch["tile_x"].to_numpy()
+                               .astype(np.int64)),
+            "tile_y": pa.array(batch["tile_y"].to_numpy()
+                               .astype(np.int64)),
+            "n_px": pa.array(np.full(n, side * side, np.int64)),
+            "wth_sum": pa.array(wth.sum(axis=1)),
+            "wth_nz": pa.array((wth > 0).sum(axis=1).astype(np.int64)),
+            "wth_max": pa.array(wth.max(axis=1)),
+            "bth_sum": pa.array(bth.sum(axis=1)),
+            "bth_nz": pa.array((bth > 0).sum(axis=1).astype(np.int64)),
+            "bth_max": pa.array(bth.max(axis=1)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1264,3 +1264,39 @@ def test_brovey_scalar_reference():
         assert int(g["blue_sum"]) == bs
         assert int(g["red_min"]) == rmin
         assert int(g["red_max"]) == rmax
+
+
+def test_tophat_scalar_reference():
+    from geospatial_learn_ray.stages.raster import tophat_stage
+
+    side = 16
+    small = raster.clip_tiles(read_tiles(tile_px=side),
+                              -180.0, -80.0, -90.0, 0.0)
+    out = tophat_stage(small, side=side).to_pandas()
+
+    def ero(a):
+        r = a.copy()
+        for y in range(side):
+            for x in range(side):
+                for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < side and 0 <= xx < side:
+                        r[y, x] = min(r[y, x], a[yy, xx])
+        return r
+
+    def dil(a):
+        return -ero(-a)
+
+    for (tx, ty) in [(0, 0), (11, 13)]:
+        q = np.floor(tile_pixels(tx, ty, side).astype(np.float64)
+                     .reshape(side, side) * 2.0).astype(np.int64)
+        wth = q - dil(ero(q))
+        bth = ero(dil(q)) - q
+        assert (wth >= 0).all() and (bth >= 0).all()  # anti-extensivity
+        g = out[(out.tile_x == tx) & (out.tile_y == ty)].iloc[0]
+        assert int(g["wth_sum"]) == wth.sum()
+        assert int(g["wth_nz"]) == (wth > 0).sum()
+        assert int(g["wth_max"]) == wth.max()
+        assert int(g["bth_sum"]) == bth.sum()
+        assert int(g["bth_nz"]) == (bth > 0).sum()
+        assert int(g["bth_max"]) == bth.max()
