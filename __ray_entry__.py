@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile,
         "dq_checks_orders": _q_dq_checks,
         "tophat_tiles": _q_tophat,
+        "hilbert_layout_pages": _q_hilbert_layout,
     }
 
 
@@ -513,6 +514,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _profile_sql,
     _dq_checks_sql,
     _tophat_sql,
+    _hilbert_layout_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1138,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _profile_sql(),
         "dq_checks_orders": _dq_checks_sql(),
         "tophat_tiles": _tophat_sql(),
+        "hilbert_layout_pages": _hilbert_layout_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

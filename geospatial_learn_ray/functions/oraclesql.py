@@ -6932,3 +6932,72 @@ def _tophat_sql(side: int = 16, quant: float = 2.0, tx_max: int = 15,
         "AND cl.py = q0.py AND cl.px = q0.px "
         "GROUP BY q0.tile_x, q0.tile_y"
     )
+
+
+def _hilbert_layout_sql(grid: int = 256, files_shift: int = 6,
+                        bbox: tuple[float, float, float, float] =
+                        (-10.0, 30.0, 40.0, 60.0)) -> str:
+    """SQL twin of cellindex.hilbert_layout_pages: geocode chain, the
+    identical cell binning, then the Hilbert rotate-and-accumulate
+    unrolled one CTE-chain step per bit level (xor() on BIGINTs, CASE
+    for the conditional reflect+swap), and the zorder twin's zone-map
+    aggregate on the Hilbert file id."""
+    from . import sqlgen as _sg
+
+    order = int(np.log2(grid))
+    lo_x, lo_y, hi_x, hi_y = bbox
+    sx = grid / 360.0
+    sy = grid / 180.0
+    inner = _sg.chain(f"WITH {pages_sql()} SELECT url FROM pages",
+                      _sg.geocode_steps("url"))
+    steps: list[tuple[str, str]] = []
+    px, py, pd_ = "ix", "iy", "0"
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        rx, ry = f"rx{lvl}", f"ry{lvl}"
+        steps.append((rx, f"CASE WHEN ({px} & {s}) > 0 THEN 1 ELSE 0 END"))
+        steps.append((ry, f"CASE WHEN ({py} & {s}) > 0 THEN 1 ELSE 0 END"))
+        steps.append((f"hd{lvl}",
+                      f"{pd_} + {s * s} * xor(3 * {rx}, {ry})"))
+        steps.append((f"hx{lvl}",
+                      f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                      f"THEN {s - 1} - {py} ELSE {py} END) "
+                      f"ELSE {px} END"))
+        steps.append((f"hy{lvl}",
+                      f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                      f"THEN {s - 1} - {px} ELSE {px} END) "
+                      f"ELSE {py} END"))
+        px, py, pd_ = f"hx{lvl}", f"hy{lvl}", f"hd{lvl}"
+    steps.append(("fid", f"({pd_}) >> {files_shift}"))
+    steps.append(("hit",
+                  f"CASE WHEN lon >= CAST({lo_x!r} AS DOUBLE) "
+                  f"AND lon <= CAST({hi_x!r} AS DOUBLE) "
+                  f"AND lat >= CAST({lo_y!r} AS DOUBLE) "
+                  f"AND lat <= CAST({hi_y!r} AS DOUBLE) "
+                  "THEN 1 ELSE 0 END"))
+    qlo_x = int(np.floor((lo_x + 180.0) * sx))
+    qhi_x = int(np.floor((hi_x + 180.0) * sx))
+    qlo_y = int(np.floor((lo_y + 90.0) * sy))
+    qhi_y = int(np.floor((hi_y + 90.0) * sy))
+    cells = _sg.chain(
+        f"SELECT lon, lat, "
+        f"CAST(LEAST(FLOOR((lon + CAST(180 AS DOUBLE)) * "
+        f"CAST({sx!r} AS DOUBLE)), {grid - 1}) AS BIGINT) AS ix, "
+        f"CAST(LEAST(FLOOR((lat + CAST(90 AS DOUBLE)) * "
+        f"CAST({sy!r} AS DOUBLE)), {grid - 1}) AS BIGINT) AS iy "
+        f"FROM ({inner})", steps)
+    return (
+        f"WITH g AS MATERIALIZED (SELECT fid, COUNT(*)::BIGINT AS "
+        "n_rows, MIN(ix) AS min_ix, MAX(ix) AS max_ix, "
+        "MIN(iy) AS min_iy, MAX(iy) AS max_iy, "
+        f"CAST(SUM(hit) AS BIGINT) AS n_hits FROM ({cells}) "
+        "GROUP BY fid) "
+        "SELECT CAST(fid AS BIGINT) AS fid, n_rows, "
+        "CAST(min_ix AS BIGINT) AS min_ix, "
+        "CAST(max_ix AS BIGINT) AS max_ix, "
+        "CAST(min_iy AS BIGINT) AS min_iy, "
+        "CAST(max_iy AS BIGINT) AS max_iy, n_hits, "
+        f"CAST(CASE WHEN max_ix >= {qlo_x} AND min_ix <= {qhi_x} "
+        f"AND max_iy >= {qlo_y} AND min_iy <= {qhi_y} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS need_scan FROM g"
+    )

@@ -2255,6 +2255,12 @@ def _q_tophat(sf_dir: str):
     return raster.tophat_stage(small, side=16)
 
 
+def _q_hilbert_layout(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import hilbert_layout_pages
+
+    return hilbert_layout_pages(read_pages(sf_dir, columns=["url"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

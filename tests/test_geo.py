@@ -428,3 +428,21 @@ def test_zorder_part1by1_and_pruning_win():
     # Morton slots, so its ix/iy spreads stay inside one 8x8-ish window
     assert ((out.max_ix - out.min_ix) <= 15).all()
     assert ((out.max_iy - out.min_iy) <= 15).all()
+
+
+def test_hilbert_distance_bijective_and_adjacent():
+    """xy2d is a bijection onto [0, 4^order) and consecutive distances
+    are grid-adjacent cells (THE Hilbert property Morton lacks)."""
+    import numpy as np
+
+    from geospatial_learn_ray.stages.cellindex import _hilbert_d
+
+    order = 4
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = _hilbert_d(xs.ravel(), ys.ravel(), order)
+    assert sorted(d.tolist()) == list(range(n * n))
+    pos = np.empty((n * n, 2), np.int64)
+    pos[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    step = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (step == 1).all()
