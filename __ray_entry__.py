@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks_orders": _q_dq_checks,
         "tophat_tiles": _q_tophat,
         "hilbert_layout_pages": _q_hilbert_layout,
+        "ks_test_orders": _q_ks_test,
     }
 
 
@@ -515,6 +516,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _dq_checks_sql,
     _tophat_sql,
     _hilbert_layout_sql,
+    _ks_test_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1141,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_checks_orders": _dq_checks_sql(),
         "tophat_tiles": _tophat_sql(),
         "hilbert_layout_pages": _hilbert_layout_sql(),
+        "ks_test_orders": _ks_test_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -7001,3 +7001,29 @@ def _hilbert_layout_sql(grid: int = 256, files_shift: int = 6,
         f"AND max_iy >= {qlo_y} AND min_iy <= {qhi_y} "
         "THEN 1 ELSE 0 END AS BIGINT) AS need_scan FROM g"
     )
+
+
+def _ks_test_sql(grp_a: str = "1-URGENT", grp_b: str = "5-LOW") -> str:
+    """SQL twin of agg.ks_test_orders: pooled per-cents counts, window
+    cumulative sums, |cum_a*n_b - cum_b*n_a| argmax with the smallest-
+    value tiebreak."""
+    return (
+        "WITH s AS MATERIALIZED (SELECT "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+        f"CASE WHEN o_orderpriority = '{grp_a}' THEN 1 ELSE 0 END AS isa "
+        f"FROM orders WHERE o_orderpriority IN ('{grp_a}', '{grp_b}')), "
+        "n AS (SELECT CAST(SUM(isa) AS BIGINT) AS na, "
+        "CAST(SUM(1 - isa) AS BIGINT) AS nb FROM s), "
+        "g AS (SELECT cents, CAST(SUM(isa) AS BIGINT) AS ca, "
+        "CAST(SUM(1 - isa) AS BIGINT) AS cb FROM s GROUP BY cents), "
+        "c AS (SELECT cents, SUM(ca) OVER (ORDER BY cents) AS la, "
+        "SUM(cb) OVER (ORDER BY cents) AS lb FROM g), "
+        "d AS (SELECT cents, ABS(la * n.nb - lb * n.na) AS dv "
+        "FROM c, n) "
+        "SELECT n.na AS n_a, n.nb AS n_b, "
+        "CAST(d.dv AS BIGINT) AS d_scaled, "
+        "CAST(d.cents AS BIGINT) AS v_cents, "
+        "CAST(d.dv * 1000 // GREATEST(n.na * n.nb, 1) AS BIGINT) AS "
+        "ks_permille FROM d, n "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY d.dv DESC, d.cents) = 1"
+    )

@@ -2261,6 +2261,11 @@ def _q_hilbert_layout(sf_dir: str):
     return hilbert_layout_pages(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_ks_test(sf_dir: str):
+    return agg.ks_test_orders(
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -1322,3 +1322,93 @@ def dq_checks_orders(orders: ray.data.Dataset,
         "n_violations": np.array([n_total - int(km["nk"].sum())],
                                  np.int64)})
     return rowchecks.union(ray.data.from_pandas(uniq))
+
+
+def ks_test_orders(orders: ray.data.Dataset, grp_a: str = "1-URGENT",
+                   grp_b: str = "5-LOW",
+                   bucket_cents: int = 1 << 20) -> ray.data.Dataset:
+    """Exact two-sample Kolmogorov-Smirnov statistic (the distribution
+    drift test an A/B or data-shift monitor runs): D = sup_x |F_a - F_b|
+    over the pooled right-continuous ECDFs, carried as the EXACT integer
+    D*n_a*n_b = max_v |cum_a(v)*n_b - cum_b(v)*n_a| on integer-cents
+    values. Scale shape: a tiny count pass fixes (n_a, n_b); then one
+    range-partitioned exchange (fixed-width cents buckets — ordered
+    buckets ARE the scan ranges, the pack_sequences two-level-scan
+    recipe): each bucket reduces to its (max, min, argmin-v) of the
+    LOCAL cumulative difference — the global offset enters as a per-
+    bucket constant, so the driver finishes from <= n_buckets rows.
+    Output: n_a, n_b, d_scaled, v_cents (smallest value attaining D),
+    ks_permille."""
+    from ..functions.rounding import round_half_away
+
+    def cnt_part(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b["o_orderpriority"]
+        return pd.DataFrame({
+            "na": np.array([int((pr == grp_a).sum())], np.int64),
+            "nb": np.array([int((pr == grp_b).sum())], np.int64)})
+
+    tot = orders.map_batches(cnt_part, batch_format="pandas").to_pandas()
+    n_a, n_b = int(tot["na"].sum()), int(tot["nb"].sum())
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b["o_orderpriority"]
+        sel = pr.isin([grp_a, grp_b])
+        cents = round_half_away(
+            b.loc[sel, "o_totalprice"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64)
+        isa = (pr[sel] == grp_a).to_numpy()
+        d = pd.DataFrame({"cents": cents,
+                          "ca": isa.astype(np.int64),
+                          "cb": (~isa).astype(np.int64)})
+        g = d.groupby("cents", as_index=False).sum()
+        for c in ("ca", "cb"):
+            g[c] = g[c].astype(np.int64)
+        g["_part"] = (g["cents"].to_numpy(np.int64)
+                      // bucket_cents).astype(np.int32)
+        return g
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid, gg in g.groupby("_part", sort=True):
+            gg = gg.groupby("cents", as_index=False)[["ca", "cb"]].sum() \
+                .sort_values("cents", kind="mergesort")
+            la = gg["ca"].to_numpy(np.int64).cumsum()
+            lb = gg["cb"].to_numpy(np.int64).cumsum()
+            diff = la * n_b - lb * n_a
+            imax = int(np.argmax(diff))
+            imin = int(np.argmin(diff))
+            out.append({"pid": int(pid),
+                        "ta": int(la[-1]), "tb": int(lb[-1]),
+                        "dmax": int(diff[imax]),
+                        "vmax": int(gg["cents"].iloc[imax]),
+                        "dmin": int(diff[imin]),
+                        "vmin": int(gg["cents"].iloc[imin])})
+        o = pd.DataFrame(out)
+        for c in o.columns:
+            o[c] = o[c].astype(np.int64)
+        return o
+
+    bs = bucket_exchange(
+        orders.select_columns(["o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pandas"),
+        bucket_stats).to_pandas().sort_values("pid")
+    off_a = np.concatenate([[0], bs["ta"].to_numpy(np.int64)
+                            .cumsum()[:-1]])
+    off_b = np.concatenate([[0], bs["tb"].to_numpy(np.int64)
+                            .cumsum()[:-1]])
+    C = off_a * n_b - off_b * n_a
+    best_d, best_v = -1, -1
+    for i in range(len(bs)):
+        for dv, vv in ((abs(C[i] + bs["dmax"].iloc[i]),
+                        bs["vmax"].iloc[i]),
+                       (abs(C[i] + bs["dmin"].iloc[i]),
+                        bs["vmin"].iloc[i])):
+            if dv > best_d or (dv == best_d and vv < best_v):
+                best_d, best_v = int(dv), int(vv)
+    out = pd.DataFrame({
+        "n_a": [n_a], "n_b": [n_b], "d_scaled": [best_d],
+        "v_cents": [best_v],
+        "ks_permille": [best_d * 1000 // max(n_a * n_b, 1)]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -658,3 +658,30 @@ def test_dq_checks_planted_violations():
     assert out["price_cap_50k"] == 1
     assert out["fresh_since_1996"] == 1
     assert out["not_null_custkey"] == 0
+
+
+def test_ks_test_matches_scipy_free_reference():
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.stages.agg import ks_test_orders
+    import ray.data
+
+    rng_a = [10.0, 20.0, 30.0, 40.0]          # group a
+    rng_b = [25.0, 35.0, 45.0, 55.0, 65.0]    # group b
+    orders = pd.DataFrame({
+        "o_orderpriority": ["1-URGENT"] * 4 + ["5-LOW"] * 5,
+        "o_totalprice": rng_a + rng_b})
+    out = ks_test_orders(ray.data.from_pandas(orders),
+                         bucket_cents=1000).to_pandas().iloc[0]
+    # scalar reference over pooled values
+    pooled = sorted(set(rng_a + rng_b))
+    na, nb = len(rng_a), len(rng_b)
+    best = max(abs(sum(1 for x in rng_a if x <= v) * nb
+                   - sum(1 for x in rng_b if x <= v) * na)
+               for v in pooled)
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["d_scaled"] == best
+    # D = 4/4 - 2/5 at v=40 -> scaled |4*5 - 2*4| = 12, permille 600
+    assert out["d_scaled"] == 12 and out["v_cents"] == 4000
+    assert out["ks_permille"] == 600
