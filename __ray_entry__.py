@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tophat_tiles": _q_tophat,
         "hilbert_layout_pages": _q_hilbert_layout,
         "ks_test_orders": _q_ks_test,
+        "mannwhitney_orders": _q_mannwhitney,
     }
 
 
@@ -517,6 +518,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _tophat_sql,
     _hilbert_layout_sql,
     _ks_test_sql,
+    _mannwhitney_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1144,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "tophat_tiles": _tophat_sql(),
         "hilbert_layout_pages": _hilbert_layout_sql(),
         "ks_test_orders": _ks_test_sql(),
+        "mannwhitney_orders": _mannwhitney_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -7027,3 +7027,29 @@ def _ks_test_sql(grp_a: str = "1-URGENT", grp_b: str = "5-LOW") -> str:
         "ks_permille FROM d, n "
         "QUALIFY ROW_NUMBER() OVER (ORDER BY d.dv DESC, d.cents) = 1"
     )
+
+
+def _mannwhitney_sql(grp_a: str = "1-URGENT", grp_b: str = "5-LOW") -> str:
+    """SQL twin of agg.mannwhitney_orders: per-value pooled counts,
+    window cumulative 'ranks before', the doubled tie-averaged rank sum,
+    and the U identities — all exact BIGINTs."""
+    return (
+        "WITH s AS MATERIALIZED (SELECT "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+        f"CASE WHEN o_orderpriority = '{grp_a}' THEN 1 ELSE 0 END AS isa "
+        f"FROM orders WHERE o_orderpriority IN ('{grp_a}', '{grp_b}')), "
+        "g AS (SELECT cents, CAST(SUM(isa) AS BIGINT) AS ca, "
+        "CAST(SUM(1 - isa) AS BIGINT) AS cb FROM s GROUP BY cents), "
+        "c AS (SELECT cents, ca, cb, ca + cb AS t, "
+        "COALESCE(SUM(ca + cb) OVER (ORDER BY cents "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS bef FROM g), "
+        "agg3 AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+        "CAST(SUM(cb) AS BIGINT) AS nb, "
+        "CAST(SUM(ca * (2 * bef + t + 1)) AS BIGINT) AS r2a, "
+        "CAST(SUM(t*t*t - t) AS BIGINT) AS tie FROM c) "
+        "SELECT na AS n_a, nb AS n_b, "
+        "CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a, "
+        "CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_b, "
+        "tie AS tie_term FROM agg3"
+    )

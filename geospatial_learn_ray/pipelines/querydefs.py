@@ -2266,6 +2266,11 @@ def _q_ks_test(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
 
 
+def _q_mannwhitney(sf_dir: str):
+    return agg.mannwhitney_orders(
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

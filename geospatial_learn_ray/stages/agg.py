@@ -1412,3 +1412,71 @@ def ks_test_orders(orders: ray.data.Dataset, grp_a: str = "1-URGENT",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def mannwhitney_orders(orders: ray.data.Dataset, grp_a: str = "1-URGENT",
+                       grp_b: str = "5-LOW",
+                       bucket_cents: int = 1 << 20) -> ray.data.Dataset:
+    """Exact Mann-Whitney U (the rank-sum alternative to the t-test a
+    metrics pipeline runs on skewed value distributions): tie-averaged
+    ranks double to exact integers (2*avgrank(v) = 2*cum_before(v) +
+    t(v) + 1), so 2*R_a and both U statistics are exact int64. Same
+    range-partitioned two-level scan as ks_test_orders: each ordered
+    cents bucket emits its local rank-sum piece plus totals; the global
+    offset enters linearly (2*off*ta), so the driver finishes from
+    <= n_buckets rows. Output: n_a, n_b, u2_a, u2_b, tie_term
+    (sum of t^3 - t, the variance correction)."""
+    from ..functions.rounding import round_half_away
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b["o_orderpriority"]
+        sel = pr.isin([grp_a, grp_b])
+        cents = round_half_away(
+            b.loc[sel, "o_totalprice"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64)
+        isa = (pr[sel] == grp_a).to_numpy()
+        d = pd.DataFrame({"cents": cents,
+                          "ca": isa.astype(np.int64),
+                          "cb": (~isa).astype(np.int64)})
+        g = d.groupby("cents", as_index=False).sum()
+        for c in ("ca", "cb"):
+            g[c] = g[c].astype(np.int64)
+        g["_part"] = (g["cents"].to_numpy(np.int64)
+                      // bucket_cents).astype(np.int32)
+        return g
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid, gg in g.groupby("_part", sort=True):
+            gg = gg.groupby("cents", as_index=False)[["ca", "cb"]].sum() \
+                .sort_values("cents", kind="mergesort")
+            ca = gg["ca"].to_numpy(np.int64)
+            cb = gg["cb"].to_numpy(np.int64)
+            t = ca + cb
+            before = np.concatenate([[0], t.cumsum()[:-1]])
+            local = int((ca * (2 * before + t + 1)).sum())
+            out.append({"pid": int(pid), "ta": int(ca.sum()),
+                        "tb": int(cb.sum()), "local2r": local,
+                        "tie": int((t ** 3 - t).sum())})
+        o = pd.DataFrame(out)
+        for c in o.columns:
+            o[c] = o[c].astype(np.int64)
+        return o
+
+    bs = bucket_exchange(
+        orders.select_columns(["o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pandas"),
+        bucket_stats).to_pandas().sort_values("pid")
+    tot = (bs["ta"] + bs["tb"]).to_numpy(np.int64)
+    off = np.concatenate([[0], tot.cumsum()[:-1]])
+    r2a = int((bs["local2r"].to_numpy(np.int64)
+               + 2 * off * bs["ta"].to_numpy(np.int64)).sum())
+    n_a, n_b = int(bs["ta"].sum()), int(bs["tb"].sum())
+    u2a = r2a - n_a * (n_a + 1)
+    out = pd.DataFrame({
+        "n_a": [n_a], "n_b": [n_b], "u2_a": [u2a],
+        "u2_b": [2 * n_a * n_b - u2a],
+        "tie_term": [int(bs["tie"].sum())]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -685,3 +685,31 @@ def test_ks_test_matches_scipy_free_reference():
     # D = 4/4 - 2/5 at v=40 -> scaled |4*5 - 2*4| = 12, permille 600
     assert out["d_scaled"] == 12 and out["v_cents"] == 4000
     assert out["ks_permille"] == 600
+
+
+def test_mannwhitney_scalar_reference_with_ties():
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.stages.agg import mannwhitney_orders
+    import ray.data
+
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 5.0, 7.0, 9.0]
+    orders = pd.DataFrame({
+        "o_orderpriority": ["1-URGENT"] * len(a) + ["5-LOW"] * len(b),
+        "o_totalprice": a + b})
+    out = mannwhitney_orders(ray.data.from_pandas(orders),
+                             bucket_cents=250).to_pandas().iloc[0]
+    # scalar tie-averaged ranks over the pooled sample
+    pooled = sorted(a + b)
+    ranks = {}
+    for v in set(pooled):
+        idx = [i + 1 for i, x in enumerate(pooled) if x == v]
+        ranks[v] = sum(idx) / len(idx)
+    r_a = sum(ranks[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    assert out["u2_a"] == int(2 * u_a)
+    assert out["u2_a"] + out["u2_b"] == 2 * len(a) * len(b)
+    # ties: one triple (2.0) and one pair (5.0) -> 24 + 6
+    assert out["tie_term"] == (27 - 3) + (8 - 2)
