@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_layout_pages": _q_hilbert_layout,
         "ks_test_orders": _q_ks_test,
         "mannwhitney_orders": _q_mannwhitney,
+        "assortativity_hosts": _q_assortativity,
     }
 
 
@@ -519,6 +520,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _hilbert_layout_sql,
     _ks_test_sql,
     _mannwhitney_sql,
+    _assortativity_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1147,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_layout_pages": _hilbert_layout_sql(),
         "ks_test_orders": _ks_test_sql(),
         "mannwhitney_orders": _mannwhitney_sql(),
+        "assortativity_hosts": _assortativity_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -7053,3 +7053,34 @@ def _mannwhitney_sql(grp_a: str = "1-URGENT", grp_b: str = "5-LOW") -> str:
         "CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_b, "
         "tie AS tie_term FROM agg3"
     )
+
+
+def _assortativity_sql(out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.assortativity_hosts: the closeness twins' edge
+    CTEs, degree counts off the directed adjacency, exact integer sums."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "cl")])
+    return (
+        f"WITH {pages_sql()}, "
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT)"
+        f" AS dst FROM ({lk_inner})), "
+        "ua AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM lk WHERE src <> dst), "
+        "adj AS (SELECT a AS v FROM ua UNION ALL SELECT b FROM ua), "
+        "dg AS MATERIALIZED (SELECT v AS h, CAST(COUNT(*) AS BIGINT) "
+        "AS d FROM adj GROUP BY v), "
+        "st AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2, "
+        "CAST(SUM(da.d + db.d) AS BIGINT) AS sx, "
+        "CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS sxx, "
+        "CAST(SUM(2 * da.d * db.d) AS BIGINT) AS sxy "
+        "FROM ua JOIN dg da ON da.h = ua.a JOIN dg db ON db.h = ua.b) "
+        "SELECT m2, sx, sxx, sxy, "
+        "CAST(m2 * sxy - sx * sx AS BIGINT) AS num, "
+        "CAST(m2 * sxx - sx * sx AS BIGINT) AS den FROM st"
+    )

