@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test_orders": _q_ks_test,
         "mannwhitney_orders": _q_mannwhitney,
         "assortativity_hosts": _q_assortativity,
+        "json_props_events": _q_json_props,
     }
 
 
@@ -521,6 +522,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ks_test_sql,
     _mannwhitney_sql,
     _assortativity_sql,
+    _json_props_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1150,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test_orders": _ks_test_sql(),
         "mannwhitney_orders": _mannwhitney_sql(),
         "assortativity_hosts": _assortativity_sql(),
+        "json_props_events": _json_props_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

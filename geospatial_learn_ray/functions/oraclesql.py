@@ -7084,3 +7084,21 @@ def _assortativity_sql(out_links: int = 4, host_mod: int = 1000) -> str:
         "CAST(m2 * sxy - sx * sx AS BIGINT) AS num, "
         "CAST(m2 * sxx - sx * sx AS BIGINT) AS den FROM st"
     )
+
+
+def _json_props_sql() -> str:
+    """SQL twin of streaming.json_props_events: identical regex (RE2 and
+    Python agree on this digit pattern), grouped exact integers."""
+    return (
+        "WITH p AS (SELECT event_type AS et, "
+        "regexp_extract(props, '\"k\": (-?\\d+)', 1) AS ks FROM events), "
+        "v AS (SELECT et, CASE WHEN ks = '' THEN NULL "
+        "ELSE CAST(ks AS BIGINT) END AS k FROM p) "
+        "SELECT et, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) FILTER (k IS NULL) AS BIGINT) AS n_bad, "
+        "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k, "
+        "CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k, "
+        "CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k, "
+        "CAST(COUNT(DISTINCT k) AS BIGINT) AS nd_k "
+        "FROM v GROUP BY et"
+    )

@@ -2277,6 +2277,13 @@ def _q_assortativity(sf_dir: str):
     return assortativity_hosts(read_pages(sf_dir, columns=["url"]))
 
 
+def _q_json_props(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.json_props_events(
+        _rp(sf_dir, "events", ["event_type", "props"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

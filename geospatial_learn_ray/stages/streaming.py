@@ -1795,3 +1795,58 @@ def regex_funnel_events(ds: ray.data.Dataset,
 
     return bucket_exchange(ds.map_batches(prep, batch_format="pyarrow"),
                            per_user)
+
+
+def json_props_events(ds: ray.data.Dataset,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Semi-structured property extraction (the JSON-parsing map every
+    event pipeline runs on its props blob): pull the integer ``k`` field
+    with one compiled regex (vectorized str.extract — engine and twin
+    share the exact pattern so malformed rows fail identically to NULL),
+    then aggregate per event type: rows, parse failures, sum / min / max
+    of k, and the exact distinct k count. Distinct counting rides the
+    same (type, k)-keyed exchange as the counts — no second pass over
+    the raw rows."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        props = b["props"].to_pandas()
+        k = props.str.extract(r'"k": (-?\d+)', expand=False)
+        ok = k.notna()
+        kv = pd.Series(np.where(ok, k.fillna("0"), "0")).astype(np.int64)
+        d = pd.DataFrame({
+            "et": b["event_type"].to_pandas().to_numpy(object),
+            "k": kv,
+            "ok": ok.to_numpy().astype(np.int64)})
+        g = d.groupby(["et", "k", "ok"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["et"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).groupby(
+            ["et", "k", "ok"], as_index=False)["n"].sum()
+        okg = g[g["ok"] == 1]
+        out = g.groupby("et", as_index=False).agg(n_rows=("n", "sum"))
+        fails = g[g["ok"] == 0].groupby("et", as_index=False) \
+            .agg(n_bad=("n", "sum"))
+        st = okg.assign(kw=okg["k"] * okg["n"]).groupby(
+            "et", as_index=False).agg(
+            sum_k=("kw", "sum"), min_k=("k", "min"), max_k=("k", "max"),
+            nd_k=("k", "size"))
+        out = out.merge(fails, on="et", how="left") \
+            .merge(st, on="et", how="left")
+        out["n_bad"] = out["n_bad"].fillna(0)
+        for c in ("n_rows", "n_bad", "sum_k", "min_k", "max_k", "nd_k"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        return out
+
+    return bucket_exchange(ds.map_batches(prep, batch_format="pyarrow"),
+                           combine)

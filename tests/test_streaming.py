@@ -780,3 +780,24 @@ def test_regex_funnel_scalar_reference():
     assert out["n_funnel"].tolist() == [1, 1]
     assert out["n_retry"].tolist() == [1, 1]
     assert out["max_view_run"].tolist() == [2, 3]
+
+
+def test_json_props_extraction_with_bad_rows():
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.streaming import json_props_events
+
+    ev = pd.DataFrame({
+        "event_type": ["view", "view", "view", "click"],
+        "props": ['{"k": 87}', '{"k": -3}', 'garbage', '{"k": 87}'],
+    })
+    out = json_props_events(ray.data.from_pandas(ev), num_buckets=4) \
+        .to_pandas().set_index("et")
+    assert out.loc["view", "n_rows"] == 3
+    assert out.loc["view", "n_bad"] == 1
+    assert out.loc["view", "sum_k"] == 84
+    assert out.loc["view", "min_k"] == -3
+    assert out.loc["view", "max_k"] == 87
+    assert out.loc["view", "nd_k"] == 2
+    assert out.loc["click", "nd_k"] == 1
