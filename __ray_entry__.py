@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_orders": _q_mannwhitney,
         "assortativity_hosts": _q_assortativity,
         "json_props_events": _q_json_props,
+        "fellegi_sunter_parts": _q_fellegi_sunter,
     }
 
 
@@ -523,6 +524,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _mannwhitney_sql,
     _assortativity_sql,
     _json_props_sql,
+    _fellegi_sunter_sql,
     _nearest_city_sql,
     _semdedup_sql,
     _buffer_polygons_sql,
@@ -1153,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_orders": _mannwhitney_sql(),
         "assortativity_hosts": _assortativity_sql(),
         "json_props_events": _json_props_sql(),
+        "fellegi_sunter_parts": _fellegi_sunter_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

@@ -7102,3 +7102,30 @@ def _json_props_sql() -> str:
         "CAST(COUNT(DISTINCT k) AS BIGINT) AS nd_k "
         "FROM v GROUP BY et"
     )
+
+
+def _fellegi_sunter_sql(min_score: int = 3) -> str:
+    """SQL twin of textstages.fellegi_sunter_parts: blocked self-join on
+    (brand, size), identical dyadic weights and bit pattern."""
+    return (
+        "WITH p AS MATERIALIZED (SELECT p_partkey AS key, p_brand, "
+        "p_size, p_type, string_split(p_name, ' ')[-1] AS tok2, "
+        "CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents "
+        "FROM part), "
+        "m AS (SELECT a.key AS key_a, b.key AS key_b, "
+        "CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_t, "
+        "CASE WHEN a.tok2 = b.tok2 THEN 1 ELSE 0 END AS ag_n, "
+        "CASE WHEN ABS(a.cents - b.cents) <= 1000 THEN 1 ELSE 0 END "
+        "AS ag_p FROM p a JOIN p b ON b.p_brand = a.p_brand "
+        "AND b.p_size = a.p_size AND b.key > a.key) "
+        "SELECT CAST(key_a AS BIGINT) AS key_a, "
+        "CAST(key_b AS BIGINT) AS key_b, "
+        "CAST(ag_t + 2 * ag_n + 4 * ag_p AS BIGINT) AS pattern, "
+        "CAST(CASE WHEN ag_t = 1 THEN 3 ELSE -2 END "
+        "+ CASE WHEN ag_n = 1 THEN 2 ELSE -1 END "
+        "+ CASE WHEN ag_p = 1 THEN 1 ELSE -1 END AS BIGINT) AS score "
+        "FROM m "
+        f"WHERE (CASE WHEN ag_t = 1 THEN 3 ELSE -2 END "
+        "+ CASE WHEN ag_n = 1 THEN 2 ELSE -1 END "
+        f"+ CASE WHEN ag_p = 1 THEN 1 ELSE -1 END) >= {min_score}"
+    )

@@ -2284,6 +2284,13 @@ def _q_json_props(sf_dir: str):
         _rp(sf_dir, "events", ["event_type", "props"]))
 
 
+def _q_fellegi_sunter(sf_dir: str):
+    return textstages.fellegi_sunter_parts(
+        _rp(sf_dir, "part",
+            ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

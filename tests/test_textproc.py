@@ -1222,3 +1222,29 @@ def test_soundex_published_vectors_and_blocking():
     # h/w transparency: same-code consonants across h are coded once
     assert soundex(pd.Series(["Burroughs", "Burrows"])).tolist() \
         == ["B620", "B620"]
+
+
+def test_fellegi_sunter_scalar_reference():
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import fellegi_sunter_parts
+
+    parts = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4],
+        "p_name": ["cold widget", "warm widget", "cold bolt",
+                   "cold widget"],
+        "p_brand": ["B1", "B1", "B1", "B2"],
+        "p_type": ["ECONOMY", "ECONOMY", "PROMO", "ECONOMY"],
+        "p_size": [5, 5, 5, 5],
+        "p_retailprice": [100.0, 105.0, 300.0, 100.0],
+    })
+    out = fellegi_sunter_parts(ray.data.from_pandas(parts),
+                               num_buckets=4).to_pandas() \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    # block (B1,5): pairs (1,2): type+ name+ price+ -> 6, pattern 7
+    #               (1,3): type- name- price- -> -4 (dropped)
+    #               (2,3): dropped; part 4 is alone in block (B2,5)
+    assert out[["key_a", "key_b"]].values.tolist() == [[1, 2]]
+    assert out["score"].tolist() == [6]
+    assert out["pattern"].tolist() == [7]
