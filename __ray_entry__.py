@@ -10,19 +10,18 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Query naming: one entry per implemented operator/pipeline from
-SURVEY.md §2 (+ the web-scale training-data operators). 61 of 78 entries
-carry STRONG SQL oracles — including the closed-form rasters/polygons
-(functions inlined as numpy-computed literals), the FNV/splitmix hash
-pipeline, hex/S2 cell encodings, the HLL sketch (functions/sqlgen.py)
-and the language-ID heuristic (token/substring marker counts restated
-with list_filter + replace-length arithmetic). The 17 rows-only entries
-are each justified: LSH banding structures (minhash/simhash/embedding
-pairs, their component assembly and verified pairs), iterative
-estimators (logistic, bagged stumps, IVF k-means), convex-hull
-buffering, connected-component labeling (polygonize family),
-winnowing's sliding-window state (doc_fingerprints), and the stubbed
-media codecs — all carry pytest oracles (brute force / property /
-planted-fixture checks) instead.
+SURVEY.md §2 (+ the web-scale training-data operators). 293 of 296
+entries carry STRONG SQL oracles — including the closed-form rasters/
+polygons (functions inlined as numpy-computed literals), the FNV/
+splitmix hash pipeline, hex/S2/Hilbert cell encodings, every sketch
+(HLL/KMV/CMS/AMS/HyperANF — functions/sqlgen.py), the iterative graph/
+cluster/training algorithms (unrolled or level-CTE twins with dual-path
+parity pytests), and the segmentation/morphology families. The 3
+rows-only entries are each justified byte-assembly cases —
+polygonize_rings/_merged (WKB) and multiband_gif_tiles (GIF/LZW) —
+whose geometric/pixel CONTENT is strict-checked by companion queries
+(polygonize_edges value-hashes the boundary-edge multiset); all three
+carry bit-exact round-trip pytests instead.
 """
 
 from __future__ import annotations
