@@ -3779,7 +3779,7 @@ def brovey_pansharpen_stage(ds: ray.data.Dataset, side: int,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _cross_min(a: np.ndarray) -> np.ndarray:
+def _cross_min3d(a: np.ndarray) -> np.ndarray:
     """3x3 cross-SE erosion with border shrink (min over in-bounds
     center/left/right/up/down) — all contributions from the ORIGINAL
     array, accumulated in place."""
@@ -3791,7 +3791,7 @@ def _cross_min(a: np.ndarray) -> np.ndarray:
     return r
 
 
-def _cross_max(a: np.ndarray) -> np.ndarray:
+def _cross_max3d(a: np.ndarray) -> np.ndarray:
     r = a.copy()
     r[:, :, 1:] = np.maximum(r[:, :, 1:], a[:, :, :-1])
     r[:, :, :-1] = np.maximum(r[:, :, :-1], a[:, :, 1:])
@@ -3816,8 +3816,8 @@ def tophat_stage(ds: ray.data.Dataset, side: int,
         pxm = _pix(batch).astype(np.float64)
         n = pxm.shape[0]
         q = np.floor(pxm * quant).astype(np.int64).reshape(n, side, side)
-        opening = _cross_max(_cross_min(q))
-        closing = _cross_min(_cross_max(q))
+        opening = _cross_max3d(_cross_min3d(q))
+        closing = _cross_min3d(_cross_max3d(q))
         wth = (q - opening).reshape(n, -1)
         bth = (closing - q).reshape(n, -1)
         return pa.table({
