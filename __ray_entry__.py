@@ -49,129 +49,17 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the graft driver checks only the FIRST 50 entries in
-    # dict order. Rounds 1-2 driver-checked the text/relational/training/
-    # dedup block (all 50 passed rows+schema+hash, CORRECTNESS_r02.json);
-    # round 3 rotates the raster/segmentation/multimodal block to the
-    # front so every query gets a driver CORRECTNESS row at least once
-    # (VERDICT r2 "Next round" #1). The previously-checked block keeps its
-    # local stand-in (tools/check_oracles.py) + pytest evidence.
+    # dict order. Rounds 1-3 driver-checked 100 distinct queries (all green,
+    # CORRECTNESS_r01-03); round 4 rotates the 50 OLDEST never-checked
+    # entries to the front (VERDICT r3 "Next round" #1) so the whole
+    # registry gets a driver CORRECTNESS row over successive rounds. Every
+    # entry past the window keeps its strict local oracle stand-in
+    # (tools/check_oracles.py) + pytest evidence; NEW queries are appended
+    # at the END so they never displace a never-checked entry.
     return {
-        # raster / tiles (closed-form pytest oracles)
-        "ndvi_tiles": _q_ndvi_tiles,
-        "mask_tiles": _q_mask_tiles,
-        "raster_points": _q_raster_points,
-        "zonal_tile_stats": _q_zonal_tile_stats,
-        "shape_props": _q_shape_props,
-        "rgb_indices_tiles": _q_rgb_indices_tiles,
-        "combine_scene_tiles": _q_combine_scene_tiles,
-        "apply_lut_tiles": _q_apply_lut_tiles,
-        "temporal_mean_tiles": _q_temporal_mean_tiles,
-        "hist_match_tiles": _q_hist_match_tiles,
-        # geometry / tiling extras (pytest oracles)
-        "hex_meshgrid": _q_hex_meshgrid,
-        "buffer_polygons": _q_buffer_polygons,
-        "geom_pixel_bbox": _q_geom_pixel_bbox,
-        "train_test_split": _q_train_test_split,
-        "wkb_to_geojson": _q_wkb_to_geojson,
-        # raster↔vector + warp family (pytest closed-form oracles)
-        "rasterize_fraction": _q_rasterize_fraction,
-        "point_raster_lookup": _q_point_raster_lookup,
-        "clip_tiles": _q_clip_tiles,
-        "fill_nodata_tiles": _q_fill_nodata_tiles,
-        "polygonize_tiles": _q_polygonize_tiles,
-        "ragmerge_regions": _q_ragmerge,
-        "ransac_lines_tiles": _q_ransac_lines,
-        "hough_lines_tiles": _q_hough_lines,
-        "ms_acwe_tiles": _q_ms_acwe,
-        "do_ac_tiles": _q_do_ac,
-        "ms_gac_tiles": _q_ms_gac,
-        # binary GIF output: rows-only like the WKB queries (LZW streams
-        # aren't SQL-expressible); round-trip-tested in pytest
-        "multiband_gif_tiles": _q_multiband_gif,
-        "snake_contours": _q_snake,
-        "ms_toposnakes_tiles": _q_ms_toposnakes,
-        "polygonize_rings": _q_polygonize_rings,
-        "polygonize_edges": _q_polygonize_edges,
-        "polygonize_merged": _q_polygonize_merged,
-        "reproject_points": _q_reproject_points,
-        "texture_stats": _q_texture_stats,
-        "otsu_zone_thresh": _q_otsu_zone_thresh,
-        "niblack_thresh_tiles": _q_niblack_tiles,
-        "sauvola_thresh_tiles": _q_sauvola_tiles,
-        "slope_tiles": _q_slope_tiles,
-        "aspect_tiles": _q_aspect_tiles,
-        "hillshade_tiles": _q_hillshade_tiles,
-        "quegan_tiles": _q_quegan_tiles,
-        "temp_match_peaks": _q_temp_match,
-        # multimodal plumbing (stubbed codecs, real Ray-side layout)
-        "media_decode": _q_media_decode,
-        "media_frame_sample": _q_media_frame_sample,
-        # round-3 additions (never driver-checked -> keep in the first 50)
-        "remove_small_objects": _q_remove_small_objects,
-        "reproject_points_utm": _q_reproject_points_utm,
-        "cms_counts_events": _q_cms_counts_events,
-        "utm_roundtrip": _q_utm_roundtrip,
-        "warp_utm_tiles": _q_warp_utm_tiles,
-        "bloom_semi_join_orders": _q_bloom_semi_join,
-        # ---- entries below were driver-checked in rounds 1-2 (50/50 all
-        # ---- three checks green, CORRECTNESS_r02.json) ----
-        # pages / text (SQL-checked)
-        "extract_text": _q_extract_text,
-        "url_dedup_keep_latest": _q_url_dedup,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality_scores,
-        "repetition_scores": _q_repetition_scores,
-        "decontaminate_docs": _q_decontaminate,
-        "pack_sequences": _q_pack_sequences,
-        "stratified_sample": _q_stratified_sample,
-        "exact_text_dedup": _q_exact_text_dedup,
-        # relational operators (SQL-checked)
-        "zonal_stats_lineitem": _q_zonal_stats_lineitem,
-        "zonal_frac_orders": _q_zonal_frac_orders,
-        "date_filter_events": _q_date_filter_events,
-        "topk_users_by_events": _q_topk_users_by_events,
-        "distinct_langs": _q_distinct_langs,
-        "classify_lineitem": _q_classify_lineitem,
-        "rmse_lineitem": _q_rmse_lineitem,
-        "join_orders_customer": _q_join_orders_customer,
-        "revenue_by_segment": _q_revenue_by_segment,
-        "topk_parts": _q_topk_parts,
-        "anti_join_customers": _q_anti_join_customers,
-        "semi_join_customers": _q_semi_join_customers,
-        "window_events": _q_window_events,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "zonal_median_lineitem": _q_zonal_median_lineitem,
-        "sessionize_events": _q_sessionize_events,
-        "asof_join_events": _q_asof_join_events,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "parts_above_avg": _q_parts_above_avg,
-        "zonal_stats_multi": _q_zonal_stats_multi,
-        # training surface (SQL-checked: closed forms restated in DuckDB)
-        "train_linear_lineitem": _q_train_linear,
-        "regression_metrics_lineitem": _q_regression_metrics,
-        "ridge_param_scan": _q_ridge_param_scan,
-        "classify_proba_lineitem": _q_classify_proba,
-        "logistic_weights_lineitem": _q_logistic_weights,
-        "rf_oob_scan": _q_rf_oob_scan,
-        # geospatial core (pytest oracles — cells/PiP not SQL-expressible)
-        "geocode_cells": _q_geocode_cells,
-        "pip_join_rows": _q_pip_join,
-        "pip_anti_rows": _q_pip_anti,
-        "tile_agg_cells": _q_tile_agg,
-        "knn_pages": _q_knn_pages,
-        # training-data ops (pytest oracles)
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_store_topk": _q_ann_ivf_store,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "jaccard_verified_pairs": _q_jaccard_verified,
-        "embedding_dedup_pairs": _q_embedding_dedup,
-        "dedup_components": _q_dedup_components,
-        "hll_distinct_urls": _q_hll_distinct_urls,
-        "lang_id": _q_lang_id,
-        "doc_fingerprints": _q_fingerprints,
-        # round-3 late additions (past the 50-query driver window this
-        # round — local-checked now, rotate forward next round)
+        # ---- DRIVER WINDOW (first 50): round-4 rotation. These are the 50
+        # ---- OLDEST never-driver-checked queries (round-3 additions, dedup/
+        # ---- ANN/corpus family first), per VERDICT r3 "Next round" #1.
         "hist_quantiles_lineitem": _q_hist_quantiles,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
@@ -222,6 +110,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "lang_temp_weights": _q_lang_temp_weights,
         "char_entropy_docs": _q_char_entropy,
+        # ---- past the window: driver-checked in r1-r3 (100 green rows in
+        # ---- CORRECTNESS_r01-03) or awaiting a later rotation; ALL carry
+        # ---- strict local oracle checks (tools/check_oracles.py) + pytest.
+        "ndvi_tiles": _q_ndvi_tiles,
+        "mask_tiles": _q_mask_tiles,
+        "raster_points": _q_raster_points,
+        "zonal_tile_stats": _q_zonal_tile_stats,
+        "shape_props": _q_shape_props,
+        "rgb_indices_tiles": _q_rgb_indices_tiles,
+        "combine_scene_tiles": _q_combine_scene_tiles,
+        "apply_lut_tiles": _q_apply_lut_tiles,
+        "temporal_mean_tiles": _q_temporal_mean_tiles,
+        "hist_match_tiles": _q_hist_match_tiles,
+        "hex_meshgrid": _q_hex_meshgrid,
+        "buffer_polygons": _q_buffer_polygons,
+        "geom_pixel_bbox": _q_geom_pixel_bbox,
+        "train_test_split": _q_train_test_split,
+        "wkb_to_geojson": _q_wkb_to_geojson,
+        "rasterize_fraction": _q_rasterize_fraction,
+        "point_raster_lookup": _q_point_raster_lookup,
+        "clip_tiles": _q_clip_tiles,
+        "fill_nodata_tiles": _q_fill_nodata_tiles,
+        "polygonize_tiles": _q_polygonize_tiles,
+        "ragmerge_regions": _q_ragmerge,
+        "ransac_lines_tiles": _q_ransac_lines,
+        "hough_lines_tiles": _q_hough_lines,
+        "ms_acwe_tiles": _q_ms_acwe,
+        "do_ac_tiles": _q_do_ac,
+        "ms_gac_tiles": _q_ms_gac,
+        "multiband_gif_tiles": _q_multiband_gif,
+        "snake_contours": _q_snake,
+        "ms_toposnakes_tiles": _q_ms_toposnakes,
+        "polygonize_rings": _q_polygonize_rings,
+        "polygonize_edges": _q_polygonize_edges,
+        "polygonize_merged": _q_polygonize_merged,
+        "reproject_points": _q_reproject_points,
+        "texture_stats": _q_texture_stats,
+        "otsu_zone_thresh": _q_otsu_zone_thresh,
+        "niblack_thresh_tiles": _q_niblack_tiles,
+        "sauvola_thresh_tiles": _q_sauvola_tiles,
+        "slope_tiles": _q_slope_tiles,
+        "aspect_tiles": _q_aspect_tiles,
+        "hillshade_tiles": _q_hillshade_tiles,
+        "quegan_tiles": _q_quegan_tiles,
+        "temp_match_peaks": _q_temp_match,
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frame_sample,
+        "remove_small_objects": _q_remove_small_objects,
+        "reproject_points_utm": _q_reproject_points_utm,
+        "cms_counts_events": _q_cms_counts_events,
+        "utm_roundtrip": _q_utm_roundtrip,
+        "warp_utm_tiles": _q_warp_utm_tiles,
+        "bloom_semi_join_orders": _q_bloom_semi_join,
+        "extract_text": _q_extract_text,
+        "url_dedup_keep_latest": _q_url_dedup,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
+        "decontaminate_docs": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "zonal_stats_lineitem": _q_zonal_stats_lineitem,
+        "zonal_frac_orders": _q_zonal_frac_orders,
+        "date_filter_events": _q_date_filter_events,
+        "topk_users_by_events": _q_topk_users_by_events,
+        "distinct_langs": _q_distinct_langs,
+        "classify_lineitem": _q_classify_lineitem,
+        "rmse_lineitem": _q_rmse_lineitem,
+        "join_orders_customer": _q_join_orders_customer,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "topk_parts": _q_topk_parts,
+        "anti_join_customers": _q_anti_join_customers,
+        "semi_join_customers": _q_semi_join_customers,
+        "window_events": _q_window_events,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "zonal_median_lineitem": _q_zonal_median_lineitem,
+        "sessionize_events": _q_sessionize_events,
+        "asof_join_events": _q_asof_join_events,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "parts_above_avg": _q_parts_above_avg,
+        "zonal_stats_multi": _q_zonal_stats_multi,
+        "train_linear_lineitem": _q_train_linear,
+        "regression_metrics_lineitem": _q_regression_metrics,
+        "ridge_param_scan": _q_ridge_param_scan,
+        "classify_proba_lineitem": _q_classify_proba,
+        "logistic_weights_lineitem": _q_logistic_weights,
+        "rf_oob_scan": _q_rf_oob_scan,
+        "geocode_cells": _q_geocode_cells,
+        "pip_join_rows": _q_pip_join,
+        "pip_anti_rows": _q_pip_anti,
+        "tile_agg_cells": _q_tile_agg,
+        "knn_pages": _q_knn_pages,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_store_topk": _q_ann_ivf_store,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "jaccard_verified_pairs": _q_jaccard_verified,
+        "embedding_dedup_pairs": _q_embedding_dedup,
+        "dedup_components": _q_dedup_components,
+        "hll_distinct_urls": _q_hll_distinct_urls,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
         "late_events_watermark": _q_late_events,
         "snapshot_diff_docs": _q_snapshot_diff,
         "triangle_count_hosts": _q_triangle_hosts,
