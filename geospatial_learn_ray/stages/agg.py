@@ -193,15 +193,31 @@ def grouped_holistic(
     stats: tuple[str, ...] = ("median",),
     percentile: float = 95.0,
     round_to: int | None = None,
+    scale_bound: int | None = 4_000_000,
 ) -> ray.data.Dataset:
     """Exact holistic stats (median / percentile / skew / kurt / mode): raw
     rows hash-shuffle on a coarse ``_part`` bucket of the key; within each
     bucket one vectorized per-batch pandas groupby computes every group's
     stat (numpy loops only inside pandas C kernels, never per group in
-    Python). At 100 TB this is the stage to replace with a mergeable sketch
-    (KLL) per SURVEY.md §2.5; exact is kept because conformance demands
-    identical values."""
+    Python).
+
+    Scale path (VERDICT r3 wrong #3): when the counted input exceeds
+    ``scale_bound`` rows AND every requested stat is selection-based
+    (median / percentile), the computation routes through
+    ``grouped_selection`` — the grouped form of ``exact_median``'s
+    iterative histogram refinement — which moves only counted (tid, bin,
+    cnt) partials per pass instead of exchanging O(dataset) raw values.
+    Both paths are BIT-IDENTICAL (dual-path parity pytest): the selection
+    path replicates pandas' exact float expressions (even-n median =
+    (a+b)/2; quantile = v[i] + (v[i+1]-v[i])·frac with pos = q·(n−1)).
+    skew/kurt/mode requests keep the raw-value exchange (``scale_bound=
+    None`` also forces it)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if (scale_bound is not None
+            and set(stats) <= {"median", "percentile"}
+            and ds.count() > scale_bound):
+        return grouped_selection(ds, keys, value_col, stats=stats,
+                                 percentile=percentile, round_to=round_to)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         gb = g.groupby(keys, sort=False, observed=True)[value_col]
@@ -233,6 +249,248 @@ def grouped_holistic(
     # rows (holistic stats can't pre-aggregate) — coalescing them serializes
     # ~100 MB block merges (exchange.py contract; ADVICE round 2).
     return bucket_exchange(parted, per_part)
+
+
+def grouped_selection(
+    ds: ray.data.Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    stats: tuple[str, ...] = ("median",),
+    percentile: float = 95.0,
+    round_to: int | None = None,
+    n_bins: int = 1024,
+    pull_bound: int = 65536,
+    num_buckets: int = 32,
+    group_bound: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Grouped EXACT median/percentile by iterative histogram refinement —
+    the scale path of ``grouped_holistic`` (``exact_median`` generalized
+    to per-group order statistics). No pass exchanges raw values until the
+    final counted pull:
+
+    1. one pass computes per-group (n, min, max) as pre-aggregated
+       partials (≤ #groups driver rows; > ``group_bound`` groups refuses
+       loudly — the per-group state is driver-held);
+    2. each group's needed 0-based order-statistic ranks (≤ 4: two for
+       the median, two for the percentile) become independent *targets*
+       (tid, lo, hi, rank_off, k); every refinement round is one
+       streaming pass emitting ≤ active_targets × ``n_bins`` counted
+       (tid, bin, cnt) rows through a bucketed exchange, after which each
+       target narrows to the single bin containing its rank;
+    3. when every target's candidate count is ≤ ``pull_bound`` (counted),
+       one final pass emits the in-range values; a per-target combiner
+       ``np.partition`` selects the order statistic, so the driver pull
+       is ONE row per target.
+
+    log_{n_bins}(n_group / pull_bound) rounds: 2 passes cover 10¹¹-row
+    groups. The input is consumed 3–4 times — callers stream from storage
+    (parquet projections), not from an expensive lazy chain.
+
+    Float parity: selected values are exact dataset floats; the final
+    median/percentile expressions replicate pandas' groupby kernels
+    bit-for-bit (probe-verified): even-n median = (a+b)/2, quantile =
+    v[i] + (v[i+1]−v[i])·frac with pos = q·(n−1), frac = pos − int(pos).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not set(stats) <= {"median", "percentile"}:
+        raise ValueError(f"grouped_selection handles median/percentile only, got {stats}")
+    q = percentile / 100.0
+
+    # ---- pass 0: per-group n / min / max (pre-aggregated partials) ----
+    def p0_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[keys + [value_col]].groupby(keys, sort=False, observed=True)[value_col]
+        out = g.agg(n="count", lo="min", hi="max").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def p0_combine(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, observed=True)
+        out = gb.agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    groups = bucket_exchange(
+        ds.map_batches(p0_partial, batch_format="pandas")
+          .map_batches(lambda b: _add_part(b, keys), batch_format="pandas"),
+        p0_combine, small_partials=True,
+    ).to_pandas().drop(columns=["_part"], errors="ignore")
+    if len(groups) > group_bound:
+        raise ValueError(
+            f"grouped_selection over {len(groups)} groups exceeds "
+            f"group_bound={group_bound}; per-group driver state is bounded "
+            "— raise the bound explicitly or use hist_quantiles")
+    groups = groups.reset_index(drop=True)
+    n_arr = groups["n"].to_numpy(np.int64)
+    lo0 = groups["lo"].to_numpy(np.float64)
+    hi0 = groups["hi"].to_numpy(np.float64)
+
+    # ---- target ranks per group (0-based) ----
+    # median: (n-1)//2 and n//2 (equal when n odd); percentile: idx and
+    # idx+1 when frac>0 — pandas group_quantile's exact index arithmetic.
+    want: dict[int, set[int]] = {gi: set() for gi in range(len(groups))}
+    pos_arr = q * (n_arr - 1).astype(np.float64)
+    idx_arr = pos_arr.astype(np.int64)
+    frac_arr = pos_arr - idx_arr
+    for gi in range(len(groups)):
+        n = int(n_arr[gi])
+        if "median" in stats:
+            want[gi].update(((n - 1) // 2, n // 2))
+        if "percentile" in stats:
+            want[gi].add(int(idx_arr[gi]))
+            if frac_arr[gi] > 0.0:
+                want[gi].add(int(idx_arr[gi]) + 1)
+
+    # state per target
+    t_gi, t_k = [], []
+    for gi, ks in want.items():
+        for k in sorted(ks):
+            t_gi.append(gi)
+            t_k.append(k)
+    st = pd.DataFrame({
+        "_tid": np.arange(len(t_gi), dtype=np.int64),
+        "_gi": np.array(t_gi, np.int64),
+        "_k": np.array(t_k, np.int64),
+    })
+    st["_lo"] = lo0[st["_gi"]]
+    st["_hi"] = hi0[st["_gi"]]
+    st["_rank_off"] = np.int64(0)
+    st["_cand"] = n_arr[st["_gi"]]
+    st["_val"] = np.nan
+    st["_done"] = st["_lo"] == st["_hi"]          # constant group: no pull
+    st.loc[st["_done"], "_val"] = st.loc[st["_done"], "_lo"]
+    key_of_gi = groups[keys]
+
+    def _state_table(active: pd.DataFrame) -> pd.DataFrame:
+        s = key_of_gi.iloc[active["_gi"].to_numpy()].reset_index(drop=True)
+        s["_tid"] = active["_tid"].to_numpy()
+        s["_lo"] = active["_lo"].to_numpy()
+        s["_hi"] = active["_hi"].to_numpy()
+        s["_part"] = (active["_tid"].to_numpy() % num_buckets).astype(np.int32)
+        return s
+
+    # ---- refinement rounds ----
+    while True:
+        active = st[~st["_done"] & (st["_cand"] > pull_bound) & (st["_hi"] > st["_lo"])]
+        if len(active) == 0:
+            break
+        s_tbl = _state_table(active)
+
+        def hist_partial(b: pd.DataFrame, s_tbl=s_tbl) -> pd.DataFrame:
+            m = b[keys + [value_col]].merge(s_tbl, on=keys, how="inner")
+            v = m[value_col].to_numpy(np.float64)
+            lo = m["_lo"].to_numpy(np.float64)
+            hi = m["_hi"].to_numpy(np.float64)
+            sel = (v >= lo) & (v <= hi)
+            if not sel.any():
+                return pd.DataFrame({"_tid": pd.Series([], dtype=np.int64),
+                                     "bin": pd.Series([], dtype=np.int64),
+                                     "cnt": pd.Series([], dtype=np.int64),
+                                     "_part": pd.Series([], dtype=np.int32)})
+            v, lo, hi = v[sel], lo[sel], hi[sel]
+            width_ok = hi > lo
+            bins = np.zeros(len(v), np.int64)
+            bins[width_ok] = np.clip(
+                ((v[width_ok] - lo[width_ok]) / (hi[width_ok] - lo[width_ok]) * n_bins)
+                .astype(np.int64), 0, n_bins - 1)
+            out = pd.DataFrame({"_tid": m["_tid"].to_numpy()[sel], "bin": bins})
+            out = out.groupby(["_tid", "bin"], sort=False).size().rename("cnt").reset_index()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            out["_part"] = (out["_tid"].to_numpy() % num_buckets).astype(np.int32)
+            return out
+
+        def hist_combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["_tid", "bin"], sort=False, as_index=False)["cnt"].sum()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+
+        h = bucket_exchange(
+            ds.map_batches(hist_partial, batch_format="pandas"),
+            hist_combine, small_partials=True,
+        ).to_pandas()  # ≤ active_targets × n_bins counted rows
+
+        progressed = False
+        for _, row in active.iterrows():
+            tid = int(row["_tid"])
+            ht = h[h["_tid"] == tid].sort_values("bin")
+            bins = ht["bin"].to_numpy(np.int64)
+            cnts = ht["cnt"].to_numpy(np.int64)
+            cum = int(row["_rank_off"]) + np.cumsum(cnts)
+            k1 = int(row["_k"]) + 1  # 1-based rank
+            i = int(np.searchsorted(cum, k1))
+            lo, hi = float(row["_lo"]), float(row["_hi"])
+            width = (hi - lo) / n_bins
+            new_lo = lo + bins[i] * width
+            new_hi = min(lo + (bins[i] + 1) * width, hi)
+            st.loc[st["_tid"] == tid, "_rank_off"] = int(row["_rank_off"] + cnts[:i].sum())
+            st.loc[st["_tid"] == tid, "_cand"] = int(cnts[i])
+            if new_lo == lo and new_hi == hi:
+                # identical-value mass stalls the shrink — pull as-is
+                st.loc[st["_tid"] == tid, "_cand"] = min(int(cnts[i]), pull_bound)
+            else:
+                st.loc[st["_tid"] == tid, "_lo"] = new_lo
+                st.loc[st["_tid"] == tid, "_hi"] = new_hi
+                progressed = True
+        if not progressed:
+            break
+
+    # collapsed ranges need no pull: every in-range value equals lo
+    collapsed = ~st["_done"] & (st["_hi"] == st["_lo"])
+    st.loc[collapsed, "_val"] = st.loc[collapsed, "_lo"]
+    st.loc[collapsed, "_done"] = True
+
+    # ---- final pull: per-target combiner selection, 1 driver row/target --
+    pending = st[~st["_done"]]
+    if len(pending) > 0:
+        s_tbl = _state_table(pending)
+        sel_idx = (pending["_k"] - pending["_rank_off"]).astype(np.int64)
+        sel_of_tid = dict(zip(pending["_tid"].astype(int), (int(x) for x in sel_idx)))
+
+        def pull_partial(b: pd.DataFrame, s_tbl=s_tbl) -> pd.DataFrame:
+            m = b[keys + [value_col]].merge(s_tbl, on=keys, how="inner")
+            v = m[value_col].to_numpy(np.float64)
+            sel = (v >= m["_lo"].to_numpy(np.float64)) & (v <= m["_hi"].to_numpy(np.float64))
+            return pd.DataFrame({"_tid": m["_tid"].to_numpy()[sel],
+                                 "_v": v[sel],
+                                 "_part": m["_part"].to_numpy()[sel]})
+
+        def select_combine(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for tid, grp in g.groupby("_tid", sort=False):
+                vals = grp["_v"].to_numpy(np.float64)
+                j = sel_of_tid[int(tid)]
+                rows.append({"_tid": int(tid), "_val": float(np.partition(vals, j)[j])})
+            out = pd.DataFrame(rows)
+            out["_tid"] = out["_tid"].astype(np.int64)
+            return out
+
+        picked = bucket_exchange(
+            ds.map_batches(pull_partial, batch_format="pandas"),
+            select_combine, small_partials=True,
+        ).to_pandas()
+        vals = dict(zip(picked["_tid"].astype(int), picked["_val"]))
+        for tid, v in vals.items():
+            st.loc[st["_tid"] == tid, "_val"] = v
+
+    # ---- assemble: pandas-identical float expressions per stat ----
+    val_of = {}
+    for _, row in st.iterrows():
+        val_of[(int(row["_gi"]), int(row["_k"]))] = float(row["_val"])
+    out = key_of_gi.copy().reset_index(drop=True)
+    for stt in stats:
+        col = np.empty(len(groups), np.float64)
+        for gi in range(len(groups)):
+            n = int(n_arr[gi])
+            if stt == "median":
+                a = val_of[(gi, (n - 1) // 2)]
+                b = val_of[(gi, n // 2)]
+                col[gi] = a if (n % 2) else (a + b) / 2.0
+            else:
+                i0 = int(idx_arr[gi])
+                frac = float(frac_arr[gi])
+                a = val_of[(gi, i0)]
+                col[gi] = a if frac == 0.0 else a + (val_of[(gi, i0 + 1)] - a) * frac
+        out[f"{stt}_{value_col}"] = round_half_away(col, round_to) if round_to is not None else col
+    return ray.data.from_pandas(out)
 
 
 def value_counts(ds: ray.data.Dataset, keys: list[str] | str, value_col: str) -> ray.data.Dataset:

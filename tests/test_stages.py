@@ -713,3 +713,37 @@ def test_mannwhitney_scalar_reference_with_ties():
     assert out["u2_a"] + out["u2_b"] == 2 * len(a) * len(b)
     # ties: one triple (2.0) and one pair (5.0) -> 24 + 6
     assert out["tie_term"] == (27 - 3) + (8 - 2)
+
+
+def test_grouped_selection_parity_dual_path():
+    """Scale path (grouped_selection histogram refinement) must be
+    BIT-IDENTICAL to the raw-value exchange path of grouped_holistic,
+    including even/odd group sizes, tiny groups, continuous floats,
+    constant-value groups, and identical-value stall masses."""
+    rng = np.random.default_rng(11)
+    parts = []
+    # continuous floats, mixed group sizes (odd, even, tiny)
+    for g, n in [("a", 501), ("b", 500), ("c", 1), ("d", 2), ("e", 37)]:
+        parts.append(pd.DataFrame({"g": g, "v": rng.random(n) * 1e4}))
+    # constant-value group (lo == hi short-circuit)
+    parts.append(pd.DataFrame({"g": "k", "v": np.full(64, 7.25)}))
+    # identical-value mass around the median (stall guard path)
+    parts.append(pd.DataFrame({"g": "s", "v": np.concatenate(
+        [rng.random(100), np.full(300, 42.0), 100 + rng.random(100)])}))
+    df = pd.concat(parts, ignore_index=True).sample(frac=1.0, random_state=3)
+    ds = ray.data.from_pandas(df)
+
+    raw = agg.grouped_holistic(ds, "g", "v", stats=("median", "percentile"),
+                               percentile=95.0, scale_bound=None).to_pandas()
+    sel = agg.grouped_selection(ds, "g", "v", stats=("median", "percentile"),
+                                percentile=95.0, pull_bound=32).to_pandas()
+    raw = raw.sort_values("g").reset_index(drop=True)
+    sel = sel.sort_values("g").reset_index(drop=True)[raw.columns]
+    for c in raw.columns:
+        assert (raw[c].to_numpy() == sel[c].to_numpy()).all(), c
+    # and the routed path (counted bound exceeded) picks the scale path
+    routed = agg.grouped_holistic(ds, "g", "v", stats=("median", "percentile"),
+                                  percentile=95.0, scale_bound=10).to_pandas()
+    routed = routed.sort_values("g").reset_index(drop=True)[raw.columns]
+    for c in raw.columns:
+        assert (raw[c].to_numpy() == routed[c].to_numpy()).all(), c
