@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_hosts": _q_assortativity,
         "json_props_events": _q_json_props,
         "fellegi_sunter_parts": _q_fellegi_sunter,
+        # round-4 additions (appended PAST the driver window)
+        "ms_toposeg_tiles": _q_ms_toposeg,
     }
 
 
@@ -389,6 +391,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_GRID_SQL,
     _ann_ivf_sql,
     _canny_sql,
+    _ms_toposeg_sql,
     _dbscan_sql,
     _edt_sql,
     _geohash_sql,
@@ -1146,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_hosts": _assortativity_sql(),
         "json_props_events": _json_props_sql(),
         "fellegi_sunter_parts": _fellegi_sunter_sql(),
+        "ms_toposeg_tiles": _ms_toposeg_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

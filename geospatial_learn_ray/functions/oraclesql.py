@@ -417,7 +417,8 @@ def _pq_topk_sql(n_sub=4, ks=8, iters=3, seed=3, k=10, permille=200, dim=64):
 
 
 
-def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None):
+def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None,
+              rc_sql=None, include_tiles=True):
     """Per-tile connected-component labeling of the clipped closed-form
     raster as UNROLLED min-label rounds (neighbor-min + two pointer jumps
     per round, every round MATERIALIZED - DuckDB inlines CTEs and each
@@ -429,10 +430,11 @@ def _ccl_ctes(quant=2.0, side=16, rounds=20, tx_max=15, ty_max=15, qexpr=None):
     Shared by the polygonize and ragmerge oracles."""
     if qexpr is None:
         qexpr = f"FLOOR(vd * {quant!r})"
-    ctes = [
-        tiles_sql(side),
-        f"rc AS MATERIALIZED (SELECT tile_x, tile_y, py * {side} + px AS idx, "
-        f"  {qexpr} AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+    if rc_sql is None:
+        rc_sql = (f"SELECT tile_x, tile_y, py * {side} + px AS idx, "
+                  f"{qexpr} AS q, vd FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
+    ctes = ([tiles_sql(side)] if include_tiles else []) + [
+        f"rc AS MATERIALIZED ({rc_sql})",
         "edg AS MATERIALIZED ("
         "  SELECT a.tile_x, a.tile_y, a.idx AS u, b.idx AS v FROM rc a JOIN rc b "
         f"    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.q = a.q AND ("
@@ -798,6 +800,99 @@ def _ms_toposnakes_sql(side=16, tx_max=15, ty_max=15, iterations=5):
         "SELECT tile_x, tile_y, CAST(SUM(u) AS BIGINT) AS fg_count, "
         "ROUND(CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END, 6) AS mean_in "
         f"FROM {prev} GROUP BY 1, 2"
+    )
+
+
+def _ms_toposeg_sql(side=16, tx_max=7, ty_max=7, iterations=4, quant=8.0,
+                    lo2=20_000, hi2=40_000, crounds=20, lrounds=20):
+    """SQL twin of raster.ms_toposeg_stage — the CHAINED composition:
+    canny edge set (_canny_ctes, the identical CTE chain as the
+    canny_edges twin) → toposnake rounds (the _ms_toposnakes_sql subfield
+    LUT chain) with one extra burn CTE per iteration (u := 0 on edge
+    pixels, LEFT JOIN against ced) → binary CCL over the final mask
+    (_ccl_ctes with rc = the mask) → cross-tile foreground adjacency on
+    the global pixel grid → recursive min-reach components → per-component
+    (pixel_count, n_regions), singletons keeping their own node id
+    (_ragmerge_sql's merge scaffolding)."""
+    from geospatial_learn_ray.stages.raster import _SP_OFFS, _simple_point_lut
+
+    lut = _simple_point_lut()
+    lut_rows = ", ".join(f"({c}, {int(lut[c])})" for c in range(256))
+    R2 = (2 * side // 3) ** 2
+    canny, ced = _canny_ctes(side, quant, lo2, hi2, crounds, tx_max, ty_max)
+    ctes = [tiles_sql(side)] + canny + [
+        f"lut(code, simple) AS (VALUES {lut_rows})",
+        f"s0 AS MATERIALIZED (SELECT tile_x, tile_y, py, px, vd, "
+        f"  CASE WHEN (2*px - {side - 1})*(2*px - {side - 1}) + (2*py - {side - 1})*(2*py - {side - 1}) <= {R2} "
+        f"  THEN 1.0 ELSE 0.0 END AS u FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max})",
+    ]
+    nbj = " ".join(
+        f"LEFT JOIN {{p}} n{k} ON n{k}.tile_x = c.tile_x AND n{k}.tile_y = c.tile_y "
+        f"AND n{k}.py = c.py + {dy} AND n{k}.px = c.px + {dx}"
+        for k, (dy, dx) in enumerate(_SP_OFFS)
+    )
+    code_expr = " + ".join(f"CAST(COALESCE(n{k}.u, 0.0) AS BIGINT)*{1 << k}" for k in range(8))
+    prev = "s0"
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT tile_x, tile_y, "
+            "CASE WHEN SUM(u) > 0 THEN SUM(vd*u)/SUM(u) ELSE 0.0 END AS c1, "
+            "CASE WHEN SUM(1.0 - u) > 0 THEN SUM(vd*(1.0 - u))/SUM(1.0 - u) ELSE 0.0 END AS c2 "
+            f"FROM {prev} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{t} AS MATERIALIZED (SELECT s.tile_x, s.tile_y, s.py, s.px, s.vd, s.u, "
+            "CASE WHEN (s.vd - m.c1)*(s.vd - m.c1) < (s.vd - m.c2)*(s.vd - m.c2) THEN 1.0 ELSE 0.0 END AS tgt "
+            f"FROM {prev} s JOIN m{t} m USING (tile_x, tile_y))"
+        )
+        prev_ph = f"t{t}"
+        for ph, (phy, phx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            name = f"q{t}{'abcd'[ph]}"
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.py, a.px, a.vd, a.tgt, "
+                f"CASE WHEN a.py % 2 = {phy} AND a.px % 2 = {phx} AND a.u <> a.tgt AND l.simple = 1 "
+                "THEN a.tgt ELSE a.u END AS u FROM ("
+                f"SELECT c.*, {code_expr} AS code FROM {prev_ph} c {nbj.format(p=prev_ph)}"
+                ") a JOIN lut l ON l.code = a.code)"
+            )
+            prev_ph = name
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT a.tile_x, a.tile_y, a.py, a.px, a.vd, "
+            "CASE WHEN e.px IS NOT NULL THEN 0.0 ELSE a.u END AS u "
+            f"FROM {prev_ph} a LEFT JOIN {ced} e ON e.tile_x = a.tile_x "
+            "AND e.tile_y = a.tile_y AND e.py = a.py AND e.px = a.px)"
+        )
+        prev = f"b{t}"
+    # binary CCL over the final mask, then cross-tile merge (ragmerge form)
+    ctes += _ccl_ctes(
+        side=side, rounds=lrounds,
+        rc_sql=(f"SELECT tile_x, tile_y, py * {side} + px AS idx, "
+                f"CAST(u AS BIGINT) AS q, vd FROM {prev}"),
+        include_tiles=False,
+    )
+    s2 = side * side
+    return (
+        "WITH RECURSIVE " + ", ".join(ctes) + ", "
+        f"gp AS MATERIALIZED (SELECT tile_x*{side} + idx % {side} AS gx, "
+        f"  tile_y*{side} + idx // {side} AS gy, "
+        f"  (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node FROM fin WHERE q = 1), "
+        "pr AS (SELECT LEAST(a.node, b.node) AS u, GREATEST(a.node, b.node) AS v "
+        "  FROM gp a JOIN gp b ON b.gx = a.gx + 1 AND b.gy = a.gy WHERE a.node <> b.node "
+        "  UNION ALL "
+        "  SELECT LEAST(a.node, b.node), GREATEST(a.node, b.node) "
+        "  FROM gp a JOIN gp b ON b.gx = a.gx AND b.gy = a.gy + 1 WHERE a.node <> b.node), "
+        "e AS MATERIALIZED (SELECT DISTINCT u, v FROM pr), "
+        "cn AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
+        "ce AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+        "reach AS (SELECT node, node AS anc FROM cn "
+        "  UNION SELECT r.node, c.v AS anc FROM reach r JOIN ce c ON c.u = r.anc), "
+        "comp AS (SELECT node, MIN(anc) AS cid FROM reach GROUP BY node), "
+        f"regn AS (SELECT (CAST(tile_x AS BIGINT)*2097152 + tile_y)*{s2} + lab AS node, "
+        "  COUNT(*) AS pc FROM fin WHERE q = 1 GROUP BY 1) "
+        "SELECT COALESCE(c.cid, r.node) AS global_region, "
+        "CAST(SUM(r.pc) AS BIGINT) AS pixel_count, "
+        "CAST(COUNT(*) AS BIGINT) AS n_regions "
+        "FROM regn r LEFT JOIN comp c USING (node) GROUP BY 1"
     )
 
 
@@ -2602,15 +2697,13 @@ def _hex_kring_sql(res: int = 7) -> str:
     )
 
 
-def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
-               hi2: int = 40_000, rounds: int = 20,
-               tx_max: int = 15, ty_max: int = 15) -> str:
-    """SQL twin of raster.canny_edges_stage: separable integer smooth /
-    Sobel as LAG/LEAD windows with COALESCE replicate borders, the integer
-    NMS sector rule as CASE offsets + two neighbor self-joins, hysteresis
-    as ``rounds`` unrolled MATERIALIZED min-label passes over the 8-conn
-    survivor adjacency (measured convergence 16 on the closed-form raster,
-    which is sf-independent; 20 = margin)."""
+def _canny_ctes(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
+                hi2: int = 40_000, rounds: int = 20,
+                tx_max: int = 15, ty_max: int = 15) -> tuple[list[str], str]:
+    """Canny CTE chain (see _canny_sql) ending with the final edge-pixel
+    set CTE ``ced(tile_x, tile_y, px, py, idx, g2, strong)``. Returns
+    (ctes, "ced") so the composed ms_toposeg twin can burn the identical
+    edge set. ``rast`` must already be in scope (tiles_sql)."""
     wrow = "PARTITION BY tile_x, tile_y, py ORDER BY px"
     wcol = "PARTITION BY tile_x, tile_y, px ORDER BY py"
     steps: list[tuple[str, str]] = [
@@ -2671,15 +2764,32 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
         f"cs AS (SELECT c.tile_x, c.tile_y, c.lab FROM c{rounds} c "
         "  JOIN mk USING (tile_x, tile_y, idx) "
         "  GROUP BY c.tile_x, c.tile_y, c.lab HAVING MAX(mk.strong) = 1)")
+    ctes.append(
+        "ced AS MATERIALIZED (SELECT m.tile_x, m.tile_y, m.px, m.py, "
+        "  m.idx, m.g2, m.strong "
+        f"  FROM mk m JOIN c{rounds} l USING (tile_x, tile_y, idx) "
+        "  JOIN cs ON cs.tile_x = m.tile_x AND cs.tile_y = m.tile_y "
+        "  AND cs.lab = l.lab)")
+    return ctes, "ced"
+
+
+def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
+               hi2: int = 40_000, rounds: int = 20,
+               tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of raster.canny_edges_stage: separable integer smooth /
+    Sobel as LAG/LEAD windows with COALESCE replicate borders, the integer
+    NMS sector rule as CASE offsets + two neighbor self-joins, hysteresis
+    as ``rounds`` unrolled MATERIALIZED min-label passes over the 8-conn
+    survivor adjacency (measured convergence 16 on the closed-form raster,
+    which is sf-independent; 20 = margin)."""
+    ctes, fin = _canny_ctes(side, quant, lo2, hi2, rounds, tx_max, ty_max)
     return (
         f"WITH {tiles_sql(side)}, " + ", ".join(ctes) + " "
-        "SELECT CAST(m.tile_x AS BIGINT) AS tile_x, "
-        "CAST(m.tile_y AS BIGINT) AS tile_y, CAST(m.px AS BIGINT) AS px, "
-        "CAST(m.py AS BIGINT) AS py, m.g2, "
-        "CAST(m.strong AS BIGINT) AS strong "
-        f"FROM mk m JOIN c{rounds} l USING (tile_x, tile_y, idx) "
-        "JOIN cs ON cs.tile_x = m.tile_x AND cs.tile_y = m.tile_y "
-        "AND cs.lab = l.lab"
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(px AS BIGINT) AS px, "
+        "CAST(py AS BIGINT) AS py, g2, "
+        "CAST(strong AS BIGINT) AS strong "
+        f"FROM {fin}"
     )
 
 

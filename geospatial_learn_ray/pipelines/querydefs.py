@@ -2291,6 +2291,14 @@ def _q_fellegi_sunter(sf_dir: str):
              "p_retailprice"]))
 
 
+def _q_ms_toposeg(sf_dir: str):
+    # composed canny → topo-ACWE(edge burn) → CCL → cross-tile merge:
+    # an 8×8-tile clip keeps the chained SQL twin's unrolled rounds fast
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
+    return raster.ms_toposeg_stage(small, side=16, iterations=4,
+                                   grid_x=8, grid_y=8)
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
