@@ -35,6 +35,7 @@ from geospatial_learn_ray.sources.events import delayed_events_sql as _delayed_e
 from geospatial_learn_ray.sources.pages import pages_sql
 from geospatial_learn_ray.sources.polygons import pip_sql, polygons_sql
 from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, tiles_sql
+from geospatial_learn_ray.sources.wms import wms_fetch_sql as _wms_fetch_sql
 from geospatial_learn_ray.stages import agg, dedup, raster, scorer
 from geospatial_learn_ray.pipelines.flagship import flagship_dataset
 from geospatial_learn_ray.pipelines.querydefs import *  # noqa: F401,F403
@@ -361,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fellegi_sunter_parts": _q_fellegi_sunter,
         # round-4 additions (appended PAST the driver window)
         "ms_toposeg_tiles": _q_ms_toposeg,
+        "wms_fetch_tiles": _q_wms_fetch,
     }
 
 
@@ -1150,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_events": _json_props_sql(),
         "fellegi_sunter_parts": _fellegi_sunter_sql(),
         "ms_toposeg_tiles": _ms_toposeg_sql(),
+        "wms_fetch_tiles": _wms_fetch_sql(WMS_ENDPOINT, WMS_LAYER),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

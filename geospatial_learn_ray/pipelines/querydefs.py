@@ -2291,6 +2291,20 @@ def _q_fellegi_sunter(sf_dir: str):
              "p_retailprice"]))
 
 
+WMS_ENDPOINT = "https://wms.example/service"
+WMS_LAYER = "layer1"
+
+
+def _q_wms_fetch(sf_dir: str):
+    from geospatial_learn_ray.sources import wms
+
+    out = wms.fetch_wms_tiles(wms.wms_manifest(tile_px=16),
+                              WMS_ENDPOINT, WMS_LAYER, concurrency=(1, 4))
+    return out.select_columns(
+        ["tile_x", "tile_y", "minx", "miny", "maxx", "maxy",
+         "width", "height", "payload_bytes", "checksum", "first_byte"])
+
+
 def _q_ms_toposeg(sf_dir: str):
     # composed canny → topo-ACWE(edge burn) → CCL → cross-tile merge:
     # an 8×8-tile clip keeps the chained SQL twin's unrolled rounds fast
@@ -2304,6 +2318,7 @@ def _q_ms_toposeg(sf_dir: str):
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
     "BM25_QUERIES",
     "EVENTS_LO", "EVENTS_HI", "LARGE_ORDER", "PROBA_INTERCEPT",
-    "RIDGE_LAMBDAS", "VOTE_MODELS", "_MIX_RATES", "_rp",
+    "RIDGE_LAMBDAS", "VOTE_MODELS", "WMS_ENDPOINT", "WMS_LAYER",
+    "_MIX_RATES", "_rp",
     "_shape_props_sql", "_wkb_to_geojson_sql",
 ]

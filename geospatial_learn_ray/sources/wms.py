@@ -1,0 +1,193 @@
+"""WMS tile-fetch source — the reference's data-acquisition connector
+(``raster.py:107 batch_wms_download`` / ``raster.py:152 wmsGrabber``)
+re-expressed Ray-Data-first:
+
+- the request manifest is a small Dataset of (tile key, bbox, image size)
+  rows — the reference's GeoDataFrame of tile bounds;
+- fetching is an I/O-bound ACTOR POOL ``map_batches`` stage: the WMS
+  client session is opened ONCE per actor in ``__init__`` (the reference
+  re-opens ``WebMapService`` per tile — the classic per-file-reload bug
+  this engine's scorer stage also fixes), requests run per batch in
+  ``__call__``, and ``num_cpus < 1`` oversubscribes the pool so workers
+  overlap network waits with decode;
+- output rows carry the payload as an opaque ``binary`` column plus
+  explicit georeferencing columns (bbox + GDAL-style geotransform + crs),
+  the engine's standing raster model (sources/tiles.py).
+
+Transport seam (the multimodal.py codec-seam pattern): ``transport=
+"real"`` raises with the exact integration notes (owslib / requests —
+this container has no network); the default deterministic fake transport
+synthesizes each tile's payload from a splitmix64 keystream keyed by
+(endpoint, layer, tile), so the Ray-side plumbing — manifest, actor pool,
+batch sizing, georef propagation, byte-stat extraction — is real and
+STRICT-oracle-checked (the SQL twin regenerates the keystream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import fnv1a64, splitmix64
+from .tiles import GRID_X, GRID_Y, X0, X1, Y0, Y1
+
+WMS_MAGIC = b"WMS0"
+
+
+def wms_manifest(grid_x: int = GRID_X, grid_y: int = GRID_Y,
+                 tile_px: int = 16) -> ray.data.Dataset:
+    """Request manifest: one row per tile with bbox + image size — the
+    batch_wms_download input table (its ``gdf.bounds`` + ``img_size``)."""
+    w = (X1 - X0) / grid_x
+    h = (Y1 - Y0) / grid_y
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        tx = (ids % grid_x).astype(np.int64)
+        ty = (ids // grid_x).astype(np.int64)
+        minx = X0 + tx * w
+        miny = Y0 + ty * h
+        return pa.table({
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "minx": pa.array(minx),
+            "miny": pa.array(miny),
+            "maxx": pa.array(minx + w),
+            "maxy": pa.array(miny + h),
+            "width": pa.array(np.full(len(ids), tile_px, np.int64)),
+            "height": pa.array(np.full(len(ids), tile_px, np.int64)),
+        })
+
+    return ray.data.range(grid_x * grid_y).map_batches(
+        gen, batch_format="pyarrow", batch_size=256)
+
+
+def wms_seed(endpoint: str, layer: str) -> int:
+    """Deterministic keystream seed for the fake transport."""
+    return int(fnv1a64(np.array([f"{endpoint}|{layer}"]))[0])
+
+
+class WmsFetcher:
+    """Actor-pool fetch stage (see module docstring). One actor = one WMS
+    client session; ``__call__`` fetches a batch of tiles."""
+
+    def __init__(self, endpoint: str, layer: str, transport: str = "fake"):
+        if transport == "real":
+            raise NotImplementedError(
+                "real WMS fetch requires owslib (WebMapService(endpoint, "
+                "version='1.1.1').getmap(layers=[layer], srs=..., bbox=..., "
+                "size=(w,h), format='image/png')) or a plain requests GET of "
+                "the GetMap URL; open the session HERE (once per actor) and "
+                "reuse it per batch. This container has no network (task "
+                "brief: stub the connector behind a deterministic seam)."
+            )
+        self.seed = np.uint64(wms_seed(endpoint, layer))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy().astype(np.int64)
+        ty = batch["tile_y"].to_numpy().astype(np.int64)
+        w = batch["width"].to_numpy().astype(np.int64)
+        h = batch["height"].to_numpy().astype(np.int64)
+        npx = int((w * h).max()) if len(w) else 0
+        packed = (tx.astype(np.uint64) * np.uint64(1 << 21)) + ty.astype(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            base = splitmix64(packed ^ self.seed)
+            draws = splitmix64(base[:, None] + np.arange(npx, dtype=np.uint64)[None, :])
+        finally:
+            np.seterr(**old)
+        bytes_mat = (draws & np.uint64(0xFF)).astype(np.uint8)
+        payloads = []
+        for i in range(len(tx)):
+            n_i = int(w[i] * h[i])
+            header = (WMS_MAGIC + int(w[i]).to_bytes(2, "little")
+                      + int(h[i]).to_bytes(2, "little"))
+            payloads.append(header + bytes_mat[i, :n_i].tobytes())
+        checksum = bytes_mat.astype(np.int64).cumsum(axis=1)
+        checksum = checksum[np.arange(len(tx)), np.maximum(w * h - 1, 0)]
+        checksum = np.where(w * h > 0, checksum, 0)
+        minx = batch["minx"].to_numpy()
+        maxy = batch["maxy"].to_numpy()
+        px_w = (batch["maxx"].to_numpy() - minx) / np.maximum(w, 1)
+        px_h = (maxy - batch["miny"].to_numpy()) / np.maximum(h, 1)
+        return pa.table({
+            "tile_x": batch["tile_x"],
+            "tile_y": batch["tile_y"],
+            "minx": batch["minx"],
+            "miny": batch["miny"],
+            "maxx": batch["maxx"],
+            "maxy": batch["maxy"],
+            "width": batch["width"],
+            "height": batch["height"],
+            # GDAL geotransform: (origin_x, px_w, 0, origin_y, 0, -px_h)
+            "gt_x0": pa.array(minx),
+            "gt_px_w": pa.array(px_w),
+            "gt_y0": pa.array(maxy),
+            "gt_px_h": pa.array(-px_h),
+            "crs": pa.array(["EPSG:4326"] * len(tx)),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_bytes": pa.array((w * h + 8).astype(np.int64)),
+            "checksum": pa.array(checksum.astype(np.int64)),
+            "first_byte": pa.array(bytes_mat[:, 0].astype(np.int64)
+                                   if npx else np.zeros(len(tx), np.int64)),
+        })
+
+
+def fetch_wms_tiles(manifest: ray.data.Dataset, endpoint: str, layer: str,
+                    transport: str = "fake", concurrency=(1, 8),
+                    batch_size: int = 64, num_cpus: float = 0.5) -> ray.data.Dataset:
+    """Fetch actor pool. ``num_cpus=0.5`` oversubscribes the CPU budget —
+    the stage is network-bound in production, so 2× actors per core keeps
+    the pipeline busy during request latency; ``batch_size`` bounds the
+    in-flight payload bytes per actor (wide binary rows)."""
+    return manifest.map_batches(
+        WmsFetcher,
+        fn_constructor_args=(endpoint, layer, transport),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def wms_fetch_sql(endpoint: str, layer: str, grid_x: int = GRID_X,
+                  grid_y: int = GRID_Y, tile_px: int = 16) -> str:
+    """SQL twin of wms_manifest → WmsFetcher (fake transport): the
+    keystream base is splitmix64(packed ^ seed) with the seed inlined as
+    the Python-computed constant; per-pixel draws unnest as a range join
+    and chain the identical splitmix64 steps (functions/sqlgen.py);
+    payload is projected to its stats (binary assembly is header+stream
+    by construction, byte-checked in pytest)."""
+    from ..functions import sqlgen as _sg
+
+    seed = wms_seed(endpoint, layer)
+    w = (X1 - X0) / grid_x
+    h = (Y1 - Y0) / grid_y
+    npx = tile_px * tile_px
+    base = (
+        f"SELECT tx.range AS tile_x, ty.range AS tile_y, "
+        f"(CAST(tx.range AS HUGEINT) * {1 << 21} + ty.range) AS packed "
+        f"FROM range(0, {grid_x}) tx, range(0, {grid_y}) ty"
+    )
+    seeded = _sg.chain(base, _sg.splitmix64_steps(
+        _sg.u64_xor("packed", str(seed)), "base", "wb"))
+    drawn = _sg.chain(
+        f"SELECT t.tile_x, t.tile_y, t.base AS kbase, i.range AS i "
+        f"FROM ({seeded}) t, range(0, {npx}) i",
+        _sg.splitmix64_steps(f"((kbase + i) & {(1 << 64) - 1})", "dw", "wd"),
+    )
+    return (
+        "WITH draws AS MATERIALIZED ("
+        f"SELECT tile_x, tile_y, i, CAST(dw & 255 AS BIGINT) AS b FROM ({drawn})) "
+        "SELECT tile_x, tile_y, "
+        f"CAST({X0!r} AS DOUBLE) + tile_x * CAST({w!r} AS DOUBLE) AS minx, "
+        f"CAST({Y0!r} AS DOUBLE) + tile_y * CAST({h!r} AS DOUBLE) AS miny, "
+        f"CAST({X0!r} AS DOUBLE) + tile_x * CAST({w!r} AS DOUBLE) + CAST({w!r} AS DOUBLE) AS maxx, "
+        f"CAST({Y0!r} AS DOUBLE) + tile_y * CAST({h!r} AS DOUBLE) + CAST({h!r} AS DOUBLE) AS maxy, "
+        f"CAST({tile_px} AS BIGINT) AS width, CAST({tile_px} AS BIGINT) AS height, "
+        f"CAST({npx + 8} AS BIGINT) AS payload_bytes, "
+        "CAST(SUM(b) AS BIGINT) AS checksum, "
+        "CAST(MIN(CASE WHEN i = 0 THEN b END) AS BIGINT) AS first_byte "
+        "FROM draws GROUP BY tile_x, tile_y"
+    )

@@ -1,0 +1,61 @@
+"""WMS fetch connector (sources/wms.py): actor-pool concurrency
+invariance, payload byte-level structure, and the real-transport seam."""
+
+import numpy as np
+import pytest
+
+from geospatial_learn_ray.functions.hashing import splitmix64
+from geospatial_learn_ray.sources import wms
+
+
+def _fetch(concurrency, batch_size):
+    out = wms.fetch_wms_tiles(
+        wms.wms_manifest(grid_x=8, grid_y=4, tile_px=8),
+        "https://wms.example/service", "layer1",
+        concurrency=concurrency, batch_size=batch_size,
+    ).to_pandas()
+    return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+
+
+def test_wms_concurrency_invariant():
+    """Different pool sizes / batch sizes must produce identical rows —
+    block structure and actor count cannot leak into the output."""
+    a = _fetch((1, 1), 64)
+    b = _fetch((1, 4), 7)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_wms_payload_bytes():
+    """Payload = magic + w + h + keystream; stats columns match the raw
+    bytes; georef columns describe the bbox exactly."""
+    out = _fetch((1, 2), 16)
+    seed = np.uint64(wms.wms_seed("https://wms.example/service", "layer1"))
+    for r in out.itertuples():
+        buf = r.payload
+        assert buf[:4] == wms.WMS_MAGIC
+        w = int.from_bytes(buf[4:6], "little")
+        h = int.from_bytes(buf[6:8], "little")
+        assert (w, h) == (r.width, r.height)
+        stream = np.frombuffer(buf[8:], np.uint8)
+        assert len(stream) == w * h
+        packed = np.uint64(r.tile_x) * np.uint64(1 << 21) + np.uint64(r.tile_y)
+        old = np.seterr(over="ignore")
+        try:
+            base = splitmix64(np.array([packed ^ seed]))[0]
+            exp = (splitmix64(base + np.arange(w * h, dtype=np.uint64))
+                   & np.uint64(0xFF)).astype(np.uint8)
+        finally:
+            np.seterr(**old)
+        assert (stream == exp).all()
+        assert r.checksum == int(stream.astype(np.int64).sum())
+        assert r.first_byte == int(stream[0])
+        assert r.gt_x0 == r.minx and r.gt_y0 == r.maxy
+        assert r.gt_px_w == (r.maxx - r.minx) / r.width
+        assert r.gt_px_h == -(r.maxy - r.miny) / r.height
+
+
+def test_wms_real_transport_seam():
+    with pytest.raises(NotImplementedError, match="owslib"):
+        wms.WmsFetcher("https://wms.example/service", "layer1", transport="real")
