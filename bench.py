@@ -153,6 +153,31 @@ def run_benchmarks() -> dict:
     ).count()
     queries["knn_sec"] = round(time.monotonic() - t0, 3)
 
+    # composed training-data pipeline (quality → exact dedup → mix sample →
+    # pack) at the SAME expanded-pages scale as the flagship: the replicas
+    # carry identical text, so dedup collapses ~REPEAT× — the CommonCrawl
+    # shape. doc ids derive from the url hash (map-side, no driver state).
+    import numpy as _np
+    import pyarrow as _pa2
+
+    from geospatial_learn_ray.functions.hashing import fnv1a64 as _fnv
+    from geospatial_learn_ray.pipelines.corpus_prep import corpus_prep
+    from geospatial_learn_ray.pipelines.querydefs import _MIX_RATES
+
+    def _add_doc_id(b: _pa2.Table) -> _pa2.Table:
+        did = _fnv(_np.asarray(b["url"])).view(_np.int64)
+        return _pa2.table({"doc_id": _pa2.array(did), "text": b["text"],
+                           "lang": b["lang"]})
+
+    t0 = time.monotonic()
+    n_packed = corpus_prep(
+        pages_input().select_columns(["url", "text", "lang"]).map_batches(
+            _add_doc_id, batch_format="pyarrow"),
+        _MIX_RATES,
+    ).count()
+    queries["corpus_prep_sec"] = round(time.monotonic() - t0, 3)
+    queries["corpus_prep_rows"] = n_packed
+
     ray.shutdown()
     return {
         "metric": "flagship spatial-join + H3/S2 tiling pipeline wall time",
