@@ -28,13 +28,31 @@ def _bucket_width(ds: ray.data.Dataset, key: str, num_ranges: int) -> int:
 
 
 def exclusive_prefix_sum(ds: ray.data.Dataset, key: str, val: str,
-                         num_ranges: int = 64) -> ray.data.Dataset:
+                         num_ranges: int = 64,
+                         checkpoint: bool = True) -> ray.data.Dataset:
     """Add ``prefix`` = sum of ``val`` over all rows with a smaller ``key``
     (exclusive running total in global ``key`` order; keys must be unique).
 
-    Two passes: per-batch partial sums per contiguous key range (tiny ×
-    #blocks rows → driver scan over K totals → broadcast), then one
-    vectorized per-range cumsum behind a bucket exchange."""
+    Three input passes (key max → range totals → assign), so the input is
+    checkpointed to Parquet once by default (the stages/knn.py pattern):
+    a lazy upstream (e.g. corpus_prep's quality→dedup→sample chain) would
+    otherwise re-execute per pass — measured 3× the whole corpus scan,
+    20 s of a 27 s bench run — while a full ``materialize()`` would pin
+    the projection in the object store for the stage's lifetime. Pass
+    ``checkpoint=False`` when ``ds`` already reads from storage."""
+    if checkpoint:
+        import os
+        import tempfile
+        import uuid
+
+        import ray as _ray
+
+        ckpt = os.path.join(
+            os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
+            f"graft_scan_{uuid.uuid4().hex}",
+        )
+        ds.write_parquet(ckpt)
+        ds = _ray.data.read_parquet(ckpt)
     width = _bucket_width(ds, key, num_ranges)
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
