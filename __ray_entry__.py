@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (appended PAST the driver window)
         "ms_toposeg_tiles": _q_ms_toposeg,
         "wms_fetch_tiles": _q_wms_fetch,
+        "phasecong_tiles": _q_phasecong,
     }
 
 
@@ -393,6 +394,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_GRID_SQL,
     _ann_ivf_sql,
     _canny_sql,
+    _phasecong_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
     _edt_sql,
@@ -1153,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "fellegi_sunter_parts": _fellegi_sunter_sql(),
         "ms_toposeg_tiles": _ms_toposeg_sql(),
         "wms_fetch_tiles": _wms_fetch_sql(WMS_ENDPOINT, WMS_LAYER),
+        "phasecong_tiles": _phasecong_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

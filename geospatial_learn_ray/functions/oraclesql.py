@@ -2793,6 +2793,49 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _phasecong_sql(side: int = 16, quant: float = 8.0, scale: int = 1_048_576,
+                   tx_max: int = 7, ty_max: int = 7) -> str:
+    """SQL twin of raster.phasecong_stage: the four quadrature convolutions
+    per axis as LAG/LEAD windows with COALESCE(·,0) zero padding (exact
+    int64 sums), then the single bit-identical float chain — sqrt is
+    IEEE-correct on both engines, adds parenthesized exactly as the
+    engine's accumulation order, and the output is the floor(pc·2²⁰+0.5)
+    integer quantization."""
+    wx = "PARTITION BY tile_x, tile_y, py ORDER BY px"
+    wy = "PARTITION BY tile_x, tile_y, px ORDER BY py"
+
+    def conv(w: str) -> list[tuple[str, str]]:
+        t = "x" if "py ORDER" in w else "y"
+        lg = lambda k: f"COALESCE(LAG(q, {k}) OVER ({w}), 0)"
+        ld = lambda k: f"COALESCE(LEAD(q, {k}) OVER ({w}), 0)"
+        return [
+            (f"e1{t}", f"-{lg(2)} + 2*q - {ld(2)}"),
+            (f"o1{t}", f"-{lg(2)} - 2*{lg(1)} + 2*{ld(1)} + {ld(2)}"),
+            (f"e2{t}", f"-{lg(4)} + 2*q - {ld(4)}"),
+            (f"o2{t}", f"-{lg(4)} - 2*{lg(2)} + 2*{ld(2)} + {ld(4)}"),
+        ]
+
+    base = (f"SELECT tile_x, tile_y, py, px, "
+            f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+            f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
+    grad = _sg.chain(base, conv(wx) + conv(wy))
+
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    ex = f"SQRT(({d('e1x')} + {d('e2x')})*({d('e1x')} + {d('e2x')}) + ({d('o1x')} + {d('o2x')})*({d('o1x')} + {d('o2x')}))"
+    ey = f"SQRT(({d('e1y')} + {d('e2y')})*({d('e1y')} + {d('e2y')}) + ({d('o1y')} + {d('o2y')})*({d('o1y')} + {d('o2y')}))"
+    ax = f"(SQRT({d('e1x')}*{d('e1x')} + {d('o1x')}*{d('o1x')}) + SQRT({d('e2x')}*{d('e2x')} + {d('o2x')}*{d('o2x')}))"
+    ay = f"(SQRT({d('e1y')}*{d('e1y')} + {d('o1y')}*{d('o1y')}) + SQRT({d('e2y')}*{d('e2y')} + {d('o2y')}*{d('o2y')}))"
+    return (
+        f"WITH {tiles_sql(side)}, g AS MATERIALIZED ({grad}) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py, "
+        f"CAST(FLOOR((({ex} + {ey}) / (({ax} + {ay}) + 1.0)) "
+        f"* CAST({float(scale)!r} AS DOUBLE) + 0.5) AS BIGINT) AS pcq FROM g"
+    )
+
+
 def _edt_sql(side: int = 16, quant: float = 2.0, fg_thresh: int = 4,
              tx_max: int = 15, ty_max: int = 15) -> str:
     """SQL twin of raster.edt_proximity_stage: brute-force exact min over

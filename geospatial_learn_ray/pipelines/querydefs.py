@@ -2305,6 +2305,11 @@ def _q_wms_fetch(sf_dir: str):
          "width", "height", "payload_bytes", "checksum", "first_byte"])
 
 
+def _q_phasecong(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
+    return raster.phasecong_stage(small, side=16)
+
+
 def _q_ms_toposeg(sf_dir: str):
     # composed canny → topo-ACWE(edge burn) → CCL → cross-tile merge:
     # an 8×8-tile clip keeps the chained SQL twin's unrolled rounds fast

@@ -2186,6 +2186,82 @@ def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def phasecong_stage(ds: ray.data.Dataset, side: int, quant: float = 8.0,
+                    scale: int = 1_048_576) -> ray.data.Dataset:
+    """utilities.do_phasecong analogue (utilities.py:1086: Kovesi phase
+    congruency via phasepack) — per-tile quadrature-pair form:
+
+    instead of the reference's whole-scene FFT log-Gabor bank (declared
+    out through round 3), each orientation o ∈ {x, y} and scale s ∈ {1, 2}
+    applies an INTEGER quadrature filter pair along the axis with zero
+    padding — even [-1, 0, 2, 0, -1], odd [-1, -2, 0, 2, 1], scale 2 the
+    2-dilated taps — on the quantized tile. Kovesi's measure then is
+
+        E_o = sqrt((e1+e2)² + (o1+o2)²)        (local energy)
+        A_o = sqrt(e1²+o1²) + sqrt(e2²+o2²)    (amplitude sum)
+        PC  = (E_x + E_y) / ((A_x + A_y) + 1.0)
+
+    All convolution sums are exact int64 and sqrt is IEEE-correctly
+    rounded on both engines, so the one float chain is bit-identical; the
+    output is floor(PC·2²⁰ + 0.5) (integer quantization — decimal ROUND
+    of a rational ratio can tie). A true multi-tile spectral version
+    would halo-pad and overlap-add per tile (the documented seam);
+    per-tile zero padding is the fixture-faithful stand-in."""
+
+    def conv1d(q: np.ndarray, taps: list[tuple[int, int]], axis: int) -> np.ndarray:
+        out = np.zeros_like(q)
+        for off, w in taps:
+            sh = np.zeros_like(q)
+            if off == 0:
+                sh = q
+            elif axis == 1:
+                if off > 0:
+                    sh[:, :-off] = q[:, off:]
+                else:
+                    sh[:, -off:] = q[:, :off]
+            else:
+                if off > 0:
+                    sh[:-off, :] = q[off:, :]
+                else:
+                    sh[-off:, :] = q[:off, :]
+            out = out + w * sh
+        return out
+
+    EV = [(-2, -1), (0, 2), (2, -1)]
+    OD = [(-2, -1), (-1, -2), (1, 2), (2, 1)]
+    EV2 = [(2 * o, w) for o, w in EV]
+    OD2 = [(2 * o, w) for o, w in OD]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        Y, X = np.mgrid[0:side, 0:side]
+        cols: dict[str, list] = {k: [] for k in ("tile_x", "tile_y", "px", "py", "pcq")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            num = np.zeros((side, side), np.float64)
+            den = np.zeros((side, side), np.float64)
+            for axis in (1, 0):
+                e1 = conv1d(q, EV, axis).astype(np.float64)
+                o1 = conv1d(q, OD, axis).astype(np.float64)
+                e2 = conv1d(q, EV2, axis).astype(np.float64)
+                o2 = conv1d(q, OD2, axis).astype(np.float64)
+                num = num + np.sqrt((e1 + e2) ** 2 + (o1 + o2) ** 2)
+                den = den + (np.sqrt(e1 * e1 + o1 * o1) + np.sqrt(e2 * e2 + o2 * o2))
+            pc = num / (den + 1.0)
+            pcq = np.floor(pc * scale + 0.5).astype(np.int64)
+            cols["tile_x"].append(np.full(side * side, txs[i]))
+            cols["tile_y"].append(np.full(side * side, tys[i]))
+            cols["px"].append(X.ravel().astype(np.int64))
+            cols["py"].append(Y.ravel().astype(np.int64))
+            cols["pcq"].append(pcq.ravel())
+        return pa.table({k: pa.array(np.concatenate(v) if v else np.zeros(0, np.int64))
+                         for k, v in cols.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def ms_toposeg_stage(ds: ray.data.Dataset, side: int, iterations: int = 4,
                      quant: float = 8.0, lo2: int = 20_000, hi2: int = 40_000,
                      num_buckets: int = 64, grid_x: int | None = None,

@@ -1300,3 +1300,34 @@ def test_tophat_scalar_reference():
         assert int(g["bth_sum"]) == bth.sum()
         assert int(g["bth_nz"]) == (bth > 0).sum()
         assert int(g["bth_max"]) == bth.max()
+
+
+def test_phasecong_bounds_and_step_edge():
+    """PC is the Kovesi ratio E/(A+1): Minkowski gives E <= A, so
+    0 <= pcq < scale; a synthetic step edge scores maximal congruency at
+    the step (all filter phases agree) and zero in flat regions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster
+
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -157.5, -60.0)
+    out = raster.phasecong_stage(small, side=16).to_pandas()
+    assert (out["pcq"] >= 0).all() and (out["pcq"] < 1_048_576).all()
+
+    # direct kernel check on a synthetic step tile (flat | step at x=8)
+    side = 16
+    v = np.zeros((side, side), np.float32)
+    v[:, 8:] = 10.0
+    import pyarrow as pa
+    tile = pa.table({"tile_x": pa.array([0]), "tile_y": pa.array([0]),
+                     "band_values": pa.array([v.ravel()], pa.list_(pa.float32()))})
+    pc = raster.phasecong_stage(ray.data.from_arrow(tile), side=side).to_pandas()
+    grid = pc.pivot(index="py", columns="px", values="pcq").to_numpy()
+    # flat zero region away from the step: zero congruency (zero padding
+    # is invisible in a zero region; the RIGHT border of the 10.0 region
+    # legitimately scores — the pad step is a real discontinuity there)
+    assert (grid[:, :4] == 0).all()
+    # the step columns score near-maximal congruency (all phases agree)
+    assert grid[:, 7:9].min() > 900_000
