@@ -36,6 +36,7 @@ from geospatial_learn_ray.sources.pages import pages_sql
 from geospatial_learn_ray.sources.polygons import pip_sql, polygons_sql
 from geospatial_learn_ray.sources.tiles import GRID_X, GRID_Y, tiles_sql
 from geospatial_learn_ray.sources.wms import wms_fetch_sql as _wms_fetch_sql
+from geospatial_learn_ray.sources.gdb import gdb_convert_sql as _gdb_sql
 from geospatial_learn_ray.stages import agg, dedup, raster, scorer
 from geospatial_learn_ray.pipelines.flagship import flagship_dataset
 from geospatial_learn_ray.pipelines.querydefs import *  # noqa: F401,F403
@@ -364,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ms_toposeg_tiles": _q_ms_toposeg,
         "wms_fetch_tiles": _q_wms_fetch,
         "phasecong_tiles": _q_phasecong,
+        "gdb_convert_features": _q_gdb_convert,
     }
 
 
@@ -1156,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "ms_toposeg_tiles": _ms_toposeg_sql(),
         "wms_fetch_tiles": _wms_fetch_sql(WMS_ENDPOINT, WMS_LAYER),
         "phasecong_tiles": _phasecong_sql(),
+        "gdb_convert_features": _gdb_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

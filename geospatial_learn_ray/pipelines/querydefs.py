@@ -2305,6 +2305,12 @@ def _q_wms_fetch(sf_dir: str):
          "width", "height", "payload_bytes", "checksum", "first_byte"])
 
 
+def _q_gdb_convert(sf_dir: str):
+    from geospatial_learn_ray.sources.gdb import gdb_convert
+
+    return gdb_convert().drop_columns(["geometry"])
+
+
 def _q_phasecong(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
     return raster.phasecong_stage(small, side=16)

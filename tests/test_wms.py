@@ -59,3 +59,23 @@ def test_wms_payload_bytes():
 def test_wms_real_transport_seam():
     with pytest.raises(NotImplementedError, match="owslib"):
         wms.WmsFetcher("https://wms.example/service", "layer1", transport="real")
+
+
+def test_gdb_container_roundtrip():
+    """Container build → distributed parse round trip: geometry bytes are
+    the exact WKB of the closed-form rings; real driver raises the seam."""
+    from geospatial_learn_ray.functions.geometry import ring_to_wkb
+    from geospatial_learn_ray.sources import gdb
+    from geospatial_learn_ray.sources.polygons import polygon_rings
+
+    out = gdb.gdb_convert().to_pandas().sort_values("feature_id").reset_index(drop=True)
+    ids, rings, names = polygon_rings()
+    assert len(out) == len(ids)
+    for i, (fid, ring, name) in enumerate(zip(ids, rings, names)):
+        r = out.iloc[i]
+        # r.name would be the pandas index label — use column access
+        assert r["feature_id"] == fid and r["name"] == name
+        assert r.layer == ("lshapes" if fid % 7 == 0 else "boxes")
+        assert bytes(r.geometry) == ring_to_wkb(ring)
+    with pytest.raises(NotImplementedError, match="OpenFileGDB"):
+        gdb.gdb_convert(driver="real")
