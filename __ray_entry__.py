@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wms_fetch_tiles": _q_wms_fetch,
         "phasecong_tiles": _q_phasecong,
         "gdb_convert_features": _q_gdb_convert,
+        "colour_thresh_tiles": _q_colour_thresh,
     }
 
 
@@ -397,6 +398,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_ivf_sql,
     _canny_sql,
     _phasecong_sql,
+    _colour_thresh_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
     _edt_sql,
@@ -1159,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "wms_fetch_tiles": _wms_fetch_sql(WMS_ENDPOINT, WMS_LAYER),
         "phasecong_tiles": _phasecong_sql(),
         "gdb_convert_features": _gdb_sql(),
+        "colour_thresh_tiles": _colour_thresh_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

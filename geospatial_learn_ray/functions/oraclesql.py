@@ -2793,6 +2793,41 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _colour_thresh_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15,
+                       lower=(20, 40, 80), upper=(130, 255, 220)) -> str:
+    """SQL twin of raster.colour_thresh_stage: the identical integer HSV
+    chain (all dividends kept positive so DuckDB's truncating // equals
+    numpy's floor //), in-range mask, exact integer per-tile sums."""
+    hl, sl, vl = lower
+    hu, su, vu = upper
+    steps = [
+        ("r8", "GREATEST(LEAST(FLOOR((vd + 2.0) * 40.0), 255), 0)::BIGINT"),
+        ("g8", "GREATEST(LEAST(FLOOR((1.2 * vd + 0.1 + 2.0) * 40.0), 255), 0)::BIGINT"),
+        ("b8", "GREATEST(LEAST(FLOOR((0.8 * vd + 0.3 + 2.0) * 40.0), 255), 0)::BIGINT"),
+        ("v8", "GREATEST(GREATEST(r8, g8), b8)"),
+        ("mn8", "LEAST(LEAST(r8, g8), b8)"),
+        ("dd", "v8 - mn8"),
+        ("ds_", "GREATEST(dd, 1)"),
+        ("segx", "CASE WHEN v8 = r8 THEN g8 - b8 WHEN v8 = g8 THEN b8 - r8 ELSE r8 - g8 END"),
+        ("segb", "CASE WHEN v8 = r8 THEN 0 WHEN v8 = g8 THEN 120 ELSE 240 END"),
+        ("h8", "CASE WHEN dd = 0 THEN 0 ELSE (((60 * segx + 360 * ds_) // ds_ + segb) % 360) // 2 END"),
+        ("s8", "CASE WHEN v8 > 0 THEN (510 * dd + v8) // (2 * v8) ELSE 0 END"),
+        ("inr", f"CASE WHEN h8 >= {hl} AND h8 <= {hu} AND s8 >= {sl} AND s8 <= {su} "
+                f"AND v8 >= {vl} AND v8 <= {vu} THEN 1 ELSE 0 END"),
+    ]
+    base = (f"SELECT tile_x, tile_y, vd FROM rast "
+            f"WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
+    return (
+        f"WITH {tiles_sql(side)}, px AS MATERIALIZED ({_sg.chain(base, steps)}) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(SUM(inr) AS BIGINT) AS n_in, "
+        "CAST(SUM(inr * h8) AS BIGINT) AS h_sum, "
+        "CAST(SUM(inr * s8) AS BIGINT) AS s_sum, "
+        "CAST(SUM(inr * v8) AS BIGINT) AS v_sum "
+        "FROM px GROUP BY tile_x, tile_y"
+    )
+
+
 def _phasecong_sql(side: int = 16, quant: float = 8.0, scale: int = 1_048_576,
                    tx_max: int = 7, ty_max: int = 7) -> str:
     """SQL twin of raster.phasecong_stage: the four quadrature convolutions

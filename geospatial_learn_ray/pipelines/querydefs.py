@@ -2311,6 +2311,11 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_colour_thresh(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return raster.colour_thresh_stage(small)
+
+
 def _q_phasecong(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
     return raster.phasecong_stage(small, side=16)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -2182,6 +2183,56 @@ def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
             mean_in[i] = round_half_away(s1 / n1 if n1 > 0 else 0.0, round_to)
         return pa.table({"tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
                          "fg_count": pa.array(fg), "mean_in": pa.array(mean_in)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def colour_thresh_stage(ds: ray.data.Dataset,
+                        lower: tuple[int, int, int] = (20, 40, 80),
+                        upper: tuple[int, int, int] = (130, 255, 220)) -> ray.data.Dataset:
+    """utilities.colour_thresh analogue (utilities.py:1642) — the COMPUTE
+    core of the interactive HSV picker (cv2.cvtColor BGR2HSV + inRange),
+    with the trackbar UI declared out (sandbox has no display; thresholds
+    are explicit parameters). Bands derive as the rgb_indices family's
+    closed forms, 8-bit quantized; HSV is OpenCV's 8-bit convention
+    (H∈[0,179], S,V∈[0,255]) restated in EXACT integer arithmetic:
+
+        V = max(R,G,B); δ = V − min
+        S = ⌊(510·δ + V) / (2V)⌋            (round-half-up of 255·δ/V)
+        H = ((⌊(60·x + 360·δ)/δ⌋ + base) mod 360) // 2,  x the segment
+            numerator (G−B / B−R / R−G), base 0/120/240, first-match
+            V==R → V==G → else   (all dividends positive, so floor and
+            truncating division agree across engines)
+
+    Output per tile: in-range pixel count + exact integer H/S/V sums of
+    the in-range pixels (no float column — nothing to tie)."""
+    hl, sl, vl = lower
+    hu, su, vu = upper
+
+    def fn(batch: pa.Table) -> pa.Table:
+        base = _pix(batch).astype(np.float64)
+        r8 = np.clip(np.floor((base + 2.0) * 40.0), 0, 255).astype(np.int64)
+        g8 = np.clip(np.floor((1.2 * base + 0.1 + 2.0) * 40.0), 0, 255).astype(np.int64)
+        b8 = np.clip(np.floor((0.8 * base + 0.3 + 2.0) * 40.0), 0, 255).astype(np.int64)
+        V = np.maximum(np.maximum(r8, g8), b8)
+        mn = np.minimum(np.minimum(r8, g8), b8)
+        d = V - mn
+        d_safe = np.maximum(d, 1)
+        seg_x = np.where(V == r8, g8 - b8, np.where(V == g8, b8 - r8, r8 - g8))
+        seg_base = np.where(V == r8, 0, np.where(V == g8, 120, 240))
+        hdeg = ((60 * seg_x + 360 * d_safe) // d_safe + seg_base) % 360
+        H = np.where(d == 0, 0, hdeg // 2)
+        S = np.where(V > 0, (510 * d + np.maximum(V, 1)) // np.maximum(2 * V, 1), 0)
+        m = ((H >= hl) & (H <= hu) & (S >= sl) & (S <= su)
+             & (V >= vl) & (V <= vu))
+        return pa.table({
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n_in": pa.array(m.sum(axis=1).astype(np.int64)),
+            "h_sum": pa.array(np.where(m, H, 0).sum(axis=1).astype(np.int64)),
+            "s_sum": pa.array(np.where(m, S, 0).sum(axis=1).astype(np.int64)),
+            "v_sum": pa.array(np.where(m, V, 0).sum(axis=1).astype(np.int64)),
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
