@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phasecong_tiles": _q_phasecong,
         "gdb_convert_features": _q_gdb_convert,
         "colour_thresh_tiles": _q_colour_thresh,
+        "good_turing_docs": _q_good_turing,
+        "vocab_growth_docs": _q_vocab_growth,
     }
 
 
@@ -399,6 +401,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _canny_sql,
     _phasecong_sql,
     _colour_thresh_sql,
+    _good_turing_sql,
+    _vocab_growth_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
     _edt_sql,
@@ -1162,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "phasecong_tiles": _phasecong_sql(),
         "gdb_convert_features": _gdb_sql(),
         "colour_thresh_tiles": _colour_thresh_sql(),
+        "good_turing_docs": _good_turing_sql(),
+        "vocab_growth_docs": _vocab_growth_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "
             f"  {_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1) AS punct_ratio, "

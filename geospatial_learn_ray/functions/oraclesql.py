@@ -6864,6 +6864,49 @@ def _mmr_rerank_sql(k: int = 10, n_cand: int = 64, scale: float = 128.0,
     )
 
 
+def _good_turing_sql(max_r: int = 10) -> str:
+    """SQL twin of textstages.good_turing_docs: same single-space token
+    split, per-type totals capped at max_r+2, frequency-of-frequencies,
+    and the identical floor((r+1)·N_{r+1}/N_r · 2²⁰ + 0.5) float chain
+    (one f64 division, exact power-of-two scale)."""
+    cap = max_r + 2
+    return (
+        "WITH tl AS MATERIALIZED (SELECT list_filter("
+        "string_split(text, ' '), x -> len(x) > 0) AS l FROM documents), "
+        "tok AS MATERIALIZED (SELECT UNNEST(list_transform("
+        "generate_series(1, len(l) - 2), "
+        "i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tok FROM tl), "
+        "tc AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok), "
+        f"nr AS MATERIALIZED (SELECT LEAST(cnt, {cap}) AS r, "
+        "COUNT(*) AS n_r FROM tc GROUP BY 1) "
+        "SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r, "
+        "CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1, "
+        "CAST(FLOOR(CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE) "
+        "/ CAST(a.n_r AS DOUBLE) * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS r_star_q "
+        f"FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 WHERE a.r <= {max_r}"
+    )
+
+
+def _vocab_growth_sql(n_checkpoints: int = 8) -> str:
+    """SQL twin of textstages.vocab_growth_docs: a type is in prefix t
+    iff MIN(doc_id) ≤ t; correlated counted subqueries over the K
+    checkpoints (all-integer outputs)."""
+    return (
+        "WITH mx AS (SELECT MAX(doc_id) AS m FROM documents), "
+        f"ck AS (SELECT k.range + 1 AS k, (m * (k.range + 1)) // {n_checkpoints} "
+        f"AS threshold FROM mx, range(0, {n_checkpoints}) k), "
+        "tok AS MATERIALIZED (SELECT doc_id, UNNEST(list_filter("
+        "string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents), "
+        "fd AS MATERIALIZED (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok), "
+        "tn AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id) "
+        "SELECT CAST(k AS BIGINT) AS k, CAST(threshold AS BIGINT) AS threshold, "
+        "CAST((SELECT COUNT(*) FROM fd WHERE fd.fd <= ck.threshold) AS BIGINT) AS vocab, "
+        "CAST((SELECT COALESCE(SUM(n), 0) FROM tn WHERE tn.doc_id <= ck.threshold) "
+        "AS BIGINT) AS tokens FROM ck"
+    )
+
+
 def _oov_rate_sql(vocab_size: int = 256) -> str:
     """SQL twin of textstages.oov_rate_docs: the same single-space token
     split, (cnt DESC, tok ASC) top-V vocab, and exact integer floor

@@ -2311,6 +2311,14 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_good_turing(sf_dir: str):
+    return textstages.good_turing_docs(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_vocab_growth(sf_dir: str):
+    return textstages.vocab_growth_docs(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_colour_thresh(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
     return raster.colour_thresh_stage(small)

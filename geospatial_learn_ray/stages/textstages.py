@@ -3162,3 +3162,180 @@ def fellegi_sunter_parts(parts: ray.data.Dataset, min_score: int = 3,
 
     return bucket_exchange(
         parts.map_batches(prep, batch_format="pyarrow"), score)
+
+
+def good_turing_docs(docs: ray.data.Dataset, max_r: int = 10,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Good-Turing frequency-of-frequencies smoothing (Good 1953; the
+    count-adjustment step of Katz/SGT language-model smoothing): N_r =
+    number of word-TRIGRAM types seen exactly r times; the adjusted
+    count is r* = (r+1)·N_{r+1}/N_r. Trigram types (not unigrams): the
+    fixture's closed vocabulary leaves no rare unigram tail, while
+    trigram counts span the r ≤ max_r range at every scale — exactly the
+    regime Good-Turing exists for.
+
+    Two bucketed exchanges, both counted: token-hash buckets give exact
+    per-type totals (one vectorized groupby per bucket) which pre-agg to
+    (r, type_count) WITH r capped at max_r+2 (the overflow bucket) before
+    they move — the second exchange and the driver pull are ≤ buckets ×
+    (max_r+2) single-int rows regardless of vocabulary size. r* is the
+    floor((r+1)·N_{r+1}/N_r · 2²⁰ + 0.5) integer quantization (a decimal
+    ROUND of a rational can tie; power-of-two scaling cannot)."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    cap = max_r + 2
+
+    def tok_counts(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        v = pd.Series(vals[keep].to_numpy(object))
+        d = doc[keep]
+        same = (d[:-2] == d[1:-1]) & (d[1:-1] == d[2:]) if len(d) >= 3 else np.zeros(0, bool)
+        tri = (v.iloc[:-2].reset_index(drop=True) + " "
+               + v.iloc[1:-1].reset_index(drop=True) + " "
+               + v.iloc[2:].reset_index(drop=True))[same]
+        c = tri.groupby(tri).size().reset_index()
+        c.columns = ["tok", "cnt"]
+        c["cnt"] = c["cnt"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            c["_part"] = (splitmix64(fnv1a64(c["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return c
+
+    def bucket_freq_of_freq(g: pd.DataFrame) -> pd.DataFrame:
+        per_type = g.groupby("tok", sort=False)["cnt"].sum()
+        r = np.minimum(per_type.to_numpy(np.int64), cap)
+        rv, nv = np.unique(r, return_counts=True)
+        return pd.DataFrame({"r": rv, "n_r": nv.astype(np.int64),
+                             "_p2": (rv % np.int64(32)).astype(np.int32)})
+
+    def sum_n_r(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("r", sort=False, as_index=False)["n_r"].sum()
+        out["n_r"] = out["n_r"].astype(np.int64)
+        return out
+
+    nr = bucket_exchange(
+        bucket_exchange(docs.map_batches(tok_counts, batch_format="pyarrow"),
+                        bucket_freq_of_freq),
+        sum_n_r, key="_p2", small_partials=True,
+    ).to_pandas()
+    n_of = dict(zip(nr["r"].astype(int), nr["n_r"].astype(int)))
+    rows = []
+    for r in range(1, max_r + 1):
+        if n_of.get(r, 0) == 0:
+            continue
+        n_r = n_of[r]
+        n_r1 = n_of.get(r + 1, 0)  # r+1 <= max_r+1 < cap: always exact
+        num = float((r + 1) * n_r1)
+        rsq = int(np.floor(num / float(n_r) * 1048576.0 + 0.5))
+        rows.append({"r": np.int64(r), "n_r": np.int64(n_r),
+                     "n_r1": np.int64(n_r1), "r_star_q": np.int64(rsq)})
+    out = pd.DataFrame(rows, columns=["r", "n_r", "n_r1", "r_star_q"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def vocab_growth_docs(docs: ray.data.Dataset, n_checkpoints: int = 8,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Vocabulary-growth curve (the empirical Heaps-law measurement a
+    corpus report includes: distinct token types vs corpus prefix in
+    doc_id order). The prefix-distinct count needs no per-prefix
+    distinct pass: a type is in prefix t iff its FIRST occurrence doc id
+    ≤ t, so one token-hash exchange computing min(doc_id) per type
+    pre-aggs to (checkpoint, types_entering) counts — ≤ buckets × K rows
+    move, K = n_checkpoints. Cumulative token totals per checkpoint are
+    map-side partial sums. All outputs exact integers."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    max_id = int(docs.max("doc_id"))
+    thresholds = [(max_id * k) // n_checkpoints for k in range(1, n_checkpoints + 1)]
+    thr = np.array(thresholds, np.int64)
+
+    def tok_first(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc = np.repeat(b["doc_id"].to_numpy().astype(np.int64),
+                        off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        d = pd.DataFrame({"tok": vals[keep].to_numpy(object), "fd": doc[keep]})
+        c = d.groupby("tok", sort=False, as_index=False)["fd"].min()
+        old = np.seterr(over="ignore")
+        try:
+            c["_part"] = (splitmix64(fnv1a64(c["tok"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return c
+
+    def bucket_entering(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("tok", sort=False)["fd"].min().to_numpy(np.int64)
+        vocab = (first[None, :] <= thr[:, None]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"k": np.arange(1, n_checkpoints + 1, dtype=np.int64),
+                             "vocab": vocab,
+                             "_p2": np.zeros(n_checkpoints, np.int32)})
+
+    def sum_vocab(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False, as_index=False)["vocab"].sum()
+        out["vocab"] = out["vocab"].astype(np.int64)
+        return out
+
+    vg = bucket_exchange(
+        bucket_exchange(docs.map_batches(tok_first, batch_format="pyarrow"),
+                        bucket_entering),
+        sum_vocab, key="_p2", small_partials=True,
+    ).to_pandas()
+
+    def tok_totals(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc_idx = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        n_tok = np.bincount(doc_idx[keep], minlength=len(off) - 1).astype(np.int64)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        tok_per_ckpt = ((did[None, :] <= thr[:, None])
+                        * n_tok[None, :]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"k": np.arange(1, n_checkpoints + 1, dtype=np.int64),
+                             "tokens": tok_per_ckpt,
+                             "_p2": np.zeros(n_checkpoints, np.int32)})
+
+    def sum_tokens(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False, as_index=False)["tokens"].sum()
+        out["tokens"] = out["tokens"].astype(np.int64)
+        return out
+
+    tt = bucket_exchange(
+        docs.map_batches(tok_totals, batch_format="pyarrow"),
+        sum_tokens, key="_p2", small_partials=True,
+    ).to_pandas()
+
+    out = pd.DataFrame({"k": np.arange(1, n_checkpoints + 1, dtype=np.int64)})
+    out["threshold"] = thr
+    out = out.merge(vg[["k", "vocab"]], on="k", how="left") \
+             .merge(tt[["k", "tokens"]], on="k", how="left")
+    out["vocab"] = out["vocab"].fillna(0).astype(np.int64)
+    out["tokens"] = out["tokens"].fillna(0).astype(np.int64)
+    return ray.data.from_pandas(out)
