@@ -368,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdb_convert_features": _q_gdb_convert,
         "colour_thresh_tiles": _q_colour_thresh,
         "good_turing_docs": _q_good_turing,
+        "zonemap_prune_lineitem": _q_zonemap,
+        "ann_binary_topk": _q_ann_binary,
+        "cart_tree_lineitem": _q_cart_depth2,
         "vocab_growth_docs": _q_vocab_growth,
     }
 
@@ -402,6 +405,9 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
+    _zonemap_sql,
+    _ann_binary_sql,
+    _cart_depth2_sql,
     _vocab_growth_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
@@ -1167,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "gdb_convert_features": _gdb_sql(),
         "colour_thresh_tiles": _colour_thresh_sql(),
         "good_turing_docs": _good_turing_sql(),
+        "zonemap_prune_lineitem": _zonemap_sql(),
+        "ann_binary_topk": _ann_binary_sql(),
+        "cart_tree_lineitem": _cart_depth2_sql(),
         "vocab_growth_docs": _vocab_growth_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "

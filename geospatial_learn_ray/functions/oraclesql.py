@@ -6864,6 +6864,132 @@ def _mmr_rerank_sql(k: int = 10, n_cand: int = 64, scale: float = 128.0,
     )
 
 
+def _cart_depth2_sql() -> str:
+    """SQL twin of train.cart_depth2_lineitem: long-form (f, v, y)
+    histograms, cumulative window sums per feature, the identical
+    weighted-purity f64 expression (sl/nl + sr/nr over exact BIGINT
+    squares), argmax by (score DESC, f ASC, thr ASC), children re-scored
+    conditioned on the root pick; splitless children emit the (-1, -1,
+    n, c1, -1) leaf marker."""
+    score = ("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) "
+             "+ CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)")
+    sq = ("CAST(FLOOR((" + score + ") * CAST(1048576.0 AS DOUBLE) "
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
+    return (
+        "WITH ft AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS f0, "
+        "  CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS f1, "
+        "  CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS f2, "
+        "  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem), "
+        "h0 AS MATERIALIZED ("
+        "  SELECT 0 AS f, f0 AS v, y, COUNT(*) AS n FROM ft GROUP BY 2, 3 "
+        "  UNION ALL SELECT 1, f1, y, COUNT(*) FROM ft GROUP BY 2, 3 "
+        "  UNION ALL SELECT 2, f2, y, COUNT(*) FROM ft GROUP BY 2, 3), "
+        "pv AS (SELECT f, v, CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS a0, "
+        "  CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS a1 FROM h0 GROUP BY 1, 2), "
+        "cum AS (SELECT f, v, "
+        "  CAST(SUM(a0) OVER w AS BIGINT) AS c0, CAST(SUM(a1) OVER w AS BIGINT) AS c1, "
+        "  CAST(SUM(a0) OVER (PARTITION BY f) AS BIGINT) AS t0, "
+        "  CAST(SUM(a1) OVER (PARTITION BY f) AS BIGINT) AS t1, "
+        "  MAX(v) OVER (PARTITION BY f) AS vmax FROM pv "
+        "  WINDOW w AS (PARTITION BY f ORDER BY v)), "
+        "sc AS (SELECT f, v AS thr, c0 + c1 AS nl, (t0 - c0) + (t1 - c1) AS nr, "
+        "  c0*c0 + c1*c1 AS sl, (t0 - c0)*(t0 - c0) + (t1 - c1)*(t1 - c1) AS sr "
+        "  FROM cum WHERE v < vmax AND c0 + c1 > 0 AND (t0 - c0) + (t1 - c1) > 0), "
+        "root AS (SELECT f, thr, nl, nr, sl, sr FROM sc "
+        f"  ORDER BY {score} DESC, f ASC, thr ASC LIMIT 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(y) AS BIGINT) AS c1 FROM ft), "
+        "fts AS MATERIALIZED (SELECT ft.*, CASE WHEN "
+        "  (CASE root.f WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END) <= root.thr "
+        "  THEN 0 ELSE 1 END AS side FROM ft, root), "
+        "h2 AS MATERIALIZED ("
+        "  SELECT side, 0 AS f, f0 AS v, y, COUNT(*) AS n FROM fts GROUP BY 1, 3, 4 "
+        "  UNION ALL SELECT side, 1, f1, y, COUNT(*) FROM fts GROUP BY 1, 3, 4 "
+        "  UNION ALL SELECT side, 2, f2, y, COUNT(*) FROM fts GROUP BY 1, 3, 4), "
+        "pv2 AS (SELECT side, f, v, CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS a0, "
+        "  CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS a1 FROM h2 GROUP BY 1, 2, 3), "
+        "cum2 AS (SELECT side, f, v, "
+        "  CAST(SUM(a0) OVER w AS BIGINT) AS c0, CAST(SUM(a1) OVER w AS BIGINT) AS c1, "
+        "  CAST(SUM(a0) OVER (PARTITION BY side, f) AS BIGINT) AS t0, "
+        "  CAST(SUM(a1) OVER (PARTITION BY side, f) AS BIGINT) AS t1, "
+        "  MAX(v) OVER (PARTITION BY side, f) AS vmax FROM pv2 "
+        "  WINDOW w AS (PARTITION BY side, f ORDER BY v)), "
+        "sc2 AS (SELECT side, f, v AS thr, c0 + c1 AS nl, (t0 - c0) + (t1 - c1) AS nr, "
+        "  c0*c0 + c1*c1 AS sl, (t0 - c0)*(t0 - c0) + (t1 - c1)*(t1 - c1) AS sr "
+        "  FROM cum2 WHERE v < vmax AND c0 + c1 > 0 AND (t0 - c0) + (t1 - c1) > 0), "
+        "pick2 AS (SELECT side, f, thr, nl, nr, sl, sr, "
+        f"  ROW_NUMBER() OVER (PARTITION BY side ORDER BY {score} DESC, f ASC, thr ASC) AS rr "
+        "  FROM sc2), "
+        "st AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(y) AS BIGINT) AS c1 FROM fts GROUP BY side) "
+        "SELECT CAST(0 AS BIGINT) AS node, CAST(r.f AS BIGINT) AS feature, "
+        "CAST(r.thr AS BIGINT) AS threshold, t.n, t.c1, "
+        f"{sq} AS score_q FROM root r, tot t "
+        "UNION ALL "
+        "SELECT CAST(s.side + 1 AS BIGINT), CAST(COALESCE(p.f, -1) AS BIGINT), "
+        "CAST(COALESCE(p.thr, -1) AS BIGINT), s.n, s.c1, "
+        "COALESCE(CAST(FLOOR((CAST(p.sl AS DOUBLE) / CAST(p.nl AS DOUBLE) "
+        "+ CAST(p.sr AS DOUBLE) / CAST(p.nr AS DOUBLE)) * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT), -1) AS score_q "
+        "FROM st s LEFT JOIN (SELECT * FROM pick2 WHERE rr = 1) p USING (side)"
+    )
+
+
+def _ann_binary_sql(k: int = 10, n_cand: int = 40, qscale: float = 64.0) -> str:
+    """SQL twin of knn.binary_quant_topk: Hamming = the direct sign
+    disagreement count over dims (no bit packing needed SQL-side),
+    candidates = ROW_NUMBER over (ham ASC, vec_id ASC) <= n_cand, rerank
+    score = the identical f64 chain over exact integer-quantized dot and
+    norms (zero-norm guard -2)."""
+    return (
+        "WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe "
+        "FROM embeddings WHERE vec_id % 50 = 0), "
+        "ham AS MATERIALIZED (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+        "  SUM(CASE WHEN (q.qe[i.range] > 0) <> (e.embedding[i.range] > 0) "
+        "  THEN 1 ELSE 0 END) AS h "
+        "  FROM q CROSS JOIN embeddings e CROSS JOIN range(1, 65) i "
+        "  GROUP BY 1, 2), "
+        "cand AS MATERIALIZED (SELECT query_id, neighbor_id FROM ham "
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"  ORDER BY h ASC, neighbor_id ASC) <= {n_cand}), "
+        "xq AS MATERIALIZED (SELECT vec_id, i.range AS i, "
+        f"  CAST(FLOOR(CAST(embedding[i.range] AS DOUBLE) * CAST({qscale!r} AS DOUBLE) "
+        "  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v "
+        "  FROM embeddings CROSS JOIN range(1, 65) i), "
+        "nrm AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS n2 FROM xq GROUP BY vec_id), "
+        "sc AS (SELECT c.query_id, c.neighbor_id, "
+        "  SUM(a.v * b.v) AS dot, ANY_VALUE(na.n2) AS qn, ANY_VALUE(nb.n2) AS xn "
+        "  FROM cand c "
+        "  JOIN xq a ON a.vec_id = c.query_id "
+        "  JOIN xq b ON b.vec_id = c.neighbor_id AND b.i = a.i "
+        "  JOIN nrm na ON na.vec_id = c.query_id "
+        "  JOIN nrm nb ON nb.vec_id = c.neighbor_id "
+        "  GROUP BY 1, 2), "
+        "rk AS (SELECT query_id, neighbor_id, "
+        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "  CASE WHEN xn > 0 AND qn > 0 THEN CAST(dot AS DOUBLE) "
+        "  / SQRT(CAST(xn * qn AS DOUBLE)) ELSE -2.0 END DESC, "
+        "  neighbor_id ASC) AS rank FROM sc) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= {k}"
+    )
+
+
+def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
+                 pred_hi: int = 50) -> str:
+    """SQL twin of agg.zonemap_stats: zones are l_orderkey // width; all
+    outputs exact integers, prunable = the disjointness test."""
+    return (
+        f"SELECT l_orderkey // {zone_width} AS zone, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_min, "
+        "CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v_max, "
+        f"CAST(CASE WHEN MAX(CAST(l_quantity AS BIGINT)) < {pred_lo} "
+        f"OR MIN(CAST(l_quantity AS BIGINT)) > {pred_hi} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS prunable "
+        "FROM lineitem GROUP BY 1"
+    )
+
+
 def _good_turing_sql(max_r: int = 10) -> str:
     """SQL twin of textstages.good_turing_docs: same single-space token
     split, per-type totals capped at max_r+2, frequency-of-frequencies,

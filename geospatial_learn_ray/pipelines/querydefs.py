@@ -2311,6 +2311,25 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_cart_depth2(sf_dir: str):
+    from geospatial_learn_ray.stages.train import cart_depth2_lineitem
+
+    return cart_depth2_lineitem(
+        _rp(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_tax", "l_returnflag"]))
+
+
+def _q_ann_binary(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    return knn.binary_quant_topk(_rp(sf_dir, "embeddings"), Q, qids, k=10)
+
+
+def _q_zonemap(sf_dir: str):
+    return agg.zonemap_stats(
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        "l_orderkey", "l_quantity")
+
+
 def _q_good_turing(sf_dir: str):
     return textstages.good_turing_docs(_rp(sf_dir, "documents", ["doc_id", "text"]))
 

@@ -1738,3 +1738,48 @@ def mannwhitney_orders(orders: ray.data.Dataset, grp_a: str = "1-URGENT",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def zonemap_stats(ds: ray.data.Dataset, key_col: str, value_col: str,
+                  zone_width: int = 256, pred_lo: int = 45, pred_hi: int = 50,
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Zone-map (min/max data-skipping index) builder + pruning audit —
+    the storage-layout primitive behind parquet row-group skipping that
+    a 100 TB read plan depends on: zones are fixed ``key_col`` ranges
+    (zone = key // zone_width — layout-deterministic, independent of Ray
+    block structure), each carrying exact integer (count, min, max) of
+    ``value_col``; the audit reports, for the range predicate
+    [pred_lo, pred_hi], whether the whole zone is prunable (max < lo or
+    min > hi — the standard zone-map disjointness test).
+
+    Per-batch partials pre-aggregate to one row per (zone, block) before
+    the only exchange; the output is one row per zone."""
+    from ..functions.hashing import splitmix64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        z = (b[key_col].to_numpy(np.int64) // zone_width)
+        v = b[value_col].to_numpy(np.float64).astype(np.int64)
+        g = pd.DataFrame({"zone": z, "v": v}).groupby("zone", sort=False)["v"]
+        out = g.agg(n_rows="count", v_min="min", v_max="max").reset_index()
+        for c in ("n_rows", "v_min", "v_max"):
+            out[c] = out[c].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            out["_part"] = (splitmix64(out["zone"].to_numpy().astype(np.uint64))
+                            % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("zone", sort=False).agg(
+            n_rows=("n_rows", "sum"), v_min=("v_min", "min"),
+            v_max=("v_max", "max")).reset_index()
+        for col in ("n_rows", "v_min", "v_max"):
+            c[col] = c[col].astype(np.int64)
+        c["prunable"] = ((c["v_max"] < pred_lo) | (c["v_min"] > pred_hi)).astype(np.int64)
+        return c
+
+    return bucket_exchange(
+        ds.select_columns([key_col, value_col]).map_batches(partial, batch_format="pandas"),
+        combine, small_partials=True)

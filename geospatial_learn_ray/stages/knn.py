@@ -1192,3 +1192,116 @@ def mmr_rerank(emb: ray.data.Dataset, k: int = 10, n_cand: int = 64,
     for c in o.columns:
         o[c] = o[c].astype(np.int64)
     return ray.data.from_pandas(o)
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy 1.26 has no bitwise_count):
+    four 16-bit table lookups."""
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    return (_POP16[(x & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)])
+
+
+def _sign_codes(X: np.ndarray) -> np.ndarray:
+    """Per-vector 64-bit sign code: bit j set iff X[:, j] > 0 (dims ≤ 64)."""
+    n, d = X.shape
+    bits = (X > 0).astype(np.uint64)
+    code = np.zeros(n, np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for j in range(d):
+            code |= bits[:, j] << np.uint64(j)
+    finally:
+        np.seterr(**old)
+    return code
+
+
+def binary_quant_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_cand: int = 40,
+    qscale: float = 64.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """1-bit (sign) vector quantization ANN — the RaBitQ/binary-hash
+    family's simplest member: 64× smaller codes, Hamming-distance
+    candidate generation, exact rerank over the counted candidate set.
+
+    1. codes: bit j = [v_j > 0]; one uint64 per vector (computed per
+       batch from the raw column — at scale the codes table would be a
+       materialized 8-byte side file like the PQ store);
+    2. candidates: per-batch Hamming partial top-``n_cand`` per query
+       (popcount of XOR — integer, tie by vec_id), merged through the
+       query-keyed bucketed exchange (``_merge_topk``);
+    3. rerank: candidate ids broadcast; one more pass computes the
+       INTEGER-quantized cosine (floor(v·qscale + 0.5) components, so
+       dot and norms are exact int64 and the score is the single f64
+       chain dot/sqrt(nq·nx) — bit-identical in SQL; zero-norm guard
+       score −2), merged to the final top-k.
+
+    Driver holds only Q×n_cand candidate rows (counted)."""
+    Qc = _sign_codes(np.asarray(queries, np.float64))
+    Qq = np.floor(np.asarray(queries, np.float64) * qscale + 0.5).astype(np.int64)
+    qids = np.asarray(query_ids)
+    qref = ray.put((Qc, Qq, qids))
+
+    def ham_partials(b: pd.DataFrame) -> pd.DataFrame:
+        qc, _, qi = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        ids = b[id_col].to_numpy()
+        codes = _sign_codes(X)
+        ham = _popcount64(qc[:, None] ^ codes[None, :])  # [Q, n]
+        kk = min(n_cand, ham.shape[1])
+        out = []
+        for q in range(len(qc)):
+            order = np.lexsort((ids, ham[q]))[:kk]
+            out.append(pd.DataFrame({
+                "query_id": qi[q], "neighbor_id": ids[order],
+                "cosine": -ham[q][order].astype(np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    cands = _merge_topk(
+        ds.map_batches(ham_partials, batch_format="pandas"), n_cand)
+    cand_of = {}
+    for q, grp in cands.groupby("query_id", sort=False):
+        cand_of[int(q)] = frozenset(int(x) for x in grp["neighbor_id"])
+    cref = ray.put(cand_of)
+
+    def rerank(b: pd.DataFrame) -> pd.DataFrame:
+        qc, qq, qi = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        cof = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Xq = np.floor(X * qscale + 0.5).astype(np.int64)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        xn = (Xq * Xq).sum(axis=1)
+        out = []
+        for q in range(len(qi)):
+            sel = np.isin(ids, np.fromiter(cof.get(int(qi[q]), ()), np.int64,
+                                           len(cof.get(int(qi[q]), ()))))
+            if not sel.any():
+                continue
+            dot = (Xq[sel] @ qq[q]).astype(np.int64)
+            qn = int((qq[q] * qq[q]).sum())
+            den = np.sqrt((xn[sel] * qn).astype(np.float64))
+            score = np.where((xn[sel] > 0) & (qn > 0),
+                             dot.astype(np.float64) / np.where(den > 0, den, 1.0),
+                             -2.0)
+            out.append(pd.DataFrame({
+                "query_id": qi[q], "neighbor_id": ids[sel], "cosine": score}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    final = _merge_topk(ds.map_batches(rerank, batch_format="pandas"), k)
+    return final[["query_id", "neighbor_id", "rank"]]

@@ -1422,3 +1422,128 @@ def _tr_part(toks: np.ndarray, num_buckets: int) -> np.ndarray:
                 % np.uint64(num_buckets)).astype(np.int32)
     finally:
         np.seterr(**old)
+
+
+def cart_depth2_lineitem(ds: ray.data.Dataset,
+                         num_buckets: int = 16) -> ray.data.Dataset:
+    """Exact depth-2 CART (Breiman et al. 1984) over integer features —
+    the histogram-split decision tree every gradient-boosting/forest
+    trainer builds distributed: integer features q = l_quantity,
+    d = discount cents, t = tax cents; label y = [l_returnflag = 'R'].
+
+    Split search is EXACT, not sampled: per-batch (feature, value, label)
+    count partials pre-aggregate before one tiny exchange (≤ 3 features ×
+    values × 2 labels rows — the histogram, not the data, moves), the
+    driver scans cumulative sums for the argmax of the weighted purity
+    Σ_child (c0² + c1²)/n (maximizing this minimizes weighted Gini; all
+    numerators exact int64 < 2⁵³, one f64 division per child — the SQL
+    twin orders by the bit-identical expression, ties to smallest
+    (feature, threshold)). A second conditioned pass repeats the search
+    inside each root child. Two passes total at any data size.
+
+    Output: one row per node (0 root, 1 left, 2 right): chosen feature
+    (0=q, 1=d, 2=t), threshold (left = value ≤ T), n, label-1 count, and
+    the purity score quantized ·2²⁰."""
+    from .exchange import bucket_exchange
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        t = round_half_away(b["l_tax"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        y = (b["l_returnflag"].to_numpy(object) == "R").astype(np.int64)
+        return pd.DataFrame({"f0": q, "f1": d, "f2": t, "y": y})
+
+    def hist_partial(cond):
+        # cond: None (root) or (froot, troot, side) restricting rows
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            fb = feats(b)
+            if cond is not None:
+                froot, troot, side = cond
+                m = fb[f"f{froot}"].to_numpy() <= troot
+                fb = fb[m if side == 0 else ~m]
+            frames = []
+            for f in range(3):
+                g = fb.groupby([f"f{f}", "y"], sort=False).size().rename("n").reset_index()
+                g.columns = ["v", "y", "n"]
+                g.insert(0, "f", np.int64(f))
+                frames.append(g)
+            out = pd.concat(frames, ignore_index=True)
+            out["n"] = out["n"].astype(np.int64)
+            out["_part"] = (out["f"] % num_buckets).astype(np.int32)
+            return out
+
+        return fn
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["f", "v", "y"], sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def best_split(hist: pd.DataFrame):
+        """argmax over (f, T) of Σ_child (c0²+c1²)/n from cumulative
+        histogram sums; ties to smallest (f, T). Returns (f, T, score,
+        n, c1_total) or None when no valid split exists."""
+        best = None
+        # totals from ONE feature's histogram (each row appears once per
+        # feature in the long form — summing all three triple-counts)
+        h0 = hist[hist["f"] == 0]
+        n_tot = int(h0["n"].sum())
+        c1_tot = int(h0.loc[h0["y"] == 1, "n"].sum())
+        for f in range(3):
+            h = hist[hist["f"] == f]
+            piv = h.pivot_table(index="v", columns="y", values="n",
+                                aggfunc="sum", fill_value=0)
+            for y in (0, 1):
+                if y not in piv.columns:
+                    piv[y] = 0
+            piv = piv.sort_index()
+            c0 = piv[0].to_numpy(np.int64).cumsum()
+            c1 = piv[1].to_numpy(np.int64).cumsum()
+            vs = piv.index.to_numpy(np.int64)
+            for i in range(len(vs) - 1):  # last value: empty right side
+                nl = int(c0[i] + c1[i])
+                nr = n_tot - nl
+                if nl == 0 or nr == 0:
+                    continue
+                sl = int(c0[i]) ** 2 + int(c1[i]) ** 2
+                sr = (int(c0[-1] - c0[i])) ** 2 + (int(c1[-1] - c1[i])) ** 2
+                score = float(sl) / float(nl) + float(sr) / float(nr)
+                key = (-score, f, int(vs[i]))
+                if best is None or key < best[0]:
+                    best = (key, f, int(vs[i]), score)
+        if best is None:
+            return None
+        _, f, thr, score = best
+        return f, thr, score, n_tot, c1_tot
+
+    root_hist = bucket_exchange(
+        ds.map_batches(hist_partial(None), batch_format="pandas"),
+        hist_sum, small_partials=True).to_pandas()
+    root = best_split(root_hist)
+    rows = []
+
+    def node_row(node, pick):
+        f, thr, score, n, c1 = pick
+        rows.append({"node": node, "feature": f, "threshold": thr,
+                     "n": n, "c1": c1,
+                     "score_q": int(np.floor(score * 1048576.0 + 0.5))})
+
+    node_row(0, root)
+    for side in (0, 1):
+        child_hist = bucket_exchange(
+            ds.map_batches(hist_partial((root[0], root[1], side)),
+                           batch_format="pandas"),
+            hist_sum, small_partials=True).to_pandas()
+        pick = best_split(child_hist)
+        if pick is None:  # pure / single-valued child: emit a leaf marker
+            ch0 = child_hist[child_hist["f"] == 0]
+            n = int(ch0["n"].sum())
+            c1 = int(ch0.loc[ch0["y"] == 1, "n"].sum())
+            rows.append({"node": side + 1, "feature": -1, "threshold": -1,
+                         "n": n, "c1": c1, "score_q": -1})
+        else:
+            node_row(side + 1, pick)
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
