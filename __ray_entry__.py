@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune_lineitem": _q_zonemap,
         "ann_binary_topk": _q_ann_binary,
         "cart_tree_lineitem": _q_cart_depth2,
+        "graph_coloring_hosts": _q_coloring,
         "vocab_growth_docs": _q_vocab_growth,
     }
 
@@ -408,6 +409,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _zonemap_sql,
     _ann_binary_sql,
     _cart_depth2_sql,
+    _coloring_sql,
     _vocab_growth_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
@@ -1176,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_prune_lineitem": _zonemap_sql(),
         "ann_binary_topk": _ann_binary_sql(),
         "cart_tree_lineitem": _cart_depth2_sql(),
+        "graph_coloring_hosts": _coloring_sql(),
         "vocab_growth_docs": _vocab_growth_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "

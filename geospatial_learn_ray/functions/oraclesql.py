@@ -3294,6 +3294,66 @@ def _label_prop_sql(rounds: int = 4, out_links: int = 4,
     )
 
 
+def _coloring_sql(rounds: int = 22, out_links: int = 4,
+                  host_mod: int = 1000, max_colors: int = 64) -> str:
+    """SQL twin of graph.speculative_coloring_hosts: the label_prop host
+    graph fragment + splitmix64 HUGEINT priorities, then ``rounds``
+    unrolled speculative rounds — mex via a NOT EXISTS range anti-join
+    over the colored-neighbor color set, commit blocked by any same-
+    tentative higher-priority uncolored neighbor. Measured convergence:
+    6 / 6 / 17 rounds at sf0.001/0.01/0.1 (rounds=22 gives margin; an
+    unconverged -1 would value-hash-mismatch loudly)."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "lp")])
+    pr_inner = _sg.chain("SELECT node FROM nd",
+                         _sg.splitmix64_steps("node", "p", "cp"))
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM lk WHERE src <> dst)",
+        "nd AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "  SELECT src AS node FROM lk UNION ALL SELECT dst AS node FROM lk))",
+        "dirs AS MATERIALIZED (SELECT u AS nbr, v AS node FROM ue "
+        "  UNION ALL SELECT v AS nbr, u AS node FROM ue)",
+        f"pr AS MATERIALIZED (SELECT node, p FROM ({pr_inner}))",
+        "c0 AS MATERIALIZED (SELECT node, -1 AS color FROM nd)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"c{k - 1}"
+        ctes += [
+            f"uc{k} AS MATERIALIZED (SELECT DISTINCT d.node, c.color "
+            f"  FROM dirs d JOIN {p} c ON c.node = d.nbr WHERE c.color >= 0)",
+            f"mex{k} AS MATERIALIZED (SELECT s.node, MIN(t.range) AS tent "
+            f"  FROM (SELECT node FROM {p} WHERE color < 0) s "
+            f"  CROSS JOIN range(0, {max_colors}) t "
+            f"  WHERE NOT EXISTS (SELECT 1 FROM uc{k} u "
+            "    WHERE u.node = s.node AND u.color = t.range) "
+            "  GROUP BY s.node)",
+            f"bl{k} AS MATERIALIZED (SELECT DISTINCT d.node FROM dirs d "
+            f"  JOIN mex{k} a ON a.node = d.node "
+            f"  JOIN mex{k} b ON b.node = d.nbr AND b.tent = a.tent "
+            "  JOIN pr pa ON pa.node = d.node JOIN pr pb ON pb.node = d.nbr "
+            "  WHERE pb.p > pa.p)",
+            f"c{k} AS MATERIALIZED (SELECT c.node, "
+            "  CASE WHEN c.color >= 0 THEN c.color "
+            "  WHEN m.node IS NOT NULL AND b.node IS NULL THEN m.tent "
+            f"  ELSE -1 END AS color FROM {p} c "
+            f"  LEFT JOIN mex{k} m ON m.node = c.node "
+            f"  LEFT JOIN bl{k} b ON b.node = c.node)",
+        ]
+    return (
+        f"WITH {pages_sql()}, " + ", ".join(ctes) + " "
+        f"SELECT node AS host, CAST(color AS BIGINT) AS color FROM c{rounds}"
+    )
+
+
 def _exact_median_sql(table: str = "lineitem",
                       col: str = "l_extendedprice") -> str:
     """SQL twin of agg.exact_median: order statistics selected explicitly

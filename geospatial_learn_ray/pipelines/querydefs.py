@@ -2311,6 +2311,12 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_coloring(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import speculative_coloring_hosts
+
+    return speculative_coloring_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_cart_depth2(sf_dir: str):
     from geospatial_learn_ray.stages.train import cart_depth2_lineitem
 

@@ -643,3 +643,23 @@ def test_assortativity_scalar_reference():
     sx = int((x).sum())
     sxx, sxy = int((x * x).sum()), int((x * y).sum())
     assert m2 * sxy - sx * sx == -(m2 * sxx - sx * sx)
+
+
+def test_speculative_coloring_proper_and_deterministic():
+    """The coloring is a PROPER distance-1 coloring of the undirected
+    host graph and reproduces exactly across runs (hash priorities)."""
+    import numpy as np
+
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import graph
+
+    pages = read_pages("/root/testdata/sf0.001", columns=["url"])
+    a = graph.speculative_coloring_hosts(pages).to_pandas().sort_values("host")
+    b = graph.speculative_coloring_hosts(pages).to_pandas().sort_values("host")
+    assert (a.to_numpy() == b.to_numpy()).all()
+    e = graph.host_edges(pages).to_pandas()
+    col = dict(zip(a["host"], a["color"]))
+    for s, d in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
+        if s != d:
+            assert col[int(s)] != col[int(d)]
+    assert (a["color"].to_numpy() >= 0).all()
