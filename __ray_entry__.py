@@ -372,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_binary_topk": _q_ann_binary,
         "cart_tree_lineitem": _q_cart_depth2,
         "graph_coloring_hosts": _q_coloring,
+        "ppr_hosts": _q_ppr,
+        "integral_image_tiles": _q_integral_image,
+        "cva_change_tiles": _q_cva_change,
         "vocab_growth_docs": _q_vocab_growth,
     }
 
@@ -410,6 +413,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_binary_sql,
     _cart_depth2_sql,
     _coloring_sql,
+    _integral_image_sql,
+    _cva_sql,
     _vocab_growth_sql,
     _ms_toposeg_sql,
     _dbscan_sql,
@@ -1179,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_binary_topk": _ann_binary_sql(),
         "cart_tree_lineitem": _cart_depth2_sql(),
         "graph_coloring_hosts": _coloring_sql(),
+        "ppr_hosts": _pagerank_sql(seed_mod=25),
+        "integral_image_tiles": _integral_image_sql(),
+        "cva_change_tiles": _cva_sql(),
         "vocab_growth_docs": _vocab_growth_sql(),
         "mi_lang_quality_docs": (
             "WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars, "

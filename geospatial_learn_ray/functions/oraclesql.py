@@ -2062,7 +2062,8 @@ def _dsir_sql(n_features: int = 4096, scale: int = 1024,
     )
 
 
-def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000) -> str:
+def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000,
+                  seed_mod: int | None = None) -> str:
     """SQL twin of graph.pagerank_hosts: identical hash-derived edges
     (url||'#out'||k projected to its own column before fnv — lambda-shadow
     rule), then ``iters`` unrolled MATERIALIZED rank rounds in pure BIGINT
@@ -2077,12 +2078,22 @@ def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000) -> s
     lk_inner = _sg.chain(
         lk_base,
         [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "pr")])
+    if seed_mod is None:
+        base_expr = f"({15 * q30} // (100 * nn.n))"
+        r0_expr = f"{q30} // nn.n"
+        nn_cte = "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes)"
+    else:
+        base_expr = (f"(CASE WHEN n.host % {seed_mod} = 0 "
+                     f"THEN {15 * q30} // (100 * nn.n) ELSE 0 END)")
+        r0_expr = (f"CASE WHEN host % {seed_mod} = 0 THEN {q30} // nn.n ELSE 0 END")
+        nn_cte = ("nn AS (SELECT GREATEST(COUNT(*), 1)::BIGINT AS n "
+                  f"FROM nodes WHERE host % {seed_mod} = 0)")
     rounds = []
     for t in range(1, iters + 1):
         prev = "r0" if t == 1 else f"r{t - 1}"
         rounds.append(
             f"r{t} AS MATERIALIZED (SELECT n.host, "
-            f"({15 * q30} // (100 * nn.n)) + (85 * COALESCE(s.s, 0)) // 100 AS r "
+            f"{base_expr} + (85 * COALESCE(s.s, 0)) // 100 AS r "
             "FROM nodes n CROSS JOIN nn LEFT JOIN ("
             "  SELECT e.dst AS host, SUM((r.r * e.w) // d.wt)::BIGINT AS s "
             f"  FROM edges e JOIN {prev} r ON r.host = e.src "
@@ -2098,8 +2109,8 @@ def _pagerank_sql(iters: int = 8, out_links: int = 4, host_mod: int = 1000) -> s
         "deg AS MATERIALIZED (SELECT src, SUM(w)::BIGINT AS wt FROM edges GROUP BY src), "
         "nodes AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges "
         "UNION SELECT DISTINCT dst FROM edges), "
-        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes), "
-        f"r0 AS MATERIALIZED (SELECT host, {q30} // nn.n AS r FROM nodes, nn), "
+        f"{nn_cte}, "
+        f"r0 AS MATERIALIZED (SELECT host, {r0_expr} AS r FROM nodes, nn), "
         + ", ".join(rounds) +
         f" SELECT host, r AS r_q, ROUND(CAST(r AS DOUBLE) / {float(q30)!r}, 9) AS pr "
         f"FROM r{iters}"
@@ -2790,6 +2801,55 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
         "CAST(py AS BIGINT) AS py, g2, "
         "CAST(strong AS BIGINT) AS strong "
         f"FROM {fin}"
+    )
+
+
+def _integral_image_sql(side: int = 16, quant: float = 2.0,
+                        tx_max: int = 7, ty_max: int = 7) -> str:
+    """SQL twin of raster.integral_image_stage: double cumulative window
+    SUM over the quantized tile (exact int64)."""
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "rc AS MATERIALIZED (SELECT tile_x, tile_y, py, px, "
+        f"CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) AS q "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "c1 AS (SELECT *, SUM(q) OVER (PARTITION BY tile_x, tile_y, px "
+        "ORDER BY py) AS s1 FROM rc) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py, "
+        "CAST(SUM(s1) OVER (PARTITION BY tile_x, tile_y, py ORDER BY px) "
+        "AS BIGINT) AS s FROM c1"
+    )
+
+
+def _cva_sql(side: int = 16, quant: float = 8.0, thresh2: int = 9,
+             tx_max: int = 7, ty_max: int = 7) -> str:
+    """SQL twin of raster.cva_change_stage: scene-2 / band-1 values
+    regenerate from the _tsx/_tsy closed form with the phase-offset grid
+    term (the identical f32 snap as tiles_sql), change vector in exact
+    quantized ints, octant by the integer rule, per-tile counts."""
+    def band(off: int) -> str:
+        return ("CAST(CAST(sx.sv + sy.cv + ((r.py*31 + r.px + "
+                f"{off}) % 97)/97.0 AS FLOAT) AS DOUBLE)")
+
+    q = f"CAST({quant!r} AS DOUBLE)"
+    secs = ", ".join(
+        f"CAST(SUM(CASE WHEN ch = 1 AND sec = {s} THEN 1 ELSE 0 END) AS BIGINT) AS sector_{s}"
+        for s in range(8))
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "bands AS MATERIALIZED (SELECT r.tile_x, r.tile_y, "
+        f"CAST(FLOOR({band(7)} * {q}) AS BIGINT) - CAST(FLOOR(r.vd * {q}) AS BIGINT) AS d0, "
+        f"CAST(FLOOR({band(13)} * {q}) AS BIGINT) - CAST(FLOOR({band(3)} * {q}) AS BIGINT) AS d1 "
+        "FROM rast r JOIN _tsx sx USING (tile_x) JOIN _tsy sy USING (tile_y) "
+        f"WHERE r.tile_x <= {tx_max} AND r.tile_y <= {ty_max}), "
+        "cls AS (SELECT tile_x, tile_y, "
+        f"CASE WHEN d0*d0 + d1*d1 >= {thresh2} THEN 1 ELSE 0 END AS ch, "
+        "(CASE WHEN d1 >= 0 THEN 4 ELSE 0 END) + (CASE WHEN d0 >= 0 THEN 2 ELSE 0 END) "
+        "+ (CASE WHEN ABS(d1) > ABS(d0) THEN 1 ELSE 0 END) AS sec FROM bands) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y, "
+        f"CAST(SUM(ch) AS BIGINT) AS n_changed, {secs} "
+        "FROM cls GROUP BY tile_x, tile_y"
     )
 
 

@@ -2311,6 +2311,22 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_integral_image(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
+    return raster.integral_image_stage(small, side=16)
+
+
+def _q_cva_change(sf_dir: str):
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
+    return raster.cva_change_stage(small, side=16)
+
+
+def _q_ppr(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import ppr_hosts
+
+    return ppr_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_coloring(sf_dir: str):
     from geospatial_learn_ray.stages.graph import speculative_coloring_hosts
 

@@ -86,17 +86,26 @@ def host_edges(pages: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Datas
 
 
 def _pagerank_local(edges: pd.DataFrame, n_nodes: int, nodes: np.ndarray,
-                    iters: int) -> pd.DataFrame:
+                    iters: int, seed_mod: int | None = None) -> pd.DataFrame:
     """Driver fast path (counted bound only): identical integer recurrence
     on numpy arrays. np.add.at keeps the bucket sums int64-exact —
-    bincount's float64 weights would not be (CLAUDE.md sketch rule)."""
+    bincount's float64 weights would not be (CLAUDE.md sketch rule).
+    ``seed_mod`` switches to PERSONALIZED PageRank: teleport mass and the
+    initial distribution concentrate on the seed set {host % seed_mod ==
+    0} (closed-form membership — no broadcast needed anywhere)."""
     idx = {h: i for i, h in enumerate(nodes)}
     si = np.array([idx[s] for s in edges["src"]], np.int64)
     di = np.array([idx[d] for d in edges["dst"]], np.int64)
     w = edges["w"].to_numpy(np.int64)
     wt = edges["wt"].to_numpy(np.int64)
-    base = (15 * (1 << Q)) // (100 * n_nodes)
-    r = np.full(n_nodes, (1 << Q) // n_nodes, np.int64)
+    if seed_mod is None:
+        base = np.full(n_nodes, (15 * (1 << Q)) // (100 * n_nodes), np.int64)
+        r = np.full(n_nodes, (1 << Q) // n_nodes, np.int64)
+    else:
+        seed = (nodes % seed_mod) == 0
+        n_seed = max(int(seed.sum()), 1)
+        base = np.where(seed, (15 * (1 << Q)) // (100 * n_seed), 0).astype(np.int64)
+        r = np.where(seed, (1 << Q) // n_seed, 0).astype(np.int64)
     for _ in range(iters):
         c = (r[si] * w) // wt
         s = np.zeros(n_nodes, np.int64)
@@ -108,7 +117,8 @@ def _pagerank_local(edges: pd.DataFrame, n_nodes: int, nodes: np.ndarray,
 
 def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
                    num_buckets: int = 64,
-                   local_bound: int = 2_000_000) -> ray.data.Dataset:
+                   local_bound: int = 2_000_000,
+                   seed_mod: int | None = None) -> ray.data.Dataset:
     """Host-level PageRank over the deterministic link graph, ``iters``
     rounds of r ← base + ⌊85·(Σ_in ⌊r·w/W⌋)/100⌋ (dangling mass dropped —
     the simplified recurrence; both sides implement it identically so the
@@ -130,7 +140,8 @@ def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
         e = edges.to_pandas()  # counted bound: ≤ local_bound host-pair rows
         nodes = np.unique(np.concatenate([e["src"].to_numpy(np.int64),
                                           e["dst"].to_numpy(np.int64)]))
-        return ray.data.from_pandas(_pagerank_local(e, len(nodes), nodes, iters))
+        return ray.data.from_pandas(
+            _pagerank_local(e, len(nodes), nodes, iters, seed_mod))
 
     # ---- distributed rounds ------------------------------------------------
     def node_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -143,8 +154,16 @@ def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
         lambda g: pd.DataFrame({"host": np.unique(g["host"].to_numpy(np.int64))}),
     ).materialize()
     n_nodes = nodes.count()
-    base = (15 * (1 << Q)) // (100 * n_nodes)
-    r0 = (1 << Q) // n_nodes
+    if seed_mod is None:
+        n_base = n_nodes
+    else:
+        # counted seed total via one tiny aggregation over the node list
+        n_base = max(int(nodes.map_batches(
+            lambda b: pd.DataFrame({"n": [int(((b["host"].to_numpy(np.int64)
+                                                % seed_mod) == 0).sum())]}),
+            batch_format="pandas").sum("n")), 1)
+    base = (15 * (1 << Q)) // (100 * n_base)
+    r0 = (1 << Q) // n_base
 
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"src": b["src"].to_numpy(np.int64),
@@ -168,7 +187,10 @@ def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
     def new_ranks(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_part"])
         s = g.groupby("host", sort=False, as_index=False)["s"].sum()
-        s["r"] = base + (DAMP_NUM * s["s"].to_numpy(np.int64)) // DAMP_DEN
+        h = s["host"].to_numpy(np.int64)
+        b = (np.where((h % seed_mod) == 0, base, 0).astype(np.int64)
+             if seed_mod is not None else np.int64(base))
+        s["r"] = b + (DAMP_NUM * s["s"].to_numpy(np.int64)) // DAMP_DEN
         return s[["host", "r"]]
 
     tagged_edges = edges.map_batches(tag_edges, batch_format="pandas").materialize()
@@ -177,10 +199,13 @@ def pagerank_hosts(pages: ray.data.Dataset, iters: int = 8,
                                 "s": np.int64(0),
                                 "_part": _bkt(b["host"].to_numpy(np.int64), num_buckets)}),
         batch_format="pandas")
-    ranks = nodes.map_batches(
-        lambda b: pd.DataFrame({"host": b["host"].to_numpy(np.int64),
-                                "r": np.int64(r0)}),
-        batch_format="pandas")
+    def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["host"].to_numpy(np.int64)
+        r = (np.where((h % seed_mod) == 0, r0, 0).astype(np.int64)
+             if seed_mod is not None else np.full(len(h), r0, np.int64))
+        return pd.DataFrame({"host": h, "r": r})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas")
     for _ in range(iters):
         tagged_ranks = ranks.map_batches(
             lambda b: pd.DataFrame({"src": b["host"].to_numpy(np.int64),
@@ -2546,3 +2571,17 @@ def speculative_coloring_hosts(pages: ray.data.Dataset, num_buckets: int = 64,
             f"speculative coloring did not converge in {max_rounds} rounds")
     return ray.data.from_pandas(pd.DataFrame({
         "host": nodes_arr, "color": color}))
+
+
+def ppr_hosts(pages: ray.data.Dataset, iters: int = 8, seed_mod: int = 25,
+              num_buckets: int = 64,
+              local_bound: int = 2_000_000) -> ray.data.Dataset:
+    """Personalized PageRank (topic-sensitive: Haveliwala 2002): the
+    pagerank_hosts fixed-point with teleport mass and initial
+    distribution concentrated on the closed-form seed set
+    {host % seed_mod == 0} — the corpus-curation shape (rank hosts by
+    proximity to a trusted seed list). Same Q30 integer recurrence, same
+    2-exchange round shape, seed membership computed in place (never a
+    broadcast seed table)."""
+    return pagerank_hosts(pages, iters=iters, num_buckets=num_buckets,
+                          local_bound=local_bound, seed_mod=seed_mod)

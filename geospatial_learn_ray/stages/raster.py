@@ -2187,6 +2187,91 @@ def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def integral_image_stage(ds: ray.data.Dataset, side: int,
+                         quant: float = 2.0) -> ray.data.Dataset:
+    """Per-tile integral image (summed-area table — Crow 1984, the
+    primitive behind constant-time box filters and Viola-Jones features;
+    the haar_tiles stage's dense cousin): S(x,y) = Σ_{i≤y,j≤x} q(i,j)
+    over the quantized tile — exact int64 (side² values ≤ 2⁴⁰). One
+    vectorized double cumsum per tile; the SQL twin is the double
+    cumulative window SUM."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        Y, X = np.mgrid[0:side, 0:side]
+        cols: dict[str, list] = {k: [] for k in ("tile_x", "tile_y", "px", "py", "s")}
+        for i in range(pxm.shape[0]):
+            q = np.floor(pxm[i].reshape(side, side) * quant).astype(np.int64)
+            s = q.cumsum(axis=0).cumsum(axis=1)
+            cols["tile_x"].append(np.full(side * side, txs[i]))
+            cols["tile_y"].append(np.full(side * side, tys[i]))
+            cols["px"].append(X.ravel().astype(np.int64))
+            cols["py"].append(Y.ravel().astype(np.int64))
+            cols["s"].append(s.ravel())
+        return pa.table({k: pa.array(np.concatenate(v) if v else np.zeros(0, np.int64))
+                         for k, v in cols.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_CVA_OFF = (7, 13)  # second-scene grid phase offsets for the two bands
+
+
+def cva_change_stage(ds: ray.data.Dataset, side: int, quant: float = 8.0,
+                     thresh2: int = 9) -> ray.data.Dataset:
+    """Change-vector analysis between two scenes (Malila 1980 — the
+    classic bitemporal change detection the reference's multi-temporal
+    family stops short of): band b of scene 2 regenerates from the
+    closed form with grid phase offset ``_CVA_OFF[b]`` (on a real stack
+    this is the second acquisition's band read); the change vector per
+    pixel is (d₀, d₁) = quantized scene-2 minus scene-1 band values,
+    magnitude² = d₀² + d₁² (exact int), changed = magnitude² ≥
+    ``thresh2``, and the direction sector is the canny integer octant
+    rule (cross-multiplication, no trig). Output per tile: changed-pixel
+    count + per-sector counts (exact ints)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        px_idx = np.arange(side)
+        grid_base = (px_idx[:, None] * 31 + px_idx[None, :])
+        n_t = pxm.shape[0]
+        out = {"tile_x": txs, "tile_y": tys,
+               "n_changed": np.zeros(n_t, np.int64)}
+        for s in range(8):
+            out[f"sector_{s}"] = np.zeros(n_t, np.int64)
+        for i in range(n_t):
+            base = np.sin(txs[i] * 0.1) + np.cos(tys[i] * 0.1)
+            a0 = pxm[i].reshape(side, side)
+            d = []
+            for b, off in enumerate(_CVA_OFF):
+                g2 = ((grid_base + off) % 97) / 97.0
+                scene2 = (base + g2).astype(np.float32).astype(np.float64)
+                # band 0 of scene 1 is the tile itself; band 1 regenerates
+                # with offset 0 phase shifted by the band index
+                g1 = ((grid_base + (0 if b == 0 else 3)) % 97) / 97.0
+                scene1 = (a0 if b == 0
+                          else (base + g1).astype(np.float32).astype(np.float64))
+                d.append(np.floor(scene2 * quant).astype(np.int64)
+                         - np.floor(scene1 * quant).astype(np.int64))
+            d0, d1 = d
+            mag2 = d0 * d0 + d1 * d1
+            ch = mag2 >= thresh2
+            out["n_changed"][i] = int(ch.sum())
+            # octant: 3 bits (d1 >= 0, d0 >= 0, |d1| > |d0|)
+            sec = ((d1 >= 0).astype(np.int64) * 4
+                   + (d0 >= 0).astype(np.int64) * 2
+                   + (np.abs(d1) > np.abs(d0)).astype(np.int64))
+            for s in range(8):
+                out[f"sector_{s}"][i] = int((ch & (sec == s)).sum())
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def colour_thresh_stage(ds: ray.data.Dataset,
                         lower: tuple[int, int, int] = (20, 40, 80),
                         upper: tuple[int, int, int] = (130, 255, 220)) -> ray.data.Dataset:
