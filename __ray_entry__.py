@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring_hosts": _q_coloring,
         "ppr_hosts": _q_ppr,
         "integral_image_tiles": _q_integral_image,
+        "hopping_distinct_users": _q_hopping_distinct,
+        "tokenizer_fertility_docs": _q_tokenizer_fertility,
+        "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
         "vocab_growth_docs": _q_vocab_growth,
     }
@@ -414,6 +417,9 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _cart_depth2_sql,
     _coloring_sql,
     _integral_image_sql,
+    _hopping_distinct_sql,
+    _tokenizer_fertility_sql,
+    _span_mask_sql,
     _cva_sql,
     _vocab_growth_sql,
     _ms_toposeg_sql,
@@ -1186,6 +1192,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring_hosts": _coloring_sql(),
         "ppr_hosts": _pagerank_sql(seed_mod=25),
         "integral_image_tiles": _integral_image_sql(),
+        "hopping_distinct_users": _hopping_distinct_sql(),
+        "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
+        "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),
         "vocab_growth_docs": _vocab_growth_sql(),
         "mi_lang_quality_docs": (

@@ -7110,6 +7110,76 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _hopping_distinct_sql(window_hours: int = 2, hop_hours: int = 1) -> str:
+    """SQL twin of streaming.hopping_distinct_users."""
+    n_wins = window_hours // hop_hours
+    return (
+        "SELECT win_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        f"FROM (SELECT user_id, date_trunc('hour', ts) "
+        f"- to_microseconds(k.range * {hop_hours} * 3600000000) AS win_start "
+        f"FROM events, range(0, {n_wins}) k) GROUP BY win_start"
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    """SQL twin of textstages.tokenizer_fertility_docs: identical regex
+    token rules (RE2 and Python re agree on these leftmost-greedy
+    classes), integer sums, power-of-two-quantized ratios with the
+    engine's divide-then-scale op order."""
+    sub_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return (
+        "WITH d AS (SELECT lang, "
+        "len(regexp_extract_all(text, '\\S+')) AS words, "
+        f"len(regexp_extract_all(text, '{sub_re}')) AS sub, "
+        "octet_length(encode(text)) AS nbytes FROM documents) "
+        "SELECT lang, CAST(SUM(words) AS BIGINT) AS words, "
+        "CAST(SUM(sub) AS BIGINT) AS sub, "
+        "CAST(SUM(nbytes) AS BIGINT) AS nbytes, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(FLOOR(CAST(SUM(sub) AS DOUBLE) / CAST(GREATEST(SUM(words), 1) AS DOUBLE) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fertility_q, "
+        "CAST(FLOOR(CAST(SUM(nbytes) AS DOUBLE) / CAST(GREATEST(SUM(sub), 1) AS DOUBLE) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bytes_per_tok_q "
+        "FROM d GROUP BY lang"
+    )
+
+
+def _span_mask_sql(mask_permille: int = 150) -> str:
+    """SQL twin of textstages.span_mask_docs: per-token positions via
+    generate_series over the filtered token list, the identical
+    splitmix64(splitmix64(doc_id) ⊕ pos) %% 1000 draw, spans as masked
+    runs found by LAG windows, longest span via per-run counts."""
+    base_inner = _sg.chain(
+        "SELECT doc_id, len(list_filter(string_split(text, ' '), "
+        "x -> len(x) > 0)) AS n FROM documents",
+        _sg.splitmix64_steps("doc_id", "base", "smd"))
+    draw_inner = _sg.chain(
+        "SELECT doc_id, n, base, UNNEST(generate_series(0, n - 1)) AS pos "
+        "FROM tl2 WHERE n > 0",
+        _sg.splitmix64_steps(_sg.u64_xor("base", "pos"), "dw", "smp"))
+    return (
+        f"WITH tl2 AS MATERIALIZED (SELECT doc_id, n, base FROM ({base_inner})), "
+        f"tok AS MATERIALIZED (SELECT doc_id, n, pos, "
+        f"CASE WHEN dw % 1000 < {mask_permille} THEN 1 ELSE 0 END AS m "
+        f"FROM ({draw_inner})), "
+        "runs AS (SELECT doc_id, n, pos, m, "
+        "CASE WHEN m = 1 AND COALESCE(LAG(m) OVER w, 0) = 0 THEN 1 ELSE 0 END AS st "
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+        "grp AS (SELECT doc_id, n, pos, m, st, "
+        "SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM runs), "
+        "per_run AS (SELECT doc_id, sid, COUNT(*) AS rl FROM grp "
+        "WHERE m = 1 GROUP BY doc_id, sid), "
+        "agg AS (SELECT doc_id, ANY_VALUE(n) AS n_tokens, "
+        "CAST(SUM(m) AS BIGINT) AS n_masked, CAST(SUM(st) AS BIGINT) AS n_spans "
+        "FROM grp GROUP BY doc_id), "
+        "lg AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS longest FROM per_run GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, "
+        "COALESCE(a.n_masked, 0) AS n_masked, COALESCE(a.n_spans, 0) AS n_spans, "
+        "COALESCE(l.longest, 0) AS longest_span "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN lg l ON l.doc_id = d.doc_id"
+    )
+
+
 def _good_turing_sql(max_r: int = 10) -> str:
     """SQL twin of textstages.good_turing_docs: same single-space token
     split, per-type totals capped at max_r+2, frequency-of-frequencies,

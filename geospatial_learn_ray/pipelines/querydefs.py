@@ -2311,6 +2311,23 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_hopping_distinct(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.hopping_distinct_users(
+        _rp(sf_dir, "events", ["ts", "user_id"]))
+
+
+def _q_tokenizer_fertility(sf_dir: str):
+    return textstages.tokenizer_fertility_docs(
+        _rp(sf_dir, "documents", ["lang", "text"]))
+
+
+def _q_span_mask(sf_dir: str):
+    return textstages.span_mask_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_integral_image(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
     return raster.integral_image_stage(small, side=16)

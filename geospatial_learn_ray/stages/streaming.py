@@ -1850,3 +1850,52 @@ def json_props_events(ds: ray.data.Dataset,
 
     return bucket_exchange(ds.map_batches(prep, batch_format="pyarrow"),
                            combine)
+
+
+def hopping_distinct_users(events: ray.data.Dataset, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           window_hours: int = 2, hop_hours: int = 1,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """Distinct users per hopping window — the COUNT(DISTINCT) streaming
+    aggregate (hopping_window counts events; distinctness can't
+    pre-aggregate as a sum): the map side explodes each event into its
+    ``window/hop`` windows and emits DISTINCT (win_start, user) pairs
+    per batch, so a hot user contributes ≤ #blocks × n_wins rows instead
+    of per-event rows; one window-keyed exchange dedups globally and
+    counts. Exact — the HLL variant (hll_users_by_type) is the sketch
+    path when the per-window user set itself is the scale problem."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import splitmix64
+
+    n_wins = window_hours // hop_hours
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = b[ts_col].dt.floor(f"{hop_hours}h")
+        frames = [pd.DataFrame({
+            "win_start": (h - pd.Timedelta(hours=k * hop_hours))
+            .to_numpy("datetime64[us]"),
+            user_col: b[user_col].to_numpy(np.int64),
+        }) for k in range(n_wins)]
+        d = pd.concat(frames, ignore_index=True).drop_duplicates()
+        old = np.seterr(over="ignore")
+        try:
+            d["_part"] = (splitmix64(
+                d["win_start"].to_numpy("datetime64[us]").view(np.int64)
+                .astype(np.uint64))
+                % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return d
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.drop(columns=["_part"]).drop_duplicates()
+             .groupby("win_start", sort=False).size().rename("n_users")
+             .reset_index())
+        c["n_users"] = c["n_users"].astype(np.int64)
+        c["win_start"] = c["win_start"].to_numpy("datetime64[us]")
+        return c
+
+    return bucket_exchange(
+        events.select_columns([ts_col, user_col]).map_batches(
+            explode, batch_format="pandas"),
+        count_distinct)

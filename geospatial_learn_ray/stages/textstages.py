@@ -3339,3 +3339,126 @@ def vocab_growth_docs(docs: ray.data.Dataset, n_checkpoints: int = 8,
     out["vocab"] = out["vocab"].fillna(0).astype(np.int64)
     out["tokens"] = out["tokens"].fillna(0).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def tokenizer_fertility_docs(docs: ray.data.Dataset,
+                             num_buckets: int = 32) -> ray.data.Dataset:
+    """Tokenizer fertility / compression report per language — the
+    tokenizer-fit metric a multilingual corpus report tracks (tokens per
+    word and bytes per token decide whether a vocab under-serves a
+    language): per doc, words = single-space tokens, subword tokens =
+    the BPE-ish regex split count (letter runs / digit runs / single
+    punctuation — functions/textproc token rule), bytes = UTF-8 length.
+    Everything pre-aggregates to per-(lang, block) integer partials;
+    ratios are power-of-two quantized (floor(x·2²⁰ + 0.5))."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        texts = t.to_pandas()
+        lang = b["lang"].to_pandas()
+        words = texts.str.count(r"\S+").astype("int64")
+        sub = texts.map(lambda s: len(pat.findall(s))).astype("int64")
+        nbytes = texts.str.encode("utf-8").str.len().astype("int64")
+        d = pd.DataFrame({"lang": lang.to_numpy(object), "words": words,
+                          "sub": sub, "nbytes": nbytes,
+                          "n_docs": np.int64(1)})
+        g = d.groupby("lang", sort=False, as_index=False).sum()
+        for c in ("words", "sub", "nbytes", "n_docs"):
+            g[c] = g[c].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["lang"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("lang", sort=False, as_index=False)[
+            ["words", "sub", "nbytes", "n_docs"]].sum()
+        for col in ("words", "sub", "nbytes", "n_docs"):
+            c[col] = c[col].astype(np.int64)
+        w = np.maximum(c["words"].to_numpy(np.int64), 1)
+        s = np.maximum(c["sub"].to_numpy(np.int64), 1)
+        c["fertility_q"] = np.floor(
+            c["sub"].to_numpy(np.int64).astype(np.float64)
+            / w.astype(np.float64) * 1048576.0 + 0.5).astype(np.int64)
+        c["bytes_per_tok_q"] = np.floor(
+            c["nbytes"].to_numpy(np.int64).astype(np.float64)
+            / s.astype(np.float64) * 1048576.0 + 0.5).astype(np.int64)
+        return c
+
+    return bucket_exchange(
+        docs.select_columns(["lang", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        combine, small_partials=True)
+
+
+def span_mask_docs(docs: ray.data.Dataset, mask_permille: int = 150,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Span-corruption masking plan (the T5/UL2 pretraining-objective
+    prep step): token i of doc d is masked iff
+    splitmix64(splitmix64(doc_id) ⊕ i) % 1000 < ``mask_permille`` — the
+    id-hash draw (block-structure-invariant, SQL-restatable; CLAUDE.md
+    RNG rule), spans = maximal masked runs. Output per doc: token count,
+    masked count, span count, and the longest span — all exact ints,
+    computed vectorized from run boundaries (mask & ~prev_mask)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix64
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc_idx = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        doc_idx = doc_idx[keep]
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        # token position WITHIN the doc (post-filter)
+        n_tok = np.bincount(doc_idx, minlength=len(off) - 1).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        pos = np.arange(len(doc_idx)) - starts[doc_idx]
+        old = np.seterr(over="ignore")
+        try:
+            base = splitmix64(did.astype(np.uint64))
+            draw = splitmix64(base[doc_idx] ^ pos.astype(np.uint64)) % np.uint64(1000)
+        finally:
+            np.seterr(**old)
+        masked = draw < mask_permille
+        prev_same = np.r_[False, doc_idx[1:] == doc_idx[:-1]]
+        prev_masked = np.r_[False, masked[:-1]] & prev_same
+        span_start = masked & ~prev_masked
+        n_masked = np.bincount(doc_idx, weights=masked.astype(np.float64),
+                               minlength=len(off) - 1).astype(np.int64)
+        n_spans = np.bincount(doc_idx, weights=span_start.astype(np.float64),
+                              minlength=len(off) - 1).astype(np.int64)
+        # longest span per doc: run-length via span ids
+        span_id = np.cumsum(span_start)
+        run_len = np.bincount(span_id[masked], minlength=int(span_id.max()) + 1 if len(span_id) else 1)
+        longest = np.zeros(len(off) - 1, np.int64)
+        if masked.any():
+            sdoc = doc_idx[span_start]
+            sid = span_id[span_start]
+            per_span = pd.DataFrame({"doc": sdoc, "len": run_len[sid]})
+            mx = per_span.groupby("doc", sort=False)["len"].max()
+            longest[mx.index.to_numpy()] = mx.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": did, "n_tokens": n_tok,
+                             "n_masked": n_masked, "n_spans": n_spans,
+                             "longest_span": longest})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
