@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_hosts": _q_ppr,
         "integral_image_tiles": _q_integral_image,
         "hopping_distinct_users": _q_hopping_distinct,
+        "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -418,6 +419,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _coloring_sql,
     _integral_image_sql,
     _hopping_distinct_sql,
+    _dataset_fingerprint_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1193,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_hosts": _pagerank_sql(seed_mod=25),
         "integral_image_tiles": _integral_image_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
+        "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

@@ -7110,6 +7110,36 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _dataset_fingerprint_sql(n_shards: int = 16) -> str:
+    """SQL twin of dedup.dataset_fingerprint: identical
+    splitmix64(fnv1a64(text)) content hashes, per-shard HUGEINT sums
+    masked to 2⁶⁴ (the engine's uint64 wrap), root = masked sum of
+    splitmix64(digest ⊕ shard); digests emitted as the signed i64
+    bit-view."""
+    m = (1 << 64) - 1
+    inner = _sg.chain(
+        "SELECT doc_id, text FROM documents",
+        [("_f", _sg.fnv1a64_expr("text")), *_sg.splitmix64_steps("_f", "h", "df")])
+    root_inner = _sg.chain(
+        "SELECT shard, digu FROM sh",
+        _sg.splitmix64_steps(_sg.u64_xor("digu", "shard"), "rh", "rt"))
+    return (
+        f"WITH hx AS MATERIALIZED (SELECT doc_id % {n_shards} AS shard, "
+        f"doc_id, h FROM ({inner})), "
+        "sh AS MATERIALIZED (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"(SUM(CAST(h AS HUGEINT)) & {m}) AS digu, "
+        "CAST(MIN(doc_id) AS BIGINT) AS mn, CAST(MAX(doc_id) AS BIGINT) AS mx "
+        "FROM hx GROUP BY shard), "
+        f"rt AS (SELECT (SUM(rh) & {m}) AS rdig FROM ({root_inner})) "
+        "SELECT CAST(shard AS BIGINT) AS shard, n, "
+        f"{_sg.u64_to_i64('digu')} AS dig, mn, mx FROM sh "
+        "UNION ALL "
+        "SELECT CAST(-1 AS BIGINT), (SELECT CAST(SUM(n) AS BIGINT) FROM sh), "
+        f"{_sg.u64_to_i64('rdig')}, (SELECT MIN(mn) FROM sh), "
+        "(SELECT MAX(mx) FROM sh) FROM rt"
+    )
+
+
 def _hopping_distinct_sql(window_hours: int = 2, hop_hours: int = 1) -> str:
     """SQL twin of streaming.hopping_distinct_users."""
     n_wins = window_hours // hop_hours

@@ -2311,6 +2311,11 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_dataset_fingerprint(sf_dir: str):
+    return dedup.dataset_fingerprint(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_hopping_distinct(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

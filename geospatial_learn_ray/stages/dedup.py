@@ -1496,3 +1496,73 @@ def _with_cdc_part(m: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     finally:
         np.seterr(**old)
     return m
+
+
+def dataset_fingerprint(docs: ray.data.Dataset, id_col: str = "doc_id",
+                        content_col: str = "text", n_shards: int = 16,
+                        num_buckets: int = 16) -> ray.data.Dataset:
+    """Dataset content fingerprint — the versioning primitive a data
+    registry records per snapshot (detect silent corpus drift without a
+    full diff): per shard (id % n_shards) an ORDER-FREE commutative
+    digest — the mod-2⁶⁴ sum of splitmix64(fnv1a64(content)) — plus row
+    count and id range; a final root row (shard = -1) combines the shard
+    digests (sum of splitmix64(shard_digest ⊕ shard)), so any single
+    change flips both its shard row and the root. Per-batch partials
+    pre-aggregate to one row per (shard, block) before the only
+    exchange; digests emit as the signed i64 bit-view (SQL twin:
+    HUGEINT sums masked to 2⁶⁴, sqlgen's u64↔i64 casts)."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(fnv1a64(b[content_col].to_numpy(object)))
+        finally:
+            np.seterr(**old)
+        d = pd.DataFrame({"shard": ids % n_shards, "h": h,
+                          "mn": ids, "mx": ids})
+        g = d.groupby("shard", sort=False).agg(
+            n=("h", "size"), dig=("h", "sum"), mn=("mn", "min"),
+            mx=("mx", "max")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["dig"] = g["dig"].astype(np.uint64).view(np.int64)
+        g["_part"] = (g["shard"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            agg_d = g.groupby("shard", sort=False).agg(
+                n=("n", "sum"),
+                dig=("dig", lambda s: np.int64(
+                    s.to_numpy(np.int64).view(np.uint64).sum())),
+                mn=("mn", "min"), mx=("mx", "max")).reset_index()
+        finally:
+            np.seterr(**old)
+        for c in ("n", "dig", "mn", "mx"):
+            agg_d[c] = agg_d[c].astype(np.int64)
+        return agg_d
+
+    shards = bucket_exchange(
+        docs.select_columns([id_col, content_col]).map_batches(
+            partial, batch_format="pandas"),
+        combine, small_partials=True).to_pandas()  # ≤ n_shards rows
+    shards = shards.sort_values("shard").reset_index(drop=True)
+    old = np.seterr(over="ignore")
+    try:
+        root_dig = splitmix64(
+            shards["dig"].to_numpy(np.int64).view(np.uint64)
+            ^ shards["shard"].to_numpy(np.int64).astype(np.uint64)).sum()
+    finally:
+        np.seterr(**old)
+    root = pd.DataFrame({"shard": [np.int64(-1)],
+                         "n": [np.int64(shards["n"].sum())],
+                         "dig": [np.uint64(root_dig).astype(np.int64)],
+                         "mn": [np.int64(shards["mn"].min())],
+                         "mx": [np.int64(shards["mx"].max())]})
+    out = pd.concat([shards, root], ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
