@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integral_image_tiles": _q_integral_image,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
+        "matryoshka_overlap_vectors": _q_matryoshka,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -420,6 +421,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _integral_image_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
+    _matryoshka_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1196,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "integral_image_tiles": _integral_image_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
+        "matryoshka_overlap_vectors": _matryoshka_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

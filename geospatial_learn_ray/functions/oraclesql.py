@@ -7110,6 +7110,46 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _matryoshka_sql(k: int = 10, prefix_dim: int = 16, full_dim: int = 64,
+                    qscale: float = 64.0) -> str:
+    """SQL twin of knn.matryoshka_overlap: two quantized-cosine rankings
+    (full vs prefix dims — the ann_binary rerank metric), overlap counts
+    via top-k set joins."""
+    def ranking(dims: int, name: str) -> str:
+        return (
+            f"x{name} AS MATERIALIZED (SELECT vec_id, i.range AS i, "
+            f"CAST(FLOOR(CAST(embedding[i.range] AS DOUBLE) * CAST({qscale!r} AS DOUBLE) "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS v "
+            f"FROM embeddings CROSS JOIN range(1, {dims + 1}) i), "
+            f"n{name} AS MATERIALIZED (SELECT vec_id, SUM(v * v) AS n2 FROM x{name} GROUP BY vec_id), "
+            f"t{name} AS MATERIALIZED (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "CASE WHEN ne.n2 > 0 AND nq.n2 > 0 THEN CAST(s.dot AS DOUBLE) "
+            "/ SQRT(CAST(ne.n2 * nq.n2 AS DOUBLE)) ELSE -2.0 END DESC, "
+            "e.vec_id ASC) AS rank "
+            "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q "
+            "CROSS JOIN embeddings e "
+            f"JOIN (SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot "
+            f"  FROM x{name} a JOIN x{name} b ON b.i = a.i "
+            "  WHERE a.vec_id % 50 = 0 GROUP BY 1, 2) s "
+            "  ON s.qid = q.vec_id AND s.nid = e.vec_id "
+            f"JOIN n{name} nq ON nq.vec_id = q.vec_id "
+            f"JOIN n{name} ne ON ne.vec_id = e.vec_id)"
+        )
+
+    half = (k + 1) // 2
+    return (
+        f"WITH {ranking(full_dim, 'f')}, {ranking(prefix_dim, 'p')} "
+        "SELECT f.query_id, "
+        f"CAST(COUNT(*) FILTER (f.rank <= {k} AND p.rank IS NOT NULL) AS BIGINT) AS overlap_k, "
+        f"CAST(COUNT(*) FILTER (f.rank <= {half} AND p.rank <= {half}) AS BIGINT) AS overlap_half "
+        f"FROM (SELECT * FROM tf WHERE rank <= {k}) f "
+        f"LEFT JOIN (SELECT * FROM tp WHERE rank <= {k}) p "
+        "ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id "
+        "GROUP BY f.query_id"
+    )
+
+
 def _dataset_fingerprint_sql(n_shards: int = 16) -> str:
     """SQL twin of dedup.dataset_fingerprint: identical
     splitmix64(fnv1a64(text)) content hashes, per-shard HUGEINT sums

@@ -2311,6 +2311,11 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_matryoshka(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    return knn.matryoshka_overlap(_rp(sf_dir, "embeddings"), Q, qids, k=10)
+
+
 def _q_dataset_fingerprint(sf_dir: str):
     return dedup.dataset_fingerprint(
         _rp(sf_dir, "documents", ["doc_id", "text"]))

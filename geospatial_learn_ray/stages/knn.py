@@ -1305,3 +1305,71 @@ def binary_quant_topk(
 
     final = _merge_topk(ds.map_batches(rerank, batch_format="pandas"), k)
     return final[["query_id", "neighbor_id", "rank"]]
+
+
+def _quant_cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                       query_ids: np.ndarray, k: int, dims: int,
+                       qscale: float = 64.0, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact top-k under the integer-quantized cosine (the ann_binary
+    rerank metric) restricted to the first ``dims`` components — the
+    helper behind the matryoshka truncation audit."""
+    Qq = np.floor(np.asarray(queries, np.float64)[:, :dims] * qscale + 0.5).astype(np.int64)
+    qids = np.asarray(query_ids)
+    qn = (Qq * Qq).sum(axis=1)
+    qref = ray.put((Qq, qn, qids))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        qq, qn_, qi = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)[:, :dims]
+        Xq = np.floor(X * qscale + 0.5).astype(np.int64)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        xn = (Xq * Xq).sum(axis=1)
+        dots = Xq @ qq.T  # [n, Q]
+        out = []
+        kk = min(k, len(ids))
+        for q in range(len(qi)):
+            den = np.sqrt((xn * qn_[q]).astype(np.float64))
+            score = np.where((xn > 0) & (qn_[q] > 0),
+                             dots[:, q].astype(np.float64) / np.where(den > 0, den, 1.0),
+                             -2.0)
+            order = np.lexsort((ids, -score))[:kk]
+            out.append(pd.DataFrame({"query_id": qi[q], "neighbor_id": ids[order],
+                                     "cosine": score[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    return _merge_topk(ds.map_batches(partials, batch_format="pandas"), k)
+
+
+def matryoshka_overlap(ds: ray.data.Dataset, queries: np.ndarray,
+                       query_ids: np.ndarray, k: int = 10,
+                       prefix_dim: int = 16,
+                       qscale: float = 64.0) -> ray.data.Dataset:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022: do
+    the first ``prefix_dim`` dimensions preserve the neighborhood?):
+    per query, top-k under the full-dimension quantized cosine vs top-k
+    under the prefix-only cosine; output the exact overlap count and the
+    overlap within the top-⌈k/2⌉ — the recall-style integers an
+    embedding-compression decision reads. Two counted top-k merges
+    (Q·k rows each); the overlap join runs on the driver over counted
+    rows."""
+    full = _quant_cosine_topk(ds, queries, query_ids, k, dims=int(
+        np.asarray(queries).shape[1]), qscale=qscale)
+    pref = _quant_cosine_topk(ds, queries, query_ids, k, dims=prefix_dim,
+                              qscale=qscale)
+    half = (k + 1) // 2
+    rows = []
+    for q in sorted(set(np.asarray(query_ids).tolist())):
+        f = full[full["query_id"] == q]
+        p = pref[pref["query_id"] == q]
+        fs = set(f["neighbor_id"].tolist())
+        ps = set(p["neighbor_id"].tolist())
+        fs_h = set(f[f["rank"] <= half]["neighbor_id"].tolist())
+        ps_h = set(p[p["rank"] <= half]["neighbor_id"].tolist())
+        rows.append({"query_id": np.int64(q),
+                     "overlap_k": np.int64(len(fs & ps)),
+                     "overlap_half": np.int64(len(fs_h & ps_h))})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
