@@ -7110,6 +7110,17 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _incremental_stats_sql() -> str:
+    """SQL twin of agg.incremental_stats: the merged incremental result
+    equals the full recompute (partial-moment associativity)."""
+    return (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS count, "
+        "ROUND(SUM(value), 4) AS sum_value, ROUND(AVG(value), 4) AS mean_value, "
+        "ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def _matryoshka_sql(k: int = 10, prefix_dim: int = 16, full_dim: int = 64,
                     qscale: float = 64.0) -> str:
     """SQL twin of knn.matryoshka_overlap: two quantized-cosine rankings

@@ -2311,6 +2311,15 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_incremental_stats(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    base = ev.map_batches(
+        lambda b: b[b["event_id"].to_numpy() % 10 != 0], batch_format="pandas")
+    delta = ev.map_batches(
+        lambda b: b[b["event_id"].to_numpy() % 10 == 0], batch_format="pandas")
+    return agg.incremental_stats(base, delta, "event_type", "value")
+
+
 def _q_matryoshka(sf_dir: str):
     Q, qids = _ann_queries(sf_dir)
     return knn.matryoshka_overlap(_rp(sf_dir, "embeddings"), Q, qids, k=10)

