@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "matryoshka_overlap_vectors": _q_matryoshka,
         "incremental_stats_events": _q_incremental_stats,
+        "gated_corpus_pages": _q_gated_corpus,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -424,6 +425,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _dataset_fingerprint_sql,
     _matryoshka_sql,
     _incremental_stats_sql,
+    _gated_corpus_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1202,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
         "matryoshka_overlap_vectors": _matryoshka_sql(),
         "incremental_stats_events": _incremental_stats_sql(),
+        "gated_corpus_pages": f"WITH {pages_sql()}, " + _gated_corpus_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

@@ -7110,6 +7110,39 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _gated_corpus_sql(quality_min: float = 0.5, cap_k: int = 3) -> str:
+    """SQL twin of textstages.gated_corpus_pages: robots NOT-matched +
+    the standard quality fragment + per-host ROW_NUMBER over the signed
+    url-hash draw. ``pages`` must be provided by the caller (pages_sql
+    prefix added at registration)."""
+    ws = "GREATEST(len(regexp_extract_all(text, '\\S+')), 1)"
+    punct = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+    stop = ("(" + " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+        for w in ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))
+        + ")")
+    draw_inner = _sg.chain(
+        "SELECT host, url FROM kept",
+        [("_f", _sg.fnv1a64_expr("url")), *_sg.splitmix64_steps("_f", "dh", "gc")])
+    return (
+        "hp AS (SELECT url, text, "
+        "  regexp_extract(url, '^https?://([^/]+)(/.*)?$', 1) AS rhost, "
+        "  COALESCE(NULLIF(regexp_extract(url, '^https?://([^/]+)(/.*)?$', 2), ''), '/') AS path "
+        "  FROM pages), "
+        "kept AS (SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS host, url "
+        "  FROM hp WHERE NOT (rhost = 'site-7.example' AND starts_with(path, '/')) "
+        "  AND NOT starts_with(path, '/src3/') "
+        "  AND NOT (rhost = 'site-13.example' AND starts_with(path, '/src1')) "
+        "  AND ROUND(0.4 * LEAST(length(text)::BIGINT / 500.0, 1.0) "
+        f"  + 0.3 * LEAST(({stop}::DOUBLE / {ws}) * 5.0, 1.0) "
+        f"  + 0.3 * (1.0 - LEAST(({punct}::DOUBLE / GREATEST(length(text), 1)) * 10.0, 1.0)), 4) "
+        f"  >= CAST({quality_min!r} AS DOUBLE)), "
+        f"dr AS (SELECT host, url, {_sg.u64_to_i64('dh')} AS draw FROM ({draw_inner})) "
+        "SELECT host, url FROM dr "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY draw ASC, url ASC) <= {cap_k}"
+    )
+
+
 def _incremental_stats_sql() -> str:
     """SQL twin of agg.incremental_stats: the merged incremental result
     equals the full recompute (partial-moment associativity)."""

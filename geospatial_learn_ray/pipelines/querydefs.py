@@ -2311,6 +2311,10 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_gated_corpus(sf_dir: str):
+    return textstages.gated_corpus_pages(read_pages(sf_dir))
+
+
 def _q_incremental_stats(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
     base = ev.map_batches(

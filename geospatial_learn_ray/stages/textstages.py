@@ -3462,3 +3462,55 @@ def span_mask_docs(docs: ray.data.Dataset, mask_permille: int = 150,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def gated_corpus_pages(pages: ray.data.Dataset, quality_min: float = 0.5,
+                       cap_k: int = 3,
+                       rules: tuple[tuple[str, str], ...] = ROBOTS_RULES
+                       ) -> ray.data.Dataset:
+    """Composed corpus GATING pipeline — the crawl-side admission chain a
+    web corpus applies before any heavy processing (the policy sibling of
+    pipelines/corpus_prep: that one transforms survivors, this one decides
+    admission): robots blocklist → quality threshold → per-host cap, as
+    ONE streaming plan.
+
+    Stage order is the flagship discipline: both predicates (robots rule
+    scan + quality score) are MAP-SIDE on the balanced storage blocks —
+    only the narrow (host, url, draw) rows of double-survivors enter the
+    grouped-topk cap exchange (≤ cap_k rows per host per block). Output:
+    (host, url) admitted pages."""
+    from ..functions import textproc
+    from ..functions.hashing import fnv1a64, splitmix64
+    from ..functions.rounding import round_half_away
+    from .agg import grouped_topk
+
+    def gate(b: pa.Table) -> pd.DataFrame:
+        urls = b["url"].to_pandas()
+        texts = b["text"].to_pandas()
+        m = urls.str.extract(r"^https?://([^/]+)(/.*)?$")
+        host_s = m[0].fillna("")
+        path_s = m[1].fillna("/")
+        blocked = np.zeros(len(urls), bool)
+        for h, p in rules:
+            hit = path_s.str.startswith(p).to_numpy()
+            if h != "*":
+                hit &= (host_s == h).to_numpy()
+            blocked |= hit
+        q = round_half_away(
+            textproc.quality_scores(texts)["quality"].to_numpy(np.float64), 4)
+        keep = ~blocked & (q >= quality_min)
+        kept = urls[keep]
+        host = kept.str.extract(r"site-(\d+)\.example", expand=False).astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            draw = splitmix64(fnv1a64(kept.to_numpy(object))).view(np.int64)
+        finally:
+            np.seterr(**old)
+        return pd.DataFrame({"host": host.to_numpy(np.int64),
+                             "url": kept.to_numpy(object), "draw": draw})
+
+    gated = pages.select_columns(["url", "text"]).map_batches(
+        gate, batch_format="pyarrow")
+    capped = grouped_topk(gated, "host", "draw", cap_k, tiebreak="url",
+                          descending=False)
+    return capped.select_columns(["host", "url"])
