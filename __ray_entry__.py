@@ -10,13 +10,16 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Query naming: one entry per implemented operator/pipeline from
-SURVEY.md §2 (+ the web-scale training-data operators). 293 of 296
+SURVEY.md §2 (+ the web-scale training-data operators). 314 of 317
 entries carry STRONG SQL oracles — including the closed-form rasters/
 polygons (functions inlined as numpy-computed literals), the FNV/
 splitmix hash pipeline, hex/S2/Hilbert cell encodings, every sketch
 (HLL/KMV/CMS/AMS/HyperANF — functions/sqlgen.py), the iterative graph/
 cluster/training algorithms (unrolled or level-CTE twins with dual-path
-parity pytests), and the segmentation/morphology families. The 3
+parity pytests), the segmentation/morphology families, and the round-4
+additions (composed ms_toposeg + corpus gate, WMS/GDB connector seams,
+phase congruency, HSV threshold, Good-Turing, CART, speculative
+coloring, binary-quant/matryoshka ANN, zone maps, fingerprints). The 3
 rows-only entries are each justified byte-assembly cases —
 polygonize_rings/_merged (WKB) and multiband_gif_tiles (GIF/LZW) —
 whose geometric/pixel CONTENT is strict-checked by companion queries
