@@ -159,3 +159,38 @@ def test_corpus_prep_composition_invariants():
     # layout invariance of the whole composition
     out2 = corpus_prep(docs.repartition(7), rates).to_pandas().sort_values("doc_id")
     assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+
+
+def test_gated_corpus_composed_equals_stagewise():
+    """The one-call admission gate equals applying the three stages
+    independently: robots blocklist rows removed, quality filter,
+    per-host hash-draw cap."""
+    import numpy as np
+
+    from geospatial_learn_ray.functions import textproc
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.functions.rounding import round_half_away
+    from geospatial_learn_ray.sources.pages import read_pages
+    from geospatial_learn_ray.stages import textstages
+
+    sf = "/root/testdata/sf0.001"
+    got = textstages.gated_corpus_pages(read_pages(sf)).to_pandas()
+    got = set(zip(got["host"], got["url"]))
+
+    pages = read_pages(sf).select_columns(["url", "text"]).to_pandas()
+    blocked = set(
+        textstages.robots_blocklist(read_pages(sf)).to_pandas()["url"])
+    q = round_half_away(
+        textproc.quality_scores(pages["text"])["quality"].to_numpy(np.float64), 4)
+    keep = pages[~pages["url"].isin(blocked) & (q >= 0.5)].copy()
+    keep["host"] = keep["url"].str.extract(r"site-(\d+)\.example",
+                                           expand=False).astype(np.int64)
+    old = np.seterr(over="ignore")
+    keep["draw"] = splitmix64(fnv1a64(keep["url"].to_numpy(object))).view(np.int64)
+    np.seterr(**old)
+    keep = keep.sort_values(["host", "draw", "url"], kind="mergesort")
+    exp = set()
+    for host, grp in keep.groupby("host", sort=False):
+        for u in grp["url"].head(3):
+            exp.add((int(host), u))
+    assert got == exp

@@ -747,3 +747,22 @@ def test_grouped_selection_parity_dual_path():
     routed = routed.sort_values("g").reset_index(drop=True)[raw.columns]
     for c in raw.columns:
         assert (raw[c].to_numpy() == routed[c].to_numpy()).all(), c
+
+
+def test_incremental_stats_equals_recompute():
+    """Merging stored base partials with a delta batch must be
+    bit-identical to recomputing grouped stats over base ∪ delta."""
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    base = ds.map_batches(lambda b: b[b["event_id"].to_numpy() % 10 != 0],
+                          batch_format="pandas")
+    delta = ds.map_batches(lambda b: b[b["event_id"].to_numpy() % 10 == 0],
+                           batch_format="pandas")
+    inc = agg.incremental_stats(base, delta, "event_type", "value").to_pandas()
+    full = agg.grouped_stats(ds, "event_type", "value",
+                             stats=("count", "sum", "mean", "min", "max"),
+                             round_to=4).to_pandas()
+    inc = inc.sort_values("event_type").reset_index(drop=True)
+    full = full.sort_values("event_type").reset_index(drop=True)[inc.columns]
+    for c in inc.columns:
+        assert (inc[c].to_numpy() == full[c].to_numpy()).all(), c
