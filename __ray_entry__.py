@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_overlap_vectors": _q_matryoshka,
         "incremental_stats_events": _q_incremental_stats,
         "gated_corpus_pages": _q_gated_corpus,
+        "registry_pipeline_docs": _q_registry_pipeline,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -429,6 +430,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _matryoshka_sql,
     _incremental_stats_sql,
     _gated_corpus_sql,
+    _registry_pipeline_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1208,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_overlap_vectors": _matryoshka_sql(),
         "incremental_stats_events": _incremental_stats_sql(),
         "gated_corpus_pages": f"WITH {pages_sql()}, " + _gated_corpus_sql(),
+        "registry_pipeline_docs": _registry_pipeline_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

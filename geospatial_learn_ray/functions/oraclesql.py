@@ -7110,6 +7110,17 @@ def _zonemap_sql(zone_width: int = 256, pred_lo: int = 45,
     )
 
 
+def _registry_pipeline_sql() -> str:
+    """SQL twin of the named-registry pipeline query (drop_empty_text →
+    add_n_chars → lang_char_range)."""
+    return (
+        "SELECT lang, CAST(MIN(length(text)) AS BIGINT) AS mn, "
+        "CAST(MAX(length(text)) AS BIGINT) AS mx, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents WHERE length(text) > 0 GROUP BY lang"
+    )
+
+
 def _gated_corpus_sql(quality_min: float = 0.5, cap_k: int = 3) -> str:
     """SQL twin of textstages.gated_corpus_pages: robots NOT-matched +
     the standard quality fragment + per-host ROW_NUMBER over the signed

@@ -2311,6 +2311,16 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_registry_pipeline(sf_dir: str):
+    # the §2.10 extension surface end to end: registered UDF chain +
+    # registered aggregation, everything dispatched by NAME
+    from geospatial_learn_ray.functions import registry
+
+    docs = _rp(sf_dir, "documents", ["lang", "text"])
+    prepped = registry.apply_named(docs, ["drop_empty_text", "add_n_chars"])
+    return registry.grouped_agg_named(prepped, "lang_char_range", "lang")
+
+
 def _q_gated_corpus(sf_dir: str):
     return textstages.gated_corpus_pages(read_pages(sf_dir))
 

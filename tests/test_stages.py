@@ -766,3 +766,24 @@ def test_incremental_stats_equals_recompute():
     full = full.sort_values("event_type").reset_index(drop=True)[inc.columns]
     for c in inc.columns:
         assert (inc[c].to_numpy() == full[c].to_numpy()).all(), c
+
+
+def test_registry_guards_and_dispatch():
+    import pytest
+
+    from geospatial_learn_ray.functions import registry
+
+    with pytest.raises(ValueError, match="already registered"):
+        registry.register_udf("drop_empty_text", lambda b: b)
+    with pytest.raises(KeyError, match="unregistered"):
+        registry.apply_named(_lineitem(), ["nope"])
+    with pytest.raises(ValueError, match="unknown stat"):
+        registry.zonal_stats_by_name(_lineitem(), "l_returnflag",
+                                     "l_quantity", "zigzag")
+    # stat routing: decomposable -> grouped_stats, holistic -> holistic
+    dec = registry.zonal_stats_by_name(
+        _lineitem(), "l_returnflag", "l_quantity", "mean").to_pandas()
+    hol = registry.zonal_stats_by_name(
+        _lineitem(), "l_returnflag", "l_quantity", "median").to_pandas()
+    assert "mean_l_quantity" in dec.columns
+    assert "median_l_quantity" in hol.columns
