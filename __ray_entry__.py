@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_stats_events": _q_incremental_stats,
         "gated_corpus_pages": _q_gated_corpus,
         "registry_pipeline_docs": _q_registry_pipeline,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -431,6 +432,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _incremental_stats_sql,
     _gated_corpus_sql,
     _registry_pipeline_sql,
+    _ivfpq_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1211,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_stats_events": _incremental_stats_sql(),
         "gated_corpus_pages": f"WITH {pages_sql()}, " + _gated_corpus_sql(),
         "registry_pipeline_docs": _registry_pipeline_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

@@ -245,50 +245,57 @@ def _planted_base_ctes(dim=64):
     ]
 
 
-def _ivf_centroid_ctes(n_centroids=16, iters=5, seed=3, permille=200, base_ctes=None):
+def _ivf_centroid_ctes(n_centroids=16, iters=5, seed=3, permille=200, base_ctes=None,
+                       pfx=""):
     """Shared CTE chain for knn.ivf_build_centroids' deterministic
     k-means-lite: id-hash sample (splitmix64 chains, seeds inlined), init
     = the n_centroids smallest init-hash sample vectors, the iterations
     unrolled as CTE blocks (argmax assign with first-max tie order, AVG
     means renormalized, empty clusters keep the previous centroid).
-    Returns the CTE list ending in ``cf`` (the final codebook) plus the
-    all-vector assignment CTEs ``aa`` (vec_id → cluster c). ``base_ctes``
-    overrides the input chain; its final CTE must be
-    ``base(vec_id, e DOUBLE[])``."""
+    Returns the CTE list ending in ``{pfx}cf`` (the final codebook) plus
+    the all-vector assignment CTEs ``{pfx}aa`` (vec_id → cluster c).
+    ``base_ctes`` overrides the input chain; its final CTE must be
+    ``base(vec_id, e DOUBLE[])``. ``pfx`` prefixes every CTE name so the
+    chain composes with the PQ chain (ivfpq)."""
     seed_a = int(_smx(np.array([seed], np.uint64))[0])
     seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
+
+    def N(s: str) -> str:
+        return pfx + s
+
     hs = _sg.chain(
         "SELECT vec_id, e FROM base",
-        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
-         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
+        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa" + pfx),
+         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb" + pfx)],
     )
     ctes = list(base_ctes) if base_ctes is not None else [
         "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
     ctes += [
-        f"hs AS ({hs})",
-        f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
-        "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
-        "se AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, 65)) AS j, s.e AS el, s.ir FROM samp s)",
-        "sx AS MATERIALIZED (SELECT se.vec_id, se.j, se.el[se.j] / sn.nrm AS x, se.ir FROM se JOIN sn ON sn.vec_id = se.vec_id)",
-        f"c0 AS (SELECT ir - 1 AS c, j, x AS v FROM sx WHERE ir <= {n_centroids})",
+        f"{N('hs')} AS ({hs})",
+        f"{N('samp')} AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM {N('hs')} WHERE h_s % 1000 < {permille})",
+        f"{N('sn')} AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM {N('samp')})",
+        f"{N('se')} AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, 65)) AS j, s.e AS el, s.ir FROM {N('samp')} s)",
+        f"{N('sx')} AS MATERIALIZED (SELECT se.vec_id, se.j, se.el[se.j] / sn.nrm AS x, se.ir "
+        f"FROM {N('se')} se JOIN {N('sn')} sn ON sn.vec_id = se.vec_id)",
+        f"{N('c0')} AS (SELECT ir - 1 AS c, j, x AS v FROM {N('sx')} WHERE ir <= {n_centroids})",
     ]
     for t in range(1, iters + 1):
-        p = f"c{t-1}"
+        p = N(f"c{t-1}")
         ctes += [
-            f"d{t} AS (SELECT sx.vec_id, cc.c, SUM(sx.x * cc.v) AS dot FROM sx JOIN {p} cc ON cc.j = sx.j GROUP BY 1, 2)",
-            f"a{t} AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM d{t}) WHERE rn = 1)",
-            f"m{t} AS (SELECT a.c, sx.j, AVG(sx.x) AS mv FROM a{t} a JOIN sx ON sx.vec_id = a.vec_id GROUP BY 1, 2)",
-            f"nz{t} AS (SELECT c, SQRT(SUM(mv * mv)) AS nn FROM m{t} GROUP BY c)",
-            f"c{t} AS (SELECT p.c, p.j, CASE WHEN n2.nn IS NOT NULL THEN m.mv / n2.nn ELSE p.v END AS v "
-            f"  FROM {p} p LEFT JOIN m{t} m ON m.c = p.c AND m.j = p.j LEFT JOIN nz{t} n2 ON n2.c = p.c)",
+            f"{N(f'd{t}')} AS (SELECT sx.vec_id, cc.c, SUM(sx.x * cc.v) AS dot FROM {N('sx')} sx JOIN {p} cc ON cc.j = sx.j GROUP BY 1, 2)",
+            f"{N(f'a{t}')} AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM {N(f'd{t}')}) WHERE rn = 1)",
+            f"{N(f'm{t}')} AS (SELECT a.c, sx.j, AVG(sx.x) AS mv FROM {N(f'a{t}')} a JOIN {N('sx')} sx ON sx.vec_id = a.vec_id GROUP BY 1, 2)",
+            f"{N(f'nz{t}')} AS (SELECT c, SQRT(SUM(mv * mv)) AS nn FROM {N(f'm{t}')} GROUP BY c)",
+            f"{N(f'c{t}')} AS (SELECT p.c, p.j, CASE WHEN n2.nn IS NOT NULL THEN m.mv / n2.nn ELSE p.v END AS v "
+            f"  FROM {p} p LEFT JOIN {N(f'm{t}')} m ON m.c = p.c AND m.j = p.j LEFT JOIN {N(f'nz{t}')} n2 ON n2.c = p.c)",
         ]
     ctes += [
-        f"cf AS MATERIALIZED (SELECT * FROM c{iters})",
-        "ax AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
-        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
-        "ae AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
-        "ad AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM ae JOIN cf ON cf.j = ae.j GROUP BY 1, 2)",
-        "aa AS MATERIALIZED (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM ad) WHERE rn = 1)",
+        f"{N('cf')} AS MATERIALIZED (SELECT * FROM {N(f'c{iters}')})",
+        f"{N('ax')} AS (SELECT b.vec_id, unnest(range(1, 65)) AS j, b.e AS el FROM base b)",
+        f"{N('an')} AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
+        f"{N('ae')} AS (SELECT ax.vec_id, ax.j, ax.el[ax.j] / an.nrm AS x FROM {N('ax')} ax JOIN {N('an')} an ON an.vec_id = ax.vec_id)",
+        f"{N('ad')} AS (SELECT ae.vec_id, cf.c, SUM(ae.x * cf.v) AS dot FROM {N('ae')} ae JOIN {N('cf')} cf ON cf.j = ae.j GROUP BY 1, 2)",
+        f"{N('aa')} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM {N('ad')}) WHERE rn = 1)",
     ]
     return ctes
 
@@ -317,6 +324,39 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
     ]
     return ("WITH " + ", ".join(ctes)
             + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
+
+
+def _ivfpq_sql(k=10, nprobe=4, n_centroids=16, ivf_iters=5,
+               n_sub=4, ks=8, pq_iters=3, seed=3, permille=200) -> str:
+    """SQL twin of knn.ivfpq_topk: the prefixed IVF chain (ivcf/ivaa)
+    composes with the prefixed PQ chain (pqcf/pqaa/pqae) over ONE shared
+    base; probing ranks centroid dots (DESC, c ASC), candidates are the
+    probed lists' members, ADC scores the reconstructed code vectors
+    with the ROUND-6-before-rank discipline."""
+    ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
+    ctes += _ivf_centroid_ctes(n_centroids, ivf_iters, seed, permille,
+                               base_ctes=[], pfx="iv")
+    ctes += _pq_code_ctes(n_sub, ks, pq_iters, seed, permille,
+                          include_base=False, pfx="pq")
+    ctes += [
+        "qp AS (SELECT vec_id AS qid, j, x FROM ivae WHERE vec_id % 50 = 0)",
+        "qd AS (SELECT qp.qid, cf.c, SUM(qp.x * cf.v) AS dot "
+        "  FROM qp JOIN ivcf cf ON cf.j = qp.j GROUP BY 1, 2)",
+        "qpr AS (SELECT qid, c FROM (SELECT qid, c, ROW_NUMBER() OVER "
+        f"  (PARTITION BY qid ORDER BY dot DESC, c ASC) AS rn FROM qd) WHERE rn <= {nprobe})",
+        "cand AS (SELECT qpr.qid, a.vec_id FROM qpr JOIN ivaa a ON a.c = qpr.c)",
+        "pqq AS (SELECT vec_id AS qid, j, x FROM pqae WHERE vec_id % 50 = 0)",
+        "rc2 AS MATERIALIZED (SELECT a.vec_id, cf.j, cf.v FROM pqaa a "
+        "  JOIN pqcf cf ON cf.m = a.m AND cf.c = a.c)",
+        "sc2 AS (SELECT c.qid, c.vec_id, ROUND(SUM(q.x * r.v), 6) AS s "
+        "  FROM cand c JOIN rc2 r ON r.vec_id = c.vec_id "
+        "  JOIN pqq q ON q.qid = c.qid AND q.j = r.j GROUP BY 1, 2)",
+        "rk2 AS (SELECT qid, vec_id, s, ROW_NUMBER() OVER "
+        "  (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rnk FROM sc2)",
+    ]
+    return ("WITH " + ", ".join(ctes)
+            + " SELECT qid AS query_id, vec_id AS neighbor_id, s AS cosine, "
+            f"rnk AS rank FROM rk2 WHERE rnk <= {k}")
 
 
 def _semdedup_sql(n_centroids=16, iters=5, seed=3, permille=200, threshold=0.95):
@@ -365,47 +405,9 @@ def _pq_topk_sql(n_sub=4, ks=8, iters=3, seed=3, k=10, permille=200, dim=64):
     vec_id; sub-1e-6 cross-code gaps collapse into the same deterministic
     tiebreak (full-precision ordering would let a SUM-order ulp flip a
     boundary rank between engine and SQL)."""
-    dsub = dim // n_sub
-    seed_a = int(_smx(np.array([seed], np.uint64))[0])
-    seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
-    hs = _sg.chain(
-        "SELECT vec_id, e FROM base",
-        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa"),
-         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb")],
-    )
-    ctes = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"hs AS ({hs})",
-        f"samp AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM hs WHERE h_s % 1000 < {permille})",
-        "sn AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM samp)",
-        f"se AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, {dim + 1})) AS j, s.e AS el, s.ir FROM samp s)",
-        f"sx AS MATERIALIZED (SELECT se.vec_id, (se.j - 1) // {dsub} AS m, se.j, "
-        "  se.el[se.j] / sn.nrm AS x, se.ir FROM se JOIN sn ON sn.vec_id = se.vec_id)",
-        f"c0 AS (SELECT m, ir - 1 AS c, j, x AS v FROM sx WHERE ir <= {ks})",
-    ]
-    for t in range(1, iters + 1):
-        p = f"c{t-1}"
-        ctes += [
-            f"d{t} AS (SELECT sx.vec_id, cc.m, cc.c, SUM(cc.v*cc.v) - 2*SUM(sx.x*cc.v) AS dist "
-            f"  FROM sx JOIN {p} cc ON cc.m = sx.m AND cc.j = sx.j GROUP BY 1, 2, 3)",
-            f"a{t} AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
-            f"  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM d{t}) WHERE rn = 1)",
-            f"m{t} AS (SELECT a.m, a.c, sx.j, AVG(sx.x) AS mv FROM a{t} a "
-            f"  JOIN sx ON sx.vec_id = a.vec_id AND sx.m = a.m GROUP BY 1, 2, 3)",
-            f"c{t} AS (SELECT p.m, p.c, p.j, COALESCE(mm.mv, p.v) AS v FROM {p} p "
-            f"  LEFT JOIN m{t} mm ON mm.m = p.m AND mm.c = p.c AND mm.j = p.j)",
-        ]
-    C = f"c{iters}"
+    ctes = _pq_code_ctes(n_sub, ks, iters, seed, permille, dim,
+                         include_base=True)
     ctes += [
-        f"cf AS MATERIALIZED (SELECT * FROM {C})",
-        "an AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
-        f"ax AS MATERIALIZED (SELECT b.vec_id, unnest(range(1, {dim + 1})) AS j, b.e AS el FROM base b)",
-        f"ae AS MATERIALIZED (SELECT ax.vec_id, (ax.j - 1) // {dsub} AS m, ax.j, "
-        "  ax.el[ax.j] / an.nrm AS x FROM ax JOIN an ON an.vec_id = ax.vec_id)",
-        "ad AS (SELECT ae.vec_id, cf.m, cf.c, SUM(cf.v*cf.v) - 2*SUM(ae.x*cf.v) AS dist "
-        "  FROM ae JOIN cf ON cf.m = ae.m AND cf.j = ae.j GROUP BY 1, 2, 3)",
-        "aa AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
-        "  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM ad) WHERE rn = 1)",
         "qe AS MATERIALIZED (SELECT vec_id AS qid, m, j, x FROM ae WHERE vec_id % 50 = 0)",
         "rc AS MATERIALIZED (SELECT aa.vec_id, cf.j, cf.v FROM aa JOIN cf ON cf.m = aa.m AND cf.c = aa.c)",
         "sc AS (SELECT qe.qid, rc.vec_id, ROUND(SUM(qe.x * rc.v), 6) AS s "
@@ -414,6 +416,60 @@ def _pq_topk_sql(n_sub=4, ks=8, iters=3, seed=3, k=10, permille=200, dim=64):
     ]
     return ("WITH " + ", ".join(ctes)
             + f" SELECT qid AS query_id, vec_id AS neighbor_id, s AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
+
+
+def _pq_code_ctes(n_sub=4, ks=8, iters=3, seed=3, permille=200, dim=64,
+                  include_base=True, pfx=""):
+    """PQ training + all-vector code CTE chain (factored from
+    _pq_topk_sql): ends with ``{pfx}cf`` (codebooks), ``{pfx}aa`` (codes)
+    and ``{pfx}ae`` (normalized components). ``pfx`` prefixes every CTE
+    name so the chain composes with the IVF chain (ivfpq)."""
+    dsub = dim // n_sub
+    seed_a = int(_smx(np.array([seed], np.uint64))[0])
+    seed_b = int(_smx(np.array([seed + 1], np.uint64))[0])
+
+    def N(s: str) -> str:
+        return pfx + s
+
+    hs = _sg.chain(
+        "SELECT vec_id, e FROM base",
+        [*_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_a)), "h_s", "sa" + pfx),
+         *_sg.splitmix64_steps(_sg.u64_xor("CAST(vec_id AS HUGEINT)", str(seed_b)), "h_i", "sb" + pfx)],
+    )
+    ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"] if include_base else []
+    ctes += [
+        f"{N('hs')} AS ({hs})",
+        f"{N('samp')} AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h_i) AS ir FROM {N('hs')} WHERE h_s % 1000 < {permille})",
+        f"{N('sn')} AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM {N('samp')})",
+        f"{N('se')} AS MATERIALIZED (SELECT s.vec_id, unnest(range(1, {dim + 1})) AS j, s.e AS el, s.ir FROM {N('samp')} s)",
+        f"{N('sx')} AS MATERIALIZED (SELECT se.vec_id, (se.j - 1) // {dsub} AS m, se.j, "
+        f"  se.el[se.j] / sn.nrm AS x, se.ir FROM {N('se')} se JOIN {N('sn')} sn ON sn.vec_id = se.vec_id)",
+        f"{N('c0')} AS (SELECT m, ir - 1 AS c, j, x AS v FROM {N('sx')} WHERE ir <= {ks})",
+    ]
+    for t in range(1, iters + 1):
+        p = N(f"c{t-1}")
+        ctes += [
+            f"{N(f'd{t}')} AS (SELECT sx.vec_id, cc.m, cc.c, SUM(cc.v*cc.v) - 2*SUM(sx.x*cc.v) AS dist "
+            f"  FROM {N('sx')} sx JOIN {p} cc ON cc.m = sx.m AND cc.j = sx.j GROUP BY 1, 2, 3)",
+            f"{N(f'a{t}')} AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
+            f"  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM {N(f'd{t}')}) WHERE rn = 1)",
+            f"{N(f'm{t}')} AS (SELECT a.m, a.c, sx.j, AVG(sx.x) AS mv FROM {N(f'a{t}')} a "
+            f"  JOIN {N('sx')} sx ON sx.vec_id = a.vec_id AND sx.m = a.m GROUP BY 1, 2, 3)",
+            f"{N(f'c{t}')} AS (SELECT p.m, p.c, p.j, COALESCE(mm.mv, p.v) AS v FROM {p} p "
+            f"  LEFT JOIN {N(f'm{t}')} mm ON mm.m = p.m AND mm.c = p.c AND mm.j = p.j)",
+        ]
+    ctes += [
+        f"{N('cf')} AS MATERIALIZED (SELECT * FROM {N(f'c{iters}')})",
+        f"{N('an')} AS (SELECT vec_id, SQRT(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM base)",
+        f"{N('ax')} AS MATERIALIZED (SELECT b.vec_id, unnest(range(1, {dim + 1})) AS j, b.e AS el FROM base b)",
+        f"{N('ae')} AS MATERIALIZED (SELECT ax.vec_id, (ax.j - 1) // {dsub} AS m, ax.j, "
+        f"  ax.el[ax.j] / an.nrm AS x FROM {N('ax')} ax JOIN {N('an')} an ON an.vec_id = ax.vec_id)",
+        f"{N('ad')} AS (SELECT ae.vec_id, cf.m, cf.c, SUM(cf.v*cf.v) - 2*SUM(ae.x*cf.v) AS dist "
+        f"  FROM {N('ae')} ae JOIN {N('cf')} cf ON cf.m = ae.m AND cf.j = ae.j GROUP BY 1, 2, 3)",
+        f"{N('aa')} AS MATERIALIZED (SELECT vec_id, m, c FROM (SELECT vec_id, m, c, "
+        f"  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn FROM {N('ad')}) WHERE rn = 1)",
+    ]
+    return ctes
 
 
 

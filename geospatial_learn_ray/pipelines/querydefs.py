@@ -2311,6 +2311,11 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    Q, qids = _ann_queries(sf_dir)
+    return knn.ivfpq_topk(_rp(sf_dir, "embeddings"), Q, qids, k=10)
+
+
 def _q_registry_pipeline(sf_dir: str):
     # the §2.10 extension surface end to end: registered UDF chain +
     # registered aggregation, everything dispatched by NAME

@@ -1373,3 +1373,87 @@ def matryoshka_overlap(ds: ray.data.Dataset, queries: np.ndarray,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def ivfpq_topk(ds: ray.data.Dataset, queries: np.ndarray,
+               query_ids: np.ndarray, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF-PQ — the FAISS production layout completing this engine's ANN
+    family (brute → LSH → IVF → PQ → SQ8 → binary): coarse quantizer
+    prunes WHICH codes are read (IVF lists, ``nprobe`` of n_centroids),
+    the product quantizer decides HOW they are read (n_sub int8 codes,
+    64× smaller than raw), ADC scores the probed codes against the
+    query's per-subspace LUT.
+
+    One pass assigns every vector its list AND its PQ codes (centroids +
+    codebooks ride one ``ray.put``); the ADC scan masks each query to
+    its probed lists (at store scale this is the hive path-pruned read
+    that ivf_build_store demonstrates), scores round to 6 BEFORE
+    selection (the ADC tie discipline), and the query-keyed
+    ``_merge_topk`` exchange finishes. Training reuses the existing
+    deterministic builders, so the SQL twin composes their prefixed CTE
+    chains unchanged."""
+    centroids = ivf_build_centroids(ds, vec_col=vec_col, id_col=id_col)
+    codebooks = pq_train(ds, vec_col=vec_col, id_col=id_col)
+    n_sub, ks, dsub = codebooks.shape
+    ref = ray.put((centroids, codebooks))
+
+    class AssignEncode:
+        def __init__(self, r):
+            self.C, self.B = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.cc2 = (self.B ** 2).sum(axis=2)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
+            lst = (X @ self.C.T).argmax(axis=1)  # first-max tie = smallest c
+            sub = X.reshape(len(X), n_sub, dsub)
+            dots = np.einsum("snd,nkd->snk", sub, self.B)
+            codes = (self.cc2[None] - 2.0 * dots).argmin(axis=2)
+            out = {id_col: b[id_col].to_numpy(), "list": lst.astype(np.int64)}
+            for m in range(n_sub):
+                out[f"code_{m}"] = codes[:, m].astype(np.int8)
+            return pd.DataFrame(out)
+
+    codes = ds.select_columns([id_col, vec_col]).map_batches(
+        AssignEncode, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=(1, 8))
+
+    Qn = np.asarray(queries, np.float64)
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True).clip(min=1e-12)
+    probe_order = np.argsort(-(Qn @ centroids.T), axis=1, kind="stable")
+    probes = probe_order[:, :nprobe]
+    lut = np.einsum("qnd,nkd->qnk", Qn.reshape(len(Qn), n_sub, dsub), codebooks)
+    qref = ray.put((lut, probes, np.asarray(query_ids)))
+
+    class ADCProbed:
+        def __init__(self, r):
+            self.lut, self.probes, self.qids = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy()
+            lsts = b["list"].to_numpy(np.int64)
+            cols = np.stack([b[f"code_{m}"].to_numpy(np.int64)
+                             for m in range(n_sub)], axis=1)
+            out = []
+            for qi in range(len(self.lut)):
+                sel = np.isin(lsts, self.probes[qi])
+                if not sel.any():
+                    continue
+                s = self.lut[qi][np.arange(n_sub)[None, :], cols[sel]].sum(axis=1)
+                s = round_half_away(s, 6)
+                kk = min(k, int(sel.sum()))
+                order = np.lexsort((ids[sel], -s))[:kk]
+                out.append(pd.DataFrame({"query_id": self.qids[qi],
+                                         "neighbor_id": ids[sel][order],
+                                         "cosine": s[order]}))
+            if not out:
+                return pd.DataFrame({"query_id": pd.Series([], np.int64),
+                                     "neighbor_id": pd.Series([], np.int64),
+                                     "cosine": pd.Series([], np.float64)})
+            return pd.concat(out, ignore_index=True)
+
+    partials = codes.map_batches(ADCProbed, fn_constructor_args=(qref,),
+                                 batch_format="pandas", concurrency=(1, 8))
+    return _merge_topk(partials, k)
