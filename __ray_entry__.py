@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gated_corpus_pages": _q_gated_corpus,
         "registry_pipeline_docs": _q_registry_pipeline,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "rle_runs_orders": _q_rle_audit,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -433,6 +434,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _gated_corpus_sql,
     _registry_pipeline_sql,
     _ivfpq_sql,
+    _rle_audit_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1214,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "gated_corpus_pages": f"WITH {pages_sql()}, " + _gated_corpus_sql(),
         "registry_pipeline_docs": _registry_pipeline_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        "rle_runs_orders": _rle_audit_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

@@ -326,6 +326,21 @@ def _ann_ivf_sql(n_centroids=16, iters=5, seed=3, k=10, nprobe=4, permille=200):
             + f" SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(cosr, 6) AS cosine, rnk AS rank FROM rk WHERE rnk <= {k}")
 
 
+def _rle_audit_sql() -> str:
+    """SQL twin of agg.rle_runs_audit: runs = 1 + count of value changes
+    in key order (o_orderkey is unique — a total order)."""
+    def runs(c: str) -> str:
+        return (f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                "CAST(SUM(chg) + 1 AS BIGINT) AS n_runs FROM ("
+                f"SELECT CASE WHEN CAST({c} AS VARCHAR) <> "
+                f"LAG(CAST({c} AS VARCHAR)) OVER (ORDER BY o_orderkey) "
+                "THEN 1 ELSE 0 END AS chg FROM orders)"
+                )
+
+    return " UNION ALL ".join(
+        runs(c) for c in ("o_orderstatus", "o_orderpriority", "o_custkey"))
+
+
 def _ivfpq_sql(k=10, nprobe=4, n_centroids=16, ivf_iters=5,
                n_sub=4, ks=8, pq_iters=3, seed=3, permille=200) -> str:
     """SQL twin of knn.ivfpq_topk: the prefixed IVF chain (ivcf/ivaa)

@@ -2311,6 +2311,13 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_rle_audit(sf_dir: str):
+    return agg.rle_runs_audit(
+        _rp(sf_dir, "orders",
+            ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]),
+        "o_orderkey", ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
 def _q_ann_ivfpq(sf_dir: str):
     Q, qids = _ann_queries(sf_dir)
     return knn.ivfpq_topk(_rp(sf_dir, "embeddings"), Q, qids, k=10)

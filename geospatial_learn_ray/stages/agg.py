@@ -1842,3 +1842,59 @@ def incremental_stats(base: ray.data.Dataset, delta: ray.data.Dataset,
     merged = base_state.union(delta_partials).map_batches(
         lambda b: _add_part(b, keys), batch_format="pandas")
     return bucket_exchange(merged, finalize, small_partials=True)
+
+
+def rle_runs_audit(ds: ray.data.Dataset, key_col: str, cols: list[str],
+                   bucket_width: int = 4096,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """RLE layout audit — the storage-planning stat behind "should this
+    table be sorted on key_col?": for each audited column, the number of
+    value RUNS in ``key_col`` order (what parquet RLE/dictionary pages
+    compress to). Distributed two-level scan (the KS-test shape): rows
+    bucket by contiguous key range, ONE vectorized sort per bucket
+    counts interior runs and captures the bucket's first/last values,
+    and the driver stitches ≤ #buckets boundary rows (runs_total =
+    Σ interior − Σ[boundary values equal]). ``key_col`` must be unique
+    (a total order — run counts under ties are ill-defined)."""
+    from ..functions.hashing import splitmix64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_rng"] = (b[key_col].to_numpy(np.int64) // bucket_width)
+        old = np.seterr(over="ignore")
+        try:
+            b["_part"] = (splitmix64(b["_rng"].to_numpy().astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return b
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rng, fr in g.groupby("_rng", sort=False):
+            fr = fr.sort_values(key_col, kind="mergesort")
+            for c in cols:
+                v = fr[c].to_numpy()
+                runs = int(1 + (v[1:] != v[:-1]).sum()) if len(v) else 0
+                rows.append({"_rng": np.int64(rng), "col": c,
+                             "runs": np.int64(runs),
+                             "n": np.int64(len(v)),
+                             "first": str(v[0]) if len(v) else "",
+                             "last": str(v[-1]) if len(v) else ""})
+        return pd.DataFrame(rows)
+
+    parts = bucket_exchange(
+        ds.select_columns([key_col] + cols).map_batches(partial, batch_format="pandas"),
+        per_range).to_pandas()  # ≤ #ranges × #cols rows (counted)
+    out_rows = []
+    for c in cols:
+        pc_ = parts[parts["col"] == c].sort_values("_rng")
+        joins = int((pc_["last"].to_numpy(object)[:-1]
+                     == pc_["first"].to_numpy(object)[1:]).sum())
+        out_rows.append({"col": c,
+                         "n_rows": np.int64(pc_["n"].sum()),
+                         "n_runs": np.int64(pc_["runs"].sum() - joins)})
+    out = pd.DataFrame(out_rows)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_runs"] = out["n_runs"].astype(np.int64)
+    return ray.data.from_pandas(out)
