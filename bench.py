@@ -178,6 +178,19 @@ def run_benchmarks() -> dict:
     queries["corpus_prep_sec"] = round(time.monotonic() - t0, 3)
     queries["corpus_prep_rows"] = n_packed
 
+    # composed raster segmentation (canny → topo-ACWE edge burn → CCL →
+    # cross-tile merge) over the FULL 2048-tile grid — the segmentation
+    # engine's bench-scale tracking number (its conformance query clips
+    # to 64 tiles to keep the unrolled SQL twin fast)
+    from geospatial_learn_ray.sources.tiles import read_tiles
+    from geospatial_learn_ray.stages import raster as _raster
+
+    t0 = time.monotonic()
+    n_seg = _raster.ms_toposeg_stage(read_tiles(tile_px=16), side=16,
+                                     iterations=4).count()
+    queries["toposeg_sec"] = round(time.monotonic() - t0, 3)
+    queries["toposeg_regions"] = n_seg
+
     ray.shutdown()
     return {
         "metric": "flagship spatial-join + H3/S2 tiling pipeline wall time",
