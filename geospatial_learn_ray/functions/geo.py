@@ -198,6 +198,39 @@ def hex_cell_to_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     return hex_latlng_to_cell(lat, lon, parent_res)
 
 
+def hex_cell_to_parent_exact(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Oracle-exact parent: the child center's parent axial coordinates
+    are EXACTLY (q/2^k, r/2^k) for a k-resolution step (the float
+    re-encode of ``hex_cell_to_parent`` recovers this up to ulps, but
+    its near-tie roundings are engine-dependent — numpy rounds half-even,
+    SQL ROUND half-away, and dyadic quarters DO tie). This form does the
+    cube rounding on exact dyadic values with an explicit
+    floor(x + 0.5) tie rule, bit-identical in any engine."""
+    q, r, res = hex_unpack(cell)
+    k = res - parent_res
+    if (np.asarray(k) < 0).any():
+        raise ValueError("parent_res must be coarser than the cell res")
+    scale = np.power(2.0, np.asarray(k, np.float64))
+    qf = q.astype(np.float64) / scale
+    rf = r.astype(np.float64) / scale
+    sf = -qf - rf
+    q0 = np.floor(qf + 0.5)
+    r0 = np.floor(rf + 0.5)
+    s0 = np.floor(sf + 0.5)
+    dq = np.abs(q0 - qf)
+    dr = np.abs(r0 - rf)
+    ds = np.abs(s0 - sf)
+    fq = (dq > dr) & (dq > ds)
+    fr = ~fq & (dr > ds)
+    qi = np.where(fq, -r0 - s0, q0).astype(np.int64)
+    ri = np.where(fr, -q0 - s0, r0).astype(np.int64)
+    off = np.uint64(1 << 26)
+    return ((np.uint64(1) << np.uint64(63))
+            | (np.uint64(parent_res) << np.uint64(54))
+            | ((qi.astype(np.uint64) + off) << np.uint64(27))
+            | (ri.astype(np.uint64) + off))
+
+
 # ---------------------------------------------------------------------------
 # S2 cell ids — canonical algorithm (s2geometry.io), vectorized
 # ---------------------------------------------------------------------------

@@ -2779,6 +2779,60 @@ def _hex_kring_sql(res: int = 7) -> str:
     )
 
 
+def _hex_rollup_sql(res_child: int = 9, parents: tuple = (7, 5)) -> str:
+    """SQL twin of cellindex.hex_rollup_counts: child cells via the
+    geocode + hex chain, each parent level from the EXACT dyadic axial
+    division (q/2^k, r/2^k) with the explicit FLOOR(x+0.5) cube-round
+    tie rule — geo.hex_cell_to_parent_exact bit-for-bit (the float
+    center re-encode ties on dyadic quarters where numpy half-even and
+    SQL half-away ROUND diverge)."""
+    off = 1 << 26
+    m27 = (1 << 27) - 1
+    located = _sg.chain("SELECT url FROM pages",
+                        _sg.geocode_steps() + _sg.hex_cell_steps(res_child, "cell"))
+    ctes = [
+        f"agg{res_child} AS MATERIALIZED (SELECT cell, COUNT(*)::BIGINT AS n "
+        f"FROM ({located}) GROUP BY cell)",
+    ]
+    prev = res_child
+    for pres in parents:
+        k = prev - pres
+        sc = repr(float(2.0 ** k))
+        steps = [
+            ("qf", f"CAST(q AS DOUBLE) / CAST({sc} AS DOUBLE)"),
+            ("rf", f"CAST(r AS DOUBLE) / CAST({sc} AS DOUBLE)"),
+            ("sf", "-qf - rf"),
+            ("q0", "FLOOR(qf + 0.5)"),
+            ("r0", "FLOOR(rf + 0.5)"),
+            ("s0", "FLOOR(sf + 0.5)"),
+            ("dq", "ABS(q0 - qf)"),
+            ("dr", "ABS(r0 - rf)"),
+            ("ds_", "ABS(s0 - sf)"),
+            ("fq", "(dq > dr AND dq > ds_)"),
+            ("fr", "(NOT fq AND dr > ds_)"),
+            ("qi", "CAST(CASE WHEN fq THEN -r0 - s0 ELSE q0 END AS BIGINT)"),
+            ("ri", "CAST(CASE WHEN fr THEN -q0 - s0 ELSE r0 END AS BIGINT)"),
+            ("pcell", f"CAST(CAST({1 << 63} + {pres} * {1 << 54} "
+                      f"+ (qi + {off}) * {1 << 27} + (ri + {off}) AS HUGEINT) AS UBIGINT)"),
+        ]
+        unpack = (
+            f"SELECT CAST((CAST(cell AS HUGEINT) >> 27) & {m27} AS BIGINT) - {off} AS q, "
+            f"CAST(CAST(cell AS HUGEINT) & {m27} AS BIGINT) - {off} AS r, n "
+            f"FROM agg{prev}"
+        )
+        enc = _sg.chain(unpack, steps)
+        ctes.append(
+            f"agg{pres} AS MATERIALIZED (SELECT pcell AS cell, SUM(n)::BIGINT AS n "
+            f"FROM ({enc}) GROUP BY pcell)")
+        prev = pres
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS res, "
+        + _sg.u64_to_i64("CAST(cell AS HUGEINT)")
+        + f" AS cell, n FROM agg{r}"
+        for r in (res_child, *parents))
+    return f"WITH {pages_sql(cols='url')}, " + ", ".join(ctes) + " " + sel
+
+
 def _canny_ctes(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
                 hi2: int = 40_000, rounds: int = 20,
                 tx_max: int = 15, ty_max: int = 15) -> tuple[list[str], str]:

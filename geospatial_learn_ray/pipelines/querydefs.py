@@ -2311,6 +2311,12 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_hex_rollup(sf_dir: str):
+    from geospatial_learn_ray.stages.cellindex import hex_rollup_counts
+
+    return hex_rollup_counts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_rle_audit(sf_dir: str):
     return agg.rle_runs_audit(
         _rp(sf_dir, "orders",

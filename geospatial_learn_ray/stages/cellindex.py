@@ -1000,3 +1000,76 @@ def hilbert_layout_pages(pages: ray.data.Dataset, grid: int = 256,
 
     return bucket_exchange(pages.map_batches(part, batch_format="pandas"),
                            combine, small_partials=True)
+
+
+def hex_rollup_counts(ds: ray.data.Dataset, res_child: int = 9,
+                      parents: tuple[int, ...] = (7, 5),
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Hierarchical hex-cell rollup (the H3 ``cellToParent`` aggregation
+    pyramid a tile service precomputes): per-cell counts at the child
+    resolution, then each coarser level derives from the PREVIOUS
+    level's AGGREGATE rows — the parent of a cell derives from its
+    EXACT dyadic axial coordinates (geo.hex_cell_to_parent_exact: the
+    float re-encode ties on dyadic quarters where numpy and SQL round
+    differently — caught by the strict oracle), applied map-side to cell
+    rows (≤ #cells, never the point set) with one slim exchange per
+    level. Output: (res, cell, n) rows for every level."""
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    def _bkt_of(cell_i64: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            return (splitmix64(cell_i64.astype(np.uint64))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+
+    def child_partial(b: pa.Table) -> pd.DataFrame:
+        lon, lat = geo.geocode(b["url"])
+        cell = geo.hex_latlng_to_cell(lat, lon, res_child).view(np.int64)
+        d = (pd.DataFrame({"cell": cell, "n": np.int64(1)})
+             .groupby("cell", sort=False, as_index=False).sum())
+        d["n"] = d["n"].astype(np.int64)
+        d["_bkt"] = _bkt_of(d["cell"].to_numpy(np.int64))
+        return d
+
+    def sum_cells(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("cell", sort=False, as_index=False)["n"].sum()
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    level = bucket_exchange(
+        ds.select_columns(["url"]).map_batches(child_partial, batch_format="pyarrow"),
+        sum_cells, key="_bkt", small_partials=True)
+    levels = {res_child: level}
+    prev_res = res_child
+    for pres in parents:
+        def parent_partial(b: pd.DataFrame, pres=pres) -> pd.DataFrame:
+            pc_ = geo.hex_cell_to_parent_exact(
+                b["cell"].to_numpy(np.int64).view(np.uint64), pres).view(np.int64)
+            d = pd.DataFrame({"cell": pc_, "n": b["n"].to_numpy(np.int64)})
+            d = d.groupby("cell", sort=False, as_index=False).sum()
+            d["n"] = d["n"].astype(np.int64)
+            d["_bkt"] = _bkt_of(d["cell"].to_numpy(np.int64))
+            return d
+
+        level = bucket_exchange(
+            levels[prev_res].map_batches(parent_partial, batch_format="pandas"),
+            sum_cells, key="_bkt", small_partials=True)
+        levels[pres] = level
+        prev_res = pres
+
+    tagged = []
+    for r, lv in levels.items():
+        def tag(b: pd.DataFrame, r=r) -> pd.DataFrame:
+            return pd.DataFrame({"res": np.full(len(b), r, np.int64),
+                                 "cell": b["cell"].to_numpy(np.int64),
+                                 "n": b["n"].to_numpy(np.int64)})
+        tagged.append(lv.map_batches(tag, batch_format="pandas"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out

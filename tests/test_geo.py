@@ -446,3 +446,25 @@ def test_hilbert_distance_bijective_and_adjacent():
     pos[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
     step = np.abs(np.diff(pos, axis=0)).sum(axis=1)
     assert (step == 1).all()
+
+
+def test_hex_parent_exact_properties():
+    """Exact-dyadic parent: near-total agreement with the float
+    re-encode (divergence only at dyadic rounding ties), correct res
+    field, and the parent center is within one parent-cell diameter of
+    the child center (the aperture containment contract — hexes do NOT
+    nest, so parent-of-parent is legitimately path-dependent and the
+    rollup always composes levels sequentially on both sides)."""
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-60, 60, 2000)
+    lon = rng.uniform(-170, 170, 2000)
+    c9 = geo.hex_latlng_to_cell(lat, lon, 9)
+    p7 = geo.hex_cell_to_parent_exact(c9, 7)
+    pf = geo.hex_cell_to_parent(c9, 7)
+    assert (pf == p7).mean() > 0.99
+    _, _, res = geo.hex_unpack(p7)
+    assert (res == 7).all()
+    cy, cx = geo.hex_cell_to_latlng(c9)
+    py, px = geo.hex_cell_to_latlng(p7)
+    d = np.hypot(px - cx, py - cy)
+    assert (d <= 2.0 * geo._hex_edge(7)).all()
