@@ -2779,6 +2779,32 @@ def _hex_kring_sql(res: int = 7) -> str:
     )
 
 
+def _learned_index_sql() -> str:
+    """SQL twin of train.learned_index_audit: rank via ROW_NUMBER, exact
+    integer sufficient statistics, the identical Cramer f64 chain, and
+    the quantize-before-max error bound."""
+    return (
+        "WITH rk AS (SELECT o_orderkey AS k, "
+        "ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk, "
+        "CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(k * r) AS BIGINT) AS skr, "
+        "CAST(SUM(k * k) AS BIGINT) AS sk2 FROM rk), "
+        "ab AS (SELECT n, "
+        "(CAST(n AS DOUBLE) * CAST(skr AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sk2 AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) AS slope, "
+        "sk, sr FROM s), "
+        "ab2 AS (SELECT n, slope, "
+        "(CAST(sr AS DOUBLE) - slope * CAST(sk AS DOUBLE)) / CAST(n AS DOUBLE) AS icept FROM ab), "
+        "er AS (SELECT MAX(CAST(FLOOR(ABS(a.icept + a.slope * CAST(rk.k AS DOUBLE) "
+        "- CAST(rk.r AS DOUBLE)) * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m "
+        "FROM rk, ab2 a) "
+        "SELECT a.n, "
+        "CAST(FLOOR(a.slope * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS slope_q, "
+        "CAST(FLOOR(a.icept * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS intercept_q, "
+        "er.m AS max_err_q FROM ab2 a, er"
+    )
+
+
 def _hex_rollup_sql(res_child: int = 9, parents: tuple = (7, 5)) -> str:
     """SQL twin of cellindex.hex_rollup_counts: child cells via the
     geocode + hex chain, each parent level from the EXACT dyadic axial

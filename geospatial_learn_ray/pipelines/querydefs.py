@@ -2311,6 +2311,12 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_learned_index(sf_dir: str):
+    from geospatial_learn_ray.stages.train import learned_index_audit
+
+    return learned_index_audit(_rp(sf_dir, "orders", ["o_orderkey"]))
+
+
 def _q_hex_rollup(sf_dir: str):
     from geospatial_learn_ray.stages.cellindex import hex_rollup_counts
 

@@ -1547,3 +1547,70 @@ def cart_depth2_lineitem(ds: ray.data.Dataset,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def learned_index_audit(ds: ray.data.Dataset, key_col: str = "o_orderkey",
+                        num_buckets: int = 32) -> ray.data.Dataset:
+    """Learned-index leaf audit (Kraska et al. 2018 — the RMI question
+    "how well does a linear model predict a key's position?"): rank(k) =
+    #keys < k via the distributed exclusive prefix scan (val = 1), least
+    squares of rank on key from exact integer sufficient statistics
+    (n, Σk, Σr, Σkr, Σk² — int64-exact at this key range; the Cramer
+    expressions are ONE fixed f64 parenthesization both sides), and the
+    max absolute prediction error — the page-search bound a learned
+    index stores per leaf. Per-row errors quantize to integers BEFORE
+    the max (f64 max of identical ints is engine-free). Output: one row
+    (n, slope_q, intercept_q, max_err_q), all ·2²⁰-quantized ints."""
+    from .exchange import bucket_exchange
+    from .scan import exclusive_prefix_sum
+
+    ranked = exclusive_prefix_sum(
+        ds.select_columns([key_col]).map_batches(
+            lambda b: pd.DataFrame({key_col: b[key_col].to_numpy(np.int64),
+                                    "one": np.int64(1)}),
+            batch_format="pandas"),
+        key=key_col, val="one")
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64)
+        r = b["prefix"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(k))], "sk": [np.int64(k.sum())],
+            "sr": [np.int64(r.sum())], "skr": [np.int64((k * r).sum())],
+            "sk2": [np.int64((k * k).sum())], "_part": [np.int32(0)]})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["_part"]).sum().to_frame().T
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    s = bucket_exchange(ranked.map_batches(sums, batch_format="pandas"),
+                        combine, small_partials=True).to_pandas().iloc[0]
+    n, sk, sr, skr, sk2 = (float(s["n"]), float(s["sk"]), float(s["sr"]),
+                           float(s["skr"]), float(s["sk2"]))
+    den = n * sk2 - sk * sk
+    slope = (n * skr - sk * sr) / den
+    intercept = (sr - slope * sk) / n
+
+    def err_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64).astype(np.float64)
+        r = b["prefix"].to_numpy(np.int64).astype(np.float64)
+        e = np.abs(intercept + slope * k - r)
+        eq = np.floor(e * 1048576.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"m": [np.int64(eq.max()) if len(eq) else np.int64(0)],
+                             "_part": [np.int32(0)]})
+
+    def err_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [np.int64(g["m"].max())]})
+
+    me = bucket_exchange(ranked.map_batches(err_partial, batch_format="pandas"),
+                         err_combine, small_partials=True).to_pandas().iloc[0]["m"]
+    out = pd.DataFrame({
+        "n": [np.int64(s["n"])],
+        "slope_q": [np.int64(np.floor(slope * 1048576.0 + 0.5))],
+        "intercept_q": [np.int64(np.floor(intercept * 1048576.0 + 0.5))],
+        "max_err_q": [np.int64(me)]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
