@@ -7622,42 +7622,81 @@ def _brovey_sql(side: int = 32, quant: float = 64.0,
     )
 
 
-def _soundex_sql() -> str:
-    """SQL twin of textstages.soundex_block_parts: the Soundex automaton
-    restated relationally — chars UNNEST with position, consonant-class
-    CASE codes, the h/w-transparent previous code via LAST_VALUE(...
-    IGNORE NULLS) over the preceding rows (vowel code 0 resets the run,
-    code 7 = h/w yields NULL and is skipped), the first three emitted
-    digits via QUALIFY, zero-padded."""
+def _soundex_word_ctes() -> list:
+    """The relational Soundex automaton (see _soundex_sql) over a
+    ``wn(word)`` CTE already in scope — chars UNNEST with position,
+    consonant-class CASE codes, the h/w-transparent previous code via
+    LAST_VALUE(... IGNORE NULLS), first three emitted digits,
+    zero-padded. Ends with ``sxw(word, sx)``."""
     code_case = (
         "CASE WHEN c IN ('b','f','p','v') THEN 1 "
         "WHEN c IN ('c','g','j','k','q','s','x','z') THEN 2 "
         "WHEN c IN ('d','t') THEN 3 WHEN c = 'l' THEN 4 "
         "WHEN c IN ('m','n') THEN 5 WHEN c = 'r' THEN 6 "
         "WHEN c IN ('h','w') THEN 7 ELSE 0 END")
-    return (
-        "WITH wn AS MATERIALIZED (SELECT string_split(p_name, ' ')[1] "
-        "AS word, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part "
-        "GROUP BY 1), "
-        "nm AS (SELECT word, lower(word) AS w FROM wn), "
+    return [
+        "nm AS (SELECT word, lower(word) AS w FROM wn)",
         "ch AS (SELECT word, w, t.i, w[t.i] AS c FROM nm, "
-        "LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i) t), "
-        f"cd AS (SELECT word, w, i, c, {code_case} AS code FROM ch), "
+        "LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i) t)",
+        f"cd AS (SELECT word, w, i, c, {code_case} AS code FROM ch)",
         "pv AS (SELECT word, w, i, code, "
         "LAST_VALUE(CASE WHEN code <> 7 THEN code END IGNORE NULLS) "
         "OVER (PARTITION BY word ORDER BY i "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev "
-        "FROM cd), "
+        "FROM cd)",
         "em AS (SELECT word, i, code FROM pv "
         "WHERE i > 1 AND code BETWEEN 1 AND 6 "
         "AND (prev IS NULL OR code <> prev) "
-        "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) <= 3), "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) <= 3)",
         "dg AS (SELECT word, string_agg(CAST(code AS VARCHAR), '' "
-        "ORDER BY i) AS d FROM em GROUP BY word) "
-        "SELECT wn.word, upper(nm.w[1]) || "
-        "rpad(COALESCE(dg.d, ''), 3, '0') AS sx, wn.n_parts "
-        "FROM wn JOIN nm ON nm.word = wn.word "
-        "LEFT JOIN dg ON dg.word = wn.word"
+        "ORDER BY i) AS d FROM em GROUP BY word)",
+        "sxw AS (SELECT nm.word, upper(nm.w[1]) || "
+        "rpad(COALESCE(dg.d, ''), 3, '0') AS sx "
+        "FROM nm LEFT JOIN dg ON dg.word = nm.word)",
+    ]
+
+
+def _soundex_sql() -> str:
+    """SQL twin of textstages.soundex_block_parts (automaton factored
+    into _soundex_word_ctes)."""
+    ctes = ["wn AS MATERIALIZED (SELECT string_split(p_name, ' ')[1] "
+            "AS word, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part "
+            "GROUP BY 1)"] + _soundex_word_ctes()
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT wn.word, sxw.sx, wn.n_parts "
+            "FROM wn JOIN sxw ON sxw.word = wn.word")
+
+
+def _blocking_quality_sql() -> str:
+    """SQL twin of textstages.blocking_quality_parts: exact C(n,2) pair
+    counts over the three groupings, ratios ·2²⁰-quantized with the
+    engine's op order."""
+    ctes = [
+        "pw AS MATERIALIZED (SELECT string_split(p_name, ' ')[1] AS word, "
+        "p_brand AS brand, CAST(p_size AS BIGINT) AS size FROM part)",
+        "wn AS (SELECT DISTINCT word FROM pw)",
+    ] + _soundex_word_ctes() + [
+        "tbl AS MATERIALIZED (SELECT s.sx, pw.brand, pw.size, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM pw "
+        "JOIN sxw s ON s.word = pw.word GROUP BY 1, 2, 3)",
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rec FROM tbl)",
+        "bl AS (SELECT CAST(SUM(x) AS BIGINT) AS cand FROM ("
+        "  SELECT SUM(n) * (SUM(n) - 1) // 2 AS x FROM tbl GROUP BY sx))",
+        "ma AS (SELECT CAST(SUM(x) AS BIGINT) AS mtch FROM ("
+        "  SELECT SUM(n) * (SUM(n) - 1) // 2 AS x FROM tbl GROUP BY brand, size))",
+        "cb AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cob FROM tbl)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT t.n_rec AS n_records, "
+        "CAST(t.n_rec * (t.n_rec - 1) // 2 AS BIGINT) AS total_pairs, "
+        "bl.cand AS cand_pairs, ma.mtch AS match_pairs, cb.cob AS co_blocked_pairs, "
+        "CAST(FLOOR((1.0 - CAST(bl.cand AS DOUBLE) "
+        "/ CAST(t.n_rec * (t.n_rec - 1) // 2 AS DOUBLE)) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS reduction_q, "
+        "CAST(FLOOR(CAST(cb.cob AS DOUBLE) / CAST(GREATEST(ma.mtch, 1) AS DOUBLE) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS completeness_q "
+        "FROM tot t, bl, ma, cb"
     )
 
 

@@ -2311,6 +2311,11 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_blocking_quality(sf_dir: str):
+    return textstages.blocking_quality_parts(
+        _rp(sf_dir, "part", ["p_name", "p_brand", "p_size"]))
+
+
 def _q_learned_index(sf_dir: str):
     from geospatial_learn_ray.stages.train import learned_index_audit
 
