@@ -7667,6 +7667,42 @@ def _soundex_sql() -> str:
             "FROM wn JOIN sxw ON sxw.word = wn.word")
 
 
+def _rbo_snapshots_sql() -> str:
+    """SQL twin of textstages.rbo_snapshot_terms: per-snapshot top-K via
+    QUALIFY (count DESC, token ASC), X_d per depth via a rank-bounded
+    self-join, and the RBO accumulation UNROLLED left-to-right with the
+    SAME weight literals the engine uses (no cross-engine pow)."""
+    from ..sources.snapshots import snapshot_sql
+    from ..stages.textstages import RBO_K, RBO_WEIGHTS
+
+    def top(version: int) -> str:
+        return (
+            f"t{version} AS MATERIALIZED (SELECT tok, "
+            "ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rnk FROM ("
+            "SELECT tok, COUNT(*)::BIGINT AS cnt FROM ("
+            "SELECT UNNEST(list_filter(string_split(text, ' '), "
+            f"x -> len(x) > 0)) AS tok FROM v{version}) GROUP BY tok) "
+            f"QUALIFY rnk <= {RBO_K})"
+        )
+
+    acc = "CAST(0.0 AS DOUBLE)"
+    for d in range(1, RBO_K + 1):
+        w = repr(RBO_WEIGHTS[d - 1])
+        acc = (f"({acc} + CAST({w} AS DOUBLE) * "
+               f"CAST((SELECT x_d FROM xs WHERE d = {d}) AS DOUBLE) "
+               f"/ CAST({d} AS DOUBLE))")
+    return (
+        f"WITH {snapshot_sql(1)}, {snapshot_sql(2)}, {top(1)}, {top(2)}, "
+        f"xs AS MATERIALIZED (SELECT k.range + 1 AS d, "
+        "CAST((SELECT COUNT(*) FROM t1 a JOIN t2 b ON b.tok = a.tok "
+        "WHERE a.rnk <= k.range + 1 AND b.rnk <= k.range + 1) AS BIGINT) AS x_d "
+        f"FROM range(0, {RBO_K}) k) "
+        "SELECT CAST(d AS BIGINT) AS d, x_d, "
+        f"CAST(FLOOR({acc} * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS rbo_q FROM xs"
+    )
+
+
 def _blocking_quality_sql() -> str:
     """SQL twin of textstages.blocking_quality_parts: exact C(n,2) pair
     counts over the three groupings, ratios ·2²⁰-quantized with the

@@ -2311,6 +2311,10 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_rbo_snapshots(sf_dir: str):
+    return textstages.rbo_snapshot_terms(sf_dir)
+
+
 def _q_blocking_quality(sf_dir: str):
     return textstages.blocking_quality_parts(
         _rp(sf_dir, "part", ["p_name", "p_brand", "p_size"]))

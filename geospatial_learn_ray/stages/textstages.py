@@ -3582,3 +3582,78 @@ def blocking_quality_parts(parts: ray.data.Dataset,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+RBO_P = 0.9
+RBO_K = 10
+# fixed weight literals (1-p)·p^(d-1), shared verbatim by the SQL twin so
+# neither engine calls a cross-engine pow
+RBO_WEIGHTS = tuple(float(np.float64(1.0 - RBO_P) * np.float64(RBO_P) ** d)
+                    for d in range(RBO_K))
+
+
+def rbo_snapshot_terms(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the two
+    corpus snapshots' top-K token lists — the list-drift metric a corpus
+    monitor tracks release over release (unlike Jaccard it weights rank
+    agreement, so a head-token swap moves it more than a tail swap).
+
+    Each snapshot's top-K tokens (count DESC, token ASC) come from a
+    token-hash exchange whose per-bucket top-K union bounds the global
+    top-K (the oov_rate pattern); the driver computes the K overlap
+    depths (counted rows) and the ·2²⁰-quantized partial RBO with the
+    FIXED weight literals and left-to-right accumulation the SQL twin
+    replicates term-for-term. Output: one row per depth d with X_d and
+    the final rbo_q on every row (driver-exact, strict-checked)."""
+    import pyarrow.compute as pc
+
+    from ..sources.snapshots import read_snapshot
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    def topk_tokens(version: int) -> list:
+        def tok_counts(b: pa.Table) -> pd.DataFrame:
+            t = b["text"]
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            wl = pc.split_pattern(t, " ")
+            vals = wl.values.to_pandas()
+            vals = vals[vals.str.len() > 0]
+            c = vals.groupby(vals).size().reset_index()
+            c.columns = ["tok", "cnt"]
+            c["cnt"] = c["cnt"].astype(np.int64)
+            old = np.seterr(over="ignore")
+            try:
+                c["_part"] = (splitmix64(fnv1a64(c["tok"].to_numpy(object)))
+                              % np.uint64(num_buckets)).astype(np.int32)
+            finally:
+                np.seterr(**old)
+            return c
+
+        def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.drop(columns=["_part"]).groupby("tok", as_index=False)["cnt"].sum()
+            c["cnt"] = c["cnt"].astype(np.int64)
+            return c.sort_values(["cnt", "tok"], ascending=[False, True],
+                                 kind="mergesort").head(RBO_K)
+
+        tops = bucket_exchange(
+            read_snapshot(sf_dir, version).map_batches(tok_counts, batch_format="pyarrow"),
+            bucket_top).to_pandas() \
+            .sort_values(["cnt", "tok"], ascending=[False, True],
+                         kind="mergesort").head(RBO_K)
+        return tops["tok"].tolist()
+
+    A = topk_tokens(1)
+    B = topk_tokens(2)
+    rows = []
+    acc = np.float64(0.0)
+    for d in range(1, RBO_K + 1):
+        x = len(set(A[:d]) & set(B[:d]))
+        acc = acc + np.float64(RBO_WEIGHTS[d - 1]) * np.float64(x) / np.float64(d)
+        rows.append({"d": np.int64(d), "x_d": np.int64(x)})
+    rbo_q = np.int64(np.floor(acc * 1048576.0 + 0.5))
+    out = pd.DataFrame(rows)
+    out["rbo_q"] = rbo_q
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
