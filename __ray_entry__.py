@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "learned_index_orders": _q_learned_index,
         "blocking_quality_parts": _q_blocking_quality,
         "rbo_snapshots_docs": _q_rbo_snapshots,
+        "percolation_curve_hosts": _q_percolation,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -443,6 +444,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _learned_index_sql,
     _blocking_quality_sql,
     _rbo_snapshots_sql,
+    _percolation_sql,
     _tokenizer_fertility_sql,
     _span_mask_sql,
     _cva_sql,
@@ -1229,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "learned_index_orders": _learned_index_sql(),
         "blocking_quality_parts": _blocking_quality_sql(),
         "rbo_snapshots_docs": _rbo_snapshots_sql(),
+        "percolation_curve_hosts": _percolation_sql(),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

@@ -7667,6 +7667,35 @@ def _soundex_sql() -> str:
             "FROM wn JOIN sxw ON sxw.word = wn.word")
 
 
+def _percolation_sql(thresholds: tuple = (1, 2, 3, 5, 8, 13, 21),
+                     out_links: int = 4, host_mod: int = 1000) -> str:
+    """SQL twin of graph.percolation_curve_hosts: the MSF query embeds as
+    a subselect; components(t) = n − |{forest edges w ≤ t}| (unique
+    forest under the (w, u, v) total order); the node total restates the
+    host-edge derivation (label_prop's lk fragment)."""
+    vals = ", ".join(f"({t})" for t in thresholds)
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "pc")])
+    return (
+        f"WITH {pages_sql(cols='url')}, "
+        f"lk2 AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner})), "
+        "nn AS (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS n FROM ("
+        "  SELECT src AS node FROM lk2 UNION ALL SELECT dst FROM lk2)), "
+        f"msf AS MATERIALIZED ({_mst_sql()}) "
+        "SELECT CAST(t.t AS BIGINT) AS threshold, "
+        "CAST((SELECT COUNT(*) FROM msf WHERE w <= t.t) AS BIGINT) AS mst_edges_le, "
+        "CAST(nn.n - (SELECT COUNT(*) FROM msf WHERE w <= t.t) AS BIGINT) AS n_components "
+        f"FROM (VALUES {vals}) t(t), nn"
+    )
+
+
 def _rbo_snapshots_sql() -> str:
     """SQL twin of textstages.rbo_snapshot_terms: per-snapshot top-K via
     QUALIFY (count DESC, token ASC), X_d per depth via a rank-bounded

@@ -2311,6 +2311,12 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_percolation(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import percolation_curve_hosts
+
+    return percolation_curve_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_rbo_snapshots(sf_dir: str):
     return textstages.rbo_snapshot_terms(sf_dir)
 

@@ -2585,3 +2585,35 @@ def ppr_hosts(pages: ray.data.Dataset, iters: int = 8, seed_mod: int = 25,
     broadcast seed table)."""
     return pagerank_hosts(pages, iters=iters, num_buckets=num_buckets,
                           local_bound=local_bound, seed_mod=seed_mod)
+
+
+def percolation_curve_hosts(pages: ray.data.Dataset,
+                            thresholds: tuple[int, ...] = (1, 2, 3, 5, 8, 13, 21),
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Bond-percolation connectivity curve (component count vs edge-weight
+    threshold — the cluster-merging profile a similarity-threshold sweep
+    reads before picking a dedup cutoff): because the minimum spanning
+    FOREST is unique under the (w, u, v) total order, Kruskal's invariant
+    gives components(t) = n_nodes − |{forest edges with w ≤ t}| EXACTLY —
+    the whole curve costs one MSF (already distributed, mst_hosts) plus a
+    counted threshold scan over its ≤ n−1 edges; no per-threshold
+    connectivity pass. All outputs exact ints."""
+    edges = host_edges(pages, num_buckets)
+
+    def nodes_of(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": h})
+
+    n_nodes = int(edges.map_batches(nodes_of, batch_format="pandas")
+                  .to_pandas()["node"].nunique())
+    forest = mst_hosts(pages, num_buckets=num_buckets).to_pandas()  # ≤ n−1 rows
+    w = forest["w"].to_numpy(np.int64)
+    rows = [{"threshold": np.int64(t),
+             "mst_edges_le": np.int64((w <= t).sum()),
+             "n_components": np.int64(n_nodes - int((w <= t).sum()))}
+            for t in thresholds]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
