@@ -54,11 +54,28 @@ class _EmptyNewSchemaFilter:
         )
 
 
+def _gc_scratch() -> None:
+    """Remove stale per-call Parquet checkpoints (knn narrow projections,
+    prefix-scan inputs) from prior runs — each invocation writes a fresh
+    uuid dir under the scratch root and cannot clean it itself (the
+    reading Dataset is lazy), so the NEXT session sweeps them."""
+    import glob
+    import shutil
+    import tempfile
+
+    root = os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir())
+    for d in glob.glob(os.path.join(root, "graft_knn_narrow_*")) + glob.glob(
+            os.path.join(root, "graft_scan_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run_benchmarks() -> dict:
     import logging
 
     import pyarrow as _pa
     import ray
+
+    _gc_scratch()
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"

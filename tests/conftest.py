@@ -20,3 +20,13 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+    # sweep this session's per-call Parquet checkpoints (knn / prefix-scan
+    # scratch dirs — lazily consumed, so only safe to remove afterwards)
+    import glob
+    import shutil
+    import tempfile
+
+    root = os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir())
+    for d in glob.glob(os.path.join(root, "graft_knn_narrow_*")) + glob.glob(
+            os.path.join(root, "graft_scan_*")):
+        shutil.rmtree(d, ignore_errors=True)
