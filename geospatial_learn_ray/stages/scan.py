@@ -23,8 +23,10 @@ from .exchange import bucket_exchange
 
 
 def _bucket_width(ds: ray.data.Dataset, key: str, num_ranges: int) -> int:
-    hi = int(ds.max(key))
-    return max(1, (hi + num_ranges) // num_ranges)
+    hi = ds.max(key)
+    if hi is None:  # empty input: any width works, the scan yields 0 rows
+        return 1
+    return max(1, (int(hi) + num_ranges) // num_ranges)
 
 
 def exclusive_prefix_sum(ds: ray.data.Dataset, key: str, val: str,

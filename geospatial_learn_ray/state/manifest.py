@@ -100,6 +100,11 @@ def checkpoint_stage(
     ds.write_parquet(tmp, partition_cols=[shard_col])
     wall = time.monotonic() - t0
     rows_by_shard: dict[int, int] = {}
+    # a zero-row stage writes NO tmp dir at all — every covered shard
+    # then manifests as rows=0 below (and stale dirs purge), instead of
+    # crashing the checkpoint (found by the corpus-prep strict-gate test)
+    if not os.path.isdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
     for entry in sorted(os.listdir(tmp)):
         if not entry.startswith(f"{shard_col}="):
             continue
@@ -142,7 +147,10 @@ def checkpoint_stage(
 def read_stage(out_dir: str, stage: str, shard_col: str = "shard") -> ray.data.Dataset:
     """Read a checkpointed stage back. The hive ``shard=K`` path segments
     restore the shard column; ``_manifest`` JSONs are excluded by the
-    extension filter. The partition column is typed explicitly and cast
+    extension filter. A stage whose every shard wrote ZERO rows has no
+    Parquet files to carry its schema — reading it back raises; callers
+    producing possibly-empty stages should gate on the manifests' row
+    totals first. The partition column is typed explicitly and cast
     back to the int32 that ``assign_shard`` produces — hive inference
     alone yields *string*, which broke the typed shard filter on the
     heal path of ``run_resumable_stage``."""
