@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality_parts": _q_blocking_quality,
         "rbo_snapshots_docs": _q_rbo_snapshots,
         "percolation_curve_hosts": _q_percolation,
+        "jsonl_roundtrip_docs": _q_jsonl_roundtrip,
+        "csv_roundtrip_lineitem": _q_csv_roundtrip,
         "tokenizer_fertility_docs": _q_tokenizer_fertility,
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
@@ -1232,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality_parts": _blocking_quality_sql(),
         "rbo_snapshots_docs": _rbo_snapshots_sql(),
         "percolation_curve_hosts": _percolation_sql(),
+        "jsonl_roundtrip_docs": ("SELECT doc_id, lang, source, text FROM documents"),
+        "csv_roundtrip_lineitem": ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents FROM lineitem"),
         "tokenizer_fertility_docs": _tokenizer_fertility_sql(),
         "span_mask_docs": _span_mask_sql(),
         "cva_change_tiles": _cva_sql(),

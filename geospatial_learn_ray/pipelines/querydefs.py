@@ -2311,6 +2311,18 @@ def _q_gdb_convert(sf_dir: str):
     return gdb_convert().drop_columns(["geometry"])
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    from geospatial_learn_ray.sources.pages import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    from geospatial_learn_ray.sources.pages import csv_roundtrip
+
+    return csv_roundtrip(sf_dir)
+
+
 def _q_percolation(sf_dir: str):
     from geospatial_learn_ray.stages.graph import percolation_curve_hosts
 

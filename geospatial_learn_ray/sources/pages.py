@@ -193,3 +193,59 @@ def read_pii_docs(sf_dir: str) -> ray.data.Dataset:
                          "text": pa.array(out, pa.string())})
 
     return ds.map_batches(mess, batch_format="pyarrow")
+
+
+def jsonl_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """documents → JSONL sink → JSONL source (the §2.1 format-conversion
+    path, batch_translate's shape for line-delimited JSON): values must
+    survive the codec bit-exactly — the strict oracle compares the
+    round-tripped table against the base parquet. Ints and strings are
+    exact in JSON; floats are omitted from the projection (JSON float
+    text round-trips via repr, but dtype fidelity across readers is the
+    reader's choice — the CSV twin carries the numeric case)."""
+    import os
+    import tempfile
+    import uuid
+
+    out = os.path.join(scratch or os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
+                       f"graft_jsonl_{uuid.uuid4().hex}")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source", "text"])
+    ds.write_json(out)
+    return ray.data.read_json(out)
+
+
+def csv_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """lineitem projection → CSV sink → CSV source: integer and exact
+    cent-scaled numeric columns survive text round-trip losslessly (the
+    floats are written as exact integers first — CSV float text is the
+    classic silent-corruption path this projection sidesteps)."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+
+    out = os.path.join(scratch or os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
+                       f"graft_csv_{uuid.uuid4().hex}")
+    from ..functions.rounding import round_half_away
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "l_returnflag": b["l_returnflag"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "price_cents": pa.array(round_half_away(
+                np.asarray(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+                * 100.0, 0).astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity", "l_extendedprice"])
+    ds.map_batches(prep, batch_format="pyarrow").write_csv(out)
+    return ray.data.read_csv(out)
