@@ -64,8 +64,9 @@ def _gc_scratch() -> None:
     import tempfile
 
     root = os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir())
-    for d in glob.glob(os.path.join(root, "graft_knn_narrow_*")) + glob.glob(
-            os.path.join(root, "graft_scan_*")):
+    for d in [p for pat in ("graft_knn_narrow_*", "graft_scan_*", "graft_jsonl_*",
+                    "graft_csv_*")
+         for p in glob.glob(os.path.join(root, pat))]:
         shutil.rmtree(d, ignore_errors=True)
 
 
