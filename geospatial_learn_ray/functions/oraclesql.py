@@ -2955,6 +2955,46 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _clahe_sql(side: int = 16, quant: float = 8.0, n_bins: int = 64,
+               shift: int = 16, clip_mult: int = 2, levels: int = 64,
+               tx_max: int = 7, ty_max: int = 7) -> str:
+    """SQL twin of raster.clahe_stage: per-tile histogram over a dense
+    bin spine (range CROSS JOIN — empty bins participate in clipping
+    and redistribution), window cumsum CDF, all-integer mapping."""
+    npx = side * side
+    L = clip_mult * npx // n_bins
+    return (
+        f"WITH {tiles_sql(side)}, "
+        "pb AS MATERIALIZED (SELECT tile_x, tile_y, px, py, "
+        f"GREATEST(LEAST(CAST(FLOOR(vd * CAST({quant!r} AS DOUBLE)) AS BIGINT) "
+        f"+ {shift}, {n_bins - 1}), 0) AS b "
+        f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}), "
+        "tl AS (SELECT DISTINCT tile_x, tile_y FROM pb), "
+        f"spine AS (SELECT tile_x, tile_y, k.range AS b FROM tl, range(0, {n_bins}) k), "
+        "hist AS (SELECT s.tile_x, s.tile_y, s.b, "
+        "CAST(COALESCE(c.h, 0) AS BIGINT) AS h FROM spine s LEFT JOIN ("
+        "SELECT tile_x, tile_y, b, COUNT(*) AS h FROM pb GROUP BY 1, 2, 3) c "
+        "USING (tile_x, tile_y, b)), "
+        "ex AS (SELECT tile_x, tile_y, "
+        f"CAST(SUM(GREATEST(h - {L}, 0)) AS BIGINT) AS excess FROM hist GROUP BY 1, 2), "
+        "cl AS (SELECT hist.tile_x, hist.tile_y, hist.b, "
+        f"LEAST(hist.h, {L}) + ex.excess // {n_bins} "
+        f"+ CASE WHEN hist.b < ex.excess % {n_bins} THEN 1 ELSE 0 END AS c "
+        "FROM hist JOIN ex USING (tile_x, tile_y)), "
+        "cd AS (SELECT tile_x, tile_y, b, c, "
+        "SUM(c) OVER (PARTITION BY tile_x, tile_y ORDER BY b) AS cdf FROM cl), "
+        "mn AS (SELECT tile_x, tile_y, "
+        "CAST(MIN(CASE WHEN c > 0 THEN cdf END) AS BIGINT) AS cdf_min "
+        "FROM cd GROUP BY 1, 2) "
+        "SELECT CAST(p.tile_x AS BIGINT) AS tile_x, CAST(p.tile_y AS BIGINT) AS tile_y, "
+        "CAST(p.px AS BIGINT) AS px, CAST(p.py AS BIGINT) AS py, "
+        f"CAST((cd.cdf - mn.cdf_min) * {levels - 1} "
+        f"// GREATEST({npx} - mn.cdf_min, 1) AS BIGINT) AS eq "
+        "FROM pb p JOIN cd ON cd.tile_x = p.tile_x AND cd.tile_y = p.tile_y "
+        "AND cd.b = p.b JOIN mn ON mn.tile_x = p.tile_x AND mn.tile_y = p.tile_y"
+    )
+
+
 def _integral_image_sql(side: int = 16, quant: float = 2.0,
                         tx_max: int = 7, ty_max: int = 7) -> str:
     """SQL twin of raster.integral_image_stage: double cumulative window

@@ -2187,6 +2187,58 @@ def ms_toposnakes_stage(ds: ray.data.Dataset, side: int, iterations: int = 5,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def clahe_stage(ds: ray.data.Dataset, side: int, quant: float = 8.0,
+                n_bins: int = 64, shift: int = 16, clip_mult: int = 2,
+                levels: int = 64) -> ray.data.Dataset:
+    """Contrast-limited adaptive histogram equalization (Pizer et al.
+    1987), the tile being the CLAHE context region (true CLAHE's
+    bilinear blending BETWEEN regions is the documented cross-tile halo
+    seam): per tile an exact integer pipeline —
+
+        bin b = floor(v·quant) + shift  (the fixture's value range maps
+        into [0, n_bins)), histogram h[b], clip limit L = clip_mult ·
+        npx // n_bins, excess = Σ max(h−L, 0) redistributed as
+        excess // n_bins to every bin plus one unit to bins
+        0..(excess %% n_bins)−1 (deterministic policy),
+        cdf = cumsum, out = (cdf[b] − cdf_min) · (levels−1) //
+        max(npx − cdf_min, 1)
+
+    — no floats anywhere, so the SQL twin (window cumsum + rank) is
+    bit-free. Output: per-pixel equalized level (exact int)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pxm = _pix(batch).astype(np.float64)
+        txs = batch["tile_x"].to_numpy().astype(np.int64)
+        tys = batch["tile_y"].to_numpy().astype(np.int64)
+        Y, X = np.mgrid[0:side, 0:side]
+        npx = side * side
+        L = clip_mult * npx // n_bins
+        cols: dict[str, list] = {k: [] for k in ("tile_x", "tile_y", "px", "py", "eq")}
+        for i in range(pxm.shape[0]):
+            b = (np.floor(pxm[i] * quant).astype(np.int64) + shift)
+            b = np.clip(b, 0, n_bins - 1)
+            h = np.bincount(b, minlength=n_bins).astype(np.int64)
+            clipped = np.minimum(h, L)
+            excess = int((h - clipped).clip(min=0).sum())
+            clipped = clipped + excess // n_bins
+            rem = excess % n_bins
+            if rem:
+                clipped[:rem] += 1
+            cdf = np.cumsum(clipped)
+            cdf_min = int(cdf[np.nonzero(clipped)[0][0]]) if clipped.any() else 0
+            den = max(npx - cdf_min, 1)
+            eq = ((cdf[b] - cdf_min) * (levels - 1)) // den
+            cols["tile_x"].append(np.full(npx, txs[i]))
+            cols["tile_y"].append(np.full(npx, tys[i]))
+            cols["px"].append(X.ravel().astype(np.int64))
+            cols["py"].append(Y.ravel().astype(np.int64))
+            cols["eq"].append(eq.astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v) if v else np.zeros(0, np.int64))
+                         for k, v in cols.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def integral_image_stage(ds: ray.data.Dataset, side: int,
                          quant: float = 2.0) -> ray.data.Dataset:
     """Per-tile integral image (summed-area table — Crow 1984, the
