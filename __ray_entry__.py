@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_hosts": _q_ppr,
         "integral_image_tiles": _q_integral_image,
         "clahe_tiles": _q_clahe,
+        "spearman_lineitem": _q_spearman,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "matryoshka_overlap_vectors": _q_matryoshka,
@@ -436,6 +437,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _coloring_sql,
     _integral_image_sql,
     _clahe_sql,
+    _spearman_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
     _matryoshka_sql,
@@ -1224,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_hosts": _pagerank_sql(seed_mod=25),
         "integral_image_tiles": _integral_image_sql(),
         "clahe_tiles": _clahe_sql(),
+        "spearman_lineitem": _spearman_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
         "matryoshka_overlap_vectors": _matryoshka_sql(),

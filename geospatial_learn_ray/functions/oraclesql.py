@@ -2955,6 +2955,37 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _spearman_sql() -> str:
+    """SQL twin of agg.spearman_lineitem: doubled tie-averaged ranks
+    from per-value window sums, exact integer sufficient sums, the
+    identical single-cast f64 chain."""
+    def dr(col: str, src: str) -> str:
+        return (f"SELECT {col} AS v, 2 * (SUM(n) OVER (ORDER BY {col}) - n) "
+                f"+ n + 1 AS dr FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM {src} GROUP BY {col})")
+
+    return (
+        "WITH ft AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS q, "
+        "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d FROM lineitem), "
+        f"rq AS ({dr('q', 'ft')}), rd AS ({dr('d', 'ft')}), "
+        "sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(rq.dr) AS BIGINT) AS sx, CAST(SUM(rd.dr) AS BIGINT) AS sy, "
+        "CAST(SUM(rq.dr * rd.dr) AS BIGINT) AS sxy, "
+        "CAST(SUM(rq.dr * rq.dr) AS BIGINT) AS sx2, "
+        "CAST(SUM(rd.dr * rd.dr) AS BIGINT) AS sy2 "
+        "FROM ft JOIN rq ON rq.v = ft.q JOIN rd ON rd.v = ft.d) "
+        "SELECT n, sxy, sx2, sy2, "
+        "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ SQRT((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rho_q "
+        "FROM sums"
+    )
+
+
 def _clahe_sql(side: int = 16, quant: float = 8.0, n_bins: int = 64,
                shift: int = 16, clip_mult: int = 2, levels: int = 64,
                tx_max: int = 7, ty_max: int = 7) -> str:

@@ -2412,6 +2412,11 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_spearman(sf_dir: str):
+    return agg.spearman_lineitem(
+        _rp(sf_dir, "lineitem", ["l_quantity", "l_discount"]))
+
+
 def _q_clahe(sf_dir: str):
     small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -135.0, -40.0)
     return raster.clahe_stage(small, side=16)

@@ -1898,3 +1898,65 @@ def rle_runs_audit(ds: ray.data.Dataset, key_col: str, cols: list[str],
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["n_runs"] = out["n_runs"].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def spearman_lineitem(ds: ray.data.Dataset,
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """Spearman rank correlation between quantity and discount —
+    Pearson on tie-averaged ranks, computed EXACTLY: both columns are
+    small-domain integers (quantity 1..50, discount cents 0..10), so
+    the doubled average rank of value v is dr(v) = 2·#less + #eq + 1
+    from a tiny value histogram (the mannwhitney doubled-rank trick —
+    no per-row rank shuffle at any scale), ranks map per row from the
+    broadcast histogram, and the correlation's five sufficient sums are
+    exact int64. The final ρ is one f64 chain over single-cast exact
+    integers (identical both engines); output ·2²⁰-quantized plus the
+    raw sums."""
+    from ..functions.rounding import round_half_away  # noqa: F401 (doc parity)
+
+    def vals(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        out = pd.DataFrame({"q": q, "d": d})
+        g = out.groupby(["q", "d"], sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["_part"] = (g["q"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["q", "d"], sort=False, as_index=False)["n"].sum()
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    jt = bucket_exchange(
+        ds.select_columns(["l_quantity", "l_discount"]).map_batches(
+            vals, batch_format="pandas"),
+        combine, small_partials=True).to_pandas()  # ≤ 50×11 counted rows
+
+    def doubled_ranks(counts: pd.Series) -> dict[int, int]:
+        vs = np.sort(counts.index.to_numpy(np.int64))
+        cs = counts.loc[vs].to_numpy(np.int64)
+        less = np.concatenate([[0], np.cumsum(cs)[:-1]])
+        return {int(v): int(2 * l + c + 1)
+                for v, l, c in zip(vs, less, cs)}
+
+    n = int(jt["n"].sum())
+    drq = doubled_ranks(jt.groupby("q")["n"].sum())
+    drd = doubled_ranks(jt.groupby("d")["n"].sum())
+    x = jt["q"].map(drq).to_numpy(np.int64)
+    y = jt["d"].map(drd).to_numpy(np.int64)
+    w = jt["n"].to_numpy(np.int64)
+    sx = int((x * w).sum()); sy = int((y * w).sum())
+    sxy = int((x * y * w).sum())
+    sx2 = int((x * x * w).sum()); sy2 = int((y * y * w).sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = np.sqrt((float(n) * float(sx2) - float(sx) * float(sx))
+                  * (float(n) * float(sy2) - float(sy) * float(sy)))
+    rho = num / den if den > 0 else 0.0
+    out = pd.DataFrame({
+        "n": [np.int64(n)], "sxy": [np.int64(sxy)],
+        "sx2": [np.int64(sx2)], "sy2": [np.int64(sy2)],
+        "rho_q": [np.int64(np.floor(rho * 1048576.0 + 0.5))]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
