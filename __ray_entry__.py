@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integral_image_tiles": _q_integral_image,
         "clahe_tiles": _q_clahe,
         "spearman_lineitem": _q_spearman,
+        "bearing_octants_users": _q_bearing_octants,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "matryoshka_overlap_vectors": _q_matryoshka,
@@ -438,6 +439,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _integral_image_sql,
     _clahe_sql,
     _spearman_sql,
+    _bearing_octants_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
     _matryoshka_sql,
@@ -1227,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "integral_image_tiles": _integral_image_sql(),
         "clahe_tiles": _clahe_sql(),
         "spearman_lineitem": _spearman_sql(),
+        "bearing_octants_users": _bearing_octants_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
         "matryoshka_overlap_vectors": _matryoshka_sql(),

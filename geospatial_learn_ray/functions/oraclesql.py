@@ -2955,6 +2955,31 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _bearing_octants_sql() -> str:
+    """SQL twin of streaming.bearing_octants: the dp-trajectory position
+    chain, LAG deltas per user in (ts, event_id) order, the integer
+    octant rule, grouped counts."""
+    xor_c = 0x9E3779B97F4A7C15
+    chain = _sg.chain(
+        "SELECT user_id, ts, event_id FROM events",
+        [*_sg.splitmix64_steps("CAST(event_id AS HUGEINT)", "_h1", "bo1"),
+         *_sg.splitmix64_steps(_sg.u64_xor("_h1", str(xor_c)), "_h2", "bo2")])
+    return (
+        f"WITH p AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u, ts, event_id, "
+        "CAST(_h2 % 360000001 AS BIGINT) - 180000000 AS x, "
+        "CAST(_h1 % 180000001 AS BIGINT) - 90000000 AS y "
+        f"FROM ({chain})), "
+        "st AS (SELECT u, x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy "
+        "FROM p WINDOW w AS (PARTITION BY u ORDER BY ts, event_id)) "
+        "SELECT u AS user_id, "
+        "CAST((CASE WHEN dy >= 0 THEN 4 ELSE 0 END) "
+        "+ (CASE WHEN dx >= 0 THEN 2 ELSE 0 END) "
+        "+ (CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END) AS BIGINT) AS sector, "
+        "CAST(COUNT(*) AS BIGINT) AS n_steps "
+        "FROM st WHERE dx IS NOT NULL GROUP BY 1, 2"
+    )
+
+
 def _spearman_sql() -> str:
     """SQL twin of agg.spearman_lineitem: doubled tie-averaged ranks
     from per-value window sums, exact integer sufficient sums, the

@@ -2412,6 +2412,13 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_bearing_octants(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.bearing_octants(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id"]))
+
+
 def _q_spearman(sf_dir: str):
     return agg.spearman_lineitem(
         _rp(sf_dir, "lineitem", ["l_quantity", "l_discount"]))

@@ -1899,3 +1899,60 @@ def hopping_distinct_users(events: ray.data.Dataset, ts_col: str = "ts",
         events.select_columns([ts_col, user_col]).map_batches(
             explode, batch_format="pandas"),
         count_distinct)
+
+
+def bearing_octants(events: ray.data.Dataset,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user movement bearing histogram over the integer 'GPS ping'
+    trajectories (the simplify_trajectories position derivation): each
+    consecutive step in (ts, event_id) order yields an exact integer
+    displacement (dx, dy), binned by the canny octant rule ((dy ≥ 0)·4 +
+    (dx ≥ 0)·2 + (|dy| > |dx|)) — cross-multiplication-exact, no atan2
+    (transcendental parity rule). One user-keyed exchange; per-bucket
+    vectorized LAG scan. Output: (user_id, sector, n_steps)."""
+    from ..functions.hashing import splitmix64
+    from .exchange import bucket_exchange
+
+    XOR_C = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        old = np.seterr(over="ignore")
+        try:
+            h1 = splitmix64(eid.astype(np.uint64))
+            h2 = splitmix64(h1 ^ XOR_C)
+            part = (splitmix64(b["user_id"].to_numpy().astype(np.uint64))
+                    % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        # the simplify_trajectories integer-microdegree derivation, verbatim
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype(np.int64),
+            "ts": b["ts"].to_numpy().astype("datetime64[us]"),
+            "event_id": eid.astype(np.int64),
+            "x": (h2 % np.uint64(360_000_001)).astype(np.int64) - 180_000_000,
+            "y": (h1 % np.uint64(180_000_001)).astype(np.int64) - 90_000_000,
+            "_part": part})
+
+    def octants(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        same = np.r_[False, u[1:] == u[:-1]]
+        dx = np.r_[0, x[1:] - x[:-1]][same]
+        dy = np.r_[0, y[1:] - y[:-1]][same]
+        uu = u[same]
+        sec = ((dy >= 0).astype(np.int64) * 4
+               + (dx >= 0).astype(np.int64) * 2
+               + (np.abs(dy) > np.abs(dx)).astype(np.int64))
+        out = pd.DataFrame({"user_id": uu, "sector": sec})
+        c = out.groupby(["user_id", "sector"], sort=False).size() \
+               .rename("n_steps").reset_index()
+        c["n_steps"] = c["n_steps"].astype(np.int64)
+        return c
+
+    return bucket_exchange(
+        events.select_columns(["event_id", "ts", "user_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        octants)
