@@ -380,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clahe_tiles": _q_clahe,
         "spearman_lineitem": _q_spearman,
         "bearing_octants_users": _q_bearing_octants,
+        "revenue_by_region": _q_revenue_by_region,
+        "cuped_events": _q_cuped,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "matryoshka_overlap_vectors": _q_matryoshka,
@@ -440,6 +442,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _clahe_sql,
     _spearman_sql,
     _bearing_octants_sql,
+    _cuped_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
     _matryoshka_sql,
@@ -1230,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "clahe_tiles": _clahe_sql(),
         "spearman_lineitem": _spearman_sql(),
         "bearing_octants_users": _bearing_octants_sql(),
+        "cuped_events": _cuped_sql(),
+        "revenue_by_region": ("SELECT r_name, COUNT(*)::BIGINT AS count, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey JOIN region ON r_regionkey = n_regionkey GROUP BY r_name"),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),
         "matryoshka_overlap_vectors": _matryoshka_sql(),

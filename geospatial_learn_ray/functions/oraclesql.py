@@ -2955,6 +2955,45 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _cuped_sql(cutoff: str = "2024-01-15 00:00:00") -> str:
+    """SQL twin of agg.cuped_events: per-user pre/post cent sums,
+    HUGEINT sufficient sums, the identical single-cast f64 chain."""
+    var_chain = _sg.chain(
+        "SELECT u, x, y FROM pu",
+        _sg.splitmix64_steps("CAST(u AS HUGEINT)", "_h", "cu"))
+    return (
+        "WITH pu AS MATERIALIZED (SELECT user_id AS u, "
+        f"CAST(SUM(CASE WHEN ts < TIMESTAMP '{cutoff}' "
+        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, "
+        f"CAST(SUM(CASE WHEN ts < TIMESTAMP '{cutoff}' "
+        "THEN 0 ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS y "
+        "FROM events GROUP BY user_id), "
+        f"pv AS (SELECT u, x, y, CAST(_h % 2 AS BIGINT) AS v FROM ({var_chain})), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2, "
+        "CAST(COUNT(*) FILTER (v = 0) AS BIGINT) AS n0, "
+        "CAST(COUNT(*) FILTER (v = 1) AS BIGINT) AS n1, "
+        "CAST(SUM(x) FILTER (v = 0) AS HUGEINT) AS sx0, "
+        "CAST(SUM(x) FILTER (v = 1) AS HUGEINT) AS sx1, "
+        "CAST(SUM(y) FILTER (v = 0) AS HUGEINT) AS sy0, "
+        "CAST(SUM(y) FILTER (v = 1) AS HUGEINT) AS sy1 FROM pv), "
+        "th AS (SELECT *, "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta, "
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx FROM s) "
+        "SELECT n AS n_users, n0 AS n_0, n1 AS n_1, "
+        "CAST(FLOOR(theta * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS theta_q, "
+        "CAST(FLOOR(((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
+        "- theta * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - mx)) "
+        "- (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
+        "- theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - mx))) "
+        "* CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS adj_diff_q "
+        "FROM th"
+    )
+
+
 def _bearing_octants_sql() -> str:
     """SQL twin of streaming.bearing_octants: the dp-trajectory position
     chain, LAG deltas per user in (ts, event_id) order, the integer

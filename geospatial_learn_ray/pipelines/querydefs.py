@@ -2412,6 +2412,30 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_cuped(sf_dir: str):
+    return agg.cuped_events(_rp(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+def _q_revenue_by_region(sf_dir: str):
+    # 4-table star rollup: the dimension chain customer→nation→region is
+    # snowflaked DRIVER-SIDE into one broadcast key→region map (dims are
+    # small BY DEFINITION), the fact table streams through one map-side
+    # broadcast join — the star-schema shape at any fact scale
+    customer = pa.concat_tables(list(_rp(sf_dir, "customer",
+        ["c_custkey", "c_nationkey"]).iter_batches(batch_format="pyarrow"))).to_pandas()
+    nation = pa.concat_tables(list(_rp(sf_dir, "nation",
+        ["n_nationkey", "n_regionkey"]).iter_batches(batch_format="pyarrow"))).to_pandas()
+    region = pa.concat_tables(list(_rp(sf_dir, "region",
+        ["r_regionkey", "r_name"]).iter_batches(batch_format="pyarrow"))).to_pandas()
+    dim = (customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+           [["c_custkey", "r_name"]])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = joins.broadcast_join(orders, dim, "o_custkey", "c_custkey", how="inner")
+    return agg.grouped_stats(joined, "r_name", "o_totalprice",
+                             stats=("count", "sum"), round_to=2)
+
+
 def _q_bearing_octants(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

@@ -1960,3 +1960,85 @@ def spearman_lineitem(ds: ray.data.Dataset,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+CUPED_CUTOFF = "2024-01-15 00:00:00"
+
+
+def cuped_events(ds: ray.data.Dataset, cutoff: str = CUPED_CUTOFF,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013 — the pre-period covariate adjustment every experimentation
+    platform applies): per user, x = pre-cutoff value cents and
+    y = post-cutoff cents; θ = cov(x,y)/var(x) pooled over users;
+    each hash variant's adjusted mean is ȳ_v − θ·(x̄_v − x̄). Two-level
+    exact shape: block partials per (user, period) → one user-keyed
+    exchange whose combiner totals users AND pre-aggregates the
+    per-bucket sufficient sums (n, Σx, Σy, Σxy, Σx², per-variant n/Σx/Σy
+    as arbitrary-precision ints) → ≤ buckets driver rows. Outputs are
+    fixed f64 expressions over exact integers, ·2²⁰-quantized."""
+    from ..functions.hashing import splitmix64
+    from ..functions.rounding import round_half_away
+
+    cut = pd.Timestamp(cutoff).to_datetime64()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        pre = b["ts"].to_numpy("datetime64[us]") < cut
+        c = round_half_away(b["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"u": u, "x": np.where(pre, c, 0),
+                          "y": np.where(pre, 0, c)})
+        g = d.groupby("u", sort=False, as_index=False).sum()
+        for col in ("x", "y"):
+            g[col] = g[col].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(g["u"].to_numpy().astype(np.uint64))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("u", sort=False, as_index=False)[["x", "y"]].sum()
+        u = t["u"].to_numpy(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            var = (splitmix64(u.astype(np.uint64)) % np.uint64(2)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+        x = [int(v) for v in t["x"]]
+        y = [int(v) for v in t["y"]]
+        rows = {"n": len(t), "sx": sum(x), "sy": sum(y),
+                "sxy": sum(a * b for a, b in zip(x, y)),
+                "sx2": sum(a * a for a in x)}
+        for v in (0, 1):
+            m = var == v
+            rows[f"n{v}"] = int(m.sum())
+            rows[f"sx{v}"] = sum(a for a, mm in zip(x, m) if mm)
+            rows[f"sy{v}"] = sum(a for a, mm in zip(y, m) if mm)
+        return pd.DataFrame({k: [v] for k, v in rows.items()})
+
+    parts = bucket_exchange(
+        ds.select_columns(["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        combine, small_partials=True).to_pandas()
+    tot = {c: int(parts[c].sum()) for c in parts.columns if c != "_part"}
+    n, sx, sy, sxy, sx2 = (tot["n"], tot["sx"], tot["sy"], tot["sxy"], tot["sx2"])
+    theta = ((np.float64(n) * np.float64(sxy) - np.float64(sx) * np.float64(sy))
+             / (np.float64(n) * np.float64(sx2) - np.float64(sx) * np.float64(sx)))
+    mean_x_all = np.float64(sx) / np.float64(n)
+
+    def adj(v: int) -> np.float64:
+        nv = np.float64(tot[f"n{v}"])
+        return (np.float64(tot[f"sy{v}"]) / nv
+                - theta * (np.float64(tot[f"sx{v}"]) / nv - mean_x_all))
+
+    out = pd.DataFrame({
+        "n_users": [np.int64(n)],
+        "n_0": [np.int64(tot["n0"])], "n_1": [np.int64(tot["n1"])],
+        "theta_q": [np.int64(np.floor(theta * 1048576.0 + 0.5))],
+        "adj_diff_q": [np.int64(np.floor((adj(0) - adj(1)) * 1048576.0 + 0.5))]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
