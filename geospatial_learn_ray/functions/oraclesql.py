@@ -2955,6 +2955,44 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _ktruss_sql(ks: tuple = (3, 4), rounds: int = 12, out_links: int = 4,
+                host_mod: int = 1000) -> str:
+    """SQL twin of graph.ktruss_hosts: the label_prop edge fragment, then
+    per k the deletion rounds unrolled — support = common-neighbor count
+    via the dirs wedge join, simultaneous deletion per round."""
+    lk_base = (
+        "SELECT CAST(regexp_extract(url, 'site-(\\d+)\\.example', 1) AS BIGINT) AS src, "
+        "url || '#out' || CAST(kr.range AS VARCHAR) AS tok "
+        f"FROM pages, range(0, {out_links}) kr"
+    )
+    lk_inner = _sg.chain(
+        lk_base,
+        [("_f", _sg.fnv1a64_expr("tok")), *_sg.splitmix64_steps("_f", "_h", "kt")])
+    ctes = [
+        f"lk AS MATERIALIZED (SELECT src, CAST(_h % {host_mod} AS BIGINT) AS dst "
+        f"FROM ({lk_inner}))",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM lk WHERE src <> dst)",
+    ]
+    sels = []
+    for k in ks:
+        prev = "e0"
+        for t in range(1, rounds + 1):
+            name = f"k{k}e{t}"
+            ctes += [
+                f"{name}d AS (SELECT u AS a, v AS b FROM {prev} "
+                f"UNION ALL SELECT v, u FROM {prev})",
+                f"{name} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+                "WHERE (SELECT COUNT(*) FROM "
+                f"{name}d d1 JOIN {name}d d2 ON d2.a = e.v AND d2.b = d1.b "
+                f"WHERE d1.a = e.u AND d1.b <> e.v AND d1.b <> e.u) >= {k - 2})",
+            ]
+            prev = name
+        sels.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, u, v FROM {prev}")
+    return "WITH " + pages_sql(cols="url") + ", " + ", ".join(ctes) + " "         + " UNION ALL ".join(sels)
+
+
 def _cuped_sql(cutoff: str = "2024-01-15 00:00:00") -> str:
     """SQL twin of agg.cuped_events: per-user pre/post cent sums,
     HUGEINT sufficient sums, the identical single-cast f64 chain."""

@@ -2412,6 +2412,12 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_ktruss(sf_dir: str):
+    from geospatial_learn_ray.stages.graph import ktruss_hosts
+
+    return ktruss_hosts(read_pages(sf_dir, columns=["url"]))
+
+
 def _q_cuped(sf_dir: str):
     return agg.cuped_events(_rp(sf_dir, "events", ["user_id", "ts", "value"]))
 
