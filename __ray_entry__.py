@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _q_revenue_by_region,
         "cuped_events": _q_cuped,
         "ktruss_hosts": _q_ktruss,
+        "consistent_hash_pages": _q_consistent_hash,
+        "phrase_search_docs": _q_phrase_search,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
         "matryoshka_overlap_vectors": _q_matryoshka,
@@ -445,6 +447,8 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _bearing_octants_sql,
     _cuped_sql,
     _ktruss_sql,
+    _consistent_hash_sql,
+    _phrase_search_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
     _matryoshka_sql,
@@ -1237,6 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         "bearing_octants_users": _bearing_octants_sql(),
         "cuped_events": _cuped_sql(),
         "ktruss_hosts": _ktruss_sql(),
+        "consistent_hash_pages": _consistent_hash_sql(),
+        "phrase_search_docs": _phrase_search_sql(),
         "revenue_by_region": ("SELECT r_name, COUNT(*)::BIGINT AS count, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey JOIN region ON r_regionkey = n_regionkey GROUP BY r_name"),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "dataset_fingerprint_docs": _dataset_fingerprint_sql(),

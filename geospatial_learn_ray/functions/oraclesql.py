@@ -2955,6 +2955,54 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _consistent_hash_sql(n_servers: int = 16, vnodes: int = 8) -> str:
+    """SQL twin of textstages.consistent_hash_pages: ring positions
+    inlined as the Python-computed u64 literals, first-position-≥-hash
+    routing with wraparound, per-server counts."""
+    from ..functions.hashing import splitmix64 as _sm
+
+    ids = np.arange(n_servers * vnodes, dtype=np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        ring = _sm(ids)
+    finally:
+        np.seterr(**old)
+    vals = ", ".join(f"({int(p)}, {int(i) // vnodes})"
+                     for i, p in zip(ids, ring))
+    key = _sg.chain("SELECT url FROM pages",
+                    [("_f", _sg.fnv1a64_expr("url")),
+                     *_sg.splitmix64_steps("_f", "h", "ch")])
+    return (
+        f"WITH {pages_sql(cols='url')}, "
+        f"ring(pos, server) AS (VALUES {vals}), "
+        f"ky AS MATERIALIZED (SELECT h FROM ({key})), "
+        "rt AS (SELECT COALESCE("
+        "(SELECT server FROM ring WHERE pos >= ky.h ORDER BY pos LIMIT 1), "
+        "(SELECT server FROM ring ORDER BY pos LIMIT 1)) AS server FROM ky) "
+        "SELECT CAST(server AS BIGINT) AS server, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys FROM rt GROUP BY server"
+    )
+
+
+def _phrase_search_sql(phrases: tuple = ("data pipeline", "query engine",
+                                         "hash join")) -> str:
+    """SQL twin of textstages.phrase_search_docs: positional bigrams via
+    the generate_series list comprehension, per-phrase occurrence and
+    distinct-doc counts."""
+    pv = ", ".join(f"('{p}')" for p in phrases)
+    return (
+        "WITH tl AS MATERIALIZED (SELECT doc_id, list_filter("
+        "string_split(text, ' '), x -> len(x) > 0) AS l FROM documents), "
+        "bg AS MATERIALIZED (SELECT doc_id, UNNEST(list_transform("
+        "generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS big FROM tl), "
+        f"ph(phrase) AS (VALUES {pv}) "
+        "SELECT ph.phrase, "
+        "CAST(COUNT(DISTINCT CASE WHEN bg.big = ph.phrase THEN bg.doc_id END) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(CASE WHEN bg.big = ph.phrase THEN 1 END) AS BIGINT) AS n_occurrences "
+        "FROM ph LEFT JOIN bg ON bg.big = ph.phrase GROUP BY ph.phrase"
+    )
+
+
 def _ktruss_sql(ks: tuple = (3, 4), rounds: int = 12, out_links: int = 4,
                 host_mod: int = 1000) -> str:
     """SQL twin of graph.ktruss_hosts: the label_prop edge fragment, then

@@ -2412,6 +2412,15 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_consistent_hash(sf_dir: str):
+    return textstages.consistent_hash_pages(read_pages(sf_dir, columns=["url"]))
+
+
+def _q_phrase_search(sf_dir: str):
+    return textstages.phrase_search_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_ktruss(sf_dir: str):
     from geospatial_learn_ray.stages.graph import ktruss_hosts
 

@@ -3657,3 +3657,120 @@ def rbo_snapshot_terms(sf_dir: str, num_buckets: int = 64) -> ray.data.Dataset:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+CH_SERVERS = 16
+CH_VNODES = 8
+
+
+def consistent_hash_pages(pages: ray.data.Dataset,
+                          n_servers: int = CH_SERVERS,
+                          vnodes: int = CH_VNODES,
+                          num_buckets: int = 32) -> ray.data.Dataset:
+    """Consistent-hashing ring balance audit (Karger et al. 1997 — the
+    placement layer a distributed cache/shard router runs; the audit
+    answers "how uneven is the load at V vnodes per server?"): ring
+    position of vnode i of server s is splitmix64(s·vnodes + i); a key
+    routes to the vnode with the smallest ring position ≥ its hash
+    (wrapping to the ring minimum). The ring is a tiny broadcast
+    (n_servers·vnodes u64s); routing is one vectorized searchsorted per
+    batch; per-server counts pre-aggregate before the single exchange.
+    Output per server: n_keys (exact)."""
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    old = np.seterr(over="ignore")
+    try:
+        ids = np.arange(n_servers * vnodes, dtype=np.uint64)
+        ring = splitmix64(ids)
+    finally:
+        np.seterr(**old)
+    order = np.argsort(ring, kind="stable")
+    ring_sorted = ring[order]
+    server_sorted = (ids[order] // np.uint64(vnodes)).astype(np.int64)
+
+    def route(b: pa.Table) -> pd.DataFrame:
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(fnv1a64(b["url"].to_pandas().to_numpy(object)))
+        finally:
+            np.seterr(**old)
+        pos = np.searchsorted(ring_sorted, h, side="left")
+        pos = np.where(pos == len(ring_sorted), 0, pos)  # wrap
+        srv = server_sorted[pos]
+        c = pd.Series(srv).value_counts().rename("n_keys").reset_index()
+        c.columns = ["server", "n_keys"]
+        c["server"] = c["server"].astype(np.int64)
+        c["n_keys"] = c["n_keys"].astype(np.int64)
+        c["_part"] = (c["server"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return c
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("server", sort=False, as_index=False)["n_keys"].sum()
+        c["n_keys"] = c["n_keys"].astype(np.int64)
+        return c
+
+    return bucket_exchange(
+        pages.select_columns(["url"]).map_batches(route, batch_format="pyarrow"),
+        combine, small_partials=True)
+
+
+PHRASES = ("data pipeline", "query engine", "hash join")
+
+
+def phrase_search_docs(docs: ray.data.Dataset,
+                       phrases: tuple[str, ...] = PHRASES,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Positional phrase search (the inverted index's phrase-AND read
+    path): a doc matches a 2-word phrase iff word w₁ occurs at position
+    p and w₂ at p+1 (single-space token positions after empty filtering
+    — the span_mask position rule). Vectorized per batch: consecutive
+    token pairs join against the phrase list; per-phrase doc counts
+    pre-aggregate before one exchange. Output: (phrase, n_docs,
+    n_occurrences)."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import fnv1a64, splitmix64
+
+    pset = {p: tuple(p.split(" ")) for p in phrases}
+
+    def scan(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc_idx = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        v = vals[keep].to_numpy(object)
+        d = doc_idx[keep]
+        same = np.r_[d[1:] == d[:-1], False] if len(d) else np.zeros(0, bool)
+        big = pd.Series(v[:-1]) + " " + pd.Series(v[1:]) if len(v) > 1 else pd.Series([], dtype=object)
+        rows = []
+        for p in phrases:
+            hit = (big.to_numpy(object) == p) & same[:len(big)]
+            n_occ = int(hit.sum())
+            n_docs = len(np.unique(d[:-1][hit])) if n_occ else 0
+            rows.append({"phrase": p, "n_docs": np.int64(n_docs),
+                         "n_occurrences": np.int64(n_occ)})
+        out = pd.DataFrame(rows)
+        old = np.seterr(over="ignore")
+        try:
+            out["_part"] = (splitmix64(fnv1a64(out["phrase"].to_numpy(object)))
+                            % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("phrase", sort=False, as_index=False)[
+            ["n_docs", "n_occurrences"]].sum()
+        for col in ("n_docs", "n_occurrences"):
+            c[col] = c[col].astype(np.int64)
+        return c
+
+    return bucket_exchange(
+        docs.select_columns(["doc_id", "text"]).map_batches(scan, batch_format="pyarrow"),
+        combine, small_partials=True)
