@@ -2955,6 +2955,49 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _ucb_replay_sql(max_rounds: int = 31) -> str:
+    """SQL twin of streaming.ucb_replay_events: (day, arm) cent
+    aggregates, then ``max_rounds`` unrolled replay rounds — unseen-first
+    pick, UCB argmax with ln(t) literals inlined from the SAME Python
+    computation the engine uses, per-round state CTEs (arms rows);
+    rounds beyond the actual day count leave state unchanged and emit
+    nothing."""
+    ctes = [
+        "la AS MATERIALIZED (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        "event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s "
+        "FROM events GROUP BY 1, 2)",
+        "dy AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS t "
+        "FROM (SELECT DISTINCT day FROM la))",
+        "st0 AS (SELECT DISTINCT arm, CAST(0 AS BIGINT) AS n, "
+        "CAST(0 AS BIGINT) AS s FROM la)",
+    ]
+    sels = []
+    for t in range(1, max_rounds + 1):
+        p = f"st{t - 1}"
+        lnt = repr(float(np.log(np.float64(t))))
+        ctes += [
+            f"p{t} AS MATERIALIZED (SELECT CASE WHEN "
+            f"(SELECT COUNT(*) FROM {p} WHERE n = 0) > 0 "
+            f"THEN (SELECT MIN(arm) FROM {p} WHERE n = 0) "
+            f"ELSE (SELECT arm FROM {p} ORDER BY "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            f"+ SQRT(CAST(2.0 AS DOUBLE) * CAST({lnt} AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) DESC, arm ASC LIMIT 1) END AS arm)",
+            f"st{t} AS MATERIALIZED (SELECT st.arm, "
+            "st.n + CASE WHEN st.arm = p.arm THEN COALESCE(l.n, 0) ELSE 0 END AS n, "
+            "st.s + CASE WHEN st.arm = p.arm THEN COALESCE(l.s, 0) ELSE 0 END AS s "
+            f"FROM {p} st CROSS JOIN p{t} p LEFT JOIN "
+            f"(SELECT la.arm, la.n, la.s FROM dy JOIN la ON la.day = dy.day "
+            f"WHERE dy.t = {t}) l ON l.arm = st.arm)",
+        ]
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT) AS day_idx, p.arm, st.n AS n_after, "
+            f"st.s AS s_after FROM p{t} p JOIN st{t} st ON st.arm = p.arm "
+            f"WHERE EXISTS (SELECT 1 FROM dy WHERE t = {t})")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sels)
+
+
 def _consistent_hash_sql(n_servers: int = 16, vnodes: int = 8) -> str:
     """SQL twin of textstages.consistent_hash_pages: ring positions
     inlined as the Python-computed u64 literals, first-position-≥-hash

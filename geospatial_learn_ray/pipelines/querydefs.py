@@ -2412,6 +2412,13 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_ucb_replay(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.ucb_replay_events(
+        _rp(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
 def _q_consistent_hash(sf_dir: str):
     return textstages.consistent_hash_pages(read_pages(sf_dir, columns=["url"]))
 

@@ -1956,3 +1956,75 @@ def bearing_octants(events: ray.data.Dataset,
         events.select_columns(["event_id", "ts", "user_id"]).map_batches(
             prep, batch_format="pyarrow"),
         octants)
+
+
+def ucb_replay_events(events: ray.data.Dataset,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Off-policy bandit evaluation by UCB1 replay (Auer et al. 2002
+    policy; Li et al. 2011 replay estimator): arms are event types,
+    rounds are DAYS; each round the policy picks the arm maximizing
+    mean + sqrt(2·ln t / n) over the REPLAYED stats, and only that
+    day's logged events of the chosen arm update the stats (unseen arms
+    first, smallest arm index). The distributed part is the (day, arm)
+    aggregate (counted: days × arms rows through one exchange); the
+    replay recursion is driver-side over that counted table — and the
+    SQL twin unrolls the same ≤31 rounds with the ln(t) literals inlined
+    from ONE Python computation (ln is not cross-engine bit-exact;
+    sqrt of an identical operand is). Values are exact cents; the UCB
+    comparison is a bit-identical f64 chain. Output per round:
+    (day_idx, arm, n_after, s_after)."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[us]").view(np.int64)
+               // 86_400_000_000)
+        c = round_half_away(b["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"day": day, "arm": b["event_type"].to_numpy(object),
+                          "n": np.int64(1), "s": c})
+        g = d.groupby(["day", "arm"], sort=False, as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        g["s"] = g["s"].astype(np.int64)
+        g["_part"] = (g["day"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["day", "arm"], sort=False, as_index=False)[["n", "s"]].sum()
+        c["n"] = c["n"].astype(np.int64)
+        c["s"] = c["s"].astype(np.int64)
+        return c
+
+    tbl = bucket_exchange(
+        events.select_columns(["ts", "event_type", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        combine, small_partials=True).to_pandas()  # ≤ days×arms counted rows
+
+    days = np.sort(tbl["day"].unique())
+    arms = sorted(tbl["arm"].unique())
+    log = {(int(r.day), r.arm): (int(r.n), int(r.s)) for r in tbl.itertuples()}
+    n = {a: 0 for a in arms}
+    s = {a: 0 for a in arms}
+    rows = []
+    for t, day in enumerate(days, start=1):
+        unseen = [a for a in arms if n[a] == 0]
+        if unseen:
+            pick = unseen[0]
+        else:
+            lnt = np.float64(np.log(np.float64(t)))  # literal-inlined in SQL
+            best = None
+            for a in arms:
+                ucb = (np.float64(s[a]) / np.float64(n[a])
+                       + np.sqrt(np.float64(2.0) * lnt / np.float64(n[a])))
+                if best is None or ucb > best[0]:
+                    best = (ucb, a)
+            pick = best[1]
+        dn, dsum = log.get((int(day), pick), (0, 0))
+        n[pick] += dn
+        s[pick] += dsum
+        rows.append({"day_idx": np.int64(t), "arm": pick,
+                     "n_after": np.int64(n[pick]), "s_after": np.int64(s[pick])})
+    out = pd.DataFrame(rows)
+    out["day_idx"] = out["day_idx"].astype(np.int64)
+    out["n_after"] = out["n_after"].astype(np.int64)
+    out["s_after"] = out["s_after"].astype(np.int64)
+    return ray.data.from_pandas(out)
