@@ -50,7 +50,9 @@ class _EmptyNewSchemaFilter:
         return not (
             "different schema" in msg
             and ("new schema: PandasBlockSchema(names=[]" in msg
-                 or "new schema: Schema()" in msg)
+                 or "new schema: Schema()" in msg
+                 # an empty ARROW schema str()s to nothing at all
+                 or "new schema: . This may" in msg)
         )
 
 
