@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_hosts": _q_ktruss,
         "consistent_hash_pages": _q_consistent_hash,
         "ucb_replay_events": _q_ucb_replay,
+        "ndcg_bm25_docs": _q_ndcg,
         "phrase_search_docs": _q_phrase_search,
         "hopping_distinct_users": _q_hopping_distinct,
         "dataset_fingerprint_docs": _q_dataset_fingerprint,
@@ -450,6 +451,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ktruss_sql,
     _consistent_hash_sql,
     _ucb_replay_sql,
+    _ndcg_sql,
     _phrase_search_sql,
     _hopping_distinct_sql,
     _dataset_fingerprint_sql,
@@ -1245,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_hosts": _ktruss_sql(),
         "consistent_hash_pages": _consistent_hash_sql(),
         "ucb_replay_events": _ucb_replay_sql(),
+        "ndcg_bm25_docs": _ndcg_sql(BM25_QUERIES, k=10),
         "phrase_search_docs": _phrase_search_sql(),
         "revenue_by_region": ("SELECT r_name, COUNT(*)::BIGINT AS count, ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey JOIN region ON r_regionkey = n_regionkey GROUP BY r_name"),
         "hopping_distinct_users": _hopping_distinct_sql(),

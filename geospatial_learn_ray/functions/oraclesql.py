@@ -2955,6 +2955,54 @@ def _canny_sql(side: int = 16, quant: float = 8.0, lo2: int = 20_000,
     )
 
 
+def _ndcg_sql(queries: dict, k: int = 10) -> str:
+    """SQL twin of textstages.ndcg_bm25_docs: the bm25 oracle embeds as
+    a subquery; relevance = exact term-occurrence counts; DCG/IDCG
+    unroll rank-by-rank with the shared 1/log2(i+1) weight literals."""
+    from ..stages.textstages import NDCG_WEIGHTS
+
+    qt = ", ".join(f"({q}, '{t}')" for q, ts in sorted(queries.items())
+                   for t in ts)
+
+    def gain(src: str) -> str:
+        terms = []
+        for i in range(1, k + 1):
+            w = repr(NDCG_WEIGHTS[i - 1])
+            terms.append(
+                f"CAST({w} AS DOUBLE) * CAST(COALESCE((SELECT rel FROM {src} x "
+                f"WHERE x.query_id = g.query_id AND x.r = {i}), 0) AS DOUBLE)")
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    return (
+        f"WITH qt(query_id, tok) AS (VALUES {qt}), "
+        "tokx AS MATERIALIZED (SELECT doc_id, UNNEST(list_filter("
+        "string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents), "
+        "rel AS MATERIALIZED (SELECT qt.query_id, tokx.doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS rel FROM qt JOIN tokx ON tokx.tok = qt.tok "
+        "GROUP BY 1, 2), "
+        f"bm AS MATERIALIZED ({_bm25_sql(queries, k=k)}), "
+        "rk AS (SELECT bm.query_id, bm.rn AS r, COALESCE(rel.rel, 0) AS rel "
+        "FROM bm LEFT JOIN rel ON rel.query_id = bm.query_id "
+        "AND rel.doc_id = bm.doc_id), "
+        "ik AS (SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY rel DESC, doc_id ASC) AS r, rel FROM rel "
+        f"QUALIFY r <= {k}), "
+        "g AS (SELECT DISTINCT query_id FROM qt) "
+        "SELECT CAST(g.query_id AS BIGINT) AS query_id, "
+        f"CAST(FLOOR({gain('rk')} * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS dcg_q, "
+        f"CAST(FLOOR({gain('ik')} * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS idcg_q, "
+        f"CAST(FLOOR(CASE WHEN {gain('ik')} > 0 THEN {gain('rk')} / {gain('ik')} "
+        "ELSE 0.0 END * CAST(1048576.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS ndcg_q "
+        "FROM g"
+    )
+
+
 def _ucb_replay_sql(max_rounds: int = 31) -> str:
     """SQL twin of streaming.ucb_replay_events: (day, arm) cent
     aggregates, then ``max_rounds`` unrolled replay rounds — unseen-first

@@ -2412,6 +2412,11 @@ def _q_span_mask(sf_dir: str):
         _rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_ndcg(sf_dir: str):
+    return textstages.ndcg_bm25_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERIES, k=10)
+
+
 def _q_ucb_replay(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

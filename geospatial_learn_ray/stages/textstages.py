@@ -3774,3 +3774,125 @@ def phrase_search_docs(docs: ray.data.Dataset,
     return bucket_exchange(
         docs.select_columns(["doc_id", "text"]).map_batches(scan, batch_format="pyarrow"),
         combine, small_partials=True)
+
+
+NDCG_WEIGHTS = tuple(float(np.float64(1.0) / np.log2(np.float64(i + 1)))
+                     for i in range(1, 11))  # 1/log2(i+1), literal-shared
+
+
+def ndcg_bm25_docs(docs: ray.data.Dataset, queries: dict[int, list[str]],
+                   k: int = 10, num_buckets: int = 64) -> ray.data.Dataset:
+    """Retrieval quality audit — nDCG@k of the BM25 ranking against an
+    EXACT relevance label (total query-term occurrences per doc): the
+    offline eval a retrieval-based curation loop runs before trusting a
+    ranker. DCG accumulates rel_i · 1/log2(i+1) in RANK order with the
+    weight literals shared verbatim by the SQL twin (log2 is not
+    cross-engine guaranteed; a Python-computed literal is); the ideal
+    gain takes the corpus-wide top-k relevance per query (rel DESC,
+    doc ASC) through one posting-pruned exchange. Outputs ·2²⁰-quantized
+    plus the integer gains."""
+    import pyarrow.compute as pc
+
+    from .exchange import bucket_exchange
+    from ..functions.hashing import splitmix64
+
+    ranking = bm25_topk(docs, queries, k=k).to_pandas()  # counted q×k
+
+    term_of = [(int(q), t) for q, ts in sorted(queries.items()) for t in ts]
+
+    def rel_partial(b: pa.Table) -> pd.DataFrame:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        wl = pc.split_pattern(t, " ")
+        vals = wl.values.to_pandas()
+        off = np.asarray(wl.offsets, np.int64)
+        doc_idx = np.repeat(np.arange(len(off) - 1), off[1:] - off[:-1])
+        keep = (vals.str.len() > 0).to_numpy()
+        v = vals[keep]
+        d = doc_idx[keep]
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        frames = []
+        for q, term in term_of:
+            hit = (v == term).to_numpy()
+            if hit.any():
+                cnt = np.bincount(d[hit], minlength=len(off) - 1)
+                nz = np.flatnonzero(cnt)
+                frames.append(pd.DataFrame({
+                    "query_id": np.int64(q), "doc_id": did[nz],
+                    "rel": cnt[nz].astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "rel": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        out = pd.concat(frames, ignore_index=True)
+        out = out.groupby(["query_id", "doc_id"], as_index=False)["rel"].sum()
+        out["rel"] = out["rel"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            out["_part"] = (splitmix64(out["query_id"].to_numpy().astype(np.uint64))
+                            % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return out
+
+    def topk_rel(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["query_id", "doc_id"], as_index=False)["rel"].sum()
+        c["rel"] = c["rel"].astype(np.int64)
+        c = c.sort_values(["query_id", "rel", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return c.groupby("query_id", sort=False).head(k)
+
+    rel_tbl = bucket_exchange(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            rel_partial, batch_format="pyarrow"),
+        topk_rel, small_partials=True).to_pandas()
+
+    # relevance of the RANKED docs: the ranked set is counted (q×k) — a
+    # second tiny pruned pass scores exactly those pairs
+    ranked_pairs = set(zip(ranking["query_id"].astype(int),
+                           ranking["doc_id"].astype(int)))
+
+    def ranked_rel(b: pa.Table) -> pd.DataFrame:
+        out = rel_partial(b)
+        if len(out) == 0:
+            return out
+        m = [(int(q), int(d)) in ranked_pairs
+             for q, d in zip(out["query_id"], out["doc_id"])]
+        return out[np.array(m, bool)]
+
+    rr = bucket_exchange(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            ranked_rel, batch_format="pyarrow"),
+        lambda g: g.drop(columns=["_part"]).groupby(
+            ["query_id", "doc_id"], as_index=False)["rel"].sum(),
+        small_partials=True).to_pandas()
+    rel_of = {(int(q), int(d)): int(r)
+              for q, d, r in zip(rr["query_id"], rr["doc_id"], rr["rel"])}
+
+    rows = []
+    for q in sorted(queries):
+        rq = ranking[ranking["query_id"] == q].sort_values("rn")
+        dcg = np.float64(0.0)
+        for i, d in enumerate(rq["doc_id"].astype(int)):
+            if i >= k:
+                break
+            dcg = dcg + np.float64(NDCG_WEIGHTS[i]) * np.float64(
+                rel_of.get((q, d), 0))
+        ideal = rel_tbl[rel_tbl["query_id"] == q].sort_values(
+            ["rel", "doc_id"], ascending=[False, True], kind="mergesort")
+        idcg = np.float64(0.0)
+        for i, r in enumerate(ideal["rel"].astype(int)):
+            if i >= k:
+                break
+            idcg = idcg + np.float64(NDCG_WEIGHTS[i]) * np.float64(r)
+        nd = dcg / idcg if idcg > 0 else np.float64(0.0)
+        rows.append({"query_id": np.int64(q),
+                     "dcg_q": np.int64(np.floor(dcg * 1048576.0 + 0.5)),
+                     "idcg_q": np.int64(np.floor(idcg * 1048576.0 + 0.5)),
+                     "ndcg_q": np.int64(np.floor(nd * 1048576.0 + 0.5))})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
