@@ -10,7 +10,7 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Query naming: one entry per implemented operator/pipeline from
-SURVEY.md §2 (+ the web-scale training-data operators). 335 of 338
+SURVEY.md §2 (+ the web-scale training-data operators). 334 of 337
 entries carry STRONG SQL oracles — including the closed-form rasters/
 polygons (functions inlined as numpy-computed literals), the FNV/
 splitmix hash pipeline, hex/S2/Hilbert cell encodings, every sketch
