@@ -409,9 +409,12 @@ def grouped_selection(
         ).to_pandas()  # ≤ active_targets × n_bins counted rows
 
         progressed = False
+        # _tid == row position in st by construction: positional .at
+        # updates keep this loop O(targets), not O(targets²)
+        h_by_tid = dict(tuple(h.groupby("_tid", sort=False)))
         for _, row in active.iterrows():
             tid = int(row["_tid"])
-            ht = h[h["_tid"] == tid].sort_values("bin")
+            ht = h_by_tid[tid].sort_values("bin")
             bins = ht["bin"].to_numpy(np.int64)
             cnts = ht["cnt"].to_numpy(np.int64)
             cum = int(row["_rank_off"]) + np.cumsum(cnts)
@@ -421,14 +424,14 @@ def grouped_selection(
             width = (hi - lo) / n_bins
             new_lo = lo + bins[i] * width
             new_hi = min(lo + (bins[i] + 1) * width, hi)
-            st.loc[st["_tid"] == tid, "_rank_off"] = int(row["_rank_off"] + cnts[:i].sum())
-            st.loc[st["_tid"] == tid, "_cand"] = int(cnts[i])
+            st.at[tid, "_rank_off"] = int(row["_rank_off"] + cnts[:i].sum())
+            st.at[tid, "_cand"] = int(cnts[i])
             if new_lo == lo and new_hi == hi:
                 # identical-value mass stalls the shrink — pull as-is
-                st.loc[st["_tid"] == tid, "_cand"] = min(int(cnts[i]), pull_bound)
+                st.at[tid, "_cand"] = min(int(cnts[i]), pull_bound)
             else:
-                st.loc[st["_tid"] == tid, "_lo"] = new_lo
-                st.loc[st["_tid"] == tid, "_hi"] = new_hi
+                st.at[tid, "_lo"] = new_lo
+                st.at[tid, "_hi"] = new_hi
                 progressed = True
         if not progressed:
             break
@@ -469,7 +472,7 @@ def grouped_selection(
         ).to_pandas()
         vals = dict(zip(picked["_tid"].astype(int), picked["_val"]))
         for tid, v in vals.items():
-            st.loc[st["_tid"] == tid, "_val"] = v
+            st.at[tid, "_val"] = v
 
     # ---- assemble: pandas-identical float expressions per stat ----
     val_of = {}
