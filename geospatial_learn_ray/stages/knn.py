@@ -267,7 +267,12 @@ def knn_per_cell(
             cell_knn(cell_g, out_rows)
         if not out_rows:
             return _empty(g[id_col].dtype)
-        return pd.concat(out_rows, ignore_index=True)
+        out = pd.concat(out_rows, ignore_index=True)
+        if len(out) == 0:
+            # all candidate rows filtered (same-id dups): the zero-row
+            # frame must be Arrow-typed too, or size accounting breaks
+            return _empty(g[id_col].dtype)
+        return out
 
     return bucket_exchange(replicated, part_knn)
 
