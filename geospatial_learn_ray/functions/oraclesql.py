@@ -7701,10 +7701,11 @@ def _dataset_fingerprint_sql(n_shards: int = 16) -> str:
 def _hopping_distinct_sql(window_hours: int = 2, hop_hours: int = 1) -> str:
     """SQL twin of streaming.hopping_distinct_users."""
     n_wins = window_hours // hop_hours
+    hop_us = hop_hours * 3600000000
     return (
         "SELECT win_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
-        f"FROM (SELECT user_id, date_trunc('hour', ts) "
-        f"- to_microseconds(k.range * {hop_hours} * 3600000000) AS win_start "
+        f"FROM (SELECT user_id, make_timestamp(epoch_us(ts) // {hop_us} * {hop_us}) "
+        f"- to_microseconds(k.range * {hop_us}) AS win_start "
         f"FROM events, range(0, {n_wins}) k) GROUP BY win_start"
     )
 

@@ -203,12 +203,9 @@ def jsonl_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset
     exact in JSON; floats are omitted from the projection (JSON float
     text round-trips via repr, but dtype fidelity across readers is the
     reader's choice — the CSV twin carries the numeric case)."""
-    import os
-    import tempfile
-    import uuid
+    from ..state.scratch import scratch_dir
 
-    out = os.path.join(scratch or os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
-                       f"graft_jsonl_{uuid.uuid4().hex}")
+    out = scratch_dir("graft_jsonl_", scratch)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "source", "text"])
     ds.write_json(out)
@@ -220,14 +217,11 @@ def csv_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
     cent-scaled numeric columns survive text round-trip losslessly (the
     floats are written as exact integers first — CSV float text is the
     classic silent-corruption path this projection sidesteps)."""
-    import os
-    import tempfile
-    import uuid
-
     import pyarrow as pa
 
-    out = os.path.join(scratch or os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
-                       f"graft_csv_{uuid.uuid4().hex}")
+    from ..state.scratch import scratch_dir
+
+    out = scratch_dir("graft_csv_", scratch)
     from ..functions.rounding import round_half_away
 
     def prep(b: pa.Table) -> pa.Table:

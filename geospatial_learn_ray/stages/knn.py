@@ -129,14 +129,9 @@ def knn_per_cell(
     # checkpoint streams both passes and is resume-friendly). Points
     # rows are ~100 B each, so the checkpoint is the small side even at
     # a 100 TB pages input.
-    import os
-    import tempfile
-    import uuid
+    from ..state.scratch import scratch_dir
 
-    ckpt = os.path.join(
-        os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
-        f"graft_knn_narrow_{uuid.uuid4().hex}",
-    )
+    ckpt = scratch_dir("graft_knn_narrow_")
     def _add_home(b: pa.Table) -> pa.Table:
         # precompute the home cell INTO the checkpoint: the hot-cell pass
         # then reads this single Parquet-pruned column (no geo compute),
@@ -416,9 +411,9 @@ def ivf_topk_store(store_dir: str, queries: np.ndarray, query_ids: np.ndarray,
                 out.append(pd.DataFrame({"query_id": self.qids[qi], "neighbor_id": sub_ids[order],
                                          "cosine": s[order]}))
             if not out:
-                return pd.DataFrame({"query_id": pd.Series([], np.int64),
-                                     "neighbor_id": pd.Series([], np.int64),
-                                     "cosine": pd.Series([], np.float64)})
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "neighbor_id": pd.Series([], dtype=np.int64),
+                                     "cosine": pd.Series([], dtype=np.float64)})
             return pd.concat(out, ignore_index=True)
 
     partials = ds.map_batches(StoreTopK, fn_constructor_args=(ref,), batch_format="pandas",
@@ -641,7 +636,7 @@ def ivf_topk(
                 order = np.lexsort((sub_ids, -s))[: min(kk, m.sum())]
                 out.append(pd.DataFrame({"query_id": self.qids[qi], "neighbor_id": sub_ids[order], "cosine": s[order]}))
             if not out:
-                return pd.DataFrame({"query_id": pd.Series([], np.int64), "neighbor_id": pd.Series([], np.int64), "cosine": pd.Series([], np.float64)})
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64), "neighbor_id": pd.Series([], dtype=np.int64), "cosine": pd.Series([], dtype=np.float64)})
             return pd.concat(out, ignore_index=True)
 
     partials = ds.map_batches(IVFTopK, fn_constructor_args=(ref,), batch_format="pandas",
@@ -752,8 +747,8 @@ def pq_topk(codes: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
                 out.append(pd.DataFrame({"query_id": self.qids[qi],
                                          "neighbor_id": ids[order], "cosine": s[order]}))
             return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                {"query_id": pd.Series([], np.int64), "neighbor_id": pd.Series([], np.int64),
-                 "cosine": pd.Series([], np.float64)})
+                {"query_id": pd.Series([], dtype=np.int64), "neighbor_id": pd.Series([], dtype=np.int64),
+                 "cosine": pd.Series([], dtype=np.float64)})
 
     partials = codes.map_batches(ADC, fn_constructor_args=(ref,),
                                  batch_format="pandas", concurrency=(1, 8))
@@ -1261,6 +1256,10 @@ def binary_quant_topk(
 
     def ham_partials(b: pd.DataFrame) -> pd.DataFrame:
         qc, _, qi = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        if len(b) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
         X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         ids = b[id_col].to_numpy()
         codes = _sign_codes(X)
@@ -1284,6 +1283,10 @@ def binary_quant_topk(
     def rerank(b: pd.DataFrame) -> pd.DataFrame:
         qc, qq, qi = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
         cof = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        if len(b) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
         X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         Xq = np.floor(X * qscale + 0.5).astype(np.int64)
         ids = b[id_col].to_numpy().astype(np.int64)
@@ -1454,9 +1457,9 @@ def ivfpq_topk(ds: ray.data.Dataset, queries: np.ndarray,
                                          "neighbor_id": ids[sel][order],
                                          "cosine": s[order]}))
             if not out:
-                return pd.DataFrame({"query_id": pd.Series([], np.int64),
-                                     "neighbor_id": pd.Series([], np.int64),
-                                     "cosine": pd.Series([], np.float64)})
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "neighbor_id": pd.Series([], dtype=np.int64),
+                                     "cosine": pd.Series([], dtype=np.float64)})
             return pd.concat(out, ignore_index=True)
 
     partials = codes.map_batches(ADCProbed, fn_constructor_args=(qref,),

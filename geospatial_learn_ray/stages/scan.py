@@ -43,16 +43,11 @@ def exclusive_prefix_sum(ds: ray.data.Dataset, key: str, val: str,
     the projection in the object store for the stage's lifetime. Pass
     ``checkpoint=False`` when ``ds`` already reads from storage."""
     if checkpoint:
-        import os
-        import tempfile
-        import uuid
-
         import ray as _ray
 
-        ckpt = os.path.join(
-            os.environ.get("GRAFT_SCRATCH", tempfile.gettempdir()),
-            f"graft_scan_{uuid.uuid4().hex}",
-        )
+        from ..state.scratch import scratch_dir
+
+        ckpt = scratch_dir("graft_scan_")
         ds.write_parquet(ckpt)
         ds = _ray.data.read_parquet(ckpt)
     width = _bucket_width(ds, key, num_ranges)

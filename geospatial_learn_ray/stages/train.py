@@ -1590,8 +1590,14 @@ def learned_index_audit(ds: ray.data.Dataset, key_col: str = "o_orderkey",
     n, sk, sr, skr, sk2 = (float(s["n"]), float(s["sk"]), float(s["sr"]),
                            float(s["skr"]), float(s["sk2"]))
     den = n * sk2 - sk * sk
-    slope = (n * skr - sk * sr) / den
-    intercept = (sr - slope * sk) / n
+    if den == 0.0 or n == 0.0:
+        # Degenerate key distribution (all keys equal / single row): a flat
+        # model at the mean position is the only least-squares solution.
+        slope = 0.0
+        intercept = (sr / n) if n > 0.0 else 0.0
+    else:
+        slope = (n * skr - sk * sr) / den
+        intercept = (sr - slope * sk) / n
 
     def err_partial(b: pd.DataFrame) -> pd.DataFrame:
         k = b[key_col].to_numpy(np.int64).astype(np.float64)

@@ -489,3 +489,32 @@ def test_mmr_rerank_scalar_greedy_reference():
         assert out.loc[r, "score"] == score[b]
         maxsim = np.maximum(maxsim, dots[:, b])
     assert out.loc[0, "rel"] == crel.max()
+
+
+def _vec_ds_with_empty_block(n=64, d=64, seed=11):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X.astype(np.float64))})
+    empty = df.iloc[0:0]
+    return ray.data.from_pandas([df.iloc[: n // 2], empty, df.iloc[n // 2:]])
+
+
+def test_binary_quant_topk_tolerates_empty_block():
+    # round-5 advice: zero-row blocks crashed the un-guarded partial fns
+    # (np.stack on an empty object column / positional-dtype pd.Series).
+    rng = np.random.default_rng(3)
+    Q = rng.normal(size=(2, 64))
+    ds = _vec_ds_with_empty_block()
+    out = knn.binary_quant_topk(ds, Q, np.array([100, 101], dtype=np.int64), k=4)
+    assert set(out["query_id"]) == {100, 101}
+    assert (out.groupby("query_id").size() == 4).all()
+
+
+def test_ivfpq_topk_tolerates_empty_block():
+    rng = np.random.default_rng(4)
+    Q = rng.normal(size=(2, 64))
+    ds = _vec_ds_with_empty_block()
+    out = knn.ivfpq_topk(ds, Q, np.array([7, 8], dtype=np.int64), k=3)
+    assert set(out["query_id"]) == {7, 8}
+    assert (out.groupby("query_id").size() <= 3).all()
