@@ -62,9 +62,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (tools/check_oracles.py) + pytest evidence; NEW queries are appended
     # at the END so they never displace a never-checked entry.
     return {
-        # ---- DRIVER WINDOW (first 50): round-4 rotation. These are the 50
-        # ---- OLDEST never-driver-checked queries (round-3 additions, dedup/
-        # ---- ANN/corpus family first), per VERDICT r3 "Next round" #1.
+        # ---- DRIVER WINDOW (first 50): round-5 rotation. These are the 50
+        # ---- OLDEST never-driver-checked queries (round-3 session-2+ lists
+        # ---- in CLAUDE.md order, then session-4 batch), per VERDICT r4 #1.
+        "late_events_watermark": _q_late_events,
+        "snapshot_diff_docs": _q_snapshot_diff,
+        "triangle_count_hosts": _q_triangle_hosts,
+        "trimmed_stats_lineitem": _q_trimmed_stats,
+        "robots_blocked_pages": _q_robots_blocklist,
+        "daily_users_events": _q_daily_users,
+        "funnel_conversion_users": _q_funnel,
+        "vocab_stats_docs": _q_vocab_stats,
+        "quality_blend_docs": _q_quality_blend,
+        "cohort_retention_users": _q_cohort_retention,
+        "geohash_cells": _q_geohash_cells,
+        "burst_detect_events": _q_burst_detect,
+        "dbscan_pages": _q_dbscan_pages,
+        "nearest_city_pages": _q_nearest_city,
+        "hex_kring_smooth_pages": _q_hex_kring,
+        "canny_edges_tiles": _q_canny_edges,
+        "edt_proximity_tiles": _q_edt_proximity,
+        "kmv_users_by_type": _q_kmv_users_by_type,
+        "kmv_overlap_event_types": _q_kmv_overlap,
+        "pmi_bigrams_docs": _q_pmi_bigrams,
+        "scd2_history_docs": _q_scd2_history,
+        "crawl_frontier_pages": _q_crawl_frontier,
+        "skyline_orders": _q_skyline_orders,
+        "ab_test_events": _q_ab_test,
+        "fuzzy_name_pairs_customer": _q_fuzzy_names,
+        "idw_grid_pages": _q_idw_grid,
+        "skeletonize_tiles": _q_skeletonize,
+        "debounce_events": _q_debounce,
+        "viewshed_tiles": _q_viewshed,
+        "label_prop_hosts": _q_label_prop,
+        "exact_median_lineitem": _q_exact_median,
+        "mst_hosts": _q_mst_hosts,
+        "pca_top1_embeddings": _q_pca_top1,
+        "tile_pyramid_tiles": _q_tile_pyramid,
+        "pivot_events_users": _q_pivot_events,
+        "roc_auc_quality_docs": _q_roc_auc,
+        "hits_hosts": _q_hits_hosts,
+        "contour_cells_tiles": _q_contour_cells,
+        "calibration_bins_lineitem": _q_calibration,
+        "media_scene_cuts": _q_scene_cuts,
+        "sq8_encode_vectors": _q_sq8_encode,
+        "event_transitions_users": _q_event_transitions,
+        "leverage_topk_lineitem": _q_leverage,
+        "segment_slopes_orders": _q_segment_slopes,
+        "cusum_hourly_events": _q_cusum_hourly,
+        "d8_directions_tiles": _q_d8_directions,
+        "neyman_allocation_orders": _q_neyman,
+        "flow_accum_tiles": _q_flow_accum,
+        "interval_coverage_users": _q_interval_coverage,
+        "kcore_hosts": _q_kcore_hosts,
+        # ---- past the window: driver-checked in r1-r4 (150 green rows in
+        # ---- CORRECTNESS_r01-04) or awaiting a later rotation; ALL carry
+        # ---- strict local oracle checks (tools/check_oracles.py) + pytest.
         "hist_quantiles_lineitem": _q_hist_quantiles,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
@@ -115,9 +168,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "lang_temp_weights": _q_lang_temp_weights,
         "char_entropy_docs": _q_char_entropy,
-        # ---- past the window: driver-checked in r1-r3 (100 green rows in
-        # ---- CORRECTNESS_r01-03) or awaiting a later rotation; ALL carry
-        # ---- strict local oracle checks (tools/check_oracles.py) + pytest.
         "ndvi_tiles": _q_ndvi_tiles,
         "mask_tiles": _q_mask_tiles,
         "raster_points": _q_raster_points,
@@ -218,56 +268,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_urls": _q_hll_distinct_urls,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
-        "late_events_watermark": _q_late_events,
-        "snapshot_diff_docs": _q_snapshot_diff,
-        "triangle_count_hosts": _q_triangle_hosts,
-        "trimmed_stats_lineitem": _q_trimmed_stats,
-        "robots_blocked_pages": _q_robots_blocklist,
-        "daily_users_events": _q_daily_users,
-        "funnel_conversion_users": _q_funnel,
-        "vocab_stats_docs": _q_vocab_stats,
-        "quality_blend_docs": _q_quality_blend,
-        "cohort_retention_users": _q_cohort_retention,
-        "geohash_cells": _q_geohash_cells,
-        "burst_detect_events": _q_burst_detect,
-        "dbscan_pages": _q_dbscan_pages,
-        "nearest_city_pages": _q_nearest_city,
-        "hex_kring_smooth_pages": _q_hex_kring,
-        "canny_edges_tiles": _q_canny_edges,
-        "edt_proximity_tiles": _q_edt_proximity,
-        "kmv_users_by_type": _q_kmv_users_by_type,
-        "kmv_overlap_event_types": _q_kmv_overlap,
-        "pmi_bigrams_docs": _q_pmi_bigrams,
-        "scd2_history_docs": _q_scd2_history,
-        "crawl_frontier_pages": _q_crawl_frontier,
-        "skyline_orders": _q_skyline_orders,
-        "ab_test_events": _q_ab_test,
-        "fuzzy_name_pairs_customer": _q_fuzzy_names,
-        "idw_grid_pages": _q_idw_grid,
-        "skeletonize_tiles": _q_skeletonize,
-        "debounce_events": _q_debounce,
-        "viewshed_tiles": _q_viewshed,
-        "label_prop_hosts": _q_label_prop,
-        "exact_median_lineitem": _q_exact_median,
-        "mst_hosts": _q_mst_hosts,
-        "pca_top1_embeddings": _q_pca_top1,
-        "tile_pyramid_tiles": _q_tile_pyramid,
-        "pivot_events_users": _q_pivot_events,
-        "roc_auc_quality_docs": _q_roc_auc,
-        "hits_hosts": _q_hits_hosts,
-        "contour_cells_tiles": _q_contour_cells,
-        "calibration_bins_lineitem": _q_calibration,
-        "media_scene_cuts": _q_scene_cuts,
-        "sq8_encode_vectors": _q_sq8_encode,
-        "event_transitions_users": _q_event_transitions,
-        "leverage_topk_lineitem": _q_leverage,
-        "segment_slopes_orders": _q_segment_slopes,
-        "cusum_hourly_events": _q_cusum_hourly,
-        "d8_directions_tiles": _q_d8_directions,
-        "neyman_allocation_orders": _q_neyman,
-        "flow_accum_tiles": _q_flow_accum,
-        "interval_coverage_users": _q_interval_coverage,
-        "kcore_hosts": _q_kcore_hosts,
         "haar_tiles": _q_haar_tiles,
         "watershed_basins_tiles": _q_watershed,
         "focal_majority_tiles": _q_focal_majority,
@@ -364,7 +364,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_hosts": _q_assortativity,
         "json_props_events": _q_json_props,
         "fellegi_sunter_parts": _q_fellegi_sunter,
-        # round-4 additions (appended PAST the driver window)
         "ms_toposeg_tiles": _q_ms_toposeg,
         "wms_fetch_tiles": _q_wms_fetch,
         "phasecong_tiles": _q_phasecong,
@@ -406,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_mask_docs": _q_span_mask,
         "cva_change_tiles": _q_cva_change,
         "vocab_growth_docs": _q_vocab_growth,
+        # round-5 additions (appended PAST the driver window)
+        "tiff_roundtrip_tiles": _q_tiff_roundtrip,
     }
 
 
@@ -1924,5 +1925,20 @@ def oracle_sql() -> dict[str, str]:
             "        e.vec_id ASC) AS rank "
             "      FROM q CROSS JOIN embeddings e) "
             "SELECT query_id, neighbor_id, rank FROM s WHERE rank <= 10"
+        ),
+        "tiff_roundtrip_tiles": (
+            # round-trip bit-exactness reduces the TIFF codec check to the
+            # closed-form raster's own exact-integer aggregate
+            f"WITH {tiles_sql(32)}, "
+            "qq AS (SELECT tile_x, tile_y, "
+            "CAST(FLOOR(vd * CAST(64.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT) AS qs FROM rast) "
+            "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+            "CAST(tile_y AS BIGINT) AS tile_y, "
+            "CAST(COUNT(*) AS BIGINT) AS n_px, "
+            "CAST(SUM(qs) AS BIGINT) AS q_sum, "
+            "CAST(MIN(qs) AS BIGINT) AS q_min, "
+            "CAST(MAX(qs) AS BIGINT) AS q_max "
+            "FROM qq GROUP BY tile_x, tile_y"
         ),
     }

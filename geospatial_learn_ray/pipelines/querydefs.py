@@ -2547,6 +2547,35 @@ def _q_ms_toposeg(sf_dir: str):
                                    grid_x=8, grid_y=8)
 
 
+def _q_tiff_roundtrip(sf_dir: str):
+    """Real-format egress+ingest: tiles → per-tile GeoTIFF files →
+    windowed read back → exact-integer per-tile aggregate. The oracle
+    aggregates the closed-form raster directly, so a green hash proves
+    the TIFF codec round-trips every f32 pixel bit-exactly (reference
+    raster.py:287 array2raster / raster.py:373 raster2array)."""
+    from geospatial_learn_ray.sources import tiff as tiffsrc
+    from geospatial_learn_ray.state.scratch import scratch_dir
+
+    out = scratch_dir("graft_tiff_")
+    manifest = tiffsrc.write_tiles_to_tiffs(read_tiles(tile_px=32), out,
+                                            tile_px=32)
+    n = manifest.count()  # consume the write before reading back
+    assert n == GRID_X * GRID_Y, n
+    back = tiffsrc.read_tiffs_to_tiles(out)
+
+    def agg_batch(b: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(b["band_values"].to_numpy())
+        qs = np.floor(V.astype(np.float64) * 64.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "tile_x": b["tile_x"].to_numpy(np.int64),
+            "tile_y": b["tile_y"].to_numpy(np.int64),
+            "n_px": np.full(len(b), qs.shape[1], np.int64),
+            "q_sum": qs.sum(axis=1), "q_min": qs.min(axis=1),
+            "q_max": qs.max(axis=1)})
+
+    return back.map_batches(agg_batch, batch_format="pandas")
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [
