@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_docs": _q_vocab_growth,
         # round-5 additions (appended PAST the driver window)
         "tiff_roundtrip_tiles": _q_tiff_roundtrip,
+        "semseg_pred_tiles": _q_semseg_cnn,
     }
 
 
@@ -437,6 +438,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _TILE_GRID_SQL,
     _ann_ivf_sql,
     _canny_sql,
+    _semseg_cnn_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1941,4 +1943,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(qs) AS BIGINT) AS q_max "
             "FROM qq GROUP BY tile_x, tile_y"
         ),
+        "semseg_pred_tiles": _semseg_cnn_sql(),
     }

@@ -8369,3 +8369,66 @@ def _fellegi_sunter_sql(min_score: int = 3) -> str:
         "+ CASE WHEN ag_n = 1 THEN 2 ELSE -1 END "
         f"+ CASE WHEN ag_p = 1 THEN 1 ELSE -1 END) >= {min_score}"
     )
+
+
+def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
+    """SQL twin of scorer.semseg_cnn_stage: the integer CNN forward
+    (functions/convnet.py weights, shared verbatim) as LAG/LEAD window
+    chains. A general 3×3 conv splits into per-kernel-row horizontal
+    passes over px then one vertical combine over py (zero-pad borders →
+    COALESCE(..., 0)); ReLU is GREATEST(0, ·); argmax ties take the
+    smallest class (np.argmax first-max ≡ the >= CASE chain)."""
+    from . import convnet as _cn
+
+    wrow = "PARTITION BY tile_x, tile_y, py ORDER BY px"
+    wcol = "PARTITION BY tile_x, tile_y, px ORDER BY py"
+
+    def hrow(col: str, w3) -> str:
+        terms = []
+        if w3[0]:
+            terms.append(f"{w3[0]}*COALESCE(LAG({col}) OVER ({wrow}), 0)")
+        if w3[1]:
+            terms.append(f"{w3[1]}*{col}")
+        if w3[2]:
+            terms.append(f"{w3[2]}*COALESCE(LEAD({col}) OVER ({wrow}), 0)")
+        return " + ".join(terms) if terms else "0"
+
+    def vsum(r0: str, r1: str, r2: str) -> str:
+        return (f"COALESCE(LAG({r0}) OVER ({wcol}), 0) + {r1} "
+                f"+ COALESCE(LEAD({r2}) OVER ({wcol}), 0)")
+
+    steps: list[tuple[str, str]] = []
+    for c in range(2):
+        for r in range(3):
+            steps.append((f"h{c}{r}", hrow("q", _cn.W1[c][r])))
+    for c in range(2):
+        steps.append((f"a{c}",
+                      f"GREATEST(0, {vsum(f'h{c}0', f'h{c}1', f'h{c}2')} + {_cn.B1[c]})"))
+    for c in range(2):
+        for i in range(2):
+            for r in range(3):
+                steps.append((f"g{c}{i}{r}", hrow(f"a{i}", _cn.W2[c][i][r])))
+    for c in range(2):
+        steps.append((f"z{c}",
+                      f"GREATEST(0, {vsum(f'g{c}00', f'g{c}01', f'g{c}02')} "
+                      f"+ {vsum(f'g{c}10', f'g{c}11', f'g{c}12')} + {_cn.B2[c]})"))
+    for k in range(3):
+        steps.append((f"l{k}", f"{_cn.WH[k][0]}*z0 + {_cn.WH[k][1]}*z1 + {_cn.BH[k]}"))
+    steps.append(("pred", "CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0 "
+                          "WHEN l1 >= l2 THEN 1 ELSE 2 END"))
+    steps.append(("win", "CASE pred WHEN 0 THEN l0 WHEN 1 THEN l1 ELSE l2 END"))
+
+    base = (f"SELECT tile_x, tile_y, px, py, "
+            f"CAST(FLOOR(vd * CAST({_cn.QUANT!r} AS DOUBLE)) AS BIGINT) AS q "
+            f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
+    net = _sg.chain(base, steps)
+    return (
+        f"WITH {tiles_sql(side)}, net AS ({net}) "
+        "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, "
+        "CAST(SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0, "
+        "CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1, "
+        "CAST(SUM(CASE WHEN pred = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_c2, "
+        "CAST(SUM(win) AS BIGINT) AS win_logit_sum "
+        "FROM net GROUP BY tile_x, tile_y"
+    )

@@ -2547,6 +2547,14 @@ def _q_ms_toposeg(sf_dir: str):
                                    grid_x=8, grid_y=8)
 
 
+def _q_semseg_cnn(sf_dir: str):
+    """CNN semantic segmentation (reference convnet.py:431 semseg_pred):
+    integer-weight conv forward in an actor pool over a 16×16-tile clip
+    (keeps the 27-step SQL window chain fast)."""
+    small = raster.clip_tiles(read_tiles(tile_px=16), -180.0, -80.0, -90.0, 0.0)
+    return scorer.semseg_cnn_stage(small, side=16)
+
+
 def _q_tiff_roundtrip(sf_dir: str):
     """Real-format egress+ingest: tiles → per-tile GeoTIFF files →
     windowed read back → exact-integer per-tile aggregate. The oracle

@@ -89,3 +89,50 @@ def sql_for_scorer(table_expr: str, id_cols: str, features=DEFAULT_FEATURES, wei
         f"SELECT {id_cols}, ROUND({expr}, 6) AS score, "
         f"CASE WHEN ({expr}) > {threshold!r} THEN 1 ELSE 0 END AS pred FROM {table_expr}"
     )
+
+
+class SemsegCNN:
+    """Actor-pool callable for the CNN semantic-segmentation forward
+    (reference convnet.py:431 ``semseg_pred`` / convutils.py:559
+    ``pad_predict``): the network weights materialize ONCE per actor in
+    ``__init__`` (the model-checkpoint-load shape — here from the fixed
+    integer constants in functions/convnet.py), and ``__call__`` runs the
+    fully vectorized integer forward over a whole batch of tile windows.
+
+    Emits one row per tile: per-class pixel counts + the exact int64 sum
+    of winning logits — the aggregate the strict SQL twin value-hashes
+    (oraclesql._semseg_cnn_sql)."""
+
+    def __init__(self, side: int):
+        from ..functions import convnet
+
+        self.side = side
+        self.forward = convnet.forward
+        self.n_classes = convnet.N_CLASSES
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            z = pd.Series([], dtype=np.int64)
+            return pd.DataFrame({"tile_x": z, "tile_y": z, "n_c0": z,
+                                 "n_c1": z, "n_c2": z, "win_logit_sum": z})
+        V = np.stack(b["band_values"].to_numpy()).reshape(
+            len(b), self.side, self.side)
+        pred, win = self.forward(V)
+        flat = pred.reshape(len(b), -1)
+        counts = [(flat == k).sum(axis=1).astype(np.int64)
+                  for k in range(self.n_classes)]
+        return pd.DataFrame({
+            "tile_x": b["tile_x"].to_numpy(np.int64),
+            "tile_y": b["tile_y"].to_numpy(np.int64),
+            "n_c0": counts[0], "n_c1": counts[1], "n_c2": counts[2],
+            "win_logit_sum": win.reshape(len(b), -1).sum(axis=1).astype(np.int64)})
+
+
+def semseg_cnn_stage(ds: ray.data.Dataset, side: int = 16,
+                     concurrency=(1, 8), batch_size: int | None = None) -> ray.data.Dataset:
+    """Per-tile CNN segmentation over the tiles table — map-only (each
+    window forward is independent; zero-pad borders), actor pool sized
+    min-1 so the 4-CPU test fixture never deadlocks."""
+    return ds.map_batches(
+        SemsegCNN, fn_constructor_args=(side,), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
