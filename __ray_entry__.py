@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (appended PAST the driver window)
         "tiff_roundtrip_tiles": _q_tiff_roundtrip,
         "semseg_pred_tiles": _q_semseg_cnn,
+        "rf_predict_lineitem": _q_rf_predict,
     }
 
 
@@ -439,6 +440,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _ann_ivf_sql,
     _canny_sql,
     _semseg_cnn_sql,
+    _rf_forest_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1944,4 +1946,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM qq GROUP BY tile_x, tile_y"
         ),
         "semseg_pred_tiles": _semseg_cnn_sql(),
+        "rf_predict_lineitem": _rf_forest_sql(),
     }

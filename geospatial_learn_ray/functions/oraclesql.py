@@ -8432,3 +8432,147 @@ def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
         "CAST(SUM(win) AS BIGINT) AS win_logit_sum "
         "FROM net GROUP BY tile_x, tile_y"
     )
+
+
+def _rf_forest_sql(n_trees: int = 8, seed: int = 11) -> str:
+    """SQL twin of train.rf_predict_lineitem: per-tree bag bits from the
+    identical splitmix64(k ^ seed_b) draw (seeds inlined as literals),
+    each tree's depth-2 CART re-derived by the _cart_depth2_sql recipe
+    (cumulative histograms, identical weighted-purity f64 argmax, ties to
+    smallest (f, thr)) restricted to its bag, leaf classes by majority
+    with ties to 0, then one routing pass CROSS JOINed with every tree's
+    single param row. Splitless children carry thr 2^62 (route left)."""
+    from ..stages.train import (RF_BAG_PERMILLE, _RF_NO_SPLIT_THR,
+                                _rf_mtry_excl, _rf_seeds)
+
+    B = n_trees
+    seeds = _rf_seeds(B, seed)
+    score = ("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) "
+             "+ CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)")
+    nosplit = int(_RF_NO_SPLIT_THR)
+
+    # label noise + bag bits for all trees in one chained, materialized pass
+    bag_steps: list[tuple[str, str]] = []
+    bag_steps += _sg.splitmix64_steps("k", "yh", "rfy")
+    bag_steps.append(("y", "CASE WHEN 10*f0 + 7*f1 + 13*f2 + yh % 40 > 360 "
+                           "THEN 1 ELSE 0 END"))
+    for b in range(B):
+        bag_steps += _sg.splitmix64_steps(
+            _sg.u64_xor("k", str(int(seeds[b]))), f"bh{b}", f"rft{b}")
+        bag_steps.append(
+            (f"bag{b}", f"CASE WHEN bh{b} % 1000 < {RF_BAG_PERMILLE} "
+                        "THEN 1 ELSE 0 END"))
+    base = ("SELECT CAST(l_orderkey AS BIGINT) AS okey, "
+            "CAST(l_linenumber AS BIGINT) AS lnum, "
+            "CAST(l_quantity AS BIGINT) AS f0, "
+            "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS f1, "
+            "CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS f2, "
+            "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS k "
+            "FROM lineitem")
+    ctes = [f"ftb AS MATERIALIZED ({_sg.chain(base, bag_steps)})"]
+
+    def tree_ctes(b: int) -> None:
+        p = f"t{b}_"
+        fv = "(CASE r.f WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END)"
+        ctes.append(
+            f"{p}h0 AS (SELECT 0 AS f, f0 AS v, y, COUNT(*) AS n "
+            f"FROM ftb WHERE bag{b} = 1 GROUP BY 2, 3 "
+            f"UNION ALL SELECT 1, f1, y, COUNT(*) FROM ftb WHERE bag{b} = 1 GROUP BY 2, 3 "
+            f"UNION ALL SELECT 2, f2, y, COUNT(*) FROM ftb WHERE bag{b} = 1 GROUP BY 2, 3)")
+        ctes.append(
+            f"{p}pv AS (SELECT f, v, "
+            "CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS a0, "
+            "CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS a1 "
+            f"FROM {p}h0 GROUP BY 1, 2)")
+        ctes.append(
+            f"{p}cum AS (SELECT f, v, "
+            "CAST(SUM(a0) OVER w AS BIGINT) AS c0, CAST(SUM(a1) OVER w AS BIGINT) AS c1, "
+            "CAST(SUM(a0) OVER (PARTITION BY f) AS BIGINT) AS t0, "
+            "CAST(SUM(a1) OVER (PARTITION BY f) AS BIGINT) AS t1, "
+            f"MAX(v) OVER (PARTITION BY f) AS vmax FROM {p}pv "
+            "WINDOW w AS (PARTITION BY f ORDER BY v))")
+        ctes.append(
+            f"{p}sc AS (SELECT f, v AS thr, c0 + c1 AS nl, "
+            "(t0 - c0) + (t1 - c1) AS nr, c0*c0 + c1*c1 AS sl, "
+            "(t0 - c0)*(t0 - c0) + (t1 - c1)*(t1 - c1) AS sr "
+            f"FROM {p}cum WHERE v < vmax AND c0 + c1 > 0 "
+            "AND (t0 - c0) + (t1 - c1) > 0)")
+        ctes.append(
+            f"{p}root AS (SELECT f, thr FROM {p}sc "
+            f"WHERE f <> {_rf_mtry_excl(b, 0, seed)} "
+            f"ORDER BY {score} DESC, f ASC, thr ASC LIMIT 1)")
+        ctes.append(
+            f"{p}h2 AS (SELECT CASE WHEN {fv} <= r.thr THEN 0 ELSE 1 END AS side, "
+            f"0 AS f, f0 AS v, y, COUNT(*) AS n FROM ftb, {p}root r "
+            f"WHERE bag{b} = 1 GROUP BY 1, 3, 4 "
+            f"UNION ALL SELECT CASE WHEN {fv} <= r.thr THEN 0 ELSE 1 END, 1, f1, y, "
+            f"COUNT(*) FROM ftb, {p}root r WHERE bag{b} = 1 GROUP BY 1, 3, 4 "
+            f"UNION ALL SELECT CASE WHEN {fv} <= r.thr THEN 0 ELSE 1 END, 2, f2, y, "
+            f"COUNT(*) FROM ftb, {p}root r WHERE bag{b} = 1 GROUP BY 1, 3, 4)")
+        ctes.append(
+            f"{p}pv2 AS (SELECT side, f, v, "
+            "CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS a0, "
+            "CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS a1 "
+            f"FROM {p}h2 GROUP BY 1, 2, 3)")
+        ctes.append(
+            f"{p}cum2 AS (SELECT side, f, v, "
+            "CAST(SUM(a0) OVER w AS BIGINT) AS c0, CAST(SUM(a1) OVER w AS BIGINT) AS c1, "
+            "CAST(SUM(a0) OVER (PARTITION BY side, f) AS BIGINT) AS t0, "
+            "CAST(SUM(a1) OVER (PARTITION BY side, f) AS BIGINT) AS t1, "
+            f"MAX(v) OVER (PARTITION BY side, f) AS vmax FROM {p}pv2 "
+            "WINDOW w AS (PARTITION BY side, f ORDER BY v))")
+        ctes.append(
+            f"{p}sc2 AS (SELECT side, f, v AS thr, c0 + c1 AS nl, "
+            "(t0 - c0) + (t1 - c1) AS nr, c0*c0 + c1*c1 AS sl, "
+            "(t0 - c0)*(t0 - c0) + (t1 - c1)*(t1 - c1) AS sr, "
+            "c1 AS cl1, t1 AS tt1 "
+            f"FROM {p}cum2 WHERE v < vmax AND c0 + c1 > 0 "
+            "AND (t0 - c0) + (t1 - c1) > 0)")
+        e1, e2 = _rf_mtry_excl(b, 1, seed), _rf_mtry_excl(b, 2, seed)
+        ctes.append(
+            f"{p}pick AS (SELECT side, f, thr, "
+            "CASE WHEN 2*cl1 > nl THEN 1 ELSE 0 END AS ll, "
+            "CASE WHEN 2*(tt1 - cl1) > nr THEN 1 ELSE 0 END AS lr, "
+            f"ROW_NUMBER() OVER (PARTITION BY side ORDER BY {score} DESC, "
+            f"f ASC, thr ASC) AS rr FROM {p}sc2 "
+            f"WHERE NOT (side = 0 AND f = {e1}) "
+            f"AND NOT (side = 1 AND f = {e2}))")
+        ctes.append(
+            f"{p}st AS (SELECT CASE WHEN {fv} <= r.thr THEN 0 ELSE 1 END AS side, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS c1 "
+            f"FROM ftb, {p}root r WHERE bag{b} = 1 GROUP BY 1)")
+        ctes.append(
+            f"{p}par AS (SELECT r.f AS rf, r.thr AS rt, "
+            f"COALESCE(q0.f, 0) AS s0f, COALESCE(q0.thr, {nosplit}) AS s0t, "
+            "COALESCE(q0.ll, m0.cls) AS c00, COALESCE(q0.lr, m0.cls) AS c01, "
+            f"COALESCE(q1.f, 0) AS s1f, COALESCE(q1.thr, {nosplit}) AS s1t, "
+            "COALESCE(q1.ll, m1.cls) AS c10, COALESCE(q1.lr, m1.cls) AS c11 "
+            f"FROM {p}root r "
+            f"LEFT JOIN (SELECT * FROM {p}pick WHERE rr = 1) q0 ON q0.side = 0 "
+            f"LEFT JOIN (SELECT * FROM {p}pick WHERE rr = 1) q1 ON q1.side = 1 "
+            f"LEFT JOIN (SELECT side, CASE WHEN 2*c1 > n THEN 1 ELSE 0 END AS cls "
+            f"FROM {p}st) m0 ON m0.side = 0 "
+            f"LEFT JOIN (SELECT side, CASE WHEN 2*c1 > n THEN 1 ELSE 0 END AS cls "
+            f"FROM {p}st) m1 ON m1.side = 1)")
+
+    for b in range(B):
+        tree_ctes(b)
+
+    def route(b: int) -> str:
+        p = f"p{b}"
+        def fsel(fcol: str) -> str:
+            return f"(CASE {p}.{fcol} WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END)"
+        return (
+            f"CASE WHEN {fsel('rf')} <= {p}.rt THEN "
+            f"CASE WHEN {fsel('s0f')} <= {p}.s0t THEN {p}.c00 ELSE {p}.c01 END "
+            f"ELSE CASE WHEN {fsel('s1f')} <= {p}.s1t THEN {p}.c10 ELSE {p}.c11 END END")
+
+    votes = " + ".join(f"({route(b)})" for b in range(B))
+    joins = " ".join(f"CROSS JOIN t{b}_par p{b}" for b in range(B))
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT okey AS l_orderkey, lnum AS l_linenumber, "
+        f"CAST(({votes}) AS BIGINT) AS votes, "
+        f"CAST(CASE WHEN 2*({votes}) > {B} THEN 1 ELSE 0 END AS BIGINT) AS pred "
+        f"FROM ftb {joins}"
+    )

@@ -2547,6 +2547,18 @@ def _q_ms_toposeg(sf_dir: str):
                                    grid_x=8, grid_y=8)
 
 
+def _q_rf_predict(sf_dir: str):
+    """Bagged-CART random forest (reference learning.py clfdict's
+    RandomForest workhorse): 8 hash-bagged depth-2 trees, exact histogram
+    split search, majority-vote prediction over every row."""
+    from geospatial_learn_ray.stages import train
+
+    return train.rf_predict_lineitem(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+             "l_tax"]))
+
+
 def _q_semseg_cnn(sf_dir: str):
     """CNN semantic segmentation (reference convnet.py:431 semseg_pred):
     integer-weight conv forward in an actor pool over a 16×16-tile clip

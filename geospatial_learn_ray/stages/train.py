@@ -1620,3 +1620,246 @@ def learned_index_audit(ds: ray.data.Dataset, key_col: str = "o_orderkey",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# bagged-CART random forest (reference learning.py:560-592 clfdict's
+# RandomForest workhorse; VERDICT r4 "Next round" #4)
+# ---------------------------------------------------------------------------
+
+RF_SEED = 11
+RF_TREES = 8
+RF_BAG_PERMILLE = 632  # the 63.2% unique-row mass of a true bootstrap
+_RF_NO_SPLIT_THR = np.int64(2**62)  # splitless child: everything routes left
+
+
+def _rf_seeds(n_trees: int = RF_TREES, seed: int = RF_SEED) -> np.ndarray:
+    return splitmix64(np.arange(1, n_trees + 1, dtype=np.uint64) * np.uint64(seed))
+
+
+def _rf_mtry_excl(tree: int, node: int, seed: int = RF_SEED) -> int:
+    """Feature subsampling (the RandomForest mtry rule, here mtry=2 of
+    3): each (tree, node) EXCLUDES one hash-chosen feature from its
+    split search — this, not the bags alone, is what decorrelates trees
+    on a dataset whose bootstrap histograms are nearly identical.
+    Deterministic in (tree, node, seed) only, so the SQL twin inlines
+    the exclusions as literals. Nodes: 0 root, 1 left child, 2 right."""
+    h = splitmix64(np.asarray([seed * 1_000_003 + tree * 4 + node],
+                              np.uint64))[0]
+    return int(h % np.uint64(3))
+
+
+def _rf_feats(b: pd.DataFrame) -> pd.DataFrame:
+    """The cart_depth2 integer feature triple + a LEARNABLE noisy label.
+
+    Every natural column in the synthetic lineitem is INDEPENDENT of the
+    integer features (measured: returnflag and extendedprice are flat
+    across every quantity/discount/tax bucket), so an honest label makes
+    every leaf the same majority class and the forest degenerates to one
+    constant vote. The label here is the standard synthetic-benchmark
+    construction instead: a linear feature rule plus id-hash noise,
+    y = [10·f0 + 7·f1 + 13·f2 + splitmix64(k) % 40 > 360] — learnable
+    (trees recover the rule), noisy (bags and mtry masks disagree near
+    the boundary, so the vote is non-degenerate), layout-invariant and
+    SQL-expressible. Bagging key k = l_orderkey·8 + l_linenumber (NOT
+    unique in the synthetic lineitem, which is fine: duplicates draw
+    identical bag membership and label noise both sides)."""
+    q = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    d = round_half_away(b["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+    t = round_half_away(b["l_tax"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+    k = (b["l_orderkey"].to_numpy(np.int64) * 8
+         + b["l_linenumber"].to_numpy(np.int64))
+    noise = (splitmix64(k.astype(np.uint64)) % np.uint64(40)).astype(np.int64)
+    y = (10 * q + 7 * d + 13 * t + noise > 360).astype(np.int64)
+    return pd.DataFrame({"f0": q, "f1": d, "f2": t, "y": y, "k": k})
+
+
+def _rf_bags(keys: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """[n, B] bool in-bag matrix: splitmix64(k ^ seed_b) % 1000 < 632."""
+    old = np.seterr(over="ignore")
+    try:
+        h = splitmix64(keys[:, None].astype(np.uint64) ^ seeds[None, :])
+    finally:
+        np.seterr(**old)
+    return (h % np.uint64(1000)) < np.uint64(RF_BAG_PERMILLE)
+
+
+def _rf_best_split(c0: np.ndarray, c1: np.ndarray, vs: np.ndarray,
+                   f: int, best):
+    """Scan one feature's cumulative histogram for the weighted-purity
+    argmax (the cart_depth2 rule: Σ_child (c0²+c1²)/n, ties to smallest
+    (f, thr)); returns the updated best tuple (key, f, thr, leafs)."""
+    cc0, cc1 = c0.cumsum(), c1.cumsum()
+    n_tot, t1 = int(cc0[-1] + cc1[-1]), int(cc1[-1])
+    for i in range(len(vs) - 1):
+        nl = int(cc0[i] + cc1[i])
+        nr = n_tot - nl
+        if nl == 0 or nr == 0:
+            continue
+        sl = int(cc0[i]) ** 2 + int(cc1[i]) ** 2
+        sr = int(cc0[-1] - cc0[i]) ** 2 + int(cc1[-1] - cc1[i]) ** 2
+        score = float(sl) / float(nl) + float(sr) / float(nr)
+        key = (-score, f, int(vs[i]))
+        if best is None or key < best[0]:
+            # leaf classes: majority with ties to 0 (2·c1 > n)
+            ll = int(2 * cc1[i] > nl)
+            lr = int(2 * (t1 - cc1[i]) > nr)
+            best = (key, f, int(vs[i]), ll, lr)
+    return best
+
+
+def rf_fit_bagged_cart(ds: ray.data.Dataset, n_trees: int = RF_TREES,
+                       seed: int = RF_SEED,
+                       num_buckets: int = 16) -> pd.DataFrame:
+    """Fit ``n_trees`` depth-2 CART trees on hash-derived bootstrap bags
+    (the distributed RandomForest trainer): two histogram passes total —
+    pass 1 builds every tree's ROOT (feature, value, label) histogram at
+    once (long-form partials pre-aggregate per batch; only the tiny
+    histogram crosses the exchange), pass 2 the per-(tree, root-side)
+    child histograms. The driver scans counted cumulative sums only.
+
+    Returns the forest as a params DataFrame, one row per tree:
+    rf/rt (root split), s{0,1}f/s{0,1}t (child splits; a splitless child
+    gets thr 2⁶² so every row routes left), c{side}{child} leaf classes.
+    """
+    from .exchange import bucket_exchange
+
+    B = n_trees
+    seeds = _rf_seeds(B, seed)
+
+    def hist_partial(cond_params):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            fb = _rf_feats(b)
+            bags = _rf_bags(fb["k"].to_numpy(), seeds)
+            frames = []
+            for s in range(B):
+                sub = fb[bags[:, s]]
+                if cond_params is not None:
+                    rf_, rt_ = cond_params[s]
+                    side = (sub[f"f{rf_}"].to_numpy() > rt_).astype(np.int64)
+                else:
+                    side = np.zeros(len(sub), np.int64)
+                for f in range(3):
+                    g = (pd.DataFrame({"side": side,
+                                       "v": sub[f"f{f}"].to_numpy(),
+                                       "y": sub["y"].to_numpy()})
+                         .groupby(["side", "v", "y"], sort=False)
+                         .size().rename("n").reset_index())
+                    g.insert(0, "f", np.int64(f))
+                    g.insert(0, "tree", np.int64(s))
+                    frames.append(g)
+            out = pd.concat(frames, ignore_index=True)
+            out["n"] = out["n"].astype(np.int64)
+            out["_part"] = ((out["tree"] * 3 + out["f"])
+                            % num_buckets).astype(np.int32)
+            return out
+
+        return fn
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["tree", "f", "side", "v", "y"], sort=False,
+                        as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def gather(cond_params) -> pd.DataFrame:
+        return bucket_exchange(
+            ds.map_batches(hist_partial(cond_params), batch_format="pandas"),
+            hist_sum, small_partials=True).to_pandas()
+
+    # pass 1: root splits
+    roots = []
+    h1 = gather(None)
+    for s in range(B):
+        best = None
+        excl = _rf_mtry_excl(s, 0, seed)
+        for f in range(3):
+            if f == excl:
+                continue
+            h = h1[(h1["tree"] == s) & (h1["f"] == f)]
+            piv = h.pivot_table(index="v", columns="y", values="n",
+                                aggfunc="sum", fill_value=0)
+            for y in (0, 1):
+                if y not in piv.columns:
+                    piv[y] = 0
+            piv = piv.sort_index()
+            best = _rf_best_split(piv[0].to_numpy(np.int64),
+                                  piv[1].to_numpy(np.int64),
+                                  piv.index.to_numpy(np.int64), f, best)
+        roots.append((best[1], best[2]))
+
+    # pass 2: child splits conditioned on each tree's root
+    h2 = gather(roots)
+    params = []
+    for s in range(B):
+        row = {"tree": s, "rf": roots[s][0], "rt": roots[s][1]}
+        for side in (0, 1):
+            best = None
+            tot_n = tot_1 = 0
+            excl = _rf_mtry_excl(s, 1 + side, seed)
+            for f in range(3):
+                h = h2[(h2["tree"] == s) & (h2["f"] == f)
+                       & (h2["side"] == side)]
+                piv = h.pivot_table(index="v", columns="y", values="n",
+                                    aggfunc="sum", fill_value=0)
+                for y in (0, 1):
+                    if y not in piv.columns:
+                        piv[y] = 0
+                piv = piv.sort_index()
+                if f == 0:
+                    tot_n = int(piv.to_numpy().sum())
+                    tot_1 = int(piv[1].sum())
+                if f == excl:  # mtry: totals still come from f0's rows
+                    continue
+                best = _rf_best_split(piv[0].to_numpy(np.int64),
+                                      piv[1].to_numpy(np.int64),
+                                      piv.index.to_numpy(np.int64), f, best)
+            if best is None:  # splitless child: route left, leaf = majority
+                row[f"s{side}f"] = 0
+                row[f"s{side}t"] = int(_RF_NO_SPLIT_THR)
+                cls = int(2 * tot_1 > tot_n)
+                row[f"c{side}0"] = cls
+                row[f"c{side}1"] = cls
+            else:
+                row[f"s{side}f"] = best[1]
+                row[f"s{side}t"] = best[2]
+                row[f"c{side}0"] = best[3]
+                row[f"c{side}1"] = best[4]
+        params.append(row)
+    out = pd.DataFrame(params)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def rf_predict_lineitem(ds: ray.data.Dataset, n_trees: int = RF_TREES,
+                        seed: int = RF_SEED) -> ray.data.Dataset:
+    """Forest prediction over EVERY row (reference model.predict shape):
+    the fitted params broadcast once (``ray.put``), one vectorized routing
+    pass computes all trees' votes per batch. pred = majority with ties
+    to 0 (2·votes > n_trees)."""
+    import ray as _ray
+
+    model = rf_fit_bagged_cart(ds, n_trees=n_trees, seed=seed)
+    mref = _ray.put(model)
+
+    def predict(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(mref) if isinstance(mref, _ray.ObjectRef) else mref
+        fb = _rf_feats(b)
+        F = fb[["f0", "f1", "f2"]].to_numpy(np.int64)  # [n, 3]
+        votes = np.zeros(len(fb), np.int64)
+        for _, t in m.iterrows():  # n_trees iterations, vectorized inside
+            side = (F[:, t["rf"]] > t["rt"]).astype(np.int64)
+            cf = np.where(side == 0, t["s0f"], t["s1f"])
+            ct = np.where(side == 0, t["s0t"], t["s1t"])
+            child = (F[np.arange(len(fb)), cf] > ct).astype(np.int64)
+            cls = np.array([[t["c00"], t["c01"]], [t["c10"], t["c11"]]],
+                           np.int64)[side, child]
+            votes += cls
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_linenumber": b["l_linenumber"].to_numpy(np.int64),
+            "votes": votes,
+            "pred": (2 * votes > n_trees).astype(np.int64)})
+
+    return ds.map_batches(predict, batch_format="pandas")
