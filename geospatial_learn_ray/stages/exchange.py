@@ -20,11 +20,43 @@ stays under the shuffle target block size; bucket counts are coarse
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 import ray
 import ray.data
 from ray.data.context import DataContext, ShuffleStrategy
+
+
+class _EmptyNewSchemaFilter:
+    """Drop ONLY the benign variant of Ray's RefBundle schema-drift warning
+    where the NEW schema is a zero-column empty block. Ray 2.49's
+    dedupe_schemas_with_validation skips the check when the OLD schema is
+    empty but not when the NEW one is (ray/data/_internal/execution/
+    streaming_executor_state.py); sort ranges and map_groups partitions
+    with no rows legitimately emit column-less blocks RAY-SIDE (every
+    combiner in this repo returns typed frames — map_groups never calls
+    fn on an empty partition, so the empty block cannot be typed from our
+    code), and they fire on every exchange whose bucket count exceeds its
+    row count. REAL schema drift (two non-empty schemas disagreeing)
+    still warns. Installed once at import of the exchange primitive that
+    triggers it; idempotent (the logger dedups by class)."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        return not (
+            "different schema" in msg
+            and ("new schema: PandasBlockSchema(names=[]" in msg
+                 or "new schema: Schema()" in msg
+                 # an empty ARROW schema str()s to nothing at all
+                 or "new schema: . This may" in msg)
+        )
+
+
+_exec_logger = logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state")
+if not any(isinstance(f, _EmptyNewSchemaFilter) for f in _exec_logger.filters):
+    _exec_logger.addFilter(_EmptyNewSchemaFilter())
 
 
 def use_hash_shuffle() -> bool:
