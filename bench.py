@@ -103,12 +103,28 @@ def run_benchmarks() -> dict:
     def pages_input():
         return rd.read_parquet(pages_dir)
 
-    # headline: flagship spatial-join + tiling, end-to-end streaming
-    t0 = time.monotonic()
-    heads = flagship_dataset(SF_DIR, pages=pages_input())
-    join_count = heads["join_rows"].count()
-    headline = time.monotonic() - t0
+    # headline: flagship spatial-join + tiling, end-to-end streaming.
+    # MEDIAN of GRAFT_BENCH_REPEATS (default 3) runs with per-run steal
+    # annotation: single runs on this box vary ±50% with hypervisor CPU
+    # steal (VERDICT r4 #5 — BENCH_r04 vs r03 flagship deltas were pure
+    # steal noise), so round-over-round comparisons need the median and
+    # the steal evidence in the same artifact.
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
+    times: list[float] = []
+    steals: list[float] = []
+    join_count = 0
+    for _ in range(reps):
+        s0, j0 = _steal_ticks()
+        t0 = time.monotonic()
+        heads = flagship_dataset(SF_DIR, pages=pages_input())
+        join_count = heads["join_rows"].count()
+        times.append(time.monotonic() - t0)
+        s1, j1 = _steal_ticks()
+        steals.append(round((s1 - s0) / max(j1 - j0, 1), 4))
+    headline = sorted(times)[len(times) // 2]
     queries["flagship_join_sec"] = round(headline, 3)
+    queries["flagship_join_runs"] = [round(t, 3) for t in times]
+    queries["flagship_steal_frac"] = steals
     queries["flagship_join_rows"] = join_count
     queries["docs_per_sec"] = round(n_pages / headline, 1)
 
