@@ -79,3 +79,49 @@ def test_gdb_container_roundtrip():
         assert bytes(r.geometry) == ring_to_wkb(ring)
     with pytest.raises(NotImplementedError, match="OpenFileGDB"):
         gdb.gdb_convert(driver="real")
+
+
+def test_fixture_transport_replays_recorded_responses(tmp_path):
+    # VERDICT r4 #9: the seam branch beyond NotImplementedError — record
+    # responses, then fetch with transport="fixture" through the shared
+    # response-parsing path; output must equal the fake transport's.
+    from geospatial_learn_ray.sources import wms
+
+    man = wms.wms_manifest(grid_x=4, grid_y=2, tile_px=8)
+    out_dir = str(tmp_path / "rec")
+    n = wms.record_wms_fixture(man, out_dir, "https://wms.example", "lyr")
+    assert n == 8
+    fake = wms.fetch_wms_tiles(man, "https://wms.example", "lyr").to_pandas()
+    fix = wms.fetch_wms_tiles(man, "https://wms.example", "lyr",
+                              transport="fixture",
+                              fixture_dir=out_dir).to_pandas()
+    key = ["tile_x", "tile_y"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        fake.sort_values(key).reset_index(drop=True),
+        fix.sort_values(key).reset_index(drop=True))
+
+
+def test_fixture_transport_missing_response_fails_loud(tmp_path):
+    import pytest as _pytest
+
+    from geospatial_learn_ray.sources import wms
+
+    man = wms.wms_manifest(grid_x=2, grid_y=1, tile_px=4)
+    with _pytest.raises(Exception):
+        wms.fetch_wms_tiles(man, "e", "l", transport="fixture",
+                            fixture_dir=str(tmp_path)).to_pandas()
+
+
+def test_gdb_fixture_driver_reads_recorded_container(tmp_path):
+    from geospatial_learn_ray.sources import gdb
+
+    p = str(tmp_path / "container.gdbx")
+    open(p, "wb").write(gdb.build_gdb_container())
+    mem = gdb.gdb_convert().to_pandas()
+    fix = gdb.gdb_convert(driver="fixture", path=p).to_pandas()
+    import pandas as pd
+    key = ["layer", "feature_id"]
+    pd.testing.assert_frame_equal(
+        mem.sort_values(key).reset_index(drop=True),
+        fix.sort_values(key).reset_index(drop=True))
