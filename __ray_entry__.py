@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiff_roundtrip_tiles": _q_tiff_roundtrip,
         "semseg_pred_tiles": _q_semseg_cnn,
         "rf_predict_lineitem": _q_rf_predict,
+        "rf_oob_error_lineitem": _q_rf_oob,
+        "tiff_scene_windows_tiles": _q_tiff_scene_windows,
     }
 
 
@@ -1947,4 +1949,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semseg_pred_tiles": _semseg_cnn_sql(),
         "rf_predict_lineitem": _rf_forest_sql(),
+        "rf_oob_error_lineitem": _rf_forest_sql(mode="oob"),
+        "tiff_scene_windows_tiles": (
+            f"WITH {tiles_sql(32)}, "
+            "qq AS (SELECT tile_x, tile_y, "
+            "CAST(FLOOR(vd * CAST(64.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT) AS qs FROM rast "
+            "WHERE tile_x < 32 AND tile_y < 16) "
+            "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
+            "CAST(tile_y AS BIGINT) AS tile_y, "
+            "CAST(COUNT(*) AS BIGINT) AS n_px, "
+            "CAST(SUM(qs) AS BIGINT) AS q_sum, "
+            "CAST(MIN(qs) AS BIGINT) AS q_min, "
+            "CAST(MAX(qs) AS BIGINT) AS q_max "
+            "FROM qq GROUP BY tile_x, tile_y"
+        ),
     }

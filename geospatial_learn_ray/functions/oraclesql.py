@@ -8434,14 +8434,17 @@ def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
     )
 
 
-def _rf_forest_sql(n_trees: int = 8, seed: int = 11) -> str:
-    """SQL twin of train.rf_predict_lineitem: per-tree bag bits from the
+def _rf_forest_sql(n_trees: int = 8, seed: int = 11,
+                   mode: str = "predict") -> str:
+    """SQL twin of train.rf_predict_lineitem (mode="predict") and
+    train.rf_oob_error (mode="oob"): per-tree bag bits from the
     identical splitmix64(k ^ seed_b) draw (seeds inlined as literals),
     each tree's depth-2 CART re-derived by the _cart_depth2_sql recipe
     (cumulative histograms, identical weighted-purity f64 argmax, ties to
     smallest (f, thr)) restricted to its bag, leaf classes by majority
     with ties to 0, then one routing pass CROSS JOINed with every tree's
-    single param row. Splitless children carry thr 2^62 (route left)."""
+    single param row. Splitless children carry thr 2^62 (route left);
+    OOB mode counts the signed majority of bag-excluding trees only."""
     from ..stages.train import (RF_BAG_PERMILLE, _RF_NO_SPLIT_THR,
                                 _rf_mtry_excl, _rf_seeds)
 
@@ -8567,8 +8570,29 @@ def _rf_forest_sql(n_trees: int = 8, seed: int = 11) -> str:
             f"CASE WHEN {fsel('s0f')} <= {p}.s0t THEN {p}.c00 ELSE {p}.c01 END "
             f"ELSE CASE WHEN {fsel('s1f')} <= {p}.s1t THEN {p}.c10 ELSE {p}.c11 END END")
 
-    votes = " + ".join(f"({route(b)})" for b in range(B))
     joins = " ".join(f"CROSS JOIN t{b}_par p{b}" for b in range(B))
+    if mode == "oob":
+        # OOB signed majority: only trees whose bag excludes the row vote
+        signed = " + ".join(
+            f"(CASE WHEN bag{b} = 0 THEN 2*({route(b)}) - 1 ELSE 0 END)"
+            for b in range(B))
+        has_vote = " + ".join(f"(1 - bag{b})" for b in range(B))
+        return (
+            "WITH " + ", ".join(ctes) + ", "
+            f"ob AS (SELECT y, ({signed}) AS sv, ({has_vote}) AS hv "
+            f"FROM ftb {joins}) "
+            "SELECT CAST(SUM(CASE WHEN hv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oob, "
+            "CAST(SUM(CASE WHEN hv > 0 AND "
+            "(CASE WHEN sv > 0 THEN 1 ELSE 0 END) <> y THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_err, "
+            "CAST(FLOOR(CAST(1000.0 AS DOUBLE) "
+            "* SUM(CASE WHEN hv > 0 AND (CASE WHEN sv > 0 THEN 1 ELSE 0 END) <> y "
+            "THEN 1 ELSE 0 END) "
+            "/ GREATEST(SUM(CASE WHEN hv > 0 THEN 1 ELSE 0 END), 1) "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS err_permille "
+            "FROM ob"
+        )
+    votes = " + ".join(f"({route(b)})" for b in range(B))
     return (
         "WITH " + ", ".join(ctes) + " "
         f"SELECT okey AS l_orderkey, lnum AS l_linenumber, "

@@ -2596,6 +2596,44 @@ def _q_tiff_roundtrip(sf_dir: str):
     return back.map_batches(agg_batch, batch_format="pandas")
 
 
+def _q_tiff_scene_windows(sf_dir: str):
+    """Whole-scene GeoTIFF + strip-pruned WINDOWED reads (the GDAL
+    ReadAsArray(col, row, w, h) model, reference raster.py:373): one
+    1024×512 scene written once, every task seeks only its window's
+    strips, per-window exact-integer aggregate."""
+    import os
+
+    from geospatial_learn_ray.sources import tiff as tiffsrc
+    from geospatial_learn_ray.state.scratch import scratch_dir
+
+    d = scratch_dir("graft_tiffscene_")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "scene.tif")
+    tiffsrc.write_scene_tiff(path, grid_x=32, grid_y=16, tile_px=32)
+    back = tiffsrc.read_scene_windows(path, grid_x=32, grid_y=16, tile_px=32)
+
+    def agg_batch(b: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(b["band_values"].to_numpy())
+        qs = np.floor(V.astype(np.float64) * 64.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "tile_x": b["tile_x"].to_numpy(np.int64),
+            "tile_y": b["tile_y"].to_numpy(np.int64),
+            "n_px": np.full(len(b), qs.shape[1], np.int64),
+            "q_sum": qs.sum(axis=1), "q_min": qs.min(axis=1),
+            "q_max": qs.max(axis=1)})
+
+    return back.map_batches(agg_batch, batch_format="pandas")
+
+
+def _q_rf_oob(sf_dir: str):
+    from geospatial_learn_ray.stages import train
+
+    return train.rf_oob_error(
+        _rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+             "l_tax"]))
+
+
 # KEEP LAST: evaluated at import; any _q_* defined below it would be
 # invisible to __ray_entry__'s `import *`.
 __all__ = [n for n in list(globals()) if n.startswith("_q_")] + [

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .tiles import GRID_X, GRID_Y, tile_bounds
+from .tiles import GRID_X, GRID_Y, X0, X1, Y1, tile_bounds
 
 # tag ids
 _IMAGE_WIDTH, _IMAGE_LENGTH = 256, 257
@@ -290,4 +290,49 @@ def read_tiffs_to_tiles(in_dir: str) -> ray.data.Dataset:
         })
 
     return ray.data.from_items([{"name": n} for n in names]).map_batches(
+        read_batch, batch_format="pandas")
+
+
+def write_scene_tiff(path: str, grid_x: int = 32, grid_y: int = 16,
+                     tile_px: int = 32) -> None:
+    """Assemble the closed-form raster into ONE scene GeoTIFF
+    (grid_y·tile_px rows × grid_x·tile_px cols) — the reference's
+    whole-scene dataset that windowed readers then slice
+    (raster.py:373 raster2array / its window reads)."""
+    from .tiles import tile_pixels
+
+    rows = []
+    for ty in range(grid_y):
+        rows.append(np.concatenate(
+            [tile_pixels(tx, ty, tile_px) for tx in range(grid_x)], axis=1))
+    scene = np.concatenate(rows, axis=0)
+    w = (X1 - X0) / GRID_X * grid_x / (grid_x * tile_px)
+    write_tiff(path, scene, pixel_scale=(w, w), origin=(X0, Y1),
+               rows_per_strip=tile_px)
+
+
+def read_scene_windows(path: str, grid_x: int = 32, grid_y: int = 16,
+                       tile_px: int = 32) -> ray.data.Dataset:
+    """Windowed ingest of one scene TIFF: the manifest is (tile_x,
+    tile_y) window keys; each task seeks ONLY the strips covering its
+    window (read_tiff_window) — no task ever reads the whole file, the
+    byte-range model that scales to a directory of 100 GB scenes."""
+    def read_batch(b: pd.DataFrame) -> pa.Table:
+        txs, tys, vals = [], [], []
+        for _, r in b.iterrows():
+            tx, ty = int(r["tile_x"]), int(r["tile_y"])
+            win = read_tiff_window(path, ty * tile_px, tx * tile_px,
+                                   tile_px, tile_px)
+            txs.append(tx)
+            tys.append(ty)
+            vals.append(win.astype(np.float32).ravel())
+        return pa.table({
+            "tile_x": pa.array(np.asarray(txs, np.int32), pa.int32()),
+            "tile_y": pa.array(np.asarray(tys, np.int32), pa.int32()),
+            "band_values": pa.array(vals, pa.list_(pa.float32())),
+        })
+
+    items = [{"tile_x": tx, "tile_y": ty}
+             for ty in range(grid_y) for tx in range(grid_x)]
+    return ray.data.from_items(items).map_batches(
         read_batch, batch_format="pandas")

@@ -1863,3 +1863,58 @@ def rf_predict_lineitem(ds: ray.data.Dataset, n_trees: int = RF_TREES,
             "pred": (2 * votes > n_trees).astype(np.int64)})
 
     return ds.map_batches(predict, batch_format="pandas")
+
+
+def rf_oob_error(ds: ray.data.Dataset, n_trees: int = RF_TREES,
+                 seed: int = RF_SEED) -> ray.data.Dataset:
+    """Out-of-bag generalization estimate for the bagged-CART forest
+    (the honest-error companion every RandomForest reports): per row,
+    only trees whose bag EXCLUDES the row vote (signed majority, ties to
+    class 0); rows with no OOB tree abstain. One pass after the fit;
+    per-batch integer partials, single-row output (n_oob, n_err,
+    err_permille = floor(1000·err/n + 0.5))."""
+    import ray as _ray
+
+    model = rf_fit_bagged_cart(ds, n_trees=n_trees, seed=seed)
+    mref = _ray.put(model)
+    seeds = _rf_seeds(n_trees, seed)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(mref) if isinstance(mref, _ray.ObjectRef) else mref
+        fb = _rf_feats(b)
+        F = fb[["f0", "f1", "f2"]].to_numpy(np.int64)
+        y = fb["y"].to_numpy(np.int64)
+        bags = _rf_bags(fb["k"].to_numpy(), seeds)
+        signed = np.zeros(len(fb), np.int64)
+        for bi, (_, t) in enumerate(m.iterrows()):
+            side = (F[:, t["rf"]] > t["rt"]).astype(np.int64)
+            cf = np.where(side == 0, t["s0f"], t["s1f"])
+            ct = np.where(side == 0, t["s0t"], t["s1t"])
+            child = (F[np.arange(len(fb)), cf] > ct).astype(np.int64)
+            cls = np.array([[t["c00"], t["c01"]], [t["c10"], t["c11"]]],
+                           np.int64)[side, child]
+            signed += np.where(bags[:, bi], 0, 2 * cls - 1)
+        has_vote = (~bags).any(axis=1)
+        guess = (signed > 0).astype(np.int64)
+        err = (guess != y) & has_vote
+        return pd.DataFrame({"n_oob": [np.int64(has_vote.sum())],
+                             "n_err": [np.int64(err.sum())],
+                             "_part": [np.int32(0)]})
+
+    from .exchange import bucket_exchange
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["_part"]).sum().to_frame().T
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    s = bucket_exchange(ds.map_batches(partial, batch_format="pandas"),
+                        combine, small_partials=True).to_pandas().iloc[0]
+    n_oob, n_err = int(s["n_oob"]), int(s["n_err"])
+    pm = int(np.floor(1000.0 * n_err / max(n_oob, 1) + 0.5))
+    out = pd.DataFrame({"n_oob": [n_oob], "n_err": [n_err],
+                        "err_permille": [pm]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -105,3 +105,15 @@ def test_tiles_egress_is_resumable(tmp_path):
     tiff.write_tiles_to_tiffs(ds, out, tile_px=8).materialize()
     mt2 = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
     assert mt1 == mt2  # finished tiles skipped on re-run
+
+
+def test_scene_windowed_read_matches_tiles(tmp_path):
+    import os
+    from geospatial_learn_ray.sources import tiff
+    p = str(tmp_path / "scene.tif")
+    tiff.write_scene_tiff(p, grid_x=4, grid_y=3, tile_px=16)
+    back = tiff.read_scene_windows(p, grid_x=4, grid_y=3, tile_px=16).to_pandas()
+    assert len(back) == 12
+    for _, r in back.iterrows():
+        exp = tile_pixels(int(r["tile_x"]), int(r["tile_y"]), 16).ravel()
+        assert np.array_equal(np.asarray(r["band_values"], np.float32), exp)
