@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_predict_lineitem": _q_rf_predict,
         "rf_oob_error_lineitem": _q_rf_oob,
         "tiff_scene_windows_tiles": _q_tiff_scene_windows,
+        "k_anonymity_customers": _q_k_anonymity,
     }
 
 
@@ -1963,5 +1964,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(qs) AS BIGINT) AS q_min, "
             "CAST(MAX(qs) AS BIGINT) AS q_max "
             "FROM qq GROUP BY tile_x, tile_y"
+        ),
+        "k_anonymity_customers": (
+            "WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "c_mktsegment, CAST(FLOOR(c_acctbal / CAST(1000.0 AS DOUBLE)) "
+            "AS BIGINT) AS bal_k FROM customer) "
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT bal_k) AS BIGINT) AS n_sensitive, "
+            "CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS k_risk, "
+            "CAST(CASE WHEN COUNT(DISTINCT bal_k) < 2 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS l_risk "
+            "FROM b GROUP BY 1, 2"
         ),
     }

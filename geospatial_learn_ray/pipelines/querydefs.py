@@ -2625,6 +2625,27 @@ def _q_tiff_scene_windows(sf_dir: str):
     return back.map_batches(agg_batch, batch_format="pandas")
 
 
+def _q_k_anonymity(sf_dir: str):
+    """Release-governance audit: k-anonymity + l-diversity per
+    quasi-identifier group (nation, market segment) with the account
+    balance bucketed to exact thousands as the sensitive attribute."""
+    from geospatial_learn_ray.stages.governance import k_anonymity_audit
+
+    ds = _rp(sf_dir, "customer",
+             ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+            "c_mktsegment": b["c_mktsegment"],
+            "bal_k": np.floor(b["c_acctbal"].to_numpy(np.float64)
+                              / 1000.0).astype(np.int64)})
+
+    return k_anonymity_audit(ds.map_batches(prep, batch_format="pandas"),
+                             ["c_nationkey", "c_mktsegment"], "bal_k",
+                             k=5, l=2)
+
+
 def _q_rf_oob(sf_dir: str):
     from geospatial_learn_ray.stages import train
 

@@ -787,3 +787,30 @@ def test_registry_guards_and_dispatch():
         _lineitem(), "l_returnflag", "l_quantity", "median").to_pandas()
     assert "mean_l_quantity" in dec.columns
     assert "median_l_quantity" in hol.columns
+
+
+def test_k_anonymity_audit_matches_pandas_reference():
+    import pandas as pd
+
+    from geospatial_learn_ray.stages.governance import k_anonymity_audit
+
+    df = pd.read_parquet("/root/testdata/sf0.001/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    df = pd.DataFrame({
+        "c_nationkey": df["c_nationkey"].astype(np.int64),
+        "c_mktsegment": df["c_mktsegment"],
+        "bal_k": np.floor(df["c_acctbal"].to_numpy(np.float64) / 1000.0).astype(np.int64)})
+    exp = (df.groupby(["c_nationkey", "c_mktsegment"])
+           .agg(n=("bal_k", "size"), n_sensitive=("bal_k", "nunique"))
+           .reset_index())
+    for blocks in (1, 5):
+        got = k_anonymity_audit(
+            ray.data.from_pandas(df).repartition(blocks),
+            ["c_nationkey", "c_mktsegment"], "bal_k", k=5, l=2).to_pandas()
+        m = got.merge(exp, on=["c_nationkey", "c_mktsegment"],
+                      suffixes=("", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n"] == m["n_e"]).all()
+        assert (m["n_sensitive"] == m["n_sensitive_e"]).all()
+        assert ((m["k_risk"] == 1) == (m["n"] < 5)).all()
+        assert ((m["l_risk"] == 1) == (m["n_sensitive"] < 2)).all()
