@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_oob_error_lineitem": _q_rf_oob,
         "tiff_scene_windows_tiles": _q_tiff_scene_windows,
         "k_anonymity_customers": _q_k_anonymity,
+        "dp_counts_events": _q_dp_counts,
     }
 
 
@@ -444,6 +445,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _canny_sql,
     _semseg_cnn_sql,
     _rf_forest_sql,
+    _dp_counts_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1977,4 +1979,5 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS l_risk "
             "FROM b GROUP BY 1, 2"
         ),
+        "dp_counts_events": _dp_counts_sql(),
     }

@@ -8600,3 +8600,21 @@ def _rf_forest_sql(n_trees: int = 8, seed: int = 11,
         f"CAST(CASE WHEN 2*({votes}) > {B} THEN 1 ELSE 0 END AS BIGINT) AS pred "
         f"FROM ftb {joins}"
     )
+
+
+def _dp_counts_sql(seed: int = 2024, bound: int = 5) -> str:
+    """SQL twin of governance.dp_noisy_counts: identical seeded draw —
+    splitmix64(fnv1a64(key) ^ splitmix64(seed)) % (2·bound+1) − bound —
+    over the exact grouped counts."""
+    sd = int(_smx(np.asarray([seed], np.uint64))[0])
+    base = ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1")
+    chained = _sg.chain(
+        f"SELECT event_type, n, {_sg.fnv1a64_expr('event_type')} AS fh "
+        f"FROM ({base})",
+        _sg.splitmix64_steps(_sg.u64_xor("fh", str(sd)), "nh", "dp"))
+    return (
+        "SELECT event_type, n, "
+        f"CAST(GREATEST(n + (nh % {2 * bound + 1}) - {bound}, 0) "
+        "AS BIGINT) AS released "
+        f"FROM ({chained})")

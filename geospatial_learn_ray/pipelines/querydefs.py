@@ -2646,6 +2646,13 @@ def _q_k_anonymity(sf_dir: str):
                              k=5, l=2)
 
 
+def _q_dp_counts(sf_dir: str):
+    from geospatial_learn_ray.stages.governance import dp_noisy_counts
+
+    return dp_noisy_counts(_rp(sf_dir, "events", ["event_type"]),
+                           "event_type", seed=2024, bound=5)
+
+
 def _q_rf_oob(sf_dir: str):
     from geospatial_learn_ray.stages import train
 

@@ -58,3 +58,47 @@ def k_anonymity_audit(ds: ray.data.Dataset, qi_cols: list[str],
     return bucket_exchange(
         ds.map_batches(partial, batch_format="pandas"), combine,
         small_partials=True)
+
+
+def dp_noisy_counts(ds: ray.data.Dataset, key_col: str, seed: int = 2024,
+                    bound: int = 5, num_buckets: int = 64) -> ray.data.Dataset:
+    """Differential-privacy-SHAPED count release: exact grouped counts
+    (sensitivity-1 query) plus a bounded integer noise draw per key.
+
+    SEAM NOTE (the multimodal-codec pattern): real ε-DP requires noise
+    drawn from a source the analyst cannot predict; this sandbox keeps
+    every pipeline deterministic/oracle-checkable, so the draw here is
+    the seeded two-sided uniform splitmix64(fnv(key) ^ splitmix64(seed))
+    % (2·bound+1) − bound. Swapping in numpy's Laplace sampler changes
+    ONE line in ``noise_of`` and nothing in the distributed plan: counts
+    pre-aggregate per batch, one coarse exchange combines, noise applies
+    to the O(distinct keys) output — never to row-level data."""
+    from .exchange import bucket_exchange
+
+    sd = splitmix64(np.asarray([seed], np.uint64))[0]
+
+    def noise_of(keys: np.ndarray) -> np.ndarray:
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(fnv1a64(keys.astype(object)) ^ sd)
+        finally:
+            np.seterr(**old)
+        return (h % np.uint64(2 * bound + 1)).astype(np.int64) - bound
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key_col, sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        h = splitmix64(fnv1a64(g[key_col].to_numpy(object)))
+        g["_part"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key_col, sort=False, as_index=False)["n"].sum()
+        s["n"] = s["n"].astype(np.int64)
+        noise = noise_of(s[key_col].to_numpy())
+        s["released"] = np.maximum(s["n"] + noise, 0).astype(np.int64)
+        return s
+
+    return bucket_exchange(
+        ds.map_batches(partial, batch_format="pandas"), combine,
+        small_partials=True)
