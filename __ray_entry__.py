@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiff_scene_windows_tiles": _q_tiff_scene_windows,
         "k_anonymity_customers": _q_k_anonymity,
         "dp_counts_events": _q_dp_counts,
+        "compact_plan_pages": _q_compact_plan,
     }
 
 
@@ -446,6 +447,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _semseg_cnn_sql,
     _rf_forest_sql,
     _dp_counts_sql,
+    _compact_plan_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1980,4 +1982,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM b GROUP BY 1, 2"
         ),
         "dp_counts_events": _dp_counts_sql(),
+        "compact_plan_pages": _compact_plan_sql(),
     }

@@ -8618,3 +8618,28 @@ def _dp_counts_sql(seed: int = 2024, bound: int = 5) -> str:
         f"CAST(GREATEST(n + (nh % {2 * bound + 1}) - {bound}, 0) "
         "AS BIGINT) AS released "
         f"FROM ({chained})")
+
+
+def _compact_plan_sql(target_bytes: int = 1 << 18) -> str:
+    """SQL twin of querydefs._q_compact_plan: per-host byte totals,
+    signed-int64 layout key = splitmix64(fnv1a64(host)) two's-complement
+    view, exclusive window prefix sum in key order, group = prefix //
+    target (prefix >= 0, so DuckDB's truncating // equals numpy floor)."""
+    hk = _sg.chain(
+        "SELECT host, nbytes, "
+        f"{_sg.fnv1a64_expr('host')} AS fh FROM hb",
+        _sg.splitmix64_steps("fh", "hku", "cp"))
+    return (
+        f"WITH {pages_sql()}, "
+        "hb AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host, "
+        "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS nbytes "
+        "FROM pages GROUP BY 1), "
+        f"hk AS (SELECT host, nbytes, CAST(hku - CASE WHEN hku >= {1 << 63} "
+        f"THEN CAST({1 << 64} AS HUGEINT) ELSE 0 END AS BIGINT) AS hkey "
+        f"FROM ({hk})), "
+        "pre AS (SELECT host, nbytes, hkey, "
+        "COALESCE(SUM(nbytes) OVER (ORDER BY hkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+        "FROM hk) "
+        "SELECT host, nbytes, hkey, "
+        f"CAST(prefix // {target_bytes} AS BIGINT) AS grp FROM pre")

@@ -2646,6 +2646,47 @@ def _q_k_anonymity(sf_dir: str):
                              k=5, l=2)
 
 
+def _q_compact_plan(sf_dir: str):
+    """Compaction planning over the per-host shard manifest: host byte
+    totals (one exchange) → distributed prefix-sum bin packing into
+    256 KiB merge groups (stages/scan.compact_plan)."""
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.stages.exchange import bucket_exchange
+    from geospatial_learn_ray.stages.scan import compact_plan
+
+    pages = read_pages(sf_dir, columns=["url", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = b["url"].str.extract(r"^[a-z]+://([^/]+)/", expand=False).fillna("")
+        nb = b["text"].str.encode("utf-8").str.len().astype(np.int64)
+        g = (pd.DataFrame({"host": host, "nbytes": nb})
+             .groupby("host", sort=False)["nbytes"].sum().reset_index())
+        g["nbytes"] = g["nbytes"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["host"].to_numpy(object)))
+                          % np.uint64(64)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("host", sort=False, as_index=False)["nbytes"].sum()
+        s["nbytes"] = s["nbytes"].astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            s["hkey"] = splitmix64(
+                fnv1a64(s["host"].to_numpy(object))).view(np.int64)
+        finally:
+            np.seterr(**old)
+        return s
+
+    manifest = bucket_exchange(
+        pages.map_batches(partial, batch_format="pandas"), combine,
+        small_partials=True)
+    return compact_plan(manifest, "hkey", "nbytes", target_bytes=1 << 18)
+
+
 def _q_dp_counts(sf_dir: str):
     from geospatial_learn_ray.stages.governance import dp_noisy_counts
 

@@ -151,3 +151,29 @@ def exclusive_prefix_max(ds: ray.data.Dataset, key: str, val: str,
 
     return bucket_exchange(ds.map_batches(add_bucket, batch_format="pandas"),
                            per_range, key="_rng")
+
+
+def compact_plan(ds: ray.data.Dataset, key_col: str, bytes_col: str,
+                 target_bytes: int) -> ray.data.Dataset:
+    """Lakehouse small-file compaction planner: assign every input unit
+    (file / host shard) to a merge group so each group's total payload
+    lands near ``target_bytes`` — the OPTIMIZE/rewrite planning step
+    every table format (Iceberg/Delta-style maintenance) runs before
+    compacting a long-tailed file population.
+
+    Plan rule (deterministic, order-based bin packing): units sort by a
+    stable int64 layout key, and group = exclusive-prefix-sum(bytes) //
+    target — contiguous key ranges co-locate, every group except the
+    last holds ≥ target − max_unit and < target + max_unit bytes. The
+    prefix sum IS the engine's two-level distributed scan
+    (exclusive_prefix_sum), so the plan never funnels the manifest
+    through the driver. Emits (key, nbytes, grp)."""
+    pre = exclusive_prefix_sum(ds, key_col, bytes_col, checkpoint=False)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["grp"] = (b["prefix"].to_numpy(np.int64)
+                    // target_bytes).astype(np.int64)
+        return b.drop(columns=["prefix"])
+
+    return pre.map_batches(assign, batch_format="pandas")

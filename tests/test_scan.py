@@ -50,3 +50,27 @@ def test_corpus_shuffle_order_is_a_permutation_and_layout_invariant():
     b = corpus_shuffle_order(ray.data.from_pandas(docs).repartition(11)) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_compact_plan_groups_near_target_and_layout_invariant():
+    import pandas as pd
+
+    from geospatial_learn_ray.stages.scan import compact_plan
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "nb": rng.integers(100, 5000, n).astype(np.int64)})
+    target = 20_000
+    outs = []
+    for blocks in (1, 7):
+        out = compact_plan(ray.data.from_pandas(df).repartition(blocks),
+                           "k", "nb", target).to_pandas()
+        outs.append(out.sort_values("k").reset_index(drop=True)[["k", "nb", "grp"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # groups are contiguous in key order and sized near the target
+    assert (out.sort_values("k")["grp"].diff().dropna() >= 0).all()
+    sizes = out.groupby("grp")["nb"].sum()
+    assert (sizes.iloc[:-1] >= target - 5000).all()
+    assert (sizes <= target + 5000).all()
