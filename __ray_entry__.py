@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customers": _q_k_anonymity,
         "dp_counts_events": _q_dp_counts,
         "compact_plan_pages": _q_compact_plan,
+        "scene_semseg_zonal": _q_scene_semseg_zonal,
     }
 
 
@@ -448,6 +449,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _rf_forest_sql,
     _dp_counts_sql,
     _compact_plan_sql,
+    _scene_semseg_zonal_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1983,4 +1985,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dp_counts_events": _dp_counts_sql(),
         "compact_plan_pages": _compact_plan_sql(),
+        "scene_semseg_zonal": _scene_semseg_zonal_sql(),
     }

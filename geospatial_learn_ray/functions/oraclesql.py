@@ -8371,7 +8371,8 @@ def _fellegi_sunter_sql(min_score: int = 3) -> str:
     )
 
 
-def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
+def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15,
+                    chain_only: bool = False) -> str:
     """SQL twin of scorer.semseg_cnn_stage: the integer CNN forward
     (functions/convnet.py weights, shared verbatim) as LAG/LEAD window
     chains. A general 3×3 conv splits into per-kernel-row horizontal
@@ -8422,6 +8423,8 @@ def _semseg_cnn_sql(side: int = 16, tx_max: int = 15, ty_max: int = 15) -> str:
             f"CAST(FLOOR(vd * CAST({_cn.QUANT!r} AS DOUBLE)) AS BIGINT) AS q "
             f"FROM rast WHERE tile_x <= {tx_max} AND tile_y <= {ty_max}")
     net = _sg.chain(base, steps)
+    if chain_only:
+        return net
     return (
         f"WITH {tiles_sql(side)}, net AS ({net}) "
         "SELECT CAST(tile_x AS BIGINT) AS tile_x, "
@@ -8643,3 +8646,29 @@ def _compact_plan_sql(target_bytes: int = 1 << 18) -> str:
         "FROM hk) "
         "SELECT host, nbytes, hkey, "
         f"CAST(prefix // {target_bytes} AS BIGINT) AS grp FROM pre")
+
+
+def _scene_semseg_zonal_sql(side: int = 16, tx_max: int = 15,
+                            ty_max: int = 15) -> str:
+    """SQL twin of querydefs._q_scene_semseg_zonal — the composed
+    round-5 pipeline: scene-TIFF windowed ingest (bit-exact, so the
+    closed-form raster stands in), integer CNN forward (_semseg_cnn_sql
+    chain), per-tile class counts, tile-center→polygon zonal rollup
+    (_TILE_FEATURE_SQL map)."""
+    net = _semseg_cnn_sql(side, tx_max, ty_max, chain_only=True)
+    return (
+        f"WITH {tiles_sql(side)}, {polygons_sql()}, {_TILE_GRID_SQL}, "
+        f"{_TILE_FEATURE_SQL}, net AS ({net}), "
+        "per AS (SELECT tile_x, tile_y, "
+        "SUM(CASE WHEN pred = 0 THEN 1 ELSE 0 END) AS c0, "
+        "SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS c1, "
+        "SUM(CASE WHEN pred = 2 THEN 1 ELSE 0 END) AS c2, "
+        "SUM(win) AS wl FROM net GROUP BY tile_x, tile_y) "
+        "SELECT CAST(f.feature_id AS BIGINT) AS feature_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_tiles, "
+        "CAST(SUM(p.c0) AS BIGINT) AS n_c0, "
+        "CAST(SUM(p.c1) AS BIGINT) AS n_c1, "
+        "CAST(SUM(p.c2) AS BIGINT) AS n_c2, "
+        "CAST(SUM(p.wl) AS BIGINT) AS win_logit_sum "
+        "FROM tfeat f JOIN per p USING (tile_x, tile_y) "
+        "GROUP BY f.feature_id")

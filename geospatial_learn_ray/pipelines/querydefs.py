@@ -2646,6 +2646,66 @@ def _q_k_anonymity(sf_dir: str):
                              k=5, l=2)
 
 
+def _q_scene_semseg_zonal(sf_dir: str):
+    """Composed round-5 pipeline: scene GeoTIFF → strip-pruned windowed
+    ingest → integer-CNN semantic segmentation (actor pool) → per-tile
+    class counts → tile-center→polygon zonal rollup. Every stage is the
+    already-oracled operator; the composition is value-hash-checked end
+    to end."""
+    import os
+
+    from geospatial_learn_ray.functions.geometry import PolygonIndex
+    from geospatial_learn_ray.sources import tiff as tiffsrc
+    from geospatial_learn_ray.sources.tiles import tile_bounds
+    from geospatial_learn_ray.state.scratch import scratch_dir
+
+    d = scratch_dir("graft_semsegzonal_")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "scene.tif")
+    tiffsrc.write_scene_tiff(path, grid_x=16, grid_y=16, tile_px=16)
+    wins = tiffsrc.read_scene_windows(path, grid_x=16, grid_y=16, tile_px=16)
+    per_tile = scorer.semseg_cnn_stage(wins, side=16)
+
+    polys = polygon_table()
+    ref = ray.data.from_pandas  # noqa: F841 (keep import surface minimal)
+    import ray as _ray
+
+    pref = _ray.put(polys)
+
+    class ZonalMap:
+        def __init__(self, r):
+            t = _ray.get(r) if isinstance(r, _ray.ObjectRef) else r
+            self.index = PolygonIndex.from_wkb(
+                t["feature_id"].to_numpy(), t["geometry"].to_pylist())
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            tx = b["tile_x"].to_numpy(np.int64)
+            ty = b["tile_y"].to_numpy(np.int64)
+            minx, miny, maxx, maxy = tile_bounds(tx, ty)
+            tidx, fids = self.index.query((minx + maxx) / 2,
+                                          (miny + maxy) / 2)
+            out = b.iloc[tidx].copy()
+            out["feature_id"] = fids
+            return out[["feature_id", "n_c0", "n_c1", "n_c2",
+                        "win_logit_sum"]]
+
+    mapped = per_tile.map_batches(ZonalMap, fn_constructor_args=(pref,),
+                                  batch_format="pandas", concurrency=(1, 4))
+    from ray.data.aggregate import Count, Sum
+
+    agg_ds = mapped.groupby("feature_id").aggregate(
+        Count(alias_name="n_tiles"), Sum("n_c0", alias_name="n_c0"),
+        Sum("n_c1", alias_name="n_c1"), Sum("n_c2", alias_name="n_c2"),
+        Sum("win_logit_sum", alias_name="win_logit_sum"))
+
+    def retype(b: pd.DataFrame) -> pd.DataFrame:
+        for c in b.columns:
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return agg_ds.map_batches(retype, batch_format="pandas")
+
+
 def _q_compact_plan(sf_dir: str):
     """Compaction planning over the per-host shard manifest: host byte
     totals (one exchange) → distributed prefix-sum bin packing into
