@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts_events": _q_dp_counts,
         "compact_plan_pages": _q_compact_plan,
         "scene_semseg_zonal": _q_scene_semseg_zonal,
+        "png_media_roundtrip": _q_png_roundtrip,
     }
 
 
@@ -450,6 +451,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _dp_counts_sql,
     _compact_plan_sql,
     _scene_semseg_zonal_sql,
+    _png_roundtrip_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1986,4 +1988,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts_events": _dp_counts_sql(),
         "compact_plan_pages": _compact_plan_sql(),
         "scene_semseg_zonal": _scene_semseg_zonal_sql(),
+        "png_media_roundtrip": _png_roundtrip_sql(),
     }

@@ -8672,3 +8672,31 @@ def _scene_semseg_zonal_sql(side: int = 16, tx_max: int = 15,
         "CAST(SUM(p.wl) AS BIGINT) AS win_logit_sum "
         "FROM tfeat f JOIN per p USING (tile_x, tile_y) "
         "GROUP BY f.feature_id")
+
+
+def _png_roundtrip_sql() -> str:
+    """SQL twin of multimodal.png_roundtrip_stage: the deterministic
+    image keystream (splitmix64(doc_id ^ seed) base, per-pixel
+    splitmix64(base + idx) & 255) restated with the shared sqlgen
+    chains; the engine's stats come from PIXELS DECODED OUT OF REAL PNG
+    BYTES, so equality certifies the codec."""
+    from ..stages.multimodal import PNG_SEED, PNG_SIDE
+
+    npx = PNG_SIDE * PNG_SIDE
+    based = _sg.chain(
+        "SELECT doc_id FROM documents",
+        _sg.splitmix64_steps(_sg.u64_xor("doc_id", str(int(PNG_SEED))),
+                             "base", "pngb"))
+    drawn = _sg.chain(
+        f"SELECT doc_id, base, i.range AS idx FROM ({based}) "
+        f"CROSS JOIN range(0, {npx}) i",
+        _sg.splitmix64_steps("(base + idx)", "dw", "pngd"))
+    return (
+        f"WITH px AS MATERIALIZED (SELECT doc_id, dw & 255 AS b "
+        f"FROM ({drawn})) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({npx} AS BIGINT) AS n_px, "
+        "CAST(SUM(b) AS BIGINT) AS px_sum, "
+        "CAST(MIN(b) AS BIGINT) AS px_min, "
+        "CAST(MAX(b) AS BIGINT) AS px_max "
+        "FROM px GROUP BY doc_id")

@@ -2646,6 +2646,15 @@ def _q_k_anonymity(sf_dir: str):
                              k=5, l=2)
 
 
+def _q_png_roundtrip(sf_dir: str):
+    """REAL PNG codec round-trip per document (functions/pngcodec —
+    stdlib zlib): stats computed from decoded pixels; oracle restates
+    the keystream, certifying encode→decode bit-exactness."""
+    from geospatial_learn_ray.stages.multimodal import png_roundtrip_stage
+
+    return png_roundtrip_stage(_rp(sf_dir, "documents", ["doc_id"]))
+
+
 def _q_scene_semseg_zonal(sf_dir: str):
     """Composed round-5 pipeline: scene GeoTIFF → strip-pruned windowed
     ingest → integer-CNN semantic segmentation (actor pool) → per-tile

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import fnv1a64
+from ..functions.hashing import fnv1a64, splitmix64
 from ..functions.rounding import round_half_away
 
 MAGIC = b"GLRM"
@@ -667,3 +667,63 @@ def spectrogram_stage(ds: ray.data.Dataset,
     return ds.map_batches(
         Spectrogrammer, batch_format="pyarrow", batch_size=256,
         concurrency=concurrency, num_cpus=1)
+
+
+PNG_SEED = np.uint64(0x9E3779B97F4A7C15)
+PNG_SIDE = 16
+
+
+class PngRoundtrip:
+    """REAL-codec media stage (upgrades the MediaDecoder fake-codec seam
+    for the one format stdlib can do): per document, a deterministic
+    16×16 gray image (splitmix64 keystream — the WMS fake-transport
+    recipe) is ENCODED to a genuine PNG (functions/pngcodec, zlib
+    deflate + CRC-checked chunks) and DECODED back inside the actor;
+    output stats come from the DECODED pixels, so a green oracle hash
+    certifies the full encode→bytes→decode path bit-exactly. The
+    keystream, not the zlib bytestream, is what SQL restates — deflate
+    output is build-dependent, pixels are not."""
+
+    def __init__(self):
+        from ..functions import pngcodec
+
+        self.enc = pngcodec.encode_png
+        self.dec = pngcodec.decode_png
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        npx = PNG_SIDE * PNG_SIDE
+        old = np.seterr(over="ignore")
+        try:
+            base = splitmix64(ids.astype(np.uint64) ^ PNG_SEED)
+            draws = splitmix64(base[:, None]
+                               + np.arange(npx, dtype=np.uint64)[None, :])
+        finally:
+            np.seterr(**old)
+        imgs = (draws & np.uint64(0xFF)).astype(np.uint8).reshape(
+            len(ids), PNG_SIDE, PNG_SIDE)
+        sums = np.zeros(len(ids), np.int64)
+        mins = np.zeros(len(ids), np.int64)
+        maxs = np.zeros(len(ids), np.int64)
+        nbytes = np.zeros(len(ids), np.int64)
+        for i in range(len(ids)):
+            blob = self.enc(imgs[i])
+            out = self.dec(blob)
+            sums[i] = int(out.astype(np.int64).sum())
+            mins[i] = int(out.min())
+            maxs[i] = int(out.max())
+            nbytes[i] = len(blob)
+        return pd.DataFrame({
+            "doc_id": ids, "n_px": np.full(len(ids), npx, np.int64),
+            "px_sum": sums, "px_min": mins, "px_max": maxs,
+            # engine-side only (deflate bytes are zlib-build-dependent);
+            # NOT an oracle-compared column — see png_media_roundtrip
+            "png_bytes": nbytes})
+
+
+def png_roundtrip_stage(ds: ray.data.Dataset,
+                        concurrency=(1, 8)) -> ray.data.Dataset:
+    out = ds.map_batches(PngRoundtrip, batch_format="pandas",
+                         concurrency=concurrency, num_cpus=1)
+    return out.select_columns(["doc_id", "n_px", "px_sum", "px_min",
+                               "px_max"])
