@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_plan_pages": _q_compact_plan,
         "scene_semseg_zonal": _q_scene_semseg_zonal,
         "png_media_roundtrip": _q_png_roundtrip,
+        "warc_roundtrip_pages": _q_warc_roundtrip,
     }
 
 
@@ -452,6 +453,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _compact_plan_sql,
     _scene_semseg_zonal_sql,
     _png_roundtrip_sql,
+    _warc_roundtrip_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1989,4 +1991,5 @@ def oracle_sql() -> dict[str, str]:
         "compact_plan_pages": _compact_plan_sql(),
         "scene_semseg_zonal": _scene_semseg_zonal_sql(),
         "png_media_roundtrip": _png_roundtrip_sql(),
+        "warc_roundtrip_pages": _warc_roundtrip_sql(),
     }

@@ -8700,3 +8700,27 @@ def _png_roundtrip_sql() -> str:
         "CAST(MIN(b) AS BIGINT) AS px_min, "
         "CAST(MAX(b) AS BIGINT) AS px_max "
         "FROM px GROUP BY doc_id")
+
+
+def _warc_roundtrip_sql() -> str:
+    """SQL twin of querydefs._q_warc_roundtrip: the html payload is the
+    page generator's concat (pure ASCII — verified octet_length ==
+    length corpus-wide), fingerprinted with the shared fnv1a64 chain;
+    equality certifies WARC framing + gzip round-trip byte-exactness."""
+    html = ("'<html><head><title>d' || doc_id || "
+            "'</title></head><body><p>' || text || '</p></body></html>'")
+    base = (
+        "SELECT 'https://site-' || (doc_id % 1000) || '.example/' || source "
+        "|| '/' || doc_id AS url, "
+        "TIMESTAMP '2024-01-01 00:00:00' "
+        "+ to_microseconds(doc_id * 37000000) AS warc_ts, "
+        f"{html} AS html FROM documents")
+    return (
+        f"WITH pg AS MATERIALIZED ({base}), "
+        "fh AS (SELECT url, warc_ts, "
+        "CAST(octet_length(encode(html)) AS BIGINT) AS payload_len, "
+        f"{_sg.fnv1a64_expr('html')} AS fhv FROM pg) "
+        "SELECT url, warc_ts, payload_len, "
+        f"CAST(fhv - CASE WHEN fhv >= {1 << 63} "
+        f"THEN CAST({1 << 64} AS HUGEINT) ELSE 0 END AS BIGINT) "
+        "AS payload_fnv FROM fh")

@@ -2646,6 +2646,37 @@ def _q_k_anonymity(sf_dir: str):
                              k=5, l=2)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """REAL WARC(.gz) egress + ingest (the CommonCrawl interchange
+    format, stdlib gzip): pages → member-per-record gzip shards → parse
+    back → (url, date, payload fingerprint). The oracle restates the
+    payload from the pages generator, so a green hash certifies the
+    full record framing + gzip round-trip."""
+    import os
+
+    from geospatial_learn_ray.functions.hashing import fnv1a64
+    from geospatial_learn_ray.sources import warc
+    from geospatial_learn_ray.state.scratch import scratch_dir
+
+    out = scratch_dir("graft_warc_")
+    pages = read_pages(sf_dir, columns=["url", "warc_ts", "html"])
+    man = warc.write_warc_shards(pages, out)
+    n_shards = man.count()
+    assert n_shards > 0
+    back = warc.read_warc_shards(out)
+
+    def fingerprint(b: pd.DataFrame) -> pd.DataFrame:
+        payload = b["payload"].to_numpy(object)
+        text = np.array([p.decode("ascii") for p in payload], object)
+        return pd.DataFrame({
+            "url": b["url"],
+            "warc_ts": b["warc_ts"].to_numpy("datetime64[us]"),
+            "payload_len": np.array([len(p) for p in payload], np.int64),
+            "payload_fnv": fnv1a64(text).view(np.int64)})
+
+    return back.map_batches(fingerprint, batch_format="pandas")
+
+
 def _q_png_roundtrip(sf_dir: str):
     """REAL PNG codec round-trip per document (functions/pngcodec —
     stdlib zlib): stats computed from decoded pixels; oracle restates
