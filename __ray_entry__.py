@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_semseg_zonal": _q_scene_semseg_zonal,
         "png_media_roundtrip": _q_png_roundtrip,
         "warc_roundtrip_pages": _q_warc_roundtrip,
+        "warc_corpus_pipeline": _q_warc_corpus,
     }
 
 
@@ -454,6 +455,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _scene_semseg_zonal_sql,
     _png_roundtrip_sql,
     _warc_roundtrip_sql,
+    _lang_id_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -1992,4 +1994,20 @@ def oracle_sql() -> dict[str, str]:
         "scene_semseg_zonal": _scene_semseg_zonal_sql(),
         "png_media_roundtrip": _png_roundtrip_sql(),
         "warc_roundtrip_pages": _warc_roundtrip_sql(),
+        "warc_corpus_pipeline": (
+            # composed ingest chain: extraction round-trips text exactly
+            # (extract_text oracle), so the chain restates from documents;
+            # lang twin shares _LANG_MARKERS, quality twin shares the
+            # engine's exact formula + ROUND
+            f"WITH li AS ({_lang_id_sql(carry=('text',))}), "
+            "q AS (SELECT text, lang_pred, "
+            "ROUND(0.4 * LEAST(length(text) / 500.0, 1.0) "
+            f"+ 0.3 * LEAST(({_QUALITY_STOP}::DOUBLE / {_QUALITY_WS}) * 5.0, 1.0) "
+            f"+ 0.3 * (1.0 - LEAST(({_QUALITY_PUNCT}::DOUBLE / GREATEST(length(text), 1)) * 10.0, 1.0)), 4) "
+            "AS quality FROM li), "
+            "f AS (SELECT text, lang_pred FROM q WHERE quality > 0.5), "
+            "d AS (SELECT text, MIN(lang_pred) AS lang_pred FROM f GROUP BY text) "
+            "SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM d GROUP BY 1"
+        ),
     }

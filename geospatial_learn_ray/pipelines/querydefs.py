@@ -2677,6 +2677,71 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(fingerprint, batch_format="pandas")
 
 
+def _q_warc_corpus(sf_dir: str):
+    """The web-scale ingest story end to end, every stage previously
+    oracled: WARC(.gz) shards → distributed record parse → html→text
+    extraction → language ID + quality scoring (one map) → quality
+    gate → exact text dedup (hash-bucketed, combiner keyed on the real
+    text) → per-language corpus rollup. Output is O(#languages)."""
+    import os
+
+    from geospatial_learn_ray.functions import textproc
+    from geospatial_learn_ray.functions.hashing import fnv1a64, splitmix64
+    from geospatial_learn_ray.sources import warc
+    from geospatial_learn_ray.stages.exchange import bucket_exchange
+    from geospatial_learn_ray.state.scratch import scratch_dir
+
+    out = scratch_dir("graft_warccp_")
+    pages = read_pages(sf_dir, columns=["url", "warc_ts", "html"])
+    assert warc.write_warc_shards(pages, out).count() > 0
+    back = warc.read_warc_shards(out)
+
+    def to_html(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "html": b["payload"]})
+
+    extracted = extract_stage(back.map_batches(to_html, batch_format="pyarrow"),
+                              keep_cols=("url",))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lang = textproc.lang_id(b["text"]).to_numpy()
+        q = round_half_away(
+            textproc.quality_scores(b["text"])["quality"].to_numpy(), 4)
+        keep = q > 0.5
+        g = pd.DataFrame({"text": b["text"].to_numpy(object)[keep],
+                          "lang_pred": lang[keep]})
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["text"].to_numpy(object)))
+                          % np.uint64(64)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def dedup_combine(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby("text", sort=False)
+             .agg(lang_pred=("lang_pred", "min")).reset_index())
+        part = (pd.DataFrame({
+            "lang_pred": d["lang_pred"],
+            "n_docs": np.ones(len(d), np.int64),
+            "n_chars": d["text"].str.len().to_numpy(np.int64)})
+            .groupby("lang_pred", sort=False, as_index=False).sum())
+        part["n_docs"] = part["n_docs"].astype(np.int64)
+        part["n_chars"] = part["n_chars"].astype(np.int64)
+        part["_part"] = np.int32(0)
+        return part
+
+    def lang_combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.drop(columns=["_part"])
+             .groupby("lang_pred", sort=False, as_index=False).sum())
+        s["n_docs"] = s["n_docs"].astype(np.int64)
+        s["n_chars"] = s["n_chars"].astype(np.int64)
+        return s
+
+    deduped = bucket_exchange(
+        extracted.map_batches(score, batch_format="pandas"), dedup_combine)
+    return bucket_exchange(deduped, lang_combine, small_partials=True)
+
+
 def _q_png_roundtrip(sf_dir: str):
     """REAL PNG codec round-trip per document (functions/pngcodec —
     stdlib zlib): stats computed from decoded pixels; oracle restates
