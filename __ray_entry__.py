@@ -43,6 +43,7 @@ from geospatial_learn_ray.sources.gdb import gdb_convert_sql as _gdb_sql
 from geospatial_learn_ray.stages import agg, dedup, raster, scorer
 from geospatial_learn_ray.pipelines.flagship import flagship_dataset
 from geospatial_learn_ray.pipelines.querydefs import *  # noqa: F401,F403
+from geospatial_learn_ray.stages.textstages import GAZETTEER_PATTERNS as _GAZ_PATTERNS
 
 
 def entry() -> Any:
@@ -418,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_media_roundtrip": _q_png_roundtrip,
         "warc_roundtrip_pages": _q_warc_roundtrip,
         "warc_corpus_pipeline": _q_warc_corpus,
+        "gazetteer_match_docs": _q_gazetteer,
     }
 
 
@@ -2009,5 +2011,11 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT text, MIN(lang_pred) AS lang_pred FROM f GROUP BY text) "
             "SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM d GROUP BY 1"
+        ),
+        "gazetteer_match_docs": (
+            "SELECT doc_id, CAST(" + " + ".join(
+                f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+                for p in _GAZ_PATTERNS)
+            + " AS BIGINT) AS n_matches FROM documents"
         ),
     }

@@ -2742,6 +2742,14 @@ def _q_warc_corpus(sf_dir: str):
     return bucket_exchange(deduped, lang_combine, small_partials=True)
 
 
+def _q_gazetteer(sf_dir: str):
+    """Aho-Corasick gazetteer matching (the large-dictionary scale path
+    the regex blocklist filters can't take): dense automaton per actor,
+    lockstep vectorized batch matching."""
+    return textstages.gazetteer_match_stage(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_png_roundtrip(sf_dir: str):
     """REAL PNG codec round-trip per document (functions/pngcodec —
     stdlib zlib): stats computed from decoded pixels; oracle restates

@@ -3896,3 +3896,41 @@ def ndcg_bm25_docs(docs: ray.data.Dataset, queries: dict[int, list[str]],
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+GAZETTEER_PATTERNS = (
+    "the ", "and ", "tion", "data", "with ", "ing ", "ment",
+    "for ", "pro", "qual", "lang", "text ", "ation", "ter ",
+)
+
+
+class GazetteerMatcher:
+    """Actor-pool Aho-Corasick stage (functions/ahocorasick): the dense
+    automaton tables build ONCE per actor in ``__init__`` (at gazetteer
+    scale they'd arrive via one ``ray.put`` broadcast — plain numpy
+    arrays, zero-copy), and ``__call__`` matches the whole batch in
+    lockstep column sweeps. The regex-alternation filters (badword/PII)
+    stay for tiny blocklists; this is the 10⁴-10⁶-pattern path."""
+
+    def __init__(self, patterns: tuple[str, ...] = GAZETTEER_PATTERNS):
+        from ..functions import ahocorasick as ac
+
+        for p in patterns:  # border-free ⇒ self-overlap impossible ⇒
+            for k in range(1, len(p)):  # counts match the SQL replace() twin
+                assert p[:k] != p[-k:], f"pattern {p!r} has a border"
+        self.trans, self.outc = ac.build_automaton(list(patterns))
+        self.match = ac.match_counts
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_matches": self.match(b["text"].to_numpy(object),
+                                    self.trans, self.outc)})
+
+
+def gazetteer_match_stage(ds: ray.data.Dataset,
+                          patterns: tuple[str, ...] = GAZETTEER_PATTERNS,
+                          concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(GazetteerMatcher, fn_constructor_args=(patterns,),
+                          batch_format="pandas", concurrency=concurrency,
+                          num_cpus=1)

@@ -1252,3 +1252,34 @@ def test_fellegi_sunter_scalar_reference():
     assert out[["key_a", "key_b"]].values.tolist() == [[1, 2]]
     assert out["score"].tolist() == [6]
     assert out["pattern"].tolist() == [7]
+
+
+def test_aho_corasick_matches_bruteforce_and_handles_overlap_nesting():
+    from geospatial_learn_ray.functions import ahocorasick as ac
+
+    pats = ["ab", "bc", "abc", "cd"]  # nested + cross-overlapping
+    trans, outc = ac.build_automaton(pats)
+    texts = ["abcd", "ababc", "", "xyz", "abcabc"]
+    got = ac.match_counts(texts, trans, outc)
+    exp = []
+    for t in texts:
+        c = 0
+        for p in pats:
+            c += sum(1 for i in range(len(t)) if t.startswith(p, i))
+        exp.append(c)
+    assert got.tolist() == exp
+
+
+def test_gazetteer_stage_matches_pandas_reference():
+    import ray.data
+
+    from geospatial_learn_ray.stages.textstages import (
+        GAZETTEER_PATTERNS, gazetteer_match_stage)
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).head(200)
+    out = gazetteer_match_stage(ray.data.from_pandas(df)).to_pandas()
+    exp = df["text"].map(
+        lambda t: sum(t.count(p) for p in GAZETTEER_PATTERNS))
+    m = out.set_index("doc_id")["n_matches"]
+    assert (m.loc[df["doc_id"]].to_numpy() == exp.to_numpy()).all()
