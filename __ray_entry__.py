@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_pages": _q_warc_roundtrip,
         "warc_corpus_pipeline": _q_warc_corpus,
         "gazetteer_match_docs": _q_gazetteer,
+        "emd_drift_orders": _q_emd_drift,
     }
 
 
@@ -458,6 +459,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _png_roundtrip_sql,
     _warc_roundtrip_sql,
     _lang_id_sql,
+    _emd_drift_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -630,6 +632,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _jaccard_verified_sql,
     _knn_pages_sql,
     _lang_id_sql,
+    _emd_drift_sql,
     _located_sql,
     _logistic_weights_sql,
     _media_decode_sql,
@@ -2018,4 +2021,5 @@ def oracle_sql() -> dict[str, str]:
                 for p in _GAZ_PATTERNS)
             + " AS BIGINT) AS n_matches FROM documents"
         ),
+        "emd_drift_orders": _emd_drift_sql(),
     }

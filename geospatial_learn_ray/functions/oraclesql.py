@@ -8724,3 +8724,37 @@ def _warc_roundtrip_sql() -> str:
         f"CAST(fhv - CASE WHEN fhv >= {1 << 63} "
         f"THEN CAST({1 << 64} AS HUGEINT) ELSE 0 END AS BIGINT) "
         "AS payload_fnv FROM fh")
+
+
+def _emd_drift_sql(n_bins: int = 10) -> str:
+    """SQL twin of agg.emd_drift_orders: the psi twin's bins/split, then
+    W1·n_a·n_b = Σ |CumA·n_b − CumB·n_a| over the first n_bins−1 dense
+    bins — exact BIGINT throughout."""
+    return (
+        "WITH o AS (SELECT "
+        "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+        "CAST(FLOOR(ABS(o_totalprice*100.0) + 0.5)*SIGN(o_totalprice) "
+        "AS BIGINT) AS cents FROM orders), "
+        "sc AS (SELECT MIN(day) AS d0, MAX(day) AS d1, MAX(cents) AS mc "
+        "FROM o), "
+        "x AS (SELECT LEAST(CAST("
+        f"{n_bins - 1} AS BIGINT), cents * {n_bins} // (sc.mc + 1)) "
+        "AS bin, CASE WHEN day >= (sc.d0 + sc.d1 + 1) // 2 THEN 1 "
+        "ELSE 0 END AS side FROM o, sc), "
+        "t AS (SELECT bin, side, COUNT(*)::BIGINT AS c FROM x "
+        "GROUP BY 1, 2), "
+        f"bins AS (SELECT unnest(range(0, {n_bins})) AS bin), "
+        "w AS (SELECT bins.bin, "
+        "COALESCE(a.c, 0)::BIGINT AS ca, COALESCE(b.c, 0)::BIGINT AS cb "
+        "FROM bins LEFT JOIN t a ON a.bin = bins.bin AND a.side = 0 "
+        "LEFT JOIN t b ON b.bin = bins.bin AND b.side = 1), "
+        "cum AS (SELECT bin, "
+        "SUM(ca) OVER (ORDER BY bin)::BIGINT AS cum_a, "
+        "SUM(cb) OVER (ORDER BY bin)::BIGINT AS cum_b FROM w), "
+        "tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb "
+        "FROM w) "
+        "SELECT tot.na AS n_a, tot.nb AS n_b, "
+        "CAST(SUM(ABS(cum.cum_a * tot.nb - cum.cum_b * tot.na)) AS BIGINT) "
+        "AS w1_scaled FROM cum, tot "
+        f"WHERE cum.bin < {n_bins - 1} GROUP BY tot.na, tot.nb"
+    )

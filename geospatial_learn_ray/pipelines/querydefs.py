@@ -1981,6 +1981,11 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_emd_drift(sf_dir: str):
+    return agg.emd_drift_orders(
+        _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
 def _q_ewma_daily(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

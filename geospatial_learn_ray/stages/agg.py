@@ -2045,3 +2045,64 @@ def cuped_events(ds: ray.data.Dataset, cutoff: str = CUPED_CUTOFF,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def emd_drift_orders(orders: ray.data.Dataset,
+                     n_bins: int = 10) -> ray.data.Dataset:
+    """1-D Wasserstein-1 (earth-mover) distance between the first- and
+    second-half order-value distributions — the drift measure PSI can't
+    give (PSI ignores WHERE mass moved; W1 weights by bin distance).
+    Same bins and date split as psi_drift_orders.
+
+    Exactness: on the bin-index metric, W1 · n_a · n_b = Σ_k
+    |CumA_k·n_b − CumB_k·n_a| over the first n_bins−1 dense bins — an
+    exact int64 here (counts ≤ ~10⁶ per side at bench scales; a 100 TB
+    deployment promotes the products to the >>26/&mask limb pattern).
+    Output: one row (n_a, n_b, w1_scaled)."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def scal(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({"d0": [int(day.min())], "d1": [int(day.max())],
+                             "mc": [int(cents.max())]})
+
+    sc = orders.map_batches(scal, batch_format="pandas").to_pandas()
+    d0, d1, mc = int(sc["d0"].min()), int(sc["d1"].max()), int(sc["mc"].max())
+    mid = (d0 + d1 + 1) // 2
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        bn = np.minimum(n_bins - 1, cents * n_bins // (mc + 1))
+        side = (day >= mid).astype(np.int64)
+        g = pd.DataFrame({"bin": bn, "side": side}).groupby(
+            ["bin", "side"], as_index=False).size().rename(
+                columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        g["_part"] = np.zeros(len(g), np.int32)
+        return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["bin", "side"], as_index=False)["c"].sum()
+        ca = np.zeros(n_bins, np.int64)
+        cb = np.zeros(n_bins, np.int64)
+        for _, r in s.iterrows():  # ≤ 2·n_bins rows
+            (ca if r["side"] == 0 else cb)[int(r["bin"])] = int(r["c"])
+        na, nb = int(ca.sum()), int(cb.sum())
+        cum_a = np.cumsum(ca)[:-1]
+        cum_b = np.cumsum(cb)[:-1]
+        w1 = int(np.abs(cum_a * nb - cum_b * na).sum())
+        return pd.DataFrame({"n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+                             "w1_scaled": [np.int64(w1)]})
+
+    return bucket_exchange(
+        orders.map_batches(partial, batch_format="pandas"), finalize,
+        small_partials=True)
