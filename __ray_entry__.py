@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_corpus_pipeline": _q_warc_corpus,
         "gazetteer_match_docs": _q_gazetteer,
         "emd_drift_orders": _q_emd_drift,
+        "dtw_pairs_users": _q_dtw_pairs,
     }
 
 
@@ -460,6 +461,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _warc_roundtrip_sql,
     _lang_id_sql,
     _emd_drift_sql,
+    _dtw_pairs_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -633,6 +635,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _knn_pages_sql,
     _lang_id_sql,
     _emd_drift_sql,
+    _dtw_pairs_sql,
     _located_sql,
     _logistic_weights_sql,
     _media_decode_sql,
@@ -2022,4 +2025,5 @@ def oracle_sql() -> dict[str, str]:
             + " AS BIGINT) AS n_matches FROM documents"
         ),
         "emd_drift_orders": _emd_drift_sql(),
+        "dtw_pairs_users": _dtw_pairs_sql(),
     }

@@ -8758,3 +8758,55 @@ def _emd_drift_sql(n_bins: int = 10) -> str:
         "AS w1_scaled FROM cum, tot "
         f"WHERE cum.bin < {n_bins - 1} GROUP BY tot.na, tot.nb"
     )
+
+
+def _dtw_pairs_sql(n_users: int = 8, max_len: int = 12) -> str:
+    """SQL twin of streaming.dtw_pairs_users: the dp_simplify splitmix
+    geocode, per-user ROW_NUMBER truncation, exact-int L1 cell costs,
+    and the DTW recurrence unrolled as anti-diagonal WAVEFRONT CTEs —
+    cells with i+j = k read only wavefronts k−1 (up/left) and k−2
+    (diagonal); border cells COALESCE to +INF so the LEAST picks the
+    only legal predecessor, and (1,1) seeds from the implicit dp(0,0)=0."""
+    xor_c = 0x9E3779B97F4A7C15
+    INF = 1 << 62
+    inner = _sg.chain(
+        f"SELECT event_id, ts, user_id FROM events WHERE user_id < {n_users}",
+        [("_e", _sg.i64_to_u64("event_id")),
+         *_sg.splitmix64_steps("_e", "_h1", "dta"),
+         ("_x1", _sg.u64_xor("_h1", str(xor_c))),
+         *_sg.splitmix64_steps("_x1", "_h2", "dtb")])
+    ctes = [
+        "p AS MATERIALIZED (SELECT CAST(user_id AS BIGINT) AS u, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i, "
+        "CAST(_h2 % 360000001 AS BIGINT) - 180000000 AS x, "
+        "CAST(_h1 % 180000001 AS BIGINT) - 90000000 AS y "
+        f"FROM ({inner}) QUALIFY i <= {max_len})",
+        "c AS MATERIALIZED (SELECT a.u AS u1, b.u AS u2, a.i AS i, b.i AS j, "
+        "ABS(a.x - b.x) + ABS(a.y - b.y) AS cost "
+        "FROM p a JOIN p b ON a.u < b.u)",
+        "d2 AS MATERIALIZED (SELECT u1, u2, i, j, cost AS dp FROM c WHERE i = 1 AND j = 1)",
+    ]
+    for k in range(3, 2 * max_len + 1):
+        up_lf = f"d{k - 1}"
+        dg = f"d{k - 2}" if k >= 4 else None
+        dg_join = (f"LEFT JOIN {dg} dg ON dg.u1 = c.u1 AND dg.u2 = c.u2 "
+                   "AND dg.i = c.i - 1 AND dg.j = c.j - 1 " if dg else "")
+        dg_val = "COALESCE(dg.dp, " + str(INF) + ")" if dg else str(INF)
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT c.u1, c.u2, c.i, c.j, c.cost + LEAST("
+            f"COALESCE(up.dp, {INF}), COALESCE(lf.dp, {INF}), {dg_val}) AS dp "
+            f"FROM c LEFT JOIN {up_lf} up ON up.u1 = c.u1 AND up.u2 = c.u2 "
+            "AND up.i = c.i - 1 AND up.j = c.j "
+            f"LEFT JOIN {up_lf} lf ON lf.u1 = c.u1 AND lf.u2 = c.u2 "
+            "AND lf.i = c.i AND lf.j = c.j - 1 "
+            + dg_join +
+            f"WHERE c.i + c.j = {k})")
+    union = " UNION ALL ".join(f"SELECT * FROM d{k}"
+                               for k in range(2, 2 * max_len + 1))
+    ctes.append(f"alldp AS ({union})")
+    ctes.append("nl AS (SELECT u, MAX(i) AS n FROM p GROUP BY u)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT d.u1, d.u2, na.n AS n1, nb.n AS n2, CAST(d.dp AS BIGINT) AS dtw "
+        "FROM alldp d JOIN nl na ON na.u = d.u1 JOIN nl nb ON nb.u = d.u2 "
+        "WHERE d.i = na.n AND d.j = nb.n")

@@ -1981,6 +1981,13 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_dtw_pairs(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.dtw_pairs_users(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id"]))
+
+
 def _q_emd_drift(sf_dir: str):
     return agg.emd_drift_orders(
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))

@@ -2028,3 +2028,75 @@ def ucb_replay_events(events: ray.data.Dataset,
     out["n_after"] = out["n_after"].astype(np.int64)
     out["s_after"] = out["s_after"].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def dtw_pairs_users(events: ray.data.Dataset, n_users: int = 8,
+                    max_len: int = 12,
+                    driver_bound: int = 100_000) -> ray.data.Dataset:
+    """Dynamic-time-warping distance between user trajectories (the
+    classic O(n·m) alignment DP; Sakoe & Chiba 1978) for every pair of
+    the first ``n_users`` users, trajectories truncated to ``max_len``
+    pings — the similarity kernel trajectory clustering builds on.
+
+    Positions are the dp_simplify integer-microdegree geocode; cost is
+    the exact int64 L1 distance, so the whole DP is integer and the SQL
+    twin unrolls it as anti-diagonal wavefront CTEs (dp cells with
+    i+j = k depend only on wavefronts k−1 and k−2).
+
+    The pair set is COUNTED (n_users·max_len rows after per-user
+    truncation): the filtered pull is asserted under ``driver_bound``
+    rows before it happens — at gazetteer scale the same DP runs inside
+    a pair-keyed ``map_groups`` over a co-located pair exchange (the
+    fuzzy_name_pairs shape); this operator takes the counted path
+    because its pair set is fixed by construction."""
+    from ..functions.hashing import splitmix64
+
+    XOR_C = np.uint64(0x9E3779B97F4A7C15)
+    filt = events.filter(expr=f"user_id < {n_users}")
+    n_rows = filt.count()
+    assert n_rows <= driver_bound, (n_rows, driver_bound)
+    df = filt.to_pandas()
+    eid = df["event_id"].to_numpy().astype(np.int64)
+    old = np.seterr(over="ignore")
+    try:
+        h1 = splitmix64(eid.astype(np.uint64))
+        h2 = splitmix64(h1 ^ XOR_C)
+    finally:
+        np.seterr(**old)
+    df = pd.DataFrame({
+        "u": df["user_id"].to_numpy(np.int64),
+        "ts": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+        "eid": eid,
+        "x": (h2 % np.uint64(360_000_001)).astype(np.int64) - 180_000_000,
+        "y": (h1 % np.uint64(180_000_001)).astype(np.int64) - 90_000_000,
+    }).sort_values(["u", "ts", "eid"])
+    trajs = {int(u): g[["x", "y"]].to_numpy(np.int64)[:max_len]
+             for u, g in df.groupby("u", sort=True)}
+
+    def dtw(A: np.ndarray, B: np.ndarray) -> int:
+        n, m = len(A), len(B)
+        INF = 1 << 62
+        dp = np.full((n + 1, m + 1), INF, np.int64)
+        dp[0, 0] = 0
+        cost = (np.abs(A[:, None, 0] - B[None, :, 0])
+                + np.abs(A[:, None, 1] - B[None, :, 1]))
+        for i in range(1, n + 1):
+            dp[i, 1:] = cost[i - 1]  # filled below with the running min
+            run = np.minimum(dp[i - 1, 1:], dp[i - 1, :-1])
+            for j in range(1, m + 1):
+                dp[i, j] = cost[i - 1, j - 1] + min(
+                    int(run[j - 1]), int(dp[i, j - 1]))
+        return int(dp[n, m])
+
+    rows = []
+    us = sorted(trajs)
+    for a in range(len(us)):
+        for b in range(a + 1, len(us)):
+            A, B = trajs[us[a]], trajs[us[b]]
+            rows.append({"u1": us[a], "u2": us[b],
+                         "n1": len(A), "n2": len(B),
+                         "dtw": dtw(A, B)})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

@@ -801,3 +801,47 @@ def test_json_props_extraction_with_bad_rows():
     assert out.loc["view", "max_k"] == 87
     assert out.loc["view", "nd_k"] == 2
     assert out.loc["click", "nd_k"] == 1
+
+
+def test_dtw_matches_scalar_reference_and_known_case():
+    from geospatial_learn_ray.stages import streaming
+
+    # known case: identical trajectories -> dtw == 0 on the diagonal? No:
+    # DTW of identical sequences = sum of zero costs = 0
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ts = pd.to_datetime(np.arange(40), unit="s")
+    ev = pd.DataFrame({"event_id": np.arange(40, dtype=np.int64),
+                       "ts": ts, "user_id": np.array([0, 1] * 20)})
+    # users 0 and 1 have different event_ids -> different positions
+    out = streaming.dtw_pairs_users(ray.data.from_pandas(ev), n_users=2,
+                                    max_len=6).to_pandas()
+    assert len(out) == 1 and out["n1"].iloc[0] == 6
+    # scalar reference DP
+    from geospatial_learn_ray.functions.hashing import splitmix64
+    XOR_C = np.uint64(0x9E3779B97F4A7C15)
+    def traj(u):
+        e = ev[ev.user_id == u].sort_values(["ts", "event_id"]).head(6)
+        eid = e["event_id"].to_numpy().astype(np.uint64)
+        h1 = splitmix64(eid); h2 = splitmix64(h1 ^ XOR_C)
+        x = (h2 % np.uint64(360000001)).astype(np.int64) - 180000000
+        y = (h1 % np.uint64(180000001)).astype(np.int64) - 90000000
+        return list(zip(x.tolist(), y.tolist()))
+    A, B = traj(0), traj(1)
+    INF = 1 << 62
+    dp = [[INF] * (len(B) + 1) for _ in range(len(A) + 1)]
+    dp[0][0] = 0
+    for i in range(1, len(A) + 1):
+        for j in range(1, len(B) + 1):
+            c = abs(A[i-1][0] - B[j-1][0]) + abs(A[i-1][1] - B[j-1][1])
+            dp[i][j] = c + min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1])
+    assert out["dtw"].iloc[0] == dp[len(A)][len(B)]
+    # identity: dtw(A, A) == 0
+    ev2 = ev.copy()
+    ev2["user_id"] = np.array([0] * 20 + [1] * 20)
+    ev2["event_id"] = np.concatenate([np.arange(20), np.arange(20)])
+    out2 = streaming.dtw_pairs_users(ray.data.from_pandas(ev2), n_users=2,
+                                     max_len=8).to_pandas()
+    assert out2["dtw"].iloc[0] == 0
