@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_match_docs": _q_gazetteer,
         "emd_drift_orders": _q_emd_drift,
         "dtw_pairs_users": _q_dtw_pairs,
+        "golden_record_customers": _q_golden_record,
     }
 
 
@@ -2026,4 +2027,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emd_drift_orders": _emd_drift_sql(),
         "dtw_pairs_users": _dtw_pairs_sql(),
+        "golden_record_customers": (
+            "WITH o AS (SELECT o_custkey, o_orderkey, o_orderstatus, "
+            "o_orderpriority, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+            "AS cents, o_orderdate FROM orders), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM o), "
+            "a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(MAX(cents) AS BIGINT) AS max_cents, "
+            "MIN(o_orderdate) AS first_date FROM o GROUP BY 1) "
+            "SELECT a.o_custkey, a.n_orders, "
+            "r.o_orderstatus AS latest_status, "
+            "r.o_orderpriority AS latest_priority, a.max_cents, "
+            "a.first_date FROM a JOIN r ON r.o_custkey = a.o_custkey "
+            "AND r.rn = 1"
+        ),
     }

@@ -1981,6 +1981,15 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_golden_record(sf_dir: str):
+    from geospatial_learn_ray.stages.cdc import golden_record_customers
+
+    return golden_record_customers(
+        _rp(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]))
+
+
 def _q_dtw_pairs(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

@@ -125,3 +125,47 @@ def scd2_history(snaps: list[ray.data.Dataset], id_col: str = "doc_id",
         })
 
     return bucket_exchange(both, combine)
+
+
+def golden_record_customers(orders: ray.data.Dataset,
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Survivorship merge (the MDM 'golden record' step downstream of
+    entity resolution): per customer, field-level survivorship rules
+    over the transactional feed — latest-wins for status/priority
+    (order date, ties to max order key), max for the exact-cent price,
+    min for the first-seen date, plus the record count. One
+    customer-keyed bucket exchange; every combine is a vectorized
+    sort + groupby-last, never per-key Python."""
+    from ..functions.rounding import round_half_away
+    from .exchange import bucket_exchange
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            b["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "okey": b["o_orderkey"].to_numpy(np.int64),
+            "status": b["o_orderstatus"],
+            "priority": b["o_orderpriority"],
+            "cents": cents,
+            "date": b["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64)})
+        g["_part"] = (g["o_custkey"] % num_buckets).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["o_custkey", "date", "okey"])
+        agg = s.groupby("o_custkey", sort=False).agg(
+            n_orders=("okey", "size"),
+            latest_status=("status", "last"),
+            latest_priority=("priority", "last"),
+            max_cents=("cents", "max"),
+            first_date=("date", "min")).reset_index()
+        agg["n_orders"] = agg["n_orders"].astype(np.int64)
+        agg["max_cents"] = agg["max_cents"].astype(np.int64)
+        agg["first_date"] = agg["first_date"].to_numpy(np.int64).astype(
+            "datetime64[us]")
+        return agg
+
+    return bucket_exchange(
+        orders.map_batches(partial, batch_format="pandas"), combine)
