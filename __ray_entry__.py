@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emd_drift_orders": _q_emd_drift,
         "dtw_pairs_users": _q_dtw_pairs,
         "golden_record_customers": _q_golden_record,
+        "interval_schedule_users": _q_interval_schedule,
     }
 
 
@@ -463,6 +464,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _lang_id_sql,
     _emd_drift_sql,
     _dtw_pairs_sql,
+    _interval_schedule_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -637,6 +639,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _lang_id_sql,
     _emd_drift_sql,
     _dtw_pairs_sql,
+    _interval_schedule_sql,
     _located_sql,
     _logistic_weights_sql,
     _media_decode_sql,
@@ -2042,4 +2045,5 @@ def oracle_sql() -> dict[str, str]:
             "a.first_date FROM a JOIN r ON r.o_custkey = a.o_custkey "
             "AND r.rn = 1"
         ),
+        "interval_schedule_users": _interval_schedule_sql(),
     }

@@ -8810,3 +8810,36 @@ def _dtw_pairs_sql(n_users: int = 8, max_len: int = 12) -> str:
         "SELECT d.u1, d.u2, na.n AS n1, nb.n AS n2, CAST(d.dp AS BIGINT) AS dtw "
         "FROM alldp d JOIN nl na ON na.u = d.u1 JOIN nl nb ON nb.u = d.u2 "
         "WHERE d.i = na.n AND d.j = nb.n")
+
+
+def _interval_schedule_sql(cap: int = 24) -> str:
+    """SQL twin of streaming.interval_schedule_users: the greedy chain
+    unrolls as ``cap`` MATERIALIZED rounds — round k's pick is
+    MIN(end) over intervals starting at or after round k−1's end (on
+    end ties every eligible choice shares the same next end, so MIN is
+    the greedy count's exact semantics, no tie rule needed)."""
+    ctes = [
+        "ev AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "epoch_us(ts) AS s, "
+        "epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e "
+        "FROM events)",
+        "iv AS MATERIALIZED (SELECT u, s, e FROM (SELECT u, s, e, "
+        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY e, s) AS rn FROM ev) "
+        f"WHERE rn <= {cap})",
+        "g1 AS MATERIALIZED (SELECT u, MIN(e) AS le FROM iv GROUP BY u)",
+    ]
+    for k in range(2, cap + 1):
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT g.u, MIN(iv.e) AS le "
+            f"FROM g{k - 1} g JOIN iv ON iv.u = g.u AND iv.s >= g.le "
+            "GROUP BY g.u)")
+    union = " UNION ALL ".join(f"SELECT u FROM g{k}"
+                               for k in range(1, cap + 1))
+    ctes.append(f"picks AS (SELECT u, COUNT(*) AS n FROM ({union}) "
+                "GROUP BY u)")
+    ctes.append("nv AS (SELECT u, COUNT(*) AS ni FROM iv GROUP BY u)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT nv.u, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scheduled, "
+        "CAST(nv.ni AS BIGINT) AS n_intervals "
+        "FROM nv LEFT JOIN picks p ON p.u = nv.u")

@@ -1981,6 +1981,13 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_interval_schedule(sf_dir: str):
+    from geospatial_learn_ray.stages import streaming
+
+    return streaming.interval_schedule_users(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id"]))
+
+
 def _q_golden_record(sf_dir: str):
     from geospatial_learn_ray.stages.cdc import golden_record_customers
 

@@ -2100,3 +2100,48 @@ def dtw_pairs_users(events: ray.data.Dataset, n_users: int = 8,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def interval_schedule_users(events: ray.data.Dataset, cap: int = 24,
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Activity-selection (greedy interval scheduling, the classic
+    exchange-argument optimum): per user, the maximum number of
+    non-overlapping event intervals — interval = [ts, ts + dur) with
+    dur = (event_id % 7 + 1) minutes (deterministic integer payload),
+    considering each user's first ``cap`` intervals by (end, start)
+    order so the SQL twin's greedy unroll is bounded by ``cap`` rounds.
+
+    Greedy-by-earliest-end is optimal and, on end ties, every choice
+    shares the same next ``last_end`` — so the pick COUNT is
+    deterministic without a tie rule. One user-keyed bucket exchange;
+    the per-user greedy scan is the sequential part (O(cap) per user),
+    run inside the combiner."""
+    from .exchange import bucket_exchange
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        s = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        dur = (eid % 7 + 1) * 60_000_000
+        u = b["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"u": u, "s": s, "e": s + dur,
+                             "_part": (u % num_buckets).astype(np.int32)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, fr in g.sort_values(["u", "e", "s"]).groupby("u", sort=False):
+            iv = fr[["s", "e"]].to_numpy(np.int64)[:cap]
+            last_end = -(1 << 62)
+            n = 0
+            for s, e in iv:  # sequential by definition (greedy chain)
+                if s >= last_end:
+                    n += 1
+                    last_end = e
+            rows.append({"u": int(u), "n_scheduled": n,
+                         "n_intervals": len(iv)})
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucket_exchange(
+        events.map_batches(prep, batch_format="pandas"), combine)

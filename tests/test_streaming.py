@@ -845,3 +845,40 @@ def test_dtw_matches_scalar_reference_and_known_case():
     out2 = streaming.dtw_pairs_users(ray.data.from_pandas(ev2), n_users=2,
                                      max_len=8).to_pandas()
     assert out2["dtw"].iloc[0] == 0
+
+
+def test_interval_schedule_matches_bruteforce_optimum():
+    """Greedy-by-end equals the true maximum (checked exhaustively on
+    small per-user interval sets)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages import streaming
+
+    rng = np.random.default_rng(9)
+    n = 60
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 3600, n), unit="s"),
+        "user_id": np.array([0, 1, 2] * (n // 3), dtype=np.int64)})
+    out = streaming.interval_schedule_users(
+        ray.data.from_pandas(ev), cap=10).to_pandas().set_index("u")
+    s_us = ev["ts"].astype("int64").to_numpy() // 1000
+    for u in (0, 1, 2):
+        m = ev["user_id"].to_numpy() == u
+        s = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[m]
+        e = s + (ev["event_id"].to_numpy()[m] % 7 + 1) * 60_000_000
+        iv = sorted(zip(e, s))[:10]
+        best = 0
+        for r in range(len(iv), 0, -1):
+            for sub in combinations(iv, r):
+                ss = sorted((x[1], x[0]) for x in sub)
+                if all(ss[i + 1][0] >= ss[i][1] for i in range(len(ss) - 1)):
+                    best = r
+                    break
+            if best:
+                break
+        assert out.loc[u, "n_scheduled"] == best
