@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtw_pairs_users": _q_dtw_pairs,
         "golden_record_customers": _q_golden_record,
         "interval_schedule_users": _q_interval_schedule,
+        "bloom_zone_prune_orders": _q_bloom_zone,
     }
 
 
@@ -465,6 +466,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _emd_drift_sql,
     _dtw_pairs_sql,
     _interval_schedule_sql,
+    _bloom_zone_sql,
     _phasecong_sql,
     _colour_thresh_sql,
     _good_turing_sql,
@@ -640,6 +642,7 @@ from geospatial_learn_ray.functions.oraclesql import (  # noqa: F401
     _emd_drift_sql,
     _dtw_pairs_sql,
     _interval_schedule_sql,
+    _bloom_zone_sql,
     _located_sql,
     _logistic_weights_sql,
     _media_decode_sql,
@@ -2046,4 +2049,5 @@ def oracle_sql() -> dict[str, str]:
             "AND r.rn = 1"
         ),
         "interval_schedule_users": _interval_schedule_sql(),
+        "bloom_zone_prune_orders": _bloom_zone_sql(),
     }

@@ -8843,3 +8843,54 @@ def _interval_schedule_sql(cap: int = 24) -> str:
         "SELECT nv.u, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scheduled, "
         "CAST(nv.ni AS BIGINT) AS n_intervals "
         "FROM nv LEFT JOIN picks p ON p.u = nv.u")
+
+
+def _bloom_zone_sql(zone_width: int = 4096, m_bits: int = 4096, k: int = 3,
+                    n_probes: int = 20) -> str:
+    """SQL twin of sketches.bloom_zone_prune: per-zone bit positions via
+    the identical CMS chain (splitmix64(fnv1a64(key)) xor seed_j →
+    splitmix64 → % m), probe positions computed in Python with the
+    ENGINE's own hash functions and inlined as literals (the CMS probe
+    precedent), hits = all k probe positions set in the zone."""
+    from ..stages.sketches import _cms_index, _cms_seeds
+
+    seeds = _cms_seeds(k)
+    probe_keys = list(range(n_probes))
+    P = _cms_index(np.array([str(x) for x in probe_keys], object),
+                   seeds, m_bits)
+    steps = [("_fh", _sg.fnv1a64_expr("kk")),
+             *_sg.splitmix64_steps("_fh", "_sh", "bz")]
+    for j in range(k):
+        steps.append((f"_x{j}", _sg.u64_xor("_sh", str(int(seeds[j])))))
+        steps.extend(_sg.splitmix64_steps(f"_x{j}", f"_h{j}", f"bzp{j}"))
+        steps.append((f"pos{j}", f"CAST(_h{j} % {m_bits} AS BIGINT)"))
+    keyed = _sg.chain(
+        f"SELECT zone, ck, ck::VARCHAR AS kk FROM z", steps)
+    bits_union = " UNION ".join(
+        f"SELECT zone, pos{j} AS pos FROM kp" for j in range(k))
+    probes_vals = ", ".join(
+        f"({q}, {q}, {int(P[0][q])}, {int(P[1][q])}, {int(P[2][q])})"
+        for q in range(n_probes))
+    return (
+        f"WITH z AS MATERIALIZED (SELECT o_orderkey // {zone_width} AS zone, "
+        "o_custkey AS ck FROM orders), "
+        f"kp AS MATERIALIZED ({keyed}), "
+        f"bits AS MATERIALIZED ({bits_union}), "
+        f"probes(q, pkey, p0, p1, p2) AS (VALUES {probes_vals}), "
+        "zs AS (SELECT DISTINCT zone FROM z), "
+        "hits AS (SELECT p.q, s.zone FROM probes p CROSS JOIN zs s "
+        "WHERE EXISTS (SELECT 1 FROM bits b WHERE b.zone = s.zone AND b.pos = p.p0) "
+        "AND EXISTS (SELECT 1 FROM bits b WHERE b.zone = s.zone AND b.pos = p.p1) "
+        "AND EXISTS (SELECT 1 FROM bits b WHERE b.zone = s.zone AND b.pos = p.p2)), "
+        "pres AS (SELECT DISTINCT z.zone, z.ck FROM z "
+        f"WHERE z.ck >= 0 AND z.ck < {n_probes}), "
+        "nz AS (SELECT COUNT(*) AS n FROM zs) "
+        "SELECT CAST(p.q AS BIGINT) AS probe_key, "
+        "CAST(nz.n AS BIGINT) AS n_zones, "
+        "CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hit, "
+        "CAST(COALESCE(e.c, 0) AS BIGINT) AS n_present, "
+        "CAST(COALESCE(h.c, 0) - COALESCE(e.c, 0) AS BIGINT) AS n_false_pos "
+        "FROM probes p CROSS JOIN nz "
+        "LEFT JOIN (SELECT q, COUNT(*) AS c FROM hits GROUP BY q) h ON h.q = p.q "
+        "LEFT JOIN (SELECT ck, COUNT(*) AS c FROM pres GROUP BY ck) e "
+        "ON e.ck = p.pkey")

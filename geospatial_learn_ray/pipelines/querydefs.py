@@ -1981,6 +1981,13 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_bloom_zone(sf_dir: str):
+    from geospatial_learn_ray.stages import sketches
+
+    return sketches.bloom_zone_prune(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
+
+
 def _q_interval_schedule(sf_dir: str):
     from geospatial_learn_ray.stages import streaming
 

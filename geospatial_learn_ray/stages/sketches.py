@@ -681,3 +681,111 @@ def ams_f2(ds: ray.data.Dataset, col: str, k: int = 16, group: int = 4,
     out["z2"] = out["z"] * out["z"]
     out["f2_est"] = np.float64(f2)
     return ray.data.from_pandas(out)
+
+
+def bloom_zone_prune(orders: ray.data.Dataset, zone_width: int = 4096,
+                     m_bits: int = 4096, k: int = 3, n_probes: int = 20,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-zone Bloom pruning audit — the point-lookup leg of the
+    storage-pruning family (zonemap = range predicates, learned index =
+    positions, Bloom = membership): per o_orderkey zone, a Bloom over
+    the zone's o_custkey values decides which zones a point lookup must
+    scan; the audit compares Bloom hits against exact membership per
+    probe (false positives are the filter's deterministic contract —
+    misses are PROVEN skips).
+
+    Scale shape: probe POSITIONS are ≤ n_probes·k constants, so batches
+    emit only distinct (zone, probe-position-covered) and (zone,
+    probe-key-present) partial rows — never the m-bit bitmaps, never
+    non-probe positions; one zone-keyed exchange, output n_probes rows."""
+    from .exchange import bucket_exchange
+
+    seeds = _cms_seeds(k)
+    probe_keys = np.arange(n_probes, dtype=np.int64)
+    P = _cms_index(np.array([str(x) for x in probe_keys], object),
+                   seeds, m_bits)  # [k, n_probes]
+    probe_pos = np.unique(P.ravel())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        zone = (b["o_orderkey"].to_numpy(np.int64) // zone_width)
+        keys = b["o_custkey"].to_numpy(np.int64)
+        pos = _cms_index(np.array([str(x) for x in keys], object),
+                         seeds, m_bits)  # [k, n]
+        frames = []
+        for j in range(k):
+            sel = np.isin(pos[j], probe_pos)
+            if sel.any():
+                frames.append(pd.DataFrame({
+                    "zone": zone[sel], "val": pos[j][sel],
+                    "is_key": np.int64(0)}))
+        km = np.isin(keys, probe_keys)
+        if km.any():
+            frames.append(pd.DataFrame({"zone": zone[km], "val": keys[km],
+                                        "is_key": np.int64(1)}))
+        if not frames:
+            return pd.DataFrame({"zone": pd.Series([], dtype=np.int64),
+                                 "val": pd.Series([], dtype=np.int64),
+                                 "is_key": pd.Series([], dtype=np.int64),
+                                 "_part": pd.Series([], dtype=np.int32)})
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        out["_part"] = (out["zone"] % num_buckets).astype(np.int32)
+        return out
+
+    # total zone count needs every zone, including ones with no probe
+    # overlap: a second tiny partial (distinct zones per batch)
+    def zone_partial(b: pd.DataFrame) -> pd.DataFrame:
+        z = np.unique(b["o_orderkey"].to_numpy(np.int64) // zone_width)
+        return pd.DataFrame({"zone": z, "_part": np.int32(0)})
+
+    def zone_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_zones": [np.int64(g["zone"].nunique())]})
+
+    n_zones = int(bucket_exchange(
+        orders.map_batches(zone_partial, batch_format="pandas"),
+        zone_combine, small_partials=True).to_pandas()["n_zones"].iloc[0])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for zone, fr in g.groupby("zone", sort=False):
+            posset = set(fr.loc[fr["is_key"] == 0, "val"].tolist())
+            keyset = set(fr.loc[fr["is_key"] == 1, "val"].tolist())
+            for q in range(n_probes):
+                hit = all(int(P[j, q]) in posset for j in range(k))
+                present = int(probe_keys[q]) in keyset
+                if hit or present:
+                    rows.append({"probe_key": int(probe_keys[q]),
+                                 "hit": int(hit), "present": int(present)})
+        if not rows:
+            return pd.DataFrame({"probe_key": pd.Series([], dtype=np.int64),
+                                 "hit": pd.Series([], dtype=np.int64),
+                                 "present": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    per_zone = bucket_exchange(
+        orders.map_batches(partial, batch_format="pandas"), combine)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("probe_key", as_index=False).agg(
+            n_hit=("hit", "sum"), n_present=("present", "sum"))
+        s["_part"] = np.int32(0)
+        return s
+
+    def final_combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop(columns=["_part"]).groupby(
+            "probe_key", as_index=False).sum()
+        full = pd.DataFrame({"probe_key": np.arange(len(probe_keys),
+                                                    dtype=np.int64)})
+        s = full.merge(s, on="probe_key", how="left").fillna(0)
+        out = pd.DataFrame({
+            "probe_key": s["probe_key"].astype(np.int64),
+            "n_zones": np.full(len(s), n_zones, np.int64),
+            "n_hit": s["n_hit"].astype(np.int64),
+            "n_present": s["n_present"].astype(np.int64)})
+        out["n_false_pos"] = (out["n_hit"] - out["n_present"]).astype(np.int64)
+        return out
+
+    return bucket_exchange(per_zone.map_batches(final, batch_format="pandas"),
+                           final_combine, small_partials=True)

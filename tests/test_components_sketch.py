@@ -377,3 +377,30 @@ def test_ams_f2_accuracy_and_block_invariance():
     assert 0.2 * true_f2 < f2 < 5.0 * true_f2
     # E[Z^2] sanity: every estimator's Z^2 is nonnegative, z2 == z*z
     assert (est1["z2"] == est1["z"] ** 2).all()
+
+
+def test_bloom_zone_prune_no_false_negatives_and_block_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.sketches import bloom_zone_prune
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame({"o_orderkey": np.arange(n, dtype=np.int64),
+                       "o_custkey": rng.integers(0, 150, n).astype(np.int64)})
+    outs = []
+    for blocks in (1, 6):
+        out = (bloom_zone_prune(ray.data.from_pandas(df).repartition(blocks),
+                                zone_width=512)
+               .to_pandas().sort_values("probe_key").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # Bloom contract: present => hit (no false negatives), fp >= 0
+    assert (out["n_hit"] >= out["n_present"]).all()
+    assert (out["n_false_pos"] >= 0).all()
+    # exact membership cross-check for one probe
+    zones_with_5 = set((df.loc[df["o_custkey"] == 5, "o_orderkey"] // 512).unique())
+    assert out.set_index("probe_key").loc[5, "n_present"] == len(zones_with_5)
