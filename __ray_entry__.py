@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record_customers": _q_golden_record,
         "interval_schedule_users": _q_interval_schedule,
         "bloom_zone_prune_orders": _q_bloom_zone,
+        "setsim_join_docs": _q_setsim_join,
     }
 
 
@@ -2050,4 +2051,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_schedule_users": _interval_schedule_sql(),
         "bloom_zone_prune_orders": _bloom_zone_sql(),
+        "setsim_join_docs": (
+            # naive exact join as the oracle: prefix filtering is COMPLETE
+            # for Jaccard >= t under a common token order, so the filtered
+            # engine must emit the identical pair set
+            "WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, "
+            "UNNEST(regexp_extract_all(text, '\\S+')) AS w "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "n AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1), "
+            "it AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+            "COUNT(*) AS inter FROM tok a JOIN tok b ON a.w = b.w "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, "
+            "CAST(inter AS BIGINT) AS n_inter, "
+            "CAST(na.n + nb.n - inter AS BIGINT) AS n_union "
+            "FROM it JOIN n na ON na.doc_id = da "
+            "JOIN n nb ON nb.doc_id = db "
+            "WHERE 1000 * inter >= 700 * (na.n + nb.n - inter)"
+        ),
     }

@@ -1981,6 +1981,11 @@ def _q_psi_drift(sf_dir: str):
         _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
 
 
+def _q_setsim_join(sf_dir: str):
+    return dedup.setsim_join_docs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_bloom_zone(sf_dir: str):
     from geospatial_learn_ray.stages import sketches
 

@@ -1566,3 +1566,129 @@ def dataset_fingerprint(docs: ray.data.Dataset, id_col: str = "doc_id",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def setsim_join_docs(docs: ray.data.Dataset, threshold_permille: int = 700,
+                     sample_mod: int = 10, num_buckets: int = 64,
+                     driver_bound: int = 500_000) -> ray.data.Dataset:
+    """EXACT set-similarity self-join (word-set Jaccard ≥ t) by PREFIX
+    FILTERING (Chaudhuri et al. 2006 / PPJoin family) — the exact
+    counterpart of the MinHash/SimHash approximate near-dup family:
+    under ANY common total token order, two sets with Jaccard ≥ t must
+    share a token within each other's first n − ⌈t·n⌉ + 1 tokens, so
+    candidate generation exchanges ONLY prefix tokens and the join is
+    provably COMPLETE (no recall loss — the property the oracle checks
+    by computing the naive exact join).
+
+    The global order here is (splitmix64(fnv1a64(token)), token) — valid
+    for completeness; production would order by ascending document
+    frequency (one extra token-keyed exchange) so prefixes hold the
+    RAREST tokens and hot-token candidate blowup vanishes. Verification
+    ships pairs to a counted-bound driver step with the sampled docs'
+    token sets broadcast (above the bound the dedup._pair_payload_join
+    two-exchange path applies). All comparisons are integer:
+    1000·|A∩B| ≥ t‰·|A∪B|."""
+    from ..functions.hashing import fnv1a64, splitmix64
+    from .exchange import bucket_exchange
+
+    t = threshold_permille
+
+    def tokenize(b: pd.DataFrame) -> list[tuple[int, np.ndarray]]:
+        out = []
+        for did, text in zip(b["doc_id"].to_numpy(np.int64),
+                             b["text"].to_numpy(object)):
+            words = np.unique(np.array(text.split(), object))
+            out.append((int(did), words))
+        return out
+
+    def prefix_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_d, rows_w = [], []
+        for did, words in tokenize(b):
+            if len(words) == 0:
+                continue
+            old = np.seterr(over="ignore")
+            try:
+                h = splitmix64(fnv1a64(words))
+            finally:
+                np.seterr(**old)
+            order = np.lexsort((words, h))
+            n = len(words)
+            plen = n - (t * n + 999) // 1000 + 1  # n - ceil(t n) + 1
+            pref = words[order[:plen]]
+            rows_d.extend([did] * len(pref))
+            rows_w.extend(pref.tolist())
+        g = pd.DataFrame({"doc_id": np.asarray(rows_d, np.int64),
+                          "word": np.asarray(rows_w, object)})
+        old = np.seterr(over="ignore")
+        try:
+            g["_part"] = (splitmix64(fnv1a64(g["word"].to_numpy(object)))
+                          % np.uint64(num_buckets)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return g
+
+    def pair_combine(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, fr in g.groupby("word", sort=False):
+            ids = np.unique(fr["doc_id"].to_numpy(np.int64))
+            if len(ids) > 1:
+                a, b = np.triu_indices(len(ids), k=1)
+                outs.append(pd.DataFrame({"a": ids[a], "b": ids[b]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    def sample_fn(b: pa.Table) -> pa.Table:
+        keep = (b["doc_id"].to_numpy() % sample_mod) == 0
+        return b.filter(pa.array(keep))
+
+    sampled = docs.map_batches(sample_fn, batch_format="pyarrow")
+    cands = bucket_exchange(
+        sampled.map_batches(prefix_partial, batch_format="pandas"),
+        pair_combine)
+
+    # the same pair arises under every shared prefix token (different
+    # word buckets), so dedup through a pair-keyed exchange BEFORE the
+    # counted pull — the bound must see distinct pairs, not multiplicity
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates().copy()
+        old = np.seterr(over="ignore")
+        try:
+            h = splitmix64(b["a"].to_numpy(np.int64).astype(np.uint64)
+                           * np.uint64(1_000_003)
+                           ^ b["b"].to_numpy(np.int64).astype(np.uint64))
+        finally:
+            np.seterr(**old)
+        b["_part"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_part"]).drop_duplicates()
+
+    distinct = bucket_exchange(
+        cands.map_batches(pair_bucket, batch_format="pandas"),
+        pair_distinct)
+    n_pairs = distinct.count()
+    assert n_pairs <= driver_bound, (n_pairs, driver_bound)
+    pairs = distinct.to_pandas()
+
+    # counted verify: token sets of the sampled docs broadcast
+    toks: dict[int, set] = {}
+    for b in sampled.select_columns(["doc_id", "text"]).iter_batches(
+            batch_format="pandas"):
+        for did, words in tokenize(b):
+            toks[did] = set(words.tolist())
+    rows = []
+    for a, bb in pairs[["a", "b"]].itertuples(index=False):
+        A, B = toks[int(a)], toks[int(bb)]
+        inter = len(A & B)
+        uni = len(A) + len(B) - inter
+        if uni and 1000 * inter >= t * uni:
+            rows.append({"doc_a": int(a), "doc_b": int(bb),
+                         "n_inter": inter, "n_union": uni})
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_inter",
+                                      "n_union"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)

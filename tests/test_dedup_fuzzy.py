@@ -524,3 +524,36 @@ def test_sorted_neighborhood_planted_near_dups():
     assert pair.iloc[0]["n_shared"] == len(ta & tb) > 40
     # gap bounded by window
     assert out.gap.between(1, 3).all()
+
+
+def test_setsim_prefix_filter_is_complete_vs_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geospatial_learn_ray.stages.dedup import setsim_join_docs
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    base = rng.choice(vocab, 20, replace=False)
+    for i in range(30):
+        # doc_id multiples of 10 are sampled; build overlapping sets
+        words = list(base[:12 + (i % 5)]) + list(
+            rng.choice(vocab, 4, replace=False))
+        docs.append({"doc_id": i * 10, "text": " ".join(words)})
+    df = pd.DataFrame(docs)
+    out = setsim_join_docs(ray.data.from_pandas(df)).to_pandas()
+    # brute force
+    toks = {r.doc_id: set(r.text.split()) for r in df.itertuples()}
+    exp = set()
+    ids = sorted(toks)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            A, B = toks[ids[x]], toks[ids[y]]
+            inter = len(A & B)
+            uni = len(A | B)
+            if uni and 1000 * inter >= 700 * uni:
+                exp.add((ids[x], ids[y]))
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == exp and len(exp) > 0
